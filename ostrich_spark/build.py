@@ -1,0 +1,408 @@
+"""Index build: corpus DataFrame -> partitioned inverted-index segments.
+
+Spark-first re-expression of ostrich's write path
+(/root/reference/indexer/index_writer.go:80-152,
+/root/reference/indexer/segment_writer.go:34-82,
+/root/reference/internal/postings/postings_writer.go:89-140):
+
+- one input partition == one index segment (like one batch == one segment,
+  index_writer.go:118-142), built inside a single ``mapInPandas`` pass —
+  tokenization, tf-counting, posting assembly and packing are all
+  vectorized pandas/numpy; NO per-row Python, NO shuffle (postings stay
+  partition-local; the only shuffle in the whole build is the
+  deterministic ``repartitionByRange`` of the corpus itself).
+- local docIDs are dense 0..maxDoc-1 in deterministic order-key order
+  (segment_writer.go:35,65 assigns insertion order).
+- each task writes its segment directory durably (postings/norms/docmap
+  parquet + fragment.json checkpoint) BEFORE the driver commits the
+  manifest — the resumability contract: a restarted build skips
+  partitions whose fragment already exists (north rule).
+- field norms (token count per doc*field) are first-class — the
+  reference's acknowledged TODO (postings_writer.go:91-94) — enabling
+  BM25.
+
+At 100 TB scale: partitions are sized by the input splits
+(``spark.sql.files.maxPartitionBytes``); per-task memory is bounded by
+the partition's token count; segment writes go to the executor-visible
+filesystem/object store; the manifest commit is a driver-side atomic
+rename. Posting lists may span MULTIPLE parquet rows (sharded by doc
+range) so no single term ever forces a giant row — this is the skew
+story: merge never needs a per-term reduce for huge terms (see merge.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .analysis import get_analyzer
+from .codec import BLOCK_SIZE, block_metadata, pack_blocked
+from .manifest import (
+    FRAGMENT_NAME,
+    Manifest,
+    SegmentMeta,
+    atomic_write_json,
+    load_fragment,
+    manifest_exists,
+    load_manifest,
+    save_manifest,
+    segment_dir,
+)
+from .schema import Schema
+
+# Posting rows: one or more rows per (segment, field, term); multi-row
+# lists are doc-range sharded (row_ord orders them).
+POSTINGS_ARROW_SCHEMA = pa.schema(
+    [
+        ("segment_id", pa.string()),
+        ("field", pa.int32()),
+        ("term", pa.string()),
+        ("row_ord", pa.int32()),
+        ("doc_freq", pa.int64()),
+        ("total_tf", pa.int64()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("lens", pa.binary()),
+        ("doc_offs", pa.list_(pa.int64())),
+        ("tf_offs", pa.list_(pa.int64())),
+        ("len_offs", pa.list_(pa.int64())),
+        ("block_max_doc", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int64())),
+        ("block_min_len", pa.list_(pa.int64())),
+    ]
+)
+
+NORMS_ARROW_SCHEMA = pa.schema(
+    [
+        ("segment_id", pa.string()),
+        ("doc", pa.int64()),
+        ("field", pa.int32()),
+        ("length", pa.int64()),
+    ]
+)
+
+METRICS_SPARK_SCHEMA = (
+    "partition_id int, segment_id string, max_doc long, n_terms long, "
+    "n_tokens long, n_posting_rows long, bytes_postings long, wall_ms long, "
+    "skipped boolean, attempt int"
+)
+
+
+def _sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def build_segment_tables(
+    pdf_iter: Iterator[pd.DataFrame],
+    schema: Schema,
+    segment_id: str,
+    id_cols: list[str],
+):
+    """Pure function: corpus batches -> (postings, norms, docmap) tables.
+
+    Vectorized: tokenize per field via the analyzer chain, then
+    explode (np.repeat) -> pandas groupby(term, doc).size() for tf
+    counting (I2: postings_writer.go:127-135), then per-term packed
+    posting assembly (I3/I4).
+    """
+    batches = [b for b in pdf_iter if len(b)]
+    if not batches:
+        return None
+    pdf = pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]
+    n_docs = len(pdf)
+    local_ids = np.arange(n_docs, dtype=np.int64)
+
+    postings_cols: dict[str, list] = {k.name: [] for k in POSTINGS_ARROW_SCHEMA}
+    norms_frames = []
+    sha_parts = None
+    n_tokens_total = 0
+    field_tokens: dict[str, int] = {}
+
+    for fe in schema.fields:
+        col = pdf[fe.name] if fe.name in pdf.columns else pd.Series([""] * n_docs)
+        analyzer = get_analyzer(fe.analyzer)
+        token_lists = analyzer.analyze_series(col)
+        lens = token_lists.map(len).to_numpy(dtype=np.int64)
+        n_tokens_total += int(lens.sum())
+        field_tokens[str(fe.id)] = int(lens.sum())
+
+        # per-row sha of the raw field value (content invariant)
+        field_sha = col.fillna("").astype(str).map(_sha256_hex)
+        sha_parts = field_sha if sha_parts is None else sha_parts + field_sha
+
+        norms_frames.append(
+            pd.DataFrame(
+                {
+                    "segment_id": segment_id,
+                    "doc": local_ids,
+                    "field": np.int32(fe.id),
+                    "length": lens,
+                }
+            )
+        )
+
+        if lens.sum() == 0:
+            continue
+        flat_terms = np.concatenate(
+            [np.asarray(t, dtype=object) for t in token_lists.to_numpy()]
+        )
+        flat_docs = np.repeat(local_ids, lens)
+        tf = (
+            pd.DataFrame({"term": flat_terms, "doc": flat_docs})
+            .groupby(["term", "doc"], sort=True)
+            .size()
+            .rename("tf")
+            .reset_index()
+        )
+        # doc length per posting (aligned), for BM25 and block_min_len
+        tf["len"] = lens[tf["doc"].to_numpy()]
+
+        # split per term: groupby(sort=True) left terms ascending, docs
+        # ascending within term — posting lists come out docID-sorted,
+        # like the reference's insertion-order invariant
+        # (postings_writer.go:137-140).
+        terms_arr = tf["term"].to_numpy()
+        docs_arr = tf["doc"].to_numpy(dtype=np.int64)
+        tfs_arr = tf["tf"].to_numpy(dtype=np.int64)
+        lens_arr = tf["len"].to_numpy(dtype=np.int64)
+        # boundaries of runs of equal term
+        change = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(terms_arr)]))
+
+        for s, e in zip(starts, ends):
+            term = terms_arr[s]
+            d, t, ln = docs_arr[s:e], tfs_arr[s:e], lens_arr[s:e]
+            docs_b, doc_offs = pack_blocked(d, delta=True)
+            tfs_b, tf_offs = pack_blocked(t, delta=False)
+            lens_b, len_offs = pack_blocked(ln, delta=False)
+            bmax_doc, bmax_tf, bmin_len = block_metadata(d, t, ln)
+            postings_cols["segment_id"].append(segment_id)
+            postings_cols["field"].append(fe.id)
+            postings_cols["term"].append(term)
+            postings_cols["row_ord"].append(0)
+            postings_cols["doc_freq"].append(int(e - s))
+            postings_cols["total_tf"].append(int(t.sum()))
+            postings_cols["docs"].append(docs_b)
+            postings_cols["tfs"].append(tfs_b)
+            postings_cols["lens"].append(lens_b)
+            postings_cols["doc_offs"].append(doc_offs)
+            postings_cols["tf_offs"].append(tf_offs)
+            postings_cols["len_offs"].append(len_offs)
+            postings_cols["block_max_doc"].append(bmax_doc)
+            postings_cols["block_max_tf"].append(bmax_tf)
+            postings_cols["block_min_len"].append(bmin_len)
+
+    postings_tbl = pa.table(postings_cols, schema=POSTINGS_ARROW_SCHEMA)
+    norms_tbl = pa.Table.from_pandas(
+        pd.concat(norms_frames, ignore_index=True), schema=NORMS_ARROW_SCHEMA, preserve_index=False
+    )
+
+    docmap = pd.DataFrame({"segment_id": segment_id, "doc": local_ids})
+    for c in id_cols:
+        docmap[c] = pdf[c].to_numpy()
+    docmap["content_sha256"] = (
+        sha_parts.to_numpy() if sha_parts is not None else np.full(n_docs, "", object)
+    )
+    docmap_tbl = pa.Table.from_pandas(docmap, preserve_index=False)
+    return postings_tbl, norms_tbl, docmap_tbl, n_docs, n_tokens_total, field_tokens
+
+
+def _write_segment_atomic(seg_dir: str, tables, fragment: dict) -> None:
+    """Write to a tmp dir then rename — task retries / speculative attempts
+    race safely (first rename wins)."""
+    postings_tbl, norms_tbl, docmap_tbl = tables
+    tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(postings_tbl, os.path.join(tmp, "postings.parquet"))
+    pq.write_table(norms_tbl, os.path.join(tmp, "norms.parquet"))
+    pq.write_table(docmap_tbl, os.path.join(tmp, "docmap.parquet"))
+    with open(os.path.join(tmp, FRAGMENT_NAME), "w") as f:
+        json.dump(fragment, f, indent=1, sort_keys=True)
+    try:
+        os.rename(tmp, seg_dir)
+    except OSError:
+        # another attempt won the race; ours is redundant
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def build_index(
+    spark,
+    corpus_df,
+    schema: Schema,
+    index_dir: str,
+    num_partitions: int = 8,
+    order_col: str | None = None,
+    id_cols: list[str] | None = None,
+    build_id: str = "build0",
+    fail_after_partitions: int | None = None,
+) -> Manifest:
+    """Build (or resume) an index from a corpus DataFrame.
+
+    ``order_col`` gives the deterministic document order (and hence the
+    deterministic partition assignment via repartitionByRange); defaults
+    to the first id column.
+    ``fail_after_partitions`` is a test hook: tasks beyond that many
+    completed fragments raise, simulating a mid-build crash for the
+    resumability tests.
+    """
+    id_cols = list(id_cols or [])
+    if order_col is None:
+        order_col = id_cols[0] if id_cols else schema.fields[0].name
+    os.makedirs(index_dir, exist_ok=True)
+
+    field_names = [f.name for f in schema.fields]
+    needed = list(dict.fromkeys([*field_names, *id_cols, order_col]))
+    df = corpus_df.select(*[c for c in needed if c in corpus_df.columns])
+    df = df.repartitionByRange(num_partitions, order_col).sortWithinPartitions(order_col)
+
+    schema_json = schema.to_json()
+    idx_dir = index_dir
+    bid = build_id
+    fail_after = fail_after_partitions
+
+    def build_partition(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        attempt = ctx.attemptNumber() if ctx else 0
+        seg_id = f"seg{pid:05d}-{bid}"
+        sdir = segment_dir(idx_dir, seg_id)
+        t0 = time.time()
+
+        frag = load_fragment(idx_dir, seg_id)
+        if frag is not None and frag.get("build_id") == bid:
+            # checkpoint hit: this partition's segment is already durable
+            yield pd.DataFrame(
+                [
+                    {
+                        "partition_id": pid,
+                        "segment_id": seg_id,
+                        "max_doc": frag["max_doc"],
+                        "n_terms": frag["metrics"]["n_terms"],
+                        "n_tokens": frag["metrics"]["n_tokens"],
+                        "n_posting_rows": frag["metrics"]["n_posting_rows"],
+                        "bytes_postings": frag["metrics"]["bytes_postings"],
+                        "wall_ms": 0,
+                        "skipped": True,
+                        "attempt": attempt,
+                    }
+                ]
+            )
+            return
+
+        if fail_after is not None:
+            seg_root = os.path.join(idx_dir, "segments")
+            done = len(os.listdir(seg_root)) if os.path.isdir(seg_root) else 0
+            if done >= fail_after:
+                raise RuntimeError(f"injected failure after {done} fragments")
+
+        sch = Schema.from_json(schema_json)
+        built = build_segment_tables(iterator, sch, seg_id, id_cols)
+        if built is None:
+            # empty partitions never become segments
+            # (indexer/segment_manager.go:60-66: empty-segment removal)
+            yield pd.DataFrame(
+                [
+                    {
+                        "partition_id": pid,
+                        "segment_id": seg_id,
+                        "max_doc": 0,
+                        "n_terms": 0,
+                        "n_tokens": 0,
+                        "n_posting_rows": 0,
+                        "bytes_postings": 0,
+                        "wall_ms": int((time.time() - t0) * 1000),
+                        "skipped": False,
+                        "attempt": attempt,
+                    }
+                ]
+            )
+            return
+        postings_tbl, norms_tbl, docmap_tbl, n_docs, n_tokens, field_tokens = built
+        bytes_postings = sum(
+            len(b) for b in postings_tbl.column("docs").to_pylist()
+        ) + sum(len(b) for b in postings_tbl.column("tfs").to_pylist())
+        metrics = {
+            "n_terms": postings_tbl.num_rows,
+            "n_tokens": n_tokens,
+            "n_posting_rows": postings_tbl.num_rows,
+            "bytes_postings": bytes_postings,
+            "field_tokens": field_tokens,
+            "wall_ms": int((time.time() - t0) * 1000),
+        }
+        fragment = {
+            "segment_id": seg_id,
+            "build_id": bid,
+            "partition_id": pid,
+            "max_doc": n_docs,
+            "metrics": metrics,
+            "lineage": {"build_id": bid, "partition_id": pid, "attempt": attempt},
+        }
+        _write_segment_atomic(sdir, (postings_tbl, norms_tbl, docmap_tbl), fragment)
+        yield pd.DataFrame(
+            [
+                {
+                    "partition_id": pid,
+                    "segment_id": seg_id,
+                    "max_doc": n_docs,
+                    "n_terms": postings_tbl.num_rows,
+                    "n_tokens": n_tokens,
+                    "n_posting_rows": postings_tbl.num_rows,
+                    "bytes_postings": bytes_postings,
+                    "wall_ms": metrics["wall_ms"],
+                    "skipped": False,
+                    "attempt": attempt,
+                }
+            ]
+        )
+
+    metrics_rows = df.mapInPandas(build_partition, schema=METRICS_SPARK_SCHEMA).collect()
+
+    # driver-side commit (I12/I13): collect fragments -> sorted manifest ->
+    # atomic write. Empty segments are dropped.
+    segments = []
+    total_tokens = 0
+    field_tokens: dict[str, int] = {}
+    for r in sorted(metrics_rows, key=lambda r: r.partition_id):
+        if r.max_doc == 0:
+            continue
+        frag = load_fragment(index_dir, r.segment_id) or {}
+        segments.append(
+            SegmentMeta(
+                r.segment_id,
+                r.max_doc,
+                lineage=frag.get("lineage", {}),
+                metrics=frag.get("metrics", {}),
+            )
+        )
+        total_tokens += r.n_tokens
+        for fid, n in frag.get("metrics", {}).get("field_tokens", {}).items():
+            field_tokens[fid] = field_tokens.get(fid, 0) + n
+
+    opstamp = (load_manifest(index_dir).opstamp + 1) if manifest_exists(index_dir) else 1
+    manifest = Manifest(
+        schema,
+        segments,
+        opstamp=opstamp,
+        stats={
+            "total_docs": sum(s.max_doc for s in segments),
+            "total_tokens": total_tokens,
+            "field_tokens": field_tokens,
+            "build_id": build_id,
+        },
+    )
+    save_manifest(index_dir, manifest)
+    return manifest

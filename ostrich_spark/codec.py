@@ -1,0 +1,195 @@
+"""Posting-list codec: delta + varint packing with block-max metadata.
+
+Replaces the reference's plain-gob posting serialization
+(/root/reference/internal/postings/postings_writer.go:89-125), which has
+no delta encoding, no varint, no blocks. The north rule mandates
+delta/varint-or-bitpacked compression plus block-max metadata for
+block-max WAND pruning.
+
+Layout per posting list (one term):
+- doc_ids: sorted uint64, delta-encoded (first value absolute), each delta
+  LEB128-varint encoded.
+- tfs: uint64 term frequencies, varint encoded (no delta; tfs are small).
+- blocks of ``BLOCK_SIZE`` docs; per block we keep (outside the binary, as
+  plain array columns so Parquet/Arrow handle them natively):
+    block_max_doc — last docID in the block (skip pointer),
+    block_max_tf  — max term frequency in the block,
+    block_min_len — min field length (norm) in the block, for a valid
+                    BM25 upper bound (monotone up in tf, down in len).
+
+Everything here is vectorized numpy — no per-element Python loops on the
+encode/decode hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def _varint_encode(values: np.ndarray) -> bytes:
+    """LEB128 varint-encode a uint64 array, fully vectorized."""
+    if len(values) == 0:
+        return b""
+    v = values.astype(np.uint64, copy=True)
+    # bytes needed per value: ceil(bit_length/7), min 1
+    bits = np.zeros(len(v), dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bits[nz] += 1
+        tmp >>= np.uint64(1)
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    total = int(nbytes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    # offsets of each value's first byte
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # fill byte-position k of every value that has >= k+1 bytes
+    max_b = int(nbytes.max())
+    rem = v.copy()
+    for k in range(max_b):
+        mask = nbytes > k
+        idx = starts[mask] + k
+        byte = (rem[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
+        out[idx] = byte | cont
+        rem[mask] >>= np.uint64(7)
+    return out.tobytes()
+
+
+def _varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 varints -> uint64 array, vectorized."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    n = len(ends)
+    values = np.zeros(n, dtype=np.uint64)
+    lengths = ends - starts + 1
+    max_b = int(lengths.max())
+    payload = (b & 0x7F).astype(np.uint64)
+    for k in range(max_b):
+        mask = lengths > k
+        values[mask] |= payload[starts[mask] + k] << np.uint64(7 * k)
+    return values
+
+
+def pack_doc_ids(doc_ids: np.ndarray) -> bytes:
+    """Delta + varint pack a sorted docID array."""
+    if len(doc_ids) == 0:
+        return b""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    deltas = np.empty_like(d)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+    return _varint_encode(deltas)
+
+
+def unpack_doc_ids(buf: bytes) -> np.ndarray:
+    deltas = _varint_decode(buf)
+    if len(deltas) == 0:
+        return deltas.astype(np.int64)
+    return np.cumsum(deltas, dtype=np.uint64).astype(np.int64)
+
+
+def pack_tfs(tfs: np.ndarray) -> bytes:
+    return _varint_encode(np.asarray(tfs, dtype=np.uint64))
+
+
+def unpack_tfs(buf: bytes) -> np.ndarray:
+    return _varint_decode(buf).astype(np.int64)
+
+
+def pack_blocked(values: np.ndarray, delta: bool) -> tuple[bytes, list[int]]:
+    """Pack into independently-decodable blocks of BLOCK_SIZE values.
+
+    With ``delta=True`` each block stores its first value absolute and the
+    rest as deltas — so a block can be decoded without its predecessors
+    (the enabler for block-max WAND skip-decoding, and for merge-time
+    docID patching that touches only block heads).
+
+    Returns (packed bytes, byte offset of each block start).
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b"", []
+    chunks: list[bytes] = []
+    offsets: list[int] = []
+    pos = 0
+    for s in range(0, n, BLOCK_SIZE):
+        blk = v[s : s + BLOCK_SIZE]
+        if delta and len(blk) > 1:
+            enc = np.empty_like(blk)
+            enc[0] = blk[0]
+            np.subtract(blk[1:], blk[:-1], out=enc[1:])
+        else:
+            enc = blk
+        b = _varint_encode(enc)
+        offsets.append(pos)
+        chunks.append(b)
+        pos += len(b)
+    return b"".join(chunks), offsets
+
+
+def unpack_blocked(
+    buf: bytes,
+    offsets: list[int],
+    n_values: int,
+    delta: bool,
+    block_indices: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode selected blocks (or all when ``block_indices`` is None).
+
+    Returns (values, positions) where positions are the global posting
+    ordinals of the decoded values (needed to align docs/tfs/lens when
+    only a block subset is decoded).
+    """
+    nblocks = len(offsets)
+    if nblocks == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    if block_indices is None:
+        block_indices = np.arange(nblocks)
+    else:
+        block_indices = np.asarray(block_indices, dtype=np.int64)
+    bounds = list(offsets) + [len(buf)]
+    vals: list[np.ndarray] = []
+    poss: list[np.ndarray] = []
+    for bi in block_indices:
+        raw = _varint_decode(buf[bounds[bi] : bounds[bi + 1]])
+        if delta and len(raw) > 1:
+            raw = np.cumsum(raw, dtype=np.uint64)
+        start = int(bi) * BLOCK_SIZE
+        vals.append(raw.astype(np.int64))
+        poss.append(np.arange(start, start + len(raw), dtype=np.int64))
+    return np.concatenate(vals), np.concatenate(poss)
+
+
+def block_metadata(
+    doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray
+) -> tuple[list[int], list[int], list[int]]:
+    """Per-block (max_doc, max_tf, min_len) for block-max WAND.
+
+    ``doc_lens`` is the field length (token count) of each posting's doc,
+    aligned with doc_ids.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return [], [], []
+    d = np.asarray(doc_ids, dtype=np.int64)
+    t = np.asarray(tfs, dtype=np.int64)
+    ln = np.asarray(doc_lens, dtype=np.int64)
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    max_doc, max_tf, min_len = [], [], []
+    for i in range(nblocks):
+        s, e = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+        max_doc.append(int(d[e - 1]))
+        max_tf.append(int(t[s:e].max()))
+        min_len.append(int(ln[s:e].min()))
+    return max_doc, max_tf, min_len

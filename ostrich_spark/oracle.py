@@ -1,0 +1,150 @@
+"""Single-process reference-semantics oracle.
+
+Reimplements ostrich's observable search semantics (analysis -> postings
+-> TF-IDF scoring -> boolean combinators) in plain Python dicts/floats,
+independent of the Spark engine's numpy execution. Used by pytest as the
+rank-identity contract (SURVEY.md §5.2):
+
+- TF-IDF formula: /root/reference/query/tfidf_weight.go:9-18
+- union score = sum of matching children's scores in child order
+  (/root/reference/query/union_scorer.go:14-94)
+- intersection: children in SizeHint-ascending order (stable on ties),
+  scores summed in that order (/root/reference/query/intersection_scorer.go:16-77)
+- must/should: must score + should score when present
+  (/root/reference/query/must_should_scorer.go:27-58)
+
+The same evaluator doubles as the brute-force BM25 oracle (the engine's
+production scorer, which the reference lacks — README.md:20).
+
+Floating-point parity: both oracle and engine evaluate the identical
+expression trees over IEEE float64 in the identical order, so scores are
+bit-equal, not merely close.
+"""
+
+from __future__ import annotations
+
+from .analysis import get_analyzer
+from .query.parser import AllQuery, BooleanQuery, EmptyQuery, TermQuery, parse_query, MUST, SHOULD
+from .query.plan import B, K1, SCORER_BM25, SCORER_TFIDF, bm25_idf, tfidf_idf
+from .schema import Schema
+
+
+class OracleIndex:
+    """docs: list of dicts field_name -> str (in global docID order)."""
+
+    def __init__(self, schema: Schema, docs: list[dict]):
+        self.schema = schema
+        self.docs = docs
+        self.n_docs = len(docs)
+        # (field_id, term) -> {doc: tf}
+        self.postings: dict[tuple[int, str], dict[int, int]] = {}
+        # (doc, field_id) -> token count
+        self.doc_len: dict[tuple[int, int], int] = {}
+        self.field_tokens: dict[int, int] = {}
+        for doc_id, doc in enumerate(docs):
+            for fe in schema.fields:
+                value = doc.get(fe.name, "")
+                values = value if isinstance(value, list) else [value]
+                tokens: list[str] = []
+                for v in values:  # multi-valued: streams concatenated
+                    tokens.extend(get_analyzer(fe.analyzer).analyze_one(v))
+                self.doc_len[(doc_id, fe.id)] = len(tokens)
+                self.field_tokens[fe.id] = self.field_tokens.get(fe.id, 0) + len(tokens)
+                for t in tokens:
+                    self.postings.setdefault((fe.id, t), {})
+                    self.postings[(fe.id, t)][doc_id] = (
+                        self.postings[(fe.id, t)].get(doc_id, 0) + 1
+                    )
+
+    def doc_freq(self, field_id: int, term: str) -> int:
+        return len(self.postings.get((field_id, term), {}))
+
+    def avgdl(self, field_id: int) -> float:
+        return float(self.field_tokens.get(field_id, 0)) / float(self.n_docs) if self.n_docs else 1.0
+
+    # -- evaluation -> {doc: score} ------------------------------------
+
+    def _eval(self, q, scorer: str) -> dict[int, float]:
+        if isinstance(q, EmptyQuery):
+            return {}
+        if isinstance(q, AllQuery):
+            return {d: 1.0 for d in range(self.n_docs)}
+        if isinstance(q, TermQuery):
+            plist = self.postings.get((q.field_id, q.term))
+            if not plist:
+                return {}
+            df = len(plist)
+            if scorer == SCORER_TFIDF:
+                idf = tfidf_idf(self.n_docs, df)
+                return {d: float(tf) * idf for d, tf in plist.items()}
+            idf = bm25_idf(self.n_docs, df)
+            avgdl = self.avgdl(q.field_id)
+            out = {}
+            for d, tf in plist.items():
+                dl = float(self.doc_len[(d, q.field_id)])
+                tff = float(tf)
+                out[d] = idf * (tff * (K1 + 1.0)) / (
+                    tff + K1 * (1.0 - B + B * dl / avgdl)
+                )
+            return out
+        if isinstance(q, BooleanQuery):
+            musts = [self._eval(s, scorer) for o, s in q.subqueries if o == MUST]
+            shoulds_q = [s for o, s in q.subqueries if o == SHOULD]
+            shoulds = [self._eval(s, scorer) for s in shoulds_q]
+            shoulds = [s for s in shoulds if s] if len(q.subqueries) > 1 else shoulds
+
+            must_res = None
+            if musts:
+                # smallest-first, stable: matches the engine's ordering
+                order = sorted(range(len(musts)), key=lambda i: (len(musts[i]), i))
+                common = set(musts[order[0]].keys())
+                for i in order[1:]:
+                    common &= musts[i].keys()
+                must_res = {}
+                for d in common:
+                    s = 0.0
+                    for i in order:
+                        s += musts[i][d]
+                    must_res[d] = s
+            should_res = None
+            if shoulds:
+                should_res = {}
+                for child in shoulds:  # child order
+                    for d, s in child.items():
+                        should_res[d] = should_res.get(d, 0.0) + s
+            if must_res is not None and should_res is not None:
+                return {d: s + should_res.get(d, 0.0) for d, s in must_res.items()}
+            if must_res is not None:
+                return must_res
+            if should_res is not None:
+                return should_res
+            return {}
+        raise TypeError(q)
+
+    def search(
+        self,
+        query,
+        limit: int | None = 10,
+        offset: int = 0,
+        scorer: str = SCORER_TFIDF,
+        default_fields: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """-> [(doc_id, score)] by (score desc, doc asc), offset/limit applied."""
+        logical = (
+            parse_query(query, self.schema, default_fields)
+            if isinstance(query, str)
+            else query
+        )
+        res = self._eval(logical, scorer)
+        ranked = sorted(res.items(), key=lambda kv: (-kv[1], kv[0]))
+        if limit is None:
+            return ranked[offset:]
+        return ranked[offset : offset + limit]
+
+    def count(self, query, default_fields: list[str] | None = None) -> int:
+        logical = (
+            parse_query(query, self.schema, default_fields)
+            if isinstance(query, str)
+            else query
+        )
+        return len(self._eval(logical, SCORER_TFIDF))

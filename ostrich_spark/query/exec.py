@@ -1,0 +1,523 @@
+"""Per-segment vectorized query execution + global top-k merge.
+
+Spark-first re-expression of ostrich's read path
+(/root/reference/reader/search.go:21-66): per-segment parallelism becomes
+one Spark task per (pruned) postings partition; collectors become a
+per-segment top-k inside an Arrow UDF plus a global
+``orderBy(...).limit(k)`` (Catalyst's TakeOrderedAndProject IS the
+reference's MergeResults heap,
+/root/reference/collector/top_score_collector.go:69-80).
+
+Scorer semantics mirrored exactly (for TF-IDF rank identity):
+- TermScorer: score = tf * idf (/root/reference/query/term_query.go:79-106)
+- Intersection: k-way merge driven smallest-first
+  (/root/reference/query/intersection_scorer.go:16-77); here a vectorized
+  ``np.intersect1d`` chain in doc_freq-ascending order; child scores are
+  summed in that same order (the reference sums over its SizeHint-sorted
+  scorer list).
+- Union: docs matched by >=1 child, score = sum of matching children's
+  scores in child order (/root/reference/query/union_scorer.go:14-94).
+- MustShould: iterate must, add should score when present
+  (/root/reference/query/must_should_scorer.go:27-58).
+- Tie-break: the reference's heap compares (score, docID) with
+  smaller-doc-wins on equal scores (top_score_collector.go:23-28) but
+  cross-segment ties are arrival-order; we pin the TOTAL order
+  (score desc, segment_ord asc, doc asc) in engine and oracle.
+
+Block-max WAND (north rule; the reference's acknowledged TODO at
+/root/reference/query/boolean_query.go:129): exact two-phase pruning —
+(1) seed a threshold from the fully-scored highest-impact term,
+(2) keep only blocks whose upper bound + sum of other terms' max bounds
+    can reach the threshold,
+(3) decode, for every term, any additional block whose doc range contains
+    a surviving candidate (so candidate scores are EXACT),
+(4) rank candidates. Skipped docs provably score below the threshold.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import reduce
+from operator import or_
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from ..manifest import Manifest, load_manifest
+from ..schema import Schema
+from .parser import parse_query
+from .plan import (
+    B,
+    K1,
+    SCORER_BM25,
+    SCORER_TFIDF,
+    collect_terms,
+    compile_query,
+    is_pure_term_union,
+    to_wire,
+)
+
+RESULT_SCHEMA = "segment_id string, doc long, score double, is_count boolean"
+
+
+# ---------------------------------------------------------------------------
+# executor-side posting access
+# ---------------------------------------------------------------------------
+
+
+class TermPostings:
+    """All posting rows of one (field, term) within one segment.
+
+    Posting lists may span multiple doc-range-sharded rows (row_ord asc);
+    blocks are independently decodable (codec.pack_blocked), enabling
+    block-granular skip-decoding.
+    """
+
+    def __init__(self, rows: pd.DataFrame):
+        rows = rows.sort_values("row_ord")
+        self._rows = rows
+        self.doc_freq = int(rows["doc_freq"].sum())
+        # concatenated block metadata (globally doc-ascending)
+        self.block_max_doc = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in rows["block_max_doc"]]
+        ) if len(rows) else np.empty(0, dtype=np.int64)
+        self.block_max_tf = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in rows["block_max_tf"]]
+        ) if len(rows) else np.empty(0, dtype=np.int64)
+        self.block_min_len = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in rows["block_min_len"]]
+        ) if len(rows) else np.empty(0, dtype=np.int64)
+        self.n_blocks = len(self.block_max_doc)
+        # rows -> (row index, local block count)
+        self._row_nblocks = [len(r) for r in rows["doc_offs"]]
+
+    def block_lower_bounds(self) -> np.ndarray:
+        """First possible docID of each block (previous block's max + 1)."""
+        lo = np.empty(self.n_blocks, dtype=np.int64)
+        if self.n_blocks:
+            lo[0] = 0
+            lo[1:] = self.block_max_doc[:-1] + 1
+        return lo
+
+    def decode(self, block_sel: np.ndarray | None = None):
+        """Decode selected global block indices (or all) ->
+        (docs, tfs, lens) sorted by doc."""
+        from ..codec import unpack_blocked
+
+        if self.n_blocks == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        if block_sel is None:
+            sel_mask = np.ones(self.n_blocks, dtype=bool)
+        else:
+            sel_mask = np.zeros(self.n_blocks, dtype=bool)
+            sel_mask[block_sel] = True
+        docs_parts, tfs_parts, lens_parts = [], [], []
+        base = 0
+        for (_, row), nb in zip(self._rows.iterrows(), self._row_nblocks):
+            local = np.flatnonzero(sel_mask[base : base + nb])
+            base += nb
+            if len(local) == 0:
+                continue
+            d, _ = unpack_blocked(
+                bytes(row["docs"]), list(row["doc_offs"]), row["doc_freq"], True, local
+            )
+            t, _ = unpack_blocked(
+                bytes(row["tfs"]), list(row["tf_offs"]), row["doc_freq"], False, local
+            )
+            ln, _ = unpack_blocked(
+                bytes(row["lens"]), list(row["len_offs"]), row["doc_freq"], False, local
+            )
+            docs_parts.append(d)
+            tfs_parts.append(t)
+            lens_parts.append(ln)
+        if not docs_parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return (
+            np.concatenate(docs_parts),
+            np.concatenate(tfs_parts),
+            np.concatenate(lens_parts),
+        )
+
+
+def score_postings(tfs: np.ndarray, lens: np.ndarray, idf: float, avgdl: float, scorer: str) -> np.ndarray:
+    tf = tfs.astype(np.float64)
+    if scorer == SCORER_TFIDF:
+        return tf * idf
+    dl = lens.astype(np.float64)
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def block_upper_bounds(tp: TermPostings, idf: float, avgdl: float, scorer: str) -> np.ndarray:
+    """Valid per-block score upper bound: BM25 is monotone increasing in tf
+    and decreasing in doc length, so (block_max_tf, block_min_len) bounds it."""
+    tf = tp.block_max_tf.astype(np.float64)
+    if scorer == SCORER_TFIDF:
+        return tf * idf
+    dl = tp.block_min_len.astype(np.float64)
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+# ---------------------------------------------------------------------------
+# scorer-tree evaluation (vectorized)
+# ---------------------------------------------------------------------------
+
+
+def _union_arrays(parts: list[tuple[np.ndarray, np.ndarray]]):
+    """k-way union: concat (docs, scores) in child order, sum per doc.
+
+    np.bincount accumulates in input order -> the float sum order equals
+    child order, matching UnionScorer's sumWithCombiner semantics."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, np.empty(0, dtype=np.float64)
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    uniq, inv = np.unique(docs, return_inverse=True)
+    summed = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(summed, inv, scores)
+    return uniq, summed
+
+
+def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
+    """-> (docs sorted asc, scores) for one segment."""
+    kind = wire["kind"]
+    if kind == "empty":
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if kind == "all":
+        return (
+            np.arange(max_doc, dtype=np.int64),
+            np.ones(max_doc, dtype=np.float64),
+        )
+    if kind == "term":
+        tp = term_data.get((wire["field"], wire["term"]))
+        if tp is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs, tfs, lens = tp.decode()
+        return docs, score_postings(tfs, lens, wire["idf"], wire["avgdl"], scorer)
+    if kind == "or":
+        parts = [eval_node(c, term_data, max_doc, scorer) for c in wire["children"]]
+        return _union_arrays(parts)
+    if kind == "and":
+        parts = [eval_node(c, term_data, max_doc, scorer) for c in wire["children"]]
+        # smallest-first ordering (intersection_scorer.go:24-27), stable on ties
+        order = sorted(range(len(parts)), key=lambda i: (len(parts[i][0]), i))
+        docs = parts[order[0]][0]
+        for i in order[1:]:
+            docs = np.intersect1d(docs, parts[i][0], assume_unique=True)
+            if len(docs) == 0:
+                break
+        total = np.zeros(len(docs), dtype=np.float64)
+        for i in order:  # sum child scores in the sorted order
+            cd, cs = parts[i]
+            pos = np.searchsorted(cd, docs)
+            total += cs[pos]
+        return docs, total
+    if kind == "must_should":
+        md, ms = eval_node(wire["must"], term_data, max_doc, scorer)
+        sd, ss = eval_node(wire["should"], term_data, max_doc, scorer)
+        if len(sd):
+            pos = np.searchsorted(sd, md)
+            pos_c = np.clip(pos, 0, len(sd) - 1)
+            hit = sd[pos_c] == md
+            add = np.where(hit, ss[pos_c], 0.0)
+        else:
+            add = np.zeros(len(md), dtype=np.float64)
+        return md, ms + add
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# block-max WAND (exact) for pure term unions
+# ---------------------------------------------------------------------------
+
+
+def wand_union_topk(
+    term_wires: list[dict],
+    term_data: dict,
+    k: int,
+    scorer: str,
+    stats: dict | None = None,
+):
+    """Exact top-k for OR-of-terms with block skipping. Returns the full
+    (docs, scores) of surviving candidates (caller ranks/cuts)."""
+    tps, wires = [], []
+    for w in term_wires:
+        tp = term_data.get((w["field"], w["term"]))
+        if tp is not None and tp.n_blocks:
+            tps.append(tp)
+            wires.append(w)
+    if not tps:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+
+    total_postings = sum(tp.doc_freq for tp in tps)
+    if total_postings <= max(4 * k, 1024) or len(tps) == 1 and tps[0].n_blocks <= 2:
+        parts = [
+            (lambda d, t, ln, w: (d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))(
+                *tp.decode(), w
+            )
+            for tp, w in zip(tps, wires)
+        ]
+        return _union_arrays(parts)
+
+    ubs = [block_upper_bounds(tp, w["idf"], w["avgdl"], scorer) for tp, w in zip(tps, wires)]
+    max_ub = np.array([u.max() for u in ubs])
+
+    # seed threshold from the highest-impact term, fully scored
+    anchor = int(np.argmax(max_ub))
+    a_docs, a_tfs, a_lens = tps[anchor].decode()
+    a_scores = score_postings(a_tfs, a_lens, wires[anchor]["idf"], wires[anchor]["avgdl"], scorer)
+    if len(a_scores) >= k:
+        theta = np.partition(a_scores, len(a_scores) - k)[len(a_scores) - k]
+    else:
+        theta = -np.inf
+
+    sum_max = max_ub.sum()
+    decoded = {}
+    cand_parts = [a_docs]
+    for i, (tp, u) in enumerate(zip(tps, ubs)):
+        if i == anchor:
+            decoded[i] = (a_docs, a_tfs, a_lens)
+            continue
+        bound = u + (sum_max - max_ub[i])
+        keep = np.flatnonzero(bound >= theta)
+        if stats is not None:
+            stats["blocks_total"] = stats.get("blocks_total", 0) + tp.n_blocks
+            stats["blocks_kept"] = stats.get("blocks_kept", 0) + len(keep)
+        d, t, ln = tp.decode(keep)
+        decoded[i] = (d, t, ln, keep)
+        cand_parts.append(d)
+
+    candidates = np.unique(np.concatenate(cand_parts))
+
+    # phase 2: decode any block (of any term) whose doc range holds a
+    # candidate, so candidate scores are exact
+    parts = []
+    for i, (tp, w) in enumerate(zip(tps, wires)):
+        if i == anchor:
+            d, t, ln = decoded[i]
+        else:
+            d, t, ln, keep = decoded[i]
+            lo = tp.block_lower_bounds()
+            hi = tp.block_max_doc
+            has_cand = np.searchsorted(candidates, lo, side="left") < np.searchsorted(
+                candidates, hi, side="right"
+            )
+            need = np.flatnonzero(has_cand)
+            extra = np.setdiff1d(need, keep, assume_unique=True)
+            if len(extra):
+                d2, t2, ln2 = tp.decode(extra)
+                d = np.concatenate([d, d2])
+                t = np.concatenate([t, t2])
+                ln = np.concatenate([ln, ln2])
+                srt = np.argsort(d, kind="stable")
+                d, t, ln = d[srt], t[srt], ln[srt]
+        parts.append((d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))
+
+    docs, scores = _union_arrays(parts)
+    # restrict to candidates (non-candidates may have partial sums)
+    pos = np.searchsorted(candidates, docs)
+    pos_c = np.clip(pos, 0, len(candidates) - 1)
+    mask = candidates[pos_c] == docs
+    return docs[mask], scores[mask]
+
+
+def topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int | None):
+    """Rank by (score desc, doc asc) and cut to k — the pinned total order
+    (top_score_collector.go:23-28 + our cross-segment totalization)."""
+    if k is None or len(docs) <= k:
+        order = np.lexsort((docs, -scores))
+        return docs[order], scores[order]
+    # exact: select everything >= the kth score (keeps ties), then lexsort
+    kth = np.partition(-scores, k - 1)[k - 1]
+    sel = np.flatnonzero(-scores <= kth)
+    order = np.lexsort((docs[sel], -scores[sel]))[:k]
+    return docs[sel][order], scores[sel][order]
+
+
+# ---------------------------------------------------------------------------
+# Spark orchestration
+# ---------------------------------------------------------------------------
+
+
+def _postings_glob(index_dir: str) -> str:
+    return f"{index_dir}/segments/*/postings.parquet"
+
+
+def _docmap_glob(index_dir: str) -> str:
+    return f"{index_dir}/segments/*/docmap.parquet"
+
+
+def _term_predicate(F, terms) -> "object":
+    return reduce(
+        or_,
+        [(F.col("field") == t.field_id) & (F.col("term") == t.term) for t in terms],
+    )
+
+
+def bind_stats(spark, index_dir: str, manifest: Manifest, logical):
+    """Global stats binding (Weight construction, term_query.go:22-35):
+    one tiny column-pruned scan summing doc_freq per (field, term)."""
+    from pyspark.sql import functions as F
+
+    terms = collect_terms(logical)
+    doc_freqs: dict[tuple[int, str], int] = {}
+    if terms:
+        rows = (
+            spark.read.parquet(_postings_glob(index_dir))
+            .filter(_term_predicate(F, terms))
+            .groupBy("field", "term")
+            .agg(F.sum("doc_freq").alias("df"))
+            .collect()
+        )
+        for r in rows:
+            doc_freqs[(r["field"], r["term"])] = int(r["df"])
+    total_docs = manifest.stats.get("total_docs", manifest.total_docs)
+    field_avgdl = {}
+    for fid, toks in manifest.stats.get("field_tokens", {}).items():
+        field_avgdl[int(fid)] = float(toks) / float(total_docs) if total_docs else 1.0
+    return doc_freqs, total_docs, field_avgdl
+
+
+def make_segment_scorer(wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool):
+    """Build the applyInPandas function: one segment's pruned posting rows
+    -> per-segment top-k rows (C1) and optionally a count row (C3/C4)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        wire = json.loads(wire_json)
+        seg = pdf["segment_id"].iloc[0]
+        term_data: dict = {}
+        for (f, t), rows in pdf.groupby(["field", "term"]):
+            term_data[(int(f), t)] = TermPostings(rows)
+
+        if use_wand and k is not None and is_wire_term_union(wire):
+            tw = wire["children"] if wire["kind"] == "or" else [wire]
+            docs, scores = wand_union_topk(tw, term_data, k, scorer)
+        else:
+            docs, scores = eval_node(wire, term_data, 0, scorer)
+
+        out_docs, out_scores = topk_arrays(docs, scores, k)
+        res = pd.DataFrame(
+            {
+                "segment_id": seg,
+                "doc": out_docs,
+                "score": out_scores,
+                "is_count": False,
+            }
+        )
+        if with_count:
+            res = pd.concat(
+                [
+                    res,
+                    pd.DataFrame(
+                        {
+                            "segment_id": [seg],
+                            "doc": [-1],
+                            "score": [float(len(docs))],
+                            "is_count": [True],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        return res
+
+    return fn
+
+
+def is_wire_term_union(wire: dict) -> bool:
+    if wire["kind"] == "term":
+        return True
+    return wire["kind"] == "or" and all(c["kind"] == "term" for c in wire["children"])
+
+
+def search(
+    spark,
+    index_dir: str,
+    query,
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    with_count: bool = False,
+    use_wand: bool = True,
+    default_fields: list[str] | None = None,
+):
+    """Run a query; returns (results DataFrame, count or None).
+
+    Results columns: segment_id, segment_ord, doc, score — ordered by the
+    pinned total order, offset/limit applied. ``limit=None`` returns every
+    match (the ForEach path, used by Count/exhaustive collectors).
+    """
+    from pyspark.sql import functions as F
+
+    manifest = load_manifest(index_dir)
+    schema = manifest.schema
+    logical = parse_query(query, schema, default_fields) if isinstance(query, str) else query
+
+    doc_freqs, total_docs, field_avgdl = bind_stats(spark, index_dir, manifest, logical)
+    compiled = compile_query(logical, doc_freqs, total_docs, field_avgdl, scorer)
+    wire = to_wire(compiled)
+
+    ords = [(s.segment_id, i, s.max_doc) for i, s in enumerate(manifest.sorted_segments())]
+    ord_df = spark.createDataFrame(ords, "segment_id string, segment_ord int, max_doc long")
+
+    if wire["kind"] == "empty":
+        empty = spark.createDataFrame([], "segment_id string, segment_ord int, doc long, score double")
+        return empty, (0 if with_count else None)
+
+    if wire["kind"] == "all":
+        # AllQuery (all_query.go:11-77): every doc scores 1.0; scan docmap
+        docs = (
+            spark.read.parquet(_docmap_glob(index_dir))
+            .select("segment_id", "doc")
+            .join(F.broadcast(ord_df.select("segment_id", "segment_ord")), "segment_id")
+            .withColumn("score", F.lit(1.0))
+        )
+        out = docs.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+        if offset:
+            out = out.offset(offset)
+        if limit is not None:
+            out = out.limit(limit)
+        return out.select("segment_id", "segment_ord", "doc", "score"), (
+            total_docs if with_count else None
+        )
+
+    terms = collect_terms(logical)
+    k = None if limit is None else limit + offset
+    pruned = spark.read.parquet(_postings_glob(index_dir)).filter(_term_predicate(F, terms))
+    # WAND prunes non-candidates, so the exhaustive count must disable it
+    fn = make_segment_scorer(
+        json.dumps(wire), k, scorer, with_count, use_wand and not with_count
+    )
+    seg_results = pruned.groupBy("segment_id").applyInPandas(fn, RESULT_SCHEMA)
+
+    count = None
+    if with_count:
+        seg_results = seg_results.cache()
+        crow = seg_results.filter(F.col("is_count")).agg(F.sum("score")).collect()[0][0]
+        count = int(crow or 0)
+
+    hits = (
+        seg_results.filter(~F.col("is_count"))
+        .join(F.broadcast(ord_df.select("segment_id", "segment_ord")), "segment_id")
+        .orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    )
+    if offset:
+        hits = hits.offset(offset)
+    if limit is not None:
+        hits = hits.limit(limit)
+    return hits.select("segment_id", "segment_ord", "doc", "score"), count
+
+
+def attach_docmap(spark, index_dir: str, results_df):
+    """Join original document identity columns onto search results
+    (broadcast join — results are tiny)."""
+    from pyspark.sql import functions as F
+
+    docmap = spark.read.parquet(_docmap_glob(index_dir))
+    return docmap.join(
+        F.broadcast(results_df), on=["segment_id", "doc"], how="inner"
+    )

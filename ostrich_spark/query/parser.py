@@ -1,0 +1,185 @@
+"""Natural query language parser — grammar-identical to ostrich's.
+
+Mirrors /root/reference/query/parser.go:31-165 exactly:
+
+- tokens: whitespace-split; ``(`` and ``)`` are standalone tokens.
+- grammar:  expr = primary (primary | AND primary | OR primary)*
+            primary = value | "(" expr ")"
+  AND/OR are case-insensitive (parser.go:59); ADJACENT primaries are an
+  implicit OR (parser.go:76-83); operators left-associate.
+- values: ``field:term`` runs through the FIELD'S analyzer and may yield
+  several terms -> OR of term queries (parser.go:100-113); BARE terms are
+  NOT analyzed and expand over the default fields (parser.go:114-117) —
+  this asymmetry is load-bearing for rank-identity.
+- empty query -> AllQuery (parser.go:33-35).
+- lowering (parser.go:148-165): And -> intersection of 2, Or -> union of
+  2, leaf -> TermQuery or MultiTermsQuery (OR of terms).
+
+No MustNot exists in the reference (boolean_query.go:10-58).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..analysis import get_analyzer
+from ..schema import Schema
+
+MUST = "must"
+SHOULD = "should"
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    field_id: int
+    term: str
+
+
+@dataclass(frozen=True)
+class AllQuery:
+    pass
+
+
+@dataclass
+class BooleanQuery:
+    subqueries: list[tuple[str, object]] = field(default_factory=list)
+
+    @staticmethod
+    def intersection(*qs) -> "BooleanQuery":
+        return BooleanQuery([(MUST, q) for q in qs])
+
+    @staticmethod
+    def union(*qs) -> "BooleanQuery":
+        return BooleanQuery([(SHOULD, q) for q in qs])
+
+
+@dataclass(frozen=True)
+class EmptyQuery:
+    pass
+
+
+# --- AST (parser_ast.go:5-35) ---
+
+
+@dataclass
+class _Leaf:
+    value: str
+
+
+@dataclass
+class _And:
+    left: object
+    right: object
+
+
+@dataclass
+class _Or:
+    left: object
+    right: object
+
+
+def _tokenize(q: str) -> list[str]:
+    out: list[str] = []
+    for raw in q.split():
+        while raw.startswith("("):
+            out.append("(")
+            raw = raw[1:]
+        tail: list[str] = []
+        while raw.endswith(")"):
+            tail.append(")")
+            raw = raw[:-1]
+        if raw:
+            out.append(raw)
+        out.extend(tail)
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.tokens = tokens
+        self.pos = 0
+
+    def peek(self) -> str | None:
+        return self.tokens[self.pos] if self.pos < len(self.tokens) else None
+
+    def next(self) -> str:
+        t = self.tokens[self.pos]
+        self.pos += 1
+        return t
+
+    def parse_expr(self):
+        node = self.parse_primary()
+        while True:
+            t = self.peek()
+            if t is None or t == ")":
+                return node
+            if t.upper() == "AND":
+                self.next()
+                node = _And(node, self.parse_primary())
+            elif t.upper() == "OR":
+                self.next()
+                node = _Or(node, self.parse_primary())
+            else:
+                # implicit OR between adjacent primaries (parser.go:76-83)
+                node = _Or(node, self.parse_primary())
+
+    def parse_primary(self):
+        t = self.next()
+        if t == "(":
+            node = self.parse_expr()
+            if self.peek() == ")":
+                self.next()
+            return node
+        return _Leaf(t)
+
+
+def _leaf_to_query(value: str, schema: Schema, default_fields: list[str]):
+    if ":" in value:
+        fname, raw = value.split(":", 1)
+        fe = schema.field_by_name(fname)
+        if fe is not None:
+            # field-qualified: analyzed by the field's analyzer
+            terms = get_analyzer(fe.analyzer).analyze_one(raw)
+            if not terms:
+                return EmptyQuery()
+            if len(terms) == 1:
+                return TermQuery(fe.id, terms[0])
+            return BooleanQuery.union(*[TermQuery(fe.id, t) for t in terms])
+        # unknown field name: fall through, treat whole token as bare term
+    # bare term: NOT analyzed, expanded over default fields (parser.go:114-117)
+    qs = []
+    for fname in default_fields:
+        fe = schema.field_by_name(fname)
+        if fe is not None:
+            qs.append(TermQuery(fe.id, value))
+    if not qs:
+        return EmptyQuery()
+    if len(qs) == 1:
+        return qs[0]
+    return BooleanQuery.union(*qs)
+
+
+def _ast_to_query(node, schema: Schema, default_fields: list[str]):
+    if isinstance(node, _Leaf):
+        return _leaf_to_query(node.value, schema, default_fields)
+    if isinstance(node, _And):
+        return BooleanQuery.intersection(
+            _ast_to_query(node.left, schema, default_fields),
+            _ast_to_query(node.right, schema, default_fields),
+        )
+    if isinstance(node, _Or):
+        return BooleanQuery.union(
+            _ast_to_query(node.left, schema, default_fields),
+            _ast_to_query(node.right, schema, default_fields),
+        )
+    raise TypeError(node)
+
+
+def parse_query(q: str, schema: Schema, default_fields: list[str] | None = None):
+    """Parse an ostrich NQL string into a logical query tree."""
+    if default_fields is None:
+        default_fields = schema.field_names
+    tokens = _tokenize(q)
+    if not tokens:
+        return AllQuery()
+    return _ast_to_query(_Parser(tokens).parse_expr(), schema, default_fields)

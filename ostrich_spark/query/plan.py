@@ -1,0 +1,198 @@
+"""Query planning: logical tree -> stats-bound compiled query ("Weight").
+
+Mirrors ostrich's Weight binding (/root/reference/reader/searcher.go:19-27,
+/root/reference/query/term_query.go:11-36): global stats — total doc count
+and per-term doc frequency summed over segments — are bound ONCE per
+search, before per-segment execution. Physical planning rules mirror
+BooleanWeight.booleanScorerWrapper
+(/root/reference/query/boolean_query.go:100-190):
+
+- single subquery -> unwrap;
+- shoulds: one -> as-is, else union;
+- musts -> intersection;
+- both -> must/should combination;
+- none -> empty.
+
+Scoring formulas:
+- TF-IDF (the reference contract, /root/reference/query/tfidf_weight.go:9-18):
+  idf = 1 + ln(totalDocNum / (1 + docFreq)); score = tf * idf.
+- BM25 (north rule, k1=1.2, b=0.75; not in the reference — README.md:20):
+  idf = ln(1 + (N - df + 0.5) / (df + 0.5))
+  score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl))
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field as dc_field
+
+from .parser import AllQuery, BooleanQuery, EmptyQuery, TermQuery, MUST, SHOULD
+
+K1 = 1.2
+B = 0.75
+
+SCORER_TFIDF = "tfidf"
+SCORER_BM25 = "bm25"
+
+
+@dataclass(frozen=True)
+class CTerm:
+    field_id: int
+    term: str
+    doc_freq: int
+    idf: float
+    avgdl: float  # avg field length for this field (BM25)
+
+
+@dataclass
+class CIntersection:
+    children: list = dc_field(default_factory=list)
+
+
+@dataclass
+class CUnion:
+    children: list = dc_field(default_factory=list)
+
+
+@dataclass
+class CMustShould:
+    must: object = None
+    should: object = None
+
+
+@dataclass(frozen=True)
+class CAll:
+    pass
+
+
+@dataclass(frozen=True)
+class CEmpty:
+    pass
+
+
+def tfidf_idf(total_docs: int, doc_freq: int) -> float:
+    """Exactly /root/reference/query/tfidf_weight.go:13."""
+    return 1.0 + math.log(float(total_docs) / (1.0 + float(doc_freq)))
+
+
+def bm25_idf(total_docs: int, doc_freq: int) -> float:
+    return math.log(1.0 + (total_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def collect_terms(q) -> list[TermQuery]:
+    if isinstance(q, TermQuery):
+        return [q]
+    if isinstance(q, BooleanQuery):
+        out = []
+        for _, sub in q.subqueries:
+            out.extend(collect_terms(sub))
+        return out
+    return []
+
+
+def compile_query(
+    q,
+    doc_freqs: dict[tuple[int, str], int],
+    total_docs: int,
+    field_avgdl: dict[int, float],
+    scorer: str = SCORER_TFIDF,
+):
+    """Lower the logical tree to compiled nodes with bound stats.
+
+    ``doc_freqs`` maps (field_id, term) -> global doc_freq (0 if absent).
+    A term absent from the whole index compiles to CEmpty — matching the
+    reference's empty postings reader
+    (/root/reference/internal/postings/inverted_index_reader.go:27-41).
+    """
+    if isinstance(q, AllQuery):
+        return CAll()
+    if isinstance(q, EmptyQuery):
+        return CEmpty()
+    if isinstance(q, TermQuery):
+        df = doc_freqs.get((q.field_id, q.term), 0)
+        if df == 0:
+            return CEmpty()
+        idf = tfidf_idf(total_docs, df) if scorer == SCORER_TFIDF else bm25_idf(total_docs, df)
+        return CTerm(q.field_id, q.term, df, idf, field_avgdl.get(q.field_id, 1.0))
+    if isinstance(q, BooleanQuery):
+        musts = [
+            compile_query(sub, doc_freqs, total_docs, field_avgdl, scorer)
+            for occ, sub in q.subqueries
+            if occ == MUST
+        ]
+        shoulds = [
+            compile_query(sub, doc_freqs, total_docs, field_avgdl, scorer)
+            for occ, sub in q.subqueries
+            if occ == SHOULD
+        ]
+        # drop empties: an empty must kills the intersection; an empty
+        # should is just elided from the union (union_scorer.go:15-23).
+        if any(isinstance(m, CEmpty) for m in musts):
+            return CEmpty()
+        shoulds = [s for s in shoulds if not isinstance(s, CEmpty)]
+
+        if len(q.subqueries) == 1:
+            # single-subquery unwrap (boolean_query.go:100-107)
+            return (musts + shoulds)[0] if (musts + shoulds) else CEmpty()
+
+        must_node = None
+        if musts:
+            must_node = musts[0] if len(musts) == 1 else CIntersection(musts)
+        should_node = None
+        if shoulds:
+            should_node = shoulds[0] if len(shoulds) == 1 else CUnion(shoulds)
+
+        if must_node is not None and should_node is not None:
+            return CMustShould(must_node, should_node)
+        if must_node is not None:
+            return must_node
+        if should_node is not None:
+            return should_node
+        return CEmpty()
+    raise TypeError(q)
+
+
+def node_terms(node) -> list[CTerm]:
+    if isinstance(node, CTerm):
+        return [node]
+    if isinstance(node, (CIntersection, CUnion)):
+        out = []
+        for c in node.children:
+            out.extend(node_terms(c))
+        return out
+    if isinstance(node, CMustShould):
+        return node_terms(node.must) + node_terms(node.should)
+    return []
+
+
+def is_pure_term_union(node) -> bool:
+    """The WAND-eligible shape: a single term or a flat union of terms —
+    the reference marks the same shape for its future WAND specialization
+    (/root/reference/query/boolean_query.go:159-174)."""
+    if isinstance(node, CTerm):
+        return True
+    return isinstance(node, CUnion) and all(isinstance(c, CTerm) for c in node.children)
+
+
+def to_wire(node) -> dict:
+    """Serialize a compiled node tree for broadcast into the scoring UDF."""
+    if isinstance(node, CTerm):
+        return {
+            "kind": "term",
+            "field": node.field_id,
+            "term": node.term,
+            "doc_freq": node.doc_freq,
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+        }
+    if isinstance(node, CIntersection):
+        return {"kind": "and", "children": [to_wire(c) for c in node.children]}
+    if isinstance(node, CUnion):
+        return {"kind": "or", "children": [to_wire(c) for c in node.children]}
+    if isinstance(node, CMustShould):
+        return {"kind": "must_should", "must": to_wire(node.must), "should": to_wire(node.should)}
+    if isinstance(node, CAll):
+        return {"kind": "all"}
+    if isinstance(node, CEmpty):
+        return {"kind": "empty"}
+    raise TypeError(node)

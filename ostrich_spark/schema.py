@@ -1,0 +1,67 @@
+"""Index schema — fixed, explicit, append-only.
+
+Mirrors /root/reference/schema/schema.go:3-16 and
+/root/reference/schema/fieldentry.go:3-8: an ordered list of field
+entries; FieldID is the list index; only text fields exist
+(/root/reference/schema/fieldtype.go:5-7). The schema round-trips through
+the index manifest like ostrich's meta.json
+(/root/reference/index/index_meta.go:103-126).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+FIELD_TYPE_TEXT = "text"
+
+
+@dataclass(frozen=True)
+class FieldEntry:
+    id: int
+    name: str
+    field_type: str = FIELD_TYPE_TEXT
+    analyzer: str = "default"
+
+    def to_json(self) -> dict:
+        return {
+            "id": self.id,
+            "name": self.name,
+            "type": self.field_type,
+            "analyzer": self.analyzer,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FieldEntry":
+        return FieldEntry(d["id"], d["name"], d.get("type", FIELD_TYPE_TEXT), d.get("analyzer", "default"))
+
+
+@dataclass
+class Schema:
+    fields: list[FieldEntry] = field(default_factory=list)
+
+    def add_text_field(self, name: str, analyzer: str = "default") -> FieldEntry:
+        """FieldID = position, exactly like schema.go:11-16."""
+        entry = FieldEntry(len(self.fields), name, FIELD_TYPE_TEXT, analyzer)
+        self.fields.append(entry)
+        return entry
+
+    def field_by_name(self, name: str) -> FieldEntry | None:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        return None
+
+    def field_by_id(self, fid: int) -> FieldEntry:
+        return self.fields[fid]
+
+    @property
+    def field_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def to_json(self) -> list[dict]:
+        return [f.to_json() for f in self.fields]
+
+    @staticmethod
+    def from_json(items: list[dict]) -> "Schema":
+        return Schema([FieldEntry.from_json(d) for d in items])

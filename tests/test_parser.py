@@ -1,0 +1,116 @@
+"""Parser AST goldens — filling ostrich's empty TODO test table
+(/root/reference/query/parser_test.go:23)."""
+
+from ostrich_spark.query.parser import (
+    AllQuery,
+    BooleanQuery,
+    EmptyQuery,
+    TermQuery,
+    parse_query,
+    MUST,
+    SHOULD,
+)
+from ostrich_spark.schema import Schema
+
+
+def _schema():
+    s = Schema()
+    s.add_text_field("title", "default")
+    s.add_text_field("body", "default")
+    return s
+
+
+def test_empty_is_all_query():
+    assert isinstance(parse_query("", _schema()), AllQuery)
+    assert isinstance(parse_query("   ", _schema()), AllQuery)
+
+
+def test_single_field_term():
+    q = parse_query("title:Hello", _schema())
+    # field-qualified -> analyzed by the field's analyzer (lowercased)
+    assert q == TermQuery(0, "hello")
+
+
+def test_bare_term_not_analyzed():
+    # bare terms are NOT analyzed (parser.go:114-117): raw token kept,
+    # expanded over default fields as an OR
+    q = parse_query("Hello", _schema())
+    assert isinstance(q, BooleanQuery)
+    assert q.subqueries == [
+        (SHOULD, TermQuery(0, "Hello")),
+        (SHOULD, TermQuery(1, "Hello")),
+    ]
+
+
+def test_field_vs_bare_analysis_asymmetry():
+    s = Schema()
+    s.add_text_field("description", "en_stem")
+    assert parse_query("description:serious", s) == TermQuery(0, "seriou")
+    assert parse_query("serious", s) == TermQuery(0, "serious")  # unanalyzed
+
+
+def test_and_or_case_insensitive():
+    s = _schema()
+    q1 = parse_query("title:a AND title:b", s)
+    q2 = parse_query("title:a and title:b", s)
+    assert q1 == q2
+    assert q1.subqueries[0][0] == MUST
+
+
+def test_implicit_or():
+    s = _schema()
+    explicit = parse_query("title:a OR title:b", s)
+    implicit = parse_query("title:a title:b", s)
+    assert explicit == implicit
+
+
+def test_left_associativity():
+    # "a AND b OR c" == Or(And(a,b), c)
+    s = _schema()
+    q = parse_query("title:a AND title:b OR title:c", s)
+    assert isinstance(q, BooleanQuery)
+    assert q.subqueries[0][0] == SHOULD
+    inner = q.subqueries[0][1]
+    assert inner.subqueries[0][0] == MUST
+
+
+def test_parentheses():
+    s = _schema()
+    q = parse_query("(title:a OR title:b) AND title:c", s)
+    assert q.subqueries[0][0] == MUST
+    left = q.subqueries[0][1]
+    assert isinstance(left, BooleanQuery)
+    assert left.subqueries[0][0] == SHOULD
+
+
+def test_readme_nql_example():
+    # README.md:17: (go OR golang) AND (search or fts)
+    s = _schema()
+    q = parse_query("(go OR golang) AND (search or fts)", s)
+    assert len(q.subqueries) == 2
+    assert all(occ == MUST for occ, _ in q.subqueries)
+
+
+def test_multi_token_field_value():
+    # a field-qualified value that analyzes to several terms becomes an
+    # OR of term queries (parser.go:100-113). 'a_b' splits on '_'.
+    s = _schema()
+    q = parse_query("title:a_b", s)
+    assert isinstance(q, BooleanQuery)
+    assert q.subqueries == [
+        (SHOULD, TermQuery(0, "a")),
+        (SHOULD, TermQuery(0, "b")),
+    ]
+
+
+def test_stopword_only_field_value_is_empty():
+    s = Schema()
+    s.add_text_field("d", "en_stem")
+    assert isinstance(parse_query("d:the", s), EmptyQuery)
+
+
+def test_unknown_field_treated_as_bare():
+    s = _schema()
+    q = parse_query("nosuch:x", s)
+    assert isinstance(q, BooleanQuery)
+    assert q.subqueries[0][1] == TermQuery(0, "nosuch:x")
