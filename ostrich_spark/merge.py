@@ -1,0 +1,325 @@
+"""Log-structured segment merging — compaction plane.
+
+Policy (driver-side, pure Python over manifest stats) reproduces
+/root/reference/indexer/log_merge_policy.go:34-78 LITERALLY, including its
+divergence from Lucene: levels compare raw clipped doc counts against
+``curMax - levelLogSize`` — NOT their logarithms (despite the name).
+Constants: levelLogSize=0.75, minLayerSize=10_000,
+minNumSegmentsToMerge=8, maxDocsBeforeMerge=10_000_000
+(log_merge_policy.go:10-14). The reference's sort is unstable Go
+sort.Slice; we pin (doc_num desc, segment_id asc) to make planning
+deterministic.
+
+Merge execution re-expresses IndexMerger (/root/reference/indexer/merger.go:39-104)
+Spark-first:
+
+- new docID space = concatenation of segment doc ranges in SegmentOrd
+  order (merger.go:93-104) -> a broadcast offset map, no shuffle.
+- SKEW HANDLING (north rule): posting lists may span multiple doc-range
+  sharded rows, so a giant term ("the"-like in code corpora) NEVER forces
+  a single-task reduce. Terms whose combined doc_freq exceeds
+  ``shard_threshold`` take a MAP-ONLY path: each source row is patched
+  (docIDs offset — only block heads change, thanks to per-block absolute
+  heads) and kept as its own shard, with a monotone row_ord. Small terms
+  take the normal groupBy(field, term) merge into one row. This replaces
+  explicit salting with a strictly better property: the per-term reduce
+  disappears entirely for skewed keys.
+- norms/docmap are offset map-side and rewritten.
+- manifest swap is atomic; superseded segment dirs are GC'd
+  (segment_updater.go:106-150, managed_directory.go:97-134).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+
+from .codec import block_metadata, pack_blocked, unpack_blocked
+from .manifest import (
+    FRAGMENT_NAME,
+    Manifest,
+    SegmentMeta,
+    garbage_collect,
+    load_manifest,
+    save_manifest,
+    segment_dir,
+)
+
+LEVEL_LOG_SIZE = 0.75
+MIN_LAYER_SIZE = 10_000
+MIN_NUM_SEGMENTS_TO_MERGE = 8
+MAX_DOCS_BEFORE_MERGE = 10_000_000
+
+POSTINGS_RESULT_SCHEMA = (
+    "segment_id string, field int, term string, row_ord int, doc_freq long, "
+    "total_tf long, docs binary, tfs binary, lens binary, "
+    "doc_offs array<long>, tf_offs array<long>, len_offs array<long>, "
+    "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
+)
+
+
+def compute_merge_candidates(
+    segments: Iterable[tuple[str, int]],
+    min_num_segments: int = MIN_NUM_SEGMENTS_TO_MERGE,
+    max_docs_before_merge: int = MAX_DOCS_BEFORE_MERGE,
+    min_layer_size: int = MIN_LAYER_SIZE,
+    level_log_size: float = LEVEL_LOG_SIZE,
+) -> list[list[str]]:
+    """segments: (segment_id, doc_num) pairs -> lists of segment_ids to merge.
+
+    Literal port of the reference algorithm's observable behavior."""
+    seg_list = list(segments)
+    if not seg_list:
+        return []
+    cands = [(sid, n) for sid, n in seg_list if n < max_docs_before_merge]
+    cands.sort(key=lambda t: (-t[1], t[0]))
+
+    cur_max = float("inf")
+    levels: dict[float, list[str]] = {}
+    order: list[float] = []
+    for sid, n in cands:
+        size = float(max(n, min_layer_size))  # clipMinSize
+        if size < cur_max - level_log_size:
+            cur_max = size
+        if cur_max not in levels:
+            levels[cur_max] = []
+            order.append(cur_max)
+        levels[cur_max].append(sid)
+
+    return [levels[k] for k in order if len(levels[k]) >= min_num_segments]
+
+
+def _patch_row(row: pd.Series, offset: int) -> dict:
+    """Offset a posting row's docIDs by ``offset``. Only block heads (and
+    block_max_doc metadata) change; deltas are offset-invariant."""
+    n = int(row["doc_freq"])
+    docs, _ = unpack_blocked(bytes(row["docs"]), list(row["doc_offs"]), n, delta=True)
+    docs = docs + offset
+    packed, offs = pack_blocked(docs, delta=True)
+    bmd = (np.asarray(row["block_max_doc"], dtype=np.int64) + offset).tolist()
+    return {
+        "docs": packed,
+        "doc_offs": offs,
+        "block_max_doc": bmd,
+    }
+
+
+def merge_segments(
+    spark,
+    index_dir: str,
+    segment_ids: list[str],
+    new_segment_id: str,
+    shard_threshold: int = 1_000_000,
+) -> SegmentMeta:
+    """Execute one merge: candidate segments -> one new segment."""
+    from pyspark.sql import functions as F
+
+    manifest = load_manifest(index_dir)
+    by_id = {s.segment_id: s for s in manifest.segments}
+    # offsets in SegmentOrd order restricted to the candidates
+    ordered = [s for s in manifest.sorted_segments() if s.segment_id in set(segment_ids)]
+    offsets: dict[str, int] = {}
+    off = 0
+    for s in ordered:
+        offsets[s.segment_id] = off
+        off += s.max_doc
+    total_docs = off
+
+    paths = [segment_dir(index_dir, sid) for sid in segment_ids]
+    postings = spark.read.parquet(*[f"{p}/postings.parquet" for p in paths])
+    norms = spark.read.parquet(*[f"{p}/norms.parquet" for p in paths])
+    docmap = spark.read.parquet(*[f"{p}/docmap.parquet" for p in paths])
+
+    off_df = spark.createDataFrame(
+        [(sid, o) for sid, o in offsets.items()], "segment_id string, seg_off long"
+    )
+
+    # --- postings -------------------------------------------------------
+    # split big (map-only shard patch) vs small (group merge) terms
+    df_stats = (
+        postings.groupBy("field", "term")
+        .agg(F.sum("doc_freq").alias("df"))
+        .filter(F.col("df") > shard_threshold)
+        .select("field", "term")
+        .collect()
+    )
+    big_terms = {(r["field"], r["term"]) for r in df_stats}
+    new_sid = new_segment_id
+
+    with_off = postings.join(F.broadcast(off_df), "segment_id")
+    # rank of each segment in doc-offset order, for shard row_ord reassignment
+    off_rank = {o: i for i, (_, o) in enumerate(sorted(offsets.items(), key=lambda kv: kv[1]))}
+
+    def patch_partition(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                patched = _patch_row(row, int(row["seg_off"]))
+                out.append(
+                    {
+                        "segment_id": new_sid,
+                        "field": int(row["field"]),
+                        "term": row["term"],
+                        # monotone in (seg_off, old row_ord): preserves
+                        # doc-range order across shards of one term
+                        "row_ord": off_rank[int(row["seg_off"])] * 100_000
+                        + int(row["row_ord"]),
+                        "doc_freq": int(row["doc_freq"]),
+                        "total_tf": int(row["total_tf"]),
+                        "docs": patched["docs"],
+                        "tfs": bytes(row["tfs"]),
+                        "lens": bytes(row["lens"]),
+                        "doc_offs": [int(x) for x in patched["doc_offs"]],
+                        "tf_offs": [int(x) for x in row["tf_offs"]],
+                        "len_offs": [int(x) for x in row["len_offs"]],
+                        "block_max_doc": patched["block_max_doc"],
+                        "block_max_tf": [int(x) for x in row["block_max_tf"]],
+                        "block_min_len": [int(x) for x in row["block_min_len"]],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["seg_off", "row_ord"])
+        docs_parts, tfs_parts, lens_parts = [], [], []
+        for _, row in pdf.iterrows():
+            n = int(row["doc_freq"])
+            d, _ = unpack_blocked(bytes(row["docs"]), list(row["doc_offs"]), n, delta=True)
+            t, _ = unpack_blocked(bytes(row["tfs"]), list(row["tf_offs"]), n, delta=False)
+            ln, _ = unpack_blocked(bytes(row["lens"]), list(row["len_offs"]), n, delta=False)
+            docs_parts.append(d + int(row["seg_off"]))
+            tfs_parts.append(t)
+            lens_parts.append(ln)
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tfs_parts)
+        lens = np.concatenate(lens_parts)
+        docs_b, doc_offs = pack_blocked(docs, delta=True)
+        tfs_b, tf_offs = pack_blocked(tfs, delta=False)
+        lens_b, len_offs = pack_blocked(lens, delta=False)
+        bmd, bmt, bml = block_metadata(docs, tfs, lens)
+        return pd.DataFrame(
+            [
+                {
+                    "segment_id": new_sid,
+                    "field": int(pdf["field"].iloc[0]),
+                    "term": pdf["term"].iloc[0],
+                    "row_ord": 0,
+                    "doc_freq": int(len(docs)),
+                    "total_tf": int(tfs.sum()),
+                    "docs": docs_b,
+                    "tfs": tfs_b,
+                    "lens": lens_b,
+                    "doc_offs": [int(x) for x in doc_offs],
+                    "tf_offs": [int(x) for x in tf_offs],
+                    "len_offs": [int(x) for x in len_offs],
+                    "block_max_doc": bmd,
+                    "block_max_tf": bmt,
+                    "block_min_len": bml,
+                }
+            ]
+        )
+
+    if big_terms:
+        key = F.concat_ws("\x00", F.col("field").cast("string"), F.col("term"))
+        big_pred = key.isin([f"{f}\x00{t}" for f, t in big_terms])
+        big_df = with_off.filter(big_pred).mapInPandas(patch_partition, POSTINGS_RESULT_SCHEMA)
+        small_df = (
+            with_off.filter(~big_pred)
+            .groupBy("field", "term")
+            .applyInPandas(merge_group, POSTINGS_RESULT_SCHEMA)
+        )
+        merged_postings = small_df.unionByName(big_df)
+    else:
+        merged_postings = with_off.groupBy("field", "term").applyInPandas(
+            merge_group, POSTINGS_RESULT_SCHEMA
+        )
+
+    new_dir = segment_dir(index_dir, new_segment_id)
+    tmp_dir = f"{new_dir}.merging"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+    (
+        merged_postings.repartition(1, "field")
+        .sortWithinPartitions("field", "term", "row_ord")
+        .write.mode("overwrite")
+        .parquet(f"{tmp_dir}/postings.parquet")
+    )
+
+    # --- norms / docmap: map-side offset --------------------------------
+    (
+        norms.join(F.broadcast(off_df), "segment_id")
+        .withColumn("doc", F.col("doc") + F.col("seg_off"))
+        .withColumn("segment_id", F.lit(new_segment_id))
+        .drop("seg_off")
+        .write.mode("overwrite")
+        .parquet(f"{tmp_dir}/norms.parquet")
+    )
+    (
+        docmap.join(F.broadcast(off_df), "segment_id")
+        .withColumn("doc", F.col("doc") + F.col("seg_off"))
+        .withColumn("segment_id", F.lit(new_segment_id))
+        .drop("seg_off")
+        .write.mode("overwrite")
+        .parquet(f"{tmp_dir}/docmap.parquet")
+    )
+
+    # merged fragment: aggregate lineage + metrics of the sources
+    src_metas = [by_id[sid] for sid in segment_ids]
+    metrics = {
+        "n_tokens": sum(m.metrics.get("n_tokens", 0) for m in src_metas),
+        "field_tokens": {},
+        "merged_from": segment_ids,
+    }
+    for m in src_metas:
+        for fid, n in m.metrics.get("field_tokens", {}).items():
+            metrics["field_tokens"][fid] = metrics["field_tokens"].get(fid, 0) + n
+    fragment = {
+        "segment_id": new_segment_id,
+        "build_id": manifest.stats.get("build_id", ""),
+        "max_doc": total_docs,
+        "metrics": metrics,
+        "lineage": {"merged_from": segment_ids, "opstamp": manifest.opstamp + 1},
+    }
+    with open(os.path.join(tmp_dir, FRAGMENT_NAME), "w") as f:
+        json.dump(fragment, f, indent=1, sort_keys=True)
+    os.rename(tmp_dir, new_dir)
+
+    # --- manifest swap (endMerge, segment_updater.go:115-136) -----------
+    new_meta = SegmentMeta(new_segment_id, total_docs, fragment["lineage"], metrics)
+    remaining = [s for s in manifest.segments if s.segment_id not in set(segment_ids)]
+    new_manifest = Manifest(
+        manifest.schema,
+        remaining + [new_meta],
+        opstamp=manifest.opstamp + 1,
+        stats=manifest.stats,
+    )
+    save_manifest(index_dir, new_manifest)
+    garbage_collect(index_dir)
+    return new_meta
+
+
+def consider_merges(spark, index_dir: str, policy_kwargs: dict | None = None) -> list[str]:
+    """Loop until fixpoint (considerMergeOptions recursion,
+    /root/reference/indexer/segment_updater.go:76-145). Returns the ids of
+    segments created."""
+    created = []
+    gen = 0
+    while True:
+        manifest = load_manifest(index_dir)
+        cands = compute_merge_candidates(
+            [(s.segment_id, s.max_doc) for s in manifest.segments], **(policy_kwargs or {})
+        )
+        if not cands:
+            return created
+        for group in cands:
+            new_id = f"merge-{manifest.opstamp:04d}-{gen:03d}"
+            merge_segments(spark, index_dir, group, new_id)
+            created.append(new_id)
+            gen += 1

@@ -235,6 +235,18 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
 # ---------------------------------------------------------------------------
 
 
+SMALL_TERM_MAX = 4096  # posting-count ceiling for "decode fully upfront"
+
+
+def _ub_at_docs(tp: TermPostings, ub: np.ndarray, docs: np.ndarray) -> np.ndarray:
+    """Block upper bound applying at each doc (0 past the last block)."""
+    idx = np.searchsorted(tp.block_max_doc, docs, side="left")
+    out = np.zeros(len(docs), dtype=np.float64)
+    inside = idx < len(ub)
+    out[inside] = ub[idx[inside]]
+    return out
+
+
 def wand_union_topk(
     term_wires: list[dict],
     term_data: dict,
@@ -242,19 +254,38 @@ def wand_union_topk(
     scorer: str,
     stats: dict | None = None,
 ):
-    """Exact top-k for OR-of-terms with block skipping. Returns the full
-    (docs, scores) of surviving candidates (caller ranks/cuts)."""
+    """Exact top-k for OR-of-terms with block-max skipping.
+
+    Essential-list BMW, vectorized:
+    1. "small" terms (doc_freq <= SMALL_TERM_MAX; at least one, falling
+       back to the highest-impact term) are decoded fully and scored
+       exactly — they seed the threshold theta = k-th best small-union
+       score (a valid lower bound on the true k-th score).
+    2. each doc's score is bounded by its exact small contributions plus
+       the doc-aligned block upper bounds of the large terms; small-list
+       docs below theta are dropped.
+    3. docs matched ONLY by large terms are bounded by the piecewise
+       step-sum of large-term block bounds over doc space; only segments
+       where that sum reaches theta survive.
+    4. large-term blocks are decoded only where they overlap a surviving
+       segment or contain a surviving small-list doc, then exact scores
+       are assembled (summing in original child order — float-identical
+       to the exhaustive path) and non-candidates are dropped.
+
+    Every skipped doc provably scores < theta <= true k-th best, so the
+    result is rank-identical to exhaustive evaluation (WAND is exact).
+    """
     tps, wires = [], []
     for w in term_wires:
         tp = term_data.get((w["field"], w["term"]))
         if tp is not None and tp.n_blocks:
             tps.append(tp)
             wires.append(w)
-    if not tps:
+    n_terms = len(tps)
+    if n_terms == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
-    total_postings = sum(tp.doc_freq for tp in tps)
-    if total_postings <= max(4 * k, 1024) or len(tps) == 1 and tps[0].n_blocks <= 2:
+    def exhaustive():
         parts = [
             (lambda d, t, ln, w: (d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))(
                 *tp.decode(), w
@@ -263,66 +294,100 @@ def wand_union_topk(
         ]
         return _union_arrays(parts)
 
-    ubs = [block_upper_bounds(tp, w["idf"], w["avgdl"], scorer) for tp, w in zip(tps, wires)]
-    max_ub = np.array([u.max() for u in ubs])
+    total_postings = sum(tp.doc_freq for tp in tps)
+    if total_postings <= max(8 * k, 2048):
+        return exhaustive()
 
-    # seed threshold from the highest-impact term, fully scored
-    anchor = int(np.argmax(max_ub))
-    a_docs, a_tfs, a_lens = tps[anchor].decode()
-    a_scores = score_postings(a_tfs, a_lens, wires[anchor]["idf"], wires[anchor]["avgdl"], scorer)
-    if len(a_scores) >= k:
-        theta = np.partition(a_scores, len(a_scores) - k)[len(a_scores) - k]
+    ubs = [block_upper_bounds(tp, w["idf"], w["avgdl"], scorer) for tp, w in zip(tps, wires)]
+    small = [i for i in range(n_terms) if tps[i].doc_freq <= SMALL_TERM_MAX]
+    if not small:
+        small = [int(np.argmax([u.max() for u in ubs]))]
+    large = [i for i in range(n_terms) if i not in set(small)]
+    if not large:
+        return exhaustive()
+
+    # 1. decode small terms fully; exact small-union scores
+    small_decoded: dict[int, tuple] = {}
+    small_parts = []
+    for i in small:
+        d, t, ln = tps[i].decode()
+        s = score_postings(t, ln, wires[i]["idf"], wires[i]["avgdl"], scorer)
+        small_decoded[i] = (d, s)
+        small_parts.append((d, s))
+    sd, ss = _union_arrays(small_parts)
+    if len(ss) >= k:
+        theta = np.partition(ss, len(ss) - k)[len(ss) - k]
     else:
         theta = -np.inf
 
-    sum_max = max_ub.sum()
-    decoded = {}
-    cand_parts = [a_docs]
-    for i, (tp, u) in enumerate(zip(tps, ubs)):
-        if i == anchor:
-            decoded[i] = (a_docs, a_tfs, a_lens)
-            continue
-        bound = u + (sum_max - max_ub[i])
-        keep = np.flatnonzero(bound >= theta)
+    # 2. bound small-list docs: exact small + aligned large block bounds
+    bound_small = ss.copy()
+    for i in large:
+        bound_small += _ub_at_docs(tps[i], ubs[i], sd)
+    cand_docs = sd[bound_small >= theta]
+
+    # 3. surviving doc ranges where large terms ALONE could reach theta
+    seg_starts = seg_ends = None
+    if np.isfinite(theta):
+        starts = np.unique(np.concatenate([tps[i].block_lower_bounds() for i in large]))
+        total = np.zeros(len(starts), dtype=np.float64)
+        for i in large:
+            idx = np.searchsorted(tps[i].block_max_doc, starts, side="left")
+            inside = idx < len(ubs[i])
+            total[inside] += ubs[i][idx[inside]]
+        alive = total >= theta
+        if alive.any():
+            # merge adjacent alive segments into [start, end] ranges
+            ends = np.concatenate([starts[1:] - 1, [np.iinfo(np.int64).max]])
+            a = np.flatnonzero(alive)
+            brk = np.flatnonzero(np.diff(a) > 1)
+            run_starts = np.concatenate(([a[0]], a[brk + 1]))
+            run_ends = np.concatenate((a[brk], [a[-1]]))
+            seg_starts = starts[run_starts]
+            seg_ends = ends[run_ends]
+    else:
+        # no threshold: everything is a candidate range
+        seg_starts = np.array([0], dtype=np.int64)
+        seg_ends = np.array([np.iinfo(np.int64).max], dtype=np.int64)
+
+    # 4. decode large blocks overlapping candidates; assemble exact scores
+    parts_by_idx: dict[int, tuple] = dict(small_decoded)
+    for i in large:
+        lo = tps[i].block_lower_bounds()
+        hi = tps[i].block_max_doc
+        need = np.searchsorted(cand_docs, lo, side="left") < np.searchsorted(
+            cand_docs, hi, side="right"
+        )
+        if seg_starts is not None and len(seg_starts):
+            # block [lo,hi] overlaps range [s,e]  <=>  s <= hi and e >= lo
+            j = np.searchsorted(seg_ends, lo, side="left")
+            j_ok = j < len(seg_starts)
+            ov = np.zeros(len(lo), dtype=bool)
+            ov[j_ok] = seg_starts[j[j_ok]] <= hi[j_ok]
+            need |= ov
+        sel = np.flatnonzero(need)
         if stats is not None:
-            stats["blocks_total"] = stats.get("blocks_total", 0) + tp.n_blocks
-            stats["blocks_kept"] = stats.get("blocks_kept", 0) + len(keep)
-        d, t, ln = tp.decode(keep)
-        decoded[i] = (d, t, ln, keep)
-        cand_parts.append(d)
+            stats["blocks_total"] = stats.get("blocks_total", 0) + tps[i].n_blocks
+            stats["blocks_kept"] = stats.get("blocks_kept", 0) + len(sel)
+        d, t, ln = tps[i].decode(sel)
+        parts_by_idx[i] = (d, score_postings(t, ln, wires[i]["idf"], wires[i]["avgdl"], scorer))
 
-    candidates = np.unique(np.concatenate(cand_parts))
+    # original child order for float-sum parity with the exhaustive path
+    docs, scores = _union_arrays([parts_by_idx[i] for i in range(n_terms)])
 
-    # phase 2: decode any block (of any term) whose doc range holds a
-    # candidate, so candidate scores are exact
-    parts = []
-    for i, (tp, w) in enumerate(zip(tps, wires)):
-        if i == anchor:
-            d, t, ln = decoded[i]
-        else:
-            d, t, ln, keep = decoded[i]
-            lo = tp.block_lower_bounds()
-            hi = tp.block_max_doc
-            has_cand = np.searchsorted(candidates, lo, side="left") < np.searchsorted(
-                candidates, hi, side="right"
-            )
-            need = np.flatnonzero(has_cand)
-            extra = np.setdiff1d(need, keep, assume_unique=True)
-            if len(extra):
-                d2, t2, ln2 = tp.decode(extra)
-                d = np.concatenate([d, d2])
-                t = np.concatenate([t, t2])
-                ln = np.concatenate([ln, ln2])
-                srt = np.argsort(d, kind="stable")
-                d, t, ln = d[srt], t[srt], ln[srt]
-        parts.append((d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))
-
-    docs, scores = _union_arrays(parts)
-    # restrict to candidates (non-candidates may have partial sums)
-    pos = np.searchsorted(candidates, docs)
-    pos_c = np.clip(pos, 0, len(candidates) - 1)
-    mask = candidates[pos_c] == docs
-    return docs[mask], scores[mask]
+    # final candidate filter: in cand_docs OR inside a surviving range
+    keep = np.zeros(len(docs), dtype=bool)
+    if len(cand_docs):
+        pos = np.searchsorted(cand_docs, docs)
+        pos_c = np.clip(pos, 0, len(cand_docs) - 1)
+        keep |= cand_docs[pos_c] == docs
+    if seg_starts is not None and len(seg_starts):
+        j = np.searchsorted(seg_ends, docs, side="left")
+        j_ok = j < len(seg_starts)
+        in_rng = np.zeros(len(docs), dtype=bool)
+        in_rng[j_ok] = seg_starts[j[j_ok]] <= docs[j_ok]
+        keep |= in_rng
+    return docs[keep], scores[keep]
 
 
 def topk_arrays(docs: np.ndarray, scores: np.ndarray, k: int | None):
