@@ -1,38 +1,537 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry maps to operators from SURVEY.md §2 (ostrich's
+analysis/indexing/query/collector planes re-expressed Spark-first) or to
+the training-data operators (dedup / similarity / text analysis /
+multimodal). Engine-backed entries (``eng_*``) run the REAL index +
+search path (ostrich_spark.build / ostrich_spark.query) against a
+disk-cached index of the documents table; their DuckDB oracles recompute
+the identical scores relationally. All float outputs are rounded to 6
+decimals on both sides; all integer outputs are cast to long.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, ShortType, ByteType
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+STOPWORDS_SQL = "'a','and','be','have','i','in','of','that','the','to'"
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+    "'[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM documents)"
+)
+TF_CTE = "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)"
+DF_CTE = "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+N_CTE = "n AS (SELECT count(*) AS n FROM documents)"
+DL_CTE = (
+    "dl AS (SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), "
+    "'[^\\p{L}\\p{N}]+'), x -> x <> '')) AS dl FROM documents)"
+)
+TOKLIST_CTE = (
+    "tl AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks FROM documents)"
+)
+
+TFIDF_SCORE_SQL = "round({tf} * (1.0 + ln((SELECT n FROM n) / (1.0 + {df}))), 6)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _longify(df: DataFrame) -> DataFrame:
+    """Cast every narrow-int column to long so Spark results hash
+    identically to DuckDB's BIGINT outputs."""
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (IntegerType, ShortType, ByteType)):
+            df = df.withColumn(f.name, F.col(f.name).cast("long"))
+    return df
+
+
+# --- engine index over the documents table (disk-cached per sf_dir) -------
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _doc_index(spark: SparkSession, sf_dir: str) -> str:
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-{tag}",
+        )
+    _INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
+    """All matches via the real engine; -> (doc_id, score) rounded."""
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _doc_index(spark, sf_dir)
+    res, _ = search(spark, idx, logical if logical is not None else query, limit=None, scorer=scorer)
+    return (
+        attach_docmap(spark, idx, res)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_tokenize_tf(spark, sf_dir):
+    """A1+A2+I2: lowercase -> unicode word-break -> per-doc tf."""
+    from ostrich_spark.textops import with_tokens
+
+    return _longify(
+        with_tokens(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _q_stopword_tf(spark, sf_dir):
+    """A3: order-preserving stopword removal (counts unaffected by order)."""
+    from ostrich_spark.analysis import STOPWORDS
+    from ostrich_spark.textops import with_tokens
+
+    return _longify(
+        with_tokens(_docs(spark, sf_dir))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(~F.col("term").isin(list(STOPWORDS)))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def _q_postings_stats(spark, sf_dir):
+    """I3/I4: per-term posting stats (doc_freq, total_tf, doc range)."""
+    tf = _q_tokenize_tf(spark, sf_dir)
+    return _longify(
+        tf.groupBy("term").agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+def _q_docmap_sha(spark, sf_dir):
+    """I7: content sha256 per-row invariant."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long"), F.sha2("text", 256).alias("content_sha256")
+    )
+
+
+def _q_field_norms(spark, sf_dir):
+    """BM25 field norms: token count per doc."""
+    from ostrich_spark.textops import tokens_col
+
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long"), F.size(tokens_col()).cast("long").alias("dl")
+    )
+
+
+def _q_eng_term_tfidf(spark, sf_dir):
+    """Q5/S1/S2: engine TermQuery, TF-IDF, all matches."""
+    return _engine_matches(spark, sf_dir, "text:spark")
+
+
+def _q_eng_and(spark, sf_dir):
+    """S4: engine intersection scorer."""
+    return _engine_matches(spark, sf_dir, "text:spark AND text:join")
+
+
+def _q_eng_or(spark, sf_dir):
+    """S5: engine union scorer."""
+    return _engine_matches(spark, sf_dir, "text:spark OR text:window")
+
+
+def _q_eng_must_should(spark, sf_dir):
+    """S6: engine must/should combination (programmatic BooleanQuery)."""
+    from ostrich_spark.query.parser import MUST, SHOULD, BooleanQuery, TermQuery
+
+    q = BooleanQuery([(MUST, TermQuery(0, "spark")), (SHOULD, TermQuery(0, "join"))])
+    return _engine_matches(spark, sf_dir, None, logical=q)
+
+
+def _q_eng_all(spark, sf_dir):
+    """Q8: AllQuery — every doc, score 1.0."""
+    return _engine_matches(spark, sf_dir, "")
+
+
+def _q_eng_topk_tfidf(spark, sf_dir):
+    """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
+    m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
+    return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _q_eng_bm25_topk(spark, sf_dir):
+    """North-rule BM25 (k1=1.2, b=0.75) top-10."""
+    m = _engine_matches(spark, sf_dir, "text:spark OR text:join", scorer="bm25")
+    return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _q_eng_count(spark, sf_dir):
+    """C3: CountCollector over a boolean query."""
+    from ostrich_spark.query.exec import search
+
+    idx = _doc_index(spark, sf_dir)
+    _, cnt = search(
+        spark, idx, "(text:spark OR text:join) AND text:window", limit=0, with_count=True
+    )
+    return spark.createDataFrame([(int(cnt),)], "n_matches long")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from ostrich_spark.dedup import exact_dups
+
+    return _longify(exact_dups(_docs(spark, sf_dir)))
+
+
+def _q_minhash_sigs(spark, sf_dir):
+    from ostrich_spark.dedup import minhash_signatures
+
+    return _longify(minhash_signatures(_docs(spark, sf_dir)))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    from ostrich_spark.dedup import minhash_lsh_pairs
+
+    return _longify(minhash_lsh_pairs(_docs(spark, sf_dir)))
+
+
+def _q_simhash(spark, sf_dir):
+    from ostrich_spark.dedup import simhash
+
+    return _longify(simhash(_docs(spark, sf_dir)))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    from ostrich_spark.dedup import ngram_jaccard_pairs
+
+    return _longify(ngram_jaccard_pairs(_docs(spark, sf_dir)))
+
+
+def _q_quality(spark, sf_dir):
+    from ostrich_spark.textops import quality_scores
+
+    return _longify(quality_scores(_docs(spark, sf_dir)))
+
+
+def _q_langid(spark, sf_dir):
+    from ostrich_spark.textops import lang_id
+
+    return _longify(lang_id(_docs(spark, sf_dir)))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from ostrich_spark.textops import fingerprint
+
+    return _longify(fingerprint(_docs(spark, sf_dir)))
+
+
+def _q_token_stats(spark, sf_dir):
+    from ostrich_spark.textops import token_stats
+
+    return _longify(token_stats(_docs(spark, sf_dir)))
+
+
+def _query_vec(spark, sf_dir):
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+def _q_ann_topk(spark, sf_dir):
+    from ostrich_spark.similarity import brute_force_topk
+
+    qv = _query_vec(spark, sf_dir)
+    return _longify(brute_force_topk(_emb(spark, sf_dir), qv, k=10, exclude_vec_id=0))
+
+
+def _q_ivf_assign(spark, sf_dir):
+    from ostrich_spark.similarity import ivf_assign
+
+    return _longify(ivf_assign(_emb(spark, sf_dir), n_centroids=8))
+
+
+def _q_emb_neardup(spark, sf_dir):
+    from ostrich_spark.similarity import neardup_pairs
+
+    return _longify(neardup_pairs(_emb(spark, sf_dir), threshold=0.9))
+
+
+def _q_mm_meta(spark, sf_dir):
+    from ostrich_spark.multimodal import binary_meta
+
+    return _longify(binary_meta(_docs(spark, sf_dir)))
+
+
+def _q_mm_decode(spark, sf_dir):
+    from ostrich_spark.multimodal import decode_features
+
+    return _longify(decode_features(_docs(spark, sf_dir)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over the real index on sf0.001."""
+    return _q_eng_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a2_tokenize_tf": _q_tokenize_tf,
+        "a3_stopword_tf": _q_stopword_tf,
+        "i4_postings_stats": _q_postings_stats,
+        "i7_docmap_sha256": _q_docmap_sha,
+        "i1_field_norms": _q_field_norms,
+        "eng_q5_term_tfidf": _q_eng_term_tfidf,
+        "eng_s4_and": _q_eng_and,
+        "eng_s5_or": _q_eng_or,
+        "eng_s6_must_should": _q_eng_must_should,
+        "eng_q8_all": _q_eng_all,
+        "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
+        "eng_bm25_topk": _q_eng_bm25_topk,
+        "eng_c3_count": _q_eng_count,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_sigs": _q_minhash_sigs,
+        "dedup_minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_simhash": _q_simhash,
+        "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "text_quality": _q_quality,
+        "text_langid": _q_langid,
+        "text_fingerprint": _q_fingerprint,
+        "text_token_stats": _q_token_stats,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_assign": _q_ivf_assign,
+        "emb_neardup_pairs": _q_emb_neardup,
+        "mm_binary_meta": _q_mm_meta,
+        "mm_decode_features": _q_mm_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tfidf_spark = TFIDF_SCORE_SQL.format(tf="t.tf", df="d.df")
+    return {
+        "a2_tokenize_tf": f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term",
+        "a3_stopword_tf": (
+            f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term NOT IN ({STOPWORDS_SQL}) GROUP BY doc_id, term"
+        ),
+        "i4_postings_stats": (
+            f"WITH {TOKS_CTE}, {TF_CTE} SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf, "
+            "min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM tf GROUP BY term"
+        ),
+        "i7_docmap_sha256": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
+        "i1_field_norms": f"WITH {DL_CTE} SELECT doc_id, dl FROM dl",
+        "eng_q5_term_tfidf": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            f"SELECT t.doc_id, {tfidf_spark} AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
+        ),
+        "eng_s4_and": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join')) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s "
+            "GROUP BY doc_id HAVING count(*) = 2"
+        ),
+        "eng_s5_or": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_s6_must_should": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join')), "
+            "m AS (SELECT doc_id, sc FROM s WHERE term = 'spark'), "
+            "sh AS (SELECT doc_id, sc FROM s WHERE term = 'join') "
+            "SELECT m.doc_id, round(m.sc + coalesce(sh.sc, 0.0), 6) AS score "
+            "FROM m LEFT JOIN sh ON m.doc_id = sh.doc_id"
+        ),
+        "eng_q8_all": "SELECT doc_id, 1.0 AS score FROM documents",
+        "eng_c2_topk_tfidf": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join','window')), "
+            "g AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id) "
+            "SELECT doc_id, score FROM g ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "eng_bm25_topk": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {DL_CTE}, "
+            "avg AS (SELECT sum(dl) * 1.0 / (SELECT n FROM n) AS avgdl FROM dl), "
+            "s AS (SELECT t.doc_id, "
+            " ln(1.0 + ((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5)) * "
+            " (t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM avg))) AS sc "
+            "FROM tf t JOIN df d USING(term) JOIN dl ON t.doc_id = dl.doc_id "
+            "WHERE t.term IN ('spark','join')), "
+            "g AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id) "
+            "SELECT doc_id, score FROM g ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "eng_c3_count": (
+            f"WITH {TOKS_CTE}, d AS (SELECT DISTINCT doc_id, term FROM toks) "
+            "SELECT count(*) AS n_matches FROM ("
+            " SELECT doc_id FROM d WHERE term IN ('spark','join') INTERSECT "
+            " SELECT doc_id FROM d WHERE term = 'window')"
+        ),
+        "dedup_exact": (
+            "SELECT sha256(text) AS content_sha256, count(*) AS dup_count, "
+            "min(doc_id) AS keeper FROM documents GROUP BY sha256(text)"
+        ),
+        "dedup_minhash_sigs": (
+            f"WITH {TOKS_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
+            " FROM (SELECT DISTINCT term FROM toks)), "
+            "ids AS (SELECT doc_id, tid FROM dt JOIN vocab USING(term)) "
+            "SELECT doc_id, i.sig_i, "
+            "min(((37 + 101 * i.sig_i) * tid + (61 + 211 * i.sig_i)) % 1000000007) AS minhash "
+            "FROM ids, (SELECT unnest(range(16)) AS sig_i) i GROUP BY doc_id, i.sig_i"
+        ),
+        "dedup_minhash_lsh_pairs": (
+            f"WITH {TOKS_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
+            " FROM (SELECT DISTINCT term FROM toks)), "
+            "ids AS (SELECT doc_id, tid FROM dt JOIN vocab USING(term)), "
+            "sigs AS (SELECT doc_id, i.sig_i, "
+            " min(((37 + 101 * i.sig_i) * tid + (61 + 211 * i.sig_i)) % 1000000007) AS minhash "
+            " FROM ids, (SELECT unnest(range(16)) AS sig_i) i GROUP BY doc_id, i.sig_i), "
+            "bands AS (SELECT doc_id, sig_i % 8 AS band, "
+            " sum(minhash * ((sig_i // 8) * 100003 + 1)) % 1000000007 AS band_hash "
+            " FROM sigs GROUP BY doc_id, sig_i % 8) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+            "ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
+        ),
+        "dedup_simhash": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, "
+            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
+            " FROM (SELECT DISTINCT term FROM toks)), "
+            "t AS (SELECT doc_id, tf, tid FROM tf JOIN vocab USING(term)), "
+            "bits AS (SELECT doc_id, b.b, "
+            " sum(tf * (2 * ((((131 + 17 * b.b) * tid + (89 + 23 * b.b)) % 1000000007) % 2) - 1)) AS s "
+            " FROM t, (SELECT unnest(range(32)) AS b) b GROUP BY doc_id, b.b) "
+            "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash "
+            "FROM bits GROUP BY doc_id"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH {TOKLIST_CTE}, "
+            "tri AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1), "
+            " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram "
+            " FROM tl WHERE len(toks) >= 3), "
+            "sizes AS (SELECT doc_id, count(*) AS n_grams FROM tri GROUP BY doc_id), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i "
+            " FROM tri a JOIN tri b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+            " GROUP BY a.doc_id, b.doc_id) "
+            "SELECT doc_a, doc_b, round(i * 1.0 / (sa.n_grams + sb.n_grams - i), 6) AS jaccard "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.3"
+        ),
+        "text_quality": (
+            f"WITH {TOKLIST_CTE} SELECT doc_id, len(toks) AS n_tokens, "
+            "len(list_distinct(toks)) AS n_distinct, "
+            f"round(len(list_filter(toks, t -> t IN ({STOPWORDS_SQL}))) * 1.0 / greatest(len(toks), 1), 6) AS stopword_ratio, "
+            "round(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS avg_token_len "
+            "FROM tl"
+        ),
+        "text_langid": (
+            f"WITH {TOKLIST_CTE}, h AS (SELECT doc_id, len(toks) AS n_tokens, "
+            "len(list_filter(toks, t -> t IN ('the','and','of','to','in','that','have','be'))) AS hits_en, "
+            "len(list_filter(toks, t -> t IN ('der','die','und','das','nicht','ist'))) AS hits_de, "
+            "len(list_filter(toks, t -> t IN ('le','la','les','et','une','est'))) AS hits_fr, "
+            "len(list_filter(toks, t -> t IN ('el','los','las','y','una','es'))) AS hits_es FROM tl) "
+            "SELECT doc_id, n_tokens, hits_en, hits_de, hits_fr, hits_es, "
+            "CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en' "
+            " WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de' "
+            " WHEN hits_fr >= hits_es THEN 'fr' ELSE 'es' END AS predicted FROM h"
+        ),
+        "text_fingerprint": (
+            f"WITH {TOKLIST_CTE}, "
+            "pos AS (SELECT doc_id, unnest(toks) AS term, "
+            " unnest(range(len(toks))) AS pos FROM tl), "
+            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
+            " FROM (SELECT DISTINCT term FROM pos)) "
+            "SELECT doc_id, CAST(sum(tid * (pos + 1) * (pos + 1)) % 1000000007 AS BIGINT) AS fp "
+            "FROM pos JOIN vocab USING(term) GROUP BY doc_id"
+        ),
+        "text_token_stats": (
+            f"WITH {DL_CTE}, j AS (SELECT d.lang, dl.dl FROM documents d JOIN dl ON d.doc_id = dl.doc_id) "
+            "SELECT lang, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens, "
+            "round(avg(dl), 6) AS avg_tokens FROM j GROUP BY lang"
+        ),
+        "ann_cosine_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, round("
+            " list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings WHERE vec_id <> 0) "
+            "SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
+        ),
+        "ann_ivf_assign": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT e.vec_id, c.cid, round("
+            " list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings e, c), "
+            "r AS (SELECT vec_id, cid AS cluster_id, sim, "
+            " row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM s) "
+            "SELECT vec_id, cluster_id, sim FROM r WHERE rn = 1"
+        ),
+        "emb_neardup_pairs": (
+            "WITH s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("
+            " list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) "
+            "SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.9"
+        ),
+        "mm_binary_meta": (
+            "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
+            "CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks FROM documents"
+        ),
+        "mm_decode_features": (
+            "SELECT doc_id, octet_length(encode(text)) AS byte_len, "
+            "CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks, "
+            "octet_length(encode(text)) % 640 + 1 AS fake_width, "
+            "octet_length(encode(text)) % 480 + 1 AS fake_height FROM documents"
+        ),
+    }

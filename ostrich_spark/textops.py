@@ -1,0 +1,123 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-side (pyspark.sql.functions; no Python UDFs in the hot path):
+language-ID (lexicon-hit heuristic), quality scoring, token counting,
+positional document fingerprinting. Each has an equivalent ANSI-SQL
+oracle (see __spark_entry__.py) — the arithmetic is integer/portable by
+construction so Spark and DuckDB agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .analysis import SPLIT_PATTERN_SQL, STOPWORDS
+
+# fingerprint modulus (fits comfortably in int64 intermediate products)
+FP_PRIME = 1_000_000_007
+
+LANG_LEXICONS = {
+    "en": ["the", "and", "of", "to", "in", "that", "have", "be"],
+    "de": ["der", "die", "und", "das", "nicht", "ist"],
+    "fr": ["le", "la", "les", "et", "une", "est"],
+    "es": ["el", "los", "las", "y", "una", "es"],
+}
+
+
+def tokens_col(text_col="text"):
+    """Array of analyzed tokens (default analyzer: lowercase + unicode
+    word-break), empties removed — JVM-side, whole-stage-codegen friendly."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), SPLIT_PATTERN_SQL), lambda t: t != F.lit("")
+    )
+
+
+def with_tokens(df, text_col="text"):
+    return df.withColumn("toks", tokens_col(text_col))
+
+
+def token_stats(df, text_col="text"):
+    """Per-lang token counting: (lang, n_docs, total_tokens, avg_tokens)."""
+    return (
+        with_tokens(df, text_col)
+        .withColumn("n_tokens", F.size("toks"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+def quality_scores(df, text_col="text"):
+    """Per-doc quality features: token count, distinct ratio, stopword
+    ratio, mean token length — standard corpus-filtering signals."""
+    t = with_tokens(df, text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(
+            F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+            / F.greatest(F.size("toks"), F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size("toks"), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def lang_id(df, text_col="text"):
+    """Lexicon-hit language ID. Deterministic argmax (ties -> lexicon
+    declaration order via the greatest-of-structs trick)."""
+    t = with_tokens(df, text_col)
+    cols = []
+    for lang, lex in LANG_LEXICONS.items():
+        arr = F.array(*[F.lit(w) for w in lex])
+        cols.append(
+            F.size(F.filter("toks", lambda x: F.array_contains(arr, x))).alias(f"hits_{lang}")
+        )
+    t = t.select("doc_id", F.size("toks").alias("n_tokens"), *cols)
+    # predicted = lang with max hits; ties resolve to earlier lexicon
+    # (struct comparison: hits desc, priority desc)
+    langs = list(LANG_LEXICONS)
+    structs = [
+        F.struct(
+            F.col(f"hits_{lang}").alias("h"),
+            F.lit(len(langs) - i).alias("prio"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    return t.withColumn("predicted", F.greatest(*structs).getField("lang"))
+
+
+def fingerprint(df, text_col="text"):
+    """Positional document fingerprint (rolling-hash style): over the
+    token-id sequence, fp = sum((tid+1) * (pos+1)^2) mod p — order
+    sensitive, pure integer arithmetic (portable to any SQL engine).
+
+    Token ids come from a dense rank over the corpus vocabulary, which is
+    deterministic across engines; at web scale the production variant
+    swaps the rank dictionary for xxhash64(term) (not portable to the
+    DuckDB oracle, hence this gated formulation).
+    """
+    t = with_tokens(df, text_col)
+    pos = t.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+    vocab = (
+        pos.select("term")
+        .distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("term")))
+    )
+    joined = pos.join(F.broadcast(vocab), "term")
+    return joined.groupBy("doc_id").agg(
+        (
+            F.sum(F.col("tid") * (F.col("pos") + 1) * (F.col("pos") + 1)) % F.lit(FP_PRIME)
+        ).alias("fp")
+    )
