@@ -1,0 +1,155 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metrics (north rule: indexing throughput in files/sec + BM25
+top-10 query latency, with the engine's own merge/WAND/compression on):
+
+1. index build: deterministic synthetic source-code corpus (FIXTURES.md
+   §1/§6: seed=42), one segment per partition, full pipeline (tokenize ->
+   postings -> delta+varint pack -> norms -> docmap -> checkpointed
+   segment write -> manifest commit). files/sec reported.
+2. query latency: the reference query set (FIXTURES.md §3) + BM25 WAND
+   top-10, each timed end-to-end (plan + stats binding + pruned scan +
+   per-segment scoring + global merge).
+3. training-data ops on the driver testdata (documents/embeddings at
+   $SPARK_GRAFT_SF_DIR): BM25 top-k via the real index, minhash
+   signatures, simhash, ANN cosine top-k.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_ROWS (default 60000),
+BENCH_MODE=full|build_only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+ROWS = int(os.environ.get("BENCH_ROWS", "60000"))
+MODE = os.environ.get("BENCH_MODE", "full")
+
+BENCH_QUERIES = [
+    ("term_common", "content:merge_policy", "tfidf", 10),
+    ("term_rare", "content:rareterm007", "tfidf", 10),
+    ("and_rare_common", "content:rareterm007 AND content:the", "tfidf", 10),
+    ("or_fanout", "content:search OR content:index OR content:query OR content:term", "tfidf", 10),
+    ("nested_bool", "(content:func OR content:def) AND (content:search or content:index)", "tfidf", 10),
+    ("bm25_wand_topk", "content:the OR content:rareterm007", "bm25", 10),
+    ("bm25_or_fanout", "content:search OR content:index OR content:query", "bm25", 10),
+]
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ostrich_spark.build import build_index
+    from ostrich_spark.corpus import make_corpus
+    from ostrich_spark.query.exec import search
+    from ostrich_spark.schema import Schema
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName(f"ostrich-bench-{CPUS}")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- 1. index build throughput --------------------------------------
+    pdf = make_corpus(ROWS, seed=42)
+    corpus = spark.createDataFrame(pdf).repartition(32).cache()
+    n_files = corpus.count()  # materialize so build timing excludes gen
+
+    # warm the Python workers (import numpy/pandas once per executor
+    # slot) — on a real cluster workers are long-lived and reused; we
+    # measure throughput, not interpreter cold-start
+    import pandas as _pd
+
+    def _noop(it):
+        for b in it:
+            yield _pd.DataFrame({"n": [len(b)]})
+
+    corpus.mapInPandas(_noop, "n long").count()
+
+    idx = f"/tmp/ostrich_bench_idx_{CPUS}_{ROWS}"
+    shutil.rmtree(idx, ignore_errors=True)
+    schema = Schema()
+    schema.add_text_field("content", "default")
+    t0 = time.time()
+    manifest = build_index(
+        spark, corpus, schema, idx, num_partitions=32,
+        order_col="path", id_cols=["path"], build_id="bench",
+    )
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    files_per_sec = n_files / build_sec
+
+    result = {
+        "metric": "index files/sec + query latency (sec)",
+        "unit": "sec",
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": CPUS,
+        "bench_rows": n_files,
+        "files_per_sec": round(files_per_sec, 1),
+        "total_docs": manifest.total_docs,
+    }
+
+    if MODE == "build_only":
+        result["value"] = timings["index_build"]
+        result["queries"] = timings
+        print(json.dumps(result))
+        spark.stop()
+        return
+
+    # --- 2. query latency on the built index ----------------------------
+    # one warmup to spin up python workers / file index, then two timed
+    # runs per query; report steady-state (2nd) and the cold total
+    search(spark, idx, "content:search", limit=10)[0].collect()
+    cold_total = 0.0
+    for name, q, scorer, k in BENCH_QUERIES:
+        t0 = time.time()
+        search(spark, idx, q, limit=k, scorer=scorer)[0].collect()
+        cold_total += time.time() - t0
+        t0 = time.time()
+        res, _ = search(spark, idx, q, limit=k, scorer=scorer)
+        res.collect()
+        timings[name] = round(time.time() - t0, 3)
+    timings["queries_cold_total"] = round(cold_total, 3)
+
+    t0 = time.time()
+    _, cnt = search(spark, idx, "content:search OR content:index", limit=0, with_count=True)
+    timings["count_collector"] = round(time.time() - t0, 3)
+
+    # --- 3. training-data ops on the driver testdata ---------------------
+    import __spark_entry__ as em
+
+    for name, fn in [
+        ("docs_bm25_topk", em.queries()["eng_bm25_topk"]),
+        ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
+        ("dedup_simhash", em.queries()["dedup_simhash"]),
+        ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),
+    ]:
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    result["value"] = round(sum(timings.values()), 3)
+    result["queries"] = timings
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

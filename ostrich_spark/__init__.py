@@ -10,6 +10,16 @@ per-partition lineage and metrics — plus the large-scale training-data
 operators (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
+import os as _os
+
+# One task == one core: Spark already parallelizes across workers, so
+# nested BLAS/OpenMP pools only thrash (32 workers x 32 OMP threads =
+# 1024 runnable threads -> ~10x per-task slowdown measured). Must be set
+# before numpy initializes its thread pools.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 __version__ = "0.1.0"
 
 from .schema import Schema, FieldEntry  # noqa: F401

@@ -405,4 +405,37 @@ def build_index(
         },
     )
     save_manifest(index_dir, manifest)
+    _write_term_stats(spark, index_dir)
+    from .query.exec import invalidate_cache
+
+    invalidate_cache(index_dir)
     return manifest
+
+
+def _write_term_stats(spark, index_dir: str) -> None:
+    """Commit-time global term statistics (field, term, doc_freq): the
+    'term dictionary' lookup table for query-time stats binding — one
+    tiny sorted parquet with predicate pushdown on term, replacing a
+    per-query scan over every segment (SegmentReader term-dict analog,
+    /root/reference/reader/segment_reader.go:26-33 made global)."""
+    from pyspark.sql import functions as F
+
+    from .query.exec import POSTINGS_SPARK_SCHEMA
+
+    glob_path = f"{index_dir}/segments/*/postings.parquet"
+    tmp = os.path.join(index_dir, "term_stats.parquet.tmp")
+    out = os.path.join(index_dir, "term_stats.parquet")
+    stats = (
+        spark.read.schema(POSTINGS_SPARK_SCHEMA)
+        .parquet(glob_path)
+        .select("field", "term", "doc_freq")
+        .groupBy("field", "term")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+        .coalesce(1)
+        .sortWithinPartitions("field", "term")
+    )
+    stats.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)

@@ -39,31 +39,37 @@ VOCAB = _KEYWORDS + _IDENTS + _COMMENT_WORDS + _NUMBERS
 
 
 def make_corpus(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Vectorized generation — fast enough for the 60k+-row bench corpus."""
     rng = np.random.default_rng(seed)
-    repos, paths, commits, langs, contents = [], [], [], [], []
     vocab = np.array(VOCAB, dtype=object)
     # zipf-ish weights -> realistic skew: few very common terms
     ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
     weights = 1.0 / ranks
     weights /= weights.sum()
-    for i in range(n_rows):
-        r, s = i % 20 // 4, i % 20
-        repo = f"org{r:02d}/repo{s:03d}"
-        ext, lang = _EXT_LANG[i % len(_EXT_LANG)]
-        path = f"src/pkg{i % 7}/mod{i % 13}/file{i}.{ext}"
-        commit = hashlib.sha256(f"{repo}:{path}".encode()).hexdigest()[:40]
-        n_tok = int(rng.integers(50, 400))
-        toks = list(rng.choice(vocab, size=n_tok, p=weights))
+
+    i = np.arange(n_rows)
+    repos = [f"org{(j % 20) // 4:02d}/repo{j % 20:03d}" for j in i]
+    exts = [_EXT_LANG[j % len(_EXT_LANG)] for j in i]
+    paths = [f"src/pkg{j % 7}/mod{j % 13}/file{j}.{e[0]}" for j, e in zip(i, exts)]
+    langs = [e[1] for e in exts]
+    commits = [
+        hashlib.sha256(f"{r}:{p}".encode()).hexdigest()[:40] for r, p in zip(repos, paths)
+    ]
+
+    n_tok = rng.integers(50, 400, size=n_rows)
+    total = int(n_tok.sum())
+    flat = rng.choice(vocab, size=total, p=weights)
+    bounds = np.concatenate(([0], np.cumsum(n_tok)))
+    contents = []
+    for j in range(n_rows):
+        toks = flat[bounds[j] : bounds[j + 1]]
+        extra = []
         # sprinkle: repeats (tf>1), a rare term for ~10% of docs
-        if i % 10 == 0:
-            toks.append(_RARE[i // 10 % len(_RARE)])
-        if i % 3 == 0:
-            toks.extend(["merge_policy", "merge_policy"])
-        repos.append(repo)
-        paths.append(path)
-        commits.append(commit)
-        langs.append(lang)
-        contents.append(" ".join(toks))
+        if j % 10 == 0:
+            extra.append(_RARE[j // 10 % len(_RARE)])
+        if j % 3 == 0:
+            extra.extend(["merge_policy", "merge_policy"])
+        contents.append(" ".join(toks.tolist() + extra))
     return pd.DataFrame(
         {"repo": repos, "path": paths, "commit": commits, "lang": langs, "content": contents}
     )

@@ -302,6 +302,11 @@ def merge_segments(
     )
     save_manifest(index_dir, new_manifest)
     garbage_collect(index_dir)
+    # term_stats stays valid (global doc_freq is merge-invariant), but the
+    # cached postings/docmap globs now point at deleted files
+    from .query.exec import invalidate_cache
+
+    invalidate_cache(index_dir)
     return new_meta
 
 

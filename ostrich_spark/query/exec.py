@@ -60,6 +60,37 @@ from .plan import (
 
 RESULT_SCHEMA = "segment_id string, doc long, score double, is_count boolean"
 
+POSTINGS_SPARK_SCHEMA = (
+    "segment_id string, field int, term string, row_ord int, doc_freq long, "
+    "total_tf long, docs binary, tfs binary, lens binary, "
+    "doc_offs array<long>, tf_offs array<long>, len_offs array<long>, "
+    "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
+)
+TERM_STATS_SCHEMA = "field int, term string, doc_freq long"
+
+# lazy DataFrame registry per (session id, index dir): avoids re-running
+# schema inference / file listing on every query
+_DF_CACHE: dict = {}
+
+
+def _cached_read(spark, path: str, schema: str | None):
+    key = (id(spark), path)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        reader = spark.read
+        if schema:
+            reader = reader.schema(schema)
+        df = reader.parquet(path)
+        _DF_CACHE[key] = df
+    return df
+
+
+def invalidate_cache(index_dir: str) -> None:
+    """Drop cached DataFrames under an index dir — builds/merges change
+    the file set behind the glob."""
+    for key in [k for k in _DF_CACHE if index_dir in k[1]]:
+        del _DF_CACHE[key]
+
 
 # ---------------------------------------------------------------------------
 # executor-side posting access
@@ -424,22 +455,56 @@ def _term_predicate(F, terms) -> "object":
 
 
 def bind_stats(spark, index_dir: str, manifest: Manifest, logical):
-    """Global stats binding (Weight construction, term_query.go:22-35):
-    one tiny column-pruned scan summing doc_freq per (field, term)."""
+    """Global stats binding (Weight construction, term_query.go:22-35).
+
+    Prefers the commit-time term_stats.parquet (one tiny file, predicate
+    pushdown on term) — the 'precomputed global stats table updated at
+    commit/merge' design; falls back to summing doc_freq across the
+    segment postings when absent."""
+    import os
+
     from pyspark.sql import functions as F
 
     terms = collect_terms(logical)
     doc_freqs: dict[tuple[int, str], int] = {}
     if terms:
-        rows = (
-            spark.read.parquet(_postings_glob(index_dir))
-            .filter(_term_predicate(F, terms))
-            .groupBy("field", "term")
-            .agg(F.sum("doc_freq").alias("df"))
-            .collect()
-        )
-        for r in rows:
-            doc_freqs[(r["field"], r["term"])] = int(r["df"])
+        stats_path = os.path.join(index_dir, "term_stats.parquet")
+        if os.path.exists(stats_path):
+            # driver-side pyarrow lookup with predicate pushdown — the
+            # term-dict read is metadata access, not cluster work (the
+            # file is (field, term)-sorted so row-group stats prune)
+            import glob as _glob
+
+            import pyarrow.dataset as ds
+
+            # stats may be a Spark-written dir (skip _SUCCESS markers)
+            files = (
+                sorted(_glob.glob(os.path.join(stats_path, "*.parquet")))
+                if os.path.isdir(stats_path)
+                else [stats_path]
+            )
+            dataset = ds.dataset(files, format="parquet")
+            expr = None
+            for t in terms:
+                e = (ds.field("field") == t.field_id) & (ds.field("term") == t.term)
+                expr = e if expr is None else (expr | e)
+            tbl = dataset.to_table(filter=expr)
+            for f, tm, df_ in zip(
+                tbl.column("field").to_pylist(),
+                tbl.column("term").to_pylist(),
+                tbl.column("doc_freq").to_pylist(),
+            ):
+                doc_freqs[(int(f), tm)] = int(df_)
+        else:
+            rows = (
+                _cached_read(spark, _postings_glob(index_dir), POSTINGS_SPARK_SCHEMA)
+                .filter(_term_predicate(F, terms))
+                .groupBy("field", "term")
+                .agg(F.sum("doc_freq").alias("df"))
+                .collect()
+            )
+            for r in rows:
+                doc_freqs[(r["field"], r["term"])] = int(r["df"])
     total_docs = manifest.stats.get("total_docs", manifest.total_docs)
     field_avgdl = {}
     for fid, toks in manifest.stats.get("field_tokens", {}).items():
@@ -526,8 +591,16 @@ def search(
     compiled = compile_query(logical, doc_freqs, total_docs, field_avgdl, scorer)
     wire = to_wire(compiled)
 
-    ords = [(s.segment_id, i, s.max_doc) for i, s in enumerate(manifest.sorted_segments())]
-    ord_df = spark.createDataFrame(ords, "segment_id string, segment_ord int, max_doc long")
+    ords = [(s.segment_id, i) for i, s in enumerate(manifest.sorted_segments())]
+
+    def with_segment_ord(df):
+        # SegmentOrd attachment: literal map for ordinary segment counts
+        # (no broadcast-materialization job); broadcast join beyond that
+        if len(ords) <= 10_000:
+            mapping = F.create_map(*[x for sid, o in ords for x in (F.lit(sid), F.lit(o))])
+            return df.withColumn("segment_ord", mapping[F.col("segment_id")].cast("int"))
+        ord_df = spark.createDataFrame(ords, "segment_id string, segment_ord int")
+        return df.join(F.broadcast(ord_df), "segment_id")
 
     if wire["kind"] == "empty":
         empty = spark.createDataFrame([], "segment_id string, segment_ord int, doc long, score double")
@@ -535,12 +608,9 @@ def search(
 
     if wire["kind"] == "all":
         # AllQuery (all_query.go:11-77): every doc scores 1.0; scan docmap
-        docs = (
-            spark.read.parquet(_docmap_glob(index_dir))
-            .select("segment_id", "doc")
-            .join(F.broadcast(ord_df.select("segment_id", "segment_ord")), "segment_id")
-            .withColumn("score", F.lit(1.0))
-        )
+        docs = with_segment_ord(
+            _cached_read(spark, _docmap_glob(index_dir), None).select("segment_id", "doc")
+        ).withColumn("score", F.lit(1.0))
         out = docs.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
         if offset:
             out = out.offset(offset)
@@ -552,7 +622,9 @@ def search(
 
     terms = collect_terms(logical)
     k = None if limit is None else limit + offset
-    pruned = spark.read.parquet(_postings_glob(index_dir)).filter(_term_predicate(F, terms))
+    pruned = _cached_read(spark, _postings_glob(index_dir), POSTINGS_SPARK_SCHEMA).filter(
+        _term_predicate(F, terms)
+    )
     # WAND prunes non-candidates, so the exhaustive count must disable it
     fn = make_segment_scorer(
         json.dumps(wire), k, scorer, with_count, use_wand and not with_count
@@ -565,10 +637,8 @@ def search(
         crow = seg_results.filter(F.col("is_count")).agg(F.sum("score")).collect()[0][0]
         count = int(crow or 0)
 
-    hits = (
-        seg_results.filter(~F.col("is_count"))
-        .join(F.broadcast(ord_df.select("segment_id", "segment_ord")), "segment_id")
-        .orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    hits = with_segment_ord(seg_results.filter(~F.col("is_count"))).orderBy(
+        F.desc("score"), F.asc("segment_ord"), F.asc("doc")
     )
     if offset:
         hits = hits.offset(offset)
@@ -582,7 +652,7 @@ def attach_docmap(spark, index_dir: str, results_df):
     (broadcast join — results are tiny)."""
     from pyspark.sql import functions as F
 
-    docmap = spark.read.parquet(_docmap_glob(index_dir))
+    docmap = _cached_read(spark, _docmap_glob(index_dir), None)
     return docmap.join(
         F.broadcast(results_df), on=["segment_id", "doc"], how="inner"
     )
