@@ -223,7 +223,9 @@ def _write_segment_atomic(seg_dir: str, tables, fragment: dict) -> None:
     postings_tbl, norms_tbl, docmap_tbl = tables
     tmp = f"{seg_dir}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
-    pq.write_table(postings_tbl, os.path.join(tmp, "postings.parquet"))
+    # rows are (field, term)-sorted; modest row groups give the parquet
+    # reader real (field, term) row-group stats to skip on term lookups
+    pq.write_table(postings_tbl, os.path.join(tmp, "postings.parquet"), row_group_size=4096)
     pq.write_table(norms_tbl, os.path.join(tmp, "norms.parquet"))
     pq.write_table(docmap_tbl, os.path.join(tmp, "docmap.parquet"))
     with open(os.path.join(tmp, FRAGMENT_NAME), "w") as f:
@@ -247,6 +249,7 @@ def build_index(
     id_cols: list[str] | None = None,
     build_id: str = "build0",
     fail_after_partitions: int | None = None,
+    mode: str = "overwrite",
 ) -> Manifest:
     """Build (or resume) an index from a corpus DataFrame.
 
@@ -256,6 +259,10 @@ def build_index(
     ``fail_after_partitions`` is a test hook: tasks beyond that many
     completed fragments raise, simulating a mid-build crash for the
     resumability tests.
+    ``mode='append'`` keeps the committed manifest's segments and adds
+    the new ones (incremental ingestion: each batch becomes new segments,
+    like IndexWriter.Commit on a live index — index_writer.go:144-152);
+    'overwrite' commits a manifest containing only this build's segments.
     """
     id_cols = list(id_cols or [])
     if order_col is None:
@@ -392,7 +399,14 @@ def build_index(
         for fid, n in frag.get("metrics", {}).get("field_tokens", {}).items():
             field_tokens[fid] = field_tokens.get(fid, 0) + n
 
-    opstamp = (load_manifest(index_dir).opstamp + 1) if manifest_exists(index_dir) else 1
+    prior = load_manifest(index_dir) if manifest_exists(index_dir) else None
+    opstamp = (prior.opstamp + 1) if prior else 1
+    if mode == "append" and prior is not None:
+        existing_ids = {s.segment_id for s in prior.segments}
+        segments = prior.segments + [s for s in segments if s.segment_id not in existing_ids]
+        for fid, n in prior.stats.get("field_tokens", {}).items():
+            field_tokens[fid] = field_tokens.get(fid, 0) + n
+        total_tokens += prior.stats.get("total_tokens", 0)
     manifest = Manifest(
         schema,
         segments,

@@ -1,0 +1,125 @@
+"""CLI — mirrors the reference's cobra commands
+(/root/reference/cmd/ostrich/cmd/search.go:17-67): open index, parse
+query, top-k search, print ``segmentOrd/docID score`` lines + elapsed.
+
+Usage:
+    python -m ostrich_spark search QUERY -p INDEX_PATH [-l LIMIT] [-o OFFSET]
+        [--scorer tfidf|bm25] [--count]
+    python -m ostrich_spark build CORPUS_PARQUET -p INDEX_PATH
+        [--field COL]... [--analyzer NAME] [--partitions N] [--order-col COL]
+    python -m ostrich_spark merge -p INDEX_PATH
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _spark(cpus: str = "*"):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ostrich-spark-cli")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def cmd_search(args) -> int:
+    from .query.exec import search
+
+    spark = _spark()
+    t0 = time.time()
+    res, cnt = search(
+        spark,
+        args.path,
+        args.query,
+        limit=args.limit,
+        offset=args.offset,
+        scorer=args.scorer,
+        with_count=args.count,
+    )
+    rows = res.collect()
+    elapsed = time.time() - t0
+    # output contract of cmd/ostrich/cmd/search.go:55-63
+    for r in rows:
+        print(f"{r['segment_ord']}/{r['doc']} {r['score']}")
+    if args.count:
+        print(f"count: {cnt}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
+def cmd_build(args) -> int:
+    from .build import build_index
+    from .schema import Schema
+
+    spark = _spark()
+    schema = Schema()
+    for f in args.field or ["content"]:
+        schema.add_text_field(f, args.analyzer)
+    df = spark.read.parquet(args.corpus)
+    order_col = args.order_col or (args.id_col[0] if args.id_col else schema.fields[0].name)
+    manifest = build_index(
+        spark,
+        df,
+        schema,
+        args.path,
+        num_partitions=args.partitions,
+        order_col=order_col,
+        id_cols=args.id_col or [],
+        build_id=args.build_id,
+    )
+    print(f"built {len(manifest.segments)} segments, {manifest.total_docs} docs, opstamp {manifest.opstamp}")
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .merge import consider_merges
+
+    spark = _spark()
+    created = consider_merges(spark, args.path)
+    print(f"merged into {len(created)} new segments: {created}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ostrich_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("search")
+    s.add_argument("query")
+    s.add_argument("-p", "--path", required=True)
+    s.add_argument("-l", "--limit", type=int, default=10)
+    s.add_argument("-o", "--offset", type=int, default=0)
+    s.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    s.add_argument("--count", action="store_true")
+    s.set_defaults(fn=cmd_search)
+
+    b = sub.add_parser("build")
+    b.add_argument("corpus")
+    b.add_argument("-p", "--path", required=True)
+    b.add_argument("--field", action="append")
+    b.add_argument("--analyzer", default="default")
+    b.add_argument("--partitions", type=int, default=8)
+    b.add_argument("--order-col")
+    b.add_argument("--id-col", action="append")
+    b.add_argument("--build-id", default="cli")
+    b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser("merge")
+    m.add_argument("-p", "--path", required=True)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

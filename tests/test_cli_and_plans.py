@@ -1,0 +1,74 @@
+"""CLI output contract (D10) + physical-plan regression guards."""
+
+import subprocess
+import sys
+
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.corpus import make_corpus
+from ostrich_spark.schema import Schema
+
+
+@pytest.fixture(scope="module")
+def small_index(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    idx = str(tmp / "idx")
+    pdf = make_corpus(120, seed=3)
+    schema = Schema()
+    schema.add_text_field("content", "default")
+    build_index(
+        spark, spark.createDataFrame(pdf), schema, idx,
+        num_partitions=3, order_col="path", id_cols=["path"], build_id="cli",
+    )
+    return idx
+
+
+def test_cli_search_output_contract(small_index):
+    """cmd/ostrich/cmd/search.go prints 'docAddress score' lines + elapsed."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "search", "content:merge_policy",
+         "-p", small_index, "-l", "3", "--scorer", "tfidf", "--count"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    hit_lines = [l for l in lines if "/" in l and not l.startswith(("count", "elapsed"))]
+    assert 1 <= len(hit_lines) <= 3
+    for l in hit_lines:
+        addr, score = l.split()
+        seg, doc = addr.split("/")
+        int(seg), int(doc), float(score)
+    assert any(l.startswith("count:") for l in lines)
+    assert any(l.startswith("elapsed:") for l in lines)
+
+
+def test_term_lookup_pushdown(spark, small_index):
+    """The (field, term) predicate must reach the parquet scan and the
+    scan must prune to the stats columns — SURVEY.md §4 'what Catalyst
+    gives us for free' made into a regression test."""
+    from pyspark.sql import functions as F
+
+    from ostrich_spark.query.exec import POSTINGS_SPARK_SCHEMA, _postings_glob
+
+    df = (
+        spark.read.schema(POSTINGS_SPARK_SCHEMA)
+        .parquet(_postings_glob(small_index))
+        .filter((F.col("field") == 0) & (F.col("term") == "merge_policy"))
+        .select("segment_id", "doc_freq")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "EqualTo(term,merge_policy)" in plan
+    # column pruning: packed blobs must NOT be read for a stats lookup
+    assert "docs" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_global_topk_is_take_ordered(spark, small_index):
+    """Global merge = orderBy(...).limit(k) must compile to
+    TakeOrderedAndProject (the reference's MergeResults heap, C2)."""
+    from ostrich_spark.query.exec import search
+
+    res, _ = search(spark, small_index, "content:merge_policy", limit=5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
