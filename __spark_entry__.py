@@ -307,6 +307,73 @@ def _q_mm_decode(spark, sf_dir):
     return _longify(decode_features(_docs(spark, sf_dir)))
 
 
+def _q_events_tumbling(spark, sf_dir):
+    """Tumbling-window aggregation (the Structured-Streaming windowed-agg
+    shape, evaluated batch here): per (hour, event_type) count + value sum.
+    Decimal sums make the result order-independent across engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _longify(
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+        .withColumn("hour", F.col("hour").cast("string"))
+    )
+
+
+def _q_events_user_lag(spark, sf_dir):
+    """Window function: per-user inter-event gap in microseconds (lag)."""
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ->epoch must match DuckDB's UTC
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return _longify(
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.col("ts_us") - F.lag("ts_us").over(w)).alias("delta_us"),
+        )
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter + multi-aggregate groupBy."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return _longify(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape: predicate pushdown + single exact aggregate."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: BM25 top-10 over the real index on sf0.001."""
     return _q_eng_bm25_topk(spark, "/root/testdata/sf0.001")
@@ -341,6 +408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_binary_meta": _q_mm_meta,
         "mm_decode_features": _q_mm_decode,
+        "events_tumbling_hour": _q_events_tumbling,
+        "events_user_lag": _q_events_user_lag,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q6": _q_tpch_q6,
     }
 
 
@@ -533,5 +604,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks, "
             "octet_length(encode(text)) % 640 + 1 AS fake_width, "
             "octet_length(encode(text)) % 480 + 1 AS fake_height FROM documents"
+        ),
+        "events_tumbling_hour": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, "
+            "count(*) AS n, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value "
+            "FROM events GROUP BY date_trunc('hour', ts), event_type"
+        ),
+        "events_user_lag": (
+            "SELECT user_id, event_id, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS delta_us FROM events"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q6": (
+            "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) "
+            "AS revenue FROM lineitem "
+            "WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
         ),
     }

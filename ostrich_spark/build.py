@@ -129,14 +129,30 @@ def build_segment_tables(
 
     for fe in schema.fields:
         col = pdf[fe.name] if fe.name in pdf.columns else pd.Series([""] * n_docs)
+        # multi-valued text (repeated FieldValues, schema/document.go:20-46):
+        # token streams are concatenated — for this tokenizer that's
+        # exactly space-joining the values (space is a separator and
+        # tokens never contain spaces), so the vectorized path is kept
+        is_multi = col.map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any()
+        if is_multi:
+            as_list = col.map(
+                lambda v: [str(x) for x in v]
+                if isinstance(v, (list, tuple, np.ndarray))
+                else ["" if v is None else str(v)]
+            )
+            tok_col = as_list.map(" ".join)
+            sha_col = as_list.map("\x00".join)
+        else:
+            tok_col = col
+            sha_col = col.fillna("").astype(str)
         analyzer = get_analyzer(fe.analyzer)
-        token_lists = analyzer.analyze_series(col)
+        token_lists = analyzer.analyze_series(tok_col)
         lens = token_lists.map(len).to_numpy(dtype=np.int64)
         n_tokens_total += int(lens.sum())
         field_tokens[str(fe.id)] = int(lens.sum())
 
         # per-row sha of the raw field value (content invariant)
-        field_sha = col.fillna("").astype(str).map(_sha256_hex)
+        field_sha = sha_col.map(_sha256_hex)
         sha_parts = field_sha if sha_parts is None else sha_parts + field_sha
 
         norms_frames.append(
