@@ -28,24 +28,19 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def _varint_encode(values: np.ndarray) -> bytes:
-    """LEB128 varint-encode a uint64 array, fully vectorized."""
+# varint byte-count thresholds: value < 2^(7k) needs k bytes
+_VARINT_BOUNDS = np.array([1 << (7 * k) for k in range(1, 10)], dtype=np.uint64)
+
+
+def _varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 varint-encode a uint64 array, fully vectorized.
+    Returns (bytes, per-value byte lengths)."""
     if len(values) == 0:
-        return b""
-    v = values.astype(np.uint64, copy=True)
-    # bytes needed per value: ceil(bit_length/7), min 1
-    bits = np.zeros(len(v), dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        bits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((bits + 6) // 7, 1)
+        return b"", np.empty(0, dtype=np.int64)
+    v = values.astype(np.uint64, copy=False)
+    nbytes = np.searchsorted(_VARINT_BOUNDS, v, side="right") + 1
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
-    # offsets of each value's first byte
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     # fill byte-position k of every value that has >= k+1 bytes
@@ -58,7 +53,11 @@ def _varint_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[idx] = byte | cont
         rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def _varint_encode(values: np.ndarray) -> bytes:
+    return _varint_encode_with_lengths(values)[0]
 
 
 def _varint_decode(buf: bytes) -> np.ndarray:
@@ -114,28 +113,26 @@ def pack_blocked(values: np.ndarray, delta: bool) -> tuple[bytes, list[int]]:
     (the enabler for block-max WAND skip-decoding, and for merge-time
     docID patching that touches only block heads).
 
+    Encoding is ONE vectorized varint pass over the whole list; block
+    byte offsets fall out of the per-value byte lengths.
+
     Returns (packed bytes, byte offset of each block start).
     """
     v = np.asarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return b"", []
-    chunks: list[bytes] = []
-    offsets: list[int] = []
-    pos = 0
-    for s in range(0, n, BLOCK_SIZE):
-        blk = v[s : s + BLOCK_SIZE]
-        if delta and len(blk) > 1:
-            enc = np.empty_like(blk)
-            enc[0] = blk[0]
-            np.subtract(blk[1:], blk[:-1], out=enc[1:])
-        else:
-            enc = blk
-        b = _varint_encode(enc)
-        offsets.append(pos)
-        chunks.append(b)
-        pos += len(b)
-    return b"".join(chunks), offsets
+    block_starts = np.arange(0, n, BLOCK_SIZE)
+    if delta and n > 1:
+        enc = np.empty_like(v)
+        enc[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=enc[1:])
+        enc[block_starts] = v[block_starts]  # absolute block heads
+    else:
+        enc = v
+    buf, nbytes = _varint_encode_with_lengths(enc)
+    byte_starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    return buf, byte_starts[block_starts].tolist()
 
 
 def unpack_blocked(
@@ -155,9 +152,18 @@ def unpack_blocked(
     if nblocks == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     if block_indices is None:
-        block_indices = np.arange(nblocks)
-    else:
-        block_indices = np.asarray(block_indices, dtype=np.int64)
+        # full decode: one vectorized varint pass + segmented delta cumsum
+        raw = _varint_decode(buf)
+        if delta and len(raw) > 1:
+            cum = np.cumsum(raw, dtype=np.uint64)
+            starts = np.arange(0, len(raw), BLOCK_SIZE)
+            # value = cum[pos] - cum[block_start - 1] (block head is absolute)
+            base = np.zeros(len(starts), dtype=np.uint64)
+            base[1:] = cum[starts[1:] - 1]
+            sizes = np.diff(np.concatenate((starts, [len(raw)])))
+            raw = cum - np.repeat(base, sizes)
+        return raw.astype(np.int64), np.arange(len(raw), dtype=np.int64)
+    block_indices = np.asarray(block_indices, dtype=np.int64)
     bounds = list(offsets) + [len(buf)]
     vals: list[np.ndarray] = []
     poss: list[np.ndarray] = []
