@@ -31,6 +31,24 @@ TOKS_CTE = (
     "'[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM documents)"
 )
 TF_CTE = "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)"
+# portable sha256-derived token id — mirrors ostrich_spark.dedup.term_id_col
+TID_SQL = "(('0x' || substr(sha256(term), 1, 8))::BIGINT % 1000003) + 1"
+
+
+def _hash_family_ctes():
+    """VALUES CTEs carrying the minhash/simhash affine constants — single
+    source of truth is ostrich_spark.dedup (same literals both engines)."""
+    from ostrich_spark.dedup import MINHASH_A, MINHASH_B, SIMHASH_A, SIMHASH_B
+
+    mh = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+    sh = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(zip(SIMHASH_A, SIMHASH_B)))
+    return (
+        f"mh(sig_i, ha, hb) AS (VALUES {mh})",
+        f"sh(b, ha, hb) AS (VALUES {sh})",
+    )
+
+
+MH_CTE, SH_CTE = _hash_family_ctes()
 DF_CTE = "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
 N_CTE = "n AS (SELECT count(*) AS n FROM documents)"
 DL_CTE = (
@@ -292,7 +310,10 @@ def _q_ivf_assign(spark, sf_dir):
 def _q_emb_neardup(spark, sf_dir):
     from ostrich_spark.similarity import neardup_pairs
 
-    return _longify(neardup_pairs(_emb(spark, sf_dir), threshold=0.9))
+    # 0.35 chosen so the driver testdata (no synthetic dups; max intra-label
+    # cosine ~0.47 at sf0.01) yields a non-empty pair set — a value-level
+    # correctness check instead of a vacuous 0-row match.
+    return _longify(neardup_pairs(_emb(spark, sf_dir), threshold=0.35))
 
 
 def _q_mm_meta(spark, sf_dir):
@@ -486,22 +507,18 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keeper FROM documents GROUP BY sha256(text)"
         ),
         "dedup_minhash_sigs": (
-            f"WITH {TOKS_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "
-            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
-            " FROM (SELECT DISTINCT term FROM toks)), "
-            "ids AS (SELECT doc_id, tid FROM dt JOIN vocab USING(term)) "
-            "SELECT doc_id, i.sig_i, "
-            "min(((37 + 101 * i.sig_i) * tid + (61 + 211 * i.sig_i)) % 1000000007) AS minhash "
-            "FROM ids, (SELECT unnest(range(16)) AS sig_i) i GROUP BY doc_id, i.sig_i"
+            f"WITH {TOKS_CTE}, {MH_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+            f"ids AS (SELECT doc_id, {TID_SQL} AS tid FROM dt) "
+            "SELECT doc_id, CAST(mh.sig_i AS BIGINT) AS sig_i, "
+            "min((mh.ha * tid + mh.hb) % 1000000007) AS minhash "
+            "FROM ids, mh GROUP BY doc_id, mh.sig_i"
         ),
         "dedup_minhash_lsh_pairs": (
-            f"WITH {TOKS_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "
-            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
-            " FROM (SELECT DISTINCT term FROM toks)), "
-            "ids AS (SELECT doc_id, tid FROM dt JOIN vocab USING(term)), "
-            "sigs AS (SELECT doc_id, i.sig_i, "
-            " min(((37 + 101 * i.sig_i) * tid + (61 + 211 * i.sig_i)) % 1000000007) AS minhash "
-            " FROM ids, (SELECT unnest(range(16)) AS sig_i) i GROUP BY doc_id, i.sig_i), "
+            f"WITH {TOKS_CTE}, {MH_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+            f"ids AS (SELECT doc_id, {TID_SQL} AS tid FROM dt), "
+            "sigs AS (SELECT doc_id, mh.sig_i, "
+            " min((mh.ha * tid + mh.hb) % 1000000007) AS minhash "
+            " FROM ids, mh GROUP BY doc_id, mh.sig_i), "
             "bands AS (SELECT doc_id, sig_i % 8 AS band, "
             " sum(minhash * ((sig_i // 8) * 100003 + 1)) % 1000000007 AS band_hash "
             " FROM sigs GROUP BY doc_id, sig_i % 8) "
@@ -509,13 +526,11 @@ def oracle_sql() -> dict[str, str]:
             "ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
         ),
         "dedup_simhash": (
-            f"WITH {TOKS_CTE}, {TF_CTE}, "
-            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
-            " FROM (SELECT DISTINCT term FROM toks)), "
-            "t AS (SELECT doc_id, tf, tid FROM tf JOIN vocab USING(term)), "
-            "bits AS (SELECT doc_id, b.b, "
-            " sum(tf * (2 * ((((131 + 17 * b.b) * tid + (89 + 23 * b.b)) % 1000000007) % 2) - 1)) AS s "
-            " FROM t, (SELECT unnest(range(32)) AS b) b GROUP BY doc_id, b.b) "
+            f"WITH {TOKS_CTE}, {SH_CTE}, "
+            f"t AS (SELECT doc_id, {TID_SQL} AS tid FROM toks), "
+            "bits AS (SELECT doc_id, sh.b, "
+            " sum(2 * (((sh.ha * tid + sh.hb) % 1000000007) % 2) - 1) AS s "
+            " FROM t, sh GROUP BY doc_id, sh.b) "
             "SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash "
             "FROM bits GROUP BY doc_id"
         ),
@@ -554,10 +569,9 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKLIST_CTE}, "
             "pos AS (SELECT doc_id, unnest(toks) AS term, "
             " unnest(range(len(toks))) AS pos FROM tl), "
-            "vocab AS (SELECT term, row_number() OVER (ORDER BY term) AS tid "
-            " FROM (SELECT DISTINCT term FROM pos)) "
-            "SELECT doc_id, CAST(sum(tid * (pos + 1) * (pos + 1)) % 1000000007 AS BIGINT) AS fp "
-            "FROM pos JOIN vocab USING(term) GROUP BY doc_id"
+            f"p AS (SELECT doc_id, pos + 1 AS p1, {TID_SQL} AS tid FROM pos) "
+            "SELECT doc_id, CAST(sum((tid * ((p1 * p1) % 1000000007)) % 1000000007) "
+            "% 1000000007 AS BIGINT) AS fp FROM p GROUP BY doc_id"
         ),
         "text_token_stats": (
             f"WITH {DL_CTE}, j AS (SELECT d.lang, dl.dl FROM documents d JOIN dl ON d.doc_id = dl.doc_id) "
@@ -593,7 +607,7 @@ def oracle_sql() -> dict[str, str]:
             " (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
             "  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
             "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) "
-            "SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.9"
+            "SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35"
         ),
         "mm_binary_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS byte_len, "

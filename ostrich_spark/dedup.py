@@ -11,26 +11,56 @@
   hash family.
 - n-gram Jaccard: token-trigram sets, |A∩B| via shared-trigram equi-join,
   exact Jaccard on candidate pairs.
+
+Scale design: token ids are derived map-side from sha256(term) — there
+is NO corpus vocabulary, no global window, no broadcast dictionary, so
+the sketch stages are a single shuffle each (groupBy doc_id with k
+partial-aggregated min/sum columns map-side-combined). At 10^12 docs the
+only wide exchanges are the per-doc agg (keyed by doc_id — uniform) and
+the LSH band-bucket self-join (bounded by duplicate cluster size).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .textops import with_tokens
 
 MINHASH_K = 16
 MINHASH_BANDS = 8  # rows per band = 2
 P = 1_000_000_007
+TID_MOD = 1_000_003  # keeps every affine-hash product well inside int64
+
+# Affine hash family h_i(t) = (A[i]*t + B[i]) mod P. The multipliers MUST
+# be large enough that A[i]*tid wraps mod P many times — with small
+# multipliers (the naive 37+101*i) the mod never fires for tid<=1e6, the
+# hash is monotone in tid, every minhash collapses to the min-tid token,
+# and simhash bits reduce to tid parity. Derived from the Knuth constant,
+# inlined as literals into the DuckDB oracle SQL (see __spark_entry__).
+MINHASH_A = [(2_654_435_761 * (i + 1) + 101) % P for i in range(MINHASH_K)]
+MINHASH_B = [(40_503 * (i + 1) * (i + 1) + 61) % P for i in range(MINHASH_K)]
+
+SIMHASH_BITS = 32
+SIMHASH_A = [(2_654_435_761 * (b + 17) + 131) % P for b in range(SIMHASH_BITS)]
+SIMHASH_B = [(40_503 * (b + 17) * (b + 17) + 89) % P for b in range(SIMHASH_BITS)]
 
 
 def minhash_a(i: int) -> int:
-    return 37 + 101 * i
+    return MINHASH_A[i]
 
 
 def minhash_b(i: int) -> int:
-    return 61 + 211 * i
+    return MINHASH_B[i]
+
+
+def term_id_col(term_col):
+    """Portable deterministic token id: first 32 sha256 bits mod TID_MOD,
+    1-based. Pure column expression (map-side, no vocabulary build);
+    DuckDB oracle: (('0x' || substr(sha256(term),1,8))::BIGINT % 1000003) + 1.
+    """
+    return (
+        F.conv(F.substring(F.sha2(term_col, 256), 1, 8), 16, 10).cast("long") % F.lit(TID_MOD)
+    ) + F.lit(1)
 
 
 def exact_dups(df, text_col="text"):
@@ -42,33 +72,36 @@ def exact_dups(df, text_col="text"):
 
 
 def _token_ids(df, text_col="text"):
-    """(doc_id, tid) pairs over the DISTINCT tokens of each doc, with
-    portable dense-rank token ids (see textops.fingerprint note)."""
+    """(doc_id, tid) pairs over the DISTINCT tokens of each doc. tid is
+    computed in-place from sha256(term) — zero shuffles, zero joins."""
     toks = with_tokens(df, text_col).select(
         "doc_id", F.explode(F.array_distinct("toks")).alias("term")
     )
-    vocab = (
-        toks.select("term").distinct().withColumn("tid", F.row_number().over(Window.orderBy("term")))
-    )
-    return toks.join(F.broadcast(vocab), "term").select("doc_id", "tid")
+    return toks.select("doc_id", term_id_col(F.col("term")).alias("tid"))
 
 
 def minhash_signatures(df, text_col="text", k: int = MINHASH_K):
-    """(doc_id, sig_i, minhash) exploded signature rows."""
+    """(doc_id, sig_i, minhash) signature rows.
+
+    One groupBy(doc_id) computing all k minimums as separate aggregate
+    columns (map-side combined — the shuffle carries k longs per doc, not
+    k× the token stream), then an unpivot. Replaces the naive
+    explode(k)->groupBy(doc,sig_i) plan, which shuffled k× the distinct-
+    token volume.
+    """
     ids = _token_ids(df, text_col)
-    sigs = ids.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("sig_i"),
-        "tid",
-    ).withColumn(
-        "h",
-        (
-            (F.lit(37) + F.lit(101) * F.col("sig_i")) * F.col("tid")
-            + (F.lit(61) + F.lit(211) * F.col("sig_i"))
-        )
-        % F.lit(P),
+    mins = ids.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(minhash_a(i)) * F.col("tid") + F.lit(minhash_b(i))) % F.lit(P)).alias(
+                f"m{i}"
+            )
+            for i in range(k)
+        ]
     )
-    return sigs.groupBy("doc_id", "sig_i").agg(F.min("h").alias("minhash"))
+    stack_args = ", ".join(f"{i}L, m{i}" for i in range(k))
+    return mins.selectExpr(
+        "doc_id", f"stack({k}, {stack_args}) AS (sig_i, minhash)"
+    )
 
 
 def minhash_lsh_pairs(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
@@ -102,35 +135,28 @@ def minhash_lsh_pairs(df, text_col="text", k: int = MINHASH_K, bands: int = MINH
 
 
 def simhash(df, text_col="text", bits: int = 32):
-    """32-bit SimHash over token tfs with the portable hash family."""
+    """32-bit SimHash, tf-weighted, portable hash family.
+
+    The tf weighting is implicit: summing each bit's ±1 contribution over
+    ALL token instances equals summing tf·(±1) over distinct terms — so
+    no per-(doc,term) tf aggregation, no vocabulary, no bit explosion.
+    One groupBy(doc_id) with `bits` partial-aggregated sum columns, then
+    a pure projection packs the sign bits into one int64.
+    """
     toks = with_tokens(df, text_col).select("doc_id", F.explode("toks").alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    vocab = tf.select("term").distinct().withColumn("tid", F.row_number().over(Window.orderBy("term")))
-    t = tf.join(F.broadcast(vocab), "term")
-    bitrows = t.select(
-        "doc_id",
-        "tf",
-        "tid",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    ).withColumn(
-        "bit",
-        (
-            (
-                (F.lit(131) + F.lit(17) * F.col("b")) * F.col("tid")
-                + (F.lit(89) + F.lit(23) * F.col("b"))
-            )
-            % F.lit(P)
-        )
-        % F.lit(2),
-    )
-    per_bit = bitrows.groupBy("doc_id", "b").agg(
-        F.sum(F.col("tf") * (F.lit(2) * F.col("bit") - F.lit(1))).alias("s")
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+    t = toks.select("doc_id", term_id_col(F.col("term")).alias("tid"))
+    aggs = []
+    for b in range(bits):
+        bit = (
+            (F.lit(SIMHASH_A[b]) * F.col("tid") + F.lit(SIMHASH_B[b])) % F.lit(P)
+        ) % F.lit(2)
+        aggs.append(F.sum(F.lit(2) * bit - F.lit(1)).alias(f"s{b}"))
+    per = t.groupBy("doc_id").agg(*aggs)
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return per.select("doc_id", packed.alias("simhash"))
 
 
 def ngram_jaccard_pairs(df, text_col="text", n: int = 3, threshold: float = 0.3):

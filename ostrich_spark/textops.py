@@ -10,7 +10,6 @@ construction so Spark and DuckDB agree exactly.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .analysis import SPLIT_PATTERN_SQL, STOPWORDS
 
@@ -100,24 +99,25 @@ def lang_id(df, text_col="text"):
 
 def fingerprint(df, text_col="text"):
     """Positional document fingerprint (rolling-hash style): over the
-    token-id sequence, fp = sum((tid+1) * (pos+1)^2) mod p — order
+    token-id sequence, fp = sum((tid * (pos+1)^2) mod p) mod p — order
     sensitive, pure integer arithmetic (portable to any SQL engine).
 
-    Token ids come from a dense rank over the corpus vocabulary, which is
-    deterministic across engines; at web scale the production variant
-    swaps the rank dictionary for xxhash64(term) (not portable to the
-    DuckDB oracle, hence this gated formulation).
+    Token ids are sha256-derived map-side (dedup.term_id_col): no corpus
+    vocabulary, no global window, no broadcast — the whole operator is a
+    narrow projection plus one groupBy(doc_id) with map-side partial
+    sums. The inner mod keeps every intermediate < TID_MOD * p, inside
+    int64 even for million-token documents.
     """
+    from .dedup import term_id_col
+
     t = with_tokens(df, text_col)
     pos = t.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-    vocab = (
-        pos.select("term")
-        .distinct()
-        .withColumn("tid", F.row_number().over(Window.orderBy("term")))
+    pos = pos.select(
+        "doc_id",
+        (F.col("pos").cast("long") + 1).alias("p1"),
+        term_id_col(F.col("term")).alias("tid"),
     )
-    joined = pos.join(F.broadcast(vocab), "term")
-    return joined.groupBy("doc_id").agg(
-        (
-            F.sum(F.col("tid") * (F.col("pos") + 1) * (F.col("pos") + 1)) % F.lit(FP_PRIME)
-        ).alias("fp")
-    )
+    elem = (
+        F.col("tid") * ((F.col("p1") * F.col("p1")) % F.lit(FP_PRIME))
+    ) % F.lit(FP_PRIME)
+    return pos.groupBy("doc_id").agg((F.sum(elem) % F.lit(FP_PRIME)).alias("fp"))

@@ -1,0 +1,76 @@
+"""Sketch-quality regression tests for the dedup operators.
+
+Guards against the degenerate-hash-family bug: with small affine
+multipliers, `(a*tid + b) mod P` never wraps for tid <= 1e6, so the hash
+is monotone in tid — every minhash collapses to the min-tid token and
+simhash bits reduce to tid parity (half the bits constantly zero). The
+constants in ostrich_spark.dedup must keep the family well-mixed; these
+tests assert the OBSERVABLE sketch properties, not the constants.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ostrich_spark.dedup import (
+    MINHASH_A,
+    MINHASH_K,
+    P,
+    TID_MOD,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+
+NEAR_A = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR_B = "the quick brown fox jumps over the lazy cat and runs far away today"
+UNRELATED = "import numpy as np def main return zero parse spark query engine"
+
+
+@pytest.fixture(scope="module")
+def sketch_docs(spark):
+    return spark.createDataFrame(
+        [(1, NEAR_A), (2, NEAR_B), (3, UNRELATED)], ["doc_id", "text"]
+    )
+
+
+def _sigs_by_doc(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["doc_id"], {})[r["sig_i"]] = r["minhash"]
+    return out
+
+
+def test_minhash_discriminates(spark, sketch_docs):
+    sigs = _sigs_by_doc(minhash_signatures(sketch_docs))
+    overlap_near = sum(1 for i in range(MINHASH_K) if sigs[1][i] == sigs[2][i])
+    overlap_far = sum(1 for i in range(MINHASH_K) if sigs[1][i] == sigs[3][i])
+    # true Jaccard(A,B) ~= 0.86, Jaccard(A,unrelated) = 0
+    assert overlap_near >= MINHASH_K // 2, f"near-dup overlap only {overlap_near}/{MINHASH_K}"
+    assert overlap_far <= 2, f"unrelated docs share {overlap_far}/{MINHASH_K} sigs"
+    # non-degeneracy: the k hash functions must not all pick the same token
+    distinct_per_doc = len(set(sigs[1].values()))
+    assert distinct_per_doc >= MINHASH_K // 2
+
+
+def test_simhash_hamming(spark, sketch_docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(sketch_docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) < ham(h[1], h[3]), (
+        f"near-dup hamming {ham(h[1], h[2])} !< unrelated {ham(h[1], h[3])}"
+    )
+    # non-degeneracy: a real 32-bit sketch is neither 0 nor parity-striped
+    assert h[1] not in (0, 0x55555555, 0xFFFFFFFF)
+    assert ham(h[1], h[3]) >= 8
+
+
+def test_lsh_finds_near_dup_not_unrelated(spark, sketch_docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(sketch_docs).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hash_family_wraps_modulus():
+    # every multiplier must wrap the modulus for mid-range tids, else the
+    # hash is order-preserving in tid and the min degenerates
+    assert all(a * (TID_MOD // 2) > P for a in MINHASH_A)
