@@ -83,13 +83,30 @@ def main():
 
     corpus.mapInPandas(_noop, "n long").count()
 
+    # Partition count: one fat task per EFFECTIVE core. This sandbox
+    # advertises 32 vCPUs but sustains ~16 concurrent python workers
+    # before thrashing (see BENCH/BASELINE.md caveat); on a real cluster
+    # this is the spark.sql.files.maxPartitionBytes knob, not a constant.
+    # constant across parallelism levels so the scaling runs compare the
+    # IDENTICAL job (16 tasks, 2-at-a-time on local[2] vs 16-at-a-time)
+    nparts = int(os.environ.get("BENCH_PARTITIONS", "16"))
     idx = f"/tmp/ostrich_bench_idx_{CPUS}_{ROWS}"
-    shutil.rmtree(idx, ignore_errors=True)
     schema = Schema()
     schema.add_text_field("content", "default")
+    # steady-state throughput: first build pays JVM JIT + arrow codegen
+    # warmup (long-lived executors on a real cluster amortize this);
+    # report the warm second build, record the cold one alongside.
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(
+        spark, corpus, schema, idx, num_partitions=nparts,
+        order_col="path", id_cols=["path"], build_id="bench",
+    )
+    timings["index_build_cold"] = round(time.time() - t0, 3)
+    shutil.rmtree(idx, ignore_errors=True)
     t0 = time.time()
     manifest = build_index(
-        spark, corpus, schema, idx, num_partitions=32,
+        spark, corpus, schema, idx, num_partitions=nparts,
         order_col="path", id_cols=["path"], build_id="bench",
     )
     build_sec = time.time() - t0

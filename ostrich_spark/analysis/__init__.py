@@ -23,9 +23,18 @@ run inside pandas UDF / mapInPandas stages.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from .porter2 import stem
+
+try:  # Arrow-native fast path (utf8_lower + RE2 split, C++ side)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    _ARROW_OK = hasattr(pc, "split_pattern_regex") and hasattr(pc, "utf8_lower")
+except ImportError:  # pragma: no cover
+    _ARROW_OK = False
 
 # Token characters are exactly unicode Letter|Number (ostrich's
 # unicode.IsLetter/IsNumber). Python's `re` \W includes _ as a word char,
@@ -65,6 +74,59 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").astype(str).map(_tok)
 
 
+def _lower_tokenize_flat(texts) -> "tuple[pa.Array, np.ndarray]":
+    """Arrow-native lowercase + tokenize over a batch of texts.
+
+    Returns (flat_tokens, lens): all tokens of all docs concatenated in
+    document order as an Arrow string array, plus per-doc token counts.
+    Runs entirely in Arrow C++ (utf8_lower + RE2 split + filter) — no
+    per-row Python, no per-doc list objects. This is the authoritative
+    semantics: Arrow's simple case mapping matches the reference's Go
+    strings.ToLower (/root/reference/analyzer/lower_case_char_filter.go:11)
+    exactly (non-contextual final sigma, İ→i), where Python str.lower()
+    deviates on a handful of codepoints.
+    """
+    if isinstance(texts, pd.Series):
+        vals = texts.fillna("").astype(str)
+        arr = pa.array(vals, type=pa.large_string())
+    else:
+        arr = pa.array(
+            ["" if t is None else str(t) for t in texts], type=pa.large_string()
+        )
+    sp = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=SPLIT_PATTERN_SQL)
+    raw_lens = pc.list_value_length(sp).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(sp)
+    mask = pc.not_equal(flat, "")
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(([0], np.cumsum(raw_lens)))
+    csum = np.zeros(len(mask_np) + 1, dtype=np.int64)
+    np.cumsum(mask_np, out=csum[1:])
+    lens = csum[bounds[1:]] - csum[bounds[:-1]]
+    return flat.filter(mask), lens
+
+
+def _filter_flat(flat, lens, token_filter):
+    """Apply one token filter to the flat representation."""
+    if token_filter == "stem":
+        d = flat.dictionary_encode()
+        stemmed = pa.array(
+            [stem(t) for t in d.dictionary.to_pylist()], type=pa.large_string()
+        )
+        # stem once per UNIQUE term, then scatter back over instances
+        return stemmed.take(d.indices), lens
+    if token_filter == "stopword":
+        mask = pc.invert(
+            pc.is_in(flat, value_set=pa.array(STOPWORDS, type=pa.large_string()))
+        )
+        mask_np = mask.to_numpy(zero_copy_only=False)
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        csum = np.zeros(len(mask_np) + 1, dtype=np.int64)
+        np.cumsum(mask_np, out=csum[1:])
+        new_lens = csum[bounds[1:]] - csum[bounds[:-1]]
+        return flat.filter(mask), new_lens
+    raise KeyError(f"unknown token filter {token_filter!r}")  # pragma: no cover
+
+
 def stopword_filter_tokens(tokens: list[str]) -> list[str]:
     """A3: order/dup-preserving stopword removal."""
     return [t for t in tokens if t not in _STOPSET]
@@ -86,6 +148,12 @@ class Analyzer:
         self.token_filters = token_filters
 
     def analyze_one(self, text: str) -> list[str]:
+        if _ARROW_OK:
+            flat, _ = self.analyze_flat([text])
+            return flat.to_pylist()
+        return self._analyze_one_py(text)
+
+    def _analyze_one_py(self, text: str) -> list[str]:
         toks = [t for t in _SPLIT_RE.split(str(text).lower()) if t]
         for f in self.token_filters:
             if f == "stem":
@@ -96,8 +164,39 @@ class Analyzer:
                 raise KeyError(f"unknown token filter {f!r}")
         return toks
 
+    def analyze_flat(self, texts) -> "tuple":
+        """Batch analyze -> (flat_tokens: pa.Array, lens: np.int64 array).
+
+        The hot path for the segment builder: zero per-doc Python
+        objects. Falls back to the pure-Python chain when pyarrow lacks
+        the compute kernels.
+        """
+        if not _ARROW_OK:  # pragma: no cover - pyarrow is baked in
+            toks = self._analyze_series_py(
+                texts if isinstance(texts, pd.Series) else pd.Series(list(texts))
+            )
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            flat = [t for lst in toks for t in lst]
+            import pyarrow as _pa
+
+            return _pa.array(flat, type=_pa.large_string()), lens
+        flat, lens = _lower_tokenize_flat(texts)
+        for f in self.token_filters:
+            flat, lens = _filter_flat(flat, lens, f)
+        return flat, lens
+
     def analyze_series(self, texts: pd.Series) -> pd.Series:
         """Vectorized: Series[str] -> Series[list[str]]."""
+        if not _ARROW_OK:  # pragma: no cover
+            return self._analyze_series_py(texts)
+        flat, lens = self.analyze_flat(texts)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        la = pa.LargeListArray.from_arrays(pa.array(offsets, type=pa.int64()), flat)
+        index = texts.index if isinstance(texts, pd.Series) else None
+        return pd.Series(la.to_pylist(), index=index)
+
+    def _analyze_series_py(self, texts: pd.Series) -> pd.Series:
         toks = tokenize_series(lowercase_series(texts))
         for f in self.token_filters:
             if f == "stem":

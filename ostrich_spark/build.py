@@ -146,8 +146,7 @@ def build_segment_tables(
             tok_col = col
             sha_col = col.fillna("").astype(str)
         analyzer = get_analyzer(fe.analyzer)
-        token_lists = analyzer.analyze_series(tok_col)
-        lens = token_lists.map(len).to_numpy(dtype=np.int64)
+        flat_tokens, lens = analyzer.analyze_flat(tok_col)
         n_tokens_total += int(lens.sum())
         field_tokens[str(fe.id)] = int(lens.sum())
 
@@ -168,35 +167,34 @@ def build_segment_tables(
 
         if lens.sum() == 0:
             continue
-        flat_terms = np.concatenate(
-            [np.asarray(t, dtype=object) for t in token_lists.to_numpy()]
-        )
+        # tf counting on INTEGER keys: dictionary-encode the flat token
+        # stream (Arrow C++ hashing), rank the dictionary lexicographically,
+        # then one np.unique over rank*n_docs+doc yields (term asc, doc asc)
+        # runs with counts — no object-dtype groupby, no per-doc lists.
+        d = flat_tokens.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = np.asarray(d.dictionary.to_pylist(), dtype=object)
+        order = np.argsort(dic)
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        sorted_dic = dic[order]
         flat_docs = np.repeat(local_ids, lens)
-        tf = (
-            pd.DataFrame({"term": flat_terms, "doc": flat_docs})
-            .groupby(["term", "doc"], sort=True)
-            .size()
-            .rename("tf")
-            .reset_index()
-        )
-        # doc length per posting (aligned), for BM25 and block_min_len
-        tf["len"] = lens[tf["doc"].to_numpy()]
-
-        # split per term: groupby(sort=True) left terms ascending, docs
-        # ascending within term — posting lists come out docID-sorted,
-        # like the reference's insertion-order invariant
+        key = rank[codes] * n_docs + flat_docs
+        uniq, tf_counts = np.unique(key, return_counts=True)
+        term_idx = uniq // n_docs
+        docs_arr = uniq % n_docs
+        tfs_arr = tf_counts.astype(np.int64)
+        # doc length per posting (aligned), for BM25 and block_min_len;
+        # posting lists come out docID-sorted within each term run, like
+        # the reference's insertion-order invariant
         # (postings_writer.go:137-140).
-        terms_arr = tf["term"].to_numpy()
-        docs_arr = tf["doc"].to_numpy(dtype=np.int64)
-        tfs_arr = tf["tf"].to_numpy(dtype=np.int64)
-        lens_arr = tf["len"].to_numpy(dtype=np.int64)
-        # boundaries of runs of equal term
-        change = np.flatnonzero(terms_arr[1:] != terms_arr[:-1]) + 1
+        lens_arr = lens[docs_arr]
+        change = np.flatnonzero(term_idx[1:] != term_idx[:-1]) + 1
         starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(terms_arr)]))
+        ends = np.concatenate((change, [len(term_idx)]))
 
         for s, e in zip(starts, ends):
-            term = terms_arr[s]
+            term = sorted_dic[term_idx[s]]
             d, t, ln = docs_arr[s:e], tfs_arr[s:e], lens_arr[s:e]
             docs_b, doc_offs = pack_blocked(d, delta=True)
             tfs_b, tf_offs = pack_blocked(t, delta=False)
@@ -355,9 +353,12 @@ def build_index(
             )
             return
         postings_tbl, norms_tbl, docmap_tbl, n_docs, n_tokens, field_tokens = built
-        bytes_postings = sum(
-            len(b) for b in postings_tbl.column("docs").to_pylist()
-        ) + sum(len(b) for b in postings_tbl.column("tfs").to_pylist())
+        import pyarrow.compute as pc
+
+        bytes_postings = int(
+            (pc.sum(pc.binary_length(postings_tbl.column("docs"))).as_py() or 0)
+            + (pc.sum(pc.binary_length(postings_tbl.column("tfs"))).as_py() or 0)
+        )
         metrics = {
             "n_terms": postings_tbl.num_rows,
             "n_tokens": n_tokens,

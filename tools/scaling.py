@@ -54,11 +54,13 @@ def main():
     md = f"""# BENCH — measured numbers (ostrich_spark)
 
 Corpus: deterministic synthetic source-code corpus (FIXTURES.md §1,
-seed=42), {rows} files, 32 index partitions. Build = full pipeline:
-tokenize -> postings -> delta+varint blocked pack -> norms -> docmap ->
-checkpointed segment write -> manifest + term_stats commit. Python
-workers warmed before timing (a real cluster's workers are long-lived);
-BLAS/OMP pinned to 1 thread per worker (Spark owns the parallelism).
+seed=42), {rows} files, 16 index partitions (identical task graph at
+every parallelism level). Build = full pipeline: Arrow-kernel tokenize
+(utf8_lower + RE2 split) -> dictionary-encoded tf grouping -> postings
+-> delta+varint blocked pack -> norms -> docmap -> checkpointed segment
+write -> manifest + term_stats commit. Steady-state timing (cold build
+recorded separately; a real cluster's long-lived executors amortize JIT
+warmup); BLAS/OMP pinned to 1 thread per worker.
 
 ## Scaling efficiency (north rule: >=0.8 from N to 4N executors)
 
