@@ -307,6 +307,13 @@ def _q_ivf_assign(spark, sf_dir):
     return _longify(ivf_assign(_emb(spark, sf_dir), n_centroids=8))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from ostrich_spark.similarity import ivf_topk
+
+    qv = _query_vec(spark, sf_dir)
+    return _longify(ivf_topk(_emb(spark, sf_dir), qv, k=10, n_centroids=8))
+
+
 def _q_emb_neardup(spark, sf_dir):
     from ostrich_spark.similarity import neardup_pairs
 
@@ -426,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_token_stats,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
+        "ann_ivf_topk": _q_ivf_topk,
         "emb_neardup_pairs": _q_emb_neardup,
         "mm_binary_meta": _q_mm_meta,
         "mm_decode_features": _q_mm_decode,
@@ -599,6 +607,30 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT vec_id, cid AS cluster_id, sim, "
             " row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM s) "
             "SELECT vec_id, cluster_id, sim FROM r WHERE rn = 1"
+        ),
+        "ann_ivf_topk": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), "
+            "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "s AS (SELECT e.vec_id, c.cid, round("
+            " list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings e, c), "
+            "assign AS (SELECT vec_id, cid AS cluster_id FROM (SELECT vec_id, cid, "
+            " row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM s) WHERE rn = 1), "
+            "qc AS (SELECT cid FROM c, q ORDER BY "
+            " list_sum(list_transform(list_zip(c.cvec, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ) DESC, cid ASC LIMIT 1) "
+            "SELECT e.vec_id, round("
+            " list_sum(list_transform(list_zip(e.embedding, q.qv), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings e JOIN assign USING(vec_id), q "
+            "WHERE assign.cluster_id = (SELECT cid FROM qc) "
+            "ORDER BY sim DESC, e.vec_id ASC LIMIT 10"
         ),
         "emb_neardup_pairs": (
             "WITH s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("

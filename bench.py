@@ -111,6 +111,9 @@ def main():
     )
     build_sec = time.time() - t0
     timings["index_build"] = round(build_sec, 3)
+    phases = manifest.stats.get("build_phases", {})
+    timings["build_map_sec"] = phases.get("map_sec", 0.0)
+    timings["build_commit_sec"] = phases.get("commit_sec", 0.0)
     files_per_sec = n_files / build_sec
 
     result = {

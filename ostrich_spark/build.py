@@ -393,7 +393,10 @@ def build_index(
             ]
         )
 
+    _t_map = time.time()
     metrics_rows = df.mapInPandas(build_partition, schema=METRICS_SPARK_SCHEMA).collect()
+    map_sec = time.time() - _t_map
+    _t_commit = time.time()
 
     # driver-side commit (I12/I13): collect fragments -> sorted manifest ->
     # atomic write. Empty segments are dropped.
@@ -433,10 +436,17 @@ def build_index(
             "total_tokens": total_tokens,
             "field_tokens": field_tokens,
             "build_id": build_id,
+            # phase split for scaling analysis: map_sec is the per-file
+            # work (scales with executors); commit_sec is per-BUILD
+            # constant (manifest + term-stats job) that amortizes to
+            # zero as corpus size grows
+            "build_phases": {"map_sec": round(map_sec, 3)},
         },
     )
     save_manifest(index_dir, manifest)
     _write_term_stats(spark, index_dir)
+    manifest.stats["build_phases"]["commit_sec"] = round(time.time() - _t_commit, 3)
+    save_manifest(index_dir, manifest)
     from .query.exec import invalidate_cache
 
     invalidate_cache(index_dir)

@@ -159,8 +159,20 @@ def simhash(df, text_col="text", bits: int = 32):
     return per.select("doc_id", packed.alias("simhash"))
 
 
-def ngram_jaccard_pairs(df, text_col="text", n: int = 3, threshold: float = 0.3):
-    """Pairs with token-n-gram Jaccard >= threshold (exact, join-based)."""
+def ngram_jaccard_pairs(
+    df, text_col="text", n: int = 3, threshold: float = 0.3, max_gram_df: int | None = None
+):
+    """Pairs with token-n-gram Jaccard >= threshold (exact, join-based).
+
+    ``max_gram_df`` is the scale guard: a shingle appearing in d docs
+    contributes d^2 candidate rows to the self-join, so one boilerplate
+    trigram shared by 1M docs would alone produce 10^12 join rows. With
+    a cap, ultra-frequent shingles are dropped from the gram universe
+    BEFORE the join (sizes and intersections both computed over the
+    reduced universe, so the Jaccard stays exact w.r.t. that universe —
+    the standard trade in web-scale shingle dedup). None (the gated
+    oracle configuration) keeps the full universe.
+    """
     t = with_tokens(df, text_col)
     tri = t.filter(F.size("toks") >= n).select(
         "doc_id",
@@ -173,6 +185,14 @@ def ngram_jaccard_pairs(df, text_col="text", n: int = 3, threshold: float = 0.3)
             )
         ).alias("gram"),
     )
+    if max_gram_df is not None:
+        keep = (
+            tri.groupBy("gram")
+            .agg(F.count("*").alias("gdf"))
+            .filter(F.col("gdf") <= max_gram_df)
+            .select("gram")
+        )
+        tri = tri.join(keep, "gram")
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = tri.alias("a")
     b = tri.alias("b")
