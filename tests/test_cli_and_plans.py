@@ -72,3 +72,26 @@ def test_global_topk_is_take_ordered(spark, small_index):
     res, _ = search(spark, small_index, "content:merge_policy", limit=5)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sketch_plans_have_no_serial_stage(spark):
+    """Regression guard for the sketch-operator redesign: minhash /
+    simhash / fingerprint must compile WITHOUT a global window or a
+    single-partition exchange (the old dense-rank vocabulary forced
+    Exchange SinglePartition + Window — a serial bottleneck), and with
+    exactly one wide exchange (the groupBy(doc_id) partial agg)."""
+    from ostrich_spark.dedup import minhash_signatures, simhash
+    from ostrich_spark.textops import fingerprint
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} text body") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    for op in (minhash_signatures, simhash, fingerprint):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, f"{op.__name__} plan regressed to a window"
+        assert "SinglePartition" not in plan, f"{op.__name__} has a serial exchange"
+        # one hash-partitioned exchange on doc_id, nothing else wide
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"{op.__name__}: {n_exchanges} wide exchanges"
+        assert "hashpartitioning(doc_id" in plan
