@@ -63,6 +63,7 @@ def stream_index(
     id_cols: list[str] | None = None,
     trigger_available_now: bool = True,
     merge_policy_kwargs: dict | None = None,
+    run_merges: bool = True,
 ):
     """Attach the indexer to a streaming DataFrame; returns the query."""
     writer = (
@@ -76,6 +77,7 @@ def stream_index(
                 order_col=order_col,
                 id_cols=id_cols,
                 merge_policy_kwargs=merge_policy_kwargs,
+                run_merges=run_merges,
             )
         )
     )
