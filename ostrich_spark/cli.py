@@ -89,6 +89,36 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index introspection: manifest stats, build phases, per-segment
+    lineage/metrics — no Spark session needed (driver-side JSON only)."""
+    from .manifest import load_manifest
+
+    try:
+        m = load_manifest(args.path)
+    except FileNotFoundError:
+        print(f"no index at {args.path} (missing manifest.json)", file=sys.stderr)
+        return 2
+    s = m.stats
+    print(f"opstamp {m.opstamp}  build_id {s.get('build_id', '?')}")
+    print(f"docs {s.get('total_docs', 0)}  tokens {s.get('total_tokens', 0)}  segments {len(m.segments)}")
+    ph = s.get("build_phases", {})
+    if ph:
+        print(f"last build: map {ph.get('map_sec', '?')}s  commit {ph.get('commit_sec', '?')}s")
+    for seg in m.sorted_segments():
+        met = seg.metrics or {}
+        lin = seg.lineage or {}
+        if "merged_from" in lin:
+            origin = f"merged from {len(lin['merged_from'])} segments"
+        else:
+            origin = f"partition {lin.get('partition_id', '?')} attempt {lin.get('attempt', '?')}"
+        extra = ""
+        if "n_terms" in met:
+            extra = f", {met['n_terms']} terms, {met.get('bytes_postings', '?')}B postings"
+        print(f"  {seg.segment_id}: {seg.max_doc} docs{extra} — {origin}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ostrich_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -116,6 +146,10 @@ def main(argv=None) -> int:
     m = sub.add_parser("merge")
     m.add_argument("-p", "--path", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    st = sub.add_parser("stats")
+    st.add_argument("-p", "--path", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     args = p.parse_args(argv)
     return args.fn(args)

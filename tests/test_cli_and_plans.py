@@ -95,3 +95,22 @@ def test_sketch_plans_have_no_serial_stage(spark):
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, f"{op.__name__}: {n_exchanges} wide exchanges"
         assert "hashpartitioning(doc_id" in plan
+
+
+def test_cli_stats(small_index):
+    """`stats` prints manifest summary + per-segment lineage; clean error
+    (exit 2, no traceback) on a missing index."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "stats", "-p", small_index],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "opstamp" in out.stdout and "segments" in out.stdout
+    assert "partition" in out.stdout or "merged from" in out.stdout
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "stats", "-p", "/nonexistent"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode == 2
+    assert "no index at" in bad.stderr and "Traceback" not in bad.stderr
