@@ -88,3 +88,31 @@ def test_lowercase_and_tokenize_series():
     assert tokenize_series(pd.Series(["a_b c"])).tolist() == [["a_b", "c"]] or True
     # exact semantics: '_' separates
     assert tokenize_series(lowercase_series(pd.Series(["A_B C"]))).tolist() == [["a", "b", "c"]]
+
+
+def test_arrow_chain_matches_python_chain_ascii():
+    """Differential fuzz: the Arrow kernels (utf8_lower + RE2 split +
+    filters) and the pure-Python fallback chain must agree exactly on
+    the ASCII domain for every analyzer. (They intentionally diverge on
+    a handful of exotic codepoints — Arrow follows Go's simple case
+    mapping, the reference semantics; that divergence is documented in
+    analysis._lower_tokenize_flat.)"""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from ostrich_spark.analysis import get_analyzer
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=120
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(ascii_text, min_size=1, max_size=8))
+    def check(texts):
+        for name in ("default", "en_stem"):
+            a = get_analyzer(name)
+            arrow = a.analyze_series(pd.Series(texts)).tolist()
+            py = a._analyze_series_py(pd.Series(texts)).tolist()
+            assert arrow == py, (name, texts)
+
+    check()
