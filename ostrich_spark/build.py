@@ -195,17 +195,17 @@ def build_segment_tables(
 
         for s, e in zip(starts, ends):
             term = sorted_dic[term_idx[s]]
-            d, t, ln = docs_arr[s:e], tfs_arr[s:e], lens_arr[s:e]
-            docs_b, doc_offs = pack_blocked(d, delta=True)
-            tfs_b, tf_offs = pack_blocked(t, delta=False)
-            lens_b, len_offs = pack_blocked(ln, delta=False)
-            bmax_doc, bmax_tf, bmin_len = block_metadata(d, t, ln)
+            pdocs, ptfs, plens = docs_arr[s:e], tfs_arr[s:e], lens_arr[s:e]
+            docs_b, doc_offs = pack_blocked(pdocs, delta=True)
+            tfs_b, tf_offs = pack_blocked(ptfs, delta=False)
+            lens_b, len_offs = pack_blocked(plens, delta=False)
+            bmax_doc, bmax_tf, bmin_len = block_metadata(pdocs, ptfs, plens)
             postings_cols["segment_id"].append(segment_id)
             postings_cols["field"].append(fe.id)
             postings_cols["term"].append(term)
             postings_cols["row_ord"].append(0)
             postings_cols["doc_freq"].append(int(e - s))
-            postings_cols["total_tf"].append(int(t.sum()))
+            postings_cols["total_tf"].append(int(ptfs.sum()))
             postings_cols["docs"].append(docs_b)
             postings_cols["tfs"].append(tfs_b)
             postings_cols["lens"].append(lens_b)
@@ -427,6 +427,11 @@ def build_index(
         for fid, n in prior.stats.get("field_tokens", {}).items():
             field_tokens[fid] = field_tokens.get(fid, 0) + n
         total_tokens += prior.stats.get("total_tokens", 0)
+    # commit stage: term-stats job first (it reads only the durable
+    # segment files), then ONE atomic manifest save — the commit point.
+    # A crash before the save leaves term_stats orphaned but harmless
+    # (bind_stats only consults it when a manifest exists).
+    _write_term_stats(spark, index_dir)
     manifest = Manifest(
         schema,
         segments,
@@ -440,12 +445,12 @@ def build_index(
             # work (scales with executors); commit_sec is per-BUILD
             # constant (manifest + term-stats job) that amortizes to
             # zero as corpus size grows
-            "build_phases": {"map_sec": round(map_sec, 3)},
+            "build_phases": {
+                "map_sec": round(map_sec, 3),
+                "commit_sec": round(time.time() - _t_commit, 3),
+            },
         },
     )
-    save_manifest(index_dir, manifest)
-    _write_term_stats(spark, index_dir)
-    manifest.stats["build_phases"]["commit_sec"] = round(time.time() - _t_commit, 3)
     save_manifest(index_dir, manifest)
     from .query.exec import invalidate_cache
 

@@ -31,26 +31,36 @@ MINHASH_BANDS = 8  # rows per band = 2
 P = 1_000_000_007
 TID_MOD = 1_000_003  # keeps every affine-hash product well inside int64
 
-# Affine hash family h_i(t) = (A[i]*t + B[i]) mod P. The multipliers MUST
-# be large enough that A[i]*tid wraps mod P many times — with small
+# Affine hash family h_i(t) = (a_i*t + b_i) mod P. The multipliers MUST
+# be large enough that a_i*tid wraps mod P many times — with small
 # multipliers (the naive 37+101*i) the mod never fires for tid<=1e6, the
 # hash is monotone in tid, every minhash collapses to the min-tid token,
-# and simhash bits reduce to tid parity. Derived from the Knuth constant,
-# inlined as literals into the DuckDB oracle SQL (see __spark_entry__).
-MINHASH_A = [(2_654_435_761 * (i + 1) + 101) % P for i in range(MINHASH_K)]
-MINHASH_B = [(40_503 * (i + 1) * (i + 1) + 61) % P for i in range(MINHASH_K)]
-
-SIMHASH_BITS = 32
-SIMHASH_A = [(2_654_435_761 * (b + 17) + 131) % P for b in range(SIMHASH_BITS)]
-SIMHASH_B = [(40_503 * (b + 17) * (b + 17) + 89) % P for b in range(SIMHASH_BITS)]
+# and simhash bits reduce to tid parity. Derived from the Knuth constant;
+# closed-form so ANY k/bits works, with the default-size lists inlined as
+# literals into the DuckDB oracle SQL (see __spark_entry__).
 
 
 def minhash_a(i: int) -> int:
-    return MINHASH_A[i]
+    return (2_654_435_761 * (i + 1) + 101) % P
 
 
 def minhash_b(i: int) -> int:
-    return MINHASH_B[i]
+    return (40_503 * (i + 1) * (i + 1) + 61) % P
+
+
+def simhash_a(b: int) -> int:
+    return (2_654_435_761 * (b + 17) + 131) % P
+
+
+def simhash_b(b: int) -> int:
+    return (40_503 * (b + 17) * (b + 17) + 89) % P
+
+
+SIMHASH_BITS = 32
+MINHASH_A = [minhash_a(i) for i in range(MINHASH_K)]
+MINHASH_B = [minhash_b(i) for i in range(MINHASH_K)]
+SIMHASH_A = [simhash_a(b) for b in range(SIMHASH_BITS)]
+SIMHASH_B = [simhash_b(b) for b in range(SIMHASH_BITS)]
 
 
 def term_id_col(term_col):
@@ -143,12 +153,14 @@ def simhash(df, text_col="text", bits: int = 32):
     One groupBy(doc_id) with `bits` partial-aggregated sum columns, then
     a pure projection packs the sign bits into one int64.
     """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"simhash bits must be in [1, 63] (int64 packing), got {bits}")
     toks = with_tokens(df, text_col).select("doc_id", F.explode("toks").alias("term"))
     t = toks.select("doc_id", term_id_col(F.col("term")).alias("tid"))
     aggs = []
     for b in range(bits):
         bit = (
-            (F.lit(SIMHASH_A[b]) * F.col("tid") + F.lit(SIMHASH_B[b])) % F.lit(P)
+            (F.lit(simhash_a(b)) * F.col("tid") + F.lit(simhash_b(b))) % F.lit(P)
         ) % F.lit(2)
         aggs.append(F.sum(F.lit(2) * bit - F.lit(1)).alias(f"s{b}"))
     per = t.groupBy("doc_id").agg(*aggs)
