@@ -111,3 +111,50 @@ def test_multi_valued_field(spark, tmp_path):
     res, _ = search(spark, idx, "tags:alpha", limit=None)
     rows = {r["k"]: r["score"] for r in attach_docmap(spark, idx, res).select("k", "score").collect()}
     assert rows[2] == pytest.approx(2 * rows[0], rel=1e-12)
+
+
+def test_random_query_fuzz_rank_identity(spark, two_field_index):
+    """Seeded random boolean-query fuzz (beyond the fixed list): 40
+    queries of depth <=2 over present/absent/stopword terms, both
+    scorers, exhaustive results, rank- AND score-identical to the
+    reference-semantics oracle. A 200-query sweep of the same generator
+    ran clean during round 1 (see COVERAGE.md)."""
+    import random
+
+    from ostrich_spark.analysis import get_analyzer
+
+    idx, oracle, paths = two_field_index
+    an = get_analyzer("default")
+    rng = random.Random(4242)
+    # term pool from the corpus itself + adversarial extras
+    toks = set()
+    for d, s in oracle.search("content:the", limit=None, scorer="tfidf")[:0]:
+        pass  # oracle warm no-op
+    pool = sorted({t for t in an.analyze_one(" ".join(paths))} )[:50] + [
+        "the", "have", "serious", "searching", "zzz_absent", "rareterm003",
+        "search", "index", "func", "confidence",
+    ]
+
+    def gen(depth=0):
+        if depth >= 2 or rng.random() < 0.45:
+            return rng.choice(["content:", "comment:", ""]) + rng.choice(pool)
+        op = rng.choice([" AND ", " OR ", " "])
+        parts = [gen(depth + 1) for _ in range(rng.randint(2, 3))]
+        q = op.join(parts)
+        return f"({q})" if rng.random() < 0.5 else q
+
+    from ostrich_spark.query.exec import attach_docmap, search as eng_search
+
+    for i in range(40):
+        q = gen()
+        scorer = "bm25" if i % 2 else "tfidf"
+        res, _ = eng_search(spark, idx, q, limit=None, scorer=scorer)
+        rows = attach_docmap(spark, idx, res).select("path", "score").collect()
+        got = sorted([(r["path"], r["score"]) for r in rows], key=lambda t: (-t[1], t[0]))
+        exp = sorted(
+            [(paths[d], s) for d, s in oracle.search(q, limit=None, scorer=scorer)],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [p for p, _ in got] == [p for p, _ in exp], (scorer, q)
+        for (p1, s1), (p2, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, rel=1e-12), (scorer, q, p1)
