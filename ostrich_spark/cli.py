@@ -64,7 +64,9 @@ def cmd_build(args) -> int:
     schema = Schema()
     for f in args.field or ["content"]:
         schema.add_text_field(f, args.analyzer)
-    df = spark.read.parquet(args.corpus)
+    from .sources import load_corpus
+
+    df = load_corpus(spark, args.corpus, shape=False)
     order_col = args.order_col or (args.id_col[0] if args.id_col else schema.fields[0].name)
     manifest = build_index(
         spark,

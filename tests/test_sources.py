@@ -1,0 +1,103 @@
+"""Corpus-source dispatch: parquet / json / csv / raw source tree load
+into the (repo, path, commit, lang, content) contract; the Iceberg path
+is gated behind an actionable error in jar-less environments."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ostrich_spark.sources import CORPUS_COLUMNS, load_corpus, load_source_tree
+
+
+@pytest.fixture(scope="module")
+def shaped_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "repo": ["org/r1", "org/r1", "org/r2"],
+            "path": ["a/main.py", "b/util.go", "c/lib.rs"],
+            "commit": ["c1", "c1", "c2"],
+            "lang": ["python", "go", "rust"],
+            "content": ["def main(): pass", "func Util() {}", "fn lib() {}"],
+        }
+    )
+
+
+def test_parquet_roundtrip(spark, shaped_pdf, tmp_path):
+    p = str(tmp_path / "c.parquet")
+    spark.createDataFrame(shaped_pdf).write.parquet(p)
+    df = load_corpus(spark, p)
+    assert df.columns[:5] == CORPUS_COLUMNS
+    assert df.count() == 3
+
+
+def test_json_and_csv_default_missing_identity(spark, shaped_pdf, tmp_path):
+    j = str(tmp_path / "c.json")
+    spark.createDataFrame(shaped_pdf[["path", "content"]]).write.json(j)
+    df = load_corpus(spark, f"json:{j}")
+    assert df.columns[:5] == CORPUS_COLUMNS
+    row = df.filter(df.path == "a/main.py").collect()[0]
+    assert row["repo"] == "" and row["content"] == "def main(): pass"
+
+    c = str(tmp_path / "c.csv")
+    spark.createDataFrame(shaped_pdf[["path", "content"]]).write.option("header", "true").csv(c)
+    assert load_corpus(spark, f"csv:{c}").count() == 3
+
+
+def test_content_column_mandatory(spark, shaped_pdf, tmp_path):
+    p = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(shaped_pdf[["path", "lang"]]).write.parquet(p)
+    with pytest.raises(ValueError, match="content"):
+        load_corpus(spark, p)
+
+
+def test_source_tree_ingestion(spark, tmp_path):
+    root = tmp_path / "myrepo"
+    (root / "src").mkdir(parents=True)
+    (root / "src" / "main.py").write_text("import os\ndef run(): return 1\n")
+    (root / "src" / "lib.go").write_text("package lib\nfunc Add() {}\n")
+    (root / "README.md").write_text("# myrepo\nhello world\n")
+    df = load_source_tree(spark, str(root))
+    rows = {r["path"]: r for r in df.collect()}
+    assert set(rows) == {"src/main.py", "src/lib.go", "README.md"}
+    assert rows["src/main.py"]["lang"] == "python"
+    assert rows["src/lib.go"]["lang"] == "go"
+    assert rows["README.md"]["lang"] == "markdown"
+    assert rows["src/main.py"]["repo"] == "myrepo"
+    assert "def run()" in rows["src/main.py"]["content"]
+    # end-to-end: the ingested tree is indexable and searchable
+    from ostrich_spark.build import build_index
+    from ostrich_spark.query.exec import search
+    from ostrich_spark.schema import Schema
+
+    sch = Schema()
+    sch.add_text_field("content", "default")
+    idx = str(tmp_path / "idx")
+    build_index(spark, df, sch, idx, num_partitions=2, order_col="path", id_cols=["path"])
+    res, _ = search(spark, idx, "content:def AND content:run", limit=5)
+    assert len(res.collect()) == 1
+
+
+def test_iceberg_gated_error(spark):
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        load_corpus(spark, "iceberg:demo.db.repos")
+
+
+def test_cli_build_accepts_files_uri(tmp_path):
+    import subprocess
+    import sys
+
+    root = tmp_path / "repo2"
+    root.mkdir()
+    (root / "x.py").write_text("alpha beta gamma\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "build", f"files:{root}",
+         "-p", str(tmp_path / "idx2"), "--field", "content", "--partitions", "1",
+         "--order-col", "path", "--id-col", "path"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "built 1 segments, 1 docs" in out.stdout
