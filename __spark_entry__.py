@@ -253,6 +253,12 @@ def _q_minhash_lsh(spark, sf_dir):
     return _longify(minhash_lsh_pairs(_docs(spark, sf_dir)))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    from ostrich_spark.dedup import dup_clusters
+
+    return _longify(dup_clusters(_docs(spark, sf_dir)))
+
+
 def _q_simhash(spark, sf_dir):
     from ostrich_spark.dedup import simhash
 
@@ -425,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_sigs,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
         "text_quality": _q_quality,
@@ -532,6 +539,31 @@ def oracle_sql() -> dict[str, str]:
             " FROM sigs GROUP BY doc_id, sig_i % 8) "
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
             "ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id"
+        ),
+        "dedup_clusters": (
+            f"WITH RECURSIVE {TOKS_CTE}, {MH_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "
+            f"ids AS (SELECT doc_id, {TID_SQL} AS tid FROM dt), "
+            "sigs AS (SELECT doc_id, mh.sig_i, "
+            " min((mh.ha * tid + mh.hb) % 1000000007) AS minhash "
+            " FROM ids, mh GROUP BY doc_id, mh.sig_i), "
+            "bands AS (SELECT doc_id, sig_i % 8 AS band, "
+            " sum(minhash * ((sig_i // 8) * 100003 + 1)) % 1000000007 AS band_hash "
+            " FROM sigs GROUP BY doc_id, sig_i % 8), "
+            "prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+            " ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs "
+            " UNION SELECT doc_b, doc_a FROM prs), "
+            # transitive min-label walk: enumerate every comp label reachable
+            # from each node; min per node = component id (same fixpoint the
+            # Spark label propagation converges to)
+            "walk(node, comp) AS (SELECT src, src FROM (SELECT DISTINCT src FROM edges) "
+            " UNION SELECT e.src, w.comp FROM edges e JOIN walk w ON e.dst = w.node), "
+            "comps AS (SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node), "
+            "comp_full AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component "
+            " FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN comps c USING(doc_id)), "
+            "sizes AS (SELECT component, count(*) AS cluster_size FROM comp_full GROUP BY component) "
+            "SELECT doc_id, component, cluster_size, doc_id = component AS is_keeper "
+            "FROM comp_full JOIN sizes USING(component)"
         ),
         "dedup_simhash": (
             f"WITH {TOKS_CTE}, {SH_CTE}, "

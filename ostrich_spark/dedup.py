@@ -225,3 +225,75 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return j.select("doc_a", "doc_b", "jaccard")
+
+
+def connected_components(pairs, id_a="doc_a", id_b="doc_b", max_iter: int = 50):
+    """Duplicate-cluster formation: connected components over a pair list
+    -> (doc_id, component) with component = min doc_id reachable. The
+    canonical post-LSH step (cluster -> keep min id, drop the rest).
+
+    Iterative min-label propagation on DataFrames: comp(x) <- min(comp(x),
+    min over neighbors' comp), looped to fixpoint. Each round is one
+    shuffle keyed by doc_id; rounds needed = graph diameter, which for
+    near-dup clusters is small (dups of one document link to each other
+    through shared bands). Driver only checks a convergence COUNT per
+    round — no per-node data leaves the cluster. max_iter bounds
+    pathological chains.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    comp = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(comp, edges.dst == comp.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_comp = (
+            comp.join(neighbor_min, comp.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
+            )
+        )
+        new_comp = new_comp.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.select(F.col("node").alias("doc_id"), "comp")
+
+
+def dup_clusters(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
+    """MinHash-LSH end-to-end dedup clustering: (doc_id, component,
+    cluster_size, is_keeper). Docs with no near-dup pair form singleton
+    clusters (component = own id)."""
+    pairs = minhash_lsh_pairs(df, text_col, k, bands)
+    comp = connected_components(pairs)
+    all_docs = df.select("doc_id").distinct()
+    comp_full = (
+        all_docs.join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("comp"), F.col("doc_id")).alias("component"))
+    )
+    sizes = comp_full.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp_full.join(sizes, "component")
+        .select(
+            "doc_id",
+            "component",
+            "cluster_size",
+            (F.col("doc_id") == F.col("component")).alias("is_keeper"),
+        )
+    )

@@ -74,3 +74,28 @@ def test_hash_family_wraps_modulus():
     # every multiplier must wrap the modulus for mid-range tids, else the
     # hash is order-preserving in tid and the min degenerates
     assert all(a * (TID_MOD // 2) > P for a in MINHASH_A)
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and singleton: min-label propagation must find
+    the exact components (including multi-hop chains that need several
+    propagation rounds)."""
+    from ostrich_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {r["doc_id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_keeper_and_singletons(spark, sketch_docs):
+    from ostrich_spark.dedup import dup_clusters
+
+    rows = {r["doc_id"]: r for r in dup_clusters(sketch_docs).collect()}
+    # docs 1,2 are near-dups (LSH pair), doc 3 unrelated singleton
+    assert rows[1]["component"] == 1 and rows[2]["component"] == 1
+    assert rows[1]["is_keeper"] and not rows[2]["is_keeper"]
+    assert rows[1]["cluster_size"] == 2
+    assert rows[3]["component"] == 3 and rows[3]["is_keeper"] and rows[3]["cluster_size"] == 1
