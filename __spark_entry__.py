@@ -289,6 +289,12 @@ def _q_fingerprint(spark, sf_dir):
     return _longify(fingerprint(_docs(spark, sf_dir)))
 
 
+def _q_repetition(spark, sf_dir):
+    from ostrich_spark.textops import repetition_scores
+
+    return _longify(repetition_scores(_docs(spark, sf_dir)))
+
+
 def _q_token_stats(spark, sf_dir):
     from ostrich_spark.textops import token_stats
 
@@ -437,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_quality,
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
+        "text_repetition": _q_repetition,
         "text_token_stats": _q_token_stats,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
@@ -612,6 +619,21 @@ def oracle_sql() -> dict[str, str]:
             f"p AS (SELECT doc_id, pos + 1 AS p1, {TID_SQL} AS tid FROM pos) "
             "SELECT doc_id, CAST(sum((tid * ((p1 * p1) % 1000000007)) % 1000000007) "
             "% 1000000007 AS BIGINT) AS fp FROM p GROUP BY doc_id"
+        ),
+        "text_repetition": (
+            f"WITH {TOKS_CTE}, {TOKLIST_CTE}, "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+            "toptf AS (SELECT doc_id, max(tf) AS top_tf FROM tf GROUP BY doc_id), "
+            "lns AS (SELECT doc_id, list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines "
+            " FROM documents), "
+            "lstats AS (SELECT doc_id, len(lines) - len(list_distinct(lines)) AS dup_lines, "
+            " greatest(len(lines), 1) AS n_lines FROM lns) "
+            "SELECT tl.doc_id, len(tl.toks) AS n_tokens, "
+            "coalesce(toptf.top_tf, 0) AS top_tf, "
+            "round(coalesce(toptf.top_tf, 0) * 1.0 / greatest(len(tl.toks), 1), 6) AS rep_ratio, "
+            "round(lstats.dup_lines * 1.0 / lstats.n_lines, 6) AS dup_line_frac "
+            "FROM tl LEFT JOIN toptf ON tl.doc_id = toptf.doc_id "
+            "JOIN lstats ON tl.doc_id = lstats.doc_id"
         ),
         "text_token_stats": (
             f"WITH {DL_CTE}, j AS (SELECT d.lang, dl.dl FROM documents d JOIN dl ON d.doc_id = dl.doc_id) "

@@ -121,3 +121,47 @@ def fingerprint(df, text_col="text"):
         F.col("tid") * ((F.col("p1") * F.col("p1")) % F.lit(FP_PRIME))
     ) % F.lit(FP_PRIME)
     return pos.groupBy("doc_id").agg((F.sum(elem) % F.lit(FP_PRIME)).alias("fp"))
+
+
+def repetition_scores(df, text_col="text"):
+    """Gopher-style repetition quality signals per doc:
+
+    - top_tf / rep_ratio: count and share of the single most frequent
+      token (template/spam detector);
+    - dup_line_frac: fraction of non-empty lines that are duplicates of
+      an earlier line (boilerplate detector).
+
+    top_tf comes from explode -> groupBy(doc, term) -> max (linear in
+    tokens, partial-aggregated map-side; an in-array count would be
+    O(distinct x tokens) per doc and die on million-token files); the
+    line stats are per-row array expressions.
+    """
+    t = with_tokens(df, text_col)
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("top_tf"))
+    )
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    base = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (n_lines - n_distinct_lines).alias("_dup_lines"),
+        F.greatest(n_lines, F.lit(1)).alias("_n_lines"),
+    )
+    return (
+        base.join(tf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("top_tf"), F.lit(0)).alias("top_tf"),
+            F.round(
+                F.coalesce(F.col("top_tf"), F.lit(0)) / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("rep_ratio"),
+            F.round(F.col("_dup_lines") / F.col("_n_lines"), 6).alias("dup_line_frac"),
+        )
+    )
