@@ -295,6 +295,23 @@ def _q_repetition(spark, sf_dir):
     return _longify(repetition_scores(_docs(spark, sf_dir)))
 
 
+def _q_sample_hash(spark, sf_dir):
+    from ostrich_spark.sampling import hash_sample
+
+    return _longify(hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "lang"))
+
+
+def _q_sample_stratified(spark, sf_dir):
+    from ostrich_spark.sampling import stratified_hash_sample
+
+    rates = {"en": 0.8, "de": 0.5, "fr": 0.25}
+    return _longify(
+        stratified_hash_sample(_docs(spark, sf_dir), rates, default_rate=0.1).select(
+            "doc_id", "lang"
+        )
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     from ostrich_spark.textops import token_stats
 
@@ -444,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
+        "sample_hash": _q_sample_hash,
+        "sample_stratified": _q_sample_stratified,
         "text_token_stats": _q_token_stats,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
@@ -619,6 +638,17 @@ def oracle_sql() -> dict[str, str]:
             f"p AS (SELECT doc_id, pos + 1 AS p1, {TID_SQL} AS tid FROM pos) "
             "SELECT doc_id, CAST(sum((tid * ((p1 * p1) % 1000000007)) % 1000000007) "
             "% 1000000007 AS BIGINT) AS fp FROM p GROUP BY doc_id"
+        ),
+        "sample_hash": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(('0x' || substr(sha256('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            " / 4294967296.0) < 0.25"
+        ),
+        "sample_stratified": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(('0x' || substr(sha256('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            " / 4294967296.0) < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 "
+            "WHEN 'fr' THEN 0.25 ELSE 0.1 END"
         ),
         "text_repetition": (
             f"WITH {TOKS_CTE}, {TOKLIST_CTE}, "

@@ -99,3 +99,24 @@ def test_dup_clusters_keeper_and_singletons(spark, sketch_docs):
     assert rows[1]["is_keeper"] and not rows[2]["is_keeper"]
     assert rows[1]["cluster_size"] == 2
     assert rows[3]["component"] == 3 and rows[3]["is_keeper"] and rows[3]["cluster_size"] == 1
+
+
+def test_hash_sampling_partition_invariant_and_monotone(spark):
+    """The properties that make hash sampling the scale choice: the kept
+    set is identical under any repartitioning, and a grown corpus keeps
+    every previously kept row (monotone sample growth)."""
+    from ostrich_spark.sampling import hash_sample, stratified_hash_sample
+
+    df = spark.createDataFrame([(i, "en" if i % 2 else "de") for i in range(400)], ["doc_id", "lang"])
+    kept1 = {r["doc_id"] for r in hash_sample(df, 0.3).collect()}
+    kept2 = {r["doc_id"] for r in hash_sample(df.repartition(7, "lang"), 0.3).collect()}
+    assert kept1 == kept2 and 60 <= len(kept1) <= 180
+    # monotone: sampling the first half yields exactly the intersection
+    half = df.filter(df.doc_id < 200)
+    kept_half = {r["doc_id"] for r in hash_sample(half, 0.3).collect()}
+    assert kept_half == {d for d in kept1 if d < 200}
+    # stratified rates actually differ per stratum
+    s = stratified_hash_sample(df, {"en": 0.9, "de": 0.1}).collect()
+    n_en = sum(1 for r in s if r["lang"] == "en")
+    n_de = sum(1 for r in s if r["lang"] == "de")
+    assert n_en > 140 and n_de < 60
