@@ -295,6 +295,31 @@ def _q_repetition(spark, sf_dir):
     return _longify(repetition_scores(_docs(spark, sf_dir)))
 
 
+def _q_text_chunks(spark, sf_dir):
+    from ostrich_spark.textops import chunk_tokens
+
+    return _longify(chunk_tokens(_docs(spark, sf_dir), chunk_size=96, overlap=32))
+
+
+def _q_scrub_pii(spark, sf_dir):
+    from ostrich_spark.textops import scrub_pii
+
+    # the synthetic docs carry no PII; derive a deterministic contact
+    # suffix in BOTH engines so the redaction check is non-vacuous
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return _longify(scrub_pii(d))
+
+
 def _q_sample_hash(spark, sf_dir):
     from ostrich_spark.sampling import hash_sample
 
@@ -461,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
         "text_repetition": _q_repetition,
+        "text_chunks": _q_text_chunks,
+        "scrub_pii": _q_scrub_pii,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "text_token_stats": _q_token_stats,
@@ -638,6 +665,28 @@ def oracle_sql() -> dict[str, str]:
             f"p AS (SELECT doc_id, pos + 1 AS p1, {TID_SQL} AS tid FROM pos) "
             "SELECT doc_id, CAST(sum((tid * ((p1 * p1) % 1000000007)) % 1000000007) "
             "% 1000000007 AS BIGINT) AS fp FROM p GROUP BY doc_id"
+        ),
+        "text_chunks": (
+            f"WITH {TOKLIST_CTE}, t AS (SELECT doc_id, toks FROM tl WHERE len(toks) > 0), "
+            "c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 64)) AS start FROM t) "
+            "SELECT doc_id, CAST(start / 64 AS BIGINT) AS chunk_id, "
+            "len(list_slice(toks, start + 1, start + 96)) AS n_chunk_tokens, "
+            "array_to_string(list_slice(toks, start + 1, start + 96), ' ') AS chunk_text "
+            "FROM c"
+        ),
+        "scrub_pii": (
+            "WITH d AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) "
+            " || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text "
+            " FROM documents) "
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+            "len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip, "
+            "len(regexp_extract_all(text, '\\b[0-9a-fA-F]{32,}\\b')) AS n_hex_secret, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+            " '\\b[0-9a-fA-F]{32,}\\b', '<HEX_SECRET>', 'g') AS scrubbed "
+            "FROM d"
         ),
         "sample_hash": (
             "SELECT doc_id, lang FROM documents WHERE "

@@ -165,3 +165,55 @@ def repetition_scores(df, text_col="text"):
             F.round(F.col("_dup_lines") / F.col("_n_lines"), 6).alias("dup_line_frac"),
         )
     )
+
+
+def chunk_tokens(df, text_col="text", chunk_size: int = 128, overlap: int = 0):
+    """Split each doc's token stream into training-window chunks:
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text). Starts at 0, stride
+    = chunk_size - overlap, last chunk may be short; token-less docs
+    yield no chunks. Pure array expressions (sequence + slice) — the
+    explode multiplies rows but never shuffles.
+    """
+    if chunk_size <= 0 or not 0 <= overlap < chunk_size:
+        raise ValueError(f"need chunk_size > 0 and 0 <= overlap < chunk_size, got {chunk_size}, {overlap}")
+    step = chunk_size - overlap
+    t = with_tokens(df, text_col).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(step))
+    c = t.select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# Conservative Java-regex/RE2 common-subset patterns (portable to the
+# DuckDB oracle verbatim)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "hex_secret": r"\b[0-9a-fA-F]{32,}\b",
+}
+
+
+def scrub_pii(df, text_col="text"):
+    """Redact emails / IPv4s / long hex secrets: (doc_id, n_email, n_ip,
+    n_hex_secret, scrubbed). Pure regexp_replace/regexp_count — JVM-side,
+    order of substitution fixed (email, ip, hex) so counts are taken on
+    the ORIGINAL text before any replacement."""
+    out = df.select(
+        "doc_id",
+        F.col(text_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
+            for name, p in PII_PATTERNS.items()
+        ],
+    )
+    scrubbed = F.col(text_col)
+    for name, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{name.upper()}>")
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_hex_secret", scrubbed.alias("scrubbed")
+    )
