@@ -160,6 +160,9 @@ def main():
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),
+        ("text_chunks", em.queries()["text_chunks"]),
+        ("scrub_pii", em.queries()["scrub_pii"]),
+        ("sample_stratified", em.queries()["sample_stratified"]),
     ]:
         t0 = time.time()
         fn(spark, SF_DIR).collect()
