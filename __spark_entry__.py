@@ -668,7 +668,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_chunks": (
             f"WITH {TOKLIST_CTE}, t AS (SELECT doc_id, toks FROM tl WHERE len(toks) > 0), "
-            "c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 64)) AS start FROM t) "
+            # start s is valid iff s <= len - overlap - 1 (adds new tokens);
+            # greatest(len-32, 1) keeps chunk 0 for docs shorter than overlap
+            "c AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks) - 32, 1), 64)) AS start FROM t) "
             "SELECT doc_id, CAST(start / 64 AS BIGINT) AS chunk_id, "
             "len(list_slice(toks, start + 1, start + 96)) AS n_chunk_tokens, "
             "array_to_string(list_slice(toks, start + 1, start + 96), ' ') AS chunk_text "

@@ -165,7 +165,12 @@ def main():
         ("sample_stratified", em.queries()["sample_stratified"]),
     ]:
         t0 = time.time()
-        fn(spark, SF_DIR).collect()
+        # text-heavy ops (chunks/scrub) would ship the whole corpus text
+        # to the driver under collect() — time the compute via count()
+        if name in ("text_chunks", "scrub_pii"):
+            fn(spark, SF_DIR).count()
+        else:
+            fn(spark, SF_DIR).collect()
         timings[name] = round(time.time() - t0, 3)
 
     # headline value: warm build + all query/op timings. The info-only

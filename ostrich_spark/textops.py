@@ -178,7 +178,13 @@ def chunk_tokens(df, text_col="text", chunk_size: int = 128, overlap: int = 0):
         raise ValueError(f"need chunk_size > 0 and 0 <= overlap < chunk_size, got {chunk_size}, {overlap}")
     step = chunk_size - overlap
     t = with_tokens(df, text_col).filter(F.size("toks") > 0)
-    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(step))
+    # a chunk starting at s contributes NEW tokens only if s + overlap <
+    # size — without this bound, any doc whose final remainder <= overlap
+    # emits a tail window fully contained in the previous chunk
+    # (duplicated training data). greatest(...,0) keeps chunk 0 for docs
+    # shorter than the overlap.
+    last_start = F.greatest(F.size("toks") - F.lit(overlap) - 1, F.lit(0))
+    starts = F.sequence(F.lit(0), last_start, F.lit(step))
     c = t.select("doc_id", "toks", F.posexplode(starts).alias("chunk_id", "start"))
     chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_size)
     return c.select(
@@ -199,21 +205,23 @@ PII_PATTERNS = {
 
 
 def scrub_pii(df, text_col="text"):
-    """Redact emails / IPv4s / long hex secrets: (doc_id, n_email, n_ip,
-    n_hex_secret, scrubbed). Pure regexp_replace/regexp_count — JVM-side,
-    order of substitution fixed (email, ip, hex) so counts are taken on
-    the ORIGINAL text before any replacement."""
-    out = df.select(
-        "doc_id",
-        F.col(text_col),
-        *[
-            F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
-            for name, p in PII_PATTERNS.items()
-        ],
-    )
+    """Redact emails / IPv4s / long hex secrets: (doc_id, n_<pattern>...,
+    scrubbed). Pure regexp_count/regexp_replace — JVM-side.
+
+    Semantics: the n_* counts are ground truth taken on the ORIGINAL
+    text; `scrubbed` applies the replacements sequentially (email, ip,
+    hex). Sequential redaction can, at replacement-token boundaries,
+    synthesize or suppress a later pattern's match (e.g.
+    'a@b.co4.5.6.7' -> '<EMAIL><IP>' although n_ip counted 0 on the
+    original, where 'co4.5.6.7' was not a standalone IPv4) — so marker
+    occurrences in `scrubbed` need not equal the counts. Audit with the
+    counts; treat markers as best-effort redaction.
+    """
+    count_cols = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
     scrubbed = F.col(text_col)
     for name, p in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, p, f"<{name.upper()}>")
-    return out.select(
-        "doc_id", "n_email", "n_ip", "n_hex_secret", scrubbed.alias("scrubbed")
-    )
+    return df.select("doc_id", *count_cols, scrubbed.alias("scrubbed"))
