@@ -120,3 +120,34 @@ def test_hash_sampling_partition_invariant_and_monotone(spark):
     n_en = sum(1 for r in s if r["lang"] == "en")
     n_de = sum(1 for r in s if r["lang"] == "de")
     assert n_en > 140 and n_de < 60
+
+
+def test_chunking_overlap_invariants(spark):
+    """The invariant the duplicate-tail bug violated: with overlap o,
+    every chunk past the first must contribute at least one NEW token
+    (size > o), and total tokens = sum(sizes) - o*(n_chunks-1)."""
+    from pyspark.sql import functions as F
+
+    from ostrich_spark.textops import chunk_tokens, with_tokens
+
+    sizes = [1, 10, 31, 32, 33, 64, 65, 95, 96, 97, 128, 160, 161, 200]
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(sizes)],
+        ["doc_id", "text"],
+    )
+    c = chunk_tokens(df, chunk_size=96, overlap=32)
+    agg = (
+        c.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("tok_sum"),
+            F.min("n_chunk_tokens").alias("min_sz"),
+        )
+        .collect()
+    )
+    by_doc = {r["doc_id"]: r for r in agg}
+    for i, n in enumerate(sizes):
+        r = by_doc[i]
+        assert r["tok_sum"] - 32 * (r["n_chunks"] - 1) == n, (n, dict(r.asDict()))
+        if r["n_chunks"] > 1:
+            assert r["min_sz"] > 32, (n, dict(r.asDict()))
