@@ -1,0 +1,144 @@
+"""End-to-end training-data pipeline over a raw source tree.
+
+Chains every plane of the engine on one corpus:
+
+  1. ingest    — sources.load_source_tree (binaryFile scan -> corpus shape)
+  2. quality   — textops.quality_scores + repetition_scores filters
+  3. scrub     — textops.scrub_pii redaction
+  4. dedup     — dedup.dup_clusters (MinHash-LSH -> components), keep keepers
+  5. sample    — sampling.stratified_hash_sample by language
+  6. chunk     — textops.chunk_tokens into training windows
+  7. index     — build_index over the surviving docs; BM25 search over it
+
+Run:  python examples/pipeline.py <source_tree_dir> <work_dir>
+(or no args: builds a demo tree under /tmp). Every step is a DataFrame
+transformation — the same script runs unchanged on a cluster via
+spark-submit --py-files dist/ostrich_spark.zip.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+# allow running from a checkout without installing the package — the
+# PYTHONPATH export reaches the executor-side python workers too (on a
+# real cluster, ship dist/ostrich_spark.zip via --py-files instead)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def make_demo_tree(root: str) -> None:
+    os.makedirs(f"{root}/src", exist_ok=True)
+    files = {
+        "src/engine.py": "def merge_policy(segments):\n    return sorted(segments)\n" * 3,
+        "src/engine_copy.py": "def merge_policy(segments):\n    return sorted(segments)\n" * 3,
+        "src/query.go": "package query\nfunc Search(term string) {}\n",
+        "src/spam.txt": "buy buy buy buy buy buy buy buy buy buy buy buy\n",
+        "src/notes.md": "indexing notes: postings are delta packed, contact admin@example.com\n",
+    }
+    for path, content in files.items():
+        full = os.path.join(root, path)
+        os.makedirs(os.path.dirname(full), exist_ok=True)
+        with open(full, "w") as f:
+            f.write(content)
+
+
+def run_pipeline(spark, tree: str, work: str) -> dict:
+    from ostrich_spark.build import build_index
+    from ostrich_spark.dedup import dup_clusters
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.sampling import stratified_hash_sample
+    from ostrich_spark.schema import Schema
+    from ostrich_spark.sources import load_source_tree
+    from ostrich_spark.textops import chunk_tokens, quality_scores, repetition_scores, scrub_pii
+
+    stats = {}
+
+    # 1. ingest
+    corpus = load_source_tree(spark, tree).withColumn(
+        "doc_id", F.xxhash64("repo", "path")
+    )
+    docs = corpus.select("doc_id", "path", "lang", F.col("content").alias("text"))
+    stats["ingested"] = docs.count()
+
+    # 2. quality filter: enough tokens, not dominated by one token
+    q = quality_scores(docs).select("doc_id", "n_tokens")
+    r = repetition_scores(docs).select("doc_id", "rep_ratio")
+    keep_q = (
+        docs.join(q, "doc_id").join(r, "doc_id")
+        .filter((F.col("n_tokens") >= 5) & (F.col("rep_ratio") <= 0.5))
+        .select("doc_id", "path", "lang", "text")
+    )
+    stats["after_quality"] = keep_q.count()
+
+    # 3. PII scrub (keep redacted text)
+    scrubbed = keep_q.join(scrub_pii(keep_q).select("doc_id", "scrubbed"), "doc_id").select(
+        "doc_id", "path", "lang", F.col("scrubbed").alias("text")
+    )
+    stats["pii_redactions"] = int(
+        scrub_pii(keep_q).agg(F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_hex_secret")))
+        .collect()[0][0] or 0
+    )
+
+    # 4. near-dup clustering -> keep one doc per cluster
+    clusters = dup_clusters(scrubbed)
+    keepers = scrubbed.join(
+        clusters.filter("is_keeper").select("doc_id"), "doc_id"
+    )
+    stats["after_dedup"] = keepers.count()
+
+    # 5. stratified sampling (here: keep everything, downweight nothing —
+    # rates are the domain-mixing knob)
+    sampled = stratified_hash_sample(
+        keepers, {"python": 1.0, "go": 1.0, "markdown": 1.0, "text": 1.0}, default_rate=1.0
+    )
+    stats["after_sampling"] = sampled.count()
+
+    # 6. chunk into training windows
+    chunks = chunk_tokens(sampled, chunk_size=64, overlap=8)
+    stats["chunks"] = chunks.count()
+
+    # 7. index the surviving docs, query it
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    idx = os.path.join(work, "index")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(
+        spark, sampled, schema, idx, num_partitions=2,
+        order_col="path", id_cols=["path"], build_id="pipeline",
+    )
+    res, _ = search(spark, idx, "text:merge_policy OR text:postings", limit=5, scorer="bm25")
+    hits = attach_docmap(spark, idx, res).select("path", "score").collect()
+    stats["top_hits"] = [(h["path"], round(h["score"], 4)) for h in hits]
+    return stats
+
+
+def main() -> int:
+    tree = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pipeline_demo_tree"
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pipeline_demo_work"
+    if len(sys.argv) <= 1:
+        shutil.rmtree(tree, ignore_errors=True)
+        make_demo_tree(tree)
+    os.makedirs(work, exist_ok=True)
+    spark = (
+        SparkSession.builder.master(os.environ.get("PIPELINE_MASTER", "local[4]"))
+        .appName("ostrich-pipeline-demo")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = run_pipeline(spark, tree, work)
+    for k, v in stats.items():
+        print(f"{k}: {v}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -10,6 +10,8 @@ import pytest
 
 from ostrich_spark.sources import CORPUS_COLUMNS, load_corpus, load_source_tree
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 
 @pytest.fixture(scope="module")
 def shaped_pdf():
@@ -101,3 +103,26 @@ def test_cli_build_accepts_files_uri(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "built 1 segments, 1 docs" in out.stdout
+
+
+def test_pipeline_example_end_to_end(tmp_path):
+    """examples/pipeline.py chains ingest -> quality -> scrub -> dedup ->
+    sample -> chunk -> index -> search on a demo tree with a known spam
+    file, a near-dup pair, and one email."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "examples", "pipeline.py"),],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    got = dict(
+        l.split(": ", 1) for l in out.stdout.splitlines() if ": " in l
+    )
+    assert got["ingested"] == "5"
+    assert got["after_quality"] == "4"      # spam.txt dropped (rep_ratio 1.0)
+    assert got["pii_redactions"] == "1"     # the email in notes.md
+    assert got["after_dedup"] == "3"        # engine.py/engine_copy.py collapsed
+    assert got["chunks"] == "3"
+    assert "engine" in got["top_hits"] and "notes.md" in got["top_hits"]
