@@ -66,7 +66,7 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         ("segment_id", pa.string()),
         ("field", pa.int32()),
         ("term", pa.string()),
-        ("row_ord", pa.int32()),
+        ("row_ord", pa.int64()),
         ("doc_freq", pa.int64()),
         ("total_tf", pa.int64()),
         ("docs", pa.binary()),
@@ -283,6 +283,23 @@ def build_index(
         order_col = id_cols[0] if id_cols else schema.fields[0].name
     os.makedirs(index_dir, exist_ok=True)
 
+    if mode == "append" and manifest_exists(index_dir):
+        committed = load_manifest(index_dir)
+        if any(
+            s.lineage.get("build_id") == build_id or s.segment_id.endswith(f"-{build_id}")
+            for s in committed.segments
+        ):
+            # without this guard every partition takes the checkpoint-hit
+            # path (fragments from the committed build still exist), the
+            # new batch is silently NOT indexed, and its token stats are
+            # double-counted into avgdl
+            raise ValueError(
+                f"build_id {build_id!r} was already committed to this index; "
+                "append requires a fresh build_id per batch (rerunning a "
+                "CRASHED append with its own id resumes fine — that build "
+                "was never committed)"
+            )
+
     field_names = [f.name for f in schema.fields]
     needed = list(dict.fromkeys([*field_names, *id_cols, order_col]))
     df = corpus_df.select(*[c for c in needed if c in corpus_df.columns])
@@ -428,10 +445,11 @@ def build_index(
             field_tokens[fid] = field_tokens.get(fid, 0) + n
         total_tokens += prior.stats.get("total_tokens", 0)
     # commit stage: term-stats job first (it reads only the durable
-    # segment files), then ONE atomic manifest save — the commit point.
-    # A crash before the save leaves term_stats orphaned but harmless
-    # (bind_stats only consults it when a manifest exists).
-    _write_term_stats(spark, index_dir)
+    # segment files of THIS manifest's segment set), then ONE atomic
+    # manifest save — the commit point. A crash before the save leaves
+    # term_stats orphaned but harmless (bind_stats only consults it when
+    # a manifest exists).
+    _write_term_stats(spark, index_dir, [s.segment_id for s in segments])
     manifest = Manifest(
         schema,
         segments,
@@ -452,28 +470,40 @@ def build_index(
         },
     )
     save_manifest(index_dir, manifest)
+    # the committed manifest is now the source of truth: remove segment
+    # dirs it does not reference (superseded overwrites, crashed other
+    # builds) so no stale postings survive on disk
+    from .manifest import garbage_collect
+
+    garbage_collect(index_dir)
     from .query.exec import invalidate_cache
 
     invalidate_cache(index_dir)
     return manifest
 
 
-def _write_term_stats(spark, index_dir: str) -> None:
+def _write_term_stats(spark, index_dir: str, segment_ids: list[str]) -> None:
     """Commit-time global term statistics (field, term, doc_freq): the
     'term dictionary' lookup table for query-time stats binding — one
     tiny sorted parquet with predicate pushdown on term, replacing a
     per-query scan over every segment (SegmentReader term-dict analog,
-    /root/reference/reader/segment_reader.go:26-33 made global)."""
+    /root/reference/reader/segment_reader.go:26-33 made global).
+
+    Reads the EXPLICIT segment list being committed, never a segments/*
+    glob — a glob would also sum doc_freq from stale/crashed segment
+    dirs and silently inflate every idf."""
     from pyspark.sql import functions as F
 
     from .query.exec import POSTINGS_SPARK_SCHEMA
 
-    glob_path = f"{index_dir}/segments/*/postings.parquet"
+    paths = [f"{index_dir}/segments/{sid}/postings.parquet" for sid in segment_ids]
     tmp = os.path.join(index_dir, "term_stats.parquet.tmp")
     out = os.path.join(index_dir, "term_stats.parquet")
+    if not paths:
+        return
     stats = (
         spark.read.schema(POSTINGS_SPARK_SCHEMA)
-        .parquet(glob_path)
+        .parquet(*paths)
         .select("field", "term", "doc_freq")
         .groupBy("field", "term")
         .agg(F.sum("doc_freq").alias("doc_freq"))

@@ -56,7 +56,7 @@ MIN_NUM_SEGMENTS_TO_MERGE = 8
 MAX_DOCS_BEFORE_MERGE = 10_000_000
 
 POSTINGS_RESULT_SCHEMA = (
-    "segment_id string, field int, term string, row_ord int, doc_freq long, "
+    "segment_id string, field int, term string, row_ord long, doc_freq long, "
     "total_tf long, docs binary, tfs binary, lens binary, "
     "doc_offs array<long>, tf_offs array<long>, len_offs array<long>, "
     "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
@@ -106,6 +106,7 @@ def _patch_row(row: pd.Series, offset: int) -> dict:
         "docs": packed,
         "doc_offs": offs,
         "block_max_doc": bmd,
+        "first_doc": int(docs[0]),
     }
 
 
@@ -121,6 +122,27 @@ def merge_segments(
 
     manifest = load_manifest(index_dir)
     by_id = {s.segment_id: s for s in manifest.segments}
+
+    # Idempotent resume: if a previous run crashed between the segment
+    # rename and the manifest save, the completed new_dir already exists
+    # (fragment.json is written before the rename) — skip the rebuild and
+    # jump straight to the manifest swap; a blind rerun would otherwise
+    # fail on os.rename into the non-empty directory.
+    new_dir = segment_dir(index_dir, new_segment_id)
+    frag_path = os.path.join(new_dir, FRAGMENT_NAME)
+    if os.path.exists(frag_path):
+        with open(frag_path) as f:
+            prior_frag = json.load(f)
+        if prior_frag.get("lineage", {}).get("merged_from") == list(segment_ids):
+            return _swap_manifest(
+                index_dir, manifest, segment_ids, new_segment_id,
+                prior_frag["max_doc"], prior_frag["lineage"], prior_frag["metrics"],
+            )
+        raise RuntimeError(
+            f"segment dir {new_dir} exists from a DIFFERENT merge "
+            f"({prior_frag.get('lineage', {}).get('merged_from')}); refusing to overwrite"
+        )
+
     # offsets in SegmentOrd order restricted to the candidates
     ordered = [s for s in manifest.sorted_segments() if s.segment_id in set(segment_ids)]
     offsets: dict[str, int] = {}
@@ -152,8 +174,6 @@ def merge_segments(
     new_sid = new_segment_id
 
     with_off = postings.join(F.broadcast(off_df), "segment_id")
-    # rank of each segment in doc-offset order, for shard row_ord reassignment
-    off_rank = {o: i for i, (_, o) in enumerate(sorted(offsets.items(), key=lambda kv: kv[1]))}
 
     def patch_partition(it):
         for pdf in it:
@@ -167,10 +187,12 @@ def merge_segments(
                         "segment_id": new_sid,
                         "field": int(row["field"]),
                         "term": row["term"],
-                        # monotone in (seg_off, old row_ord): preserves
-                        # doc-range order across shards of one term
-                        "row_ord": off_rank[int(row["seg_off"])] * 100_000
-                        + int(row["row_ord"]),
+                        # row_ord := the shard's FIRST new docID — unique
+                        # (doc ranges are disjoint) and monotone with doc
+                        # order for ANY merge depth; the previous
+                        # rank*100_000+old scheme collided and misordered
+                        # when re-merging already-sharded segments
+                        "row_ord": patched["first_doc"],
                         "doc_freq": int(row["doc_freq"]),
                         "total_tf": int(row["total_tf"]),
                         "docs": patched["docs"],
@@ -291,8 +313,18 @@ def merge_segments(
         json.dump(fragment, f, indent=1, sort_keys=True)
     os.rename(tmp_dir, new_dir)
 
-    # --- manifest swap (endMerge, segment_updater.go:115-136) -----------
-    new_meta = SegmentMeta(new_segment_id, total_docs, fragment["lineage"], metrics)
+    return _swap_manifest(
+        index_dir, manifest, segment_ids, new_segment_id, total_docs,
+        fragment["lineage"], metrics,
+    )
+
+
+def _swap_manifest(
+    index_dir, manifest, segment_ids, new_segment_id, total_docs, lineage, metrics
+) -> SegmentMeta:
+    """endMerge (segment_updater.go:115-136): replace the merged sources
+    with the new segment in one atomic manifest save, then GC."""
+    new_meta = SegmentMeta(new_segment_id, total_docs, lineage, metrics)
     remaining = [s for s in manifest.segments if s.segment_id not in set(segment_ids)]
     new_manifest = Manifest(
         manifest.schema,
@@ -302,8 +334,8 @@ def merge_segments(
     )
     save_manifest(index_dir, new_manifest)
     garbage_collect(index_dir)
-    # term_stats stays valid (global doc_freq is merge-invariant), but the
-    # cached postings/docmap globs now point at deleted files
+    # term_stats stays valid (global doc_freq is merge-invariant); drop
+    # cached readers now pointing at deleted segment files
     from .query.exec import invalidate_cache
 
     invalidate_cache(index_dir)

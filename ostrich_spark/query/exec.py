@@ -39,29 +39,25 @@ from __future__ import annotations
 import json
 from functools import reduce
 from operator import or_
-from typing import Iterable
 
 import numpy as np
 import pandas as pd
 
 from ..manifest import Manifest, load_manifest
-from ..schema import Schema
 from .parser import parse_query
 from .plan import (
     B,
     K1,
-    SCORER_BM25,
     SCORER_TFIDF,
     collect_terms,
     compile_query,
-    is_pure_term_union,
     to_wire,
 )
 
 RESULT_SCHEMA = "segment_id string, doc long, score double, is_count boolean"
 
 POSTINGS_SPARK_SCHEMA = (
-    "segment_id string, field int, term string, row_ord int, doc_freq long, "
+    "segment_id string, field int, term string, row_ord long, doc_freq long, "
     "total_tf long, docs binary, tfs binary, lens binary, "
     "doc_offs array<long>, tf_offs array<long>, len_offs array<long>, "
     "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
@@ -447,6 +443,37 @@ def _docmap_glob(index_dir: str) -> str:
     return f"{index_dir}/segments/*/docmap.parquet"
 
 
+def _read_segment_files(spark, index_dir: str, manifest, fname: str, schema: str | None):
+    """Manifest-driven segment reads — the committed manifest is the
+    source of truth, NOT the filesystem: a segments/* glob would also
+    scan stale dirs (crashed builds, superseded segments awaiting GC)
+    and return duplicate/phantom documents. Cache key includes the
+    opstamp so any commit naturally invalidates."""
+    key = (id(spark), index_dir, fname, manifest.opstamp)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        paths = [
+            f"{index_dir}/segments/{s.segment_id}/{fname}" for s in manifest.segments
+        ]
+        if not paths:
+            df = spark.createDataFrame([], schema or "segment_id string, doc long")
+        else:
+            reader = spark.read
+            if schema:
+                reader = reader.schema(schema)
+            df = reader.parquet(*paths)
+        _DF_CACHE[key] = df
+    return df
+
+
+def read_postings(spark, index_dir: str, manifest):
+    return _read_segment_files(spark, index_dir, manifest, "postings.parquet", POSTINGS_SPARK_SCHEMA)
+
+
+def read_docmap(spark, index_dir: str, manifest):
+    return _read_segment_files(spark, index_dir, manifest, "docmap.parquet", None)
+
+
 def _term_predicate(F, terms) -> "object":
     return reduce(
         or_,
@@ -497,7 +524,7 @@ def bind_stats(spark, index_dir: str, manifest: Manifest, logical):
                 doc_freqs[(int(f), tm)] = int(df_)
         else:
             rows = (
-                _cached_read(spark, _postings_glob(index_dir), POSTINGS_SPARK_SCHEMA)
+                read_postings(spark, index_dir, manifest)
                 .filter(_term_predicate(F, terms))
                 .groupBy("field", "term")
                 .agg(F.sum("doc_freq").alias("df"))
@@ -609,7 +636,7 @@ def search(
     if wire["kind"] == "all":
         # AllQuery (all_query.go:11-77): every doc scores 1.0; scan docmap
         docs = with_segment_ord(
-            _cached_read(spark, _docmap_glob(index_dir), None).select("segment_id", "doc")
+            read_docmap(spark, index_dir, manifest).select("segment_id", "doc")
         ).withColumn("score", F.lit(1.0))
         out = docs.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
         if offset:
@@ -622,7 +649,7 @@ def search(
 
     terms = collect_terms(logical)
     k = None if limit is None else limit + offset
-    pruned = _cached_read(spark, _postings_glob(index_dir), POSTINGS_SPARK_SCHEMA).filter(
+    pruned = read_postings(spark, index_dir, manifest).filter(
         _term_predicate(F, terms)
     )
     # WAND prunes non-candidates, so the exhaustive count must disable it
@@ -652,7 +679,7 @@ def attach_docmap(spark, index_dir: str, results_df):
     (broadcast join — results are tiny)."""
     from pyspark.sql import functions as F
 
-    docmap = _cached_read(spark, _docmap_glob(index_dir), None)
+    docmap = read_docmap(spark, index_dir, load_manifest(index_dir))
     return docmap.join(
         F.broadcast(results_df), on=["segment_id", "doc"], how="inner"
     )

@@ -29,6 +29,10 @@ MUST = "must"
 SHOULD = "should"
 
 
+class QueryParseError(ValueError):
+    """Malformed query string (dangling operator, unclosed paren)."""
+
+
 @dataclass(frozen=True)
 class TermQuery:
     field_id: int
@@ -103,6 +107,10 @@ class _Parser:
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
 
     def next(self) -> str:
+        if self.pos >= len(self.tokens):
+            raise QueryParseError(
+                "unexpected end of query (dangling operator or unclosed '(')"
+            )
         t = self.tokens[self.pos]
         self.pos += 1
         return t

@@ -115,6 +115,18 @@ def compile_query(
         idf = tfidf_idf(total_docs, df) if scorer == SCORER_TFIDF else bm25_idf(total_docs, df)
         return CTerm(q.field_id, q.term, df, idf, field_avgdl.get(q.field_id, 1.0))
     if isinstance(q, BooleanQuery):
+        # Nested AllQuery is rejected, not silently mis-evaluated: the
+        # segment scorer only sees PRUNED posting rows for the query's
+        # terms, so a nested 'all' node there cannot know the segment's
+        # doc count (and a bare all-OR-term would need segments with no
+        # matching term rows at all). Top-level AllQuery takes the docmap
+        # scan path in exec.search. The reference's NQL cannot express a
+        # nested AllQuery either — it is programmatic-only there.
+        if any(isinstance(sub, AllQuery) for _, sub in q.subqueries):
+            raise ValueError(
+                "AllQuery inside a BooleanQuery is not supported; "
+                "use AllQuery alone (docmap scan path)"
+            )
         musts = [
             compile_query(sub, doc_freqs, total_docs, field_avgdl, scorer)
             for occ, sub in q.subqueries
