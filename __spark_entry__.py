@@ -114,12 +114,17 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
 
 def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
     """All matches via the real engine; -> (doc_id, score) rounded."""
+    from ostrich_spark.manifest import load_manifest
     from ostrich_spark.query.exec import attach_docmap, search
 
     idx = _doc_index(spark, sf_dir)
-    res, _ = search(spark, idx, logical if logical is not None else query, limit=None, scorer=scorer)
+    mf = load_manifest(idx)  # pin one snapshot across search + docmap join
+    res, _ = search(
+        spark, idx, logical if logical is not None else query,
+        limit=None, scorer=scorer, manifest=mf,
+    )
     return (
-        attach_docmap(spark, idx, res)
+        attach_docmap(spark, idx, res, manifest=mf)
         .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
     )
 
@@ -268,7 +273,9 @@ def _q_simhash(spark, sf_dir):
 def _q_ngram_jaccard(spark, sf_dir):
     from ostrich_spark.dedup import ngram_jaccard_pairs
 
-    return _longify(ngram_jaccard_pairs(_docs(spark, sf_dir)))
+    # explicit opt-in to the exact full-universe join (the oracle SQL has
+    # no df guard); the library default is a finite max_gram_df
+    return _longify(ngram_jaccard_pairs(_docs(spark, sf_dir), max_gram_df=None))
 
 
 def _q_quality(spark, sf_dir):
@@ -366,6 +373,46 @@ def _q_ivf_topk(spark, sf_dir):
 
     qv = _query_vec(spark, sf_dir)
     return _longify(ivf_topk(_emb(spark, sf_dir), qv, k=10, n_centroids=8))
+
+
+_IVF_CACHE: dict[str, str] = {}
+
+
+def _ivf_index(spark, sf_dir) -> str:
+    """Persisted IVF index over the embeddings table (train_iters=0 — the
+    first-C centroid set the DuckDB oracle reproduces), cached per sf_dir."""
+    from ostrich_spark.similarity import ivf_build
+
+    key = os.path.realpath(sf_dir)
+    if key in _IVF_CACHE:
+        return _IVF_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    path = f"/tmp/ostrich_entry_ivf/{tag}"
+    if not os.path.exists(os.path.join(path, "centroids.parquet")):
+        ivf_build(spark, _emb(spark, sf_dir), path, n_centroids=8, train_iters=0)
+    _IVF_CACHE[key] = path
+    return path
+
+
+def _q_ivf_persisted_topk(spark, sf_dir):
+    """Scale path: search the MATERIALIZED cluster-partitioned index —
+    the cluster_id filter prunes to nprobe/C partitions (PartitionFilters
+    in the scan), no per-query assignment recompute."""
+    from ostrich_spark.similarity import ivf_search
+
+    idx = _ivf_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    return _longify(ivf_search(spark, idx, qv, k=10, nprobe=1))
+
+
+def _q_emb_neardup_lsh(spark, sf_dir):
+    """Self-contained near-dup: random-hyperplane LSH buckets + exact
+    cosine verify — no caller-supplied blocking key."""
+    from ostrich_spark.similarity import neardup_pairs_lsh
+
+    return _longify(
+        neardup_pairs_lsh(_emb(spark, sf_dir), threshold=0.35, n_planes=16, bands=4)
+    )
 
 
 def _q_emb_neardup(spark, sf_dir):
@@ -494,7 +541,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
+        "ann_ivf_persisted_topk": _q_ivf_persisted_topk,
         "emb_neardup_pairs": _q_emb_neardup,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
         "mm_binary_meta": _q_mm_meta,
         "mm_decode_features": _q_mm_decode,
         "events_tumbling_hour": _q_events_tumbling,
@@ -766,6 +815,57 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e JOIN assign USING(vec_id), q "
             "WHERE assign.cluster_id = (SELECT cid FROM qc) "
             "ORDER BY sim DESC, e.vec_id ASC LIMIT 10"
+        ),
+        # identical computation to ann_ivf_topk: train_iters=0 pins the
+        # persisted index's centroids to the first-8 vectors, so the
+        # partition-pruned search must return the same rows
+        "ann_ivf_persisted_topk": (
+            "WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), "
+            "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "s AS (SELECT e.vec_id, c.cid, round("
+            " list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings e, c), "
+            "assign AS (SELECT vec_id, cid AS cluster_id FROM (SELECT vec_id, cid, "
+            " row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn FROM s) WHERE rn = 1), "
+            "qc AS (SELECT cid FROM c, q ORDER BY "
+            " list_sum(list_transform(list_zip(c.cvec, q.qv), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(c.cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) ) DESC, cid ASC LIMIT 1) "
+            "SELECT e.vec_id, round("
+            " list_sum(list_transform(list_zip(e.embedding, q.qv), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings e JOIN assign USING(vec_id), q "
+            "WHERE assign.cluster_id = (SELECT cid FROM qc) "
+            "ORDER BY sim DESC, e.vec_id ASC LIMIT 10"
+        ),
+        # random-hyperplane LSH: plane component (p, i) from the same
+        # portable affine formula as ostrich_spark.similarity.plane_component
+        # (dim=64, 16 planes, 4 bands × 4 bits, band = p % 4, pos = p // 4)
+        "emb_neardup_lsh": (
+            "WITH planes AS (SELECT unnest(range(16)) AS p), "
+            "sig AS (SELECT e.vec_id, pl.p, "
+            " list_sum(list_transform(range(1, 65), i -> "
+            "  CAST(e.embedding[i] AS DOUBLE) * "
+            "  (((2654435761 * (pl.p * 64 + i) + 97) % 1000000007) % 2001 - 1000) / 1000.0)) AS dot "
+            " FROM embeddings e, planes pl), "
+            "bandh AS (SELECT vec_id, p % 4 AS band, "
+            " sum((CASE WHEN dot >= 0 THEN 1 ELSE 0 END) * (1 << (p // 4))) AS band_hash "
+            " FROM sig GROUP BY vec_id, p % 4), "
+            "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b FROM bandh a JOIN bandh b "
+            " ON a.band = b.band AND a.band_hash = b.band_hash AND a.vec_id < b.vec_id), "
+            "s AS (SELECT vec_a, vec_b, round("
+            " list_sum(list_transform(list_zip(ea.embedding, eb.embedding), "
+            "   pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            " FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a "
+            " JOIN embeddings eb ON eb.vec_id = cand.vec_b) "
+            "SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35"
         ),
         "emb_neardup_pairs": (
             "WITH s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("

@@ -444,12 +444,19 @@ def build_index(
         for fid, n in prior.stats.get("field_tokens", {}).items():
             field_tokens[fid] = field_tokens.get(fid, 0) + n
         total_tokens += prior.stats.get("total_tokens", 0)
-    # commit stage: term-stats job first (it reads only the durable
-    # segment files of THIS manifest's segment set), then ONE atomic
-    # manifest save — the commit point. A crash before the save leaves
-    # term_stats orphaned but harmless (bind_stats only consults it when
-    # a manifest exists).
-    _write_term_stats(spark, index_dir, [s.segment_id for s in segments])
+    # commit stage: term-stats job first, but into a STAGING dir tagged
+    # with this commit's opstamp; the manifest records which opstamp its
+    # stats belong to and the staging dir is renamed live only AFTER the
+    # manifest save. Every crash window is safe: before save_manifest the
+    # old (manifest, term_stats) pair is untouched and consistent; between
+    # save_manifest and the promote, the on-disk stats' opstamp no longer
+    # matches the manifest's term_stats_opstamp, so bind_stats falls back
+    # to summing segment postings (correct, just slower) until the next
+    # successful commit repairs the pairing.
+    est_terms = sum((s.metrics or {}).get("n_terms", s.max_doc) for s in segments)
+    staging = _write_term_stats_staged(
+        spark, index_dir, [s.segment_id for s in segments], opstamp, est_terms
+    )
     manifest = Manifest(
         schema,
         segments,
@@ -459,6 +466,7 @@ def build_index(
             "total_tokens": total_tokens,
             "field_tokens": field_tokens,
             "build_id": build_id,
+            "term_stats_opstamp": opstamp,
             # phase split for scaling analysis: map_sec is the per-file
             # work (scales with executors); commit_sec is per-BUILD
             # constant (manifest + term-stats job) that amortizes to
@@ -470,6 +478,7 @@ def build_index(
         },
     )
     save_manifest(index_dir, manifest)
+    _promote_term_stats(index_dir, staging)
     # the committed manifest is now the source of truth: remove segment
     # dirs it does not reference (superseded overwrites, crashed other
     # builds) so no stale postings survive on disk
@@ -482,36 +491,72 @@ def build_index(
     return manifest
 
 
-def _write_term_stats(spark, index_dir: str, segment_ids: list[str]) -> None:
+STATS_META_NAME = "_STATS_META.json"
+TERM_STATS_NAME = "term_stats.parquet"
+_STATS_ROWS_PER_FILE = 2_000_000
+
+
+def _write_term_stats_staged(
+    spark, index_dir: str, segment_ids: list[str], opstamp: int, est_terms: int
+) -> str | None:
     """Commit-time global term statistics (field, term, doc_freq): the
-    'term dictionary' lookup table for query-time stats binding — one
-    tiny sorted parquet with predicate pushdown on term, replacing a
-    per-query scan over every segment (SegmentReader term-dict analog,
+    'term dictionary' lookup table for query-time stats binding —
+    (field, term) range-partitioned sorted parquet with predicate
+    pushdown on term, replacing a per-query scan over every segment
+    (SegmentReader term-dict analog,
     /root/reference/reader/segment_reader.go:26-33 made global).
+
+    Range-partitioned, NOT coalesce(1): at web scale the distinct-term
+    universe is billions of rows and a single writer task would dominate
+    the commit. File count targets ~2M rows/file (1 file at sandbox
+    scale); each file stays (field, term)-sorted so row-group stats
+    prune, and bind_stats' pyarrow dataset path reads multi-file dirs.
 
     Reads the EXPLICIT segment list being committed, never a segments/*
     glob — a glob would also sum doc_freq from stale/crashed segment
-    dirs and silently inflate every idf."""
+    dirs and silently inflate every idf.
+
+    Writes into ``term_stats.parquet.staging-<opstamp>`` with a
+    _STATS_META.json carrying the opstamp; the caller promotes it to the
+    live name only after the manifest naming that opstamp is committed.
+    """
     from pyspark.sql import functions as F
 
     from .query.exec import POSTINGS_SPARK_SCHEMA
 
     paths = [f"{index_dir}/segments/{sid}/postings.parquet" for sid in segment_ids]
-    tmp = os.path.join(index_dir, "term_stats.parquet.tmp")
-    out = os.path.join(index_dir, "term_stats.parquet")
     if not paths:
-        return
+        return None
+    staging = os.path.join(index_dir, f"{TERM_STATS_NAME}.staging-{opstamp}")
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    nparts = max(1, min(200, est_terms // _STATS_ROWS_PER_FILE + 1))
     stats = (
         spark.read.schema(POSTINGS_SPARK_SCHEMA)
         .parquet(*paths)
         .select("field", "term", "doc_freq")
         .groupBy("field", "term")
         .agg(F.sum("doc_freq").alias("doc_freq"))
-        .coalesce(1)
+        .repartitionByRange(nparts, "field", "term")
         .sortWithinPartitions("field", "term")
     )
-    stats.write.mode("overwrite").parquet(tmp)
+    stats.write.mode("overwrite").parquet(staging)
+    atomic_write_json(os.path.join(staging, STATS_META_NAME), {"opstamp": opstamp})
+    return staging
+
+
+def _promote_term_stats(index_dir: str, staging: str | None) -> None:
+    """Swap the staged stats dir into the live name and clean stale
+    staging dirs from crashed commits."""
+    import glob as _glob
     import shutil
 
-    shutil.rmtree(out, ignore_errors=True)
-    os.rename(tmp, out)
+    out = os.path.join(index_dir, TERM_STATS_NAME)
+    if staging is not None and os.path.isdir(staging):
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(staging, out)
+    for stale in _glob.glob(os.path.join(index_dir, f"{TERM_STATS_NAME}.staging-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+    # legacy single-file tmp from older builds
+    shutil.rmtree(os.path.join(index_dir, f"{TERM_STATS_NAME}.tmp"), ignore_errors=True)

@@ -172,7 +172,7 @@ def simhash(df, text_col="text", bits: int = 32):
 
 
 def ngram_jaccard_pairs(
-    df, text_col="text", n: int = 3, threshold: float = 0.3, max_gram_df: int | None = None
+    df, text_col="text", n: int = 3, threshold: float = 0.3, max_gram_df: int | None = 10_000
 ):
     """Pairs with token-n-gram Jaccard >= threshold (exact, join-based).
 
@@ -182,8 +182,10 @@ def ngram_jaccard_pairs(
     a cap, ultra-frequent shingles are dropped from the gram universe
     BEFORE the join (sizes and intersections both computed over the
     reduced universe, so the Jaccard stays exact w.r.t. that universe —
-    the standard trade in web-scale shingle dedup). None (the gated
-    oracle configuration) keeps the full universe.
+    the standard trade in web-scale shingle dedup). The default is
+    FINITE (10k) so a naive call can never all-pairs-explode; callers
+    wanting the exact full-universe join must opt in with
+    ``max_gram_df=None``.
     """
     t = with_tokens(df, text_col)
     tri = t.filter(F.size("toks") >= n).select(
@@ -232,13 +234,19 @@ def connected_components(pairs, id_a="doc_a", id_b="doc_b", max_iter: int = 50):
     -> (doc_id, component) with component = min doc_id reachable. The
     canonical post-LSH step (cluster -> keep min id, drop the rest).
 
-    Iterative min-label propagation on DataFrames: comp(x) <- min(comp(x),
-    min over neighbors' comp), looped to fixpoint. Each round is one
-    shuffle keyed by doc_id; rounds needed = graph diameter, which for
-    near-dup clusters is small (dups of one document link to each other
-    through shared bands). Driver only checks a convergence COUNT per
-    round — no per-node data leaves the cluster. max_iter bounds
-    pathological chains.
+    Each round does (1) min-label propagation — comp(x) <- min(comp(x),
+    min over neighbors' comp) — then (2) POINTER JUMPING: comp(x) <-
+    comp(comp(x)) (labels are node ids, so a self-join resolves the hop).
+    The jump doubles label reach per round, so convergence is
+    O(log diameter), not O(diameter): a 10^6-long chain of templated
+    near-dup docs — exactly the shape web corpora produce — resolves in
+    ~20 rounds where plain propagation needed 10^6. Two shuffles per
+    round, both keyed by node id (uniform); lineage cut per round via
+    localCheckpoint. Driver only sees a convergence COUNT.
+
+    Raises RuntimeError if max_iter rounds don't converge — silently
+    returning split components would let extra duplicates survive dedup
+    with no signal.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -250,18 +258,27 @@ def connected_components(pairs, id_a="doc_a", id_b="doc_b", max_iter: int = 50):
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(comp, edges.dst == comp.node)
             .groupBy("src")
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_comp = (
+        hopped = (
             comp.join(neighbor_min, comp.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias("comp"),
             )
+        )
+        # pointer jump: comp(x) <- comp(comp(x)). Every label IS a node in
+        # the table (labels start as own ids and min-propagate), so the
+        # lookup join always hits; left join guards the invariant anyway.
+        lookup = hopped.select(F.col("node").alias("lnode"), F.col("comp").alias("lcomp"))
+        new_comp = (
+            hopped.join(lookup, hopped.comp == lookup.lnode, "left")
+            .select("node", F.coalesce(F.col("lcomp"), F.col("comp")).alias("comp"))
         )
         new_comp = new_comp.localCheckpoint(eager=True)  # cut lineage growth
         changed = (
@@ -272,7 +289,15 @@ def connected_components(pairs, id_a="doc_a", id_b="doc_b", max_iter: int = 50):
         )
         comp = new_comp
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "clusters would be silently split (extra duplicates kept). "
+            "Raise max_iter — with pointer jumping rounds grow as "
+            "log2(component diameter)."
+        )
     return comp.select(F.col("node").alias("doc_id"), "comp")
 
 

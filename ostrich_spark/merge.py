@@ -116,12 +116,22 @@ def merge_segments(
     segment_ids: list[str],
     new_segment_id: str,
     shard_threshold: int = 1_000_000,
+    write_partitions: int | None = None,
 ) -> SegmentMeta:
     """Execute one merge: candidate segments -> one new segment."""
     from pyspark.sql import functions as F
 
     manifest = load_manifest(index_dir)
     by_id = {s.segment_id: s for s in manifest.segments}
+
+    # Fully-committed rerun: the merge result is already in the manifest
+    # and the sources are gone (an orchestrator retry after success, or a
+    # crash between save_manifest and GC). Swapping again would append the
+    # new segment a second time — the manifest would list it twice and
+    # every read would double doc_freq/counts. No-op instead.
+    committed = {s.segment_id for s in manifest.segments}
+    if new_segment_id in committed and not (committed & set(segment_ids)):
+        return by_id[new_segment_id]
 
     # Idempotent resume: if a previous run crashed between the segment
     # rename and the manifest save, the completed new_dir already exists
@@ -267,8 +277,16 @@ def merge_segments(
     tmp_dir = f"{new_dir}.merging"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
+    # Multi-task segment write: range-partition on (field, term) so the
+    # merged postings write scales with segment size instead of funneling
+    # a multi-GB segment through one task (a policy-sized merge is
+    # 8×10M docs). Files stay (field, term)-sorted, so parquet row-group
+    # stats still prune term lookups per file; readers tolerate
+    # multi-file segments (row_ord orders shards within a term).
+    if write_partitions is None:
+        write_partitions = max(1, min(64, total_docs // 250_000 + 1))
     (
-        merged_postings.repartition(1, "field")
+        merged_postings.repartitionByRange(write_partitions, "field", "term", "row_ord")
         .sortWithinPartitions("field", "term", "row_ord")
         .write.mode("overwrite")
         .parquet(f"{tmp_dir}/postings.parquet")
@@ -324,6 +342,11 @@ def _swap_manifest(
 ) -> SegmentMeta:
     """endMerge (segment_updater.go:115-136): replace the merged sources
     with the new segment in one atomic manifest save, then GC."""
+    committed = {s.segment_id for s in manifest.segments}
+    if new_segment_id in committed and not (committed & set(segment_ids)):
+        # already swapped by a prior run — appending again would list the
+        # segment twice and double every count; no-op
+        return next(s for s in manifest.segments if s.segment_id == new_segment_id)
     new_meta = SegmentMeta(new_segment_id, total_docs, lineage, metrics)
     remaining = [s for s in manifest.segments if s.segment_id not in set(segment_ids)]
     new_manifest = Manifest(

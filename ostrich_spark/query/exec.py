@@ -37,6 +37,7 @@ Block-max WAND (north rule; the reference's acknowledged TODO at
 from __future__ import annotations
 
 import json
+import os
 from functools import reduce
 from operator import or_
 
@@ -481,6 +482,28 @@ def _term_predicate(F, terms) -> "object":
     )
 
 
+def _term_stats_valid(stats_path: str, manifest) -> bool:
+    """term_stats is trusted only when its recorded opstamp matches the
+    opstamp the committed manifest says its stats were built at
+    (stats.term_stats_opstamp). A crash between save_manifest and the
+    stats promote leaves the pair mismatched — fall back to summing
+    segment postings rather than scoring with a stale/foreign doc_freq.
+    Indexes from before the pairing existed (no meta on either side)
+    remain accepted."""
+    import json as _json
+
+    expected = manifest.stats.get("term_stats_opstamp")
+    meta_path = os.path.join(stats_path, "_STATS_META.json")
+    actual = None
+    if os.path.isdir(stats_path) and os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                actual = _json.load(f).get("opstamp")
+        except (OSError, ValueError):
+            return False
+    return expected == actual
+
+
 def bind_stats(spark, index_dir: str, manifest: Manifest, logical):
     """Global stats binding (Weight construction, term_query.go:22-35).
 
@@ -496,7 +519,7 @@ def bind_stats(spark, index_dir: str, manifest: Manifest, logical):
     doc_freqs: dict[tuple[int, str], int] = {}
     if terms:
         stats_path = os.path.join(index_dir, "term_stats.parquet")
-        if os.path.exists(stats_path):
+        if os.path.exists(stats_path) and _term_stats_valid(stats_path, manifest):
             # driver-side pyarrow lookup with predicate pushdown — the
             # term-dict read is metadata access, not cluster work (the
             # file is (field, term)-sorted so row-group stats prune)
@@ -601,16 +624,22 @@ def search(
     with_count: bool = False,
     use_wand: bool = True,
     default_fields: list[str] | None = None,
+    manifest: Manifest | None = None,
 ):
     """Run a query; returns (results DataFrame, count or None).
 
     Results columns: segment_id, segment_ord, doc, score — ordered by the
     pinned total order, offset/limit applied. ``limit=None`` returns every
     match (the ForEach path, used by Count/exhaustive collectors).
+
+    ``manifest`` pins the snapshot: pass the same manifest to
+    attach_docmap so results and docmap come from one commit point even
+    if a merge/commit lands in between.
     """
     from pyspark.sql import functions as F
 
-    manifest = load_manifest(index_dir)
+    if manifest is None:
+        manifest = load_manifest(index_dir)
     schema = manifest.schema
     logical = parse_query(query, schema, default_fields) if isinstance(query, str) else query
 
@@ -674,12 +703,19 @@ def search(
     return hits.select("segment_id", "segment_ord", "doc", "score"), count
 
 
-def attach_docmap(spark, index_dir: str, results_df):
+def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None = None):
     """Join original document identity columns onto search results
-    (broadcast join — results are tiny)."""
+    (broadcast join — results are tiny).
+
+    Pass the ``manifest`` the search ran against: if a merge/commit lands
+    between search() and attach_docmap(), a freshly-loaded manifest no
+    longer lists the segments the hits reference and the inner join on
+    (segment_id, doc) would silently drop them."""
     from pyspark.sql import functions as F
 
-    docmap = read_docmap(spark, index_dir, load_manifest(index_dir))
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    docmap = read_docmap(spark, index_dir, manifest)
     return docmap.join(
         F.broadcast(results_df), on=["segment_id", "doc"], how="inner"
     )

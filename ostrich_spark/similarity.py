@@ -3,18 +3,27 @@
 - brute-force cosine top-k: F.zip_with product + F.aggregate sum — stays
   JVM-side, no Python. The scale baseline: broadcast the query vector,
   one pass over the embeddings table, TakeOrderedAndProject top-k.
-- IVF-bucketed variant: assign each vector to its nearest of C coarse
-  centroids (here: the first C vectors by vec_id — a deterministic stand-
-  in for k-means, which is a training detail, not a query-path one), then
-  search only the query's bucket. At 100 TB this turns a full scan into a
-  1/C partition-pruned scan when the table is written partitioned by
-  cluster_id.
-- embedding near-dup: cosine >= threshold within a blocking key (label),
-  the standard blocked self-join.
+- IVF index, PERSISTED: ``ivf_build`` trains coarse centroids (sampled
+  driver-side Lloyd's k-means — spherical, deterministic) and writes the
+  corpus once, ``partitionBy("cluster_id")``, next to a centroids
+  parquet. ``ivf_search`` reads the centroids, picks nprobe clusters,
+  and scans ONLY those partitions — at 100 TB the scan cost per query is
+  nprobe/C of the corpus via parquet PartitionFilters, instead of a full
+  recompute per query.
+- the unpersisted ``ivf_assign``/``ivf_topk`` remain as the oracle-gated
+  demonstration path (first-C centroids == ``train_iters=0``).
+- embedding near-dup: ``neardup_pairs`` (caller-supplied blocking key)
+  and ``neardup_pairs_lsh`` — self-contained random-hyperplane LSH:
+  sign-bit signatures over deterministic pseudo-random hyperplanes,
+  banded bucket-join (bounded by near-dup cluster size, never
+  all-pairs), exact cosine verification on candidates.
 """
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 from pyspark.sql import functions as F
 
 
@@ -53,14 +62,25 @@ def brute_force_topk(emb_df, query_vec: list[float], k: int = 10, exclude_vec_id
     )
 
 
-def ivf_assign(emb_df, n_centroids: int = 8):
-    """(vec_id, cluster_id, sim) — nearest of the first n_centroids
-    vectors (deterministic ties -> lowest centroid id)."""
-    cents = (
-        emb_df.filter(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+# ---------------------------------------------------------------------------
+# IVF: training, persisted index, partition-pruned search
+# ---------------------------------------------------------------------------
+
+
+def _first_c_centroids(emb_df, n_centroids: int):
+    """The deterministic stand-in centroid set (first C vectors by
+    vec_id) — the ``train_iters=0`` configuration the DuckDB oracle
+    reproduces exactly."""
+    return emb_df.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
-    joined = emb_df.crossJoin(F.broadcast(cents)).withColumn(
+
+
+def _assign_to(emb_df, cent_df):
+    """Nearest-centroid assignment: broadcast the (tiny) centroid table,
+    one map-side pass over the corpus — no shuffle besides the final
+    groupBy(vec_id), which AQE coalesces. Ties -> lowest centroid id."""
+    joined = emb_df.crossJoin(F.broadcast(cent_df)).withColumn(
         "sim", F.round(cosine_col(F.col("embedding"), F.col("cvec")), 6)
     )
     best = joined.groupBy("vec_id").agg(
@@ -73,13 +93,130 @@ def ivf_assign(emb_df, n_centroids: int = 8):
     )
 
 
+def ivf_train(
+    emb_df, n_centroids: int = 8, n_iter: int = 5, sample_size: int = 100_000
+) -> np.ndarray:
+    """Spherical Lloyd's k-means over a bounded driver-side sample.
+
+    Deterministic end to end: the sample is the first ``sample_size``
+    vectors by vec_id (TakeOrdered — no shuffle), init is the first
+    ``n_centroids`` of those, and every update is argmax-cosine with
+    lowest-index tie-break. Centroid training is a one-time O(sample ×
+    C × iters) numpy job; only the ASSIGNMENT pass touches the full
+    corpus. Returns (C, dim) float64, L2-normalized."""
+    rows = (
+        emb_df.select("vec_id", "embedding").orderBy("vec_id").limit(sample_size).collect()
+    )
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    if len(X) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} vectors to train, got {len(X)}")
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = Xn[:n_centroids].copy()
+    for _ in range(max(0, n_iter)):
+        sims = Xn @ C.T  # (n, C) cosine since both sides normalized
+        assign = np.argmax(sims, axis=1)  # argmax takes the FIRST max: lowest cid
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    C[c] = v / n
+    return C
+
+
+def ivf_build(
+    spark,
+    emb_df,
+    index_path: str,
+    n_centroids: int = 8,
+    train_iters: int = 5,
+    sample_size: int = 100_000,
+    extra_cols: list[str] | None = None,
+) -> None:
+    """Materialize the IVF index once: ``<index_path>/centroids.parquet``
+    + ``<index_path>/vectors/cluster_id=<c>/*.parquet``.
+
+    ``train_iters=0`` uses the first-C-vectors centroid set (the
+    oracle-reproducible configuration); otherwise sampled k-means.
+    The vectors table carries the embedding itself, so a query touches
+    ONLY the index — and only nprobe of its C partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_path, exist_ok=True)
+    if train_iters == 0:
+        cent_df = _first_c_centroids(emb_df, n_centroids)
+        cent_rows = cent_df.orderBy("cid").collect()
+        cids = [int(r["cid"]) for r in cent_rows]
+        cvecs = [[float(x) for x in r["cvec"]] for r in cent_rows]
+    else:
+        C = ivf_train(emb_df, n_centroids, train_iters, sample_size)
+        cids = list(range(n_centroids))
+        cvecs = [[float(x) for x in row] for row in C]
+        cent_df = spark.createDataFrame(
+            list(zip(cids, cvecs)), "cid int, cvec array<float>"
+        )
+    tbl = pa.table(
+        {"cid": pa.array(cids, pa.int32()), "cvec": pa.array(cvecs, pa.list_(pa.float32()))}
+    )
+    pq.write_table(tbl, os.path.join(index_path, "centroids.parquet"))
+
+    cols = ["vec_id", "embedding", *(extra_cols or [])]
+    assign = _assign_to(emb_df.select(*cols), cent_df).select("vec_id", "cluster_id")
+    (
+        emb_df.select(*cols)
+        .join(assign, "vec_id")
+        .repartition("cluster_id")  # one writer group per cluster dir
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(index_path, "vectors"))
+    )
+
+
+def ivf_search(
+    spark, index_path: str, query_vec: list[float], k: int = 10, nprobe: int = 1
+):
+    """Partition-pruned ANN: pick the nprobe nearest centroids (tiny
+    driver-side read), then scan only those cluster partitions.
+
+    The filter on the PARTITION column reaches the parquet source as a
+    PartitionFilter — Spark lists only nprobe/C of the index directories,
+    so query cost scales with cluster size, not corpus size."""
+    cent = spark.read.parquet(os.path.join(index_path, "centroids.parquet"))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed = (
+        cent.withColumn("sim", cosine_col(F.col("cvec"), q))
+        .orderBy(F.desc("sim"), F.asc("cid"))
+        .limit(nprobe)
+        .collect()
+    )
+    targets = [int(r["cid"]) for r in probed]
+    vecs = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+        F.col("cluster_id").isin(targets)
+    )
+    return (
+        vecs.withColumn("sim", F.round(cosine_col(F.col("embedding"), q), 6))
+        .select("vec_id", "sim")
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def ivf_assign(emb_df, n_centroids: int = 8):
+    """(vec_id, cluster_id, sim) — nearest of the first n_centroids
+    vectors (deterministic ties -> lowest centroid id). The
+    oracle-reproducible assignment; ``ivf_build`` persists it."""
+    return _assign_to(emb_df, _first_c_centroids(emb_df, n_centroids))
+
+
 def ivf_topk(emb_df, query_vec: list[float], k: int = 10, n_centroids: int = 8):
-    """Scale path: search only the query's coarse cluster."""
+    """One-shot IVF search WITHOUT a persisted index (recomputes the
+    assignment — fine for a single ad-hoc query; repeated queries should
+    ivf_build once and ivf_search the materialized index)."""
     assign = ivf_assign(emb_df, n_centroids)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cents = emb_df.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
+    cents = _first_c_centroids(emb_df, n_centroids)
     qbest = (
         cents.withColumn("sim", cosine_col(F.col("cvec"), q))
         .orderBy(F.desc("sim"), F.asc("cid"))
@@ -96,8 +233,14 @@ def ivf_topk(emb_df, query_vec: list[float], k: int = 10, n_centroids: int = 8):
     )
 
 
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
 def neardup_pairs(emb_df, threshold: float = 0.9, block_col: str = "label"):
-    """Blocked self-join near-duplicate detection."""
+    """Blocked self-join near-duplicate detection (caller supplies the
+    blocking key). For a self-contained path use ``neardup_pairs_lsh``."""
     a = emb_df.alias("a")
     b = emb_df.alias("b")
     return (
@@ -113,4 +256,94 @@ def neardup_pairs(emb_df, threshold: float = 0.9, block_col: str = "label"):
             F.col("b.vec_id").alias("vec_b"),
             "sim",
         )
+    )
+
+
+# random-hyperplane family: component (p, i) of plane p is a deterministic
+# pseudo-random value in [-1, 1], from the same portable affine-mod trick
+# as the minhash family (dedup.py) — pure int64 arithmetic, so the DuckDB
+# oracle reproduces the planes bit-for-bit with no literal tables.
+_PLANE_MULT = 2_654_435_761
+_PLANE_ADD = 97
+_PLANE_P = 1_000_000_007
+_PLANE_RANGE = 2001  # -> odd so the grid is symmetric around 0
+
+
+def plane_component(p: int, i: int, dim: int) -> float:
+    v = (_PLANE_MULT * (p * dim + i + 1) + _PLANE_ADD) % _PLANE_P
+    return float(v % _PLANE_RANGE - (_PLANE_RANGE - 1) // 2) / 1000.0
+
+
+def neardup_pairs_lsh(
+    emb_df,
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+):
+    """Self-contained near-dup detection: random-hyperplane LSH buckets,
+    then exact cosine on candidates.
+
+    - signature bit p = sign(dot(embedding, plane_p)); cosine-similar
+      vectors agree on most bits (collision prob = 1 - angle/pi).
+    - bits are banded (band = p mod bands, n_planes/bands bits each);
+      candidates share at least one full band -> the bucket equi-join is
+      bounded by near-dup bucket sizes, never all-pairs.
+    - the final exact-cosine filter makes the output precise w.r.t. the
+      candidate set (recall is the LSH trade-off, tunable via
+      bands/n_planes).
+
+    All plane math is JVM-side column expressions; no Python UDF."""
+    if dim is None:
+        first = emb_df.select(F.size("embedding").alias("d")).limit(1).collect()
+        if not first:
+            return emb_df.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, sim double"
+            )
+        dim = int(first[0]["d"])
+    bits_per_band = n_planes // bands
+
+    sigs = emb_df.select("vec_id", "embedding")
+    band_cols = []
+    for band in range(bands):
+        h = F.lit(0).cast("long")
+        for pos in range(bits_per_band):
+            p = band + pos * bands
+            plane = F.array(*[F.lit(plane_component(p, i, dim)) for i in range(dim)])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), plane, lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            h = h + bit * F.lit(1 << pos).cast("long")
+        band_cols.append(h.alias(f"bh{band}"))
+    sigs = sigs.select("vec_id", "embedding", *band_cols)
+
+    stack_args = ", ".join(f"{b}L, bh{b}" for b in range(bands))
+    banded = sigs.selectExpr(
+        "vec_id", f"stack({bands}, {stack_args}) AS (band, band_hash)"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb_df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb_df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("sim", F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
     )

@@ -83,7 +83,21 @@ def load_source_tree(spark, root: str, repo: str | None = None):
         .option("recursiveFileLookup", "true")
         .load(root)
     )
-    rel = F.regexp_replace(F.col("path"), f".*{os.path.basename(root)}/", "")
+    # Relativize by stripping the literal root prefix, not a regex on the
+    # basename: a root like 'c++' or 'my.repo' would malform/greedy-match
+    # a regex, and a nested dir that happens to share the basename would
+    # collide distinct files onto one relative path. binaryFile paths are
+    # URIs (file:/..., s3a://...); normalize the scheme to an absolute
+    # path, then substring past the root (position is 1-based).
+    import re as _re
+
+    _SCHEME = r"^[A-Za-z][A-Za-z0-9+.-]*:/+"
+    root_norm = _re.sub(_SCHEME, "/", root)
+    normalized = F.regexp_replace(F.col("path"), _SCHEME, "/")
+    rel = F.when(
+        F.substring(normalized, 1, len(root_norm) + 1) == F.lit(root_norm + "/"),
+        F.substring(normalized, len(root_norm) + 2, 2_000_000_000),
+    ).otherwise(normalized)
     return (
         df.select(
             F.lit(repo).alias("repo"),
