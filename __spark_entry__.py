@@ -62,6 +62,11 @@ TOKLIST_CTE = (
 
 TFIDF_SCORE_SQL = "round({tf} * (1.0 + ln((SELECT n FROM n) / (1.0 + {df}))), 6)"
 
+# (doc_id, term, pos) occurrence table — requires TOKLIST_CTE (tl)
+POS_CTE = (
+    "pos AS (SELECT doc_id, unnest(toks) AS term, unnest(range(len(toks))) AS pos FROM tl)"
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -94,10 +99,12 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}"
+    # -p1: positions-enabled index layout (phrase queries); new dir name so
+    # a cached pre-positions index is never reused
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p1"
     if not manifest_exists(index_dir):
         schema = Schema()
-        schema.add_text_field("text", "default")
+        schema.add_text_field("text", "default", positions=True)
         build_index(
             spark,
             _docs(spark, sf_dir),
@@ -226,6 +233,19 @@ def _q_eng_topk_tfidf(spark, sf_dir):
 def _q_eng_bm25_topk(spark, sf_dir):
     """North-rule BM25 (k1=1.2, b=0.75) top-10."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join", scorer="bm25")
+    return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _q_eng_phrase_tfidf(spark, sf_dir):
+    """Phrase extension: consecutive-term match on the positions-enabled
+    index; idf(phrase) = sum of constituent idfs (Lucene convention),
+    tf = phrase occurrence count."""
+    return _engine_matches(spark, sf_dir, 'text:"hash join"')
+
+
+def _q_eng_phrase_bm25(spark, sf_dir):
+    """BM25-scored phrase OR term union, top-10."""
+    m = _engine_matches(spark, sf_dir, 'text:"hash join" OR text:stream', scorer="bm25")
     return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
@@ -522,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_q8_all": _q_eng_all,
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
+        "eng_phrase_tfidf": _q_eng_phrase_tfidf,
+        "eng_phrase_bm25": _q_eng_phrase_bm25,
         "eng_c3_count": _q_eng_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_sigs,
@@ -612,6 +634,36 @@ def oracle_sql() -> dict[str, str]:
             "WHERE t.term IN ('spark','join')), "
             "g AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id) "
             "SELECT doc_id, score FROM g ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        # phrase scoring: tf = consecutive-occurrence count (self-join on
+        # pos+1), idf = SUM of constituent idfs (Lucene PhraseWeight
+        # convention, mirrored in ostrich_spark.query.plan.CPhrase)
+        "eng_phrase_tfidf": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
+            "isum AS (SELECT sum(1.0 + ln((SELECT n FROM n) / (1.0 + df))) AS s "
+            " FROM df WHERE term IN ('hash','join')), "
+            "m AS (SELECT a.doc_id, count(*) AS ptf FROM pos a JOIN pos b "
+            " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            " AND a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id) "
+            "SELECT doc_id, round(ptf * (SELECT s FROM isum), 6) AS score FROM m"
+        ),
+        "eng_phrase_bm25": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {DL_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
+            "avg AS (SELECT sum(dl) * 1.0 / (SELECT n FROM n) AS avgdl FROM dl), "
+            "pisum AS (SELECT sum(ln(1.0 + ((SELECT n FROM n) - df + 0.5) / (df + 0.5))) AS s "
+            " FROM df WHERE term IN ('hash','join')), "
+            "pm AS (SELECT a.doc_id, count(*) AS ptf FROM pos a JOIN pos b "
+            " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            " AND a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id), "
+            "ps AS (SELECT pm.doc_id, (SELECT s FROM pisum) * (pm.ptf * (1.2 + 1.0)) / "
+            " (pm.ptf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM avg))) AS sc "
+            " FROM pm JOIN dl ON pm.doc_id = dl.doc_id), "
+            "ts AS (SELECT t.doc_id, ln(1.0 + ((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5)) * "
+            " (t.tf * (1.2 + 1.0)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM avg))) AS sc "
+            " FROM tf t JOIN df d USING(term) JOIN dl ON t.doc_id = dl.doc_id WHERE t.term = 'stream'), "
+            "u AS (SELECT doc_id, round(sum(sc), 6) AS score FROM "
+            " (SELECT * FROM ps UNION ALL SELECT * FROM ts) GROUP BY doc_id) "
+            "SELECT doc_id, score FROM u ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
         "eng_c3_count": (
             f"WITH {TOKS_CTE}, d AS (SELECT DISTINCT doc_id, term FROM toks) "

@@ -78,6 +78,12 @@ POSTINGS_ARROW_SCHEMA = pa.schema(
         ("block_max_doc", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int64())),
         ("block_min_len", pa.list_(pa.int64())),
+        # per-occurrence token positions (phrase support): flat varint
+        # array of within-doc positions, doc-major (tf values per doc,
+        # boundaries = cumsum(tfs)); empty when the field's schema has
+        # positions=False
+        ("pos", pa.binary()),
+        ("pos_offs", pa.list_(pa.int64())),
     ]
 )
 
@@ -180,7 +186,24 @@ def build_segment_tables(
         sorted_dic = dic[order]
         flat_docs = np.repeat(local_ids, lens)
         key = rank[codes] * n_docs + flat_docs
-        uniq, tf_counts = np.unique(key, return_counts=True)
+        if fe.positions:
+            # stable sort keeps occurrence order (= ascending within-doc
+            # position) inside each (term, doc) run, giving the same
+            # (uniq, counts) as np.unique PLUS per-occurrence positions
+            doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            within_pos = np.arange(len(flat_docs), dtype=np.int64) - np.repeat(
+                doc_starts, lens
+            )
+            occ_order = np.argsort(key, kind="stable")
+            sorted_key = key[occ_order]
+            sorted_pos = within_pos[occ_order]
+            occ_change = np.flatnonzero(sorted_key[1:] != sorted_key[:-1]) + 1
+            occ_starts = np.concatenate(([0], occ_change))
+            uniq = sorted_key[occ_starts]
+            tf_counts = np.diff(np.concatenate((occ_starts, [len(sorted_key)])))
+        else:
+            sorted_pos = occ_starts = None
+            uniq, tf_counts = np.unique(key, return_counts=True)
         term_idx = uniq // n_docs
         docs_arr = uniq % n_docs
         tfs_arr = tf_counts.astype(np.int64)
@@ -193,6 +216,9 @@ def build_segment_tables(
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(term_idx)]))
 
+        occ_bounds = (
+            np.concatenate((occ_starts, [int(lens.sum())])) if fe.positions else None
+        )
         for s, e in zip(starts, ends):
             term = sorted_dic[term_idx[s]]
             pdocs, ptfs, plens = docs_arr[s:e], tfs_arr[s:e], lens_arr[s:e]
@@ -200,6 +226,12 @@ def build_segment_tables(
             tfs_b, tf_offs = pack_blocked(ptfs, delta=False)
             lens_b, len_offs = pack_blocked(plens, delta=False)
             bmax_doc, bmax_tf, bmin_len = block_metadata(pdocs, ptfs, plens)
+            if fe.positions:
+                pos_b, pos_offs = pack_blocked(
+                    sorted_pos[occ_bounds[s] : occ_bounds[e]], delta=False
+                )
+            else:
+                pos_b, pos_offs = b"", []
             postings_cols["segment_id"].append(segment_id)
             postings_cols["field"].append(fe.id)
             postings_cols["term"].append(term)
@@ -215,6 +247,8 @@ def build_segment_tables(
             postings_cols["block_max_doc"].append(bmax_doc)
             postings_cols["block_max_tf"].append(bmax_tf)
             postings_cols["block_min_len"].append(bmin_len)
+            postings_cols["pos"].append(pos_b)
+            postings_cols["pos_offs"].append(pos_offs)
 
     postings_tbl = pa.table(postings_cols, schema=POSTINGS_ARROW_SCHEMA)
     norms_tbl = pa.Table.from_pandas(

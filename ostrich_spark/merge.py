@@ -59,8 +59,19 @@ POSTINGS_RESULT_SCHEMA = (
     "segment_id string, field int, term string, row_ord long, doc_freq long, "
     "total_tf long, docs binary, tfs binary, lens binary, "
     "doc_offs array<long>, tf_offs array<long>, len_offs array<long>, "
-    "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
+    "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>, "
+    "pos binary, pos_offs array<long>"
 )
+
+
+def _row_pos(row) -> tuple[bytes, list[int]]:
+    """Positions blob of a posting row; tolerates pre-positions segments
+    (column absent -> spark fills null)."""
+    p = row.get("pos")
+    if p is None or (isinstance(p, float)):  # NaN from a null column
+        return b"", []
+    offs = row.get("pos_offs")
+    return bytes(p), [int(x) for x in offs] if offs is not None else []
 
 
 def compute_merge_candidates(
@@ -192,6 +203,7 @@ def merge_segments(
             out = []
             for _, row in pdf.iterrows():
                 patched = _patch_row(row, int(row["seg_off"]))
+                pos_b, pos_offs = _row_pos(row)
                 out.append(
                     {
                         "segment_id": new_sid,
@@ -214,13 +226,16 @@ def merge_segments(
                         "block_max_doc": patched["block_max_doc"],
                         "block_max_tf": [int(x) for x in row["block_max_tf"]],
                         "block_min_len": [int(x) for x in row["block_min_len"]],
+                        # within-doc positions are docID-offset-invariant
+                        "pos": pos_b,
+                        "pos_offs": pos_offs,
                     }
                 )
             yield pd.DataFrame(out)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["seg_off", "row_ord"])
-        docs_parts, tfs_parts, lens_parts = [], [], []
+        docs_parts, tfs_parts, lens_parts, pos_parts = [], [], [], []
         for _, row in pdf.iterrows():
             n = int(row["doc_freq"])
             d, _ = unpack_blocked(bytes(row["docs"]), list(row["doc_offs"]), n, delta=True)
@@ -229,12 +244,20 @@ def merge_segments(
             docs_parts.append(d + int(row["seg_off"]))
             tfs_parts.append(t)
             lens_parts.append(ln)
+            pb, po = _row_pos(row)
+            p, _ = unpack_blocked(pb, po, int(row["total_tf"]), delta=False)
+            pos_parts.append(p)
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
         lens = np.concatenate(lens_parts)
+        # positions concatenate in the same (seg, doc) order as docs —
+        # doc-major flat layout is preserved because doc ranges are
+        # disjoint and already ordered by seg_off
+        pos_all = np.concatenate(pos_parts) if pos_parts else np.empty(0, dtype=np.int64)
         docs_b, doc_offs = pack_blocked(docs, delta=True)
         tfs_b, tf_offs = pack_blocked(tfs, delta=False)
         lens_b, len_offs = pack_blocked(lens, delta=False)
+        pos_b, pos_offs = pack_blocked(pos_all, delta=False)
         bmd, bmt, bml = block_metadata(docs, tfs, lens)
         return pd.DataFrame(
             [
@@ -254,6 +277,8 @@ def merge_segments(
                     "block_max_doc": bmd,
                     "block_max_tf": bmt,
                     "block_min_len": bml,
+                    "pos": pos_b,
+                    "pos_offs": [int(x) for x in pos_offs],
                 }
             ]
         )

@@ -61,7 +61,8 @@ POSTINGS_SPARK_SCHEMA = (
     "segment_id string, field int, term string, row_ord long, doc_freq long, "
     "total_tf long, docs binary, tfs binary, lens binary, "
     "doc_offs array<long>, tf_offs array<long>, len_offs array<long>, "
-    "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>"
+    "block_max_doc array<long>, block_max_tf array<long>, block_min_len array<long>, "
+    "pos binary, pos_offs array<long>"
 )
 TERM_STATS_SCHEMA = "field int, term string, doc_freq long"
 
@@ -169,6 +170,47 @@ class TermPostings:
             np.concatenate(lens_parts),
         )
 
+    def decode_with_positions(self):
+        """Full decode including per-occurrence positions ->
+        (docs, tfs, lens, pos) with pos doc-major flat (boundaries =
+        cumsum(tfs)). Phrase evaluation decodes whole lists — position
+        blocks are occurrence-aligned, not doc-aligned, so block-subset
+        decoding would misalign them."""
+        from ..codec import unpack_blocked
+
+        docs_parts, tfs_parts, lens_parts, pos_parts = [], [], [], []
+        for _, row in self._rows.iterrows():
+            n = int(row["doc_freq"])
+            d, _ = unpack_blocked(bytes(row["docs"]), list(row["doc_offs"]), n, True)
+            t, _ = unpack_blocked(bytes(row["tfs"]), list(row["tf_offs"]), n, False)
+            ln, _ = unpack_blocked(bytes(row["lens"]), list(row["len_offs"]), n, False)
+            pbuf = row["pos"] if "pos" in row.index else None
+            if pbuf is None or isinstance(pbuf, float):
+                pbuf, poffs = b"", []
+            else:
+                pbuf, poffs = bytes(pbuf), list(row["pos_offs"])
+            p, _ = unpack_blocked(pbuf, poffs, int(row["total_tf"]), False)
+            if len(p) != int(t.sum()):
+                raise ValueError(
+                    "postings carry no token positions — the field was "
+                    "indexed with positions=False; rebuild with "
+                    "Schema.add_text_field(..., positions=True) to run "
+                    "phrase queries"
+                )
+            docs_parts.append(d)
+            tfs_parts.append(t)
+            lens_parts.append(ln)
+            pos_parts.append(p)
+        if not docs_parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z, z
+        return (
+            np.concatenate(docs_parts),
+            np.concatenate(tfs_parts),
+            np.concatenate(lens_parts),
+            np.concatenate(pos_parts),
+        )
+
 
 def score_postings(tfs: np.ndarray, lens: np.ndarray, idf: float, avgdl: float, scorer: str) -> np.ndarray:
     tf = tfs.astype(np.float64)
@@ -210,6 +252,44 @@ def _union_arrays(parts: list[tuple[np.ndarray, np.ndarray]]):
     return uniq, summed
 
 
+def eval_phrase(wire: dict, term_data: dict, scorer: str):
+    """Vectorized consecutive-phrase match within one segment.
+
+    Key trick: occurrence (doc, pos) of constituent i becomes the int64
+    key doc*2^32 + (pos - i); a phrase occurrence starting at position p
+    of doc d makes EVERY constituent produce the key d*2^32 + p, so the
+    k-way sorted-array intersection of the per-term key sets yields the
+    phrase start positions directly — no per-doc Python loop. Phrase
+    tf = keys per doc; score = tf (×len-norm for BM25) × summed idf."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    tps = [term_data.get((wire["field"], t)) for t in wire["terms"]]
+    if any(tp is None for tp in tps):
+        return empty
+    BIG = np.int64(1) << np.int64(32)
+    keysets = []
+    first_docs = first_lens = None
+    for i, tp in enumerate(tps):
+        docs, tfs, lens, pos = tp.decode_with_positions()
+        if i == 0:
+            first_docs, first_lens = docs, lens
+        docs_exp = np.repeat(docs, tfs)
+        if i > 0:
+            keep = pos >= i
+            docs_exp, pos = docs_exp[keep], pos[keep]
+        keysets.append(docs_exp * BIG + (pos - np.int64(i)))
+    inter = keysets[0]
+    # smallest-first, same rationale as the intersection scorer
+    for k in sorted(keysets[1:], key=len):
+        if len(inter) == 0:
+            return empty
+        inter = np.intersect1d(inter, k, assume_unique=True)
+    if len(inter) == 0:
+        return empty
+    pdocs, ptfs = np.unique(inter // BIG, return_counts=True)
+    lens_at = first_lens[np.searchsorted(first_docs, pdocs)]
+    return pdocs, score_postings(ptfs, lens_at, wire["idf"], wire["avgdl"], scorer)
+
+
 def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
     """-> (docs sorted asc, scores) for one segment."""
     kind = wire["kind"]
@@ -226,6 +306,8 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         docs, tfs, lens = tp.decode()
         return docs, score_postings(tfs, lens, wire["idf"], wire["avgdl"], scorer)
+    if kind == "phrase":
+        return eval_phrase(wire, term_data, scorer)
     if kind == "or":
         parts = [eval_node(c, term_data, max_doc, scorer) for c in wire["children"]]
         return _union_arrays(parts)

@@ -40,6 +40,18 @@ class TermQuery:
 
 
 @dataclass(frozen=True)
+class PhraseQuery:
+    """Consecutive-term phrase within one field — an EXTENSION beyond the
+    reference grammar (its tokens carry no positions,
+    /root/reference/analyzer/analyzer.go:44-46). Requires the field to be
+    indexed with positions=True. Scoring follows the Lucene convention:
+    idf(phrase) = sum of constituent idfs, tf = phrase occurrence count."""
+
+    field_id: int
+    terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
 class AllQuery:
     pass
 
@@ -82,14 +94,39 @@ class _Or:
     right: object
 
 
+def _split_keep_quotes(q: str) -> list[str]:
+    """Whitespace split that keeps double-quoted spans (and any attached
+    ``field:`` prefix) as one raw token — phrase extension; everything
+    outside quotes tokenizes exactly like the reference."""
+    out: list[str] = []
+    cur: list[str] = []
+    in_quote = False
+    for ch in q:
+        if ch == '"':
+            in_quote = not in_quote
+            cur.append(ch)
+        elif ch.isspace() and not in_quote:
+            if cur:
+                out.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if in_quote:
+        raise QueryParseError("unclosed '\"' in query")
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _tokenize(q: str) -> list[str]:
     out: list[str] = []
-    for raw in q.split():
-        while raw.startswith("("):
+    for raw in _split_keep_quotes(q):
+        quoted = '"' in raw
+        while not quoted and raw.startswith("("):
             out.append("(")
             raw = raw[1:]
         tail: list[str] = []
-        while raw.endswith(")"):
+        while not quoted and raw.endswith(")"):
             tail.append(")")
             raw = raw[:-1]
         if raw:
@@ -141,11 +178,25 @@ class _Parser:
         return _Leaf(t)
 
 
+def _phrase_for_field(fe, raw: str):
+    """Analyze a quoted span with the field's analyzer -> phrase (or the
+    degenerate single-term / empty forms)."""
+    terms = get_analyzer(fe.analyzer).analyze_one(raw)
+    if not terms:
+        return EmptyQuery()
+    if len(terms) == 1:
+        return TermQuery(fe.id, terms[0])
+    return PhraseQuery(fe.id, tuple(terms))
+
+
 def _leaf_to_query(value: str, schema: Schema, default_fields: list[str]):
     if ":" in value:
         fname, raw = value.split(":", 1)
         fe = schema.field_by_name(fname)
         if fe is not None:
+            if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
+                # field:"quoted phrase" — consecutive-terms extension
+                return _phrase_for_field(fe, raw[1:-1])
             # field-qualified: analyzed by the field's analyzer
             terms = get_analyzer(fe.analyzer).analyze_one(raw)
             if not terms:
@@ -154,6 +205,20 @@ def _leaf_to_query(value: str, schema: Schema, default_fields: list[str]):
                 return TermQuery(fe.id, terms[0])
             return BooleanQuery.union(*[TermQuery(fe.id, t) for t in terms])
         # unknown field name: fall through, treat whole token as bare term
+    if len(value) >= 2 and value.startswith('"') and value.endswith('"'):
+        # bare quoted phrase: expand over default fields (each analyzed by
+        # its own field's analyzer — unlike bare TERMS, a phrase has to be
+        # analyzed to be split into terms at all)
+        qs = []
+        for fname in default_fields:
+            fe = schema.field_by_name(fname)
+            if fe is not None:
+                q = _phrase_for_field(fe, value[1:-1])
+                if not isinstance(q, EmptyQuery):
+                    qs.append(q)
+        if not qs:
+            return EmptyQuery()
+        return qs[0] if len(qs) == 1 else BooleanQuery.union(*qs)
     # bare term: NOT analyzed, expanded over default fields (parser.go:114-117)
     qs = []
     for fname in default_fields:

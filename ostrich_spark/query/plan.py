@@ -26,7 +26,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field as dc_field
 
-from .parser import AllQuery, BooleanQuery, EmptyQuery, TermQuery, MUST, SHOULD
+from .parser import AllQuery, BooleanQuery, EmptyQuery, PhraseQuery, TermQuery, MUST, SHOULD
 
 K1 = 1.2
 B = 0.75
@@ -42,6 +42,18 @@ class CTerm:
     doc_freq: int
     idf: float
     avgdl: float  # avg field length for this field (BM25)
+
+
+@dataclass(frozen=True)
+class CPhrase:
+    """Compiled phrase: consecutive terms in one field. idf follows the
+    Lucene PhraseWeight convention (sum of constituent idfs); tf is the
+    per-doc phrase occurrence count."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    idf: float  # sum over constituent terms
+    avgdl: float
 
 
 @dataclass
@@ -82,6 +94,9 @@ def bm25_idf(total_docs: int, doc_freq: int) -> float:
 def collect_terms(q) -> list[TermQuery]:
     if isinstance(q, TermQuery):
         return [q]
+    if isinstance(q, PhraseQuery):
+        # constituents drive both stats binding and the postings prune
+        return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, BooleanQuery):
         out = []
         for _, sub in q.subqueries:
@@ -114,6 +129,16 @@ def compile_query(
             return CEmpty()
         idf = tfidf_idf(total_docs, df) if scorer == SCORER_TFIDF else bm25_idf(total_docs, df)
         return CTerm(q.field_id, q.term, df, idf, field_avgdl.get(q.field_id, 1.0))
+    if isinstance(q, PhraseQuery):
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        idf_sum = 0.0
+        for t in q.terms:
+            df = doc_freqs.get((q.field_id, t), 0)
+            if df == 0:
+                # a constituent absent from the index -> no doc can match
+                return CEmpty()
+            idf_sum += idf_fn(total_docs, df)
+        return CPhrase(q.field_id, q.terms, idf_sum, field_avgdl.get(q.field_id, 1.0))
     if isinstance(q, BooleanQuery):
         # Nested AllQuery is rejected, not silently mis-evaluated: the
         # segment scorer only sees PRUNED posting rows for the query's
@@ -194,6 +219,14 @@ def to_wire(node) -> dict:
             "field": node.field_id,
             "term": node.term,
             "doc_freq": node.doc_freq,
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+        }
+    if isinstance(node, CPhrase):
+        return {
+            "kind": "phrase",
+            "field": node.field_id,
+            "terms": list(node.terms),
             "idf": node.idf,
             "avgdl": node.avgdl,
         }

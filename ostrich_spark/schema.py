@@ -22,6 +22,10 @@ class FieldEntry:
     name: str
     field_type: str = FIELD_TYPE_TEXT
     analyzer: str = "default"
+    # store token positions in the postings (enables phrase queries; an
+    # extension — the reference's tokens carry no offsets/positions,
+    # /root/reference/analyzer/analyzer.go:44-46)
+    positions: bool = False
 
     def to_json(self) -> dict:
         return {
@@ -29,20 +33,29 @@ class FieldEntry:
             "name": self.name,
             "type": self.field_type,
             "analyzer": self.analyzer,
+            "positions": self.positions,
         }
 
     @staticmethod
     def from_json(d: dict) -> "FieldEntry":
-        return FieldEntry(d["id"], d["name"], d.get("type", FIELD_TYPE_TEXT), d.get("analyzer", "default"))
+        return FieldEntry(
+            d["id"],
+            d["name"],
+            d.get("type", FIELD_TYPE_TEXT),
+            d.get("analyzer", "default"),
+            d.get("positions", False),
+        )
 
 
 @dataclass
 class Schema:
     fields: list[FieldEntry] = field(default_factory=list)
 
-    def add_text_field(self, name: str, analyzer: str = "default") -> FieldEntry:
+    def add_text_field(
+        self, name: str, analyzer: str = "default", positions: bool = False
+    ) -> FieldEntry:
         """FieldID = position, exactly like schema.go:11-16."""
-        entry = FieldEntry(len(self.fields), name, FIELD_TYPE_TEXT, analyzer)
+        entry = FieldEntry(len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions)
         self.fields.append(entry)
         return entry
 
