@@ -236,6 +236,68 @@ def _q_eng_bm25_topk(spark, sf_dir):
     return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+_DEL_INDEX_CACHE: dict[tuple[str, bool], str] = {}
+
+
+def _doc_index_deleted(spark: SparkSession, sf_dir: str, purged: bool) -> str:
+    """Copy of the entry index with doc_id % 7 == 0 deleted: tombstoned
+    only (purged=False, Lucene visibility semantics — stats unchanged) or
+    physically purged via merge (purged=True — stats recomputed)."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.deletes import delete_docs
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.merge import purge_deletes
+    from ostrich_spark.schema import Schema
+
+    key = (os.path.realpath(sf_dir), purged)
+    if key in _DEL_INDEX_CACHE:
+        return _DEL_INDEX_CACHE[key]
+    tag = hashlib.sha256(key[0].encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-{'d2' if purged else 'd1'}"
+    if not manifest_exists(index_dir) or (
+        purged and not any(
+            s.startswith("purge-") for s in os.listdir(f"{index_dir}/segments")
+        )
+    ):
+        schema = Schema()
+        schema.add_text_field("text", "default", positions=True)
+        build_index(
+            spark, _docs(spark, sf_dir), schema, index_dir, num_partitions=4,
+            order_col="doc_id", id_cols=["doc_id"], build_id=f"entry-del-{tag}",
+        )
+        victims = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0).select("doc_id")
+        delete_docs(spark, index_dir, victims, ["doc_id"])
+        if purged:
+            purge_deletes(spark, index_dir)
+    _DEL_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _deleted_matches(spark, sf_dir, purged: bool) -> DataFrame:
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _doc_index_deleted(spark, sf_dir, purged)
+    mf = load_manifest(idx)
+    res, _ = search(spark, idx, "text:spark", limit=None, manifest=mf)
+    return (
+        attach_docmap(spark, idx, res, manifest=mf)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
+def _q_eng_delete_tombstone(spark, sf_dir):
+    """Deletes as tombstones: deleted docs invisible, global stats (df, N)
+    intentionally unchanged until a merge purges (Lucene semantics)."""
+    return _deleted_matches(spark, sf_dir, purged=False)
+
+
+def _q_eng_delete_purged(spark, sf_dir):
+    """After purge_deletes: docs physically gone, stats + term_stats
+    recomputed — scores as if the index were rebuilt without them."""
+    return _deleted_matches(spark, sf_dir, purged=True)
+
+
 def _q_eng_phrase_tfidf(spark, sf_dir):
     """Phrase extension: consecutive-term match on the positions-enabled
     index; idf(phrase) = sum of constituent idfs (Lucene convention),
@@ -544,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_bm25_topk": _q_eng_bm25_topk,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
         "eng_phrase_bm25": _q_eng_phrase_bm25,
+        "eng_delete_tombstone": _q_eng_delete_tombstone,
+        "eng_delete_purged": _q_eng_delete_purged,
         "eng_c3_count": _q_eng_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_sigs,
@@ -634,6 +698,25 @@ def oracle_sql() -> dict[str, str]:
             "WHERE t.term IN ('spark','join')), "
             "g AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id) "
             "SELECT doc_id, score FROM g ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        # tombstone semantics: deleted docs filtered from RESULTS, but df/N
+        # still computed over the full corpus (stats frozen until purge)
+        "eng_delete_tombstone": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark' AND t.doc_id % 7 <> 0"
+        ),
+        # purge semantics: the deleted docs no longer exist anywhere — df
+        # and N are those of the surviving corpus
+        "eng_delete_purged": (
+            "WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 0), "
+            "toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM live), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term), "
+            "n AS (SELECT count(*) AS n FROM live), "
+            "df AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
         ),
         # phrase scoring: tf = consecutive-occurrence count (self-join on
         # pos+1), idf = SUM of constituent idfs (Lucene PhraseWeight

@@ -513,6 +513,13 @@ def build_index(
     )
     save_manifest(index_dir, manifest)
     _promote_term_stats(index_dir, staging)
+    if mode == "overwrite":
+        # a full overwrite supersedes every prior segment — tombstones
+        # referencing them are dead weight that would keep the slower
+        # delete-aware query path engaged forever
+        from .deletes import clear_tombstones
+
+        clear_tombstones(index_dir)
     # the committed manifest is now the source of truth: remove segment
     # dirs it does not reference (superseded overwrites, crashed other
     # builds) so no stale postings survive on disk

@@ -91,6 +91,47 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone docs whose id column matches the given values (or every
+    doc matched by --query). Purge physically with `merge`/`purge`."""
+    from .deletes import delete_docs
+
+    if not args.values and not args.query:
+        print("delete: need --values or --query", file=sys.stderr)
+        return 2
+    spark = _spark()
+    if args.values:
+        col = args.id_col
+        match = spark.createDataFrame(
+            [(v,) for v in args.values], f"{col} string"
+        )
+        # docmap id columns keep their source type; try a cast-join via int
+        # when every value parses as one
+        try:
+            ints = [int(v) for v in args.values]
+            match = spark.createDataFrame([(v,) for v in ints], f"{col} long")
+        except ValueError:
+            pass
+        n = delete_docs(spark, args.path, match, [col])
+    else:
+        from .query.exec import attach_docmap, search
+
+        res, _ = search(spark, args.path, args.query, limit=None)
+        matched = attach_docmap(spark, args.path, res).select(args.id_col).distinct()
+        n = delete_docs(spark, args.path, matched, [args.id_col])
+    print(f"tombstoned {n} docs")
+    return 0
+
+
+def cmd_purge(args) -> int:
+    from .merge import purge_deletes
+
+    spark = _spark()
+    created = purge_deletes(spark, args.path)
+    print(f"purged into {len(created)} rewritten segments: {created}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: manifest stats, build phases, per-segment
     lineage/metrics — no Spark session needed (driver-side JSON only)."""
@@ -148,6 +189,17 @@ def main(argv=None) -> int:
     m = sub.add_parser("merge")
     m.add_argument("-p", "--path", required=True)
     m.set_defaults(fn=cmd_merge)
+
+    d = sub.add_parser("delete")
+    d.add_argument("-p", "--path", required=True)
+    d.add_argument("--id-col", required=True)
+    d.add_argument("--values", nargs="*", help="id values to tombstone")
+    d.add_argument("--query", help="NQL query; every match is tombstoned")
+    d.set_defaults(fn=cmd_delete)
+
+    pg = sub.add_parser("purge")
+    pg.add_argument("-p", "--path", required=True)
+    pg.set_defaults(fn=cmd_purge)
 
     st = sub.add_parser("stats")
     st.add_argument("-p", "--path", required=True)

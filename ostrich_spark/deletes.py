@@ -1,0 +1,183 @@
+"""Document deletes: tombstones now, physical purge at merge.
+
+The reference only sketches deletes (the `Delete` opstamp plumbing is
+commented out at /root/reference/index/index_meta.go:55-59); this module
+implements them for real with the standard LSM contract:
+
+- ``delete_docs`` resolves user keys to (segment_id, local doc) pairs via
+  the docmap and records them as TOMBSTONES — no segment file is touched.
+  Visibility is immediate: every query path drops tombstoned docs before
+  ranking/counting. Global stats (doc_freq, total_docs) intentionally
+  stay UNCHANGED until a merge compacts the segments (Lucene semantics:
+  deleted docs still count toward idf until they are purged).
+- merge PURGES: deleted docs are dropped and the survivors' docIDs are
+  densely remapped; stats and the term_stats table are recomputed for
+  the new segment set (see merge.py).
+
+Tombstone storage is a versioned Spark-written parquet dir plus a tiny
+``CURRENT`` pointer json swapped atomically — the dir rewrite itself is
+a distributed job (one union+distinct per delete batch, the same
+read-modify-write Lucene applies to its live-docs bitsets), and a crash
+at any point leaves the previous pointer valid.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+
+from .manifest import atomic_write_json, load_manifest, save_manifest
+
+DELETES_DIR = "deletes"
+CURRENT_NAME = "CURRENT"
+TOMBSTONE_SCHEMA = "segment_id string, doc long"
+
+
+def _deletes_root(index_dir: str) -> str:
+    return os.path.join(index_dir, DELETES_DIR)
+
+
+def _current_path(index_dir: str) -> str:
+    return os.path.join(_deletes_root(index_dir), CURRENT_NAME)
+
+
+def current_tombstone_dir(index_dir: str) -> str | None:
+    """Path of the live tombstone parquet dir, or None if no deletes."""
+    cur = _current_path(index_dir)
+    if not os.path.exists(cur):
+        return None
+    with open(cur) as f:
+        name = json.load(f)["dir"]
+    path = os.path.join(_deletes_root(index_dir), name)
+    return path if os.path.isdir(path) else None
+
+
+def has_tombstones(index_dir: str) -> bool:
+    return current_tombstone_dir(index_dir) is not None
+
+
+def read_tombstones(spark, index_dir: str):
+    """(segment_id, doc) DataFrame of tombstoned docs, or None."""
+    path = current_tombstone_dir(index_dir)
+    if path is None:
+        return None
+    return spark.read.schema(TOMBSTONE_SCHEMA).parquet(path)
+
+
+def load_tombstone_map(index_dir: str) -> dict[str, np.ndarray]:
+    """Driver-side load: {segment_id: sorted int64 array of deleted local
+    docIDs}. Sized by the DELETE set, not the corpus — this is what merge
+    broadcasts to remap survivors."""
+    path = current_tombstone_dir(index_dir)
+    if path is None:
+        return {}
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(path, format="parquet").to_table()
+    out: dict[str, list] = {}
+    for sid, doc in zip(
+        tbl.column("segment_id").to_pylist(), tbl.column("doc").to_pylist()
+    ):
+        out.setdefault(sid, []).append(doc)
+    return {sid: np.unique(np.asarray(v, dtype=np.int64)) for sid, v in out.items()}
+
+
+def _write_tombstones(spark, index_dir: str, tomb_df, opstamp: int) -> None:
+    """Write a new tombstone version dir and swap the CURRENT pointer."""
+    root = _deletes_root(index_dir)
+    os.makedirs(root, exist_ok=True)
+    name = f"ts-{opstamp:08d}"
+    out = os.path.join(root, name)
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        tomb_df.repartition(1)  # tombstone sets are small relative to the corpus;
+        # bump for pathological delete volumes
+        .sortWithinPartitions("segment_id", "doc")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    atomic_write_json(_current_path(index_dir), {"dir": name, "opstamp": opstamp})
+    for stale in glob.glob(os.path.join(root, "ts-*")):
+        if os.path.basename(stale) != name:
+            shutil.rmtree(stale, ignore_errors=True)
+
+
+def clear_tombstones(index_dir: str) -> None:
+    shutil.rmtree(_deletes_root(index_dir), ignore_errors=True)
+
+
+def gc_tombstones(spark, index_dir: str, live_segment_ids: set[str], opstamp: int) -> None:
+    """Drop tombstone rows for segments no longer in the manifest (their
+    deletes were physically purged by a merge)."""
+    from pyspark.sql import functions as F
+
+    tomb = read_tombstones(spark, index_dir)
+    if tomb is None:
+        return
+    remaining = tomb.filter(F.col("segment_id").isin(list(live_segment_ids)))
+    if remaining.limit(1).count() == 0:
+        clear_tombstones(index_dir)
+        return
+    _write_tombstones(spark, index_dir, remaining, opstamp)
+
+
+def tombstone_count(index_dir: str, live_segment_ids: set[str] | None = None) -> int:
+    """Driver-side count of active tombstones (optionally restricted to
+    live segments) — metadata read, no cluster job."""
+    path = current_tombstone_dir(index_dir)
+    if path is None:
+        return 0
+    import pyarrow.dataset as ds
+
+    d = ds.dataset(path, format="parquet")
+    if live_segment_ids is None:
+        return sum(f.count_rows() for f in d.get_fragments())
+    expr = ds.field("segment_id").isin(sorted(live_segment_ids))
+    return d.count_rows(filter=expr)
+
+
+def delete_docs(spark, index_dir: str, match_df, key_cols: list[str]) -> int:
+    """Tombstone every indexed doc whose ``key_cols`` match a row of
+    ``match_df`` (joined against the docmap — the identity columns the
+    index was built with). Returns the number of NEW tombstones.
+
+    One broadcast-or-shuffle join against the docmap + a distinct over
+    the (small) tombstone set; no postings are rewritten. The commit is
+    the atomic CURRENT pointer swap, then a manifest opstamp bump so
+    cached readers invalidate."""
+    from pyspark.sql import functions as F
+
+    from .query.exec import invalidate_cache, read_docmap
+
+    manifest = load_manifest(index_dir)
+    docmap = read_docmap(spark, index_dir, manifest)
+    new_tomb = (
+        docmap.join(match_df.select(*key_cols).distinct(), on=key_cols)
+        .select("segment_id", "doc")
+        .distinct()
+    )
+    old = read_tombstones(spark, index_dir)
+    if old is not None:
+        combined = old.unionByName(new_tomb).distinct()
+        n_old = old.count()
+    else:
+        combined = new_tomb
+        n_old = 0
+    combined = combined.cache()
+    n_total = combined.count()
+    if n_total == n_old:
+        combined.unpersist()
+        return 0
+    opstamp = manifest.opstamp + 1
+    _write_tombstones(spark, index_dir, combined, opstamp)
+    combined.unpersist()
+    manifest.opstamp = opstamp
+    manifest.stats = dict(manifest.stats)
+    manifest.stats["tombstones"] = n_total
+    save_manifest(index_dir, manifest)
+    invalidate_cache(index_dir)
+    return n_total - n_old

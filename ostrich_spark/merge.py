@@ -121,6 +121,59 @@ def _patch_row(row: pd.Series, offset: int) -> dict:
     }
 
 
+def _decode_row_full(row: pd.Series):
+    """(docs, tfs, lens, pos) of one posting row, fully decoded."""
+    n = int(row["doc_freq"])
+    d, _ = unpack_blocked(bytes(row["docs"]), list(row["doc_offs"]), n, delta=True)
+    t, _ = unpack_blocked(bytes(row["tfs"]), list(row["tf_offs"]), n, delta=False)
+    ln, _ = unpack_blocked(bytes(row["lens"]), list(row["len_offs"]), n, delta=False)
+    pb, po = _row_pos(row)
+    p, _ = unpack_blocked(pb, po, int(row["total_tf"]), delta=False)
+    return d, t, ln, p
+
+
+def _purge_and_remap(d, t, ln, p, dels: np.ndarray | None, offset: int):
+    """Drop tombstoned docs, densify surviving docIDs, apply the segment
+    offset. new_doc = old_doc - (#deleted below it) + offset; the
+    positions flat array drops the deleted docs' occurrence spans."""
+    if dels is not None and len(dels):
+        keep = ~np.isin(d, dels)
+        if len(p):
+            p = p[np.repeat(keep, t)]
+        d, t, ln = d[keep], t[keep], ln[keep]
+        if not len(d):
+            return d, t, ln, p
+        d = d - np.searchsorted(dels, d, side="left")
+    return d + offset, t, ln, p
+
+
+def _pack_full_row(sid, field, term, row_ord, d, t, ln, p) -> dict:
+    docs_b, doc_offs = pack_blocked(d, delta=True)
+    tfs_b, tf_offs = pack_blocked(t, delta=False)
+    lens_b, len_offs = pack_blocked(ln, delta=False)
+    pos_b, pos_offs = pack_blocked(p, delta=False)
+    bmd, bmt, bml = block_metadata(d, t, ln)
+    return {
+        "segment_id": sid,
+        "field": int(field),
+        "term": term,
+        "row_ord": int(row_ord),
+        "doc_freq": int(len(d)),
+        "total_tf": int(t.sum()),
+        "docs": docs_b,
+        "tfs": tfs_b,
+        "lens": lens_b,
+        "doc_offs": [int(x) for x in doc_offs],
+        "tf_offs": [int(x) for x in tf_offs],
+        "len_offs": [int(x) for x in len_offs],
+        "block_max_doc": bmd,
+        "block_max_tf": bmt,
+        "block_min_len": bml,
+        "pos": pos_b,
+        "pos_offs": [int(x) for x in pos_offs],
+    }
+
+
 def merge_segments(
     spark,
     index_dir: str,
@@ -158,25 +211,54 @@ def merge_segments(
             return _swap_manifest(
                 index_dir, manifest, segment_ids, new_segment_id,
                 prior_frag["max_doc"], prior_frag["lineage"], prior_frag["metrics"],
+                spark=spark, purge=prior_frag.get("purge"),
             )
         raise RuntimeError(
             f"segment dir {new_dir} exists from a DIFFERENT merge "
             f"({prior_frag.get('lineage', {}).get('merged_from')}); refusing to overwrite"
         )
 
-    # offsets in SegmentOrd order restricted to the candidates
+    # tombstones of the source segments: merge is where deletes become
+    # physical — survivors are densified, deleted docs vanish
+    from .deletes import load_tombstone_map
+
+    dmap_all = load_tombstone_map(index_dir)
+    dmap = {sid: dmap_all[sid] for sid in segment_ids if sid in dmap_all}
+
+    # offsets in SegmentOrd order restricted to the candidates, over the
+    # KEPT (post-purge) doc counts
     ordered = [s for s in manifest.sorted_segments() if s.segment_id in set(segment_ids)]
     offsets: dict[str, int] = {}
     off = 0
     for s in ordered:
         offsets[s.segment_id] = off
-        off += s.max_doc
+        off += s.max_doc - len(dmap.get(s.segment_id, ()))
     total_docs = off
 
     paths = [segment_dir(index_dir, sid) for sid in segment_ids]
     postings = spark.read.parquet(*[f"{p}/postings.parquet" for p in paths])
     norms = spark.read.parquet(*[f"{p}/norms.parquet" for p in paths])
     docmap = spark.read.parquet(*[f"{p}/docmap.parquet" for p in paths])
+
+    # token stats of the docs being purged (for manifest avgdl bookkeeping)
+    purge_ctx = None
+    if dmap:
+        from .deletes import read_tombstones
+
+        tomb_src = read_tombstones(spark, index_dir).filter(
+            F.col("segment_id").isin(list(dmap))
+        )
+        del_rows = (
+            norms.join(tomb_src, ["segment_id", "doc"])
+            .groupBy("field")
+            .agg(F.sum("length").alias("n"))
+            .collect()
+        )
+        purge_ctx = {
+            "deleted_docs": int(sum(len(v) for v in dmap.values())),
+            "deleted_field_tokens": {str(r["field"]): int(r["n"]) for r in del_rows},
+        }
+        purge_ctx["deleted_tokens"] = sum(purge_ctx["deleted_field_tokens"].values())
 
     off_df = spark.createDataFrame(
         [(sid, o) for sid, o in offsets.items()], "segment_id string, seg_off long"
@@ -202,6 +284,19 @@ def merge_segments(
                 continue
             out = []
             for _, row in pdf.iterrows():
+                dels = dmap.get(row["segment_id"])
+                if dels is not None and len(dels):
+                    # purge path: full rewrite of this shard row
+                    d, t, ln, p = _decode_row_full(row)
+                    d, t, ln, p = _purge_and_remap(d, t, ln, p, dels, int(row["seg_off"]))
+                    if not len(d):
+                        continue  # every doc of the shard was deleted
+                    out.append(
+                        _pack_full_row(
+                            new_sid, row["field"], row["term"], int(d[0]), d, t, ln, p
+                        )
+                    )
+                    continue
                 patched = _patch_row(row, int(row["seg_off"]))
                 pos_b, pos_offs = _row_pos(row)
                 out.append(
@@ -231,22 +326,28 @@ def merge_segments(
                         "pos_offs": pos_offs,
                     }
                 )
-            yield pd.DataFrame(out)
+            if out:
+                yield pd.DataFrame(out)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["seg_off", "row_ord"])
         docs_parts, tfs_parts, lens_parts, pos_parts = [], [], [], []
         for _, row in pdf.iterrows():
-            n = int(row["doc_freq"])
-            d, _ = unpack_blocked(bytes(row["docs"]), list(row["doc_offs"]), n, delta=True)
-            t, _ = unpack_blocked(bytes(row["tfs"]), list(row["tf_offs"]), n, delta=False)
-            ln, _ = unpack_blocked(bytes(row["lens"]), list(row["len_offs"]), n, delta=False)
-            docs_parts.append(d + int(row["seg_off"]))
+            d, t, ln, p = _decode_row_full(row)
+            d, t, ln, p = _purge_and_remap(
+                d, t, ln, p, dmap.get(row["segment_id"]), int(row["seg_off"])
+            )
+            if not len(d):
+                continue
+            docs_parts.append(d)
             tfs_parts.append(t)
             lens_parts.append(ln)
-            pb, po = _row_pos(row)
-            p, _ = unpack_blocked(pb, po, int(row["total_tf"]), delta=False)
             pos_parts.append(p)
+        if not docs_parts:
+            # the whole posting list was deleted
+            return pd.DataFrame(
+                [], columns=[f.split()[0] for f in POSTINGS_RESULT_SCHEMA.split(", ")]
+            ).astype({"field": "int32"}, errors="ignore")
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
         lens = np.concatenate(lens_parts)
@@ -317,23 +418,49 @@ def merge_segments(
         .parquet(f"{tmp_dir}/postings.parquet")
     )
 
-    # --- norms / docmap: map-side offset --------------------------------
-    (
-        norms.join(F.broadcast(off_df), "segment_id")
-        .withColumn("doc", F.col("doc") + F.col("seg_off"))
-        .withColumn("segment_id", F.lit(new_segment_id))
-        .drop("seg_off")
-        .write.mode("overwrite")
-        .parquet(f"{tmp_dir}/norms.parquet")
-    )
-    (
-        docmap.join(F.broadcast(off_df), "segment_id")
-        .withColumn("doc", F.col("doc") + F.col("seg_off"))
-        .withColumn("segment_id", F.lit(new_segment_id))
-        .drop("seg_off")
-        .write.mode("overwrite")
-        .parquet(f"{tmp_dir}/docmap.parquet")
-    )
+    # --- norms / docmap: map-side offset (+ purge remap when tombstoned) -
+    def _offset_or_remap(df):
+        if not dmap:
+            return (
+                df.join(F.broadcast(off_df), "segment_id")
+                .withColumn("doc", F.col("doc") + F.col("seg_off"))
+                .withColumn("segment_id", F.lit(new_segment_id))
+                .drop("seg_off")
+            )
+        # purge path: drop tombstoned docs and densify — needs the sorted
+        # delete array per segment (searchsorted remap), shipped in the
+        # task closure; sized by the DELETE set, not the corpus
+        out_schema = df.schema
+        local_dmap = {k: v.copy() for k, v in dmap.items()}
+        local_offsets = dict(offsets)
+        nsid = new_segment_id
+
+        def remap(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                parts = []
+                for sid, grp in pdf.groupby("segment_id", sort=False):
+                    dels = local_dmap.get(sid)
+                    docs = grp["doc"].to_numpy(dtype=np.int64)
+                    if dels is not None and len(dels):
+                        keep = ~np.isin(docs, dels)
+                        grp = grp.iloc[keep]
+                        docs = docs[keep]
+                        if not len(docs):
+                            continue
+                        docs = docs - np.searchsorted(dels, docs, side="left")
+                    g = grp.copy()
+                    g["doc"] = docs + local_offsets[sid]
+                    g["segment_id"] = nsid
+                    parts.append(g)
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+        return df.mapInPandas(remap, out_schema)
+
+    _offset_or_remap(norms).write.mode("overwrite").parquet(f"{tmp_dir}/norms.parquet")
+    _offset_or_remap(docmap).write.mode("overwrite").parquet(f"{tmp_dir}/docmap.parquet")
 
     # merged fragment: aggregate lineage + metrics of the sources
     src_metas = [by_id[sid] for sid in segment_ids]
@@ -345,12 +472,18 @@ def merge_segments(
     for m in src_metas:
         for fid, n in m.metrics.get("field_tokens", {}).items():
             metrics["field_tokens"][fid] = metrics["field_tokens"].get(fid, 0) + n
+    if purge_ctx:
+        metrics["n_tokens"] -= purge_ctx["deleted_tokens"]
+        for fid, n in purge_ctx["deleted_field_tokens"].items():
+            metrics["field_tokens"][fid] = metrics["field_tokens"].get(fid, 0) - n
+        metrics["purged_docs"] = purge_ctx["deleted_docs"]
     fragment = {
         "segment_id": new_segment_id,
         "build_id": manifest.stats.get("build_id", ""),
         "max_doc": total_docs,
         "metrics": metrics,
         "lineage": {"merged_from": segment_ids, "opstamp": manifest.opstamp + 1},
+        "purge": purge_ctx,
     }
     with open(os.path.join(tmp_dir, FRAGMENT_NAME), "w") as f:
         json.dump(fragment, f, indent=1, sort_keys=True)
@@ -358,15 +491,24 @@ def merge_segments(
 
     return _swap_manifest(
         index_dir, manifest, segment_ids, new_segment_id, total_docs,
-        fragment["lineage"], metrics,
+        fragment["lineage"], metrics, spark=spark, purge=purge_ctx,
     )
 
 
 def _swap_manifest(
-    index_dir, manifest, segment_ids, new_segment_id, total_docs, lineage, metrics
+    index_dir, manifest, segment_ids, new_segment_id, total_docs, lineage, metrics,
+    spark=None, purge=None,
 ) -> SegmentMeta:
     """endMerge (segment_updater.go:115-136): replace the merged sources
-    with the new segment in one atomic manifest save, then GC."""
+    with the new segment in one atomic manifest save, then GC.
+
+    When the merge PURGED tombstoned docs (``purge`` carries the deleted
+    doc/token counts), global stats and the term_stats table are no
+    longer merge-invariant: totals shrink and every constituent term's
+    doc_freq may have dropped. The purge commit therefore recomputes
+    term_stats (staged, promoted only after the manifest save — same
+    crash-safe pairing as the build commit) and rewrites the tombstone
+    set without the now-purged segments."""
     committed = {s.segment_id for s in manifest.segments}
     if new_segment_id in committed and not (committed & set(segment_ids)):
         # already swapped by a prior run — appending again would list the
@@ -374,20 +516,72 @@ def _swap_manifest(
         return next(s for s in manifest.segments if s.segment_id == new_segment_id)
     new_meta = SegmentMeta(new_segment_id, total_docs, lineage, metrics)
     remaining = [s for s in manifest.segments if s.segment_id not in set(segment_ids)]
+    new_segments = remaining + [new_meta]
+    new_opstamp = manifest.opstamp + 1
+    stats = dict(manifest.stats)
+    staging = None
+    if purge:
+        from .build import _write_term_stats_staged
+        from .deletes import tombstone_count
+
+        stats["total_docs"] = sum(s.max_doc for s in new_segments)
+        stats["total_tokens"] = stats.get("total_tokens", 0) - purge["deleted_tokens"]
+        ft = dict(stats.get("field_tokens", {}))
+        for fid, n in purge["deleted_field_tokens"].items():
+            ft[fid] = ft.get(fid, 0) - n
+        stats["field_tokens"] = ft
+        live_ids = {s.segment_id for s in new_segments}
+        stats["tombstones"] = tombstone_count(index_dir, live_ids)
+        est = sum((s.metrics or {}).get("n_terms", s.max_doc) for s in new_segments)
+        staging = _write_term_stats_staged(
+            spark, index_dir, [s.segment_id for s in new_segments], new_opstamp, est
+        )
+        stats["term_stats_opstamp"] = new_opstamp
     new_manifest = Manifest(
         manifest.schema,
-        remaining + [new_meta],
-        opstamp=manifest.opstamp + 1,
-        stats=manifest.stats,
+        new_segments,
+        opstamp=new_opstamp,
+        stats=stats,
     )
     save_manifest(index_dir, new_manifest)
+    if purge:
+        from .build import _promote_term_stats
+        from .deletes import gc_tombstones
+
+        _promote_term_stats(index_dir, staging)
+        gc_tombstones(spark, index_dir, {s.segment_id for s in new_segments}, new_opstamp)
     garbage_collect(index_dir)
-    # term_stats stays valid (global doc_freq is merge-invariant); drop
-    # cached readers now pointing at deleted segment files
+    # without a purge, term_stats stays valid (global doc_freq is
+    # merge-invariant); drop cached readers pointing at deleted files
     from .query.exec import invalidate_cache
 
     invalidate_cache(index_dir)
     return new_meta
+
+
+def purge_deletes(spark, index_dir: str) -> list[str]:
+    """Compact every segment that carries tombstones (a single-source
+    'merge' is a purge rewrite: deleted docs dropped, survivors
+    densified, stats + term_stats recomputed). Returns new segment ids.
+
+    The LogMergePolicy stays reference-literal (doc-count levels only);
+    this is the explicit knob for reclaiming deletes without waiting for
+    a size-triggered merge."""
+    from .deletes import load_tombstone_map
+
+    dmap = load_tombstone_map(index_dir)
+    if not dmap:
+        return []
+    manifest = load_manifest(index_dir)
+    live = {s.segment_id for s in manifest.segments}
+    created = []
+    for i, sid in enumerate(sorted(dmap)):
+        if sid not in live:
+            continue
+        new_id = f"purge-{manifest.opstamp:04d}-{i:03d}"
+        merge_segments(spark, index_dir, [sid], new_id)
+        created.append(new_id)
+    return created
 
 
 def consider_merges(spark, index_dir: str, policy_kwargs: dict | None = None) -> list[str]:

@@ -644,48 +644,99 @@ def bind_stats(spark, index_dir: str, manifest: Manifest, logical):
     return doc_freqs, total_docs, field_avgdl
 
 
+def _empty_result_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "segment_id": pd.Series([], dtype=object),
+            "doc": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="float64"),
+            "is_count": pd.Series([], dtype=bool),
+        }
+    )
+
+
+def _score_segment_pdf(
+    pdf: pd.DataFrame,
+    wire_json: str,
+    k: int | None,
+    scorer: str,
+    with_count: bool,
+    use_wand: bool,
+    dels: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Core per-segment scoring: pruned posting rows (+ optional sorted
+    tombstoned-doc array) -> top-k rows and optionally a count row.
+
+    A segment WITH tombstones takes the exhaustive evaluator and masks
+    deleted docs before ranking/counting — WAND's threshold would be
+    seeded by docs that are then removed, pruning survivors that belong
+    in the top-k. Deletes are transient (merges purge them), so the WAND
+    fast path returns as soon as the segment is compacted."""
+    wire = json.loads(wire_json)
+    seg = pdf["segment_id"].iloc[0]
+    term_data: dict = {}
+    for (f, t), rows in pdf.groupby(["field", "term"]):
+        term_data[(int(f), t)] = TermPostings(rows)
+
+    has_dels = dels is not None and len(dels)
+    if not has_dels and use_wand and k is not None and is_wire_term_union(wire):
+        tw = wire["children"] if wire["kind"] == "or" else [wire]
+        docs, scores = wand_union_topk(tw, term_data, k, scorer)
+    else:
+        docs, scores = eval_node(wire, term_data, 0, scorer)
+        if has_dels and len(docs):
+            keep = ~np.isin(docs, dels)
+            docs, scores = docs[keep], scores[keep]
+
+    out_docs, out_scores = topk_arrays(docs, scores, k)
+    res = pd.DataFrame(
+        {
+            "segment_id": seg,
+            "doc": out_docs,
+            "score": out_scores,
+            "is_count": False,
+        }
+    )
+    if with_count:
+        res = pd.concat(
+            [
+                res,
+                pd.DataFrame(
+                    {
+                        "segment_id": [seg],
+                        "doc": [-1],
+                        "score": [float(len(docs))],
+                        "is_count": [True],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    return res
+
+
 def make_segment_scorer(wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool):
-    """Build the applyInPandas function: one segment's pruned posting rows
-    -> per-segment top-k rows (C1) and optionally a count row (C3/C4)."""
+    """applyInPandas scorer for indexes without tombstones."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        wire = json.loads(wire_json)
-        seg = pdf["segment_id"].iloc[0]
-        term_data: dict = {}
-        for (f, t), rows in pdf.groupby(["field", "term"]):
-            term_data[(int(f), t)] = TermPostings(rows)
+        return _score_segment_pdf(pdf, wire_json, k, scorer, with_count, use_wand)
 
-        if use_wand and k is not None and is_wire_term_union(wire):
-            tw = wire["children"] if wire["kind"] == "or" else [wire]
-            docs, scores = wand_union_topk(tw, term_data, k, scorer)
-        else:
-            docs, scores = eval_node(wire, term_data, 0, scorer)
+    return fn
 
-        out_docs, out_scores = topk_arrays(docs, scores, k)
-        res = pd.DataFrame(
-            {
-                "segment_id": seg,
-                "doc": out_docs,
-                "score": out_scores,
-                "is_count": False,
-            }
-        )
-        if with_count:
-            res = pd.concat(
-                [
-                    res,
-                    pd.DataFrame(
-                        {
-                            "segment_id": [seg],
-                            "doc": [-1],
-                            "score": [float(len(docs))],
-                            "is_count": [True],
-                        }
-                    ),
-                ],
-                ignore_index=True,
-            )
-        return res
+
+def make_segment_scorer_cogroup(
+    wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool
+):
+    """Cogrouped scorer: (postings, tombstones) per segment. The delete
+    set rides the SAME shuffle as the postings (cogroup on segment_id) —
+    no driver-side collect, no broadcast of the tombstone table."""
+
+    def fn(pdf: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            # segment has tombstones but no posting rows for these terms
+            return _empty_result_pdf()
+        dels = np.unique(tomb["doc"].to_numpy(dtype=np.int64)) if len(tomb) else None
+        return _score_segment_pdf(pdf, wire_json, k, scorer, with_count, use_wand, dels)
 
     return fn
 
@@ -744,18 +795,29 @@ def search(
         empty = spark.createDataFrame([], "segment_id string, segment_ord int, doc long, score double")
         return empty, (0 if with_count else None)
 
+    from ..deletes import has_tombstones, read_tombstones, tombstone_count
+
+    tombstoned = has_tombstones(index_dir)
+
     if wire["kind"] == "all":
         # AllQuery (all_query.go:11-77): every doc scores 1.0; scan docmap
-        docs = with_segment_ord(
-            read_docmap(spark, index_dir, manifest).select("segment_id", "doc")
-        ).withColumn("score", F.lit(1.0))
+        base = read_docmap(spark, index_dir, manifest).select("segment_id", "doc")
+        all_count = total_docs
+        if tombstoned:
+            base = base.join(
+                read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
+            )
+            all_count = total_docs - tombstone_count(
+                index_dir, {s.segment_id for s in manifest.segments}
+            )
+        docs = with_segment_ord(base).withColumn("score", F.lit(1.0))
         out = docs.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
         if offset:
             out = out.offset(offset)
         if limit is not None:
             out = out.limit(limit)
         return out.select("segment_id", "segment_ord", "doc", "score"), (
-            total_docs if with_count else None
+            all_count if with_count else None
         )
 
     terms = collect_terms(logical)
@@ -764,10 +826,20 @@ def search(
         _term_predicate(F, terms)
     )
     # WAND prunes non-candidates, so the exhaustive count must disable it
-    fn = make_segment_scorer(
-        json.dumps(wire), k, scorer, with_count, use_wand and not with_count
-    )
-    seg_results = pruned.groupBy("segment_id").applyInPandas(fn, RESULT_SCHEMA)
+    if tombstoned:
+        fn2 = make_segment_scorer_cogroup(
+            json.dumps(wire), k, scorer, with_count, use_wand and not with_count
+        )
+        seg_results = (
+            pruned.groupBy("segment_id")
+            .cogroup(read_tombstones(spark, index_dir).groupBy("segment_id"))
+            .applyInPandas(fn2, RESULT_SCHEMA)
+        )
+    else:
+        fn = make_segment_scorer(
+            json.dumps(wire), k, scorer, with_count, use_wand and not with_count
+        )
+        seg_results = pruned.groupBy("segment_id").applyInPandas(fn, RESULT_SCHEMA)
 
     count = None
     if with_count:
