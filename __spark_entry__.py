@@ -219,6 +219,22 @@ def _q_eng_must_should(spark, sf_dir):
     return _engine_matches(spark, sf_dir, None, logical=q)
 
 
+def _q_eng_must_not(spark, sf_dir):
+    """MUST_NOT extension (reference has no MustNot): spark-matching docs
+    minus window-matching docs, scored by the positive clause alone."""
+    from ostrich_spark.query.parser import (
+        MUST,
+        MUST_NOT,
+        BooleanQuery,
+        TermQuery,
+    )
+
+    q = BooleanQuery(
+        [(MUST, TermQuery(0, "spark")), (MUST_NOT, TermQuery(0, "window"))]
+    )
+    return _engine_matches(spark, sf_dir, None, logical=q)
+
+
 def _q_eng_all(spark, sf_dir):
     """Q8: AllQuery — every doc, score 1.0."""
     return _engine_matches(spark, sf_dir, "")
@@ -601,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s4_and": _q_eng_and,
         "eng_s5_or": _q_eng_or,
         "eng_s6_must_should": _q_eng_must_should,
+        "eng_s7_must_not": _q_eng_must_not,
         "eng_q8_all": _q_eng_all,
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
@@ -679,6 +696,12 @@ def oracle_sql() -> dict[str, str]:
             "sh AS (SELECT doc_id, sc FROM s WHERE term = 'join') "
             "SELECT m.doc_id, round(m.sc + coalesce(sh.sc, 0.0), 6) AS score "
             "FROM m LEFT JOIN sh ON m.doc_id = sh.doc_id"
+        ),
+        "eng_s7_must_not": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark' "
+            "AND t.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')"
         ),
         "eng_q8_all": "SELECT doc_id, 1.0 AS score FROM documents",
         "eng_c2_topk_tfidf": (

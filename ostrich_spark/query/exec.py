@@ -326,6 +326,13 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
             pos = np.searchsorted(cd, docs)
             total += cs[pos]
         return docs, total
+    if kind == "not":
+        bd, bs = eval_node(wire["base"], term_data, max_doc, scorer)
+        ed, _ = eval_node(wire["exclude"], term_data, max_doc, scorer)
+        if len(ed) and len(bd):
+            keep = ~np.isin(bd, ed)
+            return bd[keep], bs[keep]
+        return bd, bs
     if kind == "must_should":
         md, ms = eval_node(wire["must"], term_data, max_doc, scorer)
         sd, ss = eval_node(wire["should"], term_data, max_doc, scorer)

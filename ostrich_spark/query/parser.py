@@ -27,6 +27,11 @@ from ..schema import Schema
 
 MUST = "must"
 SHOULD = "should"
+# EXTENSION: the reference has no MustNot (boolean_query.go:10-58 defines
+# only MUST/SHOULD); exposed programmatically only — the NQL grammar stays
+# reference-identical (adding a '-'/'NOT' token would change how queries
+# containing those literal words parse).
+MUST_NOT = "must_not"
 
 
 class QueryParseError(ValueError):
@@ -67,6 +72,14 @@ class BooleanQuery:
     @staticmethod
     def union(*qs) -> "BooleanQuery":
         return BooleanQuery([(SHOULD, q) for q in qs])
+
+    @staticmethod
+    def excluding(base: "BooleanQuery | object", *nots) -> "BooleanQuery":
+        """base AND NOT (n1 OR n2 ...) — extension, see MUST_NOT."""
+        subs = (
+            list(base.subqueries) if isinstance(base, BooleanQuery) else [(MUST, base)]
+        )
+        return BooleanQuery(subs + [(MUST_NOT, n) for n in nots])
 
 
 @dataclass(frozen=True)

@@ -26,7 +26,16 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field as dc_field
 
-from .parser import AllQuery, BooleanQuery, EmptyQuery, PhraseQuery, TermQuery, MUST, SHOULD
+from .parser import (
+    AllQuery,
+    BooleanQuery,
+    EmptyQuery,
+    PhraseQuery,
+    TermQuery,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+)
 
 K1 = 1.2
 B = 0.75
@@ -70,6 +79,15 @@ class CUnion:
 class CMustShould:
     must: object = None
     should: object = None
+
+
+@dataclass
+class CNot:
+    """base minus exclude-matches (MUST_NOT extension). Scores come from
+    base alone; exclude only filters."""
+
+    base: object = None
+    exclude: object = None
 
 
 @dataclass(frozen=True)
@@ -162,13 +180,21 @@ def compile_query(
             for occ, sub in q.subqueries
             if occ == SHOULD
         ]
+        nots = [
+            compile_query(sub, doc_freqs, total_docs, field_avgdl, scorer)
+            for occ, sub in q.subqueries
+            if occ == MUST_NOT
+        ]
         # drop empties: an empty must kills the intersection; an empty
-        # should is just elided from the union (union_scorer.go:15-23).
+        # should is just elided from the union (union_scorer.go:15-23);
+        # an empty must_not excludes nothing.
         if any(isinstance(m, CEmpty) for m in musts):
             return CEmpty()
         shoulds = [s for s in shoulds if not isinstance(s, CEmpty)]
+        nots = [n for n in nots if not isinstance(n, CEmpty)]
 
-        if len(q.subqueries) == 1:
+        n_pos = sum(1 for occ, _ in q.subqueries if occ != MUST_NOT)
+        if n_pos == 1 and not nots:
             # single-subquery unwrap (boolean_query.go:100-107)
             return (musts + shoulds)[0] if (musts + shoulds) else CEmpty()
 
@@ -180,12 +206,18 @@ def compile_query(
             should_node = shoulds[0] if len(shoulds) == 1 else CUnion(shoulds)
 
         if must_node is not None and should_node is not None:
-            return CMustShould(must_node, should_node)
-        if must_node is not None:
-            return must_node
-        if should_node is not None:
-            return should_node
-        return CEmpty()
+            base = CMustShould(must_node, should_node)
+        elif must_node is not None:
+            base = must_node
+        elif should_node is not None:
+            base = should_node
+        else:
+            # pure-negative query: no positive clause to score/drive the
+            # match set (Lucene rejects this shape too)
+            return CEmpty()
+        if nots:
+            return CNot(base, nots[0] if len(nots) == 1 else CUnion(nots))
+        return base
     raise TypeError(q)
 
 
@@ -199,6 +231,8 @@ def node_terms(node) -> list[CTerm]:
         return out
     if isinstance(node, CMustShould):
         return node_terms(node.must) + node_terms(node.should)
+    if isinstance(node, CNot):
+        return node_terms(node.base) + node_terms(node.exclude)
     return []
 
 
@@ -236,6 +270,8 @@ def to_wire(node) -> dict:
         return {"kind": "or", "children": [to_wire(c) for c in node.children]}
     if isinstance(node, CMustShould):
         return {"kind": "must_should", "must": to_wire(node.must), "should": to_wire(node.should)}
+    if isinstance(node, CNot):
+        return {"kind": "not", "base": to_wire(node.base), "exclude": to_wire(node.exclude)}
     if isinstance(node, CAll):
         return {"kind": "all"}
     if isinstance(node, CEmpty):

@@ -53,6 +53,50 @@ def foreach_batch_indexer(
     return fn
 
 
+def streaming_dedup(stream_df, text_col: str = "text", id_col: str = "doc_id"):
+    """Exactly-first-seen streaming dedup — the stateful-operator shape
+    (``applyInPandasWithState``): a doc whose content hash was emitted in
+    ANY earlier micro-batch is dropped; within a batch the min-``id_col``
+    copy wins (deterministic keeper).
+
+    Scale posture: keyed by content_sha256, so the state shuffle is
+    uniform and the state store holds ONE tiny row per distinct document
+    ever seen — the streaming analog of the batch ``exact_dups`` keeper
+    join, with the corpus-wide "seen" set living in Spark's checkpointed
+    state store instead of a join against the full history."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    hashed = stream_df.withColumn("content_sha256", F.sha2(F.col(text_col), 256))
+    out_schema = hashed.schema
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # drain: hash already emitted in a prior batch
+                pass
+            return
+        first = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            batch_min = pdf.loc[[pdf[id_col].idxmin()]]
+            if first is None or batch_min[id_col].iloc[0] < first[id_col].iloc[0]:
+                first = batch_min
+        state.update((1,))
+        if first is not None:
+            yield first
+
+    return hashed.groupBy("content_sha256").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_index(
     stream_df,
     schema: Schema,

@@ -221,3 +221,44 @@ def test_attach_docmap_uses_pinned_manifest(spark, small_idx, monkeypatch):
     monkeypatch.setattr(exec_mod, "load_manifest", boom)
     joined = attach_docmap(spark, small_idx, res, manifest=mf)
     assert joined.count() == len(rows)
+
+
+def test_must_not_extension(spark, small_idx):
+    """MUST_NOT (programmatic-only extension; the reference has no
+    MustNot): base matches minus excluded matches, scores from the
+    positive clause alone."""
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import (
+        MUST,
+        MUST_NOT,
+        BooleanQuery,
+        TermQuery,
+    )
+
+    def run(q):
+        res, _ = search(spark, small_idx, q, limit=None)
+        return {
+            r["k"]: round(r["score"], 6)
+            for r in attach_docmap(spark, small_idx, res).select("k", "score").collect()
+        }
+
+    base = run(TermQuery(0, "merge"))
+    excl = run(TermQuery(0, "spark"))
+    got = run(
+        BooleanQuery([(MUST, TermQuery(0, "merge")), (MUST_NOT, TermQuery(0, "spark"))])
+    )
+    assert set(got) == set(base) - set(excl)
+    for k, s in got.items():
+        assert s == base[k]  # scores untouched by the negative clause
+    # pure-negative query matches nothing
+    assert run(BooleanQuery([(MUST_NOT, TermQuery(0, "merge"))])) == {}
+    # excluding an absent term is a no-op
+    got2 = run(
+        BooleanQuery([(MUST, TermQuery(0, "merge")), (MUST_NOT, TermQuery(0, "zzz"))])
+    )
+    assert got2 == base
+    # BooleanQuery.excluding helper builds the same query
+    from ostrich_spark.query.parser import BooleanQuery as BQ
+
+    got3 = run(BQ.excluding(TermQuery(0, "merge"), TermQuery(0, "spark")))
+    assert got3 == got

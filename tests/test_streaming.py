@@ -81,3 +81,58 @@ def test_stream_append_stats_accumulate(spark, tmp_path):
     assert m1.total_docs == 40 and m2.total_docs == 80
     assert m2.opstamp == m1.opstamp + 1
     assert sum(m2.stats["field_tokens"].values()) == m2.stats["total_tokens"]
+
+
+def test_streaming_dedup_first_seen_wins(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates within a batch keep the
+    min-id copy; duplicates of anything seen in an EARLIER batch are
+    dropped entirely (state store remembers across micro-batches)."""
+    import pandas as pd
+
+    from ostrich_spark.streaming import streaming_dedup
+
+    src = tmp_path / "docs_in"
+    os.makedirs(src)
+    batch1 = pd.DataFrame(
+        [
+            {"doc_id": 5, "text": "alpha"},
+            {"doc_id": 2, "text": "alpha"},   # within-batch dup -> min id (2) wins
+            {"doc_id": 3, "text": "beta"},
+        ]
+    )
+    batch2 = pd.DataFrame(
+        [
+            {"doc_id": 1, "text": "alpha"},   # earlier batch won -> dropped (even though 1 < 2)
+            {"doc_id": 9, "text": "gamma"},   # new -> kept
+            {"doc_id": 8, "text": "beta"},    # dropped
+        ]
+    )
+    # two files, forced into two micro-batches via maxFilesPerTrigger=1;
+    # file order = write order (modification time)
+    spark.createDataFrame(batch1).coalesce(1).write.mode("append").parquet(str(src))
+    import time as _t
+
+    _t.sleep(1.1)  # distinct mtimes so batch1 is processed first
+    spark.createDataFrame(batch2).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream_df = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src))
+    )
+    deduped = streaming_dedup(stream_df, text_col="text", id_col="doc_id")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["doc_id"], r["text"])
+        for r in spark.sql("SELECT doc_id, text FROM dedup_sink").collect()
+    }
+    assert rows == {(2, "alpha"), (3, "beta"), (9, "gamma")}
