@@ -327,6 +327,23 @@ def _q_eng_phrase_bm25(spark, sf_dir):
     return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
 
 
+def _q_eng_term_positions(spark, sf_dir):
+    """Highlighting primitive: every occurrence position of 'hash' in the
+    text field, joined back to source doc ids."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import read_docmap, term_positions
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    pos = term_positions(spark, idx, 0, "hash", manifest=mf)
+    dm = read_docmap(spark, idx, mf).select("segment_id", "doc", "doc_id")
+    return _longify(
+        pos.join(dm, ["segment_id", "doc"]).select(
+            F.col("doc_id").cast("long"), F.col("pos")
+        )
+    )
+
+
 def _q_eng_count(spark, sf_dir):
     """C3: CountCollector over a boolean query."""
     from ostrich_spark.query.exec import search
@@ -623,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_bm25_topk": _q_eng_bm25_topk,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
         "eng_phrase_bm25": _q_eng_phrase_bm25,
+        "eng_term_positions": _q_eng_term_positions,
         "eng_delete_tombstone": _q_eng_delete_tombstone,
         "eng_delete_purged": _q_eng_delete_purged,
         "eng_c3_count": _q_eng_count,
@@ -721,6 +739,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE t.term IN ('spark','join')), "
             "g AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id) "
             "SELECT doc_id, score FROM g ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "eng_term_positions": (
+            f"WITH {TOKLIST_CTE}, {POS_CTE} "
+            "SELECT doc_id, pos FROM pos WHERE term = 'hash'"
         ),
         # tombstone semantics: deleted docs filtered from RESULTS, but df/N
         # still computed over the full corpus (stats frozen until purge)

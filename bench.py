@@ -187,8 +187,13 @@ def main():
     t0 = time.time()
     ivf_search(spark, ivf_path, qv, k=10, nprobe=1).collect()
     timings["ann_ivf_persisted_topk"] = round(time.time() - t0, 3)
+    # library defaults (64 planes / 8-bit bands) — the gate entry pins a
+    # coarser 16/4 config for oracle parity, which candidate-explodes at
+    # this corpus size and would measure the wrong thing
+    from ostrich_spark.similarity import neardup_pairs_lsh
+
     t0 = time.time()
-    em.queries()["emb_neardup_lsh"](spark, SF_DIR).count()
+    neardup_pairs_lsh(emb_df, threshold=0.9).count()
     timings["emb_neardup_lsh"] = round(time.time() - t0, 3)
 
     # headline value: warm build + all query/op timings. The info-only

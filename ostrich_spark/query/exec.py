@@ -864,6 +864,48 @@ def search(
     return hits.select("segment_id", "segment_ord", "doc", "score"), count
 
 
+POSITIONS_RESULT_SCHEMA = "segment_id string, doc long, pos long"
+
+
+def term_positions(spark, index_dir: str, field_id: int, term: str, manifest: Manifest | None = None):
+    """Every occurrence position of ``term`` -> (segment_id, doc, pos)
+    rows — the highlighting/snippet primitive (requires the field to be
+    indexed with positions=True).
+
+    The (field, term) predicate prunes at the parquet scan (same pushdown
+    as scoring); decode is one vectorized pass per pruned posting row;
+    tombstoned docs are excluded."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    pruned = read_postings(spark, index_dir, manifest).filter(
+        (F.col("field") == field_id) & (F.col("term") == term)
+    )
+
+    def explode_positions(pdf: pd.DataFrame) -> pd.DataFrame:
+        tp = TermPostings(pdf)
+        docs, tfs, _, pos = tp.decode_with_positions()
+        return pd.DataFrame(
+            {
+                "segment_id": pdf["segment_id"].iloc[0],
+                "doc": np.repeat(docs, tfs),
+                "pos": pos,
+            }
+        )
+
+    rows = pruned.groupBy("segment_id").applyInPandas(
+        explode_positions, POSITIONS_RESULT_SCHEMA
+    )
+    from ..deletes import has_tombstones, read_tombstones
+
+    if has_tombstones(index_dir):
+        rows = rows.join(
+            read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
+        )
+    return rows
+
+
 def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None = None):
     """Join original document identity columns onto search results
     (broadcast join — results are tiny).

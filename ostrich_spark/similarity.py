@@ -277,8 +277,8 @@ def plane_component(p: int, i: int, dim: int) -> float:
 def neardup_pairs_lsh(
     emb_df,
     threshold: float = 0.9,
-    n_planes: int = 16,
-    bands: int = 4,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int | None = None,
 ):
     """Self-contained near-dup detection: random-hyperplane LSH buckets,
@@ -288,12 +288,23 @@ def neardup_pairs_lsh(
       vectors agree on most bits (collision prob = 1 - angle/pi).
     - bits are banded (band = p mod bands, n_planes/bands bits each);
       candidates share at least one full band -> the bucket equi-join is
-      bounded by near-dup bucket sizes, never all-pairs.
+      bounded by bucket sizes, never all-pairs.
     - the final exact-cosine filter makes the output precise w.r.t. the
       candidate set (recall is the LSH trade-off, tunable via
       bands/n_planes).
 
-    All plane math is JVM-side column expressions; no Python UDF."""
+    SIZING (the scale knob): each band hashes into 2^(n_planes/bands)
+    buckets, and the self-join cost is sum over buckets of |bucket|^2 —
+    bits_per_band must GROW with log2(corpus) or buckets collide by
+    volume alone. The 64/8 default (8 bits/band, 256 buckets, ~93%
+    recall at sim 0.9) suits ~10^4-10^6 rows; at web scale raise toward
+    16-24 bits/band and add bands to hold recall. A 16/4 config (4-bit
+    bands = 16 buckets) is only usable for tiny corpora/tests.
+
+    Signature math runs as ONE Arrow-batched numpy matmul per partition
+    (embeddings (n, dim) @ planes.T) — Catalyst's higher-order array
+    functions evaluate interpreted per element, which is ~100x slower for
+    a dense dims×planes product; the verify-stage cosine stays JVM-side."""
     if dim is None:
         first = emb_df.select(F.size("embedding").alias("d")).limit(1).collect()
         if not first:
@@ -302,29 +313,36 @@ def neardup_pairs_lsh(
             )
         dim = int(first[0]["d"])
     bits_per_band = n_planes // bands
+    planes = np.array(
+        [[plane_component(p, i, dim) for i in range(dim)] for p in range(n_planes)],
+        dtype=np.float64,
+    )
+    # weight of plane p inside its band: band = p % bands, pos = p // bands
+    band_of = np.arange(n_planes) % bands
+    weight = 1 << (np.arange(n_planes) // bands)
 
-    sigs = emb_df.select("vec_id", "embedding")
-    band_cols = []
-    for band in range(bands):
-        h = F.lit(0).cast("long")
-        for pos in range(bits_per_band):
-            p = band + pos * bands
-            plane = F.array(*[F.lit(plane_component(p, i, dim)) for i in range(dim)])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col("embedding"), plane, lambda x, y: x.cast("double") * y
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+    def band_hashes(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (E @ planes.T >= 0).astype(np.int64)  # (n, n_planes)
+            hashes = np.zeros((len(pdf), bands), dtype=np.int64)
+            for b in range(bands):
+                sel = band_of == b
+                hashes[:, b] = bits[:, sel] @ weight[sel]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int64), len(pdf)),
+                    "band_hash": hashes.reshape(-1),
+                }
             )
-            bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            h = h + bit * F.lit(1 << pos).cast("long")
-        band_cols.append(h.alias(f"bh{band}"))
-    sigs = sigs.select("vec_id", "embedding", *band_cols)
 
-    stack_args = ", ".join(f"{b}L, bh{b}" for b in range(bands))
-    banded = sigs.selectExpr(
-        "vec_id", f"stack({bands}, {stack_args}) AS (band, band_hash)"
+    banded = emb_df.select("vec_id", "embedding").mapInPandas(
+        band_hashes, "vec_id long, band long, band_hash long"
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -340,10 +358,30 @@ def neardup_pairs_lsh(
     )
     ea = emb_df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb_df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .withColumn("sim", F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6))
-        .filter(F.col("sim") >= threshold)
-        .select("vec_a", "vec_b", "sim")
-    )
+    paired = cand.join(ea, "vec_a").join(eb, "vec_b")
+
+    # exact-cosine verify, Arrow-batched: bucket collisions produce far
+    # more candidates than survivors, and a per-element interpreted array
+    # expression over that volume dominates the whole job
+    def verify(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.asarray(pdf["emb_a"].tolist(), dtype=np.float64)
+            B = np.asarray(pdf["emb_b"].tolist(), dtype=np.float64)
+            sim = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            sim = np.round(sim, 6)
+            keep = sim >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "sim": sim[keep],
+                }
+            )
+
+    return paired.mapInPandas(verify, "vec_a long, vec_b long, sim double")

@@ -1,0 +1,79 @@
+"""Multimodal decode dispatch: real decoders behind optional imports,
+deterministic stub fallback, true-binary-column pipeline."""
+
+import warnings
+
+import pandas as pd
+import pytest
+
+from ostrich_spark import multimodal as mm
+
+
+def test_make_decoder_dispatch():
+    dec, schema = mm.make_decoder("image")
+    if mm.HAS_PIL:
+        assert dec is mm.decode_image_real
+        assert schema == mm.IMAGE_SCHEMA
+    else:
+        assert dec is mm.decode_stub
+        assert schema == mm.DECODED_SCHEMA
+
+
+def test_fallback_warns_once():
+    if mm.HAS_PIL and mm.HAS_SOUNDFILE:
+        pytest.skip("all real decoders available; no fallback to test")
+    mm._warned = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mm.make_decoder("image" if not mm.HAS_PIL else "audio")
+        assert any("falling back to decode_stub" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        mm.make_decoder("image" if not mm.HAS_PIL else "audio")
+        assert not w  # warned exactly once per process
+
+
+def test_real_decoder_errors_are_actionable():
+    if not mm.HAS_PIL:
+        with pytest.raises(ImportError, match="pillow"):
+            mm.decode_image_real(b"\x89PNG")
+    if not mm.HAS_SOUNDFILE:
+        with pytest.raises(ImportError, match="soundfile"):
+            mm.decode_audio_real(b"RIFF")
+
+
+@pytest.mark.skipif(not mm.HAS_PIL, reason="pillow not installed")
+def test_real_image_decode_roundtrip(spark):
+    """When PIL is present the real decoder must return true dimensions."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (17, 9)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    dec, schema = mm.make_decoder("image")
+    rows = mm.decode_binary_features(df, "payload", dec, schema).collect()
+    assert rows[0]["width"] == 17 and rows[0]["height"] == 9
+
+
+def test_decode_binary_features_stub(spark):
+    """The true-binary-column pipeline: Arrow batches of bytes through
+    the (stub) decoder; shapes deterministic."""
+    rows = [(i, bytes(range(i % 7)) * (i + 1)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in mm.decode_binary_features(df, "payload").collect()}
+    for i, payload in rows:
+        assert out[i]["byte_len"] == len(payload)
+        assert out[i]["n_chunks"] == (len(payload) + mm.CHUNK - 1) // mm.CHUNK
+        assert out[i]["fake_width"] == (len(payload) % 640) + 1
+
+
+def test_decode_features_text_standin_matches_stub(spark):
+    df = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    row = mm.decode_features(df).collect()[0]
+    want = mm.decode_stub(b"hello world")
+    assert row["byte_len"] == want["byte_len"]
+    assert row["fake_width"] == want["fake_width"]
+    assert row["fake_height"] == want["fake_height"]
