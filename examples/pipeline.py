@@ -103,9 +103,9 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     chunks = chunk_tokens(sampled, chunk_size=64, overlap=8)
     stats["chunks"] = chunks.count()
 
-    # 7. index the surviving docs, query it
+    # 7. index the surviving docs (positions on -> phrase queries), query it
     schema = Schema()
-    schema.add_text_field("text", "default")
+    schema.add_text_field("text", "default", positions=True)
     idx = os.path.join(work, "index")
     shutil.rmtree(idx, ignore_errors=True)
     build_index(
@@ -115,6 +115,27 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     res, _ = search(spark, idx, "text:merge_policy OR text:postings", limit=5, scorer="bm25")
     hits = attach_docmap(spark, idx, res).select("path", "score").collect()
     stats["top_hits"] = [(h["path"], round(h["score"], 4)) for h in hits]
+
+    # 8. phrase search over the positions-enabled index
+    pres, _ = search(spark, idx, 'text:"delta packed"', limit=5)
+    stats["phrase_hits"] = [
+        h["path"] for h in attach_docmap(spark, idx, pres).select("path").collect()
+    ]
+
+    # 9. delete lifecycle: tombstone a doc (a takedown request), verify it
+    # vanished, then purge to reclaim the space physically
+    from ostrich_spark.deletes import delete_docs
+    from ostrich_spark.merge import purge_deletes
+
+    if stats["top_hits"]:
+        victim = stats["top_hits"][0][0]
+        delete_docs(
+            spark, idx, spark.createDataFrame([(victim,)], "path string"), ["path"]
+        )
+        _, n_before = search(spark, idx, "", limit=0, with_count=True)
+        purge_deletes(spark, idx)
+        _, n_after = search(spark, idx, "", limit=0, with_count=True)
+        stats["after_takedown"] = (n_before, n_after)  # equal: purge is invisible
     return stats
 
 

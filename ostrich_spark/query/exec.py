@@ -252,6 +252,57 @@ def _union_arrays(parts: list[tuple[np.ndarray, np.ndarray]]):
     return uniq, summed
 
 
+def eval_and_terms(children: list[dict], term_data: dict, scorer: str, stats: dict | None = None):
+    """Skip-decoding intersection for AND-of-terms — EXACT, not a bound.
+
+    The smallest term is decoded fully and defines the candidate docs;
+    every other term decodes ONLY the blocks whose [lo, hi] doc range
+    contains a candidate (the intersection result can't include a doc the
+    smallest term lacks, so skipped blocks are provably irrelevant — no
+    thresholds involved). A rare AND common query therefore decodes the
+    common term proportionally to the RARE term's doc count, which is the
+    access pattern that survives a 100x corpus scale-up. Scores are
+    computed from the decoded postings: bit-identical to the exhaustive
+    evaluator (regression-tested)."""
+    tps = []
+    for c in children:
+        tp = term_data.get((c["field"], c["term"]))
+        if tp is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        tps.append(tp)
+    order = sorted(range(len(tps)), key=lambda i: (tps[i].doc_freq, i))
+
+    seed = order[0]
+    docs, tfs, lens = tps[seed].decode()
+    decoded = {seed: (docs, tfs, lens)}
+    cand = docs
+    for i in order[1:]:
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        tp = tps[i]
+        lo = tp.block_lower_bounds()
+        hi = tp.block_max_doc
+        # block needed iff some candidate doc falls inside [lo, hi]
+        need = np.searchsorted(cand, lo, side="left") < np.searchsorted(
+            cand, hi, side="right"
+        )
+        sel = np.flatnonzero(need)
+        if stats is not None:
+            stats["blocks_total"] = stats.get("blocks_total", 0) + tp.n_blocks
+            stats["blocks_kept"] = stats.get("blocks_kept", 0) + len(sel)
+        d, t, ln = tp.decode(sel)
+        decoded[i] = (d, t, ln)
+        cand = np.intersect1d(cand, d, assume_unique=True)
+
+    total = np.zeros(len(cand), dtype=np.float64)
+    for i in order:  # sum child scores in the sorted order (parity with
+        # the exhaustive path's float-add order)
+        d, t, ln = decoded[i]
+        pos = np.searchsorted(d, cand)
+        total += score_postings(t, ln, children[i]["idf"], children[i]["avgdl"], scorer)[pos]
+    return cand, total
+
+
 def eval_phrase(wire: dict, term_data: dict, scorer: str):
     """Vectorized consecutive-phrase match within one segment.
 
@@ -312,6 +363,8 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
         parts = [eval_node(c, term_data, max_doc, scorer) for c in wire["children"]]
         return _union_arrays(parts)
     if kind == "and":
+        if all(c["kind"] == "term" for c in wire["children"]):
+            return eval_and_terms(wire["children"], term_data, scorer)
         parts = [eval_node(c, term_data, max_doc, scorer) for c in wire["children"]]
         # smallest-first ordering (intersection_scorer.go:24-27), stable on ties
         order = sorted(range(len(parts)), key=lambda i: (len(parts[i][0]), i))

@@ -102,3 +102,62 @@ def test_wand_single_rare_term_dominates():
     assert set(top[0]).issubset(set(rare.tolist()))
     skipped_frac = 1 - stats["blocks_kept"] / stats["blocks_total"]
     assert skipped_frac > 0.9, stats
+
+
+@pytest.mark.parametrize("scorer", ["tfidf", "bm25"])
+@pytest.mark.parametrize("seed", [4, 5])
+def test_and_skip_decode_equals_exhaustive(scorer, seed):
+    """eval_and_terms: rare AND common decodes only the common term's
+    blocks overlapping the rare term's docs — results bit-identical to
+    the full-decode intersection, with real (>80%) block skipping."""
+    from ostrich_spark.query.exec import eval_and_terms
+
+    rng = np.random.default_rng(seed)
+    n_docs = 200_000
+    term_data = {}
+    wires = []
+    for i, (df_count, idf) in enumerate([(120_000, 0.6), (90_000, 0.9), (300, 6.0)]):
+        docs = np.sort(rng.choice(n_docs, size=df_count, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 9, size=df_count).astype(np.int64)
+        lens = rng.integers(30, 400, size=df_count).astype(np.int64)
+        term_data[(0, f"t{i}")] = TermPostings(_make_term_rows(docs, tfs, lens))
+        wires.append(
+            {"kind": "term", "field": 0, "term": f"t{i}", "doc_freq": df_count,
+             "idf": idf, "avgdl": 200.0}
+        )
+
+    stats = {}
+    sd, ss = eval_and_terms(wires, term_data, scorer, stats=stats)
+
+    # exhaustive reference: full decode, smallest-first intersect + sum
+    parts = []
+    for w in wires:
+        d, t, ln = term_data[(0, w["term"])].decode()
+        parts.append((d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))
+    order = sorted(range(len(parts)), key=lambda i: (len(parts[i][0]), i))
+    docs = parts[order[0]][0]
+    for i in order[1:]:
+        docs = np.intersect1d(docs, parts[i][0], assume_unique=True)
+    total = np.zeros(len(docs), dtype=np.float64)
+    for i in order:
+        cd, cs = parts[i]
+        total += cs[np.searchsorted(cd, docs)]
+
+    assert np.array_equal(sd, docs)
+    assert np.array_equal(ss, total)  # bit-identical, same float-add order
+    assert len(sd) > 0
+    # 300 candidate docs spread over 200k-doc space touch at most ~300
+    # blocks of each big term (1563 blocks total per big term)
+    assert stats["blocks_kept"] < 0.25 * stats["blocks_total"]
+
+
+def test_and_skip_decode_absent_term():
+    from ostrich_spark.query.exec import eval_and_terms
+
+    term_data = {(0, "a"): TermPostings(_make_term_rows([1, 2], [1, 1], [10, 10]))}
+    wires = [
+        {"kind": "term", "field": 0, "term": "a", "doc_freq": 2, "idf": 1.0, "avgdl": 10.0},
+        {"kind": "term", "field": 0, "term": "missing", "doc_freq": 0, "idf": 1.0, "avgdl": 10.0},
+    ]
+    d, s = eval_and_terms(wires, term_data, "tfidf")
+    assert len(d) == 0 and len(s) == 0
