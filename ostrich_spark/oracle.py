@@ -24,7 +24,17 @@ bit-equal, not merely close.
 from __future__ import annotations
 
 from .analysis import get_analyzer
-from .query.parser import AllQuery, BooleanQuery, EmptyQuery, TermQuery, parse_query, MUST, SHOULD
+from .query.parser import (
+    AllQuery,
+    BooleanQuery,
+    EmptyQuery,
+    PhraseQuery,
+    TermQuery,
+    parse_query,
+    MUST,
+    MUST_NOT,
+    SHOULD,
+)
 from .query.plan import B, K1, SCORER_BM25, SCORER_TFIDF, bm25_idf, tfidf_idf
 from .schema import Schema
 
@@ -38,6 +48,8 @@ class OracleIndex:
         self.n_docs = len(docs)
         # (field_id, term) -> {doc: tf}
         self.postings: dict[tuple[int, str], dict[int, int]] = {}
+        # (field_id, term) -> {doc: [positions]} (phrase support)
+        self.positions: dict[tuple[int, str], dict[int, list[int]]] = {}
         # (doc, field_id) -> token count
         self.doc_len: dict[tuple[int, int], int] = {}
         self.field_tokens: dict[int, int] = {}
@@ -50,11 +62,14 @@ class OracleIndex:
                     tokens.extend(get_analyzer(fe.analyzer).analyze_one(v))
                 self.doc_len[(doc_id, fe.id)] = len(tokens)
                 self.field_tokens[fe.id] = self.field_tokens.get(fe.id, 0) + len(tokens)
-                for t in tokens:
+                for pos, t in enumerate(tokens):
                     self.postings.setdefault((fe.id, t), {})
                     self.postings[(fe.id, t)][doc_id] = (
                         self.postings[(fe.id, t)].get(doc_id, 0) + 1
                     )
+                    self.positions.setdefault((fe.id, t), {}).setdefault(
+                        doc_id, []
+                    ).append(pos)
 
     def doc_freq(self, field_id: int, term: str) -> int:
         return len(self.postings.get((field_id, term), {}))
@@ -87,11 +102,44 @@ class OracleIndex:
                     tff + K1 * (1.0 - B + B * dl / avgdl)
                 )
             return out
+        if isinstance(q, PhraseQuery):
+            # Lucene convention (mirrored in plan.CPhrase): idf = sum of
+            # constituent idfs IN TERM ORDER, tf = phrase occurrence count
+            plists = [self.positions.get((q.field_id, t)) for t in q.terms]
+            if any(p is None for p in plists):
+                return {}
+            idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+            idf_sum = 0.0
+            for t in q.terms:
+                idf_sum += idf_fn(self.n_docs, self.doc_freq(q.field_id, t))
+            cand = set(plists[0].keys())
+            for p in plists[1:]:
+                cand &= p.keys()
+            out = {}
+            avgdl = self.avgdl(q.field_id)
+            for d in cand:
+                starts = [
+                    p
+                    for p in plists[0][d]
+                    if all(p + i in set(plists[i][d]) for i in range(1, len(plists)))
+                ]
+                if not starts:
+                    continue
+                tff = float(len(starts))
+                if scorer == SCORER_TFIDF:
+                    out[d] = tff * idf_sum
+                else:
+                    dl = float(self.doc_len[(d, q.field_id)])
+                    out[d] = idf_sum * (tff * (K1 + 1.0)) / (
+                        tff + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+            return out
         if isinstance(q, BooleanQuery):
             musts = [self._eval(s, scorer) for o, s in q.subqueries if o == MUST]
             shoulds_q = [s for o, s in q.subqueries if o == SHOULD]
             shoulds = [self._eval(s, scorer) for s in shoulds_q]
             shoulds = [s for s in shoulds if s] if len(q.subqueries) > 1 else shoulds
+            nots = [self._eval(s, scorer) for o, s in q.subqueries if o == MUST_NOT]
 
             must_res = None
             if musts:
@@ -113,12 +161,19 @@ class OracleIndex:
                     for d, s in child.items():
                         should_res[d] = should_res.get(d, 0.0) + s
             if must_res is not None and should_res is not None:
-                return {d: s + should_res.get(d, 0.0) for d, s in must_res.items()}
-            if must_res is not None:
-                return must_res
-            if should_res is not None:
-                return should_res
-            return {}
+                base = {d: s + should_res.get(d, 0.0) for d, s in must_res.items()}
+            elif must_res is not None:
+                base = must_res
+            elif should_res is not None:
+                base = should_res
+            else:
+                return {}  # pure-negative: no positive clause
+            if nots:
+                excluded = set()
+                for n in nots:
+                    excluded |= n.keys()
+                base = {d: s for d, s in base.items() if d not in excluded}
+            return base
         raise TypeError(q)
 
     def search(

@@ -221,3 +221,37 @@ def test_append_after_delete(spark, tmp_path):
     )
     ks, _ = _keys(spark, idx, "content:alpha")
     assert ks == [k for k in range(12) if k != 3] + [100, 101, 102, 103]
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_delete_fuzz_tombstone_and_purge(spark, tmp_path, seed):
+    """Randomized differential: random delete subset -> (a) tombstone
+    results == full-index results minus deleted docs with UNCHANGED
+    scores; (b) purge results == fresh rebuild over survivors."""
+    import random
+
+    rng = random.Random(seed)
+    docs = _docs(30)
+    victims = sorted(rng.sample(range(30), rng.randint(5, 15)))
+
+    idx = str(tmp_path / "idx")
+    _build(spark, idx, docs)
+    full = {}
+    queries = ["content:spark", "content:alpha AND content:join", 'content:"spark join"']
+    for q in queries:
+        full[q] = dict(_scored(spark, idx, q))
+
+    delete_docs(
+        spark, idx, spark.createDataFrame([(v,) for v in victims], "k long"), ["k"]
+    )
+    vic = set(victims)
+    for q in queries:
+        got = dict(_scored(spark, idx, q))
+        assert got == {k: s for k, s in full[q].items() if k not in vic}, q
+
+    purge_deletes(spark, idx)
+    ref = str(tmp_path / "ref")
+    _build(spark, ref, [d for d in docs if d["k"] not in vic], parts=2)
+    for q in queries:
+        for scorer in ("tfidf", "bm25"):
+            assert _scored(spark, idx, q, scorer) == _scored(spark, ref, q, scorer), (q, scorer)
