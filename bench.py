@@ -157,6 +157,7 @@ def main():
 
     for name, fn in [
         ("docs_bm25_topk", em.queries()["eng_bm25_topk"]),
+        ("docs_phrase_tfidf", em.queries()["eng_phrase_tfidf"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),

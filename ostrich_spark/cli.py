@@ -145,6 +145,11 @@ def cmd_stats(args) -> int:
     s = m.stats
     print(f"opstamp {m.opstamp}  build_id {s.get('build_id', '?')}")
     print(f"docs {s.get('total_docs', 0)}  tokens {s.get('total_tokens', 0)}  segments {len(m.segments)}")
+    from .deletes import tombstone_count
+
+    n_tomb = tombstone_count(args.path, {seg.segment_id for seg in m.segments})
+    if n_tomb:
+        print(f"tombstones {n_tomb} (run `purge` to reclaim)")
     ph = s.get("build_phases", {})
     if ph:
         print(f"last build: map {ph.get('map_sec', '?')}s  commit {ph.get('commit_sec', '?')}s")
