@@ -50,7 +50,13 @@ class PhraseQuery:
     reference grammar (its tokens carry no positions,
     /root/reference/analyzer/analyzer.go:44-46). Requires the field to be
     indexed with positions=True. Scoring follows the Lucene convention:
-    idf(phrase) = sum of constituent idfs, tf = phrase occurrence count."""
+    idf(phrase) = sum of constituent idfs, tf = phrase occurrence count.
+
+    Multi-valued fields: token streams of the values are concatenated
+    with contiguous positions (build concatenation semantics), so a
+    phrase CAN match across a value boundary — there is no Lucene-style
+    position_increment_gap. Index multi-valued fields whose values must
+    not cross-match as separate fields."""
 
     field_id: int
     terms: tuple[str, ...]

@@ -255,3 +255,27 @@ def test_delete_fuzz_tombstone_and_purge(spark, tmp_path, seed):
     for q in queries:
         for scorer in ("tfidf", "bm25"):
             assert _scored(spark, idx, q, scorer) == _scored(spark, ref, q, scorer), (q, scorer)
+
+
+def test_purge_through_shard_patch_path(spark, tmp_path):
+    """shard_threshold=0 routes every posting row through the map-only
+    patch path during merge — the purge rewrite in that branch must drop
+    deleted docs and remap identically to the group-merge branch."""
+    idx = str(tmp_path / "idx")
+    docs = _docs(24)
+    _build(spark, idx, docs)
+    delete_docs(
+        spark, idx, spark.createDataFrame([(i,) for i in range(0, 24, 3)], "k long"), ["k"]
+    )
+    mf = load_manifest(idx)
+    merge_segments(
+        spark, idx, [s.segment_id for s in mf.segments], "merged-sp", shard_threshold=0
+    )
+    assert not has_tombstones(idx)
+    kept = [k for k in range(24) if k % 3 != 0]
+    assert _keys(spark, idx, "content:alpha")[0] == kept
+    # score identity vs rebuild over survivors (stats recomputed)
+    ref = str(tmp_path / "ref")
+    _build(spark, ref, [d for d in docs if d["k"] % 3 != 0], parts=2)
+    for q in ("content:spark", 'content:"spark join"'):
+        assert _scored(spark, idx, q) == _scored(spark, ref, q), q

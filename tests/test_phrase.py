@@ -170,3 +170,32 @@ def test_phrase_without_positions_raises(spark, tmp_path):
     with pytest.raises(Exception, match="positions"):
         res, _ = search(spark, d, 'content:"quick brown"', limit=None)
         res.collect()
+
+
+def test_merge_shard_patch_path_preserves_positions(spark, tmp_path, phrase_schema):
+    """shard_threshold=0 forces EVERY term through the map-only shard
+    patch path (the big-term skew route) — positions must survive it
+    identically to the group-merge route."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.merge import merge_segments
+
+    d = str(tmp_path / "idx")
+    df = spark.createDataFrame(pd.DataFrame(DOCS))
+    build_index(
+        spark, df, phrase_schema, d, num_partitions=3, order_col="k", id_cols=["k"]
+    )
+    before = _hits(spark, d, 'content:"quick brown fox"')
+    mf = load_manifest(d)
+    merge_segments(
+        spark, d, [s.segment_id for s in mf.segments], "merged-shard",
+        shard_threshold=0,
+    )
+    assert _hits(spark, d, 'content:"quick brown fox"') == before
+    # sharded rows really exist (multiple rows per term across doc ranges)
+    import pyarrow.dataset as ds
+
+    pos_rows = ds.dataset(
+        f"{d}/segments/merged-shard/postings.parquet", format="parquet"
+    ).to_table(columns=["term", "row_ord"])
+    terms = pos_rows.column("term").to_pylist()
+    assert len(terms) > len(set(terms))  # at least one term sharded
