@@ -423,6 +423,7 @@ def wand_union_topk(
     k: int,
     scorer: str,
     stats: dict | None = None,
+    dels: np.ndarray | None = None,
 ):
     """Exact top-k for OR-of-terms with block-max skipping.
 
@@ -444,6 +445,13 @@ def wand_union_topk(
 
     Every skipped doc provably scores < theta <= true k-th best, so the
     result is rank-identical to exhaustive evaluation (WAND is exact).
+
+    ``dels`` (sorted tombstoned local docIDs): deleted docs are masked
+    from every decoded posting list BEFORE the threshold is seeded, so
+    theta is the k-th best SURVIVOR score — a survivor that belongs in
+    the top-k after deletions can never be pruned by a deleted doc's
+    score. Block upper bounds may come from deleted docs; that only
+    loosens them (still valid bounds), it cannot drop a candidate.
     """
     tps, wires = [], []
     for w in term_wires:
@@ -455,13 +463,20 @@ def wand_union_topk(
     if n_terms == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
+    has_dels = dels is not None and len(dels)
+
+    def mask_dels(d, *aligned):
+        if not has_dels or not len(d):
+            return (d, *aligned)
+        keep = ~np.isin(d, dels)
+        return (d[keep], *(a[keep] for a in aligned))
+
     def exhaustive():
-        parts = [
-            (lambda d, t, ln, w: (d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))(
-                *tp.decode(), w
-            )
-            for tp, w in zip(tps, wires)
-        ]
+        parts = []
+        for tp, w in zip(tps, wires):
+            d, t, ln = tp.decode()
+            d, t, ln = mask_dels(d, t, ln)
+            parts.append((d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))
         return _union_arrays(parts)
 
     total_postings = sum(tp.doc_freq for tp in tps)
@@ -476,11 +491,12 @@ def wand_union_topk(
     if not large:
         return exhaustive()
 
-    # 1. decode small terms fully; exact small-union scores
+    # 1. decode small terms fully (survivors only); exact small-union scores
     small_decoded: dict[int, tuple] = {}
     small_parts = []
     for i in small:
         d, t, ln = tps[i].decode()
+        d, t, ln = mask_dels(d, t, ln)
         s = score_postings(t, ln, wires[i]["idf"], wires[i]["avgdl"], scorer)
         small_decoded[i] = (d, s)
         small_parts.append((d, s))
@@ -540,6 +556,7 @@ def wand_union_topk(
             stats["blocks_total"] = stats.get("blocks_total", 0) + tps[i].n_blocks
             stats["blocks_kept"] = stats.get("blocks_kept", 0) + len(sel)
         d, t, ln = tps[i].decode(sel)
+        d, t, ln = mask_dels(d, t, ln)
         parts_by_idx[i] = (d, score_postings(t, ln, wires[i]["idf"], wires[i]["avgdl"], scorer))
 
     # original child order for float-sum parity with the exhaustive path
@@ -727,11 +744,10 @@ def _score_segment_pdf(
     """Core per-segment scoring: pruned posting rows (+ optional sorted
     tombstoned-doc array) -> top-k rows and optionally a count row.
 
-    A segment WITH tombstones takes the exhaustive evaluator and masks
-    deleted docs before ranking/counting — WAND's threshold would be
-    seeded by docs that are then removed, pruning survivors that belong
-    in the top-k. Deletes are transient (merges purge them), so the WAND
-    fast path returns as soon as the segment is compacted."""
+    Tombstoned segments stay on the WAND fast path: the delete set is
+    passed into wand_union_topk, which masks deleted docs from every
+    decoded list BEFORE seeding the threshold (a theta contaminated by
+    deleted docs could prune survivors that belong in the top-k)."""
     wire = json.loads(wire_json)
     seg = pdf["segment_id"].iloc[0]
     term_data: dict = {}
@@ -739,9 +755,11 @@ def _score_segment_pdf(
         term_data[(int(f), t)] = TermPostings(rows)
 
     has_dels = dels is not None and len(dels)
-    if not has_dels and use_wand and k is not None and is_wire_term_union(wire):
+    if use_wand and k is not None and is_wire_term_union(wire):
         tw = wire["children"] if wire["kind"] == "or" else [wire]
-        docs, scores = wand_union_topk(tw, term_data, k, scorer)
+        docs, scores = wand_union_topk(
+            tw, term_data, k, scorer, dels=dels if has_dels else None
+        )
     else:
         docs, scores = eval_node(wire, term_data, 0, scorer)
         if has_dels and len(docs):

@@ -161,3 +161,47 @@ def test_and_skip_decode_absent_term():
     ]
     d, s = eval_and_terms(wires, term_data, "tfidf")
     assert len(d) == 0 and len(s) == 0
+
+
+@pytest.mark.parametrize("scorer", ["tfidf", "bm25"])
+@pytest.mark.parametrize("seed", [6, 7, 8])
+def test_wand_with_deletes_equals_exhaustive_masked(scorer, seed):
+    """WAND with a tombstone set: top-k must equal exhaustive-then-mask —
+    the threshold is seeded from SURVIVOR scores only, so survivors that
+    enter the top-k because a higher-scoring doc was deleted are never
+    pruned. Skipping must still engage."""
+    rng = np.random.default_rng(seed)
+    n_docs = 50_000
+    term_data = {}
+    wires = []
+    for i, (df_count, idf) in enumerate([(30_000, 0.8), (25_000, 1.1), (400, 5.0)]):
+        docs = np.sort(rng.choice(n_docs, size=df_count, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 12, size=df_count).astype(np.int64)
+        lens = rng.integers(30, 500, size=df_count).astype(np.int64)
+        term_data[(0, f"t{i}")] = TermPostings(_make_term_rows(docs, tfs, lens))
+        wires.append(
+            {"kind": "term", "field": 0, "term": f"t{i}", "doc_freq": df_count,
+             "idf": idf, "avgdl": 200.0}
+        )
+    # delete 30% of docs INCLUDING specifically the exhaustive top-k, so
+    # the post-delete top-k is made of docs WAND would otherwise prune
+    parts = []
+    for w in wires:
+        d, t, ln = term_data[(0, w["term"])].decode()
+        parts.append((d, score_postings(t, ln, w["idf"], w["avgdl"], scorer)))
+    ed, es = _union_arrays(parts)
+    k = 10
+    full_top = topk_arrays(ed, es, k)[0]
+    random_dels = rng.choice(n_docs, size=n_docs // 3, replace=False)
+    dels = np.unique(np.concatenate([full_top, random_dels])).astype(np.int64)
+
+    stats = {}
+    wd, ws = wand_union_topk(wires, term_data, k, scorer, stats=stats, dels=dels)
+    got = topk_arrays(wd, ws, k)
+
+    keep = ~np.isin(ed, dels)
+    want = topk_arrays(ed[keep], es[keep], k)
+    assert np.array_equal(got[0], want[0])
+    assert np.array_equal(got[1], want[1])
+    assert not set(got[0]) & set(dels.tolist())
+    assert stats["blocks_kept"] < stats["blocks_total"]  # still skipping
