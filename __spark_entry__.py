@@ -99,12 +99,12 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    # -p1: positions-enabled index layout (phrase queries); new dir name so
-    # a cached pre-positions index is never reused
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p1"
+    # -p2: positions + stored-field index layout; new dir name so a
+    # cached older-layout index is never reused
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p2"
     if not manifest_exists(index_dir):
         schema = Schema()
-        schema.add_text_field("text", "default", positions=True)
+        schema.add_text_field("text", "default", positions=True, store=True)
         build_index(
             spark,
             _docs(spark, sf_dir),
@@ -342,6 +342,17 @@ def _q_eng_term_positions(spark, sf_dir):
             F.col("doc_id").cast("long"), F.col("pos")
         )
     )
+
+
+def _q_eng_stored_field(spark, sf_dir):
+    """Stored-field roundtrip (the real StoreWriter): the raw text rides
+    the docmap and must equal the source column byte-for-byte."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import read_docmap
+
+    idx = _doc_index(spark, sf_dir)
+    dm = read_docmap(spark, idx, load_manifest(idx))
+    return dm.select(F.col("doc_id").cast("long"), "text")
 
 
 def _q_eng_count(spark, sf_dir):
@@ -641,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
         "eng_phrase_bm25": _q_eng_phrase_bm25,
         "eng_term_positions": _q_eng_term_positions,
+        "eng_stored_field": _q_eng_stored_field,
         "eng_delete_tombstone": _q_eng_delete_tombstone,
         "eng_delete_purged": _q_eng_delete_purged,
         "eng_c3_count": _q_eng_count,
@@ -744,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKLIST_CTE}, {POS_CTE} "
             "SELECT doc_id, pos FROM pos WHERE term = 'hash'"
         ),
+        "eng_stored_field": "SELECT doc_id, text FROM documents",
         # tombstone semantics: deleted docs filtered from RESULTS, but df/N
         # still computed over the full corpus (stats frozen until purge)
         "eng_delete_tombstone": (

@@ -258,6 +258,20 @@ def build_segment_tables(
     docmap = pd.DataFrame({"segment_id": segment_id, "doc": local_ids})
     for c in id_cols:
         docmap[c] = pdf[c].to_numpy()
+    # stored fields (schema store=True): raw value rides the docmap — the
+    # real StoreWriter the reference stubs out; enables retrieval and
+    # snippet highlighting without going back to the source table
+    for fe in schema.fields:
+        if fe.store and fe.name not in docmap.columns:
+            if fe.name in pdf.columns:
+                raw = pdf[fe.name].map(
+                    lambda v: "\n".join(str(x) for x in v)
+                    if isinstance(v, (list, tuple, np.ndarray))
+                    else ("" if v is None else str(v))
+                )
+            else:
+                raw = pd.Series([""] * n_docs)
+            docmap[fe.name] = raw.to_numpy()
     docmap["content_sha256"] = (
         sha_parts.to_numpy() if sha_parts is not None else np.full(n_docs, "", object)
     )

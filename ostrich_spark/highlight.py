@@ -1,0 +1,136 @@
+"""Snippet highlighting over stored fields.
+
+Completes the retrieval story the reference stubs out (StoreWriter,
+/root/reference/internal/store/writer.go:21-33): fields indexed with
+``store=True`` keep their raw value in the docmap, and ``highlight``
+turns a query's top-k hits into human-readable snippets with the
+matched terms marked.
+
+Execution shape: the CLUSTER does the ranking (normal ``search`` — k
+rows leave the executors); snippet assembly is driver-side Python over
+exactly those k stored values — presentation work on O(k) strings, not
+a data-plane job. Char offsets come from re-tokenizing the stored text
+with the same word-break pattern the analyzer uses, then matching each
+token's ANALYZED form against the query's terms, so stemming/stopword
+analyzers highlight correctly (e.g. query ``searching`` marks
+``searched``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .analysis import get_analyzer
+from .manifest import load_manifest
+from .query.exec import attach_docmap, search
+from .query.parser import parse_query
+from .query.plan import collect_terms
+
+# the analyzer splits on `[^\p{L}\p{N}]+`; the complement enumerated with
+# char spans. Python's re lacks \p classes — [\w] minus '_' plus unicode
+# matches the tokenizer's letter/number classes for practical text.
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+@dataclass
+class Snippet:
+    doc_key: dict  # identity columns of the hit
+    score: float
+    text: str  # window with matches wrapped in marker strings
+    n_matches: int  # matched tokens in the FULL stored value
+
+
+def _window_snippet(
+    raw: str,
+    match_terms: set[str],
+    analyzer,
+    window_tokens: int,
+    mark: tuple[str, str],
+) -> tuple[str, int]:
+    tokens = list(_TOKEN_RE.finditer(raw))
+    hit_idx = []
+    for i, m in enumerate(tokens):
+        analyzed = analyzer.analyze_one(m.group())
+        if analyzed and analyzed[0] in match_terms:
+            hit_idx.append(i)
+    if not hit_idx:
+        head = tokens[: 2 * window_tokens + 1]
+        end = head[-1].end() if head else 0
+        return raw[:end], 0
+    center = hit_idx[0]
+    lo = max(0, center - window_tokens)
+    hi = min(len(tokens) - 1, center + window_tokens)
+    start, end = tokens[lo].start(), tokens[hi].end()
+    out = []
+    cursor = start
+    for i in range(lo, hi + 1):
+        m = tokens[i]
+        out.append(raw[cursor : m.start()])
+        if i in set(h for h in hit_idx if lo <= h <= hi):
+            out.append(mark[0] + m.group() + mark[1])
+        else:
+            out.append(m.group())
+        cursor = m.end()
+    prefix = "… " if lo > 0 else ""
+    suffix = " …" if hi < len(tokens) - 1 else ""
+    return prefix + "".join(out) + suffix, len(hit_idx)
+
+
+def highlight(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    limit: int = 10,
+    scorer: str = "bm25",
+    window_tokens: int = 8,
+    mark: tuple[str, str] = ("**", "**"),
+    default_fields: list[str] | None = None,
+):
+    """Top-``limit`` hits as Snippets over stored field ``field``.
+
+    Requires the field to have been indexed with ``store=True`` (raises
+    with an actionable message otherwise). Matched terms are the query's
+    analyzed terms (phrase constituents included)."""
+    manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None:
+        raise ValueError(f"unknown field {field!r}")
+    if not fe.store:
+        raise ValueError(
+            f"field {field!r} was indexed without store=True — rebuild with "
+            f"Schema.add_text_field({field!r}, ..., store=True) to highlight"
+        )
+    logical = (
+        parse_query(query, manifest.schema, default_fields)
+        if isinstance(query, str)
+        else query
+    )
+    match_terms = {t.term for t in collect_terms(logical) if t.field_id == fe.id}
+    analyzer = get_analyzer(fe.analyzer)
+
+    res, _ = search(
+        spark, index_dir, logical, limit=limit, scorer=scorer, manifest=manifest
+    )
+    rows = attach_docmap(spark, index_dir, res, manifest=manifest).collect()
+    rows.sort(key=lambda r: (-r["score"], r["segment_ord"], r["doc"]))
+    id_like = [
+        c
+        for c in (rows[0].asDict().keys() if rows else [])
+        if c not in ("segment_id", "segment_ord", "doc", "score", "content_sha256", field)
+    ]
+    out = []
+    for r in rows:
+        text, n = _window_snippet(
+            r[field] or "", match_terms, analyzer, window_tokens, mark
+        )
+        out.append(
+            Snippet(
+                doc_key={c: r[c] for c in id_like},
+                score=float(r["score"]),
+                text=text,
+                n_matches=n,
+            )
+        )
+    return out

@@ -26,6 +26,10 @@ class FieldEntry:
     # extension — the reference's tokens carry no offsets/positions,
     # /root/reference/analyzer/analyzer.go:44-46)
     positions: bool = False
+    # store the raw field value in the docmap (enables retrieval /
+    # snippet highlighting; the reference's StoreWriter is a stub,
+    # /root/reference/internal/store/writer.go:21-33)
+    store: bool = False
 
     def to_json(self) -> dict:
         return {
@@ -34,6 +38,7 @@ class FieldEntry:
             "type": self.field_type,
             "analyzer": self.analyzer,
             "positions": self.positions,
+            "store": self.store,
         }
 
     @staticmethod
@@ -44,6 +49,7 @@ class FieldEntry:
             d.get("type", FIELD_TYPE_TEXT),
             d.get("analyzer", "default"),
             d.get("positions", False),
+            d.get("store", False),
         )
 
 
@@ -52,10 +58,16 @@ class Schema:
     fields: list[FieldEntry] = field(default_factory=list)
 
     def add_text_field(
-        self, name: str, analyzer: str = "default", positions: bool = False
+        self,
+        name: str,
+        analyzer: str = "default",
+        positions: bool = False,
+        store: bool = False,
     ) -> FieldEntry:
         """FieldID = position, exactly like schema.go:11-16."""
-        entry = FieldEntry(len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions)
+        entry = FieldEntry(
+            len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions, store
+        )
         self.fields.append(entry)
         return entry
 

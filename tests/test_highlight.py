@@ -1,0 +1,129 @@
+"""Stored fields + snippet highlighting.
+
+store=True keeps the raw field value in the docmap (the real StoreWriter
+the reference stubs); highlight() turns top-k hits into marked snippets,
+analyzer-aware (stemmed queries mark inflected surface forms)."""
+
+import pandas as pd
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.highlight import _window_snippet, highlight
+from ostrich_spark.schema import Schema
+
+DOCS = [
+    {
+        "k": 0,
+        "content": "the quick brown fox jumps over the lazy dog and keeps "
+        "searching for food in the deep dark forest near the river",
+    },
+    {"k": 1, "content": "nothing relevant here at all"},
+    {"k": 2, "content": "searched high and low, the foxes were quick indeed"},
+]
+
+
+@pytest.fixture(scope="module")
+def stored_idx(spark, tmp_path_factory):
+    s = Schema()
+    s.add_text_field("content", "en_stem", positions=True, store=True)
+    d = str(tmp_path_factory.mktemp("hl") / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(DOCS)),
+        s,
+        d,
+        num_partitions=2,
+        order_col="k",
+        id_cols=["k"],
+    )
+    return d
+
+
+def test_stored_field_rides_docmap(spark, stored_idx):
+    dm = spark.read.parquet(f"{stored_idx}/segments/*/docmap.parquet")
+    assert "content" in dm.columns
+    rows = {r["k"]: r["content"] for r in dm.select("k", "content").collect()}
+    assert rows[1] == DOCS[1]["content"]
+
+
+def test_highlight_stemmed_query_marks_surface_forms(spark, stored_idx):
+    # query 'searching' -> stem 'search'; must mark both 'searching' and
+    # 'searched' surface forms in their docs
+    snips = {
+        s.doc_key["k"]: s
+        for s in highlight(spark, stored_idx, "content:searching", "content")
+    }
+    assert set(snips) == {0, 2}
+    assert "**searching**" in snips[0].text
+    assert "**searched**" in snips[2].text
+    assert snips[0].n_matches == 1 and snips[2].n_matches == 1
+
+
+def test_highlight_phrase_marks_constituents_and_windows(spark, stored_idx):
+    snips = highlight(
+        spark, stored_idx, 'content:"quick brown fox"', "content", window_tokens=3
+    )
+    assert [s.doc_key["k"] for s in snips] == [0]
+    t = snips[0].text
+    assert "**quick**" in t and "**brown**" in t and "**fox**" in t
+    assert t.endswith("…")  # truncated window, not the whole doc
+
+
+def test_highlight_ranked_order_and_scores(spark, stored_idx):
+    snips = highlight(spark, stored_idx, "content:quick", "content", scorer="tfidf")
+    assert [s.doc_key["k"] for s in snips] == sorted(
+        (s.doc_key["k"] for s in snips),
+        key=lambda k: (-dict((x.doc_key["k"], x.score) for x in snips)[k], k),
+    )
+    assert all(s.score > 0 for s in snips)
+
+
+def test_highlight_survives_merge_and_purge(spark, tmp_path):
+    from ostrich_spark.deletes import delete_docs
+    from ostrich_spark.merge import purge_deletes
+
+    s = Schema()
+    s.add_text_field("content", "en_stem", positions=True, store=True)
+    d = str(tmp_path / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(DOCS)),
+        s,
+        d,
+        num_partitions=3,
+        order_col="k",
+        id_cols=["k"],
+    )
+    delete_docs(spark, d, spark.createDataFrame([(0,)], "k long"), ["k"])
+    purge_deletes(spark, d)  # docmap remap path must carry stored columns
+    snips = highlight(spark, d, "content:searching", "content")
+    assert [x.doc_key["k"] for x in snips] == [2]
+    assert "**searched**" in snips[0].text
+
+
+def test_highlight_requires_store_flag(spark, tmp_path):
+    s = Schema()
+    s.add_text_field("content", "default")  # no store
+    d = str(tmp_path / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(DOCS)),
+        s,
+        d,
+        num_partitions=1,
+        order_col="k",
+        id_cols=["k"],
+    )
+    with pytest.raises(ValueError, match="store=True"):
+        highlight(spark, d, "content:quick", "content")
+
+
+def test_window_snippet_no_match_returns_head():
+    from ostrich_spark.analysis import get_analyzer
+
+    text, n = _window_snippet(
+        "alpha beta gamma delta", {"zzz"}, get_analyzer("default"), 1, ("<", ">")
+    )
+    assert n == 0
+    assert text.startswith("alpha")
+    assert "<" not in text
