@@ -103,9 +103,9 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     chunks = chunk_tokens(sampled, chunk_size=64, overlap=8)
     stats["chunks"] = chunks.count()
 
-    # 7. index the surviving docs (positions on -> phrase queries), query it
+    # 7. index the surviving docs (positions -> phrases, store -> snippets)
     schema = Schema()
-    schema.add_text_field("text", "default", positions=True)
+    schema.add_text_field("text", "default", positions=True, store=True)
     idx = os.path.join(work, "index")
     shutil.rmtree(idx, ignore_errors=True)
     build_index(
@@ -121,6 +121,12 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     stats["phrase_hits"] = [
         h["path"] for h in attach_docmap(spark, idx, pres).select("path").collect()
     ]
+
+    # 8b. highlighted search results over the stored field
+    from ostrich_spark.highlight import highlight
+
+    snips = highlight(spark, idx, "text:postings", "text", limit=3, window_tokens=4)
+    stats["snippets"] = [s.text for s in snips]
 
     # 9. delete lifecycle: tombstone a doc (a takedown request), verify it
     # vanished, then purge to reclaim the space physically

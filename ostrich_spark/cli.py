@@ -36,6 +36,19 @@ def cmd_search(args) -> int:
 
     spark = _spark()
     t0 = time.time()
+    if args.highlight:
+        from .highlight import highlight
+
+        snips = highlight(
+            spark, args.path, args.query, args.highlight,
+            limit=args.limit, scorer=args.scorer,
+        )
+        elapsed = time.time() - t0
+        for s in snips:
+            key = " ".join(f"{k}={v}" for k, v in s.doc_key.items())
+            print(f"{s.score:.4f} {key}  {s.text}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     res, cnt = search(
         spark,
         args.path,
@@ -178,6 +191,11 @@ def main(argv=None) -> int:
     s.add_argument("-o", "--offset", type=int, default=0)
     s.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     s.add_argument("--count", action="store_true")
+    s.add_argument(
+        "--highlight",
+        metavar="FIELD",
+        help="print snippets from this store=True field instead of doc addresses",
+    )
     s.set_defaults(fn=cmd_search)
 
     b = sub.add_parser("build")
