@@ -550,6 +550,24 @@ def _q_emb_neardup(spark, sf_dir):
     return _longify(neardup_pairs(_emb(spark, sf_dir), threshold=0.35))
 
 
+def _q_bpe_counts(spark, sf_dir):
+    from ostrich_spark.textops import bpe_token_counts
+
+    return _longify(bpe_token_counts(_docs(spark, sf_dir)))
+
+
+def _q_mm_resize(spark, sf_dir):
+    from ostrich_spark.multimodal import resize_features
+
+    return _longify(resize_features(_docs(spark, sf_dir)))
+
+
+def _q_mm_frames(spark, sf_dir):
+    from ostrich_spark.multimodal import sample_frames
+
+    return _longify(sample_frames(_docs(spark, sf_dir), n_frames=4))
+
+
 def _q_mm_meta(spark, sf_dir):
     from ostrich_spark.multimodal import binary_meta
 
@@ -677,8 +695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_persisted_topk": _q_ivf_persisted_topk,
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
+        "text_bpe_counts": _q_bpe_counts,
         "mm_binary_meta": _q_mm_meta,
         "mm_decode_features": _q_mm_decode,
+        "mm_resize": _q_mm_resize,
+        "mm_frame_sample": _q_mm_frames,
         "events_tumbling_hour": _q_events_tumbling,
         "events_user_lag": _q_events_user_lag,
         "tpch_q1": _q_tpch_q1,
@@ -1068,6 +1089,27 @@ def oracle_sql() -> dict[str, str]:
             "  sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
             "FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id) "
             "SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35"
+        ),
+        "text_bpe_counts": (
+            "SELECT doc_id, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "mm_resize": (
+            "SELECT doc_id, 64 AS out_w, 64 AS out_h, "
+            "octet_length(encode(text)) AS byte_len, "
+            "sha256(text || '@64x64') AS thumb_sha256 FROM documents"
+        ),
+        "mm_frame_sample": (
+            "WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+            "g AS (SELECT doc_id, text, n, greatest(CAST(ceil(n / 4.0) AS BIGINT), 1) AS span FROM d), "
+            "f AS (SELECT doc_id, text, n, span, unnest(range(4)) AS i FROM g) "
+            "SELECT doc_id, i AS frame_idx, i * span AS frame_off, "
+            "length(substr(text, CAST(i * span + 1 AS BIGINT), span)) AS frame_len, "
+            "sha256(substr(text, CAST(i * span + 1 AS BIGINT), span)) AS frame_sha256 "
+            "FROM f WHERE i = 0 OR i * span < n"
         ),
         "mm_binary_meta": (
             "SELECT doc_id, octet_length(encode(text)) AS byte_len, "

@@ -159,6 +159,81 @@ def decode_features(
     return df.select("doc_id", text_col).mapInPandas(fn, schema)
 
 
+RESIZED_SCHEMA = "doc_id long, out_w int, out_h int, byte_len long, thumb_sha256 string"
+FRAMES_SCHEMA = (
+    "doc_id long, frame_idx int, frame_off long, frame_len long, frame_sha256 string"
+)
+
+
+def resize_stub(payload: bytes, width: int = 64, height: int = 64) -> dict:
+    """Deterministic stand-in for an image resize: real pipelines swap in
+    PIL's `Image.resize` here; the Spark-side batch shape, schema, and
+    partitioning are identical. The fake 'thumbnail' is a stable digest
+    of the payload plus target dims (so tests can assert determinism)."""
+    import hashlib as _h
+
+    return {
+        "out_w": width,
+        "out_h": height,
+        "byte_len": len(payload),
+        "thumb_sha256": _h.sha256(payload + f"@{width}x{height}".encode()).hexdigest(),
+    }
+
+
+def resize_features(df, text_col: str = "text", width: int = 64, height: int = 64):
+    """mapInPandas resize pipeline over the (text-standing-in-for-binary)
+    payload column — one Arrow batch in, one feature row per item out."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                resize_stub(str(v).encode("utf-8"), width, height)
+                for v in pdf[text_col]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return df.select("doc_id", text_col).mapInPandas(fn, RESIZED_SCHEMA)
+
+
+def sample_frames(df, text_col: str = "text", n_frames: int = 4):
+    """Frame sampling plumbing: split each payload into ``n_frames``
+    equal spans (the video analog: decode N evenly-spaced frames) and
+    emit one row per frame with its offset/length/digest. A real decoder
+    (ffmpeg) swaps into the span step; the EXPLODING row shape — one
+    input item to N output rows inside one Arrow batch — is the part the
+    pipeline needs to get right. Spans are CHARACTER-based over the text
+    stand-in so the DuckDB oracle reproduces them with substr()."""
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _h
+
+        for pdf in it:
+            rows = []
+            for doc_id, v in zip(pdf["doc_id"], pdf[text_col]):
+                s = str(v)
+                n = len(s)
+                span = max(1, -(-n // n_frames))  # ceil division
+                for i in range(n_frames):
+                    off = i * span
+                    if off >= n and i > 0:
+                        break  # payload shorter than the frame grid
+                    chunk = s[off : off + span]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_off": off,
+                            "frame_len": len(chunk),
+                            "frame_sha256": _h.sha256(chunk.encode("utf-8")).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", text_col).mapInPandas(fn, FRAMES_SCHEMA)
+
+
 def decode_binary_features(
     df,
     binary_col: str = "payload",

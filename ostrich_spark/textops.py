@@ -50,6 +50,35 @@ def token_stats(df, text_col="text"):
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the lookahead-free
+# subset so Java regex (Spark) and RE2 (DuckDB oracle) count identically:
+# contractions | space?-letters | space?-digits | space?-other. Whitespace
+# runs are not themselves tokens (a single leading space folds into the
+# following token, as in the real pattern); the `(?!\S)` trailing-space
+# branch of the original is dropped because RE2 has no lookahead.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_counts(df, text_col="text"):
+    """Per-doc token-count estimators for training-data budgeting:
+    (doc_id, n_ws_tokens, n_bpe_tokens).
+
+    - n_ws_tokens: whitespace-split count (the cheap classic);
+    - n_bpe_tokens: matches of the BPE-ish pre-tokenizer regex — the
+      piece count BEFORE merges, i.e. an upper bound on (and good linear
+      proxy for) a real BPE token count, computed JVM-side with no
+      vocabulary or model artifact."""
+    trimmed = F.trim(F.col(text_col))
+    ws = F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+    return df.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 def quality_scores(df, text_col="text"):
     """Per-doc quality features: token count, distinct ratio, stopword
     ratio, mean token length — standard corpus-filtering signals."""

@@ -77,3 +77,33 @@ def test_decode_features_text_standin_matches_stub(spark):
     assert row["byte_len"] == want["byte_len"]
     assert row["fake_width"] == want["fake_width"]
     assert row["fake_height"] == want["fake_height"]
+
+
+def test_resize_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "abc"), (3, "xyz")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in mm.resize_features(df, width=32, height=16).collect()}
+    assert rows[1]["out_w"] == 32 and rows[1]["out_h"] == 16
+    assert rows[1]["thumb_sha256"] == rows[2]["thumb_sha256"]  # same payload
+    assert rows[1]["thumb_sha256"] != rows[3]["thumb_sha256"]
+    # target dims are part of the digest (a 64x64 thumb != a 32x16 thumb)
+    alt = mm.resize_features(df, width=64, height=64).collect()[0]["thumb_sha256"]
+    assert alt != rows[1]["thumb_sha256"]
+
+
+def test_sample_frames_spans_and_short_payloads(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "ab"), (3, "")], "doc_id long, text string"
+    )
+    rows = mm.sample_frames(df, n_frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 8 chars / 4 frames -> spans of 2 at offsets 0,2,4,6
+    f1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [(r["frame_off"], r["frame_len"]) for r in f1] == [(0, 2), (2, 2), (4, 2), (6, 2)]
+    # payload shorter than the grid: frames past the end are not emitted
+    f2 = sorted(by_doc[2], key=lambda r: r["frame_idx"])
+    assert [(r["frame_off"], r["frame_len"]) for r in f2] == [(0, 1), (1, 1)]
+    # empty payload still yields frame 0 (len 0)
+    f3 = by_doc[3]
+    assert len(f3) == 1 and f3[0]["frame_len"] == 0
