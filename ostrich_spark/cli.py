@@ -114,17 +114,37 @@ def cmd_delete(args) -> int:
         return 2
     spark = _spark()
     if args.values:
+        from pyspark.sql import functions as F
+
+        from .manifest import load_manifest
+        from .query.exec import read_docmap
+
         col = args.id_col
+        # Resolve the id column's ACTUAL dtype from the docmap schema and
+        # cast the CLI strings to it — never infer from the value text
+        # (a string id column with values '07' and '7' must stay distinct;
+        # an implicit string->long cast-join would conflate them).
+        manifest = load_manifest(args.path)
+        docmap_schema = read_docmap(spark, args.path, manifest).schema
+        if col not in docmap_schema.names:
+            print(
+                f"delete: id column {col!r} not in docmap "
+                f"(have: {', '.join(docmap_schema.names)})",
+                file=sys.stderr,
+            )
+            return 2
+        target_type = docmap_schema[col].dataType
         match = spark.createDataFrame(
             [(v,) for v in args.values], f"{col} string"
-        )
-        # docmap id columns keep their source type; try a cast-join via int
-        # when every value parses as one
-        try:
-            ints = [int(v) for v in args.values]
-            match = spark.createDataFrame([(v,) for v in ints], f"{col} long")
-        except ValueError:
-            pass
+        ).select(F.col(col).cast(target_type).alias(col))
+        bad = match.filter(F.col(col).isNull()).count()
+        if bad:
+            print(
+                f"delete: {bad} value(s) do not cast to the id column's "
+                f"type {target_type.simpleString()}",
+                file=sys.stderr,
+            )
+            return 2
         n = delete_docs(spark, args.path, match, [col])
     else:
         from .query.exec import attach_docmap, search

@@ -200,12 +200,23 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     )
     if max_gram_df is not None:
-        keep = (
-            tri.groupBy("gram")
-            .agg(F.count("*").alias("gdf"))
-            .filter(F.col("gdf") <= max_gram_df)
-            .select("gram")
-        )
+        gdf = tri.groupBy("gram").agg(F.count("*").alias("gdf"))
+        # Signal when the cap actually reduces the shingle universe —
+        # Jaccard values are then exact w.r.t. the REDUCED universe, and
+        # silent universe shrinkage surprised callers migrating from the
+        # old max_gram_df=None default.
+        n_dropped = gdf.filter(F.col("gdf") > max_gram_df).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: max_gram_df=%d drops %d ultra-frequent "
+                "shingle(s) from the universe; Jaccard is exact w.r.t. the "
+                "reduced universe (pass max_gram_df=None for the full join)",
+                max_gram_df,
+                n_dropped,
+            )
+        keep = gdf.filter(F.col("gdf") <= max_gram_df).select("gram")
         tri = tri.join(keep, "gram")
     sizes = tri.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = tri.alias("a")

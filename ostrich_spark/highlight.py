@@ -115,10 +115,15 @@ def highlight(
     )
     rows = attach_docmap(spark, index_dir, res, manifest=manifest).collect()
     rows.sort(key=lambda r: (-r["score"], r["segment_ord"], r["doc"]))
+    # doc_key should hold IDENTITY columns only — exclude every stored
+    # field's raw value (not just the highlighted one), else each Snippet
+    # carries full document bodies for all other store=True fields.
+    stored_fields = {f.name for f in manifest.schema.fields if f.store}
     id_like = [
         c
         for c in (rows[0].asDict().keys() if rows else [])
-        if c not in ("segment_id", "segment_ord", "doc", "score", "content_sha256", field)
+        if c not in ("segment_id", "segment_ord", "doc", "score", "content_sha256")
+        and c not in stored_fields
     ]
     out = []
     for r in rows:

@@ -138,14 +138,20 @@ def _split_keep_quotes(q: str) -> list[str]:
 
 
 def _tokenize(q: str) -> list[str]:
+    # Leading '('/trailing ')' are stripped even on tokens containing a
+    # quoted span: _split_keep_quotes guarantees balanced quotes per
+    # token, so a paren at position 0 is always BEFORE the first quote
+    # and a trailing ')' always AFTER the last — never inside the span.
+    # (A paren inside quotes makes the token start/end with '"', which
+    # stops the loop.)  '(text:"hash join" OR x)' therefore parses as
+    # ( phrase OR term ), not as a literal bare term.
     out: list[str] = []
     for raw in _split_keep_quotes(q):
-        quoted = '"' in raw
-        while not quoted and raw.startswith("("):
+        while raw.startswith("("):
             out.append("(")
             raw = raw[1:]
         tail: list[str] = []
-        while not quoted and raw.endswith(")"):
+        while raw.endswith(")"):
             tail.append(")")
             raw = raw[:-1]
         if raw:

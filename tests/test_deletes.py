@@ -279,3 +279,35 @@ def test_purge_through_shard_patch_path(spark, tmp_path):
     _build(spark, ref, [d for d in docs if d["k"] % 3 != 0], parts=2)
     for q in ("content:spark", 'content:"spark join"'):
         assert _scored(spark, idx, q) == _scored(spark, ref, q), q
+
+
+def test_cli_delete_respects_string_id_type(spark, tmp_path):
+    # regression (ADVICE r2): with a STRING id column, `delete --values 7`
+    # must not tombstone '07' via an implicit string->long cast-join.
+    import pandas as pd
+
+    from ostrich_spark.build import build_index
+    from ostrich_spark.cli import main
+    from ostrich_spark.deletes import tombstone_count
+    from ostrich_spark.schema import Schema
+
+    idx = str(tmp_path / "idx")
+    s = Schema()
+    s.add_text_field("content", "default")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"path": "07", "content": "alpha beta"},
+                {"path": "7", "content": "gamma delta"},
+                {"path": "9", "content": "epsilon zeta"},
+            ]
+        )
+    )
+    build_index(spark, df, s, idx, num_partitions=2, order_col="path", id_cols=["path"])
+
+    rc = main(["delete", "-p", idx, "--id-col", "path", "--values", "7"])
+    assert rc == 0
+    assert tombstone_count(idx) == 1  # only '7', never '07'
+
+    # unknown id column -> clean exit 2
+    assert main(["delete", "-p", idx, "--id-col", "nope", "--values", "7"]) == 2

@@ -127,3 +127,26 @@ def test_window_snippet_no_match_returns_head():
     assert n == 0
     assert text.startswith("alpha")
     assert "<" not in text
+
+
+def test_doc_key_excludes_all_stored_fields(spark, tmp_path):
+    # regression (ADVICE r2): with TWO store=True fields, highlighting one
+    # must not copy the other's full raw value into Snippet.doc_key
+    s = Schema()
+    s.add_text_field("title", "default", store=True)
+    s.add_text_field("content", "en_stem", positions=True, store=True)
+    d = str(tmp_path / "idx2")
+    docs = [dict(r, title=f"title {r['k']} body") for r in DOCS]
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(docs)),
+        s,
+        d,
+        num_partitions=2,
+        order_col="k",
+        id_cols=["k"],
+    )
+    snips = highlight(spark, d, "content:searching", "content")
+    assert snips
+    for sn in snips:
+        assert set(sn.doc_key) == {"k"}  # no 'title', no 'content'

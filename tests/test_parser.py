@@ -114,3 +114,24 @@ def test_unknown_field_treated_as_bare():
     q = parse_query("nosuch:x", s)
     assert isinstance(q, BooleanQuery)
     assert q.subqueries[0][1] == TermQuery(0, "nosuch:x")
+
+
+def test_phrase_adjacent_to_paren():
+    # regression (ADVICE r2): parens outside a quoted span must still be
+    # stripped — '(title:"a b" OR title:c)' previously mis-parsed the
+    # whole '(title:"a b"' token as a literal bare term.
+    from ostrich_spark.query.parser import PhraseQuery
+
+    s = _schema()
+    q = parse_query('(title:"quick brown" OR title:fox)', s)
+    assert isinstance(q, BooleanQuery)
+    assert q.subqueries == [
+        (SHOULD, PhraseQuery(0, ("quick", "brown"))),
+        (SHOULD, TermQuery(0, "fox")),
+    ]
+    # parens INSIDE a quoted span survive to the analyzer untouched
+    q2 = parse_query('title:"(quick brown)"', s)
+    assert q2 == PhraseQuery(0, ("quick", "brown"))
+    # nested: phrase token carrying both a leading paren and trailing parens
+    q3 = parse_query('((title:"quick brown"))', s)
+    assert q3 == PhraseQuery(0, ("quick", "brown"))
