@@ -134,23 +134,51 @@ def main():
         return
 
     # --- 2. query latency on the built index ----------------------------
-    # one warmup to spin up python workers / file index, then two timed
-    # runs per query; report steady-state (2nd) and the cold total
+    # one warmup to spin up python workers / file index, then a cold pass
+    # + BEST-OF-3 timed runs per query (this host shows ±60% run noise,
+    # BENCH/BASELINE.md — a single sample measures the scheduler lottery,
+    # not the engine)
     search(spark, idx, "content:search", limit=10)[0].collect()
     cold_total = 0.0
     for name, q, scorer, k in BENCH_QUERIES:
         t0 = time.time()
         search(spark, idx, q, limit=k, scorer=scorer)[0].collect()
         cold_total += time.time() - t0
-        t0 = time.time()
-        res, _ = search(spark, idx, q, limit=k, scorer=scorer)
-        res.collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            res, _ = search(spark, idx, q, limit=k, scorer=scorer)
+            res.collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
     timings["queries_cold_total"] = round(cold_total, 3)
+    timings["queries_individual_total"] = round(
+        sum(timings[name] for name, *_ in BENCH_QUERIES), 3
+    )
 
-    t0 = time.time()
-    _, cnt = search(spark, idx, "content:search OR content:index", limit=0, with_count=True)
-    timings["count_collector"] = round(time.time() - t0, 3)
+    # batched execution: the ENTIRE reference query set as ONE Spark job
+    # (search_many) — amortizes the per-job scheduling floor that
+    # dominates every individual latency above. Target (r2 verdict):
+    # <= 0.5x the sum of individual timings.
+    from ostrich_spark.query.exec import search_many
+
+    batch_q = {name: q for name, q, _, _ in BENCH_QUERIES}
+    batch_scorers = {name: scorer for name, _, scorer, _ in BENCH_QUERIES}
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        search_many(
+            spark, idx, batch_q, limit=10, scorers=batch_scorers
+        ).collect()
+        best = min(best, time.time() - t0)
+    timings["batched_queries"] = round(best, 3)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _, cnt = search(spark, idx, "content:search OR content:index", limit=0, with_count=True)
+        best = min(best, time.time() - t0)
+    timings["count_collector"] = round(best, 3)
 
     # --- 3. training-data ops on the driver testdata ---------------------
     import __spark_entry__ as em
@@ -165,14 +193,17 @@ def main():
         ("scrub_pii", em.queries()["scrub_pii"]),
         ("sample_stratified", em.queries()["sample_stratified"]),
     ]:
-        t0 = time.time()
-        # text-heavy ops (chunks/scrub) would ship the whole corpus text
-        # to the driver under collect() — time the compute via count()
-        if name in ("text_chunks", "scrub_pii"):
-            fn(spark, SF_DIR).count()
-        else:
-            fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            # text-heavy ops (chunks/scrub) would ship the whole corpus text
+            # to the driver under collect() — time the compute via count()
+            if name in ("text_chunks", "scrub_pii"):
+                fn(spark, SF_DIR).count()
+            else:
+                fn(spark, SF_DIR).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # persisted IVF: one-time build (info key), then the partition-pruned
     # search — the repeated-query scale path (nprobe/C of the corpus)
@@ -185,23 +216,35 @@ def main():
     t0 = time.time()
     ivf_build(spark, emb_df, ivf_path, n_centroids=8, train_iters=3)
     timings["ivf_build_sec"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    ivf_search(spark, ivf_path, qv, k=10, nprobe=1).collect()
-    timings["ann_ivf_persisted_topk"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        ivf_search(spark, ivf_path, qv, k=10, nprobe=1).collect()
+        best = min(best, time.time() - t0)
+    timings["ann_ivf_persisted_topk"] = round(best, 3)
     # library defaults (64 planes / 8-bit bands) — the gate entry pins a
     # coarser 16/4 config for oracle parity, which candidate-explodes at
     # this corpus size and would measure the wrong thing
     from ostrich_spark.similarity import neardup_pairs_lsh
 
-    t0 = time.time()
-    neardup_pairs_lsh(emb_df, threshold=0.9).count()
-    timings["emb_neardup_lsh"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        neardup_pairs_lsh(emb_df, threshold=0.9).count()
+        best = min(best, time.time() - t0)
+    timings["emb_neardup_lsh"] = round(best, 3)
 
     # headline value: warm build + all query/op timings. The info-only
     # keys (cold build, build phase split, one-time ivf build) would
     # double/triple-count if summed — keep them out of the longitudinal
     # metric.
-    info_keys = {"index_build_cold", "build_map_sec", "build_commit_sec", "ivf_build_sec"}
+    info_keys = {
+        "index_build_cold",
+        "build_map_sec",
+        "build_commit_sec",
+        "ivf_build_sec",
+        "queries_individual_total",  # sum of entries already counted
+    }
     result["value"] = round(sum(v for k, v in timings.items() if k not in info_keys), 3)
     result["queries"] = timings
     print(json.dumps(result))
