@@ -556,6 +556,53 @@ def _q_bpe_counts(spark, sf_dir):
     return _longify(bpe_token_counts(_docs(spark, sf_dir)))
 
 
+def _q_bpe_real(spark, sf_dir):
+    from ostrich_spark.bpe import real_bpe_token_counts
+
+    return _longify(real_bpe_token_counts(_docs(spark, sf_dir)))
+
+
+def _bpe_real_oracle() -> str:
+    """DuckDB recursive-CTE oracle for REAL merge-based BPE: same pinned
+    merge table (inlined as VALUES), same pre-tokenizer, same
+    leftmost-lowest-rank merge rule as ostrich_spark/bpe.py — each
+    recursion step merges one pair; terminal token count per distinct
+    piece is min(len(toks))."""
+    from ostrich_spark.bpe import load_merges
+
+    merges = load_merges()
+    vals = ", ".join(
+        "('{}', '{}', {})".format(a.replace("'", "''"), b.replace("'", "''"), i)
+        for i, (a, b) in enumerate(merges)
+    )
+    pat = "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'"
+    return (
+        f"WITH RECURSIVE merges(l, r, rank) AS (VALUES {vals}), "
+        "rmap AS (SELECT map(list(l || chr(1) || r), list(rank)) AS m FROM merges), "
+        f"pp AS (SELECT doc_id, replace(piece, ' ', chr(288)) AS piece FROM "
+        f"(SELECT doc_id, unnest(regexp_extract_all(text, {pat})) AS piece FROM documents)), "
+        "dp AS (SELECT DISTINCT piece FROM pp), "
+        "bpe(piece, toks) AS ("
+        " SELECT piece, regexp_extract_all(piece, '.') FROM dp"
+        " UNION ALL"
+        " SELECT piece, list_slice(toks, 1, best_i - 1)"
+        "   || [toks[best_i] || toks[best_i + 1]]"
+        "   || list_slice(toks, best_i + 2, len(toks))"
+        " FROM ("
+        "  SELECT piece, toks, list_position(ranks, list_min(ranks)) AS best_i"
+        "  FROM (SELECT piece, toks, list_transform(range(1, len(toks)),"
+        "    i -> coalesce(m[toks[i] || chr(1) || toks[i+1]][1], 2000000000)) AS ranks"
+        "   FROM bpe, rmap)"
+        "  WHERE len(toks) > 1 AND list_min(ranks) < 2000000000)), "
+        "plen AS (SELECT piece, min(len(toks)) AS n_toks FROM bpe GROUP BY piece) "
+        "SELECT d.doc_id, CAST(coalesce(agg.n_pieces, 0) AS BIGINT) AS n_pieces, "
+        "CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents d LEFT JOIN ("
+        " SELECT pp.doc_id, count(*) AS n_pieces, sum(plen.n_toks) AS n_bpe"
+        " FROM pp JOIN plen USING (piece) GROUP BY pp.doc_id) agg USING (doc_id)"
+    )
+
+
 def _q_mm_resize(spark, sf_dir):
     from ostrich_spark.multimodal import resize_features
 
@@ -696,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "text_bpe_counts": _q_bpe_counts,
+        "text_bpe_real": _q_bpe_real,
         "mm_binary_meta": _q_mm_meta,
         "mm_decode_features": _q_mm_decode,
         "mm_resize": _q_mm_resize,
@@ -1097,6 +1145,7 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS n_bpe_tokens "
             "FROM documents"
         ),
+        "text_bpe_real": _bpe_real_oracle(),
         "mm_resize": (
             "SELECT doc_id, 64 AS out_w, 64 AS out_h, "
             "octet_length(encode(text)) AS byte_len, "
