@@ -609,6 +609,45 @@ def _q_mm_resize(spark, sf_dir):
     return _longify(resize_features(_docs(spark, sf_dir)))
 
 
+def _q_mm_decode_real(spark, sf_dir):
+    """REAL (not stub) image decode, oracle-checkable: each doc's ASCII
+    bytes are rendered into a genuine grayscale PNG (width 32, zero-padded
+    last row), then decoded back through the stdlib codec
+    (imagecodec.decode_png_pixels — zlib inflate + scanline unfilter).
+    The decoded width/height and the SUM OF DECODED PIXELS are pixel-level
+    invariants DuckDB recomputes from the text alone: sum(pixels) ==
+    sum(character codes) iff the decode actually recovered the payload."""
+    from ostrich_spark.imagecodec import decode_png_pixels, encode_png
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                b = str(t).encode("utf-8")
+                h = max(1, -(-len(b) // 32))
+                arr = np.zeros(h * 32, dtype=np.uint8)
+                arr[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+                px = decode_png_pixels(encode_png(arr.reshape(h, 32)))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": px.shape[1],
+                        "height": px.shape[0],
+                        "px_sum": int(px.sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _longify(
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(fn, "doc_id long, width int, height int, px_sum long")
+    )
+
+
 def _q_mm_frames(spark, sf_dir):
     from ostrich_spark.multimodal import sample_frames
 
@@ -747,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_binary_meta": _q_mm_meta,
         "mm_decode_features": _q_mm_decode,
         "mm_resize": _q_mm_resize,
+        "mm_decode_real": _q_mm_decode_real,
         "mm_frame_sample": _q_mm_frames,
         "events_tumbling_hour": _q_events_tumbling,
         "events_user_lag": _q_events_user_lag,
@@ -1146,6 +1186,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "text_bpe_real": _bpe_real_oracle(),
+        "mm_decode_real": (
+            "SELECT doc_id, CAST(32 AS BIGINT) AS width, "
+            "CAST(greatest(ceil(length(text) / 32.0), 1) AS BIGINT) AS height, "
+            "CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1), "
+            "i -> ascii(substr(text, CAST(i AS BIGINT), 1)))), 0) AS BIGINT) AS px_sum "
+            "FROM documents"
+        ),
         "mm_resize": (
             "SELECT doc_id, 64 AS out_w, 64 AS out_h, "
             "octet_length(encode(text)) AS byte_len, "

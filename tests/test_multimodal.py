@@ -10,26 +10,28 @@ from ostrich_spark import multimodal as mm
 
 
 def test_make_decoder_dispatch():
+    from ostrich_spark.imagecodec import decode_png_meta, decode_wav_meta
+
     dec, schema = mm.make_decoder("image")
-    if mm.HAS_PIL:
-        assert dec is mm.decode_image_real
-        assert schema == mm.IMAGE_SCHEMA
-    else:
-        assert dec is mm.decode_stub
-        assert schema == mm.DECODED_SCHEMA
+    assert schema == mm.IMAGE_SCHEMA
+    assert dec is (mm.decode_image_real if mm.HAS_PIL else decode_png_meta)
+    dec, schema = mm.make_decoder("audio")
+    assert schema == mm.AUDIO_SCHEMA
+    assert dec is (mm.decode_audio_real if mm.HAS_SOUNDFILE else decode_wav_meta)
 
 
 def test_fallback_warns_once():
-    if mm.HAS_PIL and mm.HAS_SOUNDFILE:
-        pytest.skip("all real decoders available; no fallback to test")
+    # image/audio now ALWAYS have a real decoder (stdlib codec); only
+    # kinds with no real path (video without ffmpeg) fall back to stub
     mm._warned = False
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        mm.make_decoder("image" if not mm.HAS_PIL else "audio")
+        dec, schema = mm.make_decoder("video")
+        assert dec is mm.decode_stub and schema == mm.DECODED_SCHEMA
         assert any("falling back to decode_stub" in str(x.message) for x in w)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        mm.make_decoder("image" if not mm.HAS_PIL else "audio")
+        mm.make_decoder("video")
         assert not w  # warned exactly once per process
 
 
