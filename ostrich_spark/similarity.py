@@ -98,14 +98,24 @@ def ivf_train(
 ) -> np.ndarray:
     """Spherical Lloyd's k-means over a bounded driver-side sample.
 
-    Deterministic end to end: the sample is the first ``sample_size``
-    vectors by vec_id (TakeOrdered — no shuffle), init is the first
-    ``n_centroids`` of those, and every update is argmax-cosine with
+    Deterministic end to end: the sample is the ``sample_size`` vectors
+    with the SMALLEST deterministic hash (sampling._unit_hash over
+    vec_id) — a uniform draw from the whole corpus regardless of how ids
+    correlate with ingestion order or domain (a vec_id PREFIX, the r2
+    shape, trains on a biased slice when they do). Still TakeOrdered
+    (O(n) heap scan, no full sort). Init is the first ``n_centroids`` of
+    the hash-ordered sample; every update is argmax-cosine with
     lowest-index tie-break. Centroid training is a one-time O(sample ×
     C × iters) numpy job; only the ASSIGNMENT pass touches the full
     corpus. Returns (C, dim) float64, L2-normalized."""
+    from .sampling import _unit_hash
+
+    u = _unit_hash(F.col("vec_id"), "ivf_train")
     rows = (
-        emb_df.select("vec_id", "embedding").orderBy("vec_id").limit(sample_size).collect()
+        emb_df.select("vec_id", "embedding")
+        .orderBy(u.asc(), F.col("vec_id").asc())
+        .limit(sample_size)
+        .collect()
     )
     X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
     if len(X) < n_centroids:
@@ -167,7 +177,12 @@ def ivf_build(
     (
         emb_df.select(*cols)
         .join(assign, "vec_id")
-        .repartition("cluster_id")  # one writer group per cluster dir
+        # range-partition on (cluster_id, vec_id): rows for one cluster
+        # still land in its partition dir, but a HOT cluster spreads over
+        # several writer tasks/files instead of funneling through one
+        # (hash repartition on cluster_id alone = one multi-GB task per
+        # hot cluster at real embedding skew)
+        .repartitionByRange("cluster_id", "vec_id")
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(os.path.join(index_path, "vectors"))

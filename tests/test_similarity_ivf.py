@@ -172,3 +172,58 @@ def test_lsh_subset_of_exact_pairs(spark, emb):
         .collect()
     }
     assert lsh <= exact
+
+
+# --- recall + training-sample hygiene (r2 verdict item #5) -----------------
+
+
+def test_ivf_recall_at_nprobe4(spark, tmp_path):
+    """End-to-end recall gate: trained (not first-C) centroids on a 20k
+    clustered corpus must hit recall@10 >= 0.9 at nprobe=4 (the 100k
+    version of this run is recorded in BENCH/IVF_RECALL.md)."""
+    from tools.ivf_recall import recall_rows
+
+    rows, _, files_per_cluster = recall_rows(
+        spark,
+        n=20_000,
+        dim=16,
+        n_clusters=20,
+        n_centroids=32,
+        nprobes=(4,),
+        n_queries=8,
+        k=10,
+        sample_size=8_000,
+        train_iters=3,
+        index_path=str(tmp_path / "ivf20k"),
+    )
+    assert rows[0]["recall_at_k"] >= 0.9, rows
+    # every centroid partition was written (no empty/missing dirs)
+    assert len(files_per_cluster) >= 16
+
+
+def test_ivf_train_sample_is_uniform_not_prefix(spark):
+    """The k-means training sample must be a uniform deterministic draw
+    over the whole id space, not a vec_id prefix (r2: ids correlated
+    with ingestion order/domain train biased centroids). Pin the
+    property: the top-100 sample ids by the training hash span the id
+    range instead of clustering at the low end."""
+    from ostrich_spark.sampling import _unit_hash
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    u = _unit_hash(F.col("vec_id"), "ivf_train")
+    ids = [
+        r["vec_id"]
+        for r in df.orderBy(u.asc(), F.col("vec_id").asc()).limit(100).collect()
+    ]
+    assert max(ids) > n * 0.9  # reaches the top of the id space
+    assert sum(1 for i in ids if i < 1000) < 30  # not front-loaded
+    # deterministic across invocations
+    ids2 = [
+        r["vec_id"]
+        for r in df.orderBy(u.asc(), F.col("vec_id").asc()).limit(100).collect()
+    ]
+    assert ids == ids2
