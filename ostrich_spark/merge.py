@@ -39,7 +39,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 
-from .codec import block_metadata, pack_blocked, unpack_blocked
+from .codec import BLOCK_SIZE, block_metadata, pack_blocked, unpack_blocked
 from .manifest import (
     FRAGMENT_NAME,
     Manifest,
@@ -105,20 +105,89 @@ def compute_merge_candidates(
     return [levels[k] for k in order if len(levels[k]) >= min_num_segments]
 
 
-def _patch_row(row: pd.Series, offset: int) -> dict:
-    """Offset a posting row's docIDs by ``offset``. Only block heads (and
-    block_max_doc metadata) change; deltas are offset-invariant."""
-    n = int(row["doc_freq"])
-    docs, _ = unpack_blocked(bytes(row["docs"]), list(row["doc_offs"]), n, delta=True)
-    docs = docs + offset
-    packed, offs = pack_blocked(docs, delta=True)
-    bmd = (np.asarray(row["block_max_doc"], dtype=np.int64) + offset).tolist()
-    return {
-        "docs": packed,
-        "doc_offs": offs,
-        "block_max_doc": bmd,
-        "first_doc": int(docs[0]),
-    }
+def _bytes_or_empty(p) -> bytes:
+    return b"" if p is None or isinstance(p, float) else bytes(p)
+
+
+def _patch_rows_columnar(pdf: pd.DataFrame, new_sid: str) -> pd.DataFrame:
+    """Patch EVERY (tombstone-free) posting row of a partition in one
+    columnar pass (r2 verdict item #6 — replaces the per-row
+    iterrows/_patch_row loop).
+
+    Because each block stores its head absolute and the rest as deltas
+    (codec.pack_blocked), adding the segment offset touches ONLY the
+    block-head values. Varints are self-delimiting, so ALL rows' docs
+    buffers concatenate into one _varint_decode call; head positions are
+    computed vectorized from doc_freq, patched in place, and the whole
+    partition re-encodes in one _varint_encode pass. Per-row byte spans
+    and per-block offsets fall out of the per-value byte lengths. The
+    only remaining per-row Python is O(n_rows) buffer slicing."""
+    from .codec import _varint_decode, _varint_encode_with_lengths
+
+    n_rows = len(pdf)
+    doc_freqs = pdf["doc_freq"].to_numpy(dtype=np.int64)
+    seg_offs = pdf["seg_off"].to_numpy(dtype=np.int64)
+    bufs = [bytes(b) for b in pdf["docs"]]
+    raw = _varint_decode(b"".join(bufs))
+    if len(raw) != int(doc_freqs.sum()):
+        raise RuntimeError(
+            f"postings corruption: decoded {len(raw)} varints, "
+            f"doc_freq sum {int(doc_freqs.sum())}"
+        )
+    row_val_starts = np.concatenate(([0], np.cumsum(doc_freqs)[:-1]))
+    nblocks = -(-doc_freqs // BLOCK_SIZE)  # ceil
+    block_row = np.repeat(np.arange(n_rows), nblocks)
+    block_ord = np.arange(int(nblocks.sum())) - np.repeat(
+        np.concatenate(([0], np.cumsum(nblocks)[:-1])), nblocks
+    )
+    head_idx = row_val_starts[block_row] + block_ord * BLOCK_SIZE
+    raw[head_idx] += seg_offs[block_row].astype(np.uint64)
+
+    enc, nbytes = _varint_encode_with_lengths(raw)
+    val_starts = np.cumsum(nbytes) - nbytes
+    row_byte_starts = val_starts[row_val_starts]
+    row_byte_ends = np.concatenate((row_byte_starts[1:], [len(enc)]))
+    head_bytes = val_starts[head_idx] - row_byte_starts[block_row]
+    doc_offs_per_row = np.split(head_bytes, np.cumsum(nblocks)[:-1])
+    first_docs = raw[row_val_starts].astype(np.int64)
+
+    has_pos = "pos" in pdf.columns
+    return pd.DataFrame(
+        {
+            "segment_id": new_sid,
+            "field": pdf["field"].to_numpy(dtype=np.int32),
+            "term": pdf["term"].to_numpy(),
+            # row_ord := the shard's FIRST new docID — unique (doc ranges
+            # are disjoint) and monotone with doc order for ANY merge depth
+            "row_ord": first_docs,
+            "doc_freq": doc_freqs,
+            "total_tf": pdf["total_tf"].to_numpy(dtype=np.int64),
+            "docs": [
+                enc[s:e] for s, e in zip(row_byte_starts, row_byte_ends)
+            ],
+            "tfs": [bytes(b) for b in pdf["tfs"]],
+            "lens": [bytes(b) for b in pdf["lens"]],
+            "doc_offs": [o.tolist() for o in doc_offs_per_row],
+            "tf_offs": [[int(x) for x in o] for o in pdf["tf_offs"]],
+            "len_offs": [[int(x) for x in o] for o in pdf["len_offs"]],
+            "block_max_doc": [
+                (np.asarray(b, dtype=np.int64) + o).tolist()
+                for b, o in zip(pdf["block_max_doc"], seg_offs)
+            ],
+            "block_max_tf": [[int(x) for x in o] for o in pdf["block_max_tf"]],
+            "block_min_len": [[int(x) for x in o] for o in pdf["block_min_len"]],
+            # within-doc positions are docID-offset-invariant
+            "pos": [_bytes_or_empty(p) for p in pdf["pos"]]
+            if has_pos
+            else [b"" for _ in range(n_rows)],
+            "pos_offs": [
+                [] if o is None or isinstance(o, float) else [int(x) for x in o]
+                for o in pdf["pos_offs"]
+            ]
+            if has_pos
+            else [[] for _ in range(n_rows)],
+        }
+    )
 
 
 def _decode_row_full(row: pd.Series):
@@ -282,52 +351,37 @@ def merge_segments(
         for pdf in it:
             if not len(pdf):
                 continue
+            # rows whose source segment carries tombstones need the full
+            # decode -> purge -> repack rewrite (per row, the exception);
+            # every other row is patched COLUMNAR in one varint pass over
+            # the whole partition (_patch_rows_columnar)
+            if dmap:
+                has_del = np.array(
+                    [len(dmap.get(s, ())) > 0 for s in pdf["segment_id"]],
+                    dtype=bool,
+                )
+            else:
+                has_del = np.zeros(len(pdf), dtype=bool)
+            frames = []
+            clean = pdf[~has_del]
+            if len(clean):
+                frames.append(_patch_rows_columnar(clean, new_sid))
             out = []
-            for _, row in pdf.iterrows():
+            for _, row in pdf[has_del].iterrows():
                 dels = dmap.get(row["segment_id"])
-                if dels is not None and len(dels):
-                    # purge path: full rewrite of this shard row
-                    d, t, ln, p = _decode_row_full(row)
-                    d, t, ln, p = _purge_and_remap(d, t, ln, p, dels, int(row["seg_off"]))
-                    if not len(d):
-                        continue  # every doc of the shard was deleted
-                    out.append(
-                        _pack_full_row(
-                            new_sid, row["field"], row["term"], int(d[0]), d, t, ln, p
-                        )
-                    )
-                    continue
-                patched = _patch_row(row, int(row["seg_off"]))
-                pos_b, pos_offs = _row_pos(row)
+                d, t, ln, p = _decode_row_full(row)
+                d, t, ln, p = _purge_and_remap(d, t, ln, p, dels, int(row["seg_off"]))
+                if not len(d):
+                    continue  # every doc of the shard was deleted
                 out.append(
-                    {
-                        "segment_id": new_sid,
-                        "field": int(row["field"]),
-                        "term": row["term"],
-                        # row_ord := the shard's FIRST new docID — unique
-                        # (doc ranges are disjoint) and monotone with doc
-                        # order for ANY merge depth; the previous
-                        # rank*100_000+old scheme collided and misordered
-                        # when re-merging already-sharded segments
-                        "row_ord": patched["first_doc"],
-                        "doc_freq": int(row["doc_freq"]),
-                        "total_tf": int(row["total_tf"]),
-                        "docs": patched["docs"],
-                        "tfs": bytes(row["tfs"]),
-                        "lens": bytes(row["lens"]),
-                        "doc_offs": [int(x) for x in patched["doc_offs"]],
-                        "tf_offs": [int(x) for x in row["tf_offs"]],
-                        "len_offs": [int(x) for x in row["len_offs"]],
-                        "block_max_doc": patched["block_max_doc"],
-                        "block_max_tf": [int(x) for x in row["block_max_tf"]],
-                        "block_min_len": [int(x) for x in row["block_min_len"]],
-                        # within-doc positions are docID-offset-invariant
-                        "pos": pos_b,
-                        "pos_offs": pos_offs,
-                    }
+                    _pack_full_row(
+                        new_sid, row["field"], row["term"], int(d[0]), d, t, ln, p
+                    )
                 )
             if out:
-                yield pd.DataFrame(out)
+                frames.append(pd.DataFrame(out))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["seg_off", "row_ord"])
