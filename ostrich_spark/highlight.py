@@ -77,6 +77,87 @@ def _window_snippet(
     return prefix + "".join(out) + suffix, len(hit_idx)
 
 
+def _check_stored(manifest, field: str):
+    fe = manifest.schema.field_by_name(field)
+    if fe is None:
+        raise ValueError(f"unknown field {field!r}")
+    if not fe.store:
+        raise ValueError(
+            f"field {field!r} was indexed without store=True — rebuild with "
+            f"Schema.add_text_field({field!r}, ..., store=True) to highlight"
+        )
+    return fe
+
+
+def highlight_df(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    limit: int | None = None,
+    scorer: str = "bm25",
+    window_tokens: int = 8,
+    mark: tuple[str, str] = ("**", "**"),
+    default_fields: list[str] | None = None,
+):
+    """DISTRIBUTED snippet assembly: returns a DataFrame of
+    (identity columns..., score, snippet, n_matches) — one row per hit.
+
+    ``highlight`` (below) is the search-UX path: the driver assembles
+    snippets for the top-k stored values it was going to collect anyway.
+    An export-ALL-matches job (limit=None) must not funnel every stored
+    document body through the driver — here the same analyzer + window
+    logic runs as an Arrow-batched UDF over the hits where they already
+    live, so snippet assembly scales with executors and the result can go
+    straight to a parquet sink. Row-identical snippet/score/n_matches to
+    the driver path (regression-tested)."""
+    manifest = load_manifest(index_dir)
+    fe = _check_stored(manifest, field)
+    logical = (
+        parse_query(query, manifest.schema, default_fields)
+        if isinstance(query, str)
+        else query
+    )
+    match_terms = {t.term for t in collect_terms(logical) if t.field_id == fe.id}
+    analyzer_name = fe.analyzer
+
+    res, _ = search(
+        spark, index_dir, logical, limit=limit, scorer=scorer, manifest=manifest
+    )
+    attached = attach_docmap(spark, index_dir, res, manifest=manifest)
+    stored_fields = {f.name for f in manifest.schema.fields if f.store}
+    drop_cols = [
+        c
+        for c in attached.columns
+        if c in (stored_fields | {"content_sha256"}) and c != field
+    ]
+    slim = attached.drop(*drop_cols)
+
+    out_fields = [f for f in slim.schema.fields if f.name != field]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    ) + ", snippet string, n_matches long"
+    keep = [f.name for f in out_fields]
+    wt, mk = window_tokens, mark
+
+    def fn(it):
+        analyzer = get_analyzer(analyzer_name)
+        for pdf in it:
+            snips, ns = [], []
+            for raw in pdf[field]:
+                s, n = _window_snippet(
+                    raw if isinstance(raw, str) else "", match_terms, analyzer, wt, mk
+                )
+                snips.append(s)
+                ns.append(n)
+            out = pdf[keep].copy()
+            out["snippet"] = snips
+            out["n_matches"] = ns
+            yield out
+
+    return slim.mapInPandas(fn, out_schema)
+
+
 def highlight(
     spark,
     index_dir: str,
@@ -94,14 +175,7 @@ def highlight(
     with an actionable message otherwise). Matched terms are the query's
     analyzed terms (phrase constituents included)."""
     manifest = load_manifest(index_dir)
-    fe = manifest.schema.field_by_name(field)
-    if fe is None:
-        raise ValueError(f"unknown field {field!r}")
-    if not fe.store:
-        raise ValueError(
-            f"field {field!r} was indexed without store=True — rebuild with "
-            f"Schema.add_text_field({field!r}, ..., store=True) to highlight"
-        )
+    fe = _check_stored(manifest, field)
     logical = (
         parse_query(query, manifest.schema, default_fields)
         if isinstance(query, str)

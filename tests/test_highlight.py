@@ -150,3 +150,50 @@ def test_doc_key_excludes_all_stored_fields(spark, tmp_path):
     assert snips
     for sn in snips:
         assert set(sn.doc_key) == {"k"}  # no 'title', no 'content'
+
+
+def test_highlight_df_matches_driver_path(spark, stored_idx):
+    """The distributed (Arrow UDF) snippet path must be row-identical to
+    the driver path: same keys, scores, snippet text, match counts."""
+    from ostrich_spark.highlight import highlight_df
+
+    driver = {
+        s.doc_key["k"]: s
+        for s in highlight(spark, stored_idx, "content:searching", "content", limit=10)
+    }
+    dist = {
+        r["k"]: r
+        for r in highlight_df(
+            spark, stored_idx, "content:searching", "content", limit=10
+        ).collect()
+    }
+    assert set(dist) == set(driver)
+    for k, s in driver.items():
+        assert dist[k]["snippet"] == s.text
+        assert dist[k]["n_matches"] == s.n_matches
+        assert dist[k]["score"] == pytest.approx(s.score)
+
+
+def test_highlight_df_export_all_has_no_limit(spark, stored_idx):
+    from ostrich_spark.highlight import highlight_df
+
+    rows = highlight_df(spark, stored_idx, "content:quick", "content").collect()
+    assert {r["k"] for r in rows} == {0, 2}
+    # stored bodies must NOT ride along (only identity + snippet columns)
+    assert "content" not in rows[0].asDict()
+    for r in rows:
+        assert "**quick**" in r["snippet"]
+
+
+def test_highlight_df_requires_store(spark, tmp_path):
+    from ostrich_spark.highlight import highlight_df
+
+    s = Schema()
+    s.add_text_field("content", "default")
+    d = str(tmp_path / "nostore")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(DOCS)), s, d,
+        num_partitions=1, order_col="k", id_cols=["k"],
+    )
+    with pytest.raises(ValueError, match="store=True"):
+        highlight_df(spark, d, "content:quick", "content")

@@ -227,3 +227,28 @@ def test_ivf_train_sample_is_uniform_not_prefix(spark):
         for r in df.orderBy(u.asc(), F.col("vec_id").asc()).limit(100).collect()
     ]
     assert ids == ids2
+
+
+def test_assign_fast_matches_jvm_assign(spark, emb):
+    """The Arrow/numpy assignment (trained-build scale path) must agree
+    with the JVM expression path on real data: same nearest centroid,
+    same rounded sim (both round to 6; ties -> lowest cid)."""
+    from ostrich_spark.similarity import _assign_to, _assign_to_fast, _first_c_centroids
+
+    cent_df = _first_c_centroids(emb, 4)
+    cents = np.asarray(
+        [list(r["cvec"]) for r in cent_df.orderBy("cid").collect()], dtype=np.float64
+    )
+    jvm = {
+        r["vec_id"]: (r["cluster_id"], r["sim"])
+        for r in _assign_to(emb, cent_df).collect()
+    }
+    fast = {
+        r["vec_id"]: (r["cluster_id"], r["sim"])
+        for r in _assign_to_fast(emb, cents).collect()
+    }
+    assert set(jvm) == set(fast)
+    for vid, (cid, sim) in jvm.items():
+        fcid, fsim = fast[vid]
+        assert fcid == cid, f"vec {vid}: {fcid} != {cid}"
+        assert abs(fsim - sim) < 2e-6, f"vec {vid}: {fsim} vs {sim}"
