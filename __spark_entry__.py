@@ -240,6 +240,31 @@ def _q_eng_all(spark, sf_dir):
     return _engine_matches(spark, sf_dir, "")
 
 
+_BATCH_QUERIES = {
+    "q_term": "text:spark",
+    "q_and": "text:spark AND text:join",
+    "q_or": "text:spark OR text:window",
+}
+
+
+def _q_eng_batched(spark, sf_dir):
+    """Batched multi-query execution (search_many): the three boolean
+    shapes run as ONE Spark job — one stats binding, one postings scan
+    pruned to the union of terms, one applyInPandas pass scoring every
+    query, one window rank. Oracle: UNION ALL of the per-query SQL."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_many
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_many(spark, idx, _BATCH_QUERIES, limit=None, manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        "query_id",
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -747,6 +772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i1_field_norms": _q_field_norms,
         "eng_q5_term_tfidf": _q_eng_term_tfidf,
         "eng_s4_and": _q_eng_and,
+        "eng_batched_queries": _q_eng_batched,
         "eng_s5_or": _q_eng_or,
         "eng_s6_must_should": _q_eng_must_should,
         "eng_s7_must_not": _q_eng_must_not,
@@ -826,6 +852,19 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_batched_queries": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join','window')) "
+            "SELECT 'q_term' AS query_id, doc_id, round(sum(sc), 6) AS score "
+            "FROM s WHERE term = 'spark' GROUP BY doc_id "
+            "UNION ALL "
+            "SELECT 'q_and' AS query_id, doc_id, round(sum(sc), 6) AS score "
+            "FROM s WHERE term IN ('spark','join') GROUP BY doc_id HAVING count(*) = 2 "
+            "UNION ALL "
+            "SELECT 'q_or' AS query_id, doc_id, round(sum(sc), 6) AS score "
+            "FROM s WHERE term IN ('spark','window') GROUP BY doc_id"
         ),
         "eng_s6_must_should": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

@@ -69,6 +69,40 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_msearch(args) -> int:
+    """Batched multi-query search: the whole query set runs as ONE Spark
+    job (exec.search_many) — the multi-tenant/batch serving shape where
+    the per-job scheduling floor amortizes across the set. Queries come
+    from repeated -q flags (id=query) or a JSON file {id: query}."""
+    import json
+
+    from .query.exec import search_many
+
+    queries: dict[str, str] = {}
+    for spec in args.query or []:
+        if "=" not in spec:
+            print(f"-q expects id=QUERY, got {spec!r}", file=sys.stderr)
+            return 2
+        qid, q = spec.split("=", 1)
+        queries[qid] = q
+    if args.file:
+        with open(args.file) as f:
+            queries.update(json.load(f))
+    if not queries:
+        print("no queries given (use -q id=QUERY or --file)", file=sys.stderr)
+        return 2
+    spark = _spark()
+    t0 = time.time()
+    rows = search_many(
+        spark, args.path, queries, limit=args.limit, scorer=args.scorer
+    ).collect()
+    elapsed = time.time() - t0
+    for r in rows:
+        print(f"{r['query_id']} {r['segment_ord']}/{r['doc']} {r['score']}")
+    print(f"{len(queries)} queries in one job, elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_build(args) -> int:
     from .build import build_index
     from .schema import Schema
@@ -217,6 +251,14 @@ def main(argv=None) -> int:
         help="print snippets from this store=True field instead of doc addresses",
     )
     s.set_defaults(fn=cmd_search)
+
+    ms = sub.add_parser("msearch")
+    ms.add_argument("-p", "--path", required=True)
+    ms.add_argument("-q", "--query", action="append", metavar="ID=QUERY")
+    ms.add_argument("--file", help="JSON file of {query_id: query}")
+    ms.add_argument("-l", "--limit", type=int, default=10)
+    ms.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    ms.set_defaults(fn=cmd_msearch)
 
     b = sub.add_parser("build")
     b.add_argument("corpus")

@@ -114,3 +114,23 @@ def test_cli_stats(small_index):
     )
     assert bad.returncode == 2
     assert "no index at" in bad.stderr and "Traceback" not in bad.stderr
+
+
+def test_cli_msearch_batched(small_index):
+    """msearch runs the whole set as one job and prints per-query hits."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "msearch", "-p", small_index,
+         "-q", "a=content:merge_policy", "-q", "b=content:search OR content:index",
+         "-l", "3", "--scorer", "tfidf"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    hit_lines = [l for l in lines if "/" in l and not l.startswith("elapsed")]
+    qids = {l.split()[0] for l in hit_lines}
+    assert qids == {"a", "b"}
+    for l in hit_lines:
+        qid, addr, score = l.split()
+        seg, doc = addr.split("/")
+        int(seg), int(doc), float(score)
+    assert any("2 queries in one job" in l for l in lines)

@@ -135,8 +135,12 @@ def main():
         # merge: all segments -> 1
         m = load_manifest(idx)
         seg_ids = [s.segment_id for s in m.sorted_segments()]
+        shard_thr = int(os.environ.get("LADDER_SHARD_THRESHOLD", "1000000"))
         t0 = time.time()
-        merge_segments(spark, idx, seg_ids, "ladder_merged_0")
+        merge_segments(
+            spark, idx, seg_ids, f"ladder_merged_t{shard_thr}",
+            shard_threshold=shard_thr,
+        )
         merge_sec = time.time() - t0
         print(
             f"merge: {len(seg_ids)} segments / {n_files} docs -> 1 in "
