@@ -118,3 +118,34 @@ def test_batched_is_one_job_per_stage_shape(spark, batch_idx):
     plan = batched._jdf.queryExecution().executedPlan().toString()
     assert plan.count("postings.parquet") <= 1 or plan.count("Scan parquet") <= 2
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_batched_fuzz_identity_two_field(spark, tmp_path_factory):
+    """The GENERATED_QUERIES fixture set (rare/common/stopword/absent/
+    nested/stemmed/bare multi-field shapes) run as ONE batch must be
+    row-identical per query to the per-query path on a two-field
+    default+en_stem index."""
+    from ostrich_spark.corpus import make_corpus
+    from ostrich_spark.schema import Schema
+    from tests.test_generated_queries import GENERATED_QUERIES
+
+    tmp = tmp_path_factory.mktemp("manyfuzz")
+    pdf = make_corpus(200, seed=21)
+    comments = [
+        f"having serious confidence in the outcome {i} searching indexes quickly"
+        if i % 3 == 0
+        else f"decided situations are tested only in {i} seconds"
+        for i in range(len(pdf))
+    ]
+    pdf = pdf.assign(comment=comments)
+    schema = Schema()
+    schema.add_text_field("content", "default")
+    schema.add_text_field("comment", "en_stem")
+    idx = str(tmp / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), schema, idx,
+        num_partitions=4, order_col="path", id_cols=["path"], build_id="mf",
+    )
+    queries = {f"g{i}": q for i, q in enumerate(GENERATED_QUERIES)}
+    for scorer in ("tfidf", "bm25"):
+        _assert_batch_matches_individual(spark, idx, queries, scorer, limit=None)
