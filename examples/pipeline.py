@@ -128,6 +128,27 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     snips = highlight(spark, idx, "text:postings", "text", limit=3, window_tokens=4)
     stats["snippets"] = [s.text for s in snips]
 
+    # 8c. token budgeting with REAL merge-based BPE (pinned fixture table)
+    from ostrich_spark.bpe import real_bpe_token_counts
+
+    budget = real_bpe_token_counts(sampled).agg(
+        F.sum("n_pieces").alias("p"), F.sum("n_bpe_tokens").alias("b")
+    ).collect()[0]
+    stats["token_budget"] = (int(budget["p"]), int(budget["b"]))
+
+    # 8d. the whole query workload as ONE Spark job (batched serving shape)
+    from ostrich_spark.query.exec import search_many
+
+    batch = search_many(
+        spark, idx,
+        {"policy": "text:merge_policy", "pack": 'text:"delta packed"',
+         "both": "text:merge_policy OR text:postings"},
+        limit=3, scorer="bm25",
+    )
+    stats["batched_hits_per_query"] = {
+        r["query_id"]: 1 for r in batch.select("query_id").distinct().collect()
+    }
+
     # 9. delete lifecycle: tombstone a doc (a takedown request), verify it
     # vanished, then purge to reclaim the space physically
     from ostrich_spark.deletes import delete_docs

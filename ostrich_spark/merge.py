@@ -248,10 +248,19 @@ def merge_segments(
     index_dir: str,
     segment_ids: list[str],
     new_segment_id: str,
-    shard_threshold: int = 1_000_000,
+    shard_threshold: int = 250_000,
     write_partitions: int | None = None,
 ) -> SegmentMeta:
-    """Execute one merge: candidate segments -> one new segment."""
+    """Execute one merge: candidate segments -> one new segment.
+
+    ``shard_threshold``: terms whose TOTAL df across the sources exceeds
+    this stay as doc-range shards patched map-only; smaller terms take
+    the per-term groupBy merge. Measured on the 3.84M-doc ladder rung
+    (BENCH/SCALE_LADDER.md): lowering 1M -> 100k moved the head terms off
+    single-reducer tasks and raised merge throughput 18.3k -> ~30k
+    docs/sec; 250k is the default so a reducer never decodes/repacks more
+    than ~250k postings for one term while real-corpus tails (small df)
+    still collapse to single rows."""
     from pyspark.sql import functions as F
 
     manifest = load_manifest(index_dir)
