@@ -248,19 +248,19 @@ def merge_segments(
     index_dir: str,
     segment_ids: list[str],
     new_segment_id: str,
-    shard_threshold: int = 250_000,
+    shard_threshold: int = 1_000_000,
     write_partitions: int | None = None,
 ) -> SegmentMeta:
     """Execute one merge: candidate segments -> one new segment.
 
     ``shard_threshold``: terms whose TOTAL df across the sources exceeds
     this stay as doc-range shards patched map-only; smaller terms take
-    the per-term groupBy merge. Measured on the 3.84M-doc ladder rung
-    (BENCH/SCALE_LADDER.md): lowering 1M -> 100k moved the head terms off
-    single-reducer tasks and raised merge throughput 18.3k -> ~30k
-    docs/sec; 250k is the default so a reducer never decodes/repacks more
-    than ~250k postings for one term while real-corpus tails (small df)
-    still collapse to single rows."""
+    the per-term groupBy merge. Measured on interleaved exclusive pairs
+    (BENCH/SCALE_LADDER.md): at both 960k docs (58.1k vs 31.4k docs/sec)
+    and 3.84M docs (50.7k vs 34.1k) the 1M threshold beats 100k —
+    over-sharding adds per-shard row overhead faster than it removes
+    reducer tail latency, so only genuinely skewed heads (df > 1M, which
+    NO single reducer should decode) leave the groupBy path."""
     from pyspark.sql import functions as F
 
     manifest = load_manifest(index_dir)
