@@ -240,6 +240,45 @@ def _q_eng_all(spark, sf_dir):
     return _engine_matches(spark, sf_dir, "")
 
 
+def _q_eng_prefix(spark, sf_dir):
+    """Multi-term EXTENSION (Lucene PrefixQuery analog): ``text:s*``
+    expands against the (field, term)-sorted dictionary via a range-
+    pruned read into a term union — MultiTermsQuery scoring (per-doc sum
+    of tf*idf over the matched terms), capped doc_freq DESC, term ASC."""
+    return _engine_matches(spark, sf_dir, "text:s*")
+
+
+def _q_eng_fuzzy(spark, sf_dir):
+    """Multi-term EXTENSION (Lucene FuzzyQuery analog): terms within 2
+    Levenshtein edits of 'sort'. prefix_length=0 exercises the
+    distributed expansion path (JVM levenshtein over the dictionary)."""
+    from ostrich_spark.query.parser import FuzzyQuery
+
+    q = FuzzyQuery(0, "sort", max_dist=2, prefix_length=0)
+    return _engine_matches(spark, sf_dir, None, logical=q)
+
+
+def _q_eng_facet_lang(spark, sf_dir):
+    """Facet EXTENSION: per-``lang`` doc counts over the FULL match set
+    of ``text:spark`` — docmap identity joined to the source table, one
+    map-side partial-aggregated groupBy (no broadcast of the match set)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import facet_counts
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    fc = facet_counts(
+        spark,
+        idx,
+        "text:spark",
+        by=["lang"],
+        join_df=_docs(spark, sf_dir).select("doc_id", "lang"),
+        join_on=["doc_id"],
+        manifest=mf,
+    )
+    return fc.select("lang", F.col("n_docs").cast("long"))
+
+
 _BATCH_QUERIES = {
     "q_term": "text:spark",
     "q_and": "text:spark AND text:join",
@@ -776,6 +815,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s5_or": _q_eng_or,
         "eng_s6_must_should": _q_eng_must_should,
         "eng_s7_must_not": _q_eng_must_not,
+        "eng_prefix_multiterm": _q_eng_prefix,
+        "eng_fuzzy_lev2": _q_eng_fuzzy,
+        "eng_facet_lang": _q_eng_facet_lang,
         "eng_q8_all": _q_eng_all,
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
@@ -852,6 +894,30 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_prefix_multiterm": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            # expansion mirror: terms LIKE 's%', capped doc_freq DESC,
+            # term ASC at DEFAULT_PREFIX_EXPANSIONS (not binding here)
+            "x AS (SELECT term FROM df WHERE term LIKE 's%' ORDER BY df DESC, term LIMIT 1024), "
+            f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN (SELECT term FROM x)) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_fuzzy_lev2": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            # levenshtein(term,'sort') <= 2, capped at DEFAULT_FUZZY_EXPANSIONS
+            "x AS (SELECT term FROM df WHERE levenshtein(term, 'sort') <= 2 "
+            "ORDER BY df DESC, term LIMIT 50), "
+            f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN (SELECT term FROM x)) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_facet_lang": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT d.lang, count(*) AS n_docs FROM m JOIN documents d USING(doc_id) "
+            "GROUP BY d.lang"
         ),
         "eng_batched_queries": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

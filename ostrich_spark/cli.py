@@ -69,6 +69,36 @@ def cmd_search(args) -> int:
     return 0
 
 
+def cmd_facet(args) -> int:
+    """Facet counts over a query's full match set: ``value n_docs``
+    lines, most-populous first. --by columns come from the docmap
+    (identity / store=True fields) or, with --source + --join-on, from
+    the original corpus table."""
+    from pyspark.sql import functions as F
+
+    from .query.exec import facet_counts
+
+    spark = _spark()
+    t0 = time.time()
+    join_df = spark.read.parquet(args.source) if args.source else None
+    fc = facet_counts(
+        spark,
+        args.path,
+        args.query,
+        by=args.by,
+        join_df=join_df,
+        join_on=args.join_on or None,
+        scorer=args.scorer,
+    )
+    rows = fc.orderBy(F.desc("n_docs"), *args.by).collect()
+    elapsed = time.time() - t0
+    for r in rows:
+        key = " ".join(str(r[b]) for b in args.by)
+        print(f"{key} {r['n_docs']}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_msearch(args) -> int:
     """Batched multi-query search: the whole query set runs as ONE Spark
     job (exec.search_many) — the multi-tenant/batch serving shape where
@@ -251,6 +281,18 @@ def main(argv=None) -> int:
         help="print snippets from this store=True field instead of doc addresses",
     )
     s.set_defaults(fn=cmd_search)
+
+    fc = sub.add_parser("facet")
+    fc.add_argument("query")
+    fc.add_argument("-p", "--path", required=True)
+    fc.add_argument("--by", action="append", required=True, metavar="COL")
+    fc.add_argument("--source", help="parquet path of the corpus table to facet on")
+    fc.add_argument(
+        "--join-on", action="append", metavar="COL",
+        help="identity column(s) joining the docmap to --source",
+    )
+    fc.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    fc.set_defaults(fn=cmd_facet)
 
     ms = sub.add_parser("msearch")
     ms.add_argument("-p", "--path", required=True)

@@ -858,6 +858,13 @@ def search(
     schema = manifest.schema
     logical = parse_query(query, schema, default_fields) if isinstance(query, str) else query
 
+    from .expand import has_multiterm, rewrite_multiterm
+
+    if has_multiterm(logical):
+        # prefix/fuzzy nodes expand against the term dictionary into
+        # plain term unions before stats binding
+        logical = rewrite_multiterm(spark, index_dir, manifest, logical)
+
     doc_freqs, total_docs, field_avgdl = bind_stats(spark, index_dir, manifest, logical)
     compiled = compile_query(logical, doc_freqs, total_docs, field_avgdl, scorer)
     wire = to_wire(compiled)
@@ -1051,6 +1058,16 @@ def search_many(
         qid: (parse_query(q, schema, default_fields) if isinstance(q, str) else q)
         for qid, q in queries.items()
     }
+    from .expand import has_multiterm, rewrite_multiterm
+
+    logicals = {
+        qid: (
+            rewrite_multiterm(spark, index_dir, manifest, lg)
+            if has_multiterm(lg)
+            else lg
+        )
+        for qid, lg in logicals.items()
+    }
 
     # one stats binding for the union of all queries' terms
     all_terms = list({t for lg in logicals.values() for t in collect_terms(lg)})
@@ -1198,6 +1215,53 @@ def term_positions(spark, index_dir: str, field_id: int, term: str, manifest: Ma
             read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
         )
     return rows
+
+
+def facet_counts(
+    spark,
+    index_dir: str,
+    query,
+    by: list[str] | str,
+    join_df=None,
+    join_on: list[str] | str | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Facet counts over a query's FULL match set: one row per distinct
+    value of ``by`` with the number of matching docs (``n_docs``).
+
+    ``by`` columns are read from the docmap (identity + store=True
+    columns); pass ``join_df``/``join_on`` to facet on columns of the
+    source table instead (matches join to it on the identity columns).
+
+    Scale posture: the match set is exhaustive and therefore unbounded —
+    it is NOT broadcast (unlike attach_docmap's top-k join); the facet
+    groupBy partial-aggregates map-side, so the shuffle carries one row
+    per (partition, facet value), and the optional source join is a plain
+    key join AQE can re-plan. EXTENSION: the reference has no facets —
+    its collectors return docs/counts only (/root/reference/reader/
+    search.go:21-66)."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    by = [by] if isinstance(by, str) else list(by)
+    res, _ = search(
+        spark,
+        index_dir,
+        query,
+        limit=None,
+        scorer=scorer,
+        manifest=manifest,
+        default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner")
+    if join_df is not None:
+        join_on = [join_on] if isinstance(join_on, str) else list(join_on or [])
+        matched = matched.select(*join_on).join(join_df, join_on, "inner")
+    return matched.groupBy(*by).agg(F.count("*").alias("n_docs"))
 
 
 def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None = None):

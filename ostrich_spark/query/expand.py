@@ -1,0 +1,260 @@
+"""Multi-term query expansion: prefix and fuzzy queries.
+
+EXTENSION beyond the reference grammar (/root/reference/query/parser.go
+has only term/AND/OR): Lucene-style multi-term queries, rewritten at
+plan time into a union of concrete TermQuery nodes so they ride the
+existing Union/WAND scorers unchanged (scoring = MultiTermsQuery
+semantics, i.e. per-doc sum of tf*idf over the matched terms — the same
+contract as Q7 field-analyzed multi-term expansion).
+
+Expansion source is the commit-time term dictionary
+(``term_stats.parquet``, (field, term)-sorted):
+
+- **prefix** ``text:spar*`` — a *range* read ``term >= p AND term <
+  upper(p)``; on the sorted dictionary this prunes to the row groups
+  covering the prefix bucket, so the driver-side pyarrow read touches
+  dictionary *metadata*, not the corpus — the same access pattern as the
+  per-term doc_freq lookup in exec.bind_stats_for_terms. At 10^12-doc
+  scale the dictionary is large but the prefix bucket is the only part
+  read.
+- **fuzzy** ``text:spark~1`` — edit-distance expansion. With
+  ``prefix_length >= 1`` (the default, like Elasticsearch's guidance for
+  fuzzy at scale) candidates are pruned to the shared-prefix bucket by
+  the same range read, then banded Levenshtein filters the bucket.
+  ``prefix_length=0`` falls back to a distributed Spark filter over the
+  whole dictionary (JVM ``levenshtein`` — one small job, no driver-side
+  full-dictionary scan).
+
+Both cap expansion (doc_freq DESC, term ASC — deterministic) like
+Lucene's maxClauseCount/maxExpansions, so a degenerate ``a*`` cannot
+build a million-clause union.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from .parser import (
+    BooleanQuery,
+    EmptyQuery,
+    FuzzyQuery,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+)
+
+# Lucene BooleanQuery.maxClauseCount is 1024; FuzzyQuery maxExpansions 50
+DEFAULT_PREFIX_EXPANSIONS = 1024
+DEFAULT_FUZZY_EXPANSIONS = 50
+
+
+def prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string > every string with this prefix: increment the
+    last incrementable codepoint and drop the tail. None = unbounded."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def levenshtein_within(a: str, b: str, max_dist: int) -> bool:
+    """Banded Levenshtein: True iff edit_distance(a, b) <= max_dist.
+    O(len * band) — the band keeps the driver-side candidate filter
+    linear in the bucket size."""
+    if abs(len(a) - len(b)) > max_dist:
+        return False
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        lo = max(1, i - max_dist)
+        hi = min(lb, i + max_dist)
+        cur = [max_dist + 1] * (lb + 1)
+        if lo == 1:
+            cur[0] = i
+        for j in range(lo, hi + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if min(cur[lo - 1 : hi + 1]) > max_dist:
+            return False
+        prev = cur
+    return prev[lb] <= max_dist
+
+
+def _stats_files(index_dir: str) -> list[str] | None:
+    from .exec import _term_stats_valid
+    from ..manifest import load_manifest
+
+    stats_path = os.path.join(index_dir, "term_stats.parquet")
+    if not os.path.exists(stats_path):
+        return None
+    manifest = load_manifest(index_dir)
+    if not _term_stats_valid(stats_path, manifest):
+        return None
+    if os.path.isdir(stats_path):
+        return sorted(glob.glob(os.path.join(stats_path, "*.parquet")))
+    return [stats_path]
+
+
+def _range_candidates(
+    index_dir: str, field_id: int, lo: str, hi: str | None
+) -> list[tuple[str, int]] | None:
+    """(term, doc_freq) rows of a dictionary range via pyarrow pushdown;
+    None when term_stats is absent/unpaired (caller falls back to a
+    Spark aggregation over the postings)."""
+    files = _stats_files(index_dir)
+    if files is None:
+        return None
+    import pyarrow.dataset as ds
+
+    expr = (ds.field("field") == field_id) & (ds.field("term") >= lo)
+    if hi is not None:
+        expr = expr & (ds.field("term") < hi)
+    tbl = ds.dataset(files, format="parquet").to_table(
+        filter=expr, columns=["term", "doc_freq"]
+    )
+    return list(
+        zip(tbl.column("term").to_pylist(), (int(x) for x in tbl.column("doc_freq").to_pylist()))
+    )
+
+
+def _postings_range_df(spark, index_dir: str, manifest, field_id: int, lo: str, hi):
+    """Fallback dictionary view summed from the segment postings."""
+    from pyspark.sql import functions as F
+
+    from .exec import read_postings
+
+    df = read_postings(spark, index_dir, manifest).filter(
+        (F.col("field") == field_id) & (F.col("term") >= lo)
+    )
+    if hi is not None:
+        df = df.filter(F.col("term") < hi)
+    return df.groupBy("term").agg(F.sum("doc_freq").alias("doc_freq"))
+
+
+def _cap(pairs: list[tuple[str, int]], max_expansions: int | None) -> list[str]:
+    """Deterministic expansion cap: doc_freq DESC, term ASC."""
+    pairs = sorted(pairs, key=lambda p: (-p[1], p[0]))
+    if max_expansions is not None:
+        pairs = pairs[:max_expansions]
+    return [t for t, _ in pairs]
+
+
+def expand_prefix(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    prefix: str,
+    max_expansions: int | None = DEFAULT_PREFIX_EXPANSIONS,
+) -> list[str]:
+    """Terms of ``field_id`` starting with ``prefix`` (capped)."""
+    hi = prefix_upper_bound(prefix)
+    pairs = _range_candidates(index_dir, field_id, prefix, hi)
+    if pairs is None:
+        rows = _postings_range_df(spark, index_dir, manifest, field_id, prefix, hi).collect()
+        pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+    return _cap(pairs, max_expansions)
+
+
+def expand_fuzzy(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    term: str,
+    max_dist: int,
+    prefix_length: int = 1,
+    max_expansions: int | None = DEFAULT_FUZZY_EXPANSIONS,
+) -> list[str]:
+    """Terms of ``field_id`` within ``max_dist`` edits of ``term`` that
+    share its first ``prefix_length`` characters (capped)."""
+    prefix_length = min(prefix_length, len(term))
+    if prefix_length > 0:
+        p = term[:prefix_length]
+        pairs = _range_candidates(index_dir, field_id, p, prefix_upper_bound(p))
+        if pairs is None:
+            rows = _postings_range_df(
+                spark, index_dir, manifest, field_id, p, prefix_upper_bound(p)
+            ).collect()
+            pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+        pairs = [(t, df) for t, df in pairs if levenshtein_within(t, term, max_dist)]
+    else:
+        # whole-dictionary scan stays distributed: JVM levenshtein with a
+        # length-window pre-filter, only the (small) match set collects
+        from pyspark.sql import functions as F
+
+        files = _stats_files(index_dir)
+        if files is not None:
+            df = spark.read.parquet(*files).filter(F.col("field") == field_id)
+        else:
+            from .exec import read_postings
+
+            df = (
+                read_postings(spark, index_dir, manifest)
+                .filter(F.col("field") == field_id)
+                .groupBy("term")
+                .agg(F.sum("doc_freq").alias("doc_freq"))
+            )
+        rows = (
+            df.filter(
+                (F.length("term") >= len(term) - max_dist)
+                & (F.length("term") <= len(term) + max_dist)
+                & (F.levenshtein(F.col("term"), F.lit(term)) <= max_dist)
+            )
+            .select("term", "doc_freq")
+            .collect()
+        )
+        pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+    return _cap(pairs, max_expansions)
+
+
+def has_multiterm(q) -> bool:
+    if isinstance(q, (PrefixQuery, FuzzyQuery)):
+        return True
+    if isinstance(q, BooleanQuery):
+        return any(has_multiterm(sub) for _, sub in q.subqueries)
+    return False
+
+
+def _union_of(field_id: int, terms: list[str]):
+    if not terms:
+        return EmptyQuery()
+    if len(terms) == 1:
+        return TermQuery(field_id, terms[0])
+    return BooleanQuery.union(*[TermQuery(field_id, t) for t in terms])
+
+
+def rewrite_multiterm(spark, index_dir: str, manifest, q):
+    """Replace every Prefix/FuzzyQuery node with its expanded term union
+    (MultiTermsQuery shape — WAND-eligible when it is the whole query)."""
+    if isinstance(q, PrefixQuery):
+        terms = expand_prefix(
+            spark, index_dir, manifest, q.field_id, q.prefix, q.max_expansions
+        )
+        return _union_of(q.field_id, terms)
+    if isinstance(q, FuzzyQuery):
+        terms = expand_fuzzy(
+            spark,
+            index_dir,
+            manifest,
+            q.field_id,
+            q.term,
+            q.max_dist,
+            q.prefix_length,
+            q.max_expansions,
+        )
+        return _union_of(q.field_id, terms)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            [
+                (occ, rewrite_multiterm(spark, index_dir, manifest, sub))
+                for occ, sub in q.subqueries
+            ]
+        )
+    if isinstance(q, (TermQuery, PhraseQuery)):
+        return q
+    return q

@@ -20,6 +20,7 @@ No MustNot exists in the reference (boolean_query.go:10-58).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from ..analysis import get_analyzer
@@ -60,6 +61,44 @@ class PhraseQuery:
 
     field_id: int
     terms: tuple[str, ...]
+
+
+@dataclass(frozen=True)
+class PrefixQuery:
+    """All terms of a field starting with ``prefix`` — EXTENSION beyond
+    the reference grammar (Lucene PrefixQuery analog). NQL: ``field:spar*``
+    (also bare ``spar*`` over the default fields). The value is
+    *normalized* (lowercased, matching LowerCaseCharFilter) but NOT
+    tokenized/stemmed — standard Lucene multi-term semantics, so a prefix
+    containing token-separator characters matches nothing. Expanded at
+    search time against the (field, term)-sorted dictionary into a union
+    of TermQuery (MultiTermsQuery scoring; WAND-eligible); expansion is
+    capped deterministically (doc_freq DESC, term ASC)."""
+
+    field_id: int
+    prefix: str
+    max_expansions: int | None = None  # None -> expand.DEFAULT_PREFIX_EXPANSIONS
+
+    def __post_init__(self):
+        if not self.prefix:
+            raise QueryParseError("empty prefix in prefix query")
+
+
+@dataclass(frozen=True)
+class FuzzyQuery:
+    """All terms of a field within ``max_dist`` Levenshtein edits of
+    ``term`` — EXTENSION (Lucene FuzzyQuery analog). NQL: ``field:spark~1``
+    (distances 1 or 2; bare form allowed). Same normalization rule as
+    PrefixQuery. ``prefix_length`` (default 1) requires candidates to
+    share the leading characters, which turns dictionary expansion into a
+    range-pruned bucket read instead of a full scan — the
+    Elasticsearch-recommended posture for fuzzy at scale."""
+
+    field_id: int
+    term: str
+    max_dist: int = 1
+    prefix_length: int = 1
+    max_expansions: int | None = None  # None -> expand.DEFAULT_FUZZY_EXPANSIONS
 
 
 @dataclass(frozen=True)
@@ -214,6 +253,37 @@ def _phrase_for_field(fe, raw: str):
     return PhraseQuery(fe.id, tuple(terms))
 
 
+_FUZZY_SUFFIX = re.compile(r"^(.+)~([012])$")
+
+
+def _multiterm_from_raw(raw: str):
+    """('prefix', p) / ('fuzzy', (t, d)) for multi-term syntax, else None.
+
+    Safe extension: the tokenizers treat ``*`` and ``~`` as separators,
+    so no indexed term contains them — a value the reference could have
+    matched never reaches these branches."""
+    if '"' in raw or not raw:
+        return None
+    if raw.endswith("*") and len(raw) >= 2 and "*" not in raw[:-1] and "~" not in raw:
+        return ("prefix", raw[:-1].lower())
+    if "*" not in raw:
+        m = _FUZZY_SUFFIX.match(raw)
+        if m:
+            return ("fuzzy", (m.group(1).lower(), int(m.group(2))))
+    return None
+
+
+def _multiterm_query(field_id: int, mt):
+    kind, payload = mt
+    if kind == "prefix":
+        return PrefixQuery(field_id, payload)
+    term, dist = payload
+    if dist == 0:
+        # ~0 is an exact (normalized, unanalyzed) term — Lucene semantics
+        return TermQuery(field_id, term)
+    return FuzzyQuery(field_id, term, max_dist=dist)
+
+
 def _leaf_to_query(value: str, schema: Schema, default_fields: list[str]):
     if ":" in value:
         fname, raw = value.split(":", 1)
@@ -222,6 +292,9 @@ def _leaf_to_query(value: str, schema: Schema, default_fields: list[str]):
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                 # field:"quoted phrase" — consecutive-terms extension
                 return _phrase_for_field(fe, raw[1:-1])
+            mt = _multiterm_from_raw(raw)
+            if mt is not None:
+                return _multiterm_query(fe.id, mt)
             # field-qualified: analyzed by the field's analyzer
             terms = get_analyzer(fe.analyzer).analyze_one(raw)
             if not terms:
@@ -241,6 +314,18 @@ def _leaf_to_query(value: str, schema: Schema, default_fields: list[str]):
                 q = _phrase_for_field(fe, value[1:-1])
                 if not isinstance(q, EmptyQuery):
                     qs.append(q)
+        if not qs:
+            return EmptyQuery()
+        return qs[0] if len(qs) == 1 else BooleanQuery.union(*qs)
+    mt = _multiterm_from_raw(value)
+    if mt is not None:
+        # bare prefix/fuzzy: expand over the default fields, like a bare
+        # phrase (normalized, never field-analyzed)
+        qs = [
+            _multiterm_query(fe.id, mt)
+            for fname in default_fields
+            if (fe := schema.field_by_name(fname)) is not None
+        ]
         if not qs:
             return EmptyQuery()
         return qs[0] if len(qs) == 1 else BooleanQuery.union(*qs)

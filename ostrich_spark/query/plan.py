@@ -30,7 +30,9 @@ from .parser import (
     AllQuery,
     BooleanQuery,
     EmptyQuery,
+    FuzzyQuery,
     PhraseQuery,
+    PrefixQuery,
     TermQuery,
     MUST,
     MUST_NOT,
@@ -157,6 +159,12 @@ def compile_query(
                 return CEmpty()
             idf_sum += idf_fn(total_docs, df)
         return CPhrase(q.field_id, q.terms, idf_sum, field_avgdl.get(q.field_id, 1.0))
+    if isinstance(q, (PrefixQuery, FuzzyQuery)):
+        raise ValueError(
+            "Prefix/FuzzyQuery must be expanded against the term dictionary "
+            "first (query.expand.rewrite_multiterm) — exec.search does this "
+            "automatically"
+        )
     if isinstance(q, BooleanQuery):
         # Nested AllQuery is rejected, not silently mis-evaluated: the
         # segment scorer only sees PRUNED posting rows for the query's

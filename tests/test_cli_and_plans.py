@@ -43,6 +43,37 @@ def test_cli_search_output_contract(small_index):
     assert any(l.startswith("elapsed:") for l in lines)
 
 
+def test_cli_facet_docmap_column(small_index):
+    """facet over a docmap identity column prints 'value n_docs' lines."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "facet", "content:merge_policy",
+         "-p", small_index, "--by", "path"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip() and not l.startswith("elapsed")]
+    assert lines, out.stdout
+    for l in lines:
+        # every matching doc is its own path -> each facet row counts 1
+        assert l.endswith(" 1")
+
+
+def test_cli_search_prefix_syntax(small_index):
+    """multi-term NQL reaches the CLI unchanged: content:merge* matches
+    at least as many docs as the exact term."""
+    run = lambda q: subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "search", q, "-p", small_index,
+         "-l", "100", "--scorer", "tfidf", "--count"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    o1, o2 = run("content:merge*"), run("content:merge")
+    assert o1.returncode == 0 and o2.returncode == 0, (o1.stderr[-1000:], o2.stderr[-1000:])
+    cnt = lambda o: int(
+        next(l for l in o.stdout.splitlines() if l.startswith("count:")).split()[1]
+    )
+    assert cnt(o1) >= cnt(o2) > 0
+
+
 def test_term_lookup_pushdown(spark, small_index):
     """The (field, term) predicate must reach the parquet scan and the
     scan must prune to the stats columns — SURVEY.md §4 'what Catalyst
