@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     ("nested_bool", "(content:func OR content:def) AND (content:search or content:index)", "tfidf", 10),
     ("bm25_wand_topk", "content:the OR content:rareterm007", "bm25", 10),
     ("bm25_or_fanout", "content:search OR content:index OR content:query", "bm25", 10),
+    # multi-term expansion paths: dictionary range-read + union scoring
+    ("prefix_topk", "content:se*", "tfidf", 10),
+    ("fuzzy_topk", "content:search~1", "bm25", 10),
 ]
 
 
