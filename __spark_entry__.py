@@ -211,6 +211,13 @@ def _q_eng_or(spark, sf_dir):
     return _engine_matches(spark, sf_dir, "text:spark OR text:window")
 
 
+def _q_eng_boost_or(spark, sf_dir):
+    """Per-clause boost EXTENSION (Lucene ``^`` analog; the reference
+    grammar has none): boost folds into idf at compile time, so the
+    boosted union rides the unchanged union/WAND scorers."""
+    return _engine_matches(spark, sf_dir, "text:spark^2 OR text:window^0.5")
+
+
 def _q_eng_must_should(spark, sf_dir):
     """S6: engine must/should combination (programmatic BooleanQuery)."""
     from ostrich_spark.query.parser import MUST, SHOULD, BooleanQuery, TermQuery
@@ -813,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s4_and": _q_eng_and,
         "eng_batched_queries": _q_eng_batched,
         "eng_s5_or": _q_eng_or,
+        "eng_boost_or": _q_eng_boost_or,
         "eng_s6_must_should": _q_eng_must_should,
         "eng_s7_must_not": _q_eng_must_not,
         "eng_prefix_multiterm": _q_eng_prefix,
@@ -892,6 +900,14 @@ def oracle_sql() -> dict[str, str]:
         "eng_s5_or": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_boost_or": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            # boost folds into idf: spark clause x2, window clause x0.5
+            f"s AS (SELECT t.doc_id, t.tf * (CASE WHEN t.term = 'spark' THEN 2.0 ELSE 0.5 END) "
+            "* (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
         ),

@@ -220,12 +220,12 @@ def has_multiterm(q) -> bool:
     return False
 
 
-def _union_of(field_id: int, terms: list[str]):
+def _union_of(field_id: int, terms: list[str], boost: float = 1.0):
     if not terms:
         return EmptyQuery()
     if len(terms) == 1:
-        return TermQuery(field_id, terms[0])
-    return BooleanQuery.union(*[TermQuery(field_id, t) for t in terms])
+        return TermQuery(field_id, terms[0], boost)
+    return BooleanQuery.union(*[TermQuery(field_id, t, boost) for t in terms])
 
 
 def rewrite_multiterm(spark, index_dir: str, manifest, q):
@@ -235,7 +235,7 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
         terms = expand_prefix(
             spark, index_dir, manifest, q.field_id, q.prefix, q.max_expansions
         )
-        return _union_of(q.field_id, terms)
+        return _union_of(q.field_id, terms, q.boost)
     if isinstance(q, FuzzyQuery):
         terms = expand_fuzzy(
             spark,
@@ -247,7 +247,7 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             q.prefix_length,
             q.max_expansions,
         )
-        return _union_of(q.field_id, terms)
+        return _union_of(q.field_id, terms, q.boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
             [

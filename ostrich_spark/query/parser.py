@@ -43,6 +43,10 @@ class QueryParseError(ValueError):
 class TermQuery:
     field_id: int
     term: str
+    # EXTENSION (Lucene boost analog): multiplies the clause's score.
+    # Folded into idf at compile time, so scorers / WAND bounds / the
+    # wire format are untouched (both TF-IDF and BM25 are linear in idf).
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -61,6 +65,7 @@ class PhraseQuery:
 
     field_id: int
     terms: tuple[str, ...]
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -78,6 +83,7 @@ class PrefixQuery:
     field_id: int
     prefix: str
     max_expansions: int | None = None  # None -> expand.DEFAULT_PREFIX_EXPANSIONS
+    boost: float = 1.0  # propagated to every expanded term
 
     def __post_init__(self):
         if not self.prefix:
@@ -99,6 +105,7 @@ class FuzzyQuery:
     max_dist: int = 1
     prefix_length: int = 1
     max_expansions: int | None = None  # None -> expand.DEFAULT_FUZZY_EXPANSIONS
+    boost: float = 1.0  # propagated to every expanded term
 
 
 @dataclass(frozen=True)
@@ -255,6 +262,44 @@ def _phrase_for_field(fe, raw: str):
 
 _FUZZY_SUFFIX = re.compile(r"^(.+)~([012])$")
 
+# EXTENSION (Lucene boost syntax): ``clause^2`` / ``clause^0.5``. Safe on
+# the same grounds as ``*``/``~``: every tokenizer treats ``^`` as a
+# separator, so no indexed term contains it — a bare term the reference
+# could MATCH never carries the suffix. Collision surface (documented):
+# field-ANALYZED values like ``text:spark^2`` previously analyzed to
+# OR(spark, 2); they now mean TermQuery(spark, boost=2). Escape hatch:
+# quote it (``text:"spark^2"`` keeps the analyzed behavior).
+_BOOST_SUFFIX = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+
+
+def _split_boost(value: str) -> tuple[str, float]:
+    """Strip a trailing ``^<number>`` that sits OUTSIDE any quoted span."""
+    m = _BOOST_SUFFIX.match(value)
+    if m is None:
+        return value, 1.0
+    # caret is at len(group(1)); a quote after it means the suffix is
+    # inside the quoted span ('text:"foo^2"') -> not a boost
+    if value.rfind('"') > len(m.group(1)):
+        return value, 1.0
+    return m.group(1), float(m.group(2))
+
+
+def _apply_boost(q, boost: float):
+    """Scale a parsed clause. Unions (multi-term analysis, default-field
+    expansion) distribute the boost over children — equivalent because
+    union score = sum of child scores, which is linear in each idf."""
+    import dataclasses
+
+    if boost == 1.0:
+        return q
+    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery)):
+        return dataclasses.replace(q, boost=q.boost * boost)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            [(occ, _apply_boost(sub, boost)) for occ, sub in q.subqueries]
+        )
+    return q  # EmptyQuery
+
 
 def _multiterm_from_raw(raw: str):
     """('prefix', p) / ('fuzzy', (t, d)) for multi-term syntax, else None.
@@ -285,6 +330,11 @@ def _multiterm_query(field_id: int, mt):
 
 
 def _leaf_to_query(value: str, schema: Schema, default_fields: list[str]):
+    value, boost = _split_boost(value)
+    return _apply_boost(_leaf_to_query_unboosted(value, schema, default_fields), boost)
+
+
+def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[str]):
     if ":" in value:
         fname, raw = value.split(":", 1)
         fe = schema.field_by_name(fname)

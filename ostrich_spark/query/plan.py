@@ -112,8 +112,11 @@ def bm25_idf(total_docs: int, doc_freq: int) -> float:
 
 
 def collect_terms(q) -> list[TermQuery]:
+    """Terms for stats binding / postings pruning — boost-STRIPPED so the
+    batched path's set-dedup coalesces same-term clauses that differ only
+    in boost (stats and the prune don't depend on boost)."""
     if isinstance(q, TermQuery):
-        return [q]
+        return [TermQuery(q.field_id, q.term)] if q.boost != 1.0 else [q]
     if isinstance(q, PhraseQuery):
         # constituents drive both stats binding and the postings prune
         return [TermQuery(q.field_id, t) for t in q.terms]
@@ -148,7 +151,11 @@ def compile_query(
         if df == 0:
             return CEmpty()
         idf = tfidf_idf(total_docs, df) if scorer == SCORER_TFIDF else bm25_idf(total_docs, df)
-        return CTerm(q.field_id, q.term, df, idf, field_avgdl.get(q.field_id, 1.0))
+        # boost folds into idf here (scores are linear in idf for both
+        # formulas), so scorers, WAND bounds, and the wire stay untouched
+        return CTerm(
+            q.field_id, q.term, df, idf * q.boost, field_avgdl.get(q.field_id, 1.0)
+        )
     if isinstance(q, PhraseQuery):
         idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
         idf_sum = 0.0
@@ -158,7 +165,9 @@ def compile_query(
                 # a constituent absent from the index -> no doc can match
                 return CEmpty()
             idf_sum += idf_fn(total_docs, df)
-        return CPhrase(q.field_id, q.terms, idf_sum, field_avgdl.get(q.field_id, 1.0))
+        return CPhrase(
+            q.field_id, q.terms, idf_sum * q.boost, field_avgdl.get(q.field_id, 1.0)
+        )
     if isinstance(q, (PrefixQuery, FuzzyQuery)):
         raise ValueError(
             "Prefix/FuzzyQuery must be expanded against the term dictionary "
