@@ -242,6 +242,15 @@ def _q_eng_must_not(spark, sf_dir):
     return _engine_matches(spark, sf_dir, None, logical=q)
 
 
+def _q_eng_filter_occur(spark, sf_dir):
+    """FILTER occur EXTENSION (Lucene Occur.FILTER; ref has MUST/SHOULD
+    only): 'join' constrains the match set but only 'spark' scores."""
+    from ostrich_spark.query.parser import FILTER, MUST, BooleanQuery, TermQuery
+
+    q = BooleanQuery([(MUST, TermQuery(0, "spark")), (FILTER, TermQuery(0, "join"))])
+    return _engine_matches(spark, sf_dir, None, logical=q)
+
+
 def _q_eng_all(spark, sf_dir):
     """Q8: AllQuery — every doc, score 1.0."""
     return _engine_matches(spark, sf_dir, "")
@@ -823,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_boost_or": _q_eng_boost_or,
         "eng_s6_must_should": _q_eng_must_should,
         "eng_s7_must_not": _q_eng_must_not,
+        "eng_s8_filter": _q_eng_filter_occur,
         "eng_prefix_multiterm": _q_eng_prefix,
         "eng_fuzzy_lev2": _q_eng_fuzzy,
         "eng_facet_lang": _q_eng_facet_lang,
@@ -962,6 +972,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark' "
             "AND t.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'window')"
+        ),
+        "eng_s8_filter": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            # FILTER constrains ('join' must match) but only 'spark' scores
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark' "
+            "AND t.doc_id IN (SELECT doc_id FROM tf WHERE term = 'join')"
         ),
         "eng_q8_all": "SELECT doc_id, 1.0 AS score FROM documents",
         "eng_c2_topk_tfidf": (

@@ -379,6 +379,16 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
             pos = np.searchsorted(cd, docs)
             total += cs[pos]
         return docs, total
+    if kind == "filter":
+        fd, _ = eval_node(wire["filt"], term_data, max_doc, scorer)
+        if wire["base"] is None:
+            # pure-filter: constant score 0.0 (ConstantScore analog)
+            return fd, np.zeros(len(fd), dtype=np.float64)
+        bd, bs = eval_node(wire["base"], term_data, max_doc, scorer)
+        if len(bd) == 0 or len(fd) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        keep = np.isin(bd, fd, assume_unique=True)
+        return bd[keep], bs[keep]
     if kind == "not":
         bd, bs = eval_node(wire["base"], term_data, max_doc, scorer)
         ed, _ = eval_node(wire["exclude"], term_data, max_doc, scorer)

@@ -33,6 +33,12 @@ SHOULD = "should"
 # reference-identical (adding a '-'/'NOT' token would change how queries
 # containing those literal words parse).
 MUST_NOT = "must_not"
+# EXTENSION (Lucene Occur.FILTER analog): the clause CONSTRAINS the match
+# set like MUST but contributes NOTHING to the score — the standard shape
+# for structured predicates (ranges, flags) alongside relevance clauses.
+# Programmatic-only, like MUST_NOT: the NQL grammar stays
+# reference-identical.
+FILTER = "filter"
 
 
 class QueryParseError(ValueError):
@@ -132,6 +138,15 @@ class BooleanQuery:
             list(base.subqueries) if isinstance(base, BooleanQuery) else [(MUST, base)]
         )
         return BooleanQuery(subs + [(MUST_NOT, n) for n in nots])
+
+    @staticmethod
+    def filtering(base: "BooleanQuery | object", *filters) -> "BooleanQuery":
+        """base AND f1 AND f2 ... where the f's don't score — extension,
+        see FILTER."""
+        subs = (
+            list(base.subqueries) if isinstance(base, BooleanQuery) else [(MUST, base)]
+        )
+        return BooleanQuery(subs + [(FILTER, f) for f in filters])
 
 
 @dataclass(frozen=True)

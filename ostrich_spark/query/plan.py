@@ -34,6 +34,7 @@ from .parser import (
     PhraseQuery,
     PrefixQuery,
     TermQuery,
+    FILTER,
     MUST,
     MUST_NOT,
     SHOULD,
@@ -81,6 +82,17 @@ class CUnion:
 class CMustShould:
     must: object = None
     should: object = None
+
+
+@dataclass
+class CFilter:
+    """base constrained to filt-matches; scores from base alone (FILTER
+    extension). ``base is None`` = pure-filter query: the filt match set
+    with constant score 0.0 (Lucene's ConstantScore(0) for filter-only
+    booleans)."""
+
+    base: object = None
+    filt: object = None
 
 
 @dataclass
@@ -202,16 +214,24 @@ def compile_query(
             for occ, sub in q.subqueries
             if occ == MUST_NOT
         ]
+        filters = [
+            compile_query(sub, doc_freqs, total_docs, field_avgdl, scorer)
+            for occ, sub in q.subqueries
+            if occ == FILTER
+        ]
         # drop empties: an empty must kills the intersection; an empty
         # should is just elided from the union (union_scorer.go:15-23);
-        # an empty must_not excludes nothing.
+        # an empty must_not excludes nothing; an empty FILTER kills the
+        # conjunction (it constrains like a must).
         if any(isinstance(m, CEmpty) for m in musts):
+            return CEmpty()
+        if any(isinstance(f, CEmpty) for f in filters):
             return CEmpty()
         shoulds = [s for s in shoulds if not isinstance(s, CEmpty)]
         nots = [n for n in nots if not isinstance(n, CEmpty)]
 
-        n_pos = sum(1 for occ, _ in q.subqueries if occ != MUST_NOT)
-        if n_pos == 1 and not nots:
+        n_pos = sum(1 for occ, _ in q.subqueries if occ in (MUST, SHOULD))
+        if n_pos == 1 and not nots and not filters:
             # single-subquery unwrap (boolean_query.go:100-107)
             return (musts + shoulds)[0] if (musts + shoulds) else CEmpty()
 
@@ -228,10 +248,16 @@ def compile_query(
             base = must_node
         elif should_node is not None:
             base = should_node
+        elif filters:
+            # pure-filter query: match set from filters, score 0.0
+            base = None
         else:
             # pure-negative query: no positive clause to score/drive the
             # match set (Lucene rejects this shape too)
             return CEmpty()
+        if filters:
+            filt_node = filters[0] if len(filters) == 1 else CIntersection(filters)
+            base = CFilter(base, filt_node)
         if nots:
             return CNot(base, nots[0] if len(nots) == 1 else CUnion(nots))
         return base
@@ -250,6 +276,10 @@ def node_terms(node) -> list[CTerm]:
         return node_terms(node.must) + node_terms(node.should)
     if isinstance(node, CNot):
         return node_terms(node.base) + node_terms(node.exclude)
+    if isinstance(node, CFilter):
+        return ([] if node.base is None else node_terms(node.base)) + node_terms(
+            node.filt
+        )
     return []
 
 
@@ -289,6 +319,12 @@ def to_wire(node) -> dict:
         return {"kind": "must_should", "must": to_wire(node.must), "should": to_wire(node.should)}
     if isinstance(node, CNot):
         return {"kind": "not", "base": to_wire(node.base), "exclude": to_wire(node.exclude)}
+    if isinstance(node, CFilter):
+        return {
+            "kind": "filter",
+            "base": None if node.base is None else to_wire(node.base),
+            "filt": to_wire(node.filt),
+        }
     if isinstance(node, CAll):
         return {"kind": "all"}
     if isinstance(node, CEmpty):
