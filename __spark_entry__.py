@@ -99,12 +99,13 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    # -p2: positions + stored-field index layout; new dir name so a
-    # cached older-layout index is never reused
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p2"
+    # -p3: positions + stored-field + numeric-doc-value layout; new dir
+    # name so a cached older-layout index is never reused
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p3"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default", positions=True, store=True)
+        schema.add_numeric_field("n_chars")
         build_index(
             spark,
             _docs(spark, sf_dir),
@@ -249,6 +250,33 @@ def _q_eng_filter_occur(spark, sf_dir):
 
     q = BooleanQuery([(MUST, TermQuery(0, "spark")), (FILTER, TermQuery(0, "join"))])
     return _engine_matches(spark, sf_dir, None, logical=q)
+
+
+def _q_eng_range_const(spark, sf_dir):
+    """Numeric doc-value EXTENSION (Lucene points analog; ref fields are
+    text-only): pure range = docmap scan with the predicate pushed to
+    parquet min/max stats, ConstantScore 1.0."""
+    return _engine_matches(spark, sf_dir, "n_chars:[150 TO 400}")
+
+
+def _q_eng_range_filter(spark, sf_dir):
+    """Range as a FILTER clause: the range match set rides the scoring
+    shuffle via the aux cogroup side; only the text clause scores."""
+    return _engine_matches(spark, sf_dir, None, logical=_range_filter_logical())
+
+
+def _range_filter_logical():
+    from ostrich_spark.query.parser import (
+        FILTER,
+        MUST,
+        BooleanQuery,
+        RangeQuery,
+        TermQuery,
+    )
+
+    return BooleanQuery(
+        [(MUST, TermQuery(0, "spark")), (FILTER, RangeQuery(1, 150, 400, True, False))]
+    )
 
 
 def _q_eng_all(spark, sf_dir):
@@ -833,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s6_must_should": _q_eng_must_should,
         "eng_s7_must_not": _q_eng_must_not,
         "eng_s8_filter": _q_eng_filter_occur,
+        "eng_range_const": _q_eng_range_const,
+        "eng_range_filter": _q_eng_range_filter,
         "eng_prefix_multiterm": _q_eng_prefix,
         "eng_fuzzy_lev2": _q_eng_fuzzy,
         "eng_facet_lang": _q_eng_facet_lang,
@@ -979,6 +1009,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark' "
             "AND t.doc_id IN (SELECT doc_id FROM tf WHERE term = 'join')"
+        ),
+        "eng_range_const": (
+            "SELECT doc_id, 1.0 AS score FROM documents "
+            "WHERE n_chars >= 150 AND n_chars < 400"
+        ),
+        "eng_range_filter": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND doc.n_chars >= 150 AND doc.n_chars < 400"
         ),
         "eng_q8_all": "SELECT doc_id, 1.0 AS score FROM documents",
         "eng_c2_topk_tfidf": (

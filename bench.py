@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     # multi-term expansion paths: dictionary range-read + union scoring
     ("prefix_topk", "content:se*", "tfidf", 10),
     ("fuzzy_topk", "content:search~1", "bm25", 10),
+    # numeric doc-value paths: pure range = pushed-down docmap scan;
+    # composite = range match set riding the scoring shuffle (aux cogroup)
+    ("range_pure", "size_bytes:[1000 TO 1500]", "tfidf", 10),
+    ("range_and_term", "content:search AND size_bytes:[500 TO 1500]", "tfidf", 10),
 ]
 
 
@@ -94,8 +98,10 @@ def main():
     # IDENTICAL job (16 tasks, 2-at-a-time on local[2] vs 16-at-a-time)
     nparts = int(os.environ.get("BENCH_PARTITIONS", "16"))
     idx = f"/tmp/ostrich_bench_idx_{CPUS}_{ROWS}"
+    corpus = corpus.withColumn("size_bytes", F.length("content"))
     schema = Schema()
     schema.add_text_field("content", "default")
+    schema.add_numeric_field("size_bytes")
     # steady-state throughput: first build pays JVM JIT + arrow codegen
     # warmup (long-lived executors on a real cluster amortize this);
     # report the warm second build, record the cold one alongside.

@@ -134,6 +134,11 @@ def build_segment_tables(
     field_tokens: dict[str, int] = {}
 
     for fe in schema.fields:
+        if fe.is_numeric:
+            # numeric doc-value field: no tokens, no postings, no norms —
+            # the typed value is written into the docmap below. Excluded
+            # from content_sha256 (the sha is the TEXT-content invariant).
+            continue
         col = pdf[fe.name] if fe.name in pdf.columns else pd.Series([""] * n_docs)
         # multi-valued text (repeated FieldValues, schema/document.go:20-46):
         # token streams are concatenated — for this tokenizer that's
@@ -272,6 +277,24 @@ def build_segment_tables(
             else:
                 raw = pd.Series([""] * n_docs)
             docmap[fe.name] = raw.to_numpy()
+    # numeric doc values: typed docmap columns (parquet min/max row-group
+    # stats make range reads prunable — the Lucene-points analog)
+    for fe in schema.fields:
+        if not fe.is_numeric or fe.name in docmap.columns:
+            continue
+        if fe.name in pdf.columns:
+            vals = pd.to_numeric(pdf[fe.name], errors="raise")
+            docmap[fe.name] = (
+                vals.astype("Int64")
+                if fe.field_type == "long"
+                else vals.astype("float64")
+            )
+        else:
+            docmap[fe.name] = (
+                pd.array([None] * n_docs, dtype="Int64")
+                if fe.field_type == "long"
+                else np.full(n_docs, np.nan)
+            )
     docmap["content_sha256"] = (
         sha_parts.to_numpy() if sha_parts is not None else np.full(n_docs, "", object)
     )

@@ -341,11 +341,20 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
     return pdocs, score_postings(ptfs, lens_at, wire["idf"], wire["avgdl"], scorer)
 
 
-def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
-    """-> (docs sorted asc, scores) for one segment."""
+def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
+    """-> (docs sorted asc, scores) for one segment.
+
+    ``aux`` maps rid -> sorted unique doc array for out-of-postings match
+    sets (numeric range queries, computed from the docmap and delivered
+    through the cogroup side of the scoring shuffle)."""
     kind = wire["kind"]
     if kind == "empty":
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    if kind == "range":
+        docs = aux.get(wire["rid"]) if aux else None
+        if docs is None or not len(docs):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return docs, np.full(len(docs), float(wire["score"]), dtype=np.float64)
     if kind == "all":
         return (
             np.arange(max_doc, dtype=np.int64),
@@ -360,12 +369,12 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
     if kind == "phrase":
         return eval_phrase(wire, term_data, scorer)
     if kind == "or":
-        parts = [eval_node(c, term_data, max_doc, scorer) for c in wire["children"]]
+        parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
         return _union_arrays(parts)
     if kind == "and":
         if all(c["kind"] == "term" for c in wire["children"]):
             return eval_and_terms(wire["children"], term_data, scorer)
-        parts = [eval_node(c, term_data, max_doc, scorer) for c in wire["children"]]
+        parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
         # smallest-first ordering (intersection_scorer.go:24-27), stable on ties
         order = sorted(range(len(parts)), key=lambda i: (len(parts[i][0]), i))
         docs = parts[order[0]][0]
@@ -380,25 +389,25 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str):
             total += cs[pos]
         return docs, total
     if kind == "filter":
-        fd, _ = eval_node(wire["filt"], term_data, max_doc, scorer)
+        fd, _ = eval_node(wire["filt"], term_data, max_doc, scorer, aux)
         if wire["base"] is None:
             # pure-filter: constant score 0.0 (ConstantScore analog)
             return fd, np.zeros(len(fd), dtype=np.float64)
-        bd, bs = eval_node(wire["base"], term_data, max_doc, scorer)
+        bd, bs = eval_node(wire["base"], term_data, max_doc, scorer, aux)
         if len(bd) == 0 or len(fd) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         keep = np.isin(bd, fd, assume_unique=True)
         return bd[keep], bs[keep]
     if kind == "not":
-        bd, bs = eval_node(wire["base"], term_data, max_doc, scorer)
-        ed, _ = eval_node(wire["exclude"], term_data, max_doc, scorer)
+        bd, bs = eval_node(wire["base"], term_data, max_doc, scorer, aux)
+        ed, _ = eval_node(wire["exclude"], term_data, max_doc, scorer, aux)
         if len(ed) and len(bd):
             keep = ~np.isin(bd, ed)
             return bd[keep], bs[keep]
         return bd, bs
     if kind == "must_should":
-        md, ms = eval_node(wire["must"], term_data, max_doc, scorer)
-        sd, ss = eval_node(wire["should"], term_data, max_doc, scorer)
+        md, ms = eval_node(wire["must"], term_data, max_doc, scorer, aux)
+        sd, ss = eval_node(wire["should"], term_data, max_doc, scorer, aux)
         if len(sd):
             pos = np.searchsorted(sd, md)
             pos_c = np.clip(pos, 0, len(sd) - 1)
@@ -754,6 +763,8 @@ def _score_segment_pdf(
     with_count: bool,
     use_wand: bool,
     dels: np.ndarray | None = None,
+    aux_sets: dict | None = None,
+    segment_id: str | None = None,
 ) -> pd.DataFrame:
     """Core per-segment scoring: pruned posting rows (+ optional sorted
     tombstoned-doc array) -> top-k rows and optionally a count row.
@@ -763,7 +774,7 @@ def _score_segment_pdf(
     decoded list BEFORE seeding the threshold (a theta contaminated by
     deleted docs could prune survivors that belong in the top-k)."""
     wire = json.loads(wire_json)
-    seg = pdf["segment_id"].iloc[0]
+    seg = pdf["segment_id"].iloc[0] if len(pdf) else segment_id
     term_data: dict = {}
     for (f, t), rows in pdf.groupby(["field", "term"]):
         term_data[(int(f), t)] = TermPostings(rows)
@@ -775,7 +786,7 @@ def _score_segment_pdf(
             tw, term_data, k, scorer, dels=dels if has_dels else None
         )
     else:
-        docs, scores = eval_node(wire, term_data, 0, scorer)
+        docs, scores = eval_node(wire, term_data, 0, scorer, aux_sets)
         if has_dels and len(docs):
             keep = ~np.isin(docs, dels)
             docs, scores = docs[keep], scores[keep]
@@ -807,6 +818,92 @@ def _score_segment_pdf(
     return res
 
 
+def assign_range_ids(wire: dict, start: int = 0) -> list[dict]:
+    """Pre-order walk of a wire tree: assign ``rid`` to every range node
+    (mutates the dicts) and return them. ``start`` offsets the ids so a
+    batched search can keep one global rid namespace across queries."""
+    found: list[dict] = []
+
+    def walk(w):
+        if w is None:
+            return
+        if w["kind"] == "range":
+            w["rid"] = start + len(found)
+            found.append(w)
+        for key in ("base", "exclude", "filt", "must", "should"):
+            if key in w:
+                walk(w[key])
+        for c in w.get("children", ()):
+            walk(c)
+
+    walk(wire)
+    return found
+
+
+def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
+    """(segment_id, doc, rid) rows matching one range wire — a docmap
+    scan with the numeric predicate pushed to parquet (min/max row-group
+    stats prune, the Lucene-points analog). The match set rides the
+    scoring shuffle via cogroup — never collected to the driver."""
+    from pyspark.sql import functions as F
+
+    fe = manifest.schema.field_by_id(range_wire["field"])
+    if not fe.is_numeric:
+        raise ValueError(
+            f"range query on non-numeric field {fe.name!r} (type {fe.field_type!r})"
+        )
+    col = F.col(fe.name)
+    pred = None
+    if range_wire["lo"] is not None:
+        p = col >= range_wire["lo"] if range_wire["incl_lo"] else col > range_wire["lo"]
+        pred = p
+    if range_wire["hi"] is not None:
+        p = col <= range_wire["hi"] if range_wire["incl_hi"] else col < range_wire["hi"]
+        pred = p if pred is None else (pred & p)
+    return (
+        read_docmap(spark, index_dir, manifest)
+        .filter(pred)
+        .select(
+            "segment_id", "doc", F.lit(int(range_wire["rid"])).alias("rid")
+        )
+    )
+
+
+def build_aux_df(spark, index_dir: str, manifest, range_wires: list[dict], tombstoned: bool):
+    """Union of all range match sets (rid >= 0) and, when present, the
+    tombstone set (rid = -1) — ONE cogroup side for the scoring shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..deletes import read_tombstones
+
+    parts = [range_match_df(spark, index_dir, manifest, rw) for rw in range_wires]
+    if tombstoned:
+        parts.append(
+            read_tombstones(spark, index_dir).select(
+                "segment_id", "doc", F.lit(-1).alias("rid")
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def split_aux_pdf(aux_pdf: pd.DataFrame):
+    """Cogroup side -> (sorted tombstone doc array or None,
+    {rid: sorted unique doc array})."""
+    dels = None
+    aux_sets: dict[int, np.ndarray] = {}
+    if aux_pdf is not None and len(aux_pdf):
+        for rid, rows in aux_pdf.groupby("rid"):
+            docs = np.unique(rows["doc"].to_numpy(dtype=np.int64))
+            if int(rid) < 0:
+                dels = docs
+            else:
+                aux_sets[int(rid)] = docs
+    return dels, aux_sets
+
+
 def make_segment_scorer(wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool):
     """applyInPandas scorer for indexes without tombstones."""
 
@@ -829,6 +926,32 @@ def make_segment_scorer_cogroup(
             return _empty_result_pdf()
         dels = np.unique(tomb["doc"].to_numpy(dtype=np.int64)) if len(tomb) else None
         return _score_segment_pdf(pdf, wire_json, k, scorer, with_count, use_wand, dels)
+
+    return fn
+
+
+def make_segment_scorer_aux(
+    wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool
+):
+    """Cogrouped scorer: (postings, aux) per segment where aux carries
+    range match sets (rid >= 0) and tombstones (rid = -1) down the SAME
+    shuffle. Evaluates even when the postings side is empty — a range
+    clause can match docs in a segment holding no posting rows for the
+    query's terms (cogroup is full-outer on keys)."""
+
+    def fn(pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+        dels, aux_sets = split_aux_pdf(aux_pdf)
+        if not len(pdf) and not aux_sets:
+            # tombstone-only segment with no matching posting rows
+            return _empty_result_pdf()
+        seg = (
+            pdf["segment_id"].iloc[0]
+            if len(pdf)
+            else aux_pdf["segment_id"].iloc[0]
+        )
+        return _score_segment_pdf(
+            pdf, wire_json, k, scorer, with_count, use_wand, dels, aux_sets, seg
+        )
 
     return fn
 
@@ -919,13 +1042,51 @@ def search(
             all_count if with_count else None
         )
 
+    if wire["kind"] == "range":
+        # top-level pure range: docmap scan with the predicate pushed to
+        # parquet (the AllQuery path's shape) — no Python scorer at all
+        assign_range_ids(wire)
+        base = range_match_df(spark, index_dir, manifest, wire).select(
+            "segment_id", "doc"
+        )
+        if tombstoned:
+            base = base.join(
+                read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
+            )
+        range_count = base.count() if with_count else None
+        docs = with_segment_ord(base).withColumn(
+            "score", F.lit(float(wire["score"]))
+        )
+        out = docs.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+        if offset:
+            out = out.offset(offset)
+        if limit is not None:
+            out = out.limit(limit)
+        return out.select("segment_id", "segment_ord", "doc", "score"), range_count
+
     terms = collect_terms(logical)
     k = None if limit is None else limit + offset
-    pruned = read_postings(spark, index_dir, manifest).filter(
-        _term_predicate(F, terms)
-    )
+    range_wires = assign_range_ids(wire)
+    if terms:
+        pruned = read_postings(spark, index_dir, manifest).filter(
+            _term_predicate(F, terms)
+        )
+    else:
+        # range-only composite (e.g. pure-filter over ranges): no terms
+        # to prune on; the aux side drives the cogroup
+        pruned = spark.createDataFrame([], POSTINGS_SPARK_SCHEMA)
     # WAND prunes non-candidates, so the exhaustive count must disable it
-    if tombstoned:
+    if range_wires:
+        aux = build_aux_df(spark, index_dir, manifest, range_wires, tombstoned)
+        fn3 = make_segment_scorer_aux(
+            json.dumps(wire), k, scorer, with_count, use_wand and not with_count
+        )
+        seg_results = (
+            pruned.groupBy("segment_id")
+            .cogroup(aux.groupBy("segment_id"))
+            .applyInPandas(fn3, RESULT_SCHEMA)
+        )
+    elif tombstoned:
         fn2 = make_segment_scorer_cogroup(
             json.dumps(wire), k, scorer, with_count, use_wand and not with_count
         )
@@ -969,6 +1130,8 @@ def _score_segment_many_pdf(
     k: int | None,
     use_wand: bool,
     dels: np.ndarray | None = None,
+    aux_sets: dict | None = None,
+    segment_id: str | None = None,
 ) -> pd.DataFrame:
     """Evaluate EVERY query of a batch against one segment's pruned
     posting rows. term_data is decoded once and shared across queries —
@@ -976,7 +1139,7 @@ def _score_segment_many_pdf(
     (and its posting rows ride the shuffle once, because grouping is by
     segment_id alone, not (segment_id, query_id))."""
     wires: dict = json.loads(wires_json)
-    seg = pdf["segment_id"].iloc[0]
+    seg = pdf["segment_id"].iloc[0] if len(pdf) else segment_id
     term_data: dict = {}
     for (f, t), rows in pdf.groupby(["field", "term"]):
         term_data[(int(f), t)] = TermPostings(rows)
@@ -990,7 +1153,7 @@ def _score_segment_many_pdf(
                 tw, term_data, k, q_scorer, dels=dels if has_dels else None
             )
         else:
-            docs, scores = eval_node(wire, term_data, 0, q_scorer)
+            docs, scores = eval_node(wire, term_data, 0, q_scorer, aux_sets)
             if has_dels and len(docs):
                 keep = ~np.isin(docs, dels)
                 docs, scores = docs[keep], scores[keep]
@@ -1088,6 +1251,7 @@ def search_many(
     scorers = scorers or {}
     wires: dict[str, dict] = {}
     all_qids: list[str] = []
+    range_wires: list[dict] = []  # one rid namespace across the batch
     for qid, lg in logicals.items():
         q_scorer = scorers.get(qid, scorer)
         wire = to_wire(compile_query(lg, doc_freqs, total_docs, field_avgdl, q_scorer))
@@ -1096,6 +1260,7 @@ def search_many(
         if wire["kind"] == "all":
             all_qids.append(qid)
         else:
+            range_wires.extend(assign_range_ids(wire, start=len(range_wires)))
             wires[qid] = {"wire": wire, "scorer": q_scorer}
 
     ords = [(s.segment_id, i) for i, s in enumerate(manifest.sorted_segments())]
@@ -1117,11 +1282,35 @@ def search_many(
         needed = list(
             {t for qid in wires for t in collect_terms(logicals[qid])}
         )
-        pruned = read_postings(spark, index_dir, manifest).filter(
-            _term_predicate(F, needed)
-        )
+        if needed:
+            pruned = read_postings(spark, index_dir, manifest).filter(
+                _term_predicate(F, needed)
+            )
+        else:
+            pruned = spark.createDataFrame([], POSTINGS_SPARK_SCHEMA)
         wires_json = json.dumps(wires)
-        if tombstoned:
+        if range_wires:
+            aux = build_aux_df(spark, index_dir, manifest, range_wires, tombstoned)
+
+            def fn3(pdf: pd.DataFrame, aux_pdf: pd.DataFrame) -> pd.DataFrame:
+                dels, aux_sets = split_aux_pdf(aux_pdf)
+                if not len(pdf) and not aux_sets:
+                    return _empty_many_pdf()
+                seg = (
+                    pdf["segment_id"].iloc[0]
+                    if len(pdf)
+                    else aux_pdf["segment_id"].iloc[0]
+                )
+                return _score_segment_many_pdf(
+                    pdf, wires_json, k, use_wand, dels, aux_sets, seg
+                )
+
+            seg_results = (
+                pruned.groupBy("segment_id")
+                .cogroup(aux.groupBy("segment_id"))
+                .applyInPandas(fn3, MANY_RESULT_SCHEMA)
+            )
+        elif tombstoned:
 
             def fn2(pdf: pd.DataFrame, tomb: pd.DataFrame) -> pd.DataFrame:
                 if not len(pdf):

@@ -115,6 +115,28 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class RangeQuery:
+    """Numeric range over a doc-value field — EXTENSION (Lucene
+    Points/NumericRangeQuery analog; the reference has only text fields).
+    NQL: ``field:[10 TO 20]`` (inclusive), ``field:{10 TO 20}``
+    (exclusive), ``*`` for an open bound; mixed brackets allowed. The
+    field must be ``Schema.add_numeric_field``. Matches score a constant
+    ``boost`` (Lucene ConstantScore semantics) — use a FILTER clause for
+    the usual non-scoring predicate shape."""
+
+    field_id: int
+    lo: float | int | None = None  # None = open bound
+    hi: float | int | None = None
+    include_lo: bool = True
+    include_hi: bool = True
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.lo is None and self.hi is None:
+            raise QueryParseError("range query needs at least one bound")
+
+
+@dataclass(frozen=True)
 class AllQuery:
     pass
 
@@ -176,16 +198,32 @@ class _Or:
 
 def _split_keep_quotes(q: str) -> list[str]:
     """Whitespace split that keeps double-quoted spans (and any attached
-    ``field:`` prefix) as one raw token — phrase extension; everything
-    outside quotes tokenizes exactly like the reference."""
+    ``field:`` prefix) as one raw token — phrase extension — and keeps
+    ``field:[lo TO hi]`` / ``field:{lo TO hi}`` range spans together (a
+    bracket opens a span only right after ``:``, so bare tokens
+    containing brackets split exactly like the reference). Everything
+    else tokenizes exactly like the reference."""
     out: list[str] = []
     cur: list[str] = []
     in_quote = False
+    in_range = False
     for ch in q:
-        if ch == '"':
+        if ch == '"' and not in_range:
             in_quote = not in_quote
             cur.append(ch)
-        elif ch.isspace() and not in_quote:
+        elif (
+            ch in "[{"
+            and not in_quote
+            and not in_range
+            and cur
+            and cur[-1] == ":"
+        ):
+            in_range = True
+            cur.append(ch)
+        elif ch in "]}" and in_range:
+            in_range = False
+            cur.append(ch)
+        elif ch.isspace() and not in_quote and not in_range:
             if cur:
                 out.append("".join(cur))
                 cur = []
@@ -193,6 +231,8 @@ def _split_keep_quotes(q: str) -> list[str]:
             cur.append(ch)
     if in_quote:
         raise QueryParseError("unclosed '\"' in query")
+    if in_range:
+        raise QueryParseError("unclosed range bracket in query")
     if cur:
         out.append("".join(cur))
     return out
@@ -277,6 +317,44 @@ def _phrase_for_field(fe, raw: str):
 
 _FUZZY_SUFFIX = re.compile(r"^(.+)~([012])$")
 
+# Lucene range syntax: [ ] inclusive, { } exclusive, mixed allowed,
+# * = open bound. The span survives whitespace splitting because
+# _split_keep_quotes keeps ``field:[...]`` together.
+_RANGE_SYNTAX = re.compile(r"^([\[{])(.*) TO (.*)([\]}])$")
+
+
+def _parse_bound(s: str, what: str):
+    s = s.strip()
+    if s == "*":
+        return None
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            raise QueryParseError(f"non-numeric {what} bound {s!r} in range query")
+
+
+def _numeric_leaf(fe, raw: str):
+    """Value side of ``numericfield:...`` — a range span or a plain value
+    (equality = degenerate range)."""
+    m = _RANGE_SYNTAX.match(raw)
+    if m:
+        return RangeQuery(
+            fe.id,
+            _parse_bound(m.group(2), "lower"),
+            _parse_bound(m.group(3), "upper"),
+            include_lo=m.group(1) == "[",
+            include_hi=m.group(4) == "]",
+        )
+    v = _parse_bound(raw, "equality")
+    if v is None:
+        raise QueryParseError(
+            f"cannot parse numeric value {raw!r} for field {fe.name!r}"
+        )
+    return RangeQuery(fe.id, v, v)
+
 # EXTENSION (Lucene boost syntax): ``clause^2`` / ``clause^0.5``. Safe on
 # the same grounds as ``*``/``~``: every tokenizer treats ``^`` as a
 # separator, so no indexed term contains it — a bare term the reference
@@ -307,7 +385,7 @@ def _apply_boost(q, boost: float):
 
     if boost == 1.0:
         return q
-    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery, RangeQuery)):
         return dataclasses.replace(q, boost=q.boost * boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
@@ -354,6 +432,8 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         fname, raw = value.split(":", 1)
         fe = schema.field_by_name(fname)
         if fe is not None:
+            if fe.is_numeric:
+                return _numeric_leaf(fe, raw)
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                 # field:"quoted phrase" — consecutive-terms extension
                 return _phrase_for_field(fe, raw[1:-1])
@@ -375,7 +455,7 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         qs = []
         for fname in default_fields:
             fe = schema.field_by_name(fname)
-            if fe is not None:
+            if fe is not None and not fe.is_numeric:
                 q = _phrase_for_field(fe, value[1:-1])
                 if not isinstance(q, EmptyQuery):
                     qs.append(q)
@@ -389,16 +469,17 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         qs = [
             _multiterm_query(fe.id, mt)
             for fname in default_fields
-            if (fe := schema.field_by_name(fname)) is not None
+            if (fe := schema.field_by_name(fname)) is not None and not fe.is_numeric
         ]
         if not qs:
             return EmptyQuery()
         return qs[0] if len(qs) == 1 else BooleanQuery.union(*qs)
     # bare term: NOT analyzed, expanded over default fields (parser.go:114-117)
+    # numeric fields are excluded from bare expansion: they hold no terms
     qs = []
     for fname in default_fields:
         fe = schema.field_by_name(fname)
-        if fe is not None:
+        if fe is not None and not fe.is_numeric:
             qs.append(TermQuery(fe.id, value))
     if not qs:
         return EmptyQuery()

@@ -33,6 +33,7 @@ from .parser import (
     FuzzyQuery,
     PhraseQuery,
     PrefixQuery,
+    RangeQuery,
     TermQuery,
     FILTER,
     MUST,
@@ -66,6 +67,22 @@ class CPhrase:
     terms: tuple[str, ...]
     idf: float  # sum over constituent terms
     avgdl: float
+
+
+@dataclass(frozen=True)
+class CRange:
+    """Compiled numeric range. Matches at constant score (ConstantScore
+    semantics; boost folded in). The match set is computed OUTSIDE the
+    postings scorer — from the docmap with parquet min/max pushdown — and
+    rides the segment-scoring shuffle as an aux doc set keyed by ``rid``
+    (exec assigns rids per search over the wire tree)."""
+
+    field_id: int
+    lo: float | int | None
+    hi: float | int | None
+    include_lo: bool
+    include_hi: bool
+    const_score: float
 
 
 @dataclass
@@ -179,6 +196,10 @@ def compile_query(
             idf_sum += idf_fn(total_docs, df)
         return CPhrase(
             q.field_id, q.terms, idf_sum * q.boost, field_avgdl.get(q.field_id, 1.0)
+        )
+    if isinstance(q, RangeQuery):
+        return CRange(
+            q.field_id, q.lo, q.hi, q.include_lo, q.include_hi, q.boost
         )
     if isinstance(q, (PrefixQuery, FuzzyQuery)):
         raise ValueError(
@@ -324,6 +345,17 @@ def to_wire(node) -> dict:
             "kind": "filter",
             "base": None if node.base is None else to_wire(node.base),
             "filt": to_wire(node.filt),
+        }
+    if isinstance(node, CRange):
+        # rid is assigned by exec over the finished wire tree (pre-order)
+        return {
+            "kind": "range",
+            "field": node.field_id,
+            "lo": node.lo,
+            "hi": node.hi,
+            "incl_lo": node.include_lo,
+            "incl_hi": node.include_hi,
+            "score": node.const_score,
         }
     if isinstance(node, CAll):
         return {"kind": "all"}

@@ -14,6 +14,14 @@ from dataclasses import dataclass, field
 
 
 FIELD_TYPE_TEXT = "text"
+# EXTENSION (Lucene points / doc-values analog; the reference has only
+# text fields, /root/reference/schema/fieldtype.go:5-7): numeric fields
+# are NOT tokenized and produce no postings — the typed value rides the
+# docmap (parquet column), where min/max row-group statistics give range
+# queries the same pushdown pruning Lucene gets from its BKD points.
+FIELD_TYPE_LONG = "long"
+FIELD_TYPE_DOUBLE = "double"
+NUMERIC_FIELD_TYPES = (FIELD_TYPE_LONG, FIELD_TYPE_DOUBLE)
 
 
 @dataclass(frozen=True)
@@ -30,6 +38,10 @@ class FieldEntry:
     # snippet highlighting; the reference's StoreWriter is a stub,
     # /root/reference/internal/store/writer.go:21-33)
     store: bool = False
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.field_type in NUMERIC_FIELD_TYPES
 
     def to_json(self) -> dict:
         return {
@@ -68,6 +80,18 @@ class Schema:
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions, store
         )
+        self.fields.append(entry)
+        return entry
+
+    def add_numeric_field(
+        self, name: str, numeric_type: str = FIELD_TYPE_LONG
+    ) -> FieldEntry:
+        """Numeric doc-value field (EXTENSION, see NUMERIC_FIELD_TYPES):
+        no analyzer, no postings; the typed value is stored in the docmap
+        and queried with RangeQuery (``field:[lo TO hi]``)."""
+        if numeric_type not in NUMERIC_FIELD_TYPES:
+            raise ValueError(f"numeric_type must be one of {NUMERIC_FIELD_TYPES}")
+        entry = FieldEntry(len(self.fields), name, numeric_type, "", False, False)
         self.fields.append(entry)
         return entry
 

@@ -1,0 +1,261 @@
+"""Numeric doc-value fields + range queries — EXTENSION (Lucene
+points/NumericRangeQuery analog; the reference has only text fields,
+/root/reference/schema/fieldtype.go:5-7).
+
+Design under test:
+- ``Schema.add_numeric_field``: no tokens, no postings, no norms; the
+  typed value is a docmap parquet column (min/max row-group stats give
+  range scans Lucene-points-style pruning);
+- ``RangeQuery`` matches at constant score = boost (ConstantScore);
+- NQL ``field:[lo TO hi]`` / ``{..}`` exclusive / ``*`` open / plain
+  value = equality;
+- match sets ride the scoring shuffle via the aux cogroup side (rid >= 0,
+  tombstones rid = -1) — never collected to the driver;
+- numeric columns survive merge + purge remaps.
+"""
+
+import pandas as pd
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.deletes import delete_docs
+from ostrich_spark.manifest import load_manifest
+from ostrich_spark.merge import merge_segments
+from ostrich_spark.query.exec import attach_docmap, search, search_many
+from ostrich_spark.query.parser import (
+    BooleanQuery,
+    QueryParseError,
+    RangeQuery,
+    TermQuery,
+    parse_query,
+    FILTER,
+    MUST,
+    SHOULD,
+)
+from ostrich_spark.schema import Schema
+
+WORDS = ["merge", "policy", "segment", "index", "spark", "query", "score"]
+
+
+def _schema():
+    s = Schema()
+    s.add_text_field("content", "default")
+    s.add_numeric_field("year")
+    s.add_numeric_field("rating", "double")
+    return s
+
+
+def _build(spark, tmp, n=60, parts=4):
+    idx = str(tmp / "idx")
+    docs = [
+        {
+            "k": i,
+            "content": " ".join(WORDS[j % len(WORDS)] for j in range(i, i + 6)),
+            "year": 2000 + i % 20,
+            "rating": i * 0.5,
+        }
+        for i in range(n)
+    ]
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(docs)),
+        _schema(),
+        idx,
+        num_partitions=parts,
+        order_col="k",
+        id_cols=["k"],
+    )
+    return idx
+
+
+@pytest.fixture(scope="module")
+def range_idx(spark, tmp_path_factory):
+    return _build(spark, tmp_path_factory.mktemp("rangeidx"))
+
+
+def _khits(spark, idx, q, **kw):
+    mf = load_manifest(idx)
+    df, _ = search(spark, idx, q, limit=None, manifest=mf, **kw)
+    dm = attach_docmap(spark, idx, df, manifest=mf)
+    return sorted((r["k"], round(r["score"], 9)) for r in dm.select("k", "score").collect())
+
+
+# --- parser goldens ---
+
+
+def test_parse_inclusive_exclusive_mixed():
+    s = _schema()
+    assert parse_query("year:[2005 TO 2008]", s) == RangeQuery(1, 2005, 2008)
+    assert parse_query("year:{2005 TO 2008}", s) == RangeQuery(
+        1, 2005, 2008, include_lo=False, include_hi=False
+    )
+    assert parse_query("year:{2005 TO 2008]", s) == RangeQuery(
+        1, 2005, 2008, include_lo=False, include_hi=True
+    )
+
+
+def test_parse_open_bounds_and_equality():
+    s = _schema()
+    assert parse_query("year:[* TO 2008]", s) == RangeQuery(1, None, 2008)
+    assert parse_query("rating:[0.5 TO *]", s) == RangeQuery(2, 0.5, None)
+    assert parse_query("year:2005", s) == RangeQuery(1, 2005, 2005)
+
+
+def test_parse_range_boost_and_boolean():
+    s = _schema()
+    assert parse_query("year:[2005 TO 2008]^2", s) == RangeQuery(
+        1, 2005, 2008, boost=2.0
+    )
+    q = parse_query("content:spark AND year:[2005 TO 2008]", s)
+    assert q.subqueries[1] == (MUST, RangeQuery(1, 2005, 2008))
+
+
+def test_parse_errors():
+    s = _schema()
+    with pytest.raises(QueryParseError):
+        parse_query("year:[a TO b]", s)
+    with pytest.raises(QueryParseError):
+        parse_query("year:[2005 TO 2008", s)  # unclosed
+    with pytest.raises(QueryParseError):
+        parse_query("year:[* TO *]", s)  # no bound
+    with pytest.raises(QueryParseError):
+        parse_query("year:hello", s)  # non-numeric equality
+
+
+def test_bare_terms_skip_numeric_fields():
+    s = _schema()
+    q = parse_query("Hello", s)
+    # only the text field expands; numeric fields hold no terms
+    assert q == TermQuery(0, "Hello")
+
+
+# --- engine semantics ---
+
+
+def test_pure_range_constant_score(spark, range_idx):
+    hits = _khits(spark, range_idx, "year:[2005 TO 2008]")
+    assert [k for k, _ in hits] == sorted(
+        i for i in range(60) if 5 <= i % 20 <= 8
+    )
+    assert all(sc == 1.0 for _, sc in hits)
+
+
+def test_exclusive_and_open_bounds(spark, range_idx):
+    excl = _khits(spark, range_idx, "year:{2005 TO 2008}")
+    assert [k for k, _ in excl] == sorted(i for i in range(60) if 6 <= i % 20 <= 7)
+    open_hi = _khits(spark, range_idx, "rating:[25.0 TO *]")
+    assert [k for k, _ in open_hi] == list(range(50, 60))
+
+
+def test_equality_shorthand(spark, range_idx):
+    eq = _khits(spark, range_idx, "year:2005")
+    assert [k for k, _ in eq] == [5, 25, 45]
+
+
+def test_filter_range_keeps_text_scores(spark, range_idx):
+    base = dict(_khits(spark, range_idx, "content:merge"))
+    f = _khits(
+        spark,
+        range_idx,
+        BooleanQuery(
+            [(MUST, TermQuery(0, "merge")), (FILTER, RangeQuery(1, 2003, 2010))]
+        ),
+    )
+    assert len(f) > 0
+    assert all(k in base and base[k] == sc for k, sc in f)
+    assert all(3 <= k % 20 <= 10 for k, _ in f)
+
+
+def test_must_range_adds_constant_boosted(spark, range_idx):
+    base = dict(_khits(spark, range_idx, "content:merge"))
+    m = _khits(
+        spark,
+        range_idx,
+        BooleanQuery(
+            [(MUST, TermQuery(0, "merge")), (MUST, RangeQuery(1, 2003, 2010, boost=3.0))]
+        ),
+    )
+    assert len(m) > 0
+    assert all(abs(sc - (base[k] + 3.0)) < 1e-9 for k, sc in m)
+
+
+def test_or_term_range_union(spark, range_idx):
+    o = _khits(
+        spark,
+        range_idx,
+        BooleanQuery(
+            [(SHOULD, TermQuery(0, "merge")), (SHOULD, RangeQuery(1, 2015, 2019))]
+        ),
+    )
+    merge_ks = {k for k, _ in _khits(spark, range_idx, "content:merge")}
+    range_ks = {k for k, _ in _khits(spark, range_idx, "year:[2015 TO 2019]")}
+    assert {k for k, _ in o} == merge_ks | range_ks
+
+
+def test_nql_string_roundtrip(spark, range_idx):
+    a = _khits(spark, range_idx, "content:merge AND year:[2003 TO 2010]")
+    b = _khits(
+        spark,
+        range_idx,
+        BooleanQuery(
+            [(MUST, TermQuery(0, "merge")), (MUST, RangeQuery(1, 2003, 2010))]
+        ),
+    )
+    assert a == b
+
+
+def test_range_on_text_field_rejected(spark, range_idx):
+    with pytest.raises(Exception, match="non-numeric"):
+        df, _ = search(spark, range_idx, RangeQuery(0, 1, 2), limit=None)
+        df.collect()
+
+
+def test_search_many_with_ranges(spark, range_idx):
+    qs = {
+        "r": "year:[2005 TO 2008]",
+        "fr": BooleanQuery(
+            [(MUST, TermQuery(0, "merge")), (FILTER, RangeQuery(1, 2003, 2010))]
+        ),
+        "t": "content:merge",
+    }
+    mf = load_manifest(range_idx)
+    many = search_many(spark, range_idx, qs, limit=None, manifest=mf)
+    dm = attach_docmap(spark, range_idx, many, manifest=mf)
+    by = {}
+    for r in dm.select("query_id", "k", "score").collect():
+        by.setdefault(r["query_id"], []).append((r["k"], round(r["score"], 9)))
+    for qid, q in qs.items():
+        assert sorted(by.get(qid, [])) == _khits(spark, range_idx, q), qid
+
+
+def test_tombstones_and_merge_preserve_ranges(spark, tmp_path):
+    idx = _build(spark, tmp_path)
+    q = "year:[2005 TO 2008]"
+    before = _khits(spark, idx, q)
+    delete_docs(spark, idx, spark.createDataFrame(pd.DataFrame({"k": [5]})), ["k"])
+    after_del = _khits(spark, idx, q)
+    assert after_del == [x for x in before if x[0] != 5]
+    qf = BooleanQuery(
+        [(MUST, TermQuery(0, "merge")), (FILTER, RangeQuery(1, 2003, 2010))]
+    )
+    fdel = _khits(spark, idx, qf)
+    assert all(k != 5 for k, _ in fdel)
+    mf = load_manifest(idx)
+    merge_segments(spark, idx, [s.segment_id for s in mf.segments], "merged-r")
+    # constant-score range: identical through the purge
+    assert _khits(spark, idx, q) == after_del
+    # text scores legitimately shift at purge (stats frozen until purge,
+    # Lucene semantics) — the match SET must be identical
+    assert [k for k, _ in _khits(spark, idx, qf)] == [k for k, _ in fdel]
+
+
+def test_count_with_range_filter(spark, range_idx):
+    q = BooleanQuery(
+        [(MUST, TermQuery(0, "merge")), (FILTER, RangeQuery(1, 2003, 2010))]
+    )
+    hits, count = search(spark, range_idx, q, limit=None, with_count=True)
+    assert count == hits.count()
+    _, pure_count = search(
+        spark, range_idx, RangeQuery(1, 2005, 2008), limit=2, with_count=True
+    )
+    assert pure_count == 12
