@@ -279,6 +279,48 @@ def _range_filter_logical():
     )
 
 
+def _q_eng_sort_nchars(spark, sf_dir):
+    """Field-sorted top-k (Lucene Sort analog; ref collectors are
+    score-ordered only): spark-matching docs by n_chars DESC, doc_id
+    tie-break, top 20."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_sorted
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_sorted(
+        spark, idx, "text:spark", by="n_chars", ascending=False,
+        limit=20, tiebreak=["doc_id"], manifest=mf,
+    )
+    return attach_docmap(spark, idx, res.drop("n_chars"), manifest=mf).select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
+def _q_eng_hist_nchars(spark, sf_dir):
+    """Doc-value histogram over the full match set (bin width 50)."""
+    from ostrich_spark.query.exec import numeric_histogram
+
+    idx = _doc_index(spark, sf_dir)
+    return numeric_histogram(spark, idx, "text:spark", "n_chars", 50).select(
+        F.col("bucket").cast("long"), F.col("n_docs").cast("long")
+    )
+
+
+def _q_eng_stats_nchars(spark, sf_dir):
+    """Doc-value aggregate stats over the full match set."""
+    from ostrich_spark.query.exec import numeric_stats
+
+    idx = _doc_index(spark, sf_dir)
+    return numeric_stats(spark, idx, "text:spark", "n_chars").select(
+        F.col("n").cast("long"),
+        F.col("min").cast("long"),
+        F.col("max").cast("long"),
+        F.col("sum").cast("long"),
+        F.round("avg", 6).alias("avg"),
+    )
+
+
 def _q_eng_all(spark, sf_dir):
     """Q8: AllQuery — every doc, score 1.0."""
     return _engine_matches(spark, sf_dir, "")
@@ -863,6 +905,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s8_filter": _q_eng_filter_occur,
         "eng_range_const": _q_eng_range_const,
         "eng_range_filter": _q_eng_range_filter,
+        "eng_sort_nchars": _q_eng_sort_nchars,
+        "eng_hist_nchars": _q_eng_hist_nchars,
+        "eng_stats_nchars": _q_eng_stats_nchars,
         "eng_prefix_multiterm": _q_eng_prefix,
         "eng_fuzzy_lev2": _q_eng_fuzzy,
         "eng_facet_lang": _q_eng_facet_lang,
@@ -1019,6 +1064,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
             "WHERE t.term = 'spark' AND doc.n_chars >= 150 AND doc.n_chars < 400"
+        ),
+        "eng_sort_nchars": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
+            "FROM m JOIN documents d USING(doc_id) "
+            "ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20"
+        ),
+        "eng_hist_nchars": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT CAST(floor(d.n_chars / 50) * 50 AS BIGINT) AS bucket, "
+            "count(*) AS n_docs FROM m JOIN documents d USING(doc_id) "
+            "GROUP BY bucket"
+        ),
+        "eng_stats_nchars": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT count(d.n_chars) AS n, "
+            'CAST(min(d.n_chars) AS BIGINT) AS "min", '
+            'CAST(max(d.n_chars) AS BIGINT) AS "max", '
+            'CAST(sum(d.n_chars) AS BIGINT) AS "sum", '
+            "round(avg(d.n_chars), 6) AS avg "
+            "FROM m JOIN documents d USING(doc_id)"
         ),
         "eng_q8_all": "SELECT doc_id, 1.0 AS score FROM documents",
         "eng_c2_topk_tfidf": (

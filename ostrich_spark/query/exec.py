@@ -1463,6 +1463,151 @@ def facet_counts(
     return matched.groupBy(*by).agg(F.count("*").alias("n_docs"))
 
 
+def _numeric_field_entry(manifest, by: str):
+    fe = manifest.schema.field_by_name(by)
+    if fe is None or not fe.is_numeric:
+        raise ValueError(
+            f"{by!r} is not a numeric doc-value field of this index "
+            f"(add it with Schema.add_numeric_field)"
+        )
+    return fe
+
+
+def search_sorted(
+    spark,
+    index_dir: str,
+    query,
+    by: str,
+    ascending: bool = True,
+    limit: int | None = 10,
+    offset: int = 0,
+    tiebreak: list[str] | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Top-k of a query's match set ordered by a numeric doc-value field
+    instead of relevance (Lucene ``Sort`` analog — EXTENSION, the
+    reference's collectors are score-ordered only).
+
+    Returns (segment_id, segment_ord, doc, ``by``) rows. Missing values
+    sort LAST in either direction (Lucene's missing-value convention).
+    ``tiebreak`` names extra docmap columns appended to the ordering
+    (e.g. the identity column) — without it, ties break on the pinned
+    (segment_ord, doc) order.
+
+    Scale posture: the match evaluation is exhaustive (field-sorted top-k
+    cannot be score-pruned — WAND bounds say nothing about doc values);
+    the sort key joins from the docmap co-keyed on (segment_id, doc), and
+    the global top-k is Catalyst's TakeOrderedAndProject (per-partition
+    heap + driver merge of k·partitions rows, never the full match set).
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, by)
+    tiebreak = list(tiebreak or [])
+    res, _ = search(
+        spark,
+        index_dir,
+        query,
+        limit=None,
+        scorer=scorer,
+        manifest=manifest,
+        default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    joined = docmap.select("segment_id", "doc", by, *tiebreak).join(
+        res.select("segment_id", "segment_ord", "doc"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    key = F.asc_nulls_last(by) if ascending else F.desc_nulls_last(by)
+    order = [key] + [F.asc(c) for c in tiebreak] + [F.asc("segment_ord"), F.asc("doc")]
+    out = joined.orderBy(*order)
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out.select("segment_id", "segment_ord", "doc", by)
+
+
+def numeric_histogram(
+    spark,
+    index_dir: str,
+    query,
+    by: str,
+    bin_width,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Histogram of a numeric doc-value field over a query's FULL match
+    set: one row per occupied bucket -> (``bucket`` = inclusive lower
+    bound, ``n_docs``). Nulls are dropped (no-value docs occupy no
+    bucket). Same scale posture as facet_counts: the match set is never
+    collected; the groupBy partial-aggregates map-side so the shuffle
+    carries one row per (partition, bucket)."""
+    from pyspark.sql import functions as F
+
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, by)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", by).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    bucket = F.floor(F.col(by) / F.lit(bin_width)) * F.lit(bin_width)
+    return (
+        matched.filter(F.col(by).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def numeric_stats(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Aggregate statistics of a numeric doc-value field over a query's
+    FULL match set: one row (``n``, ``min``, ``max``, ``sum``, ``avg``).
+    Nulls are excluded (SQL aggregate semantics). One map-side-partial
+    aggregation — the match set never leaves the cluster."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, of)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    c = F.col(of)
+    return matched.agg(
+        F.count(c).alias("n"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("avg"),
+    )
+
+
 def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None = None):
     """Join original document identity columns onto search results
     (broadcast join — results are tiny).

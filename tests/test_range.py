@@ -249,6 +249,83 @@ def test_tombstones_and_merge_preserve_ranges(spark, tmp_path):
     assert [k for k, _ in _khits(spark, idx, qf)] == [k for k, _ in fdel]
 
 
+def _matched_ks(spark, idx, q):
+    return {k for k, _ in _khits(spark, idx, q)}
+
+
+def test_search_sorted_by_field(spark, range_idx):
+    from ostrich_spark.query.exec import attach_docmap as _ad, search_sorted
+
+    mf = load_manifest(range_idx)
+    res = search_sorted(
+        spark, range_idx, "content:merge", by="rating", ascending=False,
+        limit=5, tiebreak=["k"], manifest=mf,
+    )
+    rows = _ad(spark, range_idx, res.drop("rating"), manifest=mf)
+    got = [(r["k"], r["rating"]) for r in rows.select("k", "rating")
+           .orderBy("rating", ascending=False).collect()]
+    matched = sorted(_matched_ks(spark, range_idx, "content:merge"))
+    exp = sorted(((k, k * 0.5) for k in matched), key=lambda t: (-t[1], t[0]))[:5]
+    assert got == exp
+
+
+def test_search_sorted_ascending_and_offset(spark, range_idx):
+    from ostrich_spark.query.exec import search_sorted
+
+    full = search_sorted(
+        spark, range_idx, "content:merge", by="rating", limit=None
+    ).collect()
+    vals = [r["rating"] for r in full]
+    assert vals == sorted(vals)
+    off = search_sorted(
+        spark, range_idx, "content:merge", by="rating", limit=3, offset=2
+    ).collect()
+    assert [r["rating"] for r in off] == vals[2:5]
+
+
+def test_search_sorted_rejects_text_field(spark, range_idx):
+    from ostrich_spark.query.exec import search_sorted
+
+    with pytest.raises(ValueError, match="numeric doc-value"):
+        search_sorted(spark, range_idx, "content:merge", by="content")
+
+
+def test_numeric_histogram(spark, range_idx):
+    from collections import Counter
+
+    from ostrich_spark.query.exec import numeric_histogram
+
+    hist = numeric_histogram(spark, range_idx, "content:merge", "year", 5)
+    got = {int(r["bucket"]): r["n_docs"] for r in hist.collect()}
+    years = [2000 + k % 20 for k in _matched_ks(spark, range_idx, "content:merge")]
+    exp = Counter((y // 5) * 5 for y in years)
+    assert got == dict(exp)
+
+
+def test_numeric_stats(spark, range_idx):
+    from ostrich_spark.query.exec import numeric_stats
+
+    row = numeric_stats(spark, range_idx, "content:merge", "rating").collect()[0]
+    vals = [k * 0.5 for k in _matched_ks(spark, range_idx, "content:merge")]
+    assert row["n"] == len(vals)
+    assert row["min"] == min(vals) and row["max"] == max(vals)
+    assert abs(row["sum"] - sum(vals)) < 1e-9
+    assert abs(row["avg"] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_facet_on_numeric_docvalue(spark, range_idx):
+    from collections import Counter
+
+    from ostrich_spark.query.exec import facet_counts
+
+    fc = facet_counts(spark, range_idx, "content:merge", by="year")
+    got = {int(r["year"]): r["n_docs"] for r in fc.collect()}
+    exp = Counter(
+        2000 + k % 20 for k in _matched_ks(spark, range_idx, "content:merge")
+    )
+    assert got == dict(exp)
+
+
 def test_count_with_range_filter(spark, range_idx):
     q = BooleanQuery(
         [(MUST, TermQuery(0, "merge")), (FILTER, RangeQuery(1, 2003, 2010))]
