@@ -49,6 +49,25 @@ def cmd_search(args) -> int:
             print(f"{s.score:.4f} {key}  {s.text}")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
+    if args.sort_by:
+        from .query.exec import search_sorted
+
+        res = search_sorted(
+            spark,
+            args.path,
+            args.query,
+            by=args.sort_by,
+            ascending=args.asc,
+            limit=args.limit,
+            offset=args.offset,
+            scorer=args.scorer,
+        )
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['segment_ord']}/{r['doc']} {r[args.sort_by]}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     res, cnt = search(
         spark,
         args.path,
@@ -95,6 +114,42 @@ def cmd_facet(args) -> int:
     for r in rows:
         key = " ".join(str(r[b]) for b in args.by)
         print(f"{key} {r['n_docs']}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
+def cmd_agg(args) -> int:
+    """Numeric doc-value aggregation over a query's FULL match set:
+    --stats FIELD prints one n/min/max/sum/avg line; --hist FIELD
+    --bin W prints ``bucket n_docs`` lines in bucket order."""
+    from .query.exec import numeric_histogram, numeric_stats
+
+    if bool(args.stats) == bool(args.hist):
+        print("agg: need exactly one of --stats or --hist", file=sys.stderr)
+        return 2
+    spark = _spark()
+    t0 = time.time()
+    if args.stats:
+        row = numeric_stats(
+            spark, args.path, args.query, args.stats, scorer=args.scorer
+        ).collect()[0]
+        elapsed = time.time() - t0
+        print(
+            f"n {row['n']}  min {row['min']}  max {row['max']}  "
+            f"sum {row['sum']}  avg {row['avg']}"
+        )
+    else:
+        rows = (
+            numeric_histogram(
+                spark, args.path, args.query, args.hist, args.bin,
+                scorer=args.scorer,
+            )
+            .orderBy("bucket")
+            .collect()
+        )
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['bucket']} {r['n_docs']}")
     print(f"elapsed: {elapsed:.3f}s")
     return 0
 
@@ -280,7 +335,25 @@ def main(argv=None) -> int:
         metavar="FIELD",
         help="print snippets from this store=True field instead of doc addresses",
     )
+    s.add_argument(
+        "--sort-by",
+        metavar="FIELD",
+        help="order matches by this numeric doc-value field instead of score",
+    )
+    s.add_argument(
+        "--asc", action="store_true",
+        help="with --sort-by: ascending (default descending)",
+    )
     s.set_defaults(fn=cmd_search)
+
+    ag = sub.add_parser("agg")
+    ag.add_argument("query")
+    ag.add_argument("-p", "--path", required=True)
+    ag.add_argument("--stats", metavar="FIELD", help="n/min/max/sum/avg of FIELD")
+    ag.add_argument("--hist", metavar="FIELD", help="histogram of FIELD")
+    ag.add_argument("--bin", type=float, default=1.0, help="--hist bucket width")
+    ag.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    ag.set_defaults(fn=cmd_agg)
 
     fc = sub.add_parser("facet")
     fc.add_argument("query")

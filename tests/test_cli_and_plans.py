@@ -165,3 +165,80 @@ def test_cli_msearch_batched(small_index):
         seg, doc = addr.split("/")
         int(seg), int(doc), float(score)
     assert any("2 queries in one job" in l for l in lines)
+
+
+@pytest.fixture(scope="module")
+def num_index(spark, tmp_path_factory):
+    """Index with a numeric doc-value field for sort/agg CLI surfaces."""
+    from pyspark.sql import functions as F
+
+    tmp = tmp_path_factory.mktemp("cli_num")
+    idx = str(tmp / "idx")
+    pdf = make_corpus(120, seed=3)
+    schema = Schema()
+    schema.add_text_field("content", "default")
+    schema.add_numeric_field("size_bytes")
+    df = spark.createDataFrame(pdf).withColumn("size_bytes", F.length("content"))
+    build_index(
+        spark, df, schema, idx,
+        num_partitions=3, order_col="path", id_cols=["path"], build_id="cli",
+    )
+    return idx
+
+
+def test_cli_search_sort_by(num_index):
+    """--sort-by orders hits by the doc-value field, not score."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "search", "content:merge_policy",
+         "-p", num_index, "-l", "5", "--sort-by", "size_bytes"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines()
+             if l.strip() and not l.startswith("elapsed")]
+    vals = [float(l.split()[1]) for l in lines]
+    assert vals and vals == sorted(vals, reverse=True)  # default descending
+
+    asc = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "search", "content:merge_policy",
+         "-p", num_index, "-l", "5", "--sort-by", "size_bytes", "--asc"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert asc.returncode == 0, asc.stderr[-2000:]
+    avals = [float(l.split()[1]) for l in asc.stdout.splitlines()
+             if l.strip() and not l.startswith("elapsed")]
+    assert avals == sorted(avals)
+
+
+def test_cli_agg_stats_and_hist(num_index):
+    """agg --stats prints one summary line; --hist prints bucket counts
+    summing to n; exactly-one-mode is enforced."""
+    st = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "agg", "content:merge_policy",
+         "-p", num_index, "--stats", "size_bytes"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert st.returncode == 0, st.stderr[-2000:]
+    line = next(l for l in st.stdout.splitlines() if l.startswith("n "))
+    parts = line.split()
+    n = int(parts[1])
+    assert n > 0 and float(parts[3]) <= float(parts[5])  # min <= max
+
+    hi = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "agg", "content:merge_policy",
+         "-p", num_index, "--hist", "size_bytes", "--bin", "100"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert hi.returncode == 0, hi.stderr[-2000:]
+    rows = [l.split() for l in hi.stdout.splitlines()
+            if l.strip() and not l.startswith("elapsed")]
+    assert sum(int(c) for _, c in rows) == n
+    buckets = [float(b) for b, _ in rows]
+    assert buckets == sorted(buckets)
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "agg", "content:merge_policy",
+         "-p", num_index],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode == 2 and "exactly one of" in bad.stderr
