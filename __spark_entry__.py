@@ -321,6 +321,21 @@ def _q_eng_stats_nchars(spark, sf_dir):
     )
 
 
+def _q_eng_wildcard(spark, sf_dir):
+    """Wildcard multi-term EXTENSION (Lucene WildcardQuery analog):
+    ``s?a*`` — literal prefix 's' prunes the dictionary read, then the
+    glob filters driver-side; scoring = expanded term union
+    (scan/small/spark on this corpus)."""
+    return _engine_matches(spark, sf_dir, "text:s?a*")
+
+
+def _q_eng_regexp(spark, sf_dir):
+    """Regexp multi-term EXTENSION (Lucene RegexpQuery analog, whole-term
+    anchored): leading alternation = no literal prefix, so expansion is
+    the one distributed anchored-regex filter job over the dictionary."""
+    return _engine_matches(spark, sf_dir, "text:/(sp|st).*m/")
+
+
 def _q_eng_all(spark, sf_dir):
     """Q8: AllQuery — every doc, score 1.0."""
     return _engine_matches(spark, sf_dir, "")
@@ -910,6 +925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_stats_nchars": _q_eng_stats_nchars,
         "eng_prefix_multiterm": _q_eng_prefix,
         "eng_fuzzy_lev2": _q_eng_fuzzy,
+        "eng_wildcard": _q_eng_wildcard,
+        "eng_regexp": _q_eng_regexp,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_q8_all": _q_eng_all,
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
@@ -1010,6 +1027,24 @@ def oracle_sql() -> dict[str, str]:
             # levenshtein(term,'sort') <= 2, capped at DEFAULT_FUZZY_EXPANSIONS
             "x AS (SELECT term FROM df WHERE levenshtein(term, 'sort') <= 2 "
             "ORDER BY df DESC, term LIMIT 50), "
+            f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN (SELECT term FROM x)) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_wildcard": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            # glob s?a* == LIKE 's_a%'; cap mirror: df DESC, term ASC, 1024
+            "x AS (SELECT term FROM df WHERE term LIKE 's_a%' "
+            "ORDER BY df DESC, term LIMIT 1024), "
+            f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN (SELECT term FROM x)) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_regexp": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            # whole-term anchored regex, same RE source as the Spark side
+            "x AS (SELECT term FROM df WHERE regexp_full_match(term, '(sp|st).*m') "
+            "ORDER BY df DESC, term LIMIT 1024), "
             f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN (SELECT term FROM x)) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"

@@ -41,7 +41,9 @@ from .parser import (
     FuzzyQuery,
     PhraseQuery,
     PrefixQuery,
+    RegexpQuery,
     TermQuery,
+    WildcardQuery,
 )
 
 # Lucene BooleanQuery.maxClauseCount is 1024; FuzzyQuery maxExpansions 50
@@ -212,8 +214,122 @@ def expand_fuzzy(
     return _cap(pairs, max_expansions)
 
 
+def wildcard_to_regex(pattern: str) -> str:
+    """Glob pattern -> regex source: ``*`` = ``.*``, ``?`` = ``.``,
+    everything else literal. Alphanumerics pass through unescaped so the
+    result is valid in Python, JVM, and RE2 dialects alike."""
+    out: list[str] = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch.isalnum():
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    return "".join(out)
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest leading run of the regex that matches only itself —
+    conservatively, plain alphanumerics (stop one short before a
+    quantifier, which binds the previous atom)."""
+    pre: list[str] = []
+    for i, ch in enumerate(pattern):
+        if not ch.isalnum():
+            break
+        nxt = pattern[i + 1] if i + 1 < len(pattern) else ""
+        if nxt in "*+?{":
+            break
+        pre.append(ch)
+    return "".join(pre)
+
+
+def _expand_pattern(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    literal_prefix: str,
+    regex: str,
+    max_expansions: int | None,
+) -> list[str]:
+    """Shared wildcard/regexp expansion: whole-term (anchored) regex
+    match over the dictionary. With a literal prefix the candidates come
+    from the same range-pruned dictionary read as PrefixQuery and the
+    regex filters driver-side; a leading wildcard falls back to ONE
+    distributed anchored-regex filter job over the dictionary (JVM
+    regex) — only the match set is collected, never the dictionary."""
+    import re as _re
+
+    if literal_prefix:
+        hi = prefix_upper_bound(literal_prefix)
+        pairs = _range_candidates(index_dir, field_id, literal_prefix, hi)
+        if pairs is None:
+            rows = _postings_range_df(
+                spark, index_dir, manifest, field_id, literal_prefix, hi
+            ).collect()
+            pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+        rx = _re.compile(regex)
+        pairs = [(t, df) for t, df in pairs if rx.fullmatch(t)]
+    else:
+        from pyspark.sql import functions as F
+
+        files = _stats_files(index_dir)
+        if files is not None:
+            df = spark.read.parquet(*files).filter(F.col("field") == field_id)
+        else:
+            from .exec import read_postings
+
+            df = (
+                read_postings(spark, index_dir, manifest)
+                .filter(F.col("field") == field_id)
+                .groupBy("term")
+                .agg(F.sum("doc_freq").alias("doc_freq"))
+            )
+        rows = (
+            df.filter(F.col("term").rlike(f"^(?:{regex})$"))
+            .select("term", "doc_freq")
+            .collect()
+        )
+        pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+    return _cap(pairs, max_expansions)
+
+
+def expand_wildcard(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    pattern: str,
+    max_expansions: int | None = DEFAULT_PREFIX_EXPANSIONS,
+) -> list[str]:
+    """Terms of ``field_id`` matching the glob ``pattern`` (capped)."""
+    lit = pattern.split("*", 1)[0].split("?", 1)[0]
+    return _expand_pattern(
+        spark, index_dir, manifest, field_id, lit,
+        wildcard_to_regex(pattern), max_expansions,
+    )
+
+
+def expand_regexp(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    pattern: str,
+    max_expansions: int | None = DEFAULT_PREFIX_EXPANSIONS,
+) -> list[str]:
+    """Terms of ``field_id`` fully matching ``pattern`` (capped)."""
+    return _expand_pattern(
+        spark, index_dir, manifest, field_id,
+        _regex_literal_prefix(pattern), pattern, max_expansions,
+    )
+
+
 def has_multiterm(q) -> bool:
-    if isinstance(q, (PrefixQuery, FuzzyQuery)):
+    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery)):
         return True
     if isinstance(q, BooleanQuery):
         return any(has_multiterm(sub) for _, sub in q.subqueries)
@@ -229,11 +345,15 @@ def _union_of(field_id: int, terms: list[str], boost: float = 1.0):
 
 
 def rewrite_multiterm(spark, index_dir: str, manifest, q):
-    """Replace every Prefix/FuzzyQuery node with its expanded term union
-    (MultiTermsQuery shape — WAND-eligible when it is the whole query)."""
+    """Replace every Prefix/Fuzzy/Wildcard/RegexpQuery node with its
+    expanded term union (MultiTermsQuery shape — WAND-eligible when it
+    is the whole query). A node's ``max_expansions=None`` means the
+    class default cap (the query-object contract) — uncapped expansion
+    is only reachable by calling the ``expand_*`` functions directly."""
     if isinstance(q, PrefixQuery):
         terms = expand_prefix(
-            spark, index_dir, manifest, q.field_id, q.prefix, q.max_expansions
+            spark, index_dir, manifest, q.field_id, q.prefix,
+            q.max_expansions if q.max_expansions is not None else DEFAULT_PREFIX_EXPANSIONS,
         )
         return _union_of(q.field_id, terms, q.boost)
     if isinstance(q, FuzzyQuery):
@@ -245,7 +365,19 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             q.term,
             q.max_dist,
             q.prefix_length,
-            q.max_expansions,
+            q.max_expansions if q.max_expansions is not None else DEFAULT_FUZZY_EXPANSIONS,
+        )
+        return _union_of(q.field_id, terms, q.boost)
+    if isinstance(q, WildcardQuery):
+        terms = expand_wildcard(
+            spark, index_dir, manifest, q.field_id, q.pattern,
+            q.max_expansions if q.max_expansions is not None else DEFAULT_PREFIX_EXPANSIONS,
+        )
+        return _union_of(q.field_id, terms, q.boost)
+    if isinstance(q, RegexpQuery):
+        terms = expand_regexp(
+            spark, index_dir, manifest, q.field_id, q.pattern,
+            q.max_expansions if q.max_expansions is not None else DEFAULT_PREFIX_EXPANSIONS,
         )
         return _union_of(q.field_id, terms, q.boost)
     if isinstance(q, BooleanQuery):

@@ -115,6 +115,58 @@ class FuzzyQuery:
 
 
 @dataclass(frozen=True)
+class WildcardQuery:
+    """All terms of a field matching a glob pattern (``*`` = any run,
+    ``?`` = exactly one char) — EXTENSION (Lucene WildcardQuery analog).
+    NQL: ``field:te*m`` / ``field:t?rm`` (bare forms expand over the
+    default fields). Same normalization rule as PrefixQuery (lowercased,
+    never analyzed — no indexed term contains ``*``/``?``, every
+    tokenizer treats them as separators). Expansion prunes the sorted
+    dictionary to the pattern's literal-prefix bucket when one exists;
+    a leading wildcard falls back to one small distributed filter job
+    over the dictionary (never a driver-side full scan). Scoring =
+    MultiTermsQuery union, capped like PrefixQuery."""
+
+    field_id: int
+    pattern: str
+    max_expansions: int | None = None  # None -> expand.DEFAULT_PREFIX_EXPANSIONS
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.pattern.replace("*", "").replace("?", ""):
+            raise QueryParseError(
+                "wildcard pattern needs at least one literal character "
+                "(use AllQuery / an empty query to match everything)"
+            )
+
+
+@dataclass(frozen=True)
+class RegexpQuery:
+    """All terms of a field fully matching a regular expression —
+    EXTENSION (Lucene RegexpQuery analog, including its whole-term
+    anchoring). NQL: ``field:/pat/`` (Lucene slash syntax; bare ``/pat/``
+    expands over the default fields). The pattern is matched against
+    normalized index terms (lowercase) and is NOT lowercased itself.
+    Keep to the common regex core (literals, classes, ``.*+?|()``) —
+    the driver-side filter uses Python ``re``, the leading-wildcard
+    distributed fallback uses JVM regex, and the test oracle uses RE2;
+    the gated queries pin patterns valid in all three."""
+
+    field_id: int
+    pattern: str
+    max_expansions: int | None = None  # None -> expand.DEFAULT_PREFIX_EXPANSIONS
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.pattern:
+            raise QueryParseError("empty regexp query")
+        try:
+            re.compile(self.pattern)
+        except re.error as e:
+            raise QueryParseError(f"bad regexp {self.pattern!r}: {e}")
+
+
+@dataclass(frozen=True)
 class RangeQuery:
     """Numeric range over a doc-value field — EXTENSION (Lucene
     Points/NumericRangeQuery analog; the reference has only text fields).
@@ -385,7 +437,11 @@ def _apply_boost(q, boost: float):
 
     if boost == 1.0:
         return q
-    if isinstance(q, (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery, RangeQuery)):
+    if isinstance(
+        q,
+        (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery, WildcardQuery,
+         RegexpQuery, RangeQuery),
+    ):
         return dataclasses.replace(q, boost=q.boost * boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
@@ -395,15 +451,21 @@ def _apply_boost(q, boost: float):
 
 
 def _multiterm_from_raw(raw: str):
-    """('prefix', p) / ('fuzzy', (t, d)) for multi-term syntax, else None.
+    """('prefix', p) / ('fuzzy', (t, d)) / ('wildcard', pat) /
+    ('regexp', pat) for multi-term syntax, else None.
 
-    Safe extension: the tokenizers treat ``*`` and ``~`` as separators,
-    so no indexed term contains them — a value the reference could have
-    matched never reaches these branches."""
+    Safe extension: the tokenizers treat ``*``, ``?``, ``~`` and ``/``
+    as separators, so no indexed term contains them — a value the
+    reference could have matched never reaches these branches."""
     if '"' in raw or not raw:
         return None
-    if raw.endswith("*") and len(raw) >= 2 and "*" not in raw[:-1] and "~" not in raw:
+    if raw.startswith("/") and raw.endswith("/") and len(raw) >= 3:
+        # Lucene slash syntax; pattern passed through un-lowercased
+        return ("regexp", raw[1:-1])
+    if raw.endswith("*") and len(raw) >= 2 and "*" not in raw[:-1] and "~" not in raw and "?" not in raw:
         return ("prefix", raw[:-1].lower())
+    if ("*" in raw or "?" in raw) and "~" not in raw:
+        return ("wildcard", raw.lower())
     if "*" not in raw:
         m = _FUZZY_SUFFIX.match(raw)
         if m:
@@ -415,6 +477,10 @@ def _multiterm_query(field_id: int, mt):
     kind, payload = mt
     if kind == "prefix":
         return PrefixQuery(field_id, payload)
+    if kind == "wildcard":
+        return WildcardQuery(field_id, payload)
+    if kind == "regexp":
+        return RegexpQuery(field_id, payload)
     term, dist = payload
     if dist == 0:
         # ~0 is an exact (normalized, unanalyzed) term — Lucene semantics

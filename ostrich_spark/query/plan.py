@@ -34,7 +34,9 @@ from .parser import (
     PhraseQuery,
     PrefixQuery,
     RangeQuery,
+    RegexpQuery,
     TermQuery,
+    WildcardQuery,
     FILTER,
     MUST,
     MUST_NOT,
@@ -201,11 +203,11 @@ def compile_query(
         return CRange(
             q.field_id, q.lo, q.hi, q.include_lo, q.include_hi, q.boost
         )
-    if isinstance(q, (PrefixQuery, FuzzyQuery)):
+    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery)):
         raise ValueError(
-            "Prefix/FuzzyQuery must be expanded against the term dictionary "
-            "first (query.expand.rewrite_multiterm) — exec.search does this "
-            "automatically"
+            "Prefix/Fuzzy/Wildcard/RegexpQuery must be expanded against the "
+            "term dictionary first (query.expand.rewrite_multiterm) — "
+            "exec.search does this automatically"
         )
     if isinstance(q, BooleanQuery):
         # Nested AllQuery is rejected, not silently mis-evaluated: the

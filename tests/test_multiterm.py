@@ -92,13 +92,11 @@ def test_parse_multiterm_inside_boolean(mt_index):
 
 
 def test_parse_non_multiterm_shapes_unchanged(mt_index):
-    """'*' or '~' mid-token falls through to the analyzed path (separator
-    chars -> same terms the reference would produce)."""
+    """'~' with a non-distance suffix is not fuzzy syntax — it falls
+    through to the analyzed path (separator chars -> same terms the
+    reference would produce). Mid-token '*' is covered by
+    test_wildcard_regex.py (it now parses as a WildcardQuery)."""
     _, schema = mt_index
-    assert parse_query("text:spa*rk", schema) == BooleanQuery.union(
-        TermQuery(0, "spa"), TermQuery(0, "rk")
-    )
-    # '~' with a non-distance suffix is not fuzzy syntax
     assert parse_query("text:a~b", schema) == BooleanQuery.union(
         TermQuery(0, "a"), TermQuery(0, "b")
     )
