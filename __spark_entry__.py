@@ -336,6 +336,38 @@ def _q_eng_regexp(spark, sf_dir):
     return _engine_matches(spark, sf_dir, "text:/(sp|st).*m/")
 
 
+def _q_eng_mlt(spark, sf_dir):
+    """MoreLikeThis EXTENSION (Lucene analog): top-5 tf·idf terms of doc
+    42's text (engine idf, term-asc tie-break) -> union query -> all
+    matches. The source doc ranks first by construction."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, more_like_this
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    src = (
+        _docs(spark, sf_dir).filter(F.col("doc_id") == 42).select("text").collect()
+    )[0][0]
+    res, _ = more_like_this(
+        spark, idx, "text", src, max_query_terms=5, limit=None,
+        scorer="tfidf", manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_pctl_nchars(spark, sf_dir):
+    """Exact interpolated percentiles of a doc-value field over the full
+    match set (quantile_cont definition)."""
+    from ostrich_spark.query.exec import numeric_percentiles
+
+    idx = _doc_index(spark, sf_dir)
+    return numeric_percentiles(
+        spark, idx, "text:spark", "n_chars", (0.25, 0.5, 0.75)
+    ).select(F.col("p"), F.round("value", 6).alias("value"))
+
+
 def _q_eng_all(spark, sf_dir):
     """Q8: AllQuery — every doc, score 1.0."""
     return _engine_matches(spark, sf_dir, "")
@@ -927,6 +959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_fuzzy_lev2": _q_eng_fuzzy,
         "eng_wildcard": _q_eng_wildcard,
         "eng_regexp": _q_eng_regexp,
+        "eng_more_like_this": _q_eng_mlt,
+        "eng_pctl_nchars": _q_eng_pctl_nchars,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_q8_all": _q_eng_all,
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
@@ -1099,6 +1133,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
             "WHERE t.term = 'spark' AND doc.n_chars >= 150 AND doc.n_chars < 400"
+        ),
+        "eng_more_like_this": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "src AS (SELECT term, tf FROM tf WHERE doc_id = 42), "
+            # selection mirror: tf * engine idf DESC, term ASC, top 5
+            "sel AS (SELECT s.term FROM src s JOIN df d USING(term) "
+            "ORDER BY s.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) DESC, s.term LIMIT 5), "
+            f"s2 AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN (SELECT term FROM sel)) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s2 GROUP BY doc_id"
+        ),
+        "eng_pctl_nchars": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "v AS (SELECT d.n_chars AS x FROM m JOIN documents d USING(doc_id)) "
+            "SELECT CAST(0.25 AS DOUBLE) AS p, round(quantile_cont(x, 0.25), 6) AS value FROM v "
+            "UNION ALL SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(x, 0.5), 6) FROM v "
+            "UNION ALL SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(x, 0.75), 6) FROM v"
         ),
         "eng_sort_nchars": (
             f"WITH {TOKS_CTE}, "

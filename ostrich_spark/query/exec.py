@@ -1608,6 +1608,125 @@ def numeric_stats(
     )
 
 
+def numeric_percentiles(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Exact interpolated percentiles of a numeric doc-value field over a
+    query's FULL match set: one row per requested percentile ->
+    (``p``, ``value``). Uses Spark's exact ``percentile`` aggregate
+    (linear interpolation at rank p·(n−1) — the same definition as SQL
+    ``quantile_cont``), not the approximate sketch, so results are
+    deterministic and oracle-comparable. Nulls are excluded. One
+    map-side-partial aggregation; the match set never leaves the
+    cluster. Exact percentile holds the field values per group in
+    memory — fine here because there is ONE group; for
+    billions-of-matches profiles use ``percentile_approx`` instead."""
+    from pyspark.sql import functions as F
+
+    ps = [float(p) for p in percentiles]
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError("percentiles must be within [0, 1] and non-empty")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, of)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    p_arr = F.array(*[F.lit(p) for p in ps])
+    agg = matched.agg(F.percentile(F.col(of), p_arr).alias("vals"))
+    return agg.select(F.posexplode("vals").alias("idx", "value")).select(
+        F.element_at(p_arr, F.col("idx") + 1).alias("p"), "value"
+    )
+
+
+def more_like_this(
+    spark,
+    index_dir: str,
+    field_name: str,
+    text: str,
+    max_query_terms: int = 25,
+    min_tf: int = 1,
+    min_doc_freq: int = 1,
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    with_count: bool = False,
+):
+    """Find documents similar to ``text`` (Lucene MoreLikeThis analog —
+    EXTENSION, the reference has no similarity query).
+
+    Interesting-term selection follows Lucene's shape: analyze the text
+    with the field's analyzer, keep terms with tf >= ``min_tf`` and
+    global doc_freq >= ``min_doc_freq`` (and present in the index), rank
+    by tf·idf with the ENGINE's idf (``1 + ln(N/(1+df))``), tie-break
+    term ASC (deterministic), take ``max_query_terms``, then run the
+    union of those terms through the normal search path (so WAND, the
+    batched stats binding, tombstones, and the pinned tie-break order
+    all apply). When the text comes from an indexed document, that
+    document itself typically ranks first — filter it by identity
+    downstream if undesired.
+
+    Returns ``(results_df, count)`` exactly like :func:`search`.
+
+    Scale posture: the driver-side work is one analyzer pass over ONE
+    document's text plus the same pyarrow term-dict lookup the stats
+    binding does; candidate selection is O(distinct terms) on the
+    driver. The cluster only ever sees the final (capped) term union.
+    """
+    import math
+
+    from collections import Counter
+
+    from ..analysis import get_analyzer
+    from .parser import BooleanQuery, TermQuery
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field_name)
+    if fe is None or fe.is_numeric:
+        raise ValueError(f"{field_name!r} is not a text field of this index")
+    tf = Counter(get_analyzer(fe.analyzer).analyze_one(text))
+    cand = [TermQuery(fe.id, t) for t, c in tf.items() if c >= min_tf]
+    doc_freqs, n, _ = bind_stats_for_terms(spark, index_dir, manifest, cand)
+    scored = []
+    for tq in cand:
+        df = doc_freqs.get((fe.id, tq.term), 0)
+        if df < max(min_doc_freq, 1):
+            continue
+        idf = 1.0 + math.log(n / (1.0 + df))
+        scored.append((tf[tq.term] * idf, tq.term))
+    sel = sorted(scored, key=lambda p: (-p[0], p[1]))[:max_query_terms]
+    if not sel:
+        from .parser import EmptyQuery
+
+        return search(
+            spark, index_dir, EmptyQuery(), limit=limit, offset=offset,
+            scorer=scorer, manifest=manifest, with_count=with_count,
+        )
+    q = (
+        TermQuery(fe.id, sel[0][1])
+        if len(sel) == 1
+        else BooleanQuery.union(*[TermQuery(fe.id, t) for _, t in sel])
+    )
+    return search(
+        spark, index_dir, q, limit=limit, offset=offset, scorer=scorer,
+        manifest=manifest, with_count=with_count,
+    )
+
+
 def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None = None):
     """Join original document identity columns onto search results
     (broadcast join — results are tiny).
