@@ -518,6 +518,13 @@ def _q_eng_phrase_tfidf(spark, sf_dir):
     return _engine_matches(spark, sf_dir, 'text:"hash join"')
 
 
+def _q_eng_phrase_sloppy(spark, sf_dir):
+    """Sloppy-phrase extension (Lucene proximity ``"a b"~N`` analog,
+    in-order window semantics): span <= (k-1)+slop, tf = distinct end
+    positions of the last term."""
+    return _engine_matches(spark, sf_dir, 'text:"hash join"~2')
+
+
 def _q_eng_phrase_bm25(spark, sf_dir):
     """BM25-scored phrase OR term union, top-10."""
     m = _engine_matches(spark, sf_dir, 'text:"hash join" OR text:stream', scorer="bm25")
@@ -966,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
+        "eng_phrase_sloppy": _q_eng_phrase_sloppy,
         "eng_phrase_bm25": _q_eng_phrase_bm25,
         "eng_term_positions": _q_eng_term_positions,
         "eng_stored_field": _q_eng_stored_field,
@@ -1229,6 +1237,18 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT a.doc_id, count(*) AS ptf FROM pos a JOIN pos b "
             " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             " AND a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id) "
+            "SELECT doc_id, round(ptf * (SELECT s FROM isum), 6) AS score FROM m"
+        ),
+        "eng_phrase_sloppy": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
+            "isum AS (SELECT sum(1.0 + ln((SELECT n FROM n) / (1.0 + df))) AS s "
+            " FROM df WHERE term IN ('hash','join')), "
+            # in-order window, k=2, slop=2: 0 < b.pos - a.pos <= 3;
+            # tf = DISTINCT end positions of the last term
+            "m AS (SELECT b.doc_id, count(DISTINCT b.pos) AS ptf FROM pos b "
+            " WHERE b.term = 'join' AND EXISTS (SELECT 1 FROM pos a "
+            "  WHERE a.doc_id = b.doc_id AND a.term = 'hash' "
+            "  AND a.pos < b.pos AND b.pos - a.pos <= 3) GROUP BY b.doc_id) "
             "SELECT doc_id, round(ptf * (SELECT s FROM isum), 6) AS score FROM m"
         ),
         "eng_phrase_bm25": (

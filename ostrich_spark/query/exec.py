@@ -304,19 +304,60 @@ def eval_and_terms(children: list[dict], term_data: dict, scorer: str, stats: di
 
 
 def eval_phrase(wire: dict, term_data: dict, scorer: str):
-    """Vectorized consecutive-phrase match within one segment.
+    """Vectorized phrase match within one segment.
 
-    Key trick: occurrence (doc, pos) of constituent i becomes the int64
-    key doc*2^32 + (pos - i); a phrase occurrence starting at position p
-    of doc d makes EVERY constituent produce the key d*2^32 + p, so the
-    k-way sorted-array intersection of the per-term key sets yields the
-    phrase start positions directly — no per-doc Python loop. Phrase
-    tf = keys per doc; score = tf (×len-norm for BM25) × summed idf."""
+    Consecutive (slop=0) key trick: occurrence (doc, pos) of constituent
+    i becomes the int64 key doc*2^32 + (pos - i); a phrase occurrence
+    starting at position p of doc d makes EVERY constituent produce the
+    key d*2^32 + p, so the k-way sorted-array intersection of the
+    per-term key sets yields the phrase start positions directly — no
+    per-doc Python loop. Phrase tf = keys per doc; score = tf (×len-norm
+    for BM25) × summed idf.
+
+    Sloppy (slop>0) in-order window DP (see parser.PhraseQuery): over
+    encoded keys doc*2^32 + pos, best[j] is the LATEST start of an
+    in-order chain of terms[0..i] ending at occurrence j of term i. The
+    doc-major encoding makes np.maximum.accumulate a per-doc prefix max
+    (a later doc's keys dominate every earlier doc's), so the whole DP
+    is searchsorted + accumulate per term — still no per-doc loop. A doc
+    matches at end position q iff best(q) is in q's doc and
+    q − start <= (k−1) + slop; tf = count of such q per doc. slop=0 via
+    this DP equals the keyset path exactly (regression-tested)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     tps = [term_data.get((wire["field"], t)) for t in wire["terms"]]
     if any(tp is None for tp in tps):
         return empty
+    slop = int(wire.get("slop", 0))
     BIG = np.int64(1) << np.int64(32)
+    if slop > 0:
+        decoded = []
+        first_docs = first_lens = None
+        for i, tp in enumerate(tps):
+            docs, tfs, lens, pos = tp.decode_with_positions()
+            if i == 0:
+                first_docs, first_lens = docs, lens
+            enc = np.repeat(docs, tfs) * BIG + pos
+            decoded.append(enc)
+            if len(enc) == 0:
+                return empty
+        best = decoded[0].copy()  # chain of length 1 starts at itself
+        for i in range(1, len(decoded)):
+            prefmax = np.maximum.accumulate(best)
+            enc_i = decoded[i]
+            j = np.searchsorted(decoded[i - 1], enc_i, side="left") - 1
+            cand = np.where(j >= 0, prefmax[np.clip(j, 0, None)], np.int64(-1))
+            same_doc = (cand >= 0) & (cand // BIG == enc_i // BIG)
+            best = np.where(same_doc, cand, np.int64(-1))
+        enc_last = decoded[-1]
+        span_ok = (best >= 0) & (
+            enc_last - best <= np.int64(len(tps) - 1 + slop)
+        )
+        ends = enc_last[span_ok]
+        if len(ends) == 0:
+            return empty
+        pdocs, ptfs = np.unique(ends // BIG, return_counts=True)
+        lens_at = first_lens[np.searchsorted(first_docs, pdocs)]
+        return pdocs, score_postings(ptfs, lens_at, wire["idf"], wire["avgdl"], scorer)
     keysets = []
     first_docs = first_lens = None
     for i, tp in enumerate(tps):

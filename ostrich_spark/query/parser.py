@@ -67,11 +67,22 @@ class PhraseQuery:
     with contiguous positions (build concatenation semantics), so a
     phrase CAN match across a value boundary — there is no Lucene-style
     position_increment_gap. Index multi-valued fields whose values must
-    not cross-match as separate fields."""
+    not cross-match as separate fields.
+
+    ``slop`` (NQL ``field:"a b"~2``, Lucene proximity syntax) relaxes
+    adjacency to an IN-ORDER window: the doc matches where positions
+    p1 < p2 < ... < pk of the constituent terms exist with span
+    pk − p1 <= (k−1) + slop; tf = number of distinct positions of the
+    LAST term at which such a window ends. slop=0 is exactly the
+    consecutive phrase (the span bound forces step 1). This is the
+    ordered subset of Lucene's sloppy matching — Lucene also counts
+    out-of-order matches by edit-distance and weights tf by
+    1/(distance+1); we pin the simpler deterministic contract."""
 
     field_id: int
     terms: tuple[str, ...]
     boost: float = 1.0
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -356,7 +367,7 @@ class _Parser:
         return _Leaf(t)
 
 
-def _phrase_for_field(fe, raw: str):
+def _phrase_for_field(fe, raw: str, slop: int = 0):
     """Analyze a quoted span with the field's analyzer -> phrase (or the
     degenerate single-term / empty forms)."""
     terms = get_analyzer(fe.analyzer).analyze_one(raw)
@@ -364,7 +375,12 @@ def _phrase_for_field(fe, raw: str):
         return EmptyQuery()
     if len(terms) == 1:
         return TermQuery(fe.id, terms[0])
-    return PhraseQuery(fe.id, tuple(terms))
+    return PhraseQuery(fe.id, tuple(terms), slop=slop)
+
+
+# proximity syntax: "quoted span"~N (slop). Like '*'/'~'/'^': the quote
+# is a tokenizer separator, so no indexed term carries the shape.
+_SLOP_SUFFIX = re.compile(r'^"(.*)"~(\d+)$', re.DOTALL)
 
 
 _FUZZY_SUFFIX = re.compile(r"^(.+)~([012])$")
@@ -503,6 +519,10 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                 # field:"quoted phrase" — consecutive-terms extension
                 return _phrase_for_field(fe, raw[1:-1])
+            sm = _SLOP_SUFFIX.match(raw)
+            if sm:
+                # field:"a b"~2 — proximity (sloppy) phrase
+                return _phrase_for_field(fe, sm.group(1), slop=int(sm.group(2)))
             mt = _multiterm_from_raw(raw)
             if mt is not None:
                 return _multiterm_query(fe.id, mt)
@@ -514,7 +534,14 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                 return TermQuery(fe.id, terms[0])
             return BooleanQuery.union(*[TermQuery(fe.id, t) for t in terms])
         # unknown field name: fall through, treat whole token as bare term
+    bare_span, bare_slop = None, 0
     if len(value) >= 2 and value.startswith('"') and value.endswith('"'):
+        bare_span = value[1:-1]
+    else:
+        sm = _SLOP_SUFFIX.match(value)
+        if sm:
+            bare_span, bare_slop = sm.group(1), int(sm.group(2))
+    if bare_span is not None:
         # bare quoted phrase: expand over default fields (each analyzed by
         # its own field's analyzer — unlike bare TERMS, a phrase has to be
         # analyzed to be split into terms at all)
@@ -522,7 +549,7 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         for fname in default_fields:
             fe = schema.field_by_name(fname)
             if fe is not None and not fe.is_numeric:
-                q = _phrase_for_field(fe, value[1:-1])
+                q = _phrase_for_field(fe, bare_span, slop=bare_slop)
                 if not isinstance(q, EmptyQuery):
                     qs.append(q)
         if not qs:

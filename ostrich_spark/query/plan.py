@@ -69,6 +69,7 @@ class CPhrase:
     terms: tuple[str, ...]
     idf: float  # sum over constituent terms
     avgdl: float
+    slop: int = 0  # in-order window slack; 0 = consecutive
 
 
 @dataclass(frozen=True)
@@ -197,7 +198,8 @@ def compile_query(
                 return CEmpty()
             idf_sum += idf_fn(total_docs, df)
         return CPhrase(
-            q.field_id, q.terms, idf_sum * q.boost, field_avgdl.get(q.field_id, 1.0)
+            q.field_id, q.terms, idf_sum * q.boost,
+            field_avgdl.get(q.field_id, 1.0), q.slop,
         )
     if isinstance(q, RangeQuery):
         return CRange(
@@ -333,6 +335,7 @@ def to_wire(node) -> dict:
             "terms": list(node.terms),
             "idf": node.idf,
             "avgdl": node.avgdl,
+            "slop": node.slop,
         }
     if isinstance(node, CIntersection):
         return {"kind": "and", "children": [to_wire(c) for c in node.children]}
