@@ -154,6 +154,39 @@ def cmd_agg(args) -> int:
     return 0
 
 
+def cmd_mlt(args) -> int:
+    """More-like-this: rank docs similar to the given text (or to the
+    text read from --file). Prints the same ``segmentOrd/docID score``
+    contract as search."""
+    from .query.exec import more_like_this
+
+    text = args.text
+    if args.file:
+        with open(args.file) as f:
+            text = f.read()
+    if not text:
+        print("mlt: need TEXT or --file", file=sys.stderr)
+        return 2
+    spark = _spark()
+    t0 = time.time()
+    res, _ = more_like_this(
+        spark,
+        args.path,
+        args.field,
+        text,
+        max_query_terms=args.max_terms,
+        min_doc_freq=args.min_doc_freq,
+        limit=args.limit,
+        scorer=args.scorer,
+    )
+    rows = res.collect()
+    elapsed = time.time() - t0
+    for r in rows:
+        print(f"{r['segment_ord']}/{r['doc']} {r['score']}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_msearch(args) -> int:
     """Batched multi-query search: the whole query set runs as ONE Spark
     job (exec.search_many) — the multi-tenant/batch serving shape where
@@ -366,6 +399,17 @@ def main(argv=None) -> int:
     )
     fc.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     fc.set_defaults(fn=cmd_facet)
+
+    ml = sub.add_parser("mlt")
+    ml.add_argument("text", nargs="?", help="source text (or use --file)")
+    ml.add_argument("-p", "--path", required=True)
+    ml.add_argument("--field", required=True, help="text field to match on")
+    ml.add_argument("--file", help="read the source text from this file")
+    ml.add_argument("--max-terms", type=int, default=25)
+    ml.add_argument("--min-doc-freq", type=int, default=1)
+    ml.add_argument("-l", "--limit", type=int, default=10)
+    ml.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    ml.set_defaults(fn=cmd_mlt)
 
     ms = sub.add_parser("msearch")
     ms.add_argument("-p", "--path", required=True)

@@ -242,3 +242,29 @@ def test_cli_agg_stats_and_hist(num_index):
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert bad.returncode == 2 and "exactly one of" in bad.stderr
+
+
+def test_cli_mlt(small_index):
+    """mlt prints docAddress score lines; source text pulled from the
+    corpus should surface similar docs."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "mlt",
+         "merge policy considers segments", "-p", small_index,
+         "--field", "content", "-l", "5", "--scorer", "tfidf"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    hit_lines = [l for l in out.stdout.splitlines()
+                 if "/" in l and not l.startswith("elapsed")]
+    assert hit_lines
+    for l in hit_lines:
+        addr, score = l.split()
+        seg, doc = addr.split("/")
+        int(seg), int(doc), float(score)
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "mlt", "-p", small_index,
+         "--field", "content"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode == 2 and "need TEXT" in bad.stderr
