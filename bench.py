@@ -195,6 +195,8 @@ def main():
     for name, fn in [
         ("docs_bm25_topk", em.queries()["eng_bm25_topk"]),
         ("docs_phrase_tfidf", em.queries()["eng_phrase_tfidf"]),
+        ("docs_phrase_sloppy", em.queries()["eng_phrase_sloppy"]),
+        ("docs_more_like_this", em.queries()["eng_more_like_this"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),
