@@ -170,3 +170,29 @@ def test_large_slop_equals_window_unbounded(spark, sp_index):
         if _brute_sloppy(d["text"].split(), ["quick", "fox"], 50) > 0
     }
     assert got == exp
+
+
+def test_sloppy_in_batched_path(spark, sp_index):
+    """search_many carries slop through the shared wire: batched results
+    row-identical to the per-query path."""
+    from ostrich_spark.query.exec import search_many
+
+    idx, _ = sp_index
+    queries = {
+        "s1": 'text:"quick fox"~2',
+        "s0": 'text:"quick fox"',
+        "t": "text:dog",
+    }
+    batched = search_many(spark, idx, queries, limit=None).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["segment_id"], r["doc"], round(r["score"], 9))
+        )
+    for qid, q in queries.items():
+        res, _ = search(spark, idx, q, limit=None)
+        single = {
+            (r["segment_id"], r["doc"], round(r["score"], 9))
+            for r in res.collect()
+        }
+        assert by_q.get(qid, set()) == single, qid
