@@ -89,6 +89,24 @@ def _check_stored(manifest, field: str):
     return fe
 
 
+def _resolved_logical(spark, index_dir, manifest, query, default_fields):
+    """Parse, then expand multi-term nodes (prefix/fuzzy/wildcard/regexp)
+    against the dictionary BEFORE collecting match terms — otherwise a
+    ``content:spar*`` highlight ranks correctly but marks nothing (the
+    pattern node carries no terms). search() accepts the already-expanded
+    tree unchanged, so expansion happens once."""
+    from .query.expand import has_multiterm, rewrite_multiterm
+
+    logical = (
+        parse_query(query, manifest.schema, default_fields)
+        if isinstance(query, str)
+        else query
+    )
+    if has_multiterm(logical):
+        logical = rewrite_multiterm(spark, index_dir, manifest, logical)
+    return logical
+
+
 def highlight_df(
     spark,
     index_dir: str,
@@ -113,10 +131,8 @@ def highlight_df(
     the driver path (regression-tested)."""
     manifest = load_manifest(index_dir)
     fe = _check_stored(manifest, field)
-    logical = (
-        parse_query(query, manifest.schema, default_fields)
-        if isinstance(query, str)
-        else query
+    logical = _resolved_logical(
+        spark, index_dir, manifest, query, default_fields
     )
     match_terms = {t.term for t in collect_terms(logical) if t.field_id == fe.id}
     analyzer_name = fe.analyzer
@@ -176,10 +192,8 @@ def highlight(
     analyzed terms (phrase constituents included)."""
     manifest = load_manifest(index_dir)
     fe = _check_stored(manifest, field)
-    logical = (
-        parse_query(query, manifest.schema, default_fields)
-        if isinstance(query, str)
-        else query
+    logical = _resolved_logical(
+        spark, index_dir, manifest, query, default_fields
     )
     match_terms = {t.term for t in collect_terms(logical) if t.field_id == fe.id}
     analyzer = get_analyzer(fe.analyzer)

@@ -197,3 +197,16 @@ def test_highlight_df_requires_store(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="store=True"):
         highlight_df(spark, d, "content:quick", "content")
+
+
+def test_highlight_marks_multiterm_expansions(spark, stored_idx):
+    """A prefix/wildcard query's EXPANDED terms get marked — the pattern
+    node itself carries no terms (regression: used to mark nothing)."""
+    snips = {
+        s.doc_key["k"]: s
+        for s in highlight(spark, stored_idx, "content:sear*", "content", limit=5)
+    }
+    assert snips and any(s.n_matches > 0 for s in snips.values())
+    # stemmed dictionary term 'search' marks both surface forms
+    assert "**searching**" in snips[0].text
+    assert "**searched**" in snips[2].text
