@@ -103,9 +103,12 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     chunks = chunk_tokens(sampled, chunk_size=64, overlap=8)
     stats["chunks"] = chunks.count()
 
-    # 7. index the surviving docs (positions -> phrases, store -> snippets)
+    # 7. index the surviving docs (positions -> phrases, store -> snippets,
+    # numeric doc-value -> ranges/sorts/aggregations)
     schema = Schema()
     schema.add_text_field("text", "default", positions=True, store=True)
+    schema.add_numeric_field("size_bytes")
+    sampled = sampled.withColumn("size_bytes", F.length("text"))
     idx = os.path.join(work, "index")
     shutil.rmtree(idx, ignore_errors=True)
     build_index(
@@ -148,6 +151,29 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     stats["batched_hits_per_query"] = {
         r["query_id"]: 1 for r in batch.select("query_id").distinct().collect()
     }
+
+    # 8e. round-3 query surfaces: wildcard pattern, proximity phrase,
+    # more-like-this, and a doc-value aggregation over a match set
+    from ostrich_spark.query.exec import more_like_this, numeric_stats
+
+    # ('_' is a token separator, so merge_policy indexes as merge+policy)
+    wres, _ = search(spark, idx, "text:m?rge", limit=5)
+    stats["wildcard_hits"] = wres.count()
+    sres, _ = search(spark, idx, 'text:"delta packed"~2', limit=5)
+    stats["sloppy_hits"] = sres.count()
+    if stats["top_hits"]:
+        seed_path = stats["top_hits"][0][0]
+        seed_text = (
+            sampled.filter(F.col("path") == seed_path).select("text").collect()[0][0]
+        )
+        mres, _ = more_like_this(
+            spark, idx, "text", seed_text, max_query_terms=8, limit=3
+        )
+        stats["mlt_hits"] = [
+            h["path"] for h in attach_docmap(spark, idx, mres).select("path").collect()
+        ]
+    size_row = numeric_stats(spark, idx, "text:postings", "size_bytes").collect()[0]
+    stats["match_size_stats"] = (int(size_row["n"]), int(size_row["sum"]))
 
     # 9. delete lifecycle: tombstone a doc (a takedown request), verify it
     # vanished, then purge to reclaim the space physically

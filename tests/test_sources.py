@@ -126,3 +126,7 @@ def test_pipeline_example_end_to_end(tmp_path):
     assert got["after_dedup"] == "3"        # engine.py/engine_copy.py collapsed
     assert got["chunks"] == "3"
     assert "engine" in got["top_hits"] and "notes.md" in got["top_hits"]
+    assert got["wildcard_hits"] == "1"      # m?rge matches 'merge'
+    assert got["sloppy_hits"] == "1"        # "delta packed"~2 in notes.md
+    assert "engine" in got["mlt_hits"]      # self-similarity top hit
+    assert got["match_size_stats"].startswith("(1,")
