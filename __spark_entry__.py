@@ -336,6 +336,17 @@ def _q_eng_regexp(spark, sf_dir):
     return _engine_matches(spark, sf_dir, "text:/(sp|st).*m/")
 
 
+def _q_eng_min_should(spark, sf_dir):
+    """minimumShouldMatch EXTENSION (Lucene/ES analog): docs matching
+    >= 2 of {spark, join, window}, score = sum of the matching clauses."""
+    from ostrich_spark.query.parser import BooleanQuery, TermQuery
+
+    q = BooleanQuery.at_least(
+        2, TermQuery(0, "spark"), TermQuery(0, "join"), TermQuery(0, "window")
+    )
+    return _engine_matches(spark, sf_dir, None, logical=q)
+
+
 def _q_eng_mlt(spark, sf_dir):
     """MoreLikeThis EXTENSION (Lucene analog): top-5 tf·idf terms of doc
     42's text (engine idf, term-asc tie-break) -> union query -> all
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_fuzzy_lev2": _q_eng_fuzzy,
         "eng_wildcard": _q_eng_wildcard,
         "eng_regexp": _q_eng_regexp,
+        "eng_min_should2": _q_eng_min_should,
         "eng_more_like_this": _q_eng_mlt,
         "eng_pctl_nchars": _q_eng_pctl_nchars,
         "eng_facet_lang": _q_eng_facet_lang,
@@ -1141,6 +1153,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
             "WHERE t.term = 'spark' AND doc.n_chars >= 150 AND doc.n_chars < 400"
+        ),
+        "eng_min_should2": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join','window')), "
+            "g AS (SELECT doc_id, round(sum(sc), 6) AS score, count(*) AS c "
+            "FROM s GROUP BY doc_id) "
+            "SELECT doc_id, score FROM g WHERE c >= 2"
         ),
         "eng_more_like_this": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

@@ -412,6 +412,20 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
     if kind == "or":
         parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
         return _union_arrays(parts)
+    if kind == "min_should":
+        # union + per-doc child-match count; keep docs matched by >= m
+        # children, score = sum of matching children (minimumShouldMatch)
+        parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
+        parts = [p for p in parts if len(p[0])]
+        if len(parts) < int(wire["m"]):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, scores)
+        keep = counts >= int(wire["m"])
+        return uniq[keep], summed[keep]
     if kind == "and":
         if all(c["kind"] == "term" for c in wire["children"]):
             return eval_and_terms(wire["children"], term_data, scorer)

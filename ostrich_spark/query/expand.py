@@ -385,7 +385,8 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             [
                 (occ, rewrite_multiterm(spark, index_dir, manifest, sub))
                 for occ, sub in q.subqueries
-            ]
+            ],
+            min_should=q.min_should,
         )
     if isinstance(q, (TermQuery, PhraseQuery)):
         return q

@@ -207,6 +207,13 @@ class AllQuery:
 @dataclass
 class BooleanQuery:
     subqueries: list[tuple[str, object]] = field(default_factory=list)
+    # EXTENSION (Lucene/ES minimumShouldMatch analog): at least this many
+    # SHOULD clauses must match. 1 = ordinary union semantics. When > 1
+    # the SHOULD group becomes REQUIRED (>= m of it), also alongside
+    # MUST clauses (Lucene semantics); if fewer than m SHOULD clauses
+    # can match (absent terms included), the query matches nothing.
+    # Programmatic-only, like MUST_NOT/FILTER.
+    min_should: int = 1
 
     @staticmethod
     def intersection(*qs) -> "BooleanQuery":
@@ -217,21 +224,31 @@ class BooleanQuery:
         return BooleanQuery([(SHOULD, q) for q in qs])
 
     @staticmethod
+    def at_least(m: int, *qs) -> "BooleanQuery":
+        """Union requiring >= m of the clauses to match — extension,
+        see ``min_should``."""
+        if m < 1:
+            raise QueryParseError("min_should must be >= 1")
+        return BooleanQuery([(SHOULD, q) for q in qs], min_should=m)
+
+    @staticmethod
     def excluding(base: "BooleanQuery | object", *nots) -> "BooleanQuery":
         """base AND NOT (n1 OR n2 ...) — extension, see MUST_NOT."""
-        subs = (
-            list(base.subqueries) if isinstance(base, BooleanQuery) else [(MUST, base)]
-        )
-        return BooleanQuery(subs + [(MUST_NOT, n) for n in nots])
+        if isinstance(base, BooleanQuery):
+            subs, m = list(base.subqueries), base.min_should
+        else:
+            subs, m = [(MUST, base)], 1
+        return BooleanQuery(subs + [(MUST_NOT, n) for n in nots], min_should=m)
 
     @staticmethod
     def filtering(base: "BooleanQuery | object", *filters) -> "BooleanQuery":
         """base AND f1 AND f2 ... where the f's don't score — extension,
         see FILTER."""
-        subs = (
-            list(base.subqueries) if isinstance(base, BooleanQuery) else [(MUST, base)]
-        )
-        return BooleanQuery(subs + [(FILTER, f) for f in filters])
+        if isinstance(base, BooleanQuery):
+            subs, m = list(base.subqueries), base.min_should
+        else:
+            subs, m = [(MUST, base)], 1
+        return BooleanQuery(subs + [(FILTER, f) for f in filters], min_should=m)
 
 
 @dataclass(frozen=True)
@@ -461,7 +478,8 @@ def _apply_boost(q, boost: float):
         return dataclasses.replace(q, boost=q.boost * boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
-            [(occ, _apply_boost(sub, boost)) for occ, sub in q.subqueries]
+            [(occ, _apply_boost(sub, boost)) for occ, sub in q.subqueries],
+            min_should=q.min_should,
         )
     return q  # EmptyQuery
 

@@ -89,6 +89,16 @@ class CRange:
 
 
 @dataclass
+class CMinShould:
+    """Union requiring >= m children to match; score = sum of matching
+    children (Lucene minimumShouldMatch). NOT WAND-eligible: the count
+    constraint invalidates single-term upper bounds."""
+
+    children: list = dc_field(default_factory=list)
+    m: int = 1
+
+
+@dataclass
 class CIntersection:
     children: list = dc_field(default_factory=list)
 
@@ -255,6 +265,15 @@ def compile_query(
         shoulds = [s for s in shoulds if not isinstance(s, CEmpty)]
         nots = [n for n in nots if not isinstance(n, CEmpty)]
 
+        min_should = getattr(q, "min_should", 1)
+        if min_should > 1:
+            # the SHOULD group is REQUIRED (>= m of it must match);
+            # empties were dropped above, so an unsatisfiable m kills the
+            # query — Lucene's behavior when minimumShouldMatch exceeds
+            # the optional clause count
+            if len(shoulds) < min_should:
+                return CEmpty()
+
         n_pos = sum(1 for occ, _ in q.subqueries if occ in (MUST, SHOULD))
         if n_pos == 1 and not nots and not filters:
             # single-subquery unwrap (boolean_query.go:100-107)
@@ -265,9 +284,17 @@ def compile_query(
             must_node = musts[0] if len(musts) == 1 else CIntersection(musts)
         should_node = None
         if shoulds:
-            should_node = shoulds[0] if len(shoulds) == 1 else CUnion(shoulds)
+            if min_should > 1:
+                should_node = CMinShould(shoulds, min_should)
+            else:
+                should_node = shoulds[0] if len(shoulds) == 1 else CUnion(shoulds)
 
-        if must_node is not None and should_node is not None:
+        if must_node is not None and should_node is not None and min_should > 1:
+            # required should-group: docs must satisfy the musts AND
+            # >= m shoulds; score = must + matched shoulds (both legs
+            # of the intersection sum)
+            base = CIntersection([must_node, should_node])
+        elif must_node is not None and should_node is not None:
             base = CMustShould(must_node, should_node)
         elif must_node is not None:
             base = must_node
@@ -292,7 +319,7 @@ def compile_query(
 def node_terms(node) -> list[CTerm]:
     if isinstance(node, CTerm):
         return [node]
-    if isinstance(node, (CIntersection, CUnion)):
+    if isinstance(node, (CIntersection, CUnion, CMinShould)):
         out = []
         for c in node.children:
             out.extend(node_terms(c))
@@ -341,6 +368,12 @@ def to_wire(node) -> dict:
         return {"kind": "and", "children": [to_wire(c) for c in node.children]}
     if isinstance(node, CUnion):
         return {"kind": "or", "children": [to_wire(c) for c in node.children]}
+    if isinstance(node, CMinShould):
+        return {
+            "kind": "min_should",
+            "m": node.m,
+            "children": [to_wire(c) for c in node.children],
+        }
     if isinstance(node, CMustShould):
         return {"kind": "must_should", "must": to_wire(node.must), "should": to_wire(node.should)}
     if isinstance(node, CNot):
