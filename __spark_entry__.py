@@ -448,6 +448,36 @@ def _q_eng_batched(spark, sf_dir):
     )
 
 
+def _q_eng_search_after(spark, sf_dir):
+    """Cursor pagination (search_after): page through the full match set
+    of an OR query with a (score, segment_ord, doc) cursor and union the
+    pages. The oracle is the UNPAGED match set — a hash match proves the
+    pages tile the result exactly (no row lost or repeated at any page
+    boundary). Each page is a k-per-segment job: the cursor filters
+    BEFORE the local top-k cut, unlike offset paging."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    rows, after = [], None
+    for _ in range(1000):
+        res, _ = search(
+            spark, idx, "text:spark OR text:window",
+            limit=100, after=after, manifest=mf,
+        )
+        page = res.collect()
+        if not page:
+            break
+        rows.extend((r["segment_id"], r["doc"], r["score"]) for r in page)
+        last = page[-1]
+        after = (last["score"], last["segment_ord"], last["doc"])
+    pages = spark.createDataFrame(rows, "segment_id string, doc long, score double")
+    return attach_docmap(spark, idx, pages, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -963,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_q5_term_tfidf": _q_eng_term_tfidf,
         "eng_s4_and": _q_eng_and,
         "eng_batched_queries": _q_eng_batched,
+        "eng_search_after": _q_eng_search_after,
         "eng_s5_or": _q_eng_or,
         "eng_boost_or": _q_eng_boost_or,
         "eng_s6_must_should": _q_eng_must_should,
@@ -1054,6 +1085,13 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY doc_id HAVING count(*) = 2"
         ),
         "eng_s5_or": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        # search_after pages must tile the unpaged match set exactly
+        "eng_search_after": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "

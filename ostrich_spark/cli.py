@@ -68,6 +68,10 @@ def cmd_search(args) -> int:
             print(f"{r['segment_ord']}/{r['doc']} {r[args.sort_by]}")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
+    after = None
+    if getattr(args, "after", None):
+        s, so, d = args.after.split(",")
+        after = (float(s), int(so), int(d))
     res, cnt = search(
         spark,
         args.path,
@@ -76,6 +80,7 @@ def cmd_search(args) -> int:
         offset=args.offset,
         scorer=args.scorer,
         with_count=args.count,
+        after=after,
     )
     rows = res.collect()
     elapsed = time.time() - t0
@@ -376,6 +381,12 @@ def main(argv=None) -> int:
     s.add_argument(
         "--asc", action="store_true",
         help="with --sort-by: ascending (default descending)",
+    )
+    s.add_argument(
+        "--after",
+        metavar="SCORE,SEG_ORD,DOC",
+        help="cursor pagination: return hits strictly after this "
+        "(score, segment_ord, doc) row from a previous page",
     )
     s.set_defaults(fn=cmd_search)
 

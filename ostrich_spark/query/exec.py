@@ -810,6 +810,21 @@ def _empty_result_pdf() -> pd.DataFrame:
     )
 
 
+def _after_mask(
+    docs: np.ndarray, scores: np.ndarray, seg_ord: int, after: tuple
+) -> np.ndarray:
+    """Keep only docs strictly AFTER the cursor in the pinned total
+    order (score desc, segment_ord asc, doc asc). Score equality is a
+    reliable float compare: both sides are the identical deterministic
+    computation, so equal ranks are bit-equal."""
+    s, co, cd = after
+    if seg_ord < co:
+        return scores < s
+    if seg_ord == co:
+        return (scores < s) | ((scores == s) & (docs > cd))
+    return scores <= s
+
+
 def _score_segment_pdf(
     pdf: pd.DataFrame,
     wire_json: str,
@@ -820,6 +835,8 @@ def _score_segment_pdf(
     dels: np.ndarray | None = None,
     aux_sets: dict | None = None,
     segment_id: str | None = None,
+    after: tuple | None = None,
+    seg_ords: dict | None = None,
 ) -> pd.DataFrame:
     """Core per-segment scoring: pruned posting rows (+ optional sorted
     tombstoned-doc array) -> top-k rows and optionally a count row.
@@ -827,7 +844,15 @@ def _score_segment_pdf(
     Tombstoned segments stay on the WAND fast path: the delete set is
     passed into wand_union_topk, which masks deleted docs from every
     decoded list BEFORE seeding the threshold (a theta contaminated by
-    deleted docs could prune survivors that belong in the top-k)."""
+    deleted docs could prune survivors that belong in the top-k).
+
+    ``after`` (search_after cursor, exclusive) is applied BEFORE the
+    local top-k cut, so each segment returns its best k rows after the
+    cursor and the global merge stays k·segments-sized at any page
+    depth — the deep-paging shape where ``offset`` would re-collect
+    offset+limit rows. WAND is disabled by the caller in this mode (it
+    prunes exactly the low-scoring docs the cursor pages into). The
+    count row (with_count) counts ALL matches, cursor-independent."""
     wire = json.loads(wire_json)
     seg = pdf["segment_id"].iloc[0] if len(pdf) else segment_id
     term_data: dict = {}
@@ -846,6 +871,11 @@ def _score_segment_pdf(
             keep = ~np.isin(docs, dels)
             docs, scores = docs[keep], scores[keep]
 
+    n_matches = len(docs)
+    if after is not None and len(docs):
+        keep = _after_mask(docs, scores, int((seg_ords or {}).get(seg, 0)), after)
+        docs, scores = docs[keep], scores[keep]
+
     out_docs, out_scores = topk_arrays(docs, scores, k)
     res = pd.DataFrame(
         {
@@ -863,7 +893,7 @@ def _score_segment_pdf(
                     {
                         "segment_id": [seg],
                         "doc": [-1],
-                        "score": [float(len(docs))],
+                        "score": [float(n_matches)],
                         "is_count": [True],
                     }
                 ),
@@ -959,17 +989,24 @@ def split_aux_pdf(aux_pdf: pd.DataFrame):
     return dels, aux_sets
 
 
-def make_segment_scorer(wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool):
+def make_segment_scorer(
+    wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool,
+    after: tuple | None = None, seg_ords: dict | None = None,
+):
     """applyInPandas scorer for indexes without tombstones."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _score_segment_pdf(pdf, wire_json, k, scorer, with_count, use_wand)
+        return _score_segment_pdf(
+            pdf, wire_json, k, scorer, with_count, use_wand,
+            after=after, seg_ords=seg_ords,
+        )
 
     return fn
 
 
 def make_segment_scorer_cogroup(
-    wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool
+    wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool,
+    after: tuple | None = None, seg_ords: dict | None = None,
 ):
     """Cogrouped scorer: (postings, tombstones) per segment. The delete
     set rides the SAME shuffle as the postings (cogroup on segment_id) —
@@ -980,13 +1017,17 @@ def make_segment_scorer_cogroup(
             # segment has tombstones but no posting rows for these terms
             return _empty_result_pdf()
         dels = np.unique(tomb["doc"].to_numpy(dtype=np.int64)) if len(tomb) else None
-        return _score_segment_pdf(pdf, wire_json, k, scorer, with_count, use_wand, dels)
+        return _score_segment_pdf(
+            pdf, wire_json, k, scorer, with_count, use_wand, dels,
+            after=after, seg_ords=seg_ords,
+        )
 
     return fn
 
 
 def make_segment_scorer_aux(
-    wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool
+    wire_json: str, k: int | None, scorer: str, with_count: bool, use_wand: bool,
+    after: tuple | None = None, seg_ords: dict | None = None,
 ):
     """Cogrouped scorer: (postings, aux) per segment where aux carries
     range match sets (rid >= 0) and tombstones (rid = -1) down the SAME
@@ -1005,7 +1046,8 @@ def make_segment_scorer_aux(
             else aux_pdf["segment_id"].iloc[0]
         )
         return _score_segment_pdf(
-            pdf, wire_json, k, scorer, with_count, use_wand, dels, aux_sets, seg
+            pdf, wire_json, k, scorer, with_count, use_wand, dels, aux_sets, seg,
+            after=after, seg_ords=seg_ords,
         )
 
     return fn
@@ -1028,6 +1070,7 @@ def search(
     use_wand: bool = True,
     default_fields: list[str] | None = None,
     manifest: Manifest | None = None,
+    after: tuple | None = None,
 ):
     """Run a query; returns (results DataFrame, count or None).
 
@@ -1038,9 +1081,25 @@ def search(
     ``manifest`` pins the snapshot: pass the same manifest to
     attach_docmap so results and docmap come from one commit point even
     if a merge/commit lands in between.
+
+    ``after`` = (score, segment_ord, doc) of the last row of the
+    previous page (the columns search returns) — cursor pagination
+    (Elasticsearch search_after analog). Returns the next ``limit``
+    rows strictly after that row in the pinned total order. Unlike
+    ``offset`` (which makes every segment return offset+limit rows),
+    the cursor filters BEFORE each segment's local top-k, so page 10^4
+    costs the same as page 1. Mutually exclusive with ``offset``;
+    disables WAND (WAND prunes exactly the low scores being paged
+    into). Reuse the same pinned ``manifest`` across pages — a merge
+    between pages renumbers segment_ord and invalidates cursors.
     """
     from pyspark.sql import functions as F
 
+    if after is not None:
+        if offset:
+            raise ValueError("search_after and offset are mutually exclusive")
+        after = (float(after[0]), int(after[1]), int(after[2]))
+        use_wand = False
     if manifest is None:
         manifest = load_manifest(index_dir)
     schema = manifest.schema
@@ -1068,6 +1127,21 @@ def search(
         ord_df = spark.createDataFrame(ords, "segment_id string, segment_ord int")
         return df.join(F.broadcast(ord_df), "segment_id")
 
+    def apply_after(df):
+        if after is None:
+            return df
+        s, co, cd = after
+        return df.filter(
+            (F.col("score") < s)
+            | (
+                (F.col("score") == s)
+                & (
+                    (F.col("segment_ord") > co)
+                    | ((F.col("segment_ord") == co) & (F.col("doc") > cd))
+                )
+            )
+        )
+
     if wire["kind"] == "empty":
         empty = spark.createDataFrame([], "segment_id string, segment_ord int, doc long, score double")
         return empty, (0 if with_count else None)
@@ -1087,7 +1161,7 @@ def search(
             all_count = total_docs - tombstone_count(
                 index_dir, {s.segment_id for s in manifest.segments}
             )
-        docs = with_segment_ord(base).withColumn("score", F.lit(1.0))
+        docs = apply_after(with_segment_ord(base).withColumn("score", F.lit(1.0)))
         out = docs.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
         if offset:
             out = out.offset(offset)
@@ -1109,8 +1183,8 @@ def search(
                 read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
             )
         range_count = base.count() if with_count else None
-        docs = with_segment_ord(base).withColumn(
-            "score", F.lit(float(wire["score"]))
+        docs = apply_after(
+            with_segment_ord(base).withColumn("score", F.lit(float(wire["score"])))
         )
         out = docs.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
         if offset:
@@ -1131,10 +1205,12 @@ def search(
         # to prune on; the aux side drives the cogroup
         pruned = spark.createDataFrame([], POSTINGS_SPARK_SCHEMA)
     # WAND prunes non-candidates, so the exhaustive count must disable it
+    seg_ords = dict(ords) if after is not None else None
     if range_wires:
         aux = build_aux_df(spark, index_dir, manifest, range_wires, tombstoned)
         fn3 = make_segment_scorer_aux(
-            json.dumps(wire), k, scorer, with_count, use_wand and not with_count
+            json.dumps(wire), k, scorer, with_count, use_wand and not with_count,
+            after=after, seg_ords=seg_ords,
         )
         seg_results = (
             pruned.groupBy("segment_id")
@@ -1143,7 +1219,8 @@ def search(
         )
     elif tombstoned:
         fn2 = make_segment_scorer_cogroup(
-            json.dumps(wire), k, scorer, with_count, use_wand and not with_count
+            json.dumps(wire), k, scorer, with_count, use_wand and not with_count,
+            after=after, seg_ords=seg_ords,
         )
         seg_results = (
             pruned.groupBy("segment_id")
@@ -1152,7 +1229,8 @@ def search(
         )
     else:
         fn = make_segment_scorer(
-            json.dumps(wire), k, scorer, with_count, use_wand and not with_count
+            json.dumps(wire), k, scorer, with_count, use_wand and not with_count,
+            after=after, seg_ords=seg_ords,
         )
         seg_results = pruned.groupBy("segment_id").applyInPandas(fn, RESULT_SCHEMA)
 

@@ -268,3 +268,25 @@ def test_cli_mlt(small_index):
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert bad.returncode == 2 and "need TEXT" in bad.stderr
+
+
+def test_cli_search_after_cursor(small_index):
+    """--after pages: page 2 via cursor equals rows 4-6 of one big search."""
+    base = [sys.executable, "-m", "ostrich_spark", "search", "content:merge_policy OR content:segment",
+            "-p", small_index, "--scorer", "tfidf"]
+    kw = dict(capture_output=True, text=True, timeout=300, cwd="/root/repo")
+
+    def hits(out):
+        return [l.split() for l in out.stdout.splitlines()
+                if "/" in l and not l.startswith(("count", "elapsed"))]
+
+    full = subprocess.run(base + ["-l", "6"], **kw)
+    assert full.returncode == 0, full.stderr[-2000:]
+    all_hits = hits(full)
+    assert len(all_hits) == 6
+    page1 = subprocess.run(base + ["-l", "3"], **kw)
+    addr, score = hits(page1)[-1]
+    seg, doc = addr.split("/")
+    page2 = subprocess.run(base + ["-l", "3", "--after", f"{score},{seg},{doc}"], **kw)
+    assert page2.returncode == 0, page2.stderr[-2000:]
+    assert hits(page2) == all_hits[3:]
