@@ -478,6 +478,18 @@ def _q_eng_search_after(spark, sf_dir):
     )
 
 
+def _q_eng_sig_terms(spark, sf_dir):
+    """Term-level facet (significant_terms): for every term occurring in
+    docs matching text:spark, the foreground match count and the global
+    doc_freq — one cogrouped pass over the field's postings, match set
+    never collected."""
+    from ostrich_spark.query.exec import significant_terms
+
+    idx = _doc_index(spark, sf_dir)
+    st = significant_terms(spark, idx, "text:spark", "text")
+    return st.select("term", "n_docs", "doc_freq")
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -994,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s4_and": _q_eng_and,
         "eng_batched_queries": _q_eng_batched,
         "eng_search_after": _q_eng_search_after,
+        "eng_sig_terms": _q_eng_sig_terms,
         "eng_s5_or": _q_eng_or,
         "eng_boost_or": _q_eng_boost_or,
         "eng_s6_must_should": _q_eng_must_should,
@@ -1089,6 +1102,13 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_sig_terms": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'), "
+            "fg AS (SELECT t.term, count(*) AS n_docs FROM tf t "
+            "JOIN m USING(doc_id) GROUP BY t.term) "
+            "SELECT fg.term, fg.n_docs, d.df AS doc_freq FROM fg JOIN df d USING(term)"
         ),
         # search_after pages must tile the unpaged match set exactly
         "eng_search_after": (

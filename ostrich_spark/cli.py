@@ -123,6 +123,29 @@ def cmd_facet(args) -> int:
     return 0
 
 
+def cmd_sigterms(args) -> int:
+    """Term-level facet over a query's match set: ``term n_docs
+    doc_freq`` lines, foreground-count desc then term asc, top N."""
+    from pyspark.sql import functions as F
+
+    from .query.exec import significant_terms
+
+    spark = _spark()
+    t0 = time.time()
+    st = significant_terms(
+        spark, args.path, args.query, args.field,
+        scorer=args.scorer, min_doc_count=args.min_doc_count,
+    )
+    rows = (
+        st.orderBy(F.desc("n_docs"), F.asc("term")).limit(args.top).collect()
+    )
+    elapsed = time.time() - t0
+    for r in rows:
+        print(f"{r['term']} {r['n_docs']} {r['doc_freq']}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_agg(args) -> int:
     """Numeric doc-value aggregation over a query's FULL match set:
     --stats FIELD prints one n/min/max/sum/avg line; --hist FIELD
@@ -389,6 +412,15 @@ def main(argv=None) -> int:
         "(score, segment_ord, doc) row from a previous page",
     )
     s.set_defaults(fn=cmd_search)
+
+    tg = sub.add_parser("sigterms")
+    tg.add_argument("query")
+    tg.add_argument("-p", "--path", required=True)
+    tg.add_argument("--field", required=True, help="text field to facet terms of")
+    tg.add_argument("--top", type=int, default=20)
+    tg.add_argument("--min-doc-count", type=int, default=1)
+    tg.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    tg.set_defaults(fn=cmd_sigterms)
 
     ag = sub.add_parser("agg")
     ag.add_argument("query")

@@ -1596,6 +1596,121 @@ def facet_counts(
     return matched.groupBy(*by).agg(F.count("*").alias("n_docs"))
 
 
+SIG_TERMS_SCHEMA = "term string, n_docs long, doc_freq long"
+
+
+def _make_sig_terms_counter(min_doc: int):
+    """Cogrouped counter: (field-pruned postings rows, match rows) of one
+    segment -> per-term (n_docs in the match set, segment doc_freq)."""
+
+    def fn(post_pdf: pd.DataFrame, match_pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..codec import unpack_blocked
+
+        if not len(post_pdf):
+            return pd.DataFrame({"term": [], "n_docs": [], "doc_freq": []}).astype(
+                {"term": str, "n_docs": np.int64, "doc_freq": np.int64}
+            )
+        # every term is emitted even at n=0: its doc_freq contribution to
+        # the GLOBAL background count must survive segments where the
+        # term only occurs in non-matching docs (or with no matches at
+        # all) — fg filtering happens after the cross-segment sum
+        marr = (
+            np.unique(match_pdf["doc"].to_numpy(dtype=np.int64))
+            if len(match_pdf)
+            else np.empty(0, dtype=np.int64)
+        )
+        m_min = int(marr[0]) if len(marr) else 0
+        m_max = int(marr[-1]) if len(marr) else -1
+        terms, ns, dfs = [], [], []
+        for term, rows in post_pdf.groupby("term"):
+            n = 0
+            for _, row in rows.iterrows():
+                bm = np.asarray(row["block_max_doc"], dtype=np.int64)
+                if not len(bm) or not len(marr):
+                    continue
+                lo = np.empty_like(bm)
+                lo[0] = 0  # conservative: row's first block lower bound
+                lo[1:] = bm[:-1] + 1
+                sel = np.flatnonzero((bm >= m_min) & (lo <= m_max))
+                if not len(sel):
+                    continue
+                docs, _ = unpack_blocked(
+                    bytes(row["docs"]), list(row["doc_offs"]),
+                    int(row["doc_freq"]), True, sel,
+                )
+                idx = np.searchsorted(marr, docs)
+                idx[idx == len(marr)] = 0
+                n += int(np.sum(marr[idx] == docs))
+            terms.append(term)
+            ns.append(n)
+            dfs.append(int(rows["doc_freq"].sum()))
+        return pd.DataFrame({"term": terms, "n_docs": ns, "doc_freq": dfs})
+
+    return fn
+
+
+def significant_terms(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+    min_doc_count: int = 1,
+):
+    """Term-level facet over a query's match set (Elasticsearch
+    significant_terms / terms-aggregation analog — EXTENSION, the
+    reference's collectors return docs/counts only, /root/reference/
+    reader/search.go:21-66). For every term of ``field`` that occurs in
+    at least ``min_doc_count`` matching docs, returns
+
+        (term, n_docs, doc_freq)
+
+    where ``n_docs`` is the foreground count (matching docs containing
+    the term) and ``doc_freq`` the background count (all docs, summed
+    from the committed segments' posting metadata in the same pass —
+    like scoring stats, frozen w.r.t. tombstones until purge). Callers
+    derive lift/JLH-style significance from the two counts plus
+    manifest totals.
+
+    Scale posture: the match set is NOT collected or broadcast — it is
+    cogrouped with the field's postings on segment_id, so both ride one
+    co-partitioned shuffle. Within a segment the counter decodes only
+    the doc column (tfs/lens/pos columns are pruned from the scan) and
+    only the blocks whose [lower bound, block_max_doc] window intersects
+    the match-doc range; counting is a vectorized searchsorted per term.
+    The per-term output is partially aggregated map-side by the final
+    groupBy, so the second shuffle carries one row per (segment, term).
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or fe.is_numeric:
+        raise ValueError(f"{field!r} is not a text field of this index")
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    post = (
+        read_postings(spark, index_dir, manifest)
+        .filter(F.col("field") == fe.id)
+        .select("segment_id", "term", "doc_freq", "docs", "doc_offs", "block_max_doc")
+    )
+    per_seg = (
+        post.groupBy("segment_id")
+        .cogroup(res.select("segment_id", "doc").groupBy("segment_id"))
+        .applyInPandas(_make_sig_terms_counter(1), SIG_TERMS_SCHEMA)
+    )
+    return (
+        per_seg.groupBy("term")
+        .agg(F.sum("n_docs").alias("n_docs"), F.sum("doc_freq").alias("doc_freq"))
+        .filter(F.col("n_docs") >= max(1, min_doc_count))
+    )
+
+
 def _numeric_field_entry(manifest, by: str):
     fe = manifest.schema.field_by_name(by)
     if fe is None or not fe.is_numeric:

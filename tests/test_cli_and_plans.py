@@ -290,3 +290,20 @@ def test_cli_search_after_cursor(small_index):
     page2 = subprocess.run(base + ["-l", "3", "--after", f"{score},{seg},{doc}"], **kw)
     assert page2.returncode == 0, page2.stderr[-2000:]
     assert hits(page2) == all_hits[3:]
+
+
+def test_cli_sigterms(small_index):
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "sigterms", "content:merge_policy",
+         "-p", small_index, "--field", "content", "--top", "5"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip() and not l.startswith("elapsed")]
+    assert 1 <= len(lines) <= 5
+    for l in lines:
+        term, n, df = l.split()
+        assert int(n) <= int(df)
+    # the queried term's analyzed constituents ('_' separates) are
+    # most-frequent foreground terms
+    assert {"merge", "policy"} & {l.split()[0] for l in lines}
