@@ -490,6 +490,22 @@ def _q_eng_sig_terms(spark, sf_dir):
     return st.select("term", "n_docs", "doc_freq")
 
 
+def _q_eng_suggest(spark, sf_dir):
+    """Did-you-mean: all dictionary terms of 'text' within 2 edits of
+    the misspelling 'rost', with global doc_freq and distance.
+    prefix_length=0 exercises the DISTRIBUTED whole-dictionary scan
+    (JVM levenshtein, length-window pre-filter); oracle recomputes with
+    DuckDB levenshtein."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.expand import suggest_terms
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    fe = mf.schema.field_by_name("text")
+    rows = suggest_terms(spark, idx, mf, fe.id, "rost", max_dist=2, prefix_length=0)
+    return spark.createDataFrame(rows, "term string, doc_freq long, dist int")
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -1007,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_batched_queries": _q_eng_batched,
         "eng_search_after": _q_eng_search_after,
         "eng_sig_terms": _q_eng_sig_terms,
+        "eng_suggest": _q_eng_suggest,
         "eng_s5_or": _q_eng_or,
         "eng_boost_or": _q_eng_boost_or,
         "eng_s6_must_should": _q_eng_must_should,
@@ -1102,6 +1119,11 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_suggest": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE} "
+            "SELECT term, df AS doc_freq, CAST(levenshtein(term, 'rost') AS INT) AS dist "
+            "FROM df WHERE levenshtein(term, 'rost') <= 2"
         ),
         "eng_sig_terms": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE}, "

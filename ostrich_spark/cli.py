@@ -123,6 +123,34 @@ def cmd_facet(args) -> int:
     return 0
 
 
+def cmd_suggest(args) -> int:
+    """Did-you-mean: ``term doc_freq distance`` lines, distance asc then
+    doc_freq desc. The input word is normalized by the field's analyzer
+    so suggestions live in the same dictionary space as queries."""
+    from .analysis import get_analyzer
+    from .manifest import load_manifest
+    from .query.expand import suggest_terms
+
+    spark = _spark()
+    t0 = time.time()
+    mf = load_manifest(args.path)
+    fe = mf.schema.field_by_name(args.field)
+    if fe is None or fe.is_numeric:
+        print(f"error: {args.field!r} is not a text field", file=sys.stderr)
+        return 2
+    toks = get_analyzer(fe.analyzer).analyze_one(args.term)
+    word = toks[0] if toks else args.term.lower()
+    out = suggest_terms(
+        spark, args.path, mf, fe.id, word,
+        max_dist=args.max_dist, prefix_length=args.prefix_length,
+    )[: args.top]
+    elapsed = time.time() - t0
+    for t, df, d in out:
+        print(f"{t} {df} {d}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_sigterms(args) -> int:
     """Term-level facet over a query's match set: ``term n_docs
     doc_freq`` lines, foreground-count desc then term asc, top N."""
@@ -412,6 +440,15 @@ def main(argv=None) -> int:
         "(score, segment_ord, doc) row from a previous page",
     )
     s.set_defaults(fn=cmd_search)
+
+    sg = sub.add_parser("suggest")
+    sg.add_argument("term")
+    sg.add_argument("-p", "--path", required=True)
+    sg.add_argument("--field", required=True)
+    sg.add_argument("--max-dist", type=int, default=2)
+    sg.add_argument("--prefix-length", type=int, default=1)
+    sg.add_argument("--top", type=int, default=5)
+    sg.set_defaults(fn=cmd_suggest)
 
     tg = sub.add_parser("sigterms")
     tg.add_argument("query")

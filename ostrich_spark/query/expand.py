@@ -214,6 +214,88 @@ def expand_fuzzy(
     return _cap(pairs, max_expansions)
 
 
+def levenshtein_dist(a: str, b: str) -> int:
+    """Exact unit-cost Levenshtein distance (matches the JVM/DuckDB
+    ``levenshtein`` semantics: insert/delete/substitute, no
+    transposition)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
+
+
+def suggest_terms(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    term: str,
+    max_dist: int = 2,
+    prefix_length: int = 1,
+) -> list[tuple[str, int, int]]:
+    """Did-you-mean suggester (Lucene DirectSpellChecker analog —
+    EXTENSION, the reference has no suggest API): dictionary terms of
+    ``field_id`` within ``max_dist`` edits of ``term``, as
+    (term, doc_freq, distance) ranked distance ASC, doc_freq DESC,
+    term ASC. The input term itself (distance 0) is included when
+    present — callers decide whether an in-dictionary word needs
+    correcting.
+
+    ``prefix_length`` > 0 prunes candidates to the shared-prefix
+    dictionary range (pyarrow row-group pushdown on the sorted stats
+    file — metadata access, not cluster work); 0 scans the whole
+    dictionary distributed (JVM levenshtein with a length-window
+    pre-filter), collecting only the match set.
+    """
+    from pyspark.sql import functions as F
+
+    prefix_length = min(prefix_length, len(term))
+    if prefix_length > 0:
+        p = term[:prefix_length]
+        pairs = _range_candidates(index_dir, field_id, p, prefix_upper_bound(p))
+        if pairs is None:
+            rows = _postings_range_df(
+                spark, index_dir, manifest, field_id, p, prefix_upper_bound(p)
+            ).collect()
+            pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+        out = [
+            (t, df, levenshtein_dist(t, term))
+            for t, df in pairs
+            if levenshtein_within(t, term, max_dist)
+        ]
+    else:
+        files = _stats_files(index_dir)
+        if files is not None:
+            df = spark.read.parquet(*files).filter(F.col("field") == field_id)
+        else:
+            from .exec import read_postings
+
+            df = (
+                read_postings(spark, index_dir, manifest)
+                .filter(F.col("field") == field_id)
+                .groupBy("term")
+                .agg(F.sum("doc_freq").alias("doc_freq"))
+            )
+        rows = (
+            df.filter(
+                (F.length("term") >= len(term) - max_dist)
+                & (F.length("term") <= len(term) + max_dist)
+                & (F.levenshtein(F.col("term"), F.lit(term)) <= max_dist)
+            )
+            .select("term", "doc_freq", F.levenshtein(F.col("term"), F.lit(term)).alias("dist"))
+            .collect()
+        )
+        out = [(r["term"], int(r["doc_freq"]), int(r["dist"])) for r in rows]
+    return sorted(out, key=lambda x: (x[2], -x[1], x[0]))
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """Glob pattern -> regex source: ``*`` = ``.*``, ``?`` = ``.``,
     everything else literal. Alphanumerics pass through unescaped so the

@@ -307,3 +307,17 @@ def test_cli_sigterms(small_index):
     # the queried term's analyzed constituents ('_' separates) are
     # most-frequent foreground terms
     assert {"merge", "policy"} & {l.split()[0] for l in lines}
+
+
+def test_cli_suggest(small_index):
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "suggest", "merge_polcy",
+         "-p", small_index, "--field", "content", "--top", "3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip() and not l.startswith("elapsed")]
+    assert lines, out.stdout
+    # analyzer splits merge_polcy -> merge (in dictionary, distance 0 first)
+    term, df, dist = lines[0].split()
+    assert term == "merge" and dist == "0"

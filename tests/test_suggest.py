@@ -1,0 +1,98 @@
+"""Did-you-mean suggester (Lucene DirectSpellChecker analog; EXTENSION —
+the reference has no suggest API). Oracle: pure-Python Levenshtein over
+a recount of the corpus dictionary."""
+
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from ostrich_spark.analysis import get_analyzer
+from ostrich_spark.build import build_index
+from ostrich_spark.manifest import load_manifest
+from ostrich_spark.query.expand import (
+    levenshtein_dist,
+    levenshtein_within,
+    suggest_terms,
+)
+from ostrich_spark.schema import Schema
+
+DOCS = [
+    {"k": 0, "content": "spark shuffle merge stream"},
+    {"k": 1, "content": "spark spans sparse stream streams"},
+    {"k": 2, "content": "shard share spark stream"},
+    {"k": 3, "content": "merge policy segment spear"},
+]
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sugg") / "idx")
+    s = Schema()
+    s.add_text_field("content", "default")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(DOCS)), s, path,
+        num_partitions=2, order_col="k", id_cols=["k"],
+    )
+    return path
+
+
+def _dictionary():
+    an = get_analyzer("default")
+    df = Counter()
+    for d in DOCS:
+        for t in set(an.analyze_one(d["content"])):
+            df[t] += 1
+    return df
+
+
+def _oracle(word, max_dist, prefix_length):
+    df = _dictionary()
+    out = []
+    for t, n in df.items():
+        if prefix_length and t[:prefix_length] != word[:prefix_length]:
+            continue
+        d = levenshtein_dist(t, word)
+        if d <= max_dist:
+            out.append((t, n, d))
+    return sorted(out, key=lambda x: (x[2], -x[1], x[0]))
+
+
+def test_levenshtein_dist_goldens():
+    assert levenshtein_dist("spark", "spark") == 0
+    assert levenshtein_dist("sparc", "spark") == 1
+    assert levenshtein_dist("spak", "spark") == 1
+    assert levenshtein_dist("sprak", "spark") == 2  # no transposition op
+    assert levenshtein_dist("kitten", "sitting") == 3
+    assert levenshtein_dist("", "abc") == 3
+
+
+def test_within_consistent_with_dist():
+    words = ["spark", "sparse", "spear", "shard", "stream", "merge", ""]
+    for a in words:
+        for b in words:
+            for m in (0, 1, 2, 3):
+                assert levenshtein_within(a, b, m) == (levenshtein_dist(a, b) <= m)
+
+
+@pytest.mark.parametrize("word,max_dist", [("sparc", 1), ("sparc", 2), ("strem", 2)])
+def test_suggest_matches_oracle(spark, idx, word, max_dist):
+    mf = load_manifest(idx)
+    got = suggest_terms(spark, idx, mf, 0, word, max_dist=max_dist, prefix_length=1)
+    assert got == _oracle(word, max_dist, 1)
+
+
+def test_suggest_includes_exact_term_at_dist0(spark, idx):
+    mf = load_manifest(idx)
+    got = suggest_terms(spark, idx, mf, 0, "spark", max_dist=2, prefix_length=1)
+    assert got[0] == ("spark", 3, 0)
+
+
+def test_suggest_wholedict_scan_superset(spark, idx):
+    """prefix_length=0 (distributed JVM path) finds everything the
+    prefix-pruned path finds, plus terms with a different first letter."""
+    mf = load_manifest(idx)
+    full = suggest_terms(spark, idx, mf, 0, "sparc", max_dist=2, prefix_length=0)
+    pruned = suggest_terms(spark, idx, mf, 0, "sparc", max_dist=2, prefix_length=1)
+    assert [x for x in full if x[0][:1] == "s"] == pruned
+    assert full == _oracle("sparc", 2, 0)
