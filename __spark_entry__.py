@@ -580,6 +580,62 @@ def _q_eng_delete_purged(spark, sf_dir):
     return _deleted_matches(spark, sf_dir, purged=True)
 
 
+_UPD_INDEX_CACHE: dict[str, str] = {}
+_UPD_TEXT = "updated spark pipeline rewrite"
+
+
+def _upd_index(spark, sf_dir: str) -> str:
+    """Copy of the entry index where every doc_id % 11 == 0 was UPSERTED
+    (update_docs: tombstone + append) with replacement text, then purged
+    so stats are recomputed over the live set — the full update
+    lifecycle end-to-end."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.deletes import update_docs
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.merge import purge_deletes
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _UPD_INDEX_CACHE:
+        return _UPD_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-upd"
+    if not manifest_exists(index_dir) or not any(
+        s.startswith("purge-") for s in os.listdir(f"{index_dir}/segments")
+    ):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        build_index(
+            spark, _docs(spark, sf_dir), schema, index_dir, num_partitions=4,
+            order_col="doc_id", id_cols=["doc_id"], build_id=f"entry-upd-{tag}",
+        )
+        batch = (
+            _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 11 == 0)
+            .select("doc_id", F.lit(_UPD_TEXT).alias("text"))
+        )
+        update_docs(spark, index_dir, batch, ["doc_id"], f"u2x{tag}", num_partitions=1)
+        purge_deletes(spark, index_dir)
+    _UPD_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_update_purged(spark, sf_dir):
+    """Upsert lifecycle: docs doc_id % 11 == 0 replaced via update_docs,
+    then purged; scores over text:spark as if the index were built from
+    the post-update corpus."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _upd_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(spark, idx, "text:spark", limit=None, manifest=mf)
+    return (
+        attach_docmap(spark, idx, res, manifest=mf)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 def _q_eng_phrase_tfidf(spark, sf_dir):
     """Phrase extension: consecutive-term match on the positions-enabled
     index; idf(phrase) = sum of constituent idfs (Lucene convention),
@@ -1052,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_stored_field": _q_eng_stored_field,
         "eng_delete_tombstone": _q_eng_delete_tombstone,
         "eng_delete_purged": _q_eng_delete_purged,
+        "eng_update_purged": _q_eng_update_purged,
         "eng_c3_count": _q_eng_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_sigs": _q_minhash_sigs,
@@ -1310,6 +1367,19 @@ def oracle_sql() -> dict[str, str]:
         "eng_stored_field": "SELECT doc_id, text FROM documents",
         # tombstone semantics: deleted docs filtered from RESULTS, but df/N
         # still computed over the full corpus (stats frozen until purge)
+        # upsert lifecycle: post-purge scores == a build over the
+        # post-update corpus (doc_id % 11 == 0 docs carry the new text)
+        "eng_update_purged": (
+            "WITH live AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 "
+            f"THEN '{_UPD_TEXT}' ELSE text END AS text FROM documents), "
+            "toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM live), "
+            f"{TF_CTE}, "
+            "n AS (SELECT count(*) AS n FROM live), "
+            f"{DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
+        ),
         "eng_delete_tombstone": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "

@@ -35,6 +35,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 import uuid
 from typing import Iterator
@@ -357,7 +358,11 @@ def build_index(
     if mode == "append" and manifest_exists(index_dir):
         committed = load_manifest(index_dir)
         if any(
-            s.lineage.get("build_id") == build_id or s.segment_id.endswith(f"-{build_id}")
+            # exact-id comparisons only: a suffix test would false-positive
+            # when one build_id is a dash-suffix of another (e.g. 'upd-x'
+            # vs 'entry-upd-x'), rejecting a legitimately fresh append
+            s.lineage.get("build_id") == build_id
+            or re.fullmatch(rf"seg\d+-{re.escape(build_id)}", s.segment_id)
             for s in committed.segments
         ):
             # without this guard every partition takes the checkpoint-hit

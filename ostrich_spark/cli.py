@@ -312,6 +312,32 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_update(args) -> int:
+    """Upsert a corpus batch: tombstone committed docs with matching
+    identity, append the batch as new segments. Schema comes from the
+    committed manifest — the batch must carry its text/numeric columns
+    plus the id columns."""
+    from .deletes import update_docs
+    from .sources import load_corpus
+
+    spark = _spark()
+    df = load_corpus(spark, args.corpus, shape=False)
+    n_tomb, manifest = update_docs(
+        spark,
+        args.path,
+        df,
+        args.id_col,
+        args.build_id,
+        num_partitions=args.partitions,
+        order_col=args.order_col,
+    )
+    print(
+        f"updated: {n_tomb} replaced, now {len(manifest.segments)} segments, "
+        f"{manifest.total_docs} docs, opstamp {manifest.opstamp}"
+    )
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Tombstone docs whose id column matches the given values (or every
     doc matched by --query). Purge physically with `merge`/`purge`."""
@@ -509,6 +535,16 @@ def main(argv=None) -> int:
     b.add_argument("--id-col", action="append")
     b.add_argument("--build-id", default="cli")
     b.set_defaults(fn=cmd_build)
+
+    u = sub.add_parser("update")
+    u.add_argument("corpus")
+    u.add_argument("-p", "--path", required=True)
+    u.add_argument("--id-col", action="append", required=True)
+    u.add_argument("--partitions", type=int, default=8)
+    u.add_argument("--order-col")
+    u.add_argument("--build-id", required=True,
+                   help="fresh id per batch (rerun the SAME id to resume a crashed update)")
+    u.set_defaults(fn=cmd_update)
 
     m = sub.add_parser("merge")
     m.add_argument("-p", "--path", required=True)

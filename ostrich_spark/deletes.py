@@ -181,3 +181,64 @@ def delete_docs(spark, index_dir: str, match_df, key_cols: list[str]) -> int:
     save_manifest(index_dir, manifest)
     invalidate_cache(index_dir)
     return n_total - n_old
+
+
+def update_docs(
+    spark,
+    index_dir: str,
+    docs_df,
+    id_cols: list[str],
+    build_id: str,
+    num_partitions: int = 8,
+    order_col: str | None = None,
+    fail_after_partitions: int | None = None,
+):
+    """Upsert: tombstone every committed doc whose identity matches a
+    row of ``docs_df``, then append the batch as new segments (Lucene
+    ``updateDocument`` / Elasticsearch ``_update`` analog — EXTENSION,
+    the reference's delete plumbing is commented out at
+    /root/reference/index/index_meta.go:55-59). Identities not in the
+    index insert cleanly (the delete joins nothing for them).
+
+    Returns ``(n_tombstoned, manifest)``.
+
+    Two commits, each individually atomic: (1) the tombstone pointer
+    swap, (2) the append's manifest write. A crash between them leaves
+    the victims hidden and the new batch absent — RERUNNING the same
+    call is the recovery: the delete re-commits 0 new tombstones
+    (idempotent) and the append resumes from its per-partition
+    checkpoints under the same ``build_id``. A build_id that was
+    already COMMITTED raises, same contract as build_index(mode=
+    'append').
+
+    The batch must carry one row per identity: a duplicated key inside
+    one upsert has no defined last-writer, so it is rejected up front
+    (one aggregation job) instead of silently indexing both rows.
+    """
+    from .build import build_index
+
+    manifest = load_manifest(index_dir)
+    schema = manifest.schema
+    dup = (
+        docs_df.groupBy(*id_cols).count().filter("count > 1").limit(1).collect()
+    )
+    if dup:
+        key = {c: dup[0][c] for c in id_cols}
+        raise ValueError(
+            f"update_docs batch contains duplicate identity {key}; "
+            "deduplicate the batch before upserting"
+        )
+    n_tomb = delete_docs(spark, index_dir, docs_df.select(*id_cols), id_cols)
+    mf = build_index(
+        spark,
+        docs_df,
+        schema,
+        index_dir,
+        num_partitions=num_partitions,
+        order_col=order_col,
+        id_cols=id_cols,
+        build_id=build_id,
+        mode="append",
+        fail_after_partitions=fail_after_partitions,
+    )
+    return n_tomb, mf
