@@ -805,6 +805,21 @@ def _q_token_stats(spark, sf_dir):
     return _longify(token_stats(_docs(spark, sf_dir)))
 
 
+def _q_keyterms(spark, sf_dir):
+    """Per-doc keyword extraction: top-3 terms by tf·idf (engine idf
+    formula), deterministic tie-break (score desc, term asc)."""
+    from ostrich_spark.textops import keyterms
+
+    kt = keyterms(_docs(spark, sf_dir), "text", top_m=3)
+    return kt.select(
+        F.col("doc_id").cast("long"),
+        "term",
+        F.col("tf").cast("long"),
+        "score",
+        F.col("rank").cast("int"),
+    )
+
+
 def _query_vec(spark, sf_dir):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     return [float(x) for x in row["embedding"]]
@@ -1125,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "text_token_stats": _q_token_stats,
+        "text_keyterms": _q_keyterms,
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
@@ -1575,6 +1591,16 @@ def oracle_sql() -> dict[str, str]:
             "(('0x' || substr(sha256('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
             " / 4294967296.0) < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 "
             "WHEN 'fr' THEN 0.25 ELSE 0.1 END"
+        ),
+        "text_keyterms": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.term, t.tf, "
+            "round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term)), "
+            "r AS (SELECT *, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM s) "
+            "SELECT doc_id, term, tf, score, CAST(rank AS INT) AS rank "
+            "FROM r WHERE rank <= 3"
         ),
         "text_repetition": (
             f"WITH {TOKS_CTE}, {TOKLIST_CTE}, "

@@ -254,3 +254,39 @@ def scrub_pii(df, text_col="text"):
     for name, p in PII_PATTERNS.items():
         scrubbed = F.regexp_replace(scrubbed, p, f"<{name.upper()}>")
     return df.select("doc_id", *count_cols, scrubbed.alias("scrubbed"))
+
+
+def keyterms(df, text_col="text", top_m=5, id_col="doc_id"):
+    """Per-document key terms: the ``top_m`` terms by tf·idf with the
+    engine's idf formula ``1 + ln(N / (1 + df))`` — keyword extraction
+    for training-data curation (topic tagging, near-dup triage, corpus
+    exploration). Returns (id_col, term, tf, score, rank) with rank
+    1..top_m per doc, ties broken score DESC then term ASC so the cut
+    is deterministic and engine-portable.
+
+    Scale posture: one explode → partial-aggregated groupBy(doc, term)
+    for tf, one groupBy(term) for df (vocabulary-sized, rides back via a
+    join AQE will broadcast when small), one window partitioned by doc
+    for the top-m cut. All JVM-side expressions — no Python in the path;
+    N is a scalar literal (one count job), not a cross-join.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = with_tokens(df, text_col).select(id_col, F.explode("toks").alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        id_col,
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * (F.lit(1.0) + F.log(F.lit(float(n_docs)) / (F.lit(1.0) + F.col("df")))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_m)
+    )
