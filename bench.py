@@ -189,6 +189,49 @@ def main():
         best = min(best, time.time() - t0)
     timings["count_collector"] = round(best, 3)
 
+    # deep paging: offset makes every segment return offset+limit rows;
+    # the search_after cursor filters BEFORE the local top-k so the deep
+    # page stays a k-per-segment job (page ~1000 at page-1 cost)
+    deep_q = "content:the"
+    probe, _ = search(spark, idx, deep_q, limit=1000, use_wand=False)
+    last = probe.collect()[-1]
+    cursor = (last["score"], last["segment_ord"], last["doc"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        search(spark, idx, deep_q, limit=10, offset=1000)[0].collect()
+        best = min(best, time.time() - t0)
+    timings["page_deep_offset"] = round(best, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        search(spark, idx, deep_q, limit=10, after=cursor)[0].collect()
+        best = min(best, time.time() - t0)
+    timings["page_deep_cursor"] = round(best, 3)
+
+    # term-level facet: full-postings cogroup against an exhaustive
+    # match set (the heaviest analytic query shape)
+    from ostrich_spark.query.exec import significant_terms
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        significant_terms(spark, idx, "content:search", "content").collect()
+        best = min(best, time.time() - t0)
+    timings["sig_terms"] = round(best, 3)
+
+    # did-you-mean over the whole dictionary (distributed JVM levenshtein)
+    from ostrich_spark.manifest import load_manifest as _lm
+    from ostrich_spark.query.expand import suggest_terms
+
+    _mf = _lm(idx)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        suggest_terms(spark, idx, _mf, 0, "serach", max_dist=2, prefix_length=0)
+        best = min(best, time.time() - t0)
+    timings["suggest_wholedict"] = round(best, 3)
+
     # --- 3. training-data ops on the driver testdata ---------------------
     import __spark_entry__ as em
 
