@@ -478,6 +478,30 @@ def _q_eng_search_after(spark, sf_dir):
     )
 
 
+def _q_eng_dismax(spark, sf_dir):
+    """DisMax: max(child scores) + tie*(sum - max), tie=0.3 — the Lucene
+    DisjunctionMaxQuery combination (the reference's unions always sum)."""
+    from ostrich_spark.query.parser import DisMaxQuery, parse_query
+
+    idx = _doc_index(spark, sf_dir)
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    mf = load_manifest(idx)
+    dm = DisMaxQuery(
+        [
+            parse_query("text:spark", mf.schema),
+            parse_query("text:join", mf.schema),
+        ],
+        0.3,
+    )
+    res, _ = search(spark, idx, dm, limit=None, manifest=mf)
+    return (
+        attach_docmap(spark, idx, res, manifest=mf)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 def _q_eng_sig_terms(spark, sf_dir):
     """Term-level facet (significant_terms): for every term occurring in
     docs matching text:spark, the foreground match count and the global
@@ -1094,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_batched_queries": _q_eng_batched,
         "eng_search_after": _q_eng_search_after,
         "eng_sig_terms": _q_eng_sig_terms,
+        "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
         "eng_s5_or": _q_eng_or,
         "eng_boost_or": _q_eng_boost_or,
@@ -1192,6 +1217,18 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        "eng_dismax": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join')), "
+            "a AS (SELECT doc_id, sc FROM s WHERE term = 'spark'), "
+            "b AS (SELECT doc_id, sc FROM s WHERE term = 'join'), "
+            "u AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, "
+            "coalesce(a.sc, 0.0) AS s1, coalesce(b.sc, 0.0) AS s2 "
+            "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) "
+            "SELECT doc_id, round(greatest(s1, s2) + 0.3 * (s1 + s2 - greatest(s1, s2)), 6) AS score "
+            "FROM u"
         ),
         "eng_suggest": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE} "

@@ -412,6 +412,23 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
     if kind == "or":
         parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
         return _union_arrays(parts)
+    if kind == "dismax":
+        # union of children; score = max + tie*(sum - max) (Lucene
+        # DisjunctionMaxQuery). Children's doc arrays are sorted unique,
+        # so scatter into the union via searchsorted.
+        parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs = np.unique(np.concatenate([p[0] for p in parts]))
+        mx = np.full(len(docs), -np.inf, dtype=np.float64)
+        sm = np.zeros(len(docs), dtype=np.float64)
+        for cd, cs in parts:
+            pos = np.searchsorted(docs, cd)
+            np.maximum.at(mx, pos, cs)
+            sm[pos] += cs
+        tie = float(wire["tie"])
+        return docs, mx + tie * (sm - mx)
     if kind == "min_should":
         # union + per-doc child-match count; keep docs matched by >= m
         # children, score = sum of matching children (minimumShouldMatch)

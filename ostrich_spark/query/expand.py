@@ -37,6 +37,7 @@ import os
 
 from .parser import (
     BooleanQuery,
+    DisMaxQuery,
     EmptyQuery,
     FuzzyQuery,
     PhraseQuery,
@@ -415,6 +416,8 @@ def has_multiterm(q) -> bool:
         return True
     if isinstance(q, BooleanQuery):
         return any(has_multiterm(sub) for _, sub in q.subqueries)
+    if isinstance(q, DisMaxQuery):
+        return any(has_multiterm(sub) for sub in q.children)
     return False
 
 
@@ -469,6 +472,11 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
                 for occ, sub in q.subqueries
             ],
             min_should=q.min_should,
+        )
+    if isinstance(q, DisMaxQuery):
+        return DisMaxQuery(
+            [rewrite_multiterm(spark, index_dir, manifest, sub) for sub in q.children],
+            q.tie_breaker,
         )
     if isinstance(q, (TermQuery, PhraseQuery)):
         return q

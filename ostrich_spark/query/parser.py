@@ -251,6 +251,35 @@ class BooleanQuery:
         return BooleanQuery(subs + [(FILTER, f) for f in filters], min_should=m)
 
 
+@dataclass
+class DisMaxQuery:
+    """Disjunction-max (Lucene DisjunctionMaxQuery analog — EXTENSION,
+    the reference sums all unions): a doc matching any child matches;
+    its score is the BEST child score plus ``tie_breaker`` times the
+    rest:  max(s_i) + tie * (sum(s_i) - max(s_i)).  tie=0 is pure max
+    (the classic multi-field shape: don't reward the same word spread
+    thinly across fields), tie=1 degenerates to the ordinary union sum.
+    Programmatic-only, like MUST_NOT/FILTER."""
+
+    children: list = field(default_factory=list)
+    tie_breaker: float = 0.0
+
+    def __post_init__(self):
+        if not (0.0 <= self.tie_breaker <= 1.0):
+            raise QueryParseError("tie_breaker must be in [0, 1]")
+
+
+def parse_multi_field(
+    text: str, schema, fields: list[str], tie_breaker: float = 0.0
+) -> DisMaxQuery:
+    """MultiFieldQueryParser analog: parse ``text`` once per field (each
+    field's own analyzer applies) and dismax the per-field queries."""
+    return DisMaxQuery(
+        [parse_query(text, schema, default_fields=[f]) for f in fields],
+        tie_breaker,
+    )
+
+
 @dataclass(frozen=True)
 class EmptyQuery:
     pass

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field as dc_field
 from .parser import (
     AllQuery,
     BooleanQuery,
+    DisMaxQuery,
     EmptyQuery,
     FuzzyQuery,
     PhraseQuery,
@@ -115,6 +116,16 @@ class CMustShould:
 
 
 @dataclass
+class CDisMax:
+    """Union scored max(children) + tie * (sum - max) (Lucene
+    DisjunctionMaxQuery). NOT WAND-eligible: the per-term upper bounds
+    assume sum combination."""
+
+    children: list = dc_field(default_factory=list)
+    tie: float = 0.0
+
+
+@dataclass
 class CFilter:
     """base constrained to filt-matches; scores from base alone (FILTER
     extension). ``base is None`` = pure-filter query: the filt match set
@@ -165,6 +176,11 @@ def collect_terms(q) -> list[TermQuery]:
     if isinstance(q, BooleanQuery):
         out = []
         for _, sub in q.subqueries:
+            out.extend(collect_terms(sub))
+        return out
+    if isinstance(q, DisMaxQuery):
+        out = []
+        for sub in q.children:
             out.extend(collect_terms(sub))
         return out
     return []
@@ -221,6 +237,20 @@ def compile_query(
             "term dictionary first (query.expand.rewrite_multiterm) — "
             "exec.search does this automatically"
         )
+    if isinstance(q, DisMaxQuery):
+        kids = [
+            compile_query(sub, doc_freqs, total_docs, field_avgdl, scorer)
+            for sub in q.children
+        ]
+        if any(isinstance(k, CAll) for k in kids):
+            raise ValueError("AllQuery inside a DisMaxQuery is not supported")
+        kids = [k for k in kids if not isinstance(k, CEmpty)]
+        if not kids:
+            return CEmpty()
+        if len(kids) == 1:
+            # max of one child == the child; tie contributes nothing
+            return kids[0]
+        return CDisMax(kids, q.tie_breaker)
     if isinstance(q, BooleanQuery):
         # Nested AllQuery is rejected, not silently mis-evaluated: the
         # segment scorer only sees PRUNED posting rows for the query's
@@ -319,7 +349,7 @@ def compile_query(
 def node_terms(node) -> list[CTerm]:
     if isinstance(node, CTerm):
         return [node]
-    if isinstance(node, (CIntersection, CUnion, CMinShould)):
+    if isinstance(node, (CIntersection, CUnion, CMinShould, CDisMax)):
         out = []
         for c in node.children:
             out.extend(node_terms(c))
@@ -372,6 +402,12 @@ def to_wire(node) -> dict:
         return {
             "kind": "min_should",
             "m": node.m,
+            "children": [to_wire(c) for c in node.children],
+        }
+    if isinstance(node, CDisMax):
+        return {
+            "kind": "dismax",
+            "tie": node.tie,
             "children": [to_wire(c) for c in node.children],
         }
     if isinstance(node, CMustShould):
