@@ -168,6 +168,34 @@ def _q_stopword_tf(spark, sf_dir):
     )
 
 
+def _q_synonym_tf(spark, sf_dir):
+    """A5 extension: SynonymFilter chain (join→merge, stream→window)
+    through the REAL Arrow analyzer kernels, distributed via mapInPandas;
+    per-doc tf afterwards. Oracle maps the same table with a CASE."""
+    import numpy as np
+    import pandas as pd
+
+    from ostrich_spark.analysis import Analyzer, SynonymFilter
+
+    an = Analyzer("gate_syn", (SynonymFilter({"join": "merge", "stream": "window"}),))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def fn(it):
+        for pdf in it:
+            flat, lens = an.analyze_flat(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(dtype=np.int64), lens
+                    ),
+                    "term": flat.to_pylist(),
+                }
+            )
+
+    toks = docs.mapInPandas(fn, "doc_id long, term string")
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
 def _q_postings_stats(spark, sf_dir):
     """I3/I4: per-term posting stats (doc_freq, total_tf, doc range)."""
     tf = _q_tokenize_tf(spark, sf_dir)
@@ -1110,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a2_tokenize_tf": _q_tokenize_tf,
         "a3_stopword_tf": _q_stopword_tf,
+        "a5_synonym_tf": _q_synonym_tf,
         "i4_postings_stats": _q_postings_stats,
         "i7_docmap_sha256": _q_docmap_sha,
         "i1_field_norms": _q_field_norms,
@@ -1193,6 +1222,12 @@ def oracle_sql() -> dict[str, str]:
         "a3_stopword_tf": (
             f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks "
             f"WHERE term NOT IN ({STOPWORDS_SQL}) GROUP BY doc_id, term"
+        ),
+        "a5_synonym_tf": (
+            f"WITH {TOKS_CTE}, "
+            "mapped AS (SELECT doc_id, CASE term WHEN 'join' THEN 'merge' "
+            "WHEN 'stream' THEN 'window' ELSE term END AS term FROM toks) "
+            "SELECT doc_id, term, count(*) AS tf FROM mapped GROUP BY doc_id, term"
         ),
         "i4_postings_stats": (
             f"WITH {TOKS_CTE}, {TF_CTE} SELECT term, count(*) AS doc_freq, CAST(sum(tf) AS BIGINT) AS total_tf, "

@@ -105,8 +105,38 @@ def _lower_tokenize_flat(texts) -> "tuple[pa.Array, np.ndarray]":
     return flat.filter(mask), lens
 
 
+class SynonymFilter:
+    """Synonym-normalizing token filter (EXTENSION — the reference has
+    stem/stopword only): maps each token to its canonical form via a
+    fixed table, order- and count-preserving (Lucene SynonymFilter in
+    single-token replacement mode; multi-token graph expansion is NOT
+    implemented — it would change token counts/positions).
+
+    Analyzers carrying a SynonymFilter are identified by NAME in the
+    index schema like any analyzer: register the same analyzer (same
+    mapping) with register_analyzer before reading an index built with
+    it."""
+
+    def __init__(self, mapping: dict[str, str]):
+        self.mapping = dict(mapping)
+
+    def apply_flat(self, flat, lens):
+        # normalize once per UNIQUE term, scatter back over instances
+        d = flat.dictionary_encode()
+        mapped = pa.array(
+            [self.mapping.get(t, t) for t in d.dictionary.to_pylist()],
+            type=pa.large_string(),
+        )
+        return mapped.take(d.indices), lens
+
+    def apply_tokens(self, tokens: list[str]) -> list[str]:
+        return [self.mapping.get(t, t) for t in tokens]
+
+
 def _filter_flat(flat, lens, token_filter):
     """Apply one token filter to the flat representation."""
+    if isinstance(token_filter, SynonymFilter):
+        return token_filter.apply_flat(flat, lens)
     if token_filter == "stem":
         d = flat.dictionary_encode()
         stemmed = pa.array(
@@ -156,7 +186,9 @@ class Analyzer:
     def _analyze_one_py(self, text: str) -> list[str]:
         toks = [t for t in _SPLIT_RE.split(str(text).lower()) if t]
         for f in self.token_filters:
-            if f == "stem":
+            if isinstance(f, SynonymFilter):
+                toks = f.apply_tokens(toks)
+            elif f == "stem":
                 toks = stem_tokens(toks)
             elif f == "stopword":
                 toks = stopword_filter_tokens(toks)
@@ -199,7 +231,9 @@ class Analyzer:
     def _analyze_series_py(self, texts: pd.Series) -> pd.Series:
         toks = tokenize_series(lowercase_series(texts))
         for f in self.token_filters:
-            if f == "stem":
+            if isinstance(f, SynonymFilter):
+                toks = toks.map(f.apply_tokens)
+            elif f == "stem":
                 toks = toks.map(stem_tokens)
             elif f == "stopword":
                 toks = toks.map(stopword_filter_tokens)

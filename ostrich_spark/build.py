@@ -113,6 +113,7 @@ def build_segment_tables(
     schema: Schema,
     segment_id: str,
     id_cols: list[str],
+    analyzers: dict[str, "object"] | None = None,
 ):
     """Pure function: corpus batches -> (postings, norms, docmap) tables.
 
@@ -157,7 +158,10 @@ def build_segment_tables(
         else:
             tok_col = col
             sha_col = col.fillna("").astype(str)
-        analyzer = get_analyzer(fe.analyzer)
+        # custom analyzers (e.g. SynonymFilter chains) registered on the
+        # DRIVER are shipped in via `analyzers` — the executor's registry
+        # only has the built-ins
+        analyzer = (analyzers or {}).get(fe.analyzer) or get_analyzer(fe.analyzer)
         flat_tokens, lens = analyzer.analyze_flat(tok_col)
         n_tokens_total += int(lens.sum())
         field_tokens[str(fe.id)] = int(lens.sum())
@@ -382,6 +386,14 @@ def build_index(
     df = df.repartitionByRange(num_partitions, order_col).sortWithinPartitions(order_col)
 
     schema_json = schema.to_json()
+    # resolve analyzers on the DRIVER (fails fast on an unregistered
+    # name) and ship the objects into the build closure — executors
+    # only have the built-in registry
+    analyzers = {
+        fe.analyzer: get_analyzer(fe.analyzer)
+        for fe in schema.fields
+        if not fe.is_numeric
+    }
     idx_dir = index_dir
     bid = build_id
     fail_after = fail_after_partitions
@@ -424,7 +436,7 @@ def build_index(
                 raise RuntimeError(f"injected failure after {done} fragments")
 
         sch = Schema.from_json(schema_json)
-        built = build_segment_tables(iterator, sch, seg_id, id_cols)
+        built = build_segment_tables(iterator, sch, seg_id, id_cols, analyzers)
         if built is None:
             # empty partitions never become segments
             # (indexer/segment_manager.go:60-66: empty-segment removal)

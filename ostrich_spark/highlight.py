@@ -156,8 +156,12 @@ def highlight_df(
     keep = [f.name for f in out_fields]
     wt, mk = window_tokens, mark
 
+    # resolve on the driver and close over the OBJECT — a custom
+    # analyzer (SynonymFilter chain) is not in the executor's registry
+    analyzer_obj = get_analyzer(analyzer_name)
+
     def fn(it):
-        analyzer = get_analyzer(analyzer_name)
+        analyzer = analyzer_obj
         for pdf in it:
             snips, ns = [], []
             for raw in pdf[field]:
