@@ -1099,6 +1099,16 @@ def _q_events_user_lag(spark, sf_dir):
     )
 
 
+def _q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): one window (lag + running
+    sum) + one groupBy, both keyed on user_id — no self-join."""
+    from ostrich_spark.events import sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _longify(sessionize(ev, gap_s=1800))
+
+
 def _q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 shape: scan + filter + multi-aggregate groupBy."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -1210,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": _q_mm_frames,
         "events_tumbling_hour": _q_events_tumbling,
         "events_user_lag": _q_events_user_lag,
+        "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
         "tpch_q6": _q_tpch_q6,
     }
@@ -1849,6 +1860,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, "
             "epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS delta_us FROM events"
+        ),
+        "events_sessions": (
+            "WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us "
+            "FROM events), "
+            "s AS (SELECT user_id, ts_us, event_id, "
+            "sum(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_ord FROM t) "
+            "SELECT user_id, CAST(session_ord AS BIGINT) AS session_ord, count(*) AS n_events, "
+            "min(ts_us) AS start_us, max(ts_us) AS end_us, "
+            "max(ts_us) - min(ts_us) AS duration_us "
+            "FROM s GROUP BY user_id, session_ord"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
