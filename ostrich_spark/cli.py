@@ -72,10 +72,21 @@ def cmd_search(args) -> int:
     if getattr(args, "after", None):
         s, so, d = args.after.split(",")
         after = (float(s), int(so), int(d))
+    query = args.query
+    if getattr(args, "fields", None):
+        # multi-field dismax: parse the text once per field, combine
+        # max + tie*rest (MultiFieldQueryParser analog)
+        from .manifest import load_manifest
+        from .query.parser import parse_multi_field
+
+        mf = load_manifest(args.path)
+        query = parse_multi_field(
+            args.query, mf.schema, args.fields.split(","), args.tie
+        )
     res, cnt = search(
         spark,
         args.path,
-        args.query,
+        query,
         limit=args.limit,
         offset=args.offset,
         scorer=args.scorer,
@@ -459,6 +470,14 @@ def main(argv=None) -> int:
         "--asc", action="store_true",
         help="with --sort-by: ascending (default descending)",
     )
+    s.add_argument(
+        "--fields",
+        metavar="F1,F2",
+        help="multi-field dismax: parse the query text against each "
+        "field and score max + tie*rest",
+    )
+    s.add_argument("--tie", type=float, default=0.0,
+                   help="with --fields: dismax tie_breaker in [0,1]")
     s.add_argument(
         "--after",
         metavar="SCORE,SEG_ORD,DOC",

@@ -129,3 +129,39 @@ def test_dismax_inside_boolean(spark, idx):
 def test_dismax_tie_validation():
     with pytest.raises(QueryParseError):
         DisMaxQuery([TermQuery(0, "x")], 1.5)
+
+
+def test_dismax_through_batched_path(spark, idx):
+    """search_many accepts DisMaxQuery objects; batched results must be
+    row-identical to the per-query path."""
+    from ostrich_spark.query.exec import search_many
+
+    schema = _schema()
+    dm = DisMaxQuery(
+        [parse_query("title:spark", schema), parse_query("body:spark", schema)], 0.3
+    )
+    batch = search_many(spark, idx, {"dm": dm, "plain": parse_query("body:join", schema)}, limit=None)
+    got = {
+        r["k"]: r["score"]
+        for r in attach_docmap(spark, idx, batch.filter("query_id = 'dm'"))
+        .select("k", "score").collect()
+    }
+    want = _scores(spark, idx, dm)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+
+def test_cli_multi_field_dismax(spark, idx):
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "-m", "ostrich_spark", "search", "spark",
+         "-p", idx, "--fields", "title,body", "--tie", "0.3",
+         "--scorer", "tfidf", "-l", "10"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = [l for l in out.stdout.splitlines() if "/" in l and not l.startswith("elapsed")]
+    assert len(hits) == 4  # every doc has spark in title or body except doc 2
