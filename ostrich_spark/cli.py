@@ -323,6 +323,23 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_check(args) -> int:
+    """Integrity check of a committed index snapshot; exit 1 on ERROR
+    findings, 0 when healthy (warnings printed but non-fatal)."""
+    from .check import check_index
+
+    spark = _spark()
+    t0 = time.time()
+    findings = check_index(spark, args.path)
+    elapsed = time.time() - t0
+    for f in findings:
+        print(f)
+    errors = sum(1 for f in findings if f.startswith("ERROR"))
+    print(f"check: {errors} errors, {len(findings) - errors} warnings")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 1 if errors else 0
+
+
 def cmd_update(args) -> int:
     """Upsert a corpus batch: tombstone committed docs with matching
     identity, append the batch as new segments. Schema comes from the
@@ -554,6 +571,10 @@ def main(argv=None) -> int:
     b.add_argument("--id-col", action="append")
     b.add_argument("--build-id", default="cli")
     b.set_defaults(fn=cmd_build)
+
+    ck = sub.add_parser("check")
+    ck.add_argument("-p", "--path", required=True)
+    ck.set_defaults(fn=cmd_check)
 
     u = sub.add_parser("update")
     u.add_argument("corpus")

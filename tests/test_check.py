@@ -1,0 +1,99 @@
+"""Index integrity checker (EXTENSION — the reference has no fsck)."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.check import check_index
+from ostrich_spark.deletes import delete_docs
+from ostrich_spark.schema import Schema
+
+
+def _docs(n=18):
+    return [{"k": i, "content": f"alpha beta doc{i}"} for i in range(n)]
+
+
+def _schema():
+    s = Schema()
+    s.add_text_field("content", "default")
+    return s
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(_docs())), _schema(), path,
+        num_partitions=3, order_col="k", id_cols=["k"],
+    )
+    return path
+
+
+def test_healthy_index_passes(spark, idx):
+    assert check_index(spark, idx) == []
+
+
+def test_healthy_with_tombstones_passes(spark, idx):
+    delete_docs(spark, idx, spark.createDataFrame([(1,), (5,)], "k long"), ["k"])
+    assert check_index(spark, idx) == []
+
+
+def test_missing_docmap_detected(spark, idx):
+    from ostrich_spark.manifest import load_manifest, segment_dir
+
+    sid = load_manifest(idx).segments[0].segment_id
+    target = os.path.join(segment_dir(idx, sid), "docmap.parquet")
+    (shutil.rmtree if os.path.isdir(target) else os.remove)(target)
+    findings = check_index(spark, idx)
+    assert any("docmap.parquet missing" in f and sid in f for f in findings)
+
+
+def test_missing_segment_dir_detected(spark, idx):
+    from ostrich_spark.manifest import load_manifest, segment_dir
+
+    sid = load_manifest(idx).segments[0].segment_id
+    shutil.rmtree(segment_dir(idx, sid))
+    findings = check_index(spark, idx)
+    assert any("segment dir missing" in f and sid in f for f in findings)
+
+
+def test_wrong_max_doc_detected(spark, idx):
+    """A manifest lying about max_doc (e.g. a partial docmap write that
+    slipped past the tmp+rename) is caught by the distributed count."""
+    from ostrich_spark.manifest import load_manifest, save_manifest
+
+    mf = load_manifest(idx)
+    mf.segments[0].max_doc += 2
+    save_manifest(idx, mf)
+    from ostrich_spark.query.exec import invalidate_cache
+
+    invalidate_cache(idx)
+    findings = check_index(spark, idx)
+    assert any("ERROR" in f and "docmap" in f for f in findings)
+
+
+def test_stale_term_stats_is_warning(spark, idx):
+    meta = os.path.join(idx, "term_stats.parquet", "_STATS_META.json")
+    with open(meta) as f:
+        d = json.load(f)
+    d["opstamp"] = 999
+    with open(meta, "w") as f:
+        json.dump(d, f)
+    findings = check_index(spark, idx)
+    assert findings and all(f.startswith("WARNING") for f in findings)
+    assert any("term_stats" in f for f in findings)
+
+
+def test_cli_check(idx):
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "check", "-p", idx],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "check: 0 errors" in out.stdout
