@@ -323,6 +323,52 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    """Lucene-style indented score breakdown for one doc address
+    (SEGMENT_ORD/DOC, the form `search` prints)."""
+    from .manifest import load_manifest
+    from .query.exec import explain
+
+    spark = _spark()
+    t0 = time.time()
+    ords = load_manifest(args.path).sorted_segments()
+    so, doc = args.addr.split("/")
+    so = int(so)
+    if not (0 <= so < len(ords)):
+        print(f"explain: segment_ord {so} out of range", file=sys.stderr)
+        return 2
+    ex = explain(
+        spark, args.path, args.query, ords[so].segment_id, int(doc),
+        scorer=args.scorer,
+    )
+    elapsed = time.time() - t0
+
+    def show(node, depth=0):
+        pad = "  " * depth
+        head = f"{pad}{node['score']:.6f}  {node['kind']}"
+        if node.get("occur"):
+            head += f" [{node['occur']}]"
+        d = node.get("detail") or {}
+        if node["kind"] == "term":
+            head += (
+                f" {d.get('term')!r} (tf={d.get('tf', 0)}, df={d['doc_freq']}, "
+                f"idf={d['idf']:.6f})"
+            )
+        elif node["kind"] == "phrase":
+            head += f" {d.get('terms')} (idf_sum={d['idf_sum']:.6f})"
+        if not node["matched"]:
+            head += "  [no match]"
+        print(head)
+        for c in node.get("children", ()):
+            show(c, depth + 1)
+
+    state = "TOMBSTONED" if ex["tombstoned"] else ("match" if ex["matched"] else "no match")
+    print(f"{args.addr} ({state}, scorer={ex['scorer']})")
+    show(ex)
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_check(args) -> int:
     """Integrity check of a committed index snapshot; exit 1 on ERROR
     findings, 0 when healthy (warnings printed but non-fatal)."""
@@ -571,6 +617,14 @@ def main(argv=None) -> int:
     b.add_argument("--id-col", action="append")
     b.add_argument("--build-id", default="cli")
     b.set_defaults(fn=cmd_build)
+
+    ex = sub.add_parser("explain")
+    ex.add_argument("query")
+    ex.add_argument("-p", "--path", required=True)
+    ex.add_argument("--addr", required=True, metavar="SEG_ORD/DOC",
+                    help="doc address as printed by `search`")
+    ex.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    ex.set_defaults(fn=cmd_explain)
 
     ck = sub.add_parser("check")
     ck.add_argument("-p", "--path", required=True)

@@ -2008,3 +2008,152 @@ def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None =
     return docmap.join(
         F.broadcast(results_df), on=["segment_id", "doc"], how="inner"
     )
+
+
+# ---------------------------------------------------------------------------
+# explain: per-document score breakdown (Lucene IndexSearcher.explain)
+# ---------------------------------------------------------------------------
+
+
+def explain(
+    spark,
+    index_dir: str,
+    query,
+    segment_id: str,
+    doc: int,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+    manifest: Manifest | None = None,
+) -> dict:
+    """Score breakdown for ONE (segment_id, doc) — the Lucene
+    ``IndexSearcher.explain`` analog (EXTENSION: the reference returns
+    bare scores). Every node's number comes from the SAME ``eval_node``
+    the engine scores with, evaluated driver-side over the one segment's
+    pruned posting rows — explanations cannot drift from the engine.
+
+    Returns a nested dict: ``kind``, ``matched``, ``score``, per-term
+    ``detail`` (tf, doc_freq, idf, field length), ``children``. Top
+    level adds ``tombstoned`` (a deleted doc explains its would-be
+    score but reports matched=False, like the search paths hide it).
+    """
+    from pyspark.sql import functions as F
+
+    from ..deletes import read_tombstones
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    schema = manifest.schema
+    logical = parse_query(query, schema, default_fields) if isinstance(query, str) else query
+
+    from .expand import has_multiterm, rewrite_multiterm
+
+    if has_multiterm(logical):
+        logical = rewrite_multiterm(spark, index_dir, manifest, logical)
+    doc_freqs, total_docs, field_avgdl = bind_stats(spark, index_dir, manifest, logical)
+    compiled = compile_query(logical, doc_freqs, total_docs, field_avgdl, scorer)
+    wire = to_wire(compiled)
+
+    max_docs = {s.segment_id: s.max_doc for s in manifest.segments}
+    if segment_id not in max_docs:
+        raise ValueError(f"unknown segment {segment_id!r}")
+    max_doc = max_docs[segment_id]
+    doc = int(doc)
+    if not (0 <= doc < max_doc):
+        raise ValueError(f"doc {doc} out of range [0, {max_doc}) for {segment_id}")
+
+    # one segment's pruned postings, decoded driver-side
+    terms = collect_terms(logical)
+    term_data: dict = {}
+    if terms:
+        rows = (
+            read_postings(spark, index_dir, manifest)
+            .filter(_term_predicate(F, terms) & (F.col("segment_id") == segment_id))
+            .toPandas()
+        )
+        for (f, t), grp in rows.groupby(["field", "term"]):
+            term_data[(int(f), t)] = TermPostings(grp)
+
+    range_wires = assign_range_ids(wire)
+    aux = {}
+    for rw in range_wires:
+        rdf = range_match_df(spark, index_dir, manifest, rw).filter(
+            F.col("segment_id") == segment_id
+        )
+        aux[rw["rid"]] = np.unique(
+            np.array([r["doc"] for r in rdf.collect()], dtype=np.int64)
+        )
+
+    from ..deletes import has_tombstones
+
+    tombstoned = False
+    if has_tombstones(index_dir):
+        t = read_tombstones(spark, index_dir)
+        if t is not None:
+            tombstoned = bool(
+                t.filter(
+                    (F.col("segment_id") == segment_id) & (F.col("doc") == doc)
+                ).count()
+            )
+
+    def node_score(w) -> tuple[bool, float]:
+        docs, scores = eval_node(w, term_data, max_doc, scorer, aux)
+        pos = np.searchsorted(docs, doc)
+        if pos < len(docs) and docs[pos] == doc:
+            return True, float(scores[pos])
+        return False, 0.0
+
+    def walk(w) -> dict:
+        matched, score = node_score(w)
+        out = {"kind": w["kind"], "matched": matched, "score": score}
+        if w["kind"] == "term":
+            tp = term_data.get((w["field"], w["term"]))
+            detail = {
+                "field": w["field"],
+                "term": w["term"],
+                "doc_freq": w["doc_freq"],
+                "idf": w["idf"],
+            }
+            if tp is not None and matched:
+                d, tfs, lens = tp.decode()
+                i = int(np.searchsorted(d, doc))
+                detail["tf"] = int(tfs[i])
+                detail["field_length"] = int(lens[i])
+                if scorer != SCORER_TFIDF:  # bm25: length normalization input
+                    detail["avgdl"] = w["avgdl"]
+            out["detail"] = detail
+        elif w["kind"] == "phrase":
+            out["detail"] = {
+                "field": w["field"], "terms": w["terms"],
+                "idf_sum": w["idf"], "slop": w.get("slop", 0),
+            }
+        elif w["kind"] == "range":
+            out["detail"] = {"lo": w["lo"], "hi": w["hi"], "const_score": w["score"]}
+        elif w["kind"] == "dismax":
+            out["detail"] = {"tie_breaker": w["tie"]}
+        elif w["kind"] == "min_should":
+            out["detail"] = {"m": w["m"]}
+        kids = []
+        for key in ("base", "exclude", "filt", "must", "should"):
+            if key in w and w[key] is not None:
+                kid = walk(w[key])
+                kid["occur"] = key
+                kids.append(kid)
+        for c in w.get("children", ()):
+            kids.append(walk(c))
+        if kids:
+            out["children"] = kids
+        return out
+
+    if wire["kind"] == "all":
+        root = {"kind": "all", "matched": True, "score": 1.0}
+    elif wire["kind"] == "empty":
+        root = {"kind": "empty", "matched": False, "score": 0.0}
+    else:
+        root = walk(wire)
+    root["segment_id"] = segment_id
+    root["doc"] = doc
+    root["scorer"] = scorer
+    root["tombstoned"] = tombstoned
+    if tombstoned:
+        root["matched"] = False
+    return root
