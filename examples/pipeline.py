@@ -175,13 +175,59 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     size_row = numeric_stats(spark, idx, "text:postings", "size_bytes").collect()[0]
     stats["match_size_stats"] = (int(size_row["n"]), int(size_row["sum"]))
 
-    # 9. delete lifecycle: tombstone a doc (a takedown request), verify it
-    # vanished, then purge to reclaim the space physically
-    from ostrich_spark.deletes import delete_docs
+    # 8f. late-round-3 surfaces: did-you-mean, term facet, multi-field
+    # dismax, per-doc explain, cursor paging, keyword extraction
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import explain, significant_terms
+    from ostrich_spark.query.expand import suggest_terms
+    from ostrich_spark.query.parser import parse_multi_field
+    from ostrich_spark.textops import keyterms
+
+    mf = load_manifest(idx)
+    stats["did_you_mean"] = [
+        t for t, _, _ in suggest_terms(spark, idx, mf, 0, "postngs", max_dist=2)[:3]
+    ]
+    st = significant_terms(spark, idx, "text:postings", "text")
+    stats["sig_terms"] = [
+        r["term"]
+        for r in st.orderBy(F.desc("n_docs"), F.asc("term")).limit(3).collect()
+    ]
+    dm = parse_multi_field("merge postings", mf.schema, ["text"], 0.3)
+    dres, _ = search(spark, idx, dm, limit=3)
+    rows = dres.collect()
+    stats["dismax_hits"] = len(rows)
+    if rows:
+        top = rows[0]
+        ex = explain(spark, idx, dm, top["segment_id"], top["doc"])
+        stats["explained_score_matches"] = abs(ex["score"] - top["score"]) < 1e-9
+        # cursor-page past the first hit (deep-page shape)
+        last = rows[-1]
+        page2, _ = search(
+            spark, idx, dm, limit=3,
+            after=(last["score"], last["segment_ord"], last["doc"]),
+        )
+        stats["cursor_page2_hits"] = page2.count()
+    stats["keyterms_doc0"] = [
+        r["term"] for r in keyterms(sampled.limit(3), "text", top_m=2).collect()
+    ][:2]
+
+    # 9. update lifecycle: upsert a corrected doc (new text replaces the
+    # old immediately), then a takedown delete, then purge — and a final
+    # integrity check over the surviving snapshot
+    from ostrich_spark.check import check_index
+    from ostrich_spark.deletes import delete_docs, update_docs
     from ostrich_spark.merge import purge_deletes
 
     if stats["top_hits"]:
-        victim = stats["top_hits"][0][0]
+        fix_path = stats["top_hits"][0][0]
+        fixed = sampled.filter(F.col("path") == fix_path).withColumn(
+            "text", F.lit("corrected contents merge_policy rewrite")
+        ).withColumn("size_bytes", F.length("text"))
+        n_replaced, _ = update_docs(
+            spark, idx, fixed, ["path"], "pipeline-fix", num_partitions=1
+        )
+        stats["upserted"] = n_replaced
+        victim = stats["top_hits"][-1][0]
         delete_docs(
             spark, idx, spark.createDataFrame([(victim,)], "path string"), ["path"]
         )
@@ -189,6 +235,7 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
         purge_deletes(spark, idx)
         _, n_after = search(spark, idx, "", limit=0, with_count=True)
         stats["after_takedown"] = (n_before, n_after)  # equal: purge is invisible
+        stats["fsck_findings"] = check_index(spark, idx)
     return stats
 
 

@@ -579,7 +579,10 @@ def _swap_manifest(
         return next(s for s in manifest.segments if s.segment_id == new_segment_id)
     new_meta = SegmentMeta(new_segment_id, total_docs, lineage, metrics)
     remaining = [s for s in manifest.segments if s.segment_id not in set(segment_ids)]
-    new_segments = remaining + [new_meta]
+    # a purge that deleted EVERY source doc yields an empty segment —
+    # don't commit it (the build drops empty segments the same way,
+    # segment_manager.go:60-66); its dir is GC'd with the sources
+    new_segments = remaining + ([new_meta] if total_docs > 0 else [])
     new_opstamp = manifest.opstamp + 1
     stats = dict(manifest.stats)
     staging = None
@@ -644,7 +647,10 @@ def purge_deletes(spark, index_dir: str) -> list[str]:
         new_id = f"purge-{manifest.opstamp:04d}-{i:03d}"
         merge_segments(spark, index_dir, [sid], new_id)
         created.append(new_id)
-    return created
+    # a fully-deleted segment purges to NOTHING (the empty result is not
+    # committed) — report only segments that actually exist
+    live_after = {s.segment_id for s in load_manifest(index_dir).segments}
+    return [c for c in created if c in live_after]
 
 
 def consider_merges(spark, index_dir: str, policy_kwargs: dict | None = None) -> list[str]:

@@ -97,3 +97,29 @@ def test_cli_check(idx):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "check: 0 errors" in out.stdout
+
+
+def test_fully_deleted_segment_purges_to_nothing(spark, idx):
+    """Deleting EVERY doc of a segment then purging must not commit an
+    empty segment — the manifest shrinks and fsck stays clean."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.merge import purge_deletes
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    mf = load_manifest(idx)
+    n_seg_before = len(mf.segments)
+    # segment with k in range: docmap keys of one whole segment
+    victim_sid = mf.segments[0].segment_id
+    dm = spark.read.parquet(f"{idx}/segments/{victim_sid}/docmap.parquet")
+    victims_set = {r["k"] for r in dm.select("k").collect()}
+    victims = spark.createDataFrame([(k,) for k in victims_set], "k long")
+    assert delete_docs(spark, idx, victims, ["k"]) == mf.segments[0].max_doc
+    created = purge_deletes(spark, idx)
+    mf2 = load_manifest(idx)
+    assert len(mf2.segments) == n_seg_before - 1
+    assert all(s.max_doc > 0 for s in mf2.segments)
+    assert created == []  # the empty purge result was not committed
+    assert check_index(spark, idx) == []
+    res, cnt = search(spark, idx, "content:alpha", limit=None, with_count=True)
+    ks = sorted(r["k"] for r in attach_docmap(spark, idx, res).select("k").collect())
+    assert ks == sorted(set(range(18)) - victims_set)

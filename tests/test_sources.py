@@ -130,3 +130,7 @@ def test_pipeline_example_end_to_end(tmp_path):
     assert got["sloppy_hits"] == "1"        # "delta packed"~2 in notes.md
     assert "engine" in got["mlt_hits"]      # self-similarity top hit
     assert got["match_size_stats"].startswith("(1,")
+    assert got["did_you_mean"].startswith("['postings'")  # postngs -> postings
+    assert got["explained_score_matches"] == "True"
+    assert got["upserted"] == "1"
+    assert got["fsck_findings"] == "[]"     # incl. empty-purge-drop invariant
