@@ -27,6 +27,7 @@ from .analysis import get_analyzer
 from .query.parser import (
     AllQuery,
     BooleanQuery,
+    DisMaxQuery,
     EmptyQuery,
     PhraseQuery,
     TermQuery,
@@ -133,6 +134,13 @@ class OracleIndex:
                     out[d] = idf_sum * (tff * (K1 + 1.0)) / (
                         tff + K1 * (1.0 - B + B * dl / avgdl)
                     )
+            return out
+        if isinstance(q, DisMaxQuery):
+            kids = [self._eval(c, scorer) for c in q.children]
+            out: dict[int, float] = {}
+            for d in set().union(*[set(k) for k in kids]) if kids else set():
+                ss = [k[d] for k in kids if d in k]
+                out[d] = max(ss) + q.tie_breaker * (sum(ss) - max(ss))
             return out
         if isinstance(q, BooleanQuery):
             musts = [self._eval(s, scorer) for o, s in q.subqueries if o == MUST]

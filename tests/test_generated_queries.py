@@ -158,3 +158,44 @@ def test_random_query_fuzz_rank_identity(spark, two_field_index):
         assert [p for p, _ in got] == [p for p, _ in exp], (scorer, q)
         for (p1, s1), (p2, s2) in zip(got, exp):
             assert s1 == pytest.approx(s2, rel=1e-12), (scorer, q, p1)
+
+
+def test_random_dismax_fuzz_rank_identity(spark, two_field_index):
+    """Seeded random DisMax fuzz: dismax-of-boolean children with random
+    tie_breakers (0, 0.5, 1 and random), both scorers — rank- and
+    score-identical (rel 1e-12) to the oracle's dismax combination."""
+    import random
+
+    from ostrich_spark.query.exec import attach_docmap, search as eng_search
+    from ostrich_spark.query.parser import DisMaxQuery, parse_query
+    from ostrich_spark.schema import Schema
+
+    idx, oracle, paths = two_field_index
+    schema = Schema()
+    schema.add_text_field("content", "default")
+    schema.add_text_field("comment", "en_stem")
+    rng = random.Random(777)
+    pool = [
+        "content:the", "content:search", "content:index OR content:func",
+        "comment:serious", "comment:searching AND comment:outcome",
+        "content:rareterm003", "content:zzz_absent", "comment:having",
+        "content:search AND content:term",
+    ]
+    for i in range(20):
+        n = rng.randint(2, 4)
+        kids_s = rng.sample(pool, n)
+        tie = rng.choice([0.0, 0.5, 1.0, round(rng.random(), 3)])
+        dm = DisMaxQuery([parse_query(s, schema) for s in kids_s], tie)
+        scorer = "bm25" if i % 2 else "tfidf"
+        res, _ = eng_search(spark, idx, dm, limit=None, scorer=scorer)
+        rows = attach_docmap(spark, idx, res).select("path", "score").collect()
+        got = sorted([(r["path"], r["score"]) for r in rows], key=lambda t: (-t[1], t[0]))
+        exp = sorted(
+            [(paths[d], s) for d, s in oracle.search(
+                DisMaxQuery([parse_query(s, schema) for s in kids_s], tie),
+                limit=None, scorer=scorer)],
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert [p for p, _ in got] == [p for p, _ in exp], (i, kids_s, tie)
+        for (p1, s1), (p2, s2) in zip(got, exp):
+            assert s1 == pytest.approx(s2, rel=1e-12), (i, p1, tie)
