@@ -80,9 +80,14 @@ def cmd_search(args) -> int:
         from .query.parser import parse_multi_field
 
         mf = load_manifest(args.path)
-        query = parse_multi_field(
-            args.query, mf.schema, args.fields.split(","), args.tie
-        )
+        boosts = {}
+        for f in args.fields.split(","):
+            if "^" in f:
+                name, b = f.rsplit("^", 1)
+                boosts[name] = float(b)
+            else:
+                boosts[f] = 1.0
+        query = parse_multi_field(args.query, mf.schema, boosts, args.tie)
     res, cnt = search(
         spark,
         args.path,

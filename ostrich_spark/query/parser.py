@@ -270,12 +270,21 @@ class DisMaxQuery:
 
 
 def parse_multi_field(
-    text: str, schema, fields: list[str], tie_breaker: float = 0.0
+    text: str, schema, fields: "list[str] | dict[str, float]",
+    tie_breaker: float = 0.0,
 ) -> DisMaxQuery:
     """MultiFieldQueryParser analog: parse ``text`` once per field (each
-    field's own analyzer applies) and dismax the per-field queries."""
+    field's own analyzer applies) and dismax the per-field queries.
+    ``fields`` may be a dict mapping field -> boost (the Elasticsearch
+    ``fields: ["title^2", "body"]`` shape): each per-field query's
+    scores are multiplied by its boost BEFORE the max/tie combination,
+    so a title match outranks an equal body match."""
+    boosts = fields if isinstance(fields, dict) else {f: 1.0 for f in fields}
     return DisMaxQuery(
-        [parse_query(text, schema, default_fields=[f]) for f in fields],
+        [
+            _apply_boost(parse_query(text, schema, default_fields=[f]), b)
+            for f, b in boosts.items()
+        ],
         tie_breaker,
     )
 
@@ -509,6 +518,12 @@ def _apply_boost(q, boost: float):
         return BooleanQuery(
             [(occ, _apply_boost(sub, boost)) for occ, sub in q.subqueries],
             min_should=q.min_should,
+        )
+    if isinstance(q, DisMaxQuery):
+        # max and sum are both linear under a positive scale, so
+        # distributing over children == scaling the combined score
+        return DisMaxQuery(
+            [_apply_boost(c, boost) for c in q.children], q.tie_breaker
         )
     return q  # EmptyQuery
 

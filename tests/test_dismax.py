@@ -165,3 +165,17 @@ def test_cli_multi_field_dismax(spark, idx):
     assert out.returncode == 0, out.stderr[-2000:]
     hits = [l for l in out.stdout.splitlines() if "/" in l and not l.startswith("elapsed")]
     assert len(hits) == 4  # every doc has spark in title or body except doc 2
+
+
+def test_multi_field_boosts(spark, idx):
+    """fields={'title': 2.0, 'body': 1.0}: per-field scores scale by the
+    boost BEFORE the max/tie combination (ES fields: ['title^2'])."""
+    schema = _schema()
+    boosted = parse_multi_field("spark", schema, {"title": 2.0, "body": 1.0}, 0.4)
+    got = _scores(spark, idx, boosted)
+    t = _scores(spark, idx, "title:spark")
+    b = _scores(spark, idx, "body:spark")
+    want = _dismax_oracle([{k: 2.0 * v for k, v in t.items()}, b], 0.4)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
