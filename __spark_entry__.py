@@ -558,6 +558,41 @@ def _q_eng_suggest(spark, sf_dir):
     return spark.createDataFrame(rows, "term string, doc_freq long, dist int")
 
 
+_DAMERAU_WORDS = ["sprak", "tabel", "windwo", "qeury", "strem", "rost"]
+
+
+def _q_eng_fuzzy_damerau(spark, sf_dir):
+    """Damerau fuzzy matching (transpositions=True — Lucene FuzzyQuery's
+    default metric): for each transposed misspelling, the dictionary
+    terms of 'text' within 2 Damerau edits with doc_freq and distance.
+    The transposition cases ('tabel'→table, 'windwo'→window,
+    'qeury'→query) are DISTANCE 1 here but 2 under plain Levenshtein,
+    so the gate pins the metric, not just the match set.
+    prefix_length=0 exercises the scalable distributed path (JVM
+    levenshtein <= 2*max_dist pre-filter — sound because Lev <= 2*DL —
+    then the exact unrestricted-DL DP driver-side over the collected
+    near-set). Oracle recomputes with DuckDB damerau_levenshtein, which
+    implements the same unrestricted variant (verified on 3k fuzz pairs
+    in tests/test_suggest.py)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.expand import suggest_terms
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    fe = mf.schema.field_by_name("text")
+    rows = [
+        (w, t, df, d)
+        for w in _DAMERAU_WORDS
+        for t, df, d in suggest_terms(
+            spark, idx, mf, fe.id, w, max_dist=2, prefix_length=0,
+            transpositions=True,
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "word string, term string, doc_freq long, dist int"
+    )
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -1159,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sig_terms": _q_eng_sig_terms,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
+        "eng_fuzzy_damerau": _q_eng_fuzzy_damerau,
         "eng_s5_or": _q_eng_or,
         "eng_boost_or": _q_eng_boost_or,
         "eng_s6_must_should": _q_eng_must_should,
@@ -1280,6 +1316,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE} "
             "SELECT term, df AS doc_freq, CAST(levenshtein(term, 'rost') AS INT) AS dist "
             "FROM df WHERE levenshtein(term, 'rost') <= 2"
+        ),
+        "eng_fuzzy_damerau": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE}, "
+            "w(word) AS (VALUES "
+            + ", ".join(f"('{w}')" for w in _DAMERAU_WORDS)
+            + ") "
+            "SELECT w.word, d.term, d.df AS doc_freq, "
+            "CAST(damerau_levenshtein(d.term, w.word) AS INT) AS dist "
+            "FROM w CROSS JOIN df d "
+            "WHERE damerau_levenshtein(d.term, w.word) <= 2"
         ),
         "eng_sig_terms": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE}, "

@@ -159,6 +159,7 @@ def cmd_suggest(args) -> int:
     out = suggest_terms(
         spark, args.path, mf, fe.id, word,
         max_dist=args.max_dist, prefix_length=args.prefix_length,
+        transpositions=args.transpositions,
     )[: args.top]
     elapsed = time.time() - t0
     for t, df, d in out:
@@ -561,6 +562,8 @@ def main(argv=None) -> int:
     sg.add_argument("--max-dist", type=int, default=2)
     sg.add_argument("--prefix-length", type=int, default=1)
     sg.add_argument("--top", type=int, default=5)
+    sg.add_argument("--transpositions", action="store_true",
+                    help="adjacent swap counts as one edit (Damerau)")
     sg.set_defaults(fn=cmd_suggest)
 
     tg = sub.add_parser("sigterms")

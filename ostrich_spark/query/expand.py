@@ -172,10 +172,21 @@ def expand_fuzzy(
     max_dist: int,
     prefix_length: int = 1,
     max_expansions: int | None = DEFAULT_FUZZY_EXPANSIONS,
+    transpositions: bool = False,
 ) -> list[str]:
     """Terms of ``field_id`` within ``max_dist`` edits of ``term`` that
-    share its first ``prefix_length`` characters (capped)."""
+    share its first ``prefix_length`` characters (capped).
+
+    ``transpositions=True`` counts an adjacent-character swap as ONE
+    edit (Damerau — Lucene FuzzyQuery's default metric; ours defaults
+    off to keep plain-Levenshtein parity with the JVM/DuckDB builtin).
+    The distributed ``prefix_length=0`` path stays scalable: the JVM
+    pre-filter widens to ``levenshtein <= 2*max_dist`` (a transposition
+    costs <=2 plain edits, so Lev <= 2*DL — no candidate within the
+    Damerau radius escapes it) and the exact Damerau DP runs driver-side
+    over only that collected near-set."""
     prefix_length = min(prefix_length, len(term))
+    within = damerau_within if transpositions else levenshtein_within
     if prefix_length > 0:
         p = term[:prefix_length]
         pairs = _range_candidates(index_dir, field_id, p, prefix_upper_bound(p))
@@ -184,35 +195,54 @@ def expand_fuzzy(
                 spark, index_dir, manifest, field_id, p, prefix_upper_bound(p)
             ).collect()
             pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
-        pairs = [(t, df) for t, df in pairs if levenshtein_within(t, term, max_dist)]
+        pairs = [(t, df) for t, df in pairs if within(t, term, max_dist)]
     else:
         # whole-dictionary scan stays distributed: JVM levenshtein with a
         # length-window pre-filter, only the (small) match set collects
-        from pyspark.sql import functions as F
-
-        files = _stats_files(index_dir)
-        if files is not None:
-            df = spark.read.parquet(*files).filter(F.col("field") == field_id)
-        else:
-            from .exec import read_postings
-
-            df = (
-                read_postings(spark, index_dir, manifest)
-                .filter(F.col("field") == field_id)
-                .groupBy("term")
-                .agg(F.sum("doc_freq").alias("doc_freq"))
-            )
-        rows = (
-            df.filter(
-                (F.length("term") >= len(term) - max_dist)
-                & (F.length("term") <= len(term) + max_dist)
-                & (F.levenshtein(F.col("term"), F.lit(term)) <= max_dist)
-            )
-            .select("term", "doc_freq")
-            .collect()
+        rows = _distributed_near_terms(
+            spark, index_dir, manifest, field_id, term, max_dist, transpositions
         )
-        pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+        pairs = [
+            (r["term"], int(r["doc_freq"]))
+            for r in rows
+            if not transpositions or damerau_within(r["term"], term, max_dist)
+        ]
     return _cap(pairs, max_expansions)
+
+
+def _distributed_near_terms(
+    spark, index_dir: str, manifest, field_id: int, term: str,
+    max_dist: int, transpositions: bool,
+):
+    """Dictionary rows within the edit radius, filtered cluster-side.
+    For the Damerau metric the JVM filter is the sound over-approximation
+    ``levenshtein <= 2*max_dist`` (Lev <= 2*DL) with the length window at
+    the true radius; the caller applies the exact Damerau DP to the
+    collected near-set."""
+    from pyspark.sql import functions as F
+
+    files = _stats_files(index_dir)
+    if files is not None:
+        df = spark.read.parquet(*files).filter(F.col("field") == field_id)
+    else:
+        from .exec import read_postings
+
+        df = (
+            read_postings(spark, index_dir, manifest)
+            .filter(F.col("field") == field_id)
+            .groupBy("term")
+            .agg(F.sum("doc_freq").alias("doc_freq"))
+        )
+    lev_radius = 2 * max_dist if transpositions else max_dist
+    return (
+        df.filter(
+            (F.length("term") >= len(term) - max_dist)
+            & (F.length("term") <= len(term) + max_dist)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= lev_radius)
+        )
+        .select("term", "doc_freq")
+        .collect()
+    )
 
 
 def levenshtein_dist(a: str, b: str) -> int:
@@ -232,6 +262,57 @@ def levenshtein_dist(a: str, b: str) -> int:
     return prev[lb]
 
 
+def damerau_dist(a: str, b: str) -> int:
+    """UNRESTRICTED Damerau-Levenshtein distance (insert/delete/
+    substitute/adjacent-transposition, transposed pairs may be edited
+    again) — the variant DuckDB's ``damerau_levenshtein`` computes, so
+    the oracle gate can mirror it exactly. Lucene's transposition
+    automaton implements the *restricted* (OSA) variant; the two differ
+    only when a transposition is followed by an edit between the
+    transposed pair (e.g. ``ca``→``abc``: 2 here, 3 under OSA) — cases
+    that essentially never occur within distance<=2 of real dictionary
+    terms. Full DP with the last-occurrence table, O(|a|·|b|)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    inf = la + lb
+    # matrix with a sentinel row/col of `inf` (classic Lowrance-Wagner)
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    d[1][1] = 0
+    for i in range(1, la + 1):
+        d[i + 1][1] = i
+    for j in range(1, lb + 1):
+        d[1][j + 1] = j
+    last_row: dict[str, int] = {}
+    for i in range(1, la + 1):
+        last_col = 0  # last j where b[j-1] == a[i-1]
+        for j in range(1, lb + 1):
+            i1 = last_row.get(b[j - 1], 0)
+            j1 = last_col
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose
+            )
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def damerau_within(a: str, b: str, max_dist: int) -> bool:
+    """True iff damerau_dist(a, b) <= max_dist. Length pre-check (the
+    distance still lower-bounds at the length difference); dictionary
+    terms are short so the full DP is the candidate filter."""
+    if abs(len(a) - len(b)) > max_dist:
+        return False
+    return damerau_dist(a, b) <= max_dist
+
+
 def suggest_terms(
     spark,
     index_dir: str,
@@ -240,6 +321,7 @@ def suggest_terms(
     term: str,
     max_dist: int = 2,
     prefix_length: int = 1,
+    transpositions: bool = False,
 ) -> list[tuple[str, int, int]]:
     """Did-you-mean suggester (Lucene DirectSpellChecker analog —
     EXTENSION, the reference has no suggest API): dictionary terms of
@@ -254,9 +336,16 @@ def suggest_terms(
     file — metadata access, not cluster work); 0 scans the whole
     dictionary distributed (JVM levenshtein with a length-window
     pre-filter), collecting only the match set.
-    """
-    from pyspark.sql import functions as F
 
+    ``transpositions=True`` ranks by the Damerau distance (adjacent swap
+    = 1 edit — ``sprak``→``spark`` suggests at distance 1, the behavior
+    spell-checkers want for the most common typo class); the distributed
+    path widens the JVM pre-filter to ``levenshtein <= 2*max_dist``
+    (Lev <= 2*DL) and computes the exact Damerau distance driver-side
+    over the collected near-set.
+    """
+    dist_fn = damerau_dist if transpositions else levenshtein_dist
+    within = damerau_within if transpositions else levenshtein_within
     prefix_length = min(prefix_length, len(term))
     if prefix_length > 0:
         p = term[:prefix_length]
@@ -267,33 +356,19 @@ def suggest_terms(
             ).collect()
             pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
         out = [
-            (t, df, levenshtein_dist(t, term))
+            (t, df, dist_fn(t, term))
             for t, df in pairs
-            if levenshtein_within(t, term, max_dist)
+            if within(t, term, max_dist)
         ]
     else:
-        files = _stats_files(index_dir)
-        if files is not None:
-            df = spark.read.parquet(*files).filter(F.col("field") == field_id)
-        else:
-            from .exec import read_postings
-
-            df = (
-                read_postings(spark, index_dir, manifest)
-                .filter(F.col("field") == field_id)
-                .groupBy("term")
-                .agg(F.sum("doc_freq").alias("doc_freq"))
-            )
-        rows = (
-            df.filter(
-                (F.length("term") >= len(term) - max_dist)
-                & (F.length("term") <= len(term) + max_dist)
-                & (F.levenshtein(F.col("term"), F.lit(term)) <= max_dist)
-            )
-            .select("term", "doc_freq", F.levenshtein(F.col("term"), F.lit(term)).alias("dist"))
-            .collect()
+        rows = _distributed_near_terms(
+            spark, index_dir, manifest, field_id, term, max_dist, transpositions
         )
-        out = [(r["term"], int(r["doc_freq"]), int(r["dist"])) for r in rows]
+        out = [
+            (r["term"], int(r["doc_freq"]), dist_fn(r["term"], term))
+            for r in rows
+        ]
+        out = [x for x in out if x[2] <= max_dist]
     return sorted(out, key=lambda x: (x[2], -x[1], x[0]))
 
 
@@ -451,6 +526,7 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             q.max_dist,
             q.prefix_length,
             q.max_expansions if q.max_expansions is not None else DEFAULT_FUZZY_EXPANSIONS,
+            transpositions=q.transpositions,
         )
         return _union_of(q.field_id, terms, q.boost)
     if isinstance(q, WildcardQuery):

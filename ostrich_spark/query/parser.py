@@ -123,6 +123,11 @@ class FuzzyQuery:
     prefix_length: int = 1
     max_expansions: int | None = None  # None -> expand.DEFAULT_FUZZY_EXPANSIONS
     boost: float = 1.0  # propagated to every expanded term
+    # True counts an adjacent swap as ONE edit (Damerau — Lucene's
+    # default); False keeps plain Levenshtein (JVM/DuckDB builtin
+    # parity). Programmatic-only like prefix_length — NQL has no syntax
+    # for it (neither does Lucene's).
+    transpositions: bool = False
 
 
 @dataclass(frozen=True)

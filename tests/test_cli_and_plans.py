@@ -321,3 +321,27 @@ def test_cli_suggest(small_index):
     # analyzer splits merge_polcy -> merge (in dictionary, distance 0 first)
     term, df, dist = lines[0].split()
     assert term == "merge" and dist == "0"
+
+
+def test_cli_suggest_transpositions(small_index):
+    """--transpositions: 'mrege' reaches 'merge' at ONE Damerau edit
+    (adjacent swap); plain Levenshtein at max-dist 1 cannot."""
+    base = [sys.executable, "-m", "ostrich_spark", "suggest", "mrege",
+            "-p", small_index, "--field", "content", "--max-dist", "1"]
+    with_t = subprocess.run(
+        base + ["--transpositions"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert with_t.returncode == 0, with_t.stderr[-2000:]
+    lines = [l.split() for l in with_t.stdout.splitlines()
+             if l.strip() and not l.startswith("elapsed")]
+    assert any(t == "merge" and d == "1" for t, _, d in lines), with_t.stdout
+    plain = subprocess.run(
+        base, capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert plain.returncode == 0, plain.stderr[-2000:]
+    assert not any(
+        l.split()[0] == "merge"
+        for l in plain.stdout.splitlines()
+        if l.strip() and not l.startswith("elapsed")
+    ), plain.stdout

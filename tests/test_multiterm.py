@@ -214,6 +214,20 @@ def test_fuzzy_search_equals_explicit_union(spark, mt_index):
     assert got == want and len(got) == 3
 
 
+def test_fuzzy_transpositions_engine_identity(spark, mt_index):
+    """Damerau fuzzy through the full search path: 'psark' (transposed
+    first pair) reaches 'spark' at ONE edit, so the query is
+    row-identical to the plain term search; plain Levenshtein at the
+    same max_dist matches nothing."""
+    idx, _ = mt_index
+    q = FuzzyQuery(0, "psark", max_dist=1, prefix_length=0, transpositions=True)
+    assert _hits(spark, idx, q, limit=None) == _hits(
+        spark, idx, TermQuery(0, "spark"), limit=None
+    )
+    plain = FuzzyQuery(0, "psark", max_dist=1, prefix_length=0)
+    assert _hits(spark, idx, plain, limit=None) == []
+
+
 def test_prefix_wand_identity(spark, mt_index):
     idx, _ = mt_index
     assert _hits(spark, idx, "text:spar*", limit=3, use_wand=True) == _hits(

@@ -11,6 +11,9 @@ from ostrich_spark.analysis import get_analyzer
 from ostrich_spark.build import build_index
 from ostrich_spark.manifest import load_manifest
 from ostrich_spark.query.expand import (
+    damerau_dist,
+    damerau_within,
+    expand_fuzzy,
     levenshtein_dist,
     levenshtein_within,
     suggest_terms,
@@ -46,13 +49,13 @@ def _dictionary():
     return df
 
 
-def _oracle(word, max_dist, prefix_length):
+def _oracle(word, max_dist, prefix_length, dist_fn=levenshtein_dist):
     df = _dictionary()
     out = []
     for t, n in df.items():
         if prefix_length and t[:prefix_length] != word[:prefix_length]:
             continue
-        d = levenshtein_dist(t, word)
+        d = dist_fn(t, word)
         if d <= max_dist:
             out.append((t, n, d))
     return sorted(out, key=lambda x: (x[2], -x[1], x[0]))
@@ -96,3 +99,71 @@ def test_suggest_wholedict_scan_superset(spark, idx):
     pruned = suggest_terms(spark, idx, mf, 0, "sparc", max_dist=2, prefix_length=1)
     assert [x for x in full if x[0][:1] == "s"] == pruned
     assert full == _oracle("sparc", 2, 0)
+
+
+def test_damerau_dist_goldens():
+    assert damerau_dist("spark", "spark") == 0
+    assert damerau_dist("sprak", "spark") == 1  # adjacent swap = ONE edit
+    assert damerau_dist("sparc", "spark") == 1
+    assert damerau_dist("abcd", "acbd") == 1
+    # UNRESTRICTED variant (DuckDB parity): edit between a transposed
+    # pair allowed — OSA would say 3 here
+    assert damerau_dist("ca", "abc") == 2
+    assert damerau_dist("kitten", "sitting") == 3
+    assert damerau_dist("", "abc") == 3
+
+
+def test_damerau_bounds_and_duckdb_parity():
+    """DL <= Lev <= 2*DL (the 2x bound justifies the distributed path's
+    JVM pre-filter radius), and exact DuckDB damerau_levenshtein parity
+    on seeded random pairs — the same function the oracle gate runs."""
+    import random
+
+    import duckdb
+
+    con = duckdb.connect()
+    rng = random.Random(42)
+    for _ in range(400):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 7)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 7)))
+        dl = damerau_dist(a, b)
+        lev = levenshtein_dist(a, b)
+        assert dl <= lev <= 2 * dl or (dl == 0 and lev == 0)
+        want = con.execute(
+            "select damerau_levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert dl == want, (a, b, dl, want)
+        for m in (0, 1, 2):
+            assert damerau_within(a, b, m) == (dl <= m)
+
+
+@pytest.mark.parametrize("prefix_length", [1, 0])
+def test_suggest_transpositions_oracle(spark, idx, prefix_length):
+    """sprak: transpositions ranks spark at distance 1 (plain Levenshtein
+    says 2); both the prefix-pruned and the distributed paths match the
+    pure-Python Damerau oracle."""
+    mf = load_manifest(idx)
+    got = suggest_terms(
+        spark, idx, mf, 0, "sprak", max_dist=2,
+        prefix_length=prefix_length, transpositions=True,
+    )
+    assert got == _oracle("sprak", 2, prefix_length, damerau_dist)
+    assert got[0] == ("spark", 3, 1)
+
+
+def test_expand_fuzzy_transpositions_superset(spark, idx):
+    """Damerau radius contains the plain-Levenshtein radius at the same
+    max_dist, and the distributed path (prefix_length=0, 2x JVM
+    pre-filter + exact driver-side DP) agrees with the dictionary
+    ground truth."""
+    mf = load_manifest(idx)
+    plain = set(expand_fuzzy(spark, idx, mf, 0, "sprak", 1, prefix_length=0))
+    damerau = set(
+        expand_fuzzy(
+            spark, idx, mf, 0, "sprak", 1, prefix_length=0, transpositions=True
+        )
+    )
+    assert plain <= damerau
+    assert "spark" in damerau and "spark" not in plain
+    want = {t for t in _dictionary() if damerau_dist(t, "sprak") <= 1}
+    assert damerau == want
