@@ -593,6 +593,61 @@ def _q_eng_fuzzy_damerau(spark, sf_dir):
     )
 
 
+_ALIAS_INDEX_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _doc_indexes_alias(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Two indexes over the doc_id-parity halves of the documents corpus
+    — the alias deployment shape (per-day / per-wave indexes queried as
+    one). Same schema as the entry index."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _ALIAS_INDEX_CACHE:
+        return _ALIAS_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    dirs = []
+    for parity in (0, 1):
+        index_dir = f"/tmp/ostrich_entry_idx/{tag}-alias{parity}"
+        if not manifest_exists(index_dir):
+            schema = Schema()
+            schema.add_text_field("text", "default", positions=True, store=True)
+            schema.add_numeric_field("n_chars")
+            build_index(
+                spark,
+                _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == parity),
+                schema,
+                index_dir,
+                num_partitions=2,
+                order_col="doc_id",
+                id_cols=["doc_id"],
+                build_id=f"entry-{tag}-alias{parity}",
+            )
+        dirs.append(index_dir)
+    _ALIAS_INDEX_CACHE[key] = (dirs[0], dirs[1])
+    return _ALIAS_INDEX_CACHE[key]
+
+
+def _q_eng_alias_search(spark, sf_dir):
+    """Multi-index alias search (Lucene MultiReader / ES alias analog):
+    the corpus split into two indexes by doc_id parity, queried as ONE
+    alias with globally-bound stats (df summed per term, N summed, avgdl
+    from summed totals) — score-identical to a single merged index, so
+    the oracle is the ordinary full-corpus TF-IDF SQL."""
+    from ostrich_spark.query.multi import attach_docmap_multi, search_multi
+
+    dirs = list(_doc_indexes_alias(spark, sf_dir))
+    res, _ = search_multi(
+        spark, dirs, "text:merge OR text:batch", limit=None, scorer="tfidf"
+    )
+    return (
+        attach_docmap_multi(spark, dirs, res)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -1196,6 +1251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_suggest": _q_eng_suggest,
         "eng_fuzzy_damerau": _q_eng_fuzzy_damerau,
         "eng_s5_or": _q_eng_or,
+        "eng_alias_search": _q_eng_alias_search,
         "eng_boost_or": _q_eng_boost_or,
         "eng_s6_must_should": _q_eng_must_should,
         "eng_s7_must_not": _q_eng_must_not,
@@ -1298,6 +1354,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','window')) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        # alias of two half-corpus indexes ≡ one merged index, so the
+        # oracle is the plain full-corpus scoring SQL
+        "eng_alias_search": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('merge','batch')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
         ),
         "eng_dismax": (

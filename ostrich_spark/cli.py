@@ -36,6 +36,10 @@ def cmd_search(args) -> int:
 
     spark = _spark()
     t0 = time.time()
+    paths = args.path if isinstance(args.path, list) else [args.path]
+    if len(paths) > 1:
+        return _search_alias(spark, paths, args, t0)
+    args.path = paths[0]
     if args.highlight:
         from .highlight import highlight
 
@@ -103,6 +107,46 @@ def cmd_search(args) -> int:
     # output contract of cmd/ostrich/cmd/search.go:55-63
     for r in rows:
         print(f"{r['segment_ord']}/{r['doc']} {r['score']}")
+    if args.count:
+        print(f"count: {cnt}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
+def _search_alias(spark, paths, args, t0) -> int:
+    """Multi-index alias search: ``index_ord:segment_ord/doc score``
+    lines in the global merged ranking (same contract as single-index
+    search with the alias position prefixed)."""
+    from .manifest import load_manifest
+    from .query.multi import search_multi
+
+    for opt in ("highlight", "sort_by", "after"):
+        if getattr(args, opt, None):
+            print(f"error: --{opt.replace('_', '-')} is single-index only "
+                  f"(one -p)", file=sys.stderr)
+            return 2
+    query = args.query
+    if getattr(args, "fields", None):
+        from .query.parser import parse_multi_field
+
+        mf = load_manifest(paths[0])
+        boosts = {}
+        for f in args.fields.split(","):
+            if "^" in f:
+                name, b = f.rsplit("^", 1)
+                boosts[name] = float(b)
+            else:
+                boosts[f] = 1.0
+        query = parse_multi_field(args.query, mf.schema, boosts, args.tie)
+    res, cnt = search_multi(
+        spark, paths, query,
+        limit=args.limit, offset=args.offset,
+        scorer=args.scorer, with_count=args.count,
+    )
+    rows = res.collect()
+    elapsed = time.time() - t0
+    for r in rows:
+        print(f"{r['index_ord']}:{r['segment_ord']}/{r['doc']} {r['score']}")
     if args.count:
         print(f"count: {cnt}")
     print(f"elapsed: {elapsed:.3f}s")
@@ -520,7 +564,9 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("search")
     s.add_argument("query")
-    s.add_argument("-p", "--path", required=True)
+    s.add_argument("-p", "--path", required=True, action="append",
+                   help="index path; repeat for a multi-index alias "
+                        "(global stats, one merged ranking)")
     s.add_argument("-l", "--limit", type=int, default=10)
     s.add_argument("-o", "--offset", type=int, default=0)
     s.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")

@@ -1088,8 +1088,16 @@ def search(
     default_fields: list[str] | None = None,
     manifest: Manifest | None = None,
     after: tuple | None = None,
+    stats_override: tuple | None = None,
 ):
     """Run a query; returns (results DataFrame, count or None).
+
+    ``stats_override`` = (doc_freqs, total_docs, field_avgdl) replaces
+    the index-local stats binding — the multi-index alias path
+    (query/multi.py) binds GLOBAL stats across every index of the alias
+    so per-index scores are comparable in one merged ranking. Callers
+    passing it must have already rewritten multi-term nodes (expansion
+    consults the dictionary, which an override cannot represent).
 
     Results columns: segment_id, segment_ord, doc, score — ordered by the
     pinned total order, offset/limit applied. ``limit=None`` returns every
@@ -1129,7 +1137,12 @@ def search(
         # plain term unions before stats binding
         logical = rewrite_multiterm(spark, index_dir, manifest, logical)
 
-    doc_freqs, total_docs, field_avgdl = bind_stats(spark, index_dir, manifest, logical)
+    if stats_override is not None:
+        doc_freqs, total_docs, field_avgdl = stats_override
+    else:
+        doc_freqs, total_docs, field_avgdl = bind_stats(
+            spark, index_dir, manifest, logical
+        )
     compiled = compile_query(logical, doc_freqs, total_docs, field_avgdl, scorer)
     wire = to_wire(compiled)
 
@@ -1170,7 +1183,9 @@ def search(
     if wire["kind"] == "all":
         # AllQuery (all_query.go:11-77): every doc scores 1.0; scan docmap
         base = read_docmap(spark, index_dir, manifest).select("segment_id", "doc")
-        all_count = total_docs
+        # count is index-LOCAL even when stats_override carries the
+        # alias-global total (equal to total_docs otherwise)
+        all_count = manifest.stats.get("total_docs", manifest.total_docs)
         if tombstoned:
             base = base.join(
                 read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"

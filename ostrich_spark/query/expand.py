@@ -146,6 +146,18 @@ def _cap(pairs: list[tuple[str, int]], max_expansions: int | None) -> list[str]:
     return [t for t, _ in pairs]
 
 
+def _prefix_pairs(
+    spark, index_dir: str, manifest, field_id: int, prefix: str
+) -> list[tuple[str, int]]:
+    """UNCAPPED (term, doc_freq) dictionary candidates for a prefix."""
+    hi = prefix_upper_bound(prefix)
+    pairs = _range_candidates(index_dir, field_id, prefix, hi)
+    if pairs is None:
+        rows = _postings_range_df(spark, index_dir, manifest, field_id, prefix, hi).collect()
+        pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+    return pairs
+
+
 def expand_prefix(
     spark,
     index_dir: str,
@@ -155,12 +167,9 @@ def expand_prefix(
     max_expansions: int | None = DEFAULT_PREFIX_EXPANSIONS,
 ) -> list[str]:
     """Terms of ``field_id`` starting with ``prefix`` (capped)."""
-    hi = prefix_upper_bound(prefix)
-    pairs = _range_candidates(index_dir, field_id, prefix, hi)
-    if pairs is None:
-        rows = _postings_range_df(spark, index_dir, manifest, field_id, prefix, hi).collect()
-        pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
-    return _cap(pairs, max_expansions)
+    return _cap(
+        _prefix_pairs(spark, index_dir, manifest, field_id, prefix), max_expansions
+    )
 
 
 def expand_fuzzy(
@@ -185,6 +194,20 @@ def expand_fuzzy(
     costs <=2 plain edits, so Lev <= 2*DL — no candidate within the
     Damerau radius escapes it) and the exact Damerau DP runs driver-side
     over only that collected near-set."""
+    return _cap(
+        _fuzzy_pairs(
+            spark, index_dir, manifest, field_id, term, max_dist,
+            prefix_length, transpositions,
+        ),
+        max_expansions,
+    )
+
+
+def _fuzzy_pairs(
+    spark, index_dir: str, manifest, field_id: int, term: str,
+    max_dist: int, prefix_length: int, transpositions: bool,
+) -> list[tuple[str, int]]:
+    """UNCAPPED (term, doc_freq) candidates within the edit radius."""
     prefix_length = min(prefix_length, len(term))
     within = damerau_within if transpositions else levenshtein_within
     if prefix_length > 0:
@@ -195,19 +218,17 @@ def expand_fuzzy(
                 spark, index_dir, manifest, field_id, p, prefix_upper_bound(p)
             ).collect()
             pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
-        pairs = [(t, df) for t, df in pairs if within(t, term, max_dist)]
-    else:
-        # whole-dictionary scan stays distributed: JVM levenshtein with a
-        # length-window pre-filter, only the (small) match set collects
-        rows = _distributed_near_terms(
-            spark, index_dir, manifest, field_id, term, max_dist, transpositions
-        )
-        pairs = [
-            (r["term"], int(r["doc_freq"]))
-            for r in rows
-            if not transpositions or damerau_within(r["term"], term, max_dist)
-        ]
-    return _cap(pairs, max_expansions)
+        return [(t, df) for t, df in pairs if within(t, term, max_dist)]
+    # whole-dictionary scan stays distributed: JVM levenshtein with a
+    # length-window pre-filter, only the (small) match set collects
+    rows = _distributed_near_terms(
+        spark, index_dir, manifest, field_id, term, max_dist, transpositions
+    )
+    return [
+        (r["term"], int(r["doc_freq"]))
+        for r in rows
+        if not transpositions or damerau_within(r["term"], term, max_dist)
+    ]
 
 
 def _distributed_near_terms(
@@ -404,19 +425,18 @@ def _regex_literal_prefix(pattern: str) -> str:
     return "".join(pre)
 
 
-def _expand_pattern(
+def _pattern_pairs(
     spark,
     index_dir: str,
     manifest,
     field_id: int,
     literal_prefix: str,
     regex: str,
-    max_expansions: int | None,
-) -> list[str]:
-    """Shared wildcard/regexp expansion: whole-term (anchored) regex
-    match over the dictionary. With a literal prefix the candidates come
-    from the same range-pruned dictionary read as PrefixQuery and the
-    regex filters driver-side; a leading wildcard falls back to ONE
+) -> list[tuple[str, int]]:
+    """UNCAPPED shared wildcard/regexp candidates: whole-term (anchored)
+    regex match over the dictionary. With a literal prefix the candidates
+    come from the same range-pruned dictionary read as PrefixQuery and
+    the regex filters driver-side; a leading wildcard falls back to ONE
     distributed anchored-regex filter job over the dictionary (JVM
     regex) — only the match set is collected, never the dictionary."""
     import re as _re
@@ -430,29 +450,42 @@ def _expand_pattern(
             ).collect()
             pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
         rx = _re.compile(regex)
-        pairs = [(t, df) for t, df in pairs if rx.fullmatch(t)]
+        return [(t, df) for t, df in pairs if rx.fullmatch(t)]
+    from pyspark.sql import functions as F
+
+    files = _stats_files(index_dir)
+    if files is not None:
+        df = spark.read.parquet(*files).filter(F.col("field") == field_id)
     else:
-        from pyspark.sql import functions as F
+        from .exec import read_postings
 
-        files = _stats_files(index_dir)
-        if files is not None:
-            df = spark.read.parquet(*files).filter(F.col("field") == field_id)
-        else:
-            from .exec import read_postings
-
-            df = (
-                read_postings(spark, index_dir, manifest)
-                .filter(F.col("field") == field_id)
-                .groupBy("term")
-                .agg(F.sum("doc_freq").alias("doc_freq"))
-            )
-        rows = (
-            df.filter(F.col("term").rlike(f"^(?:{regex})$"))
-            .select("term", "doc_freq")
-            .collect()
+        df = (
+            read_postings(spark, index_dir, manifest)
+            .filter(F.col("field") == field_id)
+            .groupBy("term")
+            .agg(F.sum("doc_freq").alias("doc_freq"))
         )
-        pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
-    return _cap(pairs, max_expansions)
+    rows = (
+        df.filter(F.col("term").rlike(f"^(?:{regex})$"))
+        .select("term", "doc_freq")
+        .collect()
+    )
+    return [(r["term"], int(r["doc_freq"])) for r in rows]
+
+
+def _expand_pattern(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    literal_prefix: str,
+    regex: str,
+    max_expansions: int | None,
+) -> list[str]:
+    return _cap(
+        _pattern_pairs(spark, index_dir, manifest, field_id, literal_prefix, regex),
+        max_expansions,
+    )
 
 
 def expand_wildcard(
@@ -556,4 +589,73 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
         )
     if isinstance(q, (TermQuery, PhraseQuery)):
         return q
+    return q
+
+
+def node_pairs(spark, index_dir: str, manifest, q) -> list[tuple[str, int]]:
+    """UNCAPPED (term, doc_freq) candidates of ONE multi-term node
+    against ONE index's dictionary — the building block the multi-index
+    rewrite merges across indexes before applying the cap once."""
+    if isinstance(q, PrefixQuery):
+        return _prefix_pairs(spark, index_dir, manifest, q.field_id, q.prefix)
+    if isinstance(q, FuzzyQuery):
+        return _fuzzy_pairs(
+            spark, index_dir, manifest, q.field_id, q.term, q.max_dist,
+            q.prefix_length, q.transpositions,
+        )
+    if isinstance(q, WildcardQuery):
+        lit = q.pattern.split("*", 1)[0].split("?", 1)[0]
+        return _pattern_pairs(
+            spark, index_dir, manifest, q.field_id, lit,
+            wildcard_to_regex(q.pattern),
+        )
+    if isinstance(q, RegexpQuery):
+        return _pattern_pairs(
+            spark, index_dir, manifest, q.field_id,
+            _regex_literal_prefix(q.pattern), q.pattern,
+        )
+    raise TypeError(f"not a multi-term node: {type(q).__name__}")
+
+
+def _node_cap(q) -> int:
+    if q.max_expansions is not None:
+        return q.max_expansions
+    return (
+        DEFAULT_FUZZY_EXPANSIONS
+        if isinstance(q, FuzzyQuery)
+        else DEFAULT_PREFIX_EXPANSIONS
+    )
+
+
+def rewrite_multiterm_multi(spark, index_dirs, manifests, q):
+    """Multi-index multiterm rewrite (Lucene MultiReader semantics): a
+    node expands against the UNION dictionary — per-index candidates
+    merged with doc_freq summed by term, then the deterministic cap
+    (df DESC, term ASC) applied ONCE globally. Expanding per index and
+    capping per index would let the same query select different term
+    sets on different indexes of the alias, making scores incomparable
+    across the union."""
+    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery)):
+        merged: dict[str, int] = {}
+        for d, m in zip(index_dirs, manifests):
+            for t, df in node_pairs(spark, d, m, q):
+                merged[t] = merged.get(t, 0) + df
+        terms = _cap(sorted(merged.items()), _node_cap(q))
+        return _union_of(q.field_id, terms, q.boost)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            [
+                (occ, rewrite_multiterm_multi(spark, index_dirs, manifests, sub))
+                for occ, sub in q.subqueries
+            ],
+            min_should=q.min_should,
+        )
+    if isinstance(q, DisMaxQuery):
+        return DisMaxQuery(
+            [
+                rewrite_multiterm_multi(spark, index_dirs, manifests, sub)
+                for sub in q.children
+            ],
+            q.tie_breaker,
+        )
     return q
