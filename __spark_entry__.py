@@ -722,6 +722,66 @@ def _q_eng_delete_purged(spark, sf_dir):
     return _deleted_matches(spark, sf_dir, purged=True)
 
 
+_SNAP_INDEX_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _doc_index_snapshot(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Index with snapshot retention on: commit 1 = full build, commit 2
+    = delete doc_id % 5 == 0. Returns (dir, pre-delete opstamp)."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.deletes import delete_docs
+    from ostrich_spark.manifest import (
+        list_snapshots,
+        manifest_exists,
+        set_snapshot_retention,
+    )
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _SNAP_INDEX_CACHE:
+        return _SNAP_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-snap"
+    if not manifest_exists(index_dir):
+        set_snapshot_retention(index_dir, 4)
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-{tag}-snap",
+        )
+        victims = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0).select("doc_id")
+        delete_docs(spark, index_dir, victims, ["doc_id"])
+    ops = [op for op, _ in list_snapshots(index_dir)]
+    _SNAP_INDEX_CACHE[key] = (index_dir, ops[0])
+    return _SNAP_INDEX_CACHE[key]
+
+
+def _q_eng_snapshot_search(spark, sf_dir):
+    """Point-in-time read (Lucene IndexCommit / ES PIT analog): a delete
+    commit happened AFTER the retained build snapshot, so searching at
+    the pre-delete opstamp sees every doc with full-corpus stats — the
+    plain oracle SQL over the whole corpus — while a current search
+    (eng_delete_tombstone's shape) would drop the victims. The snapshot
+    manifest pins the segment set AND the tombstone version together."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx, op0 = _doc_index_snapshot(spark, sf_dir)
+    snap = load_manifest(idx, opstamp=op0)
+    res, _ = search(spark, idx, "text:stream", limit=None, manifest=snap)
+    return (
+        attach_docmap(spark, idx, res, manifest=snap)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 _UPD_INDEX_CACHE: dict[str, str] = {}
 _UPD_TEXT = "updated spark pipeline rewrite"
 
@@ -1250,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
         "eng_fuzzy_damerau": _q_eng_fuzzy_damerau,
+        "eng_snapshot_search": _q_eng_snapshot_search,
         "eng_s5_or": _q_eng_or,
         "eng_alias_search": _q_eng_alias_search,
         "eng_boost_or": _q_eng_boost_or,
@@ -1342,6 +1403,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
             f"SELECT t.doc_id, {tfidf_spark} AS score "
             "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
+        ),
+        # point-in-time read at the pre-delete commit == the plain
+        # full-corpus scoring (deletes committed later are not visible)
+        "eng_snapshot_search": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            f"SELECT t.doc_id, {tfidf_spark} AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'stream'"
         ),
         "eng_s4_and": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

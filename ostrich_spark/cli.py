@@ -40,6 +40,19 @@ def cmd_search(args) -> int:
     if len(paths) > 1:
         return _search_alias(spark, paths, args, t0)
     args.path = paths[0]
+    mf = None
+    if getattr(args, "at", None) is not None:
+        if args.highlight or args.sort_by:
+            print("error: --at composes with plain search only",
+                  file=sys.stderr)
+            return 2
+        from .manifest import load_manifest
+
+        try:
+            mf = load_manifest(args.path, opstamp=args.at)
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     if args.highlight:
         from .highlight import highlight
 
@@ -83,7 +96,8 @@ def cmd_search(args) -> int:
         from .manifest import load_manifest
         from .query.parser import parse_multi_field
 
-        mf = load_manifest(args.path)
+        if mf is None:  # --at pins the manifest (and its schema) above
+            mf = load_manifest(args.path)
         boosts = {}
         for f in args.fields.split(","):
             if "^" in f:
@@ -101,6 +115,7 @@ def cmd_search(args) -> int:
         scorer=args.scorer,
         with_count=args.count,
         after=after,
+        manifest=mf,
     )
     rows = res.collect()
     elapsed = time.time() - t0
@@ -120,7 +135,7 @@ def _search_alias(spark, paths, args, t0) -> int:
     from .manifest import load_manifest
     from .query.multi import search_multi
 
-    for opt in ("highlight", "sort_by", "after"):
+    for opt in ("highlight", "sort_by", "after", "at"):
         if getattr(args, opt, None):
             print(f"error: --{opt.replace('_', '-')} is single-index only "
                   f"(one -p)", file=sys.stderr)
@@ -523,6 +538,33 @@ def cmd_purge(args) -> int:
     return 0
 
 
+def cmd_snapshots(args) -> int:
+    """Point-in-time snapshots: list retained commits (opstamp, docs,
+    segments, pinned tombstone version); --retain K sets the retention
+    policy. Search a snapshot with ``search --at OPSTAMP``. Driver-side
+    JSON only — no Spark session."""
+    import json as _json
+
+    from .manifest import (
+        list_snapshots,
+        set_snapshot_retention,
+        snapshot_retention,
+    )
+
+    if args.retain is not None:
+        set_snapshot_retention(args.path, args.retain)
+        print(f"retention: {args.retain}")
+    else:
+        print(f"retention: {snapshot_retention(args.path)}")
+    for op, path in list_snapshots(args.path):
+        with open(path) as f:
+            d = _json.load(f)
+        docs = sum(s["max_doc"] for s in d["segments"])
+        tomb = d.get("tombstone_name") or "-"
+        print(f"{op} docs={docs} segments={len(d['segments'])} tombstones={tomb}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: manifest stats, build phases, per-segment
     lineage/metrics — no Spark session needed (driver-side JSON only)."""
@@ -584,6 +626,11 @@ def main(argv=None) -> int:
     s.add_argument(
         "--asc", action="store_true",
         help="with --sort-by: ascending (default descending)",
+    )
+    s.add_argument(
+        "--at", type=int, metavar="OPSTAMP",
+        help="point-in-time search at a retained snapshot "
+             "(see the snapshots subcommand)",
     )
     s.add_argument(
         "--fields",
@@ -712,6 +759,13 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("-p", "--path", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    sn = sub.add_parser("snapshots")
+    sn.add_argument("-p", "--path", required=True)
+    sn.add_argument("--retain", type=int, metavar="K",
+                    help="keep the last K commits readable point-in-time "
+                         "(0 disables and releases old snapshots)")
+    sn.set_defaults(fn=cmd_snapshots)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -45,24 +45,53 @@ def _current_path(index_dir: str) -> str:
     return os.path.join(_deletes_root(index_dir), CURRENT_NAME)
 
 
-def current_tombstone_dir(index_dir: str) -> str | None:
-    """Path of the live tombstone parquet dir, or None if no deletes."""
+def current_tombstone_name(index_dir: str) -> str | None:
+    """Version-dir NAME in the CURRENT pointer, or None if no deletes
+    (what snapshot manifests record for point-in-time pinning)."""
     cur = _current_path(index_dir)
     if not os.path.exists(cur):
         return None
     with open(cur) as f:
         name = json.load(f)["dir"]
-    path = os.path.join(_deletes_root(index_dir), name)
-    return path if os.path.isdir(path) else None
+    return name if os.path.isdir(os.path.join(_deletes_root(index_dir), name)) else None
 
 
-def has_tombstones(index_dir: str) -> bool:
-    return current_tombstone_dir(index_dir) is not None
+def current_tombstone_dir(index_dir: str) -> str | None:
+    """Path of the live tombstone parquet dir, or None if no deletes."""
+    name = current_tombstone_name(index_dir)
+    return None if name is None else os.path.join(_deletes_root(index_dir), name)
 
 
-def read_tombstones(spark, index_dir: str):
-    """(segment_id, doc) DataFrame of tombstoned docs, or None."""
-    path = current_tombstone_dir(index_dir)
+def _tombstone_dir_for(index_dir: str, manifest) -> str | None:
+    """CURRENT tombstones, unless ``manifest`` was loaded from a
+    retained snapshot — then the version pinned at that commit (a later
+    delete must not leak into a point-in-time view)."""
+    pinned = getattr(manifest, "pinned_tombstone_dir", _UNPINNED)
+    if pinned is _UNPINNED:
+        return current_tombstone_dir(index_dir)
+    if pinned is None:
+        return None
+    path = os.path.join(_deletes_root(index_dir), pinned)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"tombstone version {pinned!r} of this snapshot is gone from "
+            f"{index_dir!r} — it aged out of snapshot retention"
+        )
+    return path
+
+
+_UNPINNED = object()
+
+
+def has_tombstones(index_dir: str, manifest=None) -> bool:
+    return _tombstone_dir_for(index_dir, manifest) is not None
+
+
+def read_tombstones(spark, index_dir: str, manifest=None):
+    """(segment_id, doc) DataFrame of tombstoned docs, or None. Pass the
+    ``manifest`` the query pinned: snapshot-loaded manifests resolve to
+    their own tombstone version instead of CURRENT."""
+    path = _tombstone_dir_for(index_dir, manifest)
     if path is None:
         return None
     return spark.read.schema(TOMBSTONE_SCHEMA).parquet(path)
@@ -101,13 +130,35 @@ def _write_tombstones(spark, index_dir: str, tomb_df, opstamp: int) -> None:
         .parquet(out)
     )
     atomic_write_json(_current_path(index_dir), {"dir": name, "opstamp": opstamp})
+    # prune superseded versions — EXCEPT those a retained snapshot still
+    # pins (point-in-time reads of that commit resolve deletes through
+    # them; they fall away when their snapshot ages out)
+    from .manifest import snapshot_tombstone_names
+
+    keep = snapshot_tombstone_names(index_dir) | {name}
     for stale in glob.glob(os.path.join(root, "ts-*")):
-        if os.path.basename(stale) != name:
+        if os.path.basename(stale) not in keep:
             shutil.rmtree(stale, ignore_errors=True)
 
 
 def clear_tombstones(index_dir: str) -> None:
-    shutil.rmtree(_deletes_root(index_dir), ignore_errors=True)
+    """No live deletes: drop the CURRENT pointer (and unpinned version
+    dirs). Versions pinned by retained snapshots survive — a
+    point-in-time read of a pre-purge commit still resolves its
+    deletes through them."""
+    from .manifest import snapshot_tombstone_names
+
+    pinned = snapshot_tombstone_names(index_dir)
+    root = _deletes_root(index_dir)
+    if not pinned:
+        shutil.rmtree(root, ignore_errors=True)
+        return
+    cur = _current_path(index_dir)
+    if os.path.exists(cur):
+        os.unlink(cur)
+    for stale in glob.glob(os.path.join(root, "ts-*")):
+        if os.path.basename(stale) not in pinned:
+            shutil.rmtree(stale, ignore_errors=True)
 
 
 def gc_tombstones(spark, index_dir: str, live_segment_ids: set[str], opstamp: int) -> None:

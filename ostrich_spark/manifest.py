@@ -37,6 +37,8 @@ from .schema import Schema
 MANIFEST_NAME = "manifest.json"
 FRAGMENT_NAME = "fragment.json"
 SEGMENTS_DIR = "segments"
+SNAPSHOTS_DIR = "manifests"
+RETENTION_NAME = "retention.json"
 
 
 @dataclass
@@ -119,11 +121,112 @@ def atomic_write_json(path: str, payload: dict) -> None:
 
 def save_manifest(index_dir: str, manifest: Manifest) -> None:
     atomic_write_json(os.path.join(index_dir, MANIFEST_NAME), manifest.to_json())
+    if snapshot_retention(index_dir) > 0:
+        _write_snapshot(index_dir, manifest)
 
 
-def load_manifest(index_dir: str) -> Manifest:
-    with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
-        return Manifest.from_json(json.load(f))
+def load_manifest(index_dir: str, opstamp: int | None = None) -> Manifest:
+    """Committed manifest; with ``opstamp``, the retained SNAPSHOT at
+    that commit point (point-in-time read — Lucene IndexCommit / ES PIT
+    analog). A snapshot-loaded manifest carries the tombstone version
+    that was CURRENT at its commit (``pinned_tombstone_dir``), so query
+    paths see a fully consistent (segments, deletes) pair. Requires
+    snapshot retention (``set_snapshot_retention``) to have been on when
+    the commit happened and the snapshot to still be within retention."""
+    if opstamp is None:
+        with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+            return Manifest.from_json(json.load(f))
+    path = os.path.join(index_dir, SNAPSHOTS_DIR, f"manifest-{opstamp:010d}.json")
+    if not os.path.exists(path):
+        avail = [op for op, _ in list_snapshots(index_dir)]
+        raise FileNotFoundError(
+            f"no retained snapshot at opstamp {opstamp} in {index_dir!r} "
+            f"(retained: {avail or 'none'} — see set_snapshot_retention)"
+        )
+    with open(path) as f:
+        d = json.load(f)
+    m = Manifest.from_json(d)
+    # not a serialized Manifest field: only snapshot loads pin deletes
+    m.pinned_tombstone_dir = d.get("tombstone_name")
+    return m
+
+
+# ---------------------------------------------------------------------------
+# snapshot retention (point-in-time reads)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_retention(index_dir: str) -> int:
+    """How many committed snapshots this index retains (0 = none — the
+    default, identical on-disk behavior to an index without snapshots)."""
+    p = os.path.join(index_dir, RETENTION_NAME)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f).get("snapshots", 0))
+
+
+def set_snapshot_retention(index_dir: str, snapshots: int) -> None:
+    """Keep the last ``snapshots`` committed manifests (plus the
+    tombstone versions and segment dirs they reference) readable via
+    ``load_manifest(index_dir, opstamp=...)``. Retention is enforced at
+    each commit and at GC; lowering it prunes on the next commit."""
+    if snapshots < 0:
+        raise ValueError("snapshots must be >= 0")
+    os.makedirs(index_dir, exist_ok=True)
+    atomic_write_json(
+        os.path.join(index_dir, RETENTION_NAME), {"snapshots": snapshots}
+    )
+    # lowering retention releases the older snapshots immediately (their
+    # segments/tombstones become collectable at the next GC)
+    snaps = list_snapshots(index_dir)
+    for _, path in snaps[: max(0, len(snaps) - snapshots)]:
+        os.unlink(path)
+
+
+def list_snapshots(index_dir: str) -> list[tuple[int, str]]:
+    """Retained (opstamp, path) pairs, oldest first."""
+    root = os.path.join(index_dir, SNAPSHOTS_DIR)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            out.append((int(name[len("manifest-"):-len(".json")]), os.path.join(root, name)))
+    return out
+
+
+def _write_snapshot(index_dir: str, manifest: Manifest) -> None:
+    # record the tombstone version CURRENT at this commit so a snapshot
+    # read pins (segments, deletes) together — deletes committed later
+    # must not leak into an earlier point-in-time view
+    from .deletes import current_tombstone_name
+
+    payload = manifest.to_json()
+    payload["tombstone_name"] = current_tombstone_name(index_dir)
+    atomic_write_json(
+        os.path.join(
+            index_dir, SNAPSHOTS_DIR, f"manifest-{manifest.opstamp:010d}.json"
+        ),
+        payload,
+    )
+    keep = snapshot_retention(index_dir)
+    snaps = list_snapshots(index_dir)
+    for _, path in snaps[: max(0, len(snaps) - keep)]:
+        os.unlink(path)
+
+
+def snapshot_tombstone_names(index_dir: str) -> set[str]:
+    """Tombstone version dirs referenced by retained snapshots — the
+    delete-side retention set (pruned versions would silently resurrect
+    deleted docs in point-in-time reads)."""
+    out = set()
+    for _, path in list_snapshots(index_dir):
+        with open(path) as f:
+            name = json.load(f).get("tombstone_name")
+        if name:
+            out.add(name)
+    return out
 
 
 def manifest_exists(index_dir: str) -> bool:
@@ -146,10 +249,16 @@ def load_fragment(index_dir: str, segment_id: str) -> dict | None:
 
 def garbage_collect(index_dir: str) -> list[str]:
     """Delete segment dirs not referenced by the committed manifest —
-    manifest-driven GC (managed_directory.go:97-134)."""
+    manifest-driven GC (managed_directory.go:97-134). With snapshot
+    retention on, segments referenced by any RETAINED snapshot stay
+    live too (dropping them would break point-in-time reads); they are
+    collected once their snapshots age out of retention."""
     if not manifest_exists(index_dir):
         return []
     live = {s.segment_id for s in load_manifest(index_dir).segments}
+    for _, path in list_snapshots(index_dir):
+        with open(path) as f:
+            live.update(s["segment_id"] for s in json.load(f)["segments"])
     seg_root = os.path.join(index_dir, SEGMENTS_DIR)
     removed = []
     if os.path.isdir(seg_root):

@@ -981,7 +981,7 @@ def build_aux_df(spark, index_dir: str, manifest, range_wires: list[dict], tombs
     parts = [range_match_df(spark, index_dir, manifest, rw) for rw in range_wires]
     if tombstoned:
         parts.append(
-            read_tombstones(spark, index_dir).select(
+            read_tombstones(spark, index_dir, manifest).select(
                 "segment_id", "doc", F.lit(-1).alias("rid")
             )
         )
@@ -1178,7 +1178,7 @@ def search(
 
     from ..deletes import has_tombstones, read_tombstones, tombstone_count
 
-    tombstoned = has_tombstones(index_dir)
+    tombstoned = has_tombstones(index_dir, manifest)
 
     if wire["kind"] == "all":
         # AllQuery (all_query.go:11-77): every doc scores 1.0; scan docmap
@@ -1188,7 +1188,7 @@ def search(
         all_count = manifest.stats.get("total_docs", manifest.total_docs)
         if tombstoned:
             base = base.join(
-                read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
+                read_tombstones(spark, index_dir, manifest), ["segment_id", "doc"], "left_anti"
             )
             all_count = total_docs - tombstone_count(
                 index_dir, {s.segment_id for s in manifest.segments}
@@ -1212,7 +1212,7 @@ def search(
         )
         if tombstoned:
             base = base.join(
-                read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
+                read_tombstones(spark, index_dir, manifest), ["segment_id", "doc"], "left_anti"
             )
         range_count = base.count() if with_count else None
         docs = apply_after(
@@ -1256,7 +1256,7 @@ def search(
         )
         seg_results = (
             pruned.groupBy("segment_id")
-            .cogroup(read_tombstones(spark, index_dir).groupBy("segment_id"))
+            .cogroup(read_tombstones(spark, index_dir, manifest).groupBy("segment_id"))
             .applyInPandas(fn2, RESULT_SCHEMA)
         )
     else:
@@ -1439,7 +1439,7 @@ def search_many(
 
     from ..deletes import has_tombstones, read_tombstones
 
-    tombstoned = has_tombstones(index_dir)
+    tombstoned = has_tombstones(index_dir, manifest)
     k = None if limit is None else limit + offset
     parts = []
 
@@ -1489,7 +1489,7 @@ def search_many(
 
             seg_results = (
                 pruned.groupBy("segment_id")
-                .cogroup(read_tombstones(spark, index_dir).groupBy("segment_id"))
+                .cogroup(read_tombstones(spark, index_dir, manifest).groupBy("segment_id"))
                 .applyInPandas(fn2, MANY_RESULT_SCHEMA)
             )
         else:
@@ -1506,7 +1506,7 @@ def search_many(
         base = read_docmap(spark, index_dir, manifest).select("segment_id", "doc")
         if tombstoned:
             base = base.join(
-                read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
+                read_tombstones(spark, index_dir, manifest), ["segment_id", "doc"], "left_anti"
             )
         tagged = base.withColumn(
             "query_id", F.explode(F.array(*[F.lit(q) for q in all_qids]))
@@ -1574,9 +1574,9 @@ def term_positions(spark, index_dir: str, field_id: int, term: str, manifest: Ma
     )
     from ..deletes import has_tombstones, read_tombstones
 
-    if has_tombstones(index_dir):
+    if has_tombstones(index_dir, manifest):
         rows = rows.join(
-            read_tombstones(spark, index_dir), ["segment_id", "doc"], "left_anti"
+            read_tombstones(spark, index_dir, manifest), ["segment_id", "doc"], "left_anti"
         )
     return rows
 
@@ -2101,8 +2101,8 @@ def explain(
     from ..deletes import has_tombstones
 
     tombstoned = False
-    if has_tombstones(index_dir):
-        t = read_tombstones(spark, index_dir)
+    if has_tombstones(index_dir, manifest):
+        t = read_tombstones(spark, index_dir, manifest)
         if t is not None:
             tombstoned = bool(
                 t.filter(
