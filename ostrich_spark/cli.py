@@ -565,6 +565,26 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Consistent clone of the index as of CURRENT (or --at OPSTAMP):
+    copies exactly the manifest-pinned file set, manifest written last.
+    Driver-side file ops — no Spark session."""
+    from .export import export_index
+
+    try:
+        m = export_index(
+            args.path, args.out, opstamp=args.at, hardlink=args.hardlink
+        )
+    except (FileNotFoundError, FileExistsError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"exported opstamp={m.opstamp} docs={m.total_docs} "
+        f"segments={len(m.segments)} -> {args.out}"
+    )
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: manifest stats, build phases, per-segment
     lineage/metrics — no Spark session needed (driver-side JSON only)."""
@@ -766,6 +786,17 @@ def main(argv=None) -> int:
                     help="keep the last K commits readable point-in-time "
                          "(0 disables and releases old snapshots)")
     sn.set_defaults(fn=cmd_snapshots)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("-p", "--path", required=True)
+    ex.add_argument("--out", required=True, metavar="DIR",
+                    help="target directory (must be empty/absent)")
+    ex.add_argument("--at", type=int, metavar="OPSTAMP",
+                    help="export a retained snapshot instead of CURRENT")
+    ex.add_argument("--hardlink", action="store_true",
+                    help="same-filesystem zero-copy clone (cp -al style; "
+                         "falls back to copy across devices)")
+    ex.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)
