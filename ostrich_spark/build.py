@@ -47,6 +47,7 @@ import pyarrow.parquet as pq
 
 from .analysis import get_analyzer
 from .codec import BLOCK_SIZE, block_metadata, pack_blocked
+from .lock import locked_writer
 from .manifest import (
     FRAGMENT_NAME,
     Manifest,
@@ -329,6 +330,7 @@ def _write_segment_atomic(seg_dir: str, tables, fragment: dict) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@locked_writer("build")
 def build_index(
     spark,
     corpus_df,

@@ -160,4 +160,51 @@ def check_index(spark, index_dir: str) -> list[str]:
             "WARNING term_stats opstamp unpaired with manifest "
             "(engine falls back to summing segment postings)"
         )
+
+    # retained point-in-time snapshots: every referenced segment dir and
+    # pinned tombstone version must still exist (GC and tombstone pruning
+    # are supposed to keep them live — a miss means a broken as-of read)
+    import json as _json
+
+    from .deletes import _deletes_root
+    from .manifest import list_snapshots
+
+    for op, spath in list_snapshots(index_dir):
+        try:
+            with open(spath) as f:
+                snap = _json.load(f)
+        except (OSError, ValueError) as e:
+            findings.append(f"ERROR snapshot {op} unreadable: {e}")
+            continue
+        if snap.get("opstamp") != op:
+            findings.append(
+                f"ERROR snapshot {op}: payload opstamp {snap.get('opstamp')} "
+                "disagrees with its filename"
+            )
+        for s in snap.get("segments", []):
+            if not os.path.isdir(segment_dir(index_dir, s["segment_id"])):
+                findings.append(
+                    f"ERROR snapshot {op}: segment {s['segment_id']} is gone "
+                    "(point-in-time read at this opstamp would fail)"
+                )
+        tname = snap.get("tombstone_name")
+        if tname and not os.path.isdir(os.path.join(_deletes_root(index_dir), tname)):
+            findings.append(
+                f"ERROR snapshot {op}: pinned tombstone version {tname} is "
+                "gone (as-of read would resurrect deleted docs)"
+            )
+
+    from .lock import lock_info
+
+    lk = lock_info(index_dir)
+    if lk:
+        import time as _time
+
+        age = _time.time() - lk.get("heartbeat_at", 0)
+        if age > 600:
+            findings.append(
+                f"WARNING stale write.lock: holder {lk.get('owner') or '?'} "
+                f"pid {lk.get('pid')} last heartbeat {age:.0f}s ago "
+                "(next writer will break it)"
+            )
     return findings

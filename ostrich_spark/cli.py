@@ -603,6 +603,17 @@ def cmd_stats(args) -> int:
     n_tomb = tombstone_count(args.path, {seg.segment_id for seg in m.segments})
     if n_tomb:
         print(f"tombstones {n_tomb} (run `purge` to reclaim)")
+    from .lock import lock_info
+
+    lk = lock_info(args.path)
+    if lk:
+        import time as _time
+
+        print(
+            f"write lock: {lk.get('owner') or 'writer'} pid {lk.get('pid')} "
+            f"on {lk.get('host')} (heartbeat "
+            f"{_time.time() - lk.get('heartbeat_at', 0):.0f}s ago)"
+        )
     ph = s.get("build_phases", {})
     if ph:
         print(f"last build: map {ph.get('map_sec', '?')}s  commit {ph.get('commit_sec', '?')}s")

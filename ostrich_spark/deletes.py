@@ -30,6 +30,7 @@ import shutil
 
 import numpy as np
 
+from .lock import locked_writer
 from .manifest import atomic_write_json, load_manifest, save_manifest
 
 DELETES_DIR = "deletes"
@@ -191,6 +192,7 @@ def tombstone_count(index_dir: str, live_segment_ids: set[str] | None = None) ->
     return d.count_rows(filter=expr)
 
 
+@locked_writer("delete")
 def delete_docs(spark, index_dir: str, match_df, key_cols: list[str]) -> int:
     """Tombstone every indexed doc whose ``key_cols`` match a row of
     ``match_df`` (joined against the docmap — the identity columns the
@@ -234,6 +236,7 @@ def delete_docs(spark, index_dir: str, match_df, key_cols: list[str]) -> int:
     return n_total - n_old
 
 
+@locked_writer("update")
 def update_docs(
     spark,
     index_dir: str,

@@ -40,6 +40,7 @@ import numpy as np
 import pandas as pd
 
 from .codec import BLOCK_SIZE, block_metadata, pack_blocked, unpack_blocked
+from .lock import locked_writer
 from .manifest import (
     FRAGMENT_NAME,
     Manifest,
@@ -625,6 +626,7 @@ def _swap_manifest(
     return new_meta
 
 
+@locked_writer("purge")
 def purge_deletes(spark, index_dir: str) -> list[str]:
     """Compact every segment that carries tombstones (a single-source
     'merge' is a purge rewrite: deleted docs dropped, survivors
@@ -653,6 +655,7 @@ def purge_deletes(spark, index_dir: str) -> list[str]:
     return [c for c in created if c in live_after]
 
 
+@locked_writer("merge")
 def consider_merges(spark, index_dir: str, policy_kwargs: dict | None = None) -> list[str]:
     """Loop until fixpoint (considerMergeOptions recursion,
     /root/reference/indexer/segment_updater.go:76-145). Returns the ids of

@@ -123,3 +123,55 @@ def test_fully_deleted_segment_purges_to_nothing(spark, idx):
     res, cnt = search(spark, idx, "content:alpha", limit=None, with_count=True)
     ks = sorted(r["k"] for r in attach_docmap(spark, idx, res).select("k").collect())
     assert ks == sorted(set(range(18)) - victims_set)
+
+
+def test_snapshot_findings(spark, tmp_path):
+    """fsck validates retained snapshots: missing segment dirs and pruned
+    pinned tombstone versions are ERRORs; a healthy snapshotted index
+    stays clean."""
+    from ostrich_spark.manifest import (
+        list_snapshots,
+        load_manifest,
+        set_snapshot_retention,
+    )
+
+    path = str(tmp_path / "snapidx")
+    set_snapshot_retention(path, 3)
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(_docs())), _schema(), path,
+        num_partitions=2, order_col="k", id_cols=["k"],
+    )
+    delete_docs(spark, path, spark.createDataFrame([(1,)], "k long"), ["k"])
+    assert check_index(spark, path) == []
+
+    s0 = [op for op, _ in list_snapshots(path)][0]
+    # vandalize: remove a snapshot-referenced tombstone version + segment
+    snap_path = dict(list_snapshots(path))
+    with open(snap_path[load_manifest(path).opstamp]) as f:
+        pinned = json.load(f)["tombstone_name"]
+    shutil.rmtree(os.path.join(path, "deletes", pinned))
+    findings = check_index(spark, path)
+    assert any("pinned tombstone version" in x and x.startswith("ERROR") for x in findings)
+
+    # payload/filename opstamp disagreement
+    p0 = snap_path[s0]
+    with open(p0) as f:
+        d = json.load(f)
+    d["opstamp"] = 999
+    with open(p0, "w") as f:
+        json.dump(d, f)
+    findings = check_index(spark, path)
+    assert any("disagrees with its filename" in x for x in findings)
+
+
+def test_stale_lock_is_warning(spark, idx):
+    import time as _time
+
+    from ostrich_spark.lock import LOCK_NAME
+
+    with open(os.path.join(idx, LOCK_NAME), "w") as f:
+        json.dump({"owner": "dead-job", "pid": 1, "host": "x",
+                   "heartbeat_at": _time.time() - 9999}, f)
+    findings = check_index(spark, idx)
+    assert any(x.startswith("WARNING stale write.lock") for x in findings)
+    assert not any(x.startswith("ERROR") for x in findings)
