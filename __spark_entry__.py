@@ -852,6 +852,17 @@ def _q_eng_phrase_sloppy(spark, sf_dir):
     return _engine_matches(spark, sf_dir, 'text:"hash join"~2')
 
 
+def _q_eng_phrase_prefix(spark, sf_dir):
+    """Phrase-prefix (Lucene MatchPhrasePrefix / ES match_phrase_prefix
+    analog — the autocomplete shape): last slot expands against the term
+    dictionary (LIKE 's%' — SIX expansions at this SF, so the union slot
+    is genuinely exercised; df DESC / term ASC, cap 1024 non-binding);
+    tf = distinct window end positions, idf = sum over the fixed
+    constituent AND every expansion (MultiPhraseQuery stats
+    convention)."""
+    return _engine_matches(spark, sf_dir, 'text:"hash s*"')
+
+
 def _q_eng_phrase_bm25(spark, sf_dir):
     """BM25-scored phrase OR term union, top-10."""
     m = _engine_matches(spark, sf_dir, 'text:"hash join" OR text:stream', scorer="bm25")
@@ -1334,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
+        "eng_phrase_prefix": _q_eng_phrase_prefix,
         "eng_phrase_sloppy": _q_eng_phrase_sloppy,
         "eng_phrase_bm25": _q_eng_phrase_bm25,
         "eng_term_positions": _q_eng_term_positions,
@@ -1684,6 +1696,22 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT a.doc_id, count(*) AS ptf FROM pos a JOIN pos b "
             " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             " AND a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id) "
+            "SELECT doc_id, round(ptf * (SELECT s FROM isum), 6) AS score FROM m"
+        ),
+        # phrase-prefix: last slot = any dictionary term LIKE 's%'
+        # (6 expansions at sf0.01; cap mirror df DESC/term ASC 1024,
+        # non-binding); idf sums the fixed constituent AND every
+        # expansion; tf = distinct end positions
+        "eng_phrase_prefix": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
+            "x AS (SELECT term FROM df WHERE term LIKE 's%' "
+            " ORDER BY df DESC, term LIMIT 1024), "
+            "isum AS (SELECT sum(1.0 + ln((SELECT n FROM n) / (1.0 + df))) AS s "
+            " FROM df WHERE term = 'hash' OR term IN (SELECT term FROM x)), "
+            "m AS (SELECT b.doc_id, count(DISTINCT b.pos) AS ptf FROM pos b "
+            " JOIN pos a ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            " AND a.term = 'hash' WHERE b.term IN (SELECT term FROM x) "
+            " GROUP BY b.doc_id) "
             "SELECT doc_id, round(ptf * (SELECT s FROM isum), 6) AS score FROM m"
         ),
         "eng_phrase_sloppy": (

@@ -239,6 +239,7 @@ def main():
         ("docs_bm25_topk", em.queries()["eng_bm25_topk"]),
         ("docs_phrase_tfidf", em.queries()["eng_phrase_tfidf"]),
         ("docs_phrase_sloppy", em.queries()["eng_phrase_sloppy"]),
+        ("docs_phrase_prefix", em.queries()["eng_phrase_prefix"]),
         ("docs_more_like_this", em.queries()["eng_more_like_this"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),

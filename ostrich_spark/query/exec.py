@@ -324,19 +324,52 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
     q − start <= (k−1) + slop; tf = count of such q per doc. slop=0 via
     this DP equals the keyset path exactly (regression-tested)."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-    tps = [term_data.get((wire["field"], t)) for t in wire["terms"]]
-    if any(tp is None for tp in tps):
-        return empty
-    slop = int(wire.get("slop", 0))
     BIG = np.int64(1) << np.int64(32)
+    # slot model: slot i accepts any of slots[i]'s terms. A plain phrase
+    # has singleton slots; phrase_prefix (MultiPhraseQuery) adds a final
+    # slot carrying the dictionary expansion — its occurrences union
+    # (positions are disjoint: one position holds one term).
+    slots = [[t] for t in wire["terms"]]
+    if wire["kind"] == "phrase_prefix":
+        slots.append(list(wire["last_terms"]))
+    if not slots:
+        return empty
+
+    def slot_decode(slot):
+        """-> (docs, lens, enc sorted) unioned over the slot's present
+        terms, or None when none has postings in this segment."""
+        ds, ls, es = [], [], []
+        for t in slot:
+            tp = term_data.get((wire["field"], t))
+            if tp is None:
+                continue
+            docs, tfs, lens, pos = tp.decode_with_positions()
+            ds.append(docs)
+            ls.append(lens)
+            es.append(np.repeat(docs, tfs) * BIG + pos)
+        if not es:
+            return None
+        if len(es) == 1:
+            return ds[0], ls[0], es[0]
+        docs = np.concatenate(ds)
+        docs, idx = np.unique(docs, return_index=True)
+        enc = np.concatenate(es)
+        enc.sort()
+        return docs, np.concatenate(ls)[idx], enc
+
+    slot_dec = []
+    for slot in slots:
+        dec = slot_decode(slot)
+        if dec is None:
+            return empty
+        slot_dec.append(dec)
+    slop = int(wire.get("slop", 0))
     if slop > 0:
         decoded = []
         first_docs = first_lens = None
-        for i, tp in enumerate(tps):
-            docs, tfs, lens, pos = tp.decode_with_positions()
+        for i, (docs, lens, enc) in enumerate(slot_dec):
             if i == 0:
                 first_docs, first_lens = docs, lens
-            enc = np.repeat(docs, tfs) * BIG + pos
             decoded.append(enc)
             if len(enc) == 0:
                 return empty
@@ -350,7 +383,7 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
             best = np.where(same_doc, cand, np.int64(-1))
         enc_last = decoded[-1]
         span_ok = (best >= 0) & (
-            enc_last - best <= np.int64(len(tps) - 1 + slop)
+            enc_last - best <= np.int64(len(decoded) - 1 + slop)
         )
         ends = enc_last[span_ok]
         if len(ends) == 0:
@@ -360,15 +393,12 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
         return pdocs, score_postings(ptfs, lens_at, wire["idf"], wire["avgdl"], scorer)
     keysets = []
     first_docs = first_lens = None
-    for i, tp in enumerate(tps):
-        docs, tfs, lens, pos = tp.decode_with_positions()
+    for i, (docs, lens, enc) in enumerate(slot_dec):
         if i == 0:
             first_docs, first_lens = docs, lens
-        docs_exp = np.repeat(docs, tfs)
         if i > 0:
-            keep = pos >= i
-            docs_exp, pos = docs_exp[keep], pos[keep]
-        keysets.append(docs_exp * BIG + (pos - np.int64(i)))
+            enc = enc[(enc % BIG) >= np.int64(i)]
+        keysets.append(enc - np.int64(i))
     inter = keysets[0]
     # smallest-first, same rationale as the intersection scorer
     for k in sorted(keysets[1:], key=len):
@@ -407,7 +437,7 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         docs, tfs, lens = tp.decode()
         return docs, score_postings(tfs, lens, wire["idf"], wire["avgdl"], scorer)
-    if kind == "phrase":
+    if kind in ("phrase", "phrase_prefix"):
         return eval_phrase(wire, term_data, scorer)
     if kind == "or":
         parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
@@ -2139,6 +2169,12 @@ def explain(
         elif w["kind"] == "phrase":
             out["detail"] = {
                 "field": w["field"], "terms": w["terms"],
+                "idf_sum": w["idf"], "slop": w.get("slop", 0),
+            }
+        elif w["kind"] == "phrase_prefix":
+            out["detail"] = {
+                "field": w["field"], "terms": w["terms"],
+                "last_terms": w["last_terms"],
                 "idf_sum": w["idf"], "slop": w.get("slop", 0),
             }
         elif w["kind"] == "range":

@@ -40,7 +40,9 @@ from .parser import (
     DisMaxQuery,
     EmptyQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     PhraseQuery,
+    PhrasePrefixQuery,
     PrefixQuery,
     RegexpQuery,
     TermQuery,
@@ -520,7 +522,8 @@ def expand_regexp(
 
 
 def has_multiterm(q) -> bool:
-    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery)):
+    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
+                      PhrasePrefixQuery)):
         return True
     if isinstance(q, BooleanQuery):
         return any(has_multiterm(sub) for _, sub in q.subqueries)
@@ -543,6 +546,12 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
     is the whole query). A node's ``max_expansions=None`` means the
     class default cap (the query-object contract) — uncapped expansion
     is only reachable by calling the ``expand_*`` functions directly."""
+    if isinstance(q, PhrasePrefixQuery):
+        last = expand_prefix(
+            spark, index_dir, manifest, q.field_id, q.prefix,
+            q.max_expansions if q.max_expansions is not None else DEFAULT_PREFIX_EXPANSIONS,
+        )
+        return MultiPhraseQuery(q.field_id, q.terms, tuple(last), q.boost, q.slop)
     if isinstance(q, PrefixQuery):
         terms = expand_prefix(
             spark, index_dir, manifest, q.field_id, q.prefix,
@@ -587,7 +596,7 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             [rewrite_multiterm(spark, index_dir, manifest, sub) for sub in q.children],
             q.tie_breaker,
         )
-    if isinstance(q, (TermQuery, PhraseQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery)):
         return q
     return q
 
@@ -635,12 +644,20 @@ def rewrite_multiterm_multi(spark, index_dirs, manifests, q):
     capping per index would let the same query select different term
     sets on different indexes of the alias, making scores incomparable
     across the union."""
-    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery)):
+    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
+                      PhrasePrefixQuery)):
         merged: dict[str, int] = {}
+        proxy = (
+            PrefixQuery(q.field_id, q.prefix, q.max_expansions)
+            if isinstance(q, PhrasePrefixQuery)
+            else q
+        )
         for d, m in zip(index_dirs, manifests):
-            for t, df in node_pairs(spark, d, m, q):
+            for t, df in node_pairs(spark, d, m, proxy):
                 merged[t] = merged.get(t, 0) + df
-        terms = _cap(sorted(merged.items()), _node_cap(q))
+        terms = _cap(sorted(merged.items()), _node_cap(proxy))
+        if isinstance(q, PhrasePrefixQuery):
+            return MultiPhraseQuery(q.field_id, q.terms, tuple(terms), q.boost, q.slop)
         return _union_of(q.field_id, terms, q.boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(

@@ -86,6 +86,51 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class PhrasePrefixQuery:
+    """Phrase whose LAST slot is a prefix — EXTENSION (Lucene
+    MatchPhrasePrefixQuery / Elasticsearch ``match_phrase_prefix``
+    analog; the autocomplete query shape). NQL: ``field:"spark str*"``,
+    optionally with slop ``field:"spark str*"~2``.
+
+    The fixed words are analyzed with the field's analyzer (so they stem
+    like any phrase constituent); the prefix is *normalized* (lowercased)
+    but never analyzed — the PrefixQuery rule — and expands against the
+    term dictionary at search time (doc_freq DESC, term ASC, capped).
+    The resolved form is MultiPhraseQuery."""
+
+    field_id: int
+    terms: tuple[str, ...]  # fixed slots (analyzed); may be empty
+    prefix: str
+    max_expansions: int | None = None  # None -> expand.DEFAULT_PREFIX_EXPANSIONS
+    boost: float = 1.0
+    slop: int = 0
+
+    def __post_init__(self):
+        if not self.prefix:
+            raise QueryParseError("empty prefix in phrase-prefix query")
+
+
+@dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase whose last slot accepts ANY of ``last_terms`` (Lucene
+    MultiPhraseQuery analog; the resolved form of PhrasePrefixQuery —
+    also usable directly). Matching: an in-order window (PhraseQuery
+    contract) whose last slot is any of the alternatives; tf = number of
+    DISTINCT end positions (a window ending at one position counts once
+    no matter how many alternatives it closes — impossible anyway, one
+    position holds one term). idf = sum over the fixed constituents PLUS
+    every alternative (Lucene MultiPhraseQuery binds stats for all
+    terms), so the score is deterministic in the expansion set. Empty
+    ``last_terms`` matches nothing."""
+
+    field_id: int
+    terms: tuple[str, ...]  # fixed slots; may be empty (prefix-only)
+    last_terms: tuple[str, ...]
+    boost: float = 1.0
+    slop: int = 0
+
+
+@dataclass(frozen=True)
 class PrefixQuery:
     """All terms of a field starting with ``prefix`` — EXTENSION beyond
     the reference grammar (Lucene PrefixQuery analog). NQL: ``field:spar*``
@@ -429,7 +474,19 @@ class _Parser:
 
 def _phrase_for_field(fe, raw: str, slop: int = 0):
     """Analyze a quoted span with the field's analyzer -> phrase (or the
-    degenerate single-term / empty forms)."""
+    degenerate single-term / empty forms). A trailing ``*`` on the span's
+    last word makes it a phrase-prefix (match_phrase_prefix shape): fixed
+    words analyzed, the last word lowercased-only and dictionary-expanded
+    at search time."""
+    stripped = raw.rstrip()
+    # the * must be ATTACHED to the last word ("a b*"); a detached
+    # " *" is an analyzer separator like anywhere else in a phrase
+    if stripped.endswith("*") and len(stripped) > 1 and not stripped[-2].isspace():
+        words = stripped[:-1].split()
+        prefix = words[-1].lower()
+        fixed = " ".join(words[:-1])
+        terms = get_analyzer(fe.analyzer).analyze_one(fixed) if fixed else []
+        return PhrasePrefixQuery(fe.id, tuple(terms), prefix, slop=slop)
     terms = get_analyzer(fe.analyzer).analyze_one(raw)
     if not terms:
         return EmptyQuery()

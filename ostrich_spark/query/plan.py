@@ -32,7 +32,9 @@ from .parser import (
     DisMaxQuery,
     EmptyQuery,
     FuzzyQuery,
+    MultiPhraseQuery,
     PhraseQuery,
+    PhrasePrefixQuery,
     PrefixQuery,
     RangeQuery,
     RegexpQuery,
@@ -71,6 +73,21 @@ class CPhrase:
     idf: float  # sum over constituent terms
     avgdl: float
     slop: int = 0  # in-order window slack; 0 = consecutive
+
+
+@dataclass(frozen=True)
+class CPhrasePrefix:
+    """Compiled multi-phrase: fixed slots + a last slot accepting any of
+    ``last_terms``. idf = sum over fixed constituents AND every
+    alternative (MultiPhraseQuery stats convention); tf = distinct
+    in-order window end positions (PhraseQuery window contract)."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    last_terms: tuple[str, ...]
+    idf: float
+    avgdl: float
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -173,6 +190,8 @@ def collect_terms(q) -> list[TermQuery]:
     if isinstance(q, PhraseQuery):
         # constituents drive both stats binding and the postings prune
         return [TermQuery(q.field_id, t) for t in q.terms]
+    if isinstance(q, MultiPhraseQuery):
+        return [TermQuery(q.field_id, t) for t in (*q.terms, *q.last_terms)]
     if isinstance(q, BooleanQuery):
         out = []
         for _, sub in q.subqueries:
@@ -227,11 +246,30 @@ def compile_query(
             q.field_id, q.terms, idf_sum * q.boost,
             field_avgdl.get(q.field_id, 1.0), q.slop,
         )
+    if isinstance(q, MultiPhraseQuery):
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        idf_sum = 0.0
+        for t in q.terms:
+            df = doc_freqs.get((q.field_id, t), 0)
+            if df == 0:
+                return CEmpty()
+            idf_sum += idf_fn(total_docs, df)
+        # alternatives come from the dictionary so df > 0; tolerate 0
+        # anyway (a vanished term just contributes nothing)
+        last = tuple(t for t in q.last_terms if doc_freqs.get((q.field_id, t), 0) > 0)
+        if not last:
+            return CEmpty()
+        for t in last:
+            idf_sum += idf_fn(total_docs, doc_freqs[(q.field_id, t)])
+        return CPhrasePrefix(
+            q.field_id, q.terms, last, idf_sum * q.boost,
+            field_avgdl.get(q.field_id, 1.0), q.slop,
+        )
     if isinstance(q, RangeQuery):
         return CRange(
             q.field_id, q.lo, q.hi, q.include_lo, q.include_hi, q.boost
         )
-    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery)):
+    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery, PhrasePrefixQuery)):
         raise ValueError(
             "Prefix/Fuzzy/Wildcard/RegexpQuery must be expanded against the "
             "term dictionary first (query.expand.rewrite_multiterm) — "
@@ -390,6 +428,16 @@ def to_wire(node) -> dict:
             "kind": "phrase",
             "field": node.field_id,
             "terms": list(node.terms),
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+            "slop": node.slop,
+        }
+    if isinstance(node, CPhrasePrefix):
+        return {
+            "kind": "phrase_prefix",
+            "field": node.field_id,
+            "terms": list(node.terms),
+            "last_terms": list(node.last_terms),
             "idf": node.idf,
             "avgdl": node.avgdl,
             "slop": node.slop,

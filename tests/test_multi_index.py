@@ -91,11 +91,14 @@ def _full_hits(spark, paths, query, **kw):
         "text:spark OR text:window",
         "text:spark AND text:stream",
         'text:"spark stream"',
+        'text:"spark str*"',  # phrase-prefix: union-dictionary expansion
+        'text:"spark w*"~2',
     ],
 )
 def test_alias_score_identity(spark, indexes, query, scorer):
-    """Term / OR / AND / phrase over the alias == the merged index,
-    score-identical (global df, N, avgdl)."""
+    """Term / OR / AND / phrase / phrase-prefix over the alias == the
+    merged index, score-identical (global df, N, avgdl; the prefix
+    expands against the UNION dictionary)."""
     got, _ = _alias_hits(spark, indexes, query, limit=None, scorer=scorer)
     want, _ = _full_hits(spark, indexes, query, limit=None, scorer=scorer)
     assert got == want and got
