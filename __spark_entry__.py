@@ -852,6 +852,14 @@ def _q_eng_phrase_sloppy(spark, sf_dir):
     return _engine_matches(spark, sf_dir, 'text:"hash join"~2')
 
 
+def _q_eng_near_unordered(spark, sf_dir):
+    """Unordered proximity (Lucene SpanNearQuery inOrder=false analog):
+    end position q of EITHER term matches when both terms occur in
+    [q-4, q] (k=2, slop=3); tf = distinct end positions, idf = sum of
+    constituent idfs."""
+    return _engine_matches(spark, sf_dir, 'text:"hash stream"~3u')
+
+
 def _q_eng_phrase_prefix(spark, sf_dir):
     """Phrase-prefix (Lucene MatchPhrasePrefix / ES match_phrase_prefix
     analog — the autocomplete shape): last slot expands against the term
@@ -1346,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_bm25_topk": _q_eng_bm25_topk,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
         "eng_phrase_prefix": _q_eng_phrase_prefix,
+        "eng_near_unordered": _q_eng_near_unordered,
         "eng_phrase_sloppy": _q_eng_phrase_sloppy,
         "eng_phrase_bm25": _q_eng_phrase_bm25,
         "eng_term_positions": _q_eng_term_positions,
@@ -1712,6 +1721,22 @@ def oracle_sql() -> dict[str, str]:
             " JOIN pos a ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
             " AND a.term = 'hash' WHERE b.term IN (SELECT term FROM x) "
             " GROUP BY b.doc_id) "
+            "SELECT doc_id, round(ptf * (SELECT s FROM isum), 6) AS score FROM m"
+        ),
+        # unordered proximity: end position q of EITHER term with both
+        # terms present in [q-4, q] (k=2, slop=3 -> bound 4); tf =
+        # distinct end positions, idf = sum of the two constituent idfs
+        "eng_near_unordered": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
+            "isum AS (SELECT sum(1.0 + ln((SELECT n FROM n) / (1.0 + df))) AS s "
+            " FROM df WHERE term IN ('hash','stream')), "
+            "ends AS (SELECT b.doc_id, b.pos FROM pos b "
+            " WHERE b.term IN ('hash','stream') "
+            " AND EXISTS (SELECT 1 FROM pos a WHERE a.doc_id = b.doc_id "
+            "  AND a.term = 'hash' AND b.pos - a.pos BETWEEN 0 AND 4) "
+            " AND EXISTS (SELECT 1 FROM pos c WHERE c.doc_id = b.doc_id "
+            "  AND c.term = 'stream' AND b.pos - c.pos BETWEEN 0 AND 4)), "
+            "m AS (SELECT doc_id, count(DISTINCT pos) AS ptf FROM ends GROUP BY doc_id) "
             "SELECT doc_id, round(ptf * (SELECT s FROM isum), 6) AS score FROM m"
         ),
         "eng_phrase_sloppy": (

@@ -240,6 +240,7 @@ def main():
         ("docs_phrase_tfidf", em.queries()["eng_phrase_tfidf"]),
         ("docs_phrase_sloppy", em.queries()["eng_phrase_sloppy"]),
         ("docs_phrase_prefix", em.queries()["eng_phrase_prefix"]),
+        ("docs_near_unordered", em.queries()["eng_near_unordered"]),
         ("docs_more_like_this", em.queries()["eng_more_like_this"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),

@@ -412,6 +412,49 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
     return pdocs, score_postings(ptfs, lens_at, wire["idf"], wire["avgdl"], scorer)
 
 
+def eval_near(wire: dict, term_data: dict, scorer: str):
+    """Vectorized UNORDERED proximity (NearQuery contract): end position
+    q (an occurrence of ANY constituent) matches iff every constituent's
+    LATEST occurrence <= q in the same doc is within the window
+    ``q - (k-1+slop)``. Per term that latest-occurrence lookup is one
+    searchsorted over the term's doc-major encoded positions — no
+    per-doc loop. tf = distinct matching end positions."""
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    BIG = np.int64(1) << np.int64(32)
+    encs = []
+    first_docs = first_lens = None
+    for i, t in enumerate(dict.fromkeys(wire["terms"])):  # dedupe, keep order
+        tp = term_data.get((wire["field"], t))
+        if tp is None:
+            return empty
+        docs, tfs, lens, pos = tp.decode_with_positions()
+        if i == 0:
+            first_docs, first_lens = docs, lens
+        enc = np.repeat(docs, tfs) * BIG + pos
+        if len(enc) == 0:
+            return empty
+        encs.append(enc)
+    ends = np.concatenate(encs)
+    ends.sort()  # candidate end positions: every occurrence of any term
+    bound = np.int64(len(encs) - 1 + int(wire.get("slop", 0)))
+    ok = np.ones(len(ends), dtype=bool)
+    span_lo = ends.copy()  # min over terms of the latest occurrence <= q
+    for enc in encs:
+        j = np.searchsorted(enc, ends, side="right") - 1
+        last = enc[np.clip(j, 0, None)]
+        same_doc = (j >= 0) & (last // BIG == ends // BIG)
+        ok &= same_doc
+        np.minimum(span_lo, np.where(same_doc, last, ends), out=span_lo)
+    hit = ends[ok & (ends - span_lo <= bound)]
+    if len(hit) == 0:
+        return empty
+    # docs matched by the FIRST term drive the length lookup, but a near
+    # match requires every term present, so first_docs covers all hits
+    pdocs, ptfs = np.unique(hit // BIG, return_counts=True)
+    lens_at = first_lens[np.searchsorted(first_docs, pdocs)]
+    return pdocs, score_postings(ptfs, lens_at, wire["idf"], wire["avgdl"], scorer)
+
+
 def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
     """-> (docs sorted asc, scores) for one segment.
 
@@ -439,6 +482,8 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         return docs, score_postings(tfs, lens, wire["idf"], wire["avgdl"], scorer)
     if kind in ("phrase", "phrase_prefix"):
         return eval_phrase(wire, term_data, scorer)
+    if kind == "near":
+        return eval_near(wire, term_data, scorer)
     if kind == "or":
         parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
         return _union_arrays(parts)
@@ -2176,6 +2221,12 @@ def explain(
                 "field": w["field"], "terms": w["terms"],
                 "last_terms": w["last_terms"],
                 "idf_sum": w["idf"], "slop": w.get("slop", 0),
+            }
+        elif w["kind"] == "near":
+            out["detail"] = {
+                "field": w["field"], "terms": w["terms"],
+                "idf_sum": w["idf"], "slop": w.get("slop", 0),
+                "in_order": False,
             }
         elif w["kind"] == "range":
             out["detail"] = {"lo": w["lo"], "hi": w["hi"], "const_score": w["score"]}

@@ -41,6 +41,7 @@ from .parser import (
     EmptyQuery,
     FuzzyQuery,
     MultiPhraseQuery,
+    NearQuery,
     PhraseQuery,
     PhrasePrefixQuery,
     PrefixQuery,
@@ -596,7 +597,7 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             [rewrite_multiterm(spark, index_dir, manifest, sub) for sub in q.children],
             q.tie_breaker,
         )
-    if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, NearQuery)):
         return q
     return q
 

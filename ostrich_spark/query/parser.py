@@ -86,6 +86,24 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class NearQuery:
+    """UNORDERED proximity — Lucene SpanNearQuery(inOrder=false) analog.
+    NQL: ``field:"a b"~2u`` (the ``u`` suffix relaxes the sloppy phrase's
+    in-order requirement). A doc matches at end position q (an occurrence
+    of ANY constituent) iff EVERY constituent occurs somewhere in
+    ``[q - (k-1+slop), q]`` of the same doc; tf = number of such distinct
+    end positions, idf = sum of constituent idfs (phrase convention).
+    Duplicate terms collapse (set semantics: a term's own occurrence at q
+    satisfies its containment) — use the ordered sloppy phrase when
+    repetition must be positional."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class PhrasePrefixQuery:
     """Phrase whose LAST slot is a prefix — EXTENSION (Lucene
     MatchPhrasePrefixQuery / Elasticsearch ``match_phrase_prefix``
@@ -495,9 +513,28 @@ def _phrase_for_field(fe, raw: str, slop: int = 0):
     return PhraseQuery(fe.id, tuple(terms), slop=slop)
 
 
+def _near_for_field(fe, raw: str, slop: int):
+    """Analyze a quoted span -> unordered NearQuery (degenerate forms
+    like the phrase path). Phrase-prefix does not compose with ``u``."""
+    if raw.rstrip().endswith("*"):
+        raise QueryParseError(
+            "phrase-prefix and unordered proximity do not compose "
+            '("a b*"~Nu) — drop the u or the *'
+        )
+    terms = get_analyzer(fe.analyzer).analyze_one(raw)
+    if not terms:
+        return EmptyQuery()
+    if len(terms) == 1:
+        return TermQuery(fe.id, terms[0])
+    return NearQuery(fe.id, tuple(terms), slop=slop)
+
+
 # proximity syntax: "quoted span"~N (slop). Like '*'/'~'/'^': the quote
 # is a tokenizer separator, so no indexed term carries the shape.
 _SLOP_SUFFIX = re.compile(r'^"(.*)"~(\d+)$', re.DOTALL)
+
+# unordered proximity: "quoted span"~Nu (the u suffix = inOrder=false)
+_NEAR_SUFFIX = re.compile(r'^"(.*)"~(\d+)u$', re.DOTALL)
 
 
 _FUZZY_SUFFIX = re.compile(r"^(.+)~([012])$")
@@ -643,6 +680,10 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                 # field:"quoted phrase" — consecutive-terms extension
                 return _phrase_for_field(fe, raw[1:-1])
+            nm = _NEAR_SUFFIX.match(raw)
+            if nm:
+                # field:"a b"~2u — UNORDERED proximity
+                return _near_for_field(fe, nm.group(1), int(nm.group(2)))
             sm = _SLOP_SUFFIX.match(raw)
             if sm:
                 # field:"a b"~2 — proximity (sloppy) phrase
@@ -658,12 +699,15 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                 return TermQuery(fe.id, terms[0])
             return BooleanQuery.union(*[TermQuery(fe.id, t) for t in terms])
         # unknown field name: fall through, treat whole token as bare term
-    bare_span, bare_slop = None, 0
+    bare_span, bare_slop, bare_near = None, 0, False
     if len(value) >= 2 and value.startswith('"') and value.endswith('"'):
         bare_span = value[1:-1]
     else:
-        sm = _SLOP_SUFFIX.match(value)
-        if sm:
+        nm = _NEAR_SUFFIX.match(value)
+        sm = None if nm else _SLOP_SUFFIX.match(value)
+        if nm:
+            bare_span, bare_slop, bare_near = nm.group(1), int(nm.group(2)), True
+        elif sm:
             bare_span, bare_slop = sm.group(1), int(sm.group(2))
     if bare_span is not None:
         # bare quoted phrase: expand over default fields (each analyzed by
@@ -673,7 +717,11 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         for fname in default_fields:
             fe = schema.field_by_name(fname)
             if fe is not None and not fe.is_numeric:
-                q = _phrase_for_field(fe, bare_span, slop=bare_slop)
+                q = (
+                    _near_for_field(fe, bare_span, bare_slop)
+                    if bare_near
+                    else _phrase_for_field(fe, bare_span, slop=bare_slop)
+                )
                 if not isinstance(q, EmptyQuery):
                     qs.append(q)
         if not qs:

@@ -33,6 +33,7 @@ from .parser import (
     EmptyQuery,
     FuzzyQuery,
     MultiPhraseQuery,
+    NearQuery,
     PhraseQuery,
     PhrasePrefixQuery,
     PrefixQuery,
@@ -73,6 +74,19 @@ class CPhrase:
     idf: float  # sum over constituent terms
     avgdl: float
     slop: int = 0  # in-order window slack; 0 = consecutive
+
+
+@dataclass(frozen=True)
+class CNear:
+    """Compiled unordered proximity (NearQuery contract): end position q
+    matches iff every constituent occurs in [q-(k-1+slop), q]; tf =
+    distinct end positions; idf = sum of constituent idfs."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    idf: float
+    avgdl: float
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -192,6 +206,8 @@ def collect_terms(q) -> list[TermQuery]:
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, MultiPhraseQuery):
         return [TermQuery(q.field_id, t) for t in (*q.terms, *q.last_terms)]
+    if isinstance(q, NearQuery):
+        return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, BooleanQuery):
         out = []
         for _, sub in q.subqueries:
@@ -243,6 +259,18 @@ def compile_query(
                 return CEmpty()
             idf_sum += idf_fn(total_docs, df)
         return CPhrase(
+            q.field_id, q.terms, idf_sum * q.boost,
+            field_avgdl.get(q.field_id, 1.0), q.slop,
+        )
+    if isinstance(q, NearQuery):
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        idf_sum = 0.0
+        for t in q.terms:
+            df = doc_freqs.get((q.field_id, t), 0)
+            if df == 0:
+                return CEmpty()
+            idf_sum += idf_fn(total_docs, df)
+        return CNear(
             q.field_id, q.terms, idf_sum * q.boost,
             field_avgdl.get(q.field_id, 1.0), q.slop,
         )
@@ -426,6 +454,15 @@ def to_wire(node) -> dict:
     if isinstance(node, CPhrase):
         return {
             "kind": "phrase",
+            "field": node.field_id,
+            "terms": list(node.terms),
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+            "slop": node.slop,
+        }
+    if isinstance(node, CNear):
+        return {
+            "kind": "near",
             "field": node.field_id,
             "terms": list(node.terms),
             "idf": node.idf,
