@@ -565,6 +565,37 @@ def cmd_snapshots(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    """Point lookup: print the stored document(s) for the given id
+    values (ES GET analog); deleted docs read as absent. ``--at`` reads
+    as-of a retained snapshot."""
+    from .manifest import load_manifest
+    from .query.exec import get_docs
+
+    spark = _spark()
+    mf = None
+    if args.at is not None:
+        try:
+            mf = load_manifest(args.path, opstamp=args.at)
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+    try:
+        rows = get_docs(
+            spark, args.path, args.values, args.id_col, manifest=mf
+        ).collect()
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    for r in rows:
+        d = r.asDict()
+        addr = f"{d.pop('segment_id')}/{d.pop('doc')}"
+        kv = "  ".join(f"{k}={v!r}" for k, v in d.items())
+        print(f"{addr} {kv}")
+    print(f"found: {len(rows)}/{len(args.values)}")
+    return 2 if not rows else 0
+
+
 def cmd_export(args) -> int:
     """Consistent clone of the index as of CURRENT (or --at OPSTAMP):
     copies exactly the manifest-pinned file set, manifest written last.
@@ -797,6 +828,14 @@ def main(argv=None) -> int:
                     help="keep the last K commits readable point-in-time "
                          "(0 disables and releases old snapshots)")
     sn.set_defaults(fn=cmd_snapshots)
+
+    g = sub.add_parser("get")
+    g.add_argument("-p", "--path", required=True)
+    g.add_argument("--id-col", required=True)
+    g.add_argument("--values", nargs="+", required=True, metavar="V")
+    g.add_argument("--at", type=int, metavar="OPSTAMP",
+                   help="read as-of a retained snapshot")
+    g.set_defaults(fn=cmd_get)
 
     ex = sub.add_parser("export")
     ex.add_argument("-p", "--path", required=True)

@@ -2100,6 +2100,47 @@ def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None =
     )
 
 
+def get_docs(spark, index_dir: str, values, key_col: str, manifest: Manifest | None = None):
+    """Point lookup by identity — the Lucene ``IndexReader.document`` /
+    Elasticsearch GET analog. Returns the docmap rows (identity columns,
+    stored fields, doc values, sha256, segment address) of the docs whose
+    ``key_col`` is in ``values``; tombstoned docs are EXCLUDED (a deleted
+    doc reads as absent, GET semantics — pass a snapshot-loaded
+    ``manifest`` to read it as-of an earlier commit).
+
+    ``values`` is a Python list (cast to the docmap column's ACTUAL
+    dtype — a string id column keeps '07' and '7' distinct) or a
+    DataFrame carrying ``key_col``. The list form filters with isin(),
+    which pushes down to the parquet scan: a point read touches only the
+    row groups whose min/max straddle the keys. The DataFrame form
+    broadcast-joins (the key set is the small side by definition)."""
+    from pyspark.sql import DataFrame, functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    dm = read_docmap(spark, index_dir, manifest)
+    if isinstance(values, DataFrame):
+        out = dm.join(F.broadcast(values.select(key_col).distinct()), key_col, "inner")
+    else:
+        if key_col not in dm.schema.names:
+            raise ValueError(
+                f"key column {key_col!r} not in docmap "
+                f"(have: {', '.join(dm.schema.names)})"
+            )
+        target = dm.schema[key_col].dataType
+        lits = [F.lit(v).cast(target) for v in values]
+        out = dm.filter(F.col(key_col).isin(*lits))
+    from ..deletes import has_tombstones, read_tombstones
+
+    if has_tombstones(index_dir, manifest):
+        out = out.join(
+            read_tombstones(spark, index_dir, manifest),
+            ["segment_id", "doc"],
+            "left_anti",
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # explain: per-document score breakdown (Lucene IndexSearcher.explain)
 # ---------------------------------------------------------------------------
