@@ -326,12 +326,13 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     BIG = np.int64(1) << np.int64(32)
     # slot model: slot i accepts any of slots[i]'s terms. A plain phrase
-    # has singleton slots; phrase_prefix (MultiPhraseQuery) adds a final
-    # slot carrying the dictionary expansion — its occurrences union
+    # has singleton slots; multi_phrase (MultiPhraseQuery — phrase-prefix
+    # resolves here) carries alternative sets, whose occurrences union
     # (positions are disjoint: one position holds one term).
-    slots = [[t] for t in wire["terms"]]
-    if wire["kind"] == "phrase_prefix":
-        slots.append(list(wire["last_terms"]))
+    if wire["kind"] == "multi_phrase":
+        slots = [list(slot) for slot in wire["slots"]]
+    else:
+        slots = [[t] for t in wire["terms"]]
     if not slots:
         return empty
 
@@ -480,7 +481,7 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         docs, tfs, lens = tp.decode()
         return docs, score_postings(tfs, lens, wire["idf"], wire["avgdl"], scorer)
-    if kind in ("phrase", "phrase_prefix"):
+    if kind in ("phrase", "multi_phrase"):
         return eval_phrase(wire, term_data, scorer)
     if kind == "near":
         return eval_near(wire, term_data, scorer)
@@ -2257,10 +2258,9 @@ def explain(
                 "field": w["field"], "terms": w["terms"],
                 "idf_sum": w["idf"], "slop": w.get("slop", 0),
             }
-        elif w["kind"] == "phrase_prefix":
+        elif w["kind"] == "multi_phrase":
             out["detail"] = {
-                "field": w["field"], "terms": w["terms"],
-                "last_terms": w["last_terms"],
+                "field": w["field"], "slots": w["slots"],
                 "idf_sum": w["idf"], "slop": w.get("slop", 0),
             }
         elif w["kind"] == "near":

@@ -552,7 +552,8 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             spark, index_dir, manifest, q.field_id, q.prefix,
             q.max_expansions if q.max_expansions is not None else DEFAULT_PREFIX_EXPANSIONS,
         )
-        return MultiPhraseQuery(q.field_id, q.terms, tuple(last), q.boost, q.slop)
+        slots = tuple((t,) for t in q.terms) + (tuple(last),)
+        return MultiPhraseQuery(q.field_id, slots, q.boost, q.slop)
     if isinstance(q, PrefixQuery):
         terms = expand_prefix(
             spark, index_dir, manifest, q.field_id, q.prefix,
@@ -658,7 +659,12 @@ def rewrite_multiterm_multi(spark, index_dirs, manifests, q):
                 merged[t] = merged.get(t, 0) + df
         terms = _cap(sorted(merged.items()), _node_cap(proxy))
         if isinstance(q, PhrasePrefixQuery):
-            return MultiPhraseQuery(q.field_id, q.terms, tuple(terms), q.boost, q.slop)
+            return MultiPhraseQuery(
+                q.field_id,
+                tuple((t,) for t in q.terms) + (tuple(terms),),
+                q.boost,
+                q.slop,
+            )
         return _union_of(q.field_id, terms, q.boost)
     if isinstance(q, BooleanQuery):
         return BooleanQuery(

@@ -130,20 +130,19 @@ class PhrasePrefixQuery:
 
 @dataclass(frozen=True)
 class MultiPhraseQuery:
-    """Phrase whose last slot accepts ANY of ``last_terms`` (Lucene
-    MultiPhraseQuery analog; the resolved form of PhrasePrefixQuery —
-    also usable directly). Matching: an in-order window (PhraseQuery
-    contract) whose last slot is any of the alternatives; tf = number of
-    DISTINCT end positions (a window ending at one position counts once
-    no matter how many alternatives it closes — impossible anyway, one
-    position holds one term). idf = sum over the fixed constituents PLUS
-    every alternative (Lucene MultiPhraseQuery binds stats for all
-    terms), so the score is deterministic in the expansion set. Empty
-    ``last_terms`` matches nothing."""
+    """Phrase where EVERY slot accepts a set of alternative terms —
+    the full Lucene MultiPhraseQuery analog (query-time synonym phrases,
+    and the resolved form of PhrasePrefixQuery). Matching: an in-order
+    window (PhraseQuery contract) where slot i is satisfied by any of
+    slots[i]; tf = number of DISTINCT end positions. idf = sum over the
+    alternatives of EVERY slot (Lucene binds stats for all terms), so
+    the score is deterministic in the slot sets. A slot whose every
+    alternative is absent from the index matches nothing.
+    Programmatic-only beyond the phrase-prefix NQL (Lucene has no query
+    syntax for it either)."""
 
     field_id: int
-    terms: tuple[str, ...]  # fixed slots; may be empty (prefix-only)
-    last_terms: tuple[str, ...]
+    slots: tuple[tuple[str, ...], ...]
     boost: float = 1.0
     slop: int = 0
 

@@ -90,15 +90,14 @@ class CNear:
 
 
 @dataclass(frozen=True)
-class CPhrasePrefix:
-    """Compiled multi-phrase: fixed slots + a last slot accepting any of
-    ``last_terms``. idf = sum over fixed constituents AND every
-    alternative (MultiPhraseQuery stats convention); tf = distinct
-    in-order window end positions (PhraseQuery window contract)."""
+class CMultiPhrase:
+    """Compiled multi-phrase: slot i matches any of slots[i]. idf = sum
+    over every slot's (index-present) alternatives (MultiPhraseQuery
+    stats convention); tf = distinct in-order window end positions
+    (PhraseQuery window contract)."""
 
     field_id: int
-    terms: tuple[str, ...]
-    last_terms: tuple[str, ...]
+    slots: tuple[tuple[str, ...], ...]
     idf: float
     avgdl: float
     slop: int = 0
@@ -205,7 +204,7 @@ def collect_terms(q) -> list[TermQuery]:
         # constituents drive both stats binding and the postings prune
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, MultiPhraseQuery):
-        return [TermQuery(q.field_id, t) for t in (*q.terms, *q.last_terms)]
+        return [TermQuery(q.field_id, t) for slot in q.slots for t in slot]
     if isinstance(q, NearQuery):
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, BooleanQuery):
@@ -277,20 +276,18 @@ def compile_query(
     if isinstance(q, MultiPhraseQuery):
         idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
         idf_sum = 0.0
-        for t in q.terms:
-            df = doc_freqs.get((q.field_id, t), 0)
-            if df == 0:
+        kept_slots = []
+        for slot in q.slots:
+            # alternatives absent from the index contribute nothing; a
+            # slot with NO present alternative can never be satisfied
+            kept = tuple(t for t in slot if doc_freqs.get((q.field_id, t), 0) > 0)
+            if not kept:
                 return CEmpty()
-            idf_sum += idf_fn(total_docs, df)
-        # alternatives come from the dictionary so df > 0; tolerate 0
-        # anyway (a vanished term just contributes nothing)
-        last = tuple(t for t in q.last_terms if doc_freqs.get((q.field_id, t), 0) > 0)
-        if not last:
-            return CEmpty()
-        for t in last:
-            idf_sum += idf_fn(total_docs, doc_freqs[(q.field_id, t)])
-        return CPhrasePrefix(
-            q.field_id, q.terms, last, idf_sum * q.boost,
+            kept_slots.append(kept)
+            for t in kept:
+                idf_sum += idf_fn(total_docs, doc_freqs[(q.field_id, t)])
+        return CMultiPhrase(
+            q.field_id, tuple(kept_slots), idf_sum * q.boost,
             field_avgdl.get(q.field_id, 1.0), q.slop,
         )
     if isinstance(q, RangeQuery):
@@ -469,12 +466,11 @@ def to_wire(node) -> dict:
             "avgdl": node.avgdl,
             "slop": node.slop,
         }
-    if isinstance(node, CPhrasePrefix):
+    if isinstance(node, CMultiPhrase):
         return {
-            "kind": "phrase_prefix",
+            "kind": "multi_phrase",
             "field": node.field_id,
-            "terms": list(node.terms),
-            "last_terms": list(node.last_terms),
+            "slots": [list(slot) for slot in node.slots],
             "idf": node.idf,
             "avgdl": node.avgdl,
             "slop": node.slop,

@@ -251,5 +251,50 @@ def test_explain_shows_phrase_prefix(spark, idx):
     res, _ = search(spark, idx, 'text:"spark str*"', limit=1)
     hit = res.select("segment_id", "doc").collect()[0]
     tree = explain(spark, idx, 'text:"spark str*"', hit["segment_id"], hit["doc"])
-    assert tree["kind"] == "phrase_prefix" and tree["matched"]
-    assert tree["detail"]["last_terms"]
+    assert tree["kind"] == "multi_phrase" and tree["matched"]
+    assert len(tree["detail"]["slots"]) == 2 and len(tree["detail"]["slots"][1]) > 1
+
+
+def test_multi_phrase_alternatives_at_any_slot(spark, idx):
+    """Full MultiPhraseQuery generality (query-time synonym phrase):
+    alternatives at the FIRST slot. ('spark'|'apache') followed by any
+    'b*' expansion — brute-checked per the documented contract."""
+    import numpy as np
+
+    q = MultiPhraseQuery(0, (("stream", "apache"), ("spark",)))
+    res, _ = search(spark, idx, q, limit=None)
+    got = sorted(
+        (r["k"], r["score"])
+        for r in attach_docmap(spark, idx, res).select("k", "score").collect()
+    )
+    # brute: window (a in {stream, apache}) at p, spark at p+1
+    an = get_analyzer("default")
+    n = len(DOCS)
+    toks = {d["k"]: an.analyze_one(d["text"]) for d in DOCS}
+    df = {
+        t: sum(1 for ts in toks.values() if t in ts)
+        for t in ("stream", "apache", "spark")
+    }
+    idf_sum = sum(1.0 + math.log(n / (1.0 + df[t])) for t in df)
+    want = []
+    for key, ts in toks.items():
+        ends = {
+            p + 1
+            for p, t in enumerate(ts)
+            if t in ("stream", "apache")
+            and p + 1 < len(ts)
+            and ts[p + 1] == "spark"
+        }
+        if ends:
+            want.append((key, len(ends) * idf_sum))
+    want.sort()
+    assert [k for k, _ in got] == [k for k, _ in want] and got
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-9)
+
+
+def test_multi_phrase_dead_slot_is_empty(spark, idx):
+    """A slot whose every alternative is absent can never match."""
+    q = MultiPhraseQuery(0, (("zzz", "qqq"), ("spark",)))
+    res, _ = search(spark, idx, q, limit=None)
+    assert res.collect() == []
