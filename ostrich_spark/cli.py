@@ -214,6 +214,22 @@ def cmd_suggest(args) -> int:
         print(f"error: {args.field!r} is not a text field", file=sys.stderr)
         return 2
     toks = get_analyzer(fe.analyzer).analyze_one(args.term)
+    if len(toks) > 1:
+        # multi-word input: whole-text correction (phrase-suggester lite
+        # — per-word greedy, only out-of-dictionary words corrected)
+        from .query.expand import suggest_text
+
+        corrected, fixes = suggest_text(
+            spark, args.path, mf, fe.id, toks,
+            max_dist=args.max_dist, prefix_length=args.prefix_length,
+            transpositions=args.transpositions,
+        )
+        elapsed = time.time() - t0
+        print(" ".join(corrected))
+        for orig, repl, dist in fixes:
+            print(f"  {orig} -> {repl} (dist {dist})")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     word = toks[0] if toks else args.term.lower()
     out = suggest_terms(
         spark, args.path, mf, fe.id, word,

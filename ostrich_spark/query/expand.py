@@ -683,3 +683,52 @@ def rewrite_multiterm_multi(spark, index_dirs, manifests, q):
             q.tie_breaker,
         )
     return q
+
+
+def suggest_text(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    tokens: list[str],
+    max_dist: int = 2,
+    prefix_length: int = 1,
+    transpositions: bool = True,
+) -> tuple[list[str], list[tuple[str, str, int]]]:
+    """Whole-text spell correction (Elasticsearch phrase-suggester LITE:
+    per-word greedy, not candidate-phrase scored — documented contract).
+
+    ``tokens`` are the ALREADY-ANALYZED words of the user's text (use the
+    field's analyzer so corrections live in the query's term space). One
+    batched stats lookup classifies the words; only OUT-OF-DICTIONARY
+    words (df == 0) are corrected, each to its best suggestion
+    (distance ASC, doc_freq DESC, term ASC — suggest_terms order); words
+    with no suggestion within ``max_dist`` stay as typed.
+
+    Returns (corrected_tokens, corrections) where corrections lists
+    (original, replacement, distance) for words actually changed.
+    """
+    from .exec import bind_stats_for_terms  # local: exec imports expand
+    from .parser import TermQuery
+
+    uniq = list(dict.fromkeys(tokens))
+    dfs, _, _ = bind_stats_for_terms(
+        spark, index_dir, manifest, [TermQuery(field_id, t) for t in uniq]
+    )
+    fixes: dict[str, tuple[str, int]] = {}
+    for t in uniq:
+        if dfs.get((field_id, t), 0) > 0:
+            continue
+        cands = suggest_terms(
+            spark, index_dir, manifest, field_id, t,
+            max_dist=max_dist, prefix_length=prefix_length,
+            transpositions=transpositions,
+        )
+        cands = [c for c in cands if c[2] > 0]
+        if cands:
+            fixes[t] = (cands[0][0], cands[0][2])
+    corrected = [fixes.get(t, (t, 0))[0] for t in tokens]
+    corrections = [
+        (t, fixes[t][0], fixes[t][1]) for t in dict.fromkeys(tokens) if t in fixes
+    ]
+    return corrected, corrections

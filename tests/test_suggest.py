@@ -167,3 +167,33 @@ def test_expand_fuzzy_transpositions_superset(spark, idx):
     assert "spark" in damerau and "spark" not in plain
     want = {t for t in _dictionary() if damerau_dist(t, "sprak") <= 1}
     assert damerau == want
+
+
+def test_suggest_text_corrects_only_unknown_words(spark, idx):
+    """Whole-text correction: in-dictionary words untouched, typos fixed
+    to the best (dist, df) suggestion, hopeless words kept as typed."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.expand import suggest_text
+
+    mf = load_manifest(idx)
+    corrected, fixes = suggest_text(
+        spark, idx, mf, 0,
+        ["stream", "strem", "zzzzzzzzqq"],  # known, typo, hopeless
+        max_dist=2, prefix_length=0,
+    )
+    assert corrected == ["stream", "stream", "zzzzzzzzqq"]
+    assert fixes == [("strem", "stream", 1)]
+
+
+def test_cli_suggest_multiword(spark, idx):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "suggest", "-p", idx,
+         "--field", "content", "stream strem", "--prefix-length", "0"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0] == "stream stream"
+    assert "strem -> stream" in out.stdout
