@@ -617,12 +617,13 @@ def cmd_export(args) -> int:
     copies exactly the manifest-pinned file set, manifest written last.
     Driver-side file ops — no Spark session."""
     from .export import export_index
+    from .lock import LockHeldError
 
     try:
         m = export_index(
             args.path, args.out, opstamp=args.at, hardlink=args.hardlink
         )
-    except (FileNotFoundError, FileExistsError) as e:
+    except (FileNotFoundError, FileExistsError, LockHeldError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
     print(

@@ -92,7 +92,20 @@ def export_index(
     exported manifest. ``out_dir`` must not already contain anything."""
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         raise FileExistsError(f"export target {out_dir!r} is not empty")
-    manifest, tomb, paths = export_file_list(index_dir, opstamp=opstamp)
+    from .lock import write_lock
+
+    # hold the writer lock for the copy: without it a merge/purge landing
+    # mid-export could GC a segment between the manifest read and its
+    # copy. Reentrant, so exporting from inside a writer context works;
+    # a foreign live writer makes the export fail fast instead of
+    # producing a torn clone.
+    with write_lock(index_dir, owner="export"):
+        manifest, tomb, paths = export_file_list(index_dir, opstamp=opstamp)
+        _copy_pinned(index_dir, out_dir, manifest, tomb, paths, hardlink)
+    return manifest
+
+
+def _copy_pinned(index_dir, out_dir, manifest, tomb, paths, hardlink):
 
     def _copy(src: str, dst: str) -> None:
         if hardlink:

@@ -166,3 +166,21 @@ def test_cli_export(spark, tmp_path):
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
     assert bad.returncode == 2 and "not empty" in bad.stderr
+
+
+def test_export_refused_under_foreign_writer(spark, tmp_path):
+    """A live foreign writer means the pinned file set could change mid
+    copy — export fails fast instead of producing a torn clone."""
+    import json
+    import time
+
+    from ostrich_spark.lock import LOCK_NAME, LockHeldError
+
+    idx = _build(spark, str(tmp_path / "src"))
+    with open(os.path.join(idx, LOCK_NAME), "w") as f:
+        json.dump({"lock_id": "x", "owner": "other", "pid": os.getpid(),
+                   "host": "elsewhere", "heartbeat_at": time.time()}, f)
+    with pytest.raises(LockHeldError):
+        export_index(idx, str(tmp_path / "clone"))
+    os.unlink(os.path.join(idx, LOCK_NAME))
+    export_index(idx, str(tmp_path / "clone"))  # lock released -> fine
