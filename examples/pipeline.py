@@ -111,6 +111,9 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     sampled = sampled.withColumn("size_bytes", F.length("text"))
     idx = os.path.join(work, "index")
     shutil.rmtree(idx, ignore_errors=True)
+    from ostrich_spark.manifest import set_snapshot_retention
+
+    set_snapshot_retention(idx, 4)  # keep commits readable point-in-time
     build_index(
         spark, sampled, schema, idx, num_partitions=2,
         order_col="path", id_cols=["path"], build_id="pipeline",
@@ -119,7 +122,12 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     hits = attach_docmap(spark, idx, res).select("path", "score").collect()
     stats["top_hits"] = [(h["path"], round(h["score"], 4)) for h in hits]
 
-    # 8. phrase search over the positions-enabled index
+    # 8. phrase search over the positions-enabled index — plus the
+    # autocomplete shape (phrase-prefix) and unordered NEAR
+    ppres, _ = search(spark, idx, 'text:"delta pack*"', limit=5)
+    stats["phrase_prefix_hits"] = ppres.count()
+    nres, _ = search(spark, idx, 'text:"packed delta"~2u', limit=5)
+    stats["near_unordered_hits"] = nres.count()
     pres, _ = search(spark, idx, 'text:"delta packed"', limit=5)
     stats["phrase_hits"] = [
         h["path"] for h in attach_docmap(spark, idx, pres).select("path").collect()
@@ -235,6 +243,25 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
         purge_deletes(spark, idx)
         _, n_after = search(spark, idx, "", limit=0, with_count=True)
         stats["after_takedown"] = (n_before, n_after)  # equal: purge is invisible
+
+        # 10. operational surfaces: point-in-time read of the pre-takedown
+        # commit, GET of the tombstoned doc as-of then (resurrects), and a
+        # consistent hardlink clone of that snapshot
+        from ostrich_spark.export import export_index
+        from ostrich_spark.manifest import list_snapshots, load_manifest
+        from ostrich_spark.query.exec import get_docs
+
+        ops = [op for op, _ in list_snapshots(idx)]
+        pre_takedown = load_manifest(idx, opstamp=ops[-3])  # before delete+purge
+        stats["get_deleted_now"] = get_docs(spark, idx, [victim], "path").count()
+        stats["get_deleted_at_snapshot"] = get_docs(
+            spark, idx, [victim], "path", manifest=pre_takedown
+        ).count()
+        clone = os.path.join(work, "clone")
+        shutil.rmtree(clone, ignore_errors=True)
+        export_index(idx, clone, opstamp=ops[-3], hardlink=True)
+        _, n_clone = search(spark, clone, "", limit=0, with_count=True)
+        stats["clone_docs_pre_takedown"] = n_clone
         stats["fsck_findings"] = check_index(spark, idx)
     return stats
 

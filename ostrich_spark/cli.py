@@ -214,9 +214,12 @@ def cmd_suggest(args) -> int:
         print(f"error: {args.field!r} is not a text field", file=sys.stderr)
         return 2
     toks = get_analyzer(fe.analyzer).analyze_one(args.term)
-    if len(toks) > 1:
-        # multi-word input: whole-text correction (phrase-suggester lite
-        # — per-word greedy, only out-of-dictionary words corrected)
+    if len(args.term.split()) > 1:
+        # multi-WORD input (user typed whitespace): whole-text correction
+        # (phrase-suggester lite — per-word greedy, only out-of-dictionary
+        # words corrected). A single typed word stays in term-suggestion
+        # mode even when the analyzer splits it (merge_polcy -> merge,
+        # polcy): its first token anchors the dictionary lookup.
         from .query.expand import suggest_text
 
         corrected, fixes = suggest_text(
