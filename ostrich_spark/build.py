@@ -363,6 +363,17 @@ def build_index(
 
     if mode == "append" and manifest_exists(index_dir):
         committed = load_manifest(index_dir)
+        if not schema.extends(committed.schema):
+            # FieldID is positional: appending under a reordered/retyped
+            # schema silently re-addresses every committed posting. Only
+            # append-only extensions (see manifest.add_field) are sound.
+            raise ValueError(
+                "append schema must be an append-only extension of the "
+                "committed schema (same fields, same order, same flags; "
+                "new fields only at the end) — load it with "
+                "load_manifest(index_dir).schema or evolve it with "
+                "manifest.add_field"
+            )
         if any(
             # exact-id comparisons only: a suffix test would false-positive
             # when one build_id is a dash-suffix of another (e.g. 'upd-x'

@@ -229,6 +229,47 @@ def snapshot_tombstone_names(index_dir: str) -> set[str]:
     return out
 
 
+def add_field(
+    index_dir: str,
+    name: str,
+    analyzer: str = "default",
+    positions: bool = False,
+    store: bool = False,
+    numeric_type: str | None = None,
+) -> Manifest:
+    """Append-only schema evolution (Lucene has none per index — new
+    fields just appear in new docs; we make it an explicit commit so the
+    manifest stays the single source of truth). Commits a new manifest
+    whose schema carries the new field at the next FieldID. Existing
+    segments hold no data for it: queries on the field match only docs
+    appended afterwards, and its stored/doc-value column reads as null
+    on older docs (docmap reads merge schemas across segments). The
+    term_stats pairing is preserved — stats describe the same postings.
+
+    Future appends must be built with the EVOLVED schema
+    (``load_manifest(index_dir).schema``); build append enforces the
+    append-only extension rule either way."""
+    from .lock import write_lock
+
+    with write_lock(index_dir, owner="add_field"):
+        m = load_manifest(index_dir)
+        if m.schema.field_by_name(name) is not None:
+            raise ValueError(f"field {name!r} already exists in the schema")
+        if numeric_type is not None:
+            m.schema.add_numeric_field(name, numeric_type)
+        else:
+            from .analysis import get_analyzer
+
+            get_analyzer(analyzer)  # fail fast on an unregistered name
+            m.schema.add_text_field(name, analyzer, positions=positions, store=store)
+        m.opstamp += 1
+        save_manifest(index_dir, m)
+    from .query.exec import invalidate_cache
+
+    invalidate_cache(index_dir)
+    return m
+
+
 def manifest_exists(index_dir: str) -> bool:
     return os.path.exists(os.path.join(index_dir, MANIFEST_NAME))
 

@@ -788,6 +788,12 @@ def _read_segment_files(spark, index_dir: str, manifest, fname: str, schema: str
             reader = spark.read
             if schema:
                 reader = reader.schema(schema)
+            else:
+                # docmap reads infer their schema: merge across segments
+                # so columns added by schema evolution (manifest.add_field
+                # with store/doc-value) surface as nulls on older segments
+                # instead of vanishing behind one sampled file's schema
+                reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*paths)
         _DF_CACHE[key] = df
     return df

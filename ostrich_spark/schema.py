@@ -95,6 +95,17 @@ class Schema:
         self.fields.append(entry)
         return entry
 
+    def extends(self, prior: "Schema") -> bool:
+        """True when this schema is an append-only extension of ``prior``:
+        every prior field appears IDENTICALLY (same id/name/type/analyzer/
+        flags) at the same position, optionally followed by new fields.
+        FieldID is positional, so anything else (reorder, retype, rename)
+        silently re-addresses existing postings — the one unrecoverable
+        schema mistake; build append and add_field enforce this."""
+        if len(self.fields) < len(prior.fields):
+            return False
+        return all(a == b for a, b in zip(self.fields, prior.fields))
+
     def field_by_name(self, name: str) -> FieldEntry | None:
         for f in self.fields:
             if f.name == name:
