@@ -615,6 +615,29 @@ def cmd_get(args) -> int:
     return 2 if not rows else 0
 
 
+def cmd_evolve(args) -> int:
+    """Append-only schema evolution: add a field to a committed index
+    (explicit manifest commit; older docs hold no data for it).
+    Driver-side JSON only — no Spark session."""
+    from .lock import LockHeldError
+    from .manifest import add_field
+
+    try:
+        m = add_field(
+            args.path, args.name,
+            analyzer=args.analyzer,
+            positions=args.positions,
+            store=args.store,
+            numeric_type=args.numeric,
+        )
+    except (ValueError, KeyError, LockHeldError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    fe = m.schema.field_by_name(args.name)
+    print(f"added field {fe.id}: {args.name} ({fe.field_type}) opstamp={m.opstamp}")
+    return 0
+
+
 def cmd_export(args) -> int:
     """Consistent clone of the index as of CURRENT (or --at OPSTAMP):
     copies exactly the manifest-pinned file set, manifest written last.
@@ -856,6 +879,16 @@ def main(argv=None) -> int:
     g.add_argument("--at", type=int, metavar="OPSTAMP",
                    help="read as-of a retained snapshot")
     g.set_defaults(fn=cmd_get)
+
+    ev = sub.add_parser("evolve")
+    ev.add_argument("-p", "--path", required=True)
+    ev.add_argument("--add-field", dest="name", required=True, metavar="NAME")
+    ev.add_argument("--analyzer", default="default")
+    ev.add_argument("--positions", action="store_true")
+    ev.add_argument("--store", action="store_true")
+    ev.add_argument("--numeric", metavar="long|double",
+                    help="numeric doc-value field instead of text")
+    ev.set_defaults(fn=cmd_evolve)
 
     ex = sub.add_parser("export")
     ex.add_argument("-p", "--path", required=True)

@@ -115,3 +115,22 @@ def test_fsck_clean_after_evolution(spark, idx):
 
     _evolve_and_append(spark, idx)
     assert check_index(spark, idx) == []
+
+
+def test_cli_evolve(spark, idx):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "evolve", "-p", idx,
+         "--add-field", "stars", "--numeric", "long"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "added field 1: stars (long)" in out.stdout
+    dup = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "evolve", "-p", idx,
+         "--add-field", "stars"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert dup.returncode == 2 and "already exists" in dup.stderr
