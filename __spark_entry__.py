@@ -99,9 +99,10 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    # -p3: positions + stored-field + numeric-doc-value layout; new dir
-    # name so a cached older-layout index is never reused
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p3"
+    # -p4: positions + stored-field + numeric-doc-value layout + lang
+    # identity column (field collapsing); new dir name so a cached
+    # older-layout index is never reused
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p4"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default", positions=True, store=True)
@@ -113,7 +114,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
             index_dir,
             num_partitions=4,
             order_col="doc_id",
-            id_cols=["doc_id"],
+            id_cols=["doc_id", "lang"],
             build_id=f"entry-{tag}",
         )
     _INDEX_CACHE[key] = index_dir
@@ -658,6 +659,96 @@ def _q_eng_bm25_topk(spark, sf_dir):
     """North-rule BM25 (k1=1.2, b=0.75) top-10."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join", scorer="bm25")
     return m.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+def _q_eng_collapse(spark, sf_dir):
+    """Field collapsing (ES collapse analog): the best-scoring doc per
+    lang over a term union — one champion row per language."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_collapsed
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_collapsed(
+        spark, idx, "text:spark OR text:join", "lang",
+        limit=None, manifest=mf, tiebreak=["doc_id"],
+    )
+    return attach_docmap(spark, idx, res.drop("lang"), manifest=mf).select(
+        F.col("lang"),
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_eng_boosted(spark, sf_dir):
+    """Function score (ES function_score analog): TF-IDF multiplied by
+    (1 + 0.001 * n_chars) — relevance x stored numeric signal; docs keep
+    their segment-computed base score (checked via base_score column)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_boosted
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_boosted(
+        spark, idx, "text:spark", "n_chars", weight=0.001, mode="multiply",
+        limit=None, manifest=mf,
+    )
+    return attach_docmap(
+        spark, idx, res.drop("n_chars"), manifest=mf
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.round("base_score", 6).alias("base_score"),
+    )
+
+
+def _q_eng_rescore(spark, sf_dir):
+    """Two-phase ranking (ES rescore analog): term-union first pass,
+    exact-phrase second pass re-weighting the window. The window covers
+    the full match set here so the oracle needs no engine-internal
+    window-boundary tie-break; the window-bounding behavior itself is
+    pytest-verified (tests/test_collapse_boost_rescore.py)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, rescore
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = rescore(
+        spark, idx, "text:hash OR text:join", 'text:"hash join"',
+        window=1_000_000, weight=2.0, limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.round("rescore_score", 6).alias("rescore_score"),
+    )
+
+
+def _perc_queries():
+    from ostrich_spark.query.parser import BooleanQuery, TermQuery
+
+    T = lambda t: TermQuery(0, t)
+    return {
+        "q_and": "text:spark AND text:join",
+        "q_atleast2": BooleanQuery.at_least(2, T("spark"), T("window"), T("stream")),
+        "q_not": BooleanQuery.excluding(T("spark"), T("join")),
+        "q_or": "text:window OR text:stream",
+    }
+
+
+def _q_perc_match(spark, sf_dir):
+    """Percolator (reverse search): four stored boolean subscriptions
+    matched against the whole documents table in one broadcast join."""
+    from ostrich_spark.percolate import percolate, register_queries
+    from ostrich_spark.schema import Schema
+
+    schema = Schema()
+    schema.add_text_field("text", "default", positions=True, store=True)
+    schema.add_numeric_field("n_chars")
+    pq = register_queries(_perc_queries(), schema)
+    return percolate(
+        spark, _docs(spark, sf_dir), pq, schema, id_col="doc_id"
+    ).select(F.col("doc_id").cast("long"), "query_id")
 
 
 _DEL_INDEX_CACHE: dict[tuple[str, bool], str] = {}
@@ -1352,6 +1443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_q8_all": _q_eng_all,
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
+        "eng_collapse_lang": _q_eng_collapse,
+        "eng_boosted_topk": _q_eng_boosted,
+        "eng_rescore_phrase": _q_eng_rescore,
+        "perc_match": _q_perc_match,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
         "eng_phrase_prefix": _q_eng_phrase_prefix,
         "eng_near_unordered": _q_eng_near_unordered,
@@ -1657,6 +1752,59 @@ def oracle_sql() -> dict[str, str]:
             "WHERE t.term IN ('spark','join')), "
             "g AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id) "
             "SELECT doc_id, score FROM g ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        # field collapsing: champion per lang = row_number 1 over
+        # (score desc, doc_id asc) — the engine passes tiebreak=["doc_id"]
+        # so both sides pick the same champion on full-precision ties
+        "eng_collapse_lang": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join')), "
+            "g AS (SELECT doc_id, sum(sc) AS score FROM s GROUP BY doc_id), "
+            "j AS (SELECT d.lang, g.doc_id, g.score, row_number() OVER "
+            "(PARTITION BY d.lang ORDER BY g.score DESC, g.doc_id ASC) AS rn "
+            "FROM g JOIN documents d USING(doc_id)) "
+            "SELECT lang, doc_id, round(score, 6) AS score FROM j WHERE rn = 1"
+        ),
+        # function score: tfidf * (1 + 0.001 * n_chars)
+        "eng_boosted_topk": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark') "
+            "SELECT s.doc_id, round(s.sc * (1.0 + 0.001 * d.n_chars), 6) AS score, "
+            "round(s.sc, 6) AS base_score FROM s JOIN documents d USING(doc_id)"
+        ),
+        # rescore: term-union base + 2.0 * exact-phrase score (phrase idf
+        # = sum of constituent idfs, tf = adjacent-pair count — the
+        # eng_phrase_tfidf contract); non-phrase docs keep the base score
+        "eng_rescore_phrase": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('hash','join')), "
+            "g AS (SELECT doc_id, sum(sc) AS base FROM s GROUP BY doc_id), "
+            "isum AS (SELECT sum(1.0 + ln((SELECT n FROM n) / (1.0 + df))) AS s "
+            " FROM df WHERE term IN ('hash','join')), "
+            "m AS (SELECT a.doc_id, count(*) AS ptf FROM pos a JOIN pos b "
+            " ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            " AND a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id), "
+            "r AS (SELECT g.doc_id, g.base, "
+            "coalesce(m.ptf * (SELECT s FROM isum), 0.0) AS rsc "
+            "FROM g LEFT JOIN m USING(doc_id)) "
+            "SELECT doc_id, round(base + 2.0 * rsc, 6) AS score, "
+            "round(rsc, 6) AS rescore_score FROM r"
+        ),
+        # percolator: per-doc term flags -> boolean satisfaction per
+        # stored query (must / at-least-2 / must-not / union)
+        "perc_match": (
+            f"WITH {TOKS_CTE}, "
+            "flags AS (SELECT doc_id, bool_or(term = 'spark') AS h_spark, "
+            "bool_or(term = 'join') AS h_join, bool_or(term = 'window') AS h_window, "
+            "bool_or(term = 'stream') AS h_stream FROM toks GROUP BY doc_id) "
+            "SELECT doc_id, 'q_and' AS query_id FROM flags WHERE h_spark AND h_join "
+            "UNION ALL SELECT doc_id, 'q_atleast2' FROM flags "
+            "WHERE (CAST(h_spark AS INT) + CAST(h_window AS INT) + CAST(h_stream AS INT)) >= 2 "
+            "UNION ALL SELECT doc_id, 'q_not' FROM flags WHERE h_spark AND NOT h_join "
+            "UNION ALL SELECT doc_id, 'q_or' FROM flags WHERE h_window OR h_stream"
         ),
         "eng_term_positions": (
             f"WITH {TOKLIST_CTE}, {POS_CTE} "

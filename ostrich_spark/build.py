@@ -115,6 +115,7 @@ def build_segment_tables(
     segment_id: str,
     id_cols: list[str],
     analyzers: dict[str, "object"] | None = None,
+    id_arrow_types: dict[str, "pa.DataType"] | None = None,
 ):
     """Pure function: corpus batches -> (postings, norms, docmap) tables.
 
@@ -304,7 +305,30 @@ def build_segment_tables(
     docmap["content_sha256"] = (
         sha_parts.to_numpy() if sha_parts is not None else np.full(n_docs, "", object)
     )
-    docmap_tbl = pa.Table.from_pandas(docmap, preserve_index=False)
+    # explicit Arrow schema: a partition whose id/stored column is
+    # entirely NULL must still write the column's TRUE type — pandas
+    # inference would emit arrow `null` (stored as INT32 in parquet) and
+    # poison every mergeSchema docmap read across segments
+    id_arrow_types = id_arrow_types or {}
+    fields = []
+    for c in docmap.columns:
+        if c == "segment_id" or c == "content_sha256":
+            fields.append(pa.field(c, pa.string()))
+        elif c == "doc":
+            fields.append(pa.field(c, pa.int64()))
+        elif c in id_arrow_types:
+            fields.append(pa.field(c, id_arrow_types[c]))
+        else:
+            fe = next((f for f in schema.fields if f.name == c), None)
+            if fe is not None and fe.is_numeric:
+                fields.append(
+                    pa.field(c, pa.int64() if fe.field_type == "long" else pa.float64())
+                )
+            else:  # stored text fields are stringified above
+                fields.append(pa.field(c, pa.string()))
+    docmap_tbl = pa.Table.from_pandas(
+        docmap, schema=pa.schema(fields), preserve_index=False
+    )
     return postings_tbl, norms_tbl, docmap_tbl, n_docs, n_tokens_total, field_tokens
 
 
@@ -410,6 +434,16 @@ def build_index(
     idx_dir = index_dir
     bid = build_id
     fail_after = fail_after_partitions
+    # id columns' TRUE Arrow types, resolved from the Spark schema on the
+    # driver: an executor partition where the column is all-NULL cannot
+    # infer them (see build_segment_tables docmap schema note)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    id_arrow_types = {
+        c: to_arrow_type(df.schema[c].dataType)
+        for c in id_cols
+        if c in df.schema.names
+    }
 
     def build_partition(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -449,7 +483,9 @@ def build_index(
                 raise RuntimeError(f"injected failure after {done} fragments")
 
         sch = Schema.from_json(schema_json)
-        built = build_segment_tables(iterator, sch, seg_id, id_cols, analyzers)
+        built = build_segment_tables(
+            iterator, sch, seg_id, id_cols, analyzers, id_arrow_types
+        )
         if built is None:
             # empty partitions never become segments
             # (indexer/segment_manager.go:60-66: empty-segment removal)

@@ -42,7 +42,8 @@ def cmd_search(args) -> int:
     args.path = paths[0]
     mf = None
     if getattr(args, "at", None) is not None:
-        if args.highlight or args.sort_by:
+        if (args.highlight or args.sort_by or args.collapse_by
+                or args.boost_by or args.rescore):
             print("error: --at composes with plain search only",
                   file=sys.stderr)
             return 2
@@ -83,6 +84,59 @@ def cmd_search(args) -> int:
         elapsed = time.time() - t0
         for r in rows:
             print(f"{r['segment_ord']}/{r['doc']} {r[args.sort_by]}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    special = [args.collapse_by, args.boost_by, args.rescore]
+    if sum(x is not None for x in special) > 1 or (
+        any(x is not None for x in special)
+        and (args.sort_by or args.highlight or getattr(args, "after", None)
+             or getattr(args, "fields", None))
+    ):
+        print("error: --collapse-by/--boost-by/--rescore compose with "
+              "plain search only, one at a time", file=sys.stderr)
+        return 2
+    if args.collapse_by:
+        from .query.exec import search_collapsed
+
+        res = search_collapsed(
+            spark, args.path, args.query, args.collapse_by,
+            limit=args.limit, offset=args.offset, scorer=args.scorer,
+        )
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
+                  f"{args.collapse_by}={r[args.collapse_by]}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.boost_by:
+        from .query.exec import search_boosted
+
+        res = search_boosted(
+            spark, args.path, args.query, args.boost_by,
+            weight=args.boost_weight, mode=args.boost_mode,
+            limit=args.limit, offset=args.offset, scorer=args.scorer,
+        )
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
+                  f"(base {r['base_score']:.4f}, {args.boost_by}={r[args.boost_by]})")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.rescore:
+        from .query.exec import rescore as _rescore
+
+        res = _rescore(
+            spark, args.path, args.query, args.rescore,
+            window=args.rescore_window, weight=args.rescore_weight,
+            limit=args.limit, scorer=args.scorer,
+        )
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
+                  f"(base {r['base_score']:.4f} + rescore {r['rescore_score']:.4f})")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
     after = None
@@ -195,6 +249,37 @@ def cmd_facet(args) -> int:
         key = " ".join(str(r[b]) for b in args.by)
         print(f"{key} {r['n_docs']}")
     print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
+def cmd_percolate(args) -> int:
+    """Reverse search: which stored queries match each incoming doc."""
+    from .manifest import load_manifest
+    from .percolate import percolate, register_queries
+
+    queries = {}
+    for q in args.query:
+        if "=" not in q:
+            print(f"error: --query needs ID=NQL, got {q!r}", file=sys.stderr)
+            return 2
+        qid, nql = q.split("=", 1)
+        queries[qid] = nql
+    spark = _spark()
+    schema = load_manifest(args.path).schema
+    try:
+        pq = register_queries(queries, schema)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    t0 = time.time()
+    docs = spark.read.parquet(args.docs)
+    matched = percolate(spark, docs, pq, schema, id_col=args.id_col)
+    rows = matched.orderBy(args.id_col, "query_id").limit(args.show).collect()
+    n = matched.count()
+    elapsed = time.time() - t0
+    for r in rows:
+        print(f"{r[args.id_col]} -> {r['query_id']}")
+    print(f"{n} matches ({len(queries)} stored queries), elapsed: {elapsed:.3f}s")
     return 0
 
 
@@ -751,7 +836,43 @@ def main(argv=None) -> int:
         help="cursor pagination: return hits strictly after this "
         "(score, segment_ord, doc) row from a previous page",
     )
+    s.add_argument(
+        "--collapse-by", metavar="COL",
+        help="field collapsing: keep only the best-scoring hit per "
+        "distinct value of this docmap column (ES collapse analog)",
+    )
+    s.add_argument(
+        "--boost-by", metavar="FIELD",
+        help="function score: combine relevance with this numeric "
+        "doc-value field (ES function_score analog)",
+    )
+    s.add_argument("--boost-weight", type=float, default=1.0,
+                   help="with --boost-by: the signal weight")
+    s.add_argument("--boost-mode", choices=["multiply", "sum"],
+                   default="multiply",
+                   help="with --boost-by: multiply = score*(1+w*v), "
+                   "sum = score + w*v")
+    s.add_argument(
+        "--rescore", metavar="QUERY",
+        help="two-phase ranking: re-order the top --rescore-window "
+        "first-pass hits by score + weight * this query's score",
+    )
+    s.add_argument("--rescore-window", type=int, default=100)
+    s.add_argument("--rescore-weight", type=float, default=1.0)
     s.set_defaults(fn=cmd_search)
+
+    pc = sub.add_parser("percolate")
+    pc.add_argument("-p", "--path", required=True,
+                    help="index whose committed schema analyzes the docs")
+    pc.add_argument("--docs", required=True,
+                    help="parquet path of the incoming documents")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("-q", "--query", action="append", required=True,
+                    metavar="ID=NQL",
+                    help="stored query, repeatable: alerts=text:spark AND text:join")
+    pc.add_argument("--show", type=int, default=50,
+                    help="print at most this many (doc, query) matches")
+    pc.set_defaults(fn=cmd_percolate)
 
     sg = sub.add_parser("suggest")
     sg.add_argument("term")

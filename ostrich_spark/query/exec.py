@@ -1970,6 +1970,258 @@ def numeric_stats(
     )
 
 
+def search_collapsed(
+    spark,
+    index_dir: str,
+    query,
+    collapse_by: str,
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+):
+    """Top-k over the query's match set keeping only the BEST-scoring doc
+    per distinct value of a docmap column — field collapsing (Lucene
+    CollapsingTopDocsCollector / Elasticsearch ``collapse`` analog;
+    EXTENSION, the reference has no grouping). The result is a ranked
+    list where every hit is its group's champion: search a code corpus
+    collapsed on ``repo`` and each repository appears at most once.
+
+    ``collapse_by`` is any docmap column (identity column, store=True
+    field, or numeric doc value). NULL group values collapse together as
+    one group (SQL GROUP BY convention — deterministic and
+    oracle-checkable; Elasticsearch does the same).
+
+    Returns (segment_id, segment_ord, doc, score, ``collapse_by``) rows
+    in the pinned total order (score desc, segment_ord asc, doc asc),
+    offset/limit applied AFTER collapsing.
+
+    ``tiebreak`` names docmap columns that break score ties WITHIN a
+    group (ascending) before the pinned (segment_ord, doc) order —
+    pass the identity column to make champions reproducible across
+    index layouts (the ``search_sorted`` convention).
+
+    Scale posture: a group's global champion is found with ONE map-side
+    partial-aggregated ``max_by`` keyed on the group column — never a
+    window (row_number materializes every match per group through the
+    shuffle; max_by carries one row per (partition, group)). Match
+    evaluation is exhaustive (the champion of a group may score below
+    any per-segment top-k cut, so WAND/top-k pruning cannot apply —
+    same contract as Lucene, whose collapsing collector sees every hit).
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    res, _ = search(
+        spark,
+        index_dir,
+        query,
+        limit=None,
+        scorer=scorer,
+        manifest=manifest,
+        default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    tiebreak = list(tiebreak or [])
+    for c in [collapse_by, *tiebreak]:
+        if c not in docmap.schema.names:
+            raise ValueError(
+                f"collapse column {c!r} not in docmap "
+                f"(have: {', '.join(docmap.schema.names)})"
+            )
+    matched = docmap.select(
+        "segment_id", "doc", *dict.fromkeys([collapse_by, *tiebreak])
+    ).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    # champion = min over an all-ascending key: (-score, tiebreak...,
+    # segment_ord, doc) — struct comparison is lexicographic, so this
+    # ranks exactly (score desc, tiebreak asc, segment_ord asc, doc asc)
+    # while keeping min_by's map-side partial aggregation (negation only
+    # touches the always-numeric score, so tiebreak columns may be any
+    # orderable type)
+    order_key = F.struct(
+        (-F.col("score")).alias("ns"),
+        *[F.col(c).alias(f"tb{i}") for i, c in enumerate(tiebreak)],
+        F.col("segment_ord").alias("so"),
+        F.col("doc").alias("d"),
+    )
+    row = F.struct(
+        F.col("segment_id"), F.col("segment_ord"), F.col("doc"), F.col("score")
+    )
+    winners = matched.groupBy(collapse_by).agg(
+        F.min_by(row, order_key).alias("_w")
+    )
+    out = winners.select(
+        F.col("_w.segment_id").alias("segment_id"),
+        F.col("_w.segment_ord").alias("segment_ord"),
+        F.col("_w.doc").alias("doc"),
+        F.col("_w.score").alias("score"),
+        F.col(collapse_by),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def search_boosted(
+    spark,
+    index_dir: str,
+    query,
+    boost_by: str,
+    weight: float = 1.0,
+    mode: str = "multiply",
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Relevance combined with a numeric doc-value signal — function
+    score (Lucene FunctionScoreQuery / Elasticsearch ``function_score``
+    analog; EXTENSION). The classic shape: BM25 text relevance boosted
+    by popularity/recency stored as a numeric field at index time.
+
+    ``mode``:
+      - ``"multiply"``: final = score * (1 + weight * value)
+      - ``"sum"``:      final = score + weight * value
+
+    Docs with a NULL value contribute 0 to the boost (factor 1 /
+    addend 0) — they keep their text score, the Lucene missing-value
+    convention. Non-linear transforms (log/recency decay) belong at
+    index time: store ln(1+stars) as the doc value and boost linearly —
+    doc values are written once, queries run many times.
+
+    Returns (segment_id, segment_ord, doc, score, base_score,
+    ``boost_by``) in (score desc, segment_ord asc, doc asc) order.
+
+    Scale posture: match evaluation is exhaustive — the boost is
+    unbounded by the text score, so WAND's score bound proves nothing
+    about the FINAL order (Lucene disables early termination under
+    function score for the same reason). The boost value joins from the
+    docmap co-keyed on (segment_id, doc) and the global top-k is
+    Catalyst's TakeOrderedAndProject over the combined score.
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("multiply", "sum"):
+        raise ValueError(f"mode must be 'multiply' or 'sum', got {mode!r}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, boost_by)
+    res, _ = search(
+        spark,
+        index_dir,
+        query,
+        limit=None,
+        scorer=scorer,
+        manifest=manifest,
+        default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    joined = docmap.select("segment_id", "doc", boost_by).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    v = F.coalesce(F.col(boost_by).cast("double"), F.lit(0.0))
+    if mode == "multiply":
+        final = F.col("score") * (F.lit(1.0) + F.lit(float(weight)) * v)
+    else:
+        final = F.col("score") + F.lit(float(weight)) * v
+    out = joined.select(
+        "segment_id",
+        "segment_ord",
+        "doc",
+        final.alias("score"),
+        F.col("score").alias("base_score"),
+        F.col(boost_by),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def rescore(
+    spark,
+    index_dir: str,
+    query,
+    rescore_query,
+    window: int = 100,
+    weight: float = 1.0,
+    limit: int | None = 10,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Two-phase ranking (Lucene ``Rescorer`` / Elasticsearch ``rescore``
+    analog; EXTENSION): rank the top ``window`` hits of a cheap first-pass
+    query, then re-order ONLY that window by
+    ``final = first_pass + weight * rescore_score``. The canonical use:
+    a WAND-prunable term union finds candidates, an exact phrase (or any
+    expensive query) refines the head — the expensive query's cost is
+    bounded by the window, not the corpus.
+
+    Docs in the window that do not match ``rescore_query`` keep their
+    first-pass score (rescore contribution 0 — Elasticsearch
+    ``query_weight=1/rescore_query_weight=weight`` convention).
+
+    Returns (segment_id, segment_ord, doc, score, base_score,
+    rescore_score) rows, top ``limit`` of the window by
+    (score desc, segment_ord asc, doc asc).
+
+    Scale posture: the first pass keeps WAND + per-segment top-k (it is
+    an ordinary ``search``); the second query's match set joins the
+    window on (segment_id, doc) and only window-sized rows reach the
+    final TakeOrderedAndProject. Both passes ride one manifest pin, so
+    a concurrent merge cannot split the view.
+    """
+    from pyspark.sql import functions as F
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    base, _ = search(
+        spark, index_dir, query, limit=window, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    resc, _ = search(
+        spark, index_dir, rescore_query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    joined = base.select(
+        "segment_id", "segment_ord", "doc", F.col("score").alias("base_score")
+    ).join(
+        resc.select(
+            "segment_id", "doc", F.col("score").alias("rescore_score")
+        ),
+        ["segment_id", "doc"],
+        "left",
+    )
+    r = F.coalesce(F.col("rescore_score"), F.lit(0.0))
+    out = joined.select(
+        "segment_id",
+        "segment_ord",
+        "doc",
+        (F.col("base_score") + F.lit(float(weight)) * r).alias("score"),
+        "base_score",
+        r.alias("rescore_score"),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def numeric_percentiles(
     spark,
     index_dir: str,

@@ -1,0 +1,209 @@
+"""Field collapsing (one champion per group), function score (doc-value
+boost), and two-phase rescoring — Lucene/ES analogs, all EXTENSIONS.
+Each is verified against brute-force recomputation from the engine's own
+exhaustive match set (rank identity, not just row counts)."""
+
+import math
+
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.query.exec import (
+    attach_docmap,
+    rescore,
+    search,
+    search_boosted,
+    search_collapsed,
+)
+from ostrich_spark.schema import Schema
+
+DOCS = [
+    # grp a: doc 0 scores best on "spark" (tf 3), doc 1 lower
+    {"doc_key": 0, "grp": "a", "pop": 1, "text": "spark spark spark"},
+    {"doc_key": 1, "grp": "a", "pop": 50, "text": "spark join"},
+    # grp b: doc 2 only member matching
+    {"doc_key": 2, "grp": "b", "pop": 9, "text": "spark window stream"},
+    {"doc_key": 3, "grp": "b", "pop": 2, "text": "window only here"},
+    # grp c: tie shapes + a phrase target
+    {"doc_key": 4, "grp": "c", "pop": 0, "text": "spark hash join fast"},
+    {"doc_key": 5, "grp": "c", "pop": 30, "text": "join hash spark"},
+    # null group + missing pop
+    {"doc_key": 6, "grp": None, "pop": None, "text": "spark alone"},
+    {"doc_key": 7, "grp": None, "pop": 4, "text": "spark also alone"},
+]
+
+
+@pytest.fixture(scope="module")
+def cb_index(spark, tmp_path_factory):
+    schema = Schema()
+    schema.add_text_field("text", "default", positions=True)
+    schema.add_numeric_field("pop")
+    idx = str(tmp_path_factory.mktemp("cb") / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(
+            DOCS, "doc_key long, grp string, pop long, text string"
+        ),
+        schema,
+        idx,
+        num_partitions=3,
+        order_col="doc_key",
+        id_cols=["doc_key", "grp"],
+    )
+    return idx
+
+
+def _exhaustive(spark, idx, query, scorer="tfidf"):
+    """(doc_key, grp, pop, score, segment_ord, doc) of every match."""
+    res, _ = search(spark, idx, query, limit=None, scorer=scorer)
+    return {
+        r["doc_key"]: r
+        for r in attach_docmap(spark, idx, res)
+        .select("doc_key", "grp", "pop", "score", "segment_ord", "doc")
+        .collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# collapse
+# ---------------------------------------------------------------------------
+
+
+def test_collapse_champion_per_group(spark, cb_index):
+    got = search_collapsed(spark, cb_index, "text:spark", "grp", limit=None)
+    rows = got.collect()
+    # every match group appears exactly once
+    grps = [r["grp"] for r in rows]
+    assert len(grps) == len(set(grps))
+    # brute force from the exhaustive match set
+    full = _exhaustive(spark, cb_index, "text:spark")
+    best = {}
+    for r in full.values():
+        key = r["grp"]
+        cur = best.get(key)
+        cand = (-r["score"], r["segment_ord"], r["doc"])
+        if cur is None or cand < cur[0]:
+            best[key] = (cand, r)
+    want = {g: r["doc"] for g, (_, r) in best.items()}
+    got_docs = {r["grp"]: r["doc"] for r in rows}
+    assert got_docs == want
+    # ranked by the pinned total order
+    keys = [(-r["score"], r["segment_ord"], r["doc"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_collapse_null_group_collapses_together(spark, cb_index):
+    rows = search_collapsed(spark, cb_index, "text:spark", "grp", limit=None).collect()
+    nulls = [r for r in rows if r["grp"] is None]
+    assert len(nulls) == 1  # docs 6 and 7 both match; one champion
+
+
+def test_collapse_limit_offset(spark, cb_index):
+    all_rows = search_collapsed(spark, cb_index, "text:spark", "grp", limit=None).collect()
+    top2 = search_collapsed(spark, cb_index, "text:spark", "grp", limit=2).collect()
+    page2 = search_collapsed(
+        spark, cb_index, "text:spark", "grp", limit=2, offset=2
+    ).collect()
+    assert [r["doc"] for r in top2] == [r["doc"] for r in all_rows[:2]]
+    assert [r["doc"] for r in page2] == [r["doc"] for r in all_rows[2:4]]
+
+
+def test_collapse_unknown_column_raises(spark, cb_index):
+    with pytest.raises(ValueError, match="collapse column"):
+        search_collapsed(spark, cb_index, "text:spark", "nope")
+
+
+# ---------------------------------------------------------------------------
+# function score
+# ---------------------------------------------------------------------------
+
+
+def test_boost_multiply_values(spark, cb_index):
+    full = _exhaustive(spark, cb_index, "text:spark", scorer="bm25")
+    rows = search_boosted(
+        spark, cb_index, "text:spark", "pop", weight=0.1, mode="multiply",
+        limit=None, scorer="bm25",
+    ).collect()
+    assert {r["doc"] for r in rows} == {v["doc"] for v in full.values()}
+    by_doc = {(r["segment_ord"], r["doc"]): r for r in rows}
+    for v in full.values():
+        r = by_doc[(v["segment_ord"], v["doc"])]
+        pop = v["pop"] or 0
+        assert math.isclose(r["base_score"], v["score"], rel_tol=1e-12)
+        assert math.isclose(
+            r["score"], v["score"] * (1.0 + 0.1 * pop), rel_tol=1e-12
+        )
+    # ordered by combined score
+    keys = [(-r["score"], r["segment_ord"], r["doc"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_boost_sum_and_reorder(spark, cb_index):
+    # plain relevance ranks doc 0 first ("spark spark spark"); a strong
+    # popularity signal must promote doc 1 (pop=50) over it
+    plain, _ = search(spark, cb_index, "text:spark", limit=1)
+    assert attach_docmap(spark, cb_index, plain).collect()[0]["doc_key"] == 0
+    boosted = search_boosted(
+        spark, cb_index, "text:spark", "pop", weight=1.0, mode="sum", limit=1
+    )
+    top = attach_docmap(spark, cb_index, boosted.drop("pop")).collect()[0]
+    assert top["doc_key"] == 1
+
+
+def test_boost_null_value_keeps_base(spark, cb_index):
+    rows = search_boosted(
+        spark, cb_index, "text:spark", "pop", weight=9.9, mode="multiply", limit=None
+    ).collect()
+    null_row = [r for r in rows if r["pop"] is None]
+    assert null_row and all(
+        math.isclose(r["score"], r["base_score"], rel_tol=1e-12) for r in null_row
+    )
+
+
+def test_boost_validation(spark, cb_index):
+    with pytest.raises(ValueError, match="mode"):
+        search_boosted(spark, cb_index, "text:spark", "pop", mode="max")
+    with pytest.raises(Exception):
+        search_boosted(spark, cb_index, "text:spark", "text")  # not numeric
+
+
+# ---------------------------------------------------------------------------
+# rescore
+# ---------------------------------------------------------------------------
+
+
+def test_rescore_values_and_order(spark, cb_index):
+    base_full = _exhaustive(spark, cb_index, "text:spark OR text:join")
+    phrase_full = _exhaustive(spark, cb_index, 'text:"hash join"')
+    got = rescore(
+        spark, cb_index, "text:spark OR text:join", 'text:"hash join"',
+        window=100, weight=2.0, limit=None,
+    ).collect()
+    assert {r["doc"] for r in got} == {v["doc"] for v in base_full.values()}
+    for r in got:
+        dk = [k for k, v in base_full.items()
+              if (v["segment_ord"], v["doc"]) == (r["segment_ord"], r["doc"])][0]
+        want_r = phrase_full[dk]["score"] if dk in phrase_full else 0.0
+        assert math.isclose(r["rescore_score"], want_r, rel_tol=1e-12)
+        assert math.isclose(
+            r["score"], base_full[dk]["score"] + 2.0 * want_r, rel_tol=1e-12
+        )
+    keys = [(-r["score"], r["segment_ord"], r["doc"]) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_rescore_window_bounds_candidates(spark, cb_index):
+    # window=2 keeps only the top-2 first-pass docs: a doc outside that
+    # window never surfaces, however strong its rescore match
+    base, _ = search(spark, cb_index, "text:spark", limit=2)
+    window_docs = {(r["segment_ord"], r["doc"]) for r in base.collect()}
+    got = rescore(
+        spark, cb_index, "text:spark", 'text:"hash join"',
+        window=2, weight=100.0, limit=None,
+    ).collect()
+    assert {(r["segment_ord"], r["doc"]) for r in got} == window_docs
+
+
+def test_rescore_validation(spark, cb_index):
+    with pytest.raises(ValueError, match="window"):
+        rescore(spark, cb_index, "text:spark", "text:join", window=0)

@@ -1,0 +1,128 @@
+"""Percolator (reverse search): registered boolean queries matched
+against incoming documents in one broadcast join. The contract is
+IDENTITY with forward search — for every registered query, the set of
+docs percolate() reports must equal the engine's own search() match set
+over an index of the same documents."""
+
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.percolate import percolate, register_queries
+from ostrich_spark.query.exec import attach_docmap, search
+from ostrich_spark.query.parser import (
+    BooleanQuery,
+    PhraseQuery,
+    TermQuery,
+)
+from ostrich_spark.schema import Schema
+
+DOCS = [
+    {"doc_key": 0, "text": "spark join window", "title": "Serious streaming"},
+    {"doc_key": 1, "text": "spark join", "title": "viruses everywhere"},
+    {"doc_key": 2, "text": "spark", "title": "spark notes"},
+    {"doc_key": 3, "text": "join window stream", "title": "windows"},
+    {"doc_key": 4, "text": "window", "title": "join the stream"},
+    {"doc_key": 5, "text": "nothing here at all", "title": "empty"},
+    {"doc_key": 6, "text": "spark spark join window stream", "title": "all of it"},
+]
+
+T = lambda t: TermQuery(0, t)  # field 0 = text
+
+
+@pytest.fixture(scope="module")
+def perc_schema():
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    schema.add_text_field("title", "en_stem")
+    return schema
+
+
+@pytest.fixture(scope="module")
+def perc_index(spark, tmp_path_factory, perc_schema):
+    idx = str(tmp_path_factory.mktemp("perc") / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(DOCS),
+        perc_schema,
+        idx,
+        num_partitions=2,
+        order_col="doc_key",
+        id_cols=["doc_key"],
+    )
+    return idx
+
+
+QUERIES = {
+    "q_term": "text:spark",
+    "q_and": "text:spark AND text:join",
+    "q_or": "text:spark OR text:window",
+    "q_must_should": BooleanQuery(
+        [("must", T("spark")), ("should", T("window")), ("should", T("stream"))]
+    ),
+    "q_not": BooleanQuery.excluding(T("spark"), T("window")),
+    "q_at_least_2": BooleanQuery.at_least(2, T("spark"), T("join"), T("stream")),
+    "q_filter": BooleanQuery.filtering(T("spark"), T("join")),
+    # en_stem field: "Serious" analyzes to "seriou" on both sides
+    "q_stem": "title:Serious",
+    # multi-field
+    "q_two_fields": BooleanQuery(
+        [("must", T("spark")), ("must", TermQuery(1, "stream"))]
+    ),
+}
+
+
+def _forward_matches(spark, idx, q, perc_schema) -> set:
+    res, _ = search(spark, idx, q, limit=None)
+    return {
+        r["doc_key"]
+        for r in attach_docmap(spark, idx, res).select("doc_key").collect()
+    }
+
+
+def test_percolate_identity_with_forward_search(spark, perc_index, perc_schema):
+    pq = register_queries(QUERIES, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    got = percolate(spark, docs, pq, perc_schema, id_col="doc_key").collect()
+    got_sets = {}
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["doc_key"])
+    for qid, q in QUERIES.items():
+        want = _forward_matches(spark, perc_index, q, perc_schema)
+        assert got_sets.get(qid, set()) == want, qid
+
+
+def test_percolate_no_false_rows(spark, perc_schema):
+    pq = register_queries({"q": "text:absent_term"}, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    assert percolate(spark, docs, pq, perc_schema, id_col="doc_key").count() == 0
+
+
+def test_percolate_column_map(spark, perc_schema):
+    pq = register_queries({"q": "text:spark"}, perc_schema)
+    docs = spark.createDataFrame(DOCS).withColumnRenamed("text", "body")
+    got = percolate(
+        spark, docs, pq, perc_schema, id_col="doc_key",
+        column_map={"text": "body"},
+    ).collect()
+    assert {r["doc_key"] for r in got} == {0, 1, 2, 6}
+
+
+def test_percolate_registration_errors(perc_schema):
+    with pytest.raises(ValueError, match="pure-negative"):
+        register_queries(
+            {"bad": BooleanQuery([("must_not", T("spark"))])}, perc_schema
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        register_queries(
+            {"ph": BooleanQuery([("must", PhraseQuery(0, ("a", "b")))])},
+            perc_schema,
+        )
+    with pytest.raises(ValueError, match="unsupported"):
+        register_queries({"pre": "text:spar*"}, perc_schema)
+
+
+def test_percolate_missing_doc_column(spark, perc_schema):
+    pq = register_queries({"q": "title:serious"}, perc_schema)
+    docs = spark.createDataFrame([{"doc_key": 0, "text": "x"}])
+    with pytest.raises(ValueError, match="no column"):
+        percolate(spark, docs, pq, perc_schema, id_col="doc_key")
