@@ -242,6 +242,9 @@ def main():
         ("docs_phrase_prefix", em.queries()["eng_phrase_prefix"]),
         ("docs_near_unordered", em.queries()["eng_near_unordered"]),
         ("docs_more_like_this", em.queries()["eng_more_like_this"]),
+        ("docs_collapse_lang", em.queries()["eng_collapse_lang"]),
+        ("docs_rescore_phrase", em.queries()["eng_rescore_phrase"]),
+        ("percolate_4q", em.queries()["perc_match"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),
