@@ -207,3 +207,12 @@ def test_rescore_window_bounds_candidates(spark, cb_index):
 def test_rescore_validation(spark, cb_index):
     with pytest.raises(ValueError, match="window"):
         rescore(spark, cb_index, "text:spark", "text:join", window=0)
+
+
+def test_collapse_plan_partial_agg_no_window(spark, cb_index):
+    """Scale contract: the champion is a map-side partial min_by, never
+    a Window (row_number would shuffle every match per group)."""
+    df = search_collapsed(spark, cb_index, "text:spark", "grp", limit=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan
+    assert "Window" not in plan

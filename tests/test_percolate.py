@@ -126,3 +126,60 @@ def test_percolate_missing_doc_column(spark, perc_schema):
     docs = spark.createDataFrame([{"doc_key": 0, "text": "x"}])
     with pytest.raises(ValueError, match="no column"):
         percolate(spark, docs, pq, perc_schema, id_col="doc_key")
+
+
+def test_percolate_plan_broadcast_and_partial_agg(spark, perc_schema):
+    """Scale contract: the stored-query side broadcasts (docs never
+    shuffle to meet it) and satisfaction counting partial-aggregates
+    map-side (one row per (partition, doc, query) reaches the shuffle)."""
+    pq = register_queries(QUERIES, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    m = percolate(spark, docs, pq, perc_schema, id_col="doc_key")
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_percolate_streaming_foreachbatch(spark, tmp_path, perc_schema):
+    """The alerting shape: percolate each micro-batch inside
+    foreachBatch; every (doc, subscription) match surfaces as the docs
+    arrive, batch boundaries invisible in the result."""
+    import os
+    import time as _t
+
+    import pandas as pd
+
+    pq = register_queries({"alerts": "text:spark AND text:join"}, perc_schema)
+    src = tmp_path / "stream_in"
+    os.makedirs(src)
+    half = len(DOCS) // 2
+    spark.createDataFrame(pd.DataFrame(DOCS[:half])).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    _t.sleep(1.1)
+    spark.createDataFrame(pd.DataFrame(DOCS[half:])).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    matches = []
+
+    def handle(batch_df, batch_id):
+        rows = percolate(
+            spark, batch_df, pq, perc_schema, id_col="doc_key"
+        ).collect()
+        matches.extend((r["doc_key"], r["query_id"]) for r in rows)
+
+    stream = (
+        spark.readStream.schema("doc_key long, text string, title string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    want = {(0, "alerts"), (1, "alerts"), (6, "alerts")}
+    assert set(matches) == want
