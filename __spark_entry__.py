@@ -733,6 +733,8 @@ def _perc_queries():
         "q_atleast2": BooleanQuery.at_least(2, T("spark"), T("window"), T("stream")),
         "q_not": BooleanQuery.excluding(T("spark"), T("join")),
         "q_or": "text:window OR text:stream",
+        # positional subscription: verified against the doc token stream
+        "q_phrase": 'text:"hash join"',
     }
 
 
@@ -1794,9 +1796,10 @@ def oracle_sql() -> dict[str, str]:
             "round(rsc, 6) AS rescore_score FROM r"
         ),
         # percolator: per-doc term flags -> boolean satisfaction per
-        # stored query (must / at-least-2 / must-not / union)
+        # stored query (must / at-least-2 / must-not / union / phrase —
+        # the phrase via an adjacent-position self-join)
         "perc_match": (
-            f"WITH {TOKS_CTE}, "
+            f"WITH {TOKS_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
             "flags AS (SELECT doc_id, bool_or(term = 'spark') AS h_spark, "
             "bool_or(term = 'join') AS h_join, bool_or(term = 'window') AS h_window, "
             "bool_or(term = 'stream') AS h_stream FROM toks GROUP BY doc_id) "
@@ -1804,7 +1807,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'q_atleast2' FROM flags "
             "WHERE (CAST(h_spark AS INT) + CAST(h_window AS INT) + CAST(h_stream AS INT)) >= 2 "
             "UNION ALL SELECT doc_id, 'q_not' FROM flags WHERE h_spark AND NOT h_join "
-            "UNION ALL SELECT doc_id, 'q_or' FROM flags WHERE h_window OR h_stream"
+            "UNION ALL SELECT doc_id, 'q_or' FROM flags WHERE h_window OR h_stream "
+            "UNION ALL SELECT DISTINCT a.doc_id, 'q_phrase' FROM pos a JOIN pos b "
+            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "AND a.term = 'hash' AND b.term = 'join'"
         ),
         "eng_term_positions": (
             f"WITH {TOKLIST_CTE}, {POS_CTE} "

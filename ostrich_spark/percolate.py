@@ -25,20 +25,25 @@ definition — thousands of rows; if it ever isn't, drop the broadcast()
 and the same plan shuffle-joins on (field_id, term)). Works unchanged
 inside ``foreachBatch`` for Structured Streaming percolation.
 
-Supported query surface (v1): TermQuery and one flat BooleanQuery level
-of term leaves — MUST / SHOULD / MUST_NOT / FILTER occurs plus
-``min_should``, matching the engine's own satisfaction semantics
-(FILTER requires like MUST; MUST_NOT excludes; SHOULD needs
-``min_should`` hits when it is the only positive group or when
-``min_should`` > 1). Positional queries (phrases) and dictionary-
-expanded queries (prefix/fuzzy/wildcard — their expansion depends on an
-index dictionary, which a percolator has no single instance of) are
-rejected at registration with a clear error.
+Supported query surface: TermQuery, PhraseQuery (exact and sloppy —
+verified positionally against the doc's own token stream with the SAME
+in-order window DP the forward phrase scorer uses, query/exec.py
+eval_phrase), and one flat BooleanQuery level of term/phrase leaves —
+MUST / SHOULD / MUST_NOT / FILTER occurs plus ``min_should``, matching
+the engine's own satisfaction semantics (FILTER requires like MUST;
+MUST_NOT excludes; SHOULD needs ``min_should`` hits when it is the only
+positive group or when ``min_should`` > 1). Dictionary-expanded queries
+(prefix/fuzzy/wildcard — their expansion depends on an index dictionary,
+which a percolator has no single instance of) are rejected at
+registration with a clear error.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
 
 from .analysis import get_analyzer
 from .query.parser import (
@@ -47,10 +52,17 @@ from .query.parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    PhraseQuery,
     TermQuery,
     parse_query,
 )
 from .schema import Schema
+
+# row-encoded positions: enc = row_index * BIG + token_position — the
+# same doc-major encoding trick the forward phrase scorer uses
+# (query/exec.py), applied batch-wide so ONE DP pass verifies a phrase
+# against every doc of an Arrow batch
+_BIG = np.int64(1) << np.int64(32)
 
 
 @dataclass(frozen=True)
@@ -62,24 +74,38 @@ class PercolatorQueries:
     # (query_id, n_must, req_should)
     req_rows: tuple[tuple[str, int, int], ...]
     field_ids: tuple[int, ...]  # every field any query touches
+    # (query_id, occur, field_id, terms, slop) — distinct phrase units
+    phrase_rows: tuple[tuple[str, str, int, tuple[str, ...], int], ...] = ()
 
 
-def _flatten_terms(query_id: str, q) -> list[tuple[str, str, int, str]]:
-    """One flat boolean level of term leaves -> (qid, occur, fid, term)."""
-    if isinstance(q, TermQuery):
-        return [(query_id, MUST, q.field_id, q.term)]
+def _flatten_terms(query_id: str, q):
+    """One flat boolean level of term/phrase leaves ->
+    (term rows, phrase rows)."""
+
+    def leaf(occur, sub):
+        if isinstance(sub, TermQuery):
+            return ("t", (query_id, occur, sub.field_id, sub.term))
+        if isinstance(sub, PhraseQuery):
+            return (
+                "p",
+                (query_id, occur, sub.field_id, tuple(sub.terms), int(sub.slop)),
+            )
+        raise ValueError(
+            f"percolator query {query_id!r}: unsupported clause "
+            f"{type(sub).__name__} — percolation supports flat boolean "
+            f"queries over terms and (sloppy) phrases (no dictionary-"
+            f"expanded multi-term queries)"
+        )
+
+    if isinstance(q, (TermQuery, PhraseQuery)):
+        kind, row = leaf(MUST, q)
+        return ([row], []) if kind == "t" else ([], [row])
     if isinstance(q, BooleanQuery):
-        rows = []
+        t_rows, p_rows = [], []
         for occur, sub in q.subqueries:
-            if not isinstance(sub, TermQuery):
-                raise ValueError(
-                    f"percolator query {query_id!r}: unsupported clause "
-                    f"{type(sub).__name__} — v1 percolation supports flat "
-                    f"boolean queries over terms (no phrases/positions, no "
-                    f"dictionary-expanded multi-term queries)"
-                )
-            rows.append((query_id, occur, sub.field_id, sub.term))
-        return rows
+            kind, row = leaf(occur, sub)
+            (t_rows if kind == "t" else p_rows).append(row)
+        return t_rows, p_rows
     raise ValueError(
         f"percolator query {query_id!r}: unsupported query type "
         f"{type(q).__name__}"
@@ -98,13 +124,18 @@ def register_queries(
     engine's ``text:Serious`` would."""
     term_rows: list[tuple[str, str, int, str]] = []
     req_rows: list[tuple[str, int, int]] = []
+    phrase_rows: list[tuple[str, str, int, tuple[str, ...], int]] = []
     for qid, q in queries.items():
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
         )
-        rows = _flatten_terms(qid, logical)
-        musts = {(f, t) for _, o, f, t in rows if o in (MUST, FILTER)}
-        shoulds = {(f, t) for _, o, f, t in rows if o == SHOULD}
+        t_rows, p_rows = _flatten_terms(qid, logical)
+        musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
+            (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
+        }
+        shoulds = {(f, t) for _, o, f, t in t_rows if o == SHOULD} | {
+            (f, ts, s) for _, o, f, ts, s in p_rows if o == SHOULD
+        }
         n_positive = len(musts) + len(shoulds)
         if n_positive == 0:
             raise ValueError(
@@ -121,10 +152,17 @@ def register_queries(
             req_should = 1
         else:
             req_should = 0
-        term_rows.extend(dict.fromkeys(rows))  # distinct, order-preserving
+        term_rows.extend(dict.fromkeys(t_rows))  # distinct, order-preserving
+        phrase_rows.extend(dict.fromkeys(p_rows))
         req_rows.append((qid, len(musts), req_should))
-    field_ids = tuple(sorted({f for _, _, f, _ in term_rows}))
-    return PercolatorQueries(tuple(term_rows), tuple(req_rows), field_ids)
+    field_ids = tuple(
+        sorted(
+            {f for _, _, f, _ in term_rows} | {f for _, _, f, _, _ in phrase_rows}
+        )
+    )
+    return PercolatorQueries(
+        tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows)
+    )
 
 
 def _tokens_expr(fe, col: str):
@@ -150,6 +188,55 @@ def _tokens_expr(fe, col: str):
     return _analyze(F.col(col))
 
 
+def _match_phrases_batch(
+    token_lists, phrases: list[tuple[str, str, tuple[str, ...], int]]
+) -> list[tuple[int, str, str]]:
+    """Verify every phrase against every doc of one Arrow batch in one
+    vectorized pass per phrase. ``token_lists``: sequence of per-doc
+    token lists; ``phrases``: (query_id, occur, terms, slop). Returns
+    (row_index, query_id, occur) for each matched (doc, phrase).
+
+    Positions are encoded batch-wide as row*BIG + pos and the in-order
+    window DP is the forward phrase scorer's algorithm verbatim
+    (query/exec.py eval_phrase slop path): chain the maximum valid start
+    per occurrence slot-by-slot, accept ends whose span <= k-1+slop —
+    slop=0 degenerates to the exact consecutive phrase. One np.flatnonzero
+    per distinct term per batch; terms shared by phrases decode once."""
+    lens = np.fromiter(
+        (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return []
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    enc_all = np.repeat(np.arange(len(lens), dtype=np.int64), lens) * _BIG + (
+        np.arange(total, dtype=np.int64) - offs
+    )
+    needed = {t for _, _, terms, _ in phrases for t in terms}
+    by_term = {t: enc_all[flat == t] for t in needed}
+    out: list[tuple[int, str, str]] = []
+    for qid, occur, terms, slop in phrases:
+        encs = [by_term[t] for t in terms]
+        if any(len(e) == 0 for e in encs):
+            continue
+        best = encs[0].copy()
+        for i in range(1, len(encs)):
+            prefmax = np.maximum.accumulate(best)
+            enc_i = encs[i]
+            j = np.searchsorted(encs[i - 1], enc_i, side="left") - 1
+            cand = np.where(j >= 0, prefmax[np.clip(j, 0, None)], np.int64(-1))
+            same_row = (cand >= 0) & (cand // _BIG == enc_i // _BIG)
+            best = np.where(same_row, cand, np.int64(-1))
+        enc_last = encs[-1]
+        ends = enc_last[
+            (best >= 0) & (enc_last - best <= np.int64(len(encs) - 1 + slop))
+        ]
+        for r in np.unique(ends // _BIG):
+            out.append((int(r), qid, occur))
+    return out
+
+
 def percolate(
     spark,
     docs_df,
@@ -162,12 +249,20 @@ def percolate(
     Returns a DataFrame of (``id_col``, query_id) pairs — one row per
     satisfied (document, stored query) combination, nothing for
     non-matches. ``column_map`` renames schema field -> docs_df column
-    when they differ (default: same name)."""
+    when they differ (default: same name).
+
+    Phrase clauses verify positionally against the doc's own analyzed
+    token stream inside a mapInPandas pass (no shuffle — each matched
+    (doc, phrase) contributes one row to the same satisfaction
+    aggregation term clauses feed). The phrase pass scans every doc's
+    tokens once per distinct constituent term per batch; with a very
+    large phrase subscription set, pre-route docs by a cheap term
+    percolation first."""
     from pyspark.sql import functions as F
 
     column_map = column_map or {}
-    per_field = []
-    for fid in pq.field_ids:
+
+    def doc_col(fid: int) -> str:
         fe = schema.fields[fid]
         col = column_map.get(fe.name, fe.name)
         if col not in docs_df.columns:
@@ -175,27 +270,83 @@ def percolate(
                 f"percolate: docs_df has no column {col!r} for schema "
                 f"field {fe.name!r} (have: {', '.join(docs_df.columns)})"
             )
-        per_field.append(
-            docs_df.select(
-                F.col(id_col).alias("_pid"),
-                F.lit(fid).alias("field_id"),
-                F.explode(F.array_distinct(_tokens_expr(fe, col))).alias("term"),
+        return col
+
+    # resolve every referenced field up front (fail fast, phrase or term)
+    for fid in pq.field_ids:
+        doc_col(fid)
+
+    contribs = []
+
+    term_fids = sorted({r[2] for r in pq.term_rows})
+    if term_fids:
+        per_field = []
+        for fid in term_fids:
+            fe = schema.fields[fid]
+            per_field.append(
+                docs_df.select(
+                    F.col(id_col).alias("_pid"),
+                    F.lit(fid).alias("field_id"),
+                    F.explode(
+                        F.array_distinct(_tokens_expr(fe, doc_col(fid)))
+                    ).alias("term"),
+                )
+            )
+        doc_terms = per_field[0]
+        for df in per_field[1:]:
+            doc_terms = doc_terms.unionByName(df)
+        qterms = spark.createDataFrame(
+            list(pq.term_rows),
+            "query_id string, occur string, field_id int, term string",
+        )
+        contribs.append(
+            doc_terms.join(F.broadcast(qterms), ["field_id", "term"]).select(
+                "_pid", "query_id", "occur"
             )
         )
-    doc_terms = per_field[0]
-    for df in per_field[1:]:
-        doc_terms = doc_terms.unionByName(df)
 
-    qterms = spark.createDataFrame(
-        list(pq.term_rows), "query_id string, occur string, field_id int, term string"
-    )
+    phrase_fids = sorted({r[2] for r in pq.phrase_rows})
+    id_type = docs_df.schema[id_col].dataType.simpleString()
+    for fid in phrase_fids:
+        fe = schema.fields[fid]
+        field_phrases = [
+            (qid, occur, terms, slop)
+            for qid, occur, f, terms, slop in pq.phrase_rows
+            if f == fid
+        ]
+        toks_df = docs_df.select(
+            F.col(id_col).alias("_pid"), _tokens_expr(fe, doc_col(fid)).alias("_toks")
+        )
+
+        def verify(batches, _phrases=field_phrases):
+            for pdf in batches:
+                rows = _match_phrases_batch(pdf["_toks"].tolist(), _phrases)
+                if rows:
+                    yield pd.DataFrame(
+                        {
+                            "_pid": pdf["_pid"].iloc[[r for r, _, _ in rows]].values,
+                            "query_id": [q for _, q, _ in rows],
+                            "occur": [o for _, _, o in rows],
+                        }
+                    )
+
+        contribs.append(
+            toks_df.mapInPandas(
+                verify, f"_pid {id_type}, query_id string, occur string"
+            )
+        )
+
+    hits = contribs[0]
+    for df in contribs[1:]:
+        hits = hits.unionByName(df)
+
     reqs = spark.createDataFrame(
         list(pq.req_rows), "query_id string, n_must int, req_should int"
     )
-    hits = doc_terms.join(F.broadcast(qterms), ["field_id", "term"])
     # doc_terms is distinct per (doc, field) by construction
-    # (array_distinct before explode) and qterms rows are distinct, so
-    # plain conditional counts ARE distinct-term counts — and unlike
+    # (array_distinct before explode), qterms rows are distinct, and the
+    # phrase pass emits one row per matched (doc, phrase unit) — so
+    # plain conditional counts ARE distinct-unit counts, and unlike
     # count_distinct they partial-aggregate map-side.
     agg = hits.groupBy("_pid", "query_id").agg(
         F.sum(F.when(F.col("occur").isin(MUST, FILTER), 1).otherwise(0)).alias(

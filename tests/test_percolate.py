@@ -32,7 +32,7 @@ T = lambda t: TermQuery(0, t)  # field 0 = text
 @pytest.fixture(scope="module")
 def perc_schema():
     schema = Schema()
-    schema.add_text_field("text", "default")
+    schema.add_text_field("text", "default", positions=True)
     schema.add_text_field("title", "en_stem")
     return schema
 
@@ -67,6 +67,16 @@ QUERIES = {
     # multi-field
     "q_two_fields": BooleanQuery(
         [("must", T("spark")), ("must", TermQuery(1, "stream"))]
+    ),
+    # phrases: exact, sloppy, and as a MUST_NOT clause — all verified
+    # positionally against the doc token stream
+    "q_phrase": 'text:"join window"',
+    "q_phrase_sloppy": 'text:"spark window"~1',
+    "q_not_phrase": BooleanQuery.excluding(
+        T("spark"), PhraseQuery(0, ("spark", "join"))
+    ),
+    "q_phrase_beside_term": BooleanQuery(
+        [("must", PhraseQuery(0, ("join", "window"))), ("must", T("stream"))]
     ),
 }
 
@@ -111,11 +121,6 @@ def test_percolate_registration_errors(perc_schema):
     with pytest.raises(ValueError, match="pure-negative"):
         register_queries(
             {"bad": BooleanQuery([("must_not", T("spark"))])}, perc_schema
-        )
-    with pytest.raises(ValueError, match="unsupported"):
-        register_queries(
-            {"ph": BooleanQuery([("must", PhraseQuery(0, ("a", "b")))])},
-            perc_schema,
         )
     with pytest.raises(ValueError, match="unsupported"):
         register_queries({"pre": "text:spar*"}, perc_schema)
