@@ -680,6 +680,27 @@ def _q_eng_collapse(spark, sf_dir):
     )
 
 
+def _q_eng_grouped(spark, sf_dir):
+    """Grouped search (ES collapse+inner_hits / Lucene grouping analog):
+    top-2 hits per lang over a term union, groups ranked by champion."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_grouped
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_grouped(
+        spark, idx, "text:spark OR text:join", "lang",
+        per_group=2, groups=None, manifest=mf, tiebreak=["doc_id"],
+    )
+    return attach_docmap(spark, idx, res.drop("lang"), manifest=mf).select(
+        F.col("lang"),
+        F.col("group_rank").cast("long"),
+        F.col("hit_rank").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_eng_boosted(spark, sf_dir):
     """Function score (ES function_score analog): TF-IDF multiplied by
     (1 + 0.001 * n_chars) — relevance x stored numeric signal; docs keep
@@ -1446,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
         "eng_collapse_lang": _q_eng_collapse,
+        "eng_grouped_topn": _q_eng_grouped,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -1767,6 +1789,25 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY d.lang ORDER BY g.score DESC, g.doc_id ASC) AS rn "
             "FROM g JOIN documents d USING(doc_id)) "
             "SELECT lang, doc_id, round(score, 6) AS score FROM j WHERE rn = 1"
+        ),
+        # grouped search: top-2 per lang (score desc, doc_id asc within
+        # the group — the engine passes tiebreak=["doc_id"]), groups
+        # ranked by their champion (score desc, doc_id asc)
+        "eng_grouped_topn": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join')), "
+            "g AS (SELECT doc_id, sum(sc) AS score FROM s GROUP BY doc_id), "
+            "j AS (SELECT d.lang, g.doc_id, g.score, row_number() OVER "
+            "(PARTITION BY d.lang ORDER BY g.score DESC, g.doc_id ASC) AS rn "
+            "FROM g JOIN documents d USING(doc_id)), "
+            "champ AS (SELECT lang, doc_id AS cdoc, score AS cscore FROM j WHERE rn = 1), "
+            "gr AS (SELECT lang, row_number() OVER "
+            "(ORDER BY cscore DESC, cdoc ASC) AS group_rank FROM champ) "
+            "SELECT j.lang, gr.group_rank, j.rn AS hit_rank, j.doc_id, "
+            "round(j.score, 6) AS score "
+            "FROM j JOIN gr ON j.lang IS NOT DISTINCT FROM gr.lang "
+            "WHERE j.rn <= 2"
         ),
         # function score: tfidf * (1 + 0.001 * n_chars)
         "eng_boosted_topk": (

@@ -243,6 +243,7 @@ def main():
         ("docs_near_unordered", em.queries()["eng_near_unordered"]),
         ("docs_more_like_this", em.queries()["eng_more_like_this"]),
         ("docs_collapse_lang", em.queries()["eng_collapse_lang"]),
+        ("docs_grouped_topn", em.queries()["eng_grouped_topn"]),
         ("docs_rescore_phrase", em.queries()["eng_rescore_phrase"]),
         ("percolate_4q", em.queries()["perc_match"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),

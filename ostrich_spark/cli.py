@@ -43,7 +43,7 @@ def cmd_search(args) -> int:
     mf = None
     if getattr(args, "at", None) is not None:
         if (args.highlight or args.sort_by or args.collapse_by
-                or args.boost_by or args.rescore):
+                or args.group_by or args.boost_by or args.rescore):
             print("error: --at composes with plain search only",
                   file=sys.stderr)
             return 2
@@ -86,15 +86,34 @@ def cmd_search(args) -> int:
             print(f"{r['segment_ord']}/{r['doc']} {r[args.sort_by]}")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
-    special = [args.collapse_by, args.boost_by, args.rescore]
+    special = [args.collapse_by, args.group_by, args.boost_by, args.rescore]
     if sum(x is not None for x in special) > 1 or (
         any(x is not None for x in special)
         and (args.sort_by or args.highlight or getattr(args, "after", None)
              or getattr(args, "fields", None))
     ):
-        print("error: --collapse-by/--boost-by/--rescore compose with "
-              "plain search only, one at a time", file=sys.stderr)
+        print("error: --collapse-by/--group-by/--boost-by/--rescore compose "
+              "with plain search only, one at a time", file=sys.stderr)
         return 2
+    if args.group_by:
+        from .query.exec import search_grouped
+
+        res = search_grouped(
+            spark, args.path, args.query, args.group_by,
+            per_group=args.per_group, groups=args.limit,
+            group_offset=args.offset, scorer=args.scorer,
+        )
+        rows = res.collect()
+        elapsed = time.time() - t0
+        last_g = None
+        for r in rows:
+            if r["group_rank"] != last_g:
+                print(f"{args.group_by}={r[args.group_by]} "
+                      f"(group {r['group_rank']})")
+                last_g = r["group_rank"]
+            print(f"  {r['score']:.4f} {r['segment_ord']}/{r['doc']}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.collapse_by:
         from .query.exec import search_collapsed
 
@@ -189,7 +208,8 @@ def _search_alias(spark, paths, args, t0) -> int:
     from .manifest import load_manifest
     from .query.multi import search_multi
 
-    for opt in ("highlight", "sort_by", "after", "at"):
+    for opt in ("highlight", "sort_by", "after", "at",
+                "collapse_by", "group_by", "boost_by", "rescore"):
         if getattr(args, opt, None):
             print(f"error: --{opt.replace('_', '-')} is single-index only "
                   f"(one -p)", file=sys.stderr)
@@ -841,6 +861,14 @@ def main(argv=None) -> int:
         help="field collapsing: keep only the best-scoring hit per "
         "distinct value of this docmap column (ES collapse analog)",
     )
+    s.add_argument(
+        "--group-by", metavar="COL",
+        help="grouped search: top --per-group hits per distinct value "
+        "of this docmap column, best --limit groups (ES collapse with "
+        "inner_hits / Lucene grouping analog)",
+    )
+    s.add_argument("--per-group", type=int, default=3,
+                   help="with --group-by: hits kept per group")
     s.add_argument(
         "--boost-by", metavar="FIELD",
         help="function score: combine relevance with this numeric "

@@ -2071,6 +2071,152 @@ def search_collapsed(
     return out
 
 
+def search_grouped(
+    spark,
+    index_dir: str,
+    query,
+    group_by: str,
+    per_group: int = 3,
+    groups: int | None = 10,
+    group_offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+):
+    """Top-N hits PER GROUP — grouped search (Lucene grouping module /
+    Elasticsearch ``collapse`` with ``inner_hits`` analog; EXTENSION,
+    the reference has no grouping). Where ``search_collapsed`` keeps one
+    champion per group, this returns up to ``per_group`` ranked hits for
+    each of the best ``groups`` groups: search a code corpus grouped by
+    ``repo`` and get the top 3 files of each of the top 10 repositories.
+
+    Groups are ranked by their champion hit (Lucene's TopGroups
+    convention: group order = best-doc order); within a group, hits
+    follow (score desc, ``tiebreak`` asc..., segment_ord asc, doc asc).
+    NULL group values form one group (SQL GROUP BY convention, same as
+    ``search_collapsed``). ``groups=None`` returns every group — fine
+    for low-cardinality fields (the group ranking then numbers ALL
+    groups through one ordered window; prefer a bound when the group
+    column is high-cardinality).
+
+    Returns one row per hit: (``group_by``, group_rank, hit_rank,
+    segment_id, segment_ord, doc, score), ordered by
+    (group_rank asc, hit_rank asc). group_rank starts at 1 AFTER
+    ``group_offset`` is applied; hit_rank is 1..per_group within the
+    group.
+
+    Scale posture: match evaluation is exhaustive (a group champion may
+    score below any top-k cut, so WAND cannot apply — the Lucene
+    grouping collector sees every hit too). The per-group hit lists are
+    NOT built with a window over the raw match set (row_number would
+    drag every match of every group through the shuffle): a map-side
+    pandas pre-prune keeps at most ``per_group`` rows per group per
+    Arrow batch — the union of per-batch top-N is a superset of the
+    global top-N for any partitioning — so the groupBy that follows
+    carries O(per_group x batches) rows per group no matter how many
+    docs a hot group matched. Group ranking is Catalyst's
+    TakeOrderedAndProject over one row per group.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    if per_group < 1:
+        raise ValueError(f"per_group must be >= 1, got {per_group}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    res, _ = search(
+        spark,
+        index_dir,
+        query,
+        limit=None,
+        scorer=scorer,
+        manifest=manifest,
+        default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    tiebreak = [c for c in (tiebreak or []) if c != group_by]
+    for c in [group_by, *tiebreak]:
+        if c not in docmap.schema.names:
+            raise ValueError(
+                f"group column {c!r} not in docmap "
+                f"(have: {', '.join(docmap.schema.names)})"
+            )
+    matched = docmap.select(
+        "segment_id", "doc", *dict.fromkeys([group_by, *tiebreak])
+    ).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+
+    # map-side pre-prune: per Arrow batch, keep each group's local
+    # top-per_group under the final within-group order. Sort semantics
+    # must agree with the Spark struct sort below on everything that can
+    # cross the prune boundary: score desc (never null), tiebreaks asc
+    # with nulls first (Spark's asc null ordering), then the unique
+    # (segment_ord, doc) — so ties are totally ordered and pandas/Spark
+    # cannot disagree on WHICH rows survive.
+    sort_cols = ["score", *tiebreak, "segment_ord", "doc"]
+    ascending = [False] + [True] * (len(tiebreak) + 2)
+    n_keep = per_group
+    gcol = group_by
+
+    def _prune(batches):
+        for pdf in batches:
+            if len(pdf) <= n_keep:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                sort_cols, ascending=ascending, na_position="first"
+            )
+            yield pdf.groupby(gcol, dropna=False, sort=False).head(n_keep)
+
+    pruned = matched.mapInPandas(_prune, schema=matched.schema)
+
+    order_key = F.struct(
+        (-F.col("score")).alias("ns"),
+        *[F.col(c).alias(f"tb{i}") for i, c in enumerate(tiebreak)],
+        F.col("segment_ord").alias("so"),
+        F.col("doc").alias("d"),
+    )
+    payload = F.struct(
+        F.col("segment_id"), F.col("segment_ord"), F.col("doc"), F.col("score")
+    )
+    agg = pruned.groupBy(group_by).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(order_key.alias("k"), payload.alias("p")))
+            ),
+            1,
+            per_group,
+        ).alias("hits")
+    )
+    ranked = agg.withColumn("gkey", F.col("hits")[0]["k"])
+    if groups is not None:
+        # TakeOrderedAndProject: one row per group, bounded global sort
+        ranked = ranked.orderBy(F.asc("gkey")).limit(group_offset + groups)
+    w = Window.orderBy(F.asc("gkey"))
+    ranked = ranked.withColumn("_gr", F.row_number().over(w))
+    if group_offset:
+        ranked = ranked.filter(F.col("_gr") > group_offset)
+    ranked = ranked.withColumn("group_rank", F.col("_gr") - F.lit(group_offset))
+    out = ranked.select(
+        F.col(group_by),
+        "group_rank",
+        F.posexplode("hits").alias("_pos", "_h"),
+    ).select(
+        F.col(group_by),
+        F.col("group_rank"),
+        (F.col("_pos") + 1).alias("hit_rank"),
+        F.col("_h.p.segment_id").alias("segment_id"),
+        F.col("_h.p.segment_ord").alias("segment_ord"),
+        F.col("_h.p.doc").alias("doc"),
+        F.col("_h.p.score").alias("score"),
+    )
+    return out.orderBy(F.asc("group_rank"), F.asc("hit_rank"))
+
+
 def search_boosted(
     spark,
     index_dir: str,

@@ -216,3 +216,159 @@ def test_collapse_plan_partial_agg_no_window(spark, cb_index):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_min_by" in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# grouped top-N (search_grouped)
+# ---------------------------------------------------------------------------
+
+
+def _brute_grouped(full, per_group):
+    """Expected grouping from the exhaustive match set: group order =
+    champion key asc, within-group order = pinned total order."""
+    groups = {}
+    for r in full.values():
+        groups.setdefault(r["grp"], []).append(r)
+    hits = {}
+    for g, rows in groups.items():
+        rows.sort(key=lambda r: (-r["score"], r["segment_ord"], r["doc"]))
+        hits[g] = rows[:per_group]
+    order = sorted(
+        hits,
+        key=lambda g: (
+            -hits[g][0]["score"],
+            hits[g][0]["segment_ord"],
+            hits[g][0]["doc"],
+        ),
+    )
+    return order, hits
+
+
+def test_grouped_matches_bruteforce(spark, cb_index):
+    from ostrich_spark.query.exec import search_grouped
+
+    full = _exhaustive(spark, cb_index, "text:spark")
+    order, hits = _brute_grouped(full, per_group=2)
+    got = search_grouped(
+        spark, cb_index, "text:spark", "grp", per_group=2, groups=None
+    ).collect()
+    want = [
+        (gi + 1, hi + 1, r["segment_ord"], r["doc"], r["score"])
+        for gi, g in enumerate(order)
+        for hi, r in enumerate(hits[g])
+    ]
+    assert [
+        (r["group_rank"], r["hit_rank"], r["segment_ord"], r["doc"], r["score"])
+        for r in got
+    ] == want
+    # group value rides along, including the NULL group
+    by_rank = {r["group_rank"]: r["grp"] for r in got}
+    assert by_rank == {gi + 1: g for gi, g in enumerate(order)}
+
+
+def test_grouped_per_group1_equals_collapse(spark, cb_index):
+    from ostrich_spark.query.exec import search_grouped
+
+    champs = search_collapsed(
+        spark, cb_index, "text:spark", "grp", limit=None
+    ).collect()
+    got = search_grouped(
+        spark, cb_index, "text:spark", "grp", per_group=1, groups=None
+    ).collect()
+    assert [(r["segment_ord"], r["doc"]) for r in got] == [
+        (r["segment_ord"], r["doc"]) for r in champs
+    ]
+    assert all(r["hit_rank"] == 1 for r in got)
+
+
+def test_grouped_group_paging_tiles(spark, cb_index):
+    from ostrich_spark.query.exec import search_grouped
+
+    all_rows = search_grouped(
+        spark, cb_index, "text:spark", "grp", per_group=2, groups=None
+    ).collect()
+    n_groups = max(r["group_rank"] for r in all_rows)
+    paged = []
+    for off in range(n_groups):
+        page = search_grouped(
+            spark, cb_index, "text:spark", "grp",
+            per_group=2, groups=1, group_offset=off,
+        ).collect()
+        assert all(r["group_rank"] == 1 for r in page)
+        paged.extend((r["grp"], r["hit_rank"], r["doc"]) for r in page)
+    assert paged == [(r["grp"], r["hit_rank"], r["doc"]) for r in all_rows]
+
+
+def test_grouped_prune_survives_tiny_batches(spark, cb_index):
+    """The map-side pre-prune keeps per-batch top-N; the union across
+    batches must recover the global top-N for ANY batching — force
+    1-row Arrow batches and demand the identical result."""
+    from ostrich_spark.query.exec import search_grouped
+
+    want = [
+        (r["group_rank"], r["hit_rank"], r["doc"], r["score"])
+        for r in search_grouped(
+            spark, cb_index, "text:spark OR text:join", "grp",
+            per_group=2, groups=None,
+        ).collect()
+    ]
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        got = [
+            (r["group_rank"], r["hit_rank"], r["doc"], r["score"])
+            for r in search_grouped(
+                spark, cb_index, "text:spark OR text:join", "grp",
+                per_group=2, groups=None,
+            ).collect()
+        ]
+    finally:
+        spark.conf.set(key, old)
+    assert got == want
+
+
+def test_grouped_tiebreak_column(spark, cb_index):
+    """doc_key tiebreak makes within-group order layout-independent on
+    full-precision score ties (docs 6/7 score identically on
+    text:alone: same tf, same dl-free tfidf)."""
+    from ostrich_spark.query.exec import search_grouped
+
+    got = search_grouped(
+        spark, cb_index, "text:alone", "grp",
+        per_group=2, groups=None, tiebreak=["doc_key"],
+    ).collect()
+    docmap = {r["doc_key"]: r for r in _exhaustive(spark, cb_index, "text:alone").values()}
+    assert len(got) == 2
+    assert got[0]["score"] == got[1]["score"]
+    # tiebreak asc: doc_key 6 before 7 regardless of segment layout
+    assert (got[0]["segment_ord"], got[0]["doc"]) == (
+        docmap[6]["segment_ord"], docmap[6]["doc"],
+    )
+
+
+def test_grouped_validation(spark, cb_index):
+    from ostrich_spark.query.exec import search_grouped
+
+    with pytest.raises(ValueError, match="group column"):
+        search_grouped(spark, cb_index, "text:spark", "nope")
+    with pytest.raises(ValueError, match="per_group"):
+        search_grouped(spark, cb_index, "text:spark", "grp", per_group=0)
+
+
+def test_grouped_plan_no_window_over_matches(spark, cb_index):
+    """Scale contract: no Window touches the raw match set — the only
+    Window ranks one-row-per-group AFTER the bounded global sort; the
+    per-group hit lists come from the batch-pruned collect_list."""
+    from ostrich_spark.query.exec import search_grouped
+
+    df = search_grouped(spark, cb_index, "text:spark", "grp", per_group=2, groups=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the group ranking window must sit above the TakeOrderedAndProject
+    # (bounded rows), never below the aggregation
+    assert "TakeOrderedAndProject" in plan
+    win = plan.find("Window")
+    agg_last = plan.rfind("ObjectHashAggregate")
+    if win == -1:
+        win = plan.find("WindowGroupLimit")
+    assert win != -1 and agg_last != -1 and win < agg_last
