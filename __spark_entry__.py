@@ -680,6 +680,45 @@ def _q_eng_collapse(spark, sf_dir):
     )
 
 
+def _q_eng_facet_stats(spark, sf_dir):
+    """Bucket + metric sub-aggregations (ES terms agg with sub-aggs
+    analog): per-lang hit count, avg/max n_chars and exact distinct ids
+    over the full match set in ONE partial-aggregated groupBy."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import facet_stats
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    fs = facet_stats(
+        spark, idx, "text:spark OR text:join", by=["lang"],
+        metrics={
+            "avg_chars": ("avg", "n_chars"),
+            "max_chars": ("max", "n_chars"),
+            "n_ids": ("count_distinct", "doc_id"),
+        },
+        manifest=mf,
+    )
+    return fs.select(
+        "lang",
+        F.col("n_docs").cast("long"),
+        F.round("avg_chars", 6).alias("avg_chars"),
+        F.col("max_chars").cast("long"),
+        F.col("n_ids").cast("long"),
+    )
+
+
+def _q_eng_cardinality(spark, sf_dir):
+    """Cardinality aggregation (ES cardinality analog), exact mode:
+    distinct langs in the match set. The approximate HLL++ default is
+    pytest-bounded instead (approx results cannot hash-match DuckDB)."""
+    from ostrich_spark.query.exec import cardinality
+
+    idx = _doc_index(spark, sf_dir)
+    return cardinality(spark, idx, "text:spark", "lang", exact=True).select(
+        F.col("n_distinct").cast("long")
+    )
+
+
 def _q_eng_grouped(spark, sf_dir):
     """Grouped search (ES collapse+inner_hits / Lucene grouping analog):
     top-2 hits per lang over a term union, groups ranked by champion."""
@@ -1463,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_more_like_this": _q_eng_mlt,
         "eng_pctl_nchars": _q_eng_pctl_nchars,
         "eng_facet_lang": _q_eng_facet_lang,
+        "eng_facet_stats": _q_eng_facet_stats,
+        "eng_cardinality": _q_eng_cardinality,
         "eng_q8_all": _q_eng_all,
         "eng_c2_topk_tfidf": _q_eng_topk_tfidf,
         "eng_bm25_topk": _q_eng_bm25_topk,
@@ -1662,6 +1703,21 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
             "SELECT d.lang, count(*) AS n_docs FROM m JOIN documents d USING(doc_id) "
             "GROUP BY d.lang"
+        ),
+        "eng_facet_stats": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark','join')) "
+            "SELECT d.lang, count(*) AS n_docs, "
+            "round(avg(d.n_chars), 6) AS avg_chars, "
+            "max(d.n_chars) AS max_chars, "
+            "count(DISTINCT d.doc_id) AS n_ids "
+            "FROM m JOIN documents d USING(doc_id) GROUP BY d.lang"
+        ),
+        "eng_cardinality": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT count(DISTINCT d.lang) AS n_distinct "
+            "FROM m JOIN documents d USING(doc_id)"
         ),
         "eng_batched_queries": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

@@ -254,20 +254,40 @@ def cmd_facet(args) -> int:
     spark = _spark()
     t0 = time.time()
     join_df = spark.read.parquet(args.source) if args.source else None
-    fc = facet_counts(
-        spark,
-        args.path,
-        args.query,
-        by=args.by,
-        join_df=join_df,
-        join_on=args.join_on or None,
-        scorer=args.scorer,
-    )
+    metrics = {}
+    for spec in args.metric or []:
+        # out=fn:col  (e.g. avg_sz=avg:n_chars, repos=count_distinct:repo)
+        try:
+            out, rest = spec.split("=", 1)
+            fn, col = rest.split(":", 1)
+        except ValueError:
+            print(f"facet: bad --metric {spec!r} (want out=fn:col)",
+                  file=sys.stderr)
+            return 2
+        metrics[out] = (fn, col)
+    if metrics:
+        from .query.exec import facet_stats
+
+        fc = facet_stats(
+            spark, args.path, args.query, by=args.by, metrics=metrics,
+            join_df=join_df, join_on=args.join_on or None, scorer=args.scorer,
+        )
+    else:
+        fc = facet_counts(
+            spark,
+            args.path,
+            args.query,
+            by=args.by,
+            join_df=join_df,
+            join_on=args.join_on or None,
+            scorer=args.scorer,
+        )
     rows = fc.orderBy(F.desc("n_docs"), *args.by).collect()
     elapsed = time.time() - t0
     for r in rows:
         key = " ".join(str(r[b]) for b in args.by)
-        print(f"{key} {r['n_docs']}")
+        extra = "".join(f"  {m}={r[m]}" for m in metrics)
+        print(f"{key} {r['n_docs']}{extra}")
     print(f"elapsed: {elapsed:.3f}s")
     return 0
 
@@ -378,14 +398,24 @@ def cmd_agg(args) -> int:
     """Numeric doc-value aggregation over a query's FULL match set:
     --stats FIELD prints one n/min/max/sum/avg line; --hist FIELD
     --bin W prints ``bucket n_docs`` lines in bucket order."""
-    from .query.exec import numeric_histogram, numeric_stats
+    from .query.exec import cardinality, numeric_histogram, numeric_stats
 
-    if bool(args.stats) == bool(args.hist):
-        print("agg: need exactly one of --stats or --hist", file=sys.stderr)
+    n_modes = sum(bool(x) for x in (args.stats, args.hist, args.cardinality))
+    if n_modes != 1:
+        print("agg: need exactly one of --stats, --hist or --cardinality",
+              file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
-    if args.stats:
+    if args.cardinality:
+        row = cardinality(
+            spark, args.path, args.query, args.cardinality,
+            exact=args.exact, scorer=args.scorer,
+        ).collect()[0]
+        elapsed = time.time() - t0
+        kind = "exact" if args.exact else "approx"
+        print(f"n_distinct {row['n_distinct']} ({kind})")
+    elif args.stats:
         row = numeric_stats(
             spark, args.path, args.query, args.stats, scorer=args.scorer
         ).collect()[0]
@@ -928,6 +958,11 @@ def main(argv=None) -> int:
     ag.add_argument("--stats", metavar="FIELD", help="n/min/max/sum/avg of FIELD")
     ag.add_argument("--hist", metavar="FIELD", help="histogram of FIELD")
     ag.add_argument("--bin", type=float, default=1.0, help="--hist bucket width")
+    ag.add_argument("--cardinality", metavar="COL",
+                    help="distinct count of COL over the match set "
+                    "(HLL++ approx; --exact for count_distinct)")
+    ag.add_argument("--exact", action="store_true",
+                    help="with --cardinality: exact count_distinct")
     ag.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     ag.set_defaults(fn=cmd_agg)
 
@@ -939,6 +974,11 @@ def main(argv=None) -> int:
     fc.add_argument(
         "--join-on", action="append", metavar="COL",
         help="identity column(s) joining the docmap to --source",
+    )
+    fc.add_argument(
+        "--metric", action="append", metavar="OUT=FN:COL",
+        help="metric sub-aggregation per bucket (fn: count/min/max/sum/"
+        "avg/count_distinct/approx_count_distinct), e.g. avg_sz=avg:n_chars",
     )
     fc.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     fc.set_defaults(fn=cmd_facet)

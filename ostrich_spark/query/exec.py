@@ -1710,6 +1710,126 @@ def facet_counts(
     return matched.groupBy(*by).agg(F.count("*").alias("n_docs"))
 
 
+_FACET_METRIC_FNS = ("count", "min", "max", "sum", "avg",
+                     "count_distinct", "approx_count_distinct")
+
+
+def facet_stats(
+    spark,
+    index_dir: str,
+    query,
+    by: list[str] | str,
+    metrics: dict,
+    join_df=None,
+    join_on: list[str] | str | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Bucket aggregation with metric sub-aggregations over a query's
+    FULL match set — the Elasticsearch terms-aggregation-with-sub-aggs
+    shape (EXTENSION; the reference's collectors return docs/counts
+    only). One row per distinct ``by`` value carrying ``n_docs`` plus
+    every requested metric: facet a code-corpus query by ``lang`` and
+    get per-language hit counts, average file size, and distinct-repo
+    counts in ONE pass.
+
+    ``metrics`` maps output column -> (fn, column[, rsd]) where fn is
+    one of count / min / max / sum / avg / count_distinct /
+    approx_count_distinct (HLL++, optional third element = relative
+    standard deviation). Columns come from the docmap (identity +
+    store=True + numeric doc values), or from ``join_df``/``join_on``
+    like facet_counts.
+
+    Scale posture: identical to facet_counts — the match set is never
+    collected or broadcast; all metrics partial-aggregate map-side in
+    the SAME groupBy (one shuffle for the whole report). count_distinct
+    is the one exception Spark expands internally (exact distinct needs
+    the values through the shuffle) — at 100 TB prefer
+    approx_count_distinct, whose HLL sketch partial-aggregates like any
+    sum. EXTENSION rationale: at corpus scale "facet + stats per
+    bucket" is the standard dashboard query; issuing one job per metric
+    re-evaluates the match set N times.
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    by = [by] if isinstance(by, str) else list(by)
+    aggs = [F.count("*").alias("n_docs")]
+    for out, spec in metrics.items():
+        fn, col, *rest = spec
+        if fn not in _FACET_METRIC_FNS:
+            raise ValueError(
+                f"metric {out!r}: fn must be one of {_FACET_METRIC_FNS}, got {fn!r}"
+            )
+        if fn == "count_distinct":
+            aggs.append(F.countDistinct(col).alias(out))
+        elif fn == "approx_count_distinct":
+            aggs.append(F.approx_count_distinct(col, *rest).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(col).alias(out))
+    res, _ = search(
+        spark,
+        index_dir,
+        query,
+        limit=None,
+        scorer=scorer,
+        manifest=manifest,
+        default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    if join_df is not None:
+        join_on = [join_on] if isinstance(join_on, str) else list(join_on or [])
+        matched = matched.select(*join_on).join(join_df, join_on, "inner")
+    return matched.groupBy(*by).agg(*aggs)
+
+
+def cardinality(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    exact: bool = False,
+    rsd: float = 0.05,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Distinct count of a docmap column over a query's FULL match set —
+    the Elasticsearch ``cardinality`` aggregation analog (EXTENSION).
+    "How many distinct repos match this query?" as one number.
+
+    Default is the scale path: ``approx_count_distinct`` (HLL++ sketch,
+    relative standard deviation ``rsd``) — the sketch partial-aggregates
+    map-side, so the shuffle carries one fixed-size sketch per
+    partition regardless of match count, exactly how ES computes it.
+    ``exact=True`` switches to ``count_distinct`` (values ride the
+    shuffle; fine at gate scale, the expensive-but-truthful option).
+
+    Returns a 1-row DataFrame with column ``n_distinct``.
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    agg = (
+        F.countDistinct(of) if exact else F.approx_count_distinct(of, rsd)
+    ).alias("n_distinct")
+    return matched.agg(agg)
+
+
 SIG_TERMS_SCHEMA = "term string, n_docs long, doc_freq long"
 
 

@@ -336,3 +336,77 @@ def test_count_with_range_filter(spark, range_idx):
         spark, range_idx, RangeQuery(1, 2005, 2008), limit=2, with_count=True
     )
     assert pure_count == 12
+
+
+# --- facet_stats (terms agg + metric sub-aggs) and cardinality ---
+
+
+def test_facet_stats_bruteforce(spark, range_idx):
+    from ostrich_spark.query.exec import facet_stats
+
+    ks = _matched_ks(spark, range_idx, "content:merge")
+    by_year = {}
+    for k in ks:
+        by_year.setdefault(2000 + k % 20, []).append(k * 0.5)
+    got = {
+        int(r["year"]): r
+        for r in facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={
+                "avg_rating": ("avg", "rating"),
+                "max_rating": ("max", "rating"),
+                "n_k": ("count_distinct", "k"),
+            },
+        ).collect()
+    }
+    assert set(got) == set(by_year)
+    for y, ratings in by_year.items():
+        r = got[y]
+        assert r["n_docs"] == len(ratings)
+        assert r["n_k"] == len(ratings)
+        assert r["max_rating"] == max(ratings)
+        assert abs(r["avg_rating"] - sum(ratings) / len(ratings)) < 1e-9
+
+
+def test_facet_stats_validation(spark, range_idx):
+    from ostrich_spark.query.exec import facet_stats
+
+    with pytest.raises(ValueError, match="metric"):
+        facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={"bad": ("median", "rating")},
+        )
+
+
+def test_cardinality_exact_and_approx(spark, range_idx):
+    from ostrich_spark.query.exec import cardinality
+
+    want = len({2000 + k % 20 for k in _matched_ks(spark, range_idx, "content:merge")})
+    exact = cardinality(
+        spark, range_idx, "content:merge", "year", exact=True
+    ).collect()[0]["n_distinct"]
+    assert exact == want
+    approx = cardinality(
+        spark, range_idx, "content:merge", "year"
+    ).collect()[0]["n_distinct"]
+    # HLL++ at rsd=0.05: tiny cardinalities resolve exactly via the
+    # sparse representation; allow slack anyway
+    assert abs(approx - want) <= max(1, int(0.1 * want))
+
+
+def test_facet_stats_plan_partial_agg(spark, range_idx):
+    """Scale contract: every metric partial-aggregates map-side in ONE
+    groupBy — no window, no second shuffle per metric; the approx
+    cardinality sketch also rides a partial aggregation."""
+    from ostrich_spark.query.exec import cardinality, facet_stats
+
+    df = facet_stats(
+        spark, range_idx, "content:merge", by="year",
+        metrics={"avg_rating": ("avg", "rating"), "mx": ("max", "rating")},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_avg" in plan and "partial_max" in plan
+    assert "Window" not in plan
+    aprx = cardinality(spark, range_idx, "content:merge", "year")
+    plan2 = aprx._jdf.queryExecution().executedPlan().toString()
+    assert "partial_approx_count_distinct" in plan2
