@@ -115,7 +115,10 @@ def write_lock(
             yield
         finally:
             with _HELD_MU:
-                _HELD[key][1] -= 1
+                # decrement the SAME list object captured at entry — a
+                # re-lookup could hit a different thread's entry if ours
+                # was displaced by a (wrongly) broken-and-reacquired race
+                held[1] -= 1
         return
 
     path = _lock_path(index_dir)
@@ -144,11 +147,30 @@ def write_lock(
             stale = time.time() - cur.get("heartbeat_at", 0) > stale_after
             if dead or stale:
                 # exactly one concurrent breaker wins this rename
+                broken = f"{path}.broken-{me['pid']}-{lock_id[:8]}"
                 try:
-                    os.rename(path, f"{path}.broken-{me['pid']}-{lock_id[:8]}")
+                    os.rename(path, broken)
                 except OSError:
                     continue
-                os.unlink(f"{path}.broken-{me['pid']}-{lock_id[:8]}")
+                moved = _read(broken)
+                if moved is not None and moved.get("lock_id") != cur.get(
+                    "lock_id"
+                ):
+                    # TOCTOU: between our staleness read and the rename,
+                    # another breaker removed the stale lock and a NEW
+                    # live holder appeared — we just stole a live lock.
+                    # Restore it atomically-if-absent; if a third
+                    # contender recreated the path meanwhile, the
+                    # displaced holder loses its lease (its heartbeat
+                    # notices the foreign lock_id and its release never
+                    # unlinks a foreign lock).
+                    try:
+                        os.link(broken, path)
+                    except OSError:
+                        pass
+                    os.unlink(broken)
+                    continue
+                os.unlink(broken)
                 continue
             if time.monotonic() < deadline:
                 time.sleep(min(0.2, heartbeat))
@@ -171,22 +193,26 @@ def write_lock(
     def _beat() -> None:
         while not stop.wait(heartbeat):
             cur = _read(path)
-            if cur is None or cur.get("lock_id") != lock_id:
-                return  # lost the lock (broken as stale) — stop refreshing
+            if cur is None:
+                continue  # transient (mid-break/restore) — never write a
+                # resurrection; just skip this beat and look again
+            if cur.get("lock_id") != lock_id:
+                return  # genuinely lost the lock — stop refreshing
             cur["heartbeat_at"] = time.time()
             _write_payload(path, cur)
 
     t = threading.Thread(target=_beat, daemon=True, name=f"ostrich-lock-{lock_id[:8]}")
     t.start()
+    ent = [lock_id, 1, (stop, t), threading.get_ident()]
     with _HELD_MU:
-        _HELD[key] = [lock_id, 1, (stop, t), threading.get_ident()]
+        _HELD[key] = ent
     try:
         yield
     finally:
         with _HELD_MU:
-            _HELD[key][1] -= 1
-            done = _HELD[key][1] == 0
-            if done:
+            ent[1] -= 1
+            done = ent[1] == 0
+            if done and _HELD.get(key) is ent:
                 del _HELD[key]
         if done:
             stop.set()
