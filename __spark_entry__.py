@@ -680,6 +680,58 @@ def _q_eng_collapse(spark, sf_dir):
     )
 
 
+def _sayt_index(spark: SparkSession, sf_dir: str) -> str:
+    """Search-as-you-type index: text edge-ngrammed (2..10, original
+    preserved) at INDEX time, plain lowercase+tokenize at QUERY time
+    (search_analyzer) — the ES search_as_you_type shape."""
+    from ostrich_spark.analysis import (
+        Analyzer, EdgeNGramFilter, register_analyzer,
+    )
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    register_analyzer(Analyzer("sayt_2_10", (EdgeNGramFilter(2, 10),)))
+    key = os.path.realpath(sf_dir)
+    ck = ("sayt", key)
+    if ck in _INDEX_CACHE:
+        return _INDEX_CACHE[ck]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-sayt1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "sayt_2_10", search_analyzer="default")
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-sayt-{tag}",
+        )
+    _INDEX_CACHE[ck] = index_dir
+    return index_dir
+
+
+def _q_eng_sayt_prefix(spark, sf_dir):
+    """Search-as-you-type (edge n-gram + search_analyzer): the partial
+    keystroke ``spar`` is ONE term lookup against the gram dictionary —
+    no query-time expansion; tf = tokens with that prefix."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _sayt_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(spark, idx, "text:spar", limit=None, scorer="tfidf",
+                    manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_eng_facet_stats(spark, sf_dir):
     """Bucket + metric sub-aggregations (ES terms agg with sub-aggs
     analog): per-lang hit count, avg/max n_chars and exact distinct ids
@@ -1502,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_more_like_this": _q_eng_mlt,
         "eng_pctl_nchars": _q_eng_pctl_nchars,
         "eng_facet_lang": _q_eng_facet_lang,
+        "eng_sayt_prefix": _q_eng_sayt_prefix,
         "eng_facet_stats": _q_eng_facet_stats,
         "eng_cardinality": _q_eng_cardinality,
         "eng_q8_all": _q_eng_all,
@@ -1703,6 +1756,17 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
             "SELECT d.lang, count(*) AS n_docs FROM m JOIN documents d USING(doc_id) "
             "GROUP BY d.lang"
+        ),
+        # search-as-you-type: gram 'spar' tf = tokens with prefix spar
+        # (min_gram=2 <= 4 <= max_gram=10, so exactly the LIKE-prefix
+        # tokens emit it, once each); idf over the gram's doc_freq
+        "eng_sayt_prefix": (
+            f"WITH {TOKS_CTE}, {N_CTE}, "
+            "m AS (SELECT doc_id, count(*) AS tf FROM toks "
+            "WHERE term LIKE 'spar%' GROUP BY doc_id), "
+            "d AS (SELECT count(*) AS df FROM m) "
+            "SELECT m.doc_id, round(m.tf * (1.0 + ln((SELECT n FROM n) / "
+            "(1.0 + (SELECT df FROM d)))), 6) AS score FROM m"
         ),
         "eng_facet_stats": (
             f"WITH {TOKS_CTE}, "

@@ -133,9 +133,74 @@ class SynonymFilter:
         return [self.mapping.get(t, t) for t in tokens]
 
 
+class EdgeNGramFilter:
+    """Edge n-gram token filter (EXTENSION — Lucene EdgeNGramTokenFilter
+    / the index side of Elasticsearch ``search_as_you_type``): each token
+    expands into its character prefixes of length ``min_gram`` to
+    ``max_gram``. A token shorter than ``min_gram`` is kept whole (every
+    token stays searchable); a token longer than ``max_gram`` also emits
+    itself when ``preserve_original`` (so exact full-word queries still
+    match). Index a field with this filter and a plain (non-expanding)
+    ``search_analyzer``, and every keystroke's prefix is a SINGLE term
+    lookup — no dictionary expansion at query time.
+
+    Positions shift (one source token occupies several consecutive
+    positions), so phrase queries over an edge-gram field are not
+    meaningful — use the parallel source field for phrases, like ES
+    subfields."""
+
+    def __init__(self, min_gram: int = 1, max_gram: int = 10,
+                 preserve_original: bool = True):
+        if not (1 <= min_gram <= max_gram):
+            raise ValueError(
+                f"need 1 <= min_gram <= max_gram, got {min_gram}/{max_gram}"
+            )
+        self.min_gram = int(min_gram)
+        self.max_gram = int(max_gram)
+        self.preserve_original = bool(preserve_original)
+
+    def _grams(self, t: str) -> list[str]:
+        n = len(t)
+        if n < self.min_gram:
+            return [t]
+        out = [t[:k] for k in range(self.min_gram, min(n, self.max_gram) + 1)]
+        if n > self.max_gram and self.preserve_original:
+            out.append(t)
+        return out
+
+    def apply_tokens(self, tokens: list[str]) -> list[str]:
+        return [g for t in tokens for g in self._grams(t)]
+
+    def apply_flat(self, flat, lens):
+        # expand once per UNIQUE term (vocabulary-sized Python work, like
+        # stemming), then scatter the gram runs back over instances with
+        # one vectorized take — no per-token Python on the hot path
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        gram_lists = [self._grams(t) for t in uniq]
+        counts = np.fromiter((len(g) for g in gram_lists), dtype=np.int64,
+                             count=len(gram_lists))
+        flat_uniq = pa.array(
+            [g for gl in gram_lists for g in gl], type=pa.large_string()
+        )
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        inst_counts = counts[idx]
+        total = int(inst_counts.sum())
+        starts = np.concatenate(([0], np.cumsum(inst_counts)))[:-1]
+        # position within each instance's gram run: 0..inst_counts[i]-1
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, inst_counts)
+        take = np.repeat(offsets[idx], inst_counts) + within
+        new_flat = flat_uniq.take(pa.array(take, type=pa.int64()))
+        bounds = np.concatenate(([0], np.cumsum(lens)))
+        csum = np.concatenate(([0], np.cumsum(inst_counts)))
+        new_lens = csum[bounds[1:]] - csum[bounds[:-1]]
+        return new_flat, new_lens
+
+
 def _filter_flat(flat, lens, token_filter):
     """Apply one token filter to the flat representation."""
-    if isinstance(token_filter, SynonymFilter):
+    if isinstance(token_filter, (SynonymFilter, EdgeNGramFilter)):
         return token_filter.apply_flat(flat, lens)
     if token_filter == "stem":
         d = flat.dictionary_encode()
@@ -186,7 +251,7 @@ class Analyzer:
     def _analyze_one_py(self, text: str) -> list[str]:
         toks = [t for t in _SPLIT_RE.split(str(text).lower()) if t]
         for f in self.token_filters:
-            if isinstance(f, SynonymFilter):
+            if isinstance(f, (SynonymFilter, EdgeNGramFilter)):
                 toks = f.apply_tokens(toks)
             elif f == "stem":
                 toks = stem_tokens(toks)
@@ -231,7 +296,7 @@ class Analyzer:
     def _analyze_series_py(self, texts: pd.Series) -> pd.Series:
         toks = tokenize_series(lowercase_series(texts))
         for f in self.token_filters:
-            if isinstance(f, SynonymFilter):
+            if isinstance(f, (SynonymFilter, EdgeNGramFilter)):
                 toks = toks.map(f.apply_tokens)
             elif f == "stem":
                 toks = toks.map(stem_tokens)

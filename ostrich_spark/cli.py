@@ -338,7 +338,7 @@ def cmd_suggest(args) -> int:
     if fe is None or fe.is_numeric:
         print(f"error: {args.field!r} is not a text field", file=sys.stderr)
         return 2
-    toks = get_analyzer(fe.analyzer).analyze_one(args.term)
+    toks = get_analyzer(fe.query_analyzer).analyze_one(args.term)
     if len(args.term.split()) > 1:
         # multi-WORD input (user typed whitespace): whole-text correction
         # (phrase-suggester lite — per-word greedy, only out-of-dictionary

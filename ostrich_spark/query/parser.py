@@ -502,9 +502,9 @@ def _phrase_for_field(fe, raw: str, slop: int = 0):
         words = stripped[:-1].split()
         prefix = words[-1].lower()
         fixed = " ".join(words[:-1])
-        terms = get_analyzer(fe.analyzer).analyze_one(fixed) if fixed else []
+        terms = get_analyzer(fe.query_analyzer).analyze_one(fixed) if fixed else []
         return PhrasePrefixQuery(fe.id, tuple(terms), prefix, slop=slop)
-    terms = get_analyzer(fe.analyzer).analyze_one(raw)
+    terms = get_analyzer(fe.query_analyzer).analyze_one(raw)
     if not terms:
         return EmptyQuery()
     if len(terms) == 1:
@@ -520,7 +520,7 @@ def _near_for_field(fe, raw: str, slop: int):
             "phrase-prefix and unordered proximity do not compose "
             '("a b*"~Nu) — drop the u or the *'
         )
-    terms = get_analyzer(fe.analyzer).analyze_one(raw)
+    terms = get_analyzer(fe.query_analyzer).analyze_one(raw)
     if not terms:
         return EmptyQuery()
     if len(terms) == 1:
@@ -691,7 +691,7 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
             if mt is not None:
                 return _multiterm_query(fe.id, mt)
             # field-qualified: analyzed by the field's analyzer
-            terms = get_analyzer(fe.analyzer).analyze_one(raw)
+            terms = get_analyzer(fe.query_analyzer).analyze_one(raw)
             if not terms:
                 return EmptyQuery()
             if len(terms) == 1:

@@ -38,10 +38,22 @@ class FieldEntry:
     # snippet highlighting; the reference's StoreWriter is a stub,
     # /root/reference/internal/store/writer.go:21-33)
     store: bool = False
+    # analyzer for QUERY text against this field; "" = same as the index
+    # analyzer (the normal case). EXTENSION (Elasticsearch
+    # search_analyzer analog): index-time-expanding analyzers (edge
+    # n-grams for search-as-you-type) must NOT expand the query term —
+    # "spar" should look up the single gram "spar", not every prefix of
+    # it.
+    search_analyzer: str = ""
 
     @property
     def is_numeric(self) -> bool:
         return self.field_type in NUMERIC_FIELD_TYPES
+
+    @property
+    def query_analyzer(self) -> str:
+        """Analyzer NAME to apply to query text for this field."""
+        return self.search_analyzer or self.analyzer
 
     def to_json(self) -> dict:
         return {
@@ -51,6 +63,7 @@ class FieldEntry:
             "analyzer": self.analyzer,
             "positions": self.positions,
             "store": self.store,
+            "search_analyzer": self.search_analyzer,
         }
 
     @staticmethod
@@ -62,6 +75,7 @@ class FieldEntry:
             d.get("analyzer", "default"),
             d.get("positions", False),
             d.get("store", False),
+            d.get("search_analyzer", ""),
         )
 
 
@@ -75,10 +89,12 @@ class Schema:
         analyzer: str = "default",
         positions: bool = False,
         store: bool = False,
+        search_analyzer: str = "",
     ) -> FieldEntry:
         """FieldID = position, exactly like schema.go:11-16."""
         entry = FieldEntry(
-            len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions, store
+            len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions,
+            store, search_analyzer,
         )
         self.fields.append(entry)
         return entry
