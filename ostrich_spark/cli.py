@@ -86,15 +86,28 @@ def cmd_search(args) -> int:
             print(f"{r['segment_ord']}/{r['doc']} {r[args.sort_by]}")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
-    special = [args.collapse_by, args.group_by, args.boost_by, args.rescore]
+    special = [args.collapse_by, args.group_by, args.boost_by, args.rescore,
+               getattr(args, "export_hits", None)]
     if sum(x is not None for x in special) > 1 or (
         any(x is not None for x in special)
         and (args.sort_by or args.highlight or getattr(args, "after", None)
              or getattr(args, "fields", None))
     ):
-        print("error: --collapse-by/--group-by/--boost-by/--rescore compose "
-              "with plain search only, one at a time", file=sys.stderr)
+        print("error: --collapse-by/--group-by/--boost-by/--rescore/"
+              "--export-hits compose with plain search only, one at a time",
+              file=sys.stderr)
         return 2
+    if getattr(args, "export_hits", None):
+        from .query.exec import export_hits
+
+        n = export_hits(
+            spark, args.path, args.query, args.export_hits,
+            scorer=args.scorer, manifest=mf,  # --at composes: as-of export
+        )
+        elapsed = time.time() - t0
+        print(f"exported {n} hits to {args.export_hits}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.group_by:
         from .query.exec import search_grouped
 
@@ -209,7 +222,8 @@ def _search_alias(spark, paths, args, t0) -> int:
     from .query.multi import search_multi
 
     for opt in ("highlight", "sort_by", "after", "at",
-                "collapse_by", "group_by", "boost_by", "rescore"):
+                "collapse_by", "group_by", "boost_by", "rescore",
+                "export_hits"):
         if getattr(args, opt, None):
             print(f"error: --{opt.replace('_', '-')} is single-index only "
                   f"(one -p)", file=sys.stderr)
@@ -890,6 +904,11 @@ def main(argv=None) -> int:
         "--collapse-by", metavar="COL",
         help="field collapsing: keep only the best-scoring hit per "
         "distinct value of this docmap column (ES collapse analog)",
+    )
+    s.add_argument(
+        "--export-hits", metavar="DIR",
+        help="write EVERY match (identity + score) to this parquet dir, "
+        "fully distributed — the export-all-matches job",
     )
     s.add_argument(
         "--group-by", metavar="COL",

@@ -2607,6 +2607,54 @@ def more_like_this(
     )
 
 
+def export_hits(
+    spark,
+    index_dir: str,
+    query,
+    out_dir: str,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+    columns: list[str] | None = None,
+):
+    """Export EVERY match of a query, with document identity, to a
+    parquet directory — the export-all-matches job (ES scroll-to-file /
+    point-in-time export analog; EXTENSION). Returns the number of rows
+    written.
+
+    Unlike ``attach_docmap`` (which broadcasts a top-k result), the full
+    match set is unbounded: the identity join here is a plain co-keyed
+    join on (segment_id, doc) and the write is distributed — nothing
+    passes through the driver. ``columns`` restricts the exported docmap
+    columns (identity + stored fields + doc values); score/segment
+    address ride along always.
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    if columns:
+        missing = [c for c in columns if c not in docmap.schema.names]
+        if missing:
+            raise ValueError(
+                f"export columns not in docmap: {missing} "
+                f"(have: {', '.join(docmap.schema.names)})"
+            )
+        docmap = docmap.select("segment_id", "doc", *dict.fromkeys(columns))
+    out = docmap.join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    out.write.mode("error").parquet(out_dir)
+    return spark.read.parquet(out_dir).count()
+
+
 def attach_docmap(spark, index_dir: str, results_df, manifest: Manifest | None = None):
     """Join original document identity columns onto search results
     (broadcast join — results are tiny).

@@ -372,3 +372,40 @@ def test_grouped_plan_no_window_over_matches(spark, cb_index):
     if win == -1:
         win = plan.find("WindowGroupLimit")
     assert win != -1 and agg_last != -1 and win < agg_last
+
+
+# ---------------------------------------------------------------------------
+# export_hits (distributed export-all-matches)
+# ---------------------------------------------------------------------------
+
+
+def test_export_hits_matches_search(spark, cb_index, tmp_path):
+    from ostrich_spark.query.exec import export_hits
+
+    out = str(tmp_path / "hits")
+    n = export_hits(spark, cb_index, "text:spark OR text:join", out)
+    full = _exhaustive(spark, cb_index, "text:spark OR text:join")
+    back = spark.read.parquet(out).collect()
+    assert n == len(back) == len(full)
+    got = {r["doc_key"]: (r["segment_ord"], r["doc"], round(r["score"], 9)) for r in back}
+    want = {
+        k: (v["segment_ord"], v["doc"], round(v["score"], 9)) for k, v in full.items()
+    }
+    assert got == want
+    # identity + grp column present (docmap columns ride along)
+    assert "grp" in back[0].asDict()
+
+
+def test_export_hits_column_selection_and_errors(spark, cb_index, tmp_path):
+    from ostrich_spark.query.exec import export_hits
+
+    out = str(tmp_path / "hits2")
+    export_hits(spark, cb_index, "text:spark", out, columns=["doc_key"])
+    cols = set(spark.read.parquet(out).schema.names)
+    assert "doc_key" in cols and "score" in cols and "grp" not in cols
+    with pytest.raises(ValueError, match="export columns"):
+        export_hits(spark, cb_index, "text:spark", str(tmp_path / "x"),
+                    columns=["nope"])
+    # refuses to clobber an existing export
+    with pytest.raises(Exception):
+        export_hits(spark, cb_index, "text:spark", out)
