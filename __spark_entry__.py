@@ -1159,6 +1159,37 @@ def _q_ngram_jaccard(spark, sf_dir):
     return _longify(ngram_jaccard_pairs(_docs(spark, sf_dir), max_gram_df=None))
 
 
+def _q_decontam(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM n-gram-overlap protocol,
+    n=5): every doc sharing a distinct 5-gram with the 'benchmark' slice
+    (doc_id % 100 == 0) is flagged — near-duplicates of benchmark docs
+    light up, unrelated docs stay clean."""
+    from ostrich_spark.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select("text")
+    return decontaminate(docs, bench, n=5).select(
+        F.col("doc_id").cast("long"),
+        F.col("n_grams").cast("long"),
+        F.col("n_hit").cast("long"),
+        "contaminated",
+    )
+
+
+def _q_mix_corpus(spark, sf_dir):
+    """Training-mixture composition: 50/25/25 en/de/zh by n_chars within
+    a 120k-char budget — en down-samples, de/zh up-sample with a second
+    (hash-sampled fractional) epoch. Deterministic and engine-portable."""
+    from ostrich_spark.sampling import mix_corpus
+
+    m = mix_corpus(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.25, "zh": 0.25}, 120_000
+    )
+    return m.select(
+        F.col("doc_id").cast("long"), "lang", F.col("epoch").cast("long")
+    )
+
+
 def _q_quality(spark, sf_dir):
     from ostrich_spark.textops import quality_scores
 
@@ -1582,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_simhash": _q_simhash,
         "dedup_ngram_jaccard": _q_ngram_jaccard,
+        "decontam_ngrams": _q_decontam,
         "text_quality": _q_quality,
         "text_langid": _q_langid,
         "text_fingerprint": _q_fingerprint,
@@ -1590,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
+        "sample_mixture": _q_mix_corpus,
         "text_token_stats": _q_token_stats,
         "text_keyterms": _q_keyterms,
         "ann_cosine_topk": _q_ann_topk,
@@ -2160,6 +2193,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE i * 1.0 / (sa.n_grams + sb.n_grams - i) >= 0.3"
         ),
+        # decontamination: distinct 5-grams per doc; benchmark grams =
+        # union over the doc_id%100==0 slice; n_hit = grams shared
+        "decontam_ngrams": (
+            f"WITH {TOKLIST_CTE}, "
+            "g AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 3), "
+            " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram "
+            " FROM tl WHERE len(toks) >= 5), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0), "
+            "sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), "
+            "hits AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN bench USING(gram) GROUP BY g.doc_id) "
+            "SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams, "
+            "coalesce(h.n_hit, 0) AS n_hit, "
+            "coalesce(h.n_hit, 0) >= 1 AS contaminated "
+            "FROM documents d LEFT JOIN sizes s USING(doc_id) "
+            "LEFT JOIN hits h USING(doc_id)"
+        ),
         "text_quality": (
             f"WITH {TOKLIST_CTE} SELECT doc_id, len(toks) AS n_tokens, "
             "len(list_distinct(toks)) AS n_distinct, "
@@ -2209,6 +2258,20 @@ def oracle_sql() -> dict[str, str]:
             " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
             " '\\b[0-9a-fA-F]{32,}\\b', '<HEX_SECRET>', 'g') AS scrubbed "
             "FROM d"
+        ),
+        # training mixture: rate_d = target_d * budget / sum(n_chars in d);
+        # floor(rate) full epochs + one hash-sampled fractional epoch
+        "sample_mixture": (
+            "WITH avail AS (SELECT lang, sum(n_chars) AS a FROM documents GROUP BY lang), "
+            "r AS (SELECT lang, (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 "
+            "WHEN 'zh' THEN 0.25 END * 120000) / a AS rate "
+            "FROM avail WHERE lang IN ('en','de','zh')), "
+            "c AS (SELECT d.doc_id, d.lang, CAST(floor(r.rate) AS BIGINT) + "
+            "(CASE WHEN (('0x' || substr(sha256('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            " / 4294967296.0) < (r.rate - floor(r.rate)) THEN 1 ELSE 0 END) AS n "
+            "FROM documents d JOIN r USING(lang)) "
+            "SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS epoch "
+            "FROM c WHERE n > 0"
         ),
         "sample_hash": (
             "SELECT doc_id, lang FROM documents WHERE "

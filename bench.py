@@ -246,6 +246,8 @@ def main():
         ("docs_grouped_topn", em.queries()["eng_grouped_topn"]),
         ("docs_rescore_phrase", em.queries()["eng_rescore_phrase"]),
         ("percolate_4q", em.queries()["perc_match"]),
+        ("decontam_ngrams", em.queries()["decontam_ngrams"]),
+        ("sample_mixture", em.queries()["sample_mixture"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),

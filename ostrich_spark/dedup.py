@@ -333,3 +333,85 @@ def dup_clusters(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_B
             (F.col("doc_id") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def _distinct_doc_grams(df, text_col: str, n: int, id_col: str = "doc_id"):
+    """(id, gram) rows: each doc's DISTINCT token n-grams (docs with
+    fewer than n tokens contribute none)."""
+    t = with_tokens(df, text_col)
+    return t.filter(F.size("toks") >= n).select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{n}), "
+                    f"i -> concat_ws(' ', slice(toks, i+1, {n})))"
+                )
+            )
+        ).alias("gram"),
+    )
+
+
+def decontaminate(
+    df,
+    benchmark_df,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+    min_overlap: int = 1,
+    broadcast_bench: bool = True,
+    id_col: str = "doc_id",
+):
+    """Benchmark decontamination: flag training docs that share at least
+    ``min_overlap`` distinct token ``n``-grams with an evaluation/
+    benchmark set — the GPT-3/PaLM-style n-gram overlap protocol with a
+    configurable n (those used 13-grams; smaller n is stricter).
+
+    Returns one row per input doc:
+        (``id_col``, n_grams, n_hit, contaminated)
+    where ``n_grams`` is the doc's distinct-gram count, ``n_hit`` how
+    many of those appear anywhere in the benchmark set, and
+    ``contaminated`` = n_hit >= min_overlap. Docs shorter than ``n``
+    tokens have n_grams = 0 and are never contaminated.
+
+    Scale posture: one explode+distinct per side, ONE equi-join on the
+    gram, one partial-aggregated per-doc count. Benchmark sets are
+    eval-sized (thousands of docs), so their distinct-gram side is
+    broadcast by default — the 100 TB corpus side never shuffles on the
+    gram key; pass ``broadcast_bench=False`` for a benchmark union too
+    big to broadcast (the join then shuffles both sides). Both analyses
+    use the engine tokenizer, so contamination is invariant to
+    case/punctuation differences between corpus and benchmark copies.
+    """
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    bench_text_col = bench_text_col or text_col
+    bench = benchmark_df.select(F.col(bench_text_col).alias("text"))
+    bench = with_tokens(bench, "text").filter(F.size("toks") >= n).select(
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(toks)-{n}), "
+                    f"i -> concat_ws(' ', slice(toks, i+1, {n})))"
+                )
+            )
+        ).alias("gram")
+    ).distinct()
+    if broadcast_bench:
+        bench = F.broadcast(bench)
+    grams = _distinct_doc_grams(df, text_col, n, id_col)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = grams.join(bench, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_hit")
+    )
+    base = df.select(id_col)
+    return (
+        base.join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )

@@ -56,3 +56,69 @@ def stratified_hash_sample(
     rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
     rate = F.coalesce(rate_map[F.col(strat_col)], F.lit(float(default_rate)))
     return df.filter(_unit_hash(F.col(key_col), salt) < rate)
+
+
+def mix_corpus(
+    df,
+    targets: dict,
+    budget: float,
+    strat_col: str = "lang",
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+):
+    """Compose a deterministic training MIXTURE: given target weight
+    fractions per domain (``targets``, summing to <= 1) and a total
+    weight ``budget`` (tokens/chars — whatever ``weight_col`` counts),
+    derive each domain's sampling rate needed = target*budget / available
+    and materialize it:
+
+    - rate <= 1: deterministic hash DOWN-sample of the domain;
+    - rate  > 1: UP-sampling — floor(rate) full epochs of every doc plus
+      a hash-sampled fractional epoch (the LLaMA/Pile-style repeat
+      factor for small high-value domains).
+
+    Returns the input rows (domains absent from ``targets`` dropped)
+    repeated once per epoch with an added ``epoch`` column (0-based) —
+    exactly reproducible across runs, partitionings, and engines.
+
+    Scale posture: one tiny aggregate (one row per domain to the
+    driver) fixes the rates; the materialization is a map-side
+    filter + bounded explode — the corpus itself never shuffles.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one domain")
+    for k, v in targets.items():
+        if v < 0:
+            raise ValueError(f"target for {k!r} must be >= 0, got {v}")
+    if sum(targets.values()) > 1.0 + 1e-9:
+        raise ValueError(f"targets sum to {sum(targets.values())} > 1")
+    avail = {
+        r[0]: r[1]
+        for r in df.groupBy(strat_col).agg(F.sum(weight_col)).collect()
+    }
+    missing = [d for d in targets if not avail.get(d)]
+    if missing:
+        raise ValueError(
+            f"domains with no {weight_col} in the corpus: {missing}"
+        )
+    rates = {d: (targets[d] * budget) / avail[d] for d in targets}
+    full_map = F.create_map(
+        *[x for d, r in rates.items() for x in (F.lit(d), F.lit(int(r)))]
+    )
+    frac_map = F.create_map(
+        *[x for d, r in rates.items() for x in (F.lit(d), F.lit(r - int(r)))]
+    )
+    u = _unit_hash(F.col(key_col), salt)
+    n_copies = (
+        full_map[F.col(strat_col)]
+        + (u < frac_map[F.col(strat_col)]).cast("int")
+    )
+    out = (
+        df.filter(F.col(strat_col).isin(list(targets)))
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+    )
+    return out.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+    ).drop("_n")
