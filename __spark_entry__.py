@@ -732,6 +732,20 @@ def _q_eng_sayt_prefix(spark, sf_dir):
     )
 
 
+def _q_term_vectors(spark, sf_dir):
+    """Term vectors decoded from the index postings (ES _termvectors
+    analog): per requested doc, every indexed term of ``text`` with its
+    in-doc tf — block-pruned docs-only decode, no stored-field
+    re-analysis."""
+    from ostrich_spark.query.exec import term_vectors
+
+    idx = _doc_index(spark, sf_dir)
+    tv = term_vectors(spark, idx, [0, 7, 42, 99, 123], "doc_id", "text")
+    return tv.select(
+        F.col("doc_id").cast("long"), "term", F.col("tf").cast("long")
+    )
+
+
 def _q_eng_facet_stats(spark, sf_dir):
     """Bucket + metric sub-aggregations (ES terms agg with sub-aggs
     analog): per-lang hit count, avg/max n_chars and exact distinct ids
@@ -1585,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_more_like_this": _q_eng_mlt,
         "eng_pctl_nchars": _q_eng_pctl_nchars,
         "eng_facet_lang": _q_eng_facet_lang,
+        "eng_term_vectors": _q_term_vectors,
         "eng_sayt_prefix": _q_eng_sayt_prefix,
         "eng_facet_stats": _q_eng_facet_stats,
         "eng_cardinality": _q_eng_cardinality,
@@ -1789,6 +1804,11 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
             "SELECT d.lang, count(*) AS n_docs FROM m JOIN documents d USING(doc_id) "
             "GROUP BY d.lang"
+        ),
+        "eng_term_vectors": (
+            f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf "
+            "FROM toks WHERE doc_id IN (0, 7, 42, 99, 123) "
+            "GROUP BY doc_id, term"
         ),
         # search-as-you-type: gram 'spar' tf = tokens with prefix spar
         # (min_gram=2 <= 4 <= max_gram=10, so exactly the LIKE-prefix

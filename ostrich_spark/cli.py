@@ -764,6 +764,33 @@ def cmd_get(args) -> int:
     return 2 if not rows else 0
 
 
+def cmd_termvectors(args) -> int:
+    """Term vectors (ES _termvectors analog): every indexed term of
+    --field with its tf for each requested doc, decoded from the
+    postings themselves."""
+    from .query.exec import term_vectors
+
+    spark = _spark()
+    t0 = time.time()
+    try:
+        rows = (
+            term_vectors(spark, args.path, args.values, args.id_col, args.field)
+            .orderBy(args.id_col, "term")
+            .collect()
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    last = None
+    for r in rows:
+        if r[args.id_col] != last:
+            last = r[args.id_col]
+            print(f"{args.id_col}={last} ({r['segment_id']}/{r['doc']})")
+        print(f"  {r['term']} {r['tf']}")
+    print(f"elapsed: {time.time() - t0:.3f}s")
+    return 0
+
+
 def cmd_evolve(args) -> int:
     """Append-only schema evolution: add a field to a committed index
     (explicit manifest commit; older docs hold no data for it).
@@ -1087,6 +1114,13 @@ def main(argv=None) -> int:
     g.add_argument("--at", type=int, metavar="OPSTAMP",
                    help="read as-of a retained snapshot")
     g.set_defaults(fn=cmd_get)
+
+    tv = sub.add_parser("termvectors")
+    tv.add_argument("-p", "--path", required=True)
+    tv.add_argument("--field", required=True, help="text field to decode")
+    tv.add_argument("--id-col", required=True)
+    tv.add_argument("--values", nargs="+", required=True, metavar="V")
+    tv.set_defaults(fn=cmd_termvectors)
 
     ev = sub.add_parser("evolve")
     ev.add_argument("-p", "--path", required=True)

@@ -2714,6 +2714,119 @@ def get_docs(spark, index_dir: str, values, key_col: str, manifest: Manifest | N
     return out
 
 
+TERM_VECTORS_SCHEMA = "segment_id string, doc long, term string, tf long"
+
+
+def term_vectors(
+    spark,
+    index_dir: str,
+    values,
+    key_col: str,
+    field: str,
+    manifest: Manifest | None = None,
+):
+    """Per-document term vectors decoded FROM THE INDEX POSTINGS — the
+    Elasticsearch ``_termvectors`` / Lucene TermVectors analog
+    (EXTENSION). For each requested doc: every indexed term of ``field``
+    with its in-doc frequency, exactly as the index stores it (the
+    analysis chain included — a stemmed index returns stems). Unlike
+    re-analyzing a stored value, this works with ``store=False`` fields
+    and can never drift from what queries actually match. Positions for
+    one term are available via ``term_positions``.
+
+    ``values``/``key_col`` resolve identities like ``get_docs`` (dtype-
+    exact, tombstone-aware, snapshot ``manifest`` honored). This is a
+    point API: the target set is GET-sized (the per-segment doc lists
+    ship to executors in the task closure).
+
+    Returns (``key_col``, segment_id, doc, term, tf), one row per
+    distinct term per requested doc.
+
+    Scale posture: only the target segments' postings of ``field`` are
+    scanned (segment pruning + field predicate push to parquet), each
+    posting row decodes ONLY the docs column and ONLY the blocks whose
+    [lower bound, block_max_doc] window intersects the target docs —
+    the sig_terms block-prune pattern; tf blocks decode just for rows
+    with a hit.
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or fe.is_numeric:
+        raise ValueError(f"{field!r} is not a text field of this index")
+    ident = get_docs(spark, index_dir, values, key_col, manifest=manifest)
+    targets = ident.select(key_col, "segment_id", "doc").collect()
+    by_seg: dict[str, np.ndarray] = {}
+    for r in targets:
+        by_seg.setdefault(r["segment_id"], []).append(int(r["doc"]))
+    by_seg = {s: np.unique(np.asarray(d, dtype=np.int64)) for s, d in by_seg.items()}
+    if not by_seg:
+        return (
+            spark.createDataFrame([], TERM_VECTORS_SCHEMA)
+            .join(ident.select(key_col, "segment_id", "doc"), ["segment_id", "doc"])
+            .select(key_col, "segment_id", "doc", "term", "tf")
+        )
+    post = (
+        read_postings(spark, index_dir, manifest)
+        .filter(F.col("field") == fe.id)
+        .filter(F.col("segment_id").isin(list(by_seg)))
+        .select(
+            "segment_id", "term", "doc_freq", "docs", "doc_offs",
+            "tfs", "tf_offs", "block_max_doc",
+        )
+    )
+    def decode(batches):
+        from ..codec import unpack_blocked
+
+        for pdf in batches:
+            segs, docs_out, terms, tfs_out = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                tarr = by_seg[row.segment_id]
+                bm = np.asarray(row.block_max_doc, dtype=np.int64)
+                if not len(bm) or bm[-1] < tarr[0]:
+                    continue
+                lo = np.empty_like(bm)
+                lo[0] = 0  # conservative row lower bound (sharded rows)
+                lo[1:] = bm[:-1] + 1
+                # blocks whose [lo, max] window contains >= 1 target doc
+                n_lo = np.searchsorted(tarr, lo, side="left")
+                n_hi = np.searchsorted(tarr, bm, side="right")
+                sel = np.flatnonzero(n_hi > n_lo)
+                if not len(sel):
+                    continue
+                dvals, dpos = unpack_blocked(
+                    bytes(row.docs), list(row.doc_offs),
+                    int(row.doc_freq), True, sel,
+                )
+                idx = np.searchsorted(tarr, dvals)
+                idx[idx == len(tarr)] = 0
+                hit = tarr[idx] == dvals
+                if not hit.any():
+                    continue
+                tvals, _ = unpack_blocked(
+                    bytes(row.tfs), list(row.tf_offs),
+                    int(row.doc_freq), False, sel,
+                )
+                for d, t in zip(dvals[hit], tvals[hit]):
+                    segs.append(row.segment_id)
+                    docs_out.append(int(d))
+                    terms.append(row.term)
+                    tfs_out.append(int(t))
+            yield pd.DataFrame(
+                {"segment_id": segs, "doc": docs_out, "term": terms,
+                 "tf": tfs_out}
+            ).astype({"doc": np.int64, "tf": np.int64}, errors="ignore")
+
+    vecs = post.mapInPandas(decode, schema=TERM_VECTORS_SCHEMA)
+    return vecs.join(
+        F.broadcast(ident.select(key_col, "segment_id", "doc")),
+        ["segment_id", "doc"],
+        "inner",
+    ).select(key_col, "segment_id", "doc", "term", "tf")
+
+
 # ---------------------------------------------------------------------------
 # explain: per-document score breakdown (Lucene IndexSearcher.explain)
 # ---------------------------------------------------------------------------

@@ -66,6 +66,7 @@ def mix_corpus(
     weight_col: str = "n_chars",
     key_col: str = "doc_id",
     salt: str = "mix",
+    max_epochs: int = 100,
 ):
     """Compose a deterministic training MIXTURE: given target weight
     fractions per domain (``targets``, summing to <= 1) and a total
@@ -103,6 +104,17 @@ def mix_corpus(
             f"domains with no {weight_col} in the corpus: {missing}"
         )
     rates = {d: (targets[d] * budget) / avail[d] for d in targets}
+    # an explode of rate copies per row is the materialization cost —
+    # a tiny domain asked to fill a huge budget is almost always a
+    # mis-specified mixture, not a real 100+-epoch intent; refuse loudly
+    # instead of emitting budget/avail copies of every row
+    over = {d: r for d, r in rates.items() if r > max_epochs}
+    if over:
+        raise ValueError(
+            f"required repeat rate exceeds max_epochs={max_epochs} for "
+            f"{ {d: round(r, 1) for d, r in over.items()} } — shrink the "
+            "budget/target or raise max_epochs explicitly"
+        )
     full_map = F.create_map(
         *[x for d, r in rates.items() for x in (F.lit(d), F.lit(int(r)))]
     )

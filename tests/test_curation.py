@@ -133,3 +133,10 @@ def test_mix_validation(spark, mix_docs):
         mix_corpus(mix_docs, {}, 1000)
     with pytest.raises(ValueError, match=">= 0"):
         mix_corpus(mix_docs, {"en": -0.1}, 1000)
+    # a tiny domain asked to fill a huge budget would explode
+    # budget/avail copies per row — refused beyond max_epochs
+    with pytest.raises(ValueError, match="max_epochs"):
+        mix_corpus(mix_docs, {"de": 1.0}, 10_000_000)
+    assert mix_corpus(
+        mix_docs, {"de": 1.0}, 10_000_000, max_epochs=2000
+    ).count() > 0

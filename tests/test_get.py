@@ -99,3 +99,75 @@ def test_cli_get(spark, idx):
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
     assert miss.returncode == 2 and "found: 0/1" in miss.stdout
+
+
+# ---------------------------------------------------------------------------
+# term vectors (ES _termvectors analog — decoded from the postings)
+# ---------------------------------------------------------------------------
+
+
+def test_term_vectors_match_analysis(spark, idx):
+    from collections import Counter
+
+    from ostrich_spark.query.exec import term_vectors
+
+    got = term_vectors(spark, idx, ["07", "a9"], "doc_key", "text").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["doc_key"], {})[r["term"]] = r["tf"]
+    want = {
+        d["doc_key"]: dict(Counter(d["text"].split()))
+        for d in DOCS
+        if d["doc_key"] in ("07", "a9")
+    }
+    assert by_key == want
+    # segment address rides along
+    assert all(r["segment_id"] and r["doc"] >= 0 for r in got)
+
+
+def test_term_vectors_tf_counts_duplicates(spark, tmp_path):
+    from ostrich_spark.query.exec import term_vectors
+
+    p = str(tmp_path / "tv")
+    build_index(
+        spark,
+        spark.createDataFrame(
+            [{"doc_key": "x", "text": "go go go stop"},
+             {"doc_key": "y", "text": "stop"}],
+        ),
+        _schema_text_only(),
+        p,
+        num_partitions=1,
+        order_col="doc_key",
+        id_cols=["doc_key"],
+    )
+    got = {
+        (r["doc_key"], r["term"]): r["tf"]
+        for r in term_vectors(spark, p, ["x"], "doc_key", "text").collect()
+    }
+    assert got == {("x", "go"): 3, ("x", "stop"): 1}
+
+
+def _schema_text_only():
+    s = Schema()
+    s.add_text_field("text", "default")
+    return s
+
+
+def test_term_vectors_absent_and_deleted(spark, tmp_path):
+    from ostrich_spark.query.exec import term_vectors
+
+    p = str(tmp_path / "tvdel")
+    build_index(
+        spark, spark.createDataFrame(DOCS), _schema(), p,
+        num_partitions=2, order_col="doc_key", id_cols=["doc_key"],
+    )
+    # unknown id: empty, correct columns
+    empty = term_vectors(spark, p, ["zz"], "doc_key", "text")
+    assert empty.count() == 0
+    assert empty.schema.names == ["doc_key", "segment_id", "doc", "term", "tf"]
+    # deleted doc reads as absent (GET semantics)
+    delete_docs(spark, p, spark.createDataFrame([("a9",)], "doc_key string"), ["doc_key"])
+    assert term_vectors(spark, p, ["a9"], "doc_key", "text").count() == 0
+    with pytest.raises(ValueError, match="text field"):
+        term_vectors(spark, p, ["07"], "doc_key", "nchars")
