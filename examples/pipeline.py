@@ -263,6 +263,34 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
         _, n_clone = search(spark, clone, "", limit=0, with_count=True)
         stats["clone_docs_pre_takedown"] = n_clone
         stats["fsck_findings"] = check_index(spark, idx)
+
+    # 16. curation extras: decontamination vs a held-out 'benchmark'
+    # slice, a weighted training mixture, per-bucket facet stats, and
+    # index-decoded term vectors for the top hit
+    from ostrich_spark.dedup import decontaminate
+    from ostrich_spark.query.exec import facet_stats, term_vectors
+    from ostrich_spark.sampling import mix_corpus
+
+    bench = sampled.filter(F.col("doc_id") % 7 == 0).select("text")
+    dec = decontaminate(sampled, bench, n=5)
+    stats["contaminated"] = dec.filter("contaminated").count()
+    weighted = sampled.withColumn("n_chars", F.length("text"))
+    langs = [r["lang"] for r in weighted.select("lang").distinct().collect()]
+    if len(langs) >= 2:
+        mix = mix_corpus(
+            weighted, {langs[0]: 0.5, langs[1]: 0.5},
+            budget=weighted.agg(F.sum("n_chars")).collect()[0][0] // 2,
+        )
+        stats["mixture_rows"] = mix.count()
+    fs = facet_stats(
+        spark, idx, "text:def OR text:func", by=["lang"],
+        metrics={"avg_sz": ("avg", "size_bytes")},
+        join_df=sampled.select(F.col("path"), "lang"), join_on=["path"],
+    )
+    stats["facet_stats_buckets"] = fs.count()
+    if stats["top_hits"]:
+        tv = term_vectors(spark, idx, [stats["top_hits"][0][0]], "path", "text")
+        stats["termvector_terms"] = tv.count()
     return stats
 
 

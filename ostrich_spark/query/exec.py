@@ -1784,7 +1784,16 @@ def facet_stats(
     )
     if join_df is not None:
         join_on = [join_on] if isinstance(join_on, str) else list(join_on or [])
-        matched = matched.select(*join_on).join(join_df, join_on, "inner")
+        # keep docmap-side metric columns (e.g. a numeric doc value
+        # averaged per source-table bucket) through the source join
+        keep = [
+            spec[1] for spec in metrics.values()
+            if spec[1] in matched.columns and spec[1] not in join_on
+            and spec[1] not in join_df.columns
+        ]
+        matched = matched.select(*join_on, *dict.fromkeys(keep)).join(
+            join_df, join_on, "inner"
+        )
     return matched.groupBy(*by).agg(*aggs)
 
 

@@ -410,3 +410,30 @@ def test_facet_stats_plan_partial_agg(spark, range_idx):
     aprx = cardinality(spark, range_idx, "content:merge", "year")
     plan2 = aprx._jdf.queryExecution().executedPlan().toString()
     assert "partial_approx_count_distinct" in plan2
+
+
+def test_facet_stats_join_df_keeps_docmap_metrics(spark, range_idx):
+    """Faceting on a SOURCE-table column must not drop docmap-side
+    metric columns (regression: the join_on projection used to strip
+    them)."""
+    from ostrich_spark.query.exec import facet_stats
+
+    side = spark.createDataFrame(
+        [(k, "even" if k % 2 == 0 else "odd") for k in range(60)],
+        "k long, par string",
+    )
+    got = {
+        r["par"]: (r["n_docs"], r["avg_rating"])
+        for r in facet_stats(
+            spark, range_idx, "content:merge", by="par",
+            metrics={"avg_rating": ("avg", "rating")},
+            join_df=side, join_on=["k"],
+        ).collect()
+    }
+    by_par = {}
+    for k in _matched_ks(spark, range_idx, "content:merge"):
+        by_par.setdefault("even" if k % 2 == 0 else "odd", []).append(k * 0.5)
+    assert set(got) == set(by_par)
+    for p, ratings in by_par.items():
+        assert got[p][0] == len(ratings)
+        assert abs(got[p][1] - sum(ratings) / len(ratings)) < 1e-9
