@@ -1190,6 +1190,23 @@ def _q_decontam(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing (GPT-style document concatenation): the packing
+    map for 256-token training sequences over the id-ordered corpus.
+    bucket_size=100 forces the two-level prefix sum across ~5 buckets."""
+    from ostrich_spark.textops import pack_sequences
+
+    p = pack_sequences(_docs(spark, sf_dir), 256, bucket_size=100)
+    return p.select(
+        F.col("seq_id").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("doc_start").cast("long"),
+        F.col("seq_start").cast("long"),
+        F.col("n").cast("long"),
+    )
+
+
 def _q_mix_corpus(spark, sf_dir):
     """Training-mixture composition: 50/25/25 en/de/zh by n_chars within
     a 120k-char budget — en down-samples, de/zh up-sample with a second
@@ -1638,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
         "sample_mixture": _q_mix_corpus,
+        "text_pack_sequences": _q_pack_sequences,
         "text_token_stats": _q_token_stats,
         "text_keyterms": _q_keyterms,
         "ann_cosine_topk": _q_ann_topk,
@@ -2278,6 +2296,23 @@ def oracle_sql() -> dict[str, str]:
             " '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
             " '\\b[0-9a-fA-F]{32,}\\b', '<HEX_SECRET>', 'g') AS scrubbed "
             "FROM d"
+        ),
+        # sequence packing: exclusive prefix sum of token counts in
+        # doc_id order -> each doc's token span sliced into 256-token
+        # sequences (pure integer arithmetic; engine's two-level prefix
+        # sum must equal the window cumsum exactly)
+        "text_pack_sequences": (
+            f"WITH {TOKLIST_CTE}, "
+            "t AS (SELECT doc_id, len(toks) AS n_tokens FROM tl WHERE len(toks) > 0), "
+            "o AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM t), "
+            "s AS (SELECT doc_id, n_tokens, off, "
+            "unnest(range(off // 256, (off + n_tokens - 1) // 256 + 1)) AS seq_id FROM o) "
+            "SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(greatest(off, seq_id * 256) - off AS BIGINT) AS doc_start, "
+            "CAST(greatest(off, seq_id * 256) - seq_id * 256 AS BIGINT) AS seq_start, "
+            "CAST(least(off + n_tokens, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS BIGINT) AS n "
+            "FROM s"
         ),
         # training mixture: rate_d = target_d * budget / sum(n_chars in d);
         # floor(rate) full epochs + one hash-sampled fractional epoch

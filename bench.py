@@ -248,6 +248,7 @@ def main():
         ("percolate_4q", em.queries()["perc_match"]),
         ("decontam_ngrams", em.queries()["decontam_ngrams"]),
         ("sample_mixture", em.queries()["sample_mixture"]),
+        ("pack_sequences", em.queries()["text_pack_sequences"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),

@@ -290,3 +290,93 @@ def keyterms(df, text_col="text", top_m=5, id_col="doc_id"):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_m)
     )
+
+
+def pack_sequences(
+    df,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_size: int = 1_000_000,
+):
+    """Sequence PACKING for pretraining: concatenate every doc's token
+    stream in deterministic ``id_col`` order and slice the concatenation
+    into fixed-length training sequences — the GPT-style
+    document-concatenation prep (contrast ``chunk_tokens``, which
+    windows each doc independently and pads/wastes the tail of every
+    doc; packing wastes at most one partial sequence for the WHOLE
+    corpus).
+
+    Returns the packing map, one row per (sequence, doc) overlap:
+
+        (seq_id, ``id_col``, n_tokens, doc_start, seq_start, n)
+
+    meaning: tokens [doc_start, doc_start+n) of the doc occupy positions
+    [seq_start, seq_start+n) of sequence seq_id. Token-less docs emit
+    nothing. The map is pure integer arithmetic over token counts —
+    downstream materialization gathers the actual tokens however the
+    trainer stores them.
+
+    Scale posture: the global offset of each doc is an exclusive prefix
+    sum over id order — computed as a TWO-LEVEL prefix sum, never one
+    global window: an intra-bucket running sum windows WITHIN
+    ``id_col // bucket_size`` buckets (parallel across buckets), and the
+    per-bucket totals (corpus/bucket_size rows — one task's worth by
+    construction; at 10^12 docs and the default bucket_size that is
+    10^6 rows) get their own cumulative sum before broadcasting back.
+    The result is deterministic and partition-invariant: same ids, same
+    packing, on any cluster.
+    """
+    from pyspark.sql.window import Window
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be > 0, got {seq_len}")
+    if bucket_size <= 0:
+        raise ValueError(f"bucket_size must be > 0, got {bucket_size}")
+    t = (
+        with_tokens(df, text_col)
+        .select(id_col, F.size("toks").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("_bucket", F.expr(f"{id_col} div {bucket_size}"))
+    )
+    # level 1: running sum WITHIN each bucket (parallel; bounded groups)
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("_intra", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+    # level 2: exclusive cumulative sum of the per-bucket totals — a
+    # corpus/bucket_size-row frame, small by construction
+    totals = t.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    w_b = Window.orderBy(F.asc("_bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("_bucket", "_base")
+    t = t.join(F.broadcast(offsets), "_bucket").withColumn(
+        "off", F.col("_base") + F.col("_intra")
+    )
+    # integral division (`div`) — float division + cast loses exactness
+    # past 2^53 tokens, which a 10^12-doc corpus exceeds
+    first = F.expr(f"off div {seq_len}")
+    last = F.expr(f"(off + n_tokens - 1) div {seq_len}")
+    spans = t.select(
+        id_col,
+        "n_tokens",
+        "off",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    seg_lo = F.greatest(F.col("off"), F.col("seq_id") * seq_len)
+    seg_hi = F.least(
+        F.col("off") + F.col("n_tokens"), (F.col("seq_id") + 1) * seq_len
+    )
+    return spans.select(
+        "seq_id",
+        id_col,
+        "n_tokens",
+        (seg_lo - F.col("off")).alias("doc_start"),
+        (seg_lo - F.col("seq_id") * seq_len).alias("seq_start"),
+        (seg_hi - seg_lo).alias("n"),
+    )

@@ -140,3 +140,79 @@ def test_mix_validation(spark, mix_docs):
     assert mix_corpus(
         mix_docs, {"de": 1.0}, 10_000_000, max_epochs=2000
     ).count() > 0
+
+
+# --- pack_sequences (GPT-style concatenation packing) ---
+
+
+@pytest.fixture(scope="module")
+def pack_docs(spark):
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 7) % 23))) for i in range(80)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_pack(rows, seq_len):
+    out, off = [], 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        if n == 0:
+            continue
+        for s in range(off // seq_len, (off + n - 1) // seq_len + 1):
+            lo, hi = max(off, s * seq_len), min(off + n, (s + 1) * seq_len)
+            out.append((s, doc_id, n, lo - off, lo - s * seq_len, hi - lo))
+        off += n
+    return sorted(out)
+
+
+def test_pack_matches_bruteforce_and_bucket_invariance(spark, pack_docs):
+    from ostrich_spark.textops import pack_sequences
+
+    rows = [(r["doc_id"], r["text"]) for r in pack_docs.collect()]
+    want = _brute_pack(rows, 16)
+    for bucket in (1, 7, 10**6):
+        got = sorted(
+            map(tuple, pack_sequences(pack_docs, 16, bucket_size=bucket).collect())
+        )
+        assert got == want, f"bucket_size={bucket}"
+    # partition invariance
+    got = sorted(
+        map(tuple, pack_sequences(pack_docs.repartition(13), 16, bucket_size=7).collect())
+    )
+    assert got == want
+
+
+def test_pack_invariants(spark, pack_docs):
+    from ostrich_spark.textops import pack_sequences
+
+    got = pack_sequences(pack_docs, 32, bucket_size=11).collect()
+    by_seq, by_doc = {}, {}
+    for r in got:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every sequence except the last is exactly full, positions tile it
+    last = max(by_seq)
+    for s, parts in by_seq.items():
+        parts.sort(key=lambda r: r["seq_start"])
+        covered = sum(p["n"] for p in parts)
+        assert covered == 32 or s == last
+        pos = 0
+        for p in parts:
+            assert p["seq_start"] == pos
+            pos += p["n"]
+    # every doc's tokens are fully and contiguously assigned
+    for d, parts in by_doc.items():
+        parts.sort(key=lambda r: r["doc_start"])
+        assert sum(p["n"] for p in parts) == parts[0]["n_tokens"]
+        pos = 0
+        for p in parts:
+            assert p["doc_start"] == pos
+            pos += p["n"]
+
+
+def test_pack_validation(spark, pack_docs):
+    from ostrich_spark.textops import pack_sequences
+
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(pack_docs, 0)
+    with pytest.raises(ValueError, match="bucket_size"):
+        pack_sequences(pack_docs, 8, bucket_size=0)
