@@ -324,3 +324,61 @@ def get_analyzer(name: str) -> Analyzer:
 
 def register_analyzer(analyzer: Analyzer) -> None:
     _REGISTRY[analyzer.name] = analyzer
+
+
+# --- analyzer serialization (self-describing indexes) ----------------------
+# Custom analyzers (synonym tables, edge n-grams) are identified by NAME
+# in the schema; serializing their filter chain into the index manifest
+# lets any reader reconstruct them without out-of-band registration.
+
+BUILTIN_ANALYZERS = ("default", "en_stem")
+
+
+def analyzer_spec(a: Analyzer) -> dict:
+    """JSON-serializable spec of an analyzer's filter chain. Raises
+    ValueError for a filter type that cannot round-trip (the caller then
+    falls back to name-only identification, the pre-spec behavior)."""
+    filters: list = []
+    for f in a.token_filters:
+        if isinstance(f, SynonymFilter):
+            filters.append({"type": "synonym", "mapping": dict(f.mapping)})
+        elif isinstance(f, EdgeNGramFilter):
+            filters.append({
+                "type": "edge_ngram",
+                "min_gram": f.min_gram,
+                "max_gram": f.max_gram,
+                "preserve_original": f.preserve_original,
+            })
+        elif f in ("stem", "stopword"):
+            filters.append(f)
+        else:
+            raise ValueError(
+                f"analyzer {a.name!r}: filter {f!r} is not serializable"
+            )
+    return {"filters": filters}
+
+
+def analyzer_from_spec(name: str, spec: dict) -> Analyzer:
+    fs: list = []
+    for f in spec.get("filters", []):
+        if isinstance(f, str):
+            fs.append(f)
+        elif f.get("type") == "synonym":
+            fs.append(SynonymFilter(f["mapping"]))
+        elif f.get("type") == "edge_ngram":
+            fs.append(EdgeNGramFilter(
+                f["min_gram"], f["max_gram"], f.get("preserve_original", True)
+            ))
+        else:
+            raise KeyError(f"unknown analyzer filter spec {f!r}")
+    return Analyzer(name, tuple(fs))
+
+
+def ensure_registered(specs: dict) -> None:
+    """Register manifest-carried analyzer specs that are absent from the
+    process registry. An existing registration wins (the user may have
+    registered the same name deliberately; same-config is the normal
+    case) — manifests only fill gaps."""
+    for name, spec in specs.items():
+        if name not in _REGISTRY:
+            register_analyzer(analyzer_from_spec(name, spec))

@@ -594,10 +594,28 @@ def build_index(
     staging = _write_term_stats_staged(
         spark, index_dir, [s.segment_id for s in segments], opstamp, est_terms
     )
+    # serialize non-builtin analyzer chains into the manifest so the
+    # index is self-describing (readers auto-register on load_manifest);
+    # an unserializable custom filter falls back to name-only identity
+    from .analysis import BUILTIN_ANALYZERS, analyzer_spec
+
+    an_specs = {}
+    for name in {
+        n
+        for fe in schema.fields
+        if not fe.is_numeric
+        for n in (fe.analyzer, fe.query_analyzer)
+        if n and n not in BUILTIN_ANALYZERS
+    }:
+        try:
+            an_specs[name] = analyzer_spec(get_analyzer(name))
+        except (KeyError, ValueError):
+            pass
     manifest = Manifest(
         schema,
         segments,
         opstamp=opstamp,
+        analyzers=an_specs,
         stats={
             "total_docs": sum(s.max_doc for s in segments),
             "total_tokens": total_tokens,

@@ -68,6 +68,10 @@ class Manifest:
     segments: list[SegmentMeta] = dc_field(default_factory=list)
     opstamp: int = 0
     stats: dict = dc_field(default_factory=dict)  # global: total_docs, total_tokens per field
+    # name -> filter-chain spec for NON-builtin analyzers the schema
+    # references (self-describing index: readers reconstruct synonym /
+    # edge-ngram chains without out-of-band register_analyzer calls)
+    analyzers: dict = dc_field(default_factory=dict)
 
     def sorted_segments(self) -> list[SegmentMeta]:
         return sorted(self.segments, key=lambda s: (-s.max_doc, s.segment_id))
@@ -91,6 +95,7 @@ class Manifest:
             "schema": self.schema.to_json(),
             "segments": [s.to_json() for s in self.sorted_segments()],
             "stats": self.stats,
+            "analyzers": self.analyzers,
         }
 
     @staticmethod
@@ -100,6 +105,7 @@ class Manifest:
             [SegmentMeta.from_json(s) for s in d["segments"]],
             d.get("opstamp", 0),
             d.get("stats", {}),
+            d.get("analyzers", {}),
         )
 
 
@@ -135,7 +141,9 @@ def load_manifest(index_dir: str, opstamp: int | None = None) -> Manifest:
     the commit happened and the snapshot to still be within retention."""
     if opstamp is None:
         with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
-            return Manifest.from_json(json.load(f))
+            m = Manifest.from_json(json.load(f))
+        _register_manifest_analyzers(m)
+        return m
     path = os.path.join(index_dir, SNAPSHOTS_DIR, f"manifest-{opstamp:010d}.json")
     if not os.path.exists(path):
         avail = [op for op, _ in list_snapshots(index_dir)]
@@ -148,7 +156,19 @@ def load_manifest(index_dir: str, opstamp: int | None = None) -> Manifest:
     m = Manifest.from_json(d)
     # not a serialized Manifest field: only snapshot loads pin deletes
     m.pinned_tombstone_dir = d.get("tombstone_name")
+    _register_manifest_analyzers(m)
     return m
+
+
+def _register_manifest_analyzers(m: Manifest) -> None:
+    """A manifest carrying analyzer specs makes the index self-describing:
+    synonym / edge-ngram chains auto-register on load, so any reader
+    process can parse queries against the field analyzers without
+    out-of-band register_analyzer calls. An existing registration wins."""
+    if m.analyzers:
+        from .analysis import ensure_registered
+
+        ensure_registered(m.analyzers)
 
 
 # ---------------------------------------------------------------------------

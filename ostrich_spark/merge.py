@@ -609,6 +609,7 @@ def _swap_manifest(
         new_segments,
         opstamp=new_opstamp,
         stats=stats,
+        analyzers=manifest.analyzers,
     )
     save_manifest(index_dir, new_manifest)
     if purge:

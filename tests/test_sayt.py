@@ -145,3 +145,50 @@ def test_search_analyzer_json_backcompat():
     cur = Schema()
     cur.add_text_field("t", "default")
     assert cur.extends(new) and new.extends(cur)
+
+
+def test_manifest_carries_analyzer_spec(spark, sayt_idx):
+    """Self-describing index: the edge-ngram chain round-trips through
+    the manifest and auto-registers on load — a fresh reader process
+    needs no out-of-band register_analyzer call."""
+    import ostrich_spark.analysis as an
+
+    mf = load_manifest(sayt_idx)
+    assert "sayt25" in mf.analyzers
+    spec = mf.analyzers["sayt25"]
+    assert spec["filters"][0]["type"] == "edge_ngram"
+    assert (spec["filters"][0]["min_gram"], spec["filters"][0]["max_gram"]) == (2, 5)
+    # simulate a fresh process: drop the registration, reload, search
+    saved = an._REGISTRY.pop("sayt25")
+    try:
+        mf2 = load_manifest(sayt_idx)
+        assert "sayt25" in an._REGISTRY
+        got = an.get_analyzer("sayt25")
+        assert got.analyze_one("spark") == saved.analyze_one("spark")
+        # queries parse and run against the auto-registered chain
+        res, _ = search(spark, sayt_idx, "title:spar", limit=None, manifest=mf2)
+        assert res.count() > 0
+    finally:
+        an._REGISTRY["sayt25"] = saved
+
+
+def test_analyzer_spec_roundtrip_synonym_and_errors():
+    from ostrich_spark.analysis import (
+        Analyzer,
+        SynonymFilter,
+        analyzer_from_spec,
+        analyzer_spec,
+    )
+
+    a = Analyzer("syn", (SynonymFilter({"k8s": "kubernetes"}), "stem", "stopword"))
+    b = analyzer_from_spec("syn", analyzer_spec(a))
+    assert b.analyze_one("K8s having the") == a.analyze_one("K8s having the")
+
+    class Opaque:
+        def apply_tokens(self, toks):  # pragma: no cover
+            return toks
+
+    with pytest.raises(ValueError, match="not serializable"):
+        analyzer_spec(Analyzer("x", (Opaque(),)))
+    with pytest.raises(KeyError, match="unknown analyzer filter"):
+        analyzer_from_spec("x", {"filters": [{"type": "nope"}]})
