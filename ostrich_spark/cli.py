@@ -791,6 +791,30 @@ def cmd_termvectors(args) -> int:
     return 0
 
 
+def cmd_addindexes(args) -> int:
+    """Absorb other indexes' segments into -p (IndexWriter.addIndexes
+    analog): hardlinked segment dirs + one manifest commit + one
+    term-stats rebuild; no re-tokenization."""
+    from .export import add_indexes
+    from .lock import LockHeldError
+
+    spark = _spark()
+    t0 = time.time()
+    try:
+        m = add_indexes(
+            spark, args.path, args.src, hardlink=not args.copy
+        )
+    except (ValueError, LockHeldError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(
+        f"absorbed {len(args.src)} index(es): now {len(m.segments)} "
+        f"segments, {m.total_docs} docs (opstamp {m.opstamp})"
+    )
+    print(f"elapsed: {time.time() - t0:.3f}s")
+    return 0
+
+
 def cmd_evolve(args) -> int:
     """Append-only schema evolution: add a field to a committed index
     (explicit manifest commit; older docs hold no data for it).
@@ -1121,6 +1145,14 @@ def main(argv=None) -> int:
     tv.add_argument("--id-col", required=True)
     tv.add_argument("--values", nargs="+", required=True, metavar="V")
     tv.set_defaults(fn=cmd_termvectors)
+
+    ai = sub.add_parser("addindexes")
+    ai.add_argument("-p", "--path", required=True, help="destination index")
+    ai.add_argument("--src", action="append", required=True, metavar="DIR",
+                    help="source index to absorb (repeatable)")
+    ai.add_argument("--copy", action="store_true",
+                    help="full copy instead of hardlinks")
+    ai.set_defaults(fn=cmd_addindexes)
 
     ev = sub.add_parser("evolve")
     ev.add_argument("-p", "--path", required=True)

@@ -132,3 +132,145 @@ def _copy_pinned(index_dir, out_dir, manifest, tomb, paths, hardlink):
     # manifest LAST — the commit point of the clone
     atomic_write_json(os.path.join(out_dir, MANIFEST_NAME), manifest.to_json())
     return manifest
+
+
+def add_indexes(
+    spark,
+    dest_dir: str,
+    source_dirs: list[str],
+    hardlink: bool = True,
+) -> Manifest:
+    """Absorb other indexes' committed segments into ``dest_dir`` WITHOUT
+    re-tokenizing — the Lucene ``IndexWriter.addIndexes(Directory...)``
+    analog (EXTENSION; the reference has one index per writer). The
+    consolidation shape at corpus scale: per-day/per-domain indexes
+    merge into one queryable index as a metadata operation (segment dirs
+    hardlinked, one manifest commit, one term-stats rebuild), and the
+    normal log-merge policy compacts from there. Complementary to alias
+    search (query/multi.py), which leaves the indexes separate.
+
+    Requirements, checked before anything copies:
+    - every source schema must be a prefix of ``dest``'s
+      (``Schema.extends`` — the add_field evolution contract; source
+      docs simply hold no data for dest's extra appended fields);
+    - segment ids must be globally unique across dest + sources
+      (posting/norms/docmap rows EMBED segment_id — a collision cannot
+      be fixed by renaming dirs; rebuild the offender with a fresh
+      build_id);
+    - manifest-carried analyzer specs must not conflict by name.
+
+    Source tombstones come along (their (segment_id, doc) keys stay
+    valid). Source stats (doc/token/field-token counts) merge into
+    dest's, so BM25 avgdl reflects the union. The dest manifest is
+    written LAST (build's commit discipline: a crash mid-copy leaves
+    only orphan dirs for GC). Both dest and each source hold their
+    write locks during the operation; a foreign live writer fails it
+    fast instead of racing GC.
+    """
+    from .build import _promote_term_stats, _write_term_stats_staged
+    from .deletes import (
+        clear_tombstones,
+        load_tombstone_map,
+        _write_tombstones,
+    )
+    from .lock import write_lock
+    from .manifest import save_manifest
+    from .query.exec import invalidate_cache
+
+    if not source_dirs:
+        raise ValueError("add_indexes needs at least one source index")
+    with write_lock(dest_dir, owner="add_indexes"):
+        dest = load_manifest(dest_dir)
+        sources = []
+        seen_ids = {s.segment_id: dest_dir for s in dest.segments}
+        an_specs = dict(dest.analyzers)
+        for sd in source_dirs:
+            sm = load_manifest(sd)
+            if not dest.schema.extends(sm.schema):
+                raise ValueError(
+                    f"schema of {sd!r} is not a prefix of the destination "
+                    "schema (add_indexes requires Schema.extends — same "
+                    "fields, ids, analyzers, flags, in order)"
+                )
+            for seg in sm.segments:
+                if seg.segment_id in seen_ids:
+                    raise ValueError(
+                        f"segment id {seg.segment_id!r} of {sd!r} collides "
+                        f"with {seen_ids[seg.segment_id]!r}; posting rows "
+                        "embed segment_id, so renaming cannot fix this — "
+                        "rebuild one side with a distinct build_id"
+                    )
+                seen_ids[seg.segment_id] = sd
+            for name, spec in sm.analyzers.items():
+                if an_specs.get(name, spec) != spec:
+                    raise ValueError(
+                        f"analyzer {name!r} of {sd!r} conflicts with the "
+                        "destination's spec of the same name"
+                    )
+                an_specs[name] = spec
+            sources.append((sd, sm))
+
+        def _copy(src: str, dst: str) -> None:
+            if hardlink:
+                try:
+                    os.link(src, dst)
+                    return
+                except OSError:
+                    pass
+            shutil.copy2(src, dst)
+
+        new_segments = list(dest.segments)
+        tomb_rows = [
+            (sid, int(d))
+            for sid, docs in load_tombstone_map(dest_dir).items()
+            for d in docs
+        ]
+        for sd, sm in sources:
+            with write_lock(sd, owner="add_indexes-source"):
+                for seg in sm.segments:
+                    src = os.path.join(sd, SEGMENTS_DIR, seg.segment_id)
+                    dst = os.path.join(dest_dir, SEGMENTS_DIR, seg.segment_id)
+                    shutil.copytree(src, dst, copy_function=_copy)
+                tomb_rows.extend(
+                    (sid, int(d))
+                    for sid, docs in load_tombstone_map(sd).items()
+                    for d in docs
+                )
+            new_segments.extend(sm.segments)
+
+        opstamp = dest.opstamp + 1
+        stats = dict(dest.stats)
+        stats["total_docs"] = sum(s.max_doc for s in new_segments)
+        stats["total_tokens"] = dest.stats.get("total_tokens", 0) + sum(
+            sm.stats.get("total_tokens", 0) for _, sm in sources
+        )
+        ft = dict(dest.stats.get("field_tokens", {}))
+        for _, sm in sources:
+            for fid, n in sm.stats.get("field_tokens", {}).items():
+                ft[fid] = ft.get(fid, 0) + n
+        stats["field_tokens"] = ft
+        stats["term_stats_opstamp"] = opstamp
+        staging = _write_term_stats_staged(
+            spark,
+            dest_dir,
+            [s.segment_id for s in new_segments],
+            opstamp,
+            sum((s.metrics or {}).get("n_terms", s.max_doc) for s in new_segments),
+        )
+        if tomb_rows:
+            _write_tombstones(
+                spark,
+                dest_dir,
+                spark.createDataFrame(tomb_rows, "segment_id string, doc long"),
+                opstamp,
+            )
+        else:
+            clear_tombstones(dest_dir)
+        merged = Manifest(
+            dest.schema, new_segments, opstamp=opstamp, stats=stats,
+            analyzers=an_specs,
+        )
+        save_manifest(dest_dir, merged)
+        _promote_term_stats(dest_dir, staging)
+    invalidate_cache(dest_dir)
+    return merged

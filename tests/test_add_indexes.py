@@ -1,0 +1,116 @@
+"""add_indexes — absorb other indexes' segments without re-tokenizing
+(Lucene IndexWriter.addIndexes(Directory...) analog; EXTENSION). The
+contract: after add_indexes(dest, [src...]), dest answers every query
+exactly as an index built from the UNION corpus would (BM25 included —
+global doc/token stats merge), tombstones ride along, and the normal
+merge policy can compact the combined segment set."""
+
+import pandas as pd
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.deletes import delete_docs
+from ostrich_spark.export import add_indexes, export_index
+from ostrich_spark.manifest import load_manifest
+from ostrich_spark.query.exec import attach_docmap, search
+from ostrich_spark.schema import Schema
+
+WORDS = ["merge", "policy", "segment", "index", "spark", "query", "score"]
+
+
+def _schema():
+    s = Schema()
+    s.add_text_field("content", "default")
+    return s
+
+
+def _docs(lo, hi):
+    return [
+        {"k": i, "content": " ".join(WORDS[j % len(WORDS)] for j in range(i, i + 5))}
+        for i in range(lo, hi)
+    ]
+
+
+def _build(spark, path, lo, hi, build_id):
+    build_index(
+        spark,
+        spark.createDataFrame(pd.DataFrame(_docs(lo, hi))),
+        _schema(),
+        path,
+        num_partitions=2,
+        order_col="k",
+        id_cols=["k"],
+        build_id=build_id,
+    )
+    return path
+
+
+def _hits(spark, idx, q, scorer="bm25"):
+    res, _ = search(spark, idx, q, limit=None, scorer=scorer)
+    return sorted(
+        (r["k"], round(r["score"], 9))
+        for r in attach_docmap(spark, idx, res).select("k", "score").collect()
+    )
+
+
+def test_add_indexes_equals_union_rebuild(spark, tmp_path):
+    a = _build(spark, str(tmp_path / "a"), 0, 30, "ba")
+    _build(spark, str(tmp_path / "b"), 30, 50, "bb")
+    c = _build(spark, str(tmp_path / "c"), 0, 50, "bc")  # union reference
+    m = add_indexes(spark, a, [str(tmp_path / "b")])
+    assert m.total_docs == 50
+    for q in ("content:merge", "content:spark AND content:query",
+              "content:merge OR content:score"):
+        for scorer in ("tfidf", "bm25"):  # bm25 exercises merged avgdl
+            assert _hits(spark, a, q, scorer) == _hits(spark, c, q, scorer), (q, scorer)
+
+
+def test_add_indexes_carries_tombstones_and_merges_after(spark, tmp_path):
+    from ostrich_spark.merge import merge_segments
+
+    a = _build(spark, str(tmp_path / "a"), 0, 20, "ba")
+    b = _build(spark, str(tmp_path / "b"), 20, 40, "bb")
+    delete_docs(spark, b, spark.createDataFrame([(25,)], "k long"), ["k"])
+    add_indexes(spark, a, [b])
+    ks = {k for k, _ in _hits(spark, a, "content:merge OR content:policy OR "
+                              "content:segment OR content:index OR content:spark")}
+    assert 25 not in ks and len(ks) == 39
+    # the combined index compacts like any other: merge everything into
+    # one segment (purges the carried tombstone on the way)
+    mf = load_manifest(a)
+    merge_segments(spark, a, [s.segment_id for s in mf.segments], "segMERGED")
+    ks2 = {k for k, _ in _hits(spark, a, "content:merge OR content:policy OR "
+                               "content:segment OR content:index OR content:spark")}
+    assert ks2 == ks
+
+
+def test_add_indexes_rejects_collisions_and_schema_drift(spark, tmp_path):
+    a = _build(spark, str(tmp_path / "a"), 0, 10, "ba")
+    clone = str(tmp_path / "clone")
+    export_index(a, clone)  # keeps segment ids
+    with pytest.raises(ValueError, match="collides"):
+        add_indexes(spark, a, [clone])
+    other = str(tmp_path / "other")
+    s2 = Schema()
+    s2.add_text_field("content", "en_stem")  # different analyzer
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(_docs(50, 60))), s2, other,
+        num_partitions=1, order_col="k", id_cols=["k"], build_id="bo",
+    )
+    with pytest.raises(ValueError, match="prefix of the destination"):
+        add_indexes(spark, a, [other])
+    with pytest.raises(ValueError, match="at least one"):
+        add_indexes(spark, a, [])
+
+
+def test_add_indexes_dest_extra_appended_field_ok(spark, tmp_path):
+    """dest evolved with an appended field: sources without it are valid
+    (the add_field contract — old segments hold no data for it)."""
+    from ostrich_spark.manifest import add_field
+
+    a = _build(spark, str(tmp_path / "a"), 0, 10, "ba")
+    b = _build(spark, str(tmp_path / "b"), 10, 20, "bb")
+    add_field(a, "extra")
+    m = add_indexes(spark, a, [b])
+    assert m.total_docs == 20
+    assert {k for k, _ in _hits(spark, a, "content:merge")} >= {0, 7, 14}
