@@ -722,3 +722,89 @@ def _promote_term_stats(index_dir: str, staging: str | None) -> None:
         shutil.rmtree(stale, ignore_errors=True)
     # legacy single-file tmp from older builds
     shutil.rmtree(os.path.join(index_dir, f"{TERM_STATS_NAME}.tmp"), ignore_errors=True)
+
+
+def reindex(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    schema: Schema,
+    order_col: str | None = None,
+    id_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    build_id: str = "reindex0",
+) -> Manifest:
+    """Rebuild a NEW index from a committed index's stored documents —
+    the Elasticsearch ``_reindex`` analog (EXTENSION). The classic use:
+    change an analyzer (default -> en_stem, add synonyms/edge-ngrams) or
+    add positions/norms options without the original corpus at hand.
+
+    Requirements: every text field of the NEW ``schema`` must exist as a
+    ``store=True`` column in the source docmap (an index can only
+    re-tokenize text it actually kept), and numeric fields as docmap
+    doc-value columns. Tombstoned docs are EXCLUDED — reindex captures
+    the live corpus, like ES _reindex.
+
+    ``id_cols`` defaults to the source docmap's identity columns
+    (everything that is not engine bookkeeping, a stored field, or a doc
+    value); ``order_col`` to the first id column; ``num_partitions`` to
+    the source's committed segment count.
+
+    Scale posture: one distributed docmap scan (+ anti-join against the
+    small tombstone set) feeding the normal shuffle-free build — no
+    driver materialization of documents.
+    """
+    from .deletes import has_tombstones, read_tombstones
+    from .manifest import load_manifest as _load
+    from .query.exec import read_docmap
+
+    src = _load(src_dir)
+    docmap = read_docmap(spark, src_dir, src)
+    cols = set(docmap.schema.names)
+    missing = [
+        fe.name for fe in schema.fields if fe.name not in cols
+    ]
+    if missing:
+        raise ValueError(
+            f"reindex source {src_dir!r} does not carry column(s) "
+            f"{missing} — text fields must have been indexed with "
+            "store=True (numeric fields as doc values) to be reindexable"
+        )
+    src_stored = {
+        fe.name for fe in src.schema.fields if not fe.is_numeric and fe.store
+    }
+    src_numeric = {fe.name for fe in src.schema.fields if fe.is_numeric}
+    bookkeeping = {"segment_id", "doc", "content_sha256"}
+    inferred_ids = [
+        c
+        for c in docmap.schema.names
+        if c not in bookkeeping and c not in src_stored and c not in src_numeric
+    ]
+    id_cols = list(id_cols or inferred_ids)
+    if not id_cols:
+        raise ValueError(
+            "reindex needs identity columns (none inferable from the "
+            "source docmap; pass id_cols)"
+        )
+    order_col = order_col or id_cols[0]
+    if has_tombstones(src_dir, src):
+        docmap = docmap.join(
+            read_tombstones(spark, src_dir, src),
+            ["segment_id", "doc"],
+            "left_anti",
+        )
+    corpus = docmap.select(
+        *dict.fromkeys(
+            [*id_cols, *(fe.name for fe in schema.fields), order_col]
+        )
+    )
+    return build_index(
+        spark,
+        corpus,
+        schema,
+        dest_dir,
+        num_partitions=num_partitions or max(len(src.segments), 1),
+        order_col=order_col,
+        id_cols=id_cols,
+        build_id=build_id,
+    )

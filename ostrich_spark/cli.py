@@ -791,6 +791,40 @@ def cmd_termvectors(args) -> int:
     return 0
 
 
+def cmd_reindex(args) -> int:
+    """Rebuild a new index from -p's stored documents with a different
+    analyzer / field options (ES _reindex analog). Text fields must have
+    been store=True in the source."""
+    from .build import reindex
+    from .manifest import load_manifest
+    from .schema import Schema
+
+    spark = _spark()
+    t0 = time.time()
+    src_schema = load_manifest(args.path).schema
+    schema = Schema()
+    for fe in src_schema.fields:
+        if fe.is_numeric:
+            schema.add_numeric_field(fe.name, fe.field_type)
+        else:
+            schema.add_text_field(
+                fe.name,
+                args.analyzer or fe.analyzer,
+                positions=args.positions or fe.positions,
+                store=fe.store,
+                search_analyzer=fe.search_analyzer,
+            )
+    try:
+        m = reindex(spark, args.path, args.out, schema, build_id=args.build_id)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(f"reindexed {m.total_docs} docs into {args.out} "
+          f"({len(m.segments)} segments)")
+    print(f"elapsed: {time.time() - t0:.3f}s")
+    return 0
+
+
 def cmd_addindexes(args) -> int:
     """Absorb other indexes' segments into -p (IndexWriter.addIndexes
     analog): hardlinked segment dirs + one manifest commit + one
@@ -1145,6 +1179,15 @@ def main(argv=None) -> int:
     tv.add_argument("--id-col", required=True)
     tv.add_argument("--values", nargs="+", required=True, metavar="V")
     tv.set_defaults(fn=cmd_termvectors)
+
+    ri = sub.add_parser("reindex")
+    ri.add_argument("-p", "--path", required=True, help="source index")
+    ri.add_argument("--out", required=True, help="destination index dir")
+    ri.add_argument("--analyzer", help="replace every text field's analyzer")
+    ri.add_argument("--positions", action="store_true",
+                    help="enable positions on every text field")
+    ri.add_argument("--build-id", default="reindex0")
+    ri.set_defaults(fn=cmd_reindex)
 
     ai = sub.add_parser("addindexes")
     ai.add_argument("-p", "--path", required=True, help="destination index")

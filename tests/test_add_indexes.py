@@ -114,3 +114,66 @@ def test_add_indexes_dest_extra_appended_field_ok(spark, tmp_path):
     m = add_indexes(spark, a, [b])
     assert m.total_docs == 20
     assert {k for k, _ in _hits(spark, a, "content:merge")} >= {0, 7, 14}
+
+
+# ---------------------------------------------------------------------------
+# reindex (ES _reindex analog — rebuild from stored fields)
+# ---------------------------------------------------------------------------
+
+
+def test_reindex_changes_analyzer(spark, tmp_path):
+    from ostrich_spark.build import reindex
+
+    src = str(tmp_path / "src")
+    docs = [
+        {"k": 0, "content": "Having serious virus issues"},
+        {"k": 1, "content": "the virus spreads serious concern"},
+        {"k": 2, "content": "nothing related here"},
+    ]
+    s = Schema()
+    s.add_text_field("content", "default", store=True)
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(docs)), s, src,
+        num_partitions=2, order_col="k", id_cols=["k"], build_id="src",
+    )
+    s2 = Schema()
+    s2.add_text_field("content", "en_stem", store=True)
+    dest = str(tmp_path / "dest")
+    reindex(spark, src, dest, s2)
+    # stemmed semantics: 'serious'->'seriou' matches both stem variants
+    ks = {k for k, _ in _hits(spark, dest, "content:serious", "tfidf")}
+    assert ks == {0, 1}
+    # fresh-build reference identity
+    ref = str(tmp_path / "ref")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(docs)), s2, ref,
+        num_partitions=2, order_col="k", id_cols=["k"], build_id="ref",
+    )
+    assert _hits(spark, dest, "content:virus", "bm25") == _hits(
+        spark, ref, "content:virus", "bm25"
+    )
+
+
+def test_reindex_excludes_tombstones_and_validates(spark, tmp_path):
+    from ostrich_spark.build import reindex
+
+    src = _build(spark, str(tmp_path / "src"), 0, 10, "src")
+    delete_docs(spark, src, spark.createDataFrame([(3,)], "k long"), ["k"])
+    s2 = Schema()
+    s2.add_text_field("content", "en_stem")
+    with pytest.raises(ValueError, match="store=True"):
+        reindex(spark, src, str(tmp_path / "d1"), s2)  # content not stored
+    src2 = str(tmp_path / "src2")
+    s3 = Schema()
+    s3.add_text_field("content", "default", store=True)
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(_docs(0, 10))), s3, src2,
+        num_partitions=2, order_col="k", id_cols=["k"], build_id="s2",
+    )
+    delete_docs(spark, src2, spark.createDataFrame([(3,)], "k long"), ["k"])
+    dest = str(tmp_path / "dest")
+    m = reindex(spark, src2, dest, s3)
+    assert m.total_docs == 9  # tombstoned doc excluded from the rebuild
+    ks = {k for k, _ in _hits(spark, dest, "content:merge OR content:policy OR "
+                              "content:segment OR content:index OR content:spark")}
+    assert 3 not in ks and len(ks) == 9

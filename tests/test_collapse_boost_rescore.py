@@ -409,3 +409,56 @@ def test_export_hits_column_selection_and_errors(spark, cb_index, tmp_path):
     # refuses to clobber an existing export
     with pytest.raises(Exception):
         export_hits(spark, cb_index, "text:spark", out)
+
+
+def test_grouped_fuzz_vs_bruteforce(spark, cb_index):
+    """20 seeded random (query, per_group, tiebreak) grouped searches,
+    each row-identical to the brute-force grouping of the engine's own
+    exhaustive match set."""
+    import random
+
+    from ostrich_spark.query.exec import search_grouped
+
+    rng = random.Random(42)
+    terms = ["spark", "join", "window", "hash", "alone", "stream", "fast"]
+    for trial in range(20):
+        k = rng.randint(1, 3)
+        q = " OR ".join(f"text:{t}" for t in rng.sample(terms, k))
+        per_group = rng.randint(1, 3)
+        tiebreak = ["doc_key"] if rng.random() < 0.5 else None
+        full = _exhaustive(spark, cb_index, q)
+        groups = {}
+        for r in full.values():
+            groups.setdefault(r["grp"], []).append(r)
+        hits = {}
+        for g, rows in groups.items():
+            key = (
+                (lambda r: (-r["score"], r["doc_key"], r["segment_ord"], r["doc"]))
+                if tiebreak
+                else (lambda r: (-r["score"], r["segment_ord"], r["doc"]))
+            )
+            rows.sort(key=key)
+            hits[g] = rows[:per_group]
+        order = sorted(
+            hits,
+            key=lambda g: (
+                (-hits[g][0]["score"], hits[g][0]["doc_key"],
+                 hits[g][0]["segment_ord"], hits[g][0]["doc"])
+                if tiebreak
+                else (-hits[g][0]["score"], hits[g][0]["segment_ord"],
+                      hits[g][0]["doc"])
+            ),
+        )
+        want = [
+            (gi + 1, hi + 1, r["segment_ord"], r["doc"])
+            for gi, g in enumerate(order)
+            for hi, r in enumerate(hits[g])
+        ]
+        got = [
+            (r["group_rank"], r["hit_rank"], r["segment_ord"], r["doc"])
+            for r in search_grouped(
+                spark, cb_index, q, "grp",
+                per_group=per_group, groups=None, tiebreak=tiebreak,
+            ).collect()
+        ]
+        assert got == want, (trial, q, per_group, tiebreak)
