@@ -70,6 +70,7 @@ def cmd_search(args) -> int:
     if args.sort_by:
         from .query.exec import search_sorted
 
+        info = {}
         res = search_sorted(
             spark,
             args.path,
@@ -79,11 +80,16 @@ def cmd_search(args) -> int:
             limit=args.limit,
             offset=args.offset,
             scorer=args.scorer,
+            early_terminate=args.early_terminate,
+            scan_info=info,
         )
         rows = res.collect()
         elapsed = time.time() - t0
         for r in rows:
             print(f"{r['segment_ord']}/{r['doc']} {r[args.sort_by]}")
+        if info:
+            print(f"segments scanned: {info['segments_scanned']}/"
+                  f"{info['segments_total']}")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
     special = [args.collapse_by, args.group_by, args.boost_by, args.rescore,
@@ -989,6 +995,11 @@ def main(argv=None) -> int:
         "--collapse-by", metavar="COL",
         help="field collapsing: keep only the best-scoring hit per "
         "distinct value of this docmap column (ES collapse analog)",
+    )
+    s.add_argument(
+        "--early-terminate", action="store_true",
+        help="with --sort-by: prune segments by docmap min/max stats "
+        "(index-sort early exit)",
     )
     s.add_argument(
         "--export-hits", metavar="DIR",

@@ -1964,6 +1964,46 @@ def _numeric_field_entry(manifest, by: str):
     return fe
 
 
+def _segment_value_ranges(index_dir: str, manifest: Manifest, col: str):
+    """Per-segment (min, max) of a docmap column, read driver-side from
+    the parquet row-group statistics (a footer metadata read per segment
+    file — no cluster job). Returns {segment_id: (min, max)}; a segment
+    whose stats are unavailable (all-null column, no stats) maps to
+    (None, None) and must be treated conservatively by callers. At 10^6
+    segments these ranges belong in the manifest (fragment metrics) —
+    the footer read is the no-schema-change form."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    out = {}
+    for s in manifest.segments:
+        root = os.path.join(
+            index_dir, "segments", s.segment_id, "docmap.parquet"
+        )
+        files = (
+            sorted(_glob.glob(os.path.join(root, "*.parquet")))
+            if os.path.isdir(root)
+            else ([root] if os.path.exists(root) else [])
+        )
+        lo = hi = None
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            sch = md.schema.to_arrow_schema()
+            try:
+                ci = sch.names.index(col)
+            except ValueError:
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out[s.segment_id] = (lo, hi)
+    return out
+
+
 def search_sorted(
     spark,
     index_dir: str,
@@ -1976,6 +2016,8 @@ def search_sorted(
     manifest: Manifest | None = None,
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
+    early_terminate: bool = False,
+    scan_info: dict | None = None,
 ):
     """Top-k of a query's match set ordered by a numeric doc-value field
     instead of relevance (Lucene ``Sort`` analog — EXTENSION, the
@@ -1992,12 +2034,31 @@ def search_sorted(
     the sort key joins from the docmap co-keyed on (segment_id, doc), and
     the global top-k is Catalyst's TakeOrderedAndProject (per-partition
     heap + driver merge of k·partitions rows, never the full match set).
+
+    ``early_terminate=True`` adds SEGMENT pruning (the Lucene index-sort
+    early-exit / Elasticsearch shard sort optimization): segments are
+    visited in doubling waves ordered by their docmap min/max of ``by``
+    (parquet row-group statistics, a driver metadata read), and the scan
+    stops once the worst kept row provably beats every unvisited
+    segment's best possible value — strictly, so value ties can never be
+    mis-ordered. When the index was built with ``order_col=by``, the
+    build's repartitionByRange makes segments value-disjoint and a top-k
+    touches O(1) segments regardless of corpus size. Results are
+    row-identical to the exhaustive path (tested); requires a bound
+    (``limit`` not None). ``scan_info`` (optional dict) receives
+    ``segments_scanned`` / ``segments_total`` for observability.
     """
     from pyspark.sql import functions as F
 
     if manifest is None:
         manifest = load_manifest(index_dir)
     _numeric_field_entry(manifest, by)
+    if early_terminate and limit is not None:
+        return _search_sorted_early(
+            spark, index_dir, query, by, ascending, limit, offset,
+            list(tiebreak or []), manifest, scorer, default_fields,
+            scan_info,
+        )
     tiebreak = list(tiebreak or [])
     res, _ = search(
         spark,
@@ -2022,6 +2083,120 @@ def search_sorted(
     if limit is not None:
         out = out.limit(limit)
     return out.select("segment_id", "segment_ord", "doc", by)
+
+
+def _search_sorted_early(
+    spark, index_dir, query, by, ascending, limit, offset,
+    tiebreak, manifest, scorer, default_fields, scan_info,
+):
+    """Segment-pruned field-sorted top-k (see search_sorted docstring).
+
+    Mechanics: a sub-manifest per wave re-uses the whole search stack
+    (scorer paths, tombstones, multiterm expansion) over just that
+    wave's segments; its synthetic opstamp keeps the DataFrame cache
+    from aliasing with full-index reads while the copied stats dict
+    keeps term_stats binding valid. segment_ord is recomputed against
+    the FULL manifest on collection, so the output addressing and
+    tie-break order are identical to the exhaustive path."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    need = offset + limit
+    ranges = _segment_value_ranges(index_dir, manifest, by)
+
+    def best_bound(sid):
+        lo, hi = ranges.get(sid, (None, None))
+        b = lo if ascending else hi
+        # no stats (all-null/absent column): conservatively "could hold
+        # anything" -> visit before any stop is possible
+        return -math.inf if b is None else (b if ascending else -b)
+
+    segs = sorted(manifest.segments, key=lambda s: best_bound(s.segment_id))
+    full_ord = {
+        s.segment_id: i for i, s in enumerate(manifest.sorted_segments())
+    }
+    tb = [c for c in tiebreak]
+    docmap = read_docmap(spark, index_dir, manifest)
+    key_cols = [by, *tb]
+    for c in key_cols:
+        if c not in docmap.schema.names:
+            raise ValueError(
+                f"sort column {c!r} not in docmap "
+                f"(have: {', '.join(docmap.schema.names)})"
+            )
+
+    kept = []  # (null_flag, keyval, tb..., segment_ord, doc, segment_id)
+    i, wave, scanned = 0, 1, 0
+    while i < len(segs):
+        batch = segs[i : i + wave]
+        i += wave
+        wave *= 2
+        scanned += len(batch)
+        sub = Manifest(
+            manifest.schema,
+            batch,
+            # synthetic opstamp: distinct cache identity per subset, real
+            # term_stats pairing preserved via the copied stats dict
+            opstamp=(1 << 40) + (hash(tuple(sorted(s.segment_id for s in batch))) & ((1 << 38) - 1)),
+            stats=dict(manifest.stats),
+            analyzers=manifest.analyzers,
+        )
+        res, _ = search(
+            spark, index_dir, query, limit=None, scorer=scorer,
+            manifest=sub, default_fields=default_fields,
+        )
+        key = F.asc_nulls_last(by) if ascending else F.desc_nulls_last(by)
+        # wave-internal cut order must equal the FINAL order, including
+        # the full-manifest segment_ord on ties (a sub-manifest's own
+        # ords differ) — literal map, mirroring search's attachment
+        ord_map = F.create_map(
+            *[x for s in batch for x in (F.lit(s.segment_id), F.lit(full_ord[s.segment_id]))]
+        )
+        order = [key] + [F.asc(c) for c in tb] + [F.asc("_ford"), F.asc("doc")]
+        rows = (
+            docmap.select("segment_id", "doc", *dict.fromkeys(key_cols))
+            .join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner")
+            .withColumn("_ford", ord_map[F.col("segment_id")].cast("int"))
+            .orderBy(*order)
+            .limit(need)
+            .collect()
+        )
+        sgn = 1 if ascending else -1
+        for r in rows:
+            v = r[by]
+            kept.append((
+                v is None,
+                math.inf if v is None else sgn * v,
+                # tiebreak asc with nulls FIRST (Spark asc null order)
+                tuple(
+                    (r[c] is not None, 0 if r[c] is None else r[c]) for c in tb
+                ),
+                full_ord[r["segment_id"]],
+                r["doc"],
+                r,
+            ))
+        kept.sort(key=lambda t: t[:5])
+        kept = kept[:need]
+        if len(kept) == need and i < len(segs):
+            kth = kept[-1]
+            nxt = best_bound(segs[i].segment_id)
+            # strict: rows tying the kth value in unvisited segments
+            # could still win on (tiebreak, segment_ord, doc)
+            if not kth[0] and kth[1] < nxt:
+                break
+    if scan_info is not None:
+        scan_info["segments_scanned"] = scanned
+        scan_info["segments_total"] = len(segs)
+    out_rows = [
+        (t[5]["segment_id"], t[3], t[5]["doc"], t[5][by])
+        for t in kept[offset : offset + limit]
+    ]
+    by_type = docmap.schema[by].dataType.simpleString()
+    return spark.createDataFrame(
+        out_rows,
+        f"segment_id string, segment_ord int, doc long, {by} {by_type}",
+    )
 
 
 def numeric_histogram(

@@ -437,3 +437,65 @@ def test_facet_stats_join_df_keeps_docmap_metrics(spark, range_idx):
     for p, ratings in by_par.items():
         assert got[p][0] == len(ratings)
         assert abs(got[p][1] - sum(ratings) / len(ratings)) < 1e-9
+
+
+# --- early-terminating field-sorted search (index-sort early exit) ---
+
+
+def _sorted_ids(spark, idx, q, by, **kw):
+    from ostrich_spark.query.exec import search_sorted
+
+    return [
+        (r["segment_ord"], r["doc"], r[by])
+        for r in search_sorted(spark, idx, q, by=by, **kw).collect()
+    ]
+
+
+def test_sorted_early_identical_to_exhaustive(spark, range_idx):
+    for by, asc, lim, off in [
+        ("rating", True, 5, 0), ("rating", False, 7, 3),
+        ("year", True, 10, 0), ("year", False, 4, 2),
+    ]:
+        base = _sorted_ids(
+            spark, range_idx, "content:merge OR content:index", by,
+            ascending=asc, limit=lim, offset=off,
+        )
+        early = _sorted_ids(
+            spark, range_idx, "content:merge OR content:index", by,
+            ascending=asc, limit=lim, offset=off, early_terminate=True,
+        )
+        assert early == base, (by, asc, lim, off)
+
+
+def test_sorted_early_prunes_aligned_segments(spark, range_idx):
+    """rating == 0.5*k and the index is range-built on k, so segments
+    are value-disjoint on rating: a small top-k must stop after the
+    first wave instead of scanning all 4 segments."""
+    from ostrich_spark.query.exec import search_sorted
+
+    info = {}
+    rows = search_sorted(
+        spark, range_idx, "content:merge OR content:index OR content:policy "
+        "OR content:segment OR content:spark", by="rating",
+        ascending=True, limit=3, early_terminate=True, scan_info=info,
+    ).collect()
+    assert len(rows) == 3
+    assert info["segments_total"] == 4
+    assert info["segments_scanned"] < info["segments_total"]
+    assert info["segments_scanned"] == 1
+
+
+def test_sorted_early_with_tombstones(spark, tmp_path):
+    from ostrich_spark.query.exec import search_sorted
+
+    idx = _build(spark, tmp_path, n=40, parts=4)
+    delete_docs(spark, idx, spark.createDataFrame([(0,), (1,)], "k long"), ["k"])
+    info = {}
+    rows = search_sorted(
+        spark, idx, "content:merge OR content:policy OR content:segment "
+        "OR content:index OR content:spark OR content:query OR content:score",
+        by="rating", ascending=True, limit=3,
+        early_terminate=True, scan_info=info,
+    ).collect()
+    # k=0,1 tombstoned: the smallest surviving ratings are k=2,3,4
+    assert [r["rating"] for r in rows] == [1.0, 1.5, 2.0]
