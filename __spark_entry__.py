@@ -326,6 +326,24 @@ def _q_eng_sort_nchars(spark, sf_dir):
     )
 
 
+def _q_eng_sort_early(spark, sf_dir):
+    """Early-terminating field sort (index-sort early exit): identical
+    rows to eng_sort_nchars while pruning segments by docmap min/max
+    stats — the oracle equality IS the exhaustive-identity proof."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_sorted
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_sorted(
+        spark, idx, "text:spark", by="n_chars", ascending=False,
+        limit=20, tiebreak=["doc_id"], manifest=mf, early_terminate=True,
+    )
+    return attach_docmap(spark, idx, res.drop("n_chars"), manifest=mf).select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -1615,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_min_should2": _q_eng_min_should,
         "eng_more_like_this": _q_eng_mlt,
         "eng_pctl_nchars": _q_eng_pctl_nchars,
+        "eng_sort_early": _q_eng_sort_early,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_term_vectors": _q_term_vectors,
         "eng_sayt_prefix": _q_eng_sayt_prefix,
@@ -1926,6 +1945,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(x, 0.75), 6) FROM v"
         ),
         "eng_sort_nchars": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
+            "FROM m JOIN documents d USING(doc_id) "
+            "ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20"
+        ),
+        "eng_sort_early": (
             f"WITH {TOKS_CTE}, "
             "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
             "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
