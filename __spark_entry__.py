@@ -879,12 +879,15 @@ def _perc_queries():
         "q_or": "text:window OR text:stream",
         # positional subscription: verified against the doc token stream
         "q_phrase": 'text:"hash join"',
+        # numeric subscription: term + doc-value range in one alert
+        "q_range": "text:spark AND n_chars:[200 TO 400]",
     }
 
 
 def _q_perc_match(spark, sf_dir):
-    """Percolator (reverse search): four stored boolean subscriptions
-    matched against the whole documents table in one broadcast join."""
+    """Percolator (reverse search): six stored subscriptions (boolean,
+    positional phrase, term+numeric-range) matched against the whole
+    documents table in one broadcast join."""
     from ostrich_spark.percolate import percolate, register_queries
     from ostrich_spark.schema import Schema
 
@@ -2068,7 +2071,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'q_or' FROM flags WHERE h_window OR h_stream "
             "UNION ALL SELECT DISTINCT a.doc_id, 'q_phrase' FROM pos a JOIN pos b "
             "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
-            "AND a.term = 'hash' AND b.term = 'join'"
+            "AND a.term = 'hash' AND b.term = 'join' "
+            "UNION ALL SELECT f.doc_id, 'q_range' FROM flags f "
+            "JOIN documents d USING(doc_id) "
+            "WHERE f.h_spark AND d.n_chars BETWEEN 200 AND 400"
         ),
         "eng_term_positions": (
             f"WITH {TOKLIST_CTE}, {POS_CTE} "

@@ -53,6 +53,7 @@ from .query.parser import (
     SHOULD,
     BooleanQuery,
     PhraseQuery,
+    RangeQuery,
     TermQuery,
     parse_query,
 )
@@ -76,6 +77,10 @@ class PercolatorQueries:
     field_ids: tuple[int, ...]  # every field any query touches
     # (query_id, occur, field_id, terms, slop) — distinct phrase units
     phrase_rows: tuple[tuple[str, str, int, tuple[str, ...], int], ...] = ()
+    # (query_id, occur, field_id, lo, hi, include_lo, include_hi) —
+    # distinct numeric range units (bounds as float, open = ±inf;
+    # comparisons run in double — exact for doc values up to 2^53)
+    range_rows: tuple[tuple[str, str, int, float, float, bool, bool], ...] = ()
 
 
 def _flatten_terms(query_id: str, q):
@@ -90,6 +95,14 @@ def _flatten_terms(query_id: str, q):
                 "p",
                 (query_id, occur, sub.field_id, tuple(sub.terms), int(sub.slop)),
             )
+        if isinstance(sub, RangeQuery):
+            lo = float("-inf") if sub.lo is None else float(sub.lo)
+            hi = float("inf") if sub.hi is None else float(sub.hi)
+            return (
+                "r",
+                (query_id, occur, sub.field_id, lo, hi,
+                 bool(sub.include_lo), bool(sub.include_hi)),
+            )
         raise ValueError(
             f"percolator query {query_id!r}: unsupported clause "
             f"{type(sub).__name__} — percolation supports flat boolean "
@@ -97,15 +110,19 @@ def _flatten_terms(query_id: str, q):
             f"expanded multi-term queries)"
         )
 
-    if isinstance(q, (TermQuery, PhraseQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, RangeQuery)):
         kind, row = leaf(MUST, q)
-        return ([row], []) if kind == "t" else ([], [row])
+        return (
+            [row] if kind == "t" else [],
+            [row] if kind == "p" else [],
+            [row] if kind == "r" else [],
+        )
     if isinstance(q, BooleanQuery):
-        t_rows, p_rows = [], []
+        t_rows, p_rows, r_rows = [], [], []
         for occur, sub in q.subqueries:
             kind, row = leaf(occur, sub)
-            (t_rows if kind == "t" else p_rows).append(row)
-        return t_rows, p_rows
+            {"t": t_rows, "p": p_rows, "r": r_rows}[kind].append(row)
+        return t_rows, p_rows, r_rows
     raise ValueError(
         f"percolator query {query_id!r}: unsupported query type "
         f"{type(q).__name__}"
@@ -125,17 +142,24 @@ def register_queries(
     term_rows: list[tuple[str, str, int, str]] = []
     req_rows: list[tuple[str, int, int]] = []
     phrase_rows: list[tuple[str, str, int, tuple[str, ...], int]] = []
+    range_rows: list[tuple[str, str, int, float, float, bool, bool]] = []
     for qid, q in queries.items():
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
         )
-        t_rows, p_rows = _flatten_terms(qid, logical)
+        t_rows, p_rows, r_rows = _flatten_terms(qid, logical)
+        for _, _, f, *_ in r_rows:
+            if not schema.fields[f].is_numeric:
+                raise ValueError(
+                    f"percolator query {qid!r}: range clause on "
+                    f"non-numeric field {schema.fields[f].name!r}"
+                )
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
-        }
+        } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)}
         shoulds = {(f, t) for _, o, f, t in t_rows if o == SHOULD} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o == SHOULD
-        }
+        } | {r[2:] for r in r_rows if r[1] == SHOULD}
         n_positive = len(musts) + len(shoulds)
         if n_positive == 0:
             raise ValueError(
@@ -154,14 +178,18 @@ def register_queries(
             req_should = 0
         term_rows.extend(dict.fromkeys(t_rows))  # distinct, order-preserving
         phrase_rows.extend(dict.fromkeys(p_rows))
+        range_rows.extend(dict.fromkeys(r_rows))
         req_rows.append((qid, len(musts), req_should))
     field_ids = tuple(
         sorted(
-            {f for _, _, f, _ in term_rows} | {f for _, _, f, _, _ in phrase_rows}
+            {f for _, _, f, _ in term_rows}
+            | {f for _, _, f, _, _ in phrase_rows}
+            | {r[2] for r in range_rows}
         )
     )
     return PercolatorQueries(
-        tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows)
+        tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows),
+        tuple(range_rows),
     )
 
 
@@ -334,6 +362,34 @@ def percolate(
             toks_df.mapInPandas(
                 verify, f"_pid {id_type}, query_id string, occur string"
             )
+        )
+
+    rng_fids = sorted({r[2] for r in pq.range_rows})
+    if rng_fids:
+        vals = None
+        for fid in rng_fids:
+            v = docs_df.select(
+                F.col(id_col).alias("_pid"),
+                F.lit(fid).alias("field_id"),
+                F.col(doc_col(fid)).cast("double").alias("_v"),
+            ).filter(F.col("_v").isNotNull())
+            vals = v if vals is None else vals.unionByName(v)
+        rq = spark.createDataFrame(
+            list(pq.range_rows),
+            "query_id string, occur string, field_id int, lo double, "
+            "hi double, ilo boolean, ihi boolean",
+        )
+        cond = (
+            (F.col("_v") > F.col("lo"))
+            | (F.col("ilo") & (F.col("_v") == F.col("lo")))
+        ) & (
+            (F.col("_v") < F.col("hi"))
+            | (F.col("ihi") & (F.col("_v") == F.col("hi")))
+        )
+        contribs.append(
+            vals.join(
+                F.broadcast(rq), on=(vals.field_id == rq.field_id) & cond
+            ).select("_pid", "query_id", "occur")
         )
 
     hits = contribs[0]

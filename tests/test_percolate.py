@@ -12,18 +12,19 @@ from ostrich_spark.query.exec import attach_docmap, search
 from ostrich_spark.query.parser import (
     BooleanQuery,
     PhraseQuery,
+    RangeQuery,
     TermQuery,
 )
 from ostrich_spark.schema import Schema
 
 DOCS = [
-    {"doc_key": 0, "text": "spark join window", "title": "Serious streaming"},
-    {"doc_key": 1, "text": "spark join", "title": "viruses everywhere"},
-    {"doc_key": 2, "text": "spark", "title": "spark notes"},
-    {"doc_key": 3, "text": "join window stream", "title": "windows"},
-    {"doc_key": 4, "text": "window", "title": "join the stream"},
-    {"doc_key": 5, "text": "nothing here at all", "title": "empty"},
-    {"doc_key": 6, "text": "spark spark join window stream", "title": "all of it"},
+    {"doc_key": 0, "text": "spark join window", "title": "Serious streaming", "num": 5},
+    {"doc_key": 1, "text": "spark join", "title": "viruses everywhere", "num": 12},
+    {"doc_key": 2, "text": "spark", "title": "spark notes", "num": 30},
+    {"doc_key": 3, "text": "join window stream", "title": "windows", "num": 18},
+    {"doc_key": 4, "text": "window", "title": "join the stream", "num": None},
+    {"doc_key": 5, "text": "nothing here at all", "title": "empty", "num": 44},
+    {"doc_key": 6, "text": "spark spark join window stream", "title": "all of it", "num": 10},
 ]
 
 T = lambda t: TermQuery(0, t)  # field 0 = text
@@ -34,6 +35,7 @@ def perc_schema():
     schema = Schema()
     schema.add_text_field("text", "default", positions=True)
     schema.add_text_field("title", "en_stem")
+    schema.add_numeric_field("num")  # field 2
     return schema
 
 
@@ -78,6 +80,14 @@ QUERIES = {
     "q_phrase_beside_term": BooleanQuery(
         [("must", PhraseQuery(0, ("join", "window"))), ("must", T("stream"))]
     ),
+    # numeric ranges: pure, FILTER beside a term, as MUST_NOT, open bound
+    # (null num values never match — SQL comparison semantics both sides)
+    "q_range": "num:[10 TO 30]",
+    "q_range_filter": BooleanQuery(
+        [("must", T("spark")), ("filter", RangeQuery(2, 10, None))]
+    ),
+    "q_not_range": BooleanQuery.excluding(T("spark"), RangeQuery(2, None, 15)),
+    "q_range_excl": "num:{10 TO 30}",
 }
 
 
@@ -188,3 +198,10 @@ def test_percolate_streaming_foreachbatch(spark, tmp_path, perc_schema):
     q.awaitTermination(120)
     want = {(0, "alerts"), (1, "alerts"), (6, "alerts")}
     assert set(matches) == want
+
+
+def test_percolate_range_on_text_field_rejected(perc_schema):
+    with pytest.raises(ValueError, match="non-numeric"):
+        register_queries(
+            {"bad": BooleanQuery([("must", RangeQuery(0, 1, 2))])}, perc_schema
+        )
