@@ -2142,6 +2142,11 @@ def _search_sorted_early(
             stats=dict(manifest.stats),
             analyzers=manifest.analyzers,
         )
+        # snapshot manifests pin a tombstone version (None is meaningful:
+        # "no deletes at that commit"); waves must read deletes as-of
+        # the same commit, not CURRENT — propagate the attribute itself
+        if hasattr(manifest, "pinned_tombstone_dir"):
+            sub.pinned_tombstone_dir = manifest.pinned_tombstone_dir
         res, _ = search(
             spark, index_dir, query, limit=None, scorer=scorer,
             manifest=sub, default_fields=default_fields,

@@ -499,3 +499,37 @@ def test_sorted_early_with_tombstones(spark, tmp_path):
     ).collect()
     # k=0,1 tombstoned: the smallest surviving ratings are k=2,3,4
     assert [r["rating"] for r in rows] == [1.0, 1.5, 2.0]
+
+
+def test_sorted_early_snapshot_pins_deletes(spark, tmp_path):
+    """A snapshot-loaded manifest's pinned tombstone version must ride
+    into every wave: the pre-delete snapshot still sees the doc, CURRENT
+    does not — in early-terminate mode too."""
+    from ostrich_spark.manifest import load_manifest as _lm, set_snapshot_retention
+    from ostrich_spark.query.exec import search_sorted
+
+    idx = str(tmp_path / "idx")
+    set_snapshot_retention(idx, 4)
+    _build2 = _build(spark, tmp_path, n=40, parts=4)
+    idx = _build2
+    pre = _lm(idx)
+    delete_docs(spark, idx, spark.createDataFrame([(0,), (1,)], "k long"), ["k"])
+    q = ("content:merge OR content:policy OR content:segment OR content:index "
+         "OR content:spark OR content:query OR content:score")
+    cur = search_sorted(
+        spark, idx, q, by="rating", ascending=True, limit=3,
+        early_terminate=True,
+    ).collect()
+    assert [r["rating"] for r in cur] == [1.0, 1.5, 2.0]
+    # need snapshot retention for an as-of read: re-check via load(opstamp)
+    try:
+        snap = _lm(idx, opstamp=pre.opstamp)
+    except FileNotFoundError:
+        import pytest as _pytest
+
+        _pytest.skip("snapshot not retained in this layout")
+    old = search_sorted(
+        spark, idx, q, by="rating", ascending=True, limit=3,
+        early_terminate=True, manifest=snap,
+    ).collect()
+    assert [r["rating"] for r in old] == [0.0, 0.5, 1.0]
