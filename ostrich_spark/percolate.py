@@ -88,6 +88,12 @@ def _flatten_terms(query_id: str, q):
     (term rows, phrase rows)."""
 
     def leaf(occur, sub):
+        # FILTER requires exactly like MUST in percolation (no scoring
+        # here) — normalize so the SAME unit under both occurs dedups to
+        # ONE hit row; two rows would make must_hits overshoot n_must
+        # (n_must counts distinct UNITS) and the query could never match
+        if occur == FILTER:
+            occur = MUST
         if isinstance(sub, TermQuery):
             return ("t", (query_id, occur, sub.field_id, sub.term))
         if isinstance(sub, PhraseQuery):

@@ -205,3 +205,52 @@ def test_percolate_range_on_text_field_rejected(perc_schema):
         register_queries(
             {"bad": BooleanQuery([("must", RangeQuery(0, 1, 2))])}, perc_schema
         )
+
+
+def test_percolate_fuzz_identity(spark, perc_index, perc_schema):
+    """25 seeded random subscriptions (boolean trees over terms, phrases
+    and numeric ranges, random occurs + min_should) — match sets
+    identical to forward search for every one."""
+    import random
+
+    rng = random.Random(7)
+    terms = ["spark", "join", "window", "stream", "nothing", "absent"]
+
+    def rand_leaf():
+        r = rng.random()
+        if r < 0.55:
+            return TermQuery(0, rng.choice(terms))
+        if r < 0.75:
+            n = rng.randint(2, 3)
+            return PhraseQuery(0, tuple(rng.sample(terms[:4], n)), slop=rng.choice([0, 1]))
+        lo = rng.choice([None, 5, 10, 18])
+        hi = rng.choice([None, 12, 30, 44])
+        if lo is None and hi is None:
+            lo = 10
+        if lo is not None and hi is not None and lo > hi:
+            lo, hi = hi, lo
+        return RangeQuery(2, lo, hi, rng.random() < 0.8, rng.random() < 0.8)
+
+    subs = {}
+    for i in range(25):
+        n = rng.randint(1, 4)
+        clauses, has_positive = [], False
+        for _ in range(n):
+            occ = rng.choice(["must", "should", "must_not", "filter"])
+            if occ != "must_not":
+                has_positive = True
+            clauses.append((occ, rand_leaf()))
+        if not has_positive:
+            clauses.append(("must", TermQuery(0, rng.choice(terms[:4]))))
+        n_should = sum(1 for o, _ in clauses if o == "should")
+        ms = rng.randint(1, max(n_should, 1)) if n_should else 1
+        subs[f"f{i}"] = BooleanQuery(clauses, min_should=ms)
+
+    pq = register_queries(subs, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    got = {}
+    for r in percolate(spark, docs, pq, perc_schema, id_col="doc_key").collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_key"])
+    for qid, q in subs.items():
+        want = _forward_matches(spark, perc_index, q, perc_schema)
+        assert got.get(qid, set()) == want, (qid, q)
