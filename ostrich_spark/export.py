@@ -230,6 +230,11 @@ def add_indexes(
                 for seg in sm.segments:
                     src = os.path.join(sd, SEGMENTS_DIR, seg.segment_id)
                     dst = os.path.join(dest_dir, SEGMENTS_DIR, seg.segment_id)
+                    # a crashed earlier attempt leaves a partial copy —
+                    # safe to replace: the collision check above proved
+                    # no committed manifest references this id, so the
+                    # dir is an orphan (retry idempotence)
+                    shutil.rmtree(dst, ignore_errors=True)
                     shutil.copytree(src, dst, copy_function=_copy)
                 tomb_rows.extend(
                     (sid, int(d))

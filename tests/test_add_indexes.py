@@ -177,3 +177,41 @@ def test_reindex_excludes_tombstones_and_validates(spark, tmp_path):
     ks = {k for k, _ in _hits(spark, dest, "content:merge OR content:policy OR "
                               "content:segment OR content:index OR content:spark")}
     assert 3 not in ks and len(ks) == 9
+
+
+def test_add_indexes_crash_then_retry(spark, tmp_path, monkeypatch):
+    """Crash mid-copy: dest's committed manifest is untouched (manifest
+    written LAST) and a retry succeeds over the partial orphan dirs."""
+    import shutil as _sh
+
+    import ostrich_spark.export as ex
+
+    a = _build(spark, str(tmp_path / "a"), 0, 20, "ba")
+    b = _build(spark, str(tmp_path / "b"), 20, 40, "bb")
+    before = load_manifest(a)
+    calls = {"n": 0}
+    real = _sh.copytree
+
+    def crashing(src, dst, *args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first segment copies, second crashes
+            real(src, dst, *args, **kw)  # leave a PARTIAL second dir too
+            raise RuntimeError("simulated crash mid-copy")
+        return real(src, dst, *args, **kw)
+
+    monkeypatch.setattr(ex.shutil, "copytree", crashing)
+    with pytest.raises(RuntimeError, match="simulated"):
+        add_indexes(spark, a, [b])
+    monkeypatch.setattr(ex.shutil, "copytree", real)
+    # dest commit point unchanged; search unaffected
+    after = load_manifest(a)
+    assert after.opstamp == before.opstamp
+    assert len(after.segments) == len(before.segments)
+    assert len(_hits(spark, a, "content:merge")) > 0
+    # retry over the orphan dirs succeeds and equals a clean absorb
+    m = add_indexes(spark, a, [b])
+    assert m.total_docs == 40
+    c = _build(spark, str(tmp_path / "c"), 0, 40, "bc")
+    assert _hits(spark, a, "content:merge OR content:score") == _hits(
+        spark, c, "content:merge OR content:score"
+    )
