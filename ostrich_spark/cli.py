@@ -470,21 +470,35 @@ def cmd_mlt(args) -> int:
     if args.file:
         with open(args.file) as f:
             text = f.read()
-    if not text:
-        print("mlt: need TEXT or --file", file=sys.stderr)
+    if bool(text) == bool(args.id):
+        print("mlt: need exactly one of TEXT/--file or --id", file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
-    res, _ = more_like_this(
-        spark,
-        args.path,
-        args.field,
-        text,
-        max_query_terms=args.max_terms,
-        min_doc_freq=args.min_doc_freq,
-        limit=args.limit,
-        scorer=args.scorer,
-    )
+    if args.id:
+        from .query.exec import more_like_this_doc
+
+        try:
+            res, _ = more_like_this_doc(
+                spark, args.path, args.field, args.id, args.id_col,
+                max_query_terms=args.max_terms,
+                min_doc_freq=args.min_doc_freq,
+                limit=args.limit, scorer=args.scorer,
+            )
+        except ValueError as e:
+            print(f"mlt: {e}", file=sys.stderr)
+            return 2
+    else:
+        res, _ = more_like_this(
+            spark,
+            args.path,
+            args.field,
+            text,
+            max_query_terms=args.max_terms,
+            min_doc_freq=args.min_doc_freq,
+            limit=args.limit,
+            scorer=args.scorer,
+        )
     rows = res.collect()
     elapsed = time.time() - t0
     for r in rows:
@@ -1103,6 +1117,9 @@ def main(argv=None) -> int:
     ml.add_argument("-p", "--path", required=True)
     ml.add_argument("--field", required=True, help="text field to match on")
     ml.add_argument("--file", help="read the source text from this file")
+    ml.add_argument("--id", help="seed from a stored document instead of "
+                    "text (ES like:[{_id}] form); requires --id-col")
+    ml.add_argument("--id-col", default="doc_id")
     ml.add_argument("--max-terms", type=int, default=25)
     ml.add_argument("--min-doc-freq", type=int, default=1)
     ml.add_argument("-l", "--limit", type=int, default=10)

@@ -2720,6 +2720,58 @@ def numeric_percentiles(
     )
 
 
+def more_like_this_doc(
+    spark,
+    index_dir: str,
+    field_name: str,
+    value,
+    key_col: str,
+    exclude_self: bool = True,
+    manifest: Manifest | None = None,
+    **kw,
+):
+    """More-like-this seeded by a DOCUMENT IDENTITY instead of raw text —
+    the ES ``more_like_this`` ``like: [{_id}]`` form. The seed doc's
+    stored field value (store=True required) feeds the normal
+    ``more_like_this``; with ``exclude_self`` (the ES default) the seed
+    doc is dropped from the ranking. Extra kwargs pass through
+    (max_query_terms, scorer, limit, ...). Tombstoned/unknown seeds
+    raise (a deleted doc cannot seed)."""
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field_name)
+    if fe is None or fe.is_numeric or not fe.store:
+        raise ValueError(
+            f"{field_name!r} must be a store=True text field to seed "
+            "more_like_this by document identity"
+        )
+    rows = get_docs(spark, index_dir, [value], key_col, manifest=manifest).collect()
+    if not rows:
+        raise ValueError(
+            f"no live document with {key_col}={value!r} (deleted docs "
+            "cannot seed more-like-this)"
+        )
+    seed = rows[0]
+    limit = kw.pop("limit", 10)
+    fetch = None if limit is None else limit + (1 if exclude_self else 0)
+    res, cnt = more_like_this(
+        spark, index_dir, field_name, seed[field_name] or "",
+        manifest=manifest, limit=fetch, **kw,
+    )
+    if exclude_self:
+        from pyspark.sql import functions as F
+
+        res = res.filter(
+            ~(
+                (F.col("segment_id") == seed["segment_id"])
+                & (F.col("doc") == seed["doc"])
+            )
+        )
+        if limit is not None:
+            res = res.limit(limit)
+    return res, cnt
+
+
 def more_like_this(
     spark,
     index_dir: str,

@@ -215,3 +215,41 @@ def test_add_indexes_crash_then_retry(spark, tmp_path, monkeypatch):
     assert _hits(spark, a, "content:merge OR content:score") == _hits(
         spark, c, "content:merge OR content:score"
     )
+
+
+# ---------------------------------------------------------------------------
+# more_like_this by document identity (ES like:[{_id}])
+# ---------------------------------------------------------------------------
+
+
+def test_mlt_by_doc_id(spark, tmp_path):
+    from ostrich_spark.query.exec import more_like_this, more_like_this_doc
+
+    src = str(tmp_path / "mlt")
+    docs = [
+        {"k": 0, "content": "spark streaming joins windows"},
+        {"k": 1, "content": "spark streaming windows galore"},
+        {"k": 2, "content": "completely different topic entirely"},
+    ]
+    s = Schema()
+    s.add_text_field("content", "default", store=True)
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(docs)), s, src,
+        num_partitions=1, order_col="k", id_cols=["k"], build_id="m",
+    )
+    res, _ = more_like_this_doc(spark, src, "content", 0, "k", limit=5)
+    got = attach_docmap(spark, src, res).select("k").collect()
+    ks = [r["k"] for r in got]
+    assert 0 not in ks and 1 in ks  # self excluded, near-dup found
+    # exclude_self=False reproduces the raw text-seeded ranking
+    res2, _ = more_like_this_doc(
+        spark, src, "content", 0, "k", exclude_self=False, limit=5
+    )
+    raw, _ = more_like_this(
+        spark, src, "content", docs[0]["content"], limit=5
+    )
+    assert sorted(map(tuple, res2.collect())) == sorted(map(tuple, raw.collect()))
+    # deleted seeds and non-stored fields raise
+    delete_docs(spark, src, spark.createDataFrame([(0,)], "k long"), ["k"])
+    with pytest.raises(ValueError, match="deleted docs"):
+        more_like_this_doc(spark, src, "content", 0, "k")
