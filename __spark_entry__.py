@@ -824,6 +824,32 @@ def _q_eng_grouped(spark, sf_dir):
     )
 
 
+def _q_eng_grouped_totals(spark, sf_dir):
+    """Grouped search with per-group totals (ES inner_hits ``total``):
+    same top-2-per-lang ranking as eng_grouped_topn plus each group's
+    FULL match count — how much the per_group cut hides. The count is
+    carried through the map-side prune (survivors absorb pruned rows'
+    counts), never a second evaluation of the match set."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_grouped
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_grouped(
+        spark, idx, "text:spark OR text:join", "lang",
+        per_group=2, groups=None, manifest=mf, tiebreak=["doc_id"],
+        with_totals=True,
+    )
+    return attach_docmap(spark, idx, res.drop("lang"), manifest=mf).select(
+        F.col("lang"),
+        F.col("group_rank").cast("long"),
+        F.col("hit_rank").cast("long"),
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.col("group_total").cast("long"),
+    )
+
+
 def _q_eng_boosted(spark, sf_dir):
     """Function score (ES function_score analog): TF-IDF multiplied by
     (1 + 0.001 * n_chars) — relevance x stored numeric signal; docs keep
@@ -1647,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_bm25_topk": _q_eng_bm25_topk,
         "eng_collapse_lang": _q_eng_collapse,
         "eng_grouped_topn": _q_eng_grouped,
+        "eng_grouped_totals": _q_eng_grouped_totals,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2027,6 +2054,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT j.lang, gr.group_rank, j.rn AS hit_rank, j.doc_id, "
             "round(j.score, 6) AS score "
             "FROM j JOIN gr ON j.lang IS NOT DISTINCT FROM gr.lang "
+            "WHERE j.rn <= 2"
+        ),
+        # grouped search + per-group full match counts (inner_hits total)
+        "eng_grouped_totals": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('spark','join')), "
+            "g AS (SELECT doc_id, sum(sc) AS score FROM s GROUP BY doc_id), "
+            "j AS (SELECT d.lang, g.doc_id, g.score, row_number() OVER "
+            "(PARTITION BY d.lang ORDER BY g.score DESC, g.doc_id ASC) AS rn "
+            "FROM g JOIN documents d USING(doc_id)), "
+            "tot AS (SELECT lang, count(*) AS group_total FROM j GROUP BY lang), "
+            "champ AS (SELECT lang, doc_id AS cdoc, score AS cscore FROM j WHERE rn = 1), "
+            "gr AS (SELECT lang, row_number() OVER "
+            "(ORDER BY cscore DESC, cdoc ASC) AS group_rank FROM champ) "
+            "SELECT j.lang, gr.group_rank, j.rn AS hit_rank, j.doc_id, "
+            "round(j.score, 6) AS score, tot.group_total "
+            "FROM j JOIN gr ON j.lang IS NOT DISTINCT FROM gr.lang "
+            "JOIN tot ON j.lang IS NOT DISTINCT FROM tot.lang "
             "WHERE j.rn <= 2"
         ),
         # function score: tfidf * (1 + 0.001 * n_chars)

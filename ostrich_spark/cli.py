@@ -121,14 +121,17 @@ def cmd_search(args) -> int:
             spark, args.path, args.query, args.group_by,
             per_group=args.per_group, groups=args.limit,
             group_offset=args.offset, scorer=args.scorer,
+            with_totals=args.group_totals,
         )
         rows = res.collect()
         elapsed = time.time() - t0
         last_g = None
         for r in rows:
             if r["group_rank"] != last_g:
+                total = (f" of {r['group_total']} matches"
+                         if args.group_totals else "")
                 print(f"{args.group_by}={r[args.group_by]} "
-                      f"(group {r['group_rank']})")
+                      f"(group {r['group_rank']}{total})")
                 last_g = r["group_rank"]
             print(f"  {r['score']:.4f} {r['segment_ord']}/{r['doc']}")
         print(f"elapsed: {elapsed:.3f}s")
@@ -1028,6 +1031,9 @@ def main(argv=None) -> int:
     )
     s.add_argument("--per-group", type=int, default=3,
                    help="with --group-by: hits kept per group")
+    s.add_argument("--group-totals", action="store_true",
+                   help="with --group-by: report each group's full "
+                        "match count (ES inner_hits total)")
     s.add_argument(
         "--boost-by", metavar="FIELD",
         help="function score: combine relevance with this numeric "

@@ -2392,6 +2392,7 @@ def search_grouped(
     manifest: Manifest | None = None,
     default_fields: list[str] | None = None,
     tiebreak: list[str] | None = None,
+    with_totals: bool = False,
 ):
     """Top-N hits PER GROUP — grouped search (Lucene grouping module /
     Elasticsearch ``collapse`` with ``inner_hits`` analog; EXTENSION,
@@ -2413,7 +2414,10 @@ def search_grouped(
     segment_id, segment_ord, doc, score), ordered by
     (group_rank asc, hit_rank asc). group_rank starts at 1 AFTER
     ``group_offset`` is applied; hit_rank is 1..per_group within the
-    group.
+    group. ``with_totals=True`` adds ``group_total`` — the group's FULL
+    match count (the ES inner_hits ``total`` — how much the per_group
+    cut hides), from one extra partial-aggregated count over the
+    unpruned match set.
 
     Scale posture: match evaluation is exhaustive (a group champion may
     score below any top-k cut, so WAND cannot apply — the Lucene
@@ -2458,6 +2462,12 @@ def search_grouped(
         ["segment_id", "doc"],
         "inner",
     )
+    if with_totals:
+        # each row carries a count contribution; the prune re-weights the
+        # survivors so per-batch sums are preserved (see _prune) and the
+        # final SUM per group equals the unpruned match count — one pass,
+        # no second evaluation of the match set.
+        matched = matched.withColumn("_cnt", F.lit(1).cast("long"))
 
     # map-side pre-prune: per Arrow batch, keep each group's local
     # top-per_group under the final within-group order. Sort semantics
@@ -2471,15 +2481,31 @@ def search_grouped(
     n_keep = per_group
     gcol = group_by
 
+    want_totals = with_totals
+
     def _prune(batches):
         for pdf in batches:
             if len(pdf) <= n_keep:
+                # every row survives, so _cnt=1 per row is already exact
                 yield pdf
                 continue
             pdf = pdf.sort_values(
                 sort_cols, ascending=ascending, na_position="first"
             )
-            yield pdf.groupby(gcol, dropna=False, sort=False).head(n_keep)
+            grp = pdf.groupby(gcol, dropna=False, sort=False)
+            kept = grp.head(n_keep)
+            if want_totals:
+                # sum(_cnt) over a group's SURVIVING rows must equal the
+                # group's row count in this batch: first survivor absorbs
+                # the pruned rows' counts, the rest keep 1.
+                kept = kept.copy()
+                total = grp["score"].transform("size").loc[kept.index]
+                ksz = kept.groupby(gcol, dropna=False, sort=False)[
+                    "score"
+                ].transform("size")
+                first = ~kept.duplicated(subset=[gcol])
+                kept["_cnt"] = (total - ksz + 1).where(first, 1).astype("int64")
+            yield kept
 
     pruned = matched.mapInPandas(_prune, schema=matched.schema)
 
@@ -2492,7 +2518,7 @@ def search_grouped(
     payload = F.struct(
         F.col("segment_id"), F.col("segment_ord"), F.col("doc"), F.col("score")
     )
-    agg = pruned.groupBy(group_by).agg(
+    aggs = [
         F.slice(
             F.sort_array(
                 F.collect_list(F.struct(order_key.alias("k"), payload.alias("p")))
@@ -2500,7 +2526,10 @@ def search_grouped(
             1,
             per_group,
         ).alias("hits")
-    )
+    ]
+    if with_totals:
+        aggs.append(F.sum("_cnt").alias("group_total"))
+    agg = pruned.groupBy(group_by).agg(*aggs)
     ranked = agg.withColumn("gkey", F.col("hits")[0]["k"])
     if groups is not None:
         # TakeOrderedAndProject: one row per group, bounded global sort
@@ -2510,9 +2539,11 @@ def search_grouped(
     if group_offset:
         ranked = ranked.filter(F.col("_gr") > group_offset)
     ranked = ranked.withColumn("group_rank", F.col("_gr") - F.lit(group_offset))
+    extra = ["group_total"] if with_totals else []
     out = ranked.select(
         F.col(group_by),
         "group_rank",
+        *extra,
         F.posexplode("hits").alias("_pos", "_h"),
     ).select(
         F.col(group_by),
@@ -2522,6 +2553,7 @@ def search_grouped(
         F.col("_h.p.segment_ord").alias("segment_ord"),
         F.col("_h.p.doc").alias("doc"),
         F.col("_h.p.score").alias("score"),
+        *extra,
     )
     return out.orderBy(F.asc("group_rank"), F.asc("hit_rank"))
 

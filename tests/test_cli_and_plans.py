@@ -267,7 +267,7 @@ def test_cli_mlt(small_index):
          "--field", "content"],
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
-    assert bad.returncode == 2 and "need TEXT" in bad.stderr
+    assert bad.returncode == 2 and "need exactly one of TEXT" in bad.stderr
 
 
 def test_cli_search_after_cursor(small_index):

@@ -462,3 +462,45 @@ def test_grouped_fuzz_vs_bruteforce(spark, cb_index):
             ).collect()
         ]
         assert got == want, (trial, q, per_group, tiebreak)
+
+
+def test_grouped_with_totals(spark, cb_index):
+    """with_totals=True adds group_total = the group's FULL match count
+    (what the per_group cut hides), without changing any base column —
+    and the count survives the map-side prune under 1-row Arrow batches
+    (the prune re-weights survivors so per-batch sums are preserved)."""
+    from ostrich_spark.query.exec import search_grouped
+
+    q = "text:spark OR text:join"
+    full = _exhaustive(spark, cb_index, q)
+    want_totals = {}
+    for r in full.values():
+        want_totals[r["grp"]] = want_totals.get(r["grp"], 0) + 1
+
+    base = search_grouped(
+        spark, cb_index, q, "grp", per_group=1, groups=None
+    ).collect()
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try:
+        got = search_grouped(
+            spark, cb_index, q, "grp", per_group=1, groups=None,
+            with_totals=True,
+        ).collect()
+    finally:
+        spark.conf.set(key, old)
+
+    # base columns identical to the plain path
+    cols = ("group_rank", "hit_rank", "segment_ord", "doc", "score")
+    assert [tuple(r[c] for c in cols) for r in got] == [
+        tuple(r[c] for c in cols) for r in base
+    ]
+    # every row of a group reports the same total, equal to the
+    # exhaustive match count — including for groups larger than per_group
+    for r in got:
+        assert r["group_total"] == want_totals[r["grp"]], r
+    assert any(
+        want_totals[r["grp"]] > 1 for r in got
+    ), "fixture must have a group bigger than per_group"
