@@ -121,6 +121,75 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+_KW_INDEX_CACHE: dict[str, str] = {}
+
+
+def _kw_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with keyword doc-value fields (lang, source): the ES
+    keyword-type analog — exact-match / exists filters over docmap
+    columns, composable with scored text queries."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _KW_INDEX_CACHE:
+        return _KW_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-kw1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_keyword_field("lang")
+        schema.add_keyword_field("source")
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-kw-{tag}",
+        )
+    _KW_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_keyword_eq(spark, sf_dir):
+    """Keyword equality queries (ES term-on-keyword analog): OR of two
+    exact-match doc-value filters; per-doc score = sum of matching
+    constants (ConstantScore semantics)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _kw_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(
+        spark, idx, "lang:fr OR source:src3", limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_keyword_filter(spark, sf_dir):
+    """Scored text query constrained by a keyword MUST clause (the ES
+    bool-query-with-keyword-term shape): tfidf text score + 1.0
+    constant from the keyword match."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _kw_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(
+        spark, idx, "text:spark AND lang:fr", limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
     """All matches via the real engine; -> (doc_id, score) rounded."""
     from ostrich_spark.manifest import load_manifest
@@ -1674,6 +1743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_collapse_lang": _q_eng_collapse,
         "eng_grouped_topn": _q_eng_grouped,
         "eng_grouped_totals": _q_eng_grouped_totals,
+        "eng_keyword_eq": _q_eng_keyword_eq,
+        "eng_keyword_filter": _q_eng_keyword_filter,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2074,6 +2145,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM j JOIN gr ON j.lang IS NOT DISTINCT FROM gr.lang "
             "JOIN tot ON j.lang IS NOT DISTINCT FROM tot.lang "
             "WHERE j.rn <= 2"
+        ),
+        # keyword equality (ES term-on-keyword): constant-score union
+        "eng_keyword_eq": (
+            "SELECT doc_id, round("
+            "(CASE WHEN lang = 'fr' THEN 1.0 ELSE 0.0 END) + "
+            "(CASE WHEN source = 'src3' THEN 1.0 ELSE 0.0 END), 6) AS score "
+            "FROM documents WHERE lang = 'fr' OR source = 'src3'"
+        ),
+        # keyword MUST beside a scored text clause: tfidf + 1.0 constant
+        "eng_keyword_filter": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) + 1.0, 6) AS score "
+            "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND doc.lang = 'fr'"
         ),
         # function score: tfidf * (1 + 0.001 * n_chars)
         "eng_boosted_topk": (

@@ -138,10 +138,10 @@ def build_segment_tables(
     field_tokens: dict[str, int] = {}
 
     for fe in schema.fields:
-        if fe.is_numeric:
-            # numeric doc-value field: no tokens, no postings, no norms —
-            # the typed value is written into the docmap below. Excluded
-            # from content_sha256 (the sha is the TEXT-content invariant).
+        if fe.is_doc_value:
+            # numeric/keyword doc-value field: no tokens, no postings, no
+            # norms — the typed value is written into the docmap below.
+            # Excluded from content_sha256 (the TEXT-content invariant).
             continue
         col = pdf[fe.name] if fe.name in pdf.columns else pd.Series([""] * n_docs)
         # multi-valued text (repeated FieldValues, schema/document.go:20-46):
@@ -302,6 +302,17 @@ def build_segment_tables(
                 if fe.field_type == "long"
                 else np.full(n_docs, np.nan)
             )
+    # keyword doc values: raw strings, NULL-preserving (a missing value is
+    # no value — it never matches equality or exists)
+    for fe in schema.fields:
+        if not fe.is_keyword or fe.name in docmap.columns:
+            continue
+        if fe.name in pdf.columns:
+            docmap[fe.name] = (
+                pdf[fe.name].astype("string").to_numpy(dtype=object, na_value=None)
+            )
+        else:
+            docmap[fe.name] = np.full(n_docs, None, dtype=object)
     docmap["content_sha256"] = (
         sha_parts.to_numpy() if sha_parts is not None else np.full(n_docs, "", object)
     )
@@ -429,7 +440,7 @@ def build_index(
     analyzers = {
         fe.analyzer: get_analyzer(fe.analyzer)
         for fe in schema.fields
-        if not fe.is_numeric
+        if not fe.is_doc_value
     }
     idx_dir = index_dir
     bid = build_id
@@ -603,7 +614,7 @@ def build_index(
     for name in {
         n
         for fe in schema.fields
-        if not fe.is_numeric
+        if not fe.is_doc_value
         for n in (fe.analyzer, fe.query_analyzer)
         if n and n not in BUILTIN_ANALYZERS
     }:
@@ -771,9 +782,9 @@ def reindex(
             "store=True (numeric fields as doc values) to be reindexable"
         )
     src_stored = {
-        fe.name for fe in src.schema.fields if not fe.is_numeric and fe.store
+        fe.name for fe in src.schema.fields if not fe.is_doc_value and fe.store
     }
-    src_numeric = {fe.name for fe in src.schema.fields if fe.is_numeric}
+    src_numeric = {fe.name for fe in src.schema.fields if fe.is_doc_value}
     bookkeeping = {"segment_id", "doc", "content_sha256"}
     inferred_ids = [
         c

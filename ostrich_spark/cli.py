@@ -358,7 +358,7 @@ def cmd_suggest(args) -> int:
     t0 = time.time()
     mf = load_manifest(args.path)
     fe = mf.schema.field_by_name(args.field)
-    if fe is None or fe.is_numeric:
+    if fe is None or fe.is_doc_value:
         print(f"error: {args.field!r} is not a text field", file=sys.stderr)
         return 2
     toks = get_analyzer(fe.query_analyzer).analyze_one(args.term)
@@ -552,6 +552,8 @@ def cmd_build(args) -> int:
     schema = Schema()
     for f in args.field or ["content"]:
         schema.add_text_field(f, args.analyzer)
+    for f in args.keyword_field or []:
+        schema.add_keyword_field(f)
     from .sources import load_corpus
 
     df = load_corpus(spark, args.corpus, shape=False)
@@ -827,7 +829,9 @@ def cmd_reindex(args) -> int:
     src_schema = load_manifest(args.path).schema
     schema = Schema()
     for fe in src_schema.fields:
-        if fe.is_numeric:
+        if fe.is_keyword:
+            schema.add_keyword_field(fe.name)
+        elif fe.is_numeric:
             schema.add_numeric_field(fe.name, fe.field_type)
         else:
             schema.add_text_field(
@@ -886,6 +890,7 @@ def cmd_evolve(args) -> int:
             positions=args.positions,
             store=args.store,
             numeric_type=args.numeric,
+            keyword=args.keyword,
         )
     except (ValueError, KeyError, LockHeldError, FileNotFoundError) as e:
         print(f"error: {e}", file=sys.stderr)
@@ -1144,6 +1149,9 @@ def main(argv=None) -> int:
     b.add_argument("corpus")
     b.add_argument("-p", "--path", required=True)
     b.add_argument("--field", action="append")
+    b.add_argument("--keyword-field", action="append", metavar="COL",
+                   help="keyword doc-value field (exact-match/exists "
+                        "filters, never analyzed)")
     b.add_argument("--analyzer", default="default")
     b.add_argument("--partitions", type=int, default=8)
     b.add_argument("--order-col")
@@ -1239,6 +1247,9 @@ def main(argv=None) -> int:
     ev.add_argument("--store", action="store_true")
     ev.add_argument("--numeric", metavar="long|double",
                     help="numeric doc-value field instead of text")
+    ev.add_argument("--keyword", action="store_true",
+                    help="keyword doc-value field (exact-match/exists "
+                         "filters) instead of text")
     ev.set_defaults(fn=cmd_evolve)
 
     ex = sub.add_parser("export")

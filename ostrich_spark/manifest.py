@@ -256,6 +256,7 @@ def add_field(
     positions: bool = False,
     store: bool = False,
     numeric_type: str | None = None,
+    keyword: bool = False,
 ) -> Manifest:
     """Append-only schema evolution (Lucene has none per index — new
     fields just appear in new docs; we make it an explicit commit so the
@@ -275,7 +276,11 @@ def add_field(
         m = load_manifest(index_dir)
         if m.schema.field_by_name(name) is not None:
             raise ValueError(f"field {name!r} already exists in the schema")
-        if numeric_type is not None:
+        if keyword and numeric_type is not None:
+            raise ValueError("a field is keyword OR numeric, not both")
+        if keyword:
+            m.schema.add_keyword_field(name)
+        elif numeric_type is not None:
             m.schema.add_numeric_field(name, numeric_type)
         else:
             from .analysis import get_analyzer

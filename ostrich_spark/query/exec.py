@@ -1025,25 +1025,45 @@ def assign_range_ids(wire: dict, start: int = 0) -> list[dict]:
 
 
 def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
-    """(segment_id, doc, rid) rows matching one range wire — a docmap
-    scan with the numeric predicate pushed to parquet (min/max row-group
-    stats prune, the Lucene-points analog). The match set rides the
-    scoring shuffle via cogroup — never collected to the driver."""
+    """(segment_id, doc, rid) rows matching one docmap-predicate wire —
+    a docmap scan with the predicate pushed to parquet (min/max /
+    dictionary row-group stats prune, the Lucene-points analog). The
+    match set rides the scoring shuffle via cogroup — never collected to
+    the driver. ``op`` selects the predicate: absent/None = numeric
+    range; ``"eq"`` = keyword equality (ES term-on-keyword); ``"exists"``
+    = value IS NOT NULL (ES exists)."""
     from pyspark.sql import functions as F
 
     fe = manifest.schema.field_by_id(range_wire["field"])
-    if not fe.is_numeric:
-        raise ValueError(
-            f"range query on non-numeric field {fe.name!r} (type {fe.field_type!r})"
-        )
+    op = range_wire.get("op")
     col = F.col(fe.name)
-    pred = None
-    if range_wire["lo"] is not None:
-        p = col >= range_wire["lo"] if range_wire["incl_lo"] else col > range_wire["lo"]
-        pred = p
-    if range_wire["hi"] is not None:
-        p = col <= range_wire["hi"] if range_wire["incl_hi"] else col < range_wire["hi"]
-        pred = p if pred is None else (pred & p)
+    if op == "exists":
+        if not fe.is_doc_value:
+            raise ValueError(
+                f"exists query on non-doc-value field {fe.name!r} "
+                f"(type {fe.field_type!r}) — text fields always exist"
+            )
+        pred = col.isNotNull()
+    elif op == "eq":
+        if not fe.is_keyword:
+            raise ValueError(
+                f"keyword query on non-keyword field {fe.name!r} "
+                f"(type {fe.field_type!r}); use a range for numerics"
+            )
+        # NULL never matches equality (SQL comparison semantics)
+        pred = col == range_wire["value"]
+    else:
+        if not fe.is_numeric:
+            raise ValueError(
+                f"range query on non-numeric field {fe.name!r} (type {fe.field_type!r})"
+            )
+        pred = None
+        if range_wire["lo"] is not None:
+            p = col >= range_wire["lo"] if range_wire["incl_lo"] else col > range_wire["lo"]
+            pred = p
+        if range_wire["hi"] is not None:
+            p = col <= range_wire["hi"] if range_wire["incl_hi"] else col < range_wire["hi"]
+            pred = p if pred is None else (pred & p)
     return (
         read_docmap(spark, index_dir, manifest)
         .filter(pred)
@@ -1931,7 +1951,7 @@ def significant_terms(
     if manifest is None:
         manifest = load_manifest(index_dir)
     fe = manifest.schema.field_by_name(field)
-    if fe is None or fe.is_numeric:
+    if fe is None or fe.is_doc_value:
         raise ValueError(f"{field!r} is not a text field of this index")
     res, _ = search(
         spark, index_dir, query, limit=None, scorer=scorer,
@@ -2772,7 +2792,7 @@ def more_like_this_doc(
     if manifest is None:
         manifest = load_manifest(index_dir)
     fe = manifest.schema.field_by_name(field_name)
-    if fe is None or fe.is_numeric or not fe.store:
+    if fe is None or fe.is_doc_value or not fe.store:
         raise ValueError(
             f"{field_name!r} must be a store=True text field to seed "
             "more_like_this by document identity"
@@ -2849,7 +2869,7 @@ def more_like_this(
     if manifest is None:
         manifest = load_manifest(index_dir)
     fe = manifest.schema.field_by_name(field_name)
-    if fe is None or fe.is_numeric:
+    if fe is None or fe.is_doc_value:
         raise ValueError(f"{field_name!r} is not a text field of this index")
     tf = Counter(get_analyzer(fe.analyzer).analyze_one(text))
     cand = [TermQuery(fe.id, t) for t, c in tf.items() if c >= min_tf]
@@ -3027,7 +3047,7 @@ def term_vectors(
     if manifest is None:
         manifest = load_manifest(index_dir)
     fe = manifest.schema.field_by_name(field)
-    if fe is None or fe.is_numeric:
+    if fe is None or fe.is_doc_value:
         raise ValueError(f"{field!r} is not a text field of this index")
     ident = get_docs(spark, index_dir, values, key_col, manifest=manifest)
     targets = ident.select(key_col, "segment_id", "doc").collect()
@@ -3228,7 +3248,15 @@ def explain(
                 "in_order": False,
             }
         elif w["kind"] == "range":
-            out["detail"] = {"lo": w["lo"], "hi": w["hi"], "const_score": w["score"]}
+            op = w.get("op")
+            if op == "eq":
+                out["detail"] = {"op": "eq", "value": w["value"],
+                                 "const_score": w["score"]}
+            elif op == "exists":
+                out["detail"] = {"op": "exists", "const_score": w["score"]}
+            else:
+                out["detail"] = {"lo": w["lo"], "hi": w["hi"],
+                                 "const_score": w["score"]}
         elif w["kind"] == "dismax":
             out["detail"] = {"tie_breaker": w["tie"]}
         elif w["kind"] == "min_should":

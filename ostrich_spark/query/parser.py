@@ -267,6 +267,30 @@ class RangeQuery:
 
 
 @dataclass(frozen=True)
+class KeywordQuery:
+    """Exact match on a keyword doc-value field — EXTENSION (the ES
+    ``term`` query on a ``keyword`` field / Lucene TermQuery over a
+    StringField). NQL: ``lang:fr`` or ``lang:"machine learning"`` where
+    ``lang`` is ``Schema.add_keyword_field``. Never analyzed; NULL never
+    matches. Matches score a constant ``boost`` (ConstantScore
+    semantics) — use a FILTER clause for the usual non-scoring shape."""
+
+    field_id: int
+    value: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class ExistsQuery:
+    """Field-has-a-value — EXTENSION (the ES ``exists`` query). NQL:
+    ``field:*`` on any doc-value (keyword or numeric) field; docs whose
+    value is NULL don't match. Constant score like RangeQuery."""
+
+    field_id: int
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class AllQuery:
     pass
 
@@ -609,7 +633,7 @@ def _apply_boost(q, boost: float):
     if isinstance(
         q,
         (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery, WildcardQuery,
-         RegexpQuery, RangeQuery),
+         RegexpQuery, RangeQuery, KeywordQuery, ExistsQuery),
     ):
         return dataclasses.replace(q, boost=q.boost * boost)
     if isinstance(q, BooleanQuery):
@@ -674,6 +698,18 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         fname, raw = value.split(":", 1)
         fe = schema.field_by_name(fname)
         if fe is not None:
+            if fe.is_doc_value and raw == "*":
+                # field:* — exists (the ES exists-query shape); valid on
+                # any doc-value field. Text fields keep wildcard meaning.
+                return ExistsQuery(fe.id)
+            if fe.is_keyword:
+                if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
+                    return KeywordQuery(fe.id, raw[1:-1])
+                if not raw:
+                    raise QueryParseError(
+                        f"keyword field {fe.name!r} needs a value"
+                    )
+                return KeywordQuery(fe.id, raw)
             if fe.is_numeric:
                 return _numeric_leaf(fe, raw)
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):

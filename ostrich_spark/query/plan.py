@@ -31,11 +31,13 @@ from .parser import (
     BooleanQuery,
     DisMaxQuery,
     EmptyQuery,
+    ExistsQuery,
     FuzzyQuery,
     MultiPhraseQuery,
     NearQuery,
     PhraseQuery,
     PhrasePrefixQuery,
+    KeywordQuery,
     PrefixQuery,
     RangeQuery,
     RegexpQuery,
@@ -116,6 +118,27 @@ class CRange:
     hi: float | int | None
     include_lo: bool
     include_hi: bool
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CKeyword:
+    """Compiled keyword equality (ES term-on-keyword analog). Same
+    delivery as CRange: the match set is a docmap scan (equality pushed
+    to parquet — dictionary/min-max stats prune) riding the scoring
+    shuffle as an aux doc set keyed by ``rid``. Constant score."""
+
+    field_id: int
+    value: str
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CExists:
+    """Compiled exists (field has a non-NULL doc value). CRange-style
+    aux delivery; constant score."""
+
+    field_id: int
     const_score: float
 
 
@@ -294,6 +317,10 @@ def compile_query(
         return CRange(
             q.field_id, q.lo, q.hi, q.include_lo, q.include_hi, q.boost
         )
+    if isinstance(q, KeywordQuery):
+        return CKeyword(q.field_id, q.value, q.boost)
+    if isinstance(q, ExistsQuery):
+        return CExists(q.field_id, q.boost)
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery, PhrasePrefixQuery)):
         raise ValueError(
             "Prefix/Fuzzy/Wildcard/RegexpQuery must be expanded against the "
@@ -510,6 +537,24 @@ def to_wire(node) -> dict:
             "hi": node.hi,
             "incl_lo": node.include_lo,
             "incl_hi": node.include_hi,
+            "score": node.const_score,
+        }
+    if isinstance(node, CKeyword):
+        # same wire kind as numeric ranges: identical aux-set delivery
+        # (rid assignment, cogroup side, eval); `op` selects the docmap
+        # predicate
+        return {
+            "kind": "range",
+            "op": "eq",
+            "field": node.field_id,
+            "value": node.value,
+            "score": node.const_score,
+        }
+    if isinstance(node, CExists):
+        return {
+            "kind": "range",
+            "op": "exists",
+            "field": node.field_id,
             "score": node.const_score,
         }
     if isinstance(node, CAll):

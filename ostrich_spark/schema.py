@@ -22,6 +22,11 @@ FIELD_TYPE_TEXT = "text"
 FIELD_TYPE_LONG = "long"
 FIELD_TYPE_DOUBLE = "double"
 NUMERIC_FIELD_TYPES = (FIELD_TYPE_LONG, FIELD_TYPE_DOUBLE)
+# keyword doc-value field (EXTENSION, Elasticsearch `keyword` / Lucene
+# StringField+SortedDocValues analog): the raw string is stored as a typed
+# docmap column — never analyzed, no postings — and queried with exact
+# equality (`lang:fr`) or existence (`lang:*`) filters.
+FIELD_TYPE_KEYWORD = "keyword"
 
 
 @dataclass(frozen=True)
@@ -49,6 +54,16 @@ class FieldEntry:
     @property
     def is_numeric(self) -> bool:
         return self.field_type in NUMERIC_FIELD_TYPES
+
+    @property
+    def is_keyword(self) -> bool:
+        return self.field_type == FIELD_TYPE_KEYWORD
+
+    @property
+    def is_doc_value(self) -> bool:
+        """Doc-value-only field (numeric or keyword): no analyzer, no
+        postings, no norms — the typed value lives in the docmap."""
+        return self.is_numeric or self.is_keyword
 
     @property
     def query_analyzer(self) -> str:
@@ -108,6 +123,16 @@ class Schema:
         if numeric_type not in NUMERIC_FIELD_TYPES:
             raise ValueError(f"numeric_type must be one of {NUMERIC_FIELD_TYPES}")
         entry = FieldEntry(len(self.fields), name, numeric_type, "", False, False)
+        self.fields.append(entry)
+        return entry
+
+    def add_keyword_field(self, name: str) -> FieldEntry:
+        """Keyword doc-value field (EXTENSION, the ES ``keyword`` type):
+        no analyzer, no postings; the raw string is stored in the docmap
+        (dictionary-encoded parquet — min/max row-group stats prune
+        equality reads) and queried with KeywordQuery (``field:value``,
+        exact match) or ExistsQuery (``field:*``)."""
+        entry = FieldEntry(len(self.fields), name, FIELD_TYPE_KEYWORD, "", False, False)
         self.fields.append(entry)
         return entry
 

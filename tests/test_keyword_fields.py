@@ -1,0 +1,229 @@
+"""Keyword doc-value fields: exact-match (ES term-on-keyword) and exists
+queries.
+
+EXTENSION — the reference has text fields only
+(/root/reference/schema/schema.go:11-16); keyword fields are the ES
+``keyword`` type / Lucene StringField+SortedDocValues analog: the raw
+string is a typed docmap column (never analyzed, no postings), queried
+with constant-score equality (``lang:fr``) or existence (``lang:*``)
+filters that ride the scoring shuffle exactly like numeric ranges.
+"""
+
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.manifest import load_manifest
+from ostrich_spark.query.exec import attach_docmap, explain, search, search_many
+from ostrich_spark.query.parser import (
+    BooleanQuery,
+    ExistsQuery,
+    KeywordQuery,
+    QueryParseError,
+    TermQuery,
+    parse_query,
+)
+from ostrich_spark.schema import Schema
+
+DOCS = [
+    (0, "spark joins fast", "fr", "wiki", 10),
+    (1, "spark streams", "en", "web", 20),
+    (2, "hash join spark", None, "web", 30),
+    (3, "window functions", "fr", None, None),
+    (4, "spark spark spark", "de", "wiki", 50),
+    (5, "grace hash join", "fr", "wiki", 15),
+]
+
+
+def _schema() -> Schema:
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    schema.add_keyword_field("lang")
+    schema.add_keyword_field("source")
+    schema.add_numeric_field("n_chars")
+    return schema
+
+
+@pytest.fixture(scope="module")
+def kw_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    idx = str(tmp_path_factory.mktemp("kw") / "idx")
+    build_index(
+        spark, df, _schema(), idx, num_partitions=2,
+        order_col="doc_id", id_cols=["doc_id"],
+    )
+    return idx
+
+
+def _ids_scores(spark, idx, q, **kw):
+    res, _ = search(spark, idx, q, limit=None, **kw)
+    rows = (
+        attach_docmap(spark, idx, res)
+        .select("doc_id", "score")
+        .orderBy("doc_id")
+        .collect()
+    )
+    return [(r["doc_id"], round(r["score"], 6)) for r in rows]
+
+
+def test_keyword_eq(spark, kw_index):
+    # exact match, constant score 1.0; NULL never matches
+    assert _ids_scores(spark, kw_index, "lang:fr") == [
+        (0, 1.0), (3, 1.0), (5, 1.0),
+    ]
+    assert _ids_scores(spark, kw_index, "source:web") == [(1, 1.0), (2, 1.0)]
+    # value absent from the corpus: empty, not an error
+    assert _ids_scores(spark, kw_index, "lang:zz") == []
+
+
+def test_keyword_never_analyzed(spark, kw_index):
+    # 'FR' must NOT lowercase-normalize into 'fr' (ES keyword semantics:
+    # what you store is what you match)
+    assert _ids_scores(spark, kw_index, "lang:FR") == []
+
+
+def test_keyword_quoted_value(spark, kw_index):
+    # quoted form is the same exact match (for values with spaces/colons)
+    assert _ids_scores(spark, kw_index, 'lang:"fr"') == [
+        (0, 1.0), (3, 1.0), (5, 1.0),
+    ]
+
+
+def test_exists(spark, kw_index):
+    # keyword exists: doc 2 has NULL lang
+    assert [i for i, _ in _ids_scores(spark, kw_index, "lang:*")] == [0, 1, 3, 4, 5]
+    # numeric exists: doc 3 has NULL n_chars
+    assert [i for i, _ in _ids_scores(spark, kw_index, "n_chars:*")] == [0, 1, 2, 4, 5]
+    # exists on a text field stays a wildcard (here: rejected as a
+    # degenerate match-all pattern or expanded), NOT an exists query
+    q = parse_query("lang:*", _schema(), ["text"])
+    assert isinstance(q, ExistsQuery)
+
+
+def test_filter_context_keeps_text_scores(spark, kw_index):
+    # the ES-classic shape: scored text query, non-scoring keyword filter
+    base = dict(_ids_scores(spark, kw_index, "text:spark"))
+    q = BooleanQuery.filtering(TermQuery(0, "spark"), KeywordQuery(1, "fr"))
+    got = _ids_scores(spark, kw_index, q)
+    assert [i for i, _ in got] == [0]
+    assert got[0][1] == base[0]  # filter adds nothing to the score
+
+
+def test_keyword_boolean_composition(spark, kw_index):
+    # MUST keyword adds its constant boost to the text score
+    base = dict(_ids_scores(spark, kw_index, "text:spark"))
+    got = dict(_ids_scores(spark, kw_index, "text:spark AND lang:fr"))
+    assert set(got) == {0}
+    assert got[0] == round(base[0] + 1.0, 6)
+    # boost scales the constant
+    got2 = dict(_ids_scores(spark, kw_index, "text:spark AND lang:fr^2"))
+    assert got2[0] == round(base[0] + 2.0, 6)
+    # OR of two keyword queries: per-doc sum of matching constants
+    got3 = dict(_ids_scores(spark, kw_index, "lang:fr OR source:wiki"))
+    assert got3 == {0: 2.0, 3: 1.0, 4: 1.0, 5: 2.0}
+    # MUST_NOT excludes by keyword (programmatic occur, like the
+    # reference's extension — NQL has no negation syntax)
+    q = BooleanQuery.excluding(TermQuery(0, "spark"), KeywordQuery(1, "fr"))
+    got4 = _ids_scores(spark, kw_index, q)
+    assert [i for i, _ in got4] == [1, 2, 4]
+
+
+def test_pure_keyword_with_count(spark, kw_index):
+    res, cnt = search(spark, kw_index, "lang:fr", limit=2, with_count=True)
+    assert cnt == 3
+    assert res.count() == 2
+
+
+def test_parse_goldens():
+    schema = _schema()
+    q = parse_query("lang:fr", schema, ["text"])
+    assert q == KeywordQuery(1, "fr")
+    q = parse_query('source:"wiki"', schema, ["text"])
+    assert q == KeywordQuery(2, "wiki")
+    q = parse_query("source:*", schema, ["text"])
+    assert q == ExistsQuery(2)
+    q = parse_query("n_chars:*", schema, ["text"])
+    assert q == ExistsQuery(3)
+    with pytest.raises(QueryParseError):
+        parse_query("lang:", schema, ["text"])
+    # unknown field name still falls through to a bare term (unchanged)
+    q = parse_query("nope:fr", schema, ["text"])
+    assert q == TermQuery(0, "nope:fr")
+
+
+def test_keyword_validation(spark, kw_index):
+    # programmatic misuse fails with actionable errors, not wrong answers
+    with pytest.raises(ValueError, match="non-keyword"):
+        search(spark, kw_index, KeywordQuery(0, "x"), limit=None)[0].collect()
+    with pytest.raises(ValueError, match="non-doc-value"):
+        search(spark, kw_index, ExistsQuery(0), limit=None)[0].collect()
+
+
+def test_explain_keyword(spark, kw_index):
+    mf = load_manifest(kw_index)
+    hit = (
+        attach_docmap(
+            spark, kw_index, search(spark, kw_index, "lang:fr AND text:spark")[0]
+        )
+        .filter("doc_id = 0")
+        .collect()[0]
+    )
+    tree = explain(
+        spark, kw_index, "lang:fr AND text:spark", hit["segment_id"], hit["doc"]
+    )
+    assert tree["matched"] is True
+    kinds = {c["kind"]: c for c in tree["children"]}
+    assert kinds["range"]["detail"] == {
+        "op": "eq", "value": "fr", "const_score": 1.0,
+    }
+
+
+def test_batched_identity(spark, kw_index):
+    # search_many must agree with the per-query path for keyword shapes
+    queries = {
+        "a": "lang:fr",
+        "b": "text:spark AND lang:fr",
+        "c": "lang:fr OR source:wiki",
+        "d": "n_chars:*",
+    }
+    batched = search_many(spark, kw_index, queries, limit=None)
+    for qid, q in queries.items():
+        want = _ids_scores(spark, kw_index, q)
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in attach_docmap(
+                spark, kw_index, batched.filter(batched.query_id == qid).drop("query_id")
+            )
+            .select("doc_id", "score")
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert got == want, qid
+
+
+def test_merge_carries_keyword_columns(spark, kw_index, tmp_path):
+    import shutil
+
+    from ostrich_spark.merge import consider_merges
+
+    idx = str(tmp_path / "m")
+    shutil.copytree(kw_index, idx)
+    before = _ids_scores(spark, idx, "lang:fr OR source:web")
+    created = consider_merges(spark, idx, policy_kwargs={"min_num_segments": 2})
+    assert created  # the 2 segments merged
+    assert load_manifest(idx).schema.field_by_name("lang").is_keyword
+    assert _ids_scores(spark, idx, "lang:fr OR source:web") == before
+
+
+def test_keyword_pushdown_plan(spark, kw_index):
+    # the equality must reach the parquet scan of the docmap
+    from ostrich_spark.query.exec import range_match_df
+    from ostrich_spark.query.plan import compile_query, to_wire
+
+    q = parse_query("lang:fr", _schema(), ["text"])
+    wire = to_wire(compile_query(q, {}, 6, {}))
+    wire["rid"] = 0
+    mf = load_manifest(kw_index)
+    plan = range_match_df(spark, kw_index, mf, wire)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan
