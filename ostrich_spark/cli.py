@@ -988,7 +988,8 @@ def main(argv=None) -> int:
     s.add_argument(
         "--sort-by",
         metavar="FIELD",
-        help="order matches by this numeric doc-value field instead of score",
+        help="order matches by this doc-value field (numeric or keyword) "
+             "instead of score",
     )
     s.add_argument(
         "--asc", action="store_true",

@@ -1984,6 +1984,33 @@ def _numeric_field_entry(manifest, by: str):
     return fe
 
 
+def _doc_value_field_entry(manifest, by: str):
+    fe = manifest.schema.field_by_name(by)
+    if fe is None or not fe.is_doc_value:
+        raise ValueError(
+            f"{by!r} is not a doc-value field of this index (add it with "
+            f"Schema.add_numeric_field or Schema.add_keyword_field)"
+        )
+    return fe
+
+
+class _Rev:
+    """Reverse-order comparison wrapper: lets descending sorts and bound
+    checks work on ANY orderable doc-value type (strings can't be
+    negated the way numerics can)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
 def _segment_value_ranges(index_dir: str, manifest: Manifest, col: str):
     """Per-segment (min, max) of a docmap column, read driver-side from
     the parquet row-group statistics (a footer metadata read per segment
@@ -2039,9 +2066,9 @@ def search_sorted(
     early_terminate: bool = False,
     scan_info: dict | None = None,
 ):
-    """Top-k of a query's match set ordered by a numeric doc-value field
-    instead of relevance (Lucene ``Sort`` analog — EXTENSION, the
-    reference's collectors are score-ordered only).
+    """Top-k of a query's match set ordered by a doc-value field (numeric
+    or keyword string) instead of relevance (Lucene ``Sort`` analog —
+    EXTENSION, the reference's collectors are score-ordered only).
 
     Returns (segment_id, segment_ord, doc, ``by``) rows. Missing values
     sort LAST in either direction (Lucene's missing-value convention).
@@ -2072,7 +2099,7 @@ def search_sorted(
 
     if manifest is None:
         manifest = load_manifest(index_dir)
-    _numeric_field_entry(manifest, by)
+    _doc_value_field_entry(manifest, by)
     if early_terminate and limit is not None:
         return _search_sorted_early(
             spark, index_dir, query, by, ascending, limit, offset,
@@ -2125,12 +2152,18 @@ def _search_sorted_early(
     need = offset + limit
     ranges = _segment_value_ranges(index_dir, manifest, by)
 
+    def _key(v):
+        # direction-aware orderable key for any doc-value type (numeric
+        # or keyword string) — descending wraps instead of negating
+        return v if ascending else _Rev(v)
+
     def best_bound(sid):
+        """(known, key) — unknown bounds (no stats / all-null column)
+        sort FIRST: conservatively "could hold anything", visit before
+        any stop is possible."""
         lo, hi = ranges.get(sid, (None, None))
         b = lo if ascending else hi
-        # no stats (all-null/absent column): conservatively "could hold
-        # anything" -> visit before any stop is possible
-        return -math.inf if b is None else (b if ascending else -b)
+        return (1, _key(b)) if b is not None else (0, 0)
 
     segs = sorted(manifest.segments, key=lambda s: best_bound(s.segment_id))
     full_ord = {
@@ -2187,12 +2220,11 @@ def _search_sorted_early(
             .limit(need)
             .collect()
         )
-        sgn = 1 if ascending else -1
         for r in rows:
             v = r[by]
             kept.append((
                 v is None,
-                math.inf if v is None else sgn * v,
+                0 if v is None else _key(v),  # null flag dominates
                 # tiebreak asc with nulls FIRST (Spark asc null order)
                 tuple(
                     (r[c] is not None, 0 if r[c] is None else r[c]) for c in tb
@@ -2205,10 +2237,10 @@ def _search_sorted_early(
         kept = kept[:need]
         if len(kept) == need and i < len(segs):
             kth = kept[-1]
-            nxt = best_bound(segs[i].segment_id)
+            known, nxt = best_bound(segs[i].segment_id)
             # strict: rows tying the kth value in unvisited segments
             # could still win on (tiebreak, segment_ord, doc)
-            if not kth[0] and kth[1] < nxt:
+            if not kth[0] and known and kth[1] < nxt:
                 break
     if scan_info is not None:
         scan_info["segments_scanned"] = scanned

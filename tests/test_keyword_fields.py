@@ -227,3 +227,44 @@ def test_keyword_pushdown_plan(spark, kw_index):
     mf = load_manifest(kw_index)
     plan = range_match_df(spark, kw_index, mf, wire)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan
+
+
+def _sorted_ids(spark, idx, by, ascending, early, limit=10):
+    from ostrich_spark.query.exec import search_sorted
+
+    info = {}
+    rows = search_sorted(
+        spark, idx, "text:spark OR text:join OR text:window", by=by,
+        ascending=ascending, limit=limit, early_terminate=early,
+        scan_info=info if early else None, tiebreak=["doc_id"],
+    ).collect()
+    return [(r["doc"], r[by]) for r in rows], info
+
+
+def test_keyword_sort(spark, kw_index):
+    # string sort over the match set: asc and desc, NULL lang (doc 2)
+    # sorts LAST in both directions (Lucene missing-value convention)
+    got, _ = _sorted_ids(spark, kw_index, "lang", True, False)
+    assert [v for _, v in got] == ["de", "en", "fr", "fr", "fr", None]
+    got_d, _ = _sorted_ids(spark, kw_index, "lang", False, False)
+    assert [v for _, v in got_d] == ["fr", "fr", "fr", "en", "de", None]
+
+
+def test_keyword_sort_early_terminate_identity(spark, kw_index):
+    # the segment-pruned path must be row-identical to the exhaustive
+    # path on string sort keys, both directions, including the top-1 cut
+    for ascending in (True, False):
+        for limit in (1, 3, 10):
+            want, _ = _sorted_ids(spark, kw_index, "lang", ascending, False,
+                                  limit=limit)
+            got, info = _sorted_ids(spark, kw_index, "lang", ascending, True,
+                                    limit=limit)
+            assert got == want, (ascending, limit)
+            assert info["segments_total"] == 2
+
+
+def test_sort_rejects_text_field(spark, kw_index):
+    from ostrich_spark.query.exec import search_sorted
+
+    with pytest.raises(ValueError, match="doc-value"):
+        search_sorted(spark, kw_index, "text:spark", by="text")

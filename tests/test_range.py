@@ -286,7 +286,7 @@ def test_search_sorted_ascending_and_offset(spark, range_idx):
 def test_search_sorted_rejects_text_field(spark, range_idx):
     from ostrich_spark.query.exec import search_sorted
 
-    with pytest.raises(ValueError, match="numeric doc-value"):
+    with pytest.raises(ValueError, match="doc-value"):
         search_sorted(spark, range_idx, "content:merge", by="content")
 
 
