@@ -28,7 +28,10 @@ inside ``foreachBatch`` for Structured Streaming percolation.
 Supported query surface: TermQuery, PhraseQuery (exact and sloppy —
 verified positionally against the doc's own token stream with the SAME
 in-order window DP the forward phrase scorer uses, query/exec.py
-eval_phrase), and one flat BooleanQuery level of term/phrase leaves —
+eval_phrase), RangeQuery (numeric doc values), KeywordQuery/ExistsQuery
+(keyword doc values — the ES subscription-with-keyword-filter shape,
+one broadcast equality join over per-field value rows), and one flat
+BooleanQuery level of such leaves —
 MUST / SHOULD / MUST_NOT / FILTER occurs plus ``min_should``, matching
 the engine's own satisfaction semantics (FILTER requires like MUST;
 MUST_NOT excludes; SHOULD needs ``min_should`` hits when it is the only
@@ -52,6 +55,8 @@ from .query.parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    ExistsQuery,
+    KeywordQuery,
     PhraseQuery,
     RangeQuery,
     TermQuery,
@@ -81,6 +86,9 @@ class PercolatorQueries:
     # distinct numeric range units (bounds as float, open = ±inf;
     # comparisons run in double — exact for doc values up to 2^53)
     range_rows: tuple[tuple[str, str, int, float, float, bool, bool], ...] = ()
+    # (query_id, occur, field_id, op, value) — distinct keyword units:
+    # op "eq" (exact doc-value match, value set) or "exists" (value None)
+    kw_rows: tuple[tuple[str, str, int, str, str | None], ...] = ()
 
 
 def _flatten_terms(query_id: str, q):
@@ -109,6 +117,10 @@ def _flatten_terms(query_id: str, q):
                 (query_id, occur, sub.field_id, lo, hi,
                  bool(sub.include_lo), bool(sub.include_hi)),
             )
+        if isinstance(sub, KeywordQuery):
+            return ("k", (query_id, occur, sub.field_id, "eq", sub.value))
+        if isinstance(sub, ExistsQuery):
+            return ("k", (query_id, occur, sub.field_id, "exists", None))
         raise ValueError(
             f"percolator query {query_id!r}: unsupported clause "
             f"{type(sub).__name__} — percolation supports flat boolean "
@@ -116,19 +128,21 @@ def _flatten_terms(query_id: str, q):
             f"expanded multi-term queries)"
         )
 
-    if isinstance(q, (TermQuery, PhraseQuery, RangeQuery)):
+    if isinstance(q, (TermQuery, PhraseQuery, RangeQuery, KeywordQuery,
+                      ExistsQuery)):
         kind, row = leaf(MUST, q)
         return (
             [row] if kind == "t" else [],
             [row] if kind == "p" else [],
             [row] if kind == "r" else [],
+            [row] if kind == "k" else [],
         )
     if isinstance(q, BooleanQuery):
-        t_rows, p_rows, r_rows = [], [], []
+        t_rows, p_rows, r_rows, k_rows = [], [], [], []
         for occur, sub in q.subqueries:
             kind, row = leaf(occur, sub)
-            {"t": t_rows, "p": p_rows, "r": r_rows}[kind].append(row)
-        return t_rows, p_rows, r_rows
+            {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows}[kind].append(row)
+        return t_rows, p_rows, r_rows, k_rows
     raise ValueError(
         f"percolator query {query_id!r}: unsupported query type "
         f"{type(q).__name__}"
@@ -149,23 +163,40 @@ def register_queries(
     req_rows: list[tuple[str, int, int]] = []
     phrase_rows: list[tuple[str, str, int, tuple[str, ...], int]] = []
     range_rows: list[tuple[str, str, int, float, float, bool, bool]] = []
+    kw_rows: list[tuple[str, str, int, str, str | None]] = []
     for qid, q in queries.items():
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
         )
-        t_rows, p_rows, r_rows = _flatten_terms(qid, logical)
+        t_rows, p_rows, r_rows, k_rows = _flatten_terms(qid, logical)
         for _, _, f, *_ in r_rows:
             if not schema.fields[f].is_numeric:
                 raise ValueError(
                     f"percolator query {qid!r}: range clause on "
                     f"non-numeric field {schema.fields[f].name!r}"
                 )
+        for _, _, f, op, _ in k_rows:
+            fe = schema.fields[f]
+            if op == "eq" and not fe.is_keyword:
+                raise ValueError(
+                    f"percolator query {qid!r}: keyword clause on "
+                    f"non-keyword field {fe.name!r}"
+                )
+            if op == "exists" and not fe.is_doc_value:
+                raise ValueError(
+                    f"percolator query {qid!r}: exists clause on "
+                    f"non-doc-value field {fe.name!r}"
+                )
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
-        } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)}
+        } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)} | {
+            r[2:] for r in k_rows if r[1] in (MUST, FILTER)
+        }
         shoulds = {(f, t) for _, o, f, t in t_rows if o == SHOULD} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o == SHOULD
-        } | {r[2:] for r in r_rows if r[1] == SHOULD}
+        } | {r[2:] for r in r_rows if r[1] == SHOULD} | {
+            r[2:] for r in k_rows if r[1] == SHOULD
+        }
         n_positive = len(musts) + len(shoulds)
         if n_positive == 0:
             raise ValueError(
@@ -185,17 +216,19 @@ def register_queries(
         term_rows.extend(dict.fromkeys(t_rows))  # distinct, order-preserving
         phrase_rows.extend(dict.fromkeys(p_rows))
         range_rows.extend(dict.fromkeys(r_rows))
+        kw_rows.extend(dict.fromkeys(k_rows))
         req_rows.append((qid, len(musts), req_should))
     field_ids = tuple(
         sorted(
             {f for _, _, f, _ in term_rows}
             | {f for _, _, f, _, _ in phrase_rows}
             | {r[2] for r in range_rows}
+            | {r[2] for r in kw_rows}
         )
     )
     return PercolatorQueries(
         tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows),
-        tuple(range_rows),
+        tuple(range_rows), tuple(kw_rows),
     )
 
 
@@ -395,6 +428,32 @@ def percolate(
         contribs.append(
             vals.join(
                 F.broadcast(rq), on=(vals.field_id == rq.field_id) & cond
+            ).select("_pid", "query_id", "occur")
+        )
+
+    kw_fids = sorted({r[2] for r in pq.kw_rows})
+    if kw_fids:
+        # one row per (doc, field) with the doc value as string (keyword
+        # columns are strings; exists on numerics only needs non-null) —
+        # each keyword unit can hit at most once per doc, so the rows
+        # feed the distinct-unit satisfaction counts directly
+        kvals = None
+        for fid in kw_fids:
+            v = docs_df.select(
+                F.col(id_col).alias("_pid"),
+                F.lit(fid).alias("field_id"),
+                F.col(doc_col(fid)).cast("string").alias("_v"),
+            ).filter(F.col("_v").isNotNull())
+            kvals = v if kvals is None else kvals.unionByName(v)
+        kq = spark.createDataFrame(
+            [(qid, occ, f, op, val) for qid, occ, f, op, val in pq.kw_rows],
+            "query_id string, occur string, field_id int, op string, "
+            "value string",
+        )
+        kcond = (F.col("op") == "exists") | (F.col("_v") == F.col("value"))
+        contribs.append(
+            kvals.join(
+                F.broadcast(kq), on=(kvals.field_id == kq.field_id) & kcond
             ).select("_pid", "query_id", "occur")
         )
 

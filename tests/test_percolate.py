@@ -11,6 +11,8 @@ from ostrich_spark.percolate import percolate, register_queries
 from ostrich_spark.query.exec import attach_docmap, search
 from ostrich_spark.query.parser import (
     BooleanQuery,
+    ExistsQuery,
+    KeywordQuery,
     PhraseQuery,
     RangeQuery,
     TermQuery,
@@ -18,13 +20,13 @@ from ostrich_spark.query.parser import (
 from ostrich_spark.schema import Schema
 
 DOCS = [
-    {"doc_key": 0, "text": "spark join window", "title": "Serious streaming", "num": 5},
-    {"doc_key": 1, "text": "spark join", "title": "viruses everywhere", "num": 12},
-    {"doc_key": 2, "text": "spark", "title": "spark notes", "num": 30},
-    {"doc_key": 3, "text": "join window stream", "title": "windows", "num": 18},
-    {"doc_key": 4, "text": "window", "title": "join the stream", "num": None},
-    {"doc_key": 5, "text": "nothing here at all", "title": "empty", "num": 44},
-    {"doc_key": 6, "text": "spark spark join window stream", "title": "all of it", "num": 10},
+    {"doc_key": 0, "text": "spark join window", "title": "Serious streaming", "num": 5, "cat": "news"},
+    {"doc_key": 1, "text": "spark join", "title": "viruses everywhere", "num": 12, "cat": "blog"},
+    {"doc_key": 2, "text": "spark", "title": "spark notes", "num": 30, "cat": "news"},
+    {"doc_key": 3, "text": "join window stream", "title": "windows", "num": 18, "cat": None},
+    {"doc_key": 4, "text": "window", "title": "join the stream", "num": None, "cat": "docs"},
+    {"doc_key": 5, "text": "nothing here at all", "title": "empty", "num": 44, "cat": "blog"},
+    {"doc_key": 6, "text": "spark spark join window stream", "title": "all of it", "num": 10, "cat": "news"},
 ]
 
 T = lambda t: TermQuery(0, t)  # field 0 = text
@@ -36,6 +38,7 @@ def perc_schema():
     schema.add_text_field("text", "default", positions=True)
     schema.add_text_field("title", "en_stem")
     schema.add_numeric_field("num")  # field 2
+    schema.add_keyword_field("cat")  # field 3
     return schema
 
 
@@ -88,6 +91,18 @@ QUERIES = {
     ),
     "q_not_range": BooleanQuery.excluding(T("spark"), RangeQuery(2, None, 15)),
     "q_range_excl": "num:{10 TO 30}",
+    # keyword doc values: pure eq, FILTER beside a term, as MUST_NOT,
+    # exists on keyword and numeric (NULL cat/num never matches)
+    "q_kw": "cat:news",
+    "q_kw_filter": BooleanQuery.filtering(T("spark"), KeywordQuery(3, "news")),
+    "q_kw_not": BooleanQuery.excluding(T("spark"), KeywordQuery(3, "blog")),
+    "q_kw_should": BooleanQuery(
+        [("should", KeywordQuery(3, "docs")), ("should", T("stream"))]
+    ),
+    "q_exists_kw": "cat:*",
+    "q_exists_num": BooleanQuery(
+        [("must", T("spark")), ("filter", ExistsQuery(2))]
+    ),
 }
 
 
@@ -134,6 +149,10 @@ def test_percolate_registration_errors(perc_schema):
         )
     with pytest.raises(ValueError, match="unsupported"):
         register_queries({"pre": "text:spar*"}, perc_schema)
+    with pytest.raises(ValueError, match="non-keyword"):
+        register_queries({"kw": KeywordQuery(0, "x")}, perc_schema)
+    with pytest.raises(ValueError, match="non-doc-value"):
+        register_queries({"ex": ExistsQuery(0)}, perc_schema)
 
 
 def test_percolate_missing_doc_column(spark, perc_schema):
@@ -208,9 +227,9 @@ def test_percolate_range_on_text_field_rejected(perc_schema):
 
 
 def test_percolate_fuzz_identity(spark, perc_index, perc_schema):
-    """25 seeded random subscriptions (boolean trees over terms, phrases
-    and numeric ranges, random occurs + min_should) — match sets
-    identical to forward search for every one."""
+    """25 seeded random subscriptions (boolean trees over terms, phrases,
+    numeric ranges and keyword eq/exists, random occurs + min_should) —
+    match sets identical to forward search for every one."""
     import random
 
     rng = random.Random(7)
@@ -218,11 +237,15 @@ def test_percolate_fuzz_identity(spark, perc_index, perc_schema):
 
     def rand_leaf():
         r = rng.random()
-        if r < 0.55:
+        if r < 0.45:
             return TermQuery(0, rng.choice(terms))
-        if r < 0.75:
+        if r < 0.62:
             n = rng.randint(2, 3)
             return PhraseQuery(0, tuple(rng.sample(terms[:4], n)), slop=rng.choice([0, 1]))
+        if r < 0.75:
+            if rng.random() < 0.3:
+                return ExistsQuery(rng.choice([2, 3]))
+            return KeywordQuery(3, rng.choice(["news", "blog", "docs", "zz"]))
         lo = rng.choice([None, 5, 10, 18])
         hi = rng.choice([None, 12, 30, 44])
         if lo is None and hi is None:
