@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     # composite = range match set riding the scoring shuffle (aux cogroup)
     ("range_pure", "size_bytes:[1000 TO 1500]", "tfidf", 10),
     ("range_and_term", "content:search AND size_bytes:[500 TO 1500]", "tfidf", 10),
+    # keyword doc-value paths: pure eq = pushed-down docmap scan;
+    # composite = keyword match set riding the scoring shuffle
+    ("keyword_pure", "lang:go", "tfidf", 10),
+    ("keyword_and_term", "content:search AND lang:go", "bm25", 10),
 ]
 
 
@@ -102,6 +106,7 @@ def main():
     schema = Schema()
     schema.add_text_field("content", "default")
     schema.add_numeric_field("size_bytes")
+    schema.add_keyword_field("lang")
     # steady-state throughput: first build pays JVM JIT + arrow codegen
     # warmup (long-lived executors on a real cluster amortize this);
     # report the warm second build, record the cold one alongside.
