@@ -303,14 +303,17 @@ def build_segment_tables(
                 else np.full(n_docs, np.nan)
             )
     # keyword doc values: raw strings, NULL-preserving (a missing value is
-    # no value — it never matches equality or exists)
+    # no value — it never matches equality or exists). A "lowercase"
+    # normalizer (Schema.add_keyword_field(lowercase=True)) stores the
+    # normalized form — the ES keyword-normalizer convention.
     for fe in schema.fields:
         if not fe.is_keyword or fe.name in docmap.columns:
             continue
         if fe.name in pdf.columns:
-            docmap[fe.name] = (
-                pdf[fe.name].astype("string").to_numpy(dtype=object, na_value=None)
-            )
+            vals = pdf[fe.name].astype("string")
+            if fe.analyzer == "lowercase":
+                vals = vals.str.lower()
+            docmap[fe.name] = vals.to_numpy(dtype=object, na_value=None)
         else:
             docmap[fe.name] = np.full(n_docs, None, dtype=object)
     docmap["content_sha256"] = (

@@ -830,7 +830,7 @@ def cmd_reindex(args) -> int:
     schema = Schema()
     for fe in src_schema.fields:
         if fe.is_keyword:
-            schema.add_keyword_field(fe.name)
+            schema.add_keyword_field(fe.name, lowercase=fe.analyzer == "lowercase")
         elif fe.is_numeric:
             schema.add_numeric_field(fe.name, fe.field_type)
         else:

@@ -175,7 +175,7 @@ def register_queries(
                     f"percolator query {qid!r}: range clause on "
                     f"non-numeric field {schema.fields[f].name!r}"
                 )
-        for _, _, f, op, _ in k_rows:
+        for j, (kqid, kocc, f, op, val) in enumerate(k_rows):
             fe = schema.fields[f]
             if op == "eq" and not fe.is_keyword:
                 raise ValueError(
@@ -187,6 +187,10 @@ def register_queries(
                     f"percolator query {qid!r}: exists clause on "
                     f"non-doc-value field {fe.name!r}"
                 )
+            # lowercase-normalized keyword field: normalize the stored
+            # query value exactly like forward search does
+            if op == "eq" and fe.analyzer == "lowercase":
+                k_rows[j] = (kqid, kocc, f, op, val.lower())
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
         } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)} | {
@@ -439,10 +443,15 @@ def percolate(
         # feed the distinct-unit satisfaction counts directly
         kvals = None
         for fid in kw_fids:
+            vcol = F.col(doc_col(fid)).cast("string")
+            if schema.fields[fid].analyzer == "lowercase":
+                # normalized keyword field: incoming docs carry RAW
+                # values — normalize like the index build does
+                vcol = F.lower(vcol)
             v = docs_df.select(
                 F.col(id_col).alias("_pid"),
                 F.lit(fid).alias("field_id"),
-                F.col(doc_col(fid)).cast("string").alias("_v"),
+                vcol.alias("_v"),
             ).filter(F.col("_v").isNotNull())
             kvals = v if kvals is None else kvals.unionByName(v)
         kq = spark.createDataFrame(

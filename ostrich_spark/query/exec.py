@@ -1050,8 +1050,13 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
                 f"keyword query on non-keyword field {fe.name!r} "
                 f"(type {fe.field_type!r}); use a range for numerics"
             )
-        # NULL never matches equality (SQL comparison semantics)
-        pred = col == range_wire["value"]
+        # NULL never matches equality (SQL comparison semantics); a
+        # lowercase-normalized field lowercases the QUERY value — stored
+        # values are already normalized at build (ES normalizer analog)
+        v = range_wire["value"]
+        if fe.analyzer == "lowercase":
+            v = v.lower()
+        pred = col == v
     else:
         if not fe.is_numeric:
             raise ValueError(

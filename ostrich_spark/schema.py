@@ -126,13 +126,22 @@ class Schema:
         self.fields.append(entry)
         return entry
 
-    def add_keyword_field(self, name: str) -> FieldEntry:
+    def add_keyword_field(self, name: str, lowercase: bool = False) -> FieldEntry:
         """Keyword doc-value field (EXTENSION, the ES ``keyword`` type):
         no analyzer, no postings; the raw string is stored in the docmap
         (dictionary-encoded parquet — min/max row-group stats prune
         equality reads) and queried with KeywordQuery (``field:value``,
-        exact match) or ExistsQuery (``field:*``)."""
-        entry = FieldEntry(len(self.fields), name, FIELD_TYPE_KEYWORD, "", False, False)
+        exact match) or ExistsQuery (``field:*``).
+
+        ``lowercase=True`` attaches the ES ``normalizer`` analog: values
+        lowercase at index time AND query values lowercase before the
+        equality, so ``lang:FR`` matches a stored ``fr`` (simple case
+        mapping — the same ``str.lower`` on both sides). Stored docmap
+        values are the NORMALIZED form, like ES keyword doc values."""
+        entry = FieldEntry(
+            len(self.fields), name, FIELD_TYPE_KEYWORD,
+            "lowercase" if lowercase else "", False, False,
+        )
         self.fields.append(entry)
         return entry
 

@@ -268,3 +268,50 @@ def test_sort_rejects_text_field(spark, kw_index):
 
     with pytest.raises(ValueError, match="doc-value"):
         search_sorted(spark, kw_index, "text:spark", by="text")
+
+
+def test_keyword_lowercase_normalizer(spark, tmp_path):
+    """add_keyword_field(lowercase=True) — the ES keyword `normalizer`:
+    values lowercase at index time, query values lowercase before the
+    equality, so case mismatches stop being silent misses. Percolation
+    normalizes BOTH sides the same way."""
+    from ostrich_spark.percolate import percolate, register_queries
+
+    docs = [(0, "spark joins", "News"), (1, "spark streams", "BLOG"),
+            (2, "hash join", "news"), (3, "windows", None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, cat string")
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    schema.add_keyword_field("cat", lowercase=True)
+    idx = str(tmp_path / "idx")
+    build_index(spark, df, schema, idx, num_partitions=2,
+                order_col="doc_id", id_cols=["doc_id"])
+
+    # any case on either side matches: stored News/news/BLOG, query FR
+    assert [i for i, _ in _ids_scores(spark, idx, "cat:NEWS")] == [0, 2]
+    assert [i for i, _ in _ids_scores(spark, idx, "cat:news")] == [0, 2]
+    assert [i for i, _ in _ids_scores(spark, idx, "cat:Blog")] == [1]
+    # stored docmap value is the NORMALIZED form (ES doc-value behavior)
+    mf = load_manifest(idx)
+    from ostrich_spark.query.exec import read_docmap
+
+    vals = {r["doc_id"]: r["cat"]
+            for r in read_docmap(spark, idx, mf).select("doc_id", "cat").collect()}
+    assert vals == {0: "news", 1: "blog", 2: "news", 3: None}
+
+    # percolation: raw-cased incoming docs match a raw-cased subscription
+    pq = register_queries({"s": KeywordQuery(1, "NeWs")}, schema)
+    got = {r["doc_id"] for r in
+           percolate(spark, df, pq, schema, id_col="doc_id").collect()}
+    assert got == {0, 2}
+
+    # an UNnormalized keyword field keeps exact-case semantics (pinned
+    # so the normalizer can never silently become the default)
+    schema2 = Schema()
+    schema2.add_text_field("text", "default")
+    schema2.add_keyword_field("cat")
+    idx2 = str(tmp_path / "idx2")
+    build_index(spark, df, schema2, idx2, num_partitions=1,
+                order_col="doc_id", id_cols=["doc_id"])
+    assert [i for i, _ in _ids_scores(spark, idx2, "cat:news")] == [2]
+    assert _ids_scores(spark, idx2, "cat:NEWS") == []
