@@ -190,6 +190,45 @@ def _q_eng_keyword_filter(spark, sf_dir):
     )
 
 
+def _q_eng_keyword_range(spark, sf_dir):
+    """Lexicographic keyword ranges (Lucene TermRangeQuery analog): OR
+    of two string-bounded doc-value ranges with mixed bracket
+    inclusivity — note [src17 TO src3} is a true STRING interval
+    (src17 < src18 < src19 < src2 < src3), not a numeric one."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _kw_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(
+        spark, idx, "lang:{de TO fr] OR source:[src17 TO src3}",
+        limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_terms_filter(spark, sf_dir):
+    """ES terms query as a non-scoring FILTER beside a scored text
+    clause: ONE docmap scan for the whole value set (vs N scans for
+    OR-of-equality); filter context leaves the tfidf score untouched."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import BooleanQuery, TermsQuery, parse_query
+
+    idx = _kw_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    q = BooleanQuery.filtering(
+        parse_query("text:spark", mf.schema),
+        TermsQuery(mf.schema.field_by_name("lang").id, ("fr", "de", "zh")),
+    )
+    res, _ = search(spark, idx, q, limit=None, manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
     """All matches via the real engine; -> (doc_id, score) rounded."""
     from ostrich_spark.manifest import load_manifest
@@ -1745,6 +1784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_grouped_totals": _q_eng_grouped_totals,
         "eng_keyword_eq": _q_eng_keyword_eq,
         "eng_keyword_filter": _q_eng_keyword_filter,
+        "eng_keyword_range": _q_eng_keyword_range,
+        "eng_terms_filter": _q_eng_terms_filter,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2159,6 +2200,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) + 1.0, 6) AS score "
             "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
             "WHERE t.term = 'spark' AND doc.lang = 'fr'"
+        ),
+        # lexicographic keyword ranges: constant-score union, STRING
+        # comparison on both engines (src17 < src2 < src3)
+        "eng_keyword_range": (
+            "SELECT doc_id, round("
+            "(CASE WHEN lang > 'de' AND lang <= 'fr' THEN 1.0 ELSE 0.0 END) + "
+            "(CASE WHEN source >= 'src17' AND source < 'src3' THEN 1.0 ELSE 0.0 END), 6) AS score "
+            "FROM documents WHERE (lang > 'de' AND lang <= 'fr') "
+            "OR (source >= 'src17' AND source < 'src3')"
+        ),
+        # terms (IN-set) FILTER beside a scored text clause: filter
+        # context adds no score — pure tfidf over the restricted set
+        "eng_terms_filter": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND doc.lang IN ('fr', 'de', 'zh')"
         ),
         # function score: tfidf * (1 + 0.001 * n_chars)
         "eng_boosted_topk": (

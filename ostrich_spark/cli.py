@@ -201,6 +201,29 @@ def cmd_search(args) -> int:
             else:
                 boosts[f] = 1.0
         query = parse_multi_field(args.query, mf.schema, boosts, args.tie)
+    if getattr(args, "terms", None):
+        # --terms field=v1,v2 → non-scoring FILTER TermsQuery (the ES
+        # terms-filter shape): one docmap scan per flag, any set size
+        from .manifest import load_manifest
+        from .query.parser import BooleanQuery, TermsQuery, parse_query
+
+        if mf is None:
+            mf = load_manifest(args.path)
+        filters = []
+        for spec in args.terms:
+            fname, _, vals = spec.partition("=")
+            fe = mf.schema.field_by_name(fname)
+            if not vals or fe is None or not fe.is_keyword:
+                print(
+                    f"error: --terms wants KEYWORDFIELD=v1,v2 "
+                    f"(got {spec!r})", file=sys.stderr,
+                )
+                return 2
+            filters.append(TermsQuery(fe.id, tuple(vals.split(","))))
+        base = (
+            parse_query(query, mf.schema) if isinstance(query, str) else query
+        )
+        query = BooleanQuery.filtering(base, *filters)
     res, cnt = search(
         spark,
         args.path,
@@ -1008,6 +1031,13 @@ def main(argv=None) -> int:
     )
     s.add_argument("--tie", type=float, default=0.0,
                    help="with --fields: dismax tie_breaker in [0,1]")
+    s.add_argument(
+        "--terms",
+        metavar="FIELD=V1,V2",
+        action="append",
+        help="non-scoring terms filter on a keyword field (ES terms "
+        "query): match any of the listed values; repeatable",
+    )
     s.add_argument(
         "--after",
         metavar="SCORE,SEG_ORD,DOC",

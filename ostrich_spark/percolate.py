@@ -28,9 +28,11 @@ inside ``foreachBatch`` for Structured Streaming percolation.
 Supported query surface: TermQuery, PhraseQuery (exact and sloppy —
 verified positionally against the doc's own token stream with the SAME
 in-order window DP the forward phrase scorer uses, query/exec.py
-eval_phrase), RangeQuery (numeric doc values), KeywordQuery/ExistsQuery
+eval_phrase), RangeQuery (numeric doc values; STRING bounds =
+lexicographic keyword range), KeywordQuery/TermsQuery/ExistsQuery
 (keyword doc values — the ES subscription-with-keyword-filter shape,
-one broadcast equality join over per-field value rows), and one flat
+one broadcast equality/membership/interval join over per-field value
+rows; a TermsQuery set is ONE unit), and one flat
 BooleanQuery level of such leaves —
 MUST / SHOULD / MUST_NOT / FILTER occurs plus ``min_should``, matching
 the engine's own satisfaction semantics (FILTER requires like MUST;
@@ -60,6 +62,7 @@ from .query.parser import (
     PhraseQuery,
     RangeQuery,
     TermQuery,
+    TermsQuery,
     parse_query,
 )
 from .schema import Schema
@@ -86,9 +89,11 @@ class PercolatorQueries:
     # distinct numeric range units (bounds as float, open = ±inf;
     # comparisons run in double — exact for doc values up to 2^53)
     range_rows: tuple[tuple[str, str, int, float, float, bool, bool], ...] = ()
-    # (query_id, occur, field_id, op, value) — distinct keyword units:
-    # op "eq" (exact doc-value match, value set) or "exists" (value None)
-    kw_rows: tuple[tuple[str, str, int, str, str | None], ...] = ()
+    # (query_id, occur, field_id, op, payload) — distinct keyword units:
+    # op "eq" (payload = value str), "in" (payload = value tuple, ONE
+    # unit for the whole set), "range" (payload = (lo, hi, ilo, ihi)
+    # string bounds, None = open) or "exists" (payload None)
+    kw_rows: tuple[tuple[str, str, int, str, object], ...] = ()
 
 
 def _flatten_terms(query_id: str, q):
@@ -110,6 +115,15 @@ def _flatten_terms(query_id: str, q):
                 (query_id, occur, sub.field_id, tuple(sub.terms), int(sub.slop)),
             )
         if isinstance(sub, RangeQuery):
+            if isinstance(sub.lo, str) or isinstance(sub.hi, str):
+                # lexicographic keyword range: string bounds, keyword
+                # delivery (the numeric table compares in double)
+                return (
+                    "k",
+                    (query_id, occur, sub.field_id, "range",
+                     (sub.lo, sub.hi,
+                      bool(sub.include_lo), bool(sub.include_hi))),
+                )
             lo = float("-inf") if sub.lo is None else float(sub.lo)
             hi = float("inf") if sub.hi is None else float(sub.hi)
             return (
@@ -119,6 +133,10 @@ def _flatten_terms(query_id: str, q):
             )
         if isinstance(sub, KeywordQuery):
             return ("k", (query_id, occur, sub.field_id, "eq", sub.value))
+        if isinstance(sub, TermsQuery):
+            # ONE unit regardless of set size: a doc stores at most one
+            # value per field, so the set hits at most once per doc
+            return ("k", (query_id, occur, sub.field_id, "in", sub.values))
         if isinstance(sub, ExistsQuery):
             return ("k", (query_id, occur, sub.field_id, "exists", None))
         raise ValueError(
@@ -129,7 +147,7 @@ def _flatten_terms(query_id: str, q):
         )
 
     if isinstance(q, (TermQuery, PhraseQuery, RangeQuery, KeywordQuery,
-                      ExistsQuery)):
+                      TermsQuery, ExistsQuery)):
         kind, row = leaf(MUST, q)
         return (
             [row] if kind == "t" else [],
@@ -171,15 +189,19 @@ def register_queries(
         t_rows, p_rows, r_rows, k_rows = _flatten_terms(qid, logical)
         for _, _, f, *_ in r_rows:
             if not schema.fields[f].is_numeric:
+                hint = (
+                    " (keyword ranges need STRING bounds)"
+                    if schema.fields[f].is_keyword else ""
+                )
                 raise ValueError(
-                    f"percolator query {qid!r}: range clause on "
-                    f"non-numeric field {schema.fields[f].name!r}"
+                    f"percolator query {qid!r}: numeric range clause on "
+                    f"non-numeric field {schema.fields[f].name!r}{hint}"
                 )
         for j, (kqid, kocc, f, op, val) in enumerate(k_rows):
             fe = schema.fields[f]
-            if op == "eq" and not fe.is_keyword:
+            if op in ("eq", "in", "range") and not fe.is_keyword:
                 raise ValueError(
-                    f"percolator query {qid!r}: keyword clause on "
+                    f"percolator query {qid!r}: keyword {op!r} clause on "
                     f"non-keyword field {fe.name!r}"
                 )
             if op == "exists" and not fe.is_doc_value:
@@ -188,9 +210,20 @@ def register_queries(
                     f"non-doc-value field {fe.name!r}"
                 )
             # lowercase-normalized keyword field: normalize the stored
-            # query value exactly like forward search does
-            if op == "eq" and fe.analyzer == "lowercase":
-                k_rows[j] = (kqid, kocc, f, op, val.lower())
+            # query values exactly like forward search does
+            if fe.analyzer == "lowercase":
+                if op == "eq":
+                    k_rows[j] = (kqid, kocc, f, op, val.lower())
+                elif op == "in":
+                    k_rows[j] = (kqid, kocc, f, op,
+                                 tuple(v.lower() for v in val))
+                elif op == "range":
+                    lo, hi, ilo, ihi = val
+                    k_rows[j] = (
+                        kqid, kocc, f, op,
+                        (None if lo is None else lo.lower(),
+                         None if hi is None else hi.lower(), ilo, ihi),
+                    )
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
         } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)} | {
@@ -454,12 +487,33 @@ def percolate(
                 vcol.alias("_v"),
             ).filter(F.col("_v").isNotNull())
             kvals = v if kvals is None else kvals.unionByName(v)
+        krows = []
+        for qid, occ, f, op, payload in pq.kw_rows:
+            val, vset, lo, hi, ilo, ihi = None, None, None, None, None, None
+            if op == "eq":
+                val = payload
+            elif op == "in":
+                vset = list(payload)
+            elif op == "range":
+                lo, hi, ilo, ihi = payload
+            krows.append((qid, occ, f, op, val, vset, lo, hi, ilo, ihi))
         kq = spark.createDataFrame(
-            [(qid, occ, f, op, val) for qid, occ, f, op, val in pq.kw_rows],
+            krows,
             "query_id string, occur string, field_id int, op string, "
-            "value string",
+            "value string, vset array<string>, lo string, hi string, "
+            "ilo boolean, ihi boolean",
         )
-        kcond = (F.col("op") == "exists") | (F.col("_v") == F.col("value"))
+        kcond = (
+            (F.col("op") == "exists")
+            | ((F.col("op") == "eq") & (F.col("_v") == F.col("value")))
+            | ((F.col("op") == "in")
+               & F.array_contains(F.col("vset"), F.col("_v")))
+            | ((F.col("op") == "range")
+               & (F.col("lo").isNull() | (F.col("_v") > F.col("lo"))
+                  | (F.col("ilo") & (F.col("_v") == F.col("lo"))))
+               & (F.col("hi").isNull() | (F.col("_v") < F.col("hi"))
+                  | (F.col("ihi") & (F.col("_v") == F.col("hi")))))
+        )
         contribs.append(
             kvals.join(
                 F.broadcast(kq), on=(kvals.field_id == kq.field_id) & kcond

@@ -1057,17 +1057,53 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
         if fe.analyzer == "lowercase":
             v = v.lower()
         pred = col == v
+    elif op == "in":
+        if not fe.is_keyword:
+            raise ValueError(
+                f"terms query on non-keyword field {fe.name!r} "
+                f"(type {fe.field_type!r}); use a range for numerics"
+            )
+        # ONE scan for the whole value set (vs N scans for OR-of-eq);
+        # In pushes to parquet like equality. NULL never matches IN.
+        vals = range_wire["values"]
+        if fe.analyzer == "lowercase":
+            vals = [v.lower() for v in vals]
+        pred = col.isin(vals)
     else:
-        if not fe.is_numeric:
+        str_bounds = any(
+            isinstance(range_wire[k], str) for k in ("lo", "hi")
+        )
+        if str_bounds or fe.is_keyword:
+            # lexicographic range over a keyword field (Lucene
+            # TermRangeQuery analog); parquet string min/max stats prune
+            if not fe.is_keyword:
+                raise ValueError(
+                    f"string range bounds on non-keyword field {fe.name!r} "
+                    f"(type {fe.field_type!r})"
+                )
+            if not str_bounds or any(
+                range_wire[k] is not None and not isinstance(range_wire[k], str)
+                for k in ("lo", "hi")
+            ):
+                raise ValueError(
+                    f"range query on keyword field {fe.name!r} needs "
+                    f"string bounds"
+                )
+        elif not fe.is_numeric:
             raise ValueError(
                 f"range query on non-numeric field {fe.name!r} (type {fe.field_type!r})"
             )
+        lo, hi = range_wire["lo"], range_wire["hi"]
+        if fe.is_keyword and fe.analyzer == "lowercase":
+            # normalized field: bounds lowercase like query values do
+            lo = lo.lower() if lo is not None else None
+            hi = hi.lower() if hi is not None else None
         pred = None
-        if range_wire["lo"] is not None:
-            p = col >= range_wire["lo"] if range_wire["incl_lo"] else col > range_wire["lo"]
+        if lo is not None:
+            p = col >= lo if range_wire["incl_lo"] else col > lo
             pred = p
-        if range_wire["hi"] is not None:
-            p = col <= range_wire["hi"] if range_wire["incl_hi"] else col < range_wire["hi"]
+        if hi is not None:
+            p = col <= hi if range_wire["incl_hi"] else col < hi
             pred = p if pred is None else (pred & p)
     return (
         read_docmap(spark, index_dir, manifest)
@@ -3288,6 +3324,9 @@ def explain(
             op = w.get("op")
             if op == "eq":
                 out["detail"] = {"op": "eq", "value": w["value"],
+                                 "const_score": w["score"]}
+            elif op == "in":
+                out["detail"] = {"op": "in", "values": w["values"],
                                  "const_score": w["score"]}
             elif op == "exists":
                 out["detail"] = {"op": "exists", "const_score": w["score"]}

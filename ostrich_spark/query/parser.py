@@ -246,17 +246,20 @@ class RegexpQuery:
 
 @dataclass(frozen=True)
 class RangeQuery:
-    """Numeric range over a doc-value field — EXTENSION (Lucene
-    Points/NumericRangeQuery analog; the reference has only text fields).
-    NQL: ``field:[10 TO 20]`` (inclusive), ``field:{10 TO 20}``
-    (exclusive), ``*`` for an open bound; mixed brackets allowed. The
-    field must be ``Schema.add_numeric_field``. Matches score a constant
-    ``boost`` (Lucene ConstantScore semantics) — use a FILTER clause for
-    the usual non-scoring predicate shape."""
+    """Range over a doc-value field — EXTENSION (Lucene
+    Points/NumericRangeQuery and TermRangeQuery analogs; the reference
+    has only text fields). NQL: ``field:[10 TO 20]`` (inclusive),
+    ``field:{10 TO 20}`` (exclusive), ``*`` for an open bound; mixed
+    brackets allowed. Numeric fields take numeric bounds; keyword fields
+    take STRING bounds compared lexicographically (binary collation —
+    the Lucene/ES keyword-range semantics), e.g. ``lang:[de TO fr]``.
+    Matches score a constant ``boost`` (Lucene ConstantScore
+    semantics) — use a FILTER clause for the usual non-scoring
+    predicate shape."""
 
     field_id: int
-    lo: float | int | None = None  # None = open bound
-    hi: float | int | None = None
+    lo: float | int | str | None = None  # None = open bound
+    hi: float | int | str | None = None
     include_lo: bool = True
     include_hi: bool = True
     boost: float = 1.0
@@ -264,6 +267,11 @@ class RangeQuery:
     def __post_init__(self):
         if self.lo is None and self.hi is None:
             raise QueryParseError("range query needs at least one bound")
+        kinds = {isinstance(b, str) for b in (self.lo, self.hi) if b is not None}
+        if len(kinds) > 1:
+            raise QueryParseError(
+                "range query bounds must be both numeric or both strings"
+            )
 
 
 @dataclass(frozen=True)
@@ -278,6 +286,30 @@ class KeywordQuery:
     field_id: int
     value: str
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermsQuery:
+    """Match any of a SET of exact values on a keyword doc-value field —
+    EXTENSION (the ES ``terms`` query / Lucene TermInSetQuery). No NQL
+    form (like ES, where ``terms`` is DSL-only): construct
+    programmatically or via CLI ``search --terms field=v1,v2``. One
+    docmap scan with an IN predicate pushed to parquet regardless of the
+    set size — the reason this exists instead of OR-ing N KeywordQuery
+    clauses (N scans). A document stores at most one value per field, so
+    the constant ``boost`` is scored at most once (identical to the OR
+    form's sum). NULL never matches."""
+
+    field_id: int
+    values: tuple[str, ...]
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "values", tuple(self.values))
+        if not self.values:
+            raise QueryParseError("terms query needs at least one value")
+        if any(not isinstance(v, str) for v in self.values):
+            raise QueryParseError("terms query values must be strings")
 
 
 @dataclass(frozen=True)
@@ -581,6 +613,16 @@ def _parse_bound(s: str, what: str):
             raise QueryParseError(f"non-numeric {what} bound {s!r} in range query")
 
 
+def _parse_str_bound(s: str):
+    """Keyword-range bound: ``*`` = open; optional quotes allow spaces."""
+    s = s.strip()
+    if s == "*":
+        return None
+    if len(s) >= 2 and s.startswith('"') and s.endswith('"'):
+        return s[1:-1]
+    return s
+
+
 def _numeric_leaf(fe, raw: str):
     """Value side of ``numericfield:...`` — a range span or a plain value
     (equality = degenerate range)."""
@@ -633,7 +675,7 @@ def _apply_boost(q, boost: float):
     if isinstance(
         q,
         (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery, WildcardQuery,
-         RegexpQuery, RangeQuery, KeywordQuery, ExistsQuery),
+         RegexpQuery, RangeQuery, KeywordQuery, TermsQuery, ExistsQuery),
     ):
         return dataclasses.replace(q, boost=q.boost * boost)
     if isinstance(q, BooleanQuery):
@@ -703,6 +745,17 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                 # any doc-value field. Text fields keep wildcard meaning.
                 return ExistsQuery(fe.id)
             if fe.is_keyword:
+                m = _RANGE_SYNTAX.match(raw)
+                if m:
+                    # lexicographic range (Lucene TermRangeQuery analog):
+                    # bounds stay strings; quotes allow spaces/brackets
+                    return RangeQuery(
+                        fe.id,
+                        _parse_str_bound(m.group(2)),
+                        _parse_str_bound(m.group(3)),
+                        include_lo=m.group(1) == "[",
+                        include_hi=m.group(4) == "]",
+                    )
                 if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                     return KeywordQuery(fe.id, raw[1:-1])
                 if not raw:

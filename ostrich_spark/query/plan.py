@@ -42,6 +42,7 @@ from .parser import (
     RangeQuery,
     RegexpQuery,
     TermQuery,
+    TermsQuery,
     WildcardQuery,
     FILTER,
     MUST,
@@ -130,6 +131,20 @@ class CKeyword:
 
     field_id: int
     value: str
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CTerms:
+    """Compiled keyword set membership (ES terms / Lucene TermInSetQuery
+    analog). Same delivery as CRange: ONE docmap scan with an IN
+    predicate pushed to parquet (dictionary/min-max stats prune) riding
+    the scoring shuffle as an aux doc set keyed by ``rid`` — one scan
+    for N values, vs N scans for the equivalent OR-of-KeywordQuery.
+    Constant score (a doc stores at most one value, so at most one hit)."""
+
+    field_id: int
+    values: tuple[str, ...]
     const_score: float
 
 
@@ -319,6 +334,8 @@ def compile_query(
         )
     if isinstance(q, KeywordQuery):
         return CKeyword(q.field_id, q.value, q.boost)
+    if isinstance(q, TermsQuery):
+        return CTerms(q.field_id, q.values, q.boost)
     if isinstance(q, ExistsQuery):
         return CExists(q.field_id, q.boost)
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery, PhrasePrefixQuery)):
@@ -548,6 +565,14 @@ def to_wire(node) -> dict:
             "op": "eq",
             "field": node.field_id,
             "value": node.value,
+            "score": node.const_score,
+        }
+    if isinstance(node, CTerms):
+        return {
+            "kind": "range",
+            "op": "in",
+            "field": node.field_id,
+            "values": list(node.values),
             "score": node.const_score,
         }
     if isinstance(node, CExists):

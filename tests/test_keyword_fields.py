@@ -315,3 +315,176 @@ def test_keyword_lowercase_normalizer(spark, tmp_path):
                 order_col="doc_id", id_cols=["doc_id"])
     assert [i for i, _ in _ids_scores(spark, idx2, "cat:news")] == [2]
     assert _ids_scores(spark, idx2, "cat:NEWS") == []
+
+
+def test_keyword_string_range(spark, kw_index):
+    """Lexicographic range over a keyword field (Lucene TermRangeQuery
+    analog): NQL bracket syntax, inclusive/exclusive/open bounds, NULL
+    never matches, brute-force identity against the raw values."""
+    langs = {d[0]: d[2] for d in DOCS}
+
+    def brute(lo, hi, ilo=True, ihi=True):
+        out = []
+        for did, v in langs.items():
+            if v is None:
+                continue
+            if lo is not None and (v < lo or (not ilo and v == lo)):
+                continue
+            if hi is not None and (v > hi or (not ihi and v == hi)):
+                continue
+            out.append((did, 1.0))
+        return sorted(out)
+
+    assert _ids_scores(spark, kw_index, "lang:[de TO en]") == brute("de", "en")
+    assert _ids_scores(spark, kw_index, "lang:{de TO fr]") == brute(
+        "de", "fr", ilo=False
+    )
+    assert _ids_scores(spark, kw_index, "lang:[en TO *]") == brute("en", None)
+    assert _ids_scores(spark, kw_index, "lang:[* TO de}") == brute(
+        None, "de", ihi=False
+    )
+    # composes with scored text clauses; FILTER keeps scores untouched
+    scored = dict(_ids_scores(spark, kw_index, "text:spark"))
+    got = _ids_scores(
+        spark, kw_index,
+        BooleanQuery.filtering(
+            parse_query("text:spark", _schema()),
+            parse_query("lang:[de TO en]", _schema()),
+        ),
+    )
+    want = sorted(
+        (did, scored[did]) for did, _ in brute("de", "en") if did in scored
+    )
+    assert got == want
+
+
+def test_keyword_range_validation(spark, kw_index):
+    # string bounds on a numeric field / numeric bounds on keyword
+    from ostrich_spark.query.parser import RangeQuery
+
+    with pytest.raises(ValueError, match="non-keyword field"):
+        _ids_scores(spark, kw_index, RangeQuery(3, "a", "f"))  # n_chars
+    with pytest.raises(ValueError, match="string bounds"):
+        _ids_scores(spark, kw_index, RangeQuery(1, 1, 2))  # lang
+    with pytest.raises(QueryParseError, match="both numeric or both"):
+        RangeQuery(1, "a", 5)
+
+
+def test_terms_query(spark, kw_index):
+    """ES terms query: any-of set membership, ONE unit/scan, constant
+    score at most once per doc (a doc stores one value per field)."""
+    from ostrich_spark.query.parser import TermsQuery
+
+    assert _ids_scores(spark, kw_index, TermsQuery(1, ("fr", "de"))) == [
+        (0, 1.0), (3, 1.0), (4, 1.0), (5, 1.0),
+    ]
+    # identical to the OR-of-KeywordQuery form (one scan vs two)
+    assert _ids_scores(
+        spark, kw_index,
+        BooleanQuery.union(KeywordQuery(1, "fr"), KeywordQuery(1, "de")),
+    ) == _ids_scores(spark, kw_index, TermsQuery(1, ("fr", "de")))
+    # absent values don't error; empty set rejected; non-keyword rejected
+    assert _ids_scores(spark, kw_index, TermsQuery(1, ("zz",))) == []
+    with pytest.raises(QueryParseError, match="at least one value"):
+        TermsQuery(1, ())
+    with pytest.raises(ValueError, match="non-keyword"):
+        _ids_scores(spark, kw_index, TermsQuery(3, ("a",)))
+    # boost scales the constant; MUST_NOT composition
+    assert _ids_scores(spark, kw_index, TermsQuery(1, ("de",), boost=2.5)) == [
+        (4, 2.5)
+    ]
+    got = _ids_scores(
+        spark, kw_index,
+        BooleanQuery.excluding(
+            parse_query("text:spark", _schema()), TermsQuery(1, ("fr", "de"))
+        ),
+    )
+    assert [d for d, _ in got] == [1, 2]
+
+
+def test_terms_and_string_range_batched(spark, kw_index):
+    """search_many must return row-identical results to per-query search
+    for the new doc-value shapes (shared rid namespace)."""
+    from ostrich_spark.query.parser import TermsQuery
+
+    queries = {
+        "a": parse_query("lang:[de TO en]", _schema()),
+        "b": TermsQuery(1, ("fr", "de")),
+        "c": BooleanQuery.filtering(
+            parse_query("text:spark", _schema()), TermsQuery(2, ("wiki",))
+        ),
+    }
+    batched = search_many(spark, kw_index, queries, limit=None)
+    for qid, q in queries.items():
+        single = _ids_scores(spark, kw_index, q)
+        got = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in attach_docmap(
+                spark, kw_index, batched.filter(batched.query_id == qid)
+            ).select("doc_id", "score").collect()
+        )
+        assert got == single, qid
+
+
+def test_terms_string_range_percolate(spark, kw_index):
+    """Percolation identity with forward search for terms-set and
+    string-range subscriptions (incl. one-unit counting for a set)."""
+    from ostrich_spark.percolate import percolate, register_queries
+    from ostrich_spark.query.parser import TermsQuery
+
+    schema = _schema()
+    subs = {
+        "terms": TermsQuery(1, ("fr", "de")),
+        "range": parse_query("lang:[de TO en]", schema),
+        "mix": BooleanQuery.filtering(
+            parse_query("text:spark", schema), TermsQuery(2, ("wiki",))
+        ),
+        "not": BooleanQuery.excluding(
+            parse_query("text:join", schema), TermsQuery(1, ("fr",))
+        ),
+    }
+    docs_df = spark.createDataFrame(
+        DOCS, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    pq = register_queries(subs, schema)
+    got = {
+        (r["doc_id"], r["query_id"])
+        for r in percolate(spark, docs_df, pq, schema, id_col="doc_id").collect()
+    }
+    want = set()
+    for qid, q in subs.items():
+        for did, _ in _ids_scores(spark, kw_index, q):
+            want.add((did, qid))
+    assert got == want
+    # registration rejects terms on non-keyword fields
+    with pytest.raises(ValueError, match="keyword 'in' clause"):
+        register_queries({"bad": TermsQuery(3, ("a",))}, schema)
+    # numeric-bounded range on a keyword field: actionable error
+    from ostrich_spark.query.parser import RangeQuery
+
+    with pytest.raises(ValueError, match="STRING bounds"):
+        register_queries({"bad": RangeQuery(1, 1, 2)}, schema)
+
+
+def test_explain_terms_detail(spark, kw_index):
+    from ostrich_spark.query.parser import TermsQuery
+
+    q = BooleanQuery.filtering(
+        parse_query("text:spark", _schema()), TermsQuery(1, ("fr", "de"))
+    )
+    res, _ = search(spark, kw_index, q, limit=1)
+    hit = res.collect()[0]
+    tree = explain(spark, kw_index, q, hit["segment_id"], hit["doc"])
+    assert tree["matched"] and round(tree["score"], 6) == round(hit["score"], 6)
+
+    def find_in(node):
+        if node.get("detail", {}).get("op") == "in":
+            return node
+        for c in node.get("children", []):
+            r = find_in(c)
+            if r:
+                return r
+        return None
+
+    node = find_in(tree)
+    assert node is not None and sorted(node["detail"]["values"]) == ["de", "fr"]
