@@ -241,12 +241,21 @@ def register_queries(
                 f"pure-negative query matches nothing (engine semantics)"
             )
         min_should = logical.min_should if isinstance(logical, BooleanQuery) else 1
-        # engine rule: SHOULD is required when it is the only positive
-        # group (ordinary union: >=1) or when min_should > 1 (explicit
-        # at_least, required even beside MUST)
+        # engine rule: SHOULD is required when there is no TRUE MUST
+        # clause (ordinary union: >=1 — FILTERs do NOT make SHOULD
+        # optional: forward lowering puts the should-union in CFilter's
+        # BASE, plan.py) or when min_should > 1 (explicit at_least,
+        # required even beside MUST). Must use the PRE-normalization
+        # occurs — leaf() folds FILTER into MUST for unit dedup, so the
+        # `musts` unit set can be non-empty on a query with no true MUST.
+        has_true_must = (
+            any(o == MUST for o, _ in logical.subqueries)
+            if isinstance(logical, BooleanQuery)
+            else True
+        )
         if min_should > 1:
             req_should = min_should
-        elif not musts and shoulds:
+        elif shoulds and not has_true_must:
             req_should = 1
         else:
             req_should = 0

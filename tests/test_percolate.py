@@ -16,6 +16,7 @@ from ostrich_spark.query.parser import (
     PhraseQuery,
     RangeQuery,
     TermQuery,
+    TermsQuery,
 )
 from ostrich_spark.schema import Schema
 
@@ -98,6 +99,17 @@ QUERIES = {
     "q_kw_not": BooleanQuery.excluding(T("spark"), KeywordQuery(3, "blog")),
     "q_kw_should": BooleanQuery(
         [("should", KeywordQuery(3, "docs")), ("should", T("stream"))]
+    ),
+    # SHOULD + FILTER with NO true MUST: the should-union stays REQUIRED
+    # (forward puts it in CFilter's base) — a FILTER clause must not
+    # make SHOULD optional (regression: found by the seeded fuzz)
+    "q_should_filter": BooleanQuery(
+        [("should", T("stream")), ("should", T("nothing")),
+         ("filter", RangeQuery(2, 10, None))]
+    ),
+    "q_should_filter_not": BooleanQuery(
+        [("must_not", T("join")), ("should", T("spark")),
+         ("filter", RangeQuery(2, 18, 30))]
     ),
     "q_exists_kw": "cat:*",
     "q_exists_num": BooleanQuery(
@@ -228,8 +240,9 @@ def test_percolate_range_on_text_field_rejected(perc_schema):
 
 def test_percolate_fuzz_identity(spark, perc_index, perc_schema):
     """25 seeded random subscriptions (boolean trees over terms, phrases,
-    numeric ranges and keyword eq/exists, random occurs + min_should) —
-    match sets identical to forward search for every one."""
+    numeric ranges and keyword eq/terms-set/string-range/exists, random
+    occurs + min_should) — match sets identical to forward search for
+    every one."""
     import random
 
     rng = random.Random(7)
@@ -243,8 +256,23 @@ def test_percolate_fuzz_identity(spark, perc_index, perc_schema):
             n = rng.randint(2, 3)
             return PhraseQuery(0, tuple(rng.sample(terms[:4], n)), slop=rng.choice([0, 1]))
         if r < 0.75:
-            if rng.random() < 0.3:
+            rr = rng.random()
+            if rr < 0.25:
                 return ExistsQuery(rng.choice([2, 3]))
+            if rr < 0.5:
+                vals = rng.sample(["news", "blog", "docs", "zz"],
+                                  rng.randint(1, 3))
+                return TermsQuery(3, tuple(vals))
+            if rr < 0.75:
+                lo = rng.choice([None, "blog", "docs"])
+                hi = rng.choice([None, "docs", "news", "zz"])
+                if lo is None and hi is None:
+                    lo = "blog"
+                if lo is not None and hi is not None and lo > hi:
+                    lo, hi = hi, lo
+                return RangeQuery(
+                    3, lo, hi, rng.random() < 0.8, rng.random() < 0.8
+                )
             return KeywordQuery(3, rng.choice(["news", "blog", "docs", "zz"]))
         lo = rng.choice([None, 5, 10, 18])
         hi = rng.choice([None, 12, 30, 44])
