@@ -944,6 +944,50 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """ES ``_analyze`` analog: show how text tokenizes under a named
+    analyzer or under an index field's own analyzer chain (loading the
+    manifest auto-registers the index's custom analyzer specs). Pure
+    driver-side — no Spark session."""
+    from .analysis import get_analyzer
+
+    name = args.analyzer
+    if args.path:
+        from .manifest import load_manifest
+
+        try:
+            m = load_manifest(args.path)
+        except FileNotFoundError:
+            print(f"no index at {args.path} (missing manifest.json)",
+                  file=sys.stderr)
+            return 2
+        if not args.field:
+            print("error: --path needs --field", file=sys.stderr)
+            return 2
+        fe = m.schema.field_by_name(args.field)
+        if fe is None:
+            print(f"error: no field {args.field!r} in the index schema",
+                  file=sys.stderr)
+            return 2
+        if fe.is_doc_value:
+            kind = "keyword" if fe.is_keyword else "numeric"
+            print(f"field {fe.name!r} is a {kind} doc-value field — "
+                  f"never analyzed", file=sys.stderr)
+            return 2
+        name = fe.query_analyzer if args.query else fe.analyzer
+    elif not name:
+        name = "default"
+    try:
+        tokens = get_analyzer(name).analyze_one(args.text)
+    except KeyError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    print(f"analyzer: {name}")
+    for i, t in enumerate(tokens):
+        print(f"{i}\t{t}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: manifest stats, build phases, per-segment
     lineage/metrics — no Spark session needed (driver-side JSON only)."""
@@ -1230,6 +1274,19 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("-p", "--path", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    an = sub.add_parser("analyze", help="show how text tokenizes (ES "
+                        "_analyze analog); no Spark session")
+    an.add_argument("text")
+    an.add_argument("--analyzer", help="registered analyzer name "
+                    "(default: 'default')")
+    an.add_argument("-p", "--path", help="use an index field's analyzer "
+                    "(auto-registers the index's custom analyzer specs)")
+    an.add_argument("--field", help="with --path: schema field name")
+    an.add_argument("--query", action="store_true",
+                    help="with --path/--field: use the field's QUERY "
+                    "analyzer (differs for search-as-you-type fields)")
+    an.set_defaults(fn=cmd_analyze)
 
     sn = sub.add_parser("snapshots")
     sn.add_argument("-p", "--path", required=True)

@@ -345,3 +345,32 @@ def test_cli_suggest_transpositions(small_index):
         for l in plain.stdout.splitlines()
         if l.strip() and not l.startswith("elapsed")
     ), plain.stdout
+
+
+def test_cli_analyze(small_index):
+    """ES _analyze analog: named analyzer, index-field analyzer, and the
+    doc-value rejection — all driver-side (no Spark session)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "analyze",
+         "Having Confidence in serious_viruses", "--analyzer", "en_stem"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    toks = [l.split("\t")[1] for l in out.stdout.splitlines() if "\t" in l]
+    assert toks == ["confid", "seriou", "virus"]  # stem THEN stopword (A7)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "analyze", "Merge_Policy X",
+         "-p", small_index, "--field", "content"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    toks = [l.split("\t")[1] for l in out.stdout.splitlines() if "\t" in l]
+    assert toks == ["merge", "policy", "x"]
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "analyze", "x",
+         "-p", small_index, "--field", "nope"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert out.returncode == 2 and "no field" in out.stderr
