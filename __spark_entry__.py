@@ -190,6 +190,58 @@ def _q_eng_keyword_filter(spark, sf_dir):
     )
 
 
+_MF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _mf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with an ES-style multi-field: ``lang_kw`` is a keyword
+    doc-value field reading the ``lang`` SOURCE column (source_col) —
+    one input column indexed under two schema fields."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _MF_INDEX_CACHE:
+        return _MF_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-mf1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_keyword_field("lang_kw", source_col="lang")
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-mf-{tag}",
+        )
+    _MF_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_multifield(spark, sf_dir):
+    """ES multi-field (source_col): keyword twin `lang_kw` reads the
+    `lang` input column — equality beside a scored text MUST proves the
+    source routing end-to-end (if source_col were dropped, the doc-value
+    column would be all-NULL and the match set empty)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _mf_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(
+        spark, idx, "text:spark AND lang_kw:fr", limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_keyword_range(spark, sf_dir):
     """Lexicographic keyword ranges (Lucene TermRangeQuery analog): OR
     of two string-bounded doc-value ranges with mixed bracket
@@ -1785,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_keyword_eq": _q_eng_keyword_eq,
         "eng_keyword_filter": _q_eng_keyword_filter,
         "eng_keyword_range": _q_eng_keyword_range,
+        "eng_multifield": _q_eng_multifield,
         "eng_terms_filter": _q_eng_terms_filter,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
@@ -2196,6 +2249,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # keyword MUST beside a scored text clause: tfidf + 1.0 constant
         "eng_keyword_filter": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) + 1.0, 6) AS score "
+            "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND doc.lang = 'fr'"
+        ),
+        # multi-field: keyword twin lang_kw reads the lang source column;
+        # tfidf + 1.0 constant, same contract as eng_keyword_filter
+        "eng_multifield": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) + 1.0, 6) AS score "
             "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "

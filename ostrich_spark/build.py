@@ -143,7 +143,8 @@ def build_segment_tables(
             # norms — the typed value is written into the docmap below.
             # Excluded from content_sha256 (the TEXT-content invariant).
             continue
-        col = pdf[fe.name] if fe.name in pdf.columns else pd.Series([""] * n_docs)
+        src = fe.input_col  # ES multi-fields: may differ from fe.name
+        col = pdf[src] if src in pdf.columns else pd.Series([""] * n_docs)
         # multi-valued text (repeated FieldValues, schema/document.go:20-46):
         # token streams are concatenated — for this tokenizer that's
         # exactly space-joining the values (space is a separator and
@@ -275,8 +276,8 @@ def build_segment_tables(
     # snippet highlighting without going back to the source table
     for fe in schema.fields:
         if fe.store and fe.name not in docmap.columns:
-            if fe.name in pdf.columns:
-                raw = pdf[fe.name].map(
+            if fe.input_col in pdf.columns:
+                raw = pdf[fe.input_col].map(
                     lambda v: "\n".join(str(x) for x in v)
                     if isinstance(v, (list, tuple, np.ndarray))
                     else ("" if v is None else str(v))
@@ -289,8 +290,8 @@ def build_segment_tables(
     for fe in schema.fields:
         if not fe.is_numeric or fe.name in docmap.columns:
             continue
-        if fe.name in pdf.columns:
-            vals = pd.to_numeric(pdf[fe.name], errors="raise")
+        if fe.input_col in pdf.columns:
+            vals = pd.to_numeric(pdf[fe.input_col], errors="raise")
             docmap[fe.name] = (
                 vals.astype("Int64")
                 if fe.field_type == "long"
@@ -309,8 +310,8 @@ def build_segment_tables(
     for fe in schema.fields:
         if not fe.is_keyword or fe.name in docmap.columns:
             continue
-        if fe.name in pdf.columns:
-            vals = pdf[fe.name].astype("string")
+        if fe.input_col in pdf.columns:
+            vals = pdf[fe.input_col].astype("string")
             if fe.analyzer == "lowercase":
                 vals = vals.str.lower()
             docmap[fe.name] = vals.to_numpy(dtype=object, na_value=None)
@@ -431,8 +432,8 @@ def build_index(
                 "was never committed)"
             )
 
-    field_names = [f.name for f in schema.fields]
-    needed = list(dict.fromkeys([*field_names, *id_cols, order_col]))
+    field_inputs = [f.input_col for f in schema.fields]
+    needed = list(dict.fromkeys([*field_inputs, *id_cols, order_col]))
     df = corpus_df.select(*[c for c in needed if c in corpus_df.columns])
     df = df.repartitionByRange(num_partitions, order_col).sortWithinPartitions(order_col)
 
@@ -776,7 +777,7 @@ def reindex(
     docmap = read_docmap(spark, src_dir, src)
     cols = set(docmap.schema.names)
     missing = [
-        fe.name for fe in schema.fields if fe.name not in cols
+        fe.input_col for fe in schema.fields if fe.input_col not in cols
     ]
     if missing:
         raise ValueError(
@@ -809,7 +810,7 @@ def reindex(
         )
     corpus = docmap.select(
         *dict.fromkeys(
-            [*id_cols, *(fe.name for fe in schema.fields), order_col]
+            [*id_cols, *(fe.input_col for fe in schema.fields), order_col]
         )
     )
     return build_index(

@@ -574,9 +574,13 @@ def cmd_build(args) -> int:
     spark = _spark()
     schema = Schema()
     for f in args.field or ["content"]:
-        schema.add_text_field(f, args.analyzer)
+        # NAME=SOURCE indexes another input column under NAME (ES
+        # multi-fields): --field title --keyword-field title.raw=title
+        name, _, src = f.partition("=")
+        schema.add_text_field(name, args.analyzer, source_col=src)
     for f in args.keyword_field or []:
-        schema.add_keyword_field(f)
+        name, _, src = f.partition("=")
+        schema.add_keyword_field(name, source_col=src)
     from .sources import load_corpus
 
     df = load_corpus(spark, args.corpus, shape=False)
@@ -853,6 +857,9 @@ def cmd_reindex(args) -> int:
     schema = Schema()
     for fe in src_schema.fields:
         if fe.is_keyword:
+            # read the field's OWN doc-value column from the extract —
+            # robust even when a multi-field's source text wasn't stored
+            # (values are identical; normalization is idempotent)
             schema.add_keyword_field(fe.name, lowercase=fe.analyzer == "lowercase")
         elif fe.is_numeric:
             schema.add_numeric_field(fe.name, fe.field_type)
@@ -863,6 +870,8 @@ def cmd_reindex(args) -> int:
                 positions=args.positions or fe.positions,
                 store=fe.store,
                 search_analyzer=fe.search_analyzer,
+                source_col=fe.source_col,  # text multi-field: re-read the
+                # (stored) source column, exactly like the original build
             )
     try:
         m = reindex(spark, args.path, args.out, schema, build_id=args.build_id)
@@ -1226,7 +1235,9 @@ def main(argv=None) -> int:
     b.add_argument("--field", action="append")
     b.add_argument("--keyword-field", action="append", metavar="COL",
                    help="keyword doc-value field (exact-match/exists "
-                        "filters, never analyzed)")
+                        "filters, never analyzed); NAME=SOURCE reads "
+                        "another input column (ES multi-fields, e.g. "
+                        "title.raw=title)")
     b.add_argument("--analyzer", default="default")
     b.add_argument("--partitions", type=int, default=8)
     b.add_argument("--order-col")

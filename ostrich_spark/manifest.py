@@ -257,6 +257,7 @@ def add_field(
     store: bool = False,
     numeric_type: str | None = None,
     keyword: bool = False,
+    source_col: str = "",
 ) -> Manifest:
     """Append-only schema evolution (Lucene has none per index — new
     fields just appear in new docs; we make it an explicit commit so the
@@ -279,14 +280,15 @@ def add_field(
         if keyword and numeric_type is not None:
             raise ValueError("a field is keyword OR numeric, not both")
         if keyword:
-            m.schema.add_keyword_field(name)
+            m.schema.add_keyword_field(name, source_col=source_col)
         elif numeric_type is not None:
             m.schema.add_numeric_field(name, numeric_type)
         else:
             from .analysis import get_analyzer
 
             get_analyzer(analyzer)  # fail fast on an unregistered name
-            m.schema.add_text_field(name, analyzer, positions=positions, store=store)
+            m.schema.add_text_field(name, analyzer, positions=positions,
+                                    store=store, source_col=source_col)
         m.opstamp += 1
         save_manifest(index_dir, m)
     from .query.exec import invalidate_cache

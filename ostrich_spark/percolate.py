@@ -377,7 +377,9 @@ def percolate(
 
     def doc_col(fid: int) -> str:
         fe = schema.fields[fid]
-        col = column_map.get(fe.name, fe.name)
+        # column_map is keyed by FIELD name and wins; otherwise a
+        # multi-field reads its source column, like the index build
+        col = column_map.get(fe.name, fe.input_col)
         if col not in docs_df.columns:
             raise ValueError(
                 f"percolate: docs_df has no column {col!r} for schema "

@@ -50,6 +50,18 @@ class FieldEntry:
     # "spar" should look up the single gram "spar", not every prefix of
     # it.
     search_analyzer: str = ""
+    # input column this field reads at build time; "" = the field's own
+    # name (the normal case). EXTENSION (Elasticsearch multi-fields /
+    # ``fields: {raw: keyword}`` analog): several schema fields may index
+    # ONE source column differently — ``title`` text + ``title.raw``
+    # keyword, or two analyzers — without duplicating the input data.
+    # Docmap/doc-value columns are still keyed by the FIELD name.
+    source_col: str = ""
+
+    @property
+    def input_col(self) -> str:
+        """Input-table column this field reads at build time."""
+        return self.source_col or self.name
 
     @property
     def is_numeric(self) -> bool:
@@ -79,6 +91,7 @@ class FieldEntry:
             "positions": self.positions,
             "store": self.store,
             "search_analyzer": self.search_analyzer,
+            "source_col": self.source_col,
         }
 
     @staticmethod
@@ -91,6 +104,7 @@ class FieldEntry:
             d.get("positions", False),
             d.get("store", False),
             d.get("search_analyzer", ""),
+            d.get("source_col", ""),
         )
 
 
@@ -105,14 +119,30 @@ class Schema:
         positions: bool = False,
         store: bool = False,
         search_analyzer: str = "",
+        source_col: str = "",
     ) -> FieldEntry:
-        """FieldID = position, exactly like schema.go:11-16."""
+        """FieldID = position, exactly like schema.go:11-16.
+        ``source_col`` reads another input column (ES multi-fields)."""
+        self._check_name(name)
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions,
-            store, search_analyzer,
+            store, search_analyzer, source_col,
         )
         self.fields.append(entry)
         return entry
+
+    def _check_name(self, name: str) -> None:
+        if self.field_by_name(name) is not None:
+            raise ValueError(
+                f"duplicate field name {name!r} — FieldID is positional "
+                f"and names address queries; to index one column twice "
+                f"use distinct names with source_col (ES multi-fields)"
+            )
+        if "." in name:
+            raise ValueError(
+                f"field name {name!r} contains '.' — Spark reads dotted "
+                f"column names as struct access; use '_' (e.g. title_raw)"
+            )
 
     def add_numeric_field(
         self, name: str, numeric_type: str = FIELD_TYPE_LONG
@@ -122,11 +152,14 @@ class Schema:
         and queried with RangeQuery (``field:[lo TO hi]``)."""
         if numeric_type not in NUMERIC_FIELD_TYPES:
             raise ValueError(f"numeric_type must be one of {NUMERIC_FIELD_TYPES}")
+        self._check_name(name)
         entry = FieldEntry(len(self.fields), name, numeric_type, "", False, False)
         self.fields.append(entry)
         return entry
 
-    def add_keyword_field(self, name: str, lowercase: bool = False) -> FieldEntry:
+    def add_keyword_field(
+        self, name: str, lowercase: bool = False, source_col: str = ""
+    ) -> FieldEntry:
         """Keyword doc-value field (EXTENSION, the ES ``keyword`` type):
         no analyzer, no postings; the raw string is stored in the docmap
         (dictionary-encoded parquet — min/max row-group stats prune
@@ -137,10 +170,14 @@ class Schema:
         lowercase at index time AND query values lowercase before the
         equality, so ``lang:FR`` matches a stored ``fr`` (simple case
         mapping — the same ``str.lower`` on both sides). Stored docmap
-        values are the NORMALIZED form, like ES keyword doc values."""
+        values are the NORMALIZED form, like ES keyword doc values.
+
+        ``source_col`` reads another input column — the ES
+        ``title.raw``-style keyword multi-field over a text column."""
+        self._check_name(name)
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_KEYWORD,
-            "lowercase" if lowercase else "", False, False,
+            "lowercase" if lowercase else "", False, False, "", source_col,
         )
         self.fields.append(entry)
         return entry
