@@ -1067,13 +1067,24 @@ def _perc_queries():
         "q_phrase": 'text:"hash join"',
         # numeric subscription: term + doc-value range in one alert
         "q_range": "text:spark AND n_chars:[200 TO 400]",
+        # NESTED tree: OR of two AND-groups, one with a negation —
+        # rides the unit-tagged collect_set satisfaction path
+        "q_nested": BooleanQuery(
+            [
+                ("should", BooleanQuery.intersection(T("spark"), T("join"))),
+                ("should", BooleanQuery(
+                    [("must", T("window")), ("must", T("stream")),
+                     ("must_not", T("hash"))])),
+            ]
+        ),
     }
 
 
 def _q_perc_match(spark, sf_dir):
-    """Percolator (reverse search): six stored subscriptions (boolean,
-    positional phrase, term+numeric-range) matched against the whole
-    documents table in one broadcast join."""
+    """Percolator (reverse search): seven stored subscriptions (flat
+    boolean, positional phrase, term+numeric-range, and a NESTED
+    or-of-ands tree with a negation) matched against the whole documents
+    table in one broadcast join."""
     from ostrich_spark.percolate import percolate, register_queries
     from ostrich_spark.schema import Schema
 
@@ -2313,7 +2324,8 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKS_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
             "flags AS (SELECT doc_id, bool_or(term = 'spark') AS h_spark, "
             "bool_or(term = 'join') AS h_join, bool_or(term = 'window') AS h_window, "
-            "bool_or(term = 'stream') AS h_stream FROM toks GROUP BY doc_id) "
+            "bool_or(term = 'stream') AS h_stream, bool_or(term = 'hash') AS h_hash "
+            "FROM toks GROUP BY doc_id) "
             "SELECT doc_id, 'q_and' AS query_id FROM flags WHERE h_spark AND h_join "
             "UNION ALL SELECT doc_id, 'q_atleast2' FROM flags "
             "WHERE (CAST(h_spark AS INT) + CAST(h_window AS INT) + CAST(h_stream AS INT)) >= 2 "
@@ -2324,7 +2336,9 @@ def oracle_sql() -> dict[str, str]:
             "AND a.term = 'hash' AND b.term = 'join' "
             "UNION ALL SELECT f.doc_id, 'q_range' FROM flags f "
             "JOIN documents d USING(doc_id) "
-            "WHERE f.h_spark AND d.n_chars BETWEEN 200 AND 400"
+            "WHERE f.h_spark AND d.n_chars BETWEEN 200 AND 400 "
+            "UNION ALL SELECT doc_id, 'q_nested' FROM flags "
+            "WHERE (h_spark AND h_join) OR (h_window AND h_stream AND NOT h_hash)"
         ),
         "eng_term_positions": (
             f"WITH {TOKLIST_CTE}, {POS_CTE} "

@@ -32,12 +32,18 @@ eval_phrase), RangeQuery (numeric doc values; STRING bounds =
 lexicographic keyword range), KeywordQuery/TermsQuery/ExistsQuery
 (keyword doc values — the ES subscription-with-keyword-filter shape,
 one broadcast equality/membership/interval join over per-field value
-rows; a TermsQuery set is ONE unit), and one flat
-BooleanQuery level of such leaves —
-MUST / SHOULD / MUST_NOT / FILTER occurs plus ``min_should``, matching
-the engine's own satisfaction semantics (FILTER requires like MUST;
-MUST_NOT excludes; SHOULD needs ``min_should`` hits when it is the only
-positive group or when ``min_should`` > 1). Dictionary-expanded queries
+rows; a TermsQuery set is ONE unit), and ARBITRARILY NESTED
+BooleanQuery/DisMaxQuery trees of such leaves —
+MUST / SHOULD / MUST_NOT / FILTER occurs plus ``min_should`` at every
+level, matching the engine's own satisfaction semantics (FILTER
+requires like MUST but never makes SHOULD optional; MUST_NOT excludes;
+DisMax matches like OR — max vs sum changes scores, never the match
+set). Flat queries take a pure-counts aggregation (cheapest possible:
+conditional sums that partial-aggregate map-side); nested trees ride
+the SAME leaf join tables with per-leaf unit tags and satisfy via one
+collect_set aggregation (set bounded by the query's own leaf count)
+evaluated against the driver-compiled tree in an Arrow-batched UDF —
+still one shuffle total. Dictionary-expanded queries
 (prefix/fuzzy/wildcard — their expansion depends on an index dictionary,
 which a percolator has no single instance of) are rejected at
 registration with a clear error.
@@ -57,6 +63,7 @@ from .query.parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    DisMaxQuery,
     ExistsQuery,
     KeywordQuery,
     PhraseQuery,
@@ -94,6 +101,99 @@ class PercolatorQueries:
     # unit for the whole set), "range" (payload = (lo, hi, ilo, ihi)
     # string bounds, None = open) or "exists" (payload None)
     kw_rows: tuple[tuple[str, str, int, str, object], ...] = ()
+    # (query_id, tree_json) — NESTED boolean queries (arbitrary depth +
+    # DisMax-as-OR): their leaves ride the same join tables with occur
+    # tags "u<idx>" and satisfaction is evaluated against the tree (one
+    # collect_set aggregation instead of the flat conditional counts).
+    # Queries listed here have NO req_rows entry.
+    tree_rows: tuple[tuple[str, str], ...] = ()
+
+
+def _is_flat(q) -> bool:
+    """True when q is a leaf or ONE boolean level of leaves — the shape
+    the counting fast path handles."""
+    if not isinstance(q, BooleanQuery):
+        return not isinstance(q, DisMaxQuery)
+    return not any(
+        isinstance(sub, (BooleanQuery, DisMaxQuery)) for _, sub in q.subqueries
+    )
+
+
+def _eval_tree(node: dict, units: set) -> bool:
+    """Satisfaction of a nested tree given the set of hit leaf units —
+    mirrors the forward lowering EXACTLY (query/plan.py compile_query):
+    MUST and FILTER children all required; MUST_NOT excludes; SHOULD
+    needs >= min_should when min_should > 1 (required even beside MUST)
+    or >= 1 when the node has no true MUST (FILTERs do NOT make SHOULD
+    optional — forward puts the should-union in CFilter's base); a node
+    with no positive clause never matches (CEmpty); DisMax matches iff
+    any child does (max vs sum changes scores, never the match set)."""
+    k = node["k"]
+    if k == "u":
+        return node["u"] in units
+    if k == "dismax":
+        return any(_eval_tree(c, units) for c in node["children"])
+    must, should = node["must"], node["should"]
+    nots, filt = node["not"], node["filter"]
+    if not must and not should and not filt:
+        return False
+    if any(_eval_tree(c, units) for c in nots):
+        return False
+    if not all(_eval_tree(c, units) for c in must):
+        return False
+    if not all(_eval_tree(c, units) for c in filt):
+        return False
+    m = node["m"]
+    s = sum(1 for c in should if _eval_tree(c, units))
+    if m > 1:
+        return s >= m
+    if should and not must:
+        return s >= 1
+    return True
+
+
+def _leaf_row(query_id: str, occur: str, sub):
+    """One leaf clause -> (table kind, row). ``occur`` is an opaque tag
+    downstream: a real occur for flat queries, a unit id ("u<idx>") for
+    nested trees."""
+    if isinstance(sub, TermQuery):
+        return ("t", (query_id, occur, sub.field_id, sub.term))
+    if isinstance(sub, PhraseQuery):
+        return (
+            "p",
+            (query_id, occur, sub.field_id, tuple(sub.terms), int(sub.slop)),
+        )
+    if isinstance(sub, RangeQuery):
+        if isinstance(sub.lo, str) or isinstance(sub.hi, str):
+            # lexicographic keyword range: string bounds, keyword
+            # delivery (the numeric table compares in double)
+            return (
+                "k",
+                (query_id, occur, sub.field_id, "range",
+                 (sub.lo, sub.hi,
+                  bool(sub.include_lo), bool(sub.include_hi))),
+            )
+        lo = float("-inf") if sub.lo is None else float(sub.lo)
+        hi = float("inf") if sub.hi is None else float(sub.hi)
+        return (
+            "r",
+            (query_id, occur, sub.field_id, lo, hi,
+             bool(sub.include_lo), bool(sub.include_hi)),
+        )
+    if isinstance(sub, KeywordQuery):
+        return ("k", (query_id, occur, sub.field_id, "eq", sub.value))
+    if isinstance(sub, TermsQuery):
+        # ONE unit regardless of set size: a doc stores at most one
+        # value per field, so the set hits at most once per doc
+        return ("k", (query_id, occur, sub.field_id, "in", sub.values))
+    if isinstance(sub, ExistsQuery):
+        return ("k", (query_id, occur, sub.field_id, "exists", None))
+    raise ValueError(
+        f"percolator query {query_id!r}: unsupported clause "
+        f"{type(sub).__name__} — percolation supports boolean trees "
+        f"over terms, (sloppy) phrases and doc-value filters (no "
+        f"dictionary-expanded multi-term queries)"
+    )
 
 
 def _flatten_terms(query_id: str, q):
@@ -107,44 +207,7 @@ def _flatten_terms(query_id: str, q):
         # (n_must counts distinct UNITS) and the query could never match
         if occur == FILTER:
             occur = MUST
-        if isinstance(sub, TermQuery):
-            return ("t", (query_id, occur, sub.field_id, sub.term))
-        if isinstance(sub, PhraseQuery):
-            return (
-                "p",
-                (query_id, occur, sub.field_id, tuple(sub.terms), int(sub.slop)),
-            )
-        if isinstance(sub, RangeQuery):
-            if isinstance(sub.lo, str) or isinstance(sub.hi, str):
-                # lexicographic keyword range: string bounds, keyword
-                # delivery (the numeric table compares in double)
-                return (
-                    "k",
-                    (query_id, occur, sub.field_id, "range",
-                     (sub.lo, sub.hi,
-                      bool(sub.include_lo), bool(sub.include_hi))),
-                )
-            lo = float("-inf") if sub.lo is None else float(sub.lo)
-            hi = float("inf") if sub.hi is None else float(sub.hi)
-            return (
-                "r",
-                (query_id, occur, sub.field_id, lo, hi,
-                 bool(sub.include_lo), bool(sub.include_hi)),
-            )
-        if isinstance(sub, KeywordQuery):
-            return ("k", (query_id, occur, sub.field_id, "eq", sub.value))
-        if isinstance(sub, TermsQuery):
-            # ONE unit regardless of set size: a doc stores at most one
-            # value per field, so the set hits at most once per doc
-            return ("k", (query_id, occur, sub.field_id, "in", sub.values))
-        if isinstance(sub, ExistsQuery):
-            return ("k", (query_id, occur, sub.field_id, "exists", None))
-        raise ValueError(
-            f"percolator query {query_id!r}: unsupported clause "
-            f"{type(sub).__name__} — percolation supports flat boolean "
-            f"queries over terms and (sloppy) phrases (no dictionary-"
-            f"expanded multi-term queries)"
-        )
+        return _leaf_row(query_id, occur, sub)
 
     if isinstance(q, (TermQuery, PhraseQuery, RangeQuery, KeywordQuery,
                       TermsQuery, ExistsQuery)):
@@ -167,6 +230,36 @@ def _flatten_terms(query_id: str, q):
     )
 
 
+_OCCUR_KEY = {MUST: "must", SHOULD: "should", MUST_NOT: "not", FILTER: "filter"}
+
+
+def _flatten_tree(query_id: str, q):
+    """NESTED boolean tree -> leaf rows (occur tag = "u<idx>") + a
+    JSON-able tree spec for _eval_tree. Arbitrary depth; DisMaxQuery is
+    OR for matching purposes (max vs sum changes scores, not the set)."""
+    t_rows, p_rows, r_rows, k_rows = [], [], [], []
+    sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows}
+    n_units = [0]
+
+    def walk(node):
+        if isinstance(node, BooleanQuery):
+            out = {"k": "bool", "must": [], "should": [], "not": [],
+                   "filter": [], "m": int(getattr(node, "min_should", 1))}
+            for occ, sub in node.subqueries:
+                out[_OCCUR_KEY[occ]].append(walk(sub))
+            return out
+        if isinstance(node, DisMaxQuery):
+            return {"k": "dismax", "children": [walk(c) for c in node.children]}
+        u = n_units[0]
+        n_units[0] += 1
+        kind, row = _leaf_row(query_id, f"u{u}", node)
+        sink[kind].append(row)
+        return {"k": "u", "u": u}
+
+    tree = walk(q)
+    return t_rows, p_rows, r_rows, k_rows, tree
+
+
 def register_queries(
     queries: dict[str, object],
     schema: Schema,
@@ -182,11 +275,16 @@ def register_queries(
     phrase_rows: list[tuple[str, str, int, tuple[str, ...], int]] = []
     range_rows: list[tuple[str, str, int, float, float, bool, bool]] = []
     kw_rows: list[tuple[str, str, int, str, str | None]] = []
+    tree_rows: list[tuple[str, str]] = []
     for qid, q in queries.items():
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
         )
-        t_rows, p_rows, r_rows, k_rows = _flatten_terms(qid, logical)
+        tree = None
+        if _is_flat(logical):
+            t_rows, p_rows, r_rows, k_rows = _flatten_terms(qid, logical)
+        else:
+            t_rows, p_rows, r_rows, k_rows, tree = _flatten_tree(qid, logical)
         for _, _, f, *_ in r_rows:
             if not schema.fields[f].is_numeric:
                 hint = (
@@ -224,6 +322,26 @@ def register_queries(
                         (None if lo is None else lo.lower(),
                          None if hi is None else hi.lower(), ilo, ihi),
                     )
+        if tree is not None:
+            # nested tree: satisfaction is evaluated against the tree —
+            # no req_rows entry. Root must be able to match at all
+            # (pure-negative/no-positive roots never match; engine
+            # lowering returns CEmpty for them).
+            if tree["k"] == "bool" and not (
+                tree["must"] or tree["should"] or tree["filter"]
+            ):
+                raise ValueError(
+                    f"percolator query {qid!r} has no positive clause — a "
+                    f"pure-negative query matches nothing (engine semantics)"
+                )
+            import json as _json
+
+            tree_rows.append((qid, _json.dumps(tree)))
+            term_rows.extend(dict.fromkeys(t_rows))
+            phrase_rows.extend(dict.fromkeys(p_rows))
+            range_rows.extend(dict.fromkeys(r_rows))
+            kw_rows.extend(dict.fromkeys(k_rows))
+            continue
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
         } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)} | {
@@ -274,7 +392,7 @@ def register_queries(
     )
     return PercolatorQueries(
         tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows),
-        tuple(range_rows), tuple(kw_rows),
+        tuple(range_rows), tuple(kw_rows), tuple(tree_rows),
     )
 
 
@@ -535,6 +653,42 @@ def percolate(
     for df in contribs[1:]:
         hits = hits.unionByName(df)
 
+    nested_matched = None
+    if pq.tree_rows:
+        import json as _json
+
+        trees = {qid: _json.loads(t) for qid, t in pq.tree_rows}
+        tree_ids = spark.createDataFrame(
+            [(q,) for q in trees], "query_id string"
+        )
+        nhits = hits.join(F.broadcast(tree_ids), "query_id")
+        # flat queries keep the pure-counts fast path below
+        hits = hits.join(F.broadcast(tree_ids), "query_id", "left_anti")
+        # one partial-aggregated collect_set per (doc, nested query):
+        # the set is bounded by the query's unit count (driver-compiled,
+        # small), then the tree evaluates vectorized per Arrow batch
+        nagg = nhits.groupBy("_pid", "query_id").agg(
+            F.collect_set("occur").alias("units")
+        )
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def _tree_sat(qids: pd.Series, units: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    _eval_tree(trees[q], {int(u[1:]) for u in us})
+                    for q, us in zip(qids, units)
+                ]
+            )
+
+        nested_matched = (
+            nagg.filter(_tree_sat(F.col("query_id"), F.col("units")))
+            .select(F.col("_pid").alias(id_col), "query_id")
+        )
+        if not pq.req_rows:
+            return nested_matched
+
     reqs = spark.createDataFrame(
         list(pq.req_rows), "query_id string, n_must int, req_should int"
     )
@@ -563,4 +717,6 @@ def percolate(
         )
         .select(F.col("_pid").alias(id_col), "query_id")
     )
+    if nested_matched is not None:
+        matched = matched.unionByName(nested_matched)
     return matched

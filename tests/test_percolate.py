@@ -305,3 +305,133 @@ def test_percolate_fuzz_identity(spark, perc_index, perc_schema):
     for qid, q in subs.items():
         want = _forward_matches(spark, perc_index, q, perc_schema)
         assert got.get(qid, set()) == want, (qid, q)
+
+
+def test_percolate_nested_trees(spark, perc_index, perc_schema):
+    """NESTED boolean subscriptions (arbitrary depth, DisMax-as-OR):
+    match sets identical to forward search. The flat fast path and the
+    tree path coexist in one percolate() call."""
+    from ostrich_spark.query.parser import DisMaxQuery, KeywordQuery, TermsQuery
+
+    subs = {
+        "or_of_ands": BooleanQuery(
+            [("should", BooleanQuery.intersection(T("spark"), T("join"))),
+             ("should", BooleanQuery.intersection(T("window"), T("stream")))]
+        ),
+        "not_subtree": BooleanQuery(
+            [("must", T("spark")),
+             ("must_not", BooleanQuery.union(
+                 T("join"), PhraseQuery(0, ("window", "stream"))))]
+        ),
+        "dismax_filtered": BooleanQuery(
+            [("should", DisMaxQuery([T("spark"), T("window")])),
+             ("filter", RangeQuery(2, 10, 30))]
+        ),
+        "nested_min_should": BooleanQuery(
+            [("must", BooleanQuery.at_least(2, T("spark"), T("join"), T("stream"))),
+             ("should", KeywordQuery(3, "news"))]
+        ),
+        "three_deep": BooleanQuery(
+            [("should", BooleanQuery(
+                [("must", T("spark")),
+                 ("must", BooleanQuery(
+                     [("should", KeywordQuery(3, "news")),
+                      ("should", TermsQuery(3, ("blog", "docs")))]))])),
+             ("should", T("stream"))]
+        ),
+        # SHOULD+FILTER inside a NESTED node: the req_should rule holds
+        # recursively (should stays required without a true MUST)
+        "inner_should_filter": BooleanQuery(
+            [("must", BooleanQuery(
+                [("should", T("stream")), ("should", T("nothing")),
+                 ("filter", RangeQuery(2, 10, None))]))]
+        ),
+        "flat_beside": "text:spark AND text:join",
+    }
+    pq = register_queries(subs, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    got = {}
+    for r in percolate(spark, docs, pq, perc_schema, id_col="doc_key").collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_key"])
+    for qid, q in subs.items():
+        want = _forward_matches(spark, perc_index, q, perc_schema)
+        assert got.get(qid, set()) == want, (qid, q)
+    # pure-negative nested root rejected like flat
+    with pytest.raises(ValueError, match="no positive clause"):
+        register_queries(
+            {"bad": BooleanQuery(
+                [("must_not", BooleanQuery.union(T("spark"), T("join")))])},
+            perc_schema,
+        )
+
+
+def test_percolate_nested_fuzz_identity(spark, perc_index, perc_schema):
+    """20 seeded random NESTED subscriptions (depth <= 3 boolean trees
+    with dismax nodes and every leaf kind) — match-set identity with
+    forward search."""
+    import random
+
+    from ostrich_spark.query.parser import DisMaxQuery, KeywordQuery, TermsQuery
+
+    rng = random.Random(13)
+    terms = ["spark", "join", "window", "stream", "nothing", "absent"]
+
+    def rand_leaf():
+        r = rng.random()
+        if r < 0.5:
+            return TermQuery(0, rng.choice(terms))
+        if r < 0.62:
+            n = rng.randint(2, 3)
+            return PhraseQuery(0, tuple(rng.sample(terms[:4], n)),
+                               slop=rng.choice([0, 1]))
+        if r < 0.74:
+            return KeywordQuery(3, rng.choice(["news", "blog", "docs", "zz"]))
+        if r < 0.84:
+            return TermsQuery(3, tuple(
+                rng.sample(["news", "blog", "docs", "zz"], rng.randint(1, 2))))
+        lo = rng.choice([None, 5, 10, 18])
+        hi = rng.choice([None, 12, 30, 44])
+        if lo is None and hi is None:
+            lo = 10
+        if lo is not None and hi is not None and lo > hi:
+            lo, hi = hi, lo
+        return RangeQuery(2, lo, hi, rng.random() < 0.8, rng.random() < 0.8)
+
+    def rand_node(depth):
+        if depth == 0 or rng.random() < 0.35:
+            return rand_leaf()
+        if rng.random() < 0.2:
+            return DisMaxQuery(
+                [rand_node(depth - 1) for _ in range(rng.randint(2, 3))]
+            )
+        clauses, has_positive = [], False
+        for _ in range(rng.randint(1, 3)):
+            occ = rng.choice(["must", "should", "must_not", "filter"])
+            if occ != "must_not":
+                has_positive = True
+            clauses.append((occ, rand_node(depth - 1)))
+        if not has_positive:
+            clauses.append(("must", TermQuery(0, rng.choice(terms[:4]))))
+        n_should = sum(1 for o, _ in clauses if o == "should")
+        ms = rng.randint(1, max(n_should, 1)) if n_should else 1
+        return BooleanQuery(clauses, min_should=ms)
+
+    subs = {}
+    while len(subs) < 20:
+        q = rand_node(3)
+        if not isinstance(q, (BooleanQuery, DisMaxQuery)):
+            continue
+        try:
+            register_queries({"probe": q}, perc_schema)
+        except ValueError:
+            continue  # e.g. pure-negative roots after random assembly
+        subs[f"n{len(subs)}"] = q
+
+    pq = register_queries(subs, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    got = {}
+    for r in percolate(spark, docs, pq, perc_schema, id_col="doc_key").collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_key"])
+    for qid, q in subs.items():
+        want = _forward_matches(spark, perc_index, q, perc_schema)
+        assert got.get(qid, set()) == want, (qid, q)
