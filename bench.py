@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     # composite = keyword match set riding the scoring shuffle
     ("keyword_pure", "lang:go", "tfidf", 10),
     ("keyword_and_term", "content:search AND lang:go", "bm25", 10),
+    # lexicographic keyword range: pushed-down string-interval docmap scan
+    ("keyword_range", "content:search AND lang:[go TO py]", "tfidf", 10),
 ]
 
 

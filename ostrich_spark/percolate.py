@@ -43,10 +43,16 @@ conditional sums that partial-aggregate map-side); nested trees ride
 the SAME leaf join tables with per-leaf unit tags and satisfy via one
 collect_set aggregation (set bounded by the query's own leaf count)
 evaluated against the driver-compiled tree in an Arrow-batched UDF —
-still one shuffle total. Dictionary-expanded queries
-(prefix/fuzzy/wildcard — their expansion depends on an index dictionary,
-which a percolator has no single instance of) are rejected at
-registration with a clear error.
+still one shuffle total. Multi-term leaves
+(prefix/wildcard/regexp/fuzzy) are evaluated against the DOC'S OWN
+analyzed token set — the ES MemoryIndex semantics: per-document,
+UNCAPPED expansion (equivalent to forward search with
+max_expansions=None; forward's deterministic df-ranked cap exists to
+bound INDEX-dictionary fan-out, which has no analog against a single
+document). Matchers reuse the exact forward-expansion predicates
+(anchored fullmatch, shared-prefix + levenshtein/damerau radius),
+evaluated once per distinct batch token in mapInPandas. Phrase-prefix
+is the one remaining unsupported leaf.
 """
 
 from __future__ import annotations
@@ -65,11 +71,15 @@ from .query.parser import (
     BooleanQuery,
     DisMaxQuery,
     ExistsQuery,
+    FuzzyQuery,
     KeywordQuery,
     PhraseQuery,
+    PrefixQuery,
     RangeQuery,
+    RegexpQuery,
     TermQuery,
     TermsQuery,
+    WildcardQuery,
     parse_query,
 )
 from .schema import Schema
@@ -107,6 +117,14 @@ class PercolatorQueries:
     # collect_set aggregation instead of the flat conditional counts).
     # Queries listed here have NO req_rows entry.
     tree_rows: tuple[tuple[str, str], ...] = ()
+    # (query_id, occur, field_id, kind, payload) — multi-term units
+    # evaluated against the DOC'S OWN analyzed token set (the ES
+    # MemoryIndex semantics: expansion is per-document and UNCAPPED,
+    # equivalent to forward search with max_expansions=None):
+    # kind "prefix" (payload = prefix), "pattern" (payload = anchored
+    # regex source — wildcards pre-translated), "fuzzy" (payload =
+    # (term, max_dist, prefix_length, transpositions))
+    mt_rows: tuple[tuple[str, str, int, str, object], ...] = ()
 
 
 def _is_flat(q) -> bool:
@@ -188,11 +206,31 @@ def _leaf_row(query_id: str, occur: str, sub):
         return ("k", (query_id, occur, sub.field_id, "in", sub.values))
     if isinstance(sub, ExistsQuery):
         return ("k", (query_id, occur, sub.field_id, "exists", None))
+    if isinstance(sub, PrefixQuery):
+        return ("m", (query_id, occur, sub.field_id, "prefix", sub.prefix))
+    if isinstance(sub, WildcardQuery):
+        from .query.expand import wildcard_to_regex
+
+        return (
+            "m",
+            (query_id, occur, sub.field_id, "pattern",
+             wildcard_to_regex(sub.pattern)),
+        )
+    if isinstance(sub, RegexpQuery):
+        return ("m", (query_id, occur, sub.field_id, "pattern", sub.pattern))
+    if isinstance(sub, FuzzyQuery):
+        return (
+            "m",
+            (query_id, occur, sub.field_id, "fuzzy",
+             (sub.term, int(sub.max_dist), int(sub.prefix_length),
+              bool(sub.transpositions))),
+        )
     raise ValueError(
         f"percolator query {query_id!r}: unsupported clause "
         f"{type(sub).__name__} — percolation supports boolean trees "
-        f"over terms, (sloppy) phrases and doc-value filters (no "
-        f"dictionary-expanded multi-term queries)"
+        f"over terms, (sloppy) phrases, prefix/wildcard/regexp/fuzzy "
+        f"and doc-value filters (phrase-prefix is the one unsupported "
+        f"leaf)"
     )
 
 
@@ -210,20 +248,19 @@ def _flatten_terms(query_id: str, q):
         return _leaf_row(query_id, occur, sub)
 
     if isinstance(q, (TermQuery, PhraseQuery, RangeQuery, KeywordQuery,
-                      TermsQuery, ExistsQuery)):
+                      TermsQuery, ExistsQuery, PrefixQuery, WildcardQuery,
+                      RegexpQuery, FuzzyQuery)):
         kind, row = leaf(MUST, q)
-        return (
-            [row] if kind == "t" else [],
-            [row] if kind == "p" else [],
-            [row] if kind == "r" else [],
-            [row] if kind == "k" else [],
+        return tuple(
+            [row] if kind == want else [] for want in ("t", "p", "r", "k", "m")
         )
     if isinstance(q, BooleanQuery):
-        t_rows, p_rows, r_rows, k_rows = [], [], [], []
+        t_rows, p_rows, r_rows, k_rows, m_rows = [], [], [], [], []
+        sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows, "m": m_rows}
         for occur, sub in q.subqueries:
             kind, row = leaf(occur, sub)
-            {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows}[kind].append(row)
-        return t_rows, p_rows, r_rows, k_rows
+            sink[kind].append(row)
+        return t_rows, p_rows, r_rows, k_rows, m_rows
     raise ValueError(
         f"percolator query {query_id!r}: unsupported query type "
         f"{type(q).__name__}"
@@ -237,8 +274,8 @@ def _flatten_tree(query_id: str, q):
     """NESTED boolean tree -> leaf rows (occur tag = "u<idx>") + a
     JSON-able tree spec for _eval_tree. Arbitrary depth; DisMaxQuery is
     OR for matching purposes (max vs sum changes scores, not the set)."""
-    t_rows, p_rows, r_rows, k_rows = [], [], [], []
-    sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows}
+    t_rows, p_rows, r_rows, k_rows, m_rows = [], [], [], [], []
+    sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows, "m": m_rows}
     n_units = [0]
 
     def walk(node):
@@ -257,7 +294,7 @@ def _flatten_tree(query_id: str, q):
         return {"k": "u", "u": u}
 
     tree = walk(q)
-    return t_rows, p_rows, r_rows, k_rows, tree
+    return t_rows, p_rows, r_rows, k_rows, m_rows, tree
 
 
 def register_queries(
@@ -276,15 +313,25 @@ def register_queries(
     range_rows: list[tuple[str, str, int, float, float, bool, bool]] = []
     kw_rows: list[tuple[str, str, int, str, str | None]] = []
     tree_rows: list[tuple[str, str]] = []
+    mt_rows: list[tuple[str, str, int, str, object]] = []
     for qid, q in queries.items():
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
         )
         tree = None
         if _is_flat(logical):
-            t_rows, p_rows, r_rows, k_rows = _flatten_terms(qid, logical)
+            t_rows, p_rows, r_rows, k_rows, m_rows = _flatten_terms(qid, logical)
         else:
-            t_rows, p_rows, r_rows, k_rows, tree = _flatten_tree(qid, logical)
+            t_rows, p_rows, r_rows, k_rows, m_rows, tree = _flatten_tree(
+                qid, logical
+            )
+        for _, _, f, *_ in m_rows:
+            fe2 = schema.fields[f]
+            if fe2.is_doc_value:
+                raise ValueError(
+                    f"percolator query {qid!r}: multi-term clause on "
+                    f"doc-value field {fe2.name!r} (text fields only)"
+                )
         for _, _, f, *_ in r_rows:
             if not schema.fields[f].is_numeric:
                 hint = (
@@ -341,17 +388,18 @@ def register_queries(
             phrase_rows.extend(dict.fromkeys(p_rows))
             range_rows.extend(dict.fromkeys(r_rows))
             kw_rows.extend(dict.fromkeys(k_rows))
+            mt_rows.extend(dict.fromkeys(m_rows))
             continue
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
         } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)} | {
             r[2:] for r in k_rows if r[1] in (MUST, FILTER)
-        }
+        } | {r[2:] for r in m_rows if r[1] in (MUST, FILTER)}
         shoulds = {(f, t) for _, o, f, t in t_rows if o == SHOULD} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o == SHOULD
         } | {r[2:] for r in r_rows if r[1] == SHOULD} | {
             r[2:] for r in k_rows if r[1] == SHOULD
-        }
+        } | {r[2:] for r in m_rows if r[1] == SHOULD}
         n_positive = len(musts) + len(shoulds)
         if n_positive == 0:
             raise ValueError(
@@ -381,6 +429,7 @@ def register_queries(
         phrase_rows.extend(dict.fromkeys(p_rows))
         range_rows.extend(dict.fromkeys(r_rows))
         kw_rows.extend(dict.fromkeys(k_rows))
+        mt_rows.extend(dict.fromkeys(m_rows))
         req_rows.append((qid, len(musts), req_should))
     field_ids = tuple(
         sorted(
@@ -388,11 +437,12 @@ def register_queries(
             | {f for _, _, f, _, _ in phrase_rows}
             | {r[2] for r in range_rows}
             | {r[2] for r in kw_rows}
+            | {r[2] for r in mt_rows}
         )
     )
     return PercolatorQueries(
         tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows),
-        tuple(range_rows), tuple(kw_rows), tuple(tree_rows),
+        tuple(range_rows), tuple(kw_rows), tuple(tree_rows), tuple(mt_rows),
     )
 
 
@@ -466,6 +516,46 @@ def _match_phrases_batch(
         for r in np.unique(ends // _BIG):
             out.append((int(r), qid, occur))
     return out
+
+
+def _match_mt_batch(tok_lists, clauses):
+    """Evaluate multi-term clauses against each doc's own token set —
+    one (row, qid, occur) per matched unit per doc. Pattern/fuzzy
+    matchers are evaluated ONCE over the batch's distinct tokens (the
+    expensive part is per-token, not per-doc), then membership is a set
+    intersection per doc. Semantics mirror forward expansion exactly:
+    anchored fullmatch for patterns (expand._pattern_pairs), shared
+    prefix + levenshtein/damerau radius for fuzzy (expand._fuzzy_pairs),
+    but UNCAPPED — the doc-local candidate set plays the role of ES's
+    per-document MemoryIndex."""
+    import re as _re
+
+    from .query.expand import damerau_within, levenshtein_within
+
+    all_tokens = {t for toks in tok_lists for t in toks}
+    match_sets = []
+    for _qid, _occ, kind, payload in clauses:
+        if kind == "prefix":
+            ms = {t for t in all_tokens if t.startswith(payload)}
+        elif kind == "pattern":
+            rx = _re.compile(payload)
+            ms = {t for t in all_tokens if rx.fullmatch(t)}
+        else:  # fuzzy
+            term, max_dist, prefix_length, transpositions = payload
+            pre = term[: min(prefix_length, len(term))]
+            within = damerau_within if transpositions else levenshtein_within
+            ms = {
+                t for t in all_tokens
+                if t.startswith(pre) and within(t, term, max_dist)
+            }
+        match_sets.append(ms)
+    rows = []
+    for r, toks in enumerate(tok_lists):
+        ts = set(toks)
+        for (qid, occur, _, _), ms in zip(clauses, match_sets):
+            if ts & ms:
+                rows.append((r, qid, occur))
+    return rows
 
 
 def percolate(
@@ -566,6 +656,37 @@ def percolate(
         contribs.append(
             toks_df.mapInPandas(
                 verify, f"_pid {id_type}, query_id string, occur string"
+            )
+        )
+
+    mt_fids = sorted({r[2] for r in pq.mt_rows})
+    for fid in mt_fids:
+        fe = schema.fields[fid]
+        field_mts = [
+            (qid, occur, kind, payload)
+            for qid, occur, f, kind, payload in pq.mt_rows
+            if f == fid
+        ]
+        mtoks_df = docs_df.select(
+            F.col(id_col).alias("_pid"),
+            _tokens_expr(fe, doc_col(fid)).alias("_toks"),
+        )
+
+        def mt_verify(batches, _clauses=field_mts):
+            for pdf in batches:
+                rows = _match_mt_batch(pdf["_toks"].tolist(), _clauses)
+                if rows:
+                    yield pd.DataFrame(
+                        {
+                            "_pid": pdf["_pid"].iloc[[r for r, _, _ in rows]].values,
+                            "query_id": [q for _, q, _ in rows],
+                            "occur": [o for _, _, o in rows],
+                        }
+                    )
+
+        contribs.append(
+            mtoks_df.mapInPandas(
+                mt_verify, f"_pid {id_type}, query_id string, occur string"
             )
         )
 

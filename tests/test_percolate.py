@@ -159,8 +159,10 @@ def test_percolate_registration_errors(perc_schema):
         register_queries(
             {"bad": BooleanQuery([("must_not", T("spark"))])}, perc_schema
         )
+    # prefix/wildcard/regexp/fuzzy are SUPPORTED since round 3 (doc-token
+    # evaluation); the one remaining unsupported leaf is phrase-prefix
     with pytest.raises(ValueError, match="unsupported"):
-        register_queries({"pre": "text:spar*"}, perc_schema)
+        register_queries({"pp": 'text:"spark jo*"'}, perc_schema)
     with pytest.raises(ValueError, match="non-keyword"):
         register_queries({"kw": KeywordQuery(0, "x")}, perc_schema)
     with pytest.raises(ValueError, match="non-doc-value"):
@@ -435,3 +437,63 @@ def test_percolate_nested_fuzz_identity(spark, perc_index, perc_schema):
     for qid, q in subs.items():
         want = _forward_matches(spark, perc_index, q, perc_schema)
         assert got.get(qid, set()) == want, (qid, q)
+
+
+def test_percolate_multiterm_leaves(spark, perc_index, perc_schema):
+    """Prefix/wildcard/regexp/fuzzy subscriptions evaluate against the
+    doc's OWN token set (ES MemoryIndex semantics, uncapped) — identity
+    with forward search on a corpus whose expansions fit the caps."""
+    from ostrich_spark.query.parser import (
+        FuzzyQuery,
+        PrefixQuery,
+        RegexpQuery,
+        WildcardQuery,
+    )
+
+    subs = {
+        "pre": "text:spar*",
+        "wild": "text:s?ark",
+        "rex": "text:/st[a-z]+m/",
+        "fuzz": FuzzyQuery(0, "spark", max_dist=1, prefix_length=0),
+        "fuzz_dl": FuzzyQuery(0, "sprak", max_dist=1, prefix_length=0,
+                              transpositions=True),
+        # stemmed field: pattern matches the ANALYZED token ('seriou')
+        "stem_pre": "title:serio*",
+        "mt_combo": BooleanQuery(
+            [("must", PrefixQuery(0, "wind")),
+             ("must_not", WildcardQuery(0, "*eam"))]
+        ),
+        "nested_mt": BooleanQuery(
+            [("should", BooleanQuery.intersection(
+                PrefixQuery(0, "spar"), TermQuery(0, "join"))),
+             ("should", RegexpQuery(0, "noth.*"))]
+        ),
+    }
+    pq = register_queries(subs, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    got = {}
+    for r in percolate(spark, docs, pq, perc_schema, id_col="doc_key").collect():
+        got.setdefault(r["query_id"], set()).add(r["doc_key"])
+    for qid, q in subs.items():
+        want = _forward_matches(spark, perc_index, q, perc_schema)
+        assert got.get(qid, set()) == want, (qid, q)
+    # one hit row per unit per doc even when SEVERAL tokens match the
+    # pattern (doc 6 has spark twice + stream; 'mt at most once per doc')
+    from ostrich_spark.query.parser import BooleanQuery as BQ
+
+    pq2 = register_queries(
+        {"two_pat": BQ.intersection(PrefixQuery(0, "s"), PrefixQuery(0, "w"))},
+        perc_schema,
+    )
+    got2 = {r["doc_key"] for r in
+            percolate(spark, docs, pq2, perc_schema, id_col="doc_key").collect()}
+    want2 = _forward_matches(
+        spark, perc_index,
+        BQ.intersection(PrefixQuery(0, "s"), PrefixQuery(0, "w")), perc_schema)
+    assert got2 == want2
+    # doc-value fields reject multi-term clauses
+    with pytest.raises(ValueError, match="doc-value"):
+        register_queries({"bad": PrefixQuery(3, "ne")}, perc_schema)
+    # phrase-prefix stays unsupported, with a clear error
+    with pytest.raises(ValueError, match="unsupported"):
+        register_queries({"pp": 'text:"spark jo*"'}, perc_schema)
