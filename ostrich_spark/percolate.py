@@ -51,8 +51,11 @@ max_expansions=None; forward's deterministic df-ranked cap exists to
 bound INDEX-dictionary fan-out, which has no analog against a single
 document). Matchers reuse the exact forward-expansion predicates
 (anchored fullmatch, shared-prefix + levenshtein/damerau radius),
-evaluated once per distinct batch token in mapInPandas. Phrase-prefix
-is the one remaining unsupported leaf.
+evaluated once per distinct batch token in mapInPandas.
+MultiPhraseQuery (slot alternatives) and PhrasePrefixQuery verify
+positionally through the same window DP with per-slot position unions;
+the prefix slot expands against the doc's own tokens. The FULL forward
+query surface percolates.
 """
 
 from __future__ import annotations
@@ -73,7 +76,9 @@ from .query.parser import (
     ExistsQuery,
     FuzzyQuery,
     KeywordQuery,
+    MultiPhraseQuery,
     PhraseQuery,
+    PhrasePrefixQuery,
     PrefixQuery,
     RangeQuery,
     RegexpQuery,
@@ -125,6 +130,13 @@ class PercolatorQueries:
     # regex source — wildcards pre-translated), "fuzzy" (payload =
     # (term, max_dist, prefix_length, transpositions))
     mt_rows: tuple[tuple[str, str, int, str, object], ...] = ()
+    # (query_id, occur, field_id, slots, slop, last_prefix) — slot-based
+    # phrase units (MultiPhraseQuery alternatives; PhrasePrefixQuery =
+    # fixed single-term slots + a last PREFIX slot expanded against the
+    # doc's own tokens, uncapped like mt_rows). Verified positionally by
+    # the same in-order window DP as phrase_rows, slot encs = sorted
+    # union of the alternatives' positions.
+    mp_rows: tuple[tuple[str, str, int, tuple, int, str | None], ...] = ()
 
 
 def _is_flat(q) -> bool:
@@ -206,6 +218,18 @@ def _leaf_row(query_id: str, occur: str, sub):
         return ("k", (query_id, occur, sub.field_id, "in", sub.values))
     if isinstance(sub, ExistsQuery):
         return ("k", (query_id, occur, sub.field_id, "exists", None))
+    if isinstance(sub, MultiPhraseQuery):
+        return (
+            "mp",
+            (query_id, occur, sub.field_id,
+             tuple(tuple(slot) for slot in sub.slots), int(sub.slop), None),
+        )
+    if isinstance(sub, PhrasePrefixQuery):
+        return (
+            "mp",
+            (query_id, occur, sub.field_id,
+             tuple((t,) for t in sub.terms), int(sub.slop), sub.prefix),
+        )
     if isinstance(sub, PrefixQuery):
         return ("m", (query_id, occur, sub.field_id, "prefix", sub.prefix))
     if isinstance(sub, WildcardQuery):
@@ -228,9 +252,8 @@ def _leaf_row(query_id: str, occur: str, sub):
     raise ValueError(
         f"percolator query {query_id!r}: unsupported clause "
         f"{type(sub).__name__} — percolation supports boolean trees "
-        f"over terms, (sloppy) phrases, prefix/wildcard/regexp/fuzzy "
-        f"and doc-value filters (phrase-prefix is the one unsupported "
-        f"leaf)"
+        f"over terms, (sloppy/multi/prefix) phrases, "
+        f"prefix/wildcard/regexp/fuzzy and doc-value filters"
     )
 
 
@@ -249,18 +272,21 @@ def _flatten_terms(query_id: str, q):
 
     if isinstance(q, (TermQuery, PhraseQuery, RangeQuery, KeywordQuery,
                       TermsQuery, ExistsQuery, PrefixQuery, WildcardQuery,
-                      RegexpQuery, FuzzyQuery)):
+                      RegexpQuery, FuzzyQuery, MultiPhraseQuery,
+                      PhrasePrefixQuery)):
         kind, row = leaf(MUST, q)
         return tuple(
-            [row] if kind == want else [] for want in ("t", "p", "r", "k", "m")
+            [row] if kind == want else []
+            for want in ("t", "p", "r", "k", "m", "mp")
         )
     if isinstance(q, BooleanQuery):
-        t_rows, p_rows, r_rows, k_rows, m_rows = [], [], [], [], []
-        sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows, "m": m_rows}
+        t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows = [], [], [], [], [], []
+        sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows,
+                "m": m_rows, "mp": mp_rows}
         for occur, sub in q.subqueries:
             kind, row = leaf(occur, sub)
             sink[kind].append(row)
-        return t_rows, p_rows, r_rows, k_rows, m_rows
+        return t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows
     raise ValueError(
         f"percolator query {query_id!r}: unsupported query type "
         f"{type(q).__name__}"
@@ -274,8 +300,9 @@ def _flatten_tree(query_id: str, q):
     """NESTED boolean tree -> leaf rows (occur tag = "u<idx>") + a
     JSON-able tree spec for _eval_tree. Arbitrary depth; DisMaxQuery is
     OR for matching purposes (max vs sum changes scores, not the set)."""
-    t_rows, p_rows, r_rows, k_rows, m_rows = [], [], [], [], []
-    sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows, "m": m_rows}
+    t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows = [], [], [], [], [], []
+    sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows,
+            "m": m_rows, "mp": mp_rows}
     n_units = [0]
 
     def walk(node):
@@ -294,7 +321,7 @@ def _flatten_tree(query_id: str, q):
         return {"k": "u", "u": u}
 
     tree = walk(q)
-    return t_rows, p_rows, r_rows, k_rows, m_rows, tree
+    return t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows, tree
 
 
 def register_queries(
@@ -314,17 +341,26 @@ def register_queries(
     kw_rows: list[tuple[str, str, int, str, str | None]] = []
     tree_rows: list[tuple[str, str]] = []
     mt_rows: list[tuple[str, str, int, str, object]] = []
+    mp_rows: list[tuple[str, str, int, tuple, int, str | None]] = []
     for qid, q in queries.items():
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
         )
         tree = None
         if _is_flat(logical):
-            t_rows, p_rows, r_rows, k_rows, m_rows = _flatten_terms(qid, logical)
-        else:
-            t_rows, p_rows, r_rows, k_rows, m_rows, tree = _flatten_tree(
+            t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows_q = _flatten_terms(
                 qid, logical
             )
+        else:
+            t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows_q, tree = (
+                _flatten_tree(qid, logical)
+            )
+        for _, _, f, *_ in mp_rows_q:
+            if schema.fields[f].is_doc_value:
+                raise ValueError(
+                    f"percolator query {qid!r}: phrase clause on "
+                    f"doc-value field {schema.fields[f].name!r}"
+                )
         for _, _, f, *_ in m_rows:
             fe2 = schema.fields[f]
             if fe2.is_doc_value:
@@ -389,17 +425,22 @@ def register_queries(
             range_rows.extend(dict.fromkeys(r_rows))
             kw_rows.extend(dict.fromkeys(k_rows))
             mt_rows.extend(dict.fromkeys(m_rows))
+            mp_rows.extend(dict.fromkeys(mp_rows_q))
             continue
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
         } | {r[2:] for r in r_rows if r[1] in (MUST, FILTER)} | {
             r[2:] for r in k_rows if r[1] in (MUST, FILTER)
-        } | {r[2:] for r in m_rows if r[1] in (MUST, FILTER)}
+        } | {r[2:] for r in m_rows if r[1] in (MUST, FILTER)} | {
+            r[2:] for r in mp_rows_q if r[1] in (MUST, FILTER)
+        }
         shoulds = {(f, t) for _, o, f, t in t_rows if o == SHOULD} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o == SHOULD
         } | {r[2:] for r in r_rows if r[1] == SHOULD} | {
             r[2:] for r in k_rows if r[1] == SHOULD
-        } | {r[2:] for r in m_rows if r[1] == SHOULD}
+        } | {r[2:] for r in m_rows if r[1] == SHOULD} | {
+            r[2:] for r in mp_rows_q if r[1] == SHOULD
+        }
         n_positive = len(musts) + len(shoulds)
         if n_positive == 0:
             raise ValueError(
@@ -430,6 +471,7 @@ def register_queries(
         range_rows.extend(dict.fromkeys(r_rows))
         kw_rows.extend(dict.fromkeys(k_rows))
         mt_rows.extend(dict.fromkeys(m_rows))
+        mp_rows.extend(dict.fromkeys(mp_rows_q))
         req_rows.append((qid, len(musts), req_should))
     field_ids = tuple(
         sorted(
@@ -438,11 +480,13 @@ def register_queries(
             | {r[2] for r in range_rows}
             | {r[2] for r in kw_rows}
             | {r[2] for r in mt_rows}
+            | {r[2] for r in mp_rows}
         )
     )
     return PercolatorQueries(
         tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows),
         tuple(range_rows), tuple(kw_rows), tuple(tree_rows), tuple(mt_rows),
+        tuple(mp_rows),
     )
 
 
@@ -500,6 +544,75 @@ def _match_phrases_batch(
     for qid, occur, terms, slop in phrases:
         encs = [by_term[t] for t in terms]
         if any(len(e) == 0 for e in encs):
+            continue
+        best = encs[0].copy()
+        for i in range(1, len(encs)):
+            prefmax = np.maximum.accumulate(best)
+            enc_i = encs[i]
+            j = np.searchsorted(encs[i - 1], enc_i, side="left") - 1
+            cand = np.where(j >= 0, prefmax[np.clip(j, 0, None)], np.int64(-1))
+            same_row = (cand >= 0) & (cand // _BIG == enc_i // _BIG)
+            best = np.where(same_row, cand, np.int64(-1))
+        enc_last = encs[-1]
+        ends = enc_last[
+            (best >= 0) & (enc_last - best <= np.int64(len(encs) - 1 + slop))
+        ]
+        for r in np.unique(ends // _BIG):
+            out.append((int(r), qid, occur))
+    return out
+
+
+def _match_mp_batch(token_lists, mps):
+    """Slot-based phrase verification (MultiPhraseQuery / phrase-prefix):
+    the SAME in-order window DP as _match_phrases_batch, with each
+    slot's position list = sorted union of its alternatives' positions.
+    A ``last_prefix`` appends one more slot whose alternatives are every
+    batch token starting with the prefix (doc-local expansion, uncapped
+    — the mt_rows contract); its positions are computed once per
+    distinct prefix per batch."""
+    lens = np.fromiter(
+        (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return []
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in token_lists])
+    offs = np.repeat(np.cumsum(lens) - lens, lens)
+    enc_all = np.repeat(np.arange(len(lens), dtype=np.int64), lens) * _BIG + (
+        np.arange(total, dtype=np.int64) - offs
+    )
+    needed = {t for _, _, slots, _, _ in mps for slot in slots for t in slot}
+    by_term = {t: enc_all[flat == t] for t in needed}
+    prefix_cache: dict[str, np.ndarray] = {}
+    out: list[tuple[int, str, str]] = []
+    for qid, occur, slots, slop, last_prefix in mps:
+        encs = []
+        ok = True
+        for slot in slots:
+            arrs = [by_term[t] for t in slot if len(by_term[t])]
+            if not arrs:
+                ok = False
+                break
+            encs.append(
+                arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+            )
+        if ok and last_prefix is not None:
+            if last_prefix not in prefix_cache:
+                mask = np.fromiter(
+                    (str(t).startswith(last_prefix) for t in flat),
+                    dtype=bool, count=total,
+                )
+                prefix_cache[last_prefix] = enc_all[mask]
+            pe = prefix_cache[last_prefix]
+            if len(pe) == 0:
+                ok = False
+            else:
+                encs.append(pe)
+        if not ok or not encs:
+            continue
+        if len(encs) == 1:
+            for r in np.unique(encs[0] // _BIG):
+                out.append((int(r), qid, occur))
             continue
         best = encs[0].copy()
         for i in range(1, len(encs)):
@@ -687,6 +800,37 @@ def percolate(
         contribs.append(
             mtoks_df.mapInPandas(
                 mt_verify, f"_pid {id_type}, query_id string, occur string"
+            )
+        )
+
+    mp_fids = sorted({r[2] for r in pq.mp_rows})
+    for fid in mp_fids:
+        fe = schema.fields[fid]
+        field_mps = [
+            (qid, occur, slots, slop, last_prefix)
+            for qid, occur, f, slots, slop, last_prefix in pq.mp_rows
+            if f == fid
+        ]
+        ptoks_df = docs_df.select(
+            F.col(id_col).alias("_pid"),
+            _tokens_expr(fe, doc_col(fid)).alias("_toks"),
+        )
+
+        def mp_verify(batches, _mps=field_mps):
+            for pdf in batches:
+                rows = _match_mp_batch(pdf["_toks"].tolist(), _mps)
+                if rows:
+                    yield pd.DataFrame(
+                        {
+                            "_pid": pdf["_pid"].iloc[[r for r, _, _ in rows]].values,
+                            "query_id": [q for _, q, _ in rows],
+                            "occur": [o for _, _, o in rows],
+                        }
+                    )
+
+        contribs.append(
+            ptoks_df.mapInPandas(
+                mp_verify, f"_pid {id_type}, query_id string, occur string"
             )
         )
 

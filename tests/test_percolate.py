@@ -159,10 +159,12 @@ def test_percolate_registration_errors(perc_schema):
         register_queries(
             {"bad": BooleanQuery([("must_not", T("spark"))])}, perc_schema
         )
-    # prefix/wildcard/regexp/fuzzy are SUPPORTED since round 3 (doc-token
-    # evaluation); the one remaining unsupported leaf is phrase-prefix
+    # every query type percolates since round 3; a non-query object is
+    # still rejected with a clear error
+    from ostrich_spark.query.parser import AllQuery
+
     with pytest.raises(ValueError, match="unsupported"):
-        register_queries({"pp": 'text:"spark jo*"'}, perc_schema)
+        register_queries({"all": AllQuery()}, perc_schema)
     with pytest.raises(ValueError, match="non-keyword"):
         register_queries({"kw": KeywordQuery(0, "x")}, perc_schema)
     with pytest.raises(ValueError, match="non-doc-value"):
@@ -494,6 +496,9 @@ def test_percolate_multiterm_leaves(spark, perc_index, perc_schema):
     # doc-value fields reject multi-term clauses
     with pytest.raises(ValueError, match="doc-value"):
         register_queries({"bad": PrefixQuery(3, "ne")}, perc_schema)
-    # phrase-prefix stays unsupported, with a clear error
-    with pytest.raises(ValueError, match="unsupported"):
-        register_queries({"pp": 'text:"spark jo*"'}, perc_schema)
+    # phrase-prefix percolates too (slot DP + doc-local prefix slot)
+    pq3 = register_queries({"pp": 'text:"spark jo*"'}, perc_schema)
+    got3 = {r["doc_key"] for r in
+            percolate(spark, docs, pq3, perc_schema, id_col="doc_key").collect()}
+    assert got3 == _forward_matches(spark, perc_index, 'text:"spark jo*"',
+                                    perc_schema)
