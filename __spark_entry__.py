@@ -1067,6 +1067,9 @@ def _perc_queries():
         "q_phrase": 'text:"hash join"',
         # numeric subscription: term + doc-value range in one alert
         "q_range": "text:spark AND n_chars:[200 TO 400]",
+        # multi-term subscription: prefix evaluated against the doc's
+        # own token set (ES MemoryIndex semantics)
+        "q_prefix": "text:strea*",
         # NESTED tree: OR of two AND-groups, one with a negation —
         # rides the unit-tagged collect_set satisfaction path
         "q_nested": BooleanQuery(
@@ -1081,10 +1084,10 @@ def _perc_queries():
 
 
 def _q_perc_match(spark, sf_dir):
-    """Percolator (reverse search): seven stored subscriptions (flat
-    boolean, positional phrase, term+numeric-range, and a NESTED
-    or-of-ands tree with a negation) matched against the whole documents
-    table in one broadcast join."""
+    """Percolator (reverse search): eight stored subscriptions (flat
+    boolean, positional phrase, term+numeric-range, a doc-token prefix,
+    and a NESTED or-of-ands tree with a negation) matched against the
+    whole documents table in one broadcast join."""
     from ostrich_spark.percolate import percolate, register_queries
     from ostrich_spark.schema import Schema
 
@@ -2338,7 +2341,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN documents d USING(doc_id) "
             "WHERE f.h_spark AND d.n_chars BETWEEN 200 AND 400 "
             "UNION ALL SELECT doc_id, 'q_nested' FROM flags "
-            "WHERE (h_spark AND h_join) OR (h_window AND h_stream AND NOT h_hash)"
+            "WHERE (h_spark AND h_join) OR (h_window AND h_stream AND NOT h_hash) "
+            "UNION ALL SELECT DISTINCT doc_id, 'q_prefix' FROM toks "
+            "WHERE term LIKE 'strea%'"
         ),
         "eng_term_positions": (
             f"WITH {TOKLIST_CTE}, {POS_CTE} "
