@@ -281,6 +281,93 @@ def _q_eng_terms_filter(spark, sf_dir):
     )
 
 
+_DATE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _date_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index over the events table with a DATE doc-value field (ES
+    ``date`` type analog — stored as epoch micros, schema.py
+    FIELD_TYPE_DATE): event_type text + ts date + value double."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _DATE_INDEX_CACHE:
+        return _DATE_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-dt1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("event_type", "default")
+        schema.add_date_field("ts")
+        schema.add_numeric_field("value", "double")
+        build_index(
+            spark,
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+                 .withColumnRenamed("event_id", "doc_id"),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-dt-{tag}",
+        )
+    _DATE_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_date_range(spark, sf_dir):
+    """Date range query (ES date type): tfidf term score + 1.0 constant
+    from an ISO day-bounded range with ES date-math rounding — the
+    inclusive upper bound [.. TO 2024-01-19] means THROUGH the end of
+    that UTC day (the oracle independently encodes `< 2024-01-20`)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(
+        spark, idx, "event_type:error AND ts:[2024-01-10 TO 2024-01-19]",
+        limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_eng_date_histogram(spark, sf_dir):
+    """Calendar date_histogram aggregation over a query's full match
+    set: day buckets keyed by UTC epoch millis (the ES bucket-key
+    convention), computed tz-free from the stored micros."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    return _longify(
+        date_histogram(
+            spark, idx, "event_type:click", "ts", "day", manifest=mf
+        )
+    )
+
+
+def _q_eng_date_hist_week(spark, sf_dir):
+    """date_histogram at a CALENDAR interval (ISO-Monday weeks) — the
+    truncation runs on the UTC date via date_from_unix_date + trunc,
+    session-timezone-proof."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import date_histogram
+    from ostrich_spark.query.parser import AllQuery
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    return _longify(
+        date_histogram(spark, idx, AllQuery(), "ts", "week", manifest=mf)
+    )
+
+
 def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
     """All matches via the real engine; -> (doc_id, score) rounded."""
     from ostrich_spark.manifest import load_manifest
@@ -1853,6 +1940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_keyword_range": _q_eng_keyword_range,
         "eng_multifield": _q_eng_multifield,
         "eng_terms_filter": _q_eng_terms_filter,
+        "eng_date_range": _q_eng_date_range,
+        "eng_date_histogram": _q_eng_date_histogram,
+        "eng_date_hist_week": _q_eng_date_hist_week,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2284,6 +2374,31 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN source >= 'src17' AND source < 'src3' THEN 1.0 ELSE 0.0 END), 6) AS score "
             "FROM documents WHERE (lang > 'de' AND lang <= 'fr') "
             "OR (source >= 'src17' AND source < 'src3')"
+        ),
+        # date range (ES date type): tfidf of the single event_type token
+        # (tf=1 by construction) + 1.0 range constant; the engine's
+        # inclusive ISO day bound [.. TO 2024-01-19] must equal the
+        # oracle's independent `< 2024-01-20` (ES date-math rounding)
+        "eng_date_range": (
+            "WITH n AS (SELECT count(*) AS n FROM events), "
+            "d AS (SELECT count(*) AS df FROM events WHERE event_type = 'error') "
+            "SELECT event_id, "
+            "round(1.0 + (1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT df FROM d)))), 6) AS score "
+            "FROM events WHERE event_type = 'error' "
+            "AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'"
+        ),
+        # date_histogram day buckets: UTC epoch-millis keys (ES bucket-key
+        # convention); DuckDB date_trunc on the naive timestamp is the
+        # independent tz-free recomputation
+        "eng_date_histogram": (
+            "SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1"
+        ),
+        # date_histogram ISO-Monday week buckets over the full corpus
+        "eng_date_hist_week": (
+            "SELECT epoch_ms(date_trunc('week', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE ts IS NOT NULL GROUP BY 1"
         ),
         # terms (IN-set) FILTER beside a scored text clause: filter
         # context adds no score — pure tfidf over the restricted set

@@ -303,6 +303,16 @@ def build_segment_tables(
                 if fe.field_type == "long"
                 else np.full(n_docs, np.nan)
             )
+    # date doc values: int64 epoch micros, projected JVM-side by
+    # _project_date_micros (NULL = no value, like every doc-value type)
+    for fe in schema.fields:
+        if not fe.is_date or fe.name in docmap.columns:
+            continue
+        dcol = date_input_col(fe.name)
+        if dcol in pdf.columns:
+            docmap[fe.name] = pdf[dcol].astype("Int64")
+        else:
+            docmap[fe.name] = pd.array([None] * n_docs, dtype="Int64")
     # keyword doc values: raw strings, NULL-preserving (a missing value is
     # no value — it never matches equality or exists). A "lowercase"
     # normalizer (Schema.add_keyword_field(lowercase=True)) stores the
@@ -335,9 +345,9 @@ def build_segment_tables(
             fields.append(pa.field(c, id_arrow_types[c]))
         else:
             fe = next((f for f in schema.fields if f.name == c), None)
-            if fe is not None and fe.is_numeric:
+            if fe is not None and (fe.is_numeric or fe.is_date):
                 fields.append(
-                    pa.field(c, pa.int64() if fe.field_type == "long" else pa.float64())
+                    pa.field(c, pa.float64() if fe.field_type == "double" else pa.int64())
                 )
             else:  # stored text fields are stringified above
                 fields.append(pa.field(c, pa.string()))
@@ -367,6 +377,97 @@ def _write_segment_atomic(seg_dir: str, tables, fragment: dict) -> None:
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def date_input_col(name: str) -> str:
+    """Internal derived-column name carrying a date field's epoch-micros
+    value from the JVM-side projection into the pandas build."""
+    return f"__date_us_{name}"
+
+
+def _ntz_wall_micros(col):
+    """Wall-clock epoch micros of a TIMESTAMP_NTZ column, computed by
+    parts (date / hour / minute / fractional second) — every piece is
+    timezone-free on NTZ, so the result is the wall clock read AS UTC
+    under any session timezone. (A plain ``cast('timestamp')`` would
+    interpret the wall clock in the SESSION zone instead.)"""
+    from pyspark.sql import functions as F
+
+    return (
+        F.unix_date(col.cast("date")).cast("long") * F.lit(86_400_000_000)
+        + F.hour(col).cast("long") * F.lit(3_600_000_000)
+        + F.minute(col).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), col) * F.lit(1_000_000)).cast("long")
+    )
+
+
+def date_micros_expr(col, dtype, field_name: str):
+    """Column expression converting one date-field input column of type
+    ``dtype`` to int64 epoch MICROS per the add_date_field dtype
+    contract (timestamp → instant via unix_micros; ntz/string/date →
+    UTC wall clock; long → pass-through). Shared by the build projection
+    and the percolator's incoming-document scan so both sides of a
+    stored date-range subscription read values identically."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(col)
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ is a timezone-less wall clock: read it as UTC
+        return _ntz_wall_micros(col)
+    if isinstance(dtype, T.DateType):
+        # days since epoch — timezone-free by construction
+        return (F.unix_date(col).cast("long") * F.lit(86_400_000_000)).cast("long")
+    if isinstance(dtype, T.StringType):
+        # ISO-8601 wall clock, read as UTC (parsed to NTZ first so the
+        # session zone never applies); unparseable values become NULL
+        # (no value — never matches range/exists)
+        return _ntz_wall_micros(F.to_timestamp_ntz(col))
+    if isinstance(dtype, T.LongType):
+        # already epoch micros (reindex / export round-trip shape)
+        return col
+    raise ValueError(
+        f"date field {field_name!r}: input column has type "
+        f"{dtype.simpleString()} — expected timestamp, timestamp_ntz, "
+        f"date, string (ISO-8601), or long (epoch micros)"
+    )
+
+
+def _project_date_micros(df, schema: Schema, keep: set | None = None):
+    """Project each date field's input column to int64 epoch MICROS
+    (UTC) JVM-side, BEFORE the build's mapInPandas. Doing the conversion
+    in the JVM matters: ``unix_micros`` on a TimestampType column is an
+    instant function (session-timezone-proof), whereas Arrow hands
+    mapInPandas naive session-LOCAL wall clocks. The derived column gets
+    its own name so multi-fields sharing the source column see it
+    untouched. Dtype contract (see Schema.add_date_field): timestamp →
+    unix_micros; ntz/string/date → UTC wall clock; long → already
+    micros; anything else fails fast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for fe in schema.fields:
+        if not fe.is_date or fe.input_col not in df.columns:
+            continue
+        v = date_micros_expr(
+            F.col(fe.input_col), df.schema[fe.input_col].dataType, fe.name
+        )
+        df = df.withColumn(date_input_col(fe.name), v)
+    # raw inputs consumed ONLY by date fields don't need to ride the
+    # build shuffle — the derived micros column replaces them
+    if keep is not None:
+        still_needed = set(keep) | {
+            fe.input_col for fe in schema.fields if not fe.is_date
+        }
+        droppable = {
+            fe.input_col
+            for fe in schema.fields
+            if fe.is_date and fe.input_col in df.columns
+        } - still_needed
+        if droppable:
+            df = df.drop(*sorted(droppable))
+    return df
 
 
 @locked_writer("build")
@@ -435,6 +536,7 @@ def build_index(
     field_inputs = [f.input_col for f in schema.fields]
     needed = list(dict.fromkeys([*field_inputs, *id_cols, order_col]))
     df = corpus_df.select(*[c for c in needed if c in corpus_df.columns])
+    df = _project_date_micros(df, schema, keep={*id_cols, order_col})
     df = df.repartitionByRange(num_partitions, order_col).sortWithinPartitions(order_col)
 
     schema_json = schema.to_json()

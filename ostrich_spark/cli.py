@@ -444,12 +444,16 @@ def cmd_agg(args) -> int:
     """Numeric doc-value aggregation over a query's FULL match set:
     --stats FIELD prints one n/min/max/sum/avg line; --hist FIELD
     --bin W prints ``bucket n_docs`` lines in bucket order."""
-    from .query.exec import cardinality, numeric_histogram, numeric_stats
+    from .query.exec import (
+        cardinality, date_histogram, numeric_histogram, numeric_stats,
+    )
 
-    n_modes = sum(bool(x) for x in (args.stats, args.hist, args.cardinality))
+    n_modes = sum(
+        bool(x) for x in (args.stats, args.hist, args.cardinality, args.date_hist)
+    )
     if n_modes != 1:
-        print("agg: need exactly one of --stats, --hist or --cardinality",
-              file=sys.stderr)
+        print("agg: need exactly one of --stats, --hist, --date-hist or "
+              "--cardinality", file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
@@ -470,6 +474,23 @@ def cmd_agg(args) -> int:
             f"n {row['n']}  min {row['min']}  max {row['max']}  "
             f"sum {row['sum']}  avg {row['avg']}"
         )
+    elif args.date_hist:
+        rows = (
+            date_histogram(
+                spark, args.path, args.query, args.date_hist,
+                interval=args.interval, scorer=args.scorer,
+            )
+            .orderBy("bucket_ms")
+            .collect()
+        )
+        elapsed = time.time() - t0
+        import datetime as _dt
+
+        for r in rows:
+            iso = _dt.datetime.fromtimestamp(
+                r["bucket_ms"] / 1000, _dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            print(f"{r['bucket_ms']} {iso} {r['n_docs']}")
     else:
         rows = (
             numeric_histogram(
@@ -581,6 +602,9 @@ def cmd_build(args) -> int:
     for f in args.keyword_field or []:
         name, _, src = f.partition("=")
         schema.add_keyword_field(name, source_col=src)
+    for f in args.date_field or []:
+        name, _, src = f.partition("=")
+        schema.add_date_field(name, source_col=src)
     from .sources import load_corpus
 
     df = load_corpus(spark, args.corpus, shape=False)
@@ -861,6 +885,10 @@ def cmd_reindex(args) -> int:
             # robust even when a multi-field's source text wasn't stored
             # (values are identical; normalization is idempotent)
             schema.add_keyword_field(fe.name, lowercase=fe.analyzer == "lowercase")
+        elif fe.is_date:
+            # the extract column is already epoch micros — the long
+            # pass-through input shape
+            schema.add_date_field(fe.name)
         elif fe.is_numeric:
             schema.add_numeric_field(fe.name, fe.field_type)
         else:
@@ -923,6 +951,7 @@ def cmd_evolve(args) -> int:
             store=args.store,
             numeric_type=args.numeric,
             keyword=args.keyword,
+            date=args.date,
         )
     except (ValueError, KeyError, LockHeldError, FileNotFoundError) as e:
         print(f"error: {e}", file=sys.stderr)
@@ -979,7 +1008,11 @@ def cmd_analyze(args) -> int:
                   file=sys.stderr)
             return 2
         if fe.is_doc_value:
-            kind = "keyword" if fe.is_keyword else "numeric"
+            kind = (
+                "keyword" if fe.is_keyword
+                else "date" if fe.is_date
+                else "numeric"
+            )
             print(f"field {fe.name!r} is a {kind} doc-value field — "
                   f"never analyzed", file=sys.stderr)
             return 2
@@ -1182,6 +1215,13 @@ def main(argv=None) -> int:
     ag.add_argument("--stats", metavar="FIELD", help="n/min/max/sum/avg of FIELD")
     ag.add_argument("--hist", metavar="FIELD", help="histogram of FIELD")
     ag.add_argument("--bin", type=float, default=1.0, help="--hist bucket width")
+    ag.add_argument("--date-hist", metavar="FIELD",
+                    help="calendar histogram of a date FIELD (bucket "
+                         "keys = UTC epoch millis, the ES convention)")
+    ag.add_argument("--interval", default="day",
+                    choices=["minute", "hour", "day", "week", "month",
+                             "quarter", "year"],
+                    help="--date-hist bucket width")
     ag.add_argument("--cardinality", metavar="COL",
                     help="distinct count of COL over the match set "
                     "(HLL++ approx; --exact for count_distinct)")
@@ -1238,6 +1278,10 @@ def main(argv=None) -> int:
                         "filters, never analyzed); NAME=SOURCE reads "
                         "another input column (ES multi-fields, e.g. "
                         "title.raw=title)")
+    b.add_argument("--date-field", action="append", metavar="COL",
+                   help="date doc-value field (ISO range/sort/"
+                        "date-histogram; stored as epoch micros UTC); "
+                        "NAME=SOURCE reads another input column")
     b.add_argument("--analyzer", default="default")
     b.add_argument("--partitions", type=int, default=8)
     b.add_argument("--order-col")
@@ -1349,6 +1393,9 @@ def main(argv=None) -> int:
     ev.add_argument("--keyword", action="store_true",
                     help="keyword doc-value field (exact-match/exists "
                          "filters) instead of text")
+    ev.add_argument("--date", action="store_true",
+                    help="date doc-value field (ISO ranges, sort, "
+                         "date histogram) instead of text")
     ev.set_defaults(fn=cmd_evolve)
 
     ex = sub.add_parser("export")

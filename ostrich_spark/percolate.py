@@ -369,7 +369,11 @@ def register_queries(
                     f"doc-value field {fe2.name!r} (text fields only)"
                 )
         for _, _, f, *_ in r_rows:
-            if not schema.fields[f].is_numeric:
+            # date fields ride the numeric interval join: their bounds
+            # are epoch micros by the time a RangeQuery exists (parser
+            # rounding), and incoming doc values convert to micros at
+            # percolate time (build.date_micros_expr)
+            if not schema.fields[f].is_numeric and not schema.fields[f].is_date:
                 hint = (
                     " (keyword ranges need STRING bounds)"
                     if schema.fields[f].is_keyword else ""
@@ -838,10 +842,21 @@ def percolate(
     if rng_fids:
         vals = None
         for fid in rng_fids:
+            c = F.col(doc_col(fid))
+            if schema.fields[fid].is_date:
+                # convert the incoming doc's raw column exactly like the
+                # build does (epoch micros are exact in double to 2^53 —
+                # year ~2255)
+                from .build import date_micros_expr
+
+                c = date_micros_expr(
+                    c, docs_df.schema[doc_col(fid)].dataType,
+                    schema.fields[fid].name,
+                )
             v = docs_df.select(
                 F.col(id_col).alias("_pid"),
                 F.lit(fid).alias("field_id"),
-                F.col(doc_col(fid)).cast("double").alias("_v"),
+                c.cast("double").alias("_v"),
             ).filter(F.col("_v").isNotNull())
             vals = v if vals is None else vals.unionByName(v)
         rq = spark.createDataFrame(

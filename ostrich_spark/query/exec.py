@@ -1089,7 +1089,11 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
                     f"range query on keyword field {fe.name!r} needs "
                     f"string bounds"
                 )
-        elif not fe.is_numeric:
+        elif not fe.is_numeric and not fe.is_date:
+            # date fields take this numeric path too: their docmap column
+            # is int64 epoch micros and the parser resolved ISO bounds to
+            # micros already (schema.FIELD_TYPE_DATE — dates are longs,
+            # the Lucene/ES representation)
             raise ValueError(
                 f"range query on non-numeric field {fe.name!r} (type {fe.field_type!r})"
             )
@@ -1105,8 +1109,16 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
         if hi is not None:
             p = col <= hi if range_wire["incl_hi"] else col < hi
             pred = p if pred is None else (pred & p)
+    docmap = read_docmap(spark, index_dir, manifest)
+    if fe.name not in docmap.columns:
+        # evolved field with no committed data yet: NO segment's docmap
+        # carries the column (mergeSchema can't invent it), so no doc has
+        # a value — empty match set, same semantics as all-NULL
+        return docmap.select(
+            "segment_id", "doc", F.lit(int(range_wire["rid"])).alias("rid")
+        ).limit(0)
     return (
-        read_docmap(spark, index_dir, manifest)
+        docmap
         .filter(pred)
         .select(
             "segment_id", "doc", F.lit(int(range_wire["rid"])).alias("rid")
@@ -2332,6 +2344,75 @@ def numeric_histogram(
     return (
         matched.filter(F.col(by).isNotNull())
         .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_DATE_HIST_FIXED_US = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+_DATE_HIST_TRUNC = {"week": "week", "month": "month", "quarter": "quarter", "year": "year"}
+
+
+def date_histogram(
+    spark,
+    index_dir: str,
+    query,
+    by: str,
+    interval: str = "day",
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Calendar histogram of a date doc-value field over a query's FULL
+    match set (the ES ``date_histogram`` aggregation): one row per
+    occupied bucket -> (``bucket_ms`` = the bucket's UTC start as epoch
+    MILLIS — the ES bucket-key convention — , ``n_docs``). Intervals:
+    minute / hour / day (fixed-width UTC, pure integer arithmetic on the
+    stored micros — no session-timezone dependence) and week (ISO
+    Monday) / month / quarter / year (calendar truncation on the UTC
+    DATE via ``date_from_unix_date`` + ``trunc``, both timezone-free).
+    Nulls drop; one partial-aggregated groupBy, the facet_counts scale
+    posture."""
+    from pyspark.sql import functions as F
+
+    if interval not in _DATE_HIST_FIXED_US and interval not in _DATE_HIST_TRUNC:
+        raise ValueError(
+            f"interval {interval!r} not supported — one of "
+            f"{sorted(_DATE_HIST_FIXED_US) + sorted(_DATE_HIST_TRUNC)}"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(by)
+    if fe is None or not fe.is_date:
+        raise ValueError(
+            f"date_histogram needs a date field; {by!r} is "
+            f"{'absent' if fe is None else repr(fe.field_type)}"
+        )
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", by).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    us = F.col(by)
+    if interval in _DATE_HIST_FIXED_US:
+        w = _DATE_HIST_FIXED_US[interval]
+        # FLOOR over double division: exact for |us| < 2^53 (years
+        # ~1685..2255); integer `div` would truncate toward zero and
+        # mis-bucket pre-1970 values
+        bucket_ms = (F.floor(us / F.lit(w)).cast("long") * F.lit(w // 1000))
+    else:
+        day = F.floor(us / F.lit(86_400_000_000)).cast("int")
+        b = F.trunc(F.date_from_unix_date(day), _DATE_HIST_TRUNC[interval])
+        bucket_ms = F.unix_date(b).cast("long") * F.lit(86_400_000)
+    return (
+        matched.filter(us.isNotNull())
+        .groupBy(bucket_ms.alias("bucket_ms"))
         .agg(F.count("*").alias("n_docs"))
     )
 

@@ -623,6 +623,107 @@ def _parse_str_bound(s: str):
     return s
 
 
+# Date bound grammar (ES date-math subset, no `now`): an ISO-8601
+# prefix — "2024", "2024-01", "2024-01-10", "2024-01-10T12",
+# "…T12:30", "…T12:30:05", "…T12:30:05.123456" — or a pure-digit
+# epoch-MILLIS value (the ES `epoch_millis` format). Partial values
+# denote a UNIT: [start, next_unit_start) in UTC.
+_DATE_UNITS = (
+    (4, "year"), (7, "month"), (10, "day"),
+    (13, "hour"), (16, "minute"), (19, "second"),
+)
+
+
+def _parse_date_span(s: str) -> tuple[int, int] | None:
+    """Parse one date bound into its UTC [start_us, end_us) unit span
+    (end exclusive). Full-precision values have end = start + 1µs.
+    Returns None when the text is not a date."""
+    import datetime as _dt
+
+    s = s.strip()
+    if len(s) >= 2 and s.startswith('"') and s.endswith('"'):
+        s = s[1:-1].strip()
+    if s.isdigit() and 5 <= len(s) <= 13:
+        # epoch millis (ES epoch_millis). 4-digit values are always
+        # YEARS (an epoch-millis instant inside 1970-01-01T00:00:10 is
+        # not a thing anyone queries); longer digit runs are millis.
+        us = int(s) * 1000
+        return us, us + 1000
+    unit = None
+    for ln, u in _DATE_UNITS:
+        if len(s) == ln:
+            unit = u
+            break
+    if unit is None and not (len(s) > 19 and s[:10].count("-") == 2):
+        return None
+    try:
+        if unit == "year":
+            start = _dt.datetime(int(s), 1, 1, tzinfo=_dt.timezone.utc)
+            end = _dt.datetime(int(s) + 1, 1, 1, tzinfo=_dt.timezone.utc)
+        elif unit == "month":
+            y, m = int(s[:4]), int(s[5:7])
+            start = _dt.datetime(y, m, 1, tzinfo=_dt.timezone.utc)
+            y2, m2 = (y + 1, 1) if m == 12 else (y, m + 1)
+            end = _dt.datetime(y2, m2, 1, tzinfo=_dt.timezone.utc)
+        else:
+            start = _dt.datetime.fromisoformat(s)
+            if start.tzinfo is None:
+                start = start.replace(tzinfo=_dt.timezone.utc)
+            widths = {
+                "day": _dt.timedelta(days=1),
+                "hour": _dt.timedelta(hours=1),
+                "minute": _dt.timedelta(minutes=1),
+                "second": _dt.timedelta(seconds=1),
+            }
+            end = start + widths.get(unit, _dt.timedelta(microseconds=1))
+    except ValueError:
+        return None
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    to_us = lambda d: (d - epoch) // _dt.timedelta(microseconds=1)  # noqa: E731
+    return to_us(start), to_us(end)
+
+
+def _parse_date_bound(fe, s: str, side: str, inclusive: bool) -> int | None:
+    """One bound of a date range, resolved to epoch micros with the ES
+    rounding rule (Lucene DateMathParser): gte/lt use the unit's START,
+    gt/lte its END — so ``ts:[2024-01-10 TO 2024-01-19]`` means the
+    whole of both days. The resolved bound is always INCLUSIVE-adjusted
+    (gt start-of-next-unit - 1µs ≡ > end-of-unit), so RangeQuery keeps
+    its plain numeric semantics downstream."""
+    s = s.strip()
+    if s == "*":
+        return None
+    span = _parse_date_span(s)
+    if span is None:
+        raise QueryParseError(
+            f"cannot parse date bound {s!r} for field {fe.name!r} — "
+            f"expected an ISO-8601 prefix (2024-01-10, 2024-01-10T12:30, "
+            f"…) or epoch millis"
+        )
+    start, end = span
+    if side == "lo":
+        return start if inclusive else end - 1
+    return end - 1 if inclusive else start
+
+
+def _date_leaf(fe, raw: str):
+    """Value side of ``datefield:...`` — a range span (bounds in ISO-8601
+    with ES unit rounding) or a plain value (equality = the value's whole
+    unit span: ``ts:2024-01-10`` matches that UTC day)."""
+    m = _RANGE_SYNTAX.match(raw)
+    if m:
+        lo = _parse_date_bound(fe, m.group(2), "lo", m.group(1) == "[")
+        hi = _parse_date_bound(fe, m.group(3), "hi", m.group(4) == "]")
+        # bounds are pre-rounded to inclusive micros above
+        return RangeQuery(fe.id, lo, hi, include_lo=True, include_hi=True)
+    span = _parse_date_span(raw)
+    if span is None:
+        raise QueryParseError(
+            f"cannot parse date value {raw!r} for field {fe.name!r}"
+        )
+    return RangeQuery(fe.id, span[0], span[1] - 1)
+
+
 def _numeric_leaf(fe, raw: str):
     """Value side of ``numericfield:...`` — a range span or a plain value
     (equality = degenerate range)."""
@@ -763,6 +864,8 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                         f"keyword field {fe.name!r} needs a value"
                     )
                 return KeywordQuery(fe.id, raw)
+            if fe.is_date:
+                return _date_leaf(fe, raw)
             if fe.is_numeric:
                 return _numeric_leaf(fe, raw)
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
@@ -804,7 +907,7 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         qs = []
         for fname in default_fields:
             fe = schema.field_by_name(fname)
-            if fe is not None and not fe.is_numeric:
+            if fe is not None and not fe.is_numeric and not fe.is_date:
                 q = (
                     _near_for_field(fe, bare_span, bare_slop)
                     if bare_near
@@ -822,7 +925,7 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
         qs = [
             _multiterm_query(fe.id, mt)
             for fname in default_fields
-            if (fe := schema.field_by_name(fname)) is not None and not fe.is_numeric
+            if (fe := schema.field_by_name(fname)) is not None and not fe.is_numeric and not fe.is_date
         ]
         if not qs:
             return EmptyQuery()
@@ -832,7 +935,7 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
     qs = []
     for fname in default_fields:
         fe = schema.field_by_name(fname)
-        if fe is not None and not fe.is_numeric:
+        if fe is not None and not fe.is_numeric and not fe.is_date:
             qs.append(TermQuery(fe.id, value))
     if not qs:
         return EmptyQuery()

@@ -27,6 +27,19 @@ NUMERIC_FIELD_TYPES = (FIELD_TYPE_LONG, FIELD_TYPE_DOUBLE)
 # docmap column — never analyzed, no postings — and queried with exact
 # equality (`lang:fr`) or existence (`lang:*`) filters.
 FIELD_TYPE_KEYWORD = "keyword"
+# date doc-value field (EXTENSION, the Elasticsearch `date` type).
+# Lucene/ES store dates as LONGS (epoch millis in points + doc values);
+# we do the same one level finer: the docmap column is int64 EPOCH
+# MICROSECONDS, UTC (Spark/parquet timestamp precision). Everything
+# downstream — range pruning via parquet int min/max stats, sorted
+# search with early termination, the percolator's interval join — is
+# the numeric machinery verbatim; only the query-side bound PARSING
+# (ISO-8601 strings with ES-style unit rounding) and the calendar
+# histogram are date-specific. Timestamp inputs convert JVM-side with
+# unix_micros (an instant function — correct whatever the session
+# timezone); naive inputs (TIMESTAMP_NTZ, strings, DATE) are read as
+# UTC wall clock.
+FIELD_TYPE_DATE = "date"
 
 
 @dataclass(frozen=True)
@@ -72,10 +85,14 @@ class FieldEntry:
         return self.field_type == FIELD_TYPE_KEYWORD
 
     @property
+    def is_date(self) -> bool:
+        return self.field_type == FIELD_TYPE_DATE
+
+    @property
     def is_doc_value(self) -> bool:
-        """Doc-value-only field (numeric or keyword): no analyzer, no
-        postings, no norms — the typed value lives in the docmap."""
-        return self.is_numeric or self.is_keyword
+        """Doc-value-only field (numeric, keyword or date): no analyzer,
+        no postings, no norms — the typed value lives in the docmap."""
+        return self.is_numeric or self.is_keyword or self.is_date
 
     @property
     def query_analyzer(self) -> str:
@@ -178,6 +195,29 @@ class Schema:
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_KEYWORD,
             "lowercase" if lowercase else "", False, False, "", source_col,
+        )
+        self.fields.append(entry)
+        return entry
+
+    def add_date_field(self, name: str, source_col: str = "") -> FieldEntry:
+        """Date doc-value field (EXTENSION, the ES ``date`` type; see
+        FIELD_TYPE_DATE): no analyzer, no postings; the value is stored
+        in the docmap as int64 epoch MICROSECONDS (UTC) and queried with
+        RangeQuery carrying ISO-8601 bounds (``ts:[2024-01-10 TO
+        2024-01-19]`` — partial dates round per unit like ES date math:
+        an inclusive upper day bound means "through the end of that
+        day"), ExistsQuery, sorted search, and ``date_histogram``.
+
+        Accepted input columns at build: timestamp (converted with
+        ``unix_micros`` — instant-correct under any session timezone),
+        timestamp_ntz / string / date (read as UTC wall clock), or long
+        (already epoch micros — the pass-through reindex/export shape).
+
+        ``source_col`` reads another input column (ES multi-fields)."""
+        self._check_name(name)
+        entry = FieldEntry(
+            len(self.fields), name, FIELD_TYPE_DATE, "", False, False,
+            "", source_col,
         )
         self.fields.append(entry)
         return entry
