@@ -13,6 +13,7 @@ decimals on both sides; all integer outputs are cast to long.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 from collections.abc import Callable
 
@@ -365,6 +366,59 @@ def _q_eng_date_hist_week(spark, sf_dir):
     mf = load_manifest(idx)
     return _longify(
         date_histogram(spark, idx, AllQuery(), "ts", "week", manifest=mf)
+    )
+
+
+# Decay function-score constants, computed ONCE here and injected into
+# BOTH the Spark call and the oracle SQL so the only engine-side libm
+# call is exp() itself (ES gauss decay: sigma^2 = -scale^2 / (2 ln decay)).
+_DECAY_ORIGIN_US = 1706745600000000  # 2024-02-01T00:00:00Z in epoch micros
+_DECAY_SCALE_US = 10 * 86400_000_000  # 10d
+_DECAY_TWO_SIGMA2 = -(float(_DECAY_SCALE_US) ** 2) / math.log(0.5)  # 2*sigma^2
+
+
+def _q_eng_decay_gauss(spark, sf_dir):
+    """ES function_score gauss decay on a DATE field: tfidf recency-shaded
+    by exp(-dist^2/(2 sigma^2)) around a query-time origin — the boost
+    that cannot be pre-indexed (origin is only known at query time).
+    NULL dates keep their text score (ES missing convention)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_decayed
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_decayed(
+        spark, idx, "event_type:error", "ts",
+        origin="2024-02-01", scale="10d", fn="gauss",
+        limit=None, manifest=mf,
+    )
+    return attach_docmap(
+        spark, idx, res.select("segment_id", "doc", "score"), manifest=mf
+    ).select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _q_eng_decay_linear(spark, sf_dir):
+    """Linear decay on a NUMERIC doc-value field (proximity-to-price
+    shape): pure-arithmetic hinge max(0, (s-dist)/s) — no libm at all,
+    so engine/oracle parity is exact by construction."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_decayed
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = search_decayed(
+        spark, idx, "event_type:click", "value",
+        origin=50.0, scale=25.0, fn="linear",
+        limit=None, manifest=mf,
+    )
+    return attach_docmap(
+        spark, idx, res.select("segment_id", "doc", "score"), manifest=mf
+    ).select(
+        F.col("doc_id").cast("long").alias("event_id"),
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -1943,6 +1997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_date_range": _q_eng_date_range,
         "eng_date_histogram": _q_eng_date_histogram,
         "eng_date_hist_week": _q_eng_date_hist_week,
+        "eng_decay_gauss": _q_eng_decay_gauss,
+        "eng_decay_linear": _q_eng_decay_linear,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2399,6 +2455,34 @@ def oracle_sql() -> dict[str, str]:
         "eng_date_hist_week": (
             "SELECT epoch_ms(date_trunc('week', ts)) AS bucket_ms, "
             "count(*) AS n_docs FROM events WHERE ts IS NOT NULL GROUP BY 1"
+        ),
+        # gauss decay function score on the date field: the oracle
+        # recomputes dist from epoch micros and uses the SAME
+        # driver-folded 2*sigma^2 constant, so exp() is the only
+        # engine-side libm call on either side (constants via repr =
+        # shortest-roundtrip exact). NULL ts -> factor 1 (ES missing).
+        "eng_decay_gauss": (
+            "WITH n AS (SELECT count(*) AS n FROM events), "
+            "d AS (SELECT count(*) AS df FROM events WHERE event_type = 'error') "
+            "SELECT event_id, round("
+            "(1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT df FROM d)))) * "
+            "(CASE WHEN ts IS NULL THEN 1.0 ELSE exp("
+            f"-(greatest(abs(epoch_us(ts)::DOUBLE - {_DECAY_ORIGIN_US!r}.0) - 0.0, 0.0) * "
+            f"greatest(abs(epoch_us(ts)::DOUBLE - {_DECAY_ORIGIN_US!r}.0) - 0.0, 0.0)) / "
+            f"{_DECAY_TWO_SIGMA2!r}) END), 6) AS score "
+            "FROM events WHERE event_type = 'error'"
+        ),
+        # linear decay on the numeric doc value: pure-arithmetic hinge,
+        # s = scale/(1-decay) = 50.0 folded on both sides
+        "eng_decay_linear": (
+            "WITH n AS (SELECT count(*) AS n FROM events), "
+            "d AS (SELECT count(*) AS df FROM events WHERE event_type = 'click') "
+            "SELECT event_id, round("
+            "(1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT df FROM d)))) * "
+            "(CASE WHEN value IS NULL THEN 1.0 ELSE "
+            "greatest((50.0 - greatest(abs(value - 50.0) - 0.0, 0.0)) / 50.0, 0.0) "
+            "END), 6) AS score "
+            "FROM events WHERE event_type = 'click'"
         ),
         # terms (IN-set) FILTER beside a scored text clause: filter
         # context adds no score — pure tfidf over the restricted set

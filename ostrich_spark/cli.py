@@ -43,7 +43,8 @@ def cmd_search(args) -> int:
     mf = None
     if getattr(args, "at", None) is not None:
         if (args.highlight or args.sort_by or args.collapse_by
-                or args.group_by or args.boost_by or args.rescore):
+                or args.group_by or args.boost_by or args.rescore
+                or getattr(args, "decay_by", None)):
             print("error: --at composes with plain search only",
                   file=sys.stderr)
             return 2
@@ -93,15 +94,16 @@ def cmd_search(args) -> int:
         print(f"elapsed: {elapsed:.3f}s")
         return 0
     special = [args.collapse_by, args.group_by, args.boost_by, args.rescore,
-               getattr(args, "export_hits", None)]
+               getattr(args, "export_hits", None),
+               getattr(args, "decay_by", None)]
     if sum(x is not None for x in special) > 1 or (
         any(x is not None for x in special)
         and (args.sort_by or args.highlight or getattr(args, "after", None)
              or getattr(args, "fields", None))
     ):
-        print("error: --collapse-by/--group-by/--boost-by/--rescore/"
-              "--export-hits compose with plain search only, one at a time",
-              file=sys.stderr)
+        print("error: --collapse-by/--group-by/--boost-by/--decay-by/"
+              "--rescore/--export-hits compose with plain search only, "
+              "one at a time", file=sys.stderr)
         return 2
     if getattr(args, "export_hits", None):
         from .query.exec import export_hits
@@ -163,6 +165,31 @@ def cmd_search(args) -> int:
         for r in rows:
             print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
                   f"(base {r['base_score']:.4f}, {args.boost_by}={r[args.boost_by]})")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if getattr(args, "decay_by", None):
+        if args.origin is None or args.scale is None:
+            print("error: --decay-by requires --origin and --scale",
+                  file=sys.stderr)
+            return 2
+        from .query.exec import search_decayed
+
+        try:
+            res = search_decayed(
+                spark, args.path, args.query, args.decay_by,
+                args.origin, args.scale, fn=args.decay_fn,
+                decay=args.decay, decay_offset=args.decay_offset,
+                limit=args.limit, offset=args.offset, scorer=args.scorer,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
+                  f"(base {r['base_score']:.4f}, "
+                  f"{args.decay_by}={r[args.decay_by]})")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
     if args.rescore:
@@ -254,8 +281,8 @@ def _search_alias(spark, paths, args, t0) -> int:
     from .query.multi import search_multi
 
     for opt in ("highlight", "sort_by", "after", "at",
-                "collapse_by", "group_by", "boost_by", "rescore",
-                "export_hits"):
+                "collapse_by", "group_by", "boost_by", "decay_by",
+                "rescore", "export_hits"):
         if getattr(args, opt, None):
             print(f"error: --{opt.replace('_', '-')} is single-index only "
                   f"(one -p)", file=sys.stderr)
@@ -1167,6 +1194,25 @@ def main(argv=None) -> int:
                    default="multiply",
                    help="with --boost-by: multiply = score*(1+w*v), "
                    "sum = score + w*v")
+    s.add_argument(
+        "--decay-by", metavar="FIELD",
+        help="decay function score: shade relevance by distance of this "
+        "numeric/date doc-value field from --origin (ES function_score "
+        "gauss/exp/linear decay — recency/proximity boosting)",
+    )
+    s.add_argument("--origin", metavar="VALUE",
+                   help="with --decay-by: the zero-distance point (ISO "
+                   "date prefix for date fields, number for numeric)")
+    s.add_argument("--scale", metavar="SPAN",
+                   help="with --decay-by: distance at which the function "
+                   "reaches --decay ('10d'/'36h' for dates, number for "
+                   "numeric)")
+    s.add_argument("--decay-fn", choices=["gauss", "exp", "linear"],
+                   default="gauss", help="with --decay-by: decay shape")
+    s.add_argument("--decay", type=float, default=0.5,
+                   help="with --decay-by: function value at scale")
+    s.add_argument("--decay-offset", metavar="SPAN", default=0,
+                   help="with --decay-by: no-decay zone around origin")
     s.add_argument(
         "--rescore", metavar="QUERY",
         help="two-phase ranking: re-order the top --rescore-window "

@@ -2812,6 +2812,193 @@ def search_boosted(
     return out
 
 
+# Duration suffixes for decay scale/offset on DATE fields, resolved to
+# microseconds (the date doc-value unit). Matches the ES time-unit set
+# minus months/years, which are not fixed-width.
+_DURATION_UNITS_US = {
+    "us": 1,
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+    "d": 86_400_000_000,
+    "w": 604_800_000_000,
+}
+
+
+def _parse_duration_us(s, what: str) -> int:
+    """``"10d"`` / ``"36h"`` / ``"90s"`` -> microseconds; a bare int is
+    taken as micros already."""
+    if isinstance(s, (int, float)) and not isinstance(s, bool):
+        return int(s)
+    txt = str(s).strip().lower()
+    for suffix in sorted(_DURATION_UNITS_US, key=len, reverse=True):
+        if txt.endswith(suffix):
+            num = txt[: -len(suffix)].strip()
+            try:
+                return int(float(num) * _DURATION_UNITS_US[suffix])
+            except ValueError:
+                break
+    if txt.lstrip("-").isdigit():
+        return int(txt)
+    raise ValueError(
+        f"cannot parse {what} duration {s!r} — use e.g. '10d', '36h', "
+        f"'30m', '45s', '500ms' or an integer microsecond count"
+    )
+
+
+def search_decayed(
+    spark,
+    index_dir: str,
+    query,
+    by: str,
+    origin,
+    scale,
+    *,
+    fn: str = "gauss",
+    decay: float = 0.5,
+    decay_offset=0,
+    weight: float = 1.0,
+    mode: str = "multiply",
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Distance-decay function score (the Elasticsearch ``function_score``
+    decay functions ``gauss`` / ``exp`` / ``linear``; EXTENSION) — the
+    recency/proximity boost: relevance shaded by how far a doc-value
+    sits from a query-time ``origin``. Unlike :func:`search_boosted`'s
+    linear signal, the origin is only known at query time (\"now\", the
+    user's location/price point), so it cannot be pre-baked into an
+    indexed value.
+
+    ``by`` is a numeric or date doc-value field. For DATE fields
+    ``origin`` is an ISO-8601 prefix (same grammar as date range bounds;
+    unit starts resolve to the unit's first microsecond) or epoch
+    micros, and ``scale`` / ``decay_offset`` are durations (``"10d"``,
+    ``"36h"``, micros int). For numeric fields all three are plain
+    numbers in the field's units.
+
+    With ``dist = max(0, |value - origin| - decay_offset)`` the function
+    value at ``dist`` is (ES formulas, ``decay`` reached exactly at
+    ``scale``):
+
+      - ``gauss``:  ``exp(-dist^2 / (2*sigma^2))``, ``sigma^2 = -scale^2 / (2*ln(decay))``
+      - ``exp``:    ``exp(ln(decay)/scale * dist)``
+      - ``linear``: ``max(0, (s - dist)/s)``, ``s = scale/(1-decay)``
+
+    Docs with a NULL value take function value 1.0 (the ES
+    missing-field convention — no decay, text score kept).
+    ``mode="multiply"`` (ES boost_mode default): ``final = score *
+    (weight * fnval)``; ``mode="sum"``: ``final = score + weight *
+    fnval``. Returns (segment_id, segment_ord, doc, score, base_score,
+    ``by``) ordered (score desc, segment_ord, doc).
+
+    Scale posture: one docmap co-keyed join onto the match set, decay
+    computed as Catalyst column expressions (libm-derived constants
+    sigma^2 / lambda / s are folded driver-side), global top-k via
+    TakeOrderedAndProject — no UDF, no extra shuffle. Match evaluation
+    is exhaustive like search_boosted; note that for multiply mode with
+    ``weight <= 1`` the decay factor is <= 1, so a WAND text-score upper
+    bound would remain sound — left on the exhaustive path for engine
+    uniformity.
+    """
+    from pyspark.sql import functions as F
+
+    from .parser import _parse_date_span
+
+    if fn not in ("gauss", "exp", "linear"):
+        raise ValueError(f"fn must be 'gauss', 'exp' or 'linear', got {fn!r}")
+    if mode not in ("multiply", "sum"):
+        raise ValueError(f"mode must be 'multiply' or 'sum', got {mode!r}")
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay!r}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(by)
+    if fe is None or not (fe.is_numeric or fe.is_date):
+        raise ValueError(
+            f"{by!r} is not a numeric or date doc-value field of this index"
+        )
+    if fe.is_date:
+        if isinstance(origin, (int, float)) and not isinstance(origin, bool):
+            origin_v = float(origin)
+        else:
+            span = _parse_date_span(str(origin))
+            if span is None:
+                raise ValueError(
+                    f"cannot parse decay origin {origin!r} for date field "
+                    f"{by!r} — expected an ISO-8601 prefix or epoch micros"
+                )
+            origin_v = float(span[0])
+        scale_v = float(_parse_duration_us(scale, "scale"))
+        offset_v = float(_parse_duration_us(decay_offset, "decay_offset"))
+    else:
+        origin_v = float(origin)
+        scale_v = float(scale)
+        offset_v = float(decay_offset)
+    if scale_v <= 0:
+        raise ValueError(f"scale must be > 0, got {scale!r}")
+    if offset_v < 0:
+        raise ValueError(f"decay_offset must be >= 0, got {decay_offset!r}")
+
+    import math
+
+    res, _ = search(
+        spark,
+        index_dir,
+        query,
+        limit=None,
+        scorer=scorer,
+        manifest=manifest,
+        default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    joined = docmap.select("segment_id", "doc", by).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    dist = F.greatest(
+        F.abs(F.col(by).cast("double") - F.lit(origin_v)) - F.lit(offset_v),
+        F.lit(0.0),
+    )
+    if fn == "gauss":
+        sigma2 = -(scale_v * scale_v) / (2.0 * math.log(decay))
+        fnval = F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+    elif fn == "exp":
+        lam = math.log(decay) / scale_v
+        fnval = F.exp(F.lit(lam) * dist)
+    else:
+        s = scale_v / (1.0 - decay)
+        fnval = F.greatest((F.lit(s) - dist) / F.lit(s), F.lit(0.0))
+    # NULL doc value -> function 1.0 (no decay), the ES missing
+    # convention; weight multiplies the function RESULT (ES semantics),
+    # so it applies to missing docs too
+    fnval = F.lit(float(weight)) * F.when(
+        F.col(by).isNull(), F.lit(1.0)
+    ).otherwise(fnval)
+    if mode == "multiply":
+        final = F.col("score") * fnval
+    else:
+        final = F.col("score") + fnval
+    out = joined.select(
+        "segment_id",
+        "segment_ord",
+        "doc",
+        final.alias("score"),
+        F.col("score").alias("base_score"),
+        F.col(by),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def rescore(
     spark,
     index_dir: str,
