@@ -297,10 +297,13 @@ def _date_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _DATE_INDEX_CACHE:
         return _DATE_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-dt1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-dt2"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("event_type", "default")
+        # keyword twin of the analyzed text field (multi-fields): raw
+        # doc value for composite/terms bucketing
+        schema.add_keyword_field("etype", source_col="event_type")
         schema.add_date_field("ts")
         schema.add_numeric_field("value", "double")
         build_index(
@@ -420,6 +423,54 @@ def _q_eng_decay_linear(spark, sf_dir):
         F.col("doc_id").cast("long").alias("event_id"),
         F.round("score", 6).alias("score"),
     )
+
+
+_COMPOSITE_SOURCES = [
+    ("etype", "terms", "etype"),
+    ("month_ms", "date_histogram", "ts", "month"),
+    ("vbucket", "histogram", "value", 25.0),
+]
+
+
+def _q_eng_composite_page1(spark, sf_dir):
+    """ES composite aggregation page 1: (keyword terms x calendar month
+    x fixed-width numeric histogram) composite buckets in key order with
+    an avg metric sub-agg — the bounded-memory scale path for
+    high-cardinality bucket reports."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import composite_agg
+    from ostrich_spark.query.parser import AllQuery
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = composite_agg(
+        spark, idx, AllQuery(), _COMPOSITE_SOURCES, size=7,
+        metrics={"avg_value": ("avg", "value")}, manifest=mf,
+    )
+    return _longify(out.withColumn("avg_value", F.round("avg_value", 6)))
+
+
+def _q_eng_composite_after(spark, sf_dir):
+    """Page 2 of the same composite report: the `after` cursor compiles
+    to a row-level lexicographic predicate BEFORE the groupBy, so this
+    page shuffles only rows past page 1's last key."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import composite_agg
+    from ostrich_spark.query.parser import AllQuery
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    page1 = composite_agg(
+        spark, idx, AllQuery(), _COMPOSITE_SOURCES, size=7, manifest=mf
+    ).collect()
+    last = page1[-1]
+    out = composite_agg(
+        spark, idx, AllQuery(), _COMPOSITE_SOURCES, size=7,
+        after={"etype": last["etype"], "month_ms": last["month_ms"],
+               "vbucket": last["vbucket"]},
+        metrics={"avg_value": ("avg", "value")}, manifest=mf,
+    )
+    return _longify(out.withColumn("avg_value", F.round("avg_value", 6)))
 
 
 def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
@@ -1999,6 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_date_hist_week": _q_eng_date_hist_week,
         "eng_decay_gauss": _q_eng_decay_gauss,
         "eng_decay_linear": _q_eng_decay_linear,
+        "eng_composite_page1": _q_eng_composite_page1,
+        "eng_composite_after": _q_eng_composite_after,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2483,6 +2536,36 @@ def oracle_sql() -> dict[str, str]:
             "greatest((50.0 - greatest(abs(value - 50.0) - 0.0, 0.0)) / 50.0, 0.0) "
             "END), 6) AS score "
             "FROM events WHERE event_type = 'click'"
+        ),
+        # composite aggregation page 1: (terms x month x numeric
+        # histogram) buckets in key order, size 7, avg sub-agg; the
+        # oracle recomputes the full bucket list and row-numbers it
+        "eng_composite_page1": (
+            "WITH b AS (SELECT event_type AS etype, "
+            "epoch_ms(date_trunc('month', ts)) AS month_ms, "
+            "floor(value / 25.0) * 25.0 AS vbucket, count(*) AS n_docs, "
+            "round(avg(value), 6) AS avg_value FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+            "AND value IS NOT NULL GROUP BY 1, 2, 3), "
+            "o AS (SELECT *, row_number() OVER "
+            "(ORDER BY etype, month_ms, vbucket) AS rn FROM b) "
+            "SELECT etype, month_ms, vbucket, n_docs, avg_value "
+            "FROM o WHERE rn <= 7"
+        ),
+        # page 2 via the after cursor == rows 8..14 of the same ordered
+        # bucket list (after-key pagination over sorted distinct keys
+        # IS row offset — the oracle encodes it independently as rn)
+        "eng_composite_after": (
+            "WITH b AS (SELECT event_type AS etype, "
+            "epoch_ms(date_trunc('month', ts)) AS month_ms, "
+            "floor(value / 25.0) * 25.0 AS vbucket, count(*) AS n_docs, "
+            "round(avg(value), 6) AS avg_value FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL "
+            "AND value IS NOT NULL GROUP BY 1, 2, 3), "
+            "o AS (SELECT *, row_number() OVER "
+            "(ORDER BY etype, month_ms, vbucket) AS rn FROM b) "
+            "SELECT etype, month_ms, vbucket, n_docs, avg_value "
+            "FROM o WHERE rn > 7 AND rn <= 14"
         ),
         # terms (IN-set) FILTER beside a scored text clause: filter
         # context adds no score — pure tfidf over the restricted set

@@ -2400,20 +2400,183 @@ def date_histogram(
         res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
     )
     us = F.col(by)
+    bucket_ms = _date_bucket_ms_expr(us, interval)
+    return (
+        matched.filter(us.isNotNull())
+        .groupBy(bucket_ms.alias("bucket_ms"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _date_bucket_ms_expr(us, interval: str):
+    """Calendar/fixed bucket start of an epoch-micros column as UTC epoch
+    MILLIS (the ES bucket-key convention), timezone-free."""
+    from pyspark.sql import functions as F
+
     if interval in _DATE_HIST_FIXED_US:
         w = _DATE_HIST_FIXED_US[interval]
         # FLOOR over double division: exact for |us| < 2^53 (years
         # ~1685..2255); integer `div` would truncate toward zero and
         # mis-bucket pre-1970 values
-        bucket_ms = (F.floor(us / F.lit(w)).cast("long") * F.lit(w // 1000))
-    else:
-        day = F.floor(us / F.lit(86_400_000_000)).cast("int")
-        b = F.trunc(F.date_from_unix_date(day), _DATE_HIST_TRUNC[interval])
-        bucket_ms = F.unix_date(b).cast("long") * F.lit(86_400_000)
+        return F.floor(us / F.lit(w)).cast("long") * F.lit(w // 1000)
+    day = F.floor(us / F.lit(86_400_000_000)).cast("int")
+    b = F.trunc(F.date_from_unix_date(day), _DATE_HIST_TRUNC[interval])
+    return F.unix_date(b).cast("long") * F.lit(86_400_000)
+
+
+_COMPOSITE_KINDS = ("terms", "date_histogram", "histogram")
+
+
+def composite_agg(
+    spark,
+    index_dir: str,
+    query,
+    sources,
+    size: int = 10,
+    after=None,
+    metrics: dict | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Paginated multi-source bucket aggregation over a query's full
+    match set — the Elasticsearch ``composite`` aggregation (EXTENSION):
+    the scale path for bucket reports whose cardinality exceeds what one
+    response (or one coordinator heap) can hold. Buckets stream in
+    composite-key order, ``size`` per page, resumable from the previous
+    page's last key via ``after``.
+
+    ``sources`` is an ordered list of specs:
+
+      - ``(name, "terms", column)`` — raw docmap column value
+        (identity / store=True / keyword / numeric doc value)
+      - ``(name, "date_histogram", date_field, interval)`` — bucket
+        start as UTC epoch millis (same intervals as
+        :func:`date_histogram`)
+      - ``(name, "histogram", numeric_column, width)`` — fixed-width
+        numeric bucket start (``floor(v/width)*width``, a double)
+
+    Rows with a NULL in any source are omitted (the ES default —
+    ``missing_bucket`` is not implemented). ``after`` is the previous
+    page's last composite key, a dict ``{name: value}`` or a tuple in
+    source order; strictly-greater keys (lexicographic over the source
+    order) form the next page. ``metrics`` adds per-bucket metric
+    sub-aggregations with facet_stats' ``{out: (fn, col[, rsd])}``
+    grammar. Returns one row per bucket: source columns (aliased by
+    name), ``n_docs``, then metrics, ordered by the composite key.
+
+    Scale posture: THE point of composite vs a plain terms agg. The
+    ``after`` cursor compiles to a row-level lexicographic predicate
+    applied BEFORE the groupBy, so page N+1 shuffles only rows whose
+    keys sort past the cursor — with Catalyst pushing the leading-key
+    comparison into the parquet scan where the column allows. Each page
+    is one partial-aggregated shuffle bounded by the page's key range;
+    driver memory is O(size) regardless of total bucket cardinality.
+    A full-cardinality report = iterate pages; an unpaginated terms agg
+    at 100 TB either OOMs the coordinator or silently truncates.
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    if not sources:
+        raise ValueError("composite_agg needs at least one source")
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+
+    names, key_exprs = [], []
+    for spec in sources:
+        spec = tuple(spec)
+        if len(spec) < 3 or spec[1] not in _COMPOSITE_KINDS:
+            raise ValueError(
+                f"source spec must be (name, kind, column[, param]) with "
+                f"kind in {_COMPOSITE_KINDS}, got {spec!r}"
+            )
+        name, kind, col = spec[0], spec[1], spec[2]
+        if name in names:
+            raise ValueError(f"duplicate source name {name!r}")
+        if col not in matched.columns:
+            raise ValueError(
+                f"source column {col!r} is not a docmap column of this "
+                f"index (identity, store=True or doc-value fields only)"
+            )
+        if kind == "terms":
+            expr = F.col(col)
+        elif kind == "date_histogram":
+            fe = manifest.schema.field_by_name(col)
+            if fe is None or not fe.is_date:
+                raise ValueError(
+                    f"date_histogram source needs a date field; {col!r} is "
+                    f"{'absent' if fe is None else repr(fe.field_type)}"
+                )
+            interval = spec[3] if len(spec) > 3 else "day"
+            if interval not in _DATE_HIST_FIXED_US and interval not in _DATE_HIST_TRUNC:
+                raise ValueError(f"unsupported interval {interval!r}")
+            expr = _date_bucket_ms_expr(F.col(col), interval)
+        else:
+            if len(spec) < 4:
+                raise ValueError("histogram source needs a width param")
+            w = float(spec[3])
+            if w <= 0:
+                raise ValueError(f"histogram width must be > 0, got {w!r}")
+            expr = (
+                F.floor(F.col(col).cast("double") / F.lit(w)).cast("double")
+                * F.lit(w)
+            )
+        names.append(name)
+        key_exprs.append(expr)
+        matched = matched.filter(expr.isNotNull())
+
+    if after is not None:
+        if isinstance(after, dict):
+            missing = [n for n in names if n not in after]
+            if missing:
+                raise ValueError(f"after key missing sources: {missing}")
+            vals = [after[n] for n in names]
+        else:
+            vals = list(after)
+            if len(vals) != len(names):
+                raise ValueError(
+                    f"after needs one value per source ({len(names)}), "
+                    f"got {len(vals)}"
+                )
+        # lexicographic strictly-greater over the source order, applied
+        # to ROW-LEVEL key expressions (pre-shuffle page pruning)
+        pred = None
+        for i in range(len(names)):
+            clause = key_exprs[i] > F.lit(vals[i])
+            for j in range(i):
+                clause = (key_exprs[j] == F.lit(vals[j])) & clause
+            pred = clause if pred is None else (pred | clause)
+        matched = matched.filter(pred)
+
+    aggs = [F.count("*").alias("n_docs")]
+    for out, spec in (metrics or {}).items():
+        fn, col, *rest = spec
+        if fn not in _FACET_METRIC_FNS:
+            raise ValueError(
+                f"metric {out!r}: fn must be one of {_FACET_METRIC_FNS}, got {fn!r}"
+            )
+        if fn == "count_distinct":
+            aggs.append(F.countDistinct(col).alias(out))
+        elif fn == "approx_count_distinct":
+            aggs.append(F.approx_count_distinct(col, *rest).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(col).alias(out))
+
     return (
-        matched.filter(us.isNotNull())
-        .groupBy(bucket_ms.alias("bucket_ms"))
-        .agg(F.count("*").alias("n_docs"))
+        matched.groupBy(*[e.alias(n) for n, e in zip(names, key_exprs)])
+        .agg(*aggs)
+        .orderBy(*[F.asc(n) for n in names])
+        .limit(size)
     )
 
 
