@@ -473,6 +473,92 @@ def _q_eng_composite_after(spark, sf_dir):
     return _longify(out.withColumn("avg_value", F.round("avg_value", 6)))
 
 
+_REL_INDEX_CACHE: dict[str, str] = {}
+
+
+def _rel_index(spark: SparkSession, sf_dir: str) -> str:
+    """Parent/child index over documents (ES join-field analog): docs
+    with doc_id % 7 == 0 are parents (rel=q), the rest children (rel=a)
+    keyed to the enclosing multiple of 7. Keyword fields add no
+    postings, so text stats match the plain document corpus."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _REL_INDEX_CACHE:
+        return _REL_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-rel1"
+    if not manifest_exists(index_dir):
+        docs = _docs(spark, sf_dir).withColumns(
+            {
+                "rel": F.when(F.col("doc_id") % 7 == 0, F.lit("q")).otherwise(
+                    F.lit("a")
+                ),
+                "parent": F.when(
+                    F.col("doc_id") % 7 != 0,
+                    (F.col("doc_id") - F.col("doc_id") % 7).cast("string"),
+                ),
+            }
+        )
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_keyword_field("rel")
+        schema.add_keyword_field("parent")
+        build_index(
+            spark, docs, schema, index_dir,
+            num_partitions=4, order_col="doc_id", id_cols=["doc_id"],
+            build_id=f"entry-rel-{tag}",
+        )
+    _REL_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_has_child(spark, sf_dir):
+    """has_child (ES join-field): parents ranked by the SUM of their
+    children's tfidf scores for text:spark, with the live-child count —
+    child match set aggregated map-side per parent key, then one key
+    join against the relation-filtered docmap scan."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap
+    from ostrich_spark.relations import has_child
+
+    idx = _rel_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = has_child(
+        spark, idx, "text:spark",
+        relation_field="rel", child_relation="a", parent_relation="q",
+        parent_field="parent", id_col="doc_id",
+        score_mode="sum", limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
+
+
+def _q_eng_has_parent(spark, sf_dir):
+    """has_parent (ES join-field): children of parents matching
+    text:merge, each scoring its parent's tfidf score (score=True)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap
+    from ostrich_spark.relations import has_parent
+
+    idx = _rel_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = has_parent(
+        spark, idx, "text:merge",
+        relation_field="rel", parent_relation="q", child_relation="a",
+        parent_field="parent", id_col="doc_id",
+        score=True, limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
     """All matches via the real engine; -> (doc_id, score) rounded."""
     from ostrich_spark.manifest import load_manifest
@@ -2052,6 +2138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_decay_linear": _q_eng_decay_linear,
         "eng_composite_page1": _q_eng_composite_page1,
         "eng_composite_after": _q_eng_composite_after,
+        "eng_has_child": _q_eng_has_child,
+        "eng_has_parent": _q_eng_has_parent,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2566,6 +2654,29 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY etype, month_ms, vbucket) AS rn FROM b) "
             "SELECT etype, month_ms, vbucket, n_docs, avg_value "
             "FROM o WHERE rn > 7 AND rn <= 14"
+        ),
+        # has_child (ES join-field): parents = doc_id % 7 == 0, children
+        # keyed to the enclosing multiple of 7; parent score = SUM of its
+        # children's tfidf for 'spark', with the child count. Keyword
+        # fields add no postings, so df/N are the plain corpus stats.
+        "eng_has_child": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "cs AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark' AND t.doc_id % 7 <> 0), "
+            "agg AS (SELECT (doc_id - (doc_id % 7)) AS pid, round(sum(sc), 6) AS score, "
+            "count(*) AS n_children FROM cs GROUP BY 1) "
+            "SELECT p.doc_id, a.score, a.n_children "
+            "FROM agg a JOIN documents p ON p.doc_id = a.pid"
+        ),
+        # has_parent: children of parents matching 'merge', each child
+        # scoring its parent's tfidf (score=true)
+        "eng_has_parent": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "ps AS (SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'merge' AND t.doc_id % 7 = 0) "
+            "SELECT c.doc_id, p.score "
+            "FROM documents c JOIN ps p ON (c.doc_id - (c.doc_id % 7)) = p.doc_id "
+            "WHERE c.doc_id % 7 <> 0"
         ),
         # terms (IN-set) FILTER beside a scored text clause: filter
         # context adds no score — pure tfidf over the restricted set
