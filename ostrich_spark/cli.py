@@ -615,6 +615,49 @@ def cmd_msearch(args) -> int:
     return 0
 
 
+def cmd_join(args) -> int:
+    """Parent/child join queries (ES join-field has_child/has_parent):
+    ``join haschild`` prints parents with >= --min-children matching
+    children (score per --score-mode); ``join hasparent`` prints the
+    children of matching parents (--score inherits the parent score)."""
+    from .relations import has_child, has_parent
+
+    spark = _spark()
+    t0 = time.time()
+    common = dict(
+        relation_field=args.relation_field,
+        child_relation=args.child,
+        parent_relation=args.parent,
+        parent_field=args.parent_field,
+        id_col=args.id_col,
+        limit=args.limit,
+        scorer=args.scorer,
+    )
+    try:
+        if args.direction == "haschild":
+            res = has_child(
+                spark, args.path, args.query,
+                score_mode=args.score_mode,
+                min_children=args.min_children,
+                max_children=args.max_children,
+                **common,
+            )
+        else:
+            res = has_parent(
+                spark, args.path, args.query, score=args.score, **common
+            )
+    except ValueError as e:
+        print(f"join: {e}", file=sys.stderr)
+        return 2
+    rows = res.collect()
+    elapsed = time.time() - t0
+    for r in rows:
+        extra = f" children={r['n_children']}" if "n_children" in r else ""
+        print(f"{r['segment_ord']}/{r['doc']} {r['score']}{extra}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_build(args) -> int:
     from .build import build_index
     from .schema import Schema
@@ -1314,6 +1357,28 @@ def main(argv=None) -> int:
     ms.add_argument("-l", "--limit", type=int, default=10)
     ms.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     ms.set_defaults(fn=cmd_msearch)
+
+    jn = sub.add_parser("join")
+    jn.add_argument("direction", choices=["haschild", "hasparent"])
+    jn.add_argument("query", help="child query (haschild) / parent query (hasparent)")
+    jn.add_argument("-p", "--path", required=True)
+    jn.add_argument("--relation-field", required=True,
+                    help="keyword field naming each doc's side, e.g. rel")
+    jn.add_argument("--child", required=True, help="relation value of child docs")
+    jn.add_argument("--parent", required=True, help="relation value of parent docs")
+    jn.add_argument("--parent-field", required=True,
+                    help="doc-value field on children holding the parent key")
+    jn.add_argument("--id-col", default="doc_id",
+                    help="docmap column keying parent docs")
+    jn.add_argument("--score-mode", choices=["none", "sum", "max", "min", "avg"],
+                    default="none", help="haschild: child-score aggregate")
+    jn.add_argument("--min-children", type=int, default=1)
+    jn.add_argument("--max-children", type=int, default=None)
+    jn.add_argument("--score", action="store_true",
+                    help="hasparent: children inherit the parent score")
+    jn.add_argument("-l", "--limit", type=int, default=10)
+    jn.add_argument("--scorer", choices=["tfidf", "bm25"], default="tfidf")
+    jn.set_defaults(fn=cmd_join)
 
     b = sub.add_parser("build")
     b.add_argument("corpus")

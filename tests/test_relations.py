@@ -219,6 +219,44 @@ def test_string_keys_stay_exact(spark, tmp_path):
     assert set(got) == {100}
 
 
+def test_cli_join(rel_index):
+    import subprocess
+    import sys
+
+    base = [
+        sys.executable, "-m", "ostrich_spark", "join",
+    ]
+    tail = [
+        "-p", rel_index, "--relation-field", "rel", "--child", "a",
+        "--parent", "q", "--parent-field", "parent", "--id-col", "doc_id",
+        "--scorer", "tfidf", "-l", "10",
+    ]
+    out = subprocess.run(
+        base + ["haschild", "text:spark", "--score-mode", "sum"] + tail,
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    hit = [l for l in out.stdout.splitlines() if "children=" in l]
+    assert len(hit) == 2  # parents 10 and 20
+    for l in hit:
+        addr, score, nc = l.split()
+        seg, doc = addr.split("/")
+        int(seg), int(doc), float(score)
+        assert nc.startswith("children=")
+    out = subprocess.run(
+        base + ["hasparent", "text:streaming", "--score"] + tail,
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    hit = [l for l in out.stdout.splitlines() if "/" in l and not l.startswith("elapsed")]
+    assert len(hit) == 1  # child 31
+    out = subprocess.run(
+        base + ["haschild", "text:spark", "--score-mode", "median"] + tail,
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 2
+
+
 def test_tombstoned_parent_and_child_excluded(spark, tmp_path):
     df = spark.createDataFrame(
         DOCS, "doc_id long, text string, rel string, parent string"
