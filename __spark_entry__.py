@@ -1807,6 +1807,132 @@ def _q_keyterms(spark, sf_dir):
     )
 
 
+# --- geo_point surface (ostrich_spark/geo.py) ------------------------------
+#
+# The documents table carries no coordinates, so the geo gates synthesize
+# a deterministic lattice from doc_id with IEEE-identical arithmetic on
+# both engines: lat = CAST(doc_id*37 % 141 AS DOUBLE) - 70.0 + 0.3,
+# lon = CAST(doc_id*53 % 341 AS DOUBLE) - 170.0 + 0.3 (doc_id % 47 == 0
+# has NO point — exercises NULL semantics). The engine side goes double →
+# "lat,lon" string (Spark shortest-repr cast) → build parse → float64
+# docmap pair; verified bit-exact against DuckDB's direct computation.
+# Margins at sf0.01: min |distance − radius| = 114 km, min adjacent-rank
+# gap = 148 m, geotile cell fractions ≥ 0.0089 — libm ULP divergence
+# (the only engine/oracle difference) cannot flip any gated value.
+
+GEO_CTE = (
+    "geo AS (SELECT doc_id, "
+    "CAST(doc_id*37 % 141 AS DOUBLE) - 70.0 + 0.3 AS lat, "
+    "CAST(doc_id*53 % 341 AS DOUBLE) - 170.0 + 0.3 AS lon "
+    "FROM documents WHERE doc_id % 47 <> 0)"
+)
+
+_GEO_INDEX_CACHE: dict[str, str] = {}
+
+
+def _geo_index(spark: SparkSession, sf_dir: str) -> str:
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _GEO_INDEX_CACHE:
+        return _GEO_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-geo1"
+    if not manifest_exists(index_dir):
+        d = _docs(spark, sf_dir)
+        lat = (F.col("doc_id") * 37 % 141).cast("double") - F.lit(70.0) + F.lit(0.3)
+        lon = (F.col("doc_id") * 53 % 341).cast("double") - F.lit(170.0) + F.lit(0.3)
+        loc = F.when(F.col("doc_id") % 47 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(lat.cast("string"), F.lit(","), lon.cast("string"))
+        )
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_geo_field("loc")
+        build_index(
+            spark,
+            d.select("doc_id", "text", loc.alias("loc")),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-geo-{tag}",
+        )
+    _GEO_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_geo_bbox(spark, sf_dir):
+    """geo_bounding_box (ES analog): inclusive box scan over the docmap
+    float pair — pure comparisons, parquet min/max prunable; bounds sit
+    ON lattice points so inclusivity itself is gated."""
+    from ostrich_spark.geo import geo_bounding_box_search
+
+    idx = _geo_index(spark, sf_dir)
+    out = geo_bounding_box_search(
+        spark, idx, "loc", top=40.3, left=-100.7, bottom=-20.7, right=60.3
+    )
+    return out.select(F.col("doc_id").cast("long"), "loc__lat", "loc__lon")
+
+
+def _q_geo_distance(spark, sf_dir):
+    """geo_distance (ES analog): haversine ≤ 2,000 km of (0.3, 0.3),
+    evaluated JVM-side in the docmap scan. Radius sits 114 km clear of
+    every document's distance, so engine/oracle libm ULP differences
+    cannot flip membership."""
+    from ostrich_spark.geo import geo_distance_search
+
+    idx = _geo_index(spark, sf_dir)
+    out = geo_distance_search(spark, idx, "loc", 0.3, 0.3, 2_000_000.0)
+    return out.select(F.col("doc_id").cast("long"), "loc__lat", "loc__lon")
+
+
+def _q_geo_sort(spark, sf_dir):
+    """sort _geo_distance (ES analog): nearest-100 by great-circle
+    distance, doc_id tiebreak (duplicate lattice points tie EXACTLY —
+    identical input doubles both sides). Returns ranks, not distances:
+    rank gaps are ≥148 m while libm ULP divergence is sub-millimeter."""
+    from pyspark.sql import Window
+
+    from ostrich_spark.geo import geo_sort
+
+    idx = _geo_index(spark, sf_dir)
+    out = geo_sort(spark, idx, "loc", 0.3, 0.3, k=100, tiebreak="doc_id")
+    w = Window.orderBy(F.col("distance_m").asc(), F.col("doc_id").asc())
+    return out.select(
+        F.row_number().over(w).alias("rank"), F.col("doc_id").cast("long")
+    ).select(F.col("rank").cast("long"), "doc_id")
+
+
+def _q_geohash_grid(spark, sf_dir):
+    """geohash_grid (ES analog): doc counts per precision-4 base32 cell.
+    Cell identity is pure arithmetic (fixed-point floor + bit interleave
+    + alphabet substr — zero libm), generated from ONE bit-layout shared
+    with the DuckDB oracle (geo.geohash_sql), so both sides agree
+    bit-for-bit even at cell boundaries."""
+    from ostrich_spark.geo import geohash_grid
+
+    idx = _geo_index(spark, sf_dir)
+    return geohash_grid(spark, idx, "loc", precision=4).select(
+        "geohash", F.col("doc_count").cast("long")
+    )
+
+
+def _q_geotile_grid(spark, sf_dir):
+    """geotile_grid (ES analog): doc counts per web-mercator z=6 tile.
+    The y axis needs ln/tan; lattice points sit ≥0.0089 tile-widths from
+    every cell edge, far beyond libm ULP divergence."""
+    from ostrich_spark.geo import geotile_grid
+
+    idx = _geo_index(spark, sf_dir)
+    return geotile_grid(spark, idx, "loc", zoom=6).select(
+        F.col("tile_x").cast("long"), F.col("tile_y").cast("long"),
+        F.col("doc_count").cast("long"),
+    )
+
+
 def _query_vec(spark, sf_dir):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     return [float(x) for x in row["embedding"]]
@@ -2140,6 +2266,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_composite_after": _q_eng_composite_after,
         "eng_has_child": _q_eng_has_child,
         "eng_has_parent": _q_eng_has_parent,
+        "eng_geo_bbox": _q_geo_bbox,
+        "eng_geo_distance": _q_geo_distance,
+        "eng_geo_sort": _q_geo_sort,
+        "eng_geohash_grid": _q_geohash_grid,
+        "eng_geotile_grid": _q_geotile_grid,
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
@@ -2196,6 +2327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     tfidf_spark = TFIDF_SCORE_SQL.format(tf="t.tf", df="d.df")
+    from ostrich_spark.geo import geohash_sql, haversine_sql
+
+    geo_dist = haversine_sql("lat", "lon", 0.3, 0.3)
     return {
         "a2_tokenize_tf": f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term",
         "a3_stopword_tf": (
@@ -2687,6 +2821,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE t.term = 'spark' AND doc.lang IN ('fr', 'de', 'zh')"
         ),
         # function score: tfidf * (1 + 0.001 * n_chars)
+        "eng_geo_bbox": (
+            f"WITH {GEO_CTE} "
+            "SELECT doc_id, lat AS loc__lat, lon AS loc__lon FROM geo "
+            "WHERE lat >= -20.7 AND lat <= 40.3 AND lon >= -100.7 AND lon <= 60.3"
+        ),
+        "eng_geo_distance": (
+            f"WITH {GEO_CTE} "
+            "SELECT doc_id, lat AS loc__lat, lon AS loc__lon FROM geo "
+            f"WHERE {geo_dist} <= 2000000.0"
+        ),
+        "eng_geo_sort": (
+            f"WITH {GEO_CTE} "
+            f"SELECT CAST(row_number() OVER (ORDER BY {geo_dist} ASC, doc_id ASC) AS BIGINT) AS rank, "
+            f"doc_id FROM geo ORDER BY {geo_dist} ASC, doc_id ASC LIMIT 100"
+        ),
+        "eng_geohash_grid": (
+            f"WITH {GEO_CTE} "
+            f"SELECT {geohash_sql('lat', 'lon', 4)} AS geohash, "
+            "count(*) AS doc_count FROM geo GROUP BY 1"
+        ),
+        "eng_geotile_grid": (
+            f"WITH {GEO_CTE} "
+            "SELECT CAST(greatest(0, least(floor((lon + 180.0) / 360.0 * 64.0), 63)) AS BIGINT) AS tile_x, "
+            "CAST(greatest(0, least(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 64.0), 63)) AS BIGINT) AS tile_y, "
+            "count(*) AS doc_count FROM geo GROUP BY 1, 2"
+        ),
         "eng_boosted_topk": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
             "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "

@@ -59,7 +59,7 @@ from .manifest import (
     save_manifest,
     segment_dir,
 )
-from .schema import Schema
+from .schema import Schema, geo_lat_col, geo_lon_col
 
 # Posting rows: one or more rows per (segment, field, term); multi-row
 # lists are doc-range sharded (row_ord orders them).
@@ -327,6 +327,50 @@ def build_segment_tables(
             docmap[fe.name] = vals.to_numpy(dtype=object, na_value=None)
         else:
             docmap[fe.name] = np.full(n_docs, None, dtype=object)
+    # geo doc values: "lat,lon" input strings parsed into TWO float64
+    # columns ({name}__lat / {name}__lon — schema.geo_lat_col/geo_lon_col).
+    # NULL/empty input = no point (NULL in both columns); malformed or
+    # out-of-range values raise — a silently wrapped coordinate is a
+    # corrupt index, not a convenience.
+    for fe in schema.fields:
+        if not fe.is_geo:
+            continue
+        lat_c, lon_c = geo_lat_col(fe.name), geo_lon_col(fe.name)
+        if lat_c in docmap.columns:
+            continue
+        if fe.input_col in pdf.columns:
+            raw = pdf[fe.input_col]
+            has = raw.notna() & (raw.astype("string").str.strip() != "")
+            if not has.any():
+                docmap[lat_c] = pd.array([None] * n_docs, dtype="Float64")
+                docmap[lon_c] = pd.array([None] * n_docs, dtype="Float64")
+                continue
+            parts = raw[has].astype("string").str.split(",", n=1, expand=True)
+            if has.any() and (parts.shape[1] < 2 or parts[1].isna().any()):
+                raise ValueError(
+                    f"geo field {fe.name!r}: input must be 'lat,lon' "
+                    f"strings; got value(s) without a comma"
+                )
+            lat = pd.to_numeric(parts[0].str.strip(), errors="raise").astype("float64")
+            lon = pd.to_numeric(parts[1].str.strip(), errors="raise").astype("float64")
+            if (lat.abs() > 90).any() or (lon.abs() > 180).any():
+                raise ValueError(
+                    f"geo field {fe.name!r}: latitude must be in [-90, 90] "
+                    f"and longitude in [-180, 180]"
+                )
+            lat_full = np.full(n_docs, np.nan)
+            lon_full = np.full(n_docs, np.nan)
+            lat_full[has.to_numpy()] = lat.to_numpy()
+            lon_full[has.to_numpy()] = lon.to_numpy()
+            docmap[lat_c] = pd.array(lat_full, dtype="Float64")
+            docmap[lon_c] = pd.array(lon_full, dtype="Float64")
+            # NaN -> NULL: a missing point is ABSENT (never matches a geo
+            # predicate or exists), not a NaN that poisons comparisons
+            docmap[lat_c] = docmap[lat_c].where(pd.Series(has.to_numpy()), None)
+            docmap[lon_c] = docmap[lon_c].where(pd.Series(has.to_numpy()), None)
+        else:
+            docmap[lat_c] = pd.array([None] * n_docs, dtype="Float64")
+            docmap[lon_c] = pd.array([None] * n_docs, dtype="Float64")
     docmap["content_sha256"] = (
         sha_parts.to_numpy() if sha_parts is not None else np.full(n_docs, "", object)
     )
@@ -349,6 +393,9 @@ def build_segment_tables(
                 fields.append(
                     pa.field(c, pa.float64() if fe.field_type == "double" else pa.int64())
                 )
+            elif c.endswith("__lat") or c.endswith("__lon"):
+                # geo doc-value column pair (schema.geo_lat_col/geo_lon_col)
+                fields.append(pa.field(c, pa.float64()))
             else:  # stored text fields are stringified above
                 fields.append(pa.field(c, pa.string()))
     docmap_tbl = pa.Table.from_pandas(

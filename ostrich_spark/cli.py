@@ -615,6 +615,83 @@ def cmd_msearch(args) -> int:
     return 0
 
 
+def cmd_geo(args) -> int:
+    """Geo-point surface: ``geo distance`` / ``geo bbox`` print matching
+    docs (distance adds meters), ``geo nearest`` the k closest,
+    ``geo geohash`` / ``geo geotile`` per-cell doc counts."""
+    from pyspark.sql import functions as F
+
+    from . import geo as geomod
+
+    def parse_point(s):
+        lat, lon = (float(x) for x in s.split(","))
+        return lat, lon
+
+    spark = _spark()
+    t0 = time.time()
+    try:
+        if args.mode in ("distance", "nearest"):
+            if not args.origin:
+                print("--origin LAT,LON is required", file=sys.stderr)
+                return 2
+            lat, lon = parse_point(args.origin)
+            if args.mode == "distance":
+                if args.radius_m is None:
+                    print("--radius-m is required", file=sys.stderr)
+                    return 2
+                df = geomod.geo_distance_search(
+                    spark, args.path, args.field, lat, lon, args.radius_m
+                )
+            else:
+                df = geomod.geo_sort(
+                    spark, args.path, args.field, lat, lon, args.k,
+                    tiebreak=args.tiebreak,
+                )
+            rows = df.collect()
+            ident = [
+                c for c in df.columns
+                if c not in ("segment_id", "doc", "distance_m")
+                and not c.endswith("__lat") and not c.endswith("__lon")
+                and c != "content_sha256"
+            ]
+            for r in rows:
+                extra = " ".join(f"{c}={r[c]}" for c in ident)
+                print(f"{r['segment_id']}/{r['doc']} {r['distance_m']:.1f}m {extra}")
+            print(f"{len(rows)} docs, elapsed: {time.time() - t0:.3f}s")
+        elif args.mode == "bbox":
+            if not args.box:
+                print("--box TOP,LEFT,BOTTOM,RIGHT is required", file=sys.stderr)
+                return 2
+            top, left, bottom, right = (float(x) for x in args.box.split(","))
+            df = geomod.geo_bounding_box_search(
+                spark, args.path, args.field, top, left, bottom, right
+            )
+            rows = df.collect()
+            for r in rows:
+                print(f"{r['segment_id']}/{r['doc']}")
+            print(f"{len(rows)} docs, elapsed: {time.time() - t0:.3f}s")
+        else:
+            if args.mode == "geohash":
+                df = geomod.geohash_grid(
+                    spark, args.path, args.field, args.precision
+                ).orderBy(F.col("doc_count").desc(), "geohash")
+                key = "geohash"
+            else:
+                df = geomod.geotile_grid(
+                    spark, args.path, args.field, args.zoom
+                ).orderBy(F.col("doc_count").desc(), "tile_x", "tile_y")
+                key = None
+            rows = df.collect()
+            for r in rows:
+                cell = r["geohash"] if key else f"{args.zoom}/{r['tile_x']}/{r['tile_y']}"
+                print(f"{cell} {r['doc_count']}")
+            print(f"{len(rows)} cells, elapsed: {time.time() - t0:.3f}s")
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def cmd_join(args) -> int:
     """Parent/child join queries (ES join-field has_child/has_parent):
     ``join haschild`` prints parents with >= --min-children matching
@@ -1081,6 +1158,7 @@ def cmd_analyze(args) -> int:
             kind = (
                 "keyword" if fe.is_keyword
                 else "date" if fe.is_date
+                else "geo" if fe.is_geo
                 else "numeric"
             )
             print(f"field {fe.name!r} is a {kind} doc-value field — "
@@ -1357,6 +1435,27 @@ def main(argv=None) -> int:
     ms.add_argument("-l", "--limit", type=int, default=10)
     ms.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     ms.set_defaults(fn=cmd_msearch)
+
+    ge = sub.add_parser("geo", help="geo_point queries & grid aggregations "
+                        "(ES geo_distance / geo_bounding_box / sort "
+                        "_geo_distance / geohash_grid / geotile_grid)")
+    ge.add_argument("mode", choices=["distance", "bbox", "nearest",
+                                     "geohash", "geotile"])
+    ge.add_argument("-p", "--path", required=True)
+    ge.add_argument("-f", "--field", required=True, help="geo field name")
+    ge.add_argument("--origin", metavar="LAT,LON",
+                    help="distance/nearest: origin point")
+    ge.add_argument("--radius-m", type=float, help="distance: radius meters")
+    ge.add_argument("--box", metavar="TOP,LEFT,BOTTOM,RIGHT",
+                    help="bbox: inclusive bounds (left>right wraps dateline)")
+    ge.add_argument("-k", type=int, default=10, help="nearest: top-k")
+    ge.add_argument("--precision", type=int, default=5,
+                    help="geohash: cell precision (1-12)")
+    ge.add_argument("--zoom", type=int, default=7,
+                    help="geotile: web-mercator zoom (0-29)")
+    ge.add_argument("--tiebreak", default=None,
+                    help="nearest: identity column breaking exact ties")
+    ge.set_defaults(fn=cmd_geo)
 
     jn = sub.add_parser("join")
     jn.add_argument("direction", choices=["haschild", "hasparent"])

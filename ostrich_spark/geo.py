@@ -1,0 +1,374 @@
+"""Geo-point query & aggregation surface (EXTENSION — the reference has
+text fields only; this is the Elasticsearch ``geo_point`` feature set
+re-expressed Spark-first).
+
+A geo field (``Schema.add_geo_field``) stores two float64 docmap columns
+``{name}__lat`` / ``{name}__lon`` (schema.geo_lat_col / geo_lon_col).
+Everything here is pure Catalyst column expressions over those columns —
+whole-stage codegen, zero Python in the scan:
+
+- ``haversine_m``       great-circle distance column (IUGG sphere)
+- ``geo_distance_search`` all live docs within a radius (+ distance)
+- ``geo_sort``          nearest-k by distance (TakeOrderedAndProject)
+- ``geo_bounding_box_search`` inclusive box scan (dateline-wrap aware)
+- ``geotile_grid``      web-mercator z/x/y tile buckets (ES geotile_grid)
+- ``geohash_grid``      base32 geohash-cell buckets (ES geohash_grid)
+
+Query-tree composition (a geo filter next to scored text) goes through
+the AST nodes instead: ``parser.GeoDistanceQuery`` /
+``parser.GeoBoundingBoxQuery`` ride the CRange aux-set delivery
+(plan.CGeoDistance / CGeoBBox, exec.range_match_df) — one docmap scan
+per clause, cogrouped into the scoring shuffle, never collected.
+
+Scale notes. Every function here is one docmap scan + (for the grids)
+one partial-aggregated groupBy on the cell key — no joins, no windows,
+no driver collection. Bounding boxes push plain float comparisons to
+parquet (min/max row-group stats prune); distance/grid expressions keep
+the scan but stay JVM-side. Grid cardinality is bounded by the zoom /
+precision (4^z tiles, 32^p geohash cells), so the groupBy reduces
+map-side like any low-cardinality rollup.
+
+Geohash cell identity is PURE ARITHMETIC (floor of linear transforms +
+bit interleave + alphabet lookup) — no libm — so engine and oracle
+(DuckDB SQL generated from the same loop, see geohash_sql) agree
+bit-for-bit. Geotile's y axis needs ln/tan (web-mercator); cell ids are
+exact except for points within ~1 ulp of a tile boundary.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .manifest import Manifest, load_manifest
+from .schema import geo_lat_col, geo_lon_col
+
+# IUGG mean earth radius, meters — the constant Lucene's
+# SloppyMath.haversinMeters is calibrated to (TO_METERS = 6371008.7714).
+# Engine and every oracle must share this exact literal.
+EARTH_RADIUS_M = 6371008.8
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def haversine_m(lat_col, lon_col, lat: float, lon: float) -> Column:
+    """Great-circle meters between (lat_col, lon_col) and a fixed origin.
+
+    2R·asin(√(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))) — evaluated as
+    Catalyst trig columns (JVM libm, whole-stage codegen). The origin's
+    trig is folded driver-side with Python's libm so a gated oracle can
+    reuse the identical folded constants.
+    """
+    lat_c = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lon_c = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    phi1 = math.radians(lat)
+    cos_phi1 = math.cos(phi1)
+    dphi_half = (F.radians(lat_c) - F.lit(phi1)) / F.lit(2.0)
+    dlam_half = (F.radians(lon_c) - F.lit(math.radians(lon))) / F.lit(2.0)
+    a = (
+        F.sin(dphi_half) * F.sin(dphi_half)
+        + F.lit(cos_phi1) * F.cos(F.radians(lat_c)) * F.sin(dlam_half) * F.sin(dlam_half)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def haversine_sql(lat_expr: str, lon_expr: str, lat: float, lon: float) -> str:
+    """DuckDB SQL for the SAME haversine as haversine_m: identical
+    formula shape, identical driver-folded origin constants (phi1,
+    cos_phi1 from Python libm are embedded as literals both sides), so
+    the only per-row libm calls — sin/cos/asin/sqrt on IEEE doubles —
+    are the sole divergence surface (≤1 ulp each)."""
+    phi1 = math.radians(lat)
+    cos_phi1 = math.cos(phi1)
+    lam1 = math.radians(lon)
+    return (
+        f"(2.0 * {EARTH_RADIUS_M!r}) * asin(sqrt("
+        f"pow(sin((radians({lat_expr}) - ({phi1!r})) / 2.0), 2) + "
+        f"({cos_phi1!r}) * cos(radians({lat_expr})) * "
+        f"pow(sin((radians({lon_expr}) - ({lam1!r})) / 2.0), 2)))"
+    )
+
+
+def _live_points(
+    spark, index_dir: str, field: str, manifest: Manifest | None
+) -> tuple[DataFrame, Manifest, str, str]:
+    """Docmap rows that HAVE a point, tombstones excluded — the shared
+    scan every geo surface starts from."""
+    from .deletes import has_tombstones, read_tombstones
+    from .query.exec import read_docmap
+
+    manifest = manifest or load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or not fe.is_geo:
+        raise ValueError(
+            f"{field!r} is not a geo field "
+            f"(Schema.add_geo_field; got {'absent' if fe is None else fe.field_type!r})"
+        )
+    lat_c, lon_c = geo_lat_col(field), geo_lon_col(field)
+    docmap = read_docmap(spark, index_dir, manifest)
+    if lat_c not in docmap.columns:
+        # evolved field with no committed data: no doc has a point
+        docmap = docmap.withColumn(lat_c, F.lit(None).cast("double")).withColumn(
+            lon_c, F.lit(None).cast("double")
+        )
+    df = docmap.filter(F.col(lat_c).isNotNull())
+    if has_tombstones(index_dir, manifest):
+        tomb = read_tombstones(spark, index_dir, manifest)
+        df = df.join(tomb, ["segment_id", "doc"], "left_anti")
+    return df, manifest, lat_c, lon_c
+
+
+def geo_distance_search(
+    spark,
+    index_dir: str,
+    field: str,
+    lat: float,
+    lon: float,
+    radius_m: float,
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """All live docs within ``radius_m`` of the origin, with a
+    ``distance_m`` column. One docmap scan; the haversine is Catalyst
+    columns. Returns (segment_id, doc, identity columns..., distance_m).
+    """
+    df, _, lat_c, lon_c = _live_points(spark, index_dir, field, manifest)
+    dist = haversine_m(lat_c, lon_c, lat, lon)
+    return df.withColumn("distance_m", dist).filter(
+        F.col("distance_m") <= F.lit(float(radius_m))
+    )
+
+
+def geo_sort(
+    spark,
+    index_dir: str,
+    field: str,
+    lat: float,
+    lon: float,
+    k: int,
+    tiebreak: str | None = None,
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """Nearest-``k`` live docs by great-circle distance (the ES
+    ``sort: _geo_distance`` analog). ``orderBy(distance).limit(k)``
+    compiles to TakeOrderedAndProject — per-partition heaps + one
+    driver-side k-merge, never a full sort. ``tiebreak`` names an
+    identity column for a deterministic total order on exact ties
+    (duplicate points tie exactly; default tiebreak is
+    (segment_id, doc))."""
+    df, _, lat_c, lon_c = _live_points(spark, index_dir, field, manifest)
+    dist = haversine_m(lat_c, lon_c, lat, lon)
+    out = df.withColumn("distance_m", dist)
+    order = [F.col("distance_m").asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    else:
+        order.extend([F.col("segment_id").asc(), F.col("doc").asc()])
+    return out.orderBy(*order).limit(int(k))
+
+
+def geo_bounding_box_search(
+    spark,
+    index_dir: str,
+    field: str,
+    top: float,
+    left: float,
+    bottom: float,
+    right: float,
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """Live docs inside the inclusive box. ``left > right`` wraps the
+    antimeridian (ES semantics): lon >= left OR lon <= right. Pure
+    comparisons — parquet min/max stats prune row groups."""
+    df, _, lat_c, lon_c = _live_points(spark, index_dir, field, manifest)
+    return df.filter(bbox_pred(lat_c, lon_c, top, left, bottom, right))
+
+
+def bbox_pred(
+    lat_col, lon_col, top: float, left: float, bottom: float, right: float
+) -> Column:
+    lat_c = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lon_c = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    lat_ok = (lat_c >= F.lit(float(bottom))) & (lat_c <= F.lit(float(top)))
+    if left <= right:
+        lon_ok = (lon_c >= F.lit(float(left))) & (lon_c <= F.lit(float(right)))
+    else:  # dateline wrap
+        lon_ok = (lon_c >= F.lit(float(left))) | (lon_c <= F.lit(float(right)))
+    return lat_ok & lon_ok
+
+
+# --- grid aggregations ------------------------------------------------------
+
+
+def geotile_xy(lat_col, lon_col, zoom: int) -> tuple[Column, Column]:
+    """Web-mercator tile (x, y) at ``zoom`` — the ES geotile_grid key
+    parts. x is linear in lon; y is the mercator projection
+    (ln·tan — the one libm surface in the geo grids)."""
+    lat_c = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lon_c = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    n = float(1 << zoom)
+    x = F.floor((lon_c + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    lat_rad = F.radians(lat_c)
+    merc = F.log(F.tan(lat_rad) + (F.lit(1.0) / F.cos(lat_rad)))
+    y = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * F.lit(n))
+    # ES clamps poleward points into the edge tiles
+    x = F.greatest(F.lit(0), F.least(x, F.lit(int(n) - 1)))
+    y = F.greatest(F.lit(0), F.least(y, F.lit(int(n) - 1)))
+    return x.cast("long"), y.cast("long")
+
+
+def geotile_grid(
+    spark,
+    index_dir: str,
+    field: str,
+    zoom: int,
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """ES geotile_grid: doc counts per web-mercator tile. One scan + one
+    partial-aggregated groupBy on (x, y) — cardinality ≤ 4^zoom.
+    Columns: tile_x, tile_y, doc_count."""
+    if not (0 <= zoom <= 29):
+        raise ValueError("geotile zoom must be in [0, 29]")
+    df, _, lat_c, lon_c = _live_points(spark, index_dir, field, manifest)
+    x, y = geotile_xy(lat_c, lon_c, zoom)
+    return (
+        df.withColumn("tile_x", x)
+        .withColumn("tile_y", y)
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+def _geohash_bits(precision: int) -> tuple[int, int]:
+    """(lon_bits, lat_bits) for a precision-p geohash: 5p interleaved
+    bits starting with longitude, so lon gets ceil(5p/2), lat floor."""
+    total = 5 * precision
+    return (total + 1) // 2, total // 2
+
+
+def geohash_col(lat_col, lon_col, precision: int) -> Column:
+    """Base32 geohash of (lat, lon) at ``precision`` — PURE ARITHMETIC
+    Catalyst columns. The classic bit-interleave is computed without a
+    loop over bits: lon_idx = floor((lon+180)/360·2^nlon) and lat_idx
+    likewise give ALL the per-axis bits at once (uniform binary
+    subdivision ≡ fixed-point truncation — same floor), then each base32
+    character's 5 bits are extracted with shift/mask arithmetic.
+    No libm anywhere, so a DuckDB oracle built by geohash_sql from the
+    same generator agrees bit-for-bit."""
+    if not (1 <= precision <= 12):
+        raise ValueError("geohash precision must be in [1, 12]")
+    lat_c = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lon_c = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    nlon, nlat = _geohash_bits(precision)
+    # 2^k scaling: exact powers of two, no rounding on the multiply-by-
+    # power itself; clamp the right edge (lon=180 → last cell, ES-style)
+    lon_idx = F.least(
+        F.floor((lon_c + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon))),
+        F.lit((1 << nlon) - 1),
+    ).cast("long")
+    lat_idx = F.least(
+        F.floor((lat_c + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat))),
+        F.lit((1 << nlat) - 1),
+    ).cast("long")
+    chars = []
+    for ci in range(precision):
+        # global bit positions (0 = first/most-significant geohash bit);
+        # even global bits come from lon, odd from lat
+        code = F.lit(0).cast("long")
+        for bi in range(5):
+            g = ci * 5 + bi
+            if g % 2 == 0:
+                src, nbits, k = lon_idx, nlon, g // 2
+            else:
+                src, nbits, k = lat_idx, nlat, g // 2
+            # k-th most-significant of the axis's nbits: shift right by
+            # (nbits-1-k), mask 1
+            shift = nbits - 1 - k
+            bit = (src / F.lit(float(1 << shift))).cast("long") % F.lit(2)
+            code = code * F.lit(2) + bit
+        chars.append(F.lit(GEOHASH_ALPHABET).substr(code.cast("int") + F.lit(1), F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int) -> str:
+    """DuckDB SQL string computing the IDENTICAL geohash as geohash_col
+    — generated from the same bit layout so engine and oracle share
+    every operation (floor, power-of-two scale, shift/mask, alphabet
+    substr). Used by the gated oracle; also handy for spot checks."""
+    nlon, nlat = _geohash_bits(precision)
+    lon_idx = (
+        f"least(CAST(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << nlon)!r}) AS BIGINT), "
+        f"{(1 << nlon) - 1})"
+    )
+    lat_idx = (
+        f"least(CAST(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << nlat)!r}) AS BIGINT), "
+        f"{(1 << nlat) - 1})"
+    )
+    parts = []
+    for ci in range(precision):
+        code = "0"
+        for bi in range(5):
+            g = ci * 5 + bi
+            if g % 2 == 0:
+                src, nbits, k = "LON_IDX", nlon, g // 2
+            else:
+                src, nbits, k = "LAT_IDX", nlat, g // 2
+            shift = nbits - 1 - k
+            bit = f"(CAST(floor({src} / {float(1 << shift)!r}) AS BIGINT) % 2)"
+            code = f"({code} * 2 + {bit})"
+        parts.append(f"substr('{GEOHASH_ALPHABET}', CAST({code} AS INT) + 1, 1)")
+    expr = " || ".join(parts)
+    return expr.replace("LON_IDX", lon_idx).replace("LAT_IDX", lat_idx)
+
+
+def geohash_py(lat: float, lon: float, precision: int) -> str:
+    """Pure-Python reference geohash (the textbook interval-halving
+    algorithm, independent of the fixed-point formulation above) — the
+    property tests' second opinion."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits = []
+    even = True
+    while len(bits) < 5 * precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits.append(1)
+                lon_lo = mid
+            else:
+                bits.append(0)
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits.append(1)
+                lat_lo = mid
+            else:
+                bits.append(0)
+                lat_hi = mid
+        even = not even
+    out = []
+    for i in range(precision):
+        code = 0
+        for b in bits[i * 5 : i * 5 + 5]:
+            code = code * 2 + b
+        out.append(GEOHASH_ALPHABET[code])
+    return "".join(out)
+
+
+def geohash_grid(
+    spark,
+    index_dir: str,
+    field: str,
+    precision: int,
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """ES geohash_grid: doc counts per base32 geohash cell. One scan +
+    one partial-aggregated groupBy on the hash — cardinality ≤ 32^p.
+    Columns: geohash, doc_count."""
+    df, _, lat_c, lon_c = _live_points(spark, index_dir, field, manifest)
+    return (
+        df.withColumn("geohash", geohash_col(lat_c, lon_c, precision))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )

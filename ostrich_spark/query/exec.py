@@ -1036,7 +1036,13 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
 
     fe = manifest.schema.field_by_id(range_wire["field"])
     op = range_wire.get("op")
-    col = F.col(fe.name)
+    # geo fields live in the docmap as a __lat/__lon float64 pair
+    # (schema.geo_lat_col/geo_lon_col); every other doc-value type is a
+    # single column named after the field
+    from ..schema import geo_lat_col, geo_lon_col
+
+    probe_col = geo_lat_col(fe.name) if fe.is_geo else fe.name
+    col = F.col(probe_col)
     if op == "exists":
         if not fe.is_doc_value:
             raise ValueError(
@@ -1044,6 +1050,32 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
                 f"(type {fe.field_type!r}) — text fields always exist"
             )
         pred = col.isNotNull()
+    elif op == "geo_distance":
+        if not fe.is_geo:
+            raise ValueError(
+                f"geo_distance query on non-geo field {fe.name!r} "
+                f"(type {fe.field_type!r})"
+            )
+        from ..geo import haversine_m
+
+        dist = haversine_m(geo_lat_col(fe.name), geo_lon_col(fe.name),
+                           range_wire["lat"], range_wire["lon"])
+        # NULL lat -> NULL distance -> filter drops it (no point never
+        # matches); the trig runs JVM-side in the docmap scan
+        pred = dist <= F.lit(float(range_wire["radius_m"]))
+    elif op == "geo_bbox":
+        if not fe.is_geo:
+            raise ValueError(
+                f"geo_bbox query on non-geo field {fe.name!r} "
+                f"(type {fe.field_type!r})"
+            )
+        from ..geo import bbox_pred
+
+        pred = bbox_pred(
+            geo_lat_col(fe.name), geo_lon_col(fe.name),
+            range_wire["top"], range_wire["left"],
+            range_wire["bottom"], range_wire["right"],
+        )
     elif op == "eq":
         if not fe.is_keyword:
             raise ValueError(
@@ -1110,7 +1142,7 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
             p = col <= hi if range_wire["incl_hi"] else col < hi
             pred = p if pred is None else (pred & p)
     docmap = read_docmap(spark, index_dir, manifest)
-    if fe.name not in docmap.columns:
+    if probe_col not in docmap.columns:
         # evolved field with no committed data yet: NO segment's docmap
         # carries the column (mergeSchema can't invent it), so no doc has
         # a value — empty match set, same semantics as all-NULL
@@ -2043,6 +2075,12 @@ def _doc_value_field_entry(manifest, by: str):
         raise ValueError(
             f"{by!r} is not a doc-value field of this index (add it with "
             f"Schema.add_numeric_field or Schema.add_keyword_field)"
+        )
+    if fe.is_geo:
+        # a point has no total order; nearest-first is geo.geo_sort
+        raise ValueError(
+            f"{by!r} is a geo field — sort by distance with "
+            f"ostrich_spark.geo.geo_sort, not a doc-value sort"
         )
     return fe
 

@@ -323,6 +323,61 @@ class ExistsQuery:
 
 
 @dataclass(frozen=True)
+class GeoDistanceQuery:
+    """Docs whose geo_point lies within ``radius_m`` meters of an origin
+    — EXTENSION (the ES ``geo_distance`` query / Lucene
+    LatLonPoint.newDistanceQuery). Distance is the haversine
+    great-circle distance on the IUGG mean-radius sphere
+    (R = 6371008.8 m) — the Lucene SloppyMath.haversinMeters model.
+    No NQL form (same as ES: geo queries are DSL-only, never
+    query_string): construct programmatically or via CLI
+    ``geo distance``. Constant score ``boost``; docs without a point
+    never match. Composable in boolean trees (typically as a FILTER
+    clause next to scored text)."""
+
+    field_id: int
+    lat: float
+    lon: float
+    radius_m: float
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not (-90.0 <= self.lat <= 90.0) or not (-180.0 <= self.lon <= 180.0):
+            raise QueryParseError(
+                "geo_distance origin out of range (lat in [-90,90], lon in [-180,180])"
+            )
+        if not self.radius_m > 0:
+            raise QueryParseError("geo_distance radius must be > 0")
+
+
+@dataclass(frozen=True)
+class GeoBoundingBoxQuery:
+    """Docs whose geo_point lies inside a lat/lon box — EXTENSION (the
+    ES ``geo_bounding_box`` query / Lucene LatLonPoint.newBoxQuery).
+    Bounds are INCLUSIVE. When ``left > right`` the box crosses the
+    antimeridian and matches lon >= left OR lon <= right (the ES
+    dateline-wrap semantics). No NQL form (DSL-only, like ES).
+    Constant score ``boost``; docs without a point never match."""
+
+    field_id: int
+    top: float  # north latitude
+    left: float  # west longitude
+    bottom: float  # south latitude
+    right: float  # east longitude
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not (-90.0 <= self.bottom <= self.top <= 90.0):
+            raise QueryParseError(
+                "geo_bounding_box needs -90 <= bottom <= top <= 90"
+            )
+        if not (-180.0 <= self.left <= 180.0) or not (-180.0 <= self.right <= 180.0):
+            raise QueryParseError(
+                "geo_bounding_box longitudes must be in [-180, 180]"
+            )
+
+
+@dataclass(frozen=True)
 class AllQuery:
     pass
 
@@ -868,6 +923,15 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                 return _date_leaf(fe, raw)
             if fe.is_numeric:
                 return _numeric_leaf(fe, raw)
+            if fe.is_geo:
+                # same stance as ES: geo queries exist only in the DSL
+                # (GeoDistanceQuery / GeoBoundingBoxQuery), never in
+                # query_string — only exists (field:*) has NQL form
+                raise QueryParseError(
+                    f"geo field {fe.name!r} has no query-string syntax "
+                    f"besides {fe.name}:* (exists) — use GeoDistanceQuery "
+                    f"/ GeoBoundingBoxQuery or the CLI geo subcommand"
+                )
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                 # field:"quoted phrase" — consecutive-terms extension
                 return _phrase_for_field(fe, raw[1:-1])

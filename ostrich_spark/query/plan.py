@@ -33,6 +33,8 @@ from .parser import (
     EmptyQuery,
     ExistsQuery,
     FuzzyQuery,
+    GeoBoundingBoxQuery,
+    GeoDistanceQuery,
     MultiPhraseQuery,
     NearQuery,
     PhraseQuery,
@@ -154,6 +156,36 @@ class CExists:
     aux delivery; constant score."""
 
     field_id: int
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CGeoDistance:
+    """Compiled geo-distance filter (haversine <= radius on the
+    ``__lat``/``__lon`` docmap pair). CRange-style aux delivery — the
+    match set is ONE docmap scan with the trig evaluated JVM-side
+    (Catalyst sin/cos/asin column expressions, whole-stage codegen; no
+    Python in the scan) riding the scoring shuffle. Constant score."""
+
+    field_id: int
+    lat: float
+    lon: float
+    radius_m: float
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CGeoBBox:
+    """Compiled geo bounding box (inclusive lat/lon comparisons on the
+    docmap pair; dateline wrap when left > right). Pure comparisons —
+    parquet min/max stats on the float columns prune row groups.
+    CRange-style aux delivery; constant score."""
+
+    field_id: int
+    top: float
+    left: float
+    bottom: float
+    right: float
     const_score: float
 
 
@@ -338,6 +370,10 @@ def compile_query(
         return CTerms(q.field_id, q.values, q.boost)
     if isinstance(q, ExistsQuery):
         return CExists(q.field_id, q.boost)
+    if isinstance(q, GeoDistanceQuery):
+        return CGeoDistance(q.field_id, q.lat, q.lon, q.radius_m, q.boost)
+    if isinstance(q, GeoBoundingBoxQuery):
+        return CGeoBBox(q.field_id, q.top, q.left, q.bottom, q.right, q.boost)
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery, PhrasePrefixQuery)):
         raise ValueError(
             "Prefix/Fuzzy/Wildcard/RegexpQuery must be expanded against the "
@@ -580,6 +616,29 @@ def to_wire(node) -> dict:
             "kind": "range",
             "op": "exists",
             "field": node.field_id,
+            "score": node.const_score,
+        }
+    if isinstance(node, CGeoDistance):
+        # same wire kind as ranges: identical aux-set delivery (rid
+        # assignment, cogroup side, eval); op selects the docmap predicate
+        return {
+            "kind": "range",
+            "op": "geo_distance",
+            "field": node.field_id,
+            "lat": node.lat,
+            "lon": node.lon,
+            "radius_m": node.radius_m,
+            "score": node.const_score,
+        }
+    if isinstance(node, CGeoBBox):
+        return {
+            "kind": "range",
+            "op": "geo_bbox",
+            "field": node.field_id,
+            "top": node.top,
+            "left": node.left,
+            "bottom": node.bottom,
+            "right": node.right,
             "score": node.const_score,
         }
     if isinstance(node, CAll):

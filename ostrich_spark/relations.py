@@ -103,7 +103,7 @@ def _relation_logical(query, schema, relation_field: str, relation: str, default
         parse_query(query, schema, default_fields) if isinstance(query, str) else query
     )
     fe = schema.field_by_name(relation_field)
-    if fe is None or not fe.is_doc_value:
+    if fe is None or not fe.is_doc_value or fe.is_geo:
         raise ValueError(
             f"relation field {relation_field!r} must be a doc-value field "
             f"of this index (Schema.add_keyword_field)"

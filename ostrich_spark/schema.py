@@ -40,6 +40,29 @@ FIELD_TYPE_KEYWORD = "keyword"
 # timezone); naive inputs (TIMESTAMP_NTZ, strings, DATE) are read as
 # UTC wall clock.
 FIELD_TYPE_DATE = "date"
+# geo-point doc-value field (EXTENSION, the Elasticsearch `geo_point` /
+# Lucene LatLonPoint+LatLonDocValues analog). The docmap stores TWO
+# float64 columns, `{name}__lat` and `{name}__lon` (both NULL when the
+# doc has no point) — plain numeric columns, so parquet min/max stats
+# prune bounding-box scans per row group exactly like numeric ranges.
+# Build input is the ES-canonical "lat,lon" string (double→string→double
+# round-trips exactly: Spark casts doubles with shortest-repr). Queried
+# with GeoDistanceQuery / GeoBoundingBoxQuery (filter context, constant
+# score, composable in boolean trees) and aggregated with geohash_grid /
+# geotile_grid (ostrich_spark/geo.py). No query_string syntax — same as
+# ES, whose geo queries exist only in the JSON DSL, never in
+# query_string.
+FIELD_TYPE_GEO = "geo_point"
+
+
+def geo_lat_col(name: str) -> str:
+    """Docmap column holding a geo field's latitude (float64 degrees)."""
+    return f"{name}__lat"
+
+
+def geo_lon_col(name: str) -> str:
+    """Docmap column holding a geo field's longitude (float64 degrees)."""
+    return f"{name}__lon"
 
 
 @dataclass(frozen=True)
@@ -89,10 +112,15 @@ class FieldEntry:
         return self.field_type == FIELD_TYPE_DATE
 
     @property
+    def is_geo(self) -> bool:
+        return self.field_type == FIELD_TYPE_GEO
+
+    @property
     def is_doc_value(self) -> bool:
-        """Doc-value-only field (numeric, keyword or date): no analyzer,
-        no postings, no norms — the typed value lives in the docmap."""
-        return self.is_numeric or self.is_keyword or self.is_date
+        """Doc-value-only field (numeric, keyword, date or geo): no
+        analyzer, no postings, no norms — the typed value lives in the
+        docmap (geo as the `__lat`/`__lon` column pair)."""
+        return self.is_numeric or self.is_keyword or self.is_date or self.is_geo
 
     @property
     def query_analyzer(self) -> str:
@@ -217,6 +245,28 @@ class Schema:
         self._check_name(name)
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_DATE, "", False, False,
+            "", source_col,
+        )
+        self.fields.append(entry)
+        return entry
+
+    def add_geo_field(self, name: str, source_col: str = "") -> FieldEntry:
+        """Geo-point doc-value field (EXTENSION, the ES ``geo_point``
+        type; see FIELD_TYPE_GEO): no analyzer, no postings; the point is
+        stored in the docmap as two float64 columns ``{name}__lat`` /
+        ``{name}__lon`` and queried with GeoDistanceQuery /
+        GeoBoundingBoxQuery (filter context), ExistsQuery, and the
+        geohash_grid / geotile_grid aggregations (ostrich_spark/geo.py).
+
+        Build input: the ES-canonical ``"lat,lon"`` string (NULL/empty =
+        no point; lat must be in [-90, 90], lon in [-180, 180] — build
+        raises on malformed or out-of-range values, it never silently
+        wraps).
+
+        ``source_col`` reads another input column (ES multi-fields)."""
+        self._check_name(name)
+        entry = FieldEntry(
+            len(self.fields), name, FIELD_TYPE_GEO, "", False, False,
             "", source_col,
         )
         self.fields.append(entry)
