@@ -372,6 +372,69 @@ def _q_eng_date_hist_week(spark, sf_dir):
     )
 
 
+def _q_eng_hist_cumsum(spark, sf_dir):
+    """Pipeline agg cumulative_sum (ES analog) over the day
+    date_histogram of a query's match set — running doc totals in
+    bucket-key order (coordinator-model window over the already-reduced
+    bucket list)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import cumulative_sum
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    hist = date_histogram(spark, idx, "event_type:click", "ts", "day", manifest=mf)
+    return _longify(cumulative_sum(hist, "bucket_ms", "n_docs"))
+
+
+def _q_eng_hist_deriv(spark, sf_dir):
+    """Pipeline agg derivative with unit normalization (the ES
+    ``derivative`` + ``unit`` option): per-day RATE of change vs the
+    previous OCCUPIED bucket (gap_policy=skip — a gap widens the
+    denominator instead of fabricating empty buckets). First bucket has
+    no previous value and is omitted, like ES."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import derivative
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    hist = date_histogram(spark, idx, "event_type:click", "ts", "day", manifest=mf)
+    out = derivative(
+        hist, "bucket_ms", "n_docs", x_col="bucket_ms", unit_ms=86_400_000
+    )
+    return _longify(
+        out.filter(F.col("deriv").isNotNull()).select(
+            "bucket_ms", "n_docs", F.round("deriv", 6).alias("deriv")
+        )
+    )
+
+
+def _q_eng_bucket_top(spark, sf_dir):
+    """moving_fn + bucket_selector + bucket_sort composed (the ES
+    pipeline-agg chain): 3-bucket moving average (shift=1 → window ends
+    at the current bucket) annotated onto day buckets, buckets below a
+    floor dropped (HAVING), survivors re-ranked by doc count."""
+    from pyspark.sql import Window
+
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import bucket_selector, bucket_sort, moving_fn
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    hist = date_histogram(spark, idx, "event_type:click", "ts", "day", manifest=mf)
+    out = moving_fn(hist, "bucket_ms", "n_docs", window=3, shift=1, fn="avg")
+    out = bucket_selector(out, "n_docs >= 2")
+    out = bucket_sort(out, [("n_docs", "desc"), ("bucket_ms", "asc")], size=7)
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("bucket_ms").asc())
+    return _longify(
+        out.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "bucket_ms", "n_docs", F.round("moving", 6).alias("moving_avg")
+        )
+    )
+
+
 # Decay function-score constants, computed ONCE here and injected into
 # BOTH the Spark call and the oracle SQL so the only engine-side libm
 # call is exp() itself (ES gauss decay: sigma^2 = -scale^2 / (2 ln decay)).
@@ -2260,6 +2323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_date_range": _q_eng_date_range,
         "eng_date_histogram": _q_eng_date_histogram,
         "eng_date_hist_week": _q_eng_date_hist_week,
+        "eng_hist_cumsum": _q_eng_hist_cumsum,
+        "eng_hist_deriv": _q_eng_hist_deriv,
+        "eng_bucket_top": _q_eng_bucket_top,
         "eng_decay_gauss": _q_eng_decay_gauss,
         "eng_decay_linear": _q_eng_decay_linear,
         "eng_composite_page1": _q_eng_composite_page1,
@@ -2725,6 +2791,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
             "count(*) AS n_docs FROM events WHERE event_type = 'click' "
             "AND ts IS NOT NULL GROUP BY 1"
+        ),
+        "eng_hist_cumsum": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1) "
+            "SELECT bucket_ms, n_docs, "
+            "CAST(SUM(n_docs) OVER (ORDER BY bucket_ms) AS BIGINT) AS cumsum FROM h"
+        ),
+        "eng_hist_deriv": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1), "
+            "d AS (SELECT bucket_ms, n_docs, "
+            "round((n_docs - lag(n_docs) OVER (ORDER BY bucket_ms)) / "
+            "((bucket_ms - lag(bucket_ms) OVER (ORDER BY bucket_ms)) / 86400000.0), 6) "
+            "AS deriv FROM h) "
+            "SELECT bucket_ms, n_docs, deriv FROM d WHERE deriv IS NOT NULL"
+        ),
+        "eng_bucket_top": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1), "
+            "m AS (SELECT bucket_ms, n_docs, "
+            "round(avg(n_docs) OVER (ORDER BY bucket_ms "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg FROM h) "
+            "SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, bucket_ms ASC) AS BIGINT) AS rank, "
+            "bucket_ms, n_docs, moving_avg FROM m WHERE n_docs >= 2 "
+            "ORDER BY n_docs DESC, bucket_ms ASC LIMIT 7"
         ),
         # date_histogram ISO-Monday week buckets over the full corpus
         "eng_date_hist_week": (

@@ -1,0 +1,164 @@
+"""Pipeline aggregations (EXTENSION — the Elasticsearch parent pipeline
+family: ``derivative``, ``cumulative_sum``, ``moving_fn``,
+``serial_diff``, ``bucket_selector``, ``bucket_sort``).
+
+In ES these run on the COORDINATOR over a parent multi-bucket
+aggregation's returned bucket list — they never touch shards. The
+Spark-first translation keeps that contract: each function is a
+post-processing step over a bucket DataFrame (the output of
+``date_histogram`` / ``facet_counts`` / ``composite_agg`` / any
+groupBy), ordered by the bucket key.
+
+Scale posture — deliberately the ES one. A window ordered over ALL
+buckets is a single-partition operation; that is correct here because a
+pipeline agg's input is an already-reduced bucket list whose cardinality
+is bounded by the parent agg (calendar buckets: thousands; terms: the
+size cap), not by corpus size. The heavy reduction happened upstream in
+the parent agg's partial-aggregated groupBy. For unbounded-cardinality
+bucket streams use composite_agg pages and apply these per page — same
+as ES, where pipeline aggs simply cannot span composite pages.
+
+Gap semantics: buckets are the OCCUPIED ones the parent produced
+(min_doc_count=1). ``derivative``/``serial_diff`` difference against the
+previous PRESENT bucket — the ES ``gap_policy: skip`` behavior. The ES
+``unit`` option (rate normalization) is ``x_col``/``unit_ms`` on
+``derivative``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: ES moving_fn built-ins (the subset with exact SQL equivalents).
+_MOVING_FNS = {"avg", "min", "max", "sum", "stddev"}
+
+
+def _ordered_window(key_cols) -> Window:
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # single ordered frame over the whole (already-reduced, bounded)
+    # bucket list — the ES coordinator model; see module docstring
+    return Window.orderBy(*[F.col(k).asc() for k in keys])
+
+
+def derivative(
+    df: DataFrame,
+    key,
+    value: str,
+    out: str = "deriv",
+    x_col: str | None = None,
+    unit_ms: int | None = None,
+) -> DataFrame:
+    """ES ``derivative``: per-bucket difference of ``value`` vs the
+    previous occupied bucket (gap_policy=skip). First bucket gets NULL
+    (ES omits the value there). With ``x_col``+``unit_ms`` the
+    difference is normalized to a rate per ``unit_ms`` of the bucket
+    key (the ES ``unit`` option on date_histogram parents):
+    ``(v - lag v) / ((x - lag x) / unit_ms)``."""
+    w = _ordered_window(key)
+    d = F.col(value) - F.lag(value).over(w)
+    if x_col is not None:
+        if not unit_ms:
+            raise ValueError("x_col needs unit_ms (the rate denominator)")
+        dx = (F.col(x_col) - F.lag(x_col).over(w)) / F.lit(float(unit_ms))
+        d = d / dx
+    return df.withColumn(out, d)
+
+
+def cumulative_sum(df: DataFrame, key, value: str, out: str = "cumsum") -> DataFrame:
+    """ES ``cumulative_sum``: running total of ``value`` in bucket-key
+    order (first bucket included — ES semantics)."""
+    w = _ordered_window(key).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+def serial_diff(
+    df: DataFrame, key, value: str, lag: int = 1, out: str = "diff"
+) -> DataFrame:
+    """ES ``serial_diff``: ``value - value[i - lag]`` over occupied
+    buckets; the first ``lag`` buckets get NULL."""
+    if lag < 1:
+        raise ValueError("serial_diff lag must be >= 1")
+    w = _ordered_window(key)
+    return df.withColumn(out, F.col(value) - F.lag(value, lag).over(w))
+
+
+def moving_fn(
+    df: DataFrame,
+    key,
+    value: str,
+    window: int,
+    fn: str = "avg",
+    shift: int = 0,
+    out: str = "moving",
+) -> DataFrame:
+    """ES ``moving_fn``: ``fn`` over a sliding window of ``window``
+    buckets. ES window placement: with ``shift=0`` the window is the
+    ``window`` buckets BEFORE the current one (current excluded);
+    ``shift=1`` slides it right to include the current bucket; i.e. the
+    frame is rows ``[i - window + shift, i + shift - 1]``. Buckets whose
+    frame is entirely before the series start get NULL (empty window —
+    ES returns null there too)."""
+    if window < 1:
+        raise ValueError("moving_fn window must be >= 1")
+    if fn not in _MOVING_FNS:
+        raise ValueError(f"moving_fn fn must be one of {sorted(_MOVING_FNS)}")
+    lo, hi = -window + shift, shift - 1
+    if hi < -1_000_000_000 or lo > hi:
+        raise ValueError("moving_fn shift places an empty window")
+    w = _ordered_window(key).rowsBetween(lo, hi)
+    agg = {
+        "avg": F.avg,
+        "min": F.min,
+        "max": F.max,
+        "sum": F.sum,
+        "stddev": F.stddev_samp,
+    }[fn](value).over(w)
+    return df.withColumn(out, agg)
+
+
+def bucket_selector(df: DataFrame, predicate) -> DataFrame:
+    """ES ``bucket_selector``: drop buckets failing a predicate over
+    their metric columns (SQL HAVING). ``predicate`` is a Column or a
+    SQL string (``"n_docs >= 5 AND avg_v < 100"``)."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return df.filter(pred)
+
+
+def bucket_sort(
+    df: DataFrame,
+    sort,
+    size: int | None = None,
+    from_: int = 0,
+) -> DataFrame:
+    """ES ``bucket_sort``: reorder buckets by metric columns and
+    truncate. ``sort`` is a list of (column, "asc"|"desc") pairs (or a
+    single pair). ``size``/``from_`` slice the sorted bucket list —
+    with a ``size`` this is orderBy+limit (TakeOrderedAndProject);
+    ``from_`` pages past the head like the ES parameter."""
+    pairs = [sort] if isinstance(sort, tuple) else list(sort)
+    cols = [
+        F.col(c).desc() if d.lower() == "desc" else F.col(c).asc()
+        for c, d in pairs
+    ]
+    out = df.orderBy(*cols)
+    if from_ < 0:
+        raise ValueError("bucket_sort from_ must be >= 0")
+    if size is not None:
+        if from_:
+            w = Window.orderBy(*cols)
+            return (
+                out.withColumn("__bs_rn", F.row_number().over(w))
+                .filter(
+                    (F.col("__bs_rn") > from_) & (F.col("__bs_rn") <= from_ + size)
+                )
+                .drop("__bs_rn")
+            )
+        return out.limit(int(size))
+    if from_:
+        w = Window.orderBy(*cols)
+        return (
+            out.withColumn("__bs_rn", F.row_number().over(w))
+            .filter(F.col("__bs_rn") > from_)
+            .drop("__bs_rn")
+        )
+    return out
