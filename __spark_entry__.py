@@ -644,6 +644,78 @@ def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataF
 # ---------------------------------------------------------------------------
 
 
+def _mapinpandas_tf(spark, docs, analyzer):
+    """(doc_id, term, tf) via the REAL Arrow analyzer kernels inside
+    mapInPandas — the _q_synonym_tf delivery, shared by the analysis
+    gates."""
+    import numpy as np
+    import pandas as pd
+
+    def fn(it):
+        for pdf in it:
+            flat, lens = analyzer.analyze_flat(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(dtype=np.int64), lens
+                    ),
+                    "term": flat.to_pylist(),
+                }
+            )
+
+    toks = docs.mapInPandas(fn, "doc_id long, term string")
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+def _q_shingle_tf(spark, sf_dir):
+    """ShingleFilter (Lucene/ES shingle): word bigrams + unigrams per
+    doc — the index-time phrase optimization. Vectorized as ONE Arrow
+    element-wise join of shifted slices per shingle size."""
+    from ostrich_spark.analysis import Analyzer, ShingleFilter
+
+    an = Analyzer("gate_shingle", (ShingleFilter(2, 2, " ", True),))
+    return _mapinpandas_tf(spark, _docs(spark, sf_dir).select("doc_id", "text"), an)
+
+
+def _q_asciifold_tf(spark, sf_dir):
+    """ascii_fold token filter (Lucene ASCIIFoldingFilter core): NFKD −
+    combining marks. The corpus is ASCII, so two decomposable accented
+    tokens are prepended to every doc — both engines see the same
+    input, DuckDB folds with strip_accents."""
+    from ostrich_spark.analysis import Analyzer
+
+    an = Analyzer("gate_fold", ("ascii_fold",))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("Çafé Ünïon "), F.col("text")).alias("text")
+    )
+    return _mapinpandas_tf(spark, docs, an)
+
+
+def _q_htmlstrip_tf(spark, sf_dir):
+    """html_strip char filter (Lucene HTMLStripCharFilter): tags → space
+    + named-entity decode BEFORE tokenization; every doc is wrapped in
+    markup so the strip does real work."""
+    from ostrich_spark.analysis import Analyzer, HtmlStripCharFilter
+
+    an = Analyzer("gate_html", (), (HtmlStripCharFilter(),))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<p id="x">'), F.col("text"), F.lit(" <b>bold&amp;tag</b></p>")
+        ).alias("text"),
+    )
+    return _mapinpandas_tf(spark, docs, an)
+
+
+def _q_patreplace_tf(spark, sf_dir):
+    """pattern_replace char filter (ES analog): digit runs become ' num '
+    in the raw text before tokenization — RE2 on both engines."""
+    from ostrich_spark.analysis import Analyzer, PatternReplaceCharFilter
+
+    an = Analyzer("gate_pr", (), (PatternReplaceCharFilter(r"\d+", " num "),))
+    return _mapinpandas_tf(spark, _docs(spark, sf_dir).select("doc_id", "text"), an)
+
+
 def _q_tokenize_tf(spark, sf_dir):
     """A1+A2+I2: lowercase -> unicode word-break -> per-doc tf."""
     from ostrich_spark.textops import with_tokens
@@ -2273,6 +2345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_tokenize_tf": _q_tokenize_tf,
         "a3_stopword_tf": _q_stopword_tf,
         "a5_synonym_tf": _q_synonym_tf,
+        "a8_shingle_tf": _q_shingle_tf,
+        "a9_asciifold_tf": _q_asciifold_tf,
+        "a10_htmlstrip_tf": _q_htmlstrip_tf,
+        "a11_patreplace_tf": _q_patreplace_tf,
         "i4_postings_stats": _q_postings_stats,
         "i7_docmap_sha256": _q_docmap_sha,
         "i1_field_norms": _q_field_norms,
@@ -2401,6 +2477,41 @@ def oracle_sql() -> dict[str, str]:
         "a3_stopword_tf": (
             f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks "
             f"WHERE term NOT IN ({STOPWORDS_SQL}) GROUP BY doc_id, term"
+        ),
+        "a8_shingle_tf": (
+            "WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks FROM documents), "
+            "u AS (SELECT doc_id, unnest(toks) AS term FROM tl), "
+            "b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)), "
+            "i -> toks[i] || ' ' || toks[i+1])) AS term FROM tl) "
+            "SELECT doc_id, term, count(*) AS tf FROM "
+            "(SELECT * FROM u UNION ALL SELECT * FROM b) GROUP BY doc_id, term"
+        ),
+        "a9_asciifold_tf": (
+            "WITH t2 AS (SELECT doc_id, 'Çafé Ünïon ' || text AS text FROM documents), "
+            "tl AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            "strip_accents(lower(text)), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM t2) "
+            "SELECT doc_id, term, count(*) AS tf FROM tl GROUP BY doc_id, term"
+        ),
+        "a10_htmlstrip_tf": (
+            "WITH t2 AS (SELECT doc_id, '<p id=\"x\">' || text || "
+            "' <b>bold&amp;tag</b></p>' AS text FROM documents), "
+            # entity decode order matches HtmlStripCharFilter._ENTITIES
+            # (&amp; LAST so decoded ampersands are not re-decoded)
+            "s AS (SELECT doc_id, replace(replace(replace(replace(replace(replace("
+            "replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), "
+            "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS text FROM t2), "
+            "tl AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            "lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM s) "
+            "SELECT doc_id, term, count(*) AS tf FROM tl GROUP BY doc_id, term"
+        ),
+        "a11_patreplace_tf": (
+            "WITH s AS (SELECT doc_id, regexp_replace(text, '\\d+', ' num ', 'g') "
+            "AS text FROM documents), "
+            "tl AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+            "lower(text), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM s) "
+            "SELECT doc_id, term, count(*) AS tf FROM tl GROUP BY doc_id, term"
         ),
         "a5_synonym_tf": (
             f"WITH {TOKS_CTE}, "

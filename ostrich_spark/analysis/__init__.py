@@ -86,7 +86,9 @@ def _lower_tokenize_flat(texts) -> "tuple[pa.Array, np.ndarray]":
     exactly (non-contextual final sigma, İ→i), where Python str.lower()
     deviates on a handful of codepoints.
     """
-    if isinstance(texts, pd.Series):
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts  # char-filtered upstream (already large_string)
+    elif isinstance(texts, pd.Series):
         vals = texts.fillna("").astype(str)
         arr = pa.array(vals, type=pa.large_string())
     else:
@@ -198,10 +200,188 @@ class EdgeNGramFilter:
         return new_flat, new_lens
 
 
+_ASCII_FOLD_SUPPLEMENT = str.maketrans({
+    # common Latin letters NFKD does NOT decompose (Lucene
+    # ASCIIFoldingFilter folds these too)
+    "ø": "o", "Ø": "O", "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ß": "ss", "đ": "d", "Đ": "D", "ð": "d", "Ð": "D",
+    "þ": "th", "Þ": "TH", "ł": "l", "Ł": "L", "ħ": "h", "Ħ": "H",
+})
+
+
+def ascii_fold(token: str) -> str:
+    """Fold a token to its ASCII skeleton: NFKD-decompose, drop combining
+    marks, then the supplement table for non-decomposable Latin letters
+    (ø, æ, ß, ...) — the useful core of Lucene's ASCIIFoldingFilter.
+    Characters with no ASCII equivalent (CJK, Cyrillic, ...) pass through
+    unchanged rather than being dropped: folding must never delete
+    information it cannot transliterate."""
+    import unicodedata
+
+    decomposed = unicodedata.normalize("NFKD", token)
+    stripped = "".join(c for c in decomposed if not unicodedata.combining(c))
+    return stripped.translate(_ASCII_FOLD_SUPPLEMENT)
+
+
+class ShingleFilter:
+    """Word-shingle token filter (EXTENSION — Lucene ShingleFilter / the
+    ES ``shingle`` filter): emits word n-grams of ``min_size`` to
+    ``max_size`` consecutive tokens joined by ``separator`` (Lucene
+    default " "), plus the unigrams themselves when ``output_unigrams``.
+    Emission order is Lucene's position order: at each source position,
+    the unigram first, then shingles by increasing size.
+
+    Like EdgeNGramFilter, one source position emits several tokens, so
+    phrase queries over a shingled field are not meaningful — shingles
+    exist precisely so PHRASES become single-term lookups (index-time
+    phrase optimization, the classic shingle use)."""
+
+    def __init__(self, min_size: int = 2, max_size: int = 2,
+                 separator: str = " ", output_unigrams: bool = True):
+        if not (2 <= min_size <= max_size):
+            raise ValueError(
+                f"need 2 <= min_size <= max_size, got {min_size}/{max_size}"
+            )
+        self.min_size = int(min_size)
+        self.max_size = int(max_size)
+        self.separator = str(separator)
+        self.output_unigrams = bool(output_unigrams)
+
+    def apply_tokens(self, tokens: list[str]) -> list[str]:
+        out = []
+        n = len(tokens)
+        for i in range(n):
+            if self.output_unigrams:
+                out.append(tokens[i])
+            for k in range(self.min_size, self.max_size + 1):
+                if i + k <= n:
+                    out.append(self.separator.join(tokens[i : i + k]))
+        return out
+
+    def apply_flat(self, flat, lens):
+        """Vectorized shingling over the flat token array: per size k,
+        ONE element-wise Arrow join of k shifted slices, cross-doc
+        starts masked by numpy doc-id comparison; the per-position
+        emission order is reassembled with a single argsort+take. No
+        per-token Python."""
+        n = len(flat)
+        if n == 0:
+            return flat, lens
+        lens = np.asarray(lens, dtype=np.int64)
+        doc_id = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pieces: list = []   # pa arrays to concatenate
+        keys: list = []     # emission order: start_index * B + slot
+        B = self.max_size + 2
+        if self.output_unigrams:
+            pieces.append(flat)
+            keys.append(np.arange(n, dtype=np.int64) * B)
+        for k in range(self.min_size, self.max_size + 1):
+            if n < k:
+                continue
+            m = n - k + 1
+            joined = pc.binary_join_element_wise(
+                *[flat.slice(j, m) for j in range(k)],
+                pa.scalar(self.separator, type=pa.large_string()),
+            )
+            valid = np.nonzero(doc_id[:m] == doc_id[k - 1 :])[0]
+            if len(valid) == 0:
+                continue
+            pieces.append(joined.take(pa.array(valid, type=pa.int64())))
+            keys.append(valid * B + (k - self.min_size + 1))
+        if not pieces:
+            return flat.slice(0, 0), np.zeros(len(lens), dtype=np.int64)
+        all_keys = np.concatenate(keys)
+        order = np.argsort(all_keys, kind="stable")
+        combined = pa.concat_arrays(
+            [p.cast(pa.large_string()) for p in pieces]
+        ).take(pa.array(order, type=pa.int64()))
+        # new per-doc counts: unigrams (L) + sum over k of max(0, L-k+1)
+        new_lens = lens * (1 if self.output_unigrams else 0)
+        for k in range(self.min_size, self.max_size + 1):
+            new_lens = new_lens + np.maximum(lens - (k - 1), 0)
+        return combined, new_lens
+
+
+class HtmlStripCharFilter:
+    """HTML-strip char filter (EXTENSION — Lucene HTMLStripCharFilter /
+    ES ``html_strip``): drops tags (replaced by a space so adjacent
+    words don't weld together) and decodes the common named entities
+    (&amp; &lt; &gt; &quot; &apos; &#39; &nbsp;). Numeric entities
+    beyond those are left as-is (the tokenizer splits them away);
+    documented subset, not a full HTML5 entity table."""
+
+    _ENTITIES = (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    )
+
+    def apply_text(self, text: str) -> str:
+        import re
+
+        out = re.sub(r"<[^>]*>", " ", text)
+        for ent, ch in self._ENTITIES:
+            out = out.replace(ent, ch)
+        return out
+
+    def apply_array(self, arr: "pa.Array") -> "pa.Array":
+        out = pc.replace_substring_regex(arr, pattern="<[^>]*>", replacement=" ")
+        for ent, ch in self._ENTITIES:
+            out = pc.replace_substring(out, pattern=ent, replacement=ch)
+        return out
+
+
+class PatternReplaceCharFilter:
+    """Regex-replace char filter (EXTENSION — the ES ``pattern_replace``
+    char filter): every match of ``pattern`` in the raw text becomes
+    ``replacement`` BEFORE tokenization. RE2 syntax (the Arrow kernel);
+    the pure-Python fallback uses ``re``, which accepts the same core
+    syntax."""
+
+    def __init__(self, pattern: str, replacement: str = ""):
+        self.pattern = str(pattern)
+        self.replacement = str(replacement)
+
+    def apply_text(self, text: str) -> str:
+        import re
+
+        return re.sub(self.pattern, self.replacement, text)
+
+    def apply_array(self, arr: "pa.Array") -> "pa.Array":
+        return pc.replace_substring_regex(
+            arr, pattern=self.pattern, replacement=self.replacement
+        )
+
+
+def _apply_char_filters(texts, char_filters):
+    """Run char filters over raw texts; returns the same container kind
+    (pa.Array in the Arrow path, list/Series otherwise)."""
+    if not char_filters:
+        return texts
+    if _ARROW_OK:
+        arr = texts if isinstance(texts, pa.Array) else pa.array(
+            [("" if t is None else str(t)) for t in texts], type=pa.large_string()
+        )
+        for cf in char_filters:
+            arr = cf.apply_array(arr)
+        return arr
+    out = [("" if t is None else str(t)) for t in texts]
+    for cf in char_filters:
+        out = [cf.apply_text(t) for t in out]
+    return out
+
+
 def _filter_flat(flat, lens, token_filter):
     """Apply one token filter to the flat representation."""
-    if isinstance(token_filter, (SynonymFilter, EdgeNGramFilter)):
+    if isinstance(token_filter, (SynonymFilter, EdgeNGramFilter, ShingleFilter)):
         return token_filter.apply_flat(flat, lens)
+    if token_filter == "ascii_fold":
+        d = flat.dictionary_encode()
+        folded = pa.array(
+            [ascii_fold(t) for t in d.dictionary.to_pylist()],
+            type=pa.large_string(),
+        )
+        # fold once per UNIQUE term, scatter back (the stem pattern)
+        return folded.take(d.indices), lens
     if token_filter == "stem":
         d = flat.dictionary_encode()
         stemmed = pa.array(
@@ -238,9 +418,14 @@ class Analyzer:
     Mirrors /root/reference/analyzer/analyzer.go:64-73.
     """
 
-    def __init__(self, name: str, token_filters: tuple[str, ...] = ()):
+    def __init__(self, name: str, token_filters: tuple = (),
+                 char_filters: tuple = ()):
         self.name = name
         self.token_filters = token_filters
+        # char filters run over the RAW text before lowercase+tokenize
+        # (the Lucene char-filter stage): HtmlStripCharFilter,
+        # PatternReplaceCharFilter
+        self.char_filters = tuple(char_filters)
 
     def analyze_one(self, text: str) -> list[str]:
         if _ARROW_OK:
@@ -249,14 +434,19 @@ class Analyzer:
         return self._analyze_one_py(text)
 
     def _analyze_one_py(self, text: str) -> list[str]:
-        toks = [t for t in _SPLIT_RE.split(str(text).lower()) if t]
+        text = str(text)
+        for cf in self.char_filters:
+            text = cf.apply_text(text)
+        toks = [t for t in _SPLIT_RE.split(text.lower()) if t]
         for f in self.token_filters:
-            if isinstance(f, (SynonymFilter, EdgeNGramFilter)):
+            if isinstance(f, (SynonymFilter, EdgeNGramFilter, ShingleFilter)):
                 toks = f.apply_tokens(toks)
             elif f == "stem":
                 toks = stem_tokens(toks)
             elif f == "stopword":
                 toks = stopword_filter_tokens(toks)
+            elif f == "ascii_fold":
+                toks = [ascii_fold(t) for t in toks]
             else:  # pragma: no cover
                 raise KeyError(f"unknown token filter {f!r}")
         return toks
@@ -277,7 +467,9 @@ class Analyzer:
             import pyarrow as _pa
 
             return _pa.array(flat, type=_pa.large_string()), lens
-        flat, lens = _lower_tokenize_flat(texts)
+        flat, lens = _lower_tokenize_flat(
+            _apply_char_filters(texts, self.char_filters)
+        )
         for f in self.token_filters:
             flat, lens = _filter_flat(flat, lens, f)
         return flat, lens
@@ -294,14 +486,20 @@ class Analyzer:
         return pd.Series(la.to_pylist(), index=index)
 
     def _analyze_series_py(self, texts: pd.Series) -> pd.Series:
+        if self.char_filters:
+            texts = texts.fillna("").astype(str)
+            for cf in self.char_filters:
+                texts = texts.map(cf.apply_text)
         toks = tokenize_series(lowercase_series(texts))
         for f in self.token_filters:
-            if isinstance(f, (SynonymFilter, EdgeNGramFilter)):
+            if isinstance(f, (SynonymFilter, EdgeNGramFilter, ShingleFilter)):
                 toks = toks.map(f.apply_tokens)
             elif f == "stem":
                 toks = toks.map(stem_tokens)
             elif f == "stopword":
                 toks = toks.map(stopword_filter_tokens)
+            elif f == "ascii_fold":
+                toks = toks.map(lambda ts: [ascii_fold(t) for t in ts])
             else:  # pragma: no cover
                 raise KeyError(f"unknown token filter {f!r}")
         return toks
@@ -349,13 +547,38 @@ def analyzer_spec(a: Analyzer) -> dict:
                 "max_gram": f.max_gram,
                 "preserve_original": f.preserve_original,
             })
-        elif f in ("stem", "stopword"):
+        elif isinstance(f, ShingleFilter):
+            filters.append({
+                "type": "shingle",
+                "min_size": f.min_size,
+                "max_size": f.max_size,
+                "separator": f.separator,
+                "output_unigrams": f.output_unigrams,
+            })
+        elif f in ("stem", "stopword", "ascii_fold"):
             filters.append(f)
         else:
             raise ValueError(
                 f"analyzer {a.name!r}: filter {f!r} is not serializable"
             )
-    return {"filters": filters}
+    char_filters: list = []
+    for cf in getattr(a, "char_filters", ()):
+        if isinstance(cf, HtmlStripCharFilter):
+            char_filters.append({"type": "html_strip"})
+        elif isinstance(cf, PatternReplaceCharFilter):
+            char_filters.append({
+                "type": "pattern_replace",
+                "pattern": cf.pattern,
+                "replacement": cf.replacement,
+            })
+        else:
+            raise ValueError(
+                f"analyzer {a.name!r}: char filter {cf!r} is not serializable"
+            )
+    spec = {"filters": filters}
+    if char_filters:
+        spec["char_filters"] = char_filters
+    return spec
 
 
 def analyzer_from_spec(name: str, spec: dict) -> Analyzer:
@@ -369,9 +592,22 @@ def analyzer_from_spec(name: str, spec: dict) -> Analyzer:
             fs.append(EdgeNGramFilter(
                 f["min_gram"], f["max_gram"], f.get("preserve_original", True)
             ))
+        elif f.get("type") == "shingle":
+            fs.append(ShingleFilter(
+                f["min_size"], f["max_size"], f.get("separator", " "),
+                f.get("output_unigrams", True),
+            ))
         else:
             raise KeyError(f"unknown analyzer filter spec {f!r}")
-    return Analyzer(name, tuple(fs))
+    cfs: list = []
+    for cf in spec.get("char_filters", []):
+        if cf.get("type") == "html_strip":
+            cfs.append(HtmlStripCharFilter())
+        elif cf.get("type") == "pattern_replace":
+            cfs.append(PatternReplaceCharFilter(cf["pattern"], cf.get("replacement", "")))
+        else:
+            raise KeyError(f"unknown analyzer char-filter spec {cf!r}")
+    return Analyzer(name, tuple(fs), tuple(cfs))
 
 
 def ensure_registered(specs: dict) -> None:

@@ -116,3 +116,182 @@ def test_arrow_chain_matches_python_chain_ascii():
             assert arrow == py, (name, texts)
 
     check()
+
+
+# --- round-3 additions: shingle / ascii_fold / char filters ----------------
+
+
+def test_shingle_bigrams_with_unigrams():
+    from ostrich_spark.analysis import Analyzer, ShingleFilter
+
+    a = Analyzer("sh2", (ShingleFilter(2, 2),))
+    assert a.analyze_one("the quick brown fox") == [
+        "the", "the quick", "quick", "quick brown", "brown", "brown fox", "fox",
+    ]
+
+
+def test_shingle_sizes_2_to_3_lucene_emission_order():
+    from ostrich_spark.analysis import Analyzer, ShingleFilter
+
+    a = Analyzer("sh23", (ShingleFilter(2, 3),))
+    # at each position: unigram, then shingles by increasing size
+    assert a.analyze_one("a1 b2 c3 d4") == [
+        "a1", "a1 b2", "a1 b2 c3",
+        "b2", "b2 c3", "b2 c3 d4",
+        "c3", "c3 d4",
+        "d4",
+    ]
+
+
+def test_shingle_no_unigrams_custom_separator():
+    from ostrich_spark.analysis import Analyzer, ShingleFilter
+
+    a = Analyzer("shx", (ShingleFilter(2, 2, "_", output_unigrams=False),))
+    assert a.analyze_one("one two three") == ["one_two", "two_three"]
+    assert a.analyze_one("single") == []
+
+
+def test_shingle_never_crosses_doc_boundaries():
+    import pandas as pd
+
+    from ostrich_spark.analysis import Analyzer, ShingleFilter
+
+    a = Analyzer("shb", (ShingleFilter(2, 3),))
+    s = pd.Series(["alpha beta", "gamma delta", "", "zeta"])
+    got = a.analyze_series(s).tolist()
+    assert got[0] == ["alpha", "alpha beta", "beta"]
+    assert got[1] == ["gamma", "gamma delta", "delta"]
+    assert got[2] == [] and got[3] == ["zeta"]
+    assert not any("beta gamma" in t for doc in got for t in doc)
+
+
+def test_shingle_arrow_matches_python_property():
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from ostrich_spark.analysis import Analyzer, ShingleFilter
+
+    a = Analyzer("shp", (ShingleFilter(2, 3),))
+    word = st.text(alphabet="abc xyz0", max_size=24)
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=6))
+    def check(texts):
+        s = pd.Series(texts)
+        assert a.analyze_series(s).tolist() == a._analyze_series_py(s).tolist()
+
+    check()
+
+
+def test_shingle_validation():
+    import pytest
+
+    from ostrich_spark.analysis import ShingleFilter
+
+    with pytest.raises(ValueError):
+        ShingleFilter(1, 2)
+    with pytest.raises(ValueError):
+        ShingleFilter(3, 2)
+
+
+def test_ascii_fold_goldens():
+    from ostrich_spark.analysis import Analyzer, ascii_fold
+
+    assert ascii_fold("crème") == "creme"
+    assert ascii_fold("brûlée") == "brulee"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("øre") == "ore"
+    assert ascii_fold("næv") == "naev"
+    # no ASCII equivalent -> pass through, never dropped
+    assert ascii_fold("日本語") == "日本語"
+    a = Analyzer("fold", ("ascii_fold",))
+    assert a.analyze_one("Crème Brûlée") == ["creme", "brulee"]
+    assert a.analyze_one("Crème Brûlée") == a._analyze_one_py("Crème Brûlée")
+
+
+def test_html_strip_tags_and_entities():
+    from ostrich_spark.analysis import Analyzer, HtmlStripCharFilter
+
+    a = Analyzer("hs", (), (HtmlStripCharFilter(),))
+    got = a.analyze_one('<p class="x">Hello&nbsp;<b>world</b> &amp; fish&lt;3</p>')
+    assert got == ["hello", "world", "fish", "3"]
+    # tags become SPACES: adjacent words don't weld
+    assert a.analyze_one("a<br>b") == ["a", "b"]
+    assert a.analyze_one("a<br>b") == a._analyze_one_py("a<br>b")
+
+
+def test_pattern_replace_char_filter():
+    from ostrich_spark.analysis import Analyzer, PatternReplaceCharFilter
+
+    a = Analyzer("pr", (), (PatternReplaceCharFilter(r"\d+", " num "),))
+    assert a.analyze_one("abc 123 x9y") == ["abc", "num", "x", "num", "y"]
+    assert a.analyze_one("abc 123 x9y") == a._analyze_one_py("abc 123 x9y")
+
+
+def test_new_filters_spec_roundtrip():
+    from ostrich_spark.analysis import (
+        Analyzer,
+        HtmlStripCharFilter,
+        PatternReplaceCharFilter,
+        ShingleFilter,
+        analyzer_from_spec,
+        analyzer_spec,
+    )
+
+    a = Analyzer(
+        "combo",
+        (ShingleFilter(2, 3, "_", False), "ascii_fold"),
+        (HtmlStripCharFilter(), PatternReplaceCharFilter(r"\d+", "N")),
+    )
+    b = analyzer_from_spec("combo", analyzer_spec(a))
+    text = "<i>Crème 42</i> brûlée house"
+    assert b.analyze_one(text) == a.analyze_one(text)
+    assert a.analyze_one(text) == a._analyze_one_py(text)
+
+
+def test_shingle_index_end_to_end_phrase_as_single_term(spark, tmp_path):
+    """The classic shingle use: index bigrams so a PHRASE becomes ONE
+    term lookup — no positions needed, no intersection. Also proves the
+    self-describing manifest carries the shingle spec (a fresh reader
+    reconstructs the analyzer from the index alone)."""
+    from ostrich_spark.analysis import (
+        _REGISTRY,
+        Analyzer,
+        ShingleFilter,
+        register_analyzer,
+    )
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import TermQuery
+    from ostrich_spark.schema import Schema
+
+    register_analyzer(Analyzer("shingle2", (ShingleFilter(2, 2),)))
+    docs = [
+        (0, "merge policy drives segment selection"),
+        (1, "the policy merge order differs"),
+        (2, "merge policy tuning"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+    s = Schema()
+    s.add_text_field("text", "shingle2")
+    d = str(tmp_path / "shidx")
+    build_index(spark, df, s, d, num_partitions=1, order_col="id",
+                id_cols=["id"], build_id="sh")
+    mf = load_manifest(d)
+    fe = mf.schema.field_by_name("text")
+    # the bigram IS a dictionary term: docs 0 and 2 match, doc 1 (both
+    # words present, wrong order) does not
+    res, _ = search(spark, d, TermQuery(fe.id, "merge policy"), limit=None,
+                    manifest=mf)
+    ids = sorted(
+        r["id"] for r in attach_docmap(spark, d, res, manifest=mf)
+        .select("id").collect()
+    )
+    assert ids == [0, 2]
+    # self-describing: wipe the registration, reload from the manifest
+    del _REGISTRY["shingle2"]
+    mf2 = load_manifest(d)
+    res2, _ = search(spark, d, TermQuery(fe.id, "merge policy"), limit=None,
+                     manifest=mf2)
+    assert res2.count() == 2
