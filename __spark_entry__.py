@@ -372,6 +372,81 @@ def _q_eng_date_hist_week(spark, sf_dir):
     )
 
 
+_TS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ts_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index for the terms_set gate: documents text + a per-doc
+    ``req_m`` numeric doc value ((doc_id % 3) + 1) — each doc carries
+    its own minimum_should_match."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _TS_INDEX_CACHE:
+        return _TS_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ts1"
+    if not manifest_exists(index_dir):
+        d = _docs(spark, sf_dir).select(
+            "doc_id", "text", (F.col("doc_id") % 3 + 1).alias("req_m")
+        )
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_numeric_field("req_m")
+        build_index(
+            spark, d, schema, index_dir, num_partitions=4,
+            order_col="doc_id", id_cols=["doc_id"], build_id=f"entry-ts-{tag}",
+        )
+    _TS_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_terms_set(spark, sf_dir):
+    """terms_set (Lucene CoveringQuery / ES minimum_should_match_field):
+    docs matching >= req_m of {spark, stream, window}, where req_m is
+    the doc's own numeric doc value; score = sum of the matching terms'
+    tfidf (bool-SHOULD semantics). The m values ride the aux cogroup
+    with a val column — same shuffle as range match sets."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import TermsSetQuery
+
+    idx = _ts_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    fe = mf.schema.field_by_name("text")
+    mfe = mf.schema.field_by_name("req_m")
+    q = TermsSetQuery(fe.id, ("spark", "stream", "window"), mfe.id)
+    res, _ = search(spark, idx, q, limit=None, manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_rank_feature(spark, sf_dir):
+    """rank_feature saturation (ES rank_feature / Lucene FeatureQuery):
+    text relevance + boost * v/(v+pivot) over the n_chars doc value —
+    saturation is pure arithmetic, bit-identical on both engines."""
+    from ostrich_spark.query.exec import search_rank_feature
+
+    idx = _doc_index(spark, sf_dir)
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap
+
+    mf = load_manifest(idx)
+    out = search_rank_feature(
+        spark, idx, "text:spark", "n_chars",
+        function="saturation", pivot=500.0, boost=3.0,
+        limit=None, manifest=mf,
+    ).drop("n_chars")  # docmap join would collide on the feature column
+    return attach_docmap(spark, idx, out, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.round("base_score", 6).alias("base_score"),
+    )
+
+
 def _q_eng_hist_cumsum(spark, sf_dir):
     """Pipeline agg cumulative_sum (ES analog) over the day
     date_histogram of a query's match set — running doc totals in
@@ -2399,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_date_range": _q_eng_date_range,
         "eng_date_histogram": _q_eng_date_histogram,
         "eng_date_hist_week": _q_eng_date_hist_week,
+        "eng_terms_set": _q_eng_terms_set,
+        "eng_rank_feature": _q_eng_rank_feature,
         "eng_hist_cumsum": _q_eng_hist_cumsum,
         "eng_hist_deriv": _q_eng_hist_deriv,
         "eng_bucket_top": _q_eng_bucket_top,
@@ -2902,6 +2979,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
             "count(*) AS n_docs FROM events WHERE event_type = 'click' "
             "AND ts IS NOT NULL GROUP BY 1"
+        ),
+        "eng_terms_set": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.term, "
+            "t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) "
+            "WHERE t.term IN ('spark','stream','window')) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s "
+            "GROUP BY doc_id "
+            "HAVING count(DISTINCT term) >= greatest(doc_id % 3 + 1, 1)"
+        ),
+        "eng_rank_feature": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "b AS (SELECT t.doc_id, "
+            "t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS base_score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark') "
+            "SELECT b.doc_id, "
+            "round(b.base_score + 3.0 * (CAST(doc.n_chars AS DOUBLE) / "
+            "(CAST(doc.n_chars AS DOUBLE) + 500.0)), 6) AS score, "
+            "round(b.base_score, 6) AS base_score "
+            "FROM b JOIN documents doc USING(doc_id)"
         ),
         "eng_hist_cumsum": (
             "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "

@@ -519,6 +519,33 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         np.add.at(summed, inv, scores)
         keep = counts >= int(wire["m"])
         return uniq[keep], summed[keep]
+    if kind == "terms_set":
+        # per-doc minimum_should_match from a doc-value field (Lucene
+        # CoveringQuery): min_should counting, but the threshold m is
+        # looked up per doc in the aux-delivered (doc, value) arrays.
+        # A doc with no stored m requires 1 (CoveringQuery treats
+        # missing as a disjunction).
+        parts = [eval_node(c, term_data, max_doc, scorer, aux) for c in wire["children"]]
+        parts = [p for p in parts if len(p[0])]
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs = np.concatenate([p[0] for p in parts])
+        scores = np.concatenate([p[1] for p in parts])
+        uniq, inv, counts = np.unique(docs, return_inverse=True, return_counts=True)
+        summed = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(summed, inv, scores)
+        rid = wire["mfield"]["rid"]
+        m = np.ones(len(uniq), dtype=np.float64)
+        mdocs = aux.get(rid) if aux else None
+        if mdocs is not None and len(mdocs):
+            mvals = aux.get(("val", rid))
+            pos = np.searchsorted(mdocs, uniq)
+            pos_c = np.minimum(pos, len(mdocs) - 1)
+            found = mdocs[pos_c] == uniq
+            # missing m stays at the floor of 1
+            m[found] = np.maximum(mvals[pos_c[found]], 1.0)
+        keep = counts >= m
+        return uniq[keep], summed[keep]
     if kind == "and":
         if all(c["kind"] == "term" for c in wire["children"]):
             return eval_and_terms(wire["children"], term_data, scorer)
@@ -1014,7 +1041,7 @@ def assign_range_ids(wire: dict, start: int = 0) -> list[dict]:
         if w["kind"] == "range":
             w["rid"] = start + len(found)
             found.append(w)
-        for key in ("base", "exclude", "filt", "must", "should"):
+        for key in ("base", "exclude", "filt", "must", "should", "mfield"):
             if key in w:
                 walk(w[key])
         for c in w.get("children", ()):
@@ -1043,6 +1070,7 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
 
     probe_col = geo_lat_col(fe.name) if fe.is_geo else fe.name
     col = F.col(probe_col)
+    val_col = None  # op "dv" ships a per-doc VALUE down the aux cogroup
     if op == "exists":
         if not fe.is_doc_value:
             raise ValueError(
@@ -1050,6 +1078,17 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
                 f"(type {fe.field_type!r}) — text fields always exist"
             )
         pred = col.isNotNull()
+    elif op == "dv":
+        # doc-value DELIVERY (terms_set minimum_should_match_field): not
+        # a predicate — every doc WITH a value ships (doc, value) to its
+        # segment's scorer through the same aux shuffle as range sets
+        if not fe.is_numeric:
+            raise ValueError(
+                f"terms_set minimum_should_match_field {fe.name!r} must "
+                f"be a numeric doc-value field (got {fe.field_type!r})"
+            )
+        pred = col.isNotNull()
+        val_col = col.cast("double")
     elif op == "geo_distance":
         if not fe.is_geo:
             raise ValueError(
@@ -1147,13 +1186,15 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
         # carries the column (mergeSchema can't invent it), so no doc has
         # a value — empty match set, same semantics as all-NULL
         return docmap.select(
-            "segment_id", "doc", F.lit(int(range_wire["rid"])).alias("rid")
+            "segment_id", "doc", F.lit(int(range_wire["rid"])).alias("rid"),
+            F.lit(None).cast("double").alias("val"),
         ).limit(0)
     return (
         docmap
         .filter(pred)
         .select(
-            "segment_id", "doc", F.lit(int(range_wire["rid"])).alias("rid")
+            "segment_id", "doc", F.lit(int(range_wire["rid"])).alias("rid"),
+            (val_col if val_col is not None else F.lit(None).cast("double")).alias("val"),
         )
     )
 
@@ -1169,7 +1210,8 @@ def build_aux_df(spark, index_dir: str, manifest, range_wires: list[dict], tombs
     if tombstoned:
         parts.append(
             read_tombstones(spark, index_dir, manifest).select(
-                "segment_id", "doc", F.lit(-1).alias("rid")
+                "segment_id", "doc", F.lit(-1).alias("rid"),
+                F.lit(None).cast("double").alias("val"),
             )
         )
     df = parts[0]
@@ -1180,16 +1222,24 @@ def build_aux_df(spark, index_dir: str, manifest, range_wires: list[dict], tombs
 
 def split_aux_pdf(aux_pdf: pd.DataFrame):
     """Cogroup side -> (sorted tombstone doc array or None,
-    {rid: sorted unique doc array})."""
+    {rid: sorted unique doc array}). A rid whose rows carry a non-null
+    ``val`` (the terms_set m-value delivery, op "dv") additionally
+    stores ``("val", rid) -> float64 array`` aligned to the sorted doc
+    array — eval_node's terms_set branch reads both."""
     dels = None
-    aux_sets: dict[int, np.ndarray] = {}
+    aux_sets: dict = {}
+    has_val = aux_pdf is not None and "val" in getattr(aux_pdf, "columns", ())
     if aux_pdf is not None and len(aux_pdf):
         for rid, rows in aux_pdf.groupby("rid"):
-            docs = np.unique(rows["doc"].to_numpy(dtype=np.int64))
+            docs_raw = rows["doc"].to_numpy(dtype=np.int64)
+            docs, first_idx = np.unique(docs_raw, return_index=True)
             if int(rid) < 0:
                 dels = docs
             else:
                 aux_sets[int(rid)] = docs
+                if has_val and rows["val"].notna().any():
+                    vals = rows["val"].to_numpy(dtype=np.float64)
+                    aux_sets[("val", int(rid))] = vals[first_idx]
     return dels, aux_sets
 
 
@@ -3005,6 +3055,111 @@ def search_boosted(
         final.alias("score"),
         F.col("score").alias("base_score"),
         F.col(boost_by),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def search_rank_feature(
+    spark,
+    index_dir: str,
+    query,
+    feature: str,
+    function: str = "saturation",
+    pivot: float | None = None,
+    scaling_factor: float | None = None,
+    exponent: float | None = None,
+    boost: float = 1.0,
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Relevance plus a static rank feature — the Elasticsearch
+    ``rank_feature`` query (EXTENSION; Lucene FeatureQuery). The feature
+    is a positive numeric doc value (popularity, pagerank, url_length);
+    the query adds ``boost * S(v)`` to each match's text score, with the
+    ES scoring functions:
+
+      - ``saturation``: S = v / (v + pivot)         (pivot REQUIRED here
+        — ES's default pivot is a corpus-dependent approximation of the
+        geometric mean; an implicit data-dependent constant makes scores
+        irreproducible across commits, so we refuse to guess)
+      - ``log``:        S = ln(scaling_factor + v)
+      - ``sigmoid``:    S = v^exp / (v^exp + pivot^exp)
+
+    Docs with a NULL feature get S = 0 — they keep their text score (in
+    ES the rank_feature clause simply doesn't match them; inside a
+    SHOULD that adds exactly 0). Negative feature values are invalid at
+    query time (ES rejects them at index time; our numeric doc values
+    are shared, so the guard lives here) — they raise rather than
+    silently producing negative saturation.
+
+    Scale posture = search_boosted: exhaustive match evaluation (the
+    feature bonus is unbounded by the text score, so WAND's bound proves
+    nothing — Lucene also disables early termination here unless the
+    feature is indexed as an impact, which parquet doc values are not),
+    one docmap join co-keyed on (segment_id, doc), TakeOrderedAndProject
+    for the global top-k.
+
+    Returns (segment_id, segment_ord, doc, score, base_score,
+    ``feature``) ordered by (score desc, segment_ord, doc).
+    """
+    from pyspark.sql import functions as F
+
+    if function == "saturation":
+        if pivot is None or pivot <= 0:
+            raise ValueError("saturation needs pivot > 0 (no implicit default)")
+    elif function == "log":
+        if scaling_factor is None or scaling_factor < 1:
+            raise ValueError("log needs scaling_factor >= 1 (ES constraint)")
+    elif function == "sigmoid":
+        if pivot is None or pivot <= 0 or exponent is None or exponent <= 0:
+            raise ValueError("sigmoid needs pivot > 0 and exponent > 0")
+    else:
+        raise ValueError(
+            f"function must be saturation/log/sigmoid, got {function!r}"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, feature)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    joined = docmap.select("segment_id", "doc", feature).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    v = F.col(feature).cast("double")
+    if function == "saturation":
+        s = v / (v + F.lit(float(pivot)))
+    elif function == "log":
+        s = F.log(F.lit(float(scaling_factor)) + v)
+    else:
+        ve = F.pow(v, F.lit(float(exponent)))
+        s = ve / (ve + F.lit(float(pivot) ** float(exponent)))
+    bonus = F.when(v.isNull(), F.lit(0.0)).otherwise(F.lit(float(boost)) * s)
+    # negative feature values are a data error, not a score: fail the
+    # job (ES enforces positivity at index time; our numeric doc values
+    # are general-purpose, so the guard lives in the query)
+    chk = F.assert_true(
+        v.isNull() | (v >= 0), F.lit(f"rank_feature {feature!r} has a value < 0")
+    )
+    out = joined.select(
+        "segment_id",
+        "segment_ord",
+        "doc",
+        (F.col("score") + bonus + F.coalesce(chk.cast("double"), F.lit(0.0)))
+        .alias("score"),
+        F.col("score").alias("base_score"),
+        F.col(feature),
     ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
     if offset:
         out = out.offset(offset)

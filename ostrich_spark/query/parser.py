@@ -313,6 +313,30 @@ class TermsQuery:
 
 
 @dataclass(frozen=True)
+class TermsSetQuery:
+    """Match docs containing at least m of a TERM SET, where m is read
+    PER DOCUMENT from a numeric doc-value field — EXTENSION (the ES
+    ``terms_set`` query with ``minimum_should_match_field`` / Lucene
+    CoveringQuery). The canonical use: a doc stores how many of its own
+    tags must match for it to qualify. Score = sum of the matching
+    terms' scores (bool-SHOULD semantics, like ES). ``terms`` are
+    dictionary terms (analyzed form) on a text field. A doc with a NULL
+    / missing m value requires only 1 match (Lucene CoveringQuery
+    treats missing as <=1 — a disjunction). m greater than the number
+    of matchable terms can never match. DSL-only, like ES."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    m_field_id: int
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "terms", tuple(self.terms))
+        if not self.terms:
+            raise QueryParseError("terms_set needs at least one term")
+
+
+@dataclass(frozen=True)
 class ExistsQuery:
     """Field-has-a-value — EXTENSION (the ES ``exists`` query). NQL:
     ``field:*`` on any doc-value (keyword or numeric) field; docs whose

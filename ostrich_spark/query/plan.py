@@ -45,6 +45,7 @@ from .parser import (
     RegexpQuery,
     TermQuery,
     TermsQuery,
+    TermsSetQuery,
     WildcardQuery,
     FILTER,
     MUST,
@@ -190,6 +191,17 @@ class CGeoBBox:
 
 
 @dataclass
+class CTermsSet:
+    """Union requiring >= m children per doc where m is a PER-DOC numeric
+    doc value (Lucene CoveringQuery / ES terms_set). The m values ride
+    the aux cogroup like a range match set, with a ``val`` column
+    carrying the number. NOT WAND-eligible (per-doc threshold)."""
+
+    children: list = dc_field(default_factory=list)
+    m_field_id: int = 0
+
+
+@dataclass
 class CMinShould:
     """Union requiring >= m children to match; score = sum of matching
     children (Lucene minimumShouldMatch). NOT WAND-eligible: the count
@@ -276,6 +288,8 @@ def collect_terms(q) -> list[TermQuery]:
     if isinstance(q, MultiPhraseQuery):
         return [TermQuery(q.field_id, t) for slot in q.slots for t in slot]
     if isinstance(q, NearQuery):
+        return [TermQuery(q.field_id, t) for t in q.terms]
+    if isinstance(q, TermsSetQuery):
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, BooleanQuery):
         out = []
@@ -370,6 +384,23 @@ def compile_query(
         return CTerms(q.field_id, q.values, q.boost)
     if isinstance(q, ExistsQuery):
         return CExists(q.field_id, q.boost)
+    if isinstance(q, TermsSetQuery):
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        kids = []
+        for t in q.terms:
+            df = doc_freqs.get((q.field_id, t), 0)
+            if df == 0:
+                continue  # an absent term can never count toward m
+            kids.append(
+                CTerm(
+                    q.field_id, t, df,
+                    idf_fn(total_docs, df) * q.boost,
+                    field_avgdl.get(q.field_id, 1.0),
+                )
+            )
+        if not kids:
+            return CEmpty()
+        return CTermsSet(kids, q.m_field_id)
     if isinstance(q, GeoDistanceQuery):
         return CGeoDistance(q.field_id, q.lat, q.lon, q.radius_m, q.boost)
     if isinstance(q, GeoBoundingBoxQuery):
@@ -564,6 +595,14 @@ def to_wire(node) -> dict:
             "kind": "min_should",
             "m": node.m,
             "children": [to_wire(c) for c in node.children],
+        }
+    if isinstance(node, CTermsSet):
+        return {
+            "kind": "terms_set",
+            "children": [to_wire(c) for c in node.children],
+            # the per-doc m values ride the aux cogroup as a docmap scan
+            # with a val column; rid assigned by exec like any range node
+            "mfield": {"kind": "range", "op": "dv", "field": node.m_field_id},
         }
     if isinstance(node, CDisMax):
         return {
