@@ -447,6 +447,68 @@ def _q_eng_rank_feature(spark, sf_dir):
     )
 
 
+def _q_eng_random_score(spark, sf_dir):
+    """function_score random_score (ES analog): stable per-user result
+    shuffling — deterministic U[0,1) from sha256(seed||doc_id) (the
+    portable sampling hash, NOT an RNG) summed onto the text score."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_random_score
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = search_random_score(
+        spark, idx, "text:spark", seed="gate7", key_col="doc_id",
+        weight=0.5, mode="sum", limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, out, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.round("rand", 6).alias("rand"),
+    )
+
+
+def _q_eng_runtime_sort(spark, sf_dir):
+    """Runtime fields (ES runtime mappings): filter AND sort a match set
+    on query-time computed columns — no reindex. Expressions compile
+    once into Catalyst columns inside the docmap scan (whole-stage
+    codegen), not per-doc scripts."""
+    from pyspark.sql import Window
+
+    from ostrich_spark.runtime_fields import search_runtime
+
+    idx = _doc_index(spark, sf_dir)
+    out = search_runtime(
+        spark, idx, "text:spark",
+        fields={
+            "bucket": "CAST(floor(n_chars / 50.0) AS BIGINT)",
+            "tag": "concat(lang, '_', CAST(n_chars % 7 AS STRING))",
+        },
+        predicate="n_chars % 7 >= 3",
+        sort_by=[("bucket", "desc"), ("doc_id", "asc")],
+        limit=50,
+    )
+    w = Window.orderBy(F.col("bucket").desc(), F.col("doc_id").asc())
+    return out.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.col("doc_id").cast("long"), "bucket", "tag",
+    )
+
+
+def _q_eng_runtime_facet(spark, sf_dir):
+    """Terms agg on a runtime field (ES analog): bucket counts of a
+    computed expression over the query's FULL match set — one docmap
+    join + one partial-aggregated groupBy."""
+    from ostrich_spark.runtime_fields import facet_runtime
+
+    idx = _doc_index(spark, sf_dir)
+    return _longify(
+        facet_runtime(
+            spark, idx, "text:spark",
+            expr="CAST(floor(n_chars / 50.0) AS BIGINT)", alias="bucket",
+        )
+    )
+
+
 def _q_eng_hist_cumsum(spark, sf_dir):
     """Pipeline agg cumulative_sum (ES analog) over the day
     date_histogram of a query's match set — running doc totals in
@@ -2475,6 +2537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_date_histogram": _q_eng_date_histogram,
         "eng_date_hist_week": _q_eng_date_hist_week,
         "eng_terms_set": _q_eng_terms_set,
+        "eng_random_score": _q_eng_random_score,
+        "eng_runtime_sort": _q_eng_runtime_sort,
+        "eng_runtime_facet": _q_eng_runtime_facet,
         "eng_rank_feature": _q_eng_rank_feature,
         "eng_hist_cumsum": _q_eng_hist_cumsum,
         "eng_hist_deriv": _q_eng_hist_deriv,
@@ -2989,6 +3054,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s "
             "GROUP BY doc_id "
             "HAVING count(DISTINCT term) >= greatest(doc_id % 3 + 1, 1)"
+        ),
+        "eng_runtime_sort": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "rt AS (SELECT d.doc_id, "
+            "CAST(floor(d.n_chars / 50.0) AS BIGINT) AS bucket, "
+            "d.lang || '_' || CAST(d.n_chars % 7 AS VARCHAR) AS tag "
+            "FROM documents d JOIN m USING(doc_id) WHERE d.n_chars % 7 >= 3) "
+            "SELECT CAST(row_number() OVER (ORDER BY bucket DESC, doc_id ASC) AS BIGINT) AS rank, "
+            "doc_id, bucket, tag FROM rt ORDER BY bucket DESC, doc_id ASC LIMIT 50"
+        ),
+        "eng_runtime_facet": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT CAST(floor(d.n_chars / 50.0) AS BIGINT) AS bucket, "
+            "count(*) AS n_docs FROM documents d JOIN m USING(doc_id) "
+            "GROUP BY 1"
+        ),
+        "eng_random_score": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "b AS (SELECT t.doc_id, "
+            "t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS base "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'), "
+            "r AS (SELECT doc_id, "
+            "(('0x' || substr(sha256('gate7' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "/ 4294967296.0) AS rand FROM documents) "
+            "SELECT b.doc_id, round(b.base + 0.5 * r.rand, 6) AS score, "
+            "round(r.rand, 6) AS rand FROM b JOIN r USING(doc_id)"
         ),
         "eng_rank_feature": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

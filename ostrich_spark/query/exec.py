@@ -3063,6 +3063,82 @@ def search_boosted(
     return out
 
 
+def search_random_score(
+    spark,
+    index_dir: str,
+    query,
+    seed,
+    key_col: str = "doc_id",
+    weight: float = 1.0,
+    mode: str = "multiply",
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Deterministic per-document randomness combined with relevance —
+    the Elasticsearch ``function_score`` ``random_score`` function
+    (EXTENSION). The classic uses: result shuffling that is STABLE for a
+    given user (seed = user id, so paging doesn't reshuffle), and
+    unbiased corpus sampling of a match set.
+
+    The "random" value is sampling.py's portable hash — U[0,1) from the
+    first 32 bits of sha256(seed || key) — NOT an RNG: deterministic,
+    partition-invariant, engine-portable (the exact property ES gets by
+    hashing seed+field, with an arithmetic an oracle can reproduce).
+
+    ``mode``: ``"multiply"`` → score * (1 + weight*r);
+    ``"sum"`` → score + weight*r; ``"replace"`` → weight*r (pure shuffle
+    order, relevance discarded — ES random_score with boost_mode
+    replace). NULL keys hash over the string 'None' like the sampler.
+
+    Same delivery as search_boosted: exhaustive match set, one co-keyed
+    docmap join, TakeOrderedAndProject. Returns (segment_id,
+    segment_ord, doc, score, base_score, rand).
+    """
+    from pyspark.sql import functions as F
+
+    from ..sampling import _unit_hash
+
+    if mode not in ("multiply", "sum", "replace"):
+        raise ValueError(f"mode must be multiply/sum/replace, got {mode!r}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    if key_col not in docmap.columns:
+        raise ValueError(f"random_score key column {key_col!r} is not in the docmap")
+    joined = docmap.select("segment_id", "doc", key_col).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    r = _unit_hash(F.col(key_col), str(seed))
+    if mode == "multiply":
+        final = F.col("score") * (F.lit(1.0) + F.lit(float(weight)) * r)
+    elif mode == "sum":
+        final = F.col("score") + F.lit(float(weight)) * r
+    else:
+        final = F.lit(float(weight)) * r
+    out = joined.select(
+        "segment_id",
+        "segment_ord",
+        "doc",
+        final.alias("score"),
+        F.col("score").alias("base_score"),
+        r.alias("rand"),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def search_rank_feature(
     spark,
     index_dir: str,
