@@ -759,6 +759,100 @@ def _q_eng_has_parent(spark, sf_dir):
     )
 
 
+_NESTED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _nested_index(spark: SparkSession, sf_dir: str) -> str:
+    """Nested index over documents (ES ``nested`` analog): each doc
+    carries doc_id % 4 comment elements — author = 'u'+((doc_id*31+7i)%5),
+    stars = (doc_id+3i) % 10, body = the parent text — indexed as hidden
+    element docs beside the roots (ostrich_spark.nested)."""
+    from ostrich_spark.nested import build_nested_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _NESTED_INDEX_CACHE:
+        return _NESTED_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-nested1"
+    if not manifest_exists(index_dir):
+        n = (F.col("doc_id") % 4).cast("int")
+        elem = lambda i: F.struct(  # noqa: E731
+            F.concat(
+                F.lit("u"), ((F.col("doc_id") * 31 + i * 7) % 5).cast("string")
+            ).alias("author"),
+            ((F.col("doc_id") + 3 * i) % 10).cast("long").alias("stars"),
+            F.col("text").alias("body"),
+        )
+        docs = _docs(spark, sf_dir).withColumn(
+            "comments",
+            F.when(n > 0, F.transform(F.sequence(F.lit(0), n - 1), elem))
+            .otherwise(F.array().cast(
+                "array<struct<author:string,stars:bigint,body:string>>"
+            )),
+        )
+        root = Schema()
+        root.add_text_field("text", "default")
+        sub = Schema()
+        sub.add_keyword_field("author")
+        sub.add_numeric_field("stars")
+        sub.add_text_field("body", "default")
+        build_nested_index(
+            spark, docs, root, {"comments": sub}, index_dir,
+            id_col="doc_id", num_partitions=4,
+            build_id=f"entry-nested-{tag}",
+        )
+    _NESTED_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_nested_match(spark, sf_dir):
+    """nested query, filter context (ES ``nested`` + bool filter): roots
+    with ONE element satisfying author:u2 AND stars>=6 — the
+    cross-matching guarantee a flattened index loses. Element match set
+    reduces map-side per root key; one key join against the root-filtered
+    docmap scan (has_child plane)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.nested import nested_query
+    from ostrich_spark.query.exec import attach_docmap
+
+    idx = _nested_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = nested_query(
+        spark, idx, "comments", "author:u2 AND stars:[6 TO *]",
+        id_col="doc_id", score_mode="none", limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
+
+
+def _q_eng_nested_score(spark, sf_dir):
+    """nested query, scoring (ES score_mode=avg default): roots score the
+    AVG of their matching elements' tfidf for body:spark. Elements are
+    real index docs, so N counts roots+elements and df(body,term) counts
+    element docs — the Lucene block-join stats contract, mirrored exactly
+    by the oracle."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.nested import nested_query
+    from ostrich_spark.query.exec import attach_docmap
+
+    idx = _nested_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res = nested_query(
+        spark, idx, "comments", "body:spark",
+        id_col="doc_id", score_mode="avg", limit=None, manifest=mf,
+    )
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.col("n_children").cast("long").alias("n_children"),
+    )
+
+
 def _engine_matches(spark, sf_dir, query, scorer="tfidf", logical=None) -> DataFrame:
     """All matches via the real engine; -> (doc_id, score) rounded."""
     from ostrich_spark.manifest import load_manifest
@@ -2550,6 +2644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_composite_after": _q_eng_composite_after,
         "eng_has_child": _q_eng_has_child,
         "eng_has_parent": _q_eng_has_parent,
+        "eng_nested_match": _q_eng_nested_match,
+        "eng_nested_score": _q_eng_nested_score,
         "eng_geo_bbox": _q_geo_bbox,
         "eng_geo_distance": _q_geo_distance,
         "eng_geo_sort": _q_geo_sort,
@@ -3207,6 +3303,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.doc_id, p.score "
             "FROM documents c JOIN ps p ON (c.doc_id - (c.doc_id % 7)) = p.doc_id "
             "WHERE c.doc_id % 7 <> 0"
+        ),
+        # nested fields (ES nested type): each doc carries doc_id % 4
+        # hidden element docs — author 'u'+((doc_id*31+7i)%5), stars
+        # (doc_id+3i)%10, body = parent text. Filter-context nested
+        # query: a SINGLE element must satisfy author=u2 AND stars>=6
+        # (the cross-matching guarantee flattening loses)
+        "eng_nested_match": (
+            "WITH s(i) AS (VALUES (0), (1), (2)), "
+            "e AS (SELECT d.doc_id, s.i AS pos, "
+            "'u' || CAST((d.doc_id*31 + s.i*7) % 5 AS VARCHAR) AS author, "
+            "(d.doc_id + 3*s.i) % 10 AS stars "
+            "FROM documents d JOIN s ON s.i < d.doc_id % 4) "
+            "SELECT doc_id, 1.0 AS score, count(*) AS n_children FROM e "
+            "WHERE author = 'u2' AND stars >= 6 GROUP BY doc_id"
+        ),
+        # nested scoring (score_mode=avg): element body = parent text, so
+        # element tf('spark') = parent tf; elements are REAL docs — N =
+        # roots + elements, df(body,'spark') = sum of element counts over
+        # docs containing the term (Lucene block-join maxDoc contract);
+        # all of a doc's elements score identically so avg = tf*idf
+        "eng_nested_score": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, "
+            "nc AS (SELECT doc_id, doc_id % 4 AS k FROM documents), "
+            "ntot AS (SELECT (SELECT count(*) FROM documents) + (SELECT sum(k) FROM nc) AS n), "
+            "m AS (SELECT t.doc_id, t.tf, nc.k FROM tf t JOIN nc USING(doc_id) "
+            "WHERE t.term = 'spark' AND nc.k > 0), "
+            "dfb AS (SELECT sum(k) AS df FROM m) "
+            "SELECT m.doc_id, "
+            "round(m.tf * (1.0 + ln((SELECT n FROM ntot) / (1.0 + (SELECT df FROM dfb)))), 6) AS score, "
+            "m.k AS n_children FROM m"
         ),
         # terms (IN-set) FILTER beside a scored text clause: filter
         # context adds no score — pure tfidf over the restricted set
