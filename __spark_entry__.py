@@ -1148,6 +1148,35 @@ def _q_eng_sort_early(spark, sf_dir):
     )
 
 
+def _q_eng_sorted_after(spark, sf_dir):
+    """Deep pagination via search_after (ES search_after analog): page 2
+    of the n_chars-DESC ordering through an exclusive cursor taken from
+    page 1's last row — the cursor compiles to a row predicate BEFORE
+    the top-k, so page N never re-sorts the first N pages (offset does)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_sorted
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    p1 = search_sorted(
+        spark, idx, "text:spark", by="n_chars", ascending=False,
+        limit=20, tiebreak=["doc_id"], manifest=mf,
+    )
+    rows = attach_docmap(spark, idx, p1.drop("n_chars"), manifest=mf).select(
+        "n_chars", "doc_id", "segment_ord", "doc"
+    ).collect()
+    # joins don't preserve order — recover the pinned total order
+    last = sorted(rows, key=lambda r: (-r.n_chars, r.doc_id, r.segment_ord, r.doc))[-1]
+    p2 = search_sorted(
+        spark, idx, "text:spark", by="n_chars", ascending=False,
+        limit=20, tiebreak=["doc_id"], manifest=mf,
+        after=(last.n_chars, last.doc_id, last.segment_ord, last.doc),
+    )
+    return attach_docmap(spark, idx, p2.drop("n_chars"), manifest=mf).select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long")
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -2611,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_more_like_this": _q_eng_mlt,
         "eng_pctl_nchars": _q_eng_pctl_nchars,
         "eng_sort_early": _q_eng_sort_early,
+        "eng_sorted_after": _q_eng_sorted_after,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_term_vectors": _q_term_vectors,
         "eng_sayt_prefix": _q_eng_sayt_prefix,
@@ -3002,6 +3032,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
             "FROM m JOIN documents d USING(doc_id) "
             "ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20"
+        ),
+        # search_after deep pagination: page 2 (rows 21-40) of the
+        # n_chars-DESC ordering, reached through an exclusive cursor
+        "eng_sorted_after": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "o AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars, "
+            "row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn "
+            "FROM m JOIN documents d USING(doc_id)) "
+            "SELECT doc_id, n_chars FROM o WHERE rn > 20 AND rn <= 40"
         ),
         "eng_hist_nchars": (
             f"WITH {TOKS_CTE}, "

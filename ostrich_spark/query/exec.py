@@ -2192,6 +2192,36 @@ def _segment_value_ranges(index_dir: str, manifest: Manifest, col: str):
     return out
 
 
+def _sorted_after_pred(
+    F, by: str, ascending: bool, tiebreak: list[str], after: tuple,
+    after_ord_col: str | None = None,
+):
+    """Row-level predicate: "this row sorts strictly AFTER the cursor"
+    under search_sorted's total order (by dir nulls-last, tiebreaks asc
+    nulls-first, segment_ord asc, doc asc). Built innermost-out so each
+    level only fires on ties of every outer level; null cursor values
+    take the explicit null-tail/null-head branch."""
+    v_by, *v_tb, v_ord, v_doc = after
+    ord_col = after_ord_col or "segment_ord"
+    p = (F.col(ord_col) > int(v_ord)) | (
+        (F.col(ord_col) == int(v_ord)) & (F.col("doc") > int(v_doc))
+    )
+    for c, v in zip(reversed(tiebreak), reversed(v_tb)):
+        col = F.col(c)
+        if v is None:
+            # asc nulls FIRST: every non-null value sorts after a null
+            # cursor; null rows fall through to the deeper ordering
+            p = col.isNotNull() | (col.isNull() & p)
+        else:
+            p = (col > F.lit(v)) | ((col == F.lit(v)) & p)
+    col = F.col(by)
+    if v_by is None:
+        # cursor already in the nulls-last tail: only null rows remain
+        return col.isNull() & p
+    cmp = (col > F.lit(v_by)) if ascending else (col < F.lit(v_by))
+    return col.isNull() | cmp | ((col == F.lit(v_by)) & p)
+
+
 def search_sorted(
     spark,
     index_dir: str,
@@ -2206,6 +2236,7 @@ def search_sorted(
     default_fields: list[str] | None = None,
     early_terminate: bool = False,
     scan_info: dict | None = None,
+    after: tuple | None = None,
 ):
     """Top-k of a query's match set ordered by a doc-value field (numeric
     or keyword string) instead of relevance (Lucene ``Sort`` analog —
@@ -2235,19 +2266,42 @@ def search_sorted(
     row-identical to the exhaustive path (tested); requires a bound
     (``limit`` not None). ``scan_info`` (optional dict) receives
     ``segments_scanned`` / ``segments_total`` for observability.
+
+    ``after`` (ES ``search_after`` analog — deep pagination at scale):
+    an EXCLUSIVE cursor ``(by_value, *tiebreak_values, segment_ord,
+    doc)`` taken from the previous page's last row. It compiles to a
+    row-level predicate applied BEFORE the top-k cut, so page N shuffles
+    only rows sorting past the cursor — constant work per page, where
+    ``offset=N`` re-sorts N rows (the reason ES caps ``from`` at 10k).
+    Under ``early_terminate`` the cursor additionally SKIPS whole
+    segments whose docmap value range lies entirely before it. Mutually
+    exclusive with ``offset`` (the ES from+search_after rule). Null
+    tiebreak cursor values follow asc-nulls-first; a null ``by`` cursor
+    means "resume inside the nulls-last tail".
     """
     from pyspark.sql import functions as F
 
     if manifest is None:
         manifest = load_manifest(index_dir)
     _doc_value_field_entry(manifest, by)
+    tiebreak = list(tiebreak or [])
+    if after is not None:
+        if offset:
+            raise ValueError(
+                "offset and after are mutually exclusive (search_after "
+                "replaces from-style paging)"
+            )
+        if len(after) != 1 + len(tiebreak) + 2:
+            raise ValueError(
+                f"after must be (by_value, {len(tiebreak)} tiebreak "
+                f"value(s), segment_ord, doc) — got {len(after)} values"
+            )
     if early_terminate and limit is not None:
         return _search_sorted_early(
             spark, index_dir, query, by, ascending, limit, offset,
-            list(tiebreak or []), manifest, scorer, default_fields,
-            scan_info,
+            tiebreak, manifest, scorer, default_fields,
+            scan_info, after,
         )
-    tiebreak = list(tiebreak or [])
     res, _ = search(
         spark,
         index_dir,
@@ -2263,6 +2317,8 @@ def search_sorted(
         ["segment_id", "doc"],
         "inner",
     )
+    if after is not None:
+        joined = joined.filter(_sorted_after_pred(F, by, ascending, tiebreak, after))
     key = F.asc_nulls_last(by) if ascending else F.desc_nulls_last(by)
     order = [key] + [F.asc(c) for c in tiebreak] + [F.asc("segment_ord"), F.asc("doc")]
     out = joined.orderBy(*order)
@@ -2276,6 +2332,7 @@ def search_sorted(
 def _search_sorted_early(
     spark, index_dir, query, by, ascending, limit, offset,
     tiebreak, manifest, scorer, default_fields, scan_info,
+    after=None,
 ):
     """Segment-pruned field-sorted top-k (see search_sorted docstring).
 
@@ -2307,6 +2364,20 @@ def _search_sorted_early(
         return (1, _key(b)) if b is not None else (0, 0)
 
     segs = sorted(manifest.segments, key=lambda s: best_bound(s.segment_id))
+    if after is not None and after[0] is not None:
+        # cursor prune: a segment whose ENTIRE value range sorts strictly
+        # before the cursor value cannot contribute (ties keep — they can
+        # still win on tiebreak/ord); unknown bounds keep
+        v0 = after[0]
+
+        def _before_cursor(sid):
+            lo, hi = ranges.get(sid, (None, None))
+            edge = hi if ascending else lo
+            if edge is None:
+                return False
+            return edge < v0 if ascending else edge > v0
+
+        segs = [s for s in segs if not _before_cursor(s.segment_id)]
     full_ord = {
         s.segment_id: i for i, s in enumerate(manifest.sorted_segments())
     }
@@ -2357,10 +2428,12 @@ def _search_sorted_early(
             docmap.select("segment_id", "doc", *dict.fromkeys(key_cols))
             .join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner")
             .withColumn("_ford", ord_map[F.col("segment_id")].cast("int"))
-            .orderBy(*order)
-            .limit(need)
-            .collect()
         )
+        if after is not None:
+            rows = rows.filter(
+                _sorted_after_pred(F, by, ascending, tb, after, "_ford")
+            )
+        rows = rows.orderBy(*order).limit(need).collect()
         for r in rows:
             v = r[by]
             kept.append((
