@@ -1177,6 +1177,50 @@ def _q_eng_sorted_after(spark, sf_dir):
     )
 
 
+def _q_eng_range_agg(spark, sf_dir):
+    """range aggregation (ES range agg): explicit [lo, hi) buckets over
+    n_chars for the text:spark match set — buckets OVERLAP (a doc counts
+    in each range it falls in), declared-but-empty buckets surface with
+    n_docs=0, avg metric per bucket."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import range_agg
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = range_agg(
+        spark, idx, "text:spark", "n_chars",
+        [("small", None, 200), ("mid", 150, 400), ("large", 400, None),
+         ("never", 100000, 200000)],
+        metrics={"avg_nchars": ("avg", "n_chars")}, manifest=mf,
+    )
+    return out.select(
+        "range_key", "lo", "hi", F.col("n_docs").cast("long"),
+        F.round("avg_nchars", 6).alias("avg_nchars"),
+    )
+
+
+def _q_eng_filters_agg(spark, sf_dir):
+    """filters aggregation (ES filters agg): named-query buckets counted
+    in ONE Spark job (search_many batch plane — one stats binding, one
+    term-union postings scan), empty buckets present, max metric."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import filters_agg
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = filters_agg(
+        spark, idx,
+        {"spark": "text:spark", "merge": "text:merge",
+         "both": "text:spark AND text:merge",
+         "nothing": "text:zzzzunseenterm"},
+        metrics={"max_nchars": ("max", "n_chars")}, manifest=mf,
+    )
+    return out.select(
+        "filter_key", F.col("n_docs").cast("long"),
+        F.col("max_nchars").cast("long"),
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -2641,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_pctl_nchars": _q_eng_pctl_nchars,
         "eng_sort_early": _q_eng_sort_early,
         "eng_sorted_after": _q_eng_sorted_after,
+        "eng_range_agg": _q_eng_range_agg,
+        "eng_filters_agg": _q_eng_filters_agg,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_term_vectors": _q_term_vectors,
         "eng_sayt_prefix": _q_eng_sayt_prefix,
@@ -3032,6 +3078,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars "
             "FROM m JOIN documents d USING(doc_id) "
             "ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20"
+        ),
+        # range aggregation: overlapping [lo,hi) buckets over n_chars,
+        # declared-but-empty buckets present with n_docs=0/NULL metric
+        "eng_range_agg": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "d AS (SELECT doc.n_chars FROM m JOIN documents doc USING(doc_id)), "
+            "r(range_key, lo, hi) AS (VALUES "
+            "('small', CAST(NULL AS DOUBLE), 200.0), ('mid', 150.0, 400.0), "
+            "('large', 400.0, CAST(NULL AS DOUBLE)), ('never', 100000.0, 200000.0)) "
+            "SELECT r.range_key, r.lo, r.hi, count(d.n_chars) AS n_docs, "
+            "round(avg(d.n_chars), 6) AS avg_nchars "
+            "FROM r LEFT JOIN d ON (r.lo IS NULL OR d.n_chars >= r.lo) "
+            "AND (r.hi IS NULL OR d.n_chars < r.hi) "
+            "GROUP BY r.range_key, r.lo, r.hi"
+        ),
+        # filters aggregation: named-query buckets, empty ones present
+        "eng_filters_agg": (
+            f"WITH {TOKS_CTE}, "
+            "s AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "g AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'), "
+            "b AS (SELECT doc_id FROM s INTERSECT SELECT doc_id FROM g) "
+            "SELECT 'spark' AS filter_key, (SELECT count(*) FROM s) AS n_docs, "
+            "(SELECT CAST(max(n_chars) AS BIGINT) FROM documents JOIN s USING(doc_id)) AS max_nchars "
+            "UNION ALL SELECT 'merge', (SELECT count(*) FROM g), "
+            "(SELECT CAST(max(n_chars) AS BIGINT) FROM documents JOIN g USING(doc_id)) "
+            "UNION ALL SELECT 'both', (SELECT count(*) FROM b), "
+            "(SELECT CAST(max(n_chars) AS BIGINT) FROM documents JOIN b USING(doc_id)) "
+            "UNION ALL SELECT 'nothing', 0, CAST(NULL AS BIGINT)"
         ),
         # search_after deep pagination: page 2 (rows 21-40) of the
         # n_chars-DESC ordering, reached through an exclusive cursor

@@ -1869,6 +1869,25 @@ _FACET_METRIC_FNS = ("count", "min", "max", "sum", "avg",
                      "count_distinct", "approx_count_distinct")
 
 
+def _metric_aggs(F, metrics: dict) -> list:
+    """Shared metric-sub-agg grammar (facet_stats / range_agg /
+    filters_agg / composite): output column -> (fn, column[, rsd])."""
+    aggs = []
+    for out, spec in metrics.items():
+        fn, col, *rest = spec
+        if fn not in _FACET_METRIC_FNS:
+            raise ValueError(
+                f"metric {out!r}: fn must be one of {_FACET_METRIC_FNS}, got {fn!r}"
+            )
+        if fn == "count_distinct":
+            aggs.append(F.countDistinct(col).alias(out))
+        elif fn == "approx_count_distinct":
+            aggs.append(F.approx_count_distinct(col, *rest).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(col).alias(out))
+    return aggs
+
+
 def facet_stats(
     spark,
     index_dir: str,
@@ -1911,19 +1930,7 @@ def facet_stats(
     if manifest is None:
         manifest = load_manifest(index_dir)
     by = [by] if isinstance(by, str) else list(by)
-    aggs = [F.count("*").alias("n_docs")]
-    for out, spec in metrics.items():
-        fn, col, *rest = spec
-        if fn not in _FACET_METRIC_FNS:
-            raise ValueError(
-                f"metric {out!r}: fn must be one of {_FACET_METRIC_FNS}, got {fn!r}"
-            )
-        if fn == "count_distinct":
-            aggs.append(F.countDistinct(col).alias(out))
-        elif fn == "approx_count_distinct":
-            aggs.append(F.approx_count_distinct(col, *rest).alias(out))
-        else:
-            aggs.append(getattr(F, fn)(col).alias(out))
+    aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics)
     res, _ = search(
         spark,
         index_dir,
@@ -1950,6 +1957,153 @@ def facet_stats(
             join_df, join_on, "inner"
         )
     return matched.groupBy(*by).agg(*aggs)
+
+
+def range_agg(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    ranges: list[tuple],
+    metrics: dict | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Explicit-bounds bucket aggregation over a numeric/date doc value —
+    the Elasticsearch ``range`` aggregation analog (EXTENSION; the
+    reference's collectors return docs/counts only).
+
+    ``ranges`` is a list of ``(key, lo, hi)``: lo INCLUSIVE, hi
+    EXCLUSIVE (the ES convention), either side ``None`` = unbounded.
+    Ranges MAY OVERLAP (ES allows it — a doc counts in every range it
+    falls in) and every DECLARED range appears in the output, empty ones
+    with ``n_docs = 0`` and NULL metrics (ES keyed-response behavior).
+    ``metrics`` follows the facet_stats grammar. Date fields take their
+    stored epoch-micros bounds. NULL field values fall in no range
+    (ES: missing docs are simply absent).
+
+    Returns (range_key, lo, hi, n_docs, *metrics) in declaration order
+    (``range_ord`` ties the output back to the declaration).
+
+    Scale posture: ONE docmap-joined match set; each row expands to only
+    the ranges it falls in (an array of when()s, compacted), then one
+    partial-aggregated groupBy on the range key — no per-range job, no
+    driver-side match set; the declared-range table is a broadcast-sized
+    literal joined back for empty buckets.
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = _doc_value_field_entry(manifest, field)
+    if fe.is_keyword:
+        raise ValueError(
+            f"range_agg needs a numeric or date field, {field!r} is keyword"
+        )
+    if not ranges:
+        raise ValueError("ranges must declare >= 1 (key, lo, hi) bucket")
+    keys = [r[0] for r in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate range keys: {keys}")
+    metrics = metrics or {}
+    aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics)
+
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    tags = []
+    for key, lo, hi in ranges:
+        c = F.col(field).isNotNull()
+        if lo is not None:
+            c = c & (F.col(field) >= F.lit(lo))
+        if hi is not None:
+            c = c & (F.col(field) < F.lit(hi))
+        tags.append(F.when(c, F.lit(key)))
+    metric_cols = list(dict.fromkeys(
+        spec[1] for spec in metrics.values() if spec[1] in matched.columns
+    ))
+    tagged = (
+        matched.select(
+            F.explode(F.array_compact(F.array(*tags))).alias("range_key"),
+            *metric_cols,
+        )
+    )
+    agg = tagged.groupBy("range_key").agg(*aggs)
+    decl = spark.createDataFrame(
+        [(i, k, float(lo) if lo is not None else None,
+          float(hi) if hi is not None else None)
+         for i, (k, lo, hi) in enumerate(ranges)],
+        "range_ord int, range_key string, lo double, hi double",
+    )
+    out = (
+        decl.join(agg, "range_key", "left")
+        .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
+        .orderBy("range_ord")
+    )
+    return out.select("range_key", "lo", "hi", "n_docs",
+                      *[F.col(m) for m in metrics])
+
+
+def filters_agg(
+    spark,
+    index_dir: str,
+    queries: dict[str, object],
+    metrics: dict | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Named-query buckets — the Elasticsearch ``filters`` aggregation
+    analog (EXTENSION): one bucket per query in ``queries`` (query_id ->
+    NQL string or logical query), counting its matching docs, with
+    optional facet-grammar ``metrics`` over docmap columns. A doc
+    matching several filters counts in each (ES semantics); every
+    declared bucket appears, empty ones with ``n_docs = 0``.
+
+    Returns (filter_key, n_docs, *metrics), one row per declared query.
+
+    Scale posture: ALL buckets evaluate as ONE Spark job through
+    search_many (one stats binding, one term-union postings scan, one
+    scoring pass) — never a job per filter; metric columns join from the
+    docmap co-keyed on (segment_id, doc) and the final groupBy on the
+    tiny query_id key partial-aggregates map-side.
+    """
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    if not queries:
+        raise ValueError("queries must declare >= 1 named filter")
+    metrics = metrics or {}
+    aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics)
+    res = search_many(
+        spark, index_dir, queries, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    rows = res.select("query_id", "segment_id", "doc")
+    if metrics:
+        docmap = read_docmap(spark, index_dir, manifest)
+        metric_cols = list(dict.fromkeys(spec[1] for spec in metrics.values()))
+        rows = rows.join(
+            docmap.select("segment_id", "doc", *metric_cols),
+            ["segment_id", "doc"], "inner",
+        )
+    agg = rows.groupBy(F.col("query_id").alias("filter_key")).agg(*aggs)
+    decl = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(queries)], "filter_ord int, filter_key string"
+    )
+    out = (
+        decl.join(agg, "filter_key", "left")
+        .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))
+        .orderBy("filter_ord")
+    )
+    return out.select("filter_key", "n_docs", *[F.col(m) for m in metrics])
 
 
 def cardinality(

@@ -533,3 +533,131 @@ def test_sorted_early_snapshot_pins_deletes(spark, tmp_path):
         early_terminate=True, manifest=snap,
     ).collect()
     assert [r["rating"] for r in old] == [0.0, 0.5, 1.0]
+
+
+# --- range_agg (ES range aggregation) / filters_agg (ES filters agg) ---
+
+
+def test_range_agg_bruteforce_overlap_and_empty(spark, range_idx):
+    """Overlapping [lo,hi) buckets double-count (ES semantics); declared
+    empty buckets surface with n_docs=0/NULL metric; output keeps
+    declaration order."""
+    from ostrich_spark.query.exec import range_agg
+
+    ks = _matched_ks(spark, range_idx, "content:merge")
+    ranges = [
+        ("lo", None, 2008),
+        ("mid", 2005, 2012),
+        ("hi", 2012, None),
+        ("never", 3000, 4000),
+    ]
+    rows = range_agg(
+        spark, range_idx, "content:merge", "year", ranges,
+        metrics={"avg_rating": ("avg", "rating")},
+    ).collect()
+    assert [r["range_key"] for r in rows] == ["lo", "mid", "hi", "never"]
+    want = {
+        key: [
+            k for k in ks
+            if (lo is None or 2000 + k % 20 >= lo)
+            and (hi is None or 2000 + k % 20 < hi)
+        ]
+        for key, lo, hi in ranges
+    }
+    for r in rows:
+        sel = want[r["range_key"]]
+        assert r["n_docs"] == len(sel)
+        if sel:
+            assert abs(r["avg_rating"] - sum(k * 0.5 for k in sel) / len(sel)) < 1e-9
+        else:
+            assert r["avg_rating"] is None
+    # lo and mid overlap on [2005, 2008): the doc-count total exceeds the
+    # distinct match count, i.e. docs really count once per range
+    assert sum(r["n_docs"] for r in rows) > len(ks)
+    assert len(want["lo"]) + len(want["mid"]) > len(
+        set(want["lo"]) | set(want["mid"])
+    )
+
+
+def test_range_agg_null_values_fall_in_no_range(spark, tmp_path):
+    """NULL doc values are absent from every bucket, including unbounded
+    ones (ES: missing docs simply don't appear)."""
+    from ostrich_spark.query.exec import range_agg
+
+    idx = str(tmp_path / "nullidx")
+    docs = pd.DataFrame(
+        {
+            "k": [0, 1, 2, 3],
+            "content": ["merge spark"] * 4,
+            "year": [2000, 2001, 2002, 2003],
+            "rating": [1.0, None, 3.0, None],
+        }
+    )
+    build_index(
+        spark, spark.createDataFrame(docs), _schema(), idx,
+        num_partitions=2, order_col="k", id_cols=["k"],
+    )
+    rows = range_agg(
+        spark, idx, "content:merge", "rating",
+        [("all", None, None), ("low", None, 2.0)],
+    ).collect()
+    got = {r["range_key"]: r["n_docs"] for r in rows}
+    assert got == {"all": 2, "low": 1}
+
+
+def test_range_agg_validation(spark, range_idx):
+    from ostrich_spark.query.exec import range_agg
+
+    with pytest.raises(ValueError, match="doc-value"):
+        range_agg(spark, range_idx, "content:merge", "content", [("a", 0, 1)])
+    with pytest.raises(ValueError, match=">= 1"):
+        range_agg(spark, range_idx, "content:merge", "year", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        range_agg(
+            spark, range_idx, "content:merge", "year",
+            [("a", 0, 1), ("a", 1, 2)],
+        )
+
+
+def test_filters_agg_bruteforce(spark, range_idx):
+    """Named-query buckets vs per-query brute force; a doc matching
+    several filters counts in each; empty buckets present with
+    n_docs=0/NULL metric; declaration order kept."""
+    from ostrich_spark.query.exec import filters_agg
+
+    queries = {
+        "merge": "content:merge",
+        "both": "content:merge AND content:spark",
+        "none": "content:zzzzunseen",
+    }
+    rows = filters_agg(
+        spark, range_idx, queries,
+        metrics={"max_rating": ("max", "rating")},
+    ).collect()
+    assert [r["filter_key"] for r in rows] == ["merge", "both", "none"]
+    got = {r["filter_key"]: r for r in rows}
+    for key, q in queries.items():
+        ks = _matched_ks(spark, range_idx, q)
+        assert got[key]["n_docs"] == len(ks)
+        if ks:
+            assert got[key]["max_rating"] == max(k * 0.5 for k in ks)
+        else:
+            assert got[key]["max_rating"] is None
+    assert got["merge"]["n_docs"] > got["both"]["n_docs"] > 0
+
+
+def test_filters_agg_one_job_partial_agg(spark, range_idx):
+    """Scale contract: all buckets ride ONE search_many pass and the
+    bucket groupBy partial-aggregates map-side."""
+    from ostrich_spark.query.exec import filters_agg
+
+    df = filters_agg(
+        spark, range_idx,
+        {"a": "content:merge", "b": "content:spark"},
+        metrics={"mx": ("max", "rating")},
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan and "partial_max" in plan
+    assert "Window" not in plan
+    with pytest.raises(ValueError, match=">= 1"):
+        filters_agg(spark, range_idx, {})
