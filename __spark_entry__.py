@@ -1052,6 +1052,21 @@ def _q_eng_boost_or(spark, sf_dir):
     return _engine_matches(spark, sf_dir, "text:spark^2 OR text:window^0.5")
 
 
+def _q_eng_boosting(spark, sf_dir):
+    """boosting query (ES boosting / negative_boost): text:spark scored
+    normally, docs ALSO matching text:merge demoted to 0.4x — membership
+    unchanged (unlike MUST_NOT, which removes them)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.parser import BoostingQuery, parse_query
+
+    idx = _doc_index(spark, sf_dir)
+    sch = load_manifest(idx).schema
+    bq = BoostingQuery(
+        parse_query("text:spark", sch), parse_query("text:merge", sch), 0.4
+    )
+    return _engine_matches(spark, sf_dir, None, logical=bq)
+
+
 def _q_eng_must_should(spark, sf_dir):
     """S6: engine must/should combination (programmatic BooleanQuery)."""
     from ostrich_spark.query.parser import MUST, SHOULD, BooleanQuery, TermQuery
@@ -2668,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s5_or": _q_eng_or,
         "eng_alias_search": _q_eng_alias_search,
         "eng_boost_or": _q_eng_boost_or,
+        "eng_boosting": _q_eng_boosting,
         "eng_s6_must_should": _q_eng_must_should,
         "eng_s7_must_not": _q_eng_must_not,
         "eng_s8_filter": _q_eng_filter_occur,
@@ -2843,6 +2859,17 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
             f"SELECT t.doc_id, {tfidf_spark} AS score "
             "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
+        ),
+        # boosting query: spark's tfidf, * 0.4 where the doc also has
+        # 'merge'; the LEFT JOIN keeps demoted docs IN the match set
+        "eng_boosting": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "neg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge') "
+            "SELECT t.doc_id, "
+            "round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) "
+            "* CASE WHEN neg.doc_id IS NOT NULL THEN 0.4 ELSE 1.0 END, 6) AS score "
+            "FROM tf t JOIN df d USING(term) "
+            "LEFT JOIN neg ON neg.doc_id = t.doc_id WHERE t.term = 'spark'"
         ),
         # point-in-time read at the pre-delete commit == the plain
         # full-corpus scoring (deletes committed later are not visible)

@@ -72,6 +72,7 @@ from .query.parser import (
     MUST_NOT,
     SHOULD,
     BooleanQuery,
+    BoostingQuery,
     DisMaxQuery,
     ExistsQuery,
     FuzzyQuery,
@@ -257,6 +258,24 @@ def _leaf_row(query_id: str, occur: str, sub):
     )
 
 
+def _strip_boosting(q):
+    """Replace every BoostingQuery node with its positive side: the
+    negative clause changes ranking, never membership, and percolation
+    is pure membership."""
+    if isinstance(q, BoostingQuery):
+        return _strip_boosting(q.positive)
+    if isinstance(q, BooleanQuery):
+        return BooleanQuery(
+            [(occ, _strip_boosting(sub)) for occ, sub in q.subqueries],
+            min_should=q.min_should,
+        )
+    if isinstance(q, DisMaxQuery):
+        return DisMaxQuery(
+            [_strip_boosting(c) for c in q.children], q.tie_breaker
+        )
+    return q
+
+
 def _flatten_terms(query_id: str, q):
     """One flat boolean level of term/phrase leaves ->
     (term rows, phrase rows)."""
@@ -346,6 +365,9 @@ def register_queries(
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
         )
+        # a BoostingQuery's negative side demotes SCORES only — for the
+        # boolean matching percolation does, the node IS its positive
+        logical = _strip_boosting(logical)
         tree = None
         if _is_flat(logical):
             t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows_q = _flatten_terms(

@@ -580,6 +580,15 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
             keep = ~np.isin(bd, ed)
             return bd[keep], bs[keep]
         return bd, bs
+    if kind == "boosting":
+        # ES boosting query: the match set is base's; docs also matching
+        # demote keep their membership but score * negative_boost
+        bd, bs = eval_node(wire["base"], term_data, max_doc, scorer, aux)
+        dd, _ = eval_node(wire["demote"], term_data, max_doc, scorer, aux)
+        if len(dd) and len(bd):
+            hit = np.isin(bd, dd, assume_unique=True)
+            bs = np.where(hit, bs * float(wire["nb"]), bs)
+        return bd, bs
     if kind == "must_should":
         md, ms = eval_node(wire["must"], term_data, max_doc, scorer, aux)
         sd, ss = eval_node(wire["should"], term_data, max_doc, scorer, aux)
@@ -1041,7 +1050,8 @@ def assign_range_ids(wire: dict, start: int = 0) -> list[dict]:
         if w["kind"] == "range":
             w["rid"] = start + len(found)
             found.append(w)
-        for key in ("base", "exclude", "filt", "must", "should", "mfield"):
+        for key in ("base", "exclude", "filt", "must", "should", "mfield",
+                    "demote"):
             if key in w:
                 walk(w[key])
         for c in w.get("children", ()):
@@ -4264,8 +4274,10 @@ def explain(
             out["detail"] = {"tie_breaker": w["tie"]}
         elif w["kind"] == "min_should":
             out["detail"] = {"m": w["m"]}
+        elif w["kind"] == "boosting":
+            out["detail"] = {"negative_boost": w["nb"]}
         kids = []
-        for key in ("base", "exclude", "filt", "must", "should"):
+        for key in ("base", "exclude", "filt", "must", "should", "demote"):
             if key in w and w[key] is not None:
                 kid = walk(w[key])
                 kid["occur"] = key

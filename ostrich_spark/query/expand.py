@@ -37,6 +37,7 @@ import os
 
 from .parser import (
     BooleanQuery,
+    BoostingQuery,
     DisMaxQuery,
     EmptyQuery,
     FuzzyQuery,
@@ -530,6 +531,8 @@ def has_multiterm(q) -> bool:
         return any(has_multiterm(sub) for _, sub in q.subqueries)
     if isinstance(q, DisMaxQuery):
         return any(has_multiterm(sub) for sub in q.children)
+    if isinstance(q, BoostingQuery):
+        return has_multiterm(q.positive) or has_multiterm(q.negative)
     return False
 
 
@@ -597,6 +600,12 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
         return DisMaxQuery(
             [rewrite_multiterm(spark, index_dir, manifest, sub) for sub in q.children],
             q.tie_breaker,
+        )
+    if isinstance(q, BoostingQuery):
+        return BoostingQuery(
+            rewrite_multiterm(spark, index_dir, manifest, q.positive),
+            rewrite_multiterm(spark, index_dir, manifest, q.negative),
+            q.negative_boost,
         )
     if isinstance(q, (TermQuery, PhraseQuery, MultiPhraseQuery, NearQuery)):
         return q

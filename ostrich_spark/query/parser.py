@@ -471,6 +471,32 @@ class DisMaxQuery:
             raise QueryParseError("tie_breaker must be in [0, 1]")
 
 
+@dataclass
+class BoostingQuery:
+    """Demotion query (the Elasticsearch ``boosting`` query / Lucene
+    queries-module BoostingQuery analog — EXTENSION): docs match iff
+    they match ``positive`` and score as ``positive`` does, but any doc
+    ALSO matching ``negative`` has its score multiplied by
+    ``negative_boost``. Unlike MUST_NOT the negative clause never
+    removes a doc — it only pushes it down the ranking (the classic
+    "demote the outdated/translated/duplicate docs" shape ES documents
+    for the boosting query). ``negative`` is filter context: it
+    contributes match membership only, never score. Programmatic-only,
+    like MUST_NOT/FILTER/DisMax."""
+
+    positive: object = None
+    negative: object = None
+    negative_boost: float = 0.5
+
+    def __post_init__(self):
+        if self.positive is None or self.negative is None:
+            raise QueryParseError(
+                "BoostingQuery needs both a positive and a negative query"
+            )
+        if self.negative_boost < 0.0:
+            raise QueryParseError("negative_boost must be >= 0")
+
+
 def parse_multi_field(
     text: str, schema, fields: "list[str] | dict[str, float]",
     tie_breaker: float = 0.0,

@@ -29,6 +29,7 @@ from dataclasses import dataclass, field as dc_field
 from .parser import (
     AllQuery,
     BooleanQuery,
+    BoostingQuery,
     DisMaxQuery,
     EmptyQuery,
     ExistsQuery,
@@ -249,6 +250,18 @@ class CFilter:
 
 
 @dataclass
+class CBoosting:
+    """base's match set and scores, with docs also matching ``demote``
+    scored base * nb (ES boosting query). NOT WAND-eligible as a union
+    shape; nb <= 1 keeps base's term upper bounds valid but the node is
+    routed through the exhaustive evaluator like every other composite."""
+
+    base: object = None
+    demote: object = None
+    nb: float = 0.5
+
+
+@dataclass
 class CNot:
     """base minus exclude-matches (MUST_NOT extension). Scores come from
     base alone; exclude only filters."""
@@ -301,6 +314,10 @@ def collect_terms(q) -> list[TermQuery]:
         for sub in q.children:
             out.extend(collect_terms(sub))
         return out
+    if isinstance(q, BoostingQuery):
+        # the negative side's postings must survive the prune too — the
+        # segment scorer needs its match set to apply the demotion
+        return collect_terms(q.positive) + collect_terms(q.negative)
     return []
 
 
@@ -425,6 +442,20 @@ def compile_query(
             # max of one child == the child; tie contributes nothing
             return kids[0]
         return CDisMax(kids, q.tie_breaker)
+    if isinstance(q, BoostingQuery):
+        # AllQuery is rejected on both sides for the same pruned-postings
+        # reason as nested booleans; a constant demotion of everything is
+        # meaningless anyway (fold it into the score instead).
+        if isinstance(q.positive, AllQuery) or isinstance(q.negative, AllQuery):
+            raise ValueError("AllQuery inside a BoostingQuery is not supported")
+        base = compile_query(q.positive, doc_freqs, total_docs, field_avgdl, scorer)
+        if isinstance(base, CEmpty):
+            return CEmpty()
+        neg = compile_query(q.negative, doc_freqs, total_docs, field_avgdl, scorer)
+        if isinstance(neg, CEmpty):
+            # nothing to demote: the node is exactly its positive side
+            return base
+        return CBoosting(base, neg, q.negative_boost)
     if isinstance(q, BooleanQuery):
         # Nested AllQuery is rejected, not silently mis-evaluated: the
         # segment scorer only sees PRUNED posting rows for the query's
@@ -532,6 +563,8 @@ def node_terms(node) -> list[CTerm]:
         return node_terms(node.must) + node_terms(node.should)
     if isinstance(node, CNot):
         return node_terms(node.base) + node_terms(node.exclude)
+    if isinstance(node, CBoosting):
+        return node_terms(node.base) + node_terms(node.demote)
     if isinstance(node, CFilter):
         return ([] if node.base is None else node_terms(node.base)) + node_terms(
             node.filt
@@ -614,6 +647,13 @@ def to_wire(node) -> dict:
         return {"kind": "must_should", "must": to_wire(node.must), "should": to_wire(node.should)}
     if isinstance(node, CNot):
         return {"kind": "not", "base": to_wire(node.base), "exclude": to_wire(node.exclude)}
+    if isinstance(node, CBoosting):
+        return {
+            "kind": "boosting",
+            "base": to_wire(node.base),
+            "demote": to_wire(node.demote),
+            "nb": node.nb,
+        }
     if isinstance(node, CFilter):
         return {
             "kind": "filter",
