@@ -1236,6 +1236,41 @@ def _q_eng_filters_agg(spark, sf_dir):
     )
 
 
+def _q_eng_stats_bucket(spark, sf_dir):
+    """Sibling pipeline agg stats_bucket (ES analog): one-row
+    count/min/max/avg/sum over the day-histogram bucket metric —
+    the coordinator-model reduction of an already-reduced bucket list."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import stats_bucket
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    hist = date_histogram(spark, idx, "event_type:click", "ts", "day", manifest=mf)
+    out = stats_bucket(hist, "n_docs")
+    return _longify(
+        out.select(
+            "count", "min", "max", F.round("avg", 6).alias("avg"),
+            F.col("sum").cast("long").alias("sum"),
+        )
+    )
+
+
+def _q_eng_pctl_bucket(spark, sf_dir):
+    """Sibling pipeline agg percentiles_bucket (ES analog): EXACT
+    nearest-rank percentiles — sorted[round(p/100*(n-1))] — over the
+    day-histogram doc counts; one (percent, value) row each."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import percentiles_bucket
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    hist = date_histogram(spark, idx, "event_type:click", "ts", "day", manifest=mf)
+    out = percentiles_bucket(hist, "n_docs", [25.0, 50.0, 75.0, 95.0])
+    return out.select("percent", F.col("value").cast("long").alias("value"))
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -2703,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sorted_after": _q_eng_sorted_after,
         "eng_range_agg": _q_eng_range_agg,
         "eng_filters_agg": _q_eng_filters_agg,
+        "eng_stats_bucket": _q_eng_stats_bucket,
+        "eng_pctl_bucket": _q_eng_pctl_bucket,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_term_vectors": _q_term_vectors,
         "eng_sayt_prefix": _q_eng_sayt_prefix,
@@ -3338,6 +3375,29 @@ def oracle_sql() -> dict[str, str]:
             "AND ts IS NOT NULL GROUP BY 1) "
             "SELECT bucket_ms, n_docs, "
             "CAST(SUM(n_docs) OVER (ORDER BY bucket_ms) AS BIGINT) AS cumsum FROM h"
+        ),
+        # sibling stats_bucket: one-row summary over the bucket metric
+        "eng_stats_bucket": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1) "
+            "SELECT count(n_docs) AS count, min(n_docs) AS min, "
+            "max(n_docs) AS max, round(avg(n_docs), 6) AS avg, "
+            "CAST(sum(n_docs) AS BIGINT) AS sum FROM h"
+        ),
+        # sibling percentiles_bucket: exact nearest-rank pick
+        # sorted[round(p/100*(n-1))] — identical rounding both sides
+        # (HALF_UP == away-from-zero for positive args)
+        "eng_pctl_bucket": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1), "
+            "s AS (SELECT n_docs, row_number() OVER (ORDER BY n_docs) - 1 AS rn, "
+            "count(*) OVER () AS n FROM h), "
+            "p(percent) AS (VALUES (25.0), (50.0), (75.0), (95.0)) "
+            "SELECT CAST(p.percent AS DOUBLE) AS percent, "
+            "CAST(s.n_docs AS BIGINT) AS value FROM p JOIN s "
+            "ON s.rn = CAST(round(p.percent / 100.0 * (s.n - 1)) AS INT)"
         ),
         "eng_hist_deriv": (
             "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "

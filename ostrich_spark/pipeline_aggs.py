@@ -116,6 +116,115 @@ def moving_fn(
     return df.withColumn(out, agg)
 
 
+# --- sibling pipeline family (ES avg_bucket / sum_bucket / min_bucket /
+# max_bucket / stats_bucket / extended_stats_bucket / percentiles_bucket):
+# a single-row summary OVER a sibling multi-bucket agg's metric values.
+# Same coordinator model as above — the input is the bounded, already-
+# reduced bucket list; NULL metric values are skipped (gap_policy=skip,
+# which Spark aggregates do natively).
+
+
+_SIBLING_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def bucket_metric(
+    df: DataFrame, value: str, fn: str = "avg",
+    key=None, out: str | None = None,
+) -> DataFrame:
+    """ES ``avg_bucket`` / ``sum_bucket`` / ``min_bucket`` /
+    ``max_bucket``: one row with ``fn`` over the bucket metric. For
+    min/max, passing ``key`` (the bucket-key column) adds a ``keys``
+    array column listing EVERY bucket attaining the extreme, sorted —
+    the ES min_bucket/max_bucket response shape."""
+    if fn not in _SIBLING_FNS:
+        raise ValueError(f"bucket_metric fn must be one of {sorted(_SIBLING_FNS)}")
+    out = out or f"{fn}_bucket"
+    if key is None:
+        return df.agg(_SIBLING_FNS[fn](value).alias(out))
+    if fn not in ("min", "max"):
+        raise ValueError("keys are only defined for min/max (the ES shape)")
+    pairs = F.collect_list(
+        F.when(
+            F.col(value).isNotNull(),
+            F.struct(F.col(value).alias("v"), F.col(key).alias("k")),
+        )
+    )
+    row = df.agg(_SIBLING_FNS[fn](value).alias(out), pairs.alias("__pairs"))
+    return row.select(
+        out,
+        F.sort_array(
+            F.expr(f"transform(filter(__pairs, s -> s.v = {out}), s -> s.k)")
+        ).alias("keys"),
+    )
+
+
+def stats_bucket(df: DataFrame, value: str) -> DataFrame:
+    """ES ``stats_bucket``: one row (count, min, max, avg, sum) over the
+    bucket metric; count is of non-null values (gap_policy=skip)."""
+    return df.agg(
+        F.count(value).alias("count"),
+        F.min(value).alias("min"),
+        F.max(value).alias("max"),
+        F.avg(value).alias("avg"),
+        F.sum(value).alias("sum"),
+    )
+
+
+def extended_stats_bucket(df: DataFrame, value: str, sigma: float = 2.0) -> DataFrame:
+    """ES ``extended_stats_bucket``: stats_bucket plus sum_of_squares,
+    POPULATION variance / std_deviation (the ES definition) and the
+    ``avg ± sigma * std`` bounds."""
+    base = df.agg(
+        F.count(value).alias("count"),
+        F.min(value).alias("min"),
+        F.max(value).alias("max"),
+        F.avg(value).alias("avg"),
+        F.sum(value).alias("sum"),
+        F.sum(F.col(value) * F.col(value)).alias("sum_of_squares"),
+        F.var_pop(value).alias("variance"),
+        F.stddev_pop(value).alias("std_deviation"),
+    )
+    s = float(sigma)
+    return base.withColumn(
+        "std_upper", F.col("avg") + F.lit(s) * F.col("std_deviation")
+    ).withColumn("std_lower", F.col("avg") - F.lit(s) * F.col("std_deviation"))
+
+
+def percentiles_bucket(
+    df: DataFrame, value: str, percents=(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
+) -> DataFrame:
+    """ES ``percentiles_bucket``: EXACT (non-interpolated) percentiles
+    over the bucket metric — the nearest-rank pick ES documents:
+    ``sorted[round(p/100 * (n-1))]``. One row per requested percent,
+    (percent, value), NULLs skipped; an empty series yields NULL values
+    (ES returns null percentiles there)."""
+    ps = [float(p) for p in percents]
+    if not ps:
+        raise ValueError("percents must name >= 1 percentile")
+    for p in ps:
+        if not (0.0 <= p <= 100.0):
+            raise ValueError(f"percent {p} outside [0, 100]")
+    arr = df.agg(
+        F.sort_array(
+            F.expr(f"filter(collect_list({value}), v -> v IS NOT NULL)")
+        ).alias("__vals")
+    )
+    rows = F.array(*[
+        F.struct(
+            F.lit(p).alias("percent"),
+            F.when(
+                F.size("__vals") > 0,
+                F.element_at(
+                    "__vals",
+                    (F.round(F.lit(p / 100.0) * (F.size("__vals") - 1)) + 1).cast("int"),
+                ),
+            ).alias("value"),
+        )
+        for p in ps
+    ])
+    return arr.select(F.explode(rows).alias("r")).select("r.percent", "r.value")
+
+
 def bucket_selector(df: DataFrame, predicate) -> DataFrame:
     """ES ``bucket_selector``: drop buckets failing a predicate over
     their metric columns (SQL HAVING). ``predicate`` is a Column or a

@@ -183,3 +183,83 @@ class TestOverRealHistogram:
         pdf = out.toPandas()
         assert pdf["cumsum"].iloc[-1] == 40
         assert (pdf["cumsum"].to_numpy() == pdf["n_docs"].cumsum().to_numpy()).all()
+
+
+class TestSiblingFamily:
+    """avg/sum/min/max_bucket, stats/extended_stats/percentiles_bucket —
+    single-row summaries over the bucket list (ES sibling pipeline)."""
+
+    VALS = [4, 7, 1, 5, 2, 9]
+
+    def test_bucket_metric_avg_sum(self, bdf):
+        from ostrich_spark.pipeline_aggs import bucket_metric
+
+        assert bucket_metric(bdf, "n_docs", "avg").collect()[0]["avg_bucket"] == (
+            sum(self.VALS) / len(self.VALS)
+        )
+        assert bucket_metric(bdf, "n_docs", "sum").collect()[0]["sum_bucket"] == sum(
+            self.VALS
+        )
+        with pytest.raises(ValueError, match="fn must be"):
+            bucket_metric(bdf, "n_docs", "median")
+
+    def test_bucket_metric_min_max_keys(self, spark, bdf):
+        from ostrich_spark.pipeline_aggs import bucket_metric
+
+        r = bucket_metric(bdf, "n_docs", "min", key="bucket_ms").collect()[0]
+        assert r["min_bucket"] == 1 and r["keys"] == [2 * 86_400_000]
+        # ties: EVERY extreme bucket's key, sorted (ES keys array)
+        tied = spark.createDataFrame(
+            [(0, 9), (1, 3), (2, 9)], "bucket_ms long, n_docs long"
+        )
+        r = bucket_metric(tied, "n_docs", "max", key="bucket_ms").collect()[0]
+        assert r["max_bucket"] == 9 and r["keys"] == [0, 2]
+        with pytest.raises(ValueError, match="min/max"):
+            bucket_metric(bdf, "n_docs", "avg", key="bucket_ms")
+
+    def test_stats_and_extended_stats(self, bdf):
+        from ostrich_spark.pipeline_aggs import extended_stats_bucket, stats_bucket
+
+        r = stats_bucket(bdf, "n_docs").collect()[0]
+        assert (r["count"], r["min"], r["max"], r["sum"]) == (6, 1, 9, 28)
+        assert abs(r["avg"] - 28 / 6) < 1e-12
+        e = extended_stats_bucket(bdf, "n_docs").collect()[0]
+        assert e["sum_of_squares"] == sum(v * v for v in self.VALS)
+        mean = 28 / 6
+        var = sum((v - mean) ** 2 for v in self.VALS) / 6  # population
+        assert abs(e["variance"] - var) < 1e-9
+        assert abs(e["std_upper"] - (mean + 2 * var**0.5)) < 1e-9
+        assert abs(e["std_lower"] - (mean - 2 * var**0.5)) < 1e-9
+
+    def test_percentiles_nearest_rank_hand_computed(self, spark):
+        from ostrich_spark.pipeline_aggs import percentiles_bucket
+
+        # sorted = [1..10]; ES exact pick: sorted[round(p/100*(n-1))]
+        df = spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(10)], "k long, v double"
+        )
+        got = {
+            r["percent"]: r["value"]
+            for r in percentiles_bucket(df, "v", [0, 50, 90, 100]).collect()
+        }
+        # round(0.5*9)=5 (HALF_UP) -> sorted[5] = 6.0; round(0.9*9)=8 -> 9.0
+        assert got == {0.0: 1.0, 50.0: 6.0, 90.0: 9.0, 100.0: 10.0}
+        with pytest.raises(ValueError, match="outside"):
+            percentiles_bucket(df, "v", [101])
+        with pytest.raises(ValueError, match=">= 1"):
+            percentiles_bucket(df, "v", [])
+
+    def test_nulls_skipped_and_empty_series(self, spark):
+        from ostrich_spark.pipeline_aggs import (
+            bucket_metric,
+            percentiles_bucket,
+            stats_bucket,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 5.0), (1, None), (2, 3.0)], "k long, v double"
+        )
+        assert stats_bucket(df, "v").collect()[0]["count"] == 2
+        assert bucket_metric(df, "v", "min", key="k").collect()[0]["keys"] == [2]
+        empty = spark.createDataFrame([(0, None)], "k long, v double")
+        assert percentiles_bucket(empty, "v", [50]).collect()[0]["value"] is None
