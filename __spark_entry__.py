@@ -1271,6 +1271,56 @@ def _q_eng_pctl_bucket(spark, sf_dir):
     return out.select("percent", F.col("value").cast("long").alias("value"))
 
 
+def _q_eng_rare_terms(spark, sf_dir):
+    """rare_terms aggregation (ES analog): long-tail source buckets of
+    the text:spark match set with n_docs <= 18, rarest first — EXACT via
+    the distributed groupBy where ES needs a CuckooFilter approximation."""
+    from ostrich_spark.query.exec import rare_terms
+
+    idx = _doc_index(spark, sf_dir)
+    out = rare_terms(
+        spark, idx, "text:spark", by="source", max_doc_count=18,
+        join_df=_docs(spark, sf_dir).select("doc_id", "source"),
+        join_on=["doc_id"],
+    )
+    return out.select("source", F.col("n_docs").cast("long"))
+
+
+def _q_eng_adjacency(spark, sf_dir):
+    """adjacency_matrix aggregation (ES analog): named filters plus
+    their pairwise intersections in ONE search_many job + one co-keyed
+    self-join; empty buckets (and their pairs) omitted."""
+    from ostrich_spark.query.exec import adjacency_matrix
+
+    idx = _doc_index(spark, sf_dir)
+    out = adjacency_matrix(
+        spark, idx,
+        {"sp": "text:spark", "mg": "text:merge", "zz": "text:zzzunseenterm"},
+    )
+    return out.select("key", F.col("n_docs").cast("long"))
+
+
+def _q_eng_facet_wavg(spark, sf_dir):
+    """weighted_avg metric (ES analog) in the shared facet grammar:
+    per-lang weighted mean of n_chars (docmap side) under a join_df
+    weight column — sum(v*w)/sum(w), one partial-aggregated groupBy."""
+    from ostrich_spark.query.exec import facet_stats
+
+    side = _docs(spark, sf_dir).select(
+        "doc_id", "lang", (F.col("doc_id") % 7 + 1).alias("w")
+    )
+    idx = _doc_index(spark, sf_dir)
+    out = facet_stats(
+        spark, idx, "text:spark", by="lang",
+        metrics={"wavg_nchars": ("weighted_avg", "n_chars", "w")},
+        join_df=side, join_on=["doc_id"],
+    )
+    return out.select(
+        "lang", F.col("n_docs").cast("long"),
+        F.round("wavg_nchars", 6).alias("wavg_nchars"),
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -2740,6 +2790,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_filters_agg": _q_eng_filters_agg,
         "eng_stats_bucket": _q_eng_stats_bucket,
         "eng_pctl_bucket": _q_eng_pctl_bucket,
+        "eng_rare_terms": _q_eng_rare_terms,
+        "eng_adjacency": _q_eng_adjacency,
+        "eng_facet_wavg": _q_eng_facet_wavg,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_term_vectors": _q_term_vectors,
         "eng_sayt_prefix": _q_eng_sayt_prefix,
@@ -3157,6 +3210,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM r LEFT JOIN d ON (r.lo IS NULL OR d.n_chars >= r.lo) "
             "AND (r.hi IS NULL OR d.n_chars < r.hi) "
             "GROUP BY r.range_key, r.lo, r.hi"
+        ),
+        # rare_terms: HAVING-style long-tail cut, count ASC
+        "eng_rare_terms": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT d.source, count(*) AS n_docs "
+            "FROM m JOIN documents d USING(doc_id) "
+            "GROUP BY d.source HAVING count(*) <= 18"
+        ),
+        # adjacency_matrix: singles + pairwise intersections, empty
+        # buckets omitted
+        "eng_adjacency": (
+            f"WITH {TOKS_CTE}, "
+            "s AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "g AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'), "
+            "b AS (SELECT doc_id FROM s INTERSECT SELECT doc_id FROM g) "
+            "SELECT * FROM ("
+            "SELECT 'sp' AS key, (SELECT count(*) FROM s) AS n_docs "
+            "UNION ALL SELECT 'mg', (SELECT count(*) FROM g) "
+            "UNION ALL SELECT 'sp&mg', (SELECT count(*) FROM b)"
+            ") WHERE n_docs > 0"
+        ),
+        # weighted_avg metric: sum(v*w)/sum(w) per lang bucket
+        "eng_facet_wavg": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT d.lang, count(*) AS n_docs, "
+            "round(sum(d.n_chars * (d.doc_id % 7 + 1)) * 1.0 "
+            "/ sum(d.doc_id % 7 + 1), 6) AS wavg_nchars "
+            "FROM m JOIN documents d USING(doc_id) GROUP BY d.lang"
         ),
         # filters aggregation: named-query buckets, empty ones present
         "eng_filters_agg": (

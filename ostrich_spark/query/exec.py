@@ -1876,12 +1876,16 @@ def facet_counts(
 
 
 _FACET_METRIC_FNS = ("count", "min", "max", "sum", "avg",
-                     "count_distinct", "approx_count_distinct")
+                     "count_distinct", "approx_count_distinct",
+                     "weighted_avg")
 
 
 def _metric_aggs(F, metrics: dict) -> list:
     """Shared metric-sub-agg grammar (facet_stats / range_agg /
-    filters_agg / composite): output column -> (fn, column[, rsd])."""
+    filters_agg / composite): output column -> (fn, column[, rsd]).
+    ``weighted_avg`` takes (fn, value_col, weight_col) — the ES
+    weighted_avg agg: sum(v*w)/sum(w over rows where v is present),
+    so a NULL value drops its weight from the denominator too."""
     aggs = []
     for out, spec in metrics.items():
         fn, col, *rest = spec
@@ -1893,6 +1897,18 @@ def _metric_aggs(F, metrics: dict) -> list:
             aggs.append(F.countDistinct(col).alias(out))
         elif fn == "approx_count_distinct":
             aggs.append(F.approx_count_distinct(col, *rest).alias(out))
+        elif fn == "weighted_avg":
+            if not rest:
+                raise ValueError(
+                    f"metric {out!r}: weighted_avg needs (fn, value, weight)"
+                )
+            w = rest[0]
+            aggs.append(
+                (
+                    F.sum(F.col(col) * F.col(w))
+                    / F.sum(F.when(F.col(col).isNotNull(), F.col(w)))
+                ).alias(out)
+            )
         else:
             aggs.append(getattr(F, fn)(col).alias(out))
     return aggs
@@ -1957,11 +1973,14 @@ def facet_stats(
     if join_df is not None:
         join_on = [join_on] if isinstance(join_on, str) else list(join_on or [])
         # keep docmap-side metric columns (e.g. a numeric doc value
-        # averaged per source-table bucket) through the source join
+        # averaged per source-table bucket) through the source join —
+        # including weighted_avg's weight column (spec[2])
         keep = [
-            spec[1] for spec in metrics.values()
-            if spec[1] in matched.columns and spec[1] not in join_on
-            and spec[1] not in join_df.columns
+            c
+            for spec in metrics.values()
+            for c in spec[1:]
+            if isinstance(c, str) and c in matched.columns
+            and c not in join_on and c not in join_df.columns
         ]
         matched = matched.select(*join_on, *dict.fromkeys(keep)).join(
             join_df, join_on, "inner"
@@ -2114,6 +2133,137 @@ def filters_agg(
         .orderBy("filter_ord")
     )
     return out.select("filter_key", "n_docs", *[F.col(m) for m in metrics])
+
+
+def rare_terms(
+    spark,
+    index_dir: str,
+    query,
+    by,
+    max_doc_count: int = 1,
+    metrics: dict | None = None,
+    join_df=None,
+    join_on=None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Long-tail bucket aggregation — the Elasticsearch ``rare_terms``
+    analog (EXTENSION): the terms buckets whose doc count is <=
+    ``max_doc_count``, count ASC then key ASC (rarest first, the ES
+    response order). Same ``by``/``metrics``/``join_df`` grammar as
+    facet_stats.
+
+    ES implements this with a CuckooFilter because its coordinator
+    cannot hold every bucket; Spark's shuffle CAN — the groupBy is
+    exact and distributed, the <= filter cuts before any collect, so
+    this is exact where ES is approximate (documented difference).
+    """
+    from pyspark.sql import functions as F
+
+    if max_doc_count < 1:
+        raise ValueError("max_doc_count must be >= 1")
+    out = facet_stats(
+        spark, index_dir, query, by, metrics or {},
+        join_df=join_df, join_on=join_on, manifest=manifest,
+        scorer=scorer, default_fields=default_fields,
+    )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    return out.filter(F.col("n_docs") <= max_doc_count).orderBy(
+        F.col("n_docs").asc(), *[F.col(c).asc() for c in by_cols]
+    )
+
+
+def missing_agg(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    metrics: dict | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``missing`` aggregation analog (EXTENSION): one
+    row counting the matched docs whose ``field`` doc value IS NULL,
+    with optional facet-grammar ``metrics`` over other docmap columns —
+    the find-the-unmapped-documents bucket. One docmap-joined match set,
+    one IS NULL cut pushed at the scan, one map-side-partial agg."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _doc_value_field_entry(manifest, field)  # field must be a doc value
+    metrics = metrics or {}
+    aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    return matched.filter(F.col(field).isNull()).agg(*aggs)
+
+
+def adjacency_matrix(
+    spark,
+    index_dir: str,
+    queries: dict[str, object],
+    separator: str = "&",
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``adjacency_matrix`` aggregation analog
+    (EXTENSION): named filters -> one bucket per filter plus one per
+    PAIRWISE intersection (``a&b``), empty buckets omitted (ES
+    behavior). Pair keys follow declaration order (``key_i&key_j`` with
+    i < j), output sorted key ASC like the ES keyed response.
+
+    Scale posture: all filters evaluate as ONE search_many job; the
+    pair counts come from a SELF-JOIN co-keyed on (segment_id, doc) —
+    per-doc fan-out is bounded by filters-per-doc (<= len(queries),
+    which ES caps at 100), never corpus size; both legs partial-agg on
+    the tiny bucket key afterward. The declaration-order map rides a
+    broadcast literal.
+    """
+    from pyspark.sql import functions as F
+
+    if not queries:
+        raise ValueError("queries must declare >= 1 named filter")
+    for k in queries:
+        if separator in k:
+            raise ValueError(
+                f"filter key {k!r} contains the separator {separator!r}"
+            )
+    res = search_many(
+        spark, index_dir, queries, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    ).select("query_id", "segment_id", "doc")
+    decl = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(queries)], "ord int, query_id string"
+    )
+    tagged = res.join(F.broadcast(decl), "query_id")
+    singles = tagged.groupBy(F.col("query_id").alias("key")).agg(
+        F.count("*").alias("n_docs")
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.segment_id") == F.col("b.segment_id"))
+            & (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.ord") < F.col("b.ord")),
+        )
+        .select(
+            F.concat_ws(separator, F.col("a.query_id"), F.col("b.query_id")).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return singles.unionByName(pairs).orderBy("key")
 
 
 def cardinality(

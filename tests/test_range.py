@@ -661,3 +661,113 @@ def test_filters_agg_one_job_partial_agg(spark, range_idx):
     assert "Window" not in plan
     with pytest.raises(ValueError, match=">= 1"):
         filters_agg(spark, range_idx, {})
+
+
+# --- rare_terms / missing_agg / adjacency_matrix / weighted_avg metric ---
+
+
+def test_rare_terms_bruteforce(spark, range_idx):
+    """Buckets with n_docs <= max_doc_count, rarest first (ES order)."""
+    from ostrich_spark.query.exec import rare_terms
+
+    counts = {}
+    for k in _matched_ks(spark, range_idx, "content:merge"):
+        y = 2000 + k % 20
+        counts[y] = counts.get(y, 0) + 1
+    for cut in sorted(set(counts.values())) + [min(counts.values()) - 1]:
+        rows = rare_terms(
+            spark, range_idx, "content:merge", "year", max_doc_count=max(cut, 1)
+        ).collect()
+        want = {y: c for y, c in counts.items() if c <= max(cut, 1)}
+        assert {int(r["year"]): r["n_docs"] for r in rows} == want
+        got_order = [(r["n_docs"], int(r["year"])) for r in rows]
+        assert got_order == sorted(got_order)
+    with pytest.raises(ValueError, match=">= 1"):
+        rare_terms(spark, range_idx, "content:merge", "year", max_doc_count=0)
+
+
+def test_missing_agg(spark, tmp_path):
+    from ostrich_spark.query.exec import missing_agg
+
+    idx = str(tmp_path / "missidx")
+    docs = pd.DataFrame(
+        {
+            "k": [0, 1, 2, 3, 4],
+            "content": ["merge spark"] * 4 + ["spark only"],
+            "year": [2000, 2001, 2002, 2003, 2004],
+            "rating": [1.0, None, 3.0, None, None],
+        }
+    )
+    build_index(
+        spark, spark.createDataFrame(docs), _schema(), idx,
+        num_partitions=2, order_col="k", id_cols=["k"],
+    )
+    # doc 4 (null rating) does NOT match content:merge -> 2 missing
+    r = missing_agg(
+        spark, idx, "content:merge", "rating",
+        metrics={"max_year": ("max", "year")},
+    ).collect()[0]
+    assert r["n_docs"] == 2
+    assert r["max_year"] == 2003
+    with pytest.raises(ValueError, match="doc-value"):
+        missing_agg(spark, idx, "content:merge", "content")
+
+
+def test_adjacency_matrix_bruteforce(spark, range_idx):
+    """Singles + pairwise intersections in declaration order; empty
+    buckets (and their pairs) omitted — ES adjacency_matrix."""
+    from ostrich_spark.query.exec import adjacency_matrix
+
+    qs = {
+        "mg": "content:merge",
+        "sp": "content:spark",
+        "zz": "content:zzznothere",
+    }
+    sets = {k: set(_matched_ks(spark, range_idx, q)) for k, q in qs.items()}
+    rows = {r["key"]: r["n_docs"] for r in
+            adjacency_matrix(spark, range_idx, qs).collect()}
+    want = {
+        "mg": len(sets["mg"]),
+        "sp": len(sets["sp"]),
+        "mg&sp": len(sets["mg"] & sets["sp"]),
+    }
+    assert rows == {k: v for k, v in want.items() if v > 0}
+    assert rows["mg&sp"] > 0  # the intersection bucket really exists
+    with pytest.raises(ValueError, match="separator"):
+        adjacency_matrix(spark, range_idx, {"a&b": "content:merge"})
+    with pytest.raises(ValueError, match=">= 1"):
+        adjacency_matrix(spark, range_idx, {})
+
+
+def test_weighted_avg_metric(spark, range_idx):
+    """weighted_avg (ES analog) through the shared metric grammar:
+    sum(v*w)/sum(w where v present), incl through a join_df facet."""
+    from ostrich_spark.query.exec import facet_stats
+
+    ks = _matched_ks(spark, range_idx, "content:merge")
+    # weight = k % 5 + 1 from a side table; value = rating (docmap side)
+    side = spark.createDataFrame(
+        [(k, "even" if k % 2 == 0 else "odd", k % 5 + 1) for k in range(60)],
+        "k long, par string, w long",
+    )
+    got = {
+        r["par"]: r["wavg"]
+        for r in facet_stats(
+            spark, range_idx, "content:merge", by="par",
+            metrics={"wavg": ("weighted_avg", "rating", "w")},
+            join_df=side, join_on=["k"],
+        ).collect()
+    }
+    want = {}
+    for p in ("even", "odd"):
+        sel = [k for k in ks if ("even" if k % 2 == 0 else "odd") == p]
+        want[p] = sum(k * 0.5 * (k % 5 + 1) for k in sel) / sum(
+            k % 5 + 1 for k in sel
+        )
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-9
+    with pytest.raises(ValueError, match="needs"):
+        facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={"bad": ("weighted_avg", "rating")},
+        )
