@@ -321,6 +321,65 @@ def _date_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+_CROSS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _cross_index(spark: SparkSession, sf_dir: str) -> str:
+    """Two-text-field index for cross_fields gating: text plus a small
+    second field text2 = source + ' spark' — 'spark' lives in BOTH
+    fields so the blended (group-max) df is genuinely exercised."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _CROSS_INDEX_CACHE:
+        return _CROSS_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-xf1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_text_field("text2", "default")
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select(
+                "doc_id", "text",
+                F.concat_ws(" ", "source", F.lit("spark")).alias("text2"),
+            ),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-xf-{tag}",
+        )
+    _CROSS_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_cross_fields(spark, sf_dir):
+    """multi_match type=cross_fields (Lucene BlendedTermQuery): the
+    query 'spark src3' analyzed ONCE, each token a blended-df dismax
+    across text + text2^2 — 'spark' is in every text2, so its blended
+    df is N and BOTH fields' leaves score with idf(N), the
+    comparable-across-fields contract field-centric best_fields lacks."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import parse_cross_fields
+
+    idx = _cross_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    q = parse_cross_fields(
+        "spark src3", mf.schema, {"text": 1.0, "text2": 2.0},
+        tie_breaker=0.3,
+    )
+    res, _ = search(spark, idx, q, limit=None, manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_date_range(spark, sf_dir):
     """Date range query (ES date type): tfidf term score + 1.0 constant
     from an ISO day-bounded range with ES date-math rounding — the
@@ -2790,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_filters_agg": _q_eng_filters_agg,
         "eng_stats_bucket": _q_eng_stats_bucket,
         "eng_pctl_bucket": _q_eng_pctl_bucket,
+        "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
         "eng_facet_wavg": _q_eng_facet_wavg,
@@ -3210,6 +3270,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM r LEFT JOIN d ON (r.lo IS NULL OR d.n_chars >= r.lo) "
             "AND (r.hi IS NULL OR d.n_chars < r.hi) "
             "GROUP BY r.range_key, r.lo, r.hi"
+        ),
+        # cross_fields: per-token blended-df dismax over text + text2^2.
+        # text2 = source + ' spark', so blended df('spark') =
+        # max(df_text, N) = N; 'src3' exists only in text2 -> its single
+        # surviving leaf scores with its own (already-blended) df.
+        # tie_breaker 0.3: token score = max + 0.3*(sum - max).
+        "eng_cross_fields": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "c AS (SELECT "
+            "1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT n FROM n))) AS idf_sp, "
+            "1.0 + ln((SELECT n FROM n) / (1.0 + greatest("
+            "coalesce((SELECT df FROM df WHERE term = 'src3'), 0), "
+            "(SELECT count(*) FROM documents WHERE source = 'src3')))) AS idf_s3), "
+            "t AS (SELECT doc_id, tf FROM tf WHERE term = 'spark') "
+            "SELECT d.doc_id, round("
+            "CASE WHEN t.tf IS NOT NULL THEN "
+            "greatest(t.tf * c.idf_sp, 2.0 * c.idf_sp) "
+            "+ 0.3 * (t.tf * c.idf_sp + 2.0 * c.idf_sp "
+            "- greatest(t.tf * c.idf_sp, 2.0 * c.idf_sp)) "
+            "ELSE 2.0 * c.idf_sp END "
+            "+ CASE WHEN d.source = 'src3' THEN 2.0 * c.idf_s3 ELSE 0.0 END"
+            ", 6) AS score "
+            "FROM documents d LEFT JOIN t USING(doc_id), c"
         ),
         # rare_terms: HAVING-style long-tail cut, count ASC
         "eng_rare_terms": (

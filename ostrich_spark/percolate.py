@@ -71,6 +71,7 @@ from .query.parser import (
     MUST,
     MUST_NOT,
     SHOULD,
+    BlendedTermQuery,
     BooleanQuery,
     BoostingQuery,
     DisMaxQuery,
@@ -259,11 +260,18 @@ def _leaf_row(query_id: str, occur: str, sub):
 
 
 def _strip_boosting(q):
-    """Replace every BoostingQuery node with its positive side: the
-    negative clause changes ranking, never membership, and percolation
-    is pure membership."""
+    """Matching-equivalence normalization for score-only nodes: a
+    BoostingQuery IS its positive side (the negative demotes, never
+    excludes) and a BlendedTermQuery IS the OR of its per-field terms
+    (df blending changes scores, not membership) — percolation is pure
+    membership."""
     if isinstance(q, BoostingQuery):
         return _strip_boosting(q.positive)
+    if isinstance(q, BlendedTermQuery):
+        kids = [TermQuery(fid, term) for fid, term, _ in q.pairs]
+        if len(kids) == 1:
+            return kids[0]
+        return BooleanQuery([(SHOULD, k) for k in kids])
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
             [(occ, _strip_boosting(sub)) for occ, sub in q.subqueries],

@@ -518,6 +518,80 @@ def parse_multi_field(
 
 
 @dataclass(frozen=True)
+class BlendedTermQuery:
+    """Lucene BlendedTermQuery — the heart of ES ``multi_match
+    type=cross_fields``: ONE logical term looked up in several fields
+    with a BLENDED document frequency. Every per-field leaf scores with
+    ``idf(max df across the group)`` (its own postings/tf, its own
+    field boost), so the same word is comparable across fields — a
+    first_name hit doesn't dwarf a last_name hit just because one
+    field's dictionary is smaller. Per-doc combination is dismax:
+    ``max + tie * (sum - max)``. ``pairs`` is
+    ``((field_id, term, field_boost), ...)``. Programmatic / built by
+    parse_cross_fields."""
+
+    pairs: tuple = ()
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.pairs:
+            raise QueryParseError("BlendedTermQuery needs >= 1 (field, term) pair")
+        if not (0.0 <= self.tie_breaker <= 1.0):
+            raise QueryParseError("tie_breaker must be in [0, 1]")
+
+
+def parse_cross_fields(
+    text: str,
+    schema,
+    fields: "list[str] | dict[str, float]",
+    operator: str = "or",
+    tie_breaker: float = 0.0,
+):
+    """ES ``multi_match type=cross_fields``: TERM-centric multi-field
+    match — the query text analyzes ONCE (the fields must share one
+    query analyzer, the ES same-analyzer group rule) and each token
+    becomes a BlendedTermQuery across all the fields. With
+    ``operator="and"`` every token must match in SOME field — the
+    "first name in one field, last name in another" contract that
+    field-centric best_fields (parse_multi_field) cannot express.
+    ``fields`` may map field -> boost like parse_multi_field."""
+    boosts = fields if isinstance(fields, dict) else {f: 1.0 for f in fields}
+    if not boosts:
+        raise QueryParseError("cross_fields needs >= 1 field")
+    if operator not in ("or", "and"):
+        raise QueryParseError("operator must be 'or' or 'and'")
+    entries = []
+    for name in boosts:
+        fe = schema.field_by_name(name)
+        if fe is None or fe.is_doc_value:
+            raise QueryParseError(
+                f"cross_fields field {name!r} is not a text field of this schema"
+            )
+        entries.append(fe)
+    analyzers = {fe.query_analyzer for fe in entries}
+    if len(analyzers) != 1:
+        raise QueryParseError(
+            f"cross_fields requires fields sharing ONE analyzer, got "
+            f"{sorted(analyzers)} — split into per-analyzer groups and "
+            f"combine with DisMaxQuery (the ES cross-group behavior)"
+        )
+    toks = get_analyzer(analyzers.pop()).analyze_one(text)
+    if not toks:
+        return EmptyQuery()
+    blended = [
+        BlendedTermQuery(
+            tuple((fe.id, t, boosts[fe.name]) for fe in entries), tie_breaker
+        )
+        for t in toks
+    ]
+    if len(blended) == 1:
+        return blended[0]
+    occ = MUST if operator == "and" else SHOULD
+    return BooleanQuery([(occ, b) for b in blended])
+
+
+@dataclass(frozen=True)
 class EmptyQuery:
     pass
 

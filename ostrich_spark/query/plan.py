@@ -28,6 +28,7 @@ from dataclasses import dataclass, field as dc_field
 
 from .parser import (
     AllQuery,
+    BlendedTermQuery,
     BooleanQuery,
     BoostingQuery,
     DisMaxQuery,
@@ -318,6 +319,8 @@ def collect_terms(q) -> list[TermQuery]:
         # the negative side's postings must survive the prune too — the
         # segment scorer needs its match set to apply the demotion
         return collect_terms(q.positive) + collect_terms(q.negative)
+    if isinstance(q, BlendedTermQuery):
+        return [TermQuery(fid, term) for fid, term, _ in q.pairs]
     return []
 
 
@@ -428,6 +431,26 @@ def compile_query(
             "term dictionary first (query.expand.rewrite_multiterm) — "
             "exec.search does this automatically"
         )
+    if isinstance(q, BlendedTermQuery):
+        # Lucene BlendedTermQuery: every leaf keeps its OWN postings and
+        # tf but scores with idf of the GROUP-MAX df, so the same word
+        # is comparable across fields (the cross_fields contract);
+        # absent-from-a-field leaves drop, absent-everywhere is empty
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        dfs = [doc_freqs.get((fid, term), 0) for fid, term, _ in q.pairs]
+        bdf = max(dfs)
+        if bdf == 0:
+            return CEmpty()
+        blended_idf = idf_fn(total_docs, bdf)
+        kids = [
+            CTerm(fid, term, df, blended_idf * fb * q.boost,
+                  field_avgdl.get(fid, 1.0))
+            for (fid, term, fb), df in zip(q.pairs, dfs)
+            if df > 0
+        ]
+        if len(kids) == 1:
+            return kids[0]
+        return CDisMax(kids, q.tie_breaker)
     if isinstance(q, DisMaxQuery):
         kids = [
             compile_query(sub, doc_freqs, total_docs, field_avgdl, scorer)
