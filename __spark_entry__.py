@@ -1295,6 +1295,53 @@ def _q_eng_filters_agg(spark, sf_dir):
     )
 
 
+def _q_eng_hist_filled(spark, sf_dir):
+    """date_histogram min_doc_count=0 + extended_bounds (ES gap
+    filling): the day spine runs from the snapped extended lower bound
+    through the upper one, empty buckets present with n_docs=0 — the
+    spine is a sequence() on the one-row min/max aggregate, never a
+    driver-side range."""
+    import datetime as _dt
+
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+
+    def _ms(y, m, d):
+        return int(_dt.datetime(y, m, d, tzinfo=_dt.timezone.utc).timestamp() * 1000)
+
+    out = date_histogram(
+        spark, idx, "event_type:click", "ts", "day", min_doc_count=0,
+        extended_bounds=(_ms(2023, 12, 28), _ms(2024, 2, 3)), manifest=mf,
+    )
+    return _longify(out)
+
+
+def _q_eng_facet_top(spark, sf_dir):
+    """max_by/min_by metrics (ES top_metrics shape): per-etype value of
+    the `value` doc value at the extreme doc_id — the sort column is
+    unique, so the pick is deterministic on both engines."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import facet_stats
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = facet_stats(
+        spark, idx, "event_type:click OR event_type:error OR event_type:view",
+        by="etype",
+        metrics={"last_value": ("max_by", "value", "doc_id"),
+                 "first_value": ("min_by", "value", "doc_id")},
+        manifest=mf,
+    )
+    return out.select(
+        "etype", F.col("n_docs").cast("long"),
+        F.round("last_value", 6).alias("last_value"),
+        F.round("first_value", 6).alias("first_value"),
+    )
+
+
 def _q_eng_stats_bucket(spark, sf_dir):
     """Sibling pipeline agg stats_bucket (ES analog): one-row
     count/min/max/avg/sum over the day-histogram bucket metric —
@@ -2849,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_filters_agg": _q_eng_filters_agg,
         "eng_stats_bucket": _q_eng_stats_bucket,
         "eng_pctl_bucket": _q_eng_pctl_bucket,
+        "eng_hist_filled": _q_eng_hist_filled,
+        "eng_facet_top": _q_eng_facet_top,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3541,6 +3590,28 @@ def oracle_sql() -> dict[str, str]:
             "AND ts IS NOT NULL GROUP BY 1) "
             "SELECT bucket_ms, n_docs, "
             "CAST(SUM(n_docs) OVER (ORDER BY bucket_ms) AS BIGINT) AS cumsum FROM h"
+        ),
+        # day histogram gap fill: spine from the snapped extended lower
+        # bound through the upper, zero-filled LEFT JOIN
+        "eng_hist_filled": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1), "
+            "b AS (SELECT least((SELECT min(bucket_ms) FROM h), "
+            "epoch_ms(TIMESTAMP '2023-12-28')) AS lo, "
+            "greatest((SELECT max(bucket_ms) FROM h), "
+            "epoch_ms(TIMESTAMP '2024-02-03')) AS hi), "
+            "s AS (SELECT unnest(generate_series(lo, hi, 86400000)) AS bucket_ms FROM b) "
+            "SELECT s.bucket_ms, CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs "
+            "FROM s LEFT JOIN h USING(bucket_ms)"
+        ),
+        # top_metrics shape: arg_max/arg_min on a UNIQUE sort column
+        "eng_facet_top": (
+            "SELECT event_type AS etype, count(*) AS n_docs, "
+            "round(arg_max(value, event_id), 6) AS last_value, "
+            "round(arg_min(value, event_id), 6) AS first_value "
+            "FROM events WHERE event_type IN ('click', 'error', 'view') "
+            "GROUP BY event_type"
         ),
         # sibling stats_bucket: one-row summary over the bucket metric
         "eng_stats_bucket": (

@@ -37,6 +37,7 @@ Block-max WAND (north rule; the reference's acknowledged TODO at
 from __future__ import annotations
 
 import json
+import math
 import os
 from functools import reduce
 from operator import or_
@@ -1877,7 +1878,7 @@ def facet_counts(
 
 _FACET_METRIC_FNS = ("count", "min", "max", "sum", "avg",
                      "count_distinct", "approx_count_distinct",
-                     "weighted_avg")
+                     "weighted_avg", "max_by", "min_by")
 
 
 def _metric_aggs(F, metrics: dict) -> list:
@@ -1897,6 +1898,16 @@ def _metric_aggs(F, metrics: dict) -> list:
             aggs.append(F.countDistinct(col).alias(out))
         elif fn == "approx_count_distinct":
             aggs.append(F.approx_count_distinct(col, *rest).alias(out))
+        elif fn in ("max_by", "min_by"):
+            # ES top_metrics shape: the value of `col` at the bucket's
+            # extreme of the sort column. Ties on the sort column are
+            # NONDETERMINISTIC (here and in DuckDB's arg_max alike) —
+            # sort by a unique column (an id) when determinism matters.
+            if not rest:
+                raise ValueError(
+                    f"metric {out!r}: {fn} needs (fn, value, sort_col)"
+                )
+            aggs.append(getattr(F, fn)(F.col(col), F.col(rest[0])).alias(out))
         elif fn == "weighted_avg":
             if not rest:
                 raise ValueError(
@@ -2790,6 +2801,8 @@ def numeric_histogram(
     query,
     by: str,
     bin_width,
+    min_doc_count: int = 1,
+    extended_bounds: tuple | None = None,
     manifest: Manifest | None = None,
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
@@ -2799,11 +2812,21 @@ def numeric_histogram(
     bound, ``n_docs``). Nulls are dropped (no-value docs occupy no
     bucket). Same scale posture as facet_counts: the match set is never
     collected; the groupBy partial-aggregates map-side so the shuffle
-    carries one row per (partition, bucket)."""
+    carries one row per (partition, bucket).
+
+    ``min_doc_count=0`` fills the gaps (the ES option): every bucket
+    from the lowest to the highest OCCUPIED bucket appears, empty ones
+    with ``n_docs = 0``; ``extended_bounds=(lo, hi)`` widens that range
+    past the data (either side None = data-driven), exactly ES's
+    interaction of the two options. The spine is a ``sequence()`` over
+    BUCKET INDICES on the one-row min/max aggregate — no driver-side
+    range materialization, works for fractional bin widths."""
     from pyspark.sql import functions as F
 
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
+    if min_doc_count not in (0, 1):
+        raise ValueError("min_doc_count must be 0 or 1 (ES: gaps on/off)")
     if manifest is None:
         manifest = load_manifest(index_dir)
     _numeric_field_entry(manifest, by)
@@ -2815,11 +2838,33 @@ def numeric_histogram(
     matched = docmap.select("segment_id", "doc", by).join(
         res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
     )
-    bucket = F.floor(F.col(by) / F.lit(bin_width)) * F.lit(bin_width)
-    return (
+    idx = F.floor(F.col(by) / F.lit(bin_width))
+    occupied = (
         matched.filter(F.col(by).isNotNull())
-        .groupBy(bucket.alias("bucket"))
+        .groupBy(idx.alias("__bi"))
         .agg(F.count("*").alias("n_docs"))
+    )
+    bucket = (F.col("__bi") * F.lit(bin_width)).alias("bucket")
+    if min_doc_count == 1:
+        return occupied.select(bucket, "n_docs")
+    lo_i = hi_i = None
+    if extended_bounds is not None:
+        e_lo, e_hi = extended_bounds
+        lo_i = None if e_lo is None else math.floor(e_lo / bin_width)
+        hi_i = None if e_hi is None else math.floor(e_hi / bin_width)
+    bounds = occupied.agg(
+        F.least(F.min("__bi"), F.lit(lo_i)).alias("__lo"),
+        F.greatest(F.max("__bi"), F.lit(hi_i)).alias("__hi"),
+    ).select(
+        F.coalesce("__lo", F.lit(lo_i)).alias("__lo"),
+        F.coalesce("__hi", F.lit(hi_i)).alias("__hi"),
+    )
+    spine = bounds.filter(F.col("__lo").isNotNull()).select(
+        F.explode(F.sequence("__lo", "__hi")).alias("__bi")
+    )
+    return (
+        spine.join(occupied, "__bi", "left")
+        .select(bucket, F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
     )
 
 
@@ -2837,6 +2882,8 @@ def date_histogram(
     query,
     by: str,
     interval: str = "day",
+    min_doc_count: int = 1,
+    extended_bounds: tuple | None = None,
     manifest: Manifest | None = None,
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
@@ -2850,7 +2897,16 @@ def date_histogram(
     Monday) / month / quarter / year (calendar truncation on the UTC
     DATE via ``date_from_unix_date`` + ``trunc``, both timezone-free).
     Nulls drop; one partial-aggregated groupBy, the facet_counts scale
-    posture."""
+    posture.
+
+    ``min_doc_count=0`` fills calendar gaps (the ES option): every
+    bucket from the first to the last OCCUPIED one appears, empty ones
+    with ``n_docs = 0``; ``extended_bounds=(lo_ms, hi_ms)`` (epoch
+    millis, either side None) widens the range past the data, the
+    bounds snapped to their bucket starts like ES does. The spine is a
+    ``sequence()`` on the one-row min/max aggregate — fixed intervals
+    step in millis, calendar intervals step as DATE + INTERVAL
+    arithmetic (timezone-free, dates carry no zone)."""
     from pyspark.sql import functions as F
 
     if interval not in _DATE_HIST_FIXED_US and interval not in _DATE_HIST_TRUNC:
@@ -2858,6 +2914,8 @@ def date_histogram(
             f"interval {interval!r} not supported — one of "
             f"{sorted(_DATE_HIST_FIXED_US) + sorted(_DATE_HIST_TRUNC)}"
         )
+    if min_doc_count not in (0, 1):
+        raise ValueError("min_doc_count must be 0 or 1 (ES: gaps on/off)")
     if manifest is None:
         manifest = load_manifest(index_dir)
     fe = manifest.schema.field_by_name(by)
@@ -2876,10 +2934,49 @@ def date_histogram(
     )
     us = F.col(by)
     bucket_ms = _date_bucket_ms_expr(us, interval)
-    return (
+    occupied = (
         matched.filter(us.isNotNull())
         .groupBy(bucket_ms.alias("bucket_ms"))
         .agg(F.count("*").alias("n_docs"))
+    )
+    if min_doc_count == 1:
+        return occupied
+    lo = hi = None
+    if extended_bounds is not None:
+        e_lo, e_hi = extended_bounds
+        # snap each bound to ITS bucket start via the same expression
+        snap = lambda ms: _date_bucket_ms_expr(F.lit(int(ms) * 1000), interval)
+        lo = None if e_lo is None else snap(e_lo)
+        hi = None if e_hi is None else snap(e_hi)
+    bounds = occupied.agg(
+        F.least(F.min("bucket_ms"), lo if lo is not None else F.lit(None).cast("long")).alias("__lo"),
+        F.greatest(F.max("bucket_ms"), hi if hi is not None else F.lit(None).cast("long")).alias("__hi"),
+    ).filter(F.col("__lo").isNotNull())
+    if interval in _DATE_HIST_FIXED_US:
+        step = _DATE_HIST_FIXED_US[interval] // 1000  # millis
+        spine = bounds.select(
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(step).cast("long"))
+            ).alias("bucket_ms")
+        )
+    else:
+        # calendar steps: bucket starts are UTC midnights, so they map
+        # exactly to DATEs (timezone-free) and back
+        n, unit = {"week": (7, "day"), "month": (1, "month"),
+                   "quarter": (3, "month"), "year": (1, "year")}[interval]
+        day_ms = 86_400_000
+        spine = bounds.select(
+            F.explode(
+                F.sequence(
+                    F.date_from_unix_date((F.col("__lo") / day_ms).cast("int")),
+                    F.date_from_unix_date((F.col("__hi") / day_ms).cast("int")),
+                    F.expr(f"interval {n} {unit}"),
+                )
+            ).alias("__d")
+        ).select((F.unix_date("__d").cast("long") * day_ms).alias("bucket_ms"))
+    return (
+        spine.join(occupied, "bucket_ms", "left")
+        .select("bucket_ms", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
     )
 
 
@@ -3033,19 +3130,7 @@ def composite_agg(
             pred = clause if pred is None else (pred | clause)
         matched = matched.filter(pred)
 
-    aggs = [F.count("*").alias("n_docs")]
-    for out, spec in (metrics or {}).items():
-        fn, col, *rest = spec
-        if fn not in _FACET_METRIC_FNS:
-            raise ValueError(
-                f"metric {out!r}: fn must be one of {_FACET_METRIC_FNS}, got {fn!r}"
-            )
-        if fn == "count_distinct":
-            aggs.append(F.countDistinct(col).alias(out))
-        elif fn == "approx_count_distinct":
-            aggs.append(F.approx_count_distinct(col, *rest).alias(out))
-        else:
-            aggs.append(getattr(F, fn)(col).alias(out))
+    aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics or {})
 
     return (
         matched.groupBy(*[e.alias(n) for n, e in zip(names, key_exprs)])

@@ -300,3 +300,98 @@ def test_percolate_date_range_identity(spark, date_index):
         got.setdefault(r["query_id"], []).append(r["doc_id"])
     for qid, q in subs.items():
         assert sorted(got.get(qid, [])) == _ids(spark, idx, q), qid
+
+
+def test_histogram_min_doc_count_zero_fills_gaps(spark, tmp_path):
+    """ES min_doc_count=0: every bucket between the first and last
+    occupied one appears with n_docs=0; extended_bounds widens past the
+    data with bounds snapped to bucket starts; calendar intervals step
+    correctly across the gap months."""
+    idx = str(tmp_path / "gapidx")
+    days = [
+        dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 1, 11),
+        dt.datetime(2024, 1, 2, 9), dt.datetime(2024, 1, 5, 3),
+        dt.datetime(2024, 3, 10, 23),
+    ]
+    sc = Schema()
+    sc.add_text_field("event_type", "default")
+    sc.add_date_field("ts")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(days)),
+            "event_type": ["click"] * len(days),
+            "ts": [d.replace(tzinfo=None) for d in days],
+        }
+    )
+    build_index(
+        spark, spark.createDataFrame(pdf), sc, idx,
+        num_partitions=2, order_col="doc_id", id_cols=["doc_id"],
+    )
+
+    def day_ms(*a):
+        return _us(*a) // 1000
+
+    got = {
+        r["bucket_ms"]: r["n_docs"]
+        for r in date_histogram(
+            spark, idx, "event_type:click", "ts", "day", min_doc_count=0
+        ).collect()
+    }
+    # spine: every day Jan 1 .. Mar 10 (69 buckets, leap year)
+    assert len(got) == 70
+    assert got[day_ms(2024, 1, 1)] == 2
+    assert got[day_ms(2024, 1, 2)] == 1
+    assert got[day_ms(2024, 1, 3)] == 0  # the filled gap
+    assert got[day_ms(2024, 2, 29)] == 0
+    assert got[day_ms(2024, 3, 10)] == 1
+    assert sum(got.values()) == 5
+    # occupied-only mode unchanged
+    occ = {
+        r["bucket_ms"]: r["n_docs"]
+        for r in date_histogram(spark, idx, "event_type:click", "ts", "day").collect()
+    }
+    assert occ == {k: v for k, v in got.items() if v > 0}
+
+    # month calendar fill: Jan, Feb (empty), Mar
+    got_m = {
+        r["bucket_ms"]: r["n_docs"]
+        for r in date_histogram(
+            spark, idx, "event_type:click", "ts", "month", min_doc_count=0
+        ).collect()
+    }
+    assert got_m == {
+        day_ms(2024, 1, 1): 4, day_ms(2024, 2, 1): 0, day_ms(2024, 3, 1): 1,
+    }
+
+    # extended_bounds widens and snaps (Dec 15 snaps to Dec 1)
+    got_e = {
+        r["bucket_ms"]: r["n_docs"]
+        for r in date_histogram(
+            spark, idx, "event_type:click", "ts", "month", min_doc_count=0,
+            extended_bounds=(day_ms(2023, 12, 15), day_ms(2024, 4, 2)),
+        ).collect()
+    }
+    assert got_e == {
+        day_ms(2023, 12, 1): 0, day_ms(2024, 1, 1): 4, day_ms(2024, 2, 1): 0,
+        day_ms(2024, 3, 1): 1, day_ms(2024, 4, 1): 0,
+    }
+
+    # empty match set: extended_bounds still yields the spine (ES
+    # behavior), no bounds yields no rows
+    assert (
+        date_histogram(
+            spark, idx, "event_type:zzz", "ts", "month", min_doc_count=0,
+            extended_bounds=(day_ms(2024, 1, 1), day_ms(2024, 2, 1)),
+        ).count()
+        == 2
+    )
+    assert (
+        date_histogram(
+            spark, idx, "event_type:zzz", "ts", "month", min_doc_count=0
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="min_doc_count"):
+        date_histogram(
+            spark, idx, "event_type:click", "ts", "day", min_doc_count=2
+        )

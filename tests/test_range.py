@@ -771,3 +771,65 @@ def test_weighted_avg_metric(spark, range_idx):
             spark, range_idx, "content:merge", by="year",
             metrics={"bad": ("weighted_avg", "rating")},
         )
+
+
+def test_numeric_histogram_gap_fill(spark, range_idx):
+    """min_doc_count=0 fills integer-index gaps for fractional bin
+    widths too; extended_bounds widens with floored snapping."""
+    from ostrich_spark.query.exec import numeric_histogram
+
+    ks = _matched_ks(spark, range_idx, "content:merge")
+    w = 2.5
+    occ = {}
+    for k in ks:
+        b = (k * 0.5 // w) * w
+        occ[b] = occ.get(b, 0) + 1
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in numeric_histogram(
+            spark, range_idx, "content:merge", "rating", w, min_doc_count=0
+        ).collect()
+    }
+    lo, hi = min(occ), max(occ)
+    want = {lo + i * w: 0 for i in range(int(round((hi - lo) / w)) + 1)}
+    want.update(occ)
+    assert got == want
+    # extended_bounds: 31.2 floors to bucket 30.0
+    got_e = {
+        r["bucket"]
+        for r in numeric_histogram(
+            spark, range_idx, "content:merge", "rating", w, min_doc_count=0,
+            extended_bounds=(None, 31.2),
+        ).collect()
+    }
+    assert max(got_e) == 30.0 and min(got_e) == lo
+    with pytest.raises(ValueError, match="min_doc_count"):
+        numeric_histogram(
+            spark, range_idx, "content:merge", "rating", w, min_doc_count=3
+        )
+
+
+def test_max_by_min_by_metric(spark, range_idx):
+    """ES top_metrics shape: the value of a column at the bucket's
+    extreme of a (unique) sort column."""
+    from ostrich_spark.query.exec import facet_stats
+
+    ks = _matched_ks(spark, range_idx, "content:merge")
+    got = {
+        int(r["year"]): (r["top_r"], r["bot_r"])
+        for r in facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={"top_r": ("max_by", "rating", "k"),
+                     "bot_r": ("min_by", "rating", "k")},
+        ).collect()
+    }
+    by_year = {}
+    for k in ks:
+        by_year.setdefault(2000 + k % 20, []).append(k)
+    for y, kk in by_year.items():
+        assert got[y] == (max(kk) * 0.5, min(kk) * 0.5)
+    with pytest.raises(ValueError, match="sort_col"):
+        facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={"bad": ("max_by", "rating")},
+        )
