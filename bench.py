@@ -253,6 +253,9 @@ def main():
         ("docs_grouped_topn", em.queries()["eng_grouped_topn"]),
         ("docs_rescore_phrase", em.queries()["eng_rescore_phrase"]),
         ("percolate_4q", em.queries()["perc_match"]),
+        ("docs_cross_fields", em.queries()["eng_cross_fields"]),
+        ("agg_filters", em.queries()["eng_filters_agg"]),
+        ("agg_range", em.queries()["eng_range_agg"]),
         ("decontam_ngrams", em.queries()["decontam_ngrams"]),
         ("sample_mixture", em.queries()["sample_mixture"]),
         ("pack_sequences", em.queries()["text_pack_sequences"]),
