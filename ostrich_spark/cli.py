@@ -473,18 +473,42 @@ def cmd_agg(args) -> int:
     --bin W prints ``bucket n_docs`` lines in bucket order."""
     from .query.exec import (
         cardinality, date_histogram, numeric_histogram, numeric_stats,
+        range_agg,
     )
 
     n_modes = sum(
-        bool(x) for x in (args.stats, args.hist, args.cardinality, args.date_hist)
+        bool(x)
+        for x in (args.stats, args.hist, args.cardinality, args.date_hist,
+                  args.range)
     )
     if n_modes != 1:
-        print("agg: need exactly one of --stats, --hist, --date-hist or "
-              "--cardinality", file=sys.stderr)
+        print("agg: need exactly one of --stats, --hist, --date-hist, "
+              "--range or --cardinality", file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
-    if args.cardinality:
+    if args.range:
+        try:
+            ranges = []
+            for part in (args.ranges or "").split(","):
+                key, lo, hi = part.split(":")
+                ranges.append(
+                    (key, float(lo) if lo else None, float(hi) if hi else None)
+                )
+        except ValueError:
+            print("agg: --ranges wants KEY:LO:HI[,KEY:LO:HI...] with "
+                  "empty LO/HI = open", file=sys.stderr)
+            return 2
+        rows = range_agg(
+            spark, args.path, args.query, args.range, ranges,
+            scorer=args.scorer,
+        ).collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            lo = "*" if r["lo"] is None else r["lo"]
+            hi = "*" if r["hi"] is None else r["hi"]
+            print(f"{r['range_key']} [{lo} TO {hi}) {r['n_docs']}")
+    elif args.cardinality:
         row = cardinality(
             spark, args.path, args.query, args.cardinality,
             exact=args.exact, scorer=args.scorer,
@@ -506,6 +530,7 @@ def cmd_agg(args) -> int:
             date_histogram(
                 spark, args.path, args.query, args.date_hist,
                 interval=args.interval, scorer=args.scorer,
+                min_doc_count=0 if args.fill else 1,
             )
             .orderBy("bucket_ms")
             .collect()
@@ -523,6 +548,7 @@ def cmd_agg(args) -> int:
             numeric_histogram(
                 spark, args.path, args.query, args.hist, args.bin,
                 scorer=args.scorer,
+                min_doc_count=0 if args.fill else 1,
             )
             .orderBy("bucket")
             .collect()
@@ -1389,6 +1415,14 @@ def main(argv=None) -> int:
                     choices=["minute", "hour", "day", "week", "month",
                              "quarter", "year"],
                     help="--date-hist bucket width")
+    ag.add_argument("--range", metavar="FIELD",
+                    help="ES range agg over FIELD with --ranges buckets")
+    ag.add_argument("--ranges", metavar="K:LO:HI,...",
+                    help="--range buckets, [lo,hi) each, empty bound = open")
+    ag.add_argument("--fill", action="store_true",
+                    help="with --hist/--date-hist: min_doc_count=0 — "
+                         "empty buckets between the first and last "
+                         "occupied one appear with n_docs=0")
     ag.add_argument("--cardinality", metavar="COL",
                     help="distinct count of COL over the match set "
                     "(HLL++ approx; --exact for count_distinct)")

@@ -374,3 +374,40 @@ def test_cli_analyze(small_index):
         capture_output=True, text=True, timeout=120, cwd="/root/repo",
     )
     assert out.returncode == 2 and "no field" in out.stderr
+
+
+def test_cli_agg_range_and_fill(num_index):
+    """agg --range prints declared buckets (empty ones included) in
+    declaration order; --hist --fill zero-fills gaps; --ranges syntax
+    errors exit 2."""
+    rg = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "agg", "content:merge_policy",
+         "-p", num_index, "--range", "size_bytes",
+         "--ranges", "small::300,large:300:,never:900000:999999"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert rg.returncode == 0, rg.stderr[-2000:]
+    rows = [l.split() for l in rg.stdout.splitlines()
+            if l.strip() and not l.startswith("elapsed")]
+    assert [r[0] for r in rows] == ["small", "large", "never"]
+    assert int(rows[2][-1]) == 0  # declared-but-empty bucket present
+    assert int(rows[0][-1]) + int(rows[1][-1]) > 0
+
+    filled = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "agg", "content:merge_policy",
+         "-p", num_index, "--hist", "size_bytes", "--bin", "50", "--fill"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert filled.returncode == 0, filled.stderr[-2000:]
+    frows = [l.split() for l in filled.stdout.splitlines()
+             if l.strip() and not l.startswith("elapsed")]
+    buckets = [float(b) for b, _ in frows]
+    # contiguous spine: every 50-wide step present between min and max
+    assert len(buckets) == int(round((max(buckets) - min(buckets)) / 50)) + 1
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "agg", "content:merge_policy",
+         "-p", num_index, "--range", "size_bytes", "--ranges", "oops"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode == 2 and "KEY:LO:HI" in bad.stderr
