@@ -26,7 +26,9 @@ from __future__ import annotations
 from .analysis import get_analyzer
 from .query.parser import (
     AllQuery,
+    BlendedTermQuery,
     BooleanQuery,
+    BoostingQuery,
     DisMaxQuery,
     EmptyQuery,
     PhraseQuery,
@@ -138,6 +140,47 @@ class OracleIndex:
         if isinstance(q, DisMaxQuery):
             kids = [self._eval(c, scorer) for c in q.children]
             out: dict[int, float] = {}
+            for d in set().union(*[set(k) for k in kids]) if kids else set():
+                ss = [k[d] for k in kids if d in k]
+                out[d] = max(ss) + q.tie_breaker * (sum(ss) - max(ss))
+            return out
+        if isinstance(q, BoostingQuery):
+            # ES boosting: membership = positive's; negative-matching
+            # docs keep membership at score * negative_boost
+            base = self._eval(q.positive, scorer)
+            neg = self._eval(q.negative, scorer)
+            return {
+                d: (s * q.negative_boost if d in neg else s)
+                for d, s in base.items()
+            }
+        if isinstance(q, BlendedTermQuery):
+            # Lucene BlendedTermQuery: per-field leaves score with the
+            # GROUP-MAX df's idf (own tf/length/boost), dismax-combined
+            idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+            bdf = max(self.doc_freq(f, t) for f, t, _ in q.pairs)
+            if bdf == 0:
+                return {}
+            bidf = idf_fn(self.n_docs, bdf)
+            kids = []
+            for fid, term, fb in q.pairs:
+                plist = self.postings.get((fid, term))
+                if not plist:
+                    continue
+                idf = bidf * fb * q.boost
+                if scorer == SCORER_TFIDF:
+                    kids.append({d: float(tf) * idf for d, tf in plist.items()})
+                else:
+                    avgdl = self.avgdl(fid)
+                    kids.append({
+                        d: idf * (float(tf) * (K1 + 1.0)) / (
+                            float(tf) + K1 * (
+                                1.0 - B
+                                + B * float(self.doc_len[(d, fid)]) / avgdl
+                            )
+                        )
+                        for d, tf in plist.items()
+                    })
+            out = {}
             for d in set().union(*[set(k) for k in kids]) if kids else set():
                 ss = [k[d] for k in kids if d in k]
                 out[d] = max(ss) + q.tie_breaker * (sum(ss) - max(ss))

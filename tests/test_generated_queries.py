@@ -199,3 +199,63 @@ def test_random_dismax_fuzz_rank_identity(spark, two_field_index):
         assert [p for p, _ in got] == [p for p, _ in exp], (i, kids_s, tie)
         for (p1, s1), (p2, s2) in zip(got, exp):
             assert s1 == pytest.approx(s2, rel=1e-12), (i, p1, tie)
+
+
+def test_random_boosting_blended_fuzz_rank_identity(spark, two_field_index):
+    """Seeded fuzz for the two newest score shapes: BoostingQuery
+    (random positive/negative boolean trees, random negative_boost) and
+    BlendedTermQuery (random term/field groups, random tie/boosts) —
+    rank- and score-identical (rel 1e-9) to the independent oracle on
+    both scorers."""
+    import random
+
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import (
+        BlendedTermQuery,
+        BoostingQuery,
+        parse_query,
+    )
+
+    idx, oracle, paths = two_field_index
+    mf = load_manifest(idx)
+    rng = random.Random(90210)
+    words = ["the", "merge", "policy", "segment", "spark", "absent_zz",
+             "index", "stream", "scorer"]
+
+    def bool_q():
+        terms = rng.sample(words, rng.randint(1, 3))
+        op = rng.choice([" AND ", " OR "])
+        return op.join(f"content:{t}" for t in terms)
+
+    checked = 0
+    for trial in range(24):
+        scorer = ("tfidf", "bm25")[trial % 2]
+        if trial % 2 == 0:
+            q = BoostingQuery(
+                parse_query(bool_q(), oracle.schema),
+                parse_query(bool_q(), oracle.schema),
+                rng.choice([0.0, 0.2, 0.5, 1.0, 1.7]),
+            )
+        else:
+            pairs = tuple(
+                (rng.randint(0, 1), rng.choice(words),
+                 rng.choice([0.5, 1.0, 2.0]))
+                for _ in range(rng.randint(1, 3))
+            )
+            q = BlendedTermQuery(pairs, rng.choice([0.0, 0.3, 1.0]))
+        exp = sorted(
+            [(paths[d], round(s, 9)) for d, s in
+             oracle.search(q, limit=None, scorer=scorer)],
+        )
+        res, _ = search(spark, idx, q, limit=None, scorer=scorer, manifest=mf)
+        got = sorted(
+            (r["path"], round(r["score"], 9))
+            for r in attach_docmap(spark, idx, res, manifest=mf)
+            .select("path", "score").collect()
+        )
+        assert [p for p, _ in got] == [p for p, _ in exp], (trial, q)
+        for (p1, s1), (p2, s2) in zip(got, exp):
+            assert abs(s1 - s2) <= 1e-9 * max(1.0, abs(s2)), (trial, q, p1)
+        checked += len(got)
+    assert checked > 100  # the fuzz really exercised non-trivial matches
