@@ -1427,6 +1427,39 @@ def _q_eng_facet_wavg(spark, sf_dir):
     )
 
 
+def _q_eng_ext_stats(spark, sf_dir):
+    """extended_stats (ES analog): stats + sum_of_squares + POPULATION
+    variance/std + sigma bounds over the match set's n_chars — one
+    partial-aggregated pass."""
+    from ostrich_spark.query.exec import numeric_extended_stats
+
+    idx = _doc_index(spark, sf_dir)
+    out = numeric_extended_stats(spark, idx, "text:spark", "n_chars")
+    return out.select(
+        F.col("n").cast("long"), F.col("min").cast("long"),
+        F.col("max").cast("long"), F.col("sum").cast("long"),
+        F.round("avg", 6).alias("avg"),
+        F.col("sum_of_squares").cast("long").alias("sum_of_squares"),
+        F.round("variance", 4).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+        F.round("std_upper", 6).alias("std_upper"),
+        F.round("std_lower", 6).alias("std_lower"),
+    )
+
+
+def _q_eng_pctl_ranks(spark, sf_dir):
+    """percentile_ranks (ES analog), EXACT CDF — 100*count(v<=x)/n
+    where ES interpolates a TDigest sketch; all rank points in ONE
+    aggregation pass."""
+    from ostrich_spark.query.exec import percentile_ranks
+
+    idx = _doc_index(spark, sf_dir)
+    out = percentile_ranks(
+        spark, idx, "text:spark", "n_chars", [150.0, 300.0, 450.0]
+    )
+    return out.select("value", F.round("rank", 6).alias("rank"))
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -2898,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_pctl_bucket": _q_eng_pctl_bucket,
         "eng_hist_filled": _q_eng_hist_filled,
         "eng_facet_top": _q_eng_facet_top,
+        "eng_ext_stats": _q_eng_ext_stats,
+        "eng_pctl_ranks": _q_eng_pctl_ranks,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3342,6 +3377,30 @@ def oracle_sql() -> dict[str, str]:
             "+ CASE WHEN d.source = 'src3' THEN 2.0 * c.idf_s3 ELSE 0.0 END"
             ", 6) AS score "
             "FROM documents d LEFT JOIN t USING(doc_id), c"
+        ),
+        # extended_stats: population variance/std + sigma bounds
+        "eng_ext_stats": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "v AS (SELECT d.n_chars FROM m JOIN documents d USING(doc_id)) "
+            "SELECT count(*) AS n, min(n_chars) AS min, max(n_chars) AS max, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum, round(avg(n_chars), 6) AS avg, "
+            "CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_of_squares, "
+            "round(var_pop(n_chars), 4) AS variance, "
+            "round(stddev_pop(n_chars), 6) AS std_deviation, "
+            "round(avg(n_chars) + 2 * stddev_pop(n_chars), 6) AS std_upper, "
+            "round(avg(n_chars) - 2 * stddev_pop(n_chars), 6) AS std_lower "
+            "FROM v"
+        ),
+        # percentile_ranks: exact CDF, all points in one pass
+        "eng_pctl_ranks": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "v AS (SELECT d.n_chars FROM m JOIN documents d USING(doc_id)), "
+            "p(value) AS (VALUES (150.0), (300.0), (450.0)) "
+            "SELECT p.value, round(100.0 * "
+            "(SELECT count(*) FROM v WHERE n_chars <= p.value) "
+            "/ (SELECT count(*) FROM v), 6) AS rank FROM p"
         ),
         # rare_terms: HAVING-style long-tail cut, count ASC
         "eng_rare_terms": (

@@ -3176,6 +3176,107 @@ def numeric_stats(
     )
 
 
+def numeric_extended_stats(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    sigma: float = 2.0,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``extended_stats`` aggregation analog over a
+    query's FULL match set: numeric_stats plus ``sum_of_squares``,
+    POPULATION ``variance`` / ``std_deviation`` (the ES definitions)
+    and the ``avg ± sigma·std`` bounds. Same one-aggregation scale
+    posture as numeric_stats — every column partial-aggregates."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, of)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    c = F.col(of)
+    base = matched.agg(
+        F.count(c).alias("n"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.sum(c).alias("sum"),
+        F.avg(c).alias("avg"),
+        F.sum(c * c).alias("sum_of_squares"),
+        F.var_pop(c).alias("variance"),
+        F.stddev_pop(c).alias("std_deviation"),
+    )
+    s = float(sigma)
+    return base.withColumn(
+        "std_upper", F.col("avg") + F.lit(s) * F.col("std_deviation")
+    ).withColumn("std_lower", F.col("avg") - F.lit(s) * F.col("std_deviation"))
+
+
+def percentile_ranks(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    values,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``percentile_ranks`` aggregation analog — the
+    inverse of percentiles: for each requested value, the percentage of
+    matched (non-null) doc values that are <= it. One row per value ->
+    (``value``, ``rank``); an empty/all-null match set ranks NULL.
+
+    EXACT by definition — ``100 · count(v <= x) / count(v)`` — where ES
+    reports the TDigest sketch's interpolated CDF (documented
+    difference; the sketch exists because ES streams through a
+    coordinator, Spark's partial-aggregated counts don't need it). One
+    aggregation computes every requested value's count in a single
+    pass; no second job per value."""
+    from pyspark.sql import functions as F
+
+    vals = [float(x) for x in values]
+    if not vals:
+        raise ValueError("values must name >= 1 rank point")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, of)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    c = F.col(of)
+    aggs = [F.count(c).alias("__n")] + [
+        F.count(F.when(c <= F.lit(x), True)).alias(f"__le{i}")
+        for i, x in enumerate(vals)
+    ]
+    row = matched.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(x).alias("value"),
+            F.when(
+                F.col("__n") > 0,
+                F.lit(100.0) * F.col(f"__le{i}") / F.col("__n"),
+            ).alias("rank"),
+        )
+        for i, x in enumerate(vals)
+    ])
+    return row.select(F.explode(pairs).alias("r")).select("r.value", "r.rank")
+
+
 def search_collapsed(
     spark,
     index_dir: str,

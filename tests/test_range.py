@@ -833,3 +833,36 @@ def test_max_by_min_by_metric(spark, range_idx):
             spark, range_idx, "content:merge", by="year",
             metrics={"bad": ("max_by", "rating")},
         )
+
+
+def test_extended_stats_and_percentile_ranks(spark, range_idx):
+    """ES extended_stats (population variance, sigma bounds) and
+    percentile_ranks (exact CDF: 100*count(v<=x)/n) vs brute force."""
+    from ostrich_spark.query.exec import numeric_extended_stats, percentile_ranks
+
+    vals = [k * 0.5 for k in _matched_ks(spark, range_idx, "content:merge")]
+    e = numeric_extended_stats(spark, range_idx, "content:merge", "rating").collect()[0]
+    n, mean = len(vals), sum(vals) / len(vals)
+    var = sum((v - mean) ** 2 for v in vals) / n
+    assert e["n"] == n
+    assert abs(e["sum_of_squares"] - sum(v * v for v in vals)) < 1e-9
+    assert abs(e["variance"] - var) < 1e-9
+    assert abs(e["std_upper"] - (mean + 2 * var**0.5)) < 1e-9
+    pts = [min(vals) - 1, sorted(vals)[n // 2], max(vals) + 1]
+    got = {
+        r["value"]: r["rank"]
+        for r in percentile_ranks(
+            spark, range_idx, "content:merge", "rating", pts
+        ).collect()
+    }
+    for x in pts:
+        want = 100.0 * sum(1 for v in vals if v <= x) / n
+        assert abs(got[x] - want) < 1e-9
+    assert got[pts[0]] == 0.0 and got[pts[2]] == 100.0
+    # empty match set -> NULL ranks
+    r0 = percentile_ranks(
+        spark, range_idx, "content:zzznothere", "rating", [1.0]
+    ).collect()[0]
+    assert r0["rank"] is None
+    with pytest.raises(ValueError, match=">= 1"):
+        percentile_ranks(spark, range_idx, "content:merge", "rating", [])
