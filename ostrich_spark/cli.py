@@ -248,7 +248,9 @@ def cmd_search(args) -> int:
                 return 2
             filters.append(TermsQuery(fe.id, tuple(vals.split(","))))
         base = (
-            parse_query(query, mf.schema) if isinstance(query, str) else query
+            parse_query(query, mf.schema, default_operator=args.default_operator)
+            if isinstance(query, str)
+            else query
         )
         query = BooleanQuery.filtering(base, *filters)
     res, cnt = search(
@@ -261,6 +263,7 @@ def cmd_search(args) -> int:
         with_count=args.count,
         after=after,
         manifest=mf,
+        default_operator=args.default_operator,
     )
     rows = res.collect()
     elapsed = time.time() - t0
@@ -1263,6 +1266,12 @@ def main(argv=None) -> int:
     s.add_argument("-o", "--offset", type=int, default=0)
     s.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     s.add_argument("--count", action="store_true")
+    s.add_argument(
+        "--default-operator", choices=["or", "and"], default="or",
+        help="how adjacent bare query words combine (ES query_string "
+        "default_operator): or = any word matches, and = every word "
+        "required; explicit AND/OR in the query always win",
+    )
     s.add_argument(
         "--highlight",
         metavar="FIELD",

@@ -1337,8 +1337,13 @@ def search(
     manifest: Manifest | None = None,
     after: tuple | None = None,
     stats_override: tuple | None = None,
+    default_operator: str = "or",
 ):
     """Run a query; returns (results DataFrame, count or None).
+
+    ``default_operator`` (string queries only) picks how adjacent bare
+    primaries combine: "or" (the reference's implicit OR) or "and"
+    (the ES query_string default_operator=AND behavior).
 
     ``stats_override`` = (doc_freqs, total_docs, field_avgdl) replaces
     the index-local stats binding — the multi-index alias path
@@ -1376,7 +1381,11 @@ def search(
     if manifest is None:
         manifest = load_manifest(index_dir)
     schema = manifest.schema
-    logical = parse_query(query, schema, default_fields) if isinstance(query, str) else query
+    logical = (
+        parse_query(query, schema, default_fields, default_operator)
+        if isinstance(query, str)
+        else query
+    )
 
     from .expand import has_multiterm, rewrite_multiterm
 

@@ -191,6 +191,20 @@ class FuzzyQuery:
     # for it (neither does Lucene's).
     transpositions: bool = False
 
+    def __post_init__(self):
+        # ES fuzziness: AUTO (NQL ``field:term~auto``) — resolved here
+        # so every downstream consumer sees a concrete distance
+        if isinstance(self.max_dist, str):
+            if self.max_dist.lower() != "auto":
+                raise QueryParseError(
+                    f"max_dist must be 0, 1, 2 or 'auto', got {self.max_dist!r}"
+                )
+            object.__setattr__(self, "max_dist", auto_fuzziness(self.term))
+        if self.max_dist not in (0, 1, 2):
+            raise QueryParseError(
+                f"max_dist must be 0, 1, 2 or 'auto', got {self.max_dist!r}"
+            )
+
 
 @dataclass(frozen=True)
 class WildcardQuery:
@@ -414,8 +428,43 @@ class BooleanQuery:
     # the SHOULD group becomes REQUIRED (>= m of it), also alongside
     # MUST clauses (Lucene semantics); if fewer than m SHOULD clauses
     # can match (absent terms included), the query matches nothing.
-    # Programmatic-only, like MUST_NOT/FILTER.
+    # The ES spec forms are accepted and resolved at construction (the
+    # SHOULD-clause count is known): a percentage string "75%" floors to
+    # pct-of-optional-clauses; a negative int means optional-count minus
+    # that many may be missing. Both clamp to >= 1 (a bool with SHOULD
+    # clauses always needs one match — Lucene). Programmatic-only, like
+    # MUST_NOT/FILTER.
     min_should: int = 1
+
+    def __post_init__(self):
+        m = self.min_should
+        if isinstance(m, str):
+            s = m.strip()
+            if not s.endswith("%"):
+                raise QueryParseError(
+                    f"min_should string must be a percentage like '75%', got {m!r}"
+                )
+            try:
+                pct = float(s[:-1])
+            except ValueError:
+                raise QueryParseError(f"bad min_should percentage {m!r}") from None
+            if not (-100.0 <= pct <= 100.0):
+                raise QueryParseError("min_should percentage outside [-100, 100]")
+            n_opt = sum(1 for occ, _ in self.subqueries if occ == SHOULD)
+            if pct >= 0:
+                resolved = int(pct / 100.0 * n_opt)  # ES: floor
+            else:
+                # negative percentage: that fraction MAY be missing
+                resolved = n_opt - int(-pct / 100.0 * n_opt)
+            self.min_should = max(1, resolved)
+        elif isinstance(m, int) and m < 0:
+            # ES negative integer: optional-count + m may be missing
+            n_opt = sum(1 for occ, _ in self.subqueries if occ == SHOULD)
+            self.min_should = max(1, n_opt + m)
+        elif not isinstance(m, int) or m < 1:
+            raise QueryParseError(
+                f"min_should must be an int, a negative int, or 'N%', got {m!r}"
+            )
 
     @staticmethod
     def intersection(*qs) -> "BooleanQuery":
@@ -682,9 +731,10 @@ def _tokenize(q: str) -> list[str]:
 
 
 class _Parser:
-    def __init__(self, tokens: list[str]):
+    def __init__(self, tokens: list[str], default_op: str = "or"):
         self.tokens = tokens
         self.pos = 0
+        self.default_op = default_op
 
     def peek(self) -> str | None:
         return self.tokens[self.pos] if self.pos < len(self.tokens) else None
@@ -711,8 +761,13 @@ class _Parser:
                 self.next()
                 node = _Or(node, self.parse_primary())
             else:
-                # implicit OR between adjacent primaries (parser.go:76-83)
-                node = _Or(node, self.parse_primary())
+                # implicit combination of adjacent primaries: OR by
+                # default (parser.go:76-83); "and" = the ES
+                # query_string default_operator=AND behavior
+                if self.default_op == "and":
+                    node = _And(node, self.parse_primary())
+                else:
+                    node = _Or(node, self.parse_primary())
 
     def parse_primary(self):
         t = self.next()
@@ -771,7 +826,16 @@ _SLOP_SUFFIX = re.compile(r'^"(.*)"~(\d+)$', re.DOTALL)
 _NEAR_SUFFIX = re.compile(r'^"(.*)"~(\d+)u$', re.DOTALL)
 
 
-_FUZZY_SUFFIX = re.compile(r"^(.+)~([012])$")
+_FUZZY_SUFFIX = re.compile(r"^(.+)~([012]|auto)$", re.IGNORECASE)
+
+
+def auto_fuzziness(term: str) -> int:
+    """The Elasticsearch ``fuzziness: AUTO`` ladder (default AUTO:3,6):
+    terms of length 0-2 match exactly, 3-5 allow one edit, 6+ allow
+    two. Resolved at parse/construction time — the term's length is
+    known, so nothing downstream changes."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n < 6 else 2)
 
 # Lucene range syntax: [ ] inclusive, { } exclusive, mixed allowed,
 # * = open bound. The span survives whitespace splitting because
@@ -991,7 +1055,10 @@ def _multiterm_from_raw(raw: str):
     if "*" not in raw:
         m = _FUZZY_SUFFIX.match(raw)
         if m:
-            return ("fuzzy", (m.group(1).lower(), int(m.group(2))))
+            term = m.group(1).lower()
+            suffix = m.group(2).lower()
+            dist = auto_fuzziness(term) if suffix == "auto" else int(suffix)
+            return ("fuzzy", (term, dist))
     return None
 
 
@@ -1148,11 +1215,26 @@ def _ast_to_query(node, schema: Schema, default_fields: list[str]):
     raise TypeError(node)
 
 
-def parse_query(q: str, schema: Schema, default_fields: list[str] | None = None):
-    """Parse an ostrich NQL string into a logical query tree."""
+def parse_query(
+    q: str,
+    schema: Schema,
+    default_fields: list[str] | None = None,
+    default_operator: str = "or",
+):
+    """Parse an ostrich NQL string into a logical query tree.
+
+    ``default_operator`` controls how ADJACENT primaries with no
+    explicit operator combine: "or" (the reference's implicit-OR,
+    parser.go:76-83) or "and" (the ES query_string
+    ``default_operator=AND`` behavior — every word required). Explicit
+    AND/OR in the query text always win."""
+    if default_operator not in ("or", "and"):
+        raise QueryParseError("default_operator must be 'or' or 'and'")
     if default_fields is None:
         default_fields = schema.field_names
     tokens = _tokenize(q)
     if not tokens:
         return AllQuery()
-    return _ast_to_query(_Parser(tokens).parse_expr(), schema, default_fields)
+    return _ast_to_query(
+        _Parser(tokens, default_operator).parse_expr(), schema, default_fields
+    )

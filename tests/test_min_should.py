@@ -121,3 +121,30 @@ def test_min_should_batched_identity(spark, ms_index):
         (r["segment_id"], r["doc"], round(r["score"], 9)) for r in res.collect()
     }
     assert got == single and got
+
+
+def test_min_should_percentage_end_to_end(spark, ms_index):
+    """'67%' of 3 SHOULD clauses floors to 2 — identical hits/scores to
+    the literal at_least(2, ...) form through the real engine."""
+    pct = BooleanQuery([(SHOULD, T(t)) for t in TERMS], min_should="67%")
+    assert pct.min_should == 2
+    lit = BooleanQuery.at_least(2, *[T(t) for t in TERMS])
+    got, want = _hits(spark, ms_index, pct), _hits(spark, ms_index, lit)
+    assert set(got) == set(want) == {0, 1, 3}
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_default_operator_and_end_to_end(spark, ms_index):
+    """search(default_operator='and') requires every bare word — the ES
+    query_string default_operator=AND behavior on a live index."""
+    res, _ = search(
+        spark, ms_index, "text:spark text:join", limit=None,
+        default_operator="and",
+    )
+    rows = attach_docmap(spark, ms_index, res).collect()
+    assert {r["doc_key"] for r in rows} == {0, 1}
+    # default stays implicit OR
+    res, _ = search(spark, ms_index, "text:spark text:join", limit=None)
+    rows = attach_docmap(spark, ms_index, res).collect()
+    assert {r["doc_key"] for r in rows} == {0, 1, 2, 3}

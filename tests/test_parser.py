@@ -1,10 +1,13 @@
 """Parser AST goldens — filling ostrich's empty TODO test table
 (/root/reference/query/parser_test.go:23)."""
 
+import pytest
+
 from ostrich_spark.query.parser import (
     AllQuery,
     BooleanQuery,
     EmptyQuery,
+    QueryParseError,
     TermQuery,
     parse_query,
     MUST,
@@ -135,3 +138,62 @@ def test_phrase_adjacent_to_paren():
     # nested: phrase token carrying both a leading paren and trailing parens
     q3 = parse_query('((title:"quick brown"))', s)
     assert q3 == PhraseQuery(0, ("quick", "brown"))
+
+
+# --- ES match-query ergonomics: AUTO fuzziness, percentage/negative ---
+# --- minimum_should_match, default_operator=AND -----------------------
+
+
+def test_auto_fuzziness_ladder():
+    """ES fuzziness:AUTO (default AUTO:3,6): <3 chars exact, 3-5 one
+    edit, 6+ two edits — resolved at parse time."""
+    from ostrich_spark.query.parser import FuzzyQuery, auto_fuzziness
+
+    s = _schema()
+    assert parse_query("title:ab~auto", s) == TermQuery(0, "ab")  # exact
+    assert parse_query("title:spark~AUTO", s) == FuzzyQuery(0, "spark", 1)
+    assert parse_query("title:analysis~auto", s) == FuzzyQuery(0, "analysis", 2)
+    assert (auto_fuzziness(""), auto_fuzziness("abc"), auto_fuzziness("abcdef")) == (0, 1, 2)
+    # programmatic form resolves too; junk strings/distances rejected
+    assert FuzzyQuery(0, "spark", "auto").max_dist == 1
+    with pytest.raises(QueryParseError, match="auto"):
+        FuzzyQuery(0, "spark", "fuzzyish")
+    with pytest.raises(QueryParseError, match="auto"):
+        FuzzyQuery(0, "spark", 3)
+
+
+def test_min_should_percentage_and_negative():
+    """ES minimum_should_match spec forms, resolved at construction:
+    'N%' floors against the SHOULD count, negative int = that many may
+    be missing, both clamped to >= 1."""
+    ts = [(SHOULD, TermQuery(0, t)) for t in ("a", "b", "c", "d")]
+    assert BooleanQuery(list(ts), min_should="75%").min_should == 3
+    assert BooleanQuery(list(ts), min_should="30%").min_should == 1  # floor(1.2)
+    assert BooleanQuery(list(ts), min_should="100%").min_should == 4
+    assert BooleanQuery(list(ts), min_should="-25%").min_should == 3
+    assert BooleanQuery(list(ts), min_should=-1).min_should == 3
+    assert BooleanQuery(list(ts), min_should=-9).min_should == 1  # clamp
+    with pytest.raises(QueryParseError, match="percentage"):
+        BooleanQuery(list(ts), min_should="3 of 4")
+    with pytest.raises(QueryParseError, match="min_should"):
+        BooleanQuery(list(ts), min_should=0)
+    with pytest.raises(QueryParseError, match="\\[-100, 100\\]"):
+        BooleanQuery(list(ts), min_should="150%")
+
+
+def test_default_operator_and():
+    """ES query_string default_operator=AND: adjacent bare primaries
+    require each other; explicit operators always win."""
+    s = _schema()
+    assert parse_query("title:quick title:fox", s, default_operator="and") == parse_query(
+        "title:quick AND title:fox", s
+    )
+    assert parse_query("title:quick OR title:fox", s, default_operator="and") == parse_query(
+        "title:quick OR title:fox", s
+    )
+    # default stays the reference's implicit OR
+    assert parse_query("title:quick title:fox", s) == parse_query(
+        "title:quick OR title:fox", s
+    )
+    with pytest.raises(QueryParseError, match="default_operator"):
+        parse_query("x", s, default_operator="xor")
