@@ -1460,6 +1460,115 @@ def _q_eng_pctl_ranks(spark, sf_dir):
     return out.select("value", F.round("rank", 6).alias("rank"))
 
 
+def _q_eng_boxplot(spark, sf_dir):
+    """boxplot aggregation (ES analog): exact quantile_cont quartiles +
+    Tukey whiskers (innermost values inside q1/q3 ± 1.5·IQR) over the
+    match set's n_chars — two partial-aggregated passes, the second with
+    the one-row quartile frame broadcast in."""
+    from ostrich_spark.query.exec import boxplot
+
+    idx = _doc_index(spark, sf_dir)
+    out = boxplot(spark, idx, "text:spark", "n_chars")
+    return out.select(
+        F.col("min").cast("double").alias("min"),
+        F.col("max").cast("double").alias("max"),
+        F.round("q1", 6).alias("q1"), F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"),
+        F.col("lower").cast("double").alias("lower"),
+        F.col("upper").cast("double").alias("upper"),
+        F.col("n").cast("long"),
+    )
+
+
+_MX_INDEX_CACHE: dict[str, str] = {}
+
+
+def _mx_index(spark, sf_dir):
+    """Index with TWO numeric doc-value fields (n_chars + the derived
+    n_mix) for the matrix_stats gate — pure integer arithmetic both
+    engines recompute identically."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _MX_INDEX_CACHE:
+        return _MX_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-mx1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_numeric_field("n_chars")
+        schema.add_numeric_field("n_mix")
+        docs = _docs(spark, sf_dir).withColumn(
+            "n_mix", (F.col("doc_id") % 17) * 3 + F.col("n_chars") % 13
+        )
+        build_index(
+            spark, docs, schema, index_dir,
+            num_partitions=4, order_col="doc_id", id_cols=["doc_id"],
+            build_id=f"entry-mx-{tag}",
+        )
+    _MX_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_matrix_stats(spark, sf_dir):
+    """matrix_stats aggregation (ES analog): per-field moment stats
+    (POPULATION variance, m3/m2^1.5 skew, excess kurtosis) + pairwise
+    covariance/correlation over listwise-complete matched docs — every
+    power sum in ONE partial-aggregated pass."""
+    from ostrich_spark.query.exec import matrix_stats
+
+    idx = _mx_index(spark, sf_dir)
+    out = matrix_stats(spark, idx, "text:spark", ["n_chars", "n_mix"])
+    return out.select(
+        "field_x", "field_y", F.col("n").cast("long"),
+        F.round("mean", 6).alias("mean"),
+        F.round("variance", 4).alias("variance"),
+        F.round("skewness", 6).alias("skewness"),
+        F.round("kurtosis", 6).alias("kurtosis"),
+        F.round("covariance", 4).alias("covariance"),
+        F.round("correlation", 6).alias("correlation"),
+    )
+
+
+def _q_eng_string_stats(spark, sf_dir):
+    """string_stats aggregation (ES analog): length stats + Shannon
+    entropy (bits) over the character distribution of matched docs'
+    lang keyword — explode-to-chars partial-aggregates to at most
+    |alphabet| groups."""
+    from ostrich_spark.query.exec import string_stats
+
+    idx = _kw_index(spark, sf_dir)
+    out = string_stats(spark, idx, "text:spark", "lang")
+    return out.select(
+        F.col("count").cast("long"),
+        F.col("min_length").cast("long"),
+        F.col("max_length").cast("long"),
+        F.round("avg_length", 6).alias("avg_length"),
+        F.round("entropy", 6).alias("entropy"),
+    )
+
+
+def _q_eng_multi_terms(spark, sf_dir):
+    """multi_terms aggregation (ES analog): buckets keyed by (lang,
+    source) TUPLES with a metric riding along — one partial-aggregated
+    groupBy on the composite key, EXACT where ES's coordinator merge
+    carries doc_count_error."""
+    from ostrich_spark.query.exec import multi_terms
+
+    idx = _kw_index(spark, sf_dir)
+    out = multi_terms(
+        spark, idx, "text:spark", ["lang", "source"],
+        metrics={"avg_id": ("avg", "doc_id")},
+    )
+    return out.select(
+        "lang", "source", F.col("n_docs").cast("long"),
+        F.round("avg_id", 6).alias("avg_id"),
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -2933,6 +3042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_facet_top": _q_eng_facet_top,
         "eng_ext_stats": _q_eng_ext_stats,
         "eng_pctl_ranks": _q_eng_pctl_ranks,
+        "eng_boxplot": _q_eng_boxplot,
+        "eng_matrix_stats": _q_eng_matrix_stats,
+        "eng_string_stats": _q_eng_string_stats,
+        "eng_multi_terms": _q_eng_multi_terms,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3401,6 +3514,89 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.value, round(100.0 * "
             "(SELECT count(*) FROM v WHERE n_chars <= p.value) "
             "/ (SELECT count(*) FROM v), 6) AS rank FROM p"
+        ),
+        # boxplot: exact quantile_cont quartiles + Tukey whiskers —
+        # innermost actual values inside q1/q3 ± 1.5·IQR
+        "eng_boxplot": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "v AS (SELECT CAST(d.n_chars AS DOUBLE) AS x "
+            "FROM m JOIN documents d USING(doc_id)), "
+            "q AS (SELECT count(*) AS n, min(x) AS mn, max(x) AS mx, "
+            "quantile_cont(x, [0.25, 0.5, 0.75]) AS qs FROM v), "
+            "f AS (SELECT n, mn, mx, qs[1] AS q1, qs[2] AS q2, qs[3] AS q3, "
+            "qs[1] - 1.5 * (qs[3] - qs[1]) AS lo, "
+            "qs[3] + 1.5 * (qs[3] - qs[1]) AS hi FROM q), "
+            "w AS (SELECT "
+            "min(CASE WHEN x >= (SELECT lo FROM f) THEN x END) AS lw, "
+            "max(CASE WHEN x <= (SELECT hi FROM f) THEN x END) AS up FROM v) "
+            'SELECT f.mn AS "min", f.mx AS "max", '
+            "round(f.q1, 6) AS q1, round(f.q2, 6) AS q2, round(f.q3, 6) AS q3, "
+            'w.lw AS "lower", w.up AS "upper", CAST(f.n AS BIGINT) AS n '
+            "FROM f, w"
+        ),
+        # matrix_stats: power-sum moment algebra IDENTICAL to the Spark
+        # side (population m2, m3/m2^1.5 skew, excess kurtosis) so both
+        # engines share rounding behavior; listwise-complete match set
+        "eng_matrix_stats": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "v AS (SELECT CAST(d.n_chars AS DOUBLE) AS x, "
+            "CAST((d.doc_id % 17) * 3 + d.n_chars % 13 AS DOUBLE) AS y "
+            "FROM m JOIN documents d USING(doc_id)), "
+            "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "sum(x) AS s1x, sum(x*x) AS s2x, sum(x*x*x) AS s3x, "
+            "sum(x*x*x*x) AS s4x, "
+            "sum(y) AS s1y, sum(y*y) AS s2y, sum(y*y*y) AS s3y, "
+            "sum(y*y*y*y) AS s4y, sum(x*y) AS sxy FROM v), "
+            "d AS (SELECT n, s1x/n AS mux, s1y/n AS muy, "
+            "s2x/n - (s1x/n)*(s1x/n) AS m2x, s2y/n - (s1y/n)*(s1y/n) AS m2y, "
+            "s3x/n - 3*(s1x/n)*s2x/n + 2*(s1x/n)*(s1x/n)*(s1x/n) AS m3x, "
+            "s3y/n - 3*(s1y/n)*s2y/n + 2*(s1y/n)*(s1y/n)*(s1y/n) AS m3y, "
+            "s4x/n - 4*(s1x/n)*s3x/n + 6*(s1x/n)*(s1x/n)*s2x/n "
+            "- 3*(s1x/n)*(s1x/n)*(s1x/n)*(s1x/n) AS m4x, "
+            "s4y/n - 4*(s1y/n)*s3y/n + 6*(s1y/n)*(s1y/n)*s2y/n "
+            "- 3*(s1y/n)*(s1y/n)*(s1y/n)*(s1y/n) AS m4y, "
+            "sxy/n - (s1x/n)*(s1y/n) AS cxy FROM s) "
+            "SELECT 'n_chars' AS field_x, 'n_chars' AS field_y, "
+            "CAST(n AS BIGINT) AS n, round(mux, 6) AS mean, "
+            "round(m2x, 4) AS variance, "
+            "round(m3x / pow(m2x, 1.5), 6) AS skewness, "
+            "round(m4x / (m2x * m2x) - 3.0, 6) AS kurtosis, "
+            "round(m2x, 4) AS covariance, 1.0 AS correlation FROM d "
+            "UNION ALL SELECT 'n_chars', 'n_mix', CAST(n AS BIGINT), "
+            "NULL, NULL, NULL, NULL, round(cxy, 4), "
+            "round(cxy / sqrt(m2x * m2y), 6) FROM d "
+            "UNION ALL SELECT 'n_mix', 'n_mix', CAST(n AS BIGINT), "
+            "round(muy, 6), round(m2y, 4), "
+            "round(m3y / pow(m2y, 1.5), 6), "
+            "round(m4y / (m2y * m2y) - 3.0, 6), round(m2y, 4), 1.0 FROM d"
+        ),
+        # string_stats: length stats + Shannon entropy (bits) over the
+        # character distribution — log2(T) − Σk·log2k / T, same algebra
+        "eng_string_stats": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "v AS (SELECT d.lang AS s FROM m JOIN documents d USING(doc_id)), "
+            "l AS (SELECT count(*) AS cnt, min(length(s)) AS mn, "
+            "max(length(s)) AS mx, avg(length(s)) AS av FROM v), "
+            "ch AS (SELECT unnest(string_split(s, '')) AS c FROM v), "
+            "k AS (SELECT c, CAST(count(*) AS DOUBLE) AS k FROM ch GROUP BY c), "
+            "e AS (SELECT coalesce(log2(sum(k)) - sum(k * log2(k)) / sum(k), "
+            "0.0) AS entropy FROM k) "
+            'SELECT l.cnt AS "count", l.mn AS min_length, l.mx AS max_length, '
+            "round(l.av, 6) AS avg_length, round(e.entropy, 6) AS entropy "
+            "FROM l, e"
+        ),
+        # multi_terms: composite-key buckets, EXACT counts (compare sorts
+        # rows, so the ES count-desc presentation order needs no mirror)
+        "eng_multi_terms": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT d.lang, d.source, count(*) AS n_docs, "
+            "round(avg(d.doc_id), 6) AS avg_id "
+            "FROM m JOIN documents d USING(doc_id) "
+            "GROUP BY d.lang, d.source"
         ),
         # rare_terms: HAVING-style long-tail cut, count ASC
         "eng_rare_terms": (

@@ -4127,6 +4127,333 @@ def numeric_percentiles(
     )
 
 
+def boxplot(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    whisker: float = 1.5,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``boxplot`` aggregation analog over a query's
+    FULL match set: one row (``min``, ``max``, ``q1``, ``q2``, ``q3``,
+    ``lower``, ``upper``, ``n``). Quartiles are EXACT linear-interpolated
+    percentiles (the SQL ``quantile_cont`` definition) where ES
+    interpolates a TDigest sketch (documented difference — Spark's
+    partial-aggregated exact percentile doesn't need the sketch).
+
+    ``lower``/``upper`` are the whisker positions, the ES definition:
+    the smallest actual value >= q1 - whisker·IQR and the largest actual
+    value <= q3 + whisker·IQR (whisker defaults to the Tukey 1.5).
+    Values outside them are the outliers a box-and-whisker plot draws as
+    points. An empty/all-null match set returns n=0 with NULL stats.
+
+    Scale posture: two partial-aggregated passes over the match set —
+    quartiles first, then the fence-conditional min/max with the
+    one-row quartile frame crossed in as a broadcast literal. No
+    driver-side values, no per-bucket job."""
+    from pyspark.sql import functions as F
+
+    if whisker < 0:
+        raise ValueError("whisker must be >= 0")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, of)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    c = F.col(of)
+    q = matched.agg(
+        F.count(c).alias("n"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            "__q"
+        ),
+    ).select(
+        "n", "min", "max",
+        F.col("__q")[0].alias("q1"),
+        F.col("__q")[1].alias("q2"),
+        F.col("__q")[2].alias("q3"),
+    )
+    w = float(whisker)
+    fences = q.select(
+        "q1", "q3",
+        (F.col("q1") - F.lit(w) * (F.col("q3") - F.col("q1"))).alias("__lo"),
+        (F.col("q3") + F.lit(w) * (F.col("q3") - F.col("q1"))).alias("__hi"),
+    )
+    wk = matched.crossJoin(F.broadcast(fences)).agg(
+        F.min(F.when(c >= F.col("__lo"), c)).alias("lower"),
+        F.max(F.when(c <= F.col("__hi"), c)).alias("upper"),
+    )
+    return q.crossJoin(F.broadcast(wk)).select(
+        "min", "max", "q1", "q2", "q3", "lower", "upper", "n"
+    )
+
+
+def matrix_stats(
+    spark,
+    index_dir: str,
+    query,
+    fields: list[str],
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``matrix_stats`` aggregation analog: moment
+    statistics of 2+ numeric doc-value fields over a query's FULL match
+    set, plus the covariance/correlation matrix between them. Long-form
+    output, one row per ordered (field_x <= field_y) pair:
+
+    - diagonal rows (field_x == field_y): ``n``, ``mean``, ``variance``,
+      ``skewness``, ``kurtosis`` (covariance = variance, correlation = 1)
+    - off-diagonal rows: ``covariance`` and Pearson ``correlation``
+      (moment columns NULL — they belong to the diagonals)
+
+    Definitions are pinned so both engines can recompute them exactly:
+    docs missing ANY requested field are excluded entirely (the ES
+    listwise behavior — every pair sees the same doc set), POPULATION
+    variance/covariance (ES uses the sample forms; population keeps us
+    consistent with extended_stats' ES-pinned population std — the
+    difference is the n/(n-1) factor, documented here), skewness
+    m3/m2^1.5 and EXCESS kurtosis m4/m2^2 - 3 from raw power sums.
+
+    Scale posture: ONE partial-aggregated pass computes every power sum
+    (n, Σx, Σx², Σx³, Σx⁴ per field, Σxy per pair) map-side; the
+    one-row frame explodes driver-free into the long form. No per-field
+    or per-pair job."""
+    from pyspark.sql import functions as F
+
+    fields = list(fields)
+    if len(fields) < 2:
+        raise ValueError("matrix_stats wants >= 2 numeric fields")
+    if len(set(fields)) != len(fields):
+        raise ValueError(f"duplicate fields: {fields}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    for f in fields:
+        _numeric_field_entry(manifest, f)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", *fields).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    # listwise deletion: every pair must see the SAME doc set, else the
+    # covariance matrix need not be positive semi-definite
+    for f in fields:
+        matched = matched.filter(F.col(f).isNotNull())
+    cols = {f: F.col(f).cast("double") for f in fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        x = cols[f]
+        aggs += [
+            F.sum(x).alias(f"__s1_{f}"),
+            F.sum(x * x).alias(f"__s2_{f}"),
+            F.sum(x * x * x).alias(f"__s3_{f}"),
+            F.sum(x * x * x * x).alias(f"__s4_{f}"),
+        ]
+    pairs = [
+        (fields[i], fields[j])
+        for i in range(len(fields))
+        for j in range(i + 1, len(fields))
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(cols[a] * cols[b]).alias(f"__sxy_{a}__{b}"))
+    row = matched.agg(*aggs)
+
+    n = F.col("__n").cast("double")
+
+    def mean(f):
+        return F.col(f"__s1_{f}") / n
+
+    def m2(f):  # population central second moment
+        return F.col(f"__s2_{f}") / n - mean(f) * mean(f)
+
+    def m3(f):
+        mu = mean(f)
+        return (
+            F.col(f"__s3_{f}") / n
+            - 3 * mu * F.col(f"__s2_{f}") / n
+            + 2 * mu * mu * mu
+        )
+
+    def m4(f):
+        mu = mean(f)
+        return (
+            F.col(f"__s4_{f}") / n
+            - 4 * mu * F.col(f"__s3_{f}") / n
+            + 6 * mu * mu * F.col(f"__s2_{f}") / n
+            - 3 * mu * mu * mu * mu
+        )
+
+    def cov(a, b):
+        return F.col(f"__sxy_{a}__{b}") / n - mean(a) * mean(b)
+
+    structs = []
+    for f in fields:
+        v = m2(f)
+        structs.append(F.struct(
+            F.lit(f).alias("field_x"), F.lit(f).alias("field_y"),
+            F.col("__n").alias("n"), mean(f).alias("mean"),
+            v.alias("variance"),
+            F.when(v > 0, m3(f) / F.pow(v, 1.5)).alias("skewness"),
+            F.when(v > 0, m4(f) / (v * v) - 3.0).alias("kurtosis"),
+            v.alias("covariance"),
+            F.when(v > 0, F.lit(1.0)).alias("correlation"),
+        ))
+    for a, b in pairs:
+        x, y = sorted((a, b))
+        cv, va, vb = cov(a, b), m2(a), m2(b)
+        structs.append(F.struct(
+            F.lit(x).alias("field_x"), F.lit(y).alias("field_y"),
+            F.col("__n").alias("n"),
+            F.lit(None).cast("double").alias("mean"),
+            F.lit(None).cast("double").alias("variance"),
+            F.lit(None).cast("double").alias("skewness"),
+            F.lit(None).cast("double").alias("kurtosis"),
+            cv.alias("covariance"),
+            F.when((va > 0) & (vb > 0), cv / F.sqrt(va * vb)).alias(
+                "correlation"
+            ),
+        ))
+    return (
+        row.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("field_x", "field_y")
+    )
+
+
+def string_stats(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``string_stats`` aggregation analog over a
+    keyword doc-value field of a query's FULL match set: one row
+    (``count``, ``min_length``, ``max_length``, ``avg_length``,
+    ``entropy``). Entropy is the ES definition — Shannon entropy in
+    bits over the CHARACTER distribution of all matched values
+    concatenated: -Σ p(c)·log2 p(c). NULL values are excluded; an
+    empty match set returns count=0, NULL lengths, entropy 0.
+
+    Scale posture: length stats partial-aggregate in one pass; entropy
+    is one explode-to-characters + one partial-aggregated groupBy (at
+    most |alphabet| groups survive the map-side combine) + a one-row
+    reduction — the values themselves never leave the cluster."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(of)
+    if fe is None or not fe.is_keyword:
+        raise ValueError(
+            f"{of!r} is not a keyword doc-value field of this index"
+        )
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    c = F.col(of)
+    lens = matched.agg(
+        F.count(c).alias("count"),
+        F.min(F.length(c)).alias("min_length"),
+        F.max(F.length(c)).alias("max_length"),
+        F.avg(F.length(c)).alias("avg_length"),
+    )
+    chars = (
+        matched.filter(c.isNotNull())
+        .select(F.explode(F.split(c, "")).alias("ch"))
+        .filter(F.col("ch") != "")  # split("", "") yields one empty token
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # -Σ (k/T)·log2(k/T) = log2(T) − (Σ k·log2 k)/T — pure partial sums,
+    # no window over the whole frame
+    ent = chars.agg(
+        F.sum("k").alias("__t"),
+        F.sum(F.col("k") * F.log2(F.col("k"))).alias("__klk"),
+    ).select(
+        F.coalesce(
+            F.log2(F.col("__t")) - F.col("__klk") / F.col("__t"), F.lit(0.0)
+        ).alias("entropy")
+    )
+    return lens.crossJoin(F.broadcast(ent)).select(
+        "count", "min_length", "max_length", "avg_length", "entropy"
+    )
+
+
+def multi_terms(
+    spark,
+    index_dir: str,
+    query,
+    by: list[str],
+    metrics: dict | None = None,
+    size: int | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``multi_terms`` aggregation analog: buckets
+    keyed by TUPLES of 2+ doc-value fields over a query's FULL match
+    set, count-descending with key-ascending tie-break (the ES order),
+    optional ``size`` top cut. Docs with a NULL in ANY key field fall in
+    no bucket (the ES behavior without per-field ``missing``). Metric
+    sub-aggs follow the facet_stats grammar.
+
+    Where ES pays a coordinator term-tuple merge with possible
+    doc_count_error, the distributed groupBy is EXACT — no error bounds
+    needed (documented difference).
+
+    Scale posture: one docmap-joined match set, one partial-aggregated
+    groupBy on the composite key; ``size`` cuts via
+    TakeOrderedAndProject, never a full sort."""
+    from pyspark.sql import functions as F
+
+    by = list(by)
+    if len(by) < 2:
+        raise ValueError(
+            "multi_terms wants >= 2 key fields (one field is facet_stats)"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    for f in by:
+        _doc_value_field_entry(manifest, f)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    for f in by:
+        matched = matched.filter(F.col(f).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + _metric_aggs(
+        F, metrics or {}
+    )
+    out = matched.groupBy(*by).agg(*aggs)
+    ordered = out.orderBy(F.col("n_docs").desc(), *[F.col(f).asc() for f in by])
+    return ordered.limit(int(size)) if size is not None else ordered
+
+
 def more_like_this_doc(
     spark,
     index_dir: str,
