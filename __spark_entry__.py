@@ -1569,6 +1569,73 @@ def _q_eng_multi_terms(spark, sf_dir):
     )
 
 
+def _q_eng_pinned(spark, sf_dir):
+    """pinned query (ES analog): ids [7, 3] promoted above every organic
+    text:spark match at PINNED_SCORE_BASE − position (doc 3's text has no
+    'spark' on most corpora — pinning surfaces it anyway); organic tail
+    deduplicated."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_pinned
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = search_pinned(
+        spark, idx, [7, 3], "text:spark", key_col="doc_id",
+        limit=None, scorer="tfidf", manifest=mf,
+    )
+    return attach_docmap(spark, idx, out, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_script_score(spark, sf_dir):
+    """script_score query (ES analog): the rewrite expression compiles
+    ONCE into Catalyst columns (whole-stage codegen) instead of a
+    per-doc script — sqrt(_score) + (n_chars % 10) * 0.1 here."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_script_score
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = search_script_score(
+        spark, idx, "text:spark", "sqrt(_score) + (n_chars % 10) * 0.1",
+        limit=None, scorer="tfidf", manifest=mf,
+    )
+    return attach_docmap(spark, idx, out, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_distance_feature(spark, sf_dir):
+    """distance_feature query (ES analog): text score + boost·pivot/
+    (pivot+|n_chars−300|) — reciprocal closeness bonus, NULL adds 0."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search_distance_feature
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = search_distance_feature(
+        spark, idx, "text:spark", "n_chars", origin=300.0, pivot=50.0,
+        boost=2.0, limit=None, scorer="tfidf", manifest=mf,
+    )
+    return attach_docmap(spark, idx, out, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_match_bool_prefix(spark, sf_dir):
+    """match_bool_prefix (ES analog): 'merge spar' -> SHOULD term(merge)
+    + SHOULD prefix(spar) — the last word expands at query time against
+    the live dictionary (vs the SAYT edge-n-gram index)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.parser import parse_match_bool_prefix
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    q = parse_match_bool_prefix("merge spar", mf.schema, "text")
+    return _engine_matches(spark, sf_dir, None, logical=q)
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -3046,6 +3113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_matrix_stats": _q_eng_matrix_stats,
         "eng_string_stats": _q_eng_string_stats,
         "eng_multi_terms": _q_eng_multi_terms,
+        "eng_pinned": _q_eng_pinned,
+        "eng_script_score": _q_eng_script_score,
+        "eng_distance_feature": _q_eng_distance_feature,
+        "eng_match_bool_prefix": _q_eng_match_bool_prefix,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3514,6 +3585,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.value, round(100.0 * "
             "(SELECT count(*) FROM v WHERE n_chars <= p.value) "
             "/ (SELECT count(*) FROM v), 6) AS rank FROM p"
+        ),
+        # pinned: ids [7, 3] at BASE − position (returned even when they
+        # don't match organically), organic tfidf tail deduplicated
+        "eng_pinned": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"org AS (SELECT t.doc_id, {tfidf_spark} AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark') "
+            "SELECT doc_id, 1.7014118346046923e38 - 0.0 AS score "
+            "FROM documents WHERE doc_id = 7 "
+            "UNION ALL SELECT doc_id, 1.7014118346046923e38 - 1.0 "
+            "FROM documents WHERE doc_id = 3 "
+            "UNION ALL SELECT doc_id, score FROM org "
+            "WHERE doc_id NOT IN (7, 3)"
+        ),
+        # script_score: the same rewrite expression re-evaluated in SQL
+        "eng_script_score": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "org AS (SELECT t.doc_id, "
+            "t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark') "
+            "SELECT o.doc_id, round(sqrt(o.score) "
+            "+ (dd.n_chars % 10) * 0.1, 6) AS score "
+            "FROM org o JOIN documents dd USING(doc_id)"
+        ),
+        # distance_feature: + boost·pivot/(pivot+|n_chars−origin|)
+        "eng_distance_feature": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "org AS (SELECT t.doc_id, "
+            "t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark') "
+            "SELECT o.doc_id, round(o.score "
+            "+ 2.0 * 50.0 / (50.0 + abs(dd.n_chars - 300.0)), 6) AS score "
+            "FROM org o JOIN documents dd USING(doc_id)"
+        ),
+        # match_bool_prefix: SHOULD term(merge) + SHOULD prefix(spar) —
+        # expansion mirror LIKE 'spar%' capped df DESC/term ASC like the
+        # other multi-term oracles; per-doc sum over all matched leaves
+        "eng_match_bool_prefix": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "x AS (SELECT term FROM df WHERE term LIKE 'spar%' "
+            "ORDER BY df DESC, term LIMIT 1024), "
+            "s AS (SELECT t.doc_id, "
+            "t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) "
+            "WHERE t.term IN (SELECT term FROM x) OR t.term = 'merge') "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
         ),
         # boxplot: exact quantile_cont quartiles + Tukey whiskers —
         # innermost actual values inside q1/q3 ± 1.5·IQR

@@ -4013,6 +4013,275 @@ def search_decayed(
     return out
 
 
+def search_distance_feature(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    origin,
+    pivot,
+    boost: float = 1.0,
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Relevance plus closeness to a query-time origin — the
+    Elasticsearch ``distance_feature`` query (EXTENSION). Each match's
+    text score gains ``boost * pivot / (pivot + dist)`` where
+    ``dist = |value − origin|``: the bonus is 1·boost AT the origin and
+    exactly boost/2 at ``pivot`` away — the ES definition, a reciprocal
+    saturation rather than decay's configurable curves (distance_feature
+    is the cheap, monotonic "closer is better" shape; use
+    search_decayed when the falloff curve itself matters).
+
+    ``field`` is a numeric or DATE doc value; for dates ``origin`` is an
+    ISO-8601 prefix or epoch micros and ``pivot`` a duration ("10d",
+    "36h", micros int) — the same grammar as search_decayed. Docs with a
+    NULL value add exactly 0 (in ES the clause doesn't match them;
+    inside a SHOULD that is a zero addend) — they keep their text score.
+
+    Scale posture = search_boosted: exhaustive match evaluation (the
+    bonus is unbounded by the text score, so WAND's bound proves
+    nothing), one docmap join co-keyed on (segment_id, doc),
+    TakeOrderedAndProject for the global top-k. Returns (segment_id,
+    segment_ord, doc, score, base_score, ``field``)."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or not (fe.is_numeric or fe.is_date):
+        raise ValueError(
+            f"{field!r} is not a numeric or date doc-value field of this index"
+        )
+    if fe.is_date:
+        if isinstance(origin, (int, float)) and not isinstance(origin, bool):
+            origin_v = float(origin)
+        else:
+            span = _parse_date_span(str(origin))
+            if span is None:
+                raise ValueError(
+                    f"cannot parse distance_feature origin {origin!r} for "
+                    f"date field {field!r} — expected an ISO-8601 prefix or "
+                    f"epoch micros"
+                )
+            origin_v = float(span[0])
+        pivot_v = float(_parse_duration_us(pivot, "pivot"))
+    else:
+        origin_v = float(origin)
+        pivot_v = float(pivot)
+    if pivot_v <= 0:
+        raise ValueError(f"pivot must be > 0, got {pivot!r}")
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    joined = docmap.select("segment_id", "doc", field).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    v = F.col(field).cast("double")
+    dist = F.abs(v - F.lit(origin_v))
+    bonus = F.when(v.isNull(), F.lit(0.0)).otherwise(
+        F.lit(float(boost)) * F.lit(pivot_v) / (F.lit(pivot_v) + dist)
+    )
+    out = joined.select(
+        "segment_id",
+        "segment_ord",
+        "doc",
+        (F.col("score") + bonus).alias("score"),
+        F.col("score").alias("base_score"),
+        F.col(field),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+def search_script_score(
+    spark,
+    index_dir: str,
+    query,
+    expr: str,
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Relevance rewritten by an arbitrary expression — the
+    Elasticsearch ``script_score`` query (EXTENSION). ``expr`` is a
+    Spark-SQL expression string over ``_score`` (the text relevance)
+    and any docmap column (identity, stored fields, numeric/keyword/date
+    doc values), e.g.::
+
+        "_score * log(2.0 + n_stars) / (1 + datediff(now(), pub_date))"
+        "sqrt(_score) + CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END"
+
+    Where ES compiles a per-doc Painless script, the expression compiles
+    ONCE into Catalyst columns inside the scored join — whole-stage
+    codegen, no scripting engine, no per-row interpreter (the same
+    design note as runtime_fields). ES requires script scores to be
+    non-negative; a negative result fails the job via a Catalyst assert
+    rather than silently reordering.
+
+    Scale posture = search_boosted: exhaustive match set (the expression
+    is unconstrained, so no score bound survives it), one co-keyed
+    docmap join, TakeOrderedAndProject. Returns (segment_id,
+    segment_ord, doc, score, base_score)."""
+    from pyspark.sql import functions as F
+
+    try:  # pyspark >= 3.4 canonical location
+        from pyspark.errors import AnalysisException, ParseException
+    except ImportError:  # pragma: no cover - older pyspark
+        from pyspark.sql.utils import AnalysisException, ParseException
+
+    if not expr or not str(expr).strip():
+        raise ValueError("script_score needs a non-empty expression")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    if "_score" in docmap.columns:
+        raise ValueError("docmap already has a _score column — rename it")
+    joined = docmap.join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    ).withColumnRenamed("score", "_score")
+    try:
+        new_score = F.expr(str(expr)).cast("double")
+        chk = F.assert_true(
+            new_score >= 0, F.lit("script_score produced a negative score")
+        )
+        out = joined.select(
+            "segment_id",
+            "segment_ord",
+            "doc",
+            (new_score + F.coalesce(chk.cast("double"), F.lit(0.0))).alias(
+                "score"
+            ),
+            F.col("_score").alias("base_score"),
+        )
+        out.schema  # force analysis so a bad expression fails HERE
+    except (AnalysisException, ParseException) as e:
+        raise ValueError(
+            f"script_score expression {expr!r} failed to compile against "
+            f"the docmap columns {docmap.columns} + _score: {e}"
+        ) from None
+    out = out.orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
+# The score handed to pinned docs: Float.MAX_VALUE / 2, the constant
+# Lucene's pinned-query module anchors promotions at — any organic
+# relevance is astronomically below it, and successive pins step down
+# by 1.0 so the requested order is the score order.
+PINNED_SCORE_BASE = 1.7014118346046923e38
+
+
+def search_pinned(
+    spark,
+    index_dir: str,
+    ids,
+    query,
+    key_col: str = "doc_id",
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Promote selected documents above every organic match — the
+    Elasticsearch ``pinned`` query (EXTENSION; Lucene pinned module).
+    ``ids`` lists ``key_col`` identities in the EXACT order they should
+    rank; they are returned first (score = PINNED_SCORE_BASE − position,
+    the Lucene anchoring) whether or not they match ``query`` — the ES
+    contract: pinning is dismax(ids-at-huge-score, organic), so a pinned
+    doc outside the organic match set still surfaces. Organic matches
+    follow in relevance order with pinned ids removed (no duplicates).
+    Tombstoned docs never surface, pinned or not; a pinned id absent
+    from the corpus is simply skipped (the ES behavior).
+
+    Scale posture: the pinned side is get_docs — an isin() pushed into
+    the parquet scan touching only straddling row groups; the organic
+    side is one normal search; the union's global order is
+    TakeOrderedAndProject. ``ids`` must be a bounded promotion list (it
+    travels in the plan as literals), not a join table — for bulk
+    score overrides use search_boosted with an indexed signal.
+
+    Returns (segment_id, segment_ord, doc, score, pinned)."""
+    from pyspark.sql import functions as F
+
+    ids = list(ids)
+    if not ids:
+        raise ValueError("pinned needs >= 1 id (otherwise just search)")
+    if len(ids) > 1000:
+        raise ValueError(
+            f"{len(ids)} pinned ids — pinning is a bounded promotion "
+            f"list (<= 1000); bulk overrides belong in an indexed signal"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    pinned_rows = get_docs(spark, index_dir, ids, key_col, manifest=manifest)
+    key_t = pinned_rows.schema[key_col].dataType
+    # position lookup as a literal when-chain: ids is bounded above
+    pos = None
+    for i, v in enumerate(ids):
+        cond = F.col(key_col) == F.lit(v).cast(key_t)
+        pos = F.when(cond, F.lit(i)) if pos is None else pos.when(cond, F.lit(i))
+    ords = {s.segment_id: i for i, s in enumerate(manifest.sorted_segments())}
+    ord_map = F.create_map(
+        *[x for sid, i in ords.items() for x in (F.lit(sid), F.lit(i))]
+    )
+    pinned_df = pinned_rows.select(
+        "segment_id",
+        ord_map[F.col("segment_id")].alias("segment_ord"),
+        "doc",
+        (F.lit(PINNED_SCORE_BASE) - pos.cast("double")).alias("score"),
+        F.lit(True).alias("pinned"),
+    )
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    organic = (
+        docmap.select("segment_id", "doc", key_col)
+        .join(
+            res.select("segment_id", "segment_ord", "doc", "score"),
+            ["segment_id", "doc"],
+            "inner",
+        )
+        .filter(~F.col(key_col).isin(*[F.lit(v).cast(key_t) for v in ids]))
+        .select(
+            "segment_id", "segment_ord", "doc", "score",
+            F.lit(False).alias("pinned"),
+        )
+    )
+    out = pinned_df.unionByName(organic).orderBy(
+        F.desc("score"), F.asc("segment_ord"), F.asc("doc")
+    )
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 def rescore(
     spark,
     index_dir: str,

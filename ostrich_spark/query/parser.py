@@ -640,6 +640,45 @@ def parse_cross_fields(
     return BooleanQuery([(occ, b) for b in blended])
 
 
+def parse_match_bool_prefix(
+    text: str,
+    schema,
+    field: str,
+    operator: str = "or",
+    max_expansions: int | None = None,
+):
+    """ES ``match_bool_prefix``: analyze the query text with the field's
+    query analyzer; every token becomes a TermQuery clause except the
+    LAST, which becomes a PrefixQuery — the "last word is still being
+    typed" autocomplete shape. Unlike match_phrase_prefix the tokens may
+    match in ANY position/order (it is a bool, not a phrase); unlike the
+    edge-n-gram SAYT field this expands the prefix at QUERY time against
+    the live dictionary — no index-time gram storage, at the cost of a
+    per-query expansion read (the standard ES trade between the two).
+
+    ``operator="and"`` requires every clause (ES operator parameter);
+    ``max_expansions`` caps the prefix expansion like any multi-term
+    query (None -> the documented default cap). A single-token text is
+    the bare PrefixQuery; empty analysis is EmptyQuery."""
+    if operator not in ("or", "and"):
+        raise QueryParseError("operator must be 'or' or 'and'")
+    fe = schema.field_by_name(field)
+    if fe is None or fe.is_doc_value:
+        raise QueryParseError(
+            f"match_bool_prefix field {field!r} is not a text field of this schema"
+        )
+    toks = get_analyzer(fe.query_analyzer).analyze_one(text)
+    if not toks:
+        return EmptyQuery()
+    last = PrefixQuery(fe.id, toks[-1], max_expansions)
+    if len(toks) == 1:
+        return last
+    occ = MUST if operator == "and" else SHOULD
+    return BooleanQuery(
+        [(occ, TermQuery(fe.id, t)) for t in toks[:-1]] + [(occ, last)]
+    )
+
+
 @dataclass(frozen=True)
 class EmptyQuery:
     pass
