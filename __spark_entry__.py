@@ -1636,6 +1636,91 @@ def _q_eng_match_bool_prefix(spark, sf_dir):
     return _engine_matches(spark, sf_dir, None, logical=q)
 
 
+_SMP_INDEX_CACHE: dict[str, str] = {}
+
+
+def _smp_index(spark, sf_dir):
+    """ONE-segment index (text + lang/source keywords) for the sampler
+    gate: a single segment makes per-segment sampling globally
+    deterministic, so the oracle can mirror it with one row_number."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _SMP_INDEX_CACHE:
+        return _SMP_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-smp1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_keyword_field("lang")
+        schema.add_keyword_field("source")
+        build_index(
+            spark, _docs(spark, sf_dir), schema, index_dir,
+            num_partitions=1, order_col="doc_id", id_cols=["doc_id"],
+            build_id=f"entry-smp-{tag}",
+        )
+    _SMP_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_sampler_div(spark, sf_dir):
+    """diversified_sampler + facet (ES analog): at most 2 docs per lang
+    enter the per-segment top-12 sample (score desc, doc asc pinned
+    tie-break), then one partial-aggregated facet by source."""
+    from ostrich_spark.query.exec import sampler_facet
+
+    idx = _smp_index(spark, sf_dir)
+    out = sampler_facet(
+        spark, idx, "text:spark", "source",
+        metrics={"avg_id": ("avg", "doc_id")},
+        shard_size=12, diversify="lang", max_docs_per_value=2,
+        scorer="tfidf",
+    )
+    return out.select(
+        "source", F.col("n_docs").cast("long"),
+        F.round("avg_id", 6).alias("avg_id"),
+    )
+
+
+def _q_eng_sig_jlh(spark, sf_dir):
+    """significance-scored significant_terms (ES JLH heuristic):
+    (fg%−bg%)·(fg%/bg%) per term of the match set, top-20 by (score
+    desc, term asc) — counts from ONE cogrouped postings pass, scoring
+    pure column math on the one-row subset/superset literals."""
+    from ostrich_spark.query.exec import significant_terms
+
+    idx = _doc_index(spark, sf_dir)
+    out = significant_terms(
+        spark, idx, "text:spark", "text", significance="jlh", size=20
+    )
+    return out.select(
+        "term", F.col("n_docs").cast("long"), F.col("doc_freq").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.round("bg_percent", 6).alias("bg_percent"),
+    )
+
+
+def _q_eng_auto_date_hist(spark, sf_dir):
+    """auto_date_histogram (ES analog): the ~30-day click span at
+    buckets=40 auto-picks 'day' from the minute→year ladder (one O(1)
+    min/max read, then the normal one-groupBy histogram)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import auto_date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = auto_date_histogram(
+        spark, idx, "event_type:click", "ts", buckets=40, manifest=mf
+    )
+    return out.select(
+        F.col("bucket_ms").cast("long"), F.col("n_docs").cast("long"),
+        "interval",
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -3117,6 +3202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_script_score": _q_eng_script_score,
         "eng_distance_feature": _q_eng_distance_feature,
         "eng_match_bool_prefix": _q_eng_match_bool_prefix,
+        "eng_sampler_div": _q_eng_sampler_div,
+        "eng_sig_jlh": _q_eng_sig_jlh,
+        "eng_auto_date_hist": _q_eng_auto_date_hist,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3631,6 +3719,50 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf t JOIN df d USING(term) "
             "WHERE t.term IN (SELECT term FROM x) OR t.term = 'merge') "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        # diversified sampler: cap-2-per-lang then top-12 by (tfidf
+        # desc, doc asc) — ONE segment, so local docID order == doc_id
+        # order and the oracle mirrors the ranking with row_numbers
+        "eng_sampler_div": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"sc AS (SELECT t.doc_id, {tfidf_spark} AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'), "
+            "j AS (SELECT sc.doc_id, sc.score, dd.lang, dd.source "
+            "FROM sc JOIN documents dd USING(doc_id)), "
+            "d1 AS (SELECT *, row_number() OVER (PARTITION BY lang "
+            "ORDER BY score DESC, doc_id) AS rn1 FROM j), "
+            "d2 AS (SELECT *, row_number() OVER (ORDER BY score DESC, "
+            "doc_id) AS rn2 FROM d1 WHERE rn1 <= 2) "
+            "SELECT source, count(*) AS n_docs, "
+            "round(avg(doc_id), 6) AS avg_id FROM d2 WHERE rn2 <= 12 "
+            "GROUP BY source"
+        ),
+        # JLH significant terms: rank on the UNROUNDED score inside the
+        # cut subquery (the engine cuts pre-rounding too), then round
+        "eng_sig_jlh": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "sub AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM m), "
+            "fg AS (SELECT t.term, count(DISTINCT t.doc_id) AS n_docs "
+            "FROM toks t JOIN m USING(doc_id) GROUP BY t.term), "
+            "j AS (SELECT fg.term, fg.n_docs, d.df AS doc_freq, "
+            "(fg.n_docs / (SELECT k FROM sub) "
+            "- CAST(d.df AS DOUBLE) / (SELECT n FROM n)) "
+            "* ((fg.n_docs / (SELECT k FROM sub)) "
+            "/ (CAST(d.df AS DOUBLE) / (SELECT n FROM n))) AS score, "
+            "100.0 * CAST(d.df AS DOUBLE) / (SELECT n FROM n) AS bg_percent "
+            "FROM fg JOIN df d USING(term)) "
+            "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
+            "round(bg_percent, 6) AS bg_percent FROM "
+            "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # auto_date_histogram: the 30-day span at buckets=40 picks 'day'
+        # — the oracle pins the choice; a chooser change breaks the gate
+        "eng_auto_date_hist": (
+            "SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs, 'day' AS interval "
+            "FROM events WHERE event_type = 'click' AND ts IS NOT NULL "
+            "GROUP BY 1"
         ),
         # boxplot: exact quantile_cont quartiles + Tukey whiskers —
         # innermost actual values inside q1/q3 ± 1.5·IQR

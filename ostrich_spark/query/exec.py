@@ -2008,6 +2008,79 @@ def facet_stats(
     return matched.groupBy(*by).agg(*aggs)
 
 
+def sampler_facet(
+    spark,
+    index_dir: str,
+    query,
+    by: list[str] | str,
+    metrics: dict | None = None,
+    shard_size: int = 100,
+    diversify: str | None = None,
+    max_docs_per_value: int = 1,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Bucket aggregation over only the BEST-scoring sample of a match
+    set — the Elasticsearch ``sampler`` / ``diversified_sampler``
+    aggregation analogs (EXTENSION). The use case: "what do the most
+    RELEVANT hits look like" without the long tail of barely-matching
+    docs polluting the buckets, at a bounded cost.
+
+    ``shard_size`` keeps the top docs per SEGMENT (score desc, doc asc —
+    the pinned tie-break), the analog of ES's per-shard sample; totals
+    therefore depend on segment count exactly as ES's depend on shard
+    count (documented, inherent to sampling-before-merge). With
+    ``diversify`` (a doc-value column) at most ``max_docs_per_value``
+    docs per distinct value enter the sample, best-first — the ES
+    diversified_sampler bias killer (e.g. one doc per author). NULL
+    diversify values form one group. Selection is "cap per value, then
+    top shard_size", which equals ES's best-first-with-skips iteration.
+
+    ``by``/``metrics`` follow the facet_stats grammar over the sampled
+    set. Returns (by..., n_docs, *metrics).
+
+    Scale posture: ranking is a row_number window PARTITIONED BY
+    SEGMENT — each segment's match set ranks in parallel, no global
+    sort; the sample (segments × shard_size rows) then feeds one
+    partial-aggregated groupBy. The match set never hits the driver."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1, got {shard_size}")
+    if max_docs_per_value < 1:
+        raise ValueError(
+            f"max_docs_per_value must be >= 1, got {max_docs_per_value}"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    by = [by] if isinstance(by, str) else list(by)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    order = [F.desc("score"), F.asc("doc")]
+    if diversify is not None:
+        _doc_value_field_entry(manifest, diversify)
+        w_div = Window.partitionBy("segment_ord", diversify).orderBy(*order)
+        matched = matched.withColumn(
+            "__divrank", F.row_number().over(w_div)
+        ).filter(F.col("__divrank") <= max_docs_per_value)
+    w_seg = Window.partitionBy("segment_ord").orderBy(*order)
+    sample = matched.withColumn("__rank", F.row_number().over(w_seg)).filter(
+        F.col("__rank") <= shard_size
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + _metric_aggs(F, metrics or {})
+    return sample.groupBy(*by).agg(*aggs)
+
+
 def range_agg(
     spark,
     index_dir: str,
@@ -2390,6 +2463,8 @@ def significant_terms(
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
     min_doc_count: int = 1,
+    significance: str | None = None,
+    size: int | None = None,
 ):
     """Term-level facet over a query's match set (Elasticsearch
     significant_terms / terms-aggregation analog — EXTENSION, the
@@ -2404,7 +2479,25 @@ def significant_terms(
     from the committed segments' posting metadata in the same pass —
     like scoring stats, frozen w.r.t. tombstones until purge). Callers
     derive lift/JLH-style significance from the two counts plus
-    manifest totals.
+    manifest totals — or ask for it directly with ``significance``:
+
+      - ``"jlh"``: (fg% − bg%) · (fg% / bg%) — the ES default heuristic
+        (absolute change × relative change; bg% > 0 always holds since
+        the superset contains the subset)
+      - ``"chi_square"``: the textbook 2×2 contingency chi-square
+        (N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) over term∈/∉ ×
+        match∈/∉; ES's variant drops rows where fg% < bg% — ours keeps
+        them, chi-square is symmetric, documented difference)
+      - ``"percentage"``: subset_freq / superset_freq
+      - ``"lift"``: fg% / bg% (plain ratio — not an ES builtin, kept
+        because it is the common log-odds ingredient)
+
+    with two extra columns (``score``, ``bg_percent``) and, when
+    ``size`` is given, only the top ``size`` terms (score desc, term asc
+    tie-break; TakeOrderedAndProject, never a full sort). The subset
+    size is the match count and the superset size the frozen corpus
+    maxDoc total — both one-row literals crossed into the per-term
+    frame, so scoring adds NO extra pass over data.
 
     Scale posture: the match set is NOT collected or broadcast — it is
     cogrouped with the field's postings on segment_id, so both ride one
@@ -2436,11 +2529,49 @@ def significant_terms(
         .cogroup(res.select("segment_id", "doc").groupBy("segment_id"))
         .applyInPandas(_make_sig_terms_counter(1), SIG_TERMS_SCHEMA)
     )
-    return (
+    counts = (
         per_seg.groupBy("term")
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("doc_freq").alias("doc_freq"))
         .filter(F.col("n_docs") >= max(1, min_doc_count))
     )
+    if significance is None:
+        if size is not None:
+            raise ValueError("size needs a significance heuristic to rank by")
+        return counts
+    if significance not in ("jlh", "chi_square", "percentage", "lift"):
+        raise ValueError(
+            f"significance must be jlh/chi_square/percentage/lift, "
+            f"got {significance!r}"
+        )
+    superset_size = sum(s.max_doc for s in manifest.segments)
+    subset = res.agg(F.count(F.lit(1)).alias("__subset"))
+    scored = counts.crossJoin(F.broadcast(subset))
+    fgp = F.col("n_docs").cast("double") / F.col("__subset")
+    bgp = F.col("doc_freq").cast("double") / F.lit(float(superset_size))
+    if significance == "jlh":
+        score = (fgp - bgp) * (fgp / bgp)
+    elif significance == "percentage":
+        score = F.col("n_docs").cast("double") / F.col("doc_freq")
+    elif significance == "lift":
+        score = fgp / bgp
+    else:  # chi_square: 2x2 contingency over term∈/∉ × match∈/∉
+        a = F.col("n_docs").cast("double")
+        b = F.col("doc_freq").cast("double") - a
+        c = F.col("__subset").cast("double") - a
+        d = F.lit(float(superset_size)) - F.col("__subset") - b
+        n = F.lit(float(superset_size))
+        det = a * d - b * c
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        # a zero marginal (term in EVERY doc, or subset == superset)
+        # makes the table degenerate: no association measurable -> 0
+        score = F.when(denom > 0, (n * det * det) / denom).otherwise(0.0)
+    out = scored.select(
+        "term", "n_docs", "doc_freq",
+        score.alias("score"),
+        (bgp * 100.0).alias("bg_percent"),
+    )
+    out = out.orderBy(F.desc("score"), F.asc("term"))
+    return out.limit(int(size)) if size is not None else out
 
 
 def _numeric_field_entry(manifest, by: str):
@@ -2987,6 +3118,100 @@ def date_histogram(
         spine.join(occupied, "bucket_ms", "left")
         .select("bucket_ms", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
     )
+
+
+_AUTO_HIST_LADDER = [
+    # (interval, approximate width in MICROS for bucket-count estimation;
+    # calendar widths use the mean Gregorian month/year — estimation
+    # only, the real buckets come from date_histogram's calendar math)
+    ("minute", 60_000_000),
+    ("hour", 3_600_000_000),
+    ("day", 86_400_000_000),
+    ("week", 604_800_000_000),
+    ("month", 2_629_746_000_000),
+    ("quarter", 7_889_238_000_000),
+    ("year", 31_556_952_000_000),
+]
+
+
+def auto_date_histogram(
+    spark,
+    index_dir: str,
+    query,
+    by: str,
+    buckets: int = 10,
+    min_doc_count: int = 1,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Date histogram that picks its own interval — the Elasticsearch
+    ``auto_date_histogram`` aggregation analog (EXTENSION): the FINEST
+    interval of the ladder minute → hour → day → week → month → quarter
+    → year that needs at most ``buckets`` buckets to span the matched
+    data (ES's ladder also carries intra-unit multiples like 5m/3h —
+    ours steps unit to unit, a documented simplification; the contract
+    "never more than ``buckets`` buckets, interval auto-widened" holds).
+    Returns date_histogram's frame plus an ``interval`` column naming
+    the choice (constant across rows — ES reports it in the agg meta).
+
+    Selection reads ONE driver-side row — the match set's min/max value
+    (an O(1) result like IVF's centroid read, never the match set) —
+    then delegates to date_histogram, whose one-groupBy scale posture is
+    unchanged. Fixed intervals count buckets exactly; calendar intervals
+    estimate with mean Gregorian widths and the true bucket count can
+    come out one under the estimate (never over ``buckets``: estimation
+    is conservative — floor/floor spans round UP the bucket count).
+    An empty/all-null match set returns the empty frame (interval
+    'day' by convention, ES returns its finest)."""
+    from pyspark.sql import functions as F
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(by)
+    if fe is None or not fe.is_date:
+        raise ValueError(
+            f"auto_date_histogram needs a date field; {by!r} is "
+            f"{'absent' if fe is None else repr(fe.field_type)}"
+        )
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", by).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    row = matched.agg(
+        F.min(by).alias("lo"), F.max(by).alias("hi")
+    ).collect()[0]
+    if row["lo"] is None:
+        hist = date_histogram(
+            spark, index_dir, query, by, "day", min_doc_count,
+            manifest=manifest, scorer=scorer, default_fields=default_fields,
+        )
+        return hist.select("bucket_ms", "n_docs", F.lit("day").alias("interval"))
+    lo, hi = int(row["lo"]), int(row["hi"])
+    chosen = _AUTO_HIST_LADDER[-1][0]
+    for interval, width in _AUTO_HIST_LADDER:
+        # bucket count as floor-aligned span: exact for the fixed
+        # intervals; calendar intervals estimate with mean widths, where
+        # boundary alignment can make the TRUE count one higher — the +1
+        # margin keeps "never more than `buckets`" honest (so a calendar
+        # choice may land one bucket under budget instead)
+        n_est = (hi // width) - (lo // width) + 1
+        if interval in _DATE_HIST_TRUNC:
+            n_est += 1
+        if n_est <= buckets:
+            chosen = interval
+            break
+    hist = date_histogram(
+        spark, index_dir, query, by, chosen, min_doc_count,
+        manifest=manifest, scorer=scorer, default_fields=default_fields,
+    )
+    return hist.select("bucket_ms", "n_docs", F.lit(chosen).alias("interval"))
 
 
 def _date_bucket_ms_expr(us, interval: str):
