@@ -1721,6 +1721,17 @@ def _q_eng_auto_date_hist(spark, sf_dir):
     )
 
 
+def _q_eng_span_first(spark, sf_dir):
+    """span_first (Lucene SpanFirstQuery / ES span_first): 'spark'
+    occurring within the first 5 token positions; tf = in-window
+    occurrences, idf = the term's own (full-df) idf."""
+    from ostrich_spark.query.parser import SpanFirstQuery
+
+    return _engine_matches(
+        spark, sf_dir, None, logical=SpanFirstQuery(0, "spark", 5)
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -3205,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sampler_div": _q_eng_sampler_div,
         "eng_sig_jlh": _q_eng_sig_jlh,
         "eng_auto_date_hist": _q_eng_auto_date_hist,
+        "eng_span_first": _q_eng_span_first,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3763,6 +3775,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_docs, 'day' AS interval "
             "FROM events WHERE event_type = 'click' AND ts IS NOT NULL "
             "GROUP BY 1"
+        ),
+        # span_first: occurrences at pos < 5 only; idf stays the term's
+        # full-df idf (Lucene SpanWeight builds TERM statistics)
+        "eng_span_first": (
+            f"WITH {TOKLIST_CTE}, {POS_CTE}, {N_CTE}, "
+            "m AS (SELECT doc_id, count(*) AS tf FROM pos "
+            "WHERE term = 'spark' AND pos < 5 GROUP BY doc_id), "
+            "d AS (SELECT count(DISTINCT doc_id) AS df FROM pos "
+            "WHERE term = 'spark') "
+            "SELECT doc_id, round(tf * (1.0 + ln((SELECT n FROM n) "
+            "/ (1.0 + (SELECT df FROM d)))), 6) AS score FROM m"
         ),
         # boxplot: exact quantile_cont quartiles + Tukey whiskers —
         # innermost actual values inside q1/q3 ± 1.5·IQR

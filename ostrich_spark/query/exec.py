@@ -482,6 +482,22 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         docs, tfs, lens = tp.decode()
         return docs, score_postings(tfs, lens, wire["idf"], wire["avgdl"], scorer)
+    if kind == "span_first":
+        # Lucene SpanFirstQuery: the term's occurrences restricted to
+        # positions < end; tf = in-window occurrence count (sloppy freq
+        # of matching spans), scored with the TERM's own idf
+        tp = term_data.get((wire["field"], wire["term"]))
+        if tp is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs, tfs, lens, pos = tp.decode_with_positions()
+        occ_doc = np.repeat(docs, tfs)[pos < np.int64(wire["end"])]
+        if not len(occ_doc):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        pdocs, ptfs = np.unique(occ_doc, return_counts=True)
+        lens_at = lens[np.searchsorted(docs, pdocs)]
+        return pdocs, score_postings(
+            ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
+        )
     if kind in ("phrase", "multi_phrase"):
         return eval_phrase(wire, term_data, scorer)
     if kind == "near":
@@ -5422,6 +5438,11 @@ def explain(
                 "field": w["field"], "terms": w["terms"],
                 "idf_sum": w["idf"], "slop": w.get("slop", 0),
                 "in_order": False,
+            }
+        elif w["kind"] == "span_first":
+            out["detail"] = {
+                "field": w["field"], "term": w["term"],
+                "doc_freq": w["doc_freq"], "idf": w["idf"], "end": w["end"],
             }
         elif w["kind"] == "range":
             op = w.get("op")

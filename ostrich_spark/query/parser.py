@@ -104,6 +104,34 @@ class NearQuery:
 
 
 @dataclass(frozen=True)
+class SpanFirstQuery:
+    """Match docs where ``term`` occurs within the FIRST ``end`` token
+    positions of the field — the Lucene SpanFirstQuery analog (ES
+    ``span_first``; EXTENSION, programmatic-only like MUST_NOT). The
+    classic use: "the word appears in the opening sentence/title region"
+    of a single-field document. tf = the number of occurrences with
+    position < ``end`` (Lucene's sloppy-freq-of-matching-spans), scored
+    like a term (idf of the term itself); occurrences past ``end``
+    contribute nothing. Needs positions=True, like phrases. Not
+    WAND-eligible (membership depends on positions, which the term
+    upper bound cannot see)."""
+
+    field_id: int
+    term: str
+    end: int
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.term:
+            raise QueryParseError("empty term in span_first query")
+        if not isinstance(self.end, int) or self.end < 1:
+            raise QueryParseError(
+                f"span_first end must be an int >= 1 (positions 0..end-1 "
+                f"match), got {self.end!r}"
+            )
+
+
+@dataclass(frozen=True)
 class PhrasePrefixQuery:
     """Phrase whose LAST slot is a prefix — EXTENSION (Lucene
     MatchPhrasePrefixQuery / Elasticsearch ``match_phrase_prefix``

@@ -45,6 +45,7 @@ from .parser import (
     PrefixQuery,
     RangeQuery,
     RegexpQuery,
+    SpanFirstQuery,
     TermQuery,
     TermsQuery,
     TermsSetQuery,
@@ -109,6 +110,21 @@ class CMultiPhrase:
     idf: float
     avgdl: float
     slop: int = 0
+
+
+@dataclass(frozen=True)
+class CSpanFirst:
+    """Compiled span_first: the term's occurrences restricted to
+    positions < ``end``. Stats are the TERM's (its own df/idf — Lucene
+    SpanWeight builds term statistics, only the match set narrows);
+    tf = occurrences inside the window."""
+
+    field_id: int
+    term: str
+    doc_freq: int
+    idf: float
+    avgdl: float
+    end: int
 
 
 @dataclass(frozen=True)
@@ -305,6 +321,8 @@ def collect_terms(q) -> list[TermQuery]:
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, TermsSetQuery):
         return [TermQuery(q.field_id, t) for t in q.terms]
+    if isinstance(q, SpanFirstQuery):
+        return [TermQuery(q.field_id, q.term)]
     if isinstance(q, BooleanQuery):
         out = []
         for _, sub in q.subqueries:
@@ -393,6 +411,15 @@ def compile_query(
         return CMultiPhrase(
             q.field_id, tuple(kept_slots), idf_sum * q.boost,
             field_avgdl.get(q.field_id, 1.0), q.slop,
+        )
+    if isinstance(q, SpanFirstQuery):
+        df = doc_freqs.get((q.field_id, q.term), 0)
+        if df == 0:
+            return CEmpty()
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        return CSpanFirst(
+            q.field_id, q.term, df, idf_fn(total_docs, df) * q.boost,
+            field_avgdl.get(q.field_id, 1.0), q.end,
         )
     if isinstance(q, RangeQuery):
         return CRange(
@@ -641,6 +668,16 @@ def to_wire(node) -> dict:
             "idf": node.idf,
             "avgdl": node.avgdl,
             "slop": node.slop,
+        }
+    if isinstance(node, CSpanFirst):
+        return {
+            "kind": "span_first",
+            "field": node.field_id,
+            "term": node.term,
+            "doc_freq": node.doc_freq,
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+            "end": node.end,
         }
     if isinstance(node, CIntersection):
         return {"kind": "and", "children": [to_wire(c) for c in node.children]}
