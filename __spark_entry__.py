@@ -1721,6 +1721,34 @@ def _q_eng_auto_date_hist(spark, sf_dir):
     )
 
 
+def _q_eng_geo_centroid(spark, sf_dir):
+    """geo_centroid agg (ES analog): per-axis arithmetic mean of every
+    live point + count — one partial-aggregated pass."""
+    from ostrich_spark.geo import geo_centroid
+
+    idx = _geo_index(spark, sf_dir)
+    out = geo_centroid(spark, idx, "loc")
+    return out.select(
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+        F.col("count").cast("long"),
+    )
+
+
+def _q_eng_geo_bounds(spark, sf_dir):
+    """geo_bounds agg (ES analog, wrap_longitude=false): the smallest
+    lat/lon-aligned box over every live point."""
+    from ostrich_spark.geo import geo_bounds
+
+    idx = _geo_index(spark, sf_dir)
+    out = geo_bounds(spark, idx, "loc")
+    return out.select(
+        F.round("top", 6).alias("top"), F.round("left", 6).alias("left"),
+        F.round("bottom", 6).alias("bottom"),
+        F.round("right", 6).alias("right"),
+        F.col("count").cast("long"),
+    )
+
+
 def _q_eng_span_first(spark, sf_dir):
     """span_first (Lucene SpanFirstQuery / ES span_first): 'spark'
     occurring within the first 5 token positions; tf = in-window
@@ -3217,6 +3245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sig_jlh": _q_eng_sig_jlh,
         "eng_auto_date_hist": _q_eng_auto_date_hist,
         "eng_span_first": _q_eng_span_first,
+        "eng_geo_centroid": _q_eng_geo_centroid,
+        "eng_geo_bounds": _q_eng_geo_bounds,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3775,6 +3805,19 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_docs, 'day' AS interval "
             "FROM events WHERE event_type = 'click' AND ts IS NOT NULL "
             "GROUP BY 1"
+        ),
+        # geo_centroid / geo_bounds: one-pass reductions over the
+        # synthetic point set (same arithmetic both engines)
+        "eng_geo_centroid": (
+            f"WITH {GEO_CTE} "
+            "SELECT round(avg(lat), 6) AS lat, round(avg(lon), 6) AS lon, "
+            'count(*) AS "count" FROM geo'
+        ),
+        "eng_geo_bounds": (
+            f"WITH {GEO_CTE} "
+            'SELECT round(max(lat), 6) AS top, round(min(lon), 6) AS "left", '
+            'round(min(lat), 6) AS bottom, round(max(lon), 6) AS "right", '
+            'count(*) AS "count" FROM geo'
         ),
         # span_first: occurrences at pos < 5 only; idf stays the term's
         # full-df idf (Lucene SpanWeight builds TERM statistics)

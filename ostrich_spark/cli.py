@@ -44,7 +44,10 @@ def cmd_search(args) -> int:
     if getattr(args, "at", None) is not None:
         if (args.highlight or args.sort_by or args.collapse_by
                 or args.group_by or args.boost_by or args.rescore
-                or getattr(args, "decay_by", None)):
+                or getattr(args, "decay_by", None)
+                or getattr(args, "pin", None)
+                or getattr(args, "script_score", None)
+                or getattr(args, "distance_by", None)):
             print("error: --at composes with plain search only",
                   file=sys.stderr)
             return 2
@@ -95,15 +98,19 @@ def cmd_search(args) -> int:
         return 0
     special = [args.collapse_by, args.group_by, args.boost_by, args.rescore,
                getattr(args, "export_hits", None),
-               getattr(args, "decay_by", None)]
+               getattr(args, "decay_by", None),
+               getattr(args, "pin", None),
+               getattr(args, "script_score", None),
+               getattr(args, "distance_by", None)]
     if sum(x is not None for x in special) > 1 or (
         any(x is not None for x in special)
         and (args.sort_by or args.highlight or getattr(args, "after", None)
              or getattr(args, "fields", None))
     ):
         print("error: --collapse-by/--group-by/--boost-by/--decay-by/"
-              "--rescore/--export-hits compose with plain search only, "
-              "one at a time", file=sys.stderr)
+              "--rescore/--export-hits/--pin/--script-score/--distance-by "
+              "compose with plain search only, one at a time",
+              file=sys.stderr)
         return 2
     if getattr(args, "export_hits", None):
         from .query.exec import export_hits
@@ -190,6 +197,67 @@ def cmd_search(args) -> int:
             print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
                   f"(base {r['base_score']:.4f}, "
                   f"{args.decay_by}={r[args.decay_by]})")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if getattr(args, "pin", None):
+        from .query.exec import search_pinned
+
+        ids = [v for v in args.pin.split(",") if v]
+        try:
+            res = search_pinned(
+                spark, args.path, ids, args.query, key_col=args.pin_col,
+                limit=args.limit, offset=args.offset, scorer=args.scorer,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            tag = " [pinned]" if r["pinned"] else ""
+            print(f"{r['segment_ord']}/{r['doc']} {r['score']}{tag}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if getattr(args, "script_score", None):
+        from .query.exec import search_script_score
+
+        try:
+            res = search_script_score(
+                spark, args.path, args.query, args.script_score,
+                limit=args.limit, offset=args.offset, scorer=args.scorer,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
+                  f"(base {r['base_score']:.4f})")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if getattr(args, "distance_by", None):
+        if args.origin is None or args.pivot is None:
+            print("error: --distance-by requires --origin and --pivot",
+                  file=sys.stderr)
+            return 2
+        from .query.exec import search_distance_feature
+
+        try:
+            res = search_distance_feature(
+                spark, args.path, args.query, args.distance_by,
+                args.origin, args.pivot, boost=args.boost_weight,
+                limit=args.limit, offset=args.offset, scorer=args.scorer,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['score']:.4f} {r['segment_ord']}/{r['doc']} "
+                  f"(base {r['base_score']:.4f}, "
+                  f"{args.distance_by}={r[args.distance_by]})")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
     if args.rescore:
@@ -475,21 +543,99 @@ def cmd_agg(args) -> int:
     --stats FIELD prints one n/min/max/sum/avg line; --hist FIELD
     --bin W prints ``bucket n_docs`` lines in bucket order."""
     from .query.exec import (
-        cardinality, date_histogram, numeric_histogram, numeric_stats,
-        range_agg,
+        auto_date_histogram, boxplot, cardinality, date_histogram,
+        multi_terms, numeric_histogram, numeric_stats, range_agg,
+        string_stats,
     )
 
     n_modes = sum(
         bool(x)
         for x in (args.stats, args.hist, args.cardinality, args.date_hist,
-                  args.range)
+                  args.range, args.boxplot, args.string_stats,
+                  args.auto_date_hist, args.multi_terms)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --date-hist, "
-              "--range or --cardinality", file=sys.stderr)
+              "--auto-date-hist, --range, --boxplot, --string-stats, "
+              "--multi-terms or --cardinality", file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.boxplot:
+        try:
+            row = boxplot(
+                spark, args.path, args.query, args.boxplot,
+                scorer=args.scorer,
+            ).collect()[0]
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        print(
+            f"n {row['n']}  min {row['min']}  q1 {row['q1']}  "
+            f"q2 {row['q2']}  q3 {row['q3']}  max {row['max']}  "
+            f"whiskers [{row['lower']}, {row['upper']}]"
+        )
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.string_stats:
+        try:
+            row = string_stats(
+                spark, args.path, args.query, args.string_stats,
+                scorer=args.scorer,
+            ).collect()[0]
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        print(
+            f"count {row['count']}  len [{row['min_length']}, "
+            f"{row['max_length']}] avg {row['avg_length']}  "
+            f"entropy {row['entropy']}"
+        )
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.auto_date_hist:
+        try:
+            rows = (
+                auto_date_histogram(
+                    spark, args.path, args.query, args.auto_date_hist,
+                    buckets=args.buckets, scorer=args.scorer,
+                )
+                .orderBy("bucket_ms")
+                .collect()
+            )
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        import datetime as _dt
+
+        if rows:
+            print(f"interval: {rows[0]['interval']}")
+        for r in rows:
+            iso = _dt.datetime.fromtimestamp(
+                r["bucket_ms"] / 1000, _dt.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%SZ")
+            print(f"{r['bucket_ms']} {iso} {r['n_docs']}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.multi_terms:
+        fields = [f for f in args.multi_terms.split(",") if f]
+        try:
+            rows = multi_terms(
+                spark, args.path, args.query, fields,
+                size=args.size, scorer=args.scorer,
+            ).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        for r in rows:
+            key = "|".join(str(r[f]) for f in fields)
+            print(f"{key} {r['n_docs']}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.range:
         try:
             ranges = []
@@ -1376,6 +1522,22 @@ def main(argv=None) -> int:
     )
     s.add_argument("--rescore-window", type=int, default=100)
     s.add_argument("--rescore-weight", type=float, default=1.0)
+    s.add_argument("--pin", metavar="ID1,ID2",
+                   help="promote these ids (in order) above every organic "
+                        "match (ES pinned query); --pin-col names the id "
+                        "column")
+    s.add_argument("--pin-col", default="doc_id")
+    s.add_argument("--script-score", metavar="EXPR",
+                   help="rewrite relevance with a Spark-SQL expression "
+                        "over _score + docmap columns (ES script_score), "
+                        "e.g. 'sqrt(_score) + n_stars * 0.1'")
+    s.add_argument("--distance-by", metavar="FIELD",
+                   help="add boost*pivot/(pivot+|v-origin|) closeness to "
+                        "the score (ES distance_feature); needs --origin "
+                        "and --pivot; --boost-weight scales it")
+    s.add_argument("--pivot", metavar="SPAN",
+                   help="--distance-by half-bonus distance (number, or a "
+                        "duration like 10d for date fields)")
     s.set_defaults(fn=cmd_search)
 
     pc = sub.add_parser("percolate")
@@ -1432,6 +1594,23 @@ def main(argv=None) -> int:
                     help="with --hist/--date-hist: min_doc_count=0 — "
                          "empty buckets between the first and last "
                          "occupied one appear with n_docs=0")
+    ag.add_argument("--boxplot", metavar="FIELD",
+                    help="min/q1/q2/q3/max + Tukey whiskers of FIELD "
+                         "(exact quartiles, ES boxplot agg)")
+    ag.add_argument("--string-stats", metavar="FIELD",
+                    help="count/length stats + Shannon character entropy "
+                         "of a keyword FIELD (ES string_stats agg)")
+    ag.add_argument("--auto-date-hist", metavar="FIELD",
+                    help="date histogram that picks its own interval "
+                         "(minute..year ladder) needing <= --buckets "
+                         "buckets (ES auto_date_histogram)")
+    ag.add_argument("--buckets", type=int, default=10,
+                    help="--auto-date-hist target bucket budget")
+    ag.add_argument("--multi-terms", metavar="F1,F2",
+                    help="buckets keyed by tuples of 2+ doc-value fields, "
+                         "count desc (ES multi_terms agg)")
+    ag.add_argument("--size", type=int, default=None,
+                    help="--multi-terms top-N cut")
     ag.add_argument("--cardinality", metavar="COL",
                     help="distinct count of COL over the match set "
                     "(HLL++ approx; --exact for count_distinct)")

@@ -356,6 +356,76 @@ def geohash_py(lat: float, lon: float, precision: int) -> str:
     return "".join(out)
 
 
+def _query_points(spark, index_dir, field, query, manifest, scorer):
+    """_live_points, optionally narrowed to a query's match set (ES aggs
+    run in query context; query=None keeps the every-live-point grid
+    behavior). The match set joins co-keyed — never collected."""
+    df, manifest, lat_c, lon_c = _live_points(spark, index_dir, field, manifest)
+    if query is not None:
+        from .query.exec import search
+
+        res, _ = search(
+            spark, index_dir, query, limit=None, scorer=scorer,
+            manifest=manifest,
+        )
+        df = df.join(
+            res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+        )
+    return df, lat_c, lon_c
+
+
+def geo_centroid(
+    spark,
+    index_dir: str,
+    field: str,
+    query=None,
+    manifest: Manifest | None = None,
+    scorer: str = "tfidf",
+) -> DataFrame:
+    """ES ``geo_centroid``: the arithmetic mean of the matched points'
+    coordinates — one row (``lat``, ``lon``, ``count``). The ES
+    definition is a plain per-axis mean (NOT a spherical centroid), so a
+    point set straddling the ±180 meridian averages through the far side
+    of the globe exactly like ES does (documented sharp edge of the agg
+    itself). Docs without a point are excluded; zero points -> one row
+    of NULLs with count 0. One partial-aggregated pass."""
+    df, lat_c, lon_c = _query_points(
+        spark, index_dir, field, query, manifest, scorer
+    )
+    return df.agg(
+        F.avg(lat_c).alias("lat"),
+        F.avg(lon_c).alias("lon"),
+        F.count(F.lit(1)).alias("count"),
+    )
+
+
+def geo_bounds(
+    spark,
+    index_dir: str,
+    field: str,
+    query=None,
+    manifest: Manifest | None = None,
+    scorer: str = "tfidf",
+) -> DataFrame:
+    """ES ``geo_bounds``: the smallest lat/lon-aligned box containing
+    every matched point — one row (``top``, ``left``, ``bottom``,
+    ``right``, ``count``) = (max lat, min lon, min lat, max lon). This
+    is the ES ``wrap_longitude=false`` behavior — the box never wraps
+    the ±180 meridian (the wrapping variant needs a circular-gap scan;
+    the fixed box is what map UIs consume). One partial-aggregated
+    pass; zero points -> NULL bounds with count 0."""
+    df, lat_c, lon_c = _query_points(
+        spark, index_dir, field, query, manifest, scorer
+    )
+    return df.agg(
+        F.max(lat_c).alias("top"),
+        F.min(lon_c).alias("left"),
+        F.min(lat_c).alias("bottom"),
+        F.max(lon_c).alias("right"),
+        F.count(F.lit(1)).alias("count"),
+    )
+
+
 def geohash_grid(
     spark,
     index_dir: str,

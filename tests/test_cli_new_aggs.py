@@ -1,0 +1,120 @@
+"""CLI surface for the round-3 additions: agg --boxplot/--string-stats/
+--auto-date-hist/--multi-terms and search --pin/--script-score/
+--distance-by. One index, subprocess per command (the CLI contract)."""
+
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.schema import Schema
+
+US_PER_DAY = 86_400_000_000
+
+
+@pytest.fixture(scope="module")
+def cli_idx(spark, tmp_path_factory):
+    s = Schema()
+    s.add_text_field("text", "default")
+    s.add_numeric_field("v", "double")
+    s.add_keyword_field("tag")
+    s.add_keyword_field("grp")
+    s.add_date_field("t")
+    docs = [
+        {
+            "doc_id": i,
+            "text": "spark data " + ("hot" if i < 3 else "cold"),
+            "v": float(i),
+            "tag": ["aa", "bb"][i % 2],
+            "grp": ["g1", "g2", "g3"][i % 3],
+            "t": i * US_PER_DAY,
+        }
+        for i in range(30)
+    ]
+    idx = str(tmp_path_factory.mktemp("clinew") / "idx")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(docs)), s, idx,
+        num_partitions=2, order_col="doc_id", id_cols=["doc_id"],
+    )
+    return idx
+
+
+def _run(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", *argv],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+
+
+def test_cli_agg_boxplot_and_string_stats(cli_idx):
+    out = _run("agg", "text:spark", "-p", cli_idx, "--boxplot", "v")
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.splitlines()[0]
+    # v = 0..29: q2 = 14.5, whiskers = data extremes (no outliers)
+    assert "q2 14.5" in line and "whiskers [0.0, 29.0]" in line
+
+    out = _run("agg", "text:spark", "-p", cli_idx, "--string-stats", "tag")
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.splitlines()[0]
+    assert line.startswith("count 30  len [2, 2]")
+    assert "entropy 1.0" in line  # a/b chars equi-probable -> 1 bit
+
+    # mode exclusivity + error path
+    bad = _run("agg", "text:spark", "-p", cli_idx,
+               "--boxplot", "v", "--stats", "v")
+    assert bad.returncode == 2
+    bad = _run("agg", "text:spark", "-p", cli_idx, "--boxplot", "tag")
+    assert bad.returncode == 2 and "numeric" in bad.stderr
+
+
+def test_cli_agg_auto_date_hist_and_multi_terms(cli_idx):
+    out = _run("agg", "text:spark", "-p", cli_idx,
+               "--auto-date-hist", "t", "--buckets", "40")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert lines[0] == "interval: day"
+    assert len([l for l in lines if l[0].isdigit()]) == 30
+
+    out = _run("agg", "text:spark", "-p", cli_idx,
+               "--multi-terms", "tag,grp", "--size", "3")
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = [l for l in out.stdout.splitlines()
+            if l.strip() and not l.startswith("elapsed")]
+    assert len(rows) == 3
+    for l in rows:
+        key, n = l.rsplit(" ", 1)
+        assert "|" in key and int(n) >= 1
+
+
+def test_cli_search_pin_script_distance(cli_idx):
+    out = _run("search", "text:hot", "-p", cli_idx,
+               "--pin", "7,3", "-l", "5", "--scorer", "tfidf")
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = [l for l in out.stdout.splitlines() if "/" in l]
+    assert hits[0].endswith("[pinned]") and hits[1].endswith("[pinned]")
+    # docs 7 and 3 are 'cold' -> pinned surfaces them anyway, then hot
+    assert len(hits) == 5
+
+    out = _run("search", "text:hot", "-p", cli_idx,
+               "--script-score", "_score + v", "-l", "3", "--scorer", "tfidf")
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = [l for l in out.stdout.splitlines() if "(base " in l]
+    assert len(hits) == 3
+    bad = _run("search", "text:hot", "-p", cli_idx, "--script-score", "nope_col")
+    assert bad.returncode == 2 and "failed to compile" in bad.stderr
+
+    out = _run("search", "text:hot", "-p", cli_idx,
+               "--distance-by", "v", "--origin", "0", "--pivot", "1",
+               "-l", "3", "--scorer", "tfidf")
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = [l for l in out.stdout.splitlines() if "(base " in l]
+    # v=0 doc gets the full +1 bonus -> ranks first among equal text scores
+    assert hits and "v=0.0" in hits[0]
+    bad = _run("search", "text:hot", "-p", cli_idx, "--distance-by", "v")
+    assert bad.returncode == 2 and "--origin and --pivot" in bad.stderr
+    # one-at-a-time rule
+    bad = _run("search", "text:hot", "-p", cli_idx,
+               "--pin", "1", "--script-score", "_score")
+    assert bad.returncode == 2

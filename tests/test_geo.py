@@ -398,3 +398,52 @@ class TestLifecycle:
             build_index(spark, df2, s, str(tmp_path / "bad2"),
                         num_partitions=1, order_col="id", id_cols=["id"],
                         build_id="b2")
+
+
+class TestCentroidBounds:
+    def test_centroid_hand_mean(self, spark, geo_index):
+        from ostrich_spark.geo import geo_centroid
+
+        pts = [tuple(map(float, p.split(","))) for _, _, p in CITIES if p]
+        row = geo_centroid(spark, geo_index, "loc").collect()[0]
+        assert row["count"] == len(pts)
+        assert row["lat"] == pytest.approx(
+            sum(la for la, _ in pts) / len(pts), rel=1e-12
+        )
+        assert row["lon"] == pytest.approx(
+            sum(lo for _, lo in pts) / len(pts), rel=1e-12
+        )
+
+    def test_centroid_query_context_and_empty(self, spark, geo_index):
+        from ostrich_spark.geo import geo_centroid
+
+        # only 'paris tower' matches -> centroid IS that point
+        row = geo_centroid(spark, geo_index, "loc", query="text:paris").collect()[0]
+        assert (row["lat"], row["lon"], row["count"]) == pytest.approx(
+            (48.8566, 2.3522, 1)
+        )
+        row = geo_centroid(
+            spark, geo_index, "loc", query="text:zzznomatch"
+        ).collect()[0]
+        assert row["count"] == 0 and row["lat"] is None
+
+    def test_bounds_box_and_no_wrap(self, spark, geo_index):
+        from ostrich_spark.geo import geo_bounds
+
+        pts = [tuple(map(float, p.split(","))) for _, _, p in CITIES if p]
+        row = geo_bounds(spark, geo_index, "loc").collect()[0]
+        assert row["top"] == max(la for la, _ in pts)
+        assert row["bottom"] == min(la for la, _ in pts)
+        # wrap_longitude=false: apia (-171.75) and suva (178.45) stretch
+        # the box across the globe instead of wrapping the dateline
+        assert row["left"] == min(lo for _, lo in pts)
+        assert row["right"] == max(lo for _, lo in pts)
+        assert row["count"] == len(pts)
+
+    def test_validation(self, spark, geo_index):
+        from ostrich_spark.geo import geo_bounds, geo_centroid
+
+        with pytest.raises(ValueError, match="geo field"):
+            geo_centroid(spark, geo_index, "text")
+        with pytest.raises(ValueError, match="geo field"):
+            geo_bounds(spark, geo_index, "text")
