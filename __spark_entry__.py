@@ -1734,6 +1734,47 @@ def _q_eng_geo_centroid(spark, sf_dir):
     )
 
 
+def _q_eng_geo_rings(spark, sf_dir):
+    """geo_distance aggregation (ES analog): distance-ring buckets
+    around (0.3, 0.3) with the shared declared-range contract —
+    overlapping 'all' ring double-counts, declared-but-empty 'void'
+    ring surfaces with n_docs=0, metric grammar rides along. Ring
+    boundaries sit >=8.9 km clear of every document's distance at both
+    gate scales, so libm ULP differences cannot flip a bucket."""
+    from ostrich_spark.geo import geo_distance_agg
+
+    idx = _geo_index(spark, sf_dir)
+    rings = [
+        ("r0", None, 600_000.0), ("r1", 600_000.0, 2_350_000.0),
+        ("r2", 2_350_000.0, 6_050_000.0), ("r3", 6_050_000.0, 16_200_000.0),
+        ("r4", 16_200_000.0, None), ("all", None, None),
+        ("void", 25_000_000.0, 26_000_000.0),
+    ]
+    out = geo_distance_agg(
+        spark, idx, "loc", 0.3, 0.3, rings,
+        metrics={"max_doc": ("max", "doc_id")},
+    )
+    return out.select(
+        "range_key", "lo", "hi", F.col("n_docs").cast("long"),
+        F.col("max_doc").cast("long"),
+    )
+
+
+def _q_eng_mad(spark, sf_dir):
+    """median_absolute_deviation agg (ES analog): EXACT quantile_cont
+    median + median of absolute deviations over the match set's n_chars
+    — two partial-aggregated passes, the one-row median broadcast into
+    the second."""
+    from ostrich_spark.query.exec import median_absolute_deviation
+
+    idx = _doc_index(spark, sf_dir)
+    out = median_absolute_deviation(spark, idx, "text:spark", "n_chars")
+    return out.select(
+        F.round("median", 6).alias("median"), F.round("mad", 6).alias("mad"),
+        F.col("n").cast("long"),
+    )
+
+
 def _q_eng_geo_bounds(spark, sf_dir):
     """geo_bounds agg (ES analog, wrap_longitude=false): the smallest
     lat/lon-aligned box over every live point."""
@@ -3247,6 +3288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_span_first": _q_eng_span_first,
         "eng_geo_centroid": _q_eng_geo_centroid,
         "eng_geo_bounds": _q_eng_geo_bounds,
+        "eng_geo_rings": _q_eng_geo_rings,
+        "eng_mad": _q_eng_mad,
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
@@ -3818,6 +3861,37 @@ def oracle_sql() -> dict[str, str]:
             'SELECT round(max(lat), 6) AS top, round(min(lon), 6) AS "left", '
             'round(min(lat), 6) AS bottom, round(max(lon), 6) AS "right", '
             'count(*) AS "count" FROM geo'
+        ),
+        # geo_distance agg: ring buckets over the haversine distance,
+        # boundaries >=8.9 km clear of every doc distance at both scales
+        "eng_geo_rings": (
+            f"WITH {GEO_CTE}, "
+            f"d AS (SELECT doc_id, {geo_dist} AS dist FROM geo), "
+            "r(range_key, lo, hi) AS (VALUES "
+            "('r0', CAST(NULL AS DOUBLE), 600000.0), "
+            "('r1', 600000.0, 2350000.0), ('r2', 2350000.0, 6050000.0), "
+            "('r3', 6050000.0, 16200000.0), "
+            "('r4', 16200000.0, CAST(NULL AS DOUBLE)), "
+            "('all', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), "
+            "('void', 25000000.0, 26000000.0)) "
+            "SELECT r.range_key, r.lo, r.hi, count(d.doc_id) AS n_docs, "
+            "max(d.doc_id) AS max_doc "
+            "FROM r LEFT JOIN d ON (r.lo IS NULL OR d.dist >= r.lo) "
+            "AND (r.hi IS NULL OR d.dist < r.hi) "
+            "GROUP BY r.range_key, r.lo, r.hi"
+        ),
+        # median_absolute_deviation: exact quantile_cont both engines
+        "eng_mad": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "v AS (SELECT CAST(d.n_chars AS DOUBLE) AS x "
+            "FROM m JOIN documents d USING(doc_id)), "
+            "q AS (SELECT count(x) AS n, quantile_cont(x, 0.5) AS med FROM v), "
+            "dev AS (SELECT quantile_cont(abs(x - (SELECT med FROM q)), 0.5) "
+            "AS mad FROM v) "
+            "SELECT round((SELECT med FROM q), 6) AS median, "
+            "round(dev.mad, 6) AS mad, CAST((SELECT n FROM q) AS BIGINT) AS n "
+            "FROM dev"
         ),
         # span_first: occurrences at pos < 5 only; idf stays the term's
         # full-df idf (Lucene SpanWeight builds TERM statistics)

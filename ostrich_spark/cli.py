@@ -544,23 +544,35 @@ def cmd_agg(args) -> int:
     --bin W prints ``bucket n_docs`` lines in bucket order."""
     from .query.exec import (
         auto_date_histogram, boxplot, cardinality, date_histogram,
-        multi_terms, numeric_histogram, numeric_stats, range_agg,
-        string_stats,
+        median_absolute_deviation, multi_terms, numeric_histogram,
+        numeric_stats, range_agg, string_stats,
     )
 
     n_modes = sum(
         bool(x)
         for x in (args.stats, args.hist, args.cardinality, args.date_hist,
                   args.range, args.boxplot, args.string_stats,
-                  args.auto_date_hist, args.multi_terms)
+                  args.auto_date_hist, args.multi_terms, args.mad)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --date-hist, "
               "--auto-date-hist, --range, --boxplot, --string-stats, "
-              "--multi-terms or --cardinality", file=sys.stderr)
+              "--multi-terms, --mad or --cardinality", file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.mad:
+        try:
+            row = median_absolute_deviation(
+                spark, args.path, args.query, args.mad, scorer=args.scorer,
+            ).collect()[0]
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        print(f"n {row['n']}  median {row['median']}  mad {row['mad']}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.boxplot:
         try:
             row = boxplot(
@@ -805,7 +817,32 @@ def cmd_geo(args) -> int:
     spark = _spark()
     t0 = time.time()
     try:
-        if args.mode in ("distance", "nearest"):
+        if args.mode == "rings":
+            if not args.origin:
+                print("--origin LAT,LON is required", file=sys.stderr)
+                return 2
+            lat, lon = parse_point(args.origin)
+            try:
+                rings = []
+                for part in (args.ranges or "").split(","):
+                    key, lo, hi = part.split(":")
+                    rings.append(
+                        (key, float(lo) if lo else None,
+                         float(hi) if hi else None)
+                    )
+            except ValueError:
+                print("geo rings: --ranges wants KEY:LO:HI[,...] meters "
+                      "with empty LO/HI = open", file=sys.stderr)
+                return 2
+            rows = geomod.geo_distance_agg(
+                spark, args.path, args.field, lat, lon, rings
+            ).collect()
+            for r in rows:
+                lo = "*" if r["lo"] is None else r["lo"]
+                hi = "*" if r["hi"] is None else r["hi"]
+                print(f"{r['range_key']} [{lo} TO {hi})m {r['n_docs']}")
+            print(f"{len(rows)} rings, elapsed: {time.time() - t0:.3f}s")
+        elif args.mode in ("distance", "nearest"):
             if not args.origin:
                 print("--origin LAT,LON is required", file=sys.stderr)
                 return 2
@@ -1611,6 +1648,10 @@ def main(argv=None) -> int:
                          "count desc (ES multi_terms agg)")
     ag.add_argument("--size", type=int, default=None,
                     help="--multi-terms top-N cut")
+    ag.add_argument("--mad", metavar="FIELD",
+                    help="median + median absolute deviation of FIELD "
+                         "(exact quantile_cont, ES "
+                         "median_absolute_deviation agg)")
     ag.add_argument("--cardinality", metavar="COL",
                     help="distinct count of COL over the match set "
                     "(HLL++ approx; --exact for count_distinct)")
@@ -1662,7 +1703,7 @@ def main(argv=None) -> int:
                         "(ES geo_distance / geo_bounding_box / sort "
                         "_geo_distance / geohash_grid / geotile_grid)")
     ge.add_argument("mode", choices=["distance", "bbox", "nearest",
-                                     "geohash", "geotile"])
+                                     "geohash", "geotile", "rings"])
     ge.add_argument("-p", "--path", required=True)
     ge.add_argument("-f", "--field", required=True, help="geo field name")
     ge.add_argument("--origin", metavar="LAT,LON",
@@ -1677,6 +1718,9 @@ def main(argv=None) -> int:
                     help="geotile: web-mercator zoom (0-29)")
     ge.add_argument("--tiebreak", default=None,
                     help="nearest: identity column breaking exact ties")
+    ge.add_argument("--ranges", metavar="K:LO:HI,...",
+                    help="rings: distance buckets in METERS, [lo,hi) "
+                         "each, empty bound = open (ES geo_distance agg)")
     ge.set_defaults(fn=cmd_geo)
 
     jn = sub.add_parser("join")

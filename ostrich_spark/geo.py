@@ -426,6 +426,49 @@ def geo_bounds(
     )
 
 
+def geo_distance_agg(
+    spark,
+    index_dir: str,
+    field: str,
+    lat: float,
+    lon: float,
+    ranges: list[tuple],
+    query=None,
+    metrics: dict | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = "tfidf",
+) -> DataFrame:
+    """ES ``geo_distance`` aggregation: distance-ring buckets around an
+    origin. ``ranges`` is a list of ``(key, lo_m, hi_m)`` in METERS —
+    lo inclusive, hi exclusive, either side None = unbounded, overlaps
+    double-count, every DECLARED ring appears (empty ones with
+    n_docs=0/NULL metrics) — exactly the ``range_agg`` contract over a
+    COMPUTED great-circle distance instead of a stored doc value.
+    Distance is the haversine on the IUGG sphere (R=6371008.8, the ES
+    ``arc`` distance_type) evaluated as Catalyst columns inside the
+    tagging projection — JVM whole-stage codegen, computed once per row
+    however many rings it lands in. Docs without a point fall in no
+    ring; ``metrics`` follows the shared facet metric grammar over
+    docmap columns. Output (range_key, lo, hi, n_docs, *metrics) in
+    declaration order. One docmap scan (query match set co-keyed in) +
+    one partial-aggregated groupBy — no per-ring job."""
+    from .query.exec import bucket_by_declared_ranges
+
+    if not ranges:
+        raise ValueError("ranges must declare >= 1 (key, lo_m, hi_m) ring")
+    keys = [r[0] for r in ranges]
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"duplicate range keys: {keys}")
+    for key, lo, hi in ranges:
+        if (lo is not None and lo < 0) or (hi is not None and hi < 0):
+            raise ValueError(f"ring {key!r}: distances must be >= 0 meters")
+    df, lat_c, lon_c = _query_points(
+        spark, index_dir, field, query, manifest, scorer
+    )
+    dist = haversine_m(lat_c, lon_c, float(lat), float(lon))
+    return bucket_by_declared_ranges(spark, df, dist, ranges, metrics or {})
+
+
 def geohash_grid(
     spark,
     index_dir: str,

@@ -2145,7 +2145,6 @@ def range_agg(
     if len(set(keys)) != len(keys):
         raise ValueError(f"duplicate range keys: {keys}")
     metrics = metrics or {}
-    aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics)
 
     res, _ = search(
         spark, index_dir, query, limit=None, scorer=scorer,
@@ -2155,17 +2154,41 @@ def range_agg(
     matched = docmap.join(
         res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
     )
+    return bucket_by_declared_ranges(spark, matched, F.col(field), ranges,
+                                     metrics)
+
+
+def bucket_by_declared_ranges(spark, matched, value, ranges, metrics):
+    """Shared declared-range bucketing (range_agg / geo_distance_agg):
+    tag each ``matched`` row with every ``(key, lo, hi)`` range its
+    ``value`` column expression falls in (lo inclusive, hi exclusive,
+    None = unbounded; overlaps double-count, NULL falls nowhere), one
+    partial-aggregated groupBy on the tag, declared-range table joined
+    back so EMPTY declared buckets surface with n_docs=0 and NULL
+    metrics. Output (range_key, lo, hi, n_docs, *metrics) in declaration
+    order. ``value`` may be a stored doc-value column or a computed
+    expression (the geo_distance agg's haversine) — either way it is
+    evaluated once per row inside the tagging select."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics)
     tags = []
     for key, lo, hi in ranges:
-        c = F.col(field).isNotNull()
+        c = value.isNotNull()
         if lo is not None:
-            c = c & (F.col(field) >= F.lit(lo))
+            c = c & (value >= F.lit(lo))
         if hi is not None:
-            c = c & (F.col(field) < F.lit(hi))
+            c = c & (value < F.lit(hi))
         tags.append(F.when(c, F.lit(key)))
-    metric_cols = list(dict.fromkeys(
-        spec[1] for spec in metrics.values() if spec[1] in matched.columns
-    ))
+    # every COLUMN a metric references must ride through the tagging
+    # projection — value cols, max_by/min_by sort cols, weighted_avg
+    # weight cols (numeric rest args like approx rsd are not columns)
+    metric_cols = []
+    for spec in metrics.values():
+        for ref in spec[1:]:
+            if isinstance(ref, str) and ref in matched.columns \
+                    and ref not in metric_cols:
+                metric_cols.append(ref)
     tagged = (
         matched.select(
             F.explode(F.array_compact(F.array(*tags))).alias("range_key"),
@@ -4706,6 +4729,53 @@ def boxplot(
     return q.crossJoin(F.broadcast(wk)).select(
         "min", "max", "q1", "q2", "q3", "lower", "upper", "n"
     )
+
+
+def median_absolute_deviation(
+    spark,
+    index_dir: str,
+    query,
+    of: str,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``median_absolute_deviation`` aggregation
+    analog over a query's FULL match set: one row (``median``, ``mad``,
+    ``n``) where mad = median(|v - median(v)|) — the robust dispersion
+    statistic. Both medians are EXACT linear-interpolated percentiles
+    (the SQL ``quantile_cont`` definition) where ES approximates via a
+    TDigest sketch (documented difference — same stance as ``boxplot``:
+    Spark's partial-aggregated exact percentile doesn't need the
+    sketch). NULL doc values are excluded; an empty/all-null match set
+    returns n=0 with NULL median/mad (the ES null result).
+
+    Scale posture: two partial-aggregated passes over the match set —
+    the median first, then the deviation median with the one-row median
+    frame crossed in as a broadcast literal. No driver-side values, no
+    window."""
+    from pyspark.sql import functions as F
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, of)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.select("segment_id", "doc", of).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    c = F.col(of)
+    med = matched.agg(
+        F.count(c).alias("n"),
+        F.percentile(c, F.lit(0.5)).alias("median"),
+    )
+    dev = matched.crossJoin(F.broadcast(med)).agg(
+        F.percentile(F.abs(c - F.col("median")), F.lit(0.5)).alias("mad"),
+    )
+    return med.crossJoin(F.broadcast(dev)).select("median", "mad", "n")
 
 
 def matrix_stats(

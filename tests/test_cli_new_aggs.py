@@ -61,11 +61,18 @@ def test_cli_agg_boxplot_and_string_stats(cli_idx):
     assert line.startswith("count 30  len [2, 2]")
     assert "entropy 1.0" in line  # a/b chars equi-probable -> 1 bit
 
+    # v = 0..29: median 14.5, |v-14.5| pairs -> mad = 7.5
+    out = _run("agg", "text:spark", "-p", cli_idx, "--mad", "v")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0] == "n 30  median 14.5  mad 7.5"
+
     # mode exclusivity + error path
     bad = _run("agg", "text:spark", "-p", cli_idx,
                "--boxplot", "v", "--stats", "v")
     assert bad.returncode == 2
     bad = _run("agg", "text:spark", "-p", cli_idx, "--boxplot", "tag")
+    assert bad.returncode == 2 and "numeric" in bad.stderr
+    bad = _run("agg", "text:spark", "-p", cli_idx, "--mad", "tag")
     assert bad.returncode == 2 and "numeric" in bad.stderr
 
 

@@ -341,6 +341,18 @@ class TestCLI:
         bad = run("distance", "--origin", "48.8,2.3")  # missing radius
         assert bad.returncode == 2
 
+        out = run("rings", "--origin", "48.8566,2.3522", "--ranges",
+                  "near::500000,far:500000:")
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "near [* TO 500000.0)m 2" in out.stdout  # paris + london
+        assert "far [500000.0 TO *)m 6" in out.stdout
+        assert "2 rings" in out.stdout
+
+        bad = run("rings", "--origin", "0,0", "--ranges", "notaspec")
+        assert bad.returncode == 2
+        bad = run("rings", "--ranges", "a::")  # missing origin
+        assert bad.returncode == 2
+
 
 class TestLifecycle:
     def test_merge_preserves_geo(self, spark, tmp_path):
@@ -447,3 +459,61 @@ class TestCentroidBounds:
             geo_centroid(spark, geo_index, "text")
         with pytest.raises(ValueError, match="geo field"):
             geo_bounds(spark, geo_index, "text")
+
+
+class TestDistanceRings:
+    def test_rings_match_brute_force(self, spark, geo_index):
+        from ostrich_spark.geo import geo_distance_agg
+
+        origin = (48.8566, 2.3522)  # paris
+        rings = [
+            ("near", None, 500_000.0),
+            ("mid", 500_000.0, 2_000_000.0),
+            ("far", 2_000_000.0, None),
+            ("all", None, None),              # overlaps: double-counts
+            ("empty", 30_000_000.0, 31_000_000.0),  # declared-but-empty
+        ]
+        rows = geo_distance_agg(
+            spark, geo_index, "loc", *origin, rings
+        ).collect()
+        assert [r["range_key"] for r in rows] == [k for k, _, _ in rings]
+        dists = [
+            hav_py(*origin, *map(float, p.split(",")))
+            for _, _, p in CITIES if p
+        ]
+        by = {r["range_key"]: r for r in rows}
+        assert by["near"]["n_docs"] == sum(d < 5e5 for d in dists)
+        assert by["mid"]["n_docs"] == sum(5e5 <= d < 2e6 for d in dists)
+        assert by["far"]["n_docs"] == sum(d >= 2e6 for d in dists)
+        assert by["all"]["n_docs"] == len(dists)
+        assert by["empty"]["n_docs"] == 0
+        assert (
+            by["near"]["n_docs"] + by["mid"]["n_docs"] + by["far"]["n_docs"]
+            == len(dists)
+        )
+
+    def test_rings_query_context_and_metrics(self, spark, geo_index):
+        from ostrich_spark.geo import geo_distance_agg
+
+        rows = geo_distance_agg(
+            spark, geo_index, "loc", 48.8566, 2.3522,
+            [("any", None, None)], query="text:bridge",
+            metrics={"max_id": ("max", "id")},
+        ).collect()
+        assert rows[0]["n_docs"] == 1  # only london bridge
+        assert rows[0]["max_id"] == 1
+
+    def test_rings_validation(self, spark, geo_index):
+        from ostrich_spark.geo import geo_distance_agg
+
+        with pytest.raises(ValueError, match=">= 1"):
+            geo_distance_agg(spark, geo_index, "loc", 0, 0, [])
+        with pytest.raises(ValueError, match="duplicate"):
+            geo_distance_agg(
+                spark, geo_index, "loc", 0, 0,
+                [("a", None, 1.0), ("a", 1.0, None)],
+            )
+        with pytest.raises(ValueError, match=">= 0 meters"):
+            geo_distance_agg(
+                spark, geo_index, "loc", 0, 0, [("a", -5.0, None)]
+            )

@@ -215,3 +215,74 @@ def test_multi_terms_buckets_and_order(spark, stats_index):
     ]
     with pytest.raises(ValueError, match="facet_stats"):
         multi_terms(spark, stats_index, "content:spark", ["tag"])
+
+
+def test_mad_hand_math(spark, stats_index):
+    from ostrich_spark.query.exec import median_absolute_deviation
+
+    xs = np.array([d["x"] for d in DOCS if d["x"] is not None])
+    row = median_absolute_deviation(
+        spark, stats_index, "content:spark", "x"
+    ).collect()[0]
+    med = float(np.median(xs))  # numpy median == quantile_cont(0.5)
+    assert row["n"] == len(xs)
+    assert row["median"] == pytest.approx(med, rel=1e-12)
+    assert row["mad"] == pytest.approx(
+        float(np.median(np.abs(xs - med))), rel=1e-12
+    )
+
+
+def test_mad_query_subset_and_empty(spark, stats_index):
+    from ostrich_spark.query.exec import median_absolute_deviation
+
+    # content:merge matches i % 7 == 0; x NULL at i % 11 == 0 drops i=0
+    xs = np.array([
+        d["x"] for d in DOCS if d["x"] is not None and "merge" in d["content"]
+    ])
+    assert len(xs) == 5  # the subset is real and asymmetric
+    row = median_absolute_deviation(
+        spark, stats_index, "content:merge", "x"
+    ).collect()[0]
+    med = float(np.median(xs))
+    assert row["n"] == len(xs)
+    assert row["median"] == pytest.approx(med, rel=1e-12)
+    assert row["mad"] == pytest.approx(
+        float(np.median(np.abs(xs - med))), rel=1e-12
+    )
+    empty = median_absolute_deviation(
+        spark, stats_index, "content:zzznomatch", "x"
+    ).collect()[0]
+    assert empty["n"] == 0
+    assert empty["median"] is None and empty["mad"] is None
+
+
+def test_mad_validation(spark, stats_index):
+    from ostrich_spark.query.exec import median_absolute_deviation
+
+    with pytest.raises(ValueError, match="numeric doc-value"):
+        median_absolute_deviation(spark, stats_index, "content:spark", "content")
+
+
+def test_range_agg_metrics_project_all_referenced_columns(spark, stats_index):
+    """Regression: weighted_avg's weight column and max_by's sort column
+    must ride through the range tagging projection (they are spec[2],
+    not spec[1] — the original projection only carried value columns)."""
+    from ostrich_spark.query.exec import range_agg
+
+    out = range_agg(
+        spark, stats_index, "content:spark", "x",
+        ranges=[("lo", None, 20.0), ("hi", 20.0, None)],
+        metrics={
+            "wavg_y": ("weighted_avg", "y", "x"),
+            "y_at_max_k": ("max_by", "y", "k"),
+        },
+    ).collect()
+    by = {r["range_key"]: r for r in out}
+    for key, pred in (("lo", lambda v: v < 20.0), ("hi", lambda v: v >= 20.0)):
+        rows = [d for d in DOCS if d["x"] is not None and pred(d["x"])]
+        assert by[key]["n_docs"] == len(rows)
+        want = sum(d["y"] * d["x"] for d in rows) / sum(d["x"] for d in rows)
+        assert by[key]["wavg_y"] == pytest.approx(want, rel=1e-12)
+        assert by[key]["y_at_max_k"] == pytest.approx(
+            max(rows, key=lambda d: d["k"])["y"], rel=1e-12
+        )
