@@ -104,6 +104,33 @@ class NearQuery:
 
 
 @dataclass(frozen=True)
+class SpanNearQuery:
+    """ORDERED proximity — Lucene SpanNearQuery(inOrder=true) / ES
+    ``span_near`` with ``in_order: true``. NQL: ``field:"a b"~2o`` (the
+    ``o`` suffix). A doc matches at end position q (an occurrence of the
+    LAST clause) iff the clauses occur at strictly increasing positions
+    p1 < p2 < ... < pk = q with total gap ``q - p1 - (k-1) <= slop``;
+    tf = number of such distinct end positions, idf = sum of constituent
+    idfs; duplicate terms need distinct occurrences (strict ordering).
+
+    This engine's sloppy :class:`PhraseQuery` already implements EXACTLY
+    this in-order window contract (a documented difference from Lucene's
+    PhraseQuery, whose slop is an edit distance that lets adjacent
+    constituents transpose at slop >= 2 — ours never reorders), so
+    SpanNearQuery lowers to the same compiled phrase node: one kernel,
+    provably one semantics, and ``field:"a b"~2o`` is score-identical to
+    ``field:"a b"~2``. The alias exists so the ES span API maps cleanly:
+    span_near(in_order=true) -> this; in_order=false ->
+    :class:`NearQuery` (``~Nu``), which DOES accept reordering. Needs
+    positions=True, like phrases; not WAND-eligible (no term union)."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    slop: int = 0
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class SpanFirstQuery:
     """Match docs where ``term`` occurs within the FIRST ``end`` token
     positions of the field — the Lucene SpanFirstQuery analog (ES
@@ -885,12 +912,29 @@ def _near_for_field(fe, raw: str, slop: int):
     return NearQuery(fe.id, tuple(terms), slop=slop)
 
 
+def _span_near_for_field(fe, raw: str, slop: int):
+    """Analyze a quoted span -> ORDERED SpanNearQuery (degenerate forms
+    like the phrase path). Phrase-prefix does not compose with ``o``."""
+    if raw.rstrip().endswith("*"):
+        raise QueryParseError(
+            "phrase-prefix and ordered span proximity do not compose "
+            '("a b*"~No) — drop the o or the *'
+        )
+    terms = get_analyzer(fe.query_analyzer).analyze_one(raw)
+    if not terms:
+        return EmptyQuery()
+    if len(terms) == 1:
+        return TermQuery(fe.id, terms[0])
+    return SpanNearQuery(fe.id, tuple(terms), slop=slop)
+
+
 # proximity syntax: "quoted span"~N (slop). Like '*'/'~'/'^': the quote
 # is a tokenizer separator, so no indexed term carries the shape.
 _SLOP_SUFFIX = re.compile(r'^"(.*)"~(\d+)$', re.DOTALL)
 
 # unordered proximity: "quoted span"~Nu (the u suffix = inOrder=false)
 _NEAR_SUFFIX = re.compile(r'^"(.*)"~(\d+)u$', re.DOTALL)
+_ORDERED_SUFFIX = re.compile(r'^"(.*)"~(\d+)o$', re.DOTALL)
 
 
 _FUZZY_SUFFIX = re.compile(r"^(.+)~([012]|auto)$", re.IGNORECASE)
@@ -1197,6 +1241,10 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
             if nm:
                 # field:"a b"~2u — UNORDERED proximity
                 return _near_for_field(fe, nm.group(1), int(nm.group(2)))
+            om = _ORDERED_SUFFIX.match(raw)
+            if om:
+                # field:"a b"~2o — ORDERED span proximity
+                return _span_near_for_field(fe, om.group(1), int(om.group(2)))
             sm = _SLOP_SUFFIX.match(raw)
             if sm:
                 # field:"a b"~2 — proximity (sloppy) phrase
@@ -1212,14 +1260,17 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                 return TermQuery(fe.id, terms[0])
             return BooleanQuery.union(*[TermQuery(fe.id, t) for t in terms])
         # unknown field name: fall through, treat whole token as bare term
-    bare_span, bare_slop, bare_near = None, 0, False
+    bare_span, bare_slop, bare_kind = None, 0, "phrase"
     if len(value) >= 2 and value.startswith('"') and value.endswith('"'):
         bare_span = value[1:-1]
     else:
         nm = _NEAR_SUFFIX.match(value)
-        sm = None if nm else _SLOP_SUFFIX.match(value)
+        om = None if nm else _ORDERED_SUFFIX.match(value)
+        sm = None if nm or om else _SLOP_SUFFIX.match(value)
         if nm:
-            bare_span, bare_slop, bare_near = nm.group(1), int(nm.group(2)), True
+            bare_span, bare_slop, bare_kind = nm.group(1), int(nm.group(2)), "near"
+        elif om:
+            bare_span, bare_slop, bare_kind = om.group(1), int(om.group(2)), "ordered"
         elif sm:
             bare_span, bare_slop = sm.group(1), int(sm.group(2))
     if bare_span is not None:
@@ -1232,7 +1283,9 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
             if fe is not None and not fe.is_numeric and not fe.is_date:
                 q = (
                     _near_for_field(fe, bare_span, bare_slop)
-                    if bare_near
+                    if bare_kind == "near"
+                    else _span_near_for_field(fe, bare_span, bare_slop)
+                    if bare_kind == "ordered"
                     else _phrase_for_field(fe, bare_span, slop=bare_slop)
                 )
                 if not isinstance(q, EmptyQuery):

@@ -46,6 +46,7 @@ from .parser import (
     RangeQuery,
     RegexpQuery,
     SpanFirstQuery,
+    SpanNearQuery,
     TermQuery,
     TermsQuery,
     TermsSetQuery,
@@ -319,6 +320,8 @@ def collect_terms(q) -> list[TermQuery]:
         return [TermQuery(q.field_id, t) for slot in q.slots for t in slot]
     if isinstance(q, NearQuery):
         return [TermQuery(q.field_id, t) for t in q.terms]
+    if isinstance(q, SpanNearQuery):
+        return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, TermsSetQuery):
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, SpanFirstQuery):
@@ -394,6 +397,16 @@ def compile_query(
         return CNear(
             q.field_id, q.terms, idf_sum * q.boost,
             field_avgdl.get(q.field_id, 1.0), q.slop,
+        )
+    if isinstance(q, SpanNearQuery):
+        # this engine's sloppy phrase IS the in-order span contract
+        # (strictly increasing chain, width <= k-1+slop; see
+        # parser.SpanNearQuery), so the ordered span_near lowers to the
+        # SAME compiled node — one evaluation kernel, provably one
+        # semantics
+        return compile_query(
+            PhraseQuery(q.field_id, q.terms, slop=q.slop, boost=q.boost),
+            doc_freqs, total_docs, field_avgdl, scorer,
         )
     if isinstance(q, MultiPhraseQuery):
         idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
