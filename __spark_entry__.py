@@ -1319,6 +1319,22 @@ def _q_eng_hist_filled(spark, sf_dir):
     return _longify(out)
 
 
+def _q_eng_date_hist_offset(spark, sf_dir):
+    """date_histogram offset (ES shifted rounding): day buckets at a
+    +6h boundary — key = bucket(v - offset) + offset, every key carries
+    the 06:00 phase."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = date_histogram(
+        spark, idx, "event_type:click", "ts", "day", offset="6h",
+        manifest=mf,
+    )
+    return _longify(out)
+
+
 def _q_eng_facet_top(spark, sf_dir):
     """max_by/min_by metrics (ES top_metrics shape): per-etype value of
     the `value` doc value at the extreme doc_id — the sort column is
@@ -3271,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_stats_bucket": _q_eng_stats_bucket,
         "eng_pctl_bucket": _q_eng_pctl_bucket,
         "eng_hist_filled": _q_eng_hist_filled,
+        "eng_date_hist_offset": _q_eng_date_hist_offset,
         "eng_facet_top": _q_eng_facet_top,
         "eng_ext_stats": _q_eng_ext_stats,
         "eng_pctl_ranks": _q_eng_pctl_ranks,
@@ -4248,6 +4265,15 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT unnest(generate_series(lo, hi, 86400000)) AS bucket_ms FROM b) "
             "SELECT s.bucket_ms, CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_docs "
             "FROM s LEFT JOIN h USING(bucket_ms)"
+        ),
+        # date_histogram offset: day buckets at the +6h boundary —
+        # key = floor((us - off)/day)*day_ms + off_ms, floor over double
+        # division exactly like the engine (|us| << 2^53)
+        "eng_date_hist_offset": (
+            "SELECT CAST(floor((epoch_us(ts) - 21600000000) / 86400000000.0) "
+            "AS BIGINT) * 86400000 + 21600000 AS bucket_ms, "
+            "count(*) AS n_docs FROM events "
+            "WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1"
         ),
         # top_metrics shape: arg_max/arg_min on a UNIQUE sort column
         "eng_facet_top": (

@@ -687,15 +687,20 @@ def cmd_agg(args) -> int:
             f"sum {row['sum']}  avg {row['avg']}"
         )
     elif args.date_hist:
-        rows = (
-            date_histogram(
-                spark, args.path, args.query, args.date_hist,
-                interval=args.interval, scorer=args.scorer,
-                min_doc_count=0 if args.fill else 1,
+        try:
+            rows = (
+                date_histogram(
+                    spark, args.path, args.query, args.date_hist,
+                    interval=args.interval, scorer=args.scorer,
+                    min_doc_count=0 if args.fill else 1,
+                    offset=args.offset or 0,
+                )
+                .orderBy("bucket_ms")
+                .collect()
             )
-            .orderBy("bucket_ms")
-            .collect()
-        )
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
         elapsed = time.time() - t0
         import datetime as _dt
 
@@ -1627,6 +1632,9 @@ def main(argv=None) -> int:
                     help="ES range agg over FIELD with --ranges buckets")
     ag.add_argument("--ranges", metavar="K:LO:HI,...",
                     help="--range buckets, [lo,hi) each, empty bound = open")
+    ag.add_argument("--offset", metavar="DUR", default=None,
+                    help="--date-hist bucket-boundary shift, e.g. 6h / "
+                         "-30m (ES date_histogram offset)")
     ag.add_argument("--fill", action="store_true",
                     help="with --hist/--date-hist: min_doc_count=0 — "
                          "empty buckets between the first and last "

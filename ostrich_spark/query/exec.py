@@ -3063,6 +3063,7 @@ def date_histogram(
     interval: str = "day",
     min_doc_count: int = 1,
     extended_bounds: tuple | None = None,
+    offset=0,
     manifest: Manifest | None = None,
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
@@ -3085,7 +3086,16 @@ def date_histogram(
     bounds snapped to their bucket starts like ES does. The spine is a
     ``sequence()`` on the one-row min/max aggregate — fixed intervals
     step in millis, calendar intervals step as DATE + INTERVAL
-    arithmetic (timezone-free, dates carry no zone)."""
+    arithmetic (timezone-free, dates carry no zone).
+
+    ``offset`` shifts every bucket boundary by a duration (``"+6h"`` /
+    ``"-30m"`` / int micros) — the ES shifted-rounding definition:
+    ``key = bucket(v − offset) + offset``, so a ``"6h"`` day histogram
+    buckets 06:00→06:00 with keys at 06:00. Applied IDENTICALLY to
+    extended bounds and the gap spine (everything computes on the
+    shifted axis, the offset added back to the output keys), composing
+    with min_doc_count=0 exactly like ES. Whole milliseconds only
+    (keys are millis)."""
     from pyspark.sql import functions as F
 
     if interval not in _DATE_HIST_FIXED_US and interval not in _DATE_HIST_TRUNC:
@@ -3095,6 +3105,13 @@ def date_histogram(
         )
     if min_doc_count not in (0, 1):
         raise ValueError("min_doc_count must be 0 or 1 (ES: gaps on/off)")
+    offset_us = _parse_duration_us(offset, "offset") if offset else 0
+    if offset_us % 1000:
+        raise ValueError(
+            "offset must be a whole number of milliseconds — bucket keys "
+            "are epoch millis"
+        )
+    off_ms = offset_us // 1000
     if manifest is None:
         manifest = load_manifest(index_dir)
     fe = manifest.schema.field_by_name(by)
@@ -3112,19 +3129,31 @@ def date_histogram(
         res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
     )
     us = F.col(by)
+    if offset_us:
+        # the whole computation (bucketing, bound snapping, spine) runs
+        # on the SHIFTED axis; off_ms rejoins the keys at output
+        us = us - F.lit(offset_us)
     bucket_ms = _date_bucket_ms_expr(us, interval)
     occupied = (
-        matched.filter(us.isNotNull())
+        matched.filter(F.col(by).isNotNull())
         .groupBy(bucket_ms.alias("bucket_ms"))
         .agg(F.count("*").alias("n_docs"))
     )
     if min_doc_count == 1:
+        if off_ms:
+            occupied = occupied.select(
+                (F.col("bucket_ms") + F.lit(off_ms)).alias("bucket_ms"),
+                "n_docs",
+            )
         return occupied
     lo = hi = None
     if extended_bounds is not None:
         e_lo, e_hi = extended_bounds
         # snap each bound to ITS bucket start via the same expression
-        snap = lambda ms: _date_bucket_ms_expr(F.lit(int(ms) * 1000), interval)
+        # (on the shifted axis, like the data)
+        snap = lambda ms: _date_bucket_ms_expr(
+            F.lit(int(ms) * 1000 - offset_us), interval
+        )
         lo = None if e_lo is None else snap(e_lo)
         hi = None if e_hi is None else snap(e_hi)
     bounds = occupied.agg(
@@ -3155,7 +3184,10 @@ def date_histogram(
         ).select((F.unix_date("__d").cast("long") * day_ms).alias("bucket_ms"))
     return (
         spine.join(occupied, "bucket_ms", "left")
-        .select("bucket_ms", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
+        .select(
+            (F.col("bucket_ms") + F.lit(off_ms)).alias("bucket_ms"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
     )
 
 

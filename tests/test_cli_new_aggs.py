@@ -84,6 +84,21 @@ def test_cli_agg_auto_date_hist_and_multi_terms(cli_idx):
     assert lines[0] == "interval: day"
     assert len([l for l in lines if l[0].isdigit()]) == 30
 
+    # date-hist --offset: t = i days at midnight, so a +6h offset puts
+    # every doc in the PRECEDING day's 06:00 bucket
+    out = _run("agg", "text:spark", "-p", cli_idx,
+               "--date-hist", "t", "--offset", "6h")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines()
+             if l.strip() and l[0].isdigit() or l.startswith("-")]
+    assert len(lines) == 30
+    for l in lines:
+        ms = int(l.split()[0])
+        assert (ms - 21_600_000) % 86_400_000 == 0
+    bad = _run("agg", "text:spark", "-p", cli_idx,
+               "--date-hist", "t", "--offset", "sideways")
+    assert bad.returncode == 2 and "duration" in bad.stderr
+
     out = _run("agg", "text:spark", "-p", cli_idx,
                "--multi-terms", "tag,grp", "--size", "3")
     assert out.returncode == 0, out.stderr[-2000:]

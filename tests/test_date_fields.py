@@ -395,3 +395,81 @@ def test_histogram_min_doc_count_zero_fills_gaps(spark, tmp_path):
         date_histogram(
             spark, idx, "event_type:click", "ts", "day", min_doc_count=2
         )
+
+
+def test_histogram_offset_shifted_rounding(spark, date_index):
+    """ES offset: key = bucket(v - offset) + offset. Fixed-day buckets
+    verified against a pandas recomputation at +6h and -30m; every key
+    must carry the offset phase."""
+    idx, pdf = date_index
+    m = pdf[(pdf.event_type == "click") & pdf.ts.notna()]
+    us = m.ts.astype("datetime64[us]").astype("int64")
+    day_us, day_ms = 86_400_000_000, 86_400_000
+    for off, off_us in (("6h", 6 * 3600 * 1_000_000), ("-30m", -1_800_000_000)):
+        got = {
+            r["bucket_ms"]: r["n_docs"]
+            for r in date_histogram(
+                spark, idx, "event_type:click", "ts", "day", offset=off
+            ).collect()
+        }
+        shifted = ((us - off_us) // day_us) * day_ms + off_us // 1000
+        assert got == pd.Series(shifted).value_counts().to_dict(), off
+        assert all((k - off_us // 1000) % day_ms == 0 for k in got)
+    # calendar interval: month of the SHIFTED instant, key + offset
+    got = {
+        r["bucket_ms"]: r["n_docs"]
+        for r in date_histogram(
+            spark, idx, "event_type:click", "ts", "month", offset="6h"
+        ).collect()
+    }
+    sh = (m.ts - pd.Timedelta(hours=6)).dt.to_period("M").dt.start_time
+    want = (
+        (sh.astype("datetime64[ms]").astype("int64") + 6 * 3600 * 1000)
+        .value_counts().to_dict()
+    )
+    assert got == want
+
+
+def test_histogram_offset_fill_and_bounds(spark, date_index):
+    """offset composes with min_doc_count=0 + extended_bounds: the spine
+    steps on the shifted axis (contiguous day keys, all at the offset
+    phase) and the widened bound snaps to its SHIFTED bucket start."""
+    idx, _ = date_index
+    off_ms = 6 * 3600 * 1000
+    day_ms = 86_400_000
+    lo_ms = int(
+        (dt.datetime(2023, 12, 28, tzinfo=UTC) - EPOCH)
+        / dt.timedelta(milliseconds=1)
+    )
+    rows = (
+        date_histogram(
+            spark, idx, "event_type:click", "ts", "day",
+            min_doc_count=0, extended_bounds=(lo_ms, None), offset="6h",
+        )
+        .orderBy("bucket_ms")
+        .collect()
+    )
+    keys = [r["bucket_ms"] for r in rows]
+    assert all((k - off_ms) % day_ms == 0 for k in keys)
+    assert keys == list(range(keys[0], keys[-1] + 1, day_ms))  # contiguous
+    assert keys[0] == ((lo_ms - off_ms) // day_ms) * day_ms + off_ms
+    assert rows[0]["n_docs"] == 0  # zero-filled head before the data
+    occ = {
+        r["bucket_ms"]: r["n_docs"]
+        for r in date_histogram(
+            spark, idx, "event_type:click", "ts", "day", offset="6h"
+        ).collect()
+    }
+    assert {r["bucket_ms"]: r["n_docs"] for r in rows if r["n_docs"]} == occ
+
+
+def test_histogram_offset_validation(spark, date_index):
+    idx, _ = date_index
+    with pytest.raises(ValueError, match="whole number of milliseconds"):
+        date_histogram(
+            spark, idx, "event_type:click", "ts", "day", offset=1500
+        )  # 1500 MICROS = 1.5 ms
+    with pytest.raises(ValueError, match="duration"):
+        date_histogram(
+            spark, idx, "event_type:click", "ts", "day", offset="sideways"
+        )
