@@ -1093,6 +1093,9 @@ def cmd_delete(args) -> int:
     if not args.values and not args.query:
         print("delete: need --values or --query", file=sys.stderr)
         return 2
+    if args.values and not args.id_col:
+        print("delete: --values needs --id-col", file=sys.stderr)
+        return 2
     spark = _spark()
     if args.values:
         from pyspark.sql import functions as F
@@ -1128,11 +1131,11 @@ def cmd_delete(args) -> int:
             return 2
         n = delete_docs(spark, args.path, match, [col])
     else:
-        from .query.exec import attach_docmap, search
+        # _delete_by_query: the match set's (segment_id, doc) pairs
+        # tombstone directly — no identity-column round trip
+        from .deletes import delete_by_query
 
-        res, _ = search(spark, args.path, args.query, limit=None)
-        matched = attach_docmap(spark, args.path, res).select(args.id_col).distinct()
-        n = delete_docs(spark, args.path, matched, [args.id_col])
+        n = delete_by_query(spark, args.path, args.query)
     print(f"tombstoned {n} docs")
     return 0
 
@@ -1801,9 +1804,10 @@ def main(argv=None) -> int:
 
     d = sub.add_parser("delete")
     d.add_argument("-p", "--path", required=True)
-    d.add_argument("--id-col", required=True)
+    d.add_argument("--id-col", help="id column for --values")
     d.add_argument("--values", nargs="*", help="id values to tombstone")
-    d.add_argument("--query", help="NQL query; every match is tombstoned")
+    d.add_argument("--query", help="NQL query; every match is tombstoned "
+                   "(ES _delete_by_query)")
     d.set_defaults(fn=cmd_delete)
 
     pg = sub.add_parser("purge")

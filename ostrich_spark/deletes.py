@@ -202,9 +202,7 @@ def delete_docs(spark, index_dir: str, match_df, key_cols: list[str]) -> int:
     the (small) tombstone set; no postings are rewritten. The commit is
     the atomic CURRENT pointer swap, then a manifest opstamp bump so
     cached readers invalidate."""
-    from pyspark.sql import functions as F
-
-    from .query.exec import invalidate_cache, read_docmap
+    from .query.exec import read_docmap
 
     manifest = load_manifest(index_dir)
     docmap = read_docmap(spark, index_dir, manifest)
@@ -213,6 +211,46 @@ def delete_docs(spark, index_dir: str, match_df, key_cols: list[str]) -> int:
         .select("segment_id", "doc")
         .distinct()
     )
+    return _commit_tombstones(spark, index_dir, manifest, new_tomb)
+
+
+@locked_writer("delete")
+def delete_by_query(
+    spark,
+    index_dir: str,
+    query,
+    default_fields: list[str] | None = None,
+) -> int:
+    """Tombstone every CURRENT match of ``query`` — the Elasticsearch
+    ``_delete_by_query`` analog. ``query`` is an NQL string or a
+    programmatic query tree; the match set is evaluated exhaustively
+    against the live index (existing tombstones already excluded by the
+    search path) and its (segment_id, doc) pairs join the tombstone set
+    DIRECTLY — no identity-column round trip, so it works regardless of
+    the index's id_cols. Same commit protocol as :func:`delete_docs`
+    (atomic CURRENT swap, opstamp bump, cached-reader invalidation);
+    global stats intentionally stay un-recomputed until a purge, the
+    Lucene tombstone semantics every delete path here shares. Returns
+    the number of NEW tombstones."""
+    from .query.exec import search
+
+    manifest = load_manifest(index_dir)
+    res, _ = search(
+        spark, index_dir, query, limit=None, manifest=manifest,
+        default_fields=default_fields,
+    )
+    return _commit_tombstones(
+        spark, index_dir, manifest, res.select("segment_id", "doc").distinct()
+    )
+
+
+def _commit_tombstones(spark, index_dir: str, manifest, new_tomb) -> int:
+    """Union ``new_tomb`` (segment_id, doc) with the current tombstone
+    set and commit: tombstone parquet under a fresh opstamp dir, atomic
+    CURRENT pointer swap, manifest opstamp bump + reader invalidation.
+    Returns how many tombstones are NEW (0 = nothing written)."""
+    from .query.exec import invalidate_cache
+
     old = read_tombstones(spark, index_dir)
     if old is not None:
         combined = old.unionByName(new_tomb).distinct()

@@ -311,3 +311,71 @@ def test_cli_delete_respects_string_id_type(spark, tmp_path):
 
     # unknown id column -> clean exit 2
     assert main(["delete", "-p", idx, "--id-col", "nope", "--values", "7"]) == 2
+
+
+def test_delete_by_query_matches_value_path(spark, tmp_path):
+    """_delete_by_query analog: tombstoning by query leaves exactly the
+    same visible set as tombstoning the equivalent id list."""
+    from ostrich_spark.deletes import delete_by_query
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _build(spark, a, _docs())
+    _build(spark, b, _docs())
+    # doc{i} with i % 3 == 2 carries "spark join spark join spark join";
+    # use a phrase-ish query: every doc has spark, so pick a term query
+    # on doc7's unique token to prove arbitrary query shapes work, then
+    # a broad one
+    n = delete_by_query(spark, a, "content:doc7")
+    assert n == 1
+    victims = spark.createDataFrame([(7,)], "k long")
+    assert delete_docs(spark, b, victims, ["k"]) == 1
+    assert _keys(spark, a, "content:alpha") == _keys(spark, b, "content:alpha")
+    # idempotent
+    assert delete_by_query(spark, a, "content:doc7") == 0
+    # no-match query is a no-op
+    assert delete_by_query(spark, a, "content:zzznomatch") == 0
+
+
+def test_delete_by_query_boolean_and_compose(spark, tmp_path):
+    """Boolean NQL shapes tombstone correctly and compose with existing
+    value tombstones; stats stay frozen (shared tombstone semantics)."""
+    from ostrich_spark.deletes import delete_by_query
+
+    idx = str(tmp_path / "idx")
+    _build(spark, idx, _docs())
+    assert delete_docs(spark, idx, spark.createDataFrame([(1,)], "k long"),
+                       ["k"]) == 1
+    # tombstone every doc with tf(spark) >= 2 (i % 3 in (1, 2)) via an
+    # OR of their unique tokens — exercise a multi-clause tree
+    n = delete_by_query(spark, idx, "content:doc3 OR content:doc4")
+    assert n == 2
+    ks, _ = _keys(spark, idx, "content:alpha")
+    assert ks == [k for k in range(24) if k not in (1, 3, 4)]
+    assert tombstone_count(idx) == 3
+    # the deleted docs are invisible to a query they WOULD match
+    assert 3 not in _keys(spark, idx, "content:doc3")[0]
+
+
+def test_cli_delete_by_query(spark, tmp_path):
+    """CLI --query path goes through delete_by_query (no --id-col
+    needed); --values without --id-col errors."""
+    import subprocess
+    import sys
+
+    idx = str(tmp_path / "idx")
+    _build(spark, idx, _docs())
+
+    def run(*extra):
+        return subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "delete", "-p", idx,
+             *extra],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    out = run("--query", "content:doc5")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "tombstoned 1 docs" in out.stdout
+    ks, _ = _keys(spark, idx, "content:alpha")
+    assert 5 not in ks and len(ks) == 23
+    bad = run("--values", "3")
+    assert bad.returncode == 2 and "--id-col" in bad.stderr
