@@ -1827,6 +1827,17 @@ def _q_eng_hist_nchars(spark, sf_dir):
     )
 
 
+def _q_eng_hist_offset(spark, sf_dir):
+    """Numeric histogram offset (ES histogram offset): bucket =
+    floor((v - 7)/50)*50 + 7 — every key at the 7 phase."""
+    from ostrich_spark.query.exec import numeric_histogram
+
+    idx = _doc_index(spark, sf_dir)
+    return numeric_histogram(
+        spark, idx, "text:spark", "n_chars", 50, offset=7.0
+    ).select(F.col("bucket").cast("long"), F.col("n_docs").cast("long"))
+
+
 def _q_eng_stats_nchars(spark, sf_dir):
     """Doc-value aggregate stats over the full match set."""
     from ostrich_spark.query.exec import numeric_stats
@@ -3272,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_range_filter": _q_eng_range_filter,
         "eng_sort_nchars": _q_eng_sort_nchars,
         "eng_hist_nchars": _q_eng_hist_nchars,
+        "eng_hist_offset": _q_eng_hist_offset,
         "eng_stats_nchars": _q_eng_stats_nchars,
         "eng_prefix_multiterm": _q_eng_prefix,
         "eng_fuzzy_lev2": _q_eng_fuzzy,
@@ -4064,6 +4076,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(d.n_chars / 50) * 50 AS BIGINT) AS bucket, "
             "count(*) AS n_docs FROM m JOIN documents d USING(doc_id) "
             "GROUP BY bucket"
+        ),
+        "eng_hist_offset": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT CAST(floor((d.n_chars - 7.0) / 50) * 50 + 7 AS BIGINT) "
+            "AS bucket, count(*) AS n_docs "
+            "FROM m JOIN documents d USING(doc_id) GROUP BY bucket"
         ),
         "eng_stats_nchars": (
             f"WITH {TOKS_CTE}, "

@@ -710,15 +710,20 @@ def cmd_agg(args) -> int:
             ).strftime("%Y-%m-%dT%H:%M:%SZ")
             print(f"{r['bucket_ms']} {iso} {r['n_docs']}")
     else:
-        rows = (
-            numeric_histogram(
-                spark, args.path, args.query, args.hist, args.bin,
-                scorer=args.scorer,
-                min_doc_count=0 if args.fill else 1,
+        try:
+            rows = (
+                numeric_histogram(
+                    spark, args.path, args.query, args.hist, args.bin,
+                    scorer=args.scorer,
+                    min_doc_count=0 if args.fill else 1,
+                    offset=float(args.offset) if args.offset else 0.0,
+                )
+                .orderBy("bucket")
+                .collect()
             )
-            .orderBy("bucket")
-            .collect()
-        )
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
         elapsed = time.time() - t0
         for r in rows:
             print(f"{r['bucket']} {r['n_docs']}")
@@ -1635,9 +1640,10 @@ def main(argv=None) -> int:
                     help="ES range agg over FIELD with --ranges buckets")
     ag.add_argument("--ranges", metavar="K:LO:HI,...",
                     help="--range buckets, [lo,hi) each, empty bound = open")
-    ag.add_argument("--offset", metavar="DUR", default=None,
-                    help="--date-hist bucket-boundary shift, e.g. 6h / "
-                         "-30m (ES date_histogram offset)")
+    ag.add_argument("--offset", metavar="DUR|NUM", default=None,
+                    help="bucket-boundary shift: --date-hist takes a "
+                         "duration (6h / -30m), --hist a number in "
+                         "[0, bin) (ES histogram offset)")
     ag.add_argument("--fill", action="store_true",
                     help="with --hist/--date-hist: min_doc_count=0 — "
                          "empty buckets between the first and last "

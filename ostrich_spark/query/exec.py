@@ -2982,6 +2982,7 @@ def numeric_histogram(
     bin_width,
     min_doc_count: int = 1,
     extended_bounds: tuple | None = None,
+    offset: float = 0.0,
     manifest: Manifest | None = None,
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
@@ -2999,13 +3000,25 @@ def numeric_histogram(
     past the data (either side None = data-driven), exactly ES's
     interaction of the two options. The spine is a ``sequence()`` over
     BUCKET INDICES on the one-row min/max aggregate — no driver-side
-    range materialization, works for fractional bin widths."""
+    range materialization, works for fractional bin widths.
+
+    ``offset`` shifts every bucket boundary (the ES histogram option,
+    validated to ``0 <= offset < bin_width`` like ES): bucket =
+    floor((v − offset)/width)·width + offset. Bucketing, bound
+    widening and the gap spine all compute on the shifted axis
+    (bucket indices), the offset rejoining at output — so it composes
+    with min_doc_count=0 / extended_bounds with no special cases."""
     from pyspark.sql import functions as F
 
     if bin_width <= 0:
         raise ValueError("bin_width must be positive")
     if min_doc_count not in (0, 1):
         raise ValueError("min_doc_count must be 0 or 1 (ES: gaps on/off)")
+    if not (0 <= offset < bin_width):
+        raise ValueError(
+            f"offset must satisfy 0 <= offset < bin_width (the ES "
+            f"histogram rule), got {offset!r} with width {bin_width!r}"
+        )
     if manifest is None:
         manifest = load_manifest(index_dir)
     _numeric_field_entry(manifest, by)
@@ -3017,20 +3030,24 @@ def numeric_histogram(
     matched = docmap.select("segment_id", "doc", by).join(
         res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
     )
-    idx = F.floor(F.col(by) / F.lit(bin_width))
+    val = F.col(by) - F.lit(offset) if offset else F.col(by)
+    idx = F.floor(val / F.lit(bin_width))
     occupied = (
         matched.filter(F.col(by).isNotNull())
         .groupBy(idx.alias("__bi"))
         .agg(F.count("*").alias("n_docs"))
     )
-    bucket = (F.col("__bi") * F.lit(bin_width)).alias("bucket")
+    bucket_expr = F.col("__bi") * F.lit(bin_width)
+    if offset:
+        bucket_expr = bucket_expr + F.lit(offset)
+    bucket = bucket_expr.alias("bucket")
     if min_doc_count == 1:
         return occupied.select(bucket, "n_docs")
     lo_i = hi_i = None
     if extended_bounds is not None:
         e_lo, e_hi = extended_bounds
-        lo_i = None if e_lo is None else math.floor(e_lo / bin_width)
-        hi_i = None if e_hi is None else math.floor(e_hi / bin_width)
+        lo_i = None if e_lo is None else math.floor((e_lo - offset) / bin_width)
+        hi_i = None if e_hi is None else math.floor((e_hi - offset) / bin_width)
     bounds = occupied.agg(
         F.least(F.min("__bi"), F.lit(lo_i)).alias("__lo"),
         F.greatest(F.max("__bi"), F.lit(hi_i)).alias("__hi"),

@@ -866,3 +866,44 @@ def test_extended_stats_and_percentile_ranks(spark, range_idx):
     assert r0["rank"] is None
     with pytest.raises(ValueError, match=">= 1"):
         percentile_ranks(spark, range_idx, "content:merge", "rating", [])
+
+
+def test_numeric_histogram_offset(spark, range_idx):
+    """ES histogram offset: bucket = floor((v-offset)/w)*w + offset,
+    composing with gap filling; offset outside [0, w) rejected."""
+    from collections import Counter
+
+    from ostrich_spark.query.exec import numeric_histogram
+
+    years = [2000 + k % 20 for k in _matched_ks(spark, range_idx, "content:merge")]
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in numeric_histogram(
+            spark, range_idx, "content:merge", "year", 5, offset=2.0
+        ).collect()
+    }
+    exp = Counter(((y - 2) // 5) * 5 + 2 for y in years)
+    assert got == {float(b): n for b, n in exp.items()}
+    assert all(b % 5 == 2 for b in got)
+    # fill + extended bounds on the shifted axis: contiguous 2-phase spine
+    rows = (
+        numeric_histogram(
+            spark, range_idx, "content:merge", "year", 5,
+            min_doc_count=0, extended_bounds=(1990.0, None), offset=2.0,
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    keys = [r["bucket"] for r in rows]
+    # 1990 snaps to floor((1990-2)/5)*5+2 = 1987
+    assert keys[0] == 1987.0 and rows[0]["n_docs"] == 0
+    assert keys == [keys[0] + 5 * i for i in range(len(keys))]
+    assert {r["bucket"]: r["n_docs"] for r in rows if r["n_docs"]} == got
+    with pytest.raises(ValueError, match="0 <= offset < bin_width"):
+        numeric_histogram(
+            spark, range_idx, "content:merge", "year", 5, offset=5.0
+        )
+    with pytest.raises(ValueError, match="0 <= offset < bin_width"):
+        numeric_histogram(
+            spark, range_idx, "content:merge", "year", 5, offset=-1.0
+        )
