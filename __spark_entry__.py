@@ -1443,6 +1443,30 @@ def _q_eng_facet_wavg(spark, sf_dir):
     )
 
 
+def _q_eng_facet_ergo(spark, sf_dir):
+    """ES terms-agg ergonomics on facet_stats: missing substitution
+    ('en' nulled then bucketed as 'unknown'), metric ordering desc with
+    a deterministic size cut (key-asc tiebreak)."""
+    from ostrich_spark.query.exec import facet_stats
+
+    side = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(None))
+        .otherwise(F.col("lang")).alias("lang2"),
+    )
+    idx = _doc_index(spark, sf_dir)
+    out = facet_stats(
+        spark, idx, "text:spark", by="lang2",
+        metrics={"avg_nchars": ("avg", "n_chars")},
+        join_df=side, join_on=["doc_id"],
+        missing="unknown", order_by=[("avg_nchars", "desc")], size=3,
+    )
+    return out.select(
+        "lang2", F.col("n_docs").cast("long"),
+        F.round("avg_nchars", 6).alias("avg_nchars"),
+    )
+
+
 def _q_eng_ext_stats(spark, sf_dir):
     """extended_stats (ES analog): stats + sum_of_squares + POPULATION
     variance/std + sigma bounds over the match set's n_chars — one
@@ -3323,6 +3347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
         "eng_facet_wavg": _q_eng_facet_wavg,
+        "eng_facet_ergo": _q_eng_facet_ergo,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_term_vectors": _q_term_vectors,
         "eng_sayt_prefix": _q_eng_sayt_prefix,
@@ -4045,6 +4070,20 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(d.n_chars * (d.doc_id % 7 + 1)) * 1.0 "
             "/ sum(d.doc_id % 7 + 1), 6) AS wavg_nchars "
             "FROM m JOIN documents d USING(doc_id) GROUP BY d.lang"
+        ),
+        # terms-agg ergonomics: missing substitution + metric-desc
+        # ordering with a key-asc-tiebroken size cut (order on the
+        # UNROUNDED avg both sides; sorted-value compare makes only
+        # cut membership load-bearing)
+        "eng_facet_ergo": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "b AS (SELECT coalesce(CASE WHEN d.lang = 'en' THEN NULL "
+            "ELSE d.lang END, 'unknown') AS lang2, d.n_chars "
+            "FROM m JOIN documents d USING(doc_id)) "
+            "SELECT lang2, count(*) AS n_docs, "
+            "round(avg(n_chars), 6) AS avg_nchars FROM b GROUP BY lang2 "
+            "ORDER BY avg(n_chars) DESC, lang2 ASC LIMIT 3"
         ),
         # filters aggregation: named-query buckets, empty ones present
         "eng_filters_agg": (

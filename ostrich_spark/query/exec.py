@@ -1958,6 +1958,12 @@ def facet_stats(
     metrics: dict,
     join_df=None,
     join_on: list[str] | str | None = None,
+    missing=None,
+    min_doc_count: int = 1,
+    order_by=None,
+    size: int | None = None,
+    include: str | None = None,
+    exclude: str | None = None,
     manifest: Manifest | None = None,
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
@@ -1986,12 +1992,60 @@ def facet_stats(
     sum. EXTENSION rationale: at corpus scale "facet + stats per
     bucket" is the standard dashboard query; issuing one job per metric
     re-evaluates the match set N times.
+
+    ES terms-agg ergonomics (all optional, all post-/pre-aggregation
+    column ops — the one-shuffle posture is unchanged):
+
+    - ``missing``: substitute key for NULL bucket values (the ES
+      ``missing`` param) — a scalar (single ``by`` column) or a dict
+      {col: substitute}; without it NULL keys form their own SQL-NULL
+      bucket as before.
+    - ``min_doc_count``: drop buckets with fewer matched docs (ES
+      default 1 ≡ keep everything that has a doc; our default keeps the
+      historic behavior — every bucket).
+    - ``include`` / ``exclude``: ANCHORED regex filters on the bucket
+      key (the ES semantics — the whole term must match), single
+      ``by`` column only, applied BEFORE aggregation so excluded keys
+      never shuffle.
+    - ``order_by``: list of (column, "asc"|"desc") over ``n_docs``,
+      metric outputs, or key columns; ``size``: top-N cut after
+      ordering. ``size`` without ``order_by`` uses the ES default
+      (doc-count desc). The key columns are ALWAYS appended ascending
+      as final tiebreaks so the cut is deterministic (ES's shard-level
+      tie behavior is not; documented difference). The cut is a
+      TakeOrderedAndProject over one-row-per-bucket aggregates —
+      bounded by bucket cardinality, never the match set.
     """
     from pyspark.sql import functions as F
 
     if manifest is None:
         manifest = load_manifest(index_dir)
     by = [by] if isinstance(by, str) else list(by)
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count must be >= 1")
+    if (include is not None or exclude is not None) and len(by) != 1:
+        raise ValueError("include/exclude need exactly one `by` column "
+                         "(the ES term-regex semantics)")
+    if missing is not None and not isinstance(missing, dict):
+        if len(by) != 1:
+            raise ValueError("scalar `missing` needs exactly one `by` "
+                             "column — pass a {col: substitute} dict")
+        missing = {by[0]: missing}
+    if missing is not None and (bad := set(missing) - set(by)):
+        raise ValueError(f"missing substitutes for non-key columns: {sorted(bad)}")
+    if order_by is not None:
+        order_by = list(order_by)
+        valid = {"n_docs", *metrics, *by}
+        for col, direction in order_by:
+            if col not in valid:
+                raise ValueError(
+                    f"order_by column {col!r} not one of {sorted(valid)}"
+                )
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"order_by direction must be asc/desc, "
+                                 f"got {direction!r}")
+    elif size is not None:
+        order_by = [("n_docs", "desc")]  # the ES default ordering
     aggs = [F.count("*").alias("n_docs")] + _metric_aggs(F, metrics)
     res, _ = search(
         spark,
@@ -2021,7 +2075,35 @@ def facet_stats(
         matched = matched.select(*join_on, *dict.fromkeys(keep)).join(
             join_df, join_on, "inner"
         )
-    return matched.groupBy(*by).agg(*aggs)
+    if missing is not None:
+        for col, sub in missing.items():
+            matched = matched.withColumn(
+                col,
+                F.coalesce(F.col(col), F.lit(sub).cast(matched.schema[col].dataType)),
+            )
+    if include is not None:
+        matched = matched.filter(
+            F.col(by[0]).cast("string").rlike(f"^(?:{include})$")
+        )
+    if exclude is not None:
+        matched = matched.filter(
+            F.col(by[0]).isNull()
+            | ~F.col(by[0]).cast("string").rlike(f"^(?:{exclude})$")
+        )
+    out = matched.groupBy(*by).agg(*aggs)
+    if min_doc_count > 1:
+        out = out.filter(F.col("n_docs") >= min_doc_count)
+    if order_by is not None:
+        cols = [
+            F.col(c).desc() if d == "desc" else F.col(c).asc()
+            for c, d in order_by
+        ]
+        ordered = {c for c, _ in order_by}
+        cols += [F.col(c).asc() for c in by if c not in ordered]
+        out = out.orderBy(*cols)
+        if size is not None:
+            out = out.limit(int(size))
+    return out
 
 
 def sampler_facet(

@@ -907,3 +907,90 @@ def test_numeric_histogram_offset(spark, range_idx):
         numeric_histogram(
             spark, range_idx, "content:merge", "year", 5, offset=-1.0
         )
+
+
+def test_facet_terms_ergonomics(spark, tmp_path):
+    """ES terms-agg options on facet_stats: missing substitution,
+    min_doc_count, include/exclude anchored regexes, metric ordering
+    with a deterministic size cut — all checked against pandas."""
+    from ostrich_spark.query.exec import facet_stats
+
+    s = Schema()
+    s.add_text_field("content", "default")
+    s.add_keyword_field("lang")
+    s.add_numeric_field("v", "double")
+    docs = [
+        {"k": i, "content": "spark data",
+         "lang": [None, "fr", "de", "zh"][i % 4], "v": float(i)}
+        for i in range(12)
+    ]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(docs)), s, idx,
+        num_partitions=2, order_col="k", id_cols=["k"],
+    )
+
+    # missing: NULL keys bucket under the substitute
+    out = {r["lang"]: (r["n_docs"], r["avg_v"]) for r in facet_stats(
+        spark, idx, "content:spark", "lang",
+        {"avg_v": ("avg", "v")}, missing="unknown",
+    ).collect()}
+    assert set(out) == {"unknown", "fr", "de", "zh"}
+    assert out["unknown"] == (3, (0 + 4 + 8) / 3)
+
+    # include/exclude are anchored (the ES whole-term semantics)
+    inc = {r["lang"] for r in facet_stats(
+        spark, idx, "content:spark", "lang", {}, include="f.|de",
+    ).collect()}
+    assert inc == {"fr", "de"}  # NULL keys never match include
+    exc = {r["lang"] for r in facet_stats(
+        spark, idx, "content:spark", "lang", {}, missing="unknown",
+        exclude="unk.*",
+    ).collect()}
+    assert exc == {"fr", "de", "zh"}  # substituted key excluded
+    exc2 = {r["lang"] for r in facet_stats(
+        spark, idx, "content:spark", "lang", {}, exclude="fr",
+    ).collect()}
+    assert exc2 == {None, "de", "zh"}  # NULL survives exclude
+
+    # order by metric desc + size: top-2 avg_v buckets, key tiebreak
+    rows = facet_stats(
+        spark, idx, "content:spark", "lang", {"avg_v": ("avg", "v")},
+        missing="zz_unknown", order_by=[("avg_v", "desc")], size=2,
+    ).collect()
+    # avgs: None->4.0, fr->5.0 (1,5,9), de->6.0, zh->7.0
+    assert [(r["lang"], r["avg_v"]) for r in rows] == [
+        ("zh", 7.0), ("de", 6.0)
+    ]
+    # size without order_by = ES default count desc (all tied at 3 ->
+    # key-asc tiebreak decides deterministically)
+    rows = facet_stats(
+        spark, idx, "content:spark", "lang", {}, missing="aa", size=2,
+    ).collect()
+    assert [r["lang"] for r in rows] == ["aa", "de"]
+
+    # min_doc_count drops small buckets
+    few = facet_stats(
+        spark, idx, "content:doc999", "lang", {}, min_doc_count=2,
+    ).collect()
+    assert few == []
+
+    # validation
+    with pytest.raises(ValueError, match="exactly one"):
+        facet_stats(spark, idx, "content:spark", ["lang", "v"], {},
+                    missing="x")
+    with pytest.raises(ValueError, match="exactly one"):
+        facet_stats(spark, idx, "content:spark", ["lang", "v"], {},
+                    include="a")
+    with pytest.raises(ValueError, match="order_by column"):
+        facet_stats(spark, idx, "content:spark", "lang", {},
+                    order_by=[("nope", "desc")])
+    with pytest.raises(ValueError, match="asc/desc"):
+        facet_stats(spark, idx, "content:spark", "lang", {},
+                    order_by=[("n_docs", "down")])
+    with pytest.raises(ValueError, match="min_doc_count"):
+        facet_stats(spark, idx, "content:spark", "lang", {},
+                    min_doc_count=0)
+    with pytest.raises(ValueError, match="non-key"):
+        facet_stats(spark, idx, "content:spark", "lang", {},
+                    missing={"v": 0.0})
