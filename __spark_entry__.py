@@ -866,6 +866,27 @@ def _nested_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def _q_eng_nested_agg(spark, sf_dir):
+    """nested aggregation + reverse_nested (ES analogs): bucket the
+    stars>=5 ELEMENTS by author — n_docs counts hidden element docs,
+    n_roots the DISTINCT roots owning them (the reverse_nested-to-root
+    count), avg metric in element terms. One groupBy over the
+    search-plane element match set."""
+    from ostrich_spark.nested import nested_facet
+
+    idx = _nested_index(spark, sf_dir)
+    out = nested_facet(
+        spark, idx, "comments", "author",
+        metrics={"avg_stars": ("avg", "stars")},
+        element_query="stars:[5 TO *]", reverse=True,
+    )
+    return out.select(
+        "author", F.col("n_docs").cast("long"),
+        F.col("n_roots").cast("long"),
+        F.round("avg_stars", 6).alias("avg_stars"),
+    )
+
+
 def _q_eng_nested_match(spark, sf_dir):
     """nested query, filter context (ES ``nested`` + bool filter): roots
     with ONE element satisfying author:u2 AND stars>=6 — the
@@ -3382,6 +3403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_has_child": _q_eng_has_child,
         "eng_has_parent": _q_eng_has_parent,
         "eng_nested_match": _q_eng_nested_match,
+        "eng_nested_agg": _q_eng_nested_agg,
         "eng_nested_score": _q_eng_nested_score,
         "eng_geo_bbox": _q_geo_bbox,
         "eng_geo_distance": _q_geo_distance,
@@ -4476,6 +4498,19 @@ def oracle_sql() -> dict[str, str]:
         # (doc_id+3i)%10, body = parent text. Filter-context nested
         # query: a SINGLE element must satisfy author=u2 AND stars>=6
         # (the cross-matching guarantee flattening loses)
+        # nested aggregation + reverse_nested: element buckets (n_docs =
+        # elements, n_roots = distinct owning roots) over stars >= 5
+        "eng_nested_agg": (
+            "WITH s(i) AS (VALUES (0), (1), (2)), "
+            "e AS (SELECT d.doc_id, "
+            "'u' || CAST((d.doc_id*31 + s.i*7) % 5 AS VARCHAR) AS author, "
+            "(d.doc_id + 3*s.i) % 10 AS stars "
+            "FROM documents d JOIN s ON s.i < d.doc_id % 4) "
+            "SELECT author, count(*) AS n_docs, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_roots, "
+            "round(avg(stars), 6) AS avg_stars "
+            "FROM e WHERE stars >= 5 GROUP BY author"
+        ),
         "eng_nested_match": (
             "WITH s(i) AS (VALUES (0), (1), (2)), "
             "e AS (SELECT d.doc_id, s.i AS pos, "

@@ -362,3 +362,119 @@ def inner_hits(
         )
     )
     return top.orderBy(F.col(id_col), F.desc("score"), F.asc("pos"))
+
+
+def nested_facet(
+    spark,
+    index_dir: str,
+    path: str,
+    by,
+    metrics: dict | None = None,
+    element_query=None,
+    root_query=None,
+    id_col: str | None = None,
+    reverse: bool = False,
+    manifest: Manifest | None = None,
+    scorer: str = "tfidf",
+    default_fields=None,
+):
+    """Bucket aggregation over NESTED ELEMENTS — the Elasticsearch
+    ``nested`` aggregation, with ``reverse=True`` adding the
+    ``reverse_nested``-to-root count. One row per distinct value tuple
+    of the element subfield(s) ``by`` carrying:
+
+    - ``n_docs`` — matching ELEMENT count (the ES nested-agg doc_count:
+      nested buckets count hidden element docs, not roots);
+    - ``n_roots`` (``reverse=True``) — DISTINCT root docs owning those
+      elements (the ES ``reverse_nested`` sub-agg shape: "how many
+      products have >=1 review with this rating", not "how many
+      reviews");
+    - every ``metrics`` entry (the shared facet grammar), column names
+      in ELEMENT subfield terms — ``("avg", "stars")`` reads the
+      element's ``stars``.
+
+    ``element_query`` narrows which elements bucket (evaluated with the
+    nested scope enforced, like ``nested_query``); ``root_query``
+    narrows to elements whose ROOT matches (the ES query-context of an
+    agg under a root query — needs ``id_col``, the root key the
+    elements carry in canonical string form). Either may be None.
+
+    Scale posture: the element match set comes from the normal search
+    plane (tombstones excluded) and joins the docmap co-keyed; the root
+    context is one key join on the parent string; then ONE
+    partial-aggregated groupBy. countDistinct(parent) for n_roots is
+    the one expansion Spark runs exactly (values through the shuffle) —
+    bounded by elements, same trade facet_stats documents for
+    count_distinct."""
+    from pyspark.sql import functions as F
+
+    from .query.exec import (
+        _metric_aggs,
+        attach_docmap,
+        read_docmap,
+        search,
+    )
+    from .query.parser import parse_query
+    from .relations import _relation_logical
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    if manifest.schema.field_by_name(NESTED_REL) is None:
+        raise ValueError(
+            f"{index_dir!r} is not a nested index (no {NESTED_REL} field "
+            f"— build with build_nested_index)"
+        )
+    by = [by] if isinstance(by, str) else list(by)
+    metrics = metrics or {}
+    docmap = read_docmap(spark, index_dir, manifest)
+    # subfield names are INDEX-GLOBAL bare names (nested_schema), so
+    # the docmap columns are just "author"/"stars" — validate each key
+    # really belongs to THIS path via its build source column
+    for b in by:
+        fe = manifest.schema.field_by_name(b)
+        if (
+            fe is None
+            or not fe.is_doc_value
+            or fe.source_col != flat_col(path, b)
+        ):
+            subs = sorted(
+                f.name for f in manifest.schema.fields
+                if f.is_doc_value
+                and f.source_col == flat_col(path, f.name)
+            )
+            raise ValueError(
+                f"{b!r} is not a doc-value subfield of nested path "
+                f"{path!r} — have {subs}"
+            )
+    if element_query is None:
+        q = parse_query(f'{NESTED_REL}:"{path}"', manifest.schema)
+    else:
+        q = _relation_logical(
+            element_query, manifest.schema, NESTED_REL, path, default_fields
+        )
+    res, _ = search(
+        spark, index_dir, q, limit=None, scorer=scorer, manifest=manifest
+    )
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    if root_query is not None:
+        if id_col is None:
+            raise ValueError("root_query needs id_col (the root key the "
+                             "elements reference)")
+        roots_res, _ = search(
+            spark, index_dir,
+            root_filtered(root_query, manifest.schema, default_fields),
+            limit=None, scorer=scorer, manifest=manifest,
+        )
+        root_keys = (
+            attach_docmap(spark, index_dir, roots_res, manifest=manifest)
+            .select(F.col(id_col).cast("string").alias(NESTED_PARENT))
+            .distinct()
+        )
+        matched = matched.join(root_keys, NESTED_PARENT, "leftsemi")
+    aggs = [F.count("*").alias("n_docs")]
+    if reverse:
+        aggs.append(F.countDistinct(NESTED_PARENT).alias("n_roots"))
+    aggs += _metric_aggs(F, metrics)
+    return matched.groupBy(*by).agg(*aggs)

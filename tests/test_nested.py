@@ -223,3 +223,105 @@ def test_two_paths(spark, tmp_path):
     got2 = [r.doc_id for r in attach_docmap(spark, idx, res2, manifest=mf)
             .select("doc_id").collect()]
     assert got2 == [2]
+
+
+class TestNestedFacet:
+    """ES nested aggregation + reverse_nested: buckets over ELEMENT
+    docs, optional root-doc counts, all vs brute force over ROWS."""
+
+    def _elems(self):
+        return [
+            (doc_id, a, s)
+            for doc_id, _, cs in ROWS
+            if cs
+            for a, s, _ in cs
+        ]
+
+    def test_bucket_counts_metrics_and_reverse(self, spark, nested_idx):
+        from collections import Counter
+
+        from ostrich_spark.nested import nested_facet
+
+        idx, mf = nested_idx
+        elems = self._elems()
+        out = {
+            r["author"]: r
+            for r in nested_facet(
+                spark, idx, "comments", "author",
+                metrics={"avg_stars": ("avg", "stars"),
+                         "max_stars": ("max", "stars")},
+                reverse=True, manifest=mf,
+            ).collect()
+        }
+        want_n = Counter(a for _, a, _ in elems)
+        assert {k: v["n_docs"] for k, v in out.items()} == dict(want_n)
+        for a in want_n:
+            stars = [s for _, aa, s in elems if aa == a]
+            assert out[a]["avg_stars"] == pytest.approx(
+                sum(stars) / len(stars), rel=1e-12
+            )
+            assert out[a]["max_stars"] == max(stars)
+            # reverse_nested: distinct ROOTS owning an element in bucket
+            assert out[a]["n_roots"] == len(
+                {d for d, aa, _ in elems if aa == a}
+            )
+        # alice appears in 3 roots via 4 elements — the n_docs/n_roots
+        # split IS the nested-vs-reverse_nested distinction
+        assert out["alice"]["n_docs"] == 4 and out["alice"]["n_roots"] == 3
+
+    def test_element_and_root_context(self, spark, nested_idx):
+        from ostrich_spark.nested import nested_facet
+
+        idx, mf = nested_idx
+        # element_query: only stars >= 5 elements bucket
+        out = {
+            r["author"]: r["n_docs"]
+            for r in nested_facet(
+                spark, idx, "comments", "author",
+                element_query="stars:[5 TO *]", manifest=mf,
+            ).collect()
+        }
+        assert out == {"bob": 1, "alice": 3}
+        # root_query: only elements of roots matching text:hash (doc 2)
+        out = {
+            r["author"]: r["n_docs"]
+            for r in nested_facet(
+                spark, idx, "comments", "author",
+                root_query="text:hash", id_col="doc_id", manifest=mf,
+            ).collect()
+        }
+        assert out == {"alice": 1}
+        # both contexts compose
+        out = {
+            r["author"]: r["n_docs"]
+            for r in nested_facet(
+                spark, idx, "comments", "author",
+                element_query='body:spark', root_query="text:doc",
+                id_col="doc_id", manifest=mf,
+            ).collect()
+        }
+        # roots matching 'doc': 1, 2, 3(empty), ... element body:spark
+        # within them: doc1 alice('great spark engine'), doc2 alice
+        assert out == {"alice": 2}
+
+    def test_validation(self, spark, nested_idx, tmp_path):
+        from ostrich_spark.nested import nested_facet
+        from ostrich_spark.build import build_index
+
+        idx, mf = nested_idx
+        with pytest.raises(ValueError, match="subfield"):
+            nested_facet(spark, idx, "comments", "nope", manifest=mf)
+        with pytest.raises(ValueError, match="needs id_col"):
+            nested_facet(spark, idx, "comments", "author",
+                         root_query="text:doc", manifest=mf)
+        flat = str(tmp_path / "flat")
+        s = Schema()
+        s.add_text_field("text", "default")
+        build_index(
+            spark,
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            s, flat, num_partitions=1, order_col="doc_id",
+            id_cols=["doc_id"],
+        )
+        with pytest.raises(ValueError, match="not a nested index"):
+            nested_facet(spark, flat, "comments", "author")
