@@ -3024,6 +3024,27 @@ def _q_geotile_grid(spark, sf_dir):
     )
 
 
+def _q_eng_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (ES 8.x rrf retriever): text tfidf ranks + cosine ranks, fused(d) =
+    sum 1/(60 + rank), agreement outranking either list's position.
+    window=None makes both cuts total, so rank assignment is fully
+    pinned by (score desc, id asc) on both engines."""
+    from ostrich_spark.similarity import hybrid_search
+
+    idx = _doc_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    out = hybrid_search(
+        spark, idx, "text:spark", _emb(spark, sf_dir), qv,
+        id_col="doc_id", k=10, window=None, scorer="tfidf",
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round("rrf_score", 6).alias("rrf_score"),
+        F.col("n_lists").cast("long"),
+    )
+
+
 def _query_vec(spark, sf_dir):
     row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
     return [float(x) for x in row["embedding"]]
@@ -3444,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_token_stats,
         "text_keyterms": _q_keyterms,
         "ann_cosine_topk": _q_ann_topk,
+        "eng_hybrid_rrf": _q_eng_hybrid_rrf,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_persisted_topk": _q_ivf_persisted_topk,
@@ -4946,6 +4968,31 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {DL_CTE}, j AS (SELECT d.lang, dl.dl FROM documents d JOIN dl ON d.doc_id = dl.doc_id) "
             "SELECT lang, count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tokens, "
             "round(avg(dl), 6) AS avg_tokens FROM j GROUP BY lang"
+        ),
+        # hybrid RRF: text tfidf ranks + cosine ranks (both lists TOTAL
+        # so rank ties resolve by id asc identically), fused 1/(60+r);
+        # two-term sums are order-free so doubles match bit-for-bit
+        "eng_hybrid_rrf": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "t AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) "
+            "/ (1.0 + d.df))) AS s FROM tf t JOIN df d USING(term) "
+            "WHERE t.term = 'spark'), "
+            "tr AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY s DESC, doc_id ASC) AS r FROM t), "
+            "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "vs AS (SELECT vec_id AS doc_id, round("
+            " list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS s "
+            "FROM embeddings), "
+            "vr AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY s DESC, doc_id ASC) AS r FROM vs), "
+            "u AS (SELECT doc_id, r FROM tr UNION ALL "
+            "SELECT doc_id, r FROM vr) "
+            "SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score, "
+            "count(*) AS n_lists FROM u GROUP BY doc_id "
+            "ORDER BY sum(1.0 / (60 + r)) DESC, doc_id ASC LIMIT 10"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "

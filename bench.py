@@ -256,12 +256,17 @@ def main():
         ("docs_cross_fields", em.queries()["eng_cross_fields"]),
         ("agg_filters", em.queries()["eng_filters_agg"]),
         ("agg_range", em.queries()["eng_range_agg"]),
+        ("agg_geo_rings", em.queries()["eng_geo_rings"]),
+        ("agg_mad", em.queries()["eng_mad"]),
+        ("agg_facet_ergo", em.queries()["eng_facet_ergo"]),
+        ("agg_nested", em.queries()["eng_nested_agg"]),
         ("decontam_ngrams", em.queries()["decontam_ngrams"]),
         ("sample_mixture", em.queries()["sample_mixture"]),
         ("pack_sequences", em.queries()["text_pack_sequences"]),
         ("dedup_minhash_sigs", em.queries()["dedup_minhash_sigs"]),
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),
+        ("hybrid_rrf", em.queries()["eng_hybrid_rrf"]),
         ("text_chunks", em.queries()["text_chunks"]),
         ("scrub_pii", em.queries()["scrub_pii"]),
         ("sample_stratified", em.queries()["sample_stratified"]),

@@ -49,17 +49,20 @@ def cosine_col(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def brute_force_topk(emb_df, query_vec: list[float], k: int = 10, exclude_vec_id=None):
-    """Top-k by cosine to a literal query vector."""
+def brute_force_topk(emb_df, query_vec: list[float], k: int | None = 10,
+                     exclude_vec_id=None):
+    """Top-k by cosine to a literal query vector. ``k=None`` returns
+    EVERY vector's similarity uncut and unordered (for callers that
+    rank themselves, e.g. rrf_fuse) — a TakeOrdered with a huge k would
+    materialize a k-sized heap per partition for nothing."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     d = emb_df.withColumn("sim", F.round(cosine_col(F.col("embedding"), q), 6))
     if exclude_vec_id is not None:
         d = d.filter(F.col("vec_id") != exclude_vec_id)
-    return (
-        d.select("vec_id", "sim")
-        .orderBy(F.desc("sim"), F.asc("vec_id"))
-        .limit(k)
-    )
+    d = d.select("vec_id", "sim")
+    if k is None:
+        return d
+    return d.orderBy(F.desc("sim"), F.asc("vec_id")).limit(k)
 
 
 # ---------------------------------------------------------------------------
@@ -444,3 +447,102 @@ def neardup_pairs_lsh(
             )
 
     return paired.mapInPandas(verify, "vec_a long, vec_b long, sim double")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion (ES 8.x `rrf` retriever)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(ranked, on, k: int = 10, rank_constant: int = 60):
+    """Reciprocal Rank Fusion — the Elasticsearch ``rrf`` retriever /
+    Cormack-Clarke-Buettcher formula: ``fused(d) = Σ_lists
+    1/(rank_constant + rank_d)``. ``ranked`` is a list of result
+    DataFrames, each carrying the key column(s) ``on`` plus a
+    higher-is-better ``score`` column; within each list the rank is
+    ``row_number`` over (score desc, *on asc) — deterministic under
+    score ties. A doc absent from a list contributes nothing for it
+    (the ES window semantics: only docs inside each retriever's
+    window participate). Returns top-``k`` rows (*on, ``rrf_score``,
+    ``n_lists`` = how many retrievers surfaced the doc), ordered
+    (rrf_score desc, *on asc).
+
+    Scale note: inputs are expected to be top-WINDOW results (each
+    bounded by its retriever's cut), so the single-partition ranking
+    window, the union groupBy and the final TakeOrderedAndProject all
+    operate on O(window · lists) rows — never a corpus. Do not feed an
+    unbounded match set through this; cut it first."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs >= 1 ranked DataFrame")
+    if rank_constant < 1:
+        raise ValueError("rank_constant must be >= 1 (ES minimum)")
+    on = [on] if isinstance(on, str) else list(on)
+    parts = []
+    for df in ranked:
+        if "score" not in df.columns:
+            raise ValueError(
+                "every ranked DataFrame needs a higher-is-better "
+                "`score` column"
+            )
+        w = Window.orderBy(F.desc("score"), *[F.asc(c) for c in on])
+        parts.append(df.select(*on, F.row_number().over(w).alias("__r")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*on).agg(
+        F.sum(1.0 / (F.lit(float(rank_constant)) + F.col("__r"))).alias(
+            "rrf_score"
+        ),
+        F.count("*").alias("n_lists"),
+    )
+    return fused.orderBy(
+        F.desc("rrf_score"), *[F.asc(c) for c in on]
+    ).limit(int(k))
+
+
+def hybrid_search(
+    spark,
+    index_dir: str,
+    query,
+    emb_df,
+    query_vec,
+    id_col: str,
+    k: int = 10,
+    window: int | None = 100,
+    rank_constant: int = 60,
+    scorer: str = "bm25",
+    vec_id_col: str = "vec_id",
+    manifest=None,
+    default_fields=None,
+):
+    """Hybrid lexical + vector retrieval fused by RRF — the ES 8.x
+    ``retriever: rrf`` over a ``standard`` (text) and a ``knn``
+    retriever. The text side is the normal index search cut to
+    ``window`` (``None`` = the full match set — exact, and the shape
+    the oracle gates); the vector side is brute-force cosine top-window
+    over ``emb_df`` against the literal ``query_vec``, keyed by
+    ``vec_id_col`` which must align with the index's ``id_col`` values.
+    Both lists rank (score desc, id asc) and fuse with
+    ``1/(rank_constant + rank)``; docs surfaced by both lists sum both
+    contributions — the whole point of RRF: agreement between
+    retrievers outranks a high position in either alone.
+
+    Returns (``id_col``, ``rrf_score``, ``n_lists``) top-``k``. The
+    fusion operates on window-bounded lists; the text/vector sides keep
+    their own scale postures (WAND-eligible top-k scan / one
+    TakeOrderedAndProject matmul pass)."""
+    from .query.exec import attach_docmap, search
+
+    res, _ = search(
+        spark, index_dir, query, limit=window, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    text = attach_docmap(spark, index_dir, res, manifest=manifest).select(
+        F.col(id_col), F.col("score").cast("double").alias("score")
+    )
+    vec = brute_force_topk(emb_df, list(query_vec), k=window).select(
+        F.col(vec_id_col).alias(id_col), F.col("sim").alias("score")
+    )
+    return rrf_fuse([text, vec], [id_col], k=k, rank_constant=rank_constant)
