@@ -3050,6 +3050,21 @@ def _query_vec(spark, sf_dir):
     return [float(x) for x in row["embedding"]]
 
 
+def _q_filtered_ann(spark, sf_dir):
+    """Pre-filtered vector search (ES knn query ``filter`` clause): the
+    k nearest vectors among docs MATCHING text:spark — filter applied
+    DURING the search (never top-k-then-filter), so every returned
+    vector's doc contains the analyzed token 'spark'."""
+    from ostrich_spark.similarity import filtered_ann
+
+    idx = _doc_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    return _longify(filtered_ann(
+        spark, idx, "text:spark", _emb(spark, sf_dir), qv,
+        id_col="doc_id", k=10,
+    ))
+
+
 def _q_ann_topk(spark, sf_dir):
     from ostrich_spark.similarity import brute_force_topk
 
@@ -3466,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyterms": _q_keyterms,
         "ann_cosine_topk": _q_ann_topk,
         "eng_hybrid_rrf": _q_eng_hybrid_rrf,
+        "eng_filtered_ann": _q_filtered_ann,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_persisted_topk": _q_ivf_persisted_topk,
@@ -4993,6 +5009,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(sum(1.0 / (60 + r)), 6) AS rrf_score, "
             "count(*) AS n_lists FROM u GROUP BY doc_id "
             "ORDER BY sum(1.0 / (60 + r)) DESC, doc_id ASC LIMIT 10"
+        ),
+        "eng_filtered_ann": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, "
+            "allowed AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'), "
+            "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, round("
+            " list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
+            "FROM embeddings WHERE vec_id IN (SELECT doc_id FROM allowed)) "
+            "SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
         ),
         "ann_cosine_topk": (
             "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "

@@ -546,3 +546,43 @@ def hybrid_search(
         F.col(vec_id_col).alias(id_col), F.col("sim").alias("score")
     )
     return rrf_fuse([text, vec], [id_col], k=k, rank_constant=rank_constant)
+
+
+def filtered_ann(
+    spark,
+    index_dir: str,
+    filter_query,
+    emb_df,
+    query_vec,
+    id_col: str,
+    k: int = 10,
+    vec_id_col: str = "vec_id",
+    manifest=None,
+    default_fields=None,
+):
+    """Pre-filtered vector search — the Elasticsearch ``knn`` query's
+    ``filter`` clause: cosine top-``k`` restricted to vectors whose doc
+    MATCHES ``filter_query`` (evaluated on the text index; tombstones
+    excluded by the search plane). ES semantics exactly: the filter is
+    applied DURING the vector search, so the result is the k nearest
+    *eligible* vectors — never "top-k then filter", which can return
+    fewer than k or miss eligible near vectors.
+
+    Implementation: the filter match set's ids leftsemi-join the
+    embedding table BEFORE the similarity scan, so Spark prunes
+    ineligible vectors ahead of the distance math and the top-k heap
+    (AQE can broadcast the id set when the filter is selective).
+    Returns (``vec_id_col``, ``sim``) like brute_force_topk."""
+    from .query.exec import attach_docmap, search
+
+    res, _ = search(
+        spark, index_dir, filter_query, limit=None,
+        manifest=manifest, default_fields=default_fields,
+    )
+    allowed = (
+        attach_docmap(spark, index_dir, res, manifest=manifest)
+        .select(F.col(id_col).alias(vec_id_col))
+        .distinct()
+    )
+    eligible = emb_df.join(allowed, vec_id_col, "leftsemi")
+    return brute_force_topk(eligible, list(query_vec), k=k)

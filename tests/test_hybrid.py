@@ -93,3 +93,47 @@ def test_hybrid_search_end_to_end(spark, tmp_path):
     assert got[0]["rrf_score"] == pytest.approx(
         max(r["rrf_score"] for r in got), rel=1e-12
     )
+
+
+def test_filtered_ann_knn_filter(spark, tmp_path):
+    """ES knn filter: top-k among ELIGIBLE vectors only — the nearest
+    vector overall is excluded when its doc fails the filter, and a
+    far-but-eligible vector ranks instead (never top-k-then-filter)."""
+    from ostrich_spark.similarity import filtered_ann
+
+    docs = [
+        {"doc_id": i, "text": ("hot spark" if i % 2 == 0 else "cold spark")}
+        for i in range(10)
+    ]
+    s = Schema()
+    s.add_text_field("text", "default")
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(docs)), s, idx,
+        num_partitions=2, order_col="doc_id", id_cols=["doc_id"],
+    )
+    # vec i at angle i*5 degrees from the query: doc 1 (cold) is the
+    # global 2nd-nearest; the filter must skip it
+    import math as m
+
+    emb = spark.createDataFrame(
+        [(i, [m.cos(m.radians(5 * i)), m.sin(m.radians(5 * i))])
+         for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    qv = [1.0, 0.0]
+    got = filtered_ann(
+        spark, idx, "text:hot", emb, qv, id_col="doc_id", k=3
+    ).collect()
+    assert [r["vec_id"] for r in got] == [0, 2, 4]  # evens only, nearest-first
+    # vs unfiltered: doc 1 IS the global runner-up
+    allr = brute_force_topk(emb, qv, k=3).collect()
+    assert [r["vec_id"] for r in allr] == [0, 1, 2]
+    # k beyond the eligible set returns every eligible vector
+    assert len(
+        filtered_ann(spark, idx, "text:hot", emb, qv, "doc_id", k=50).collect()
+    ) == 5
+    # no-match filter -> empty
+    assert filtered_ann(
+        spark, idx, "text:zzz", emb, qv, "doc_id", k=3
+    ).collect() == []
