@@ -1897,6 +1897,28 @@ def _q_eng_stats_nchars(spark, sf_dir):
     )
 
 
+def _q_eng_facet_pctl(spark, sf_dir):
+    """percentile metric (ES percentiles-agg analog, exact mode) in the
+    shared facet grammar: per-lang p50/p90 of n_chars over the match
+    set — SQL percentile_cont linear interpolation, bit-identical to
+    DuckDB quantile_cont."""
+    from ostrich_spark.query.exec import facet_stats
+
+    idx = _doc_index(spark, sf_dir)
+    out = facet_stats(
+        spark, idx, "text:spark", by="lang",
+        metrics={
+            "p50_nchars": ("percentile", "n_chars", 0.5),
+            "p90_nchars": ("percentile", "n_chars", 0.9),
+        },
+    )
+    return out.select(
+        "lang", F.col("n_docs").cast("long"),
+        F.round("p50_nchars", 6).alias("p50_nchars"),
+        F.round("p90_nchars", 6).alias("p90_nchars"),
+    )
+
+
 def _q_eng_wildcard(spark, sf_dir):
     """Wildcard multi-term EXTENSION (Lucene WildcardQuery analog):
     ``s?a*`` — literal prefix 's' prunes the dictionary read, then the
@@ -3404,6 +3426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
         "eng_facet_wavg": _q_eng_facet_wavg,
+        "eng_facet_pctl": _q_eng_facet_pctl,
         "eng_facet_ergo": _q_eng_facet_ergo,
         "eng_facet_lang": _q_eng_facet_lang,
         "eng_term_vectors": _q_term_vectors,
@@ -4129,6 +4152,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.lang, count(*) AS n_docs, "
             "round(sum(d.n_chars * (d.doc_id % 7 + 1)) * 1.0 "
             "/ sum(d.doc_id % 7 + 1), 6) AS wavg_nchars "
+            "FROM m JOIN documents d USING(doc_id) GROUP BY d.lang"
+        ),
+        # percentile metric: EXACT linear interpolation — Spark
+        # percentile == DuckDB quantile_cont bit-for-bit
+        "eng_facet_pctl": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark') "
+            "SELECT d.lang, count(*) AS n_docs, "
+            "round(quantile_cont(d.n_chars, 0.5), 6) AS p50_nchars, "
+            "round(quantile_cont(d.n_chars, 0.9), 6) AS p90_nchars "
             "FROM m JOIN documents d USING(doc_id) GROUP BY d.lang"
         ),
         # terms-agg ergonomics: missing substitution + metric-desc

@@ -1903,7 +1903,8 @@ def facet_counts(
 
 _FACET_METRIC_FNS = ("count", "min", "max", "sum", "avg",
                      "count_distinct", "approx_count_distinct",
-                     "weighted_avg", "max_by", "min_by")
+                     "weighted_avg", "max_by", "min_by",
+                     "percentile", "approx_percentile")
 
 
 def _metric_aggs(F, metrics: dict) -> list:
@@ -1911,7 +1912,15 @@ def _metric_aggs(F, metrics: dict) -> list:
     filters_agg / composite): output column -> (fn, column[, rsd]).
     ``weighted_avg`` takes (fn, value_col, weight_col) — the ES
     weighted_avg agg: sum(v*w)/sum(w over rows where v is present),
-    so a NULL value drops its weight from the denominator too."""
+    so a NULL value drops its weight from the denominator too.
+    ``percentile`` takes (fn, col, p) with 0 <= p <= 1 — EXACT linear
+    interpolation (SQL percentile_cont; one sketch-free pass, the
+    values ride the shuffle like count_distinct's — same documented
+    trade). ``approx_percentile`` (fn, col, p[, accuracy]) is the
+    100 TB path: a GK sketch that partial-aggregates map-side like any
+    sum (the ES percentiles agg is likewise approximate — t-digest —
+    so approximate-by-default matches ES, only the sketch differs;
+    returns an ELEMENT of the value set, not an interpolation)."""
     aggs = []
     for out, spec in metrics.items():
         fn, col, *rest = spec
@@ -1919,7 +1928,22 @@ def _metric_aggs(F, metrics: dict) -> list:
             raise ValueError(
                 f"metric {out!r}: fn must be one of {_FACET_METRIC_FNS}, got {fn!r}"
             )
-        if fn == "count_distinct":
+        if fn in ("percentile", "approx_percentile"):
+            if not rest:
+                raise ValueError(
+                    f"metric {out!r}: {fn} needs (fn, col, p[, accuracy])"
+                )
+            p = float(rest[0])
+            if not 0.0 <= p <= 1.0:
+                raise ValueError(
+                    f"metric {out!r}: percentile p must be in [0, 1], got {p}"
+                )
+            if fn == "percentile":
+                aggs.append(F.percentile(col, F.lit(p)).alias(out))
+            else:
+                acc = [F.lit(int(rest[1]))] if len(rest) > 1 else []
+                aggs.append(F.percentile_approx(col, F.lit(p), *acc).alias(out))
+        elif fn == "count_distinct":
             aggs.append(F.countDistinct(col).alias(out))
         elif fn == "approx_count_distinct":
             aggs.append(F.approx_count_distinct(col, *rest).alias(out))

@@ -378,6 +378,62 @@ def test_facet_stats_validation(spark, range_idx):
         )
 
 
+def test_facet_percentile_metric(spark, range_idx):
+    """ES percentiles-agg analog: exact mode is SQL percentile_cont
+    linear interpolation (hand-recomputed per bucket); approx mode
+    returns an ELEMENT of the bucket's value set near the same rank."""
+    from ostrich_spark.query.exec import facet_stats
+
+    def interp(vals, p):
+        v = sorted(vals)
+        pos = p * (len(v) - 1)
+        lo, frac = int(pos // 1), pos % 1
+        return v[lo] if frac == 0 else v[lo] + frac * (v[lo + 1] - v[lo])
+
+    ks = _matched_ks(spark, range_idx, "content:merge")
+    by_year = {}
+    for k in ks:
+        by_year.setdefault(2000 + k % 20, []).append(k * 0.5)
+    got = {
+        int(r["year"]): r
+        for r in facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={
+                "p50": ("percentile", "rating", 0.5),
+                "p90": ("percentile", "rating", 0.9),
+                "ap50": ("approx_percentile", "rating", 0.5),
+                "ap50_acc": ("approx_percentile", "rating", 0.5, 100),
+            },
+        ).collect()
+    }
+    assert set(got) == set(by_year)
+    for y, ratings in by_year.items():
+        r = got[y]
+        assert r["p50"] == pytest.approx(interp(ratings, 0.5), abs=1e-12)
+        assert r["p90"] == pytest.approx(interp(ratings, 0.9), abs=1e-12)
+        for c in ("ap50", "ap50_acc"):
+            assert r[c] in ratings  # element, not interpolation
+            # within one element of the exact discrete median rank
+            v = sorted(ratings)
+            i = v.index(r[c])
+            assert abs(i - 0.5 * (len(v) - 1)) <= 1.0
+
+
+def test_facet_percentile_validation(spark, range_idx):
+    from ostrich_spark.query.exec import facet_stats
+
+    with pytest.raises(ValueError, match="needs"):
+        facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={"p": ("percentile", "rating")},
+        )
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        facet_stats(
+            spark, range_idx, "content:merge", by="year",
+            metrics={"p": ("percentile", "rating", 1.5)},
+        )
+
+
 def test_cardinality_exact_and_approx(spark, range_idx):
     from ostrich_spark.query.exec import cardinality
 
