@@ -2128,6 +2128,21 @@ def _q_eng_suggest(spark, sf_dir):
     return spark.createDataFrame(rows, "term string, doc_freq long, dist int")
 
 
+def _q_eng_complete(spark, sf_dir):
+    """Completion suggester (ES completion analog): dictionary terms of
+    'text' completing the prefix 's', popularity (global doc_freq)
+    ranked desc with term-asc tiebreak, top 10 — a metadata-pruned
+    RANGE read of the sorted term dictionary, not a corpus scan."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.expand import complete_terms
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    fe = mf.schema.field_by_name("text")
+    rows = complete_terms(spark, idx, mf, fe.id, "s", size=10)
+    return spark.createDataFrame(rows, "term string, doc_freq long, dist int")
+
+
 _DAMERAU_WORDS = ["sprak", "tabel", "windwo", "qeury", "strem", "rost"]
 
 
@@ -3373,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sig_terms": _q_eng_sig_terms,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
+        "eng_complete": _q_eng_complete,
         "eng_fuzzy_damerau": _q_eng_fuzzy_damerau,
         "eng_snapshot_search": _q_eng_snapshot_search,
         "eng_s5_or": _q_eng_or,
@@ -3643,6 +3659,14 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE} "
             "SELECT term, df AS doc_freq, CAST(levenshtein(term, 'rost') AS INT) AS dist "
             "FROM df WHERE levenshtein(term, 'rost') <= 2"
+        ),
+        # completion suggester: prefix bucket ranked doc_freq desc,
+        # term asc (deterministic total order — term is unique)
+        "eng_complete": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE} "
+            "SELECT term, df AS doc_freq, CAST(0 AS INT) AS dist "
+            "FROM df WHERE term LIKE 's%' "
+            "ORDER BY df DESC, term ASC LIMIT 10"
         ),
         "eng_fuzzy_damerau": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {DF_CTE}, "

@@ -515,6 +515,32 @@ def cmd_suggest(args) -> int:
     return 0
 
 
+def cmd_complete(args) -> int:
+    """Completion suggester: ``term doc_freq distance`` lines — the
+    dictionary terms completing the typed prefix, popularity
+    (doc_freq) ranked; ``--fuzzy`` tolerates typos INSIDE the prefix
+    (the ES fuzzy-completion semantics)."""
+    from .manifest import load_manifest
+    from .query.expand import complete_terms
+
+    spark = _spark()
+    t0 = time.time()
+    mf = load_manifest(args.path)
+    fe = mf.schema.field_by_name(args.field)
+    if fe is None or fe.is_doc_value:
+        print(f"error: {args.field!r} is not a text field", file=sys.stderr)
+        return 2
+    out = complete_terms(
+        spark, args.path, mf, fe.id, args.prefix.lower(),
+        size=args.size, fuzzy=args.fuzzy, max_dist=args.max_dist,
+    )
+    elapsed = time.time() - t0
+    for t, df, d in out:
+        print(f"{t} {df} {d}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_sigterms(args) -> int:
     """Term-level facet over a query's match set: ``term n_docs
     doc_freq`` lines, foreground-count desc then term asc, top N."""
@@ -1613,6 +1639,16 @@ def main(argv=None) -> int:
     sg.add_argument("--transpositions", action="store_true",
                     help="adjacent swap counts as one edit (Damerau)")
     sg.set_defaults(fn=cmd_suggest)
+
+    co = sub.add_parser("complete")
+    co.add_argument("prefix")
+    co.add_argument("-p", "--path", required=True)
+    co.add_argument("--field", required=True)
+    co.add_argument("--size", type=int, default=10)
+    co.add_argument("--fuzzy", action="store_true",
+                    help="tolerate typos inside the prefix (ES fuzzy completion)")
+    co.add_argument("--max-dist", type=int, default=1)
+    co.set_defaults(fn=cmd_complete)
 
     tg = sub.add_parser("sigterms")
     tg.add_argument("query")

@@ -397,6 +397,100 @@ def suggest_terms(
     return sorted(out, key=lambda x: (x[2], -x[1], x[0]))
 
 
+def prefix_edit_dist(term: str, prefix: str, max_dist: int) -> int | None:
+    """Edit distance of ``prefix`` to the CLOSEST prefix of ``term``
+    (min over L of lev(term[:L], prefix)) when <= ``max_dist``, else
+    None — the fuzzy-completion matching relation: the typo lives in
+    the query prefix, the completion tail is free. One banded DP over
+    prefix x term[:len(prefix)+max_dist]; the answer is the min of the
+    last ROW (every possible term-prefix length at once)."""
+    t = term[: len(prefix) + max_dist]
+    n, m = len(prefix), len(t)
+    if n - m > max_dist:
+        # term (slice) shorter than prefix by more than the budget
+        return None
+    big = max_dist + 1
+    # row i = edit distance of prefix[:i] to t[:j] for each j
+    prev = list(range(m + 1))
+    for i in range(1, n + 1):
+        cur = [i if i <= max_dist else big] + [big] * m
+        lo = max(1, i - max_dist)
+        hi = min(m, i + max_dist)
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (prefix[i - 1] != t[j - 1]),
+            )
+        if min(cur) > max_dist:
+            return None
+        prev = cur
+    d = min(prev)
+    return d if d <= max_dist else None
+
+
+def complete_terms(
+    spark,
+    index_dir: str,
+    manifest,
+    field_id: int,
+    prefix: str,
+    size: int = 10,
+    fuzzy: bool = False,
+    max_dist: int = 1,
+    min_length: int = 3,
+    prefix_length: int = 1,
+) -> list[tuple[str, int, int]]:
+    """Completion suggester (ES ``completion``/search-as-you-type analog
+    — EXTENSION, the reference has no suggest API): dictionary terms of
+    ``field_id`` COMPLETING ``prefix``, as (term, doc_freq, dist)
+    ranked dist ASC, doc_freq DESC, term ASC, cut to ``size``. The
+    dictionary has no index-time weights, so popularity (global
+    doc_freq) is the ranking signal — the natural analog of the ES
+    suggestion ``weight``.
+
+    ``fuzzy=True`` adds the ES fuzzy-completion semantics: a term also
+    matches when the prefix is within ``max_dist`` edits of the term's
+    OWN prefix (min over term-prefix lengths — the typo lives in the
+    query prefix, the completion tail is free), ranked after closer
+    matches (the ES 'shares the longest prefix scores higher' rule,
+    here as distance-first ranking). Two ES guards, same defaults:
+    ``min_length`` — inputs shorter than it complete exactly (a 2-char
+    prefix within 1 edit of everything would return half the
+    dictionary); ``prefix_length`` — the first chars that must match
+    exactly, which is also what keeps the dictionary read a
+    metadata-pruned RANGE scan (pyarrow row-group pushdown on the
+    sorted stats file) instead of a full-dictionary pass, exactly like
+    suggest_terms' banded read. Scale posture: the range read touches
+    the shared-prefix bucket only; the Spark fallback (stats absent)
+    aggregates the same range from the postings."""
+    if not prefix:
+        raise ValueError("complete_terms needs a non-empty prefix")
+    if fuzzy and (len(prefix) < min_length or max_dist == 0):
+        fuzzy = False
+    if fuzzy:
+        prefix_length = max(1, min(prefix_length, len(prefix)))
+        p = prefix[:prefix_length]
+        pairs = _range_candidates(index_dir, field_id, p, prefix_upper_bound(p))
+        if pairs is None:
+            rows = _postings_range_df(
+                spark, index_dir, manifest, field_id, p, prefix_upper_bound(p)
+            ).collect()
+            pairs = [(r["term"], int(r["doc_freq"])) for r in rows]
+        out = []
+        for t, df in pairs:
+            d = prefix_edit_dist(t, prefix, max_dist)
+            if d is not None:
+                out.append((t, df, d))
+    else:
+        out = [
+            (t, df, 0)
+            for t, df in _prefix_pairs(spark, index_dir, manifest, field_id, prefix)
+        ]
+    out.sort(key=lambda x: (x[2], -x[1], x[0]))
+    return out[:size] if size is not None else out
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """Glob pattern -> regex source: ``*`` = ``.*``, ``?`` = ``.``,
     everything else literal. Alphanumerics pass through unescaped so the

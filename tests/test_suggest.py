@@ -197,3 +197,91 @@ def test_cli_suggest_multiword(spark, idx):
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.splitlines()[0] == "stream stream"
     assert "strem -> stream" in out.stdout
+
+
+# --- completion suggester (ES completion / fuzzy completion analog) ---
+
+
+def test_complete_exact_prefix_ranking(spark, idx):
+    """Exact completion: every dictionary term with the prefix, ranked
+    doc_freq desc then term asc (popularity = the ES weight analog)."""
+    from ostrich_spark.query.expand import complete_terms
+
+    mf = load_manifest(idx)
+    got = complete_terms(spark, idx, mf, 0, "sp")
+    want = sorted(
+        ((t, n, 0) for t, n in _dictionary().items() if t.startswith("sp")),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == want  # spark(3) first, then spans/sparse/spear alphabetical
+    assert got[0][0] == "spark"
+    # size cut
+    assert complete_terms(spark, idx, mf, 0, "sp", size=2) == want[:2]
+    # no-match prefix
+    assert complete_terms(spark, idx, mf, 0, "zz") == []
+    with pytest.raises(ValueError, match="non-empty"):
+        complete_terms(spark, idx, mf, 0, "")
+
+
+def test_complete_fuzzy_typo_in_prefix(spark, idx):
+    """ES fuzzy completion: the typo lives in the PREFIX, the completion
+    tail is free — 'stram' (dropped e) still completes to stream(s);
+    exact-prefix hits rank before fuzzy ones (distance-first)."""
+    from ostrich_spark.query.expand import complete_terms
+
+    mf = load_manifest(idx)
+    got = complete_terms(spark, idx, mf, 0, "stram", fuzzy=True, max_dist=1)
+    assert got == [("stream", 3, 1), ("streams", 1, 1)]
+    # exact-before-fuzzy: 'spars' completes sparse exactly (d0) and
+    # reaches spark/spans at one prefix edit, popularity-ranked within d1
+    got = complete_terms(spark, idx, mf, 0, "spars", fuzzy=True, max_dist=1)
+    assert got == [("sparse", 1, 0), ("spark", 3, 1), ("spans", 1, 1)]
+    # min_length guard: a 2-char fuzzy input completes EXACTLY
+    assert complete_terms(spark, idx, mf, 0, "sp", fuzzy=True, max_dist=1) \
+        == complete_terms(spark, idx, mf, 0, "sp")
+
+
+def test_prefix_edit_dist_bruteforce():
+    """prefix_edit_dist == min over term-prefix lengths of Levenshtein,
+    exhaustively over a small alphabet."""
+    import itertools
+
+    from ostrich_spark.query.expand import prefix_edit_dist
+
+    def brute(term, prefix, md):
+        best = min(
+            levenshtein_dist(term[:L], prefix) for L in range(len(term) + 1)
+        )
+        return best if best <= md else None
+
+    for md in (1, 2):
+        for tlen in range(0, 5):
+            for term in map("".join, itertools.product("abc", repeat=tlen)):
+                for plen in range(1, 4):
+                    for prefix in map("".join, itertools.product("abc", repeat=plen)):
+                        assert prefix_edit_dist(term, prefix, md) == brute(
+                            term, prefix, md
+                        ), (term, prefix, md)
+
+
+def test_cli_complete(spark, idx):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "complete", "-p", idx,
+         "--field", "content", "sp", "--size", "3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = out.stdout.splitlines()
+    assert lines[0] == "spark 3 0"
+    assert len([l for l in lines if l and not l.startswith("elapsed")]) == 3
+    # fuzzy mode through the CLI
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "complete", "-p", idx,
+         "--field", "content", "stram", "--fuzzy"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0] == "stream 3 1"
