@@ -1862,6 +1862,19 @@ def _q_eng_span_first(spark, sf_dir):
     )
 
 
+def _q_eng_span_not(spark, sf_dir):
+    """span_not (Lucene SpanNotQuery / ES span_not): occurrences of
+    'stream' with no 'the'/'fast' occurrence in [p-1, p+2]; tf =
+    surviving occurrences, idf = the include term's own full-df idf
+    (multiple excludes = spanNot(include, spanOr(excludes)))."""
+    from ostrich_spark.query.parser import SpanNotQuery
+
+    return _engine_matches(
+        spark, sf_dir, None,
+        logical=SpanNotQuery(0, "stream", ("the", "fast"), pre=1, post=2),
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -3434,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sig_jlh": _q_eng_sig_jlh,
         "eng_auto_date_hist": _q_eng_auto_date_hist,
         "eng_span_first": _q_eng_span_first,
+        "eng_span_not": _q_eng_span_not,
         "eng_geo_centroid": _q_eng_geo_centroid,
         "eng_geo_bounds": _q_eng_geo_bounds,
         "eng_geo_rings": _q_eng_geo_rings,
@@ -4062,6 +4076,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE term = 'spark' AND pos < 5 GROUP BY doc_id), "
             "d AS (SELECT count(DISTINCT doc_id) AS df FROM pos "
             "WHERE term = 'spark') "
+            "SELECT doc_id, round(tf * (1.0 + ln((SELECT n FROM n) "
+            "/ (1.0 + (SELECT df FROM d)))), 6) AS score FROM m"
+        ),
+        # span_not: include occurrences with no exclude occurrence in
+        # [p-pre, p+post]; idf = the include term's full-df idf
+        "eng_span_not": (
+            f"WITH {TOKLIST_CTE}, {POS_CTE}, {N_CTE}, "
+            "m AS (SELECT a.doc_id, count(*) AS tf FROM pos a "
+            "WHERE a.term = 'stream' AND NOT EXISTS ("
+            "SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id "
+            "AND b.term IN ('the', 'fast') "
+            "AND b.pos BETWEEN a.pos - 1 AND a.pos + 2) "
+            "GROUP BY a.doc_id), "
+            "d AS (SELECT count(DISTINCT doc_id) AS df FROM pos "
+            "WHERE term = 'stream') "
             "SELECT doc_id, round(tf * (1.0 + ln((SELECT n FROM n) "
             "/ (1.0 + (SELECT df FROM d)))), 6) AS score FROM m"
         ),

@@ -498,6 +498,39 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         return pdocs, score_postings(
             ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
         )
+    if kind == "span_not":
+        # Lucene SpanNotQuery: include-term occurrences at p survive iff
+        # no exclude-term occurrence q has p - pre <= q <= p + post.
+        # doc*BIG+pos encoding turns the per-doc window test into two
+        # searchsorted probes against ONE sorted exclude array; clamping
+        # the window's low edge at the doc's own position 0 keeps it
+        # from leaking into the previous doc's key space (positions are
+        # doc-relative and far below BIG, so the high edge never can).
+        tp = term_data.get((wire["field"], wire["term"]))
+        if tp is None:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        docs, tfs, lens, pos = tp.decode_with_positions()
+        occ_doc = np.repeat(docs, tfs)
+        BIG = np.int64(1) << np.int64(32)
+        excl = []
+        for et in wire["excl_terms"]:
+            ep = term_data.get((wire["field"], et))
+            if ep is not None:
+                ed, etf, _, epos = ep.decode_with_positions()
+                excl.append(np.repeat(ed, etf) * BIG + epos)
+        if excl:
+            E = np.sort(np.concatenate(excl))
+            lo = occ_doc * BIG + np.maximum(pos - np.int64(wire["pre"]), 0)
+            hi = occ_doc * BIG + pos + np.int64(wire["post"])
+            hit = np.searchsorted(E, lo) <= np.searchsorted(E, hi, side="right") - 1
+            occ_doc = occ_doc[~hit]
+        if not len(occ_doc):
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        pdocs, ptfs = np.unique(occ_doc, return_counts=True)
+        lens_at = lens[np.searchsorted(docs, pdocs)]
+        return pdocs, score_postings(
+            ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
+        )
     if kind in ("phrase", "multi_phrase"):
         return eval_phrase(wire, term_data, scorer)
     if kind == "near":
@@ -5668,6 +5701,12 @@ def explain(
             out["detail"] = {
                 "field": w["field"], "term": w["term"],
                 "doc_freq": w["doc_freq"], "idf": w["idf"], "end": w["end"],
+            }
+        elif w["kind"] == "span_not":
+            out["detail"] = {
+                "field": w["field"], "term": w["term"],
+                "exclude": w["excl_terms"], "doc_freq": w["doc_freq"],
+                "idf": w["idf"], "pre": w["pre"], "post": w["post"],
             }
         elif w["kind"] == "range":
             op = w.get("op")

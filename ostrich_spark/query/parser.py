@@ -159,6 +159,46 @@ class SpanFirstQuery:
 
 
 @dataclass(frozen=True)
+class SpanNotQuery:
+    """Match occurrences of ``term`` NOT within ``pre`` tokens after /
+    ``post`` tokens before any occurrence of an ``exclude`` term — the
+    Lucene SpanNotQuery analog over term spans (ES ``span_not``;
+    EXTENSION, programmatic-only like span_first). Multiple exclude
+    terms behave as Lucene's ``spanNot(include, spanOr(excludes))`` —
+    the idiomatic exclusion shape ("bank" not near "river" or "creek").
+    An include occurrence at position p is rejected iff some exclude
+    occurrence q satisfies p - pre <= q <= p + post (pre=post=0 =
+    same-position overlap only). tf = surviving occurrences (Lucene's
+    sloppy freq of matching spans); idf stays the include TERM's own
+    full-df idf (SpanWeight builds term statistics, only membership
+    narrows) — so an exclude term absent from the corpus leaves scores
+    bit-identical to the plain term query. Needs positions=True; not
+    WAND-eligible (membership depends on positions, invisible to the
+    term upper bound)."""
+
+    field_id: int
+    term: str
+    exclude: tuple[str, ...]
+    pre: int = 0
+    post: int = 0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not self.term:
+            raise QueryParseError("empty term in span_not query")
+        object.__setattr__(self, "exclude", tuple(self.exclude))
+        if not self.exclude or any(not t for t in self.exclude):
+            raise QueryParseError(
+                "span_not needs at least one non-empty exclude term"
+            )
+        for name, v in (("pre", self.pre), ("post", self.post)):
+            if not isinstance(v, int) or v < 0:
+                raise QueryParseError(
+                    f"span_not {name} must be an int >= 0, got {v!r}"
+                )
+
+
+@dataclass(frozen=True)
 class PhrasePrefixQuery:
     """Phrase whose LAST slot is a prefix — EXTENSION (Lucene
     MatchPhrasePrefixQuery / Elasticsearch ``match_phrase_prefix``

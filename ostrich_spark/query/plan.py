@@ -47,6 +47,7 @@ from .parser import (
     RegexpQuery,
     SpanFirstQuery,
     SpanNearQuery,
+    SpanNotQuery,
     TermQuery,
     TermsQuery,
     TermsSetQuery,
@@ -126,6 +127,25 @@ class CSpanFirst:
     idf: float
     avgdl: float
     end: int
+
+
+@dataclass(frozen=True)
+class CSpanNot:
+    """Compiled span_not: the include term's occurrences not within
+    [p - pre, p + post] of any exclude-term occurrence. Stats are the
+    include TERM's own (SpanWeight convention, like CSpanFirst); tf =
+    surviving occurrences. Exclude terms absent from the dictionary are
+    dropped at lowering (they cannot reject anything); all absent
+    lowers to the plain CTerm — one kernel less, same score."""
+
+    field_id: int
+    term: str
+    exclude: tuple[str, ...]
+    doc_freq: int
+    idf: float
+    avgdl: float
+    pre: int
+    post: int
 
 
 @dataclass(frozen=True)
@@ -326,6 +346,12 @@ def collect_terms(q) -> list[TermQuery]:
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, SpanFirstQuery):
         return [TermQuery(q.field_id, q.term)]
+    if isinstance(q, SpanNotQuery):
+        # exclude postings must survive the prune too — the scorer
+        # needs their positions to reject include occurrences
+        return [TermQuery(q.field_id, q.term)] + [
+            TermQuery(q.field_id, t) for t in q.exclude
+        ]
     if isinstance(q, BooleanQuery):
         out = []
         for _, sub in q.subqueries:
@@ -433,6 +459,23 @@ def compile_query(
         return CSpanFirst(
             q.field_id, q.term, df, idf_fn(total_docs, df) * q.boost,
             field_avgdl.get(q.field_id, 1.0), q.end,
+        )
+    if isinstance(q, SpanNotQuery):
+        df = doc_freqs.get((q.field_id, q.term), 0)
+        if df == 0:
+            return CEmpty()
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        idf = idf_fn(total_docs, df) * q.boost
+        avgdl = field_avgdl.get(q.field_id, 1.0)
+        kept = tuple(
+            t for t in q.exclude if doc_freqs.get((q.field_id, t), 0) > 0
+        )
+        if not kept:
+            # nothing can reject: plain term, same stats — the positions
+            # decode (and its positions=True requirement) drops away
+            return CTerm(q.field_id, q.term, df, idf, avgdl)
+        return CSpanNot(
+            q.field_id, q.term, kept, df, idf, avgdl, q.pre, q.post
         )
     if isinstance(q, RangeQuery):
         return CRange(
@@ -691,6 +734,20 @@ def to_wire(node) -> dict:
             "idf": node.idf,
             "avgdl": node.avgdl,
             "end": node.end,
+        }
+    if isinstance(node, CSpanNot):
+        return {
+            "kind": "span_not",
+            "field": node.field_id,
+            "term": node.term,
+            # NOT named "exclude": tree walkers (assign_range_ids,
+            # explain) recurse into an "exclude" key as a subtree wire
+            "excl_terms": list(node.exclude),
+            "doc_freq": node.doc_freq,
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+            "pre": node.pre,
+            "post": node.post,
         }
     if isinstance(node, CIntersection):
         return {"kind": "and", "children": [to_wire(c) for c in node.children]}
