@@ -1875,6 +1875,53 @@ def _q_eng_span_not(spark, sf_dir):
     )
 
 
+_STREAM_CACHE: dict[str, str] = {}
+
+
+def _doc_stream(spark, sf_dir) -> str:
+    """Two-generation data stream over the documents corpus, split by
+    doc_id parity with a forced rollover between appends."""
+    from ostrich_spark.datastream import append, create_stream, rollover
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _STREAM_CACHE:
+        return _STREAM_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    sd = f"/tmp/ostrich_entry_idx/{tag}-stream1"
+    if not manifest_exists(os.path.join(sd, "gen-000002")):
+        import shutil
+
+        shutil.rmtree(sd, ignore_errors=True)
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        docs = _docs(spark, sf_dir)
+        create_stream(sd, name="documents")
+        append(spark, docs.filter(F.col("doc_id") % 2 == 0), schema, sd,
+               num_partitions=2, order_col="doc_id", id_cols=["doc_id"])
+        rollover(sd, force=True)
+        append(spark, docs.filter(F.col("doc_id") % 2 == 1), schema, sd,
+               num_partitions=2, order_col="doc_id", id_cols=["doc_id"])
+    _STREAM_CACHE[key] = sd
+    return sd
+
+
+def _q_eng_stream_search(spark, sf_dir):
+    """Data-stream search (ES data stream / rollover analog): the corpus
+    split across two rollover generations scores BIT-IDENTICALLY to a
+    single index — per-generation search under summed (alias-global)
+    doc_freq / N / avgdl, one merge. Oracle: the single-corpus TF-IDF
+    SQL, unchanged."""
+    from ostrich_spark.datastream import attach_stream_docmap, search_stream
+
+    sd = _doc_stream(spark, sf_dir)
+    res, _ = search_stream(spark, sd, "text:spark", limit=None)
+    return attach_stream_docmap(spark, sd, res).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_hist_nchars(spark, sf_dir):
     """Doc-value histogram over the full match set (bin width 50)."""
     from ostrich_spark.query.exec import numeric_histogram
@@ -3448,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_auto_date_hist": _q_eng_auto_date_hist,
         "eng_span_first": _q_eng_span_first,
         "eng_span_not": _q_eng_span_not,
+        "eng_stream_search": _q_eng_stream_search,
         "eng_geo_centroid": _q_eng_geo_centroid,
         "eng_geo_bounds": _q_eng_geo_bounds,
         "eng_geo_rings": _q_eng_geo_rings,
@@ -3614,6 +3662,14 @@ def oracle_sql() -> dict[str, str]:
         "i7_docmap_sha256": "SELECT doc_id, sha256(text) AS content_sha256 FROM documents",
         "i1_field_norms": f"WITH {DL_CTE} SELECT doc_id, dl FROM dl",
         "eng_q5_term_tfidf": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            f"SELECT t.doc_id, {tfidf_spark} AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
+        ),
+        # data stream: 2 rollover generations == 1 index, bit-identical
+        # scores (summed global stats) — the oracle IS the single-corpus
+        # tfidf SQL
+        "eng_stream_search": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
             f"SELECT t.doc_id, {tfidf_spark} AS score "
             "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"

@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -539,6 +540,63 @@ def cmd_complete(args) -> int:
         print(f"{t} {df} {d}")
     print(f"elapsed: {elapsed:.3f}s")
     return 0
+
+
+def cmd_stream(args) -> int:
+    """Data-stream management (ES data stream / rollover analog):
+    create / status / rollover / search over numbered generation
+    indexes with alias-global scoring."""
+    import json as _json
+
+    from .datastream import (
+        StreamError,
+        attach_stream_docmap,
+        create_stream,
+        rollover,
+        search_stream,
+        stream_stats,
+    )
+
+    try:
+        if args.action == "create":
+            st = create_stream(args.path, name=args.name)
+            print(f"created stream {st['name']!r} "
+                  f"(write index {st['generations'][-1]})")
+            return 0
+        if args.action == "status":
+            print(_json.dumps(stream_stats(args.path), indent=1))
+            return 0
+        if args.action == "rollover":
+            r = rollover(
+                args.path, max_docs=args.max_docs,
+                max_segments=args.max_segments, force=args.force,
+            )
+            fired = [k for k, v in r["conditions"].items() if v]
+            print(f"rolled: {r['rolled']}"
+                  + (f" ({', '.join(fired)})" if fired else "")
+                  + f"; write index: {os.path.basename(r['write_index'])}")
+            return 0
+        # search
+        spark = _spark()
+        t0 = time.time()
+        res, _ = search_stream(
+            spark, args.path, args.query, limit=args.limit, scorer=args.scorer
+        )
+        rows = attach_stream_docmap(spark, args.path, res).collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            keys = {
+                k: r[k] for k in r.asDict()
+                if k not in ("index_ord", "segment_id", "segment_ord",
+                             "doc", "score")
+            }
+            kv = " ".join(f"{k}={v}" for k, v in keys.items())
+            print(f"gen={r['index_ord']} {kv} score={r['score']:.6f}")
+        print(f"{len(rows)} hits, elapsed: {elapsed:.3f}s")
+        return 0
+    except StreamError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 def cmd_sigterms(args) -> int:
@@ -1639,6 +1697,18 @@ def main(argv=None) -> int:
     sg.add_argument("--transpositions", action="store_true",
                     help="adjacent swap counts as one edit (Damerau)")
     sg.set_defaults(fn=cmd_suggest)
+
+    dm = sub.add_parser("stream")
+    dm.add_argument("action", choices=["create", "status", "rollover", "search"])
+    dm.add_argument("-p", "--path", required=True)
+    dm.add_argument("--name", default=None)
+    dm.add_argument("--max-docs", type=int, default=None)
+    dm.add_argument("--max-segments", type=int, default=None)
+    dm.add_argument("--force", action="store_true")
+    dm.add_argument("-q", "--query", default=None, help="NQL (search action)")
+    dm.add_argument("--limit", type=int, default=10)
+    dm.add_argument("--scorer", default="tfidf", choices=["tfidf", "bm25"])
+    dm.set_defaults(fn=cmd_stream)
 
     co = sub.add_parser("complete")
     co.add_argument("prefix")

@@ -1,0 +1,218 @@
+"""Data streams: generation-rollover index families (the Elasticsearch
+data-stream / rollover analog — EXTENSION, the reference manages one
+index per directory; cf. /root/reference/index/index.go which has no
+multi-index surface).
+
+A *stream* is a directory holding numbered generation indexes
+(``gen-000001``, ``gen-000002``, ...) plus one ``stream.json`` listing
+them in order. Appends ALWAYS target the newest generation (the ES
+"write index"); :func:`rollover` cuts a fresh empty generation when the
+write index trips a size condition, so no single index grows without
+bound — the log-structured posture that keeps merge cost, segment
+counts, and per-index recovery bounded as a 100 TB corpus accretes.
+Searches fan across every generation through ``search_multi`` with
+alias-GLOBAL statistics (doc_freq / N / avgdl summed across
+generations), so scores are bit-identical to a single merged index —
+the property the gated entry pins.
+
+Concurrency: ``stream.json`` mutations (create / rollover) run under
+the stream directory's single-writer lock and commit via atomic
+temp+rename — the same AtomicWrite discipline as index manifests. Each
+generation keeps its own per-index write lock during appends, so a
+reader can search gen-1 while gen-2 ingests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .build import build_index
+from .lock import write_lock
+from .manifest import Manifest, atomic_write_json, load_manifest, manifest_exists
+
+STREAM_FILE = "stream.json"
+
+
+class StreamError(RuntimeError):
+    pass
+
+
+def _stream_path(stream_dir: str) -> str:
+    return os.path.join(stream_dir, STREAM_FILE)
+
+
+def _gen_name(i: int) -> str:
+    return f"gen-{i:06d}"
+
+
+def load_stream(stream_dir: str) -> dict:
+    p = _stream_path(stream_dir)
+    if not os.path.exists(p):
+        raise StreamError(
+            f"no data stream at {stream_dir!r} — run create_stream first"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _save_stream(stream_dir: str, state: dict) -> None:
+    atomic_write_json(_stream_path(stream_dir), state)
+
+
+def create_stream(stream_dir: str, name: str | None = None) -> dict:
+    """Create an empty stream with one (empty) write generation. Refuses
+    to overwrite an existing stream."""
+    os.makedirs(stream_dir, exist_ok=True)
+    with write_lock(stream_dir, owner="stream-create"):
+        if os.path.exists(_stream_path(stream_dir)):
+            raise StreamError(f"stream already exists at {stream_dir!r}")
+        state = {
+            "name": name or os.path.basename(os.path.normpath(stream_dir)),
+            "generations": [_gen_name(1)],
+        }
+        _save_stream(stream_dir, state)
+    return state
+
+
+def write_index(stream_dir: str) -> str:
+    """Absolute path of the current write generation."""
+    state = load_stream(stream_dir)
+    return os.path.join(stream_dir, state["generations"][-1])
+
+
+def stream_indexes(stream_dir: str) -> list[str]:
+    """Generation dirs holding a COMMITTED manifest, oldest first — the
+    searchable set (a freshly rolled, never-appended write index has no
+    manifest yet and is skipped)."""
+    state = load_stream(stream_dir)
+    out = []
+    for g in state["generations"]:
+        d = os.path.join(stream_dir, g)
+        if manifest_exists(d):
+            out.append(d)
+    return out
+
+
+def append(
+    spark,
+    df,
+    schema,
+    stream_dir: str,
+    num_partitions: int = 8,
+    order_col: str | None = None,
+    id_cols: list[str] | None = None,
+    build_id: str = "stream-append",
+) -> Manifest:
+    """Index ``df`` into the current write generation (incremental:
+    each append commits new segments, ``build_index(mode='append')``).
+    The generation's own write lock serializes concurrent appends."""
+    target = write_index(stream_dir)
+    return build_index(
+        spark, df, schema, target,
+        num_partitions=num_partitions, order_col=order_col,
+        id_cols=id_cols, build_id=build_id, mode="append",
+    )
+
+
+def rollover(
+    stream_dir: str,
+    max_docs: int | None = None,
+    max_segments: int | None = None,
+    force: bool = False,
+) -> dict:
+    """Cut a new write generation when the CURRENT one trips any
+    condition (the ES ``_rollover`` contract: conditions are OR-ed;
+    ``force`` rolls unconditionally, the condition-less POST). Returns
+    ``{"rolled": bool, "conditions": {name: bool}, "write_index": path}``
+    — callers inspect which condition fired, like the ES response body.
+
+    A write index with no committed manifest yet (brand-new stream or
+    double rollover) never rolls: rolling an empty index would mint
+    empty generations forever. Docs are counted LIVE (total minus
+    tombstones would require the delete file; we use the manifest's
+    committed doc total — the ES max_docs semantics, which also counts
+    all docs including soft-deleted)."""
+    with write_lock(stream_dir, owner="stream-rollover"):
+        state = load_stream(stream_dir)
+        cur = os.path.join(stream_dir, state["generations"][-1])
+        conditions: dict[str, bool] = {}
+        if not manifest_exists(cur):
+            return {"rolled": False, "conditions": {}, "write_index": cur}
+        m = load_manifest(cur)
+        n_docs = int(m.stats.get("total_docs", m.total_docs))
+        n_segs = len(m.segments)
+        if max_docs is not None:
+            conditions["max_docs"] = n_docs >= max_docs
+        if max_segments is not None:
+            conditions["max_segments"] = n_segs >= max_segments
+        if force:
+            conditions["force"] = True
+        rolled = any(conditions.values())
+        if rolled:
+            nxt = _gen_name(len(state["generations"]) + 1)
+            state["generations"] = list(state["generations"]) + [nxt]
+            _save_stream(stream_dir, state)
+        return {
+            "rolled": rolled,
+            "conditions": conditions,
+            "write_index": os.path.join(stream_dir, state["generations"][-1]),
+        }
+
+
+def search_stream(
+    spark,
+    stream_dir: str,
+    query,
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = "tfidf",
+    with_count: bool = False,
+    default_fields: list[str] | None = None,
+):
+    """Search every committed generation as one alias — per-generation
+    top-k under GLOBAL (summed) statistics, one merge; scores are
+    bit-identical to the same corpus in a single index. Returns
+    (results_df, count) like ``search_multi``; ``index_ord`` is the
+    generation's position among the searchable set (oldest = 0). Map to
+    documents with :func:`attach_stream_docmap`."""
+    from .query.multi import search_multi
+
+    dirs = stream_indexes(stream_dir)
+    if not dirs:
+        raise StreamError(
+            f"stream {stream_dir!r} has no committed generation to search"
+        )
+    return search_multi(
+        spark, dirs, query, limit=limit, offset=offset, scorer=scorer,
+        with_count=with_count, default_fields=default_fields,
+    )
+
+
+def attach_stream_docmap(spark, stream_dir: str, results_df):
+    from .query.multi import attach_docmap_multi
+
+    return attach_docmap_multi(spark, stream_indexes(stream_dir), results_df)
+
+
+def stream_stats(stream_dir: str) -> dict:
+    """Per-generation doc/segment counts plus which one is the write
+    index — the `GET _data_stream` shape."""
+    state = load_stream(stream_dir)
+    gens = []
+    for g in state["generations"]:
+        d = os.path.join(stream_dir, g)
+        if manifest_exists(d):
+            m = load_manifest(d)
+            gens.append({
+                "generation": g,
+                "docs": int(m.stats.get("total_docs", m.total_docs)),
+                "segments": len(m.segments),
+            })
+        else:
+            gens.append({"generation": g, "docs": 0, "segments": 0})
+    return {
+        "name": state["name"],
+        "write_index": state["generations"][-1],
+        "generations": gens,
+    }

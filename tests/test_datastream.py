@@ -1,0 +1,180 @@
+"""Data streams — ES data-stream / rollover analog: numbered generation
+indexes behind one stream, appends to the write index, condition-based
+rollover, alias-global search. The load-bearing claim: a corpus split
+across generations scores BIT-IDENTICALLY to the same corpus in one
+index (summed doc_freq / N / avgdl), pinned against a combined index."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from ostrich_spark.build import build_index
+from ostrich_spark.datastream import (
+    StreamError,
+    append,
+    attach_stream_docmap,
+    create_stream,
+    rollover,
+    search_stream,
+    stream_indexes,
+    stream_stats,
+    write_index,
+)
+from ostrich_spark.query.exec import attach_docmap, search
+from ostrich_spark.schema import Schema
+
+DOCS = [
+    {"doc_id": i, "text": t}
+    for i, t in enumerate([
+        "spark shuffle merge",
+        "spark stream join",
+        "merge policy segment",
+        "stream spark spark",
+        "join filter scan",
+        "spark merge merge stream",
+    ])
+]
+
+
+def _schema():
+    s = Schema()
+    s.add_text_field("text", "default")
+    return s
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _scores(spark, df_rows):
+    return {r["doc_id"]: round(r["score"], 9) for r in df_rows}
+
+
+@pytest.fixture()
+def stream(spark, tmp_path):
+    sd = str(tmp_path / "stream")
+    create_stream(sd, name="docs")
+    append(spark, _df(spark, DOCS[:3]), _schema(), sd,
+           num_partitions=2, order_col="doc_id", id_cols=["doc_id"])
+    r = rollover(sd, force=True)
+    assert r["rolled"] and r["conditions"] == {"force": True}
+    append(spark, _df(spark, DOCS[3:]), _schema(), sd,
+           num_partitions=2, order_col="doc_id", id_cols=["doc_id"])
+    return sd
+
+
+def test_stream_search_identical_to_single_index(spark, stream, tmp_path):
+    """Two generations score bit-identically to one combined index —
+    the alias-global statistics contract, both scorers."""
+    single = str(tmp_path / "single")
+    build_index(spark, _df(spark, DOCS), _schema(), single,
+                num_partitions=2, order_col="doc_id", id_cols=["doc_id"])
+    for scorer in ("tfidf", "bm25"):
+        res, cnt = search_stream(
+            spark, stream, "text:spark", limit=None, with_count=True,
+            scorer=scorer,
+        )
+        got = _scores(
+            spark,
+            attach_stream_docmap(spark, stream, res)
+            .select("doc_id", "score").collect(),
+        )
+        sres, _ = search(spark, single, "text:spark", limit=None, scorer=scorer)
+        want = _scores(
+            spark,
+            attach_docmap(spark, single, sres)
+            .select("doc_id", "score").collect(),
+        )
+        assert got == want and len(got) == 4
+        assert cnt == 4
+
+
+def test_rollover_conditions(spark, tmp_path):
+    sd = str(tmp_path / "s2")
+    create_stream(sd)
+    # empty write index never rolls — even forced
+    r = rollover(sd, force=True)
+    assert not r["rolled"] and r["conditions"] == {}
+    append(spark, _df(spark, DOCS[:3]), _schema(), sd,
+           num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+    # under threshold: no roll
+    r = rollover(sd, max_docs=10)
+    assert not r["rolled"] and r["conditions"] == {"max_docs": False}
+    # at/over threshold: rolls, reports which condition fired
+    r = rollover(sd, max_docs=3, max_segments=99)
+    assert r["rolled"]
+    assert r["conditions"] == {"max_docs": True, "max_segments": False}
+    assert r["write_index"].endswith("gen-000002")
+    assert write_index(sd).endswith("gen-000002")
+    # fresh write index is unsearchable until its first append
+    assert [os.path.basename(d) for d in stream_indexes(sd)] == ["gen-000001"]
+    res, _ = search_stream(spark, sd, "text:spark", limit=None)
+    assert res.count() == 2  # docs 0,1 in gen-1 only
+    # next append lands in gen-2
+    append(spark, _df(spark, DOCS[3:]), _schema(), sd,
+           num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+    st = stream_stats(sd)
+    assert st["write_index"] == "gen-000002"
+    assert [g["docs"] for g in st["generations"]] == [3, 3]
+
+
+def test_stream_errors(spark, tmp_path):
+    sd = str(tmp_path / "s3")
+    with pytest.raises(StreamError, match="create_stream"):
+        write_index(sd)
+    create_stream(sd)
+    with pytest.raises(StreamError, match="already exists"):
+        create_stream(sd)
+    with pytest.raises(StreamError, match="no committed generation"):
+        search_stream(spark, sd, "text:spark")
+
+
+def test_stream_deletes_visible(spark, stream):
+    """Tombstones inside one generation are excluded from stream-wide
+    search (each generation's search path is manifest-pinned)."""
+    from ostrich_spark.deletes import delete_docs
+
+    gens = stream_indexes(stream)
+    delete_docs(
+        spark, gens[0],
+        spark.createDataFrame([(1,)], "doc_id long"), ["doc_id"],
+    )
+    res, _ = search_stream(spark, stream, "text:spark", limit=None)
+    got = attach_stream_docmap(spark, stream, res).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == [0, 3, 5]
+
+
+def test_cli_stream(spark, stream, tmp_path):
+    import subprocess
+    import sys
+
+    def run(*a):
+        return subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "stream", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    sd = str(tmp_path / "clistream")
+    out = run("create", "-p", sd, "--name", "clidocs")
+    assert out.returncode == 0 and "created stream 'clidocs'" in out.stdout
+    out = run("create", "-p", sd)
+    assert out.returncode == 2 and "already exists" in out.stderr
+    # status + rollover + search against the populated fixture stream
+    out = run("status", "-p", stream)
+    assert out.returncode == 0
+    import json
+
+    st = json.loads(out.stdout)
+    assert st["write_index"] == "gen-000002"
+    assert [g["docs"] for g in st["generations"]] == [3, 3]
+    out = run("rollover", "-p", stream, "--max-docs", "999")
+    assert out.returncode == 0 and "rolled: False" in out.stdout
+    out = run("rollover", "-p", stream, "--force")
+    assert out.returncode == 0
+    assert "rolled: True (force)" in out.stdout
+    assert "gen-000003" in out.stdout
+    out = run("search", "-p", stream, "-q", "text:spark", "--limit", "2")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("gen=")]
+    assert len(lines) == 2 and all("doc_id=" in l and "score=" in l for l in lines)
