@@ -566,6 +566,13 @@ def cmd_stream(args) -> int:
         if args.action == "status":
             print(_json.dumps(stream_stats(args.path), indent=1))
             return 0
+        if args.action == "prune":
+            from .datastream import prune_generations
+
+            dropped = prune_generations(args.path, keep_last=args.keep)
+            print(f"pruned {len(dropped)} generation(s)"
+                  + (f": {', '.join(dropped)}" if dropped else ""))
+            return 0
         if args.action == "rollover":
             r = rollover(
                 args.path, max_docs=args.max_docs,
@@ -1699,7 +1706,10 @@ def main(argv=None) -> int:
     sg.set_defaults(fn=cmd_suggest)
 
     dm = sub.add_parser("stream")
-    dm.add_argument("action", choices=["create", "status", "rollover", "search"])
+    dm.add_argument("action",
+                    choices=["create", "status", "rollover", "search", "prune"])
+    dm.add_argument("--keep", type=int, default=1,
+                    help="prune: keep this many newest generations")
     dm.add_argument("-p", "--path", required=True)
     dm.add_argument("--name", default=None)
     dm.add_argument("--max-docs", type=int, default=None)

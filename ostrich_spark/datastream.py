@@ -60,9 +60,14 @@ def _save_stream(stream_dir: str, state: dict) -> None:
     atomic_write_json(_stream_path(stream_dir), state)
 
 
-def create_stream(stream_dir: str, name: str | None = None) -> dict:
+def create_stream(stream_dir: str, name: str | None = None, schema=None) -> dict:
     """Create an empty stream with one (empty) write generation. Refuses
-    to overwrite an existing stream."""
+    to overwrite an existing stream. ``schema`` is the optional index
+    TEMPLATE (the ES data-stream-requires-a-template rule relaxed to
+    opt-in): persisted in stream.json, it makes every ``append`` use —
+    and ENFORCE — one schema for all generations, so generation N can
+    never drift from generation 1 and silently break the alias-global
+    scoring contract."""
     os.makedirs(stream_dir, exist_ok=True)
     with write_lock(stream_dir, owner="stream-create"):
         if os.path.exists(_stream_path(stream_dir)):
@@ -71,8 +76,19 @@ def create_stream(stream_dir: str, name: str | None = None) -> dict:
             "name": name or os.path.basename(os.path.normpath(stream_dir)),
             "generations": [_gen_name(1)],
         }
+        if schema is not None:
+            state["template"] = schema.to_json()
         _save_stream(stream_dir, state)
     return state
+
+
+def stream_template(stream_dir: str):
+    """The stream's template Schema, or None if created without one."""
+    from .schema import Schema
+
+    state = load_stream(stream_dir)
+    t = state.get("template")
+    return Schema.from_json(t) if t is not None else None
 
 
 def write_index(stream_dir: str) -> str:
@@ -97,17 +113,48 @@ def stream_indexes(stream_dir: str) -> list[str]:
 def append(
     spark,
     df,
-    schema,
-    stream_dir: str,
+    schema=None,
+    stream_dir: str = None,
     num_partitions: int = 8,
     order_col: str | None = None,
     id_cols: list[str] | None = None,
-    build_id: str = "stream-append",
+    build_id: str | None = None,
 ) -> Manifest:
     """Index ``df`` into the current write generation (incremental:
     each append commits new segments, ``build_index(mode='append')``).
-    The generation's own write lock serializes concurrent appends."""
+    The generation's own write lock serializes concurrent appends.
+
+    With a templated stream, ``schema`` may be omitted (the template is
+    used) — and when given, it must serialize identically to the
+    template: a drifted schema would score differently per generation
+    and silently corrupt the alias-global stats, so it is rejected
+    loudly instead."""
+    tpl = stream_template(stream_dir)
+    if schema is None:
+        if tpl is None:
+            raise StreamError(
+                "append needs a schema — this stream was created without "
+                "a template (pass schema=, or recreate with create_stream"
+                "(..., schema=...))"
+            )
+        schema = tpl
+    elif tpl is not None and schema.to_json() != tpl.to_json():
+        raise StreamError(
+            "append schema differs from the stream template — generations "
+            "must share one schema (the alias-global scoring contract)"
+        )
     target = write_index(stream_dir)
+    if build_id is None:
+        # a committed build_id may not be reused (build_index's
+        # resumability guard) — key the default off the generation's
+        # committed state so each append gets a fresh id, while a
+        # CRASHED append (nothing committed) naturally retries under
+        # the same id and resumes its fragments
+        if manifest_exists(target):
+            m = load_manifest(target)
+            build_id = f"stream-append-{m.opstamp}-{len(m.segments)}"
+        else:
+            build_id = "stream-append-0-0"
     return build_index(
         spark, df, schema, target,
         num_partitions=num_partitions, order_col=order_col,
@@ -193,6 +240,33 @@ def attach_stream_docmap(spark, stream_dir: str, results_df):
     from .query.multi import attach_docmap_multi
 
     return attach_docmap_multi(spark, stream_indexes(stream_dir), results_df)
+
+
+def prune_generations(stream_dir: str, keep_last: int) -> list[str]:
+    """Drop the OLDEST generations beyond the newest ``keep_last`` — the
+    ES ILM delete-phase analog (retention by generation count; callers
+    wanting time-based retention roll on a schedule so generation age ≡
+    generation index). The write index is never pruned (``keep_last``
+    is clamped to >= 1). Order is crash-safe: stream.json stops listing
+    a generation BEFORE its directory is removed, so a reader racing the
+    prune either sees the full old list (dirs still present) or the new
+    list (dropped dirs unreferenced) — never a listed-but-deleted
+    generation. Returns the pruned generation names."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    with write_lock(stream_dir, owner="stream-prune"):
+        state = load_stream(stream_dir)
+        gens = state["generations"]
+        if len(gens) <= keep_last:
+            return []
+        dropped = gens[:-keep_last]
+        state["generations"] = gens[-keep_last:]
+        _save_stream(stream_dir, state)
+    for g in dropped:
+        shutil.rmtree(os.path.join(stream_dir, g), ignore_errors=True)
+    return dropped
 
 
 def stream_stats(stream_dir: str) -> dict:

@@ -178,3 +178,57 @@ def test_cli_stream(spark, stream, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [l for l in out.stdout.splitlines() if l.startswith("gen=")]
     assert len(lines) == 2 and all("doc_id=" in l and "score=" in l for l in lines)
+
+
+def test_stream_template_enforced(spark, tmp_path):
+    """A templated stream appends WITHOUT a schema arg and rejects a
+    drifted one; an untemplated stream demands the schema."""
+    from ostrich_spark.datastream import stream_template
+
+    sd = str(tmp_path / "tpl")
+    create_stream(sd, schema=_schema())
+    assert stream_template(sd).to_json() == _schema().to_json()
+    append(spark, _df(spark, DOCS[:2]), None, sd,
+           num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+    # identical schema allowed explicitly
+    append(spark, _df(spark, DOCS[2:4]), _schema(), sd,
+           num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+    drifted = Schema()
+    drifted.add_text_field("text", "en_stem")
+    with pytest.raises(StreamError, match="differs from the stream template"):
+        append(spark, _df(spark, DOCS[4:]), drifted, sd,
+               num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+    res, _ = search_stream(spark, sd, "text:spark", limit=None)
+    assert res.count() == 3  # docs 0, 1, 3 — both same-generation appends live
+    # untemplated stream: schema required
+    sd2 = str(tmp_path / "notpl")
+    create_stream(sd2)
+    assert stream_template(sd2) is None
+    with pytest.raises(StreamError, match="needs a schema"):
+        append(spark, _df(spark, DOCS[:2]), None, sd2,
+               num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+
+
+def test_prune_generations(spark, stream, tmp_path):
+    """Retention: oldest generations drop, write index survives,
+    stream.json stops listing a generation before its dir is removed."""
+    from ostrich_spark.datastream import prune_generations
+
+    rollover(stream, force=True)
+    append(spark, _df(spark, [{"doc_id": 9, "text": "spark late"}]),
+           _schema(), stream, num_partitions=1, order_col="doc_id",
+           id_cols=["doc_id"])
+    # 3 generations now; keep 2 -> gen-000001 (docs 0-2) drops
+    dropped = prune_generations(stream, keep_last=2)
+    assert dropped == ["gen-000001"]
+    assert not os.path.exists(os.path.join(stream, "gen-000001"))
+    assert [os.path.basename(d) for d in stream_indexes(stream)] == [
+        "gen-000002", "gen-000003"
+    ]
+    res, _ = search_stream(spark, stream, "text:spark", limit=None)
+    got = attach_stream_docmap(spark, stream, res).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == [3, 5, 9]
+    # nothing else to prune at keep=2; keep clamps/validates
+    assert prune_generations(stream, keep_last=2) == []
+    with pytest.raises(ValueError, match=">= 1"):
+        prune_generations(stream, keep_last=0)
