@@ -741,6 +741,7 @@ def parse_match_bool_prefix(
     field: str,
     operator: str = "or",
     max_expansions: int | None = None,
+    min_should=1,
 ):
     """ES ``match_bool_prefix``: analyze the query text with the field's
     query analyzer; every token becomes a TermQuery clause except the
@@ -752,9 +753,12 @@ def parse_match_bool_prefix(
     per-query expansion read (the standard ES trade between the two).
 
     ``operator="and"`` requires every clause (ES operator parameter);
-    ``max_expansions`` caps the prefix expansion like any multi-term
-    query (None -> the documented default cap). A single-token text is
-    the bare PrefixQuery; empty analysis is EmptyQuery."""
+    ``min_should`` (operator="or" only, the ES minimum_should_match
+    pairing rule) takes the ES spec forms — an int, "75%", negative
+    counts — resolved by BooleanQuery at construction; ``max_expansions``
+    caps the prefix expansion like any multi-term query (None -> the
+    documented default cap). A single-token text is the bare
+    PrefixQuery; empty analysis is EmptyQuery."""
     if operator not in ("or", "and"):
         raise QueryParseError("operator must be 'or' or 'and'")
     fe = schema.field_by_name(field)
@@ -770,7 +774,8 @@ def parse_match_bool_prefix(
         return last
     occ = MUST if operator == "and" else SHOULD
     return BooleanQuery(
-        [(occ, TermQuery(fe.id, t)) for t in toks[:-1]] + [(occ, last)]
+        [(occ, TermQuery(fe.id, t)) for t in toks[:-1]] + [(occ, last)],
+        min_should=min_should if operator == "or" else 1,
     )
 
 

@@ -148,3 +148,62 @@ def test_default_operator_and_end_to_end(spark, ms_index):
     res, _ = search(spark, ms_index, "text:spark text:join", limit=None)
     rows = attach_docmap(spark, ms_index, res).collect()
     assert {r["doc_key"] for r in rows} == {0, 1, 2, 3}
+
+
+def test_match_bool_prefix_end_to_end(spark, ms_index):
+    """ES match_bool_prefix: tokens become SHOULD terms, the LAST token
+    a prefix — unordered autocomplete. 'window sp' matches docs with
+    'window' OR an sp*-term anywhere (no positions, no order)."""
+    from ostrich_spark.query.parser import (
+        BooleanQuery,
+        PrefixQuery,
+        parse_match_bool_prefix,
+    )
+    from ostrich_spark.schema import Schema
+
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    q = parse_match_bool_prefix("window sp", schema, "text")
+    # construction golden: SHOULD term 'window' + SHOULD prefix 'sp'
+    assert isinstance(q, BooleanQuery)
+    assert [(o, type(c).__name__) for o, c in q.subqueries] == [
+        ("should", "TermQuery"), ("should", "PrefixQuery")
+    ]
+    got = _hits(spark, ms_index, q)
+    # window: docs 0,3,4; sp* (spark): 0,1,2 -> union, ORDER-FREE
+    assert set(got) == {0, 1, 2, 3, 4}
+    # score identity with the manual composition
+    manual = _hits(spark, ms_index, BooleanQuery(
+        [("should", TermQuery(0, "window")), ("should", PrefixQuery(0, "sp"))]
+    ))
+    assert got == manual
+    # operator=and: every clause required
+    got = _hits(
+        spark, ms_index,
+        parse_match_bool_prefix("window sp", schema, "text", operator="and"),
+    )
+    assert set(got) == {0}
+    # single token input = bare prefix
+    q1 = parse_match_bool_prefix("sp", schema, "text")
+    assert isinstance(q1, PrefixQuery)
+    # min_should spec form
+    got = _hits(
+        spark, ms_index,
+        parse_match_bool_prefix("window join sp", schema, "text", min_should=2),
+    )
+    # need >= 2 of {window, join, sp*}: docs 0(3),1(2),3(2)
+    assert set(got) == {0, 1, 3}
+
+
+def test_match_bool_prefix_validation(spark):
+    from ostrich_spark.query.parser import EmptyQuery, parse_match_bool_prefix
+    from ostrich_spark.schema import Schema
+
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    schema.add_numeric_field("year")
+    with pytest.raises(QueryParseError, match="text field"):
+        parse_match_bool_prefix("a b", schema, "year")
+    assert isinstance(parse_match_bool_prefix("   ", schema, "text"), EmptyQuery)
+    with pytest.raises(QueryParseError, match="operator"):
+        parse_match_bool_prefix("a b", schema, "text", operator="xor")
