@@ -3162,6 +3162,18 @@ def _q_filtered_ann(spark, sf_dir):
     ))
 
 
+def _q_eng_sq_topk(spark, sf_dir):
+    """int8 scalar quantization (ES dense_vector int8 analog): corpus
+    AND query quantized under one global (lo, hi) fit, top-10 by cosine
+    over the dequantized codes — 1-byte storage per component; the
+    oracle recomputes the identical clamp-round-dequantize arithmetic."""
+    from ostrich_spark.similarity import sq_quantize, sq_topk
+
+    codes, lo, hi = sq_quantize(_emb(spark, sf_dir))
+    qv = _query_vec(spark, sf_dir)
+    return _longify(sq_topk(codes, qv, lo, hi, k=10))
+
+
 def _q_ann_topk(spark, sf_dir):
     from ostrich_spark.similarity import brute_force_topk
 
@@ -3583,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "eng_hybrid_rrf": _q_eng_hybrid_rrf,
         "eng_filtered_ann": _q_filtered_ann,
+        "eng_sq_topk": _q_eng_sq_topk,
         "ann_ivf_assign": _q_ivf_assign,
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_persisted_topk": _q_ivf_persisted_topk,
@@ -5162,6 +5175,25 @@ def oracle_sql() -> dict[str, str]:
             " (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
             "  sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
             "FROM embeddings WHERE vec_id IN (SELECT doc_id FROM allowed)) "
+            "SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
+        ),
+        # int8 scalar quantization: dequantized cosine, query = corpus
+        # row 0 under the SAME clamp-round-dequantize formula
+        "eng_sq_topk": (
+            "WITH p AS (SELECT lo, hi, (hi - lo)/255.0 AS step FROM "
+            "(SELECT min(x) AS lo, max(x) AS hi FROM "
+            "(SELECT unnest(embedding) AS x FROM embeddings))), "
+            "dq AS (SELECT vec_id, list_transform(embedding, v -> "
+            "p.lo + least(255.0, greatest(0.0, "
+            "round((CAST(v AS DOUBLE) - p.lo)/p.step))) * p.step) AS e "
+            "FROM embeddings, p), "
+            "q AS (SELECT e AS qe FROM dq WHERE vec_id = 0), "
+            "s AS (SELECT vec_id, round("
+            "list_sum(list_transform(list_zip(e, (SELECT qe FROM q)), "
+            "pr -> pr[1] * pr[2])) / "
+            "(sqrt(list_sum(list_transform(e, x -> x * x))) * "
+            "sqrt(list_sum(list_transform((SELECT qe FROM q), x -> x * x)))), "
+            "6) AS sim FROM dq) "
             "SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
         ),
         "ann_cosine_topk": (

@@ -586,3 +586,132 @@ def filtered_ann(
     )
     eligible = emb_df.join(allowed, vec_id_col, "leftsemi")
     return brute_force_topk(eligible, list(query_vec), k=k)
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization: int8 vector codes + rescored search
+# (the Elasticsearch dense_vector int8 / Lucene ScalarQuantizer analog)
+# ---------------------------------------------------------------------------
+
+
+def sq_fit(emb_df, vec_col: str = "embedding") -> tuple[float, float]:
+    """Fit the quantizer: ONE global (lo, hi) over every component of
+    every vector — the Lucene scalar-quantization parameter pair at
+    confidence_interval=1.0 (true min/max; Lucene's default trims
+    tails, a recall/precision trade we skip for determinism). One
+    map-side min/max aggregation, two doubles to the driver."""
+    row = emb_df.select(
+        F.min(F.array_min(vec_col)).alias("lo"),
+        F.max(F.array_max(vec_col)).alias("hi"),
+    ).collect()[0]
+    lo, hi = float(row["lo"]), float(row["hi"])
+    if not hi > lo:
+        raise ValueError(
+            f"degenerate embedding range [{lo}, {hi}] — all components "
+            "equal; scalar quantization needs spread"
+        )
+    return lo, hi
+
+
+def _sq_step(lo: float, hi: float) -> float:
+    return (hi - lo) / 255.0
+
+
+def sq_code_col(vec, lo: float, hi: float):
+    """Catalyst column: int8 code per component —
+    clamp(round((v - lo)/step), 0, 255) - 128, step = (hi - lo)/255.
+    Whole-stage codegen; codes store as array<tinyint>: 1 byte per
+    component vs 8 for the raw double arrays — the 8x storage/IO cut
+    that makes a 100 TB embedding sweep scan-bound instead of
+    IO-starved."""
+    step = _sq_step(lo, hi)
+    return F.transform(
+        vec,
+        lambda v: (
+            F.least(
+                F.lit(255.0),
+                F.greatest(F.lit(0.0), F.round((v - F.lit(lo)) / F.lit(step))),
+            ) - F.lit(128.0)
+        ).cast("tinyint"),
+    )
+
+
+def sq_decode_col(codes, lo: float, hi: float):
+    """Dequantize: v' = lo + (code + 128) * step — each component within
+    step/2 of the original (in-range inputs)."""
+    step = _sq_step(lo, hi)
+    return F.transform(
+        codes,
+        lambda c: F.lit(lo) + (c.cast("double") + F.lit(128.0)) * F.lit(step),
+    )
+
+
+def sq_quantize(emb_df, vec_col: str = "embedding",
+                lo: float | None = None, hi: float | None = None):
+    """Quantize a vector table: -> (codes_df, lo, hi) where codes_df
+    carries every NON-vector column plus ``codes array<tinyint>``.
+    (lo, hi) default to :func:`sq_fit` over this table; pass them
+    explicitly to quantize increments under the ORIGINAL fit (drifted
+    new data clamps into range — re-fit when the corpus distribution
+    moves, the same re-train trade as IVF centroids)."""
+    if lo is None or hi is None:
+        lo, hi = sq_fit(emb_df, vec_col)
+    out = emb_df.withColumn("codes", sq_code_col(F.col(vec_col), lo, hi)) \
+                .drop(vec_col)
+    return out, lo, hi
+
+
+def sq_topk(codes_df, query_vec, lo: float, hi: float, k: int | None = 10,
+            id_col: str = "vec_id"):
+    """Top-k by cosine over DEQUANTIZED codes — the query vector is
+    quantized with the SAME (lo, hi) first (the ES rule: query and
+    corpus must share the quantizer or similarities are biased). All
+    arithmetic is Catalyst columns (whole-stage codegen over the int8
+    scan); ``k=None`` returns every similarity uncut, like
+    brute_force_topk."""
+    import numpy as np
+
+    step = _sq_step(lo, hi)
+    qcodes = np.clip(
+        np.round((np.asarray(query_vec, dtype=np.float64) - lo) / step),
+        0, 255,
+    ) - 128.0
+    qdec = [float(lo + (c + 128.0) * step) for c in qcodes]
+    q = F.array(*[F.lit(x) for x in qdec])
+    d = codes_df.withColumn(
+        "sim",
+        F.round(cosine_col(sq_decode_col(F.col("codes"), lo, hi), q), 6),
+    ).select(id_col, "sim")
+    if k is None:
+        return d
+    return d.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def sq_search(codes_df, emb_df, query_vec, lo: float, hi: float,
+              k: int = 10, rescore_factor: float = 4.0,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Quantized candidate scan + float rescore — the ES
+    ``rescore_vector`` design (8.x quantized indexes rescore by
+    default): the int8 scan nominates ``ceil(k * rescore_factor)``
+    candidates (cheap: 1/8th the bytes), then ONLY those join back to
+    the float table for exact cosine, and the true top-k of the
+    rescored set returns with EXACT scores. Recall loss is confined to
+    candidates the quantized ranking pushed below the rescore window;
+    rescore_factor widens that window (the ES oversample knob)."""
+    if k is None or k < 1:
+        raise ValueError(f"sq_search needs k >= 1, got {k}")
+    if rescore_factor < 1.0:
+        raise ValueError(
+            f"rescore_factor must be >= 1.0, got {rescore_factor}"
+        )
+    import math
+
+    window = int(math.ceil(k * rescore_factor))
+    cand = sq_topk(codes_df, query_vec, lo, hi, k=window, id_col=id_col) \
+        .select(id_col)
+    eligible = emb_df.join(F.broadcast(cand), id_col, "leftsemi")
+    return brute_force_topk(
+        eligible.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("embedding")),
+        list(query_vec), k=k,
+    )
