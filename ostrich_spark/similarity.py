@@ -181,6 +181,7 @@ def ivf_build(
     train_iters: int = 5,
     sample_size: int = 100_000,
     extra_cols: list[str] | None = None,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF index once: ``<index_path>/centroids.parquet``
     + ``<index_path>/vectors/cluster_id=<c>/*.parquet``.
@@ -188,7 +189,15 @@ def ivf_build(
     ``train_iters=0`` uses the first-C-vectors centroid set (the
     oracle-reproducible configuration); otherwise sampled k-means.
     The vectors table carries the embedding itself, so a query touches
-    ONLY the index — and only nprobe of its C partitions."""
+    ONLY the index — and only nprobe of its C partitions.
+
+    ``quantize=True`` additionally stores int8 codes (``codes
+    array<tinyint>``, global (lo, hi) fit persisted in ``quant.json``)
+    BESIDE the float embeddings — the ES int8_hnsw economics on Spark
+    terms: ivf_search's quantized candidate scan projects ONLY
+    (vec_id, codes), so parquet COLUMN PRUNING delivers the 8x byte
+    cut inside the same partition-pruned files, and the float column
+    is read only for the small rescore window."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -221,9 +230,16 @@ def ivf_build(
         assign = _assign_to_fast(
             emb_df, np.asarray(cvecs, dtype=np.float64)
         ).select("vec_id", "cluster_id")
+    out = emb_df.select(*cols).join(assign, "vec_id")
+    if quantize:
+        import json
+
+        lo, hi = sq_fit(emb_df)
+        with open(os.path.join(index_path, "quant.json"), "w") as f:
+            json.dump({"lo": lo, "hi": hi}, f)
+        out = out.withColumn("codes", sq_code_col(F.col("embedding"), lo, hi))
     (
-        emb_df.select(*cols)
-        .join(assign, "vec_id")
+        out
         # range-partition on (cluster_id, vec_id): rows for one cluster
         # still land in its partition dir, but a HOT cluster spreads over
         # several writer tasks/files instead of funneling through one
@@ -236,15 +252,48 @@ def ivf_build(
     )
 
 
+def _ivf_quant_params(index_path: str):
+    import json
+
+    p = os.path.join(index_path, "quant.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    return float(d["lo"]), float(d["hi"])
+
+
+def _ivf_sq_candidates(spark, index_path: str, query_vec, targets, window: int,
+                       lo: float, hi: float):
+    """Quantized candidate scan over the probed partitions: projects
+    ONLY (vec_id, codes) — parquet column pruning skips the float
+    embedding bytes entirely (asserted in tests via ReadSchema)."""
+    vecs = (
+        spark.read.parquet(os.path.join(index_path, "vectors"))
+        .filter(F.col("cluster_id").isin(targets))
+        .select("vec_id", "codes")
+    )
+    return sq_topk(vecs, query_vec, lo, hi, k=window)
+
+
 def ivf_search(
-    spark, index_path: str, query_vec: list[float], k: int = 10, nprobe: int = 1
+    spark, index_path: str, query_vec: list[float], k: int = 10, nprobe: int = 1,
+    rescore_factor: float | None = None,
 ):
     """Partition-pruned ANN: pick the nprobe nearest centroids (tiny
     driver-side read), then scan only those cluster partitions.
 
     The filter on the PARTITION column reaches the parquet source as a
     PartitionFilter — Spark lists only nprobe/C of the index directories,
-    so query cost scales with cluster size, not corpus size."""
+    so query cost scales with cluster size, not corpus size.
+
+    On a ``quantize=True`` index, ``rescore_factor`` switches to the
+    two-phase ES-int8 path: the candidate scan reads ONLY (vec_id,
+    codes) from the probed partitions (column pruning — 1/8th the
+    bytes), nominates ceil(k·rescore_factor) by dequantized cosine,
+    and the float column is read back for just that window — returned
+    scores are EXACT floats. None keeps the float scan (also the only
+    option on an unquantized index — asking for rescore there errors)."""
     cent = spark.read.parquet(os.path.join(index_path, "centroids.parquet"))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probed = (
@@ -257,6 +306,27 @@ def ivf_search(
     vecs = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
         F.col("cluster_id").isin(targets)
     )
+    if rescore_factor is not None:
+        params = _ivf_quant_params(index_path)
+        if params is None:
+            raise ValueError(
+                f"rescore_factor needs a quantized index — rebuild "
+                f"{index_path!r} with ivf_build(..., quantize=True)"
+            )
+        if rescore_factor < 1.0:
+            raise ValueError(
+                f"rescore_factor must be >= 1.0, got {rescore_factor}"
+            )
+        import math
+
+        lo, hi = params
+        window = int(math.ceil(k * rescore_factor))
+        cand = _ivf_sq_candidates(
+            spark, index_path, query_vec, targets, window, lo, hi
+        ).select("vec_id")
+        vecs = vecs.select("vec_id", "embedding").join(
+            F.broadcast(cand), "vec_id", "leftsemi"
+        )
     return (
         vecs.withColumn("sim", F.round(cosine_col(F.col("embedding"), q), 6))
         .select("vec_id", "sim")

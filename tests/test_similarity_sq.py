@@ -133,3 +133,59 @@ def test_sq_validation(spark):
         sq_search(codes, ok, [0.0, 1.0], lo, hi, k=0)
     with pytest.raises(ValueError, match="rescore_factor"):
         sq_search(codes, ok, [0.0, 1.0], lo, hi, k=1, rescore_factor=0.5)
+
+
+def test_ivf_quantized_build_and_rescored_search(spark, emb, tmp_path):
+    """quantize=True IVF: codes stored beside floats with the (lo, hi)
+    fit persisted; rescored search matches the float path's ids/scores
+    (recall >= 0.9, exact scores); the candidate scan projects ONLY
+    (vec_id, codes) — parquet column pruning proof via ReadSchema."""
+    import os
+
+    from ostrich_spark.similarity import (
+        _ivf_quant_params,
+        _ivf_sq_candidates,
+        ivf_build,
+        ivf_search,
+    )
+
+    df, v = emb
+    idx = str(tmp_path / "ivfq")
+    ivf_build(spark, df, idx, n_centroids=4, train_iters=2, quantize=True)
+    lo, hi = _ivf_quant_params(idx)
+    assert hi > lo
+    # codes landed in the files as tinyint
+    got = spark.read.parquet(os.path.join(idx, "vectors"))
+    assert dict(got.dtypes)["codes"] == "array<tinyint>"
+    hits = misses = 0
+    for qi in (0, 33, 150):
+        q = [float(x) for x in v[qi]]
+        exact = ivf_search(spark, idx, q, k=10, nprobe=4).collect()
+        resc = ivf_search(
+            spark, idx, q, k=10, nprobe=4, rescore_factor=4.0
+        ).collect()
+        e = {r["vec_id"]: r["sim"] for r in exact}
+        g = {r["vec_id"]: r["sim"] for r in resc}
+        hits += len(set(g) & set(e))
+        misses += len(set(e) - set(g))
+        for vid, s in g.items():  # rescored scores ARE the exact floats
+            if vid in e:
+                assert s == e[vid]
+    assert hits / (hits + misses) >= 0.9
+    # column-pruning proof: the quantized candidate scan never reads the
+    # float embedding column
+    plan = _ivf_sq_candidates(
+        spark, idx, [float(x) for x in v[0]], [0, 1, 2, 3], 40, lo, hi
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan and "embedding" not in plan
+
+
+def test_ivf_rescore_on_unquantized_index_errors(spark, emb, tmp_path):
+    from ostrich_spark.similarity import ivf_build, ivf_search
+
+    df, v = emb
+    idx = str(tmp_path / "ivfplain")
+    ivf_build(spark, df, idx, n_centroids=2, train_iters=0)
+    with pytest.raises(ValueError, match="quantize=True"):
+        ivf_search(spark, idx, [float(x) for x in v[0]], k=5,
+                   rescore_factor=2.0).collect()
