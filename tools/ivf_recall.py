@@ -157,9 +157,83 @@ def main():
             "across writer tasks; a hash repartition on cluster_id alone "
             "would put each cluster through exactly one task).\n"
         )
+    # --- quantized + rescored variant (ES int8 economics) -------------
+    from ostrich_spark.similarity import ivf_build, ivf_search
+
+    X = synthetic_embeddings(n, 32, 50)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": X.tolist()}
+    )
+    emb_df = spark.createDataFrame(pdf)
+    qpath = f"/tmp/ivf_recall_q_{n}"
+    ivf_build(spark, emb_df, qpath, n_centroids=64, train_iters=5,
+              sample_size=20_000, quantize=True)
+    qrng = np.random.default_rng(7)
+    qidx = qrng.choice(n, size=20, replace=False)
+    queries = X[qidx] + 0.05 * qrng.normal(size=(20, 32))
+    qrows = []
+    for nprobe, factor in ((4, 2.0), (4, 4.0), (8, 4.0)):
+        hits, t_sum = 0, 0.0
+        for q in queries:
+            want = set(true_topk(X, q, k))
+            t0 = time.time()
+            got = {
+                r["vec_id"]
+                for r in ivf_search(spark, qpath, q.tolist(), k=k,
+                                    nprobe=nprobe, rescore_factor=factor)
+                .collect()
+            }
+            t_sum += time.time() - t0
+            hits += len(want & got)
+        qrows.append({"nprobe": nprobe, "rescore_factor": factor,
+                      "recall_at_k": hits / (k * 20),
+                      "avg_query_sec": t_sum / 20})
+    # column-level byte evidence: codes vs embedding compressed sizes
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    code_b = emb_b = 0
+    for fp in _glob.glob(os.path.join(qpath, "vectors", "**", "*.parquet"),
+                         recursive=True):
+        md = pq.ParquetFile(fp).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                path0 = col.path_in_schema.split(".")[0]
+                if path0 == "codes":
+                    code_b += col.total_compressed_size
+                elif path0 == "embedding":
+                    emb_b += col.total_compressed_size
+    with open(out, "a") as f:
+        f.write(
+            "\n## Quantized index (ivf_build quantize=True) + rescored "
+            "search\n\nSame corpus/centroids; int8 codes stored beside the "
+            "floats; candidate\nscan projects ONLY (vec_id, codes) — column "
+            "pruning — then the float\ncolumn is read for the "
+            "ceil(k·factor) rescore window (exact scores).\n\n"
+            "| nprobe | rescore_factor | recall@10 | avg query sec |\n"
+            "|---|---|---|---|\n"
+        )
+        for r in qrows:
+            f.write(
+                f"| {r['nprobe']} | {r['rescore_factor']:.0f} | "
+                f"{r['recall_at_k']:.3f} | {r['avg_query_sec']:.3f} |\n"
+            )
+        f.write(
+            f"\nOn-disk column bytes (compressed, all cluster partitions): "
+            f"codes {code_b/1e6:.1f} MB vs float embeddings "
+            f"{emb_b/1e6:.1f} MB — the candidate scan reads "
+            f"{code_b/max(emb_b,1):.2f}x of the float bytes "
+            "(doubles compress poorly; raw ratio is 8x).\n"
+        )
     for r in rows:
         print(r)
+    for r in qrows:
+        print(r)
     print("build_sec", round(build_sec, 1), "files/cluster max", max(sizes))
+    print("codes_mb", round(code_b / 1e6, 1), "emb_mb", round(emb_b / 1e6, 1))
     print("wrote", out)
 
 
