@@ -291,6 +291,54 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     if stats["top_hits"]:
         tv = term_vectors(spark, idx, [stats["top_hits"][0][0]], "path", "text")
         stats["termvector_terms"] = tv.count()
+
+    # 17. accretion shape: a data stream ingests the corpus in two
+    # rollover generations (bounded per-index growth) yet searches as
+    # ONE alias with summed global stats; retention prunes the oldest
+    # generation once it ages out
+    from ostrich_spark.datastream import (
+        append as ds_append,
+        create_stream,
+        rollover,
+        search_stream,
+    )
+    from ostrich_spark.schema import Schema as _S
+
+    sd = os.path.join(work, "stream")
+    shutil.rmtree(sd, ignore_errors=True)
+    tpl = _S()
+    tpl.add_text_field("text", "default")
+    create_stream(sd, name="demo", schema=tpl)
+    half = sampled.withColumn("doc_id", F.col("doc_id").cast("long"))
+    ds_append(spark, half.filter("doc_id % 2 = 0"), None, sd,
+              num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+    rollover(sd, force=True)
+    ds_append(spark, half.filter("doc_id % 2 = 1"), None, sd,
+              num_partitions=1, order_col="doc_id", id_cols=["doc_id"])
+    sres, n_stream = search_stream(spark, sd, "text:def", limit=5,
+                                   with_count=True)
+    stats["stream_hits"] = (sres.count(), n_stream)
+
+    # 18. embedding economics: int8-quantized persisted ANN — candidate
+    # scan over 1-byte codes (column pruning), float rescore for exact
+    # top-k scores
+    import numpy as np
+
+    from ostrich_spark.similarity import ivf_build, ivf_search
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(64, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf_q = os.path.join(work, "ivf_q")
+    shutil.rmtree(ivf_q, ignore_errors=True)
+    ivf_build(spark, emb, ivf_q, n_centroids=4, train_iters=2, quantize=True)
+    hits = ivf_search(spark, ivf_q, [float(x) for x in vecs[0]], k=3,
+                      nprobe=2, rescore_factor=4.0).collect()
+    stats["ann_quantized_top"] = int(hits[0]["vec_id"])
     return stats
 
 

@@ -134,3 +134,5 @@ def test_pipeline_example_end_to_end(tmp_path):
     assert got["explained_score_matches"] == "True"
     assert got["upserted"] == "1"
     assert got["fsck_findings"] == "[]"     # incl. empty-purge-drop invariant
+    assert got["stream_hits"] == "(1, 1)"   # 2-generation stream, one alias
+    assert got["ann_quantized_top"] == "0"  # int8+rescore: self-sim wins
