@@ -542,6 +542,69 @@ def cmd_complete(args) -> int:
     return 0
 
 
+def cmd_knn(args) -> int:
+    """Vector search surface: build a persisted IVF index (optionally
+    int8-quantized) and query it partition-pruned (+ rescored), or
+    brute-force a parquet embedding table directly."""
+    from .similarity import brute_force_topk, ivf_build, ivf_search
+
+    spark = _spark()
+    t0 = time.time()
+
+    def qvec():
+        if args.vector is not None:
+            return [float(x) for x in args.vector.split(",")]
+        if args.vec_id is None or args.emb is None:
+            print("error: query needs --vector or (--vec-id with --emb)",
+                  file=sys.stderr)
+            return None
+        rows = (
+            spark.read.parquet(args.emb)
+            .filter(F.col("vec_id") == args.vec_id).limit(1).collect()
+        )
+        if not rows:
+            print(f"error: vec_id {args.vec_id} not in {args.emb}",
+                  file=sys.stderr)
+            return None
+        return [float(x) for x in rows[0]["embedding"]]
+
+    from pyspark.sql import functions as F
+
+    if args.action == "build":
+        if not args.emb:
+            print("error: build needs --emb PARQUET", file=sys.stderr)
+            return 2
+        ivf_build(
+            spark, spark.read.parquet(args.emb), args.path,
+            n_centroids=args.centroids, train_iters=args.train_iters,
+            quantize=args.quantize,
+        )
+        print(f"built IVF index at {args.path} "
+              f"({args.centroids} centroids"
+              + (", int8-quantized" if args.quantize else "")
+              + f"), elapsed: {time.time() - t0:.3f}s")
+        return 0
+    q = qvec()
+    if q is None:
+        return 2
+    if args.action == "brute":
+        if not args.emb:
+            print("error: brute needs --emb PARQUET", file=sys.stderr)
+            return 2
+        rows = brute_force_topk(
+            spark.read.parquet(args.emb), q, k=args.k
+        ).collect()
+    else:  # search
+        rows = ivf_search(
+            spark, args.path, q, k=args.k, nprobe=args.nprobe,
+            rescore_factor=args.rescore,
+        ).collect()
+    for r in rows:
+        print(f"{r['vec_id']} {r['sim']:.6f}")
+    print(f"{len(rows)} hits, elapsed: {time.time() - t0:.3f}s")
+    return 0
+
+
 def cmd_stream(args) -> int:
     """Data-stream management (ES data stream / rollover analog):
     create / status / rollover / search over numbered generation
@@ -1704,6 +1767,25 @@ def main(argv=None) -> int:
     sg.add_argument("--transpositions", action="store_true",
                     help="adjacent swap counts as one edit (Damerau)")
     sg.set_defaults(fn=cmd_suggest)
+
+    kn = sub.add_parser("knn", help="vector search: persisted IVF build/"
+                        "search (int8 --quantize, --rescore) or brute force")
+    kn.add_argument("action", choices=["build", "search", "brute"])
+    kn.add_argument("-p", "--path", default=None, help="IVF index dir")
+    kn.add_argument("--emb", default=None,
+                    help="embedding parquet (vec_id, embedding)")
+    kn.add_argument("--vector", default=None, help="query vector v1,v2,...")
+    kn.add_argument("--vec-id", type=int, default=None,
+                    help="query by a vec_id from --emb")
+    kn.add_argument("-k", type=int, default=10)
+    kn.add_argument("--nprobe", type=int, default=1)
+    kn.add_argument("--rescore", type=float, default=None,
+                    help="quantized-index oversample factor (exact rescore)")
+    kn.add_argument("--centroids", type=int, default=8)
+    kn.add_argument("--train-iters", type=int, default=5)
+    kn.add_argument("--quantize", action="store_true",
+                    help="store int8 codes beside the floats (build)")
+    kn.set_defaults(fn=cmd_knn)
 
     dm = sub.add_parser("stream")
     dm.add_argument("action",

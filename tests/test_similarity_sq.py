@@ -189,3 +189,40 @@ def test_ivf_rescore_on_unquantized_index_errors(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="quantize=True"):
         ivf_search(spark, idx, [float(x) for x in v[0]], k=5,
                    rescore_factor=2.0).collect()
+
+
+def test_cli_knn(spark, emb, tmp_path):
+    """CLI vector surface: build --quantize, search --rescore, brute."""
+    import os
+    import subprocess
+    import sys
+
+    df, v = emb
+    ep = str(tmp_path / "emb.parquet")
+    df.write.parquet(ep)
+    idx = str(tmp_path / "cli_ivf")
+
+    def run(*a):
+        return subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "knn", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    out = run("build", "-p", idx, "--emb", ep, "--centroids", "4",
+              "--train-iters", "2", "--quantize")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "int8-quantized" in out.stdout
+    assert os.path.exists(os.path.join(idx, "quant.json"))
+    out = run("search", "-p", idx, "--emb", ep, "--vec-id", "0",
+              "-k", "3", "--nprobe", "4", "--rescore", "4")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if not l.endswith("s")]
+    assert lines[0].startswith("0 1.000000")  # self-similarity first, exact
+    out = run("brute", "--emb", ep, "--vec-id", "0", "-k", "3")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0].startswith("0 1.0")
+    # argument errors exit 2 with a message
+    out = run("search", "-p", idx)
+    assert out.returncode == 2 and "query needs" in out.stderr
+    out = run("build", "-p", idx)
+    assert out.returncode == 2 and "--emb" in out.stderr
