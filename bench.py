@@ -267,6 +267,13 @@ def main():
         ("dedup_simhash", em.queries()["dedup_simhash"]),
         ("ann_cosine_topk", em.queries()["ann_cosine_topk"]),
         ("hybrid_rrf", em.queries()["eng_hybrid_rrf"]),
+        ("ann_filtered", em.queries()["eng_filtered_ann"]),
+        ("ann_sq_topk", em.queries()["eng_sq_topk"]),
+        ("docs_span_not", em.queries()["eng_span_not"]),
+        ("agg_facet_pctl", em.queries()["eng_facet_pctl"]),
+        # first run builds the 2-generation stream (cached dir); best-of-3
+        # keeps the warm searches like every other entry
+        ("stream_search", em.queries()["eng_stream_search"]),
         ("text_chunks", em.queries()["text_chunks"]),
         ("scrub_pii", em.queries()["scrub_pii"]),
         ("sample_stratified", em.queries()["sample_stratified"]),
