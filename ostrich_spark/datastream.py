@@ -197,7 +197,14 @@ def rollover(
             conditions["force"] = True
         rolled = any(conditions.values())
         if rolled:
-            nxt = _gen_name(len(state["generations"]) + 1)
+            # next number = max EXISTING generation + 1, never list length:
+            # after prune_generations shrinks the list, len+1 can collide
+            # with a live generation (gens [1,2,3] pruned to [2,3] would
+            # mint gen-000003 again — appends would keep landing in the
+            # sealed index and stream_indexes would list it twice)
+            nxt = _gen_name(
+                max(int(g.rsplit("-", 1)[1]) for g in state["generations"]) + 1
+            )
             state["generations"] = list(state["generations"]) + [nxt]
             _save_stream(stream_dir, state)
         return {

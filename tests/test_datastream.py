@@ -232,3 +232,18 @@ def test_prune_generations(spark, stream, tmp_path):
     assert prune_generations(stream, keep_last=2) == []
     with pytest.raises(ValueError, match=">= 1"):
         prune_generations(stream, keep_last=0)
+    # rollover AFTER a prune must mint max-existing+1, never list-length+1:
+    # gens are [2,3] here, so len+1 would re-mint the live write index
+    # gen-000003 (appends landing in the sealed index, searches listing
+    # the dir twice)
+    r = rollover(stream, force=True)
+    assert os.path.basename(r["write_index"]) == "gen-000004"
+    append(spark, _df(spark, [{"doc_id": 11, "text": "spark newest"}]),
+           _schema(), stream, num_partitions=1, order_col="doc_id",
+           id_cols=["doc_id"])
+    assert [os.path.basename(d) for d in stream_indexes(stream)] == [
+        "gen-000002", "gen-000003", "gen-000004"
+    ]
+    res, _ = search_stream(spark, stream, "text:spark", limit=None)
+    got = attach_stream_docmap(spark, stream, res).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in got) == [3, 5, 9, 11]  # no double-count
