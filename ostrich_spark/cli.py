@@ -622,9 +622,29 @@ def cmd_stream(args) -> int:
 
     try:
         if args.action == "create":
-            st = create_stream(args.path, name=args.name)
+            # --field/--keyword-field/--date-field persist an index
+            # TEMPLATE (same NAME=SOURCE syntax as `build`) so `stream
+            # append` needs no schema flags — without them the stream is
+            # untemplated and only library callers with an explicit
+            # Schema can append
+            tpl = None
+            if args.field or args.keyword_field or args.date_field:
+                from .schema import Schema
+
+                tpl = Schema()
+                for f in args.field or []:
+                    name, _, src = f.partition("=")
+                    tpl.add_text_field(name, args.analyzer, source_col=src)
+                for f in args.keyword_field or []:
+                    name, _, src = f.partition("=")
+                    tpl.add_keyword_field(name, source_col=src)
+                for f in args.date_field or []:
+                    name, _, src = f.partition("=")
+                    tpl.add_date_field(name, source_col=src)
+            st = create_stream(args.path, name=args.name, schema=tpl)
             print(f"created stream {st['name']!r} "
-                  f"(write index {st['generations'][-1]})")
+                  f"(write index {st['generations'][-1]}"
+                  + (", templated" if tpl is not None else "") + ")")
             return 0
         if args.action == "status":
             print(_json.dumps(stream_stats(args.path), indent=1))
@@ -635,6 +655,29 @@ def cmd_stream(args) -> int:
             dropped = prune_generations(args.path, keep_last=args.keep)
             print(f"pruned {len(dropped)} generation(s)"
                   + (f": {', '.join(dropped)}" if dropped else ""))
+            return 0
+        if args.action == "append":
+            # ingest into the write index under the stream TEMPLATE —
+            # an untemplated stream errors loudly (datastream.append),
+            # matching the library contract; the CLI never guesses a
+            # schema for a stream
+            if not args.input:
+                print("error: append needs --input CORPUS", file=sys.stderr)
+                return 2
+            from .datastream import append as stream_append
+            from .sources import load_corpus
+
+            spark = _spark()
+            df = load_corpus(spark, args.input, shape=False)
+            m = stream_append(
+                spark, df, None, args.path,
+                num_partitions=args.partitions,
+                order_col=args.order_col,
+                id_cols=args.id_col or None,
+            )
+            st = stream_stats(args.path)
+            print(f"appended into {st['write_index']}: now "
+                  f"{m.total_docs} docs / {len(m.segments)} segments")
             return 0
         if args.action == "rollover":
             r = rollover(
@@ -1789,9 +1832,20 @@ def main(argv=None) -> int:
 
     dm = sub.add_parser("stream")
     dm.add_argument("action",
-                    choices=["create", "status", "rollover", "search", "prune"])
+                    choices=["create", "status", "rollover", "search",
+                             "prune", "append"])
     dm.add_argument("--keep", type=int, default=1,
                     help="prune: keep this many newest generations")
+    dm.add_argument("--input", default=None,
+                    help="append: corpus to ingest (parquet/json/csv dir)")
+    dm.add_argument("--partitions", type=int, default=8)
+    dm.add_argument("--order-col", default=None)
+    dm.add_argument("--id-col", action="append", default=None)
+    dm.add_argument("--field", action="append", default=None,
+                    help="create: template text field (NAME or NAME=SOURCE)")
+    dm.add_argument("--keyword-field", action="append", default=None)
+    dm.add_argument("--date-field", action="append", default=None)
+    dm.add_argument("--analyzer", default="default")
     dm.add_argument("-p", "--path", required=True)
     dm.add_argument("--name", default=None)
     dm.add_argument("--max-docs", type=int, default=None)

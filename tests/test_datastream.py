@@ -180,6 +180,49 @@ def test_cli_stream(spark, stream, tmp_path):
     assert len(lines) == 2 and all("doc_id=" in l and "score=" in l for l in lines)
 
 
+def test_cli_stream_append(spark, tmp_path):
+    """Templated create -> append parquet -> search, all via the CLI;
+    append on an untemplated stream errors (exit 2, no schema guessing)."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def run(*a):
+        return subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "stream", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    pq.write_table(
+        pa.table({"doc_id": [0, 1, 2],
+                  "text": ["spark merge", "stream join", "spark spark"]}),
+        os.path.join(corpus, "part0.parquet"),
+    )
+    sd = str(tmp_path / "tplstream")
+    out = run("create", "-p", sd, "--field", "text")
+    assert out.returncode == 0 and "templated" in out.stdout
+    out = run("append", "-p", sd, "--input", corpus,
+              "--partitions", "1", "--order-col", "doc_id",
+              "--id-col", "doc_id")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "3 docs" in out.stdout
+    out = run("search", "-p", sd, "-q", "text:spark", "--limit", "10")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("gen=")]
+    assert len(lines) == 2  # docs 0 and 2
+    # missing --input and untemplated-append error paths
+    out = run("append", "-p", sd)
+    assert out.returncode == 2 and "needs --input" in out.stderr
+    sd2 = str(tmp_path / "notpl")
+    assert run("create", "-p", sd2).returncode == 0
+    out = run("append", "-p", sd2, "--input", corpus)
+    assert out.returncode == 2 and "needs a schema" in out.stderr
+
+
 def test_stream_template_enforced(spark, tmp_path):
     """A templated stream appends WITHOUT a schema arg and rejects a
     drifted one; an untemplated stream demands the schema."""
