@@ -119,6 +119,7 @@ def append(
     order_col: str | None = None,
     id_cols: list[str] | None = None,
     build_id: str | None = None,
+    lock_wait: float = 0.0,
 ) -> Manifest:
     """Index ``df`` into the current write generation (incremental:
     each append commits new segments, ``build_index(mode='append')``).
@@ -144,22 +145,30 @@ def append(
             "must share one schema (the alias-global scoring contract)"
         )
     target = write_index(stream_dir)
-    if build_id is None:
-        # a committed build_id may not be reused (build_index's
-        # resumability guard) — key the default off the generation's
-        # committed state so each append gets a fresh id, while a
-        # CRASHED append (nothing committed) naturally retries under
-        # the same id and resumes its fragments
-        if manifest_exists(target):
-            m = load_manifest(target)
-            build_id = f"stream-append-{m.opstamp}-{len(m.segments)}"
-        else:
-            build_id = "stream-append-0-0"
-    return build_index(
-        spark, df, schema, target,
-        num_partitions=num_partitions, order_col=order_col,
-        id_cols=id_cols, build_id=build_id, mode="append",
-    )
+    # the default build_id is derived from the generation's COMMITTED
+    # state, so it must be computed under the same single-writer lock
+    # the build itself holds (re-entrant, build_index nests inside) —
+    # computed outside, an append racing another writer would read the
+    # pre-commit state and fail build_index's reuse guard with a stale
+    # id instead of minting a fresh one. ``lock_wait`` > 0 lets a caller
+    # queue behind a live writer instead of getting LockHeldError.
+    with write_lock(target, owner="stream-append", wait=lock_wait):
+        if build_id is None:
+            # a committed build_id may not be reused (build_index's
+            # resumability guard) — key the default off the generation's
+            # committed state so each append gets a fresh id, while a
+            # CRASHED append (nothing committed) naturally retries under
+            # the same id and resumes its fragments
+            if manifest_exists(target):
+                m = load_manifest(target)
+                build_id = f"stream-append-{m.opstamp}-{len(m.segments)}"
+            else:
+                build_id = "stream-append-0-0"
+        return build_index(
+            spark, df, schema, target,
+            num_partitions=num_partitions, order_col=order_col,
+            id_cols=id_cols, build_id=build_id, mode="append",
+        )
 
 
 def rollover(

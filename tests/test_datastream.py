@@ -290,3 +290,69 @@ def test_prune_generations(spark, stream, tmp_path):
     res, _ = search_stream(spark, stream, "text:spark", limit=None)
     got = attach_stream_docmap(spark, stream, res).select("doc_id").collect()
     assert sorted(r["doc_id"] for r in got) == [3, 5, 9, 11]  # no double-count
+
+
+def test_append_under_live_writer(spark, stream):
+    """A second append queued behind a live writer (lock_wait > 0) mints
+    its build_id from the POST-commit state once the lock frees — the
+    id is computed under the generation lock, so it can never go stale
+    against a concurrent commit. With the default lock_wait=0 the same
+    situation is a loud LockHeldError, never a reused-build_id crash."""
+    import threading
+
+    from ostrich_spark.datastream import write_index as _wi
+    from ostrich_spark.lock import LockHeldError, write_lock
+
+    target = _wi(stream)
+    from ostrich_spark.manifest import load_manifest
+
+    m0 = load_manifest(target)
+    results: dict = {}
+
+    def queued_append():
+        try:
+            results["manifest"] = append(
+                spark, _df(spark, [{"doc_id": 21, "text": "spark queued"}]),
+                _schema(), stream, num_partitions=1, order_col="doc_id",
+                id_cols=["doc_id"], lock_wait=30.0,
+            )
+        except Exception as e:  # surfaces in the main thread's assert
+            results["error"] = e
+
+    # hold the generation's write lock from THIS thread (a different
+    # thread of the same process is a foreign writer to the lock)
+    with write_lock(target, owner="test-writer"):
+        # default lock_wait=0: loud refusal while a writer is live
+        err: dict = {}
+
+        def refused():
+            try:
+                append(spark, _df(spark, [{"doc_id": 22, "text": "x"}]),
+                       _schema(), stream, num_partitions=1,
+                       order_col="doc_id", id_cols=["doc_id"])
+            except LockHeldError as e:
+                err["e"] = e
+
+        t0 = threading.Thread(target=refused)
+        t0.start(); t0.join(timeout=60)
+        assert "e" in err
+        # queued append blocks on the lock...
+        t = threading.Thread(target=queued_append)
+        t.start()
+        t.join(timeout=2.0)
+        assert t.is_alive()  # still waiting — the lock is held here
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert "error" not in results, results.get("error")
+    m1 = results["manifest"]
+    assert m1.total_docs == m0.total_docs + 1
+    # the minted id reflects the state it observed under the lock
+    new_seg = [s for s in m1.segments
+               if s.lineage.get("build_id", "").startswith("stream-append-")]
+    assert any(
+        s.lineage["build_id"] == f"stream-append-{m0.opstamp}-{len(m0.segments)}"
+        for s in new_seg
+    )
+    res, _ = search_stream(spark, stream, "text:queued", limit=None)
+    got = attach_stream_docmap(spark, stream, res).select("doc_id").collect()
+    assert [r["doc_id"] for r in got] == [21]
