@@ -380,6 +380,43 @@ def _q_eng_cross_fields(spark, sf_dir):
     )
 
 
+def _q_eng_combined_fields(spark, sf_dir):
+    """combined_fields (Lucene CombinedFieldQuery / ES combined_fields,
+    BM25F pseudo-field — TERM-centric, one saturation curve over the
+    SUMMED weighted tf, unlike cross_fields' per-field dismax): query
+    'spark stream' over text + text2^2 with BM25. text2 = source +
+    ' spark' (constant 2 tokens), so the oracle recomputes the combined
+    arithmetic exactly: tf_spark = tf_text + 2*1, dl = len_text + 2*2,
+    avgdl = avg_len_text + 4, df_spark = max(df_text, N) = N (every
+    text2 carries it), df_stream = text's df (absent from text2)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import parse_combined_fields
+
+    idx = _cross_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    q = parse_combined_fields(
+        "spark stream", mf.schema, {"text": 1.0, "text2": 2.0}
+    )
+    res, _ = search(spark, idx, q, limit=None, manifest=mf, scorer="bm25")
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
+def _q_eng_span_or(spark, sf_dir):
+    """span_or (Lucene SpanOrQuery / ES span_or): union of term spans —
+    tf = TOTAL occurrences of any clause term (matching span count),
+    idf = sum of the present clauses' idfs, ONE scorer over the summed
+    tf (different saturation than SHOULD's per-term score sum)."""
+    from ostrich_spark.query.parser import SpanOrQuery
+
+    return _engine_matches(
+        spark, sf_dir, None,
+        logical=SpanOrQuery(0, ("stream", "hash")),
+    )
+
+
 def _q_eng_date_range(spark, sf_dir):
     """Date range query (ES date type): tfidf term score + 1.0 constant
     from an ISO day-bounded range with ES date-math rounding — the
@@ -3513,6 +3550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_geo_rings": _q_eng_geo_rings,
         "eng_mad": _q_eng_mad,
         "eng_cross_fields": _q_eng_cross_fields,
+        "eng_combined_fields": _q_eng_combined_fields,
+        "eng_span_or": _q_eng_span_or,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
         "eng_facet_wavg": _q_eng_facet_wavg,
@@ -3978,6 +4017,42 @@ def oracle_sql() -> dict[str, str]:
             "+ CASE WHEN d.source = 'src3' THEN 2.0 * c.idf_s3 ELSE 0.0 END"
             ", 6) AS score "
             "FROM documents d LEFT JOIN t USING(doc_id), c"
+        ),
+        # combined_fields (BM25F pseudo-field over text + text2^2,
+        # text2 = source + ' spark' = constant 2 tokens): per doc
+        # tf_spark = tf_text + 2, dl = len_text + 4, avgdl =
+        # avg_len_text + 4; df_spark = max(df_text, N) = N ->
+        # idf ln(1 + 0.5/(N+0.5)); 'stream' lives only in text.
+        # k1=1.2 b=0.75; every doc matches (spark is in every text2).
+        "eng_combined_fields": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {DL_CTE}, "
+            "avg AS (SELECT sum(dl) * 1.0 / (SELECT n FROM n) + 4.0 AS avgdl FROM dl), "
+            "c AS (SELECT "
+            "ln(1.0 + 0.5 / ((SELECT n FROM n) + 0.5)) AS idf_sp, "
+            "ln(1.0 + ((SELECT n FROM n) - "
+            "(SELECT df FROM df WHERE term = 'stream') + 0.5) / "
+            "((SELECT df FROM df WHERE term = 'stream') + 0.5)) AS idf_st), "
+            "sp AS (SELECT d.doc_id, coalesce(t.tf, 0) + 2.0 AS tfu "
+            "FROM documents d LEFT JOIN "
+            "(SELECT doc_id, tf FROM tf WHERE term = 'spark') t USING(doc_id)), "
+            "st AS (SELECT doc_id, tf * 1.0 AS tfu FROM tf WHERE term = 'stream'), "
+            "s AS (SELECT sp.doc_id, "
+            "c.idf_sp * (sp.tfu * 2.2) / (sp.tfu + 1.2 * (0.25 + 0.75 * "
+            "(dl.dl + 4.0) / (SELECT avgdl FROM avg))) "
+            "+ coalesce(c.idf_st * (st.tfu * 2.2) / (st.tfu + 1.2 * (0.25 + 0.75 * "
+            "(dl.dl + 4.0) / (SELECT avgdl FROM avg))), 0.0) AS score "
+            "FROM sp JOIN dl USING(doc_id) LEFT JOIN st USING(doc_id), c) "
+            "SELECT doc_id, round(score, 6) AS score FROM s"
+        ),
+        # span_or: tf = total occurrences of any clause term, idf = sum
+        # of the PRESENT clauses' idfs (absent terms drop from the sum)
+        "eng_span_or": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "c AS (SELECT sum(1.0 + ln((SELECT n FROM n) / (1.0 + df))) AS idfs "
+            "FROM df WHERE term IN ('stream', 'hash')), "
+            "s AS (SELECT doc_id, sum(tf) AS tfu FROM tf "
+            "WHERE term IN ('stream', 'hash') GROUP BY doc_id) "
+            "SELECT s.doc_id, round(s.tfu * c.idfs, 6) AS score FROM s, c"
         ),
         # extended_stats: population variance/std + sigma bounds
         "eng_ext_stats": (

@@ -531,6 +531,63 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         return pdocs, score_postings(
             ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
         )
+    if kind == "span_or":
+        # Lucene SpanOrQuery over term clauses: tf = TOTAL occurrences
+        # of any clause term (sloppy freq = matching span count), one
+        # scorer over the summed tf with the combined idf. Lengths come
+        # from whichever posting list carries the doc (identical across
+        # terms — it is the doc's field length).
+        parts = []
+        for t in wire["terms"]:
+            tp = term_data.get((wire["field"], t))
+            if tp is None:
+                continue
+            parts.append(tp.decode())
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_docs = np.concatenate([p[0] for p in parts])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        tf_u = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tf_u, inv, np.concatenate([p[1] for p in parts]))
+        lens_u = np.zeros(len(uniq), dtype=np.float64)
+        lens_u[inv] = np.concatenate([p[2] for p in parts])
+        return uniq, score_postings(
+            tf_u, lens_u, wire["idf"], wire["avgdl"], scorer
+        )
+    if kind == "combined_term":
+        # Lucene CombinedFieldQuery / BM25F pseudo-field: tf = weighted
+        # sum of the term's per-field tfs; dl = weighted sum of EVERY
+        # listed field's length (norms delivered through the aux
+        # cogroup, rid per field); df/idf/avgdl are the pseudo-field
+        # stats bound at compile. One saturation curve over the summed
+        # tf — the term-centric semantics dismax cannot express.
+        term = wire["term"]
+        parts = []
+        for nf in wire["norm_fields"]:
+            tp = term_data.get((nf["field"], term))
+            if tp is None:
+                continue
+            docs, tfs, _ = tp.decode()
+            parts.append((docs, tfs.astype(np.float64) * float(nf["weight"])))
+        if not parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        all_docs = np.concatenate([p[0] for p in parts])
+        uniq, inv = np.unique(all_docs, return_inverse=True)
+        tf_u = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(tf_u, inv, np.concatenate([p[1] for p in parts]))
+        dl_u = np.zeros(len(uniq), dtype=np.float64)
+        for nf in wire["norm_fields"]:
+            nd = aux.get(nf["rid"]) if aux else None
+            if nd is None or not len(nd):
+                continue  # field with no values in this segment: len 0
+            nv = aux.get(("val", nf["rid"]))
+            pos = np.searchsorted(nd, uniq)
+            pos_c = np.minimum(pos, len(nd) - 1)
+            found = nd[pos_c] == uniq
+            dl_u[found] += float(nf["weight"]) * nv[pos_c[found]]
+        return uniq, score_postings(
+            tf_u, dl_u, wire["idf"], wire["avgdl"], scorer
+        )
     if kind in ("phrase", "multi_phrase"):
         return eval_phrase(wire, term_data, scorer)
     if kind == "near":
@@ -893,6 +950,14 @@ def read_docmap(spark, index_dir: str, manifest):
     return _read_segment_files(spark, index_dir, manifest, "docmap.parquet", None)
 
 
+def read_norms(spark, index_dir: str, manifest):
+    """Per-segment field-norms table: (segment_id, doc, field, length).
+    Combined-fields scoring reads it (filter pushed on ``field``) to
+    deliver every doc's field length down the aux cogroup — the Lucene
+    norms-read analog."""
+    return _read_segment_files(spark, index_dir, manifest, "norms.parquet", None)
+
+
 def _term_predicate(F, terms) -> "object":
     return reduce(
         or_,
@@ -1106,6 +1171,10 @@ def assign_range_ids(wire: dict, start: int = 0) -> list[dict]:
                 walk(w[key])
         for c in w.get("children", ()):
             walk(c)
+        # combined_term's per-field norms deliveries are pseudo range
+        # wires (kind "range", op "norms") — rid-assigned like any other
+        for nf in w.get("norm_fields", ()):
+            walk(nf)
 
     walk(wire)
     return found
@@ -1123,6 +1192,20 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
 
     fe = manifest.schema.field_by_id(range_wire["field"])
     op = range_wire.get("op")
+    if op == "norms":
+        # not a predicate: combined_fields norms DELIVERY — every doc's
+        # length for ONE field ships (doc, length) to its segment's
+        # scorer, the same aux shuffle as range sets / terms_set m
+        # values. Field filter pushes to the norms parquet scan.
+        return (
+            read_norms(spark, index_dir, manifest)
+            .filter(F.col("field") == int(range_wire["field"]))
+            .select(
+                "segment_id", "doc",
+                F.lit(int(range_wire["rid"])).alias("rid"),
+                F.col("length").cast("double").alias("val"),
+            )
+        )
     # geo fields live in the docmap as a __lat/__lon float64 pair
     # (schema.geo_lat_col/geo_lon_col); every other doc-value type is a
     # single column named after the field
@@ -5639,9 +5722,18 @@ def explain(
         rdf = range_match_df(spark, index_dir, manifest, rw).filter(
             F.col("segment_id") == segment_id
         )
-        aux[rw["rid"]] = np.unique(
-            np.array([r["doc"] for r in rdf.collect()], dtype=np.int64)
-        )
+        rows_a = rdf.collect()
+        docs_raw = np.array([r["doc"] for r in rows_a], dtype=np.int64)
+        docs_u, first_idx = np.unique(docs_raw, return_index=True)
+        aux[rw["rid"]] = docs_u
+        # value-carrying deliveries (terms_set "dv" m-values, combined
+        # fields "norms" lengths) keep vals aligned to the sorted docs —
+        # same contract as split_aux_pdf on the distributed path
+        vals_a = [r["val"] for r in rows_a]
+        if any(v is not None for v in vals_a):
+            aux[("val", rw["rid"])] = np.array(
+                [vals_a[i] for i in first_idx], dtype=np.float64
+            )
 
     from ..deletes import has_tombstones
 
@@ -5707,6 +5799,21 @@ def explain(
                 "field": w["field"], "term": w["term"],
                 "exclude": w["excl_terms"], "doc_freq": w["doc_freq"],
                 "idf": w["idf"], "pre": w["pre"], "post": w["post"],
+            }
+        elif w["kind"] == "span_or":
+            out["detail"] = {
+                "field": w["field"], "terms": w["terms"],
+                "idf_sum": w["idf"],
+            }
+        elif w["kind"] == "combined_term":
+            out["detail"] = {
+                "term": w["term"],
+                "fields": [
+                    {"field": nf["field"], "weight": nf["weight"]}
+                    for nf in w["norm_fields"]
+                ],
+                "doc_freq": w["doc_freq"], "idf": w["idf"],
+                "avgdl": w["avgdl"],
             }
         elif w["kind"] == "range":
             op = w.get("op")

@@ -685,6 +685,125 @@ class BlendedTermQuery:
             raise QueryParseError("tie_breaker must be in [0, 1]")
 
 
+@dataclass(frozen=True)
+class CombinedTermQuery:
+    """One term of a ``combined_fields`` query — the Lucene
+    CombinedFieldQuery / ES ``combined_fields`` analog (EXTENSION,
+    programmatic / via parse_combined_fields): the SIGIR'04 BM25F
+    "pseudo-field" simplification. The listed fields merge into one
+    virtual field and the term scores ONCE against it:
+
+    - tf(doc)  = sum over fields of weight * tf_field(doc)
+    - dl(doc)  = sum over fields of weight * field_length(doc)
+      (lengths of EVERY listed field count, term present there or not —
+      delivered from the per-segment norms table)
+    - df       = max over fields of the term's doc_freq, clipped to N
+      (Lucene CombinedFieldQuery's pseudo-TermStatistics convention:
+      union df is not materialized anywhere, max is its cheapest
+      sound-ish stand-in and what Lucene itself ships)
+    - avgdl    = sum over fields of weight * avg_field_length
+      (the pseudo CollectionStatistics: weighted sumTotalTermFreq over
+      docCount — equal because every doc row carries every field here)
+
+    Unlike cross_fields/BlendedTermQuery (field-centric leaves with a
+    blended df, combined per-doc by dismax), combined_fields is
+    TERM-centric: one scorer, one saturation curve over the SUMMED tf —
+    two mid-tf fields beat one high-tf field, the BM25F property dismax
+    cannot express. Weights must be >= 1 (the ES rule: < 1 breaks the
+    BM25F length-normalization derivation). Constant extra cost: the
+    norms of every listed field ride the scoring shuffle (the Lucene
+    norms-read analog), one pushed-filter scan per field."""
+
+    fields: tuple  # ((field_id, weight >= 1.0), ...)
+    term: str
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "fields", tuple((int(f), float(w)) for f, w in self.fields)
+        )
+        if not self.fields:
+            raise QueryParseError("combined_fields needs >= 1 field")
+        if len({f for f, _ in self.fields}) != len(self.fields):
+            raise QueryParseError("combined_fields lists a field twice")
+        if any(w < 1.0 for _, w in self.fields):
+            raise QueryParseError(
+                "combined_fields weights must be >= 1 (the ES rule — "
+                "sub-1 weights break the BM25F length normalization)"
+            )
+        if not self.term:
+            raise QueryParseError("empty term in combined_fields query")
+
+
+@dataclass(frozen=True)
+class SpanOrQuery:
+    """Union of term spans — the Lucene SpanOrQuery analog over term
+    clauses (ES ``span_or``; EXTENSION, programmatic-only like
+    span_first/span_not). Matches docs containing ANY of the terms;
+    tf = TOTAL occurrences of all the terms (Lucene's sloppy freq = the
+    number of matching spans), idf = sum of the present terms' idfs
+    (SpanWeight builds combined statistics over every clause term).
+    One scorer over the summed tf — a different saturation shape than
+    BooleanQuery-SHOULD's per-term sum of scores. Already usable as the
+    exclude side of span_not (multiple excludes = spanOr there); this is
+    the standalone scoring form. tf sums need no positions decode, so
+    (unlike the other span queries) positions=False fields work."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "terms", tuple(self.terms))
+        if not self.terms or any(not t for t in self.terms):
+            raise QueryParseError(
+                "span_or needs at least one non-empty term"
+            )
+
+
+def parse_combined_fields(
+    text: str,
+    schema,
+    fields: "list[str] | dict[str, float]",
+    operator: str = "or",
+    boost: float = 1.0,
+):
+    """ES ``combined_fields``: analyze ``text`` ONCE (the fields must
+    share one query analyzer — the ES validation) and turn each token
+    into a CombinedTermQuery over all the fields. ``operator="and"``
+    requires every token to match (in the merged pseudo-field);
+    ``fields`` may map field -> weight (>= 1) like parse_cross_fields."""
+    weights = fields if isinstance(fields, dict) else {f: 1.0 for f in fields}
+    if not weights:
+        raise QueryParseError("combined_fields needs >= 1 field")
+    if operator not in ("or", "and"):
+        raise QueryParseError("operator must be 'or' or 'and'")
+    entries = []
+    for name in weights:
+        fe = schema.field_by_name(name)
+        if fe is None or fe.is_doc_value:
+            raise QueryParseError(
+                f"combined_fields field {name!r} is not a text field of "
+                f"this schema"
+            )
+        entries.append(fe)
+    analyzers = {fe.query_analyzer for fe in entries}
+    if len(analyzers) != 1:
+        raise QueryParseError(
+            f"combined_fields requires fields sharing ONE analyzer, got "
+            f"{sorted(analyzers)} (the ES same-analyzer validation)"
+        )
+    toks = get_analyzer(analyzers.pop()).analyze_one(text)
+    if not toks:
+        return EmptyQuery()
+    pairs = tuple((fe.id, weights[fe.name]) for fe in entries)
+    combined = [CombinedTermQuery(pairs, t, boost) for t in toks]
+    if len(combined) == 1:
+        return combined[0]
+    occ = MUST if operator == "and" else SHOULD
+    return BooleanQuery([(occ, c) for c in combined])
+
+
 def parse_cross_fields(
     text: str,
     schema,

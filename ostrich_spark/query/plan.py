@@ -31,6 +31,8 @@ from .parser import (
     BlendedTermQuery,
     BooleanQuery,
     BoostingQuery,
+    CombinedTermQuery,
+    SpanOrQuery,
     DisMaxQuery,
     EmptyQuery,
     ExistsQuery,
@@ -146,6 +148,36 @@ class CSpanNot:
     avgdl: float
     pre: int
     post: int
+
+
+@dataclass(frozen=True)
+class CCombinedTerm:
+    """Compiled combined_fields term (Lucene CombinedFieldQuery / BM25F
+    pseudo-field; see parser.CombinedTermQuery for the full contract).
+    ``fields`` keeps EVERY listed (field_id, weight) — the combined doc
+    length sums weighted norms of all of them, term present or not; the
+    per-field norms ride the aux cogroup (rid assigned by exec like any
+    range node). df = max over fields clipped to N; avgdl = weighted sum
+    of the fields' avgdl."""
+
+    fields: tuple  # ((field_id, weight), ...)
+    term: str
+    doc_freq: int
+    idf: float
+    avgdl: float
+
+
+@dataclass(frozen=True)
+class CSpanOr:
+    """Compiled span_or: one scorer over the SUMMED tf of the present
+    terms; idf = sum of their idfs (SpanWeight combined stats). Terms
+    absent from the dictionary were dropped at lowering; a single
+    survivor lowers to CTerm instead (identical score, WAND-eligible)."""
+
+    field_id: int
+    terms: tuple[str, ...]
+    idf: float
+    avgdl: float
 
 
 @dataclass(frozen=True)
@@ -368,6 +400,10 @@ def collect_terms(q) -> list[TermQuery]:
         return collect_terms(q.positive) + collect_terms(q.negative)
     if isinstance(q, BlendedTermQuery):
         return [TermQuery(fid, term) for fid, term, _ in q.pairs]
+    if isinstance(q, CombinedTermQuery):
+        return [TermQuery(fid, q.term) for fid, _ in q.fields]
+    if isinstance(q, SpanOrQuery):
+        return [TermQuery(q.field_id, t) for t in q.terms]
     return []
 
 
@@ -477,6 +513,41 @@ def compile_query(
         return CSpanNot(
             q.field_id, q.term, kept, df, idf, avgdl, q.pre, q.post
         )
+    if isinstance(q, CombinedTermQuery):
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        per_field = [doc_freqs.get((fid, q.term), 0) for fid, _ in q.fields]
+        if not any(per_field):
+            return CEmpty()
+        # pseudo-TermStatistics: df = max over fields, clipped to N (the
+        # Lucene CombinedFieldQuery convention — union df is never
+        # materialized); pseudo avgdl = weighted sum of field avgdl
+        df = min(int(total_docs), max(per_field))
+        avgdl = sum(w * field_avgdl.get(fid, 1.0) for fid, w in q.fields)
+        return CCombinedTerm(
+            q.fields, q.term, df, idf_fn(total_docs, df) * q.boost, avgdl
+        )
+    if isinstance(q, SpanOrQuery):
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        kept = tuple(
+            t for t in dict.fromkeys(q.terms)
+            if doc_freqs.get((q.field_id, t), 0) > 0
+        )
+        if not kept:
+            return CEmpty()
+        avgdl = field_avgdl.get(q.field_id, 1.0)
+        if len(kept) == 1:
+            # one surviving clause scores exactly like the bare term
+            # (tf = its occurrences, idf = its idf) — lower to CTerm so
+            # the query stays WAND-eligible
+            df = doc_freqs[(q.field_id, kept[0])]
+            return CTerm(
+                q.field_id, kept[0], df,
+                idf_fn(total_docs, df) * q.boost, avgdl,
+            )
+        idf_sum = sum(
+            idf_fn(total_docs, doc_freqs[(q.field_id, t)]) for t in kept
+        )
+        return CSpanOr(q.field_id, kept, idf_sum * q.boost, avgdl)
     if isinstance(q, RangeQuery):
         return CRange(
             q.field_id, q.lo, q.hi, q.include_lo, q.include_hi, q.boost
@@ -748,6 +819,29 @@ def to_wire(node) -> dict:
             "avgdl": node.avgdl,
             "pre": node.pre,
             "post": node.post,
+        }
+    if isinstance(node, CCombinedTerm):
+        return {
+            "kind": "combined_term",
+            "term": node.term,
+            "doc_freq": node.doc_freq,
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+            # one pseudo range-wire per field: op "norms" ships every
+            # doc's (doc, field_length) down the aux cogroup — exec
+            # assigns each a rid like any range node
+            "norm_fields": [
+                {"kind": "range", "op": "norms", "field": fid, "weight": w}
+                for fid, w in node.fields
+            ],
+        }
+    if isinstance(node, CSpanOr):
+        return {
+            "kind": "span_or",
+            "field": node.field_id,
+            "terms": list(node.terms),
+            "idf": node.idf,
+            "avgdl": node.avgdl,
         }
     if isinstance(node, CIntersection):
         return {"kind": "and", "children": [to_wire(c) for c in node.children]}
