@@ -417,6 +417,21 @@ def _q_eng_span_or(spark, sf_dir):
     )
 
 
+def _q_eng_span_within(spark, sf_dir):
+    """span_within (Lucene SpanWithinQuery / ES span_within): 'join'
+    occurrences lying inside a ["hash","join"] exact big span — i.e.
+    joins immediately preceded by hash. Discriminating match set (docs
+    with only standalone 'join' drop out); tf = covered occurrences,
+    idf = idf(hash) + 2*idf(join) (both sides' term states sum, the
+    Lucene SpanWithinWeight convention)."""
+    from ostrich_spark.query.parser import SpanWithinQuery
+
+    return _engine_matches(
+        spark, sf_dir, None,
+        logical=SpanWithinQuery(0, ("hash", "join"), "join"),
+    )
+
+
 def _q_eng_date_range(spark, sf_dir):
     """Date range query (ES date type): tfidf term score + 1.0 constant
     from an ISO day-bounded range with ES date-math rounding — the
@@ -3552,6 +3567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_cross_fields": _q_eng_cross_fields,
         "eng_combined_fields": _q_eng_combined_fields,
         "eng_span_or": _q_eng_span_or,
+        "eng_span_within": _q_eng_span_within,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
         "eng_facet_wavg": _q_eng_facet_wavg,
@@ -4053,6 +4069,23 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT doc_id, sum(tf) AS tfu FROM tf "
             "WHERE term IN ('stream', 'hash') GROUP BY doc_id) "
             "SELECT s.doc_id, round(s.tfu * c.idfs, 6) AS score FROM s, c"
+        ),
+        # span_within: little 'join' occurrences covered by an exact
+        # ["hash","join"] big span (join at p covered iff hash at p-1);
+        # idf = idf(hash) + 2*idf(join) (both sides sum)
+        "eng_span_within": (
+            f"WITH {TOKLIST_CTE}, {POS_CTE}, {N_CTE}, "
+            "m AS (SELECT a.doc_id, count(*) AS tf FROM pos a "
+            "WHERE a.term = 'join' AND EXISTS ("
+            "SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id "
+            "AND b.term = 'hash' AND b.pos = a.pos - 1) "
+            "GROUP BY a.doc_id), "
+            "dh AS (SELECT count(DISTINCT doc_id) AS df FROM pos WHERE term = 'hash'), "
+            "dj AS (SELECT count(DISTINCT doc_id) AS df FROM pos WHERE term = 'join') "
+            "SELECT doc_id, round(tf * ("
+            "(1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT df FROM dh)))) "
+            "+ 2.0 * (1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT df FROM dj))))"
+            "), 6) AS score FROM m"
         ),
         # extended_stats: population variance/std + sigma bounds
         "eng_ext_stats": (

@@ -531,6 +531,73 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         return pdocs, score_postings(
             ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
         )
+    if kind == "span_contain":
+        # Lucene SpanContaining/SpanWithinQuery over fixed-width exact
+        # spans: a big span [s, s+kb-1] contains a little span iff some
+        # little start lies in [s, s+kb-kl] (same doc; kb >= kl enforced
+        # at lowering). emit="big" reports the containing big spans
+        # (span_containing); emit="little" reports the contained little
+        # spans (span_within). Same doc*BIG+pos encoding as span_not:
+        # two searchsorted probes per emitted span, no per-doc loop.
+        BIG = np.int64(1) << np.int64(32)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+
+        def span_starts(terms):
+            # encoded start positions of the exact adjacent chain, plus
+            # the first term's (docs, lens) for the length lookup
+            keysets, first = [], None
+            for i, t in enumerate(terms):
+                tp = term_data.get((wire["field"], t))
+                if tp is None:
+                    return None, None
+                docs, tfs, lens, pos = tp.decode_with_positions()
+                if i == 0:
+                    first = (docs, lens)
+                enc = np.repeat(docs, tfs) * BIG + pos
+                if i > 0:
+                    # (pos - i) < 0 would leak into the previous doc's
+                    # key space — an occurrence that early cannot be
+                    # slot i of a chain anyway
+                    enc = enc[(enc % BIG) >= np.int64(i)]
+                keysets.append(enc - np.int64(i))
+            inter = keysets[0]
+            for kset in sorted(keysets[1:], key=len):
+                if not len(inter):
+                    break
+                inter = np.intersect1d(inter, kset, assume_unique=True)
+            return inter, first
+
+        kb, kl = len(wire["big"]), len(wire["little"])
+        sb, big_first = span_starts(wire["big"])
+        if sb is None or not len(sb):
+            return empty
+        sl, little_first = span_starts(wire["little"])
+        if sl is None or not len(sl):
+            return empty
+        gap = np.int64(kb - kl)
+        if wire["emit"] == "big":
+            lo = sb
+            hi = sb + gap  # gap << BIG: stays inside the doc's keys
+            hit = (
+                np.searchsorted(sl, lo)
+                <= np.searchsorted(sl, hi, side="right") - 1
+            )
+            occ, (fdocs, flens) = sb[hit], big_first
+        else:
+            lo = np.maximum(sl - gap, (sl // BIG) * BIG)  # clamp: doc pos 0
+            hi = sl
+            hit = (
+                np.searchsorted(sb, lo)
+                <= np.searchsorted(sb, hi, side="right") - 1
+            )
+            occ, (fdocs, flens) = sl[hit], little_first
+        if not len(occ):
+            return empty
+        pdocs, ptfs = np.unique(occ // BIG, return_counts=True)
+        lens_at = flens[np.searchsorted(fdocs, pdocs)]
+        return pdocs, score_postings(
+            ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
+        )
     if kind == "span_or":
         # Lucene SpanOrQuery over term clauses: tf = TOTAL occurrences
         # of any clause term (sloppy freq = matching span count), one
@@ -5803,6 +5870,12 @@ def explain(
         elif w["kind"] == "span_or":
             out["detail"] = {
                 "field": w["field"], "terms": w["terms"],
+                "idf_sum": w["idf"],
+            }
+        elif w["kind"] == "span_contain":
+            out["detail"] = {
+                "field": w["field"], "big": w["big"],
+                "little": w["little"], "emit": w["emit"],
                 "idf_sum": w["idf"],
             }
         elif w["kind"] == "combined_term":

@@ -198,6 +198,65 @@ class SpanNotQuery:
                 )
 
 
+def _span_operand(name: str, value) -> tuple:
+    """Validate a span_containing/span_within operand: a term or an
+    EXACT phrase (tuple of adjacent terms). Fixed extents are what make
+    the containment test precise — a sloppy operand's span width is not
+    determined by its match end, so it is rejected here rather than
+    approximated silently."""
+    terms = (value,) if isinstance(value, str) else tuple(value)
+    if not terms or any(not isinstance(t, str) or not t for t in terms):
+        raise QueryParseError(
+            f"span {name} operand needs a non-empty term or tuple of "
+            f"terms (an exact adjacent phrase), got {value!r}"
+        )
+    return terms
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery:
+    """Spans of ``big`` that contain a ``little`` span — the Lucene
+    SpanContainingQuery analog (ES ``span_containing``; EXTENSION,
+    programmatic-only like the other span queries). Operands are each a
+    term or an EXACT adjacent phrase (tuple of terms), so every span has
+    a fixed width and containment is an exact window test: a big span
+    [s, s+kb-1] matches iff some little span starts in [s, s+kb-kl]
+    (same doc). tf = the number of such big spans (Lucene emits each
+    containing big span once, however many littles it holds); idf = the
+    sum of ALL constituent terms' idfs — big AND little — the Lucene
+    SpanContainingWeight convention (getTermStates merges both sides).
+    Needs positions=True; not WAND-eligible."""
+
+    field_id: int
+    big: tuple[str, ...]
+    little: tuple[str, ...]
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "big", _span_operand("big", self.big))
+        object.__setattr__(self, "little", _span_operand("little", self.little))
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery:
+    """Spans of ``little`` that lie within a ``big`` span — the Lucene
+    SpanWithinQuery analog (ES ``span_within``): the mirror of
+    span_containing, emitting the LITTLE side. A little span [s, s+kl-1]
+    matches iff some big span starts in [s-(kb-kl), s] (same doc).
+    tf = the number of such little spans; idf = the sum of all
+    constituent terms' idfs (both sides), like span_containing.
+    Needs positions=True; not WAND-eligible."""
+
+    field_id: int
+    big: tuple[str, ...]
+    little: tuple[str, ...]
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "big", _span_operand("big", self.big))
+        object.__setattr__(self, "little", _span_operand("little", self.little))
+
+
 @dataclass(frozen=True)
 class PhrasePrefixQuery:
     """Phrase whose LAST slot is a prefix — EXTENSION (Lucene

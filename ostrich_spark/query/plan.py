@@ -32,7 +32,9 @@ from .parser import (
     BooleanQuery,
     BoostingQuery,
     CombinedTermQuery,
+    SpanContainingQuery,
     SpanOrQuery,
+    SpanWithinQuery,
     DisMaxQuery,
     EmptyQuery,
     ExistsQuery,
@@ -163,6 +165,23 @@ class CCombinedTerm:
     fields: tuple  # ((field_id, weight), ...)
     term: str
     doc_freq: int
+    idf: float
+    avgdl: float
+
+
+@dataclass(frozen=True)
+class CSpanContain:
+    """Compiled span_containing / span_within (``emit`` picks the side
+    reported: "big" = containing, "little" = within). Both operands are
+    fixed-width exact spans, so the containment test is two searchsorted
+    probes per emitted span (the span_not window pattern). idf = sum of
+    ALL constituent terms' idfs (Lucene SpanContaining/WithinWeight merge
+    both sides' term states)."""
+
+    field_id: int
+    big: tuple[str, ...]
+    little: tuple[str, ...]
+    emit: str  # "big" | "little"
     idf: float
     avgdl: float
 
@@ -404,6 +423,8 @@ def collect_terms(q) -> list[TermQuery]:
         return [TermQuery(fid, q.term) for fid, _ in q.fields]
     if isinstance(q, SpanOrQuery):
         return [TermQuery(q.field_id, t) for t in q.terms]
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        return [TermQuery(q.field_id, t) for t in q.big + q.little]
     return []
 
 
@@ -512,6 +533,25 @@ def compile_query(
             return CTerm(q.field_id, q.term, df, idf, avgdl)
         return CSpanNot(
             q.field_id, q.term, kept, df, idf, avgdl, q.pre, q.post
+        )
+    if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+        # every constituent term (both sides) must exist: a missing big
+        # term means big never matches; a missing little term means
+        # containment is never satisfied — either way, no doc matches
+        idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        idf_sum = 0.0
+        for t in q.big + q.little:
+            df = doc_freqs.get((q.field_id, t), 0)
+            if df == 0:
+                return CEmpty()
+            idf_sum += idf_fn(total_docs, df)
+        if len(q.big) < len(q.little):
+            # a shorter span can never contain a longer one
+            return CEmpty()
+        return CSpanContain(
+            q.field_id, q.big, q.little,
+            "big" if isinstance(q, SpanContainingQuery) else "little",
+            idf_sum * q.boost, field_avgdl.get(q.field_id, 1.0),
         )
     if isinstance(q, CombinedTermQuery):
         idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
@@ -840,6 +880,16 @@ def to_wire(node) -> dict:
             "kind": "span_or",
             "field": node.field_id,
             "terms": list(node.terms),
+            "idf": node.idf,
+            "avgdl": node.avgdl,
+        }
+    if isinstance(node, CSpanContain):
+        return {
+            "kind": "span_contain",
+            "field": node.field_id,
+            "big": list(node.big),
+            "little": list(node.little),
+            "emit": node.emit,
             "idf": node.idf,
             "avgdl": node.avgdl,
         }
