@@ -270,6 +270,11 @@ def main():
         ("ann_filtered", em.queries()["eng_filtered_ann"]),
         ("ann_sq_topk", em.queries()["eng_sq_topk"]),
         ("docs_span_not", em.queries()["eng_span_not"]),
+        ("docs_span_within", em.queries()["eng_span_within"]),
+        ("docs_span_or", em.queries()["eng_span_or"]),
+        # BM25F over text + text2^2: norms of BOTH fields ride the aux
+        # cogroup beside the postings — the heaviest per-term delivery
+        ("docs_combined_fields", em.queries()["eng_combined_fields"]),
         ("agg_facet_pctl", em.queries()["eng_facet_pctl"]),
         # first run builds the 2-generation stream (cached dir); best-of-3
         # keeps the warm searches like every other entry
