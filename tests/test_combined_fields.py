@@ -181,6 +181,22 @@ def test_absent_everywhere_and_explain(spark, cfx):
     assert {f["field"] for f in ex["detail"]["fields"]} == {0, 1}
 
 
+def test_norms_scan_pushdown(spark, cfx):
+    """The per-field norms delivery must prune on ``field`` at the
+    parquet scan (PushedFilters), not post-filter — at 100 TB each
+    combined field costs ONE pruned norms column read, the Lucene
+    norms-file analog."""
+    from pyspark.sql import functions as F
+
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import read_norms
+
+    mf = load_manifest(cfx)
+    df = read_norms(spark, cfx, mf).filter(F.col("field") == 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(field,1)" in plan.split("PushedFilters", 1)[1][:120]
+
+
 def test_validation():
     with pytest.raises(QueryParseError):
         CombinedTermQuery((), "spark")
