@@ -74,7 +74,9 @@ from .query.parser import (
     BlendedTermQuery,
     BooleanQuery,
     BoostingQuery,
+    CombinedTermQuery,
     DisMaxQuery,
+    SpanOrQuery,
     ExistsQuery,
     FuzzyQuery,
     KeywordQuery,
@@ -269,6 +271,20 @@ def _strip_boosting(q):
         return _strip_boosting(q.positive)
     if isinstance(q, BlendedTermQuery):
         kids = [TermQuery(fid, term) for fid, term, _ in q.pairs]
+        if len(kids) == 1:
+            return kids[0]
+        return BooleanQuery([(SHOULD, k) for k in kids])
+    if isinstance(q, CombinedTermQuery):
+        # combined_fields membership = the term in ANY listed field
+        # (weights/pseudo-stats change scores, not the match set)
+        kids = [TermQuery(fid, q.term) for fid, _ in q.fields]
+        if len(kids) == 1:
+            return kids[0]
+        return BooleanQuery([(SHOULD, k) for k in kids])
+    if isinstance(q, SpanOrQuery):
+        # span_or membership = ANY clause term present (the summed-tf
+        # scoring changes scores, not the match set)
+        kids = [TermQuery(q.field_id, t) for t in dict.fromkeys(q.terms)]
         if len(kids) == 1:
             return kids[0]
         return BooleanQuery([(SHOULD, k) for k in kids])

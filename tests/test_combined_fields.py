@@ -181,6 +181,23 @@ def test_absent_everywhere_and_explain(spark, cfx):
     assert {f["field"] for f in ex["detail"]["fields"]} == {0, 1}
 
 
+def test_percolation_membership_identity(spark):
+    """Percolation normalizes a combined_fields leaf to the OR of its
+    per-field terms (pseudo-stats change scores, not membership)."""
+    from ostrich_spark.percolate import percolate, register_queries
+
+    schema = _schema()
+    docs = spark.createDataFrame(
+        [(d["doc_id"], d["title"], d["body"]) for d in DOCS],
+        "doc_key long, title string, body string",
+    )
+    q = _q("spark merge", {"title": 1.0, "body": 2.0}, operator="and")
+    pq = register_queries({"cf": q}, schema)
+    got = {r["doc_key"] for r in percolate(spark, docs, pq, schema,
+                                           id_col="doc_key").collect()}
+    assert got == {1}  # the only doc holding both terms in some field
+
+
 def test_norms_scan_pushdown(spark, cfx):
     """The per-field norms delivery must prune on ``field`` at the
     parquet scan (PushedFilters), not post-filter — at 100 TB each

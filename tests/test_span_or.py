@@ -116,6 +116,23 @@ def test_duplicate_terms_dedupe(spark, sox):
     assert got == want
 
 
+def test_percolation_membership_identity(spark):
+    """Percolation normalizes span_or to the OR of its terms (summed-tf
+    scoring changes scores, not membership)."""
+    from ostrich_spark.percolate import percolate, register_queries
+    from ostrich_spark.schema import Schema
+
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in DOCS], "doc_key long, text string"
+    )
+    pq = register_queries({"so": SpanOrQuery(0, ("fast", "plan"))}, schema)
+    got = {r["doc_key"] for r in percolate(spark, docs, pq, schema,
+                                           id_col="doc_key").collect()}
+    assert got == {0, 1, 2}  # fast in 0/1, plan in 2
+
+
 def test_validation():
     with pytest.raises(QueryParseError):
         SpanOrQuery(0, ())
