@@ -181,6 +181,30 @@ def test_absent_everywhere_and_explain(spark, cfx):
     assert {f["field"] for f in ex["detail"]["fields"]} == {0, 1}
 
 
+def test_batched_row_identity(spark, cfx):
+    """Batched search_many runs combined_fields in one job with the
+    shared aux rid namespace: the norms deliveries of BOTH queries
+    coexist without collision, rows identical to the single path."""
+    from ostrich_spark.query.exec import search_many
+
+    qs = {
+        "cf1": _q("spark", {"title": 1.0, "body": 2.0}),
+        "cf2": _q("merge", {"title": 1.0, "body": 1.0}),
+    }
+    batched = search_many(spark, cfx, qs, limit=None, scorer="bm25")
+    for qid, q in qs.items():
+        single, _ = search(spark, cfx, q, limit=None, scorer="bm25")
+        want = {
+            (r["segment_id"], r["doc"], round(r["score"], 9))
+            for r in single.collect()
+        }
+        got = {
+            (r["segment_id"], r["doc"], round(r["score"], 9))
+            for r in batched.filter(batched.query_id == qid).collect()
+        }
+        assert got == want, qid
+
+
 def test_percolation_membership_identity(spark):
     """Percolation normalizes a combined_fields leaf to the OR of its
     per-field terms (pseudo-stats change scores, not membership)."""

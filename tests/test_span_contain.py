@@ -155,6 +155,31 @@ def test_little_wider_than_big_and_absent_terms(spark, scx):
     assert _hits(spark, scx, SpanWithinQuery(0, ("zzz", "stream"), "stream")) == {}
 
 
+def test_batched_row_identity(spark, scx):
+    """search_many evaluates the span family in ONE job, row-identical
+    per query to the individual path (shared rid namespace, one scan)."""
+    from ostrich_spark.query.exec import search_many
+    from ostrich_spark.query.parser import SpanOrQuery
+
+    qs = {
+        "containing": SpanContainingQuery(0, BIG, "stream"),
+        "within": SpanWithinQuery(0, BIG, "stream"),
+        "union": SpanOrQuery(0, ("fast", "plan")),
+    }
+    batched = search_many(spark, scx, qs, limit=None)
+    for qid, q in qs.items():
+        single, _ = search(spark, scx, q, limit=None)
+        want = {
+            (r["segment_id"], r["doc"], round(r["score"], 9))
+            for r in single.collect()
+        }
+        got = {
+            (r["segment_id"], r["doc"], round(r["score"], 9))
+            for r in batched.filter(batched.query_id == qid).collect()
+        }
+        assert got == want, qid
+
+
 def test_explain_and_validation(spark, scx):
     res, _ = search(spark, scx, SpanContainingQuery(0, BIG, "stream"), limit=1)
     row = res.collect()[0]
