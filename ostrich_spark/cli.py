@@ -281,11 +281,13 @@ def cmd_search(args) -> int:
         s, so, d = args.after.split(",")
         after = (float(s), int(so), int(d))
     query = args.query
+    if getattr(args, "combined", False) and not getattr(args, "fields", None):
+        raise SystemExit("--combined needs --fields F1,F2[^w]")
     if getattr(args, "fields", None):
-        # multi-field dismax: parse the text once per field, combine
-        # max + tie*rest (MultiFieldQueryParser analog)
+        # multi-field: dismax per field (MultiFieldQueryParser analog),
+        # or term-centric BM25F with --combined (ES combined_fields)
         from .manifest import load_manifest
-        from .query.parser import parse_multi_field
+        from .query.parser import parse_combined_fields, parse_multi_field
 
         if mf is None:  # --at pins the manifest (and its schema) above
             mf = load_manifest(args.path)
@@ -296,7 +298,12 @@ def cmd_search(args) -> int:
                 boosts[name] = float(b)
             else:
                 boosts[f] = 1.0
-        query = parse_multi_field(args.query, mf.schema, boosts, args.tie)
+        if getattr(args, "combined", False):
+            if args.tie:
+                raise SystemExit("--tie is dismax-only; not valid with --combined")
+            query = parse_combined_fields(args.query, mf.schema, boosts)
+        else:
+            query = parse_multi_field(args.query, mf.schema, boosts, args.tie)
     if getattr(args, "terms", None):
         # --terms field=v1,v2 → non-scoring FILTER TermsQuery (the ES
         # terms-filter shape): one docmap scan per flag, any set size
@@ -1693,6 +1700,12 @@ def main(argv=None) -> int:
     )
     s.add_argument("--tie", type=float, default=0.0,
                    help="with --fields: dismax tie_breaker in [0,1]")
+    s.add_argument(
+        "--combined", action="store_true",
+        help="with --fields: term-centric combined_fields (BM25F "
+        "pseudo-field — weighted tf/length sums, max-df) instead of "
+        "per-field dismax; weights must be >= 1",
+    )
     s.add_argument(
         "--terms",
         metavar="FIELD=V1,V2",

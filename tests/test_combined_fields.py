@@ -238,6 +238,30 @@ def test_norms_scan_pushdown(spark, cfx):
     assert "EqualTo(field,1)" in plan.split("PushedFilters", 1)[1][:120]
 
 
+def test_cli_combined_fields(spark, cfx):
+    """CLI --fields title,body^2 --combined drives the BM25F path; top
+    hit's score matches the engine; --combined without --fields and
+    --tie with --combined refuse loudly."""
+    import subprocess
+    import sys as _sys
+
+    run = lambda extra: subprocess.run(
+        [_sys.executable, "-m", "ostrich_spark", "search", "spark",
+         "-p", cfx, "--scorer", "bm25", "-l", "5"] + extra,
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    out = run(["--fields", "title,body^2", "--combined"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = [l for l in out.stdout.splitlines()
+            if "/" in l and not l.startswith("elapsed")]
+    assert len(hits) == 3
+    top_cli = float(hits[0].split()[1])
+    want = max(_combined_expected("spark", {"title": 1.0, "body": 2.0}).values())
+    assert top_cli == pytest.approx(want, rel=1e-6)
+    assert run(["--combined"]).returncode != 0
+    assert run(["--fields", "title,body", "--combined", "--tie", "0.3"]).returncode != 0
+
+
 def test_validation():
     with pytest.raises(QueryParseError):
         CombinedTermQuery((), "spark")
