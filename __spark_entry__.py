@@ -432,6 +432,28 @@ def _q_eng_span_within(spark, sf_dir):
     )
 
 
+def _q_eng_const_score(spark, sf_dir):
+    """constant_score (ES constant_score / Lucene ConstantScoreQuery):
+    the category-boost shape — docs matching (spark OR join) stamp a
+    constant 2.5, SHOULD-composed beside organic tfidf for 'stream';
+    tf differences inside the wrapped set must vanish."""
+    from ostrich_spark.query.parser import (
+        SHOULD,
+        BooleanQuery,
+        ConstantScoreQuery,
+        TermQuery,
+    )
+
+    logical = BooleanQuery([
+        (SHOULD, ConstantScoreQuery(
+            BooleanQuery.union(TermQuery(0, "spark"), TermQuery(0, "join")),
+            2.5,
+        )),
+        (SHOULD, TermQuery(0, "stream")),
+    ])
+    return _engine_matches(spark, sf_dir, None, logical=logical)
+
+
 def _q_eng_date_range(spark, sf_dir):
     """Date range query (ES date type): tfidf term score + 1.0 constant
     from an ISO day-bounded range with ES date-math rounding — the
@@ -3568,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_combined_fields": _q_eng_combined_fields,
         "eng_span_or": _q_eng_span_or,
         "eng_span_within": _q_eng_span_within,
+        "eng_const_score": _q_eng_const_score,
         "eng_rare_terms": _q_eng_rare_terms,
         "eng_adjacency": _q_eng_adjacency,
         "eng_facet_wavg": _q_eng_facet_wavg,
@@ -4086,6 +4109,19 @@ def oracle_sql() -> dict[str, str]:
             "(1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT df FROM dh)))) "
             "+ 2.0 * (1.0 + ln((SELECT n FROM n) / (1.0 + (SELECT df FROM dj))))"
             "), 6) AS score FROM m"
+        ),
+        # constant_score: (spark OR join) membership stamps 2.5 (tf
+        # vanishes), SHOULD-summed with organic tfidf for 'stream'
+        "eng_const_score": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "c AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'join')), "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) "
+            "/ (1.0 + d.df))) AS sc FROM tf t JOIN df d USING(term) "
+            "WHERE t.term = 'stream') "
+            "SELECT coalesce(c.doc_id, s.doc_id) AS doc_id, "
+            "round(CASE WHEN c.doc_id IS NOT NULL THEN 2.5 ELSE 0.0 END "
+            "+ coalesce(s.sc, 0.0), 6) AS score "
+            "FROM c FULL OUTER JOIN s ON c.doc_id = s.doc_id"
         ),
         # extended_stats: population variance/std + sigma bounds
         "eng_ext_stats": (

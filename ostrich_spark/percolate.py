@@ -75,6 +75,7 @@ from .query.parser import (
     BooleanQuery,
     BoostingQuery,
     CombinedTermQuery,
+    ConstantScoreQuery,
     DisMaxQuery,
     SpanOrQuery,
     ExistsQuery,
@@ -269,6 +270,10 @@ def _strip_boosting(q):
     membership."""
     if isinstance(q, BoostingQuery):
         return _strip_boosting(q.positive)
+    if isinstance(q, ConstantScoreQuery):
+        # constant_score membership IS its inner query's (the stamp
+        # changes scores, never the set)
+        return _strip_boosting(q.query)
     if isinstance(q, BlendedTermQuery):
         kids = [TermQuery(fid, term) for fid, term, _ in q.pairs]
         if len(kids) == 1:

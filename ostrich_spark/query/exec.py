@@ -531,6 +531,11 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         return pdocs, score_postings(
             ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
         )
+    if kind == "const_score":
+        # ES constant_score / Lucene ConstantScoreQuery: the base's
+        # match set at a stamped constant — inner scores discarded
+        bd, _ = eval_node(wire["base"], term_data, max_doc, scorer, aux)
+        return bd, np.full(len(bd), float(wire["score"]), dtype=np.float64)
     if kind == "span_contain":
         # Lucene SpanContaining/SpanWithinQuery over fixed-width exact
         # spans: a big span [s, s+kb-1] contains a little span iff some
@@ -5907,6 +5912,8 @@ def explain(
             out["detail"] = {"m": w["m"]}
         elif w["kind"] == "boosting":
             out["detail"] = {"negative_boost": w["nb"]}
+        elif w["kind"] == "const_score":
+            out["detail"] = {"const_score": w["score"]}
         kids = []
         for key in ("base", "exclude", "filt", "must", "should", "demote"):
             if key in w and w[key] is not None:

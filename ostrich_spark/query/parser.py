@@ -443,6 +443,33 @@ class RangeQuery:
 
 
 @dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Wrap ANY scoring query so every match scores exactly ``boost`` —
+    the ES ``constant_score`` / Lucene ConstantScoreQuery analog
+    (EXTENSION, programmatic). Distinct from the FILTER occur (which
+    contributes 0.0): constant_score keeps the match set AND stamps a
+    chosen constant, the "category boost" shape (e.g. SHOULD-compose a
+    constant 2.0 for docs matching a curated query beside organic
+    relevance). The inner query's scores are computed then discarded —
+    membership only. AllQuery is rejected (it already scores a constant
+    1.0 everywhere; wrapping it would only rescale a rank-free list).
+    Not WAND-eligible (the wire is not a pure term union)."""
+
+    query: object
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if isinstance(self.query, AllQuery):
+            raise QueryParseError(
+                "constant_score over AllQuery is redundant — every doc "
+                "already scores the same constant; scale offline instead"
+            )
+        if isinstance(self.query, ConstantScoreQuery):
+            # collapse nested wrappers: the outer constant wins
+            object.__setattr__(self, "query", self.query.query)
+
+
+@dataclass(frozen=True)
 class KeywordQuery:
     """Exact match on a keyword doc-value field — EXTENSION (the ES
     ``term`` query on a ``keyword`` field / Lucene TermQuery over a

@@ -32,6 +32,7 @@ from .parser import (
     BooleanQuery,
     BoostingQuery,
     CombinedTermQuery,
+    ConstantScoreQuery,
     SpanContainingQuery,
     SpanOrQuery,
     SpanWithinQuery,
@@ -351,6 +352,16 @@ class CBoosting:
 
 
 @dataclass
+class CConstScore:
+    """Wrapped query's MATCH SET at a stamped constant (ES
+    constant_score / Lucene ConstantScoreQuery): inner scores are
+    discarded, every match reports ``score``."""
+
+    base: object = None
+    score: float = 1.0
+
+
+@dataclass
 class CNot:
     """base minus exclude-matches (MUST_NOT extension). Scores come from
     base alone; exclude only filters."""
@@ -425,6 +436,8 @@ def collect_terms(q) -> list[TermQuery]:
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         return [TermQuery(q.field_id, t) for t in q.big + q.little]
+    if isinstance(q, ConstantScoreQuery):
+        return collect_terms(q.query)
     return []
 
 
@@ -534,6 +547,11 @@ def compile_query(
         return CSpanNot(
             q.field_id, q.term, kept, df, idf, avgdl, q.pre, q.post
         )
+    if isinstance(q, ConstantScoreQuery):
+        base = compile_query(q.query, doc_freqs, total_docs, field_avgdl, scorer)
+        if isinstance(base, CEmpty):
+            return CEmpty()
+        return CConstScore(base, q.boost)
     if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
         # every constituent term (both sides) must exist: a missing big
         # term means big never matches; a missing little term means
@@ -921,6 +939,12 @@ def to_wire(node) -> dict:
         return {"kind": "must_should", "must": to_wire(node.must), "should": to_wire(node.should)}
     if isinstance(node, CNot):
         return {"kind": "not", "base": to_wire(node.base), "exclude": to_wire(node.exclude)}
+    if isinstance(node, CConstScore):
+        return {
+            "kind": "const_score",
+            "base": to_wire(node.base),
+            "score": node.score,
+        }
     if isinstance(node, CBoosting):
         return {
             "kind": "boosting",
