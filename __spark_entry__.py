@@ -3317,6 +3317,19 @@ def _q_emb_neardup(spark, sf_dir):
     return _longify(neardup_pairs(_emb(spark, sf_dir), threshold=0.35))
 
 
+def _q_text_unigram_nll(spark, sf_dir):
+    """Unigram-LM perplexity-proxy quality scoring (the cheap end of
+    the CCNet/KenLM filter recipe): add-0.5-smoothed unigram model
+    trained on the corpus itself, docs scored by mean negative
+    log-probability + exp(nll). Two linear shuffles (term counts, doc
+    aggregation) + one vocabulary-sized term join — no Python."""
+    from ostrich_spark.textops import unigram_lm, unigram_nll
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    model, unk = unigram_lm(docs)
+    return _longify(unigram_nll(docs, model, unk))
+
+
 def _q_bpe_counts(spark, sf_dir):
     from ostrich_spark.textops import bpe_token_counts
 
@@ -3680,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_pairs": _q_emb_neardup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "text_bpe_counts": _q_bpe_counts,
+        "text_unigram_nll": _q_text_unigram_nll,
         "text_bpe_real": _q_bpe_real,
         "mm_binary_meta": _q_mm_meta,
         "mm_decode_features": _q_mm_decode,
@@ -5452,6 +5466,20 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(text, "
             "'''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')) AS n_bpe_tokens "
             "FROM documents"
+        ),
+        # unigram-LM NLL: add-0.5 smoothing over corpus totals; the
+        # model-train and scoring corpora are the same, so every token
+        # is in-vocabulary and the join is effectively inner
+        "text_unigram_nll": (
+            f"WITH {TOKS_CTE}, "
+            "c AS (SELECT term, count(*) AS c FROM toks GROUP BY term), "
+            "t AS (SELECT sum(c) * 1.0 AS T, count(*) * 1.0 AS V FROM c), "
+            "m AS (SELECT term, ln((c + 0.5) / "
+            "((SELECT T FROM t) + 0.5 * (SELECT V FROM t))) AS logp FROM c) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "round(avg(-logp), 6) AS nll, "
+            "round(exp(avg(-logp)), 6) AS ppl "
+            "FROM toks JOIN m USING(term) GROUP BY doc_id"
         ),
         "text_bpe_real": _bpe_real_oracle(),
         "mm_decode_real": (

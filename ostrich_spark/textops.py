@@ -79,6 +79,67 @@ def bpe_token_counts(df, text_col="text"):
     )
 
 
+def unigram_lm(df, text_col="text", alpha: float = 0.5):
+    """Train an add-``alpha`` smoothed unigram language model over the
+    corpus — the cheap end of the CCNet/KenLM perplexity-filter recipe,
+    vocabulary-free to ship (the model IS a DataFrame).
+
+    Returns ``(model_df, unk_logp)``: ``model_df`` is (term, logp) with
+    logp = ln((count + alpha) / (T + alpha * V)) over corpus totals
+    T = token count, V = vocab size; ``unk_logp`` = ln(alpha / (T +
+    alpha * V)) scores tokens unseen at training time (scoring a
+    DIFFERENT corpus than the model was trained on).
+
+    Scale posture: one explode + one partial-aggregated groupBy(term) —
+    the same linear token shuffle as the dedup signatures; T/V is a
+    single-row collect. The model table is vocabulary-sized parquet-able
+    data, joined (not broadcast) at scoring time."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha}) — zero-count "
+                         f"smoothing is what makes unseen tokens scoreable")
+    toks = df.select(F.explode(tokens_col(text_col)).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("T"), F.count("*").alias("V")
+    ).collect()[0]
+    t_total, vocab = int(tot["T"] or 0), int(tot["V"] or 0)
+    if not vocab:
+        raise ValueError("unigram_lm over an empty corpus")
+    denom = float(t_total) + alpha * float(vocab)
+    import math
+
+    model = counts.select(
+        "term",
+        F.log((F.col("c") + F.lit(float(alpha))) / F.lit(denom)).alias("logp"),
+    )
+    return model, math.log(alpha / denom)
+
+
+def unigram_nll(df, model, unk_logp: float, text_col="text"):
+    """Score docs against a :func:`unigram_lm` model: (doc_id, n_tokens,
+    nll, ppl) where nll = mean negative log-probability (nats) and
+    ppl = exp(nll) — the perplexity-proxy quality signal (gibberish and
+    off-distribution docs score high; the classic pretrain filter keeps
+    a middle band). Tokens unseen by the model score ``unk_logp``.
+    Zero-token docs produce no row (no tokens, no likelihood —
+    anti-join them separately if they need a verdict).
+
+    One explode + one term join (linear, vocabulary-sized right side) +
+    one partial-aggregated groupBy(doc_id)."""
+    toks = df.select(
+        "doc_id", F.explode(tokens_col(text_col)).alias("term")
+    )
+    scored = toks.join(model, "term", "left").select(
+        "doc_id",
+        F.coalesce(F.col("logp"), F.lit(float(unk_logp))).alias("logp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(-F.col("logp")), 6).alias("nll"),
+        F.round(F.exp(F.avg(-F.col("logp"))), 6).alias("ppl"),
+    )
+
+
 def quality_scores(df, text_col="text"):
     """Per-doc quality features: token count, distinct ratio, stopword
     ratio, mean token length — standard corpus-filtering signals."""
