@@ -2896,6 +2896,23 @@ def _q_eng_count(spark, sf_dir):
     return spark.createDataFrame([(int(cnt),)], "n_matches long")
 
 
+def _q_dedup_lines(spark, sf_dir):
+    """Corpus-level exact-line dedup (RefinedWeb/C4 boilerplate removal):
+    a synthetic 3-line doc (text + a constant footer + the source tag)
+    so the hot-line rule does real work — the footer drops from EVERY
+    doc, source-tag lines drop (each source names many docs), and text
+    lines drop exactly for the corpus's duplicated docs."""
+    from ostrich_spark.dedup import dedup_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n", "text", F.lit("-- corpus footer --"), "source"
+        ).alias("text"),
+    )
+    return _longify(dedup_lines(docs))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from ostrich_spark.dedup import exact_dups
 
@@ -3665,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_update_purged": _q_eng_update_purged,
         "eng_c3_count": _q_eng_count,
         "dedup_exact": _q_dedup_exact,
+        "dedup_lines": _q_dedup_lines,
         "dedup_minhash_sigs": _q_minhash_sigs,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
@@ -5093,6 +5111,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT sha256(text) AS content_sha256, count(*) AS dup_count, "
             "min(doc_id) AS keeper FROM documents GROUP BY sha256(text)"
+        ),
+        # corpus-level line dedup: lines in > 1 distinct docs drop from
+        # every doc; blank lines never count and always survive; the
+        # ORDER BY pos inside string_agg rebuilds original line order
+        "dedup_lines": (
+            "WITH d2 AS (SELECT doc_id, text || chr(10) || "
+            "'-- corpus footer --' || chr(10) || source AS t FROM documents), "
+            "sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2), "
+            "l AS (SELECT doc_id, unnest(range(len(ls))) AS pos, "
+            "unnest(ls) AS ln FROM sp), "
+            "hot AS (SELECT ln FROM (SELECT ln, count(DISTINCT doc_id) AS c "
+            "FROM l WHERE trim(ln) <> '' GROUP BY ln) WHERE c > 1), "
+            "k AS (SELECT doc_id, pos, ln, (trim(ln) = '' OR "
+            "ln NOT IN (SELECT ln FROM hot)) AS keep FROM l) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(ln, chr(10) ORDER BY pos) "
+            "FILTER (WHERE keep), '') AS text, "
+            "count(*) FILTER (WHERE keep) AS n_kept, "
+            "count(*) FILTER (WHERE NOT keep) AS n_dropped "
+            "FROM k GROUP BY doc_id"
         ),
         "dedup_minhash_sigs": (
             f"WITH {TOKS_CTE}, {MH_CTE}, dt AS (SELECT DISTINCT doc_id, term FROM toks), "

@@ -81,6 +81,62 @@ def exact_dups(df, text_col="text"):
     )
 
 
+def dedup_lines(df, text_col="text", max_line_df: int = 1, id_col="doc_id"):
+    """Corpus-level exact-line deduplication — the RefinedWeb / C4-class
+    boilerplate-removal op: a (raw, byte-exact) line appearing in MORE
+    than ``max_line_df`` distinct docs is removed from EVERY doc (the
+    repeated header/footer/nav rule; this is the remove-everywhere
+    variant — deterministic and order-free, unlike keep-first). Blank
+    lines (whitespace-only) are structure, not boilerplate: they never
+    count and are always kept. Docs keep their row even when every line
+    drops (text becomes '').
+
+    Returns (id_col, text, n_kept, n_dropped).
+
+    Scale posture: posexplode -> one partial-aggregated two-level
+    groupBy(line) for the distinct-doc counts (hot-line set is
+    boilerplate-sized, but delivered by JOIN, not broadcast — at web
+    scale the hot set can be millions of lines) -> left join + one
+    groupBy(doc) rebuild via sort_array(collect_list(struct(pos, line)))
+    (NOT orderBy-then-collect_list, which Spark does not guarantee)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
+    )
+    hot = (
+        lines.filter(F.trim("ln") != "")
+        .groupBy("ln")
+        .agg(F.countDistinct(id_col).alias("line_df"))
+        .filter(F.col("line_df") > int(max_line_df))
+        .select("ln", F.lit(True).alias("_hot"))
+    )
+    tagged = lines.join(hot, "ln", "left")
+    kept = tagged.withColumn(
+        "_keep", (F.trim("ln") == "") | F.col("_hot").isNull()
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(F.col("pos"), F.col("ln")),
+                        )
+                    )
+                ),
+                lambda x: x["ln"],
+            ),
+        ).alias(text_col),
+        F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+        F.sum((~F.col("_keep")).cast("long")).alias("n_dropped"),
+    )
+    # a doc whose every line dropped still aggregated (collect_list of
+    # NULL whens is empty -> ''), so no doc vanishes; no back-join needed
+    return rebuilt
+
+
 def _token_ids(df, text_col="text"):
     """(doc_id, tid) pairs over the DISTINCT tokens of each doc. tid is
     computed in-place from sha256(term) — zero shuffles, zero joins."""
