@@ -279,6 +279,9 @@ def main():
         # first run builds the 2-generation stream (cached dir); best-of-3
         # keeps the warm searches like every other entry
         ("stream_search", em.queries()["eng_stream_search"]),
+        ("text_unigram_nll", em.queries()["text_unigram_nll"]),
+        # rebuilt text is corpus-sized: count(), like chunks/scrub
+        ("dedup_lines", em.queries()["dedup_lines"]),
         ("text_chunks", em.queries()["text_chunks"]),
         ("scrub_pii", em.queries()["scrub_pii"]),
         ("sample_stratified", em.queries()["sample_stratified"]),
@@ -288,7 +291,7 @@ def main():
             t0 = time.time()
             # text-heavy ops (chunks/scrub) would ship the whole corpus text
             # to the driver under collect() — time the compute via count()
-            if name in ("text_chunks", "scrub_pii"):
+            if name in ("text_chunks", "scrub_pii", "dedup_lines"):
                 fn(spark, SF_DIR).count()
             else:
                 fn(spark, SF_DIR).collect()

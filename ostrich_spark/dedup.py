@@ -110,9 +110,21 @@ def dedup_lines(df, text_col="text", max_line_df: int = 1, id_col="doc_id"):
         .filter(F.col("line_df") > int(max_line_df))
         .select("ln", F.lit(True).alias("_hot"))
     )
-    tagged = lines.join(hot, "ln", "left")
-    kept = tagged.withColumn(
-        "_keep", (F.trim("ln") == "") | F.col("_hot").isNull()
+    # blank lines never join: they are all identical strings, so sending
+    # them through a join keyed by line content would funnel every blank
+    # in the corpus into ONE shuffle partition. They are kept by rule,
+    # so they bypass the join entirely. Hot non-blank keys (a footer in
+    # 10^9 docs) still skew the probe side — AQE's skew-join splitting
+    # handles that (the hot set is the small side); keep AQE on.
+    blank = F.trim("ln") == ""
+    kept = (
+        lines.filter(blank).withColumn("_keep", F.lit(True))
+        .unionByName(
+            lines.filter(~blank)
+            .join(hot, "ln", "left")
+            .withColumn("_keep", F.col("_hot").isNull())
+            .drop("_hot")
+        )
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
