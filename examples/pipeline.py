@@ -5,6 +5,8 @@ Chains every plane of the engine on one corpus:
   1. ingest    — sources.load_source_tree (binaryFile scan -> corpus shape)
   2. quality   — textops.quality_scores + repetition_scores filters
   3. scrub     — textops.scrub_pii redaction
+  3b. boilerplate — dedup.dedup_lines corpus-level exact-line removal
+  3c. perplexity  — textops.unigram_lm/unigram_nll quality band
   4. dedup     — dedup.dup_clusters (MinHash-LSH -> components), keep keepers
   5. sample    — sampling.stratified_hash_sample by language
   6. chunk     — textops.chunk_tokens into training windows
@@ -34,10 +36,11 @@ from pyspark.sql import SparkSession, functions as F
 
 def make_demo_tree(root: str) -> None:
     os.makedirs(f"{root}/src", exist_ok=True)
+    footer = "# autogen: build-bot v1\n"
     files = {
-        "src/engine.py": "def merge_policy(segments):\n    return sorted(segments)\n" * 3,
-        "src/engine_copy.py": "def merge_policy(segments):\n    return sorted(segments)\n" * 3,
-        "src/query.go": "package query\nfunc Search(term string) {}\n",
+        "src/engine.py": "def merge_policy(segments):\n    return sorted(segments)\n" * 3 + footer,
+        "src/engine_copy.py": "def merge_policy(segments):\n    return sorted(segments)\n" * 3 + footer,
+        "src/query.go": "package query\nfunc Search(term string) {}\n" + footer,
         "src/spam.txt": "buy buy buy buy buy buy buy buy buy buy buy buy\n",
         "src/notes.md": "indexing notes: postings are delta packed, contact admin@example.com\n",
     }
@@ -84,6 +87,31 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
         scrub_pii(keep_q).agg(F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_hex_secret")))
         .collect()[0][0] or 0
     )
+
+    # 3b. corpus-level boilerplate removal: the build-bot footer lives in
+    # three files -> its line df exceeds max_line_df=2 and it drops from
+    # EVERY doc (the RefinedWeb exact-line rule); the engine.py /
+    # engine_copy.py content lines sit at df=2 and survive
+    from ostrich_spark.dedup import dedup_lines
+
+    cleaned_lines = dedup_lines(scrubbed, max_line_df=2)
+    stats["boilerplate_lines_dropped"] = int(
+        cleaned_lines.agg(F.sum("n_dropped")).collect()[0][0] or 0
+    )
+    scrubbed = scrubbed.drop("text").join(
+        cleaned_lines.select("doc_id", "text"), "doc_id"
+    )
+
+    # 3c. perplexity-proxy quality band: add-alpha unigram LM trained on
+    # the corpus itself, docs scored by mean NLL -> exp(nll); a real
+    # pipeline drops the tails, the demo records the band it would cut on
+    from ostrich_spark.textops import unigram_lm, unigram_nll
+
+    model, unk = unigram_lm(scrubbed)
+    band = unigram_nll(scrubbed, model, unk).agg(
+        F.min("ppl").alias("lo"), F.max("ppl").alias("hi")
+    ).collect()[0]
+    stats["ppl_band"] = (round(band["lo"], 2), round(band["hi"], 2))
 
     # 4. near-dup clustering -> keep one doc per cluster
     clusters = dup_clusters(scrubbed)

@@ -123,6 +123,10 @@ def test_pipeline_example_end_to_end(tmp_path):
     assert got["ingested"] == "5"
     assert got["after_quality"] == "4"      # spam.txt dropped (rep_ratio 1.0)
     assert got["pii_redactions"] == "1"     # the email in notes.md
+    # the build-bot footer lives in 3 files -> line df 3 > max_line_df 2,
+    # dropped from every doc; the engine pair's content lines (df 2) stay
+    assert got["boilerplate_lines_dropped"] == "3"
+    assert got["ppl_band"].startswith("(")  # perplexity band recorded
     assert got["after_dedup"] == "3"        # engine.py/engine_copy.py collapsed
     assert got["chunks"] == "3"
     assert "engine" in got["top_hits"] and "notes.md" in got["top_hits"]
