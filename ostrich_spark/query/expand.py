@@ -38,6 +38,7 @@ import os
 from .parser import (
     BooleanQuery,
     BoostingQuery,
+    ConstantScoreQuery,
     DisMaxQuery,
     EmptyQuery,
     FuzzyQuery,
@@ -621,6 +622,8 @@ def has_multiterm(q) -> bool:
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
                       PhrasePrefixQuery)):
         return True
+    if isinstance(q, ConstantScoreQuery):
+        return has_multiterm(q.query)
     if isinstance(q, BooleanQuery):
         return any(has_multiterm(sub) for _, sub in q.subqueries)
     if isinstance(q, DisMaxQuery):
@@ -682,6 +685,10 @@ def rewrite_multiterm(spark, index_dir: str, manifest, q):
             q.max_expansions if q.max_expansions is not None else DEFAULT_PREFIX_EXPANSIONS,
         )
         return _union_of(q.field_id, terms, q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(
+            rewrite_multiterm(spark, index_dir, manifest, q.query), q.boost
+        )
     if isinstance(q, BooleanQuery):
         return BooleanQuery(
             [

@@ -89,6 +89,18 @@ def test_empty_inner_nested_collapse_and_all_rejected(spark, csx):
         ConstantScoreQuery(AllQuery(), 2.0)
 
 
+def test_multiterm_inner_expands(spark, csx):
+    """A prefix inside constant_score expands against the dictionary
+    like anywhere else (the has_multiterm/rewrite recursion), then the
+    whole expanded union stamps the constant."""
+    from ostrich_spark.query.parser import PrefixQuery
+
+    got = _hits(spark, csx, ConstantScoreQuery(PrefixQuery(0, "sp"), 7.0))
+    want = _hits(spark, csx, PrefixQuery(0, "sp"))
+    assert set(got) == set(want) == {0, 1}
+    assert all(s == 7.0 for s in got.values())
+
+
 def test_batched_explain_percolate(spark, csx):
     q = ConstantScoreQuery(TermQuery(0, "join"), 4.0)
     batched = search_many(spark, csx, {"c": q}, limit=None)
