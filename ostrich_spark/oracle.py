@@ -29,9 +29,14 @@ from .query.parser import (
     BlendedTermQuery,
     BooleanQuery,
     BoostingQuery,
+    CombinedTermQuery,
+    ConstantScoreQuery,
     DisMaxQuery,
     EmptyQuery,
     PhraseQuery,
+    SpanContainingQuery,
+    SpanOrQuery,
+    SpanWithinQuery,
     TermQuery,
     parse_query,
     MUST,
@@ -134,6 +139,121 @@ class OracleIndex:
                 else:
                     dl = float(self.doc_len[(d, q.field_id)])
                     out[d] = idf_sum * (tff * (K1 + 1.0)) / (
+                        tff + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+            return out
+        if isinstance(q, ConstantScoreQuery):
+            # membership only; inner scores discarded
+            return {d: q.boost for d in self._eval(q.query, scorer)}
+        if isinstance(q, SpanOrQuery):
+            # tf = TOTAL occurrences of any clause term; idf = sum of
+            # the PRESENT clauses' idfs (lowering-order parity: dedupe
+            # preserving first occurrence, absent terms dropped)
+            kept = [
+                t for t in dict.fromkeys(q.terms)
+                if self.doc_freq(q.field_id, t) > 0
+            ]
+            if not kept:
+                return {}
+            idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+            idf = sum(
+                idf_fn(self.n_docs, self.doc_freq(q.field_id, t)) for t in kept
+            ) * q.boost
+            tf_u: dict[int, float] = {}
+            for t in kept:  # term order, matching the engine's scatter
+                for d, tf in self.postings[(q.field_id, t)].items():
+                    tf_u[d] = tf_u.get(d, 0.0) + float(tf)
+            out = {}
+            avgdl = self.avgdl(q.field_id)
+            for d, tff in tf_u.items():
+                if scorer == SCORER_TFIDF:
+                    out[d] = tff * idf
+                else:
+                    dl = float(self.doc_len[(d, q.field_id)])
+                    out[d] = idf * (tff * (K1 + 1.0)) / (
+                        tff + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+            return out
+        if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
+            # fixed-width exact spans: big [s, s+kb-1] holds a little
+            # span iff a little start lies in [s, s+kb-kl]; containing
+            # emits big spans, within emits covered little spans; idf =
+            # sum over big+little terms in that order (both sides)
+            kb, kl = len(q.big), len(q.little)
+            idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+            idf_sum = 0.0
+            for t in q.big + q.little:
+                df = self.doc_freq(q.field_id, t)
+                if df == 0:
+                    return {}
+                idf_sum += idf_fn(self.n_docs, df)
+            if kb < kl:
+                return {}
+            idf_sum *= q.boost
+
+            def chain_starts(terms, d):
+                p0 = self.positions.get((q.field_id, terms[0]), {}).get(d, [])
+                return [
+                    s for s in p0
+                    if all(
+                        s + i in set(
+                            self.positions.get((q.field_id, terms[i]), {}).get(d, [])
+                        )
+                        for i in range(1, len(terms))
+                    )
+                ]
+
+            cand = set(self.postings.get((q.field_id, q.big[0]), {}))
+            out = {}
+            avgdl = self.avgdl(q.field_id)
+            emit_big = isinstance(q, SpanContainingQuery)
+            for d in cand:
+                bs = chain_starts(q.big, d)
+                ls = chain_starts(q.little, d)
+                if not bs or not ls:
+                    continue
+                if emit_big:
+                    tf = sum(1 for s in bs if any(s <= x <= s + kb - kl for x in ls))
+                else:
+                    tf = sum(1 for x in ls if any(s <= x <= s + kb - kl for s in bs))
+                if not tf:
+                    continue
+                tff = float(tf)
+                if scorer == SCORER_TFIDF:
+                    out[d] = tff * idf_sum
+                else:
+                    dl = float(self.doc_len[(d, q.field_id)])
+                    out[d] = idf_sum * (tff * (K1 + 1.0)) / (
+                        tff + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+            return out
+        if isinstance(q, CombinedTermQuery):
+            # BM25F pseudo-field: tf = weighted per-field tf sum (fields
+            # order), dl = weighted length sum of EVERY listed field,
+            # df = max over fields clipped to N, avgdl = weighted sum
+            per_field = [
+                self.doc_freq(fid, q.term) for fid, _ in q.fields
+            ]
+            if not any(per_field):
+                return {}
+            idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+            df = min(self.n_docs, max(per_field))
+            idf = idf_fn(self.n_docs, df) * q.boost
+            avgdl = sum(w * self.avgdl(fid) for fid, w in q.fields)
+            tf_u: dict[int, float] = {}
+            for fid, w in q.fields:
+                for d, tf in self.postings.get((fid, q.term), {}).items():
+                    tf_u[d] = tf_u.get(d, 0.0) + float(w) * float(tf)
+            out = {}
+            for d, tff in tf_u.items():
+                if scorer == SCORER_TFIDF:
+                    out[d] = tff * idf
+                else:
+                    dl = sum(
+                        w * float(self.doc_len.get((d, fid), 0))
+                        for fid, w in q.fields
+                    )
+                    out[d] = idf * (tff * (K1 + 1.0)) / (
                         tff + K1 * (1.0 - B + B * dl / avgdl)
                     )
             return out
