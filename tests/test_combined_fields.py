@@ -238,6 +238,38 @@ def test_norms_scan_pushdown(spark, cfx):
     assert "EqualTo(field,1)" in plan.split("PushedFilters", 1)[1][:120]
 
 
+def test_alias_bit_identity(spark, cfx, tmp_path_factory):
+    """combined_fields through the multi-index alias: parity-split
+    halves searched with alias-GLOBAL stats (summed df -> max-df over
+    fields, summed field tokens -> pseudo avgdl) score BIT-identical to
+    the single full index — the alias contract extends to BM25F."""
+    from ostrich_spark.query.multi import attach_docmap_multi, search_multi
+
+    halves = []
+    for parity in (0, 1):
+        idx = str(tmp_path_factory.mktemp(f"cfalias{parity}") / "idx")
+        build_index(
+            spark,
+            spark.createDataFrame(
+                pd.DataFrame([d for d in DOCS if d["doc_id"] % 2 == parity])
+            ),
+            _schema(), idx, num_partitions=1,
+            order_col="doc_id", id_cols=["doc_id"],
+        )
+        halves.append(idx)
+    q = _q("spark", {"title": 1.0, "body": 2.0})
+    res = search_multi(spark, halves, q, limit=None, scorer="bm25")[0]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in attach_docmap_multi(spark, halves, res)
+        .select("doc_id", "score").collect()
+    }
+    want = _hits(spark, cfx, q)
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == want[d], d  # bit-identical, not approx
+
+
 def test_cli_combined_fields(spark, cfx):
     """CLI --fields title,body^2 --combined drives the BM25F path; top
     hit's score matches the engine; --combined without --fields and
