@@ -304,6 +304,17 @@ def cmd_search(args) -> int:
             query = parse_combined_fields(args.query, mf.schema, boosts)
         else:
             query = parse_multi_field(args.query, mf.schema, boosts, args.tie)
+    if getattr(args, "lenient", False) and isinstance(query, str):
+        # ES simple_query_string contract for user-facing search boxes:
+        # invalid syntax degrades to its words, never errors
+        from .manifest import load_manifest
+        from .query.parser import parse_query_lenient
+
+        if mf is None:
+            mf = load_manifest(args.path)
+        query = parse_query_lenient(
+            query, mf.schema, default_operator=args.default_operator
+        )
     if getattr(args, "terms", None):
         # --terms field=v1,v2 → non-scoring FILTER TermsQuery (the ES
         # terms-filter shape): one docmap scan per flag, any set size
@@ -1700,6 +1711,11 @@ def main(argv=None) -> int:
     )
     s.add_argument("--tie", type=float, default=0.0,
                    help="with --fields: dismax tie_breaker in [0,1]")
+    s.add_argument(
+        "--lenient", action="store_true",
+        help="never fail on query syntax (ES simple_query_string "
+        "contract): invalid NQL degrades to its plain words",
+    )
     s.add_argument(
         "--combined", action="store_true",
         help="with --fields: term-centric combined_fields (BM25F "

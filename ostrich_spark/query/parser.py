@@ -1608,3 +1608,54 @@ def parse_query(
     return _ast_to_query(
         _Parser(tokens, default_operator).parse_expr(), schema, default_fields
     )
+
+
+# NQL syntax characters stripped by the lenient fallback: grouping,
+# phrases, field separators, boosts, fuzzy/slop, ranges, regex delims
+_SYNTAX_CHARS = str.maketrans({c: " " for c in '()[]{}"^~:/\\*?'})
+
+
+def parse_query_lenient(
+    q: str,
+    schema: Schema,
+    default_fields: list[str] | None = None,
+    default_operator: str = "or",
+):
+    """Never-throw parse for end-user search boxes — the ES
+    ``simple_query_string`` contract (its defining property: "does not
+    return errors for invalid syntax; instead it ignores any invalid
+    parts"). Tries the full NQL grammar first; on ANY QueryParseError
+    the query DEGRADES instead of failing: every syntax character is
+    stripped and the residue parses as plain words over
+    ``default_fields`` (implicit operator, analyzed per field as bare
+    terms always are). A query that strips to nothing matches all docs
+    (parse_query's empty contract). Use parse_query when errors should
+    be loud (APIs, stored percolator subscriptions); use this at the
+    user-facing edge."""
+    try:
+        return parse_query(q, schema, default_fields, default_operator)
+    except QueryParseError:
+        # drop `field:` prefixes of KNOWN schema fields first, so a
+        # degraded `text:"spark join` becomes the words, not the word
+        # 'text' plus the words (unknown prefixes stay — they were
+        # probably content, like a URL scheme)
+        names = [re.escape(fe.name) for fe in schema.fields]
+        stripped = q
+        if names:
+            stripped = re.sub(
+                r"(?<![\w.])(?:" + "|".join(names) + r"):", " ", stripped
+            )
+        stripped = stripped.translate(_SYNTAX_CHARS)
+        # drop dangling boolean keywords so "a AND" degrades to "a",
+        # not another parse error; lowercase or/and are operators too
+        words = [w for w in stripped.split() if w.upper() not in ("AND", "OR")]
+        if not words:
+            return AllQuery()
+        try:
+            return parse_query(
+                " ".join(words), schema, default_fields, default_operator
+            )
+        except QueryParseError:
+            # sanitized words should always parse; if they somehow do
+            # not, match nothing rather than dump the corpus
+            return EmptyQuery()
