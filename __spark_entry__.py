@@ -2913,6 +2913,21 @@ def _q_dedup_lines(spark, sf_dir):
     return _longify(dedup_lines(docs))
 
 
+def _q_dedup_lines_keep_one(spark, sf_dir):
+    """keep_one policy (C4-style deterministic keep-first): exactly one
+    occurrence of each hot line survives — the lexicographically
+    smallest (doc_id, pos); same 3-line synthetic docs as dedup_lines."""
+    from ostrich_spark.dedup import dedup_lines
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n", "text", F.lit("-- corpus footer --"), "source"
+        ).alias("text"),
+    )
+    return _longify(dedup_lines(docs, policy="keep_one"))
+
+
 def _q_dedup_exact(spark, sf_dir):
     from ostrich_spark.dedup import exact_dups
 
@@ -3683,6 +3698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_c3_count": _q_eng_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_lines": _q_dedup_lines,
+        "dedup_lines_keep_one": _q_dedup_lines_keep_one,
         "dedup_minhash_sigs": _q_minhash_sigs,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "dedup_clusters": _q_dedup_clusters,
@@ -5125,6 +5141,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM l WHERE trim(ln) <> '' GROUP BY ln) WHERE c > 1), "
             "k AS (SELECT doc_id, pos, ln, (trim(ln) = '' OR "
             "ln NOT IN (SELECT ln FROM hot)) AS keep FROM l) "
+            "SELECT doc_id, "
+            "coalesce(string_agg(ln, chr(10) ORDER BY pos) "
+            "FILTER (WHERE keep), '') AS text, "
+            "count(*) FILTER (WHERE keep) AS n_kept, "
+            "count(*) FILTER (WHERE NOT keep) AS n_dropped "
+            "FROM k GROUP BY doc_id"
+        ),
+        # keep_one: the smallest (doc_id, pos) occurrence of each hot
+        # line survives (encoded doc_id*100000+pos — pos < 100000 here)
+        "dedup_lines_keep_one": (
+            "WITH d2 AS (SELECT doc_id, text || chr(10) || "
+            "'-- corpus footer --' || chr(10) || source AS t FROM documents), "
+            "sp AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2), "
+            "l AS (SELECT doc_id, unnest(range(len(ls))) AS pos, "
+            "unnest(ls) AS ln FROM sp), "
+            "hot AS (SELECT ln, min(doc_id * 100000 + pos) AS keeper "
+            "FROM l WHERE trim(ln) <> '' GROUP BY ln "
+            "HAVING count(DISTINCT doc_id) > 1), "
+            "k AS (SELECT l.doc_id, l.pos, l.ln, (trim(l.ln) = '' OR "
+            "h.ln IS NULL OR l.doc_id * 100000 + l.pos = h.keeper) AS keep "
+            "FROM l LEFT JOIN hot h USING(ln)) "
             "SELECT doc_id, "
             "coalesce(string_agg(ln, chr(10) ORDER BY pos) "
             "FILTER (WHERE keep), '') AS text, "

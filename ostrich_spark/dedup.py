@@ -81,24 +81,42 @@ def exact_dups(df, text_col="text"):
     )
 
 
-def dedup_lines(df, text_col="text", max_line_df: int = 1, id_col="doc_id"):
+def dedup_lines(
+    df,
+    text_col="text",
+    max_line_df: int = 1,
+    id_col="doc_id",
+    policy: str = "remove_all",
+):
     """Corpus-level exact-line deduplication — the RefinedWeb / C4-class
     boilerplate-removal op: a (raw, byte-exact) line appearing in MORE
-    than ``max_line_df`` distinct docs is removed from EVERY doc (the
-    repeated header/footer/nav rule; this is the remove-everywhere
-    variant — deterministic and order-free, unlike keep-first). Blank
-    lines (whitespace-only) are structure, not boilerplate: they never
-    count and are always kept. Docs keep their row even when every line
-    drops (text becomes '').
+    than ``max_line_df`` distinct docs is a *hot* line. ``policy`` picks
+    what happens to hot lines:
+
+    - ``"remove_all"`` (default): removed from EVERY doc — the repeated
+      header/footer/nav rule (RefinedWeb); order-free.
+    - ``"keep_one"``: exactly ONE occurrence survives — the C4-style
+      keep-first, made deterministic and order-free by electing the
+      keeper as the lexicographically smallest (id, position) occurrence
+      (a second occurrence inside the keeper doc itself also drops).
+
+    Blank lines (whitespace-only) are structure, not boilerplate: they
+    never count and are always kept. Docs keep their row even when every
+    line drops (text becomes '').
 
     Returns (id_col, text, n_kept, n_dropped).
 
     Scale posture: posexplode -> one partial-aggregated two-level
-    groupBy(line) for the distinct-doc counts (hot-line set is
+    groupBy(line) for the distinct-doc counts (+ a min-struct keeper
+    election riding the same agg under keep_one; hot-line set is
     boilerplate-sized, but delivered by JOIN, not broadcast — at web
     scale the hot set can be millions of lines) -> left join + one
     groupBy(doc) rebuild via sort_array(collect_list(struct(pos, line)))
     (NOT orderBy-then-collect_list, which Spark does not guarantee)."""
+    if policy not in ("remove_all", "keep_one"):
+        raise ValueError(
+            f"policy must be 'remove_all' or 'keep_one', got {policy!r}"
+        )
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "ln"),
@@ -106,9 +124,15 @@ def dedup_lines(df, text_col="text", max_line_df: int = 1, id_col="doc_id"):
     hot = (
         lines.filter(F.trim("ln") != "")
         .groupBy("ln")
-        .agg(F.countDistinct(id_col).alias("line_df"))
+        .agg(
+            F.countDistinct(id_col).alias("line_df"),
+            # keeper election (used by keep_one): smallest (id, pos)
+            F.min(
+                F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+            ).alias("_keeper"),
+        )
         .filter(F.col("line_df") > int(max_line_df))
-        .select("ln", F.lit(True).alias("_hot"))
+        .select("ln", F.lit(True).alias("_hot"), "_keeper")
     )
     # blank lines never join: they are all identical strings, so sending
     # them through a join keyed by line content would funnel every blank
@@ -117,13 +141,19 @@ def dedup_lines(df, text_col="text", max_line_df: int = 1, id_col="doc_id"):
     # 10^9 docs) still skew the probe side — AQE's skew-join splitting
     # handles that (the hot set is the small side); keep AQE on.
     blank = F.trim("ln") == ""
+    keep_pred = F.col("_hot").isNull()
+    if policy == "keep_one":
+        keep_pred = keep_pred | (
+            (F.col(id_col) == F.col("_keeper.d"))
+            & (F.col("pos") == F.col("_keeper.p"))
+        )
     kept = (
         lines.filter(blank).withColumn("_keep", F.lit(True))
         .unionByName(
             lines.filter(~blank)
             .join(hot, "ln", "left")
-            .withColumn("_keep", F.col("_hot").isNull())
-            .drop("_hot")
+            .withColumn("_keep", keep_pred)
+            .drop("_hot", "_keeper")
         )
     )
     rebuilt = kept.groupBy(id_col).agg(

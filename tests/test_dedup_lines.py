@@ -53,6 +53,34 @@ def test_max_line_df_threshold(spark, corpus):
         assert got_hi[d["doc_id"]]["text"] == d["text"]
 
 
+def test_keep_one_policy(spark, corpus):
+    """policy='keep_one' (C4-style, deterministic): the smallest
+    (doc_id, pos) occurrence of each hot line survives, every other
+    copy drops — doc 0 holds the keepers for both FOOTER and shared."""
+    got = _run(spark, corpus, policy="keep_one")
+    assert got[0]["text"] == "alpha\nFOOTER\nshared\nbeta"  # keeper doc intact
+    assert got[1]["text"] == "gamma\n\ndelta"
+    assert got[2]["text"] == ""
+    assert got[3]["text"] == "epsilon\nepsilon"  # df=1: untouched
+    assert (got[0]["n_kept"], got[0]["n_dropped"]) == (4, 0)
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (3, 2)
+    assert (got[2]["n_kept"], got[2]["n_dropped"]) == (0, 1)
+
+
+def test_keep_one_within_keeper_doc(spark):
+    """A hot line repeated INSIDE the keeper doc keeps only its first
+    occurrence (the keeper is one (id, pos), not one doc)."""
+    df = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 0, "text": "dup\nmiddle\ndup"},
+        {"doc_id": 1, "text": "dup\nother"},
+    ]))
+    got = _run(spark, df, policy="keep_one")
+    assert got[0]["text"] == "dup\nmiddle"  # second in-doc copy drops
+    assert got[1]["text"] == "other"
+    with pytest.raises(ValueError, match="policy"):
+        _run(spark, df, policy="first")
+
+
 def test_blank_and_single_line_docs(spark):
     df = spark.createDataFrame(pd.DataFrame([
         {"doc_id": 0, "text": ""},
