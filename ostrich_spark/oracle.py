@@ -35,6 +35,9 @@ from .query.parser import (
     EmptyQuery,
     PhraseQuery,
     SpanContainingQuery,
+    SpanFirstQuery,
+    SpanMultiQuery,
+    SpanNotQuery,
     SpanOrQuery,
     SpanWithinQuery,
     TermQuery,
@@ -84,6 +87,61 @@ class OracleIndex:
 
     def avgdl(self, field_id: int) -> float:
         return float(self.field_tokens.get(field_id, 0)) / float(self.n_docs) if self.n_docs else 1.0
+
+    def _expand_multi(self, inner) -> list[str]:
+        """Capped dictionary expansion of a multi-term node over THIS
+        oracle's postings — independent enumeration of the field's
+        terms, but the SAME deterministic cap (expand._cap: df DESC,
+        term ASC) and per-type default caps as the engine."""
+        import re
+
+        from .query.expand import (
+            _cap,
+            _node_cap,
+            damerau_within,
+            levenshtein_within,
+            wildcard_to_regex,
+        )
+        from .query.parser import FuzzyQuery, PrefixQuery, RegexpQuery, WildcardQuery
+
+        cand = sorted({t for (f, t) in self.postings if f == inner.field_id})
+        if isinstance(inner, PrefixQuery):
+            v = inner.prefix.lower()
+            hits = [t for t in cand if t.startswith(v)]
+        elif isinstance(inner, FuzzyQuery):
+            v = inner.term.lower()
+            pre = v[: inner.prefix_length]
+            within = damerau_within if inner.transpositions else levenshtein_within
+            hits = [
+                t for t in cand
+                if t.startswith(pre) and within(t, v, inner.max_dist)
+            ]
+        elif isinstance(inner, WildcardQuery):
+            rx = re.compile(wildcard_to_regex(inner.pattern.lower()))
+            hits = [t for t in cand if rx.fullmatch(t)]
+        elif isinstance(inner, RegexpQuery):
+            rx = re.compile(inner.pattern.lower())
+            hits = [t for t in cand if rx.fullmatch(t)]
+        else:  # pragma: no cover - parser validation forbids this
+            raise TypeError(type(inner).__name__)
+        pairs = [(t, self.doc_freq(inner.field_id, t)) for t in hits]
+        return _cap(pairs, _node_cap(inner))
+
+    def _span_scores(
+        self, tf_u: dict[int, int], idf: float, field_id: int, scorer: str
+    ) -> dict[int, float]:
+        out = {}
+        avgdl = self.avgdl(field_id)
+        for d, tf in tf_u.items():
+            tff = float(tf)
+            if scorer == SCORER_TFIDF:
+                out[d] = tff * idf
+            else:
+                dl = float(self.doc_len[(d, field_id)])
+                out[d] = idf * (tff * (K1 + 1.0)) / (
+                    tff + K1 * (1.0 - B + B * dl / avgdl)
+                )
+        return out
 
     # -- evaluation -> {doc: score} ------------------------------------
 
@@ -174,6 +232,89 @@ class OracleIndex:
                         tff + K1 * (1.0 - B + B * dl / avgdl)
                     )
             return out
+        if isinstance(q, SpanMultiQuery):
+            # standalone span_multi rewrites to SpanOrQuery over the
+            # capped dictionary expansion (Lucene SpanOrTermsRewrite) —
+            # same order and caps as expand._cap (df DESC, term ASC)
+            terms = self._expand_multi(q.inner)
+            if not terms:
+                return {}
+            return self._eval(
+                SpanOrQuery(q.field_id, tuple(terms), q.boost * q.inner.boost),
+                scorer,
+            )
+        if isinstance(q, SpanFirstQuery):
+            # occurrences of ANY include alternative at positions < end;
+            # idf = sum of the PRESENT alternatives' idfs in operand
+            # order (a SpanMultiQuery operand expands first, boosts fold
+            # multiplicatively — expand._resolve_span_multi parity)
+            boost = q.boost
+            term = q.term
+            if isinstance(term, SpanMultiQuery):
+                terms = self._expand_multi(term.inner)
+                if not terms:
+                    return {}
+                boost *= term.boost * term.inner.boost
+                term = tuple(terms)
+            inc = (term,) if isinstance(term, str) else term
+            kept = [t for t in inc if self.doc_freq(q.field_id, t) > 0]
+            if not kept:
+                return {}
+            idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+            idf = sum(
+                idf_fn(self.n_docs, self.doc_freq(q.field_id, t)) for t in kept
+            ) * boost
+            tf_u: dict[int, int] = {}
+            for t in kept:
+                for d, poss in self.positions[(q.field_id, t)].items():
+                    c = sum(1 for p in poss if p < q.end)
+                    if c:
+                        tf_u[d] = tf_u.get(d, 0) + c
+            return self._span_scores(tf_u, idf, q.field_id, scorer)
+        if isinstance(q, SpanNotQuery):
+            # include occurrences (any alternative) at p survive iff no
+            # exclude occurrence q' has p - pre <= q' <= p + post; idf =
+            # sum of the present include alternatives' idfs; exclude
+            # entries carry no stats (SpanMultiQuery excludes expand
+            # into the union, membership-only)
+            boost = q.boost
+            term = q.term
+            if isinstance(term, SpanMultiQuery):
+                terms = self._expand_multi(term.inner)
+                if not terms:
+                    return {}
+                boost *= term.boost * term.inner.boost
+                term = tuple(terms)
+            inc = (term,) if isinstance(term, str) else term
+            kept = [t for t in inc if self.doc_freq(q.field_id, t) > 0]
+            if not kept:
+                return {}
+            excl_terms: list[str] = []
+            for e in q.exclude:
+                if isinstance(e, SpanMultiQuery):
+                    excl_terms.extend(self._expand_multi(e.inner))
+                else:
+                    excl_terms.append(e)
+            excl_terms = list(dict.fromkeys(excl_terms))
+            idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+            idf = sum(
+                idf_fn(self.n_docs, self.doc_freq(q.field_id, t)) for t in kept
+            ) * boost
+            expos: dict[int, list[int]] = {}
+            for t in excl_terms:
+                for d, poss in self.positions.get((q.field_id, t), {}).items():
+                    expos.setdefault(d, []).extend(poss)
+            tf_u: dict[int, int] = {}
+            for t in kept:
+                for d, poss in self.positions[(q.field_id, t)].items():
+                    bad = expos.get(d, ())
+                    c = sum(
+                        1 for p in poss
+                        if not any(p - q.pre <= x <= p + q.post for x in bad)
+                    )
+                    if c:
+                        tf_u[d] = tf_u.get(d, 0) + c
+            return self._span_scores(tf_u, idf, q.field_id, scorer)
         if isinstance(q, (SpanContainingQuery, SpanWithinQuery)):
             # fixed-width exact spans: big [s, s+kb-1] holds a little
             # span iff a little start lies in [s, s+kb-kl]; containing

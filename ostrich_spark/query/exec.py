@@ -414,6 +414,20 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
     return pdocs, score_postings(ptfs, lens_at, wire["idf"], wire["avgdl"], scorer)
 
 
+def _lens_for_docs(doc_parts, len_parts, pdocs):
+    """Field length per doc in ``pdocs`` from per-term (docs, lens)
+    postings fragments. Lengths are a doc property (identical in every
+    term's list), so any fragment carrying the doc serves; the single-
+    fragment fast path is a plain sorted lookup."""
+    if len(doc_parts) == 1:
+        return len_parts[0][np.searchsorted(doc_parts[0], pdocs)]
+    docs = np.concatenate(doc_parts)
+    lens = np.concatenate(len_parts)
+    order = np.argsort(docs, kind="stable")
+    docs, lens = docs[order], lens[order]
+    return lens[np.searchsorted(docs, pdocs)]
+
+
 def eval_near(wire: dict, term_data: dict, scorer: str):
     """Vectorized UNORDERED proximity (NearQuery contract): end position
     q (an occurrence of ANY constituent) matches iff every constituent's
@@ -483,34 +497,55 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         docs, tfs, lens = tp.decode()
         return docs, score_postings(tfs, lens, wire["idf"], wire["avgdl"], scorer)
     if kind == "span_first":
-        # Lucene SpanFirstQuery: the term's occurrences restricted to
-        # positions < end; tf = in-window occurrence count (sloppy freq
-        # of matching spans), scored with the TERM's own idf
-        tp = term_data.get((wire["field"], wire["term"]))
-        if tp is None:
+        # Lucene SpanFirstQuery: occurrences of ANY of the terms (one =
+        # the classic shape; several = spanFirst(spanOr(...)), e.g. a
+        # span_multi expansion) restricted to positions < end; tf =
+        # in-window occurrence count (sloppy freq of matching spans),
+        # scored with the terms' combined idf bound at compile. Distinct
+        # terms never share a (doc, position) slot, so the union
+        # concatenates without double counting.
+        occ_parts, doc_parts, len_parts = [], [], []
+        for t in wire["terms"]:
+            tp = term_data.get((wire["field"], t))
+            if tp is None:
+                continue
+            docs, tfs, lens, pos = tp.decode_with_positions()
+            occ_parts.append(np.repeat(docs, tfs)[pos < np.int64(wire["end"])])
+            doc_parts.append(docs)
+            len_parts.append(lens)
+        if not occ_parts:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        docs, tfs, lens, pos = tp.decode_with_positions()
-        occ_doc = np.repeat(docs, tfs)[pos < np.int64(wire["end"])]
+        occ_doc = np.concatenate(occ_parts) if len(occ_parts) > 1 else occ_parts[0]
         if not len(occ_doc):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         pdocs, ptfs = np.unique(occ_doc, return_counts=True)
-        lens_at = lens[np.searchsorted(docs, pdocs)]
+        lens_at = _lens_for_docs(doc_parts, len_parts, pdocs)
         return pdocs, score_postings(
             ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
         )
     if kind == "span_not":
-        # Lucene SpanNotQuery: include-term occurrences at p survive iff
-        # no exclude-term occurrence q has p - pre <= q <= p + post.
+        # Lucene SpanNotQuery: include occurrences (of ANY include term
+        # — several = spanNot(spanOr(...), ...)) at p survive iff no
+        # exclude-term occurrence q has p - pre <= q <= p + post.
         # doc*BIG+pos encoding turns the per-doc window test into two
         # searchsorted probes against ONE sorted exclude array; clamping
         # the window's low edge at the doc's own position 0 keeps it
         # from leaking into the previous doc's key space (positions are
         # doc-relative and far below BIG, so the high edge never can).
-        tp = term_data.get((wire["field"], wire["term"]))
-        if tp is None:
+        occ_parts, pos_parts, doc_parts, len_parts = [], [], [], []
+        for t in wire["terms"]:
+            tp = term_data.get((wire["field"], t))
+            if tp is None:
+                continue
+            docs, tfs, lens, pos = tp.decode_with_positions()
+            occ_parts.append(np.repeat(docs, tfs))
+            pos_parts.append(pos)
+            doc_parts.append(docs)
+            len_parts.append(lens)
+        if not occ_parts:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-        docs, tfs, lens, pos = tp.decode_with_positions()
-        occ_doc = np.repeat(docs, tfs)
+        occ_doc = np.concatenate(occ_parts) if len(occ_parts) > 1 else occ_parts[0]
+        pos = np.concatenate(pos_parts) if len(pos_parts) > 1 else pos_parts[0]
         BIG = np.int64(1) << np.int64(32)
         excl = []
         for et in wire["excl_terms"]:
@@ -527,7 +562,7 @@ def eval_node(wire: dict, term_data: dict, max_doc: int, scorer: str, aux=None):
         if not len(occ_doc):
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         pdocs, ptfs = np.unique(occ_doc, return_counts=True)
-        lens_at = lens[np.searchsorted(docs, pdocs)]
+        lens_at = _lens_for_docs(doc_parts, len_parts, pdocs)
         return pdocs, score_postings(
             ptfs, lens_at, wire["idf"], wire["avgdl"], scorer
         )
@@ -5863,12 +5898,12 @@ def explain(
             }
         elif w["kind"] == "span_first":
             out["detail"] = {
-                "field": w["field"], "term": w["term"],
+                "field": w["field"], "terms": w["terms"],
                 "doc_freq": w["doc_freq"], "idf": w["idf"], "end": w["end"],
             }
         elif w["kind"] == "span_not":
             out["detail"] = {
-                "field": w["field"], "term": w["term"],
+                "field": w["field"], "terms": w["terms"],
                 "exclude": w["excl_terms"], "doc_freq": w["doc_freq"],
                 "idf": w["idf"], "pre": w["pre"], "post": w["post"],
             }

@@ -48,6 +48,10 @@ from .parser import (
     PhrasePrefixQuery,
     PrefixQuery,
     RegexpQuery,
+    SpanFirstQuery,
+    SpanMultiQuery,
+    SpanNotQuery,
+    SpanOrQuery,
     TermQuery,
     WildcardQuery,
 )
@@ -620,8 +624,14 @@ def expand_regexp(
 
 def has_multiterm(q) -> bool:
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
-                      PhrasePrefixQuery)):
+                      PhrasePrefixQuery, SpanMultiQuery)):
         return True
+    if isinstance(q, SpanFirstQuery):
+        return isinstance(q.term, SpanMultiQuery)
+    if isinstance(q, SpanNotQuery):
+        return isinstance(q.term, SpanMultiQuery) or any(
+            isinstance(e, SpanMultiQuery) for e in q.exclude
+        )
     if isinstance(q, ConstantScoreQuery):
         return has_multiterm(q.query)
     if isinstance(q, BooleanQuery):
@@ -641,12 +651,84 @@ def _union_of(field_id: int, terms: list[str], boost: float = 1.0):
     return BooleanQuery.union(*[TermQuery(field_id, t, boost) for t in terms])
 
 
+def _resolve_span_multi(q, expand_fn):
+    """Resolve SpanMultiQuery nodes inside the span family into plain
+    term tuples via ``expand_fn(SpanMultiQuery) -> list[str]`` (the
+    single- vs multi-index difference is confined to expand_fn; the
+    Lucene SpanOrTermsRewrite shape is shared).
+
+    - standalone SpanMultiQuery -> SpanOrQuery over the expansion
+      (compile lowers a single survivor to CTerm); nothing expands ->
+      EmptyQuery;
+    - span_first / span_not include -> the term-alternatives tuple,
+      wrapper and inner boosts folded into the span's boost;
+    - span_not exclude entries -> their expansions spliced into the
+      exclude union (membership-only); an exclude union that expands to
+      NOTHING cannot reject, so the include lowers to its SpanOr form
+      (mirroring compile's absent-exclude CTerm lowering)."""
+    if isinstance(q, SpanMultiQuery):
+        terms = expand_fn(q)
+        if not terms:
+            return EmptyQuery()
+        return SpanOrQuery(
+            q.field_id, tuple(terms), q.boost * q.inner.boost
+        )
+    if isinstance(q, SpanFirstQuery) and isinstance(q.term, SpanMultiQuery):
+        mt = q.term
+        terms = expand_fn(mt)
+        if not terms:
+            return EmptyQuery()
+        return SpanFirstQuery(
+            q.field_id, tuple(terms), q.end,
+            q.boost * mt.boost * mt.inner.boost,
+        )
+    if isinstance(q, SpanNotQuery) and (
+        isinstance(q.term, SpanMultiQuery)
+        or any(isinstance(e, SpanMultiQuery) for e in q.exclude)
+    ):
+        term, boost = q.term, q.boost
+        if isinstance(term, SpanMultiQuery):
+            terms = expand_fn(term)
+            if not terms:
+                return EmptyQuery()
+            boost *= term.boost * term.inner.boost
+            term = tuple(terms)
+        excl: list[str] = []
+        for e in q.exclude:
+            if isinstance(e, SpanMultiQuery):
+                excl.extend(expand_fn(e))
+            else:
+                excl.append(e)
+        excl = tuple(dict.fromkeys(excl))
+        if not excl:
+            inc = (term,) if isinstance(term, str) else tuple(term)
+            return SpanOrQuery(q.field_id, inc, boost)
+        return SpanNotQuery(q.field_id, term, excl, q.pre, q.post, boost)
+    return q
+
+
+def _span_multi_terms(spark, index_dir: str, manifest, mt: SpanMultiQuery):
+    """ONE index's capped expansion of a span_multi's inner node —
+    identical term set and order to the bare multi-term query's rewrite
+    (node_pairs + the deterministic df DESC / term ASC cap)."""
+    return _cap(
+        sorted(node_pairs(spark, index_dir, manifest, mt.inner)),
+        _node_cap(mt.inner),
+    )
+
+
 def rewrite_multiterm(spark, index_dir: str, manifest, q):
     """Replace every Prefix/Fuzzy/Wildcard/RegexpQuery node with its
     expanded term union (MultiTermsQuery shape — WAND-eligible when it
     is the whole query). A node's ``max_expansions=None`` means the
     class default cap (the query-object contract) — uncapped expansion
-    is only reachable by calling the ``expand_*`` functions directly."""
+    is only reachable by calling the ``expand_*`` functions directly.
+    Span-family nodes carrying a SpanMultiQuery resolve to their
+    SpanOr/term-alternatives forms (see ``_resolve_span_multi``)."""
+    if isinstance(q, (SpanMultiQuery, SpanFirstQuery, SpanNotQuery)):
+        return _resolve_span_multi(
+            q, lambda mt: _span_multi_terms(spark, index_dir, manifest, mt)
+        )
     if isinstance(q, PhrasePrefixQuery):
         last = expand_prefix(
             spark, index_dir, manifest, q.field_id, q.prefix,
@@ -756,6 +838,15 @@ def rewrite_multiterm_multi(spark, index_dirs, manifests, q):
     capping per index would let the same query select different term
     sets on different indexes of the alias, making scores incomparable
     across the union."""
+    if isinstance(q, (SpanMultiQuery, SpanFirstQuery, SpanNotQuery)):
+        def _alias_terms(mt: SpanMultiQuery) -> list[str]:
+            merged: dict[str, int] = {}
+            for d, m in zip(index_dirs, manifests):
+                for t, df in node_pairs(spark, d, m, mt.inner):
+                    merged[t] = merged.get(t, 0) + df
+            return _cap(sorted(merged.items()), _node_cap(mt.inner))
+
+        return _resolve_span_multi(q, _alias_terms)
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
                       PhrasePrefixQuery)):
         merged: dict[str, int] = {}

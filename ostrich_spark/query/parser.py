@@ -130,6 +130,32 @@ class SpanNearQuery:
     boost: float = 1.0
 
 
+def _span_union_operand(what: str, value):
+    """Validate a span_first/span_not term operand: a single term, a
+    tuple of alternative terms (the ``spanFirst(spanOr(...))`` union
+    shape — any alternative's occurrence is an occurrence of the span),
+    or a :class:`SpanMultiQuery` (resolved against the index dictionary
+    at rewrite time into exactly that tuple form)."""
+    if isinstance(value, SpanMultiQuery):
+        return value
+    if isinstance(value, str):
+        if not value:
+            raise QueryParseError(f"empty term in {what} query")
+        return value
+    try:
+        terms = tuple(value)
+    except TypeError:
+        raise QueryParseError(
+            f"{what} term must be a term, a tuple of alternative terms, "
+            f"or a span_multi query, got {value!r}"
+        )
+    if not terms or any(not isinstance(t, str) or not t for t in terms):
+        raise QueryParseError(
+            f"{what} term alternatives need non-empty strings, got {value!r}"
+        )
+    return tuple(dict.fromkeys(terms))  # dedupe, keep order (Lucene rewrite)
+
+
 @dataclass(frozen=True)
 class SpanFirstQuery:
     """Match docs where ``term`` occurs within the FIRST ``end`` token
@@ -139,18 +165,31 @@ class SpanFirstQuery:
     of a single-field document. tf = the number of occurrences with
     position < ``end`` (Lucene's sloppy-freq-of-matching-spans), scored
     like a term (idf of the term itself); occurrences past ``end``
-    contribute nothing. Needs positions=True, like phrases. Not
-    WAND-eligible (membership depends on positions, which the term
-    upper bound cannot see)."""
+    contribute nothing. ``term`` may also be a tuple of alternative
+    terms or a :class:`SpanMultiQuery` — the Lucene
+    ``spanFirst(spanOr(...))`` / ``spanFirst(spanMulti(...))`` shapes:
+    any alternative's occurrence counts, idf = sum of the present
+    alternatives' idfs (SpanOr combined statistics). Needs
+    positions=True, like phrases. Not WAND-eligible (membership depends
+    on positions, which the term upper bound cannot see)."""
 
     field_id: int
-    term: str
+    term: object  # str | tuple[str, ...] | SpanMultiQuery
     end: int
     boost: float = 1.0
 
     def __post_init__(self):
-        if not self.term:
-            raise QueryParseError("empty term in span_first query")
+        object.__setattr__(
+            self, "term", _span_union_operand("span_first", self.term)
+        )
+        if (
+            isinstance(self.term, SpanMultiQuery)
+            and self.term.field_id != self.field_id
+        ):
+            raise QueryParseError(
+                "span_first and its span_multi term must target the same "
+                f"field ({self.field_id} vs {self.term.field_id})"
+            )
         if not isinstance(self.end, int) or self.end < 1:
             raise QueryParseError(
                 f"span_first end must be an int >= 1 (positions 0..end-1 "
@@ -172,25 +211,49 @@ class SpanNotQuery:
     sloppy freq of matching spans); idf stays the include TERM's own
     full-df idf (SpanWeight builds term statistics, only membership
     narrows) — so an exclude term absent from the corpus leaves scores
-    bit-identical to the plain term query. Needs positions=True; not
-    WAND-eligible (membership depends on positions, invisible to the
-    term upper bound)."""
+    bit-identical to the plain term query. The include ``term`` may
+    also be a tuple of alternative terms or a :class:`SpanMultiQuery`
+    (``spanNot(spanOr(...), ...)`` — idf = sum of present alternatives'
+    idfs), and exclude entries may be SpanMultiQuery (membership-only:
+    expansions just extend the exclude union, stats never change).
+    Needs positions=True; not WAND-eligible (membership depends on
+    positions, invisible to the term upper bound)."""
 
     field_id: int
-    term: str
-    exclude: tuple[str, ...]
+    term: object  # str | tuple[str, ...] | SpanMultiQuery
+    exclude: tuple  # elements: str | SpanMultiQuery
     pre: int = 0
     post: int = 0
     boost: float = 1.0
 
     def __post_init__(self):
-        if not self.term:
-            raise QueryParseError("empty term in span_not query")
+        object.__setattr__(
+            self, "term", _span_union_operand("span_not", self.term)
+        )
+        if (
+            isinstance(self.term, SpanMultiQuery)
+            and self.term.field_id != self.field_id
+        ):
+            raise QueryParseError(
+                "span_not and its span_multi term must target the same "
+                f"field ({self.field_id} vs {self.term.field_id})"
+            )
         object.__setattr__(self, "exclude", tuple(self.exclude))
-        if not self.exclude or any(not t for t in self.exclude):
+        if not self.exclude:
             raise QueryParseError(
                 "span_not needs at least one non-empty exclude term"
             )
+        for e in self.exclude:
+            if isinstance(e, SpanMultiQuery):
+                if e.field_id != self.field_id:
+                    raise QueryParseError(
+                        "span_not and its span_multi exclude must target "
+                        f"the same field ({self.field_id} vs {e.field_id})"
+                    )
+            elif not isinstance(e, str) or not e:
+                raise QueryParseError(
+                    "span_not needs at least one non-empty exclude term"
+                )
         for name, v in (("pre", self.pre), ("post", self.post)):
             if not isinstance(v, int) or v < 0:
                 raise QueryParseError(
@@ -204,6 +267,13 @@ def _span_operand(name: str, value) -> tuple:
     the containment test precise — a sloppy operand's span width is not
     determined by its match end, so it is rejected here rather than
     approximated silently."""
+    if isinstance(value, SpanMultiQuery):
+        raise QueryParseError(
+            f"span {name} operand must be an exact term or adjacent "
+            "phrase — span_multi is not supported in "
+            "span_containing/span_within (use it in span_first/span_not "
+            "or standalone)"
+        )
     terms = (value,) if isinstance(value, str) else tuple(value)
     if not terms or any(not isinstance(t, str) or not t for t in terms):
         raise QueryParseError(
@@ -410,6 +480,49 @@ class RegexpQuery:
             re.compile(self.pattern)
         except re.error as e:
             raise QueryParseError(f"bad regexp {self.pattern!r}: {e}")
+
+
+@dataclass(frozen=True)
+class SpanMultiQuery:
+    """Span wrapper around a multi-term query — the Lucene
+    SpanMultiTermQueryWrapper / ES ``span_multi`` analog (EXTENSION,
+    programmatic-only like the rest of the span family). Wraps a
+    :class:`PrefixQuery`, :class:`FuzzyQuery`, :class:`WildcardQuery`
+    or :class:`RegexpQuery` so its dictionary expansion can be used
+    where a span term is expected:
+
+    - standalone: rewrites to :class:`SpanOrQuery` over the expanded
+      terms (Lucene's SpanOrTermsRewrite) — tf = total occurrences of
+      any expansion, idf = sum of the present expansions' idfs;
+    - as the ``term`` of :class:`SpanFirstQuery` / include of
+      :class:`SpanNotQuery`: the expansion becomes the span's term
+      alternatives (``spanFirst(spanOr(...))`` etc.);
+    - as a :class:`SpanNotQuery` exclude entry: the expansion extends
+      the exclude union (membership-only — exclude carries no stats).
+
+    Expansion happens against the index dictionary at search time
+    (``expand.rewrite_multiterm``), capped deterministically by the
+    inner query's ``max_expansions`` contract (doc_freq DESC, term ASC
+    — same caps and defaults as the bare multi-term queries). An inner
+    query matching nothing lowers the wrapping span to EmptyQuery.
+    span_containing/span_within operands stay exact (fixed widths make
+    containment precise); percolation rejects span queries loudly."""
+
+    inner: object  # PrefixQuery | FuzzyQuery | WildcardQuery | RegexpQuery
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not isinstance(
+            self.inner, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery)
+        ):
+            raise QueryParseError(
+                "span_multi wraps a prefix/fuzzy/wildcard/regexp query, "
+                f"got {type(self.inner).__name__}"
+            )
+
+    @property
+    def field_id(self) -> int:
+        return self.inner.field_id
 
 
 @dataclass(frozen=True)

@@ -51,6 +51,7 @@ from .parser import (
     RangeQuery,
     RegexpQuery,
     SpanFirstQuery,
+    SpanMultiQuery,
     SpanNearQuery,
     SpanNotQuery,
     TermQuery,
@@ -121,13 +122,16 @@ class CMultiPhrase:
 
 @dataclass(frozen=True)
 class CSpanFirst:
-    """Compiled span_first: the term's occurrences restricted to
-    positions < ``end``. Stats are the TERM's (its own df/idf — Lucene
-    SpanWeight builds term statistics, only the match set narrows);
-    tf = occurrences inside the window."""
+    """Compiled span_first: occurrences of ANY of ``terms`` restricted
+    to positions < ``end``. A single term is the classic shape (its own
+    df/idf — Lucene SpanWeight builds term statistics, only the match
+    set narrows); multiple terms are the spanFirst(spanOr(...)) union
+    (idf = sum of the present alternatives' idfs, doc_freq = their df
+    sum). Absent alternatives were dropped at lowering. tf =
+    occurrences inside the window."""
 
     field_id: int
-    term: str
+    terms: tuple[str, ...]
     doc_freq: int
     idf: float
     avgdl: float
@@ -136,15 +140,16 @@ class CSpanFirst:
 
 @dataclass(frozen=True)
 class CSpanNot:
-    """Compiled span_not: the include term's occurrences not within
+    """Compiled span_not: occurrences of ANY include term not within
     [p - pre, p + post] of any exclude-term occurrence. Stats are the
-    include TERM's own (SpanWeight convention, like CSpanFirst); tf =
+    include side's own (SpanWeight convention, like CSpanFirst — a
+    multi-term include sums the present alternatives' idfs); tf =
     surviving occurrences. Exclude terms absent from the dictionary are
     dropped at lowering (they cannot reject anything); all absent
-    lowers to the plain CTerm — one kernel less, same score."""
+    lowers to CTerm / CSpanOr — one kernel less, same score."""
 
     field_id: int
-    term: str
+    terms: tuple[str, ...]
     exclude: tuple[str, ...]
     doc_freq: int
     idf: float
@@ -389,6 +394,24 @@ def bm25_idf(total_docs: int, doc_freq: int) -> float:
     return math.log(1.0 + (total_docs - doc_freq + 0.5) / (doc_freq + 0.5))
 
 
+_MULTITERM_REWRITE_MSG = (
+    "Prefix/Fuzzy/Wildcard/Regexp/SpanMultiQuery must be expanded against "
+    "the term dictionary first (query.expand.rewrite_multiterm) — "
+    "exec.search does this automatically"
+)
+
+
+def _span_union_terms(term) -> tuple:
+    """Plain term alternatives of a span_first/span_not include operand:
+    a str is one alternative, a tuple is itself, an (unrewritten)
+    SpanMultiQuery contributes none — its terms exist only post-rewrite."""
+    if isinstance(term, str):
+        return (term,)
+    if isinstance(term, tuple):
+        return term
+    return ()
+
+
 def collect_terms(q) -> list[TermQuery]:
     """Terms for stats binding / postings pruning — boost-STRIPPED so the
     batched path's set-dedup coalesces same-term clauses that differ only
@@ -407,13 +430,15 @@ def collect_terms(q) -> list[TermQuery]:
     if isinstance(q, TermsSetQuery):
         return [TermQuery(q.field_id, t) for t in q.terms]
     if isinstance(q, SpanFirstQuery):
-        return [TermQuery(q.field_id, q.term)]
+        # term may be a tuple of alternatives; a SpanMultiQuery operand
+        # contributes nothing pre-rewrite (stats bind post-rewrite)
+        return [TermQuery(q.field_id, t) for t in _span_union_terms(q.term)]
     if isinstance(q, SpanNotQuery):
         # exclude postings must survive the prune too — the scorer
         # needs their positions to reject include occurrences
-        return [TermQuery(q.field_id, q.term)] + [
-            TermQuery(q.field_id, t) for t in q.exclude
-        ]
+        return [
+            TermQuery(q.field_id, t) for t in _span_union_terms(q.term)
+        ] + [TermQuery(q.field_id, t) for t in q.exclude if isinstance(t, str)]
     if isinstance(q, BooleanQuery):
         out = []
         for _, sub in q.subqueries:
@@ -522,30 +547,47 @@ def compile_query(
             field_avgdl.get(q.field_id, 1.0), q.slop,
         )
     if isinstance(q, SpanFirstQuery):
-        df = doc_freqs.get((q.field_id, q.term), 0)
-        if df == 0:
-            return CEmpty()
+        if isinstance(q.term, SpanMultiQuery):
+            raise ValueError(_MULTITERM_REWRITE_MSG)
         idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
+        inc = _span_union_terms(q.term)
+        kept = tuple(t for t in inc if doc_freqs.get((q.field_id, t), 0) > 0)
+        if not kept:
+            return CEmpty()
+        dfs = [doc_freqs[(q.field_id, t)] for t in kept]
+        idf_sum = sum(idf_fn(total_docs, d) for d in dfs)
         return CSpanFirst(
-            q.field_id, q.term, df, idf_fn(total_docs, df) * q.boost,
+            q.field_id, kept, int(sum(dfs)), idf_sum * q.boost,
             field_avgdl.get(q.field_id, 1.0), q.end,
         )
     if isinstance(q, SpanNotQuery):
-        df = doc_freqs.get((q.field_id, q.term), 0)
-        if df == 0:
-            return CEmpty()
+        if isinstance(q.term, SpanMultiQuery) or any(
+            not isinstance(e, str) for e in q.exclude
+        ):
+            raise ValueError(_MULTITERM_REWRITE_MSG)
         idf_fn = tfidf_idf if scorer == SCORER_TFIDF else bm25_idf
-        idf = idf_fn(total_docs, df) * q.boost
+        inc = _span_union_terms(q.term)
+        kept_inc = tuple(
+            t for t in inc if doc_freqs.get((q.field_id, t), 0) > 0
+        )
+        if not kept_inc:
+            return CEmpty()
+        inc_dfs = [doc_freqs[(q.field_id, t)] for t in kept_inc]
+        idf = sum(idf_fn(total_docs, d) for d in inc_dfs) * q.boost
         avgdl = field_avgdl.get(q.field_id, 1.0)
         kept = tuple(
             t for t in q.exclude if doc_freqs.get((q.field_id, t), 0) > 0
         )
         if not kept:
-            # nothing can reject: plain term, same stats — the positions
-            # decode (and its positions=True requirement) drops away
-            return CTerm(q.field_id, q.term, df, idf, avgdl)
+            # nothing can reject: the include's own SpanOr form, same
+            # stats — the positions decode (and its positions=True
+            # requirement) drops away; single include = plain term
+            if len(kept_inc) == 1:
+                return CTerm(q.field_id, kept_inc[0], inc_dfs[0], idf, avgdl)
+            return CSpanOr(q.field_id, kept_inc, idf, avgdl)
         return CSpanNot(
-            q.field_id, q.term, kept, df, idf, avgdl, q.pre, q.post
+            q.field_id, kept_inc, kept, int(sum(inc_dfs)), idf, avgdl,
+            q.pre, q.post,
         )
     if isinstance(q, ConstantScoreQuery):
         base = compile_query(q.query, doc_freqs, total_docs, field_avgdl, scorer)
@@ -637,12 +679,9 @@ def compile_query(
         return CGeoDistance(q.field_id, q.lat, q.lon, q.radius_m, q.boost)
     if isinstance(q, GeoBoundingBoxQuery):
         return CGeoBBox(q.field_id, q.top, q.left, q.bottom, q.right, q.boost)
-    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery, PhrasePrefixQuery)):
-        raise ValueError(
-            "Prefix/Fuzzy/Wildcard/RegexpQuery must be expanded against the "
-            "term dictionary first (query.expand.rewrite_multiterm) — "
-            "exec.search does this automatically"
-        )
+    if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
+                      PhrasePrefixQuery, SpanMultiQuery)):
+        raise ValueError(_MULTITERM_REWRITE_MSG)
     if isinstance(q, BlendedTermQuery):
         # Lucene BlendedTermQuery: every leaf keeps its OWN postings and
         # tf but scores with idf of the GROUP-MAX df, so the same word
@@ -858,7 +897,7 @@ def to_wire(node) -> dict:
         return {
             "kind": "span_first",
             "field": node.field_id,
-            "term": node.term,
+            "terms": list(node.terms),
             "doc_freq": node.doc_freq,
             "idf": node.idf,
             "avgdl": node.avgdl,
@@ -868,7 +907,7 @@ def to_wire(node) -> dict:
         return {
             "kind": "span_not",
             "field": node.field_id,
-            "term": node.term,
+            "terms": list(node.terms),
             # NOT named "exclude": tree walkers (assign_range_ids,
             # explain) recurse into an "exclude" key as a subtree wire
             "excl_terms": list(node.exclude),

@@ -110,7 +110,7 @@ def test_span_first_explain_and_validation(spark, sf_index):
         row["segment_id"], row["doc"],
     )
     assert ex["kind"] == "span_first" and ex["matched"]
-    assert ex["detail"]["end"] == 2 and ex["detail"]["term"] == "spark"
+    assert ex["detail"]["end"] == 2 and ex["detail"]["terms"] == ["spark"]
     assert ex["score"] == pytest.approx(row["score"], rel=1e-12)
     with pytest.raises(QueryParseError, match="end"):
         SpanFirstQuery(0, "spark", 0)
