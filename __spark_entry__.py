@@ -680,6 +680,79 @@ def _q_eng_hist_deriv(spark, sf_dir):
     )
 
 
+def _q_eng_hist_rate(spark, sf_dir):
+    """Rate pipeline agg (ES ``rate``) over the ISO-week date_histogram
+    of a query's match set: per-day rate through the calendar branch
+    (bucket end = start + 7 calendar days; the month/leap-February
+    calendar-length arithmetic is pinned by the pipeline-agg pytest —
+    the gate corpus spans one month, so weeks are the discriminating
+    calendar interval here)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import rate
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    hist = date_histogram(
+        spark, idx, "event_type:click", "ts", "week", manifest=mf
+    )
+    out = rate(hist, "week", "day")
+    return _longify(
+        out.select("bucket_ms", "n_docs", F.round("rate", 6).alias("rate"))
+    )
+
+
+def _q_eng_hist_normalize(spark, sf_dir):
+    """normalize pipeline agg (ES ``normalize``): day-bucket doc counts
+    rescaled across the whole bucket list as percent_of_sum and z-score
+    (population stddev — the ES definition)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import normalize
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    hist = date_histogram(spark, idx, "event_type:click", "ts", "day", manifest=mf)
+    out = normalize(hist, "n_docs", "percent_of_sum", out="pct")
+    out = normalize(out, "n_docs", "z-score", out="z")
+    return _longify(
+        out.select(
+            "bucket_ms", "n_docs",
+            F.round("pct", 6).alias("pct"), F.round("z", 6).alias("z"),
+        )
+    )
+
+
+def _q_eng_bucket_script(spark, sf_dir):
+    """bucket_script pipeline agg (ES analog): per-etype buckets from
+    ONE facet_stats pass carry sum(value) and max(value); the script
+    computes ``sum_v / n_docs + max_v`` per bucket (inputs listed — the
+    ES gap_policy:skip null contract)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.pipeline_aggs import bucket_script
+    from ostrich_spark.query.exec import facet_stats
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    st = facet_stats(
+        spark, idx, "event_type:click OR event_type:view", by="etype",
+        metrics={"sum_v": ("sum", "value"), "max_v": ("max", "value")},
+        manifest=mf,
+    )
+    out = bucket_script(
+        st, "mix", "sum_v / n_docs + max_v",
+        inputs=["sum_v", "max_v", "n_docs"],
+    )
+    return _longify(
+        out.select(
+            "etype", "n_docs",
+            F.round("sum_v", 6).alias("sum_v"),
+            F.round("max_v", 6).alias("max_v"),
+            F.round("mix", 6).alias("mix"),
+        )
+    )
+
+
 def _q_eng_bucket_top(spark, sf_dir):
     """moving_fn + bucket_selector + bucket_sort composed (the ES
     pipeline-agg chain): 3-bucket moving average (shift=1 → window ends
@@ -1946,6 +2019,28 @@ def _q_eng_span_not(spark, sf_dir):
     return _engine_matches(
         spark, sf_dir, None,
         logical=SpanNotQuery(0, "stream", ("the", "fast"), pre=1, post=2),
+    )
+
+
+def _q_eng_span_multi(spark, sf_dir):
+    """span_multi (Lucene SpanMultiTermQueryWrapper / ES span_multi)
+    inside span_first: the prefix 's' expands against the dictionary
+    (cap 3, df DESC / term ASC — the deterministic multi-term cap) and
+    the expansion becomes spanFirst(spanOr(...), end=4): tf = first-4-
+    positions occurrences of ANY expanded term, idf = sum of the
+    expansions' full-df idfs (SpanOr combined statistics). The oracle
+    recomputes the capped expansion from the corpus dictionary."""
+    from ostrich_spark.query.parser import (
+        PrefixQuery,
+        SpanFirstQuery,
+        SpanMultiQuery,
+    )
+
+    return _engine_matches(
+        spark, sf_dir, None,
+        logical=SpanFirstQuery(
+            0, SpanMultiQuery(PrefixQuery(0, "s", max_expansions=3)), 4
+        ),
     )
 
 
@@ -3626,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_auto_date_hist": _q_eng_auto_date_hist,
         "eng_span_first": _q_eng_span_first,
         "eng_span_not": _q_eng_span_not,
+        "eng_span_multi": _q_eng_span_multi,
         "eng_stream_search": _q_eng_stream_search,
         "eng_geo_centroid": _q_eng_geo_centroid,
         "eng_geo_bounds": _q_eng_geo_bounds,
@@ -3667,6 +3763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_rank_feature": _q_eng_rank_feature,
         "eng_hist_cumsum": _q_eng_hist_cumsum,
         "eng_hist_deriv": _q_eng_hist_deriv,
+        "eng_hist_rate": _q_eng_hist_rate,
+        "eng_hist_normalize": _q_eng_hist_normalize,
+        "eng_bucket_script": _q_eng_bucket_script,
         "eng_bucket_top": _q_eng_bucket_top,
         "eng_decay_gauss": _q_eng_decay_gauss,
         "eng_decay_linear": _q_eng_decay_linear,
@@ -4355,6 +4454,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(tf * (1.0 + ln((SELECT n FROM n) "
             "/ (1.0 + (SELECT df FROM d)))), 6) AS score FROM m"
         ),
+        # span_multi in span_first: the top-3 's'-prefix dictionary
+        # terms (df DESC, term ASC — the engine's expansion cap) as
+        # span alternatives in the first 4 positions; idf = sum of the
+        # expansions' full-df idfs
+        "eng_span_multi": (
+            f"WITH {TOKLIST_CTE}, {POS_CTE}, {N_CTE}, "
+            "d AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos "
+            "GROUP BY term), "
+            "e AS (SELECT term, df FROM d WHERE term LIKE 's%' "
+            "ORDER BY df DESC, term ASC LIMIT 3), "
+            "c AS (SELECT sum(1.0 + ln((SELECT n FROM n) / (1.0 + df))) "
+            "AS idfs FROM e), "
+            "m AS (SELECT p.doc_id, count(*) AS tf FROM pos p "
+            "JOIN e ON p.term = e.term WHERE p.pos < 4 GROUP BY p.doc_id) "
+            "SELECT m.doc_id, round(m.tf * c.idfs, 6) AS score FROM m, c"
+        ),
         # boxplot: exact quantile_cont quartiles + Tukey whiskers —
         # innermost actual values inside q1/q3 ± 1.5·IQR
         "eng_boxplot": (
@@ -4716,6 +4831,35 @@ def oracle_sql() -> dict[str, str]:
             "AND ts IS NOT NULL GROUP BY 1) "
             "SELECT bucket_ms, n_docs, "
             "CAST(SUM(n_docs) OVER (ORDER BY bucket_ms) AS BIGINT) AS cumsum FROM h"
+        ),
+        # rate: ISO-week buckets re-expressed per day (calendar end =
+        # start + 7 days, recomputed via date_diff like the engine)
+        "eng_hist_rate": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('week', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1) "
+            "SELECT bucket_ms, n_docs, round(n_docs / date_diff('day', "
+            "to_timestamp(bucket_ms / 1000.0), "
+            "to_timestamp(bucket_ms / 1000.0) + INTERVAL 7 DAY), 6) AS rate "
+            "FROM h"
+        ),
+        # normalize: percent_of_sum + z-score (population stddev) over
+        # the full day-bucket list
+        "eng_hist_normalize": (
+            "WITH h AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events WHERE event_type = 'click' "
+            "AND ts IS NOT NULL GROUP BY 1) "
+            "SELECT bucket_ms, n_docs, "
+            "round(n_docs / sum(n_docs) OVER (), 6) AS pct, "
+            "round((n_docs - avg(n_docs) OVER ()) / stddev_pop(n_docs) OVER (), 6) AS z "
+            "FROM h"
+        ),
+        # bucket_script: per-bucket arithmetic over sibling metrics
+        "eng_bucket_script": (
+            "SELECT event_type AS etype, count(*) AS n_docs, "
+            "round(sum(value), 6) AS sum_v, round(max(value), 6) AS max_v, "
+            "round(sum(value) / count(*) + max(value), 6) AS mix "
+            "FROM events WHERE event_type IN ('click', 'view') GROUP BY 1"
         ),
         # day histogram gap fill: spine from the snapped extended lower
         # bound through the upper, zero-filled LEFT JOIN

@@ -271,3 +271,154 @@ def bucket_sort(
             .drop("__bs_rn")
         )
     return out
+
+
+def bucket_script(df: DataFrame, out: str, script, inputs=None) -> DataFrame:
+    """ES ``bucket_script``: a per-bucket value computed from the
+    bucket's OWN metric columns (the parent-pipeline arithmetic shape —
+    ratios, differences, weighted mixes of sibling metrics). ``script``
+    is a Column or SQL string over the bucket columns (the painless
+    ``params.*`` paths map to plain column names here). ES
+    ``gap_policy: skip``: list the referenced metric columns in
+    ``inputs`` and any NULL input nulls the output (ES skips the
+    bucket); without ``inputs`` SQL NULL propagation usually does the
+    same for plain arithmetic, but expressions like ``coalesce`` would
+    mask a gap. Same coordinator model as the rest of the module: one
+    projection over the bounded bucket list, no shuffle at all."""
+    expr = F.expr(script) if isinstance(script, str) else script
+    if inputs:
+        cond = None
+        for c in ([inputs] if isinstance(inputs, str) else inputs):
+            nn = F.col(c).isNotNull()
+            cond = nn if cond is None else (cond & nn)
+        expr = F.when(cond, expr)
+    return df.withColumn(out, expr)
+
+
+#: ES normalize pipeline-agg methods (the documented set).
+_NORMALIZE_METHODS = (
+    "rescale_0_1", "rescale_0_100", "percent_of_sum", "mean", "z-score",
+    "softmax",
+)
+
+
+def normalize(
+    df: DataFrame, value: str, method: str, out: str = "normalized"
+) -> DataFrame:
+    """ES ``normalize``: rescale a bucket metric across ALL buckets —
+
+    - ``rescale_0_1``    (v - min) / (max - min)
+    - ``rescale_0_100``  100 * (v - min) / (max - min)
+    - ``percent_of_sum`` v / sum
+    - ``mean``           (v - avg) / (max - min)
+    - ``z-score``        (v - avg) / population stddev
+    - ``softmax``        e^v / sum(e^v)
+
+    NULL metric values stay NULL and are excluded from the statistics
+    (gap_policy=skip — Spark window aggregates ignore NULLs natively).
+    Degenerate denominators (all buckets equal -> range/std 0; an
+    all-NULL column) yield NULL (try_divide — NULL even under ANSI). One
+    unpartitioned window over the already-reduced, bounded bucket list —
+    the coordinator model (module docstring), not a data-scale shuffle."""
+    if method not in _NORMALIZE_METHODS:
+        raise ValueError(
+            f"normalize method must be one of {list(_NORMALIZE_METHODS)}, "
+            f"got {method!r}"
+        )
+    w = Window.partitionBy()
+    v = F.col(value).cast("double")
+    rng = F.max(v).over(w) - F.min(v).over(w)
+    # try_divide: a degenerate denominator yields NULL even under ANSI
+    if method == "rescale_0_1":
+        e = F.try_divide(v - F.min(v).over(w), rng)
+    elif method == "rescale_0_100":
+        e = F.lit(100.0) * F.try_divide(v - F.min(v).over(w), rng)
+    elif method == "percent_of_sum":
+        e = F.try_divide(v, F.sum(v).over(w))
+    elif method == "mean":
+        e = F.try_divide(v - F.avg(v).over(w), rng)
+    elif method == "z-score":
+        e = F.try_divide(v - F.avg(v).over(w), F.stddev_pop(v).over(w))
+    else:  # softmax
+        e = F.try_divide(F.exp(v), F.sum(F.exp(v)).over(w))
+    return df.withColumn(out, e)
+
+
+#: rate units: fixed lengths in ms (week = 7 fixed days); the
+#: months-family converts via months_between instead.
+_RATE_UNIT_MS = {
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+_RATE_MONTH_UNITS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def rate(
+    df: DataFrame,
+    interval: str,
+    unit: str,
+    value: str = "n_docs",
+    out: str = "rate",
+    key: str = "bucket_ms",
+) -> DataFrame:
+    """ES ``rate``: a ``date_histogram`` bucket's metric re-expressed
+    per ``unit`` of time — ``value / (actual bucket span in units)``.
+    Runs over the histogram's output bucket list (``key`` = the
+    ``bucket_ms`` UTC epoch-millis bucket start), CALENDAR-AWARE like
+    ES: a month bucket divided by ``day`` uses that month's real day
+    count (28/29/30/31), a leap-February differs from March. Fixed
+    units (second..week) use their fixed millisecond lengths; the
+    months-family units (month/quarter/year) require a months-family
+    ``interval`` (whole-month ratio — asking for a per-month rate of an
+    hour bucket has no calendar meaning and raises). ``interval`` must
+    be the SAME interval the histogram was built with (it determines
+    each bucket's end boundary). Pure per-row projection — no window,
+    no shuffle."""
+    from ostrich_spark.query.exec import _DATE_HIST_FIXED_US, _DATE_HIST_TRUNC
+
+    if interval not in _DATE_HIST_FIXED_US and interval not in _DATE_HIST_TRUNC:
+        raise ValueError(
+            "rate interval must be a date_histogram interval, got "
+            f"{interval!r}"
+        )
+    if unit not in _RATE_UNIT_MS and unit not in _RATE_MONTH_UNITS:
+        raise ValueError(
+            f"rate unit must be one of {sorted(_RATE_UNIT_MS) + sorted(_RATE_MONTH_UNITS)}, "
+            f"got {unit!r}"
+        )
+    k = F.col(key).cast("long")
+    if interval in _DATE_HIST_FIXED_US:
+        if unit in _RATE_MONTH_UNITS:
+            raise ValueError(
+                f"unit {unit!r} needs a months-family interval "
+                "(month/quarter/year buckets), not a fixed-width one"
+            )
+        span_ms = F.lit(_DATE_HIST_FIXED_US[interval] // 1000)
+        denom = span_ms / F.lit(float(_RATE_UNIT_MS[unit]))
+    else:
+        # calendar bucket: end = start + its calendar step; bucket_ms
+        # starts are day-aligned (exec._date_bucket_ms_expr), so the
+        # DATE round-trip is exact
+        start_d = F.date_from_unix_date((k / F.lit(86_400_000)).cast("int"))
+        if interval == "week":
+            end_d = F.date_add(start_d, 7)
+        else:
+            end_d = F.add_months(start_d, _RATE_MONTH_UNITS[interval])
+        if unit in _RATE_MONTH_UNITS:
+            if interval == "week":
+                raise ValueError(
+                    f"unit {unit!r} needs a months-family interval "
+                    "(month/quarter/year buckets), not week"
+                )
+            denom = F.months_between(end_d, start_d) / F.lit(
+                float(_RATE_MONTH_UNITS[unit])
+            )
+        else:
+            span_ms = (
+                F.unix_date(end_d).cast("long") - F.unix_date(start_d).cast("long")
+            ) * F.lit(86_400_000)
+            denom = span_ms / F.lit(float(_RATE_UNIT_MS[unit]))
+    return df.withColumn(out, F.col(value).cast("double") / denom)

@@ -263,3 +263,125 @@ class TestSiblingFamily:
         assert bucket_metric(df, "v", "min", key="k").collect()[0]["keys"] == [2]
         empty = spark.createDataFrame([(0, None)], "k long, v double")
         assert percentiles_bucket(empty, "v", [50]).collect()[0]["value"] is None
+
+
+class TestBucketScript:
+    def test_sql_string_and_column(self, bdf):
+        from ostrich_spark.pipeline_aggs import bucket_script
+
+        got = _sorted(
+            bucket_script(bdf, "r", "n_docs * 2 + 1"), "r"
+        )
+        assert [t[2] for t in got] == [9, 15, 3, 11, 5, 19]
+        got2 = _sorted(
+            bucket_script(bdf, "r", F.col("n_docs") * 2 + 1), "r"
+        )
+        assert got == got2
+
+    def test_gap_policy_skip_nulls_output(self, spark):
+        from ostrich_spark.pipeline_aggs import bucket_script
+
+        df = spark.createDataFrame(
+            [(0, 4, 2.0), (1, None, 3.0), (2, 6, None)],
+            "k long, a long, b double",
+        )
+        # coalesce would MASK the gap without inputs= — with it, any
+        # NULL input nulls the bucket (ES gap_policy: skip)
+        out = bucket_script(
+            df, "r", "coalesce(a, 0) / coalesce(b, 1)", inputs=["a", "b"]
+        )
+        rows = {r["k"]: r["r"] for r in out.collect()}
+        assert rows[0] == 2.0 and rows[1] is None and rows[2] is None
+
+
+class TestNormalize:
+    def test_methods_hand_computed(self, bdf):
+        from ostrich_spark.pipeline_aggs import normalize
+
+        vals = [4.0, 7.0, 1.0, 5.0, 2.0, 9.0]  # bucket_ms order
+        mn, mx, s = min(vals), max(vals), sum(vals)
+        avg = s / len(vals)
+        var = sum((v - avg) ** 2 for v in vals) / len(vals)
+        import math
+
+        sm = sum(math.exp(v) for v in vals)
+        want = {
+            "rescale_0_1": [(v - mn) / (mx - mn) for v in vals],
+            "rescale_0_100": [100 * (v - mn) / (mx - mn) for v in vals],
+            "percent_of_sum": [v / s for v in vals],
+            "mean": [(v - avg) / (mx - mn) for v in vals],
+            "z-score": [(v - avg) / math.sqrt(var) for v in vals],
+            "softmax": [math.exp(v) / sm for v in vals],
+        }
+        for method, exp in want.items():
+            got = [t[2] for t in _sorted(normalize(bdf, "n_docs", method), "normalized")]
+            assert got == pytest.approx(exp, rel=1e-12), method
+
+    def test_null_skip_and_degenerate(self, spark):
+        from ostrich_spark.pipeline_aggs import normalize
+
+        df = spark.createDataFrame(
+            [(0, 2.0), (1, None), (2, 6.0)], "k long, v double"
+        )
+        rows = {
+            r["k"]: r["normalized"]
+            for r in normalize(df, "v", "percent_of_sum").collect()
+        }
+        # NULL stays NULL and is excluded from the sum (8, not  NULL)
+        assert rows[1] is None
+        assert rows[0] == pytest.approx(0.25) and rows[2] == pytest.approx(0.75)
+        flat = spark.createDataFrame([(0, 3.0), (1, 3.0)], "k long, v double")
+        got = {r["k"]: r["normalized"] for r in normalize(flat, "v", "rescale_0_1").collect()}
+        assert got[0] is None and got[1] is None  # zero range -> NULL
+
+    def test_validation(self, bdf):
+        from ostrich_spark.pipeline_aggs import normalize
+
+        with pytest.raises(ValueError, match="method"):
+            normalize(bdf, "n_docs", "nope")
+
+
+class TestRate:
+    def test_fixed_interval_units(self, bdf):
+        from ostrich_spark.pipeline_aggs import rate
+
+        # day buckets, hour unit: each bucket spans 24 hours
+        got = [t[2] for t in _sorted(rate(bdf, "day", "hour"), "rate")]
+        assert got == pytest.approx([v / 24 for v in (4, 7, 1, 5, 2, 9)], rel=1e-12)
+        # unit LARGER than the bucket extrapolates (day bucket per week)
+        got_w = [t[2] for t in _sorted(rate(bdf, "day", "week"), "rate")]
+        assert got_w == pytest.approx([v * 7 for v in (4, 7, 1, 5, 2, 9)], rel=1e-12)
+
+    def test_calendar_month_is_calendar_aware(self, spark):
+        from ostrich_spark.pipeline_aggs import rate
+
+        # 2024-01 (31d), 2024-02 (LEAP: 29d), 2024-03 (31d)
+        jan = 1704067200000
+        feb = 1706745600000
+        mar = 1709251200000
+        df = spark.createDataFrame(
+            [(jan, 62), (feb, 58), (mar, 93)], "bucket_ms long, n_docs long"
+        )
+        got = {r["bucket_ms"]: r["rate"] for r in rate(df, "month", "day").collect()}
+        assert got[jan] == pytest.approx(2.0)
+        assert got[feb] == pytest.approx(2.0)
+        assert got[mar] == pytest.approx(3.0)
+        # per-quarter rate of month buckets: month/quarter = 1/3
+        gq = {r["bucket_ms"]: r["rate"] for r in rate(df, "month", "quarter").collect()}
+        assert gq[jan] == pytest.approx(62 * 3.0)
+        # year bucket per month = /12
+        y = spark.createDataFrame([(jan, 120)], "bucket_ms long, n_docs long")
+        gy = {r["bucket_ms"]: r["rate"] for r in rate(y, "year", "month").collect()}
+        assert gy[jan] == pytest.approx(10.0)
+
+    def test_validation(self, bdf):
+        from ostrich_spark.pipeline_aggs import rate
+
+        with pytest.raises(ValueError, match="interval"):
+            rate(bdf, "fortnight", "day")
+        with pytest.raises(ValueError, match="unit"):
+            rate(bdf, "day", "decade")
+        with pytest.raises(ValueError, match="months-family"):
+            rate(bdf, "day", "month")
+        with pytest.raises(ValueError, match="months-family"):
+            rate(bdf, "week", "month")
