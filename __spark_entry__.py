@@ -723,6 +723,31 @@ def _q_eng_hist_normalize(spark, sf_dir):
     )
 
 
+def _q_eng_t_test(spark, sf_dir):
+    """t_test aggregation (ES analog), Welch mode: click vs view event
+    values — the oracle recomputes the moments and the t /
+    Welch–Satterthwaite-df arithmetic in SQL. The p-value column is
+    deliberately NOT gated (DuckDB has no incomplete beta); it is
+    pinned in tests/test_t_test.py against the df=1/df=2 CLOSED FORMS
+    and published critical values instead."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import t_test
+
+    idx = _date_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    r = t_test(
+        spark, idx, "value", "event_type:click", query_b="event_type:view",
+        manifest=mf,
+    )
+    return r.select(
+        "n_a", "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t", 6).alias("t"),
+        F.round("df", 6).alias("df"),
+    )
+
+
 def _q_eng_bucket_script(spark, sf_dir):
     """bucket_script pipeline agg (ES analog): per-etype buckets from
     ONE facet_stats pass carry sum(value) and max(value); the script
@@ -3766,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_hist_rate": _q_eng_hist_rate,
         "eng_hist_normalize": _q_eng_hist_normalize,
         "eng_bucket_script": _q_eng_bucket_script,
+        "eng_t_test": _q_eng_t_test,
         "eng_bucket_top": _q_eng_bucket_top,
         "eng_decay_gauss": _q_eng_decay_gauss,
         "eng_decay_linear": _q_eng_decay_linear,
@@ -4853,6 +4879,20 @@ def oracle_sql() -> dict[str, str]:
             "round(n_docs / sum(n_docs) OVER (), 6) AS pct, "
             "round((n_docs - avg(n_docs) OVER ()) / stddev_pop(n_docs) OVER (), 6) AS z "
             "FROM h"
+        ),
+        # t_test Welch: moments + t + Welch-Satterthwaite df recomputed
+        # in SQL (p-value pinned by closed-form pytest, not gateable)
+        "eng_t_test": (
+            "WITH a AS (SELECT count(value) AS n, avg(value) AS m, "
+            "var_samp(value) AS v FROM events WHERE event_type = 'click'), "
+            "b AS (SELECT count(value) AS n, avg(value) AS m, "
+            "var_samp(value) AS v FROM events WHERE event_type = 'view') "
+            "SELECT a.n AS n_a, b.n AS n_b, "
+            "round(a.m, 6) AS mean_a, round(b.m, 6) AS mean_b, "
+            "round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 6) AS t, "
+            "round(pow(a.v / a.n + b.v / b.n, 2) / "
+            "(pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)), 6) AS df "
+            "FROM a, b"
         ),
         # bucket_script: per-bucket arithmetic over sibling metrics
         "eng_bucket_script": (

@@ -760,22 +760,43 @@ def cmd_agg(args) -> int:
     from .query.exec import (
         auto_date_histogram, boxplot, cardinality, date_histogram,
         median_absolute_deviation, multi_terms, numeric_histogram,
-        numeric_stats, range_agg, string_stats,
+        numeric_stats, range_agg, string_stats, t_test,
     )
 
     n_modes = sum(
         bool(x)
         for x in (args.stats, args.hist, args.cardinality, args.date_hist,
                   args.range, args.boxplot, args.string_stats,
-                  args.auto_date_hist, args.multi_terms, args.mad)
+                  args.auto_date_hist, args.multi_terms, args.mad,
+                  args.t_test)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --date-hist, "
               "--auto-date-hist, --range, --boxplot, --string-stats, "
-              "--multi-terms, --mad or --cardinality", file=sys.stderr)
+              "--multi-terms, --mad, --t-test or --cardinality",
+              file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.t_test:
+        try:
+            row = t_test(
+                spark, args.path, args.t_test, args.query,
+                field_b=args.field_b, query_b=args.vs,
+                ttype=args.t_type, scorer=args.scorer,
+            ).collect()[0]
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        print(
+            f"{row['type']}  n_a {row['n_a']}  n_b {row['n_b']}  "
+            f"mean_a {row['mean_a']:.6f}  mean_b {row['mean_b']:.6f}  "
+            f"t {row['t']:.6f}  df {row['df']:.6f}  "
+            f"p_value {row['p_value']:.6g}"
+        )
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.mad:
         try:
             row = median_absolute_deviation(
@@ -1953,6 +1974,19 @@ def main(argv=None) -> int:
     ag.add_argument("--cardinality", metavar="COL",
                     help="distinct count of COL over the match set "
                     "(HLL++ approx; --exact for count_distinct)")
+    ag.add_argument("--t-test", metavar="FIELD",
+                    help="Student's t-test of FIELD: QUERY's match set "
+                    "vs --vs QUERY_B (unpaired) or vs --field-b of the "
+                    "same match set (--t-type paired); prints t/df and "
+                    "the exact two-sided p-value (ES t_test agg)")
+    ag.add_argument("--vs", metavar="QUERY_B",
+                    help="with --t-test: population B's query")
+    ag.add_argument("--field-b", metavar="FIELD",
+                    help="with --t-test: side B's field (defaults to the "
+                    "--t-test field; required for --t-type paired)")
+    ag.add_argument("--t-type", default="heteroscedastic",
+                    choices=["heteroscedastic", "homoscedastic", "paired"],
+                    help="t-test flavor (default Welch/heteroscedastic)")
     ag.add_argument("--exact", action="store_true",
                     help="with --cardinality: exact count_distinct")
     ag.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")

