@@ -2366,6 +2366,29 @@ def _q_eng_sig_terms(spark, sf_dir):
     return st.select("term", "n_docs", "doc_freq")
 
 
+def _q_eng_sig_text(spark, sf_dir):
+    """significant_text (ES analog): free-text significant terms
+    recomputed by RE-ANALYZING the stored source of the match set (the
+    stored-text Arrow path, not the postings cogroup of eng_sig_terms),
+    jlh-scored and cut. shard_size=None + dedup off makes the result
+    segmentation-independent and SQL-expressible; the duplicate-run
+    filter's keep-first election is pytest-pinned instead
+    (tests/test_sig_text.py)."""
+    from ostrich_spark.query.exec import significant_text
+
+    idx = _doc_index(spark, sf_dir)
+    st = significant_text(
+        spark, idx, "text:stream", "text",
+        shard_size=None, filter_duplicate_text=False,
+        significance="jlh", size=20,
+    )
+    return st.select(
+        "term", "n_docs", "doc_freq",
+        F.round("score", 6).alias("score"),
+        F.round("bg_percent", 6).alias("bg_percent"),
+    )
+
+
 def _q_eng_suggest(spark, sf_dir):
     """Did-you-mean: all dictionary terms of 'text' within 2 edits of
     the misspelling 'rost', with global doc_freq and distance.
@@ -3697,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_batched_queries": _q_eng_batched,
         "eng_search_after": _q_eng_search_after,
         "eng_sig_terms": _q_eng_sig_terms,
+        "eng_sig_text": _q_eng_sig_text,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
         "eng_complete": _q_eng_complete,
@@ -4388,6 +4412,26 @@ def oracle_sql() -> dict[str, str]:
         "eng_sig_jlh": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
             "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "sub AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM m), "
+            "fg AS (SELECT t.term, count(DISTINCT t.doc_id) AS n_docs "
+            "FROM toks t JOIN m USING(doc_id) GROUP BY t.term), "
+            "j AS (SELECT fg.term, fg.n_docs, d.df AS doc_freq, "
+            "(fg.n_docs / (SELECT k FROM sub) "
+            "- CAST(d.df AS DOUBLE) / (SELECT n FROM n)) "
+            "* ((fg.n_docs / (SELECT k FROM sub)) "
+            "/ (CAST(d.df AS DOUBLE) / (SELECT n FROM n))) AS score, "
+            "100.0 * CAST(d.df AS DOUBLE) / (SELECT n FROM n) AS bg_percent "
+            "FROM fg JOIN df d USING(term)) "
+            "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
+            "round(bg_percent, 6) AS bg_percent FROM "
+            "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # significant_text (no-dedup, unbounded sample): same jlh math as
+        # eng_sig_jlh but the engine path re-analyzes STORED text — the
+        # oracle only shares the formula, foreground = 'stream' matches
+        "eng_sig_text": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream'), "
             "sub AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM m), "
             "fg AS (SELECT t.term, count(DISTINCT t.doc_id) AS n_docs "
             "FROM toks t JOIN m USING(doc_id) GROUP BY t.term), "

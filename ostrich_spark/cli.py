@@ -732,17 +732,28 @@ def cmd_stream(args) -> int:
 
 def cmd_sigterms(args) -> int:
     """Term-level facet over a query's match set: ``term n_docs
-    doc_freq`` lines, foreground-count desc then term asc, top N."""
+    doc_freq`` lines, foreground-count desc then term asc, top N.
+    ``--text`` switches to the significant_text path (stored-source
+    re-analysis of the top ``--shard-size`` hits per segment, duplicate
+    6-token runs filtered unless ``--keep-dups``)."""
     from pyspark.sql import functions as F
 
-    from .query.exec import significant_terms
+    from .query.exec import significant_terms, significant_text
 
     spark = _spark()
     t0 = time.time()
-    st = significant_terms(
-        spark, args.path, args.query, args.field,
-        scorer=args.scorer, min_doc_count=args.min_doc_count,
-    )
+    if args.text:
+        st = significant_text(
+            spark, args.path, args.query, args.field,
+            scorer=args.scorer, min_doc_count=args.min_doc_count,
+            shard_size=args.shard_size,
+            filter_duplicate_text=not args.keep_dups,
+        )
+    else:
+        st = significant_terms(
+            spark, args.path, args.query, args.field,
+            scorer=args.scorer, min_doc_count=args.min_doc_count,
+        )
     rows = (
         st.orderBy(F.desc("n_docs"), F.asc("term")).limit(args.top).collect()
     )
@@ -1923,6 +1934,13 @@ def main(argv=None) -> int:
     tg.add_argument("--top", type=int, default=20)
     tg.add_argument("--min-doc-count", type=int, default=1)
     tg.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    tg.add_argument("--text", action="store_true",
+                    help="significant_text: re-analyze stored source of a "
+                         "top-hit sample instead of postings counts")
+    tg.add_argument("--shard-size", type=int, default=100,
+                    help="with --text: top hits sampled per segment")
+    tg.add_argument("--keep-dups", action="store_true",
+                    help="with --text: skip the duplicate-run token filter")
     tg.set_defaults(fn=cmd_sigterms)
 
     ag = sub.add_parser("agg")

@@ -2902,6 +2902,18 @@ def significant_terms(
         .agg(F.sum("n_docs").alias("n_docs"), F.sum("doc_freq").alias("doc_freq"))
         .filter(F.col("n_docs") >= max(1, min_doc_count))
     )
+    superset_size = sum(s.max_doc for s in manifest.segments)
+    subset = res.agg(F.count(F.lit(1)).alias("__subset"))
+    return _apply_significance(counts, subset, superset_size, significance, size)
+
+
+def _apply_significance(counts, subset_df, superset_size: int, significance, size):
+    """Shared significance-heuristic scoring over (term, n_docs, doc_freq)
+    counts — the tail of ``significant_terms`` and ``significant_text``.
+    ``subset_df`` is a ONE-ROW frame carrying ``__subset`` (the foreground
+    doc count), broadcast-crossed so scoring adds no extra data pass."""
+    from pyspark.sql import functions as F
+
     if significance is None:
         if size is not None:
             raise ValueError("size needs a significance heuristic to rank by")
@@ -2911,9 +2923,7 @@ def significant_terms(
             f"significance must be jlh/chi_square/percentage/lift, "
             f"got {significance!r}"
         )
-    superset_size = sum(s.max_doc for s in manifest.segments)
-    subset = res.agg(F.count(F.lit(1)).alias("__subset"))
-    scored = counts.crossJoin(F.broadcast(subset))
+    scored = counts.crossJoin(F.broadcast(subset_df))
     fgp = F.col("n_docs").cast("double") / F.col("__subset")
     bgp = F.col("doc_freq").cast("double") / F.lit(float(superset_size))
     if significance == "jlh":
@@ -2940,6 +2950,182 @@ def significant_terms(
     )
     out = out.orderBy(F.desc("score"), F.asc("term"))
     return out.limit(int(size)) if size is not None else out
+
+
+# duplicate-shingle separator: the analyzers' tokens are letter/digit
+# runs, so the unit separator can never occur inside a token
+_SIG_TEXT_SEP = "\x1f"
+
+
+def significant_text(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+    shard_size: int | None = 100,
+    filter_duplicate_text: bool = True,
+    dup_len: int = 6,
+    min_doc_count: int = 1,
+    significance: str | None = None,
+    size: int | None = None,
+):
+    """Free-text significant-terms over the STORED text of a match-set
+    sample (Elasticsearch ``significant_text`` aggregation analog —
+    EXTENSION, the reference's collectors return docs/counts only,
+    /root/reference/reader/search.go:21-66). Where ``significant_terms``
+    counts foreground hits from the INDEX postings, this re-analyzes the
+    stored source text of the best-scoring sampled hits on the fly — the
+    ES design point: the foreground can be cleansed of copy-paste
+    boilerplate (``filter_duplicate_text``) that index-level counts
+    would double-count, at the price of reading only a bounded sample.
+
+    Sampling: ``shard_size`` keeps the top hits per SEGMENT (score desc,
+    doc asc — the pinned tie-break; the analog of ES's per-shard sample,
+    which in ES is the sampler agg significant_text nests under).
+    ``shard_size=None`` analyzes the WHOLE match set — correct but only
+    sensible for bounded match sets (the docmap join then skips the
+    broadcast hint).
+
+    ``filter_duplicate_text`` drops tokens that are part of a duplicated
+    run of at least ``dup_len`` (default 6, the ES constant) consecutive
+    tokens: for every distinct ``dup_len``-shingle, the occurrence with
+    the smallest (segment_ord, doc, position) key is the NOVEL one; a
+    token drops iff SOME covering shingle occurrence is a duplicate —
+    exactly "this token sits inside a ``dup_len`` window whose content
+    was already seen", the DeduplicatingTokenFilter contract, but
+    deterministic and order-free (keep-first by global key) where ES's
+    filter depends on shard stream order. The electing doc keeps its
+    tokens; a within-doc repeat of a run also drops. Docs shorter than
+    ``dup_len`` tokens have no shingles and keep all tokens.
+
+    Returns (term, n_docs, doc_freq) — n_docs counts sampled docs with a
+    SURVIVING occurrence, doc_freq is the index-wide background count
+    from the postings dictionary (same meaning as ``significant_terms``)
+    — or the scored/cut frame when ``significance``/``size`` are given
+    (same heuristics and columns as ``significant_terms``).
+
+    Scale posture: the sample is bounded (segments × shard_size docs),
+    so every downstream explode/join is over a bounded frame; the one
+    corpus-sized operand is the background dictionary groupBy(term) —
+    linear, term-partitioned, and inner-joined to the (small) candidate
+    set, which AQE is free to broadcast. Nothing collects to the driver.
+
+    Requires ``store=True`` on ``field`` (the ES requirement is
+    ``_source`` availability for the same reason: the text is re-read,
+    not the postings)."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..analysis import get_analyzer
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or fe.is_doc_value:
+        raise ValueError(f"{field!r} is not a text field of this index")
+    if not fe.store:
+        raise ValueError(
+            f"significant_text re-analyzes stored source text — rebuild "
+            f"with Schema.add_text_field({field!r}, ..., store=True)"
+        )
+    if shard_size is not None and shard_size < 1:
+        raise ValueError(f"shard_size must be >= 1 or None, got {shard_size}")
+    if filter_duplicate_text and dup_len < 2:
+        raise ValueError(f"dup_len must be >= 2, got {dup_len}")
+
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    if shard_size is not None:
+        w = Window.partitionBy("segment_id").orderBy(
+            F.desc("score"), F.asc("doc")
+        )
+        sample = (
+            res.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(shard_size))
+            .drop("__rn")
+        )
+    else:
+        sample = res
+    docmap = read_docmap(spark, index_dir, manifest).select(
+        "segment_id", "doc", field
+    )
+    right = F.broadcast(sample) if shard_size is not None else sample
+    joined = docmap.join(right, ["segment_id", "doc"], "inner").select(
+        "segment_id", "segment_ord", "doc", field
+    )
+
+    analyzer_obj = get_analyzer(fe.analyzer)
+
+    @F.pandas_udf("array<string>")
+    def _an(s: pd.Series) -> pd.Series:
+        return analyzer_obj.analyze_series(s.fillna(""))
+
+    toks_df = joined.withColumn("toks", _an(F.col(field))).drop(field)
+
+    keys = ["segment_id", "segment_ord", "doc"]
+    if filter_duplicate_text:
+        L = int(dup_len)
+        # docs long enough to shingle; 1-based positions match slice()
+        long_docs = toks_df.filter(F.size("toks") >= L)
+        occ = long_docs.select(
+            *keys,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(L - 1)),
+                    lambda i: F.struct(
+                        i.alias("spos"),
+                        F.concat_ws(
+                            _SIG_TEXT_SEP, F.slice(F.col("toks"), i, L)
+                        ).alias("sh"),
+                    ),
+                )
+            ).alias("o"),
+        ).select(*keys, F.col("o.spos").alias("spos"), F.col("o.sh").alias("sh"))
+        firsts = occ.groupBy("sh").agg(
+            F.min(F.struct("segment_ord", "doc", "spos")).alias("__first")
+        )
+        dups = occ.join(firsts, "sh").filter(
+            (F.col("segment_ord") != F.col("__first.segment_ord"))
+            | (F.col("doc") != F.col("__first.doc"))
+            | (F.col("spos") != F.col("__first.spos"))
+        )
+        drop_pos = dups.select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("spos"), F.col("spos") + F.lit(L - 1))
+            ).alias("pos"),
+        ).distinct()
+        tok_rows = toks_df.select(
+            *keys, F.posexplode("toks").alias("pos0", "term")
+        ).withColumn("pos", F.col("pos0") + F.lit(1)).drop("pos0")
+        survivors = tok_rows.join(drop_pos, keys + ["pos"], "left_anti")
+        pairs = survivors.select("segment_id", "doc", "term").distinct()
+    else:
+        pairs = (
+            toks_df.select("segment_id", "doc", F.explode("toks").alias("term"))
+            .distinct()
+        )
+
+    fg = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("n_docs")).filter(
+        F.col("n_docs") >= max(1, int(min_doc_count))
+    )
+    bg = (
+        read_postings(spark, index_dir, manifest)
+        .filter(F.col("field") == fe.id)
+        .groupBy("term")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+    )
+    counts = fg.join(bg, "term", "inner")
+    superset_size = sum(s.max_doc for s in manifest.segments)
+    subset = sample.agg(F.count(F.lit(1)).alias("__subset"))
+    return _apply_significance(counts, subset, superset_size, significance, size)
 
 
 def _numeric_field_entry(manifest, by: str):
