@@ -2389,6 +2389,26 @@ def _q_eng_sig_text(spark, sf_dir):
     )
 
 
+def _q_eng_vw_hist(spark, sf_dir):
+    """variable_width_histogram (ES analog, deterministic): 3 SSE-optimal
+    variable-width buckets of n_chars over the text:spark match set —
+    the engine's exact weighted 1-D k-means DP vs the oracle's FULL
+    enumeration of all (j1 < j2) split pairs over the distinct-value
+    prefix sums (an independent recomputation of the optimum, not the
+    same algorithm)."""
+    from ostrich_spark.query.exec import variable_width_histogram
+
+    idx = _doc_index(spark, sf_dir)
+    out = variable_width_histogram(spark, idx, "text:spark", "n_chars", 3)
+    return out.select(
+        "bucket",
+        F.round("v_min", 6).alias("v_min"),
+        F.round("v_max", 6).alias("v_max"),
+        F.round("key", 6).alias("key"),
+        "n_docs",
+    )
+
+
 def _q_eng_suggest(spark, sf_dir):
     """Did-you-mean: all dictionary terms of 'text' within 2 edits of
     the misspelling 'rost', with global doc_freq and distance.
@@ -3721,6 +3741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_search_after": _q_eng_search_after,
         "eng_sig_terms": _q_eng_sig_terms,
         "eng_sig_text": _q_eng_sig_text,
+        "eng_vw_hist": _q_eng_vw_hist,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
         "eng_complete": _q_eng_complete,
@@ -4445,6 +4466,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
             "round(bg_percent, 6) AS bg_percent FROM "
             "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # variable_width_histogram: the oracle finds the SSE-optimal
+        # 3-way split by ENUMERATING every (j1 < j2) pair over distinct-
+        # value prefix sums — independent of the engine's DP; bucket
+        # stats recomputed from the (value, count) table
+        "eng_vw_hist": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "vals AS (SELECT CAST(d.n_chars AS DOUBLE) AS v FROM documents d "
+            "JOIN m USING(doc_id) WHERE d.n_chars IS NOT NULL), "
+            "pts AS (SELECT v, CAST(count(*) AS DOUBLE) AS c FROM vals GROUP BY v), "
+            "o AS (SELECT v, c, row_number() OVER (ORDER BY v) AS i FROM pts), "
+            "p AS (SELECT i, v, c, sum(c) OVER (ORDER BY i) AS w, "
+            "sum(c*v) OVER (ORDER BY i) AS wx, "
+            "sum(c*v*v) OVER (ORDER BY i) AS wx2 FROM o), "
+            "np AS (SELECT max(i) AS n FROM p), "
+            "best AS (SELECT e1.i AS j1, e2.i AS j2, "
+            "(e1.wx2 - e1.wx*e1.wx/e1.w) "
+            "+ ((e2.wx2 - e1.wx2) - (e2.wx - e1.wx)*(e2.wx - e1.wx)/(e2.w - e1.w)) "
+            "+ ((e3.wx2 - e2.wx2) - (e3.wx - e2.wx)*(e3.wx - e2.wx)/(e3.w - e2.w)) "
+            "AS cost FROM p e1 JOIN p e2 ON e1.i < e2.i "
+            "CROSS JOIN (SELECT * FROM p WHERE i = (SELECT n FROM np)) e3 "
+            "WHERE e2.i < (SELECT n FROM np) "
+            "ORDER BY cost, j1, j2 LIMIT 1) "
+            "SELECT CAST(CASE WHEN o.i <= b.j1 THEN 0 WHEN o.i <= b.j2 "
+            "THEN 1 ELSE 2 END AS BIGINT) AS bucket, "
+            "round(min(o.v), 6) AS v_min, round(max(o.v), 6) AS v_max, "
+            "round(sum(o.v*o.c)/sum(o.c), 6) AS key, "
+            "CAST(sum(o.c) AS BIGINT) AS n_docs "
+            "FROM o CROSS JOIN best b GROUP BY 1 ORDER BY 1"
         ),
         # auto_date_histogram: the 30-day span at buckets=40 picks 'day'
         # — the oracle pins the choice; a chooser change breaks the gate

@@ -772,6 +772,7 @@ def cmd_agg(args) -> int:
         auto_date_histogram, boxplot, cardinality, date_histogram,
         median_absolute_deviation, multi_terms, numeric_histogram,
         numeric_stats, range_agg, string_stats, t_test,
+        variable_width_histogram,
     )
 
     n_modes = sum(
@@ -779,12 +780,13 @@ def cmd_agg(args) -> int:
         for x in (args.stats, args.hist, args.cardinality, args.date_hist,
                   args.range, args.boxplot, args.string_stats,
                   args.auto_date_hist, args.multi_terms, args.mad,
-                  args.t_test)
+                  args.t_test, args.vw_hist)
     )
     if n_modes != 1:
-        print("agg: need exactly one of --stats, --hist, --date-hist, "
-              "--auto-date-hist, --range, --boxplot, --string-stats, "
-              "--multi-terms, --mad, --t-test or --cardinality",
+        print("agg: need exactly one of --stats, --hist, --vw-hist, "
+              "--date-hist, --auto-date-hist, --range, --boxplot, "
+              "--string-stats, --multi-terms, --mad, --t-test or "
+              "--cardinality",
               file=sys.stderr)
         return 2
     spark = _spark()
@@ -852,6 +854,23 @@ def cmd_agg(args) -> int:
             f"{row['max_length']}] avg {row['avg_length']}  "
             f"entropy {row['entropy']}"
         )
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.vw_hist:
+        try:
+            rows = variable_width_histogram(
+                spark, args.path, args.query, args.vw_hist,
+                buckets=args.buckets, scorer=args.scorer,
+            ).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        for r in rows:
+            print(
+                f"{r['bucket']} [{r['v_min']}, {r['v_max']}] "
+                f"key {round(r['key'], 6)} n {r['n_docs']}"
+            )
         print(f"elapsed: {elapsed:.3f}s")
         return 0
     if args.auto_date_hist:
@@ -1979,7 +1998,11 @@ def main(argv=None) -> int:
                          "(minute..year ladder) needing <= --buckets "
                          "buckets (ES auto_date_histogram)")
     ag.add_argument("--buckets", type=int, default=10,
-                    help="--auto-date-hist target bucket budget")
+                    help="--auto-date-hist / --vw-hist bucket budget")
+    ag.add_argument("--vw-hist", metavar="FIELD",
+                    help="variable-width histogram of FIELD: --buckets "
+                         "SSE-optimal clusters (ES variable_width_"
+                         "histogram, deterministic DP)")
     ag.add_argument("--multi-terms", metavar="F1,F2",
                     help="buckets keyed by tuples of 2+ doc-value fields, "
                          "count desc (ES multi_terms agg)")

@@ -3587,6 +3587,186 @@ _DATE_HIST_FIXED_US = {
 _DATE_HIST_TRUNC = {"week": "week", "month": "month", "quarter": "quarter", "year": "year"}
 
 
+def _wkmeans_edges(x: np.ndarray, w: np.ndarray, k: int) -> list[int]:
+    """OPTIMAL weighted 1-D k-means over sorted points: the exact dynamic
+    program (Ckmeans.1d.dp-style), minimizing total weighted SSE over
+    contiguous partitions. Returns the END index (inclusive) of each
+    cluster, len == min(k, n). O(k·n²) with numpy-vectorized inner
+    minimization — fine for the bounded point sets this is fed
+    (``max_points``-capped). Ties break toward the SMALLEST split index
+    at each stage (np.argmin first-minimum)."""
+    n = len(x)
+    k = min(int(k), n)
+    if k < 1:
+        raise ValueError(f"buckets must be >= 1, got {k}")
+    W = np.concatenate([[0.0], np.cumsum(w, dtype=np.float64)])
+    WX = np.concatenate([[0.0], np.cumsum(w * x, dtype=np.float64)])
+    WX2 = np.concatenate([[0.0], np.cumsum(w * x * x, dtype=np.float64)])
+
+    def sse(a, b):
+        """Weighted SSE of points a..b inclusive; ``a`` may be an array."""
+        ww = W[b + 1] - W[a]
+        wx = WX[b + 1] - WX[a]
+        wx2 = WX2[b + 1] - WX2[a]
+        return np.maximum(wx2 - wx * wx / np.maximum(ww, 1e-300), 0.0)
+
+    idx = np.arange(n)
+    D = sse(np.zeros(n, dtype=np.int64), idx)  # 1 cluster over 0..m
+    back = np.zeros((k, n), dtype=np.int64)
+    for c in range(1, k):
+        D_new = np.full(n, np.inf)
+        for m in range(c, n):
+            j = np.arange(c, m + 1)  # last cluster starts at j
+            costs = D[j - 1] + sse(j, m)
+            a = int(np.argmin(costs))
+            D_new[m] = costs[a]
+            back[c, m] = c + a
+        D = D_new
+    ends, m = [], n - 1
+    for c in range(k - 1, 0, -1):
+        ends.append(m)
+        m = int(back[c, m]) - 1
+    ends.append(m)
+    return list(reversed(ends))
+
+
+def variable_width_histogram(
+    spark,
+    index_dir: str,
+    query,
+    by: str,
+    buckets: int,
+    max_points: int = 2000,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Variable-width histogram of a numeric doc-value field over a
+    query's FULL match set — the Elasticsearch ``variable_width_histogram``
+    aggregation analog (EXTENSION): ``buckets`` buckets whose widths
+    adapt to the data distribution. Where ES streams a shard-local
+    one-pass clustering (order-dependent, approximate), this computes
+    the OPTIMAL weighted 1-D k-means partition (exact dynamic program)
+    over a bounded summary of the value distribution, so results are
+    deterministic and order-free:
+
+      - when the match set has ≤ ``max_points`` DISTINCT values, the
+        summary is exact — (value, count) pairs — and the bucketing is
+        the true SSE-optimal clustering of the data;
+      - otherwise values pre-bin into ``max_points`` equal-width
+        micro-bins between the match min/max (one partial-aggregated
+        pass; deterministic, unlike a sampled or approx-quantile
+        summary), each represented by its weighted mean, and the DP
+        clusters the micro-bins — resolution (max−min)/max_points,
+        documented.
+
+    Per-bucket stats are then computed EXACTLY over the raw matched
+    rows — one projection tags each row against the ≤ ``buckets−1``
+    broadcast-literal edges, one partial-aggregated groupBy reduces —
+    so ``v_min``/``v_max``/``key`` (the centroid, ES's bucket key) and
+    ``n_docs`` are exact even on the micro-binned path.
+
+    Returns (``bucket`` 0-based long, ``v_min``, ``v_max``, ``key`` =
+    avg, ``n_docs``), ordered by bucket. Nulls drop (no-value docs
+    occupy no bucket); fewer than ``buckets`` distinct values yield one
+    bucket per value.
+
+    Scale posture: the match set is never collected — the driver sees
+    only the ≤ ``max_points`` summary rows for the DP (the same
+    coordinator-sized reduction every ES agg makes); both passes are
+    single partial-aggregated groupBys."""
+    from pyspark.sql import functions as F
+
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if max_points < buckets:
+        raise ValueError(
+            f"max_points ({max_points}) must be >= buckets ({buckets})"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, by)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = (
+        docmap.select("segment_id", "doc", by)
+        .join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner")
+        .filter(F.col(by).isNotNull())
+        .select(F.col(by).cast("double").alias("v"))
+    )
+    vc = matched.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    pts = vc.orderBy("v").limit(int(max_points) + 1).collect()
+    if not pts:
+        return spark.createDataFrame(
+            [], "bucket long, v_min double, v_max double, key double, n_docs long"
+        )
+    if len(pts) > max_points:
+        # micro-bin: equal-width pre-bins between match min/max
+        mm = matched.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+        lo, hi = float(mm["lo"]), float(mm["hi"])
+        width = (hi - lo) / int(max_points)
+        b = F.least(
+            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+            F.lit(int(max_points) - 1),
+        )
+        pts = (
+            matched.groupBy(b.alias("mb"))
+            .agg(
+                (F.sum("v") / F.count(F.lit(1))).alias("v"),
+                F.count(F.lit(1)).alias("c"),
+            )
+            .orderBy("mb")
+            .collect()
+        )
+        x = np.array([float(r["v"]) for r in pts], dtype=np.float64)
+        w = np.array([float(r["c"]) for r in pts], dtype=np.float64)
+        ends = _wkmeans_edges(x, w, int(buckets))
+        # cut on the micro-bin UPPER BOUNDARY (not the bin's mean) so the
+        # raw-row tagging assigns exactly the micro-bins the DP clustered
+        edges = [lo + (int(pts[e]["mb"]) + 1) * width for e in ends[:-1]]
+        # boundary rows belong to the LOWER micro-bin (floor is
+        # lower-inclusive) — with a strictly-greater tag the edge value
+        # itself must fall below, so nudge edges between bins: the upper
+        # boundary of bin mb is the EXCLUSIVE lower edge of bin mb+1,
+        # and no raw value in bin mb exceeds it, so `v > edge` already
+        # splits exactly on bin membership except for a raw value EQUAL
+        # to the boundary, which floor() puts in the upper bin but
+        # `v > edge` would keep low: use v >= edge via a half-open tag
+        tag = F.lit(0).cast("long")
+        for e in edges:
+            tag = tag + (F.col("v") >= F.lit(e)).cast("long")
+        return (
+            matched.groupBy(tag.alias("bucket"))
+            .agg(
+                F.min("v").alias("v_min"),
+                F.max("v").alias("v_max"),
+                F.avg("v").alias("key"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .orderBy("bucket")
+        )
+    x = np.array([float(r["v"]) for r in pts], dtype=np.float64)
+    w = np.array([float(r["c"]) for r in pts], dtype=np.float64)
+    ends = _wkmeans_edges(x, w, int(buckets))
+    edges = [float(x[e]) for e in ends[:-1]]  # inclusive upper edge per bucket
+    tag = F.lit(0).cast("long")
+    for e in edges:
+        tag = tag + (F.col("v") > F.lit(e)).cast("long")
+    return (
+        matched.groupBy(tag.alias("bucket"))
+        .agg(
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.avg("v").alias("key"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def date_histogram(
     spark,
     index_dir: str,
