@@ -157,6 +157,56 @@ def _kw_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+_COPYTO_INDEX_CACHE: dict[str, str] = {}
+
+
+def _copyto_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index exercising copy_to (ES mapping analog): `source` and `text`
+    both copy their raw values into the catch-all `all_f` text field."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _COPYTO_INDEX_CACHE:
+        return _COPYTO_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ct1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("source", "default", copy_to=["all_f"])
+        schema.add_text_field("text", "default", copy_to=["all_f"])
+        schema.add_text_field("all_f", "default")
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-ct-{tag}",
+        )
+    _COPYTO_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_copy_to(spark, sf_dir):
+    """copy_to catch-all field: all_f holds the union token stream of
+    `source` and `text`; an OR over a source-only term (src3) and a
+    text term (spark) scores with the COMBINED field's tf/df — the
+    oracle recomputes over the concatenated raw columns."""
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _copyto_index(spark, sf_dir)
+    res, _ = search(
+        spark, idx, "all_f:spark OR all_f:src3", limit=None, scorer="tfidf"
+    )
+    return attach_docmap(spark, idx, res).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_keyword_eq(spark, sf_dir):
     """Keyword equality queries (ES term-on-keyword analog): OR of two
     exact-match doc-value filters; per-doc score = sum of matching
@@ -3742,6 +3792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sig_terms": _q_eng_sig_terms,
         "eng_sig_text": _q_eng_sig_text,
         "eng_vw_hist": _q_eng_vw_hist,
+        "eng_copy_to": _q_eng_copy_to,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
         "eng_complete": _q_eng_complete,
@@ -4466,6 +4517,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
             "round(bg_percent, 6) AS bg_percent FROM "
             "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # copy_to: the oracle tokenizes the CONCATENATED raw columns —
+        # tf sums and df counts over the combined stream, tfidf formula
+        "eng_copy_to": (
+            "WITH ctoks AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(coalesce(source, '') || ' ' || "
+            "coalesce(text, '')), '[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term "
+            "FROM documents), "
+            "ctf AS (SELECT doc_id, term, count(*) AS tf FROM ctoks GROUP BY 1, 2), "
+            "cdf AS (SELECT term, count(*) AS df FROM ctf GROUP BY 1), "
+            f"{N_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) "
+            "/ (1.0 + d.df))) AS sc FROM ctf t JOIN cdf d USING(term) "
+            "WHERE t.term IN ('spark', 'src3')) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
         ),
         # variable_width_histogram: the oracle finds the SSE-optimal
         # 3-way split by ENUMERATING every (j1 < j2) pair over distinct-

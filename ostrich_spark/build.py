@@ -109,6 +109,26 @@ def _sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
 
 
+def _text_tok_sha(col: "pd.Series"):
+    """Tokenizer/sha input strings of one text field's raw column.
+
+    Multi-valued text (repeated FieldValues, schema/document.go:20-46):
+    token streams are concatenated — for this tokenizer that's exactly
+    space-joining the values (space is a separator and tokens never
+    contain spaces), so the vectorized path is kept. The sha string
+    joins values with NUL (value boundaries stay visible to the content
+    invariant)."""
+    is_multi = col.map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any()
+    if is_multi:
+        as_list = col.map(
+            lambda v: [str(x) for x in v]
+            if isinstance(v, (list, tuple, np.ndarray))
+            else ["" if v is None else str(v)]
+        )
+        return as_list.map(" ".join), as_list.map("\x00".join)
+    return col, col.fillna("").astype(str)
+
+
 def build_segment_tables(
     pdf_iter: Iterator[pd.DataFrame],
     schema: Schema,
@@ -145,22 +165,28 @@ def build_segment_tables(
             continue
         src = fe.input_col  # ES multi-fields: may differ from fe.name
         col = pdf[src] if src in pdf.columns else pd.Series([""] * n_docs)
-        # multi-valued text (repeated FieldValues, schema/document.go:20-46):
-        # token streams are concatenated — for this tokenizer that's
-        # exactly space-joining the values (space is a separator and
-        # tokens never contain spaces), so the vectorized path is kept
-        is_multi = col.map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any()
-        if is_multi:
-            as_list = col.map(
-                lambda v: [str(x) for x in v]
-                if isinstance(v, (list, tuple, np.ndarray))
-                else ["" if v is None else str(v)]
-            )
-            tok_col = as_list.map(" ".join)
-            sha_col = as_list.map("\x00".join)
-        else:
-            tok_col = col
-            sha_col = col.fillna("").astype(str)
+        tok_col, sha_col = _text_tok_sha(col)
+        # ES copy_to: other text fields' RAW values also index into this
+        # field (re-analyzed below with THIS field's analyzer — the ES
+        # pre-analysis copy contract). Concatenation == appending more
+        # values to a multi-valued field (space-joining, the documented
+        # convention). content_sha256 keeps hashing each field's OWN
+        # value only — the per-row content invariant is copy_to-blind.
+        copy_srcs = [
+            f2 for f2 in schema.fields
+            if not f2.is_doc_value and fe.name in f2.copy_to
+        ]
+        if copy_srcs:
+            base = tok_col.fillna("").astype(str)
+            for f2 in copy_srcs:
+                c2 = (
+                    pdf[f2.input_col]
+                    if f2.input_col in pdf.columns
+                    else pd.Series([""] * n_docs)
+                )
+                t2, _ = _text_tok_sha(c2)
+                base = base + " " + t2.fillna("").astype(str)
+            tok_col = base
         # custom analyzers (e.g. SynonymFilter chains) registered on the
         # DRIVER are shipped in via `analyzers` — the executor's registry
         # only has the built-ins
@@ -547,6 +573,7 @@ def build_index(
     if order_col is None:
         order_col = id_cols[0] if id_cols else schema.fields[0].name
     os.makedirs(index_dir, exist_ok=True)
+    schema.validate_copy_to()
 
     if mode == "append" and manifest_exists(index_dir):
         committed = load_manifest(index_dir)

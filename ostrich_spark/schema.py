@@ -93,6 +93,15 @@ class FieldEntry:
     # keyword, or two analyzers — without duplicating the input data.
     # Docmap/doc-value columns are still keyed by the FIELD name.
     source_col: str = ""
+    # EXTENSION (Elasticsearch ``copy_to`` mapping): names of OTHER text
+    # fields that also index this field's RAW value (pre-analysis — the
+    # target re-analyzes with its OWN analyzer, the ES contract). The
+    # classic use: a catch-all field searched by default while the
+    # sources keep per-field scoring. Copies do NOT chain (A→B where B
+    # has copy_to C never reaches C — the documented ES non-recursion),
+    # and the copied value does NOT enter content_sha256 twice (the
+    # per-row content invariant hashes each field's OWN value only).
+    copy_to: tuple = ()
 
     @property
     def input_col(self) -> str:
@@ -137,6 +146,7 @@ class FieldEntry:
             "store": self.store,
             "search_analyzer": self.search_analyzer,
             "source_col": self.source_col,
+            "copy_to": list(self.copy_to),
         }
 
     @staticmethod
@@ -150,6 +160,7 @@ class FieldEntry:
             d.get("store", False),
             d.get("search_analyzer", ""),
             d.get("source_col", ""),
+            tuple(d.get("copy_to", ())),
         )
 
 
@@ -165,16 +176,47 @@ class Schema:
         store: bool = False,
         search_analyzer: str = "",
         source_col: str = "",
+        copy_to=(),
     ) -> FieldEntry:
         """FieldID = position, exactly like schema.go:11-16.
-        ``source_col`` reads another input column (ES multi-fields)."""
+        ``source_col`` reads another input column (ES multi-fields);
+        ``copy_to`` lists other TEXT fields that also index this field's
+        raw value (ES copy_to — validated at build time, when every
+        target has been declared)."""
         self._check_name(name)
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_TEXT, analyzer, positions,
             store, search_analyzer, source_col,
+            tuple([copy_to] if isinstance(copy_to, str) else copy_to),
         )
         self.fields.append(entry)
         return entry
+
+    def validate_copy_to(self) -> None:
+        """Build-time copy_to validation (targets may be declared after
+        their sources, so add-time checking would force an ordering)."""
+        for fe in self.fields:
+            if not fe.copy_to:
+                continue
+            if fe.is_doc_value:
+                raise ValueError(
+                    f"copy_to on {fe.name!r}: only TEXT fields copy "
+                    f"(doc-value fields have no token stream)"
+                )
+            for t in fe.copy_to:
+                te = self.field_by_name(t)
+                if te is None:
+                    raise ValueError(
+                        f"copy_to target {t!r} of field {fe.name!r} is "
+                        f"not declared in this schema"
+                    )
+                if te.is_doc_value:
+                    raise ValueError(
+                        f"copy_to target {t!r} of field {fe.name!r} must "
+                        f"be a text field"
+                    )
+                if te.name == fe.name:
+                    raise ValueError(f"field {fe.name!r} cannot copy_to itself")
 
     def _check_name(self, name: str) -> None:
         if self.field_by_name(name) is not None:
