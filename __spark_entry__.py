@@ -347,7 +347,7 @@ def _date_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _DATE_INDEX_CACHE:
         return _DATE_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-dt2"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-dt3"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("event_type", "default")
@@ -356,6 +356,7 @@ def _date_index(spark: SparkSession, sf_dir: str) -> str:
         schema.add_keyword_field("etype", source_col="event_type")
         schema.add_date_field("ts")
         schema.add_numeric_field("value", "double")
+        schema.add_numeric_field("user_id")  # cumulative_cardinality
         build_index(
             spark,
             spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2416,6 +2417,22 @@ def _q_eng_sig_terms(spark, sf_dir):
     return st.select("term", "n_docs", "doc_freq")
 
 
+def _q_eng_cum_card(spark, sf_dir):
+    """cumulative_cardinality (ES pipeline agg, EXACT here): distinct
+    click users to date per day bucket — the engine's first-seen
+    reduction vs the oracle's independent min-bucket + running-sum SQL."""
+    from ostrich_spark.query.exec import cumulative_cardinality
+
+    idx = _date_index(spark, sf_dir)
+    out = cumulative_cardinality(
+        spark, idx, "event_type:click", "ts", "user_id", interval="day"
+    )
+    return out.select(
+        "bucket_ms", "n_docs", "n_new",
+        F.col("cum_card").cast("long").alias("cum_card"),
+    )
+
+
 def _q_eng_sig_text(spark, sf_dir):
     """significant_text (ES analog): free-text significant terms
     recomputed by RE-ANALYZING the stored source of the match set (the
@@ -3793,6 +3810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sig_text": _q_eng_sig_text,
         "eng_vw_hist": _q_eng_vw_hist,
         "eng_copy_to": _q_eng_copy_to,
+        "eng_cum_card": _q_eng_cum_card,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
         "eng_complete": _q_eng_complete,
@@ -4517,6 +4535,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
             "round(bg_percent, 6) AS bg_percent FROM "
             "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # cumulative_cardinality: a value contributes at its FIRST bucket
+        # — min-bucket per user, per-bucket first-appearance counts,
+        # running sum over the bucket list (window); EXACT, no HLL
+        "eng_cum_card": (
+            "WITH b AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events "
+            "WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1), "
+            "f AS (SELECT user_id, min(epoch_ms(date_trunc('day', ts))) AS fb "
+            "FROM events WHERE event_type = 'click' AND ts IS NOT NULL "
+            "AND user_id IS NOT NULL GROUP BY 1), "
+            "a AS (SELECT fb, count(*) AS n_new FROM f GROUP BY 1) "
+            "SELECT b.bucket_ms, b.n_docs, "
+            "CAST(coalesce(a.n_new, 0) AS BIGINT) AS n_new, "
+            "CAST(sum(coalesce(a.n_new, 0)) OVER (ORDER BY b.bucket_ms) "
+            "AS BIGINT) AS cum_card "
+            "FROM b LEFT JOIN a ON a.fb = b.bucket_ms"
         ),
         # copy_to: the oracle tokenizes the CONCATENATED raw columns —
         # tf sums and df counts over the combined stream, tfidf formula

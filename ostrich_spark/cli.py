@@ -772,7 +772,7 @@ def cmd_agg(args) -> int:
         auto_date_histogram, boxplot, cardinality, date_histogram,
         median_absolute_deviation, multi_terms, numeric_histogram,
         numeric_stats, range_agg, string_stats, t_test,
-        variable_width_histogram,
+        variable_width_histogram, cumulative_cardinality,
     )
 
     n_modes = sum(
@@ -780,7 +780,7 @@ def cmd_agg(args) -> int:
         for x in (args.stats, args.hist, args.cardinality, args.date_hist,
                   args.range, args.boxplot, args.string_stats,
                   args.auto_date_hist, args.multi_terms, args.mad,
-                  args.t_test, args.vw_hist)
+                  args.t_test, args.vw_hist, args.cum_card)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --vw-hist, "
@@ -854,6 +854,25 @@ def cmd_agg(args) -> int:
             f"{row['max_length']}] avg {row['avg_length']}  "
             f"entropy {row['entropy']}"
         )
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.cum_card:
+        if not args.of:
+            print("agg: --cum-card needs --of FIELD (the values counted)",
+                  file=sys.stderr)
+            return 2
+        try:
+            rows = cumulative_cardinality(
+                spark, args.path, args.query, args.cum_card, args.of,
+                interval=args.interval, scorer=args.scorer,
+            ).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['bucket_ms']} n {r['n_docs']} new {r['n_new']} "
+                  f"cum {r['cum_card']}")
         print(f"elapsed: {elapsed:.3f}s")
         return 0
     if args.vw_hist:
@@ -1999,6 +2018,11 @@ def main(argv=None) -> int:
                          "buckets (ES auto_date_histogram)")
     ag.add_argument("--buckets", type=int, default=10,
                     help="--auto-date-hist / --vw-hist bucket budget")
+    ag.add_argument("--cum-card", metavar="DATEFIELD",
+                    help="cumulative distinct --of values per --interval "
+                         "bucket (ES cumulative_cardinality, exact)")
+    ag.add_argument("--of", metavar="FIELD",
+                    help="--cum-card: the doc-value field counted")
     ag.add_argument("--vw-hist", metavar="FIELD",
                     help="variable-width histogram of FIELD: --buckets "
                          "SSE-optimal clusters (ES variable_width_"

@@ -4013,6 +4013,92 @@ def _date_bucket_ms_expr(us, interval: str):
     return F.unix_date(b).cast("long") * F.lit(86_400_000)
 
 
+def cumulative_cardinality(
+    spark,
+    index_dir: str,
+    query,
+    by: str,
+    of: str,
+    interval: str = "day",
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Cumulative distinct-value count per date-histogram bucket — the
+    Elasticsearch ``cumulative_cardinality`` pipeline aggregation analog
+    (EXTENSION; the canonical "total distinct users to date" curve).
+    For each occupied bucket of a ``date_histogram(by, interval)`` over
+    the query's match set, reports how many DISTINCT ``of`` values have
+    appeared in buckets up to and including it.
+
+    ES computes this approximately by merging per-bucket HyperLogLog
+    sketches; here it is EXACT and still scale-safe via the first-seen
+    reduction: a value contributes +1 to the cumulative curve exactly at
+    its FIRST bucket, so one value-keyed groupBy (min bucket per value —
+    linear, partial-aggregated) followed by a per-bucket count of
+    first-appearances turns the cumulative distinct into a running sum
+    over the BOUNDED bucket list (single-partition window — the same
+    coordinator model as every pipeline agg, over already-reduced rows).
+
+    Returns (``bucket_ms``, ``n_docs``, ``n_new`` = values first seen in
+    this bucket, ``cum_card``), ordered by bucket. Only occupied buckets
+    appear (min_doc_count=1 semantics); docs with NULL ``of`` count in
+    ``n_docs`` but carry no value (ES cardinality skips nulls); NULL
+    ``by`` drops entirely (no bucket)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if interval not in _DATE_HIST_FIXED_US and interval not in _DATE_HIST_TRUNC:
+        raise ValueError(
+            f"interval {interval!r} not supported — one of "
+            f"{sorted(_DATE_HIST_FIXED_US) + sorted(_DATE_HIST_TRUNC)}"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(by)
+    if fe is None or not fe.is_date:
+        raise ValueError(
+            f"cumulative_cardinality needs a date field; {by!r} is "
+            f"{'absent' if fe is None else repr(fe.field_type)}"
+        )
+    fo = manifest.schema.field_by_name(of)
+    if fo is None or not fo.is_doc_value or fo.is_geo:
+        raise ValueError(
+            f"{of!r} is not a doc-value field of this index — "
+            f"cardinality counts docmap values"
+        )
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = (
+        docmap.select("segment_id", "doc", by, of)
+        .join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner")
+        .filter(F.col(by).isNotNull())
+    )
+    bucket_ms = _date_bucket_ms_expr(F.col(by), interval)
+    hist = matched.groupBy(bucket_ms.alias("bucket_ms")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    firsts = (
+        matched.filter(F.col(of).isNotNull())
+        .groupBy(of)
+        .agg(F.min(bucket_ms).alias("__fb"))
+    )
+    adds = firsts.groupBy("__fb").agg(F.count(F.lit(1)).alias("n_new"))
+    joined = (
+        hist.join(adds, hist["bucket_ms"] == adds["__fb"], "left")
+        .drop("__fb")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+    )
+    w = Window.orderBy("bucket_ms").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.withColumn("cum_card", F.sum("n_new").over(w))
+        .orderBy("bucket_ms")
+    )
+
+
 _COMPOSITE_KINDS = ("terms", "date_histogram", "histogram")
 
 
