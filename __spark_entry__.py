@@ -1041,6 +1041,42 @@ def _q_eng_has_parent(spark, sf_dir):
     )
 
 
+def _q_eng_children_agg(spark, sf_dir):
+    """children aggregation (ES analog): parents matching text:spark
+    switch to their CHILD docs, bucketed by parent key with an avg
+    metric — one distinct parent-key semi-join + one partial-aggregated
+    groupBy; oracle rebuilds the modulo-7 relation in SQL."""
+    from ostrich_spark.relations import children_facet
+
+    idx = _rel_index(spark, sf_dir)
+    out = children_facet(
+        spark, idx, "text:spark",
+        relation_field="rel", parent_relation="q", child_relation="a",
+        parent_field="parent", id_col="doc_id",
+        by="parent", metrics={"avg_id": ("avg", "doc_id")},
+    )
+    return out.select(
+        "parent", "n_docs", F.round("avg_id", 6).alias("avg_id")
+    )
+
+
+def _q_eng_parent_agg(spark, sf_dir):
+    """parent aggregation (ES analog): children matching text:stream
+    switch to their DISTINCT live parents (semi-join keeps each parent
+    once no matter how many children matched) — one global row with an
+    avg metric over parent doc ids."""
+    from ostrich_spark.relations import parent_facet
+
+    idx = _rel_index(spark, sf_dir)
+    out = parent_facet(
+        spark, idx, "text:stream",
+        relation_field="rel", parent_relation="q", child_relation="a",
+        parent_field="parent", id_col="doc_id",
+        metrics={"avg_id": ("avg", "doc_id")},
+    )
+    return out.select("n_docs", F.round("avg_id", 6).alias("avg_id"))
+
+
 _NESTED_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -3811,6 +3847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_vw_hist": _q_eng_vw_hist,
         "eng_copy_to": _q_eng_copy_to,
         "eng_cum_card": _q_eng_cum_card,
+        "eng_children_agg": _q_eng_children_agg,
+        "eng_parent_agg": _q_eng_parent_agg,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
         "eng_complete": _q_eng_complete,
@@ -4535,6 +4573,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
             "round(bg_percent, 6) AS bg_percent FROM "
             "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # children / parent aggregations: the oracle rebuilds the
+        # modulo-7 relation (doc_id % 7 == 0 parents, children keyed to
+        # the enclosing multiple of 7) and joins in SQL
+        "eng_children_agg": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "par AS (SELECT doc_id FROM m WHERE doc_id % 7 = 0), "
+            "kids AS (SELECT doc_id, CAST(doc_id - doc_id % 7 AS VARCHAR) "
+            "AS parent FROM documents WHERE doc_id % 7 <> 0) "
+            "SELECT k.parent, count(*) AS n_docs, "
+            "round(avg(k.doc_id), 6) AS avg_id "
+            "FROM kids k JOIN par p ON k.parent = CAST(p.doc_id AS VARCHAR) "
+            "GROUP BY k.parent"
+        ),
+        "eng_parent_agg": (
+            f"WITH {TOKS_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'stream'), "
+            "ck AS (SELECT DISTINCT CAST(doc_id - doc_id % 7 AS VARCHAR) "
+            "AS pkey FROM m WHERE doc_id % 7 <> 0), "
+            "p AS (SELECT d.doc_id FROM documents d "
+            "JOIN ck ON CAST(d.doc_id AS VARCHAR) = ck.pkey "
+            "WHERE d.doc_id % 7 = 0) "
+            "SELECT count(*) AS n_docs, round(avg(doc_id), 6) AS avg_id FROM p"
         ),
         # cumulative_cardinality: a value contributes at its FIRST bucket
         # — min-bucket per user, per-bucket first-appearance counts,

@@ -294,3 +294,149 @@ def has_parent(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def children_facet(
+    spark,
+    index_dir: str,
+    parent_query,
+    relation_field: str,
+    parent_relation: str,
+    child_relation: str,
+    parent_field: str,
+    id_col: str,
+    by=None,
+    metrics: dict | None = None,
+    scorer: str = "tfidf",
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Bucket aggregation over the CHILDREN of matching parents — the
+    Elasticsearch ``children`` aggregation analog (EXTENSION): a
+    parent-context query switches to its child docs for counting and
+    metrics ("for questions matching X, how do their answers break
+    down"). ``n_docs`` counts CHILD docs (the ES children-agg
+    doc_count).
+
+    ``parent_query`` runs restricted to ``relation_field ==
+    parent_relation`` (non-scoring filter); the matched parents' key
+    values (``id_col``, NULLs dropped) select the live children
+    (``relation_field == child_relation``, non-NULL ``parent_field``,
+    tombstones excluded) via ONE key semi-join under the canonical
+    string-key rule. ``by`` (docmap column(s), or None for one global
+    row) and ``metrics`` follow the facet_stats grammar over the child
+    rows.
+
+    Scale posture: parent keys reduce through distinct() before the
+    semi-join (one key-partitioned exchange each side, AQE free to
+    broadcast the key set); the facet is one partial-aggregated groupBy.
+    Nothing collects."""
+    from pyspark.sql import functions as F
+
+    from .query.exec import _metric_aggs, read_docmap, search
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    logical = _relation_logical(
+        parent_query, manifest.schema, relation_field, parent_relation,
+        default_fields,
+    )
+    res, _ = search(
+        spark, index_dir, logical, limit=None, scorer=scorer, manifest=manifest
+    )
+    dm = read_docmap(spark, index_dir, manifest)
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    _require_cols(dm, [relation_field, parent_field, id_col, *by_cols])
+    parent_keys = (
+        dm.select("segment_id", "doc", id_col)
+        .join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner")
+        .filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("_pkey"))
+        .distinct()
+    )
+    children = _live_docmap(spark, index_dir, manifest).filter(
+        (F.col(relation_field) == child_relation)
+        & F.col(parent_field).isNotNull()
+    )
+    ck, pk = _join_keys(
+        F,
+        children[parent_field],
+        children.schema[parent_field].dataType,
+        parent_keys["_pkey"],
+        parent_keys.schema["_pkey"].dataType,
+    )
+    kids = children.join(parent_keys, ck == pk, "leftsemi")
+    aggs = [F.count(F.lit(1)).alias("n_docs"), *_metric_aggs(F, metrics or {})]
+    if by_cols:
+        return kids.groupBy(*by_cols).agg(*aggs).orderBy(*by_cols)
+    return kids.agg(*aggs)
+
+
+def parent_facet(
+    spark,
+    index_dir: str,
+    child_query,
+    relation_field: str,
+    parent_relation: str,
+    child_relation: str,
+    parent_field: str,
+    id_col: str,
+    by=None,
+    metrics: dict | None = None,
+    scorer: str = "tfidf",
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Bucket aggregation over the PARENTS of matching children — the
+    Elasticsearch ``parent`` aggregation analog (EXTENSION), the
+    reverse of :func:`children_facet`: a child-context query switches
+    to the parent docs ("for answers matching X, what do their
+    questions look like"). ``n_docs`` counts PARENT docs — inherently
+    DISTINCT (the semi-join keeps each live parent once no matter how
+    many of its children matched), the ES parent-agg doc_count.
+
+    Same key rules as children_facet: matched children's non-NULL
+    ``parent_field`` values (distinct) semi-select the live parents
+    (``relation_field == parent_relation``) by ``id_col`` under the
+    canonical string-key rule; a dangling key (no live parent doc)
+    surfaces nothing. ``by``/``metrics`` follow the facet_stats grammar
+    over the parent rows."""
+    from pyspark.sql import functions as F
+
+    from .query.exec import _metric_aggs, read_docmap, search
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    logical = _relation_logical(
+        child_query, manifest.schema, relation_field, child_relation,
+        default_fields,
+    )
+    res, _ = search(
+        spark, index_dir, logical, limit=None, scorer=scorer, manifest=manifest
+    )
+    dm = read_docmap(spark, index_dir, manifest)
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    _require_cols(dm, [relation_field, parent_field, id_col, *by_cols])
+    child_keys = (
+        dm.select("segment_id", "doc", parent_field)
+        .join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner")
+        .filter(F.col(parent_field).isNotNull())
+        .select(F.col(parent_field).alias("_ckey"))
+        .distinct()
+    )
+    parents = _live_docmap(spark, index_dir, manifest).filter(
+        (F.col(relation_field) == parent_relation)
+        & F.col(id_col).isNotNull()
+    )
+    pk, ck = _join_keys(
+        F,
+        parents[id_col],
+        parents.schema[id_col].dataType,
+        child_keys["_ckey"],
+        child_keys.schema["_ckey"].dataType,
+    )
+    pars = parents.join(child_keys, pk == ck, "leftsemi")
+    aggs = [F.count(F.lit(1)).alias("n_docs"), *_metric_aggs(F, metrics or {})]
+    if by_cols:
+        return pars.groupBy(*by_cols).agg(*aggs).orderBy(*by_cols)
+    return pars.agg(*aggs)
