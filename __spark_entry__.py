@@ -2469,6 +2469,27 @@ def _q_eng_cum_card(spark, sf_dir):
     )
 
 
+def _q_eng_ids_filter(spark, sf_dir):
+    """ids query (ES analog) as a non-scoring FILTER: text relevance
+    restricted to an explicit identity set (doc_id multiples of 3 below
+    400) — membership via ONE pushed-down docmap IN scan, scores
+    untouched (filter context)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import BooleanQuery, IdsQuery, parse_query
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    q = BooleanQuery.filtering(
+        parse_query("text:spark", mf.schema),
+        IdsQuery("doc_id", tuple(range(0, 399, 3))),
+    )
+    res, _ = search(spark, idx, q, limit=None, manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_sig_text(spark, sf_dir):
     """significant_text (ES analog): free-text significant terms
     recomputed by RE-ANALYZING the stored source of the match set (the
@@ -3848,6 +3869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_copy_to": _q_eng_copy_to,
         "eng_cum_card": _q_eng_cum_card,
         "eng_children_agg": _q_eng_children_agg,
+        "eng_ids_filter": _q_eng_ids_filter,
         "eng_parent_agg": _q_eng_parent_agg,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
@@ -4573,6 +4595,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
             "round(bg_percent, 6) AS bg_percent FROM "
             "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # ids filter: membership = the same id set expressed as modulo
+        # arithmetic; scores = plain per-term tfidf (filter context)
+        "eng_ids_filter": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) "
+            "/ (1.0 + d.df))) AS sc FROM tf t JOIN df d USING(term) "
+            "WHERE t.term = 'spark' AND t.doc_id % 3 = 0 AND t.doc_id <= 396) "
+            "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
         ),
         # children / parent aggregations: the oracle rebuilds the
         # modulo-7 relation (doc_id % 7 == 0 parents, children keyed to

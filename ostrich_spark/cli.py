@@ -340,6 +340,27 @@ def cmd_search(args) -> int:
             else query
         )
         query = BooleanQuery.filtering(base, *filters)
+    if getattr(args, "ids", None):
+        # --ids col=v1,v2 → non-scoring FILTER IdsQuery over an IDENTITY
+        # docmap column (the ES ids-query shape; no mapping needed)
+        from .manifest import load_manifest
+        from .query.parser import BooleanQuery, IdsQuery, parse_query
+
+        if mf is None:
+            mf = load_manifest(args.path)
+        col, _, vals = args.ids.partition("=")
+        if not vals:
+            print(f"error: --ids wants COLUMN=v1,v2 (got {args.ids!r})",
+                  file=sys.stderr)
+            return 2
+        base = (
+            parse_query(query, mf.schema, default_operator=args.default_operator)
+            if isinstance(query, str)
+            else query
+        )
+        query = BooleanQuery.filtering(
+            base, IdsQuery(col, tuple(vals.split(",")))
+        )
     res, cnt = search(
         spark,
         args.path,
@@ -1798,6 +1819,12 @@ def main(argv=None) -> int:
         action="append",
         help="non-scoring terms filter on a keyword field (ES terms "
         "query): match any of the listed values; repeatable",
+    )
+    s.add_argument(
+        "--ids",
+        metavar="COLUMN=V1,V2",
+        help="non-scoring ids filter on an IDENTITY column (ES ids "
+        "query): values cast to the column's actual dtype",
     )
     s.add_argument(
         "--after",

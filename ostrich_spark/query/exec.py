@@ -1297,8 +1297,44 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
     = value IS NOT NULL (ES exists)."""
     from pyspark.sql import functions as F
 
-    fe = manifest.schema.field_by_id(range_wire["field"])
     op = range_wire.get("op")
+    if op == "ids":
+        # identity-column membership (ES ids query): no schema field —
+        # the docmap column name is the address. Values cast to the
+        # column's ACTUAL dtype (string ids keep '07' != '7'); a value
+        # that cannot cast to a numeric column raises loudly instead of
+        # silently matching nothing. IN pushes to parquet — identity
+        # columns are the row-group-pruned point-lookup columns.
+        docmap = read_docmap(spark, index_dir, manifest)
+        col_name = range_wire["column"]
+        if col_name not in docmap.columns:
+            raise ValueError(
+                f"ids column {col_name!r} not in docmap "
+                f"(have: {', '.join(docmap.columns)})"
+            )
+        target = docmap.schema[col_name].dataType
+        vals = range_wire["values"]
+        if target.simpleString() in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        ):
+            for v in vals:
+                try:
+                    float(v)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"ids value {v!r} cannot cast to the {col_name!r} "
+                        f"column's type {target.simpleString()}"
+                    ) from None
+        lits = [F.lit(v).cast(target) for v in vals]
+        return (
+            docmap.filter(F.col(col_name).isin(*lits))
+            .select(
+                "segment_id", "doc",
+                F.lit(int(range_wire["rid"])).alias("rid"),
+                F.lit(None).cast("double").alias("val"),
+            )
+        )
+    fe = manifest.schema.field_by_id(range_wire["field"])
     if op == "norms":
         # not a predicate: combined_fields norms DELIVERY — every doc's
         # length for ONE field ships (doc, length) to its segment's
@@ -6584,6 +6620,10 @@ def explain(
                                  "const_score": w["score"]}
             elif op == "in":
                 out["detail"] = {"op": "in", "values": w["values"],
+                                 "const_score": w["score"]}
+            elif op == "ids":
+                out["detail"] = {"op": "ids", "column": w["column"],
+                                 "values": w["values"],
                                  "const_score": w["score"]}
             elif op == "exists":
                 out["detail"] = {"op": "exists", "const_score": w["score"]}

@@ -621,6 +621,31 @@ class TermsQuery:
 
 
 @dataclass(frozen=True)
+class IdsQuery:
+    """Match docs whose IDENTITY column equals one of the given values —
+    the Elasticsearch ``ids`` query analog (EXTENSION). ES addresses the
+    implicit ``_id``; this engine's identity lives in the caller-chosen
+    ``id_cols``, so the column is named explicitly (the get_docs /
+    delete_docs convention). DSL-only, like ES. Values cast to the
+    column's ACTUAL dtype at execution time — '07' stays distinct from
+    '7' on a string id column (the cli-delete contract); a value that
+    cannot cast to a numeric column raises loudly. Matches score the
+    constant ``boost`` (use a FILTER clause for the usual non-scoring
+    shape); NULL ids never match. Delivery: ONE docmap scan with the IN
+    predicate pushed to parquet, riding the aux cogroup like every
+    docmap-predicate query."""
+
+    column: str
+    values: tuple = ()
+    boost: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "values", tuple(self.values))
+        if not self.values:
+            raise QueryParseError("ids query needs at least one value")
+
+
+@dataclass(frozen=True)
 class TermsSetQuery:
     """Match docs containing at least m of a TERM SET, where m is read
     PER DOCUMENT from a numeric doc-value field — EXTENSION (the ES
@@ -1493,7 +1518,8 @@ def _apply_boost(q, boost: float):
     if isinstance(
         q,
         (TermQuery, PhraseQuery, PrefixQuery, FuzzyQuery, WildcardQuery,
-         RegexpQuery, RangeQuery, KeywordQuery, TermsQuery, ExistsQuery),
+         RegexpQuery, RangeQuery, KeywordQuery, TermsQuery, ExistsQuery,
+         IdsQuery),
     ):
         return dataclasses.replace(q, boost=q.boost * boost)
     if isinstance(q, BooleanQuery):

@@ -40,6 +40,7 @@ from .parser import (
     EmptyQuery,
     ExistsQuery,
     FuzzyQuery,
+    IdsQuery,
     GeoBoundingBoxQuery,
     GeoDistanceQuery,
     MultiPhraseQuery,
@@ -244,6 +245,21 @@ class CTerms:
 
     field_id: int
     values: tuple[str, ...]
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CIds:
+    """Compiled ids query (ES ``ids`` analog): identity-column set
+    membership. Same delivery as CTerms — ONE docmap scan, IN predicate
+    pushed to parquet (identity columns are exactly the row-group-
+    pruned point-lookup columns get_docs uses) — but addressed by
+    docmap COLUMN NAME, not a schema field: identity columns need no
+    mapping, like ES ``_id``. Constant score; dtype-exact (values cast
+    to the column's actual type at execution)."""
+
+    column: str
+    values: tuple
     const_score: float
 
 
@@ -656,6 +672,8 @@ def compile_query(
         return CKeyword(q.field_id, q.value, q.boost)
     if isinstance(q, TermsQuery):
         return CTerms(q.field_id, q.values, q.boost)
+    if isinstance(q, IdsQuery):
+        return CIds(q.column, q.values, q.boost)
     if isinstance(q, ExistsQuery):
         return CExists(q.field_id, q.boost)
     if isinstance(q, TermsSetQuery):
@@ -1024,6 +1042,15 @@ def to_wire(node) -> dict:
             "kind": "range",
             "op": "in",
             "field": node.field_id,
+            "values": list(node.values),
+            "score": node.const_score,
+        }
+    if isinstance(node, CIds):
+        return {
+            "kind": "range",
+            "op": "ids",
+            "field": -1,  # no schema field: the column IS the address
+            "column": node.column,
             "values": list(node.values),
             "score": node.const_score,
         }
