@@ -2490,6 +2490,24 @@ def _q_eng_ids_filter(spark, sf_dir):
     )
 
 
+def _q_eng_moving_pctl(spark, sf_dir):
+    """moving_percentiles (ES pipeline agg, EXACT here vs ES's moving
+    t-digests): p50/p90 of daily click counts over a 7-bucket sliding
+    window (shift=1 includes the current bucket) — nearest-rank pick
+    sorted[round(p·(n−1))], HALF_UP both engines."""
+    from ostrich_spark.pipeline_aggs import moving_percentiles
+    from ostrich_spark.query.exec import date_histogram
+
+    idx = _date_index(spark, sf_dir)
+    hist = date_histogram(spark, idx, "event_type:click", "ts", "day")
+    out = moving_percentiles(
+        hist, "bucket_ms", "n_docs", window=7, percents=(50.0, 90.0), shift=1
+    )
+    return out.select(
+        "bucket_ms", "n_docs", "moving_pctl_50", "moving_pctl_90"
+    )
+
+
 def _q_eng_sig_text(spark, sf_dir):
     """significant_text (ES analog): free-text significant terms
     recomputed by RE-ANALYZING the stored source of the match set (the
@@ -3870,6 +3888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_cum_card": _q_eng_cum_card,
         "eng_children_agg": _q_eng_children_agg,
         "eng_ids_filter": _q_eng_ids_filter,
+        "eng_moving_pctl": _q_eng_moving_pctl,
         "eng_parent_agg": _q_eng_parent_agg,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
@@ -4595,6 +4614,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
             "round(bg_percent, 6) AS bg_percent FROM "
             "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # moving_percentiles: DuckDB list() over the same ROWS frame,
+        # list_sort + the identical nearest-rank HALF_UP pick
+        "eng_moving_pctl": (
+            "WITH b AS (SELECT epoch_ms(date_trunc('day', ts)) AS bucket_ms, "
+            "count(*) AS n_docs FROM events "
+            "WHERE event_type = 'click' AND ts IS NOT NULL GROUP BY 1), "
+            "w AS (SELECT bucket_ms, n_docs, list_sort(list(n_docs) OVER "
+            "(ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) "
+            "AS l FROM b) "
+            "SELECT bucket_ms, n_docs, "
+            "l[CAST(round(0.5 * (len(l) - 1)) AS INT) + 1] AS moving_pctl_50, "
+            "l[CAST(round(0.9 * (len(l) - 1)) AS INT) + 1] AS moving_pctl_90 "
+            "FROM w"
         ),
         # ids filter: membership = the same id set expressed as modulo
         # arithmetic; scores = plain per-term tfidf (filter context)

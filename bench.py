@@ -285,6 +285,16 @@ def main():
         ("text_chunks", em.queries()["text_chunks"]),
         ("scrub_pii", em.queries()["scrub_pii"]),
         ("sample_stratified", em.queries()["sample_stratified"]),
+        # round-3 late additions: stored-text re-analysis (sig_text),
+        # DP clustering over the value summary (vw_hist), first-seen
+        # cumulative distinct (cum_card), relation-bucket semi-join
+        # (children agg), identity IN filter (ids)
+        ("agg_sig_text", em.queries()["eng_sig_text"]),
+        ("agg_vw_hist", em.queries()["eng_vw_hist"]),
+        ("agg_cum_card", em.queries()["eng_cum_card"]),
+        ("agg_children", em.queries()["eng_children_agg"]),
+        ("docs_ids_filter", em.queries()["eng_ids_filter"]),
+        ("docs_copy_to", em.queries()["eng_copy_to"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -116,6 +116,58 @@ def moving_fn(
     return df.withColumn(out, agg)
 
 
+def _percent_label(p: float) -> str:
+    """50.0 -> '50', 99.9 -> '99_9' (column-name-safe)."""
+    s = f"{p:g}"
+    return s.replace(".", "_")
+
+
+def moving_percentiles(
+    df: DataFrame,
+    key,
+    value: str,
+    window: int,
+    percents=(50.0,),
+    shift: int = 0,
+    out: str = "moving_pctl",
+) -> DataFrame:
+    """ES ``moving_percentiles``: percentiles of the bucket metric over a
+    sliding window of ``window`` buckets — EXACT here (the bounded
+    window's values sort in a Catalyst expression) where ES merges
+    moving t-digest sketches. Window placement follows ``moving_fn``
+    exactly: frame = rows ``[i - window + shift, i + shift - 1]``;
+    buckets with an empty frame get NULLs (ES returns null there).
+    NULL metric values are skipped (collect_list drops them natively —
+    gap_policy:skip). The percentile pick is the same nearest-rank rule
+    as :func:`percentiles_bucket` (``sorted[round(p/100 · (n−1))]``, the
+    documented ES convention). Adds one ``{out}_{p}`` column per
+    requested percent. Coordinator model: input is the already-reduced
+    bounded bucket list, like every pipeline agg."""
+    if window < 1:
+        raise ValueError("moving_percentiles window must be >= 1")
+    ps = [float(p) for p in percents]
+    if not ps:
+        raise ValueError("percents must name >= 1 percentile")
+    for p in ps:
+        if not (0.0 <= p <= 100.0):
+            raise ValueError(f"percent {p} outside [0, 100]")
+    lo, hi = -window + shift, shift - 1
+    if lo > hi:
+        raise ValueError("moving_percentiles shift places an empty window")
+    w = _ordered_window(key).rowsBetween(lo, hi)
+    vals = F.sort_array(F.collect_list(value).over(w))
+    df2 = df.withColumn("__mvp", vals)
+    n = F.size("__mvp")
+    for p in ps:
+        pick = F.element_at(
+            "__mvp", (F.round(F.lit(p / 100.0) * (n - 1)) + 1).cast("int")
+        )
+        df2 = df2.withColumn(
+            f"{out}_{_percent_label(p)}", F.when(n > 0, pick)
+        )
+    return df2.drop("__mvp")
+
+
 # --- sibling pipeline family (ES avg_bucket / sum_bucket / min_bucket /
 # max_bucket / stats_bucket / extended_stats_bucket / percentiles_bucket):
 # a single-row summary OVER a sibling multi-bucket agg's metric values.

@@ -385,3 +385,66 @@ class TestRate:
             rate(bdf, "day", "month")
         with pytest.raises(ValueError, match="months-family"):
             rate(bdf, "week", "month")
+
+
+class TestMovingPercentiles:
+    def test_window3_shift1_hand_values(self, spark, bdf):
+        from ostrich_spark.pipeline_aggs import moving_percentiles
+
+        got = [
+            tuple(r)
+            for r in moving_percentiles(
+                bdf, "bucket_ms", "n_docs", window=3, percents=(50.0,), shift=1
+            )
+            .orderBy("bucket_ms")
+            .select("moving_pctl_50")
+            .collect()
+        ]
+        vals = [n for _, n in BUCKETS]
+        # nearest-rank: sorted[round(0.5 * (n-1))] with HALF_UP
+        # rounding (Spark F.round; python round() is banker's)
+        import math
+
+        want = []
+        for i in range(len(vals)):
+            wvals = sorted(vals[max(0, i - 2): i + 1])
+            want.append(wvals[int(math.floor(0.5 * (len(wvals) - 1) + 0.5))])
+        assert [g[0] for g in got] == want
+
+    def test_shift0_empty_start_and_null_skip(self, spark):
+        from ostrich_spark.pipeline_aggs import moving_percentiles
+
+        df = spark.createDataFrame(
+            [(0, 10), (1, None), (2, 30), (3, 50)],
+            "bucket_ms long, n_docs long",
+        )
+        got = [
+            r["moving_pctl_100"]
+            for r in moving_percentiles(
+                df, "bucket_ms", "n_docs", window=2, percents=(100.0,)
+            ).orderBy("bucket_ms").collect()
+        ]
+        # bucket0: empty window -> NULL; bucket1: [10]; bucket2: [10]
+        # (the NULL skipped); bucket3: [30] window = buckets 1,2
+        assert got == [None, 10, 10, 30]
+
+    def test_multi_percent_columns_and_validation(self, spark, bdf):
+        from ostrich_spark.pipeline_aggs import moving_percentiles
+
+        out = moving_percentiles(
+            bdf, "bucket_ms", "n_docs", window=6, percents=(50.0, 99.9), shift=1
+        )
+        assert "moving_pctl_50" in out.columns
+        assert "moving_pctl_99_9" in out.columns
+        last = out.orderBy("bucket_ms").collect()[-1]
+        svals = sorted(n for _, n in BUCKETS)
+        assert last["moving_pctl_50"] == svals[3]  # round(2.5) HALF_UP
+        assert last["moving_pctl_99_9"] == svals[round(0.999 * 5)]
+        with pytest.raises(ValueError):
+            moving_percentiles(bdf, "bucket_ms", "n_docs", window=0)
+        with pytest.raises(ValueError):
+            moving_percentiles(bdf, "bucket_ms", "n_docs", window=3, percents=())
+        with pytest.raises(ValueError):
+            moving_percentiles(
+                bdf, "bucket_ms", "n_docs", window=3, percents=(123.0,)
+            )
