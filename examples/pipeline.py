@@ -167,6 +167,18 @@ def run_pipeline(spark, tree: str, work: str) -> dict:
     snips = highlight(spark, idx, "text:postings", "text", limit=3, window_tokens=4)
     stats["snippets"] = [s.text for s in snips]
 
+    # 8b2. "what makes these hits special" — significant_text over the
+    # stored source of the match sample, with the duplicate-run filter:
+    # the autogen build-bot footer (pasted into several files) counts
+    # ONCE instead of once per doc, so it cannot fake significance
+    from ostrich_spark.query.exec import significant_text
+
+    sig = significant_text(
+        spark, idx, "text:merge", "text",
+        shard_size=None, significance="jlh", size=3,
+    ).collect()
+    stats["sig_text_top"] = [r["term"] for r in sig]
+
     # 8c. token budgeting with REAL merge-based BPE (pinned fixture table)
     from ostrich_spark.bpe import real_bpe_token_counts
 

@@ -138,5 +138,8 @@ def test_pipeline_example_end_to_end(tmp_path):
     assert got["explained_score_matches"] == "True"
     assert got["upserted"] == "1"
     assert got["fsck_findings"] == "[]"     # incl. empty-purge-drop invariant
+    # significant_text over the text:merge sample: every engine.py-only
+    # term ties on jlh (df=1 of 3), term-asc tie-break pins the cut
+    assert got["sig_text_top"] == "['def', 'merge', 'policy']"
     assert got["stream_hits"] == "(1, 1)"   # 2-generation stream, one alias
     assert got["ann_quantized_top"] == "0"  # int8+rescore: self-sim wins
