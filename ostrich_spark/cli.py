@@ -1709,6 +1709,39 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_fields(args) -> int:
+    """Field capabilities (ES _field_caps analog): one line per
+    (field, type) across the listed indexes, conflicts flagged.
+    Driver-side manifest reads only — no Spark session."""
+    from .query.multi import field_caps
+
+    try:
+        rows = field_caps(args.path)
+    except FileNotFoundError as e:
+        print(f"fields: {e}", file=sys.stderr)
+        return 2
+    for r in rows:
+        caps = []
+        if r["searchable"]:
+            caps.append("searchable")
+        if r["aggregatable"]:
+            caps.append("aggregatable")
+        md = r.get("metadata")
+        extra = ""
+        if md:
+            bits = [md["analyzer"]]
+            if md["positions"]:
+                bits.append("positions")
+            if md["store"]:
+                bits.append("store")
+            extra = f" [{' '.join(bits)}]"
+        conflict = "  CONFLICT" if r["conflict"] else ""
+        n = len(r["indices"])
+        where = f" ({n}/{len(args.path)} indexes)" if len(args.path) > 1 else ""
+        print(f"{r['field']} {r['type']} {','.join(caps)}{extra}{where}{conflict}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index introspection: manifest stats, build phases, per-segment
     lineage/metrics — no Spark session needed (driver-side JSON only)."""
@@ -2230,6 +2263,12 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("-p", "--path", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    fc = sub.add_parser("fields", help="field capabilities across "
+                        "indexes (ES _field_caps analog)")
+    fc.add_argument("-p", "--path", required=True, action="append",
+                    help="index dir; repeat for an alias view")
+    fc.set_defaults(fn=cmd_fields)
 
     an = sub.add_parser("analyze", help="show how text tokenizes (ES "
                         "_analyze analog); no Spark session")

@@ -182,3 +182,61 @@ def attach_docmap_multi(spark, index_dirs, results_df, manifests=None):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def field_caps(index_dirs) -> list[dict]:
+    """Field capabilities across one or more indexes — the Elasticsearch
+    ``_field_caps`` API analog (EXTENSION). Driver-side manifest reads
+    only (the same cost class as stats binding — no cluster job).
+
+    Returns one dict per (field name, type) pair, sorted by (name,
+    type):
+
+        {"field", "type", "searchable", "aggregatable", "indices",
+         "metadata": {analyzer, positions, store} (text fields),
+         "conflict": bool}
+
+    following the ES contract: a field appearing with DIFFERENT types
+    across the alias produces one row PER type, each listing the indexes
+    carrying that type, with ``conflict=True`` on every row of that name
+    (the ES per-type ``indices`` breakdown that only appears on
+    conflicting fields — here always listed, since naming which index
+    has which type is the point of the API). Text fields are searchable
+    but not aggregatable (postings, no doc values); keyword / numeric /
+    date fields are both (docmap doc values serve filters AND facets);
+    geo fields are searchable (distance/bbox) and aggregatable (grids /
+    centroid). A field missing from some index is simply absent from
+    that index's list — like ES, absence is not a conflict."""
+    dirs = [index_dirs] if isinstance(index_dirs, str) else list(index_dirs)
+    if not dirs:
+        raise ValueError("field_caps needs at least one index dir")
+    by_field: dict[tuple, dict] = {}
+    names: dict[str, set] = {}
+    for d in dirs:
+        schema = load_manifest(d).schema
+        for fe in schema.fields:
+            key = (fe.name, fe.field_type)
+            row = by_field.get(key)
+            if row is None:
+                is_text = not fe.is_doc_value
+                row = {
+                    "field": fe.name,
+                    "type": fe.field_type,
+                    "searchable": True,
+                    "aggregatable": not is_text,
+                    "indices": [],
+                    "conflict": False,
+                }
+                if is_text:
+                    row["metadata"] = {
+                        "analyzer": fe.analyzer,
+                        "positions": fe.positions,
+                        "store": fe.store,
+                    }
+                by_field[key] = row
+            row["indices"].append(d)
+            names.setdefault(fe.name, set()).add(fe.field_type)
+    for (name, _), row in by_field.items():
+        if len(names[name]) > 1:
+            row["conflict"] = True
+    return [by_field[k] for k in sorted(by_field)]
