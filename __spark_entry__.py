@@ -1986,6 +1986,31 @@ def _smp_index(spark, sf_dir):
     return index_dir
 
 
+def _q_eng_rank_eval(spark, sf_dir):
+    """rank_eval (ES _rank_eval analog): ndcg@10 over three rated
+    requests on the SINGLE-segment index (local doc order == doc_id
+    order, so the oracle mirrors the pinned tie-break with ORDER BY
+    score DESC, doc_id). Ratings are a doc_id-arithmetic formula over
+    0..999 — docs beyond that range retrieve UNRATED (dcg 0)."""
+    from ostrich_spark.rank_eval import rank_eval
+
+    idx = _smp_index(spark, sf_dir)
+    ratings = {
+        i: (3 if i % 7 == 0 else (1 if i % 3 == 0 else 0))
+        for i in range(1000)
+    }
+    reqs = {t: (f"text:{t}", ratings) for t in ("spark", "stream", "join")}
+    out = rank_eval(
+        spark, idx, reqs, "doc_id", metric="ndcg", k=10, scorer="tfidf"
+    )
+    rows = [
+        (rid, round(out["details"][rid]["score"], 6))
+        for rid in sorted(out["details"])
+    ]
+    rows.append(("mean", round(out["metric_score"], 6)))
+    return spark.createDataFrame(rows, "request_id string, score double")
+
+
 def _q_eng_sampler_div(spark, sf_dir):
     """diversified_sampler + facet (ES analog): at most 2 docs per lang
     enter the per-segment top-12 sample (score desc, doc asc pinned
@@ -3889,6 +3914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_children_agg": _q_eng_children_agg,
         "eng_ids_filter": _q_eng_ids_filter,
         "eng_moving_pctl": _q_eng_moving_pctl,
+        "eng_rank_eval": _q_eng_rank_eval,
         "eng_parent_agg": _q_eng_parent_agg,
         "eng_dismax": _q_eng_dismax,
         "eng_suggest": _q_eng_suggest,
@@ -4575,6 +4601,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "round(avg(doc_id), 6) AS avg_id FROM d2 WHERE rn2 <= 12 "
             "GROUP BY source"
+        ),
+        # rank_eval ndcg@10: single-segment index ranks (score desc,
+        # doc_id) so the oracle re-ranks per request term and recomputes
+        # DCG with the doc_id-arithmetic ratings; ideal DCG from the
+        # ratings universe (0..999) sorted desc top-10; mean over the
+        # UNROUNDED per-request ndcg, rounded last like the engine
+        "eng_rank_eval": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "q AS (SELECT unnest(['join', 'spark', 'stream']) AS request_id), "
+            f"sc AS (SELECT t.term AS request_id, t.doc_id, {tfidf_spark} AS score "
+            "FROM tf t JOIN df d USING(term) "
+            "WHERE t.term IN ('spark', 'stream', 'join')), "
+            "rk AS (SELECT request_id, doc_id, row_number() OVER "
+            "(PARTITION BY request_id ORDER BY score DESC, doc_id) AS rn FROM sc), "
+            "g AS (SELECT q.request_id, coalesce(sum((pow(2.0, "
+            "CASE WHEN rk.doc_id < 1000 THEN (CASE WHEN rk.doc_id % 7 = 0 THEN 3 "
+            "WHEN rk.doc_id % 3 = 0 THEN 1 ELSE 0 END) ELSE 0 END) - 1.0) "
+            "/ log2(rk.rn + 1)), 0.0) AS dcg "
+            "FROM q LEFT JOIN rk ON rk.request_id = q.request_id AND rk.rn <= 10 "
+            "GROUP BY q.request_id), "
+            "ideal AS (SELECT sum((pow(2.0, rating) - 1.0) / log2(rn + 1)) AS idcg "
+            "FROM (SELECT rating, row_number() OVER (ORDER BY rating DESC) AS rn "
+            "FROM (SELECT CASE WHEN i % 7 = 0 THEN 3 WHEN i % 3 = 0 THEN 1 "
+            "ELSE 0 END AS rating FROM range(0, 1000) t(i))) WHERE rn <= 10), "
+            "nd AS (SELECT request_id, dcg / (SELECT idcg FROM ideal) AS nd FROM g) "
+            "SELECT request_id, round(nd, 6) AS score FROM nd "
+            "UNION ALL SELECT 'mean' AS request_id, round(avg(nd), 6) AS score FROM nd"
         ),
         # JLH significant terms: rank on the UNROUNDED score inside the
         # cut subquery (the engine cuts pre-rounding too), then round

@@ -1709,6 +1709,44 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_rankeval(args) -> int:
+    """Ranking evaluation (ES _rank_eval analog): --requests JSON file
+    of {id: {"query": NQL, "ratings": {key: rating}}}; prints one
+    'id score' line per request then 'mean <score>'."""
+    import json as _json
+
+    from .rank_eval import rank_eval
+
+    try:
+        with open(args.requests) as f:
+            spec = _json.load(f)
+        requests = {
+            rid: (r["query"], {k: int(v) for k, v in r["ratings"].items()})
+            for rid, r in spec.items()
+        }
+    except (OSError, KeyError, ValueError, AttributeError) as e:
+        print(f"rankeval: bad --requests file: {e}", file=sys.stderr)
+        return 2
+    spark = _spark()
+    t0 = time.time()
+    try:
+        out = rank_eval(
+            spark, args.path, requests, args.key,
+            metric=args.metric, k=args.k, scorer=args.scorer,
+            relevant_threshold=args.relevant_threshold,
+        )
+    except ValueError as e:
+        print(f"rankeval: {e}", file=sys.stderr)
+        return 2
+    elapsed = time.time() - t0
+    for rid in sorted(out["details"]):
+        d = out["details"][rid]
+        print(f"{rid} {d['score']:.6f} (unrated {d['unrated_docs']})")
+    print(f"mean {out['metric_score']:.6f}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_fields(args) -> int:
     """Field capabilities (ES _field_caps analog): one line per
     (field, type) across the listed indexes, conflicts flagged.
@@ -2263,6 +2301,21 @@ def main(argv=None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("-p", "--path", required=True)
     st.set_defaults(fn=cmd_stats)
+
+    re_ = sub.add_parser("rankeval", help="ranking evaluation over rated "
+                         "requests (ES _rank_eval analog)")
+    re_.add_argument("-p", "--path", required=True)
+    re_.add_argument("--requests", required=True,
+                     help='JSON: {id: {"query": NQL, "ratings": {key: n}}}')
+    re_.add_argument("--key", required=True,
+                     help="identity column the rating keys address")
+    re_.add_argument("--metric", default="ndcg",
+                     choices=["precision", "recall", "mrr", "dcg", "ndcg",
+                              "err"])
+    re_.add_argument("--k", type=int, default=10)
+    re_.add_argument("--relevant-threshold", type=int, default=1)
+    re_.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
+    re_.set_defaults(fn=cmd_rankeval)
 
     fc = sub.add_parser("fields", help="field capabilities across "
                         "indexes (ES _field_caps analog)")
