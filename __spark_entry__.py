@@ -1926,6 +1926,28 @@ def _q_eng_script_score(spark, sf_dir):
     )
 
 
+def _q_eng_field_value_factor(spark, sf_dir):
+    """field_value_factor function score (ES analog): tfidf ×
+    ln1p(0.001·n_chars) — the modifier table compiled ONCE into Catalyst
+    columns over the scored docmap join, no per-doc scripting."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import (
+        attach_docmap,
+        search_field_value_factor,
+    )
+
+    idx = _doc_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    out = search_field_value_factor(
+        spark, idx, "text:spark", "n_chars", factor=0.001,
+        modifier="ln1p", boost_mode="multiply", limit=None,
+        scorer="tfidf", manifest=mf,
+    )
+    return attach_docmap(spark, idx, out, manifest=mf).select(
+        F.col("doc_id").cast("long"), F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_distance_feature(spark, sf_dir):
     """distance_feature query (ES analog): text score + boost·pivot/
     (pivot+|n_chars−300|) — reciprocal closeness bonus, NULL adds 0."""
@@ -3958,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_multi_terms": _q_eng_multi_terms,
         "eng_pinned": _q_eng_pinned,
         "eng_script_score": _q_eng_script_score,
+        "eng_field_value_factor": _q_eng_field_value_factor,
         "eng_distance_feature": _q_eng_distance_feature,
         "eng_match_bool_prefix": _q_eng_match_bool_prefix,
         "eng_sampler_div": _q_eng_sampler_div,
@@ -4560,6 +4583,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark') "
             "SELECT o.doc_id, round(sqrt(o.score) "
             "+ (dd.n_chars % 10) * 0.1, 6) AS score "
+            "FROM org o JOIN documents dd USING(doc_id)"
+        ),
+        # field_value_factor: tfidf × ln1p(0.001·n_chars), the ES
+        # modifier table (ln1p = natural log of argument+1)
+        "eng_field_value_factor": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "org AS (SELECT t.doc_id, "
+            "t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark') "
+            "SELECT o.doc_id, round(o.score "
+            "* ln(1.0 + 0.001 * dd.n_chars), 6) AS score "
             "FROM org o JOIN documents dd USING(doc_id)"
         ),
         # distance_feature: + boost·pivot/(pivot+|n_chars−origin|)

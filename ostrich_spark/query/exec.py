@@ -5316,6 +5316,157 @@ def search_script_score(
     return out
 
 
+# field_value_factor modifiers, exactly the Elasticsearch table:
+# log-family is COMMON log (base 10), ln-family natural; the +1/+2
+# variants shift the argument, not the result. Each entry maps the
+# already-factored value v (= factor * doc value) to the function
+# score; domain violations (log of <= 0, sqrt of < 0, 1/0) fail the
+# job loudly below rather than producing NaN/Infinity ranks.
+_FVF_MODIFIERS = (
+    "none", "log", "log1p", "log2p", "ln", "ln1p", "ln2p",
+    "square", "sqrt", "reciprocal",
+)
+
+
+def search_field_value_factor(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float | None = None,
+    boost_mode: str = "multiply",
+    limit: int | None = 10,
+    offset: int = 0,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Relevance scaled by a numeric doc value — the Elasticsearch
+    ``function_score`` / ``field_value_factor`` function (EXTENSION; the
+    reference has text scoring only). The function value is
+    ``modifier(factor * v)`` with the ES modifier table (``log``-family
+    base 10, ``ln``-family natural, ``log1p`` = log10(x+1), ``square``,
+    ``sqrt``, ``reciprocal`` = 1/x); ``boost_mode`` combines it with the
+    text score: ``multiply`` (the ES default) or ``sum``.
+
+    ES contracts kept exactly:
+      - a doc whose field is NULL uses ``missing`` when given, else the
+        query FAILS (ES raises "Missing value for field" per-doc; a
+        silent 0 would quietly multiply scores away) — via a Catalyst
+        assert, not a per-row Python check;
+      - a modifier-domain violation (``log``/``ln`` of a non-positive
+        argument, ``sqrt`` of a negative, ``reciprocal`` of 0) fails the
+        job — ES returns NaN/-Infinity scores it then rejects; we stop
+        at the source;
+      - a negative function result (possible only via ``none``/``ln``
+        variants on sub-1 arguments) is allowed, matching ES — the
+        assert guards domain errors, not sign.
+
+    Where ES evaluates the function per doc per shard, here it compiles
+    ONCE into Catalyst columns inside the scored docmap join —
+    whole-stage codegen over the match set, no per-row scripting.
+    Scale posture = search_script_score: exhaustive match evaluation
+    (the function is unbounded w.r.t. the text score, so WAND's bound
+    proves nothing), one co-keyed docmap join, TakeOrderedAndProject.
+
+    Returns (segment_id, segment_ord, doc, score, base_score,
+    ``field``) ordered by (score desc, segment_ord asc, doc asc).
+    """
+    from pyspark.sql import functions as F
+
+    if modifier not in _FVF_MODIFIERS:
+        raise ValueError(
+            f"modifier must be one of {_FVF_MODIFIERS}, got {modifier!r}"
+        )
+    if boost_mode not in ("multiply", "sum"):
+        raise ValueError(
+            f"boost_mode must be 'multiply' or 'sum', got {boost_mode!r}"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    _numeric_field_entry(manifest, field)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    joined = docmap.select("segment_id", "doc", field).join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    raw = F.col(field).cast("double")
+    if missing is not None:
+        raw = F.coalesce(raw, F.lit(float(missing)))
+    else:
+        # when/otherwise, NOT `raw + coalesce(assert_true, 0)`: Add's
+        # codegen short-circuits on a NULL left operand, so an assert on
+        # the right would never evaluate for exactly the rows it guards.
+        raw = F.when(raw.isNotNull(), raw).otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    f"field_value_factor: missing value for field "
+                    f"{field!r} and no 'missing' parameter (the ES "
+                    "contract)"
+                ),
+            ).cast("double")
+        )
+    v = raw * F.lit(float(factor))
+    LOG10E = 0.4342944819032518  # log10(e): DuckDB/Spark share ln; log10 = ln * this
+    if modifier == "none":
+        fn, dom = v, None
+    elif modifier == "log":
+        fn, dom = F.log(v) * F.lit(LOG10E), v > 0
+    elif modifier == "log1p":
+        fn, dom = F.log(v + 1.0) * F.lit(LOG10E), v > -1.0
+    elif modifier == "log2p":
+        fn, dom = F.log(v + 2.0) * F.lit(LOG10E), v > -2.0
+    elif modifier == "ln":
+        fn, dom = F.log(v), v > 0
+    elif modifier == "ln1p":
+        fn, dom = F.log(v + 1.0), v > -1.0
+    elif modifier == "ln2p":
+        fn, dom = F.log(v + 2.0), v > -2.0
+    elif modifier == "square":
+        fn, dom = v * v, None
+    elif modifier == "sqrt":
+        fn, dom = F.sqrt(v), v >= 0
+    else:  # reciprocal
+        fn, dom = F.lit(1.0) / v, v != 0
+    if dom is not None:
+        # Same short-circuit trap: F.log of a non-positive is NULL in
+        # Spark, which would skip an additive assert. The assert must be
+        # the branch actually evaluated on violating rows.
+        fn = F.when(dom, fn).otherwise(
+            F.assert_true(
+                F.lit(False),
+                F.lit(
+                    f"field_value_factor: modifier {modifier!r} domain "
+                    f"error on {field!r} (factor={factor}) — ES would "
+                    "produce NaN/Infinity scores here"
+                ),
+            ).cast("double")
+        )
+    base = F.col("score")
+    new_score = base * fn if boost_mode == "multiply" else base + fn
+    out = joined.select(
+        "segment_id",
+        "segment_ord",
+        "doc",
+        new_score.cast("double").alias("score"),
+        base.alias("base_score"),
+        F.col(field),
+    ).orderBy(F.desc("score"), F.asc("segment_ord"), F.asc("doc"))
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+    return out
+
+
 # The score handed to pinned docs: Float.MAX_VALUE / 2, the constant
 # Lucene's pinned-query module anchors promotions at — any organic
 # relevance is astronomically below it, and successive pins step down
