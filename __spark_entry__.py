@@ -3170,6 +3170,73 @@ def _q_eng_update_purged(spark, sf_dir):
     )
 
 
+_UBQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ubq_index(spark, sf_dir: str) -> str:
+    """Copy of the entry index built store=True where update_by_query
+    (the ES _update_by_query + ctx._source script analog) rewrote every
+    text:stream match through ``concat(text, ' spark')`` — the match set
+    comes from the engine's own search, the rewrite is a Catalyst
+    expression over the docmap-reconstructed source — then purged so
+    stats recompute over the live set."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.deletes import update_by_query
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.merge import purge_deletes
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _UBQ_INDEX_CACHE:
+        return _UBQ_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ubq"
+    if not manifest_exists(index_dir) or not any(
+        s.startswith("purge-") for s in os.listdir(f"{index_dir}/segments")
+    ):
+        schema = Schema()
+        schema.add_text_field("text", "default", store=True)
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-ubq-{tag}",
+        )
+        update_by_query(
+            spark,
+            index_dir,
+            "text:stream",
+            {"text": "concat(text, ' spark')"},
+            build_id=f"ubq-{tag}",
+            num_partitions=1,
+        )
+        purge_deletes(spark, index_dir)
+    _UBQ_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_update_by_query(spark, sf_dir):
+    """update_by_query lifecycle: every text:stream match rewritten with
+    ``text || ' spark'`` and reindexed, then purged; scores over
+    text:spark as if the index were built from the rewritten corpus
+    (matched docs gain a spark occurrence — tf AND df shift, so the
+    oracle catches a wrong match set, a wrong rewrite, or stale stats)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+
+    idx = _ubq_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    res, _ = search(spark, idx, "text:spark", limit=None, manifest=mf)
+    return (
+        attach_docmap(spark, idx, res, manifest=mf)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 def _q_eng_phrase_tfidf(spark, sf_dir):
     """Phrase extension: consecutive-term match on the positions-enabled
     index; idf(phrase) = sum of constituent idfs (Lucene convention),
@@ -4062,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_delete_tombstone": _q_eng_delete_tombstone,
         "eng_delete_purged": _q_eng_delete_purged,
         "eng_update_purged": _q_eng_update_purged,
+        "eng_update_by_query": _q_eng_update_by_query,
         "eng_c3_count": _q_eng_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_lines": _q_dedup_lines,
@@ -5612,6 +5680,27 @@ def oracle_sql() -> dict[str, str]:
         "eng_update_purged": (
             "WITH live AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0 "
             f"THEN '{_UPD_TEXT}' ELSE text END AS text FROM documents), "
+            "toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM live), "
+            f"{TF_CTE}, "
+            "n AS (SELECT count(*) AS n FROM live), "
+            f"{DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
+        ),
+        # _update_by_query lifecycle: the engine's own text:stream match
+        # set rewritten through text || ' spark' and reindexed, then
+        # purged — post-purge scores == a build over the rewritten
+        # corpus; the oracle re-derives the match set, the rewrite, and
+        # the shifted tf/df independently
+        "eng_update_by_query": (
+            "WITH toks0 AS (SELECT doc_id, unnest(list_filter("
+            "regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'), "
+            "x -> x <> '')) AS term FROM documents), "
+            "matched AS (SELECT DISTINCT doc_id FROM toks0 WHERE term = 'stream'), "
+            "live AS (SELECT d.doc_id, CASE WHEN m.doc_id IS NOT NULL "
+            "THEN d.text || ' spark' ELSE d.text END AS text "
+            "FROM documents d LEFT JOIN matched m USING(doc_id)), "
             "toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), "
             "'[^\\p{L}\\p{N}]+'), x -> x <> '')) AS term FROM live), "
             f"{TF_CTE}, "

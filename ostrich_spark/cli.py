@@ -1374,9 +1374,54 @@ def cmd_update(args) -> int:
     """Upsert a corpus batch: tombstone committed docs with matching
     identity, append the batch as new segments. Schema comes from the
     committed manifest — the batch must carry its text/numeric columns
-    plus the id columns."""
+    plus the id columns. With --query instead of a corpus path, rewrites
+    every match through --set FIELD=EXPR expressions in place (the ES
+    _update_by_query + script analog; no --set = script-less reindex of
+    the matches)."""
     from .deletes import update_docs
     from .sources import load_corpus
+
+    if bool(args.corpus) == bool(args.query):
+        print(
+            "update: need exactly one of a corpus path or --query",
+            file=sys.stderr,
+        )
+        return 2
+    if args.query:
+        from .deletes import update_by_query
+
+        set_exprs: dict[str, str] = {}
+        for kv in args.set or []:
+            k, sep, v = kv.partition("=")
+            if not sep or not k:
+                print(
+                    f"update: --set needs FIELD=EXPR, got {kv!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            set_exprs[k] = v
+        spark = _spark()
+        n, manifest = update_by_query(
+            spark,
+            args.path,
+            args.query,
+            set_exprs,
+            args.build_id,
+            num_partitions=args.partitions,
+            order_col=args.order_col,
+        )
+        print(
+            f"updated by query: {n} rewritten, now "
+            f"{len(manifest.segments)} segments, {manifest.total_docs} "
+            f"docs, opstamp {manifest.opstamp}"
+        )
+        return 0
+    if args.set:
+        print("update: --set needs --query", file=sys.stderr)
+        return 2
+    if not args.id_col:
+        print("update: corpus mode needs --id-col", file=sys.stderr)
+        return 2
 
     spark = _spark()
     df = load_corpus(spark, args.corpus, shape=False)
@@ -2273,9 +2318,18 @@ def main(argv=None) -> int:
     ck.set_defaults(fn=cmd_check)
 
     u = sub.add_parser("update")
-    u.add_argument("corpus")
+    u.add_argument("corpus", nargs="?",
+                   help="corpus batch to upsert (omit with --query)")
     u.add_argument("-p", "--path", required=True)
-    u.add_argument("--id-col", action="append", required=True)
+    u.add_argument("--id-col", action="append",
+                   help="identity columns (corpus mode only; --query "
+                   "infers them from the index)")
+    u.add_argument("--query", help="NQL query; every match is rewritten "
+                   "through --set and reindexed (ES _update_by_query)")
+    u.add_argument("--set", action="append", metavar="FIELD=EXPR",
+                   help="SQL expression over the reconstructed doc, e.g. "
+                   "--set 'views=views + 1' (repeatable; none = "
+                   "script-less reindex of the matches)")
     u.add_argument("--partitions", type=int, default=8)
     u.add_argument("--order-col")
     u.add_argument("--build-id", required=True,

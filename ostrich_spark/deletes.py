@@ -334,3 +334,152 @@ def update_docs(
         fail_after_partitions=fail_after_partitions,
     )
     return n_tomb, mf
+
+
+@locked_writer("update")
+def update_by_query(
+    spark,
+    index_dir: str,
+    query,
+    set_exprs: dict[str, str],
+    build_id: str,
+    default_fields: list[str] | None = None,
+    num_partitions: int = 8,
+    order_col: str | None = None,
+):
+    """Rewrite every CURRENT match of ``query`` through ``set_exprs`` and
+    upsert the results — the Elasticsearch ``_update_by_query`` (with
+    ``script``) analog. ES updates a doc by reindexing its ``_source``
+    after the script ran; here the "source" is reconstructed from the
+    docmap (the same requirement as :func:`ostrich_spark.build.reindex`:
+    every text field must have been indexed with ``store=True`` — the
+    ``_source``-enabled precondition ES has too), ``set_exprs`` maps
+    build-input column names to Spark SQL expressions evaluated over the
+    reconstructed row (``{"views": "views + 1", "text": "upper(text)"}``
+    — the ``ctx._source.x = ...`` script shapes), and :func:`update_docs`
+    tombstones the old versions and appends the rewritten batch as new
+    segments. ``set_exprs={}`` reindexes matches unchanged (the
+    ES script-less ``_update_by_query``: pick up analyzer/pipeline
+    changes in place).
+
+    Contracts kept from ES:
+      - identity columns may NOT be updated (ES forbids ``ctx._id``
+        mutation in ``_update_by_query``) — rejected up front;
+      - an unknown target column is an error, not a silent new field;
+      - matches are evaluated ONCE against the live index (tombstoned
+        docs excluded); docs written between the match scan and the
+        upsert commit are not seen — the snapshot-then-write model ES
+        documents (its version-conflict counting is moot here: the
+        directory write lock serializes writers).
+
+    Doc-value reconstruction details: keyword fields re-enter through
+    their already-normalized stored form (lowercase is idempotent), date
+    fields through their epoch-micros longs (the build's documented
+    round-trip dtype), geo fields re-serialize ``__lat``/``__lon`` into
+    the canonical ``"lat,lon"`` input string (Java shortest-round-trip
+    double formatting, exact on re-parse).
+
+    Returns ``(n_updated, manifest)`` — n_updated counts matched (and
+    therefore rewritten) docs; 0 leaves the index untouched.
+
+    Scale posture: the match set rides the normal pruned search, the
+    docmap join is one co-keyed inner join, reconstruction and
+    ``set_exprs`` are Catalyst columns, and the append is the standard
+    shuffle-free build — no driver materialization of documents.
+    """
+    from pyspark.sql import functions as F
+
+    from .query.exec import read_docmap, search
+    from .schema import geo_lat_col, geo_lon_col
+
+    manifest = load_manifest(index_dir)
+    schema = manifest.schema
+    docmap = read_docmap(spark, index_dir, manifest)
+    cols = set(docmap.schema.names)
+
+    # identity inference — build.reindex's rule: everything that is not
+    # engine bookkeeping, a stored field, or a doc-value column
+    stored = {
+        fe.name for fe in schema.fields if not fe.is_doc_value and fe.store
+    }
+    docvals: set[str] = set()
+    for fe in schema.fields:
+        if fe.is_geo:
+            docvals |= {geo_lat_col(fe.name), geo_lon_col(fe.name)}
+        elif fe.is_doc_value:
+            docvals.add(fe.name)
+    bookkeeping = {"segment_id", "doc", "content_sha256"}
+    id_cols = [
+        c
+        for c in docmap.schema.names
+        if c not in bookkeeping and c not in stored and c not in docvals
+    ]
+    if not id_cols:
+        raise ValueError(
+            "update_by_query needs identity columns in the docmap "
+            "(index was built without id_cols)"
+        )
+
+    # reconstruct every build-input column from what the docmap kept
+    recon: dict[str, object] = {c: F.col(c) for c in id_cols}
+    for fe in schema.fields:
+        ic = fe.input_col
+        if ic in recon:
+            continue
+        if ic in cols:
+            recon[ic] = F.col(ic)
+        elif fe.is_geo and geo_lat_col(fe.name) in cols:
+            lat = F.col(geo_lat_col(fe.name))
+            recon[ic] = F.when(
+                lat.isNotNull(),
+                F.concat_ws(
+                    ",", lat.cast("string"),
+                    F.col(geo_lon_col(fe.name)).cast("string"),
+                ),
+            )
+        elif fe.is_doc_value and fe.name in cols:
+            # multi-field whose source column wasn't kept: the typed
+            # doc value IS the (normalized) source
+            recon[ic] = F.col(fe.name)
+        else:
+            raise ValueError(
+                f"update_by_query: field {fe.name!r} (input column "
+                f"{ic!r}) cannot be reconstructed from the docmap — "
+                "text fields must have been indexed with store=True "
+                "(the _source requirement of ES _update_by_query)"
+            )
+    for k in set_exprs:
+        if k in id_cols:
+            raise ValueError(
+                f"update_by_query may not modify identity column {k!r} "
+                "(the ES ctx._id rule); use delete + index instead"
+            )
+        if k not in recon:
+            raise ValueError(
+                f"update_by_query target {k!r} is not a build-input "
+                f"column of this index (have: {sorted(recon)})"
+            )
+
+    res, _ = search(
+        spark, index_dir, query, limit=None, manifest=manifest,
+        default_fields=default_fields,
+    )
+    keys = res.select("segment_id", "doc").distinct()
+    corpus = docmap.join(keys, ["segment_id", "doc"], "inner").select(
+        *[v.alias(k) for k, v in recon.items()]
+    )
+    n_matched = corpus.count()
+    if n_matched == 0:
+        return 0, manifest
+    for k, v in set_exprs.items():
+        corpus = corpus.withColumn(k, F.expr(v))
+    _, mf = update_docs(
+        spark,
+        index_dir,
+        corpus,
+        id_cols,
+        build_id,
+        num_partitions=num_partitions,
+        order_col=order_col or id_cols[0],
+    )
+    return n_matched, mf
