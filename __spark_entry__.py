@@ -3237,6 +3237,77 @@ def _q_eng_update_by_query(spark, sf_dir):
     )
 
 
+_PLM_INDEX_CACHE: dict[str, str] = {}
+
+
+def _plm_index(spark, sf_dir: str) -> str:
+    """store=True copy of the entry index with a trained phrase-LM
+    (unigram + bigram counts from the stored source, the ES shingle-
+    subfield analog)."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.phrase_suggest import train_phrase_lm
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _PLM_INDEX_CACHE:
+        return _PLM_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-plm"
+    if not manifest_exists(index_dir) or not os.path.exists(
+        f"{index_dir}/models/phrase_lm_text/meta.json"
+    ):
+        schema = Schema()
+        schema.add_text_field("text", "default", store=True)
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-plm-{tag}",
+        )
+        train_phrase_lm(spark, index_dir, "text")
+    _PLM_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_phrase_suggest(spark, sf_dir):
+    """Noisy-channel phrase suggester (ES phrase suggester analog):
+    three inputs — a misspelled second token ('slow jion' -> join), a
+    short first token that generates no corrections ('the sorq' ->
+    sort), and an all-valid input kept via include_input ('hash join').
+    Scores = ln channel (0.95 original / 0.05·(1−d/maxlen) correction)
+    + ln unigram + ln stupid_backoff bigram; the oracle re-derives the
+    candidate sets (levenshtein ≤ 2, shared first char, rank (d, df
+    desc, term), cap 5) AND the LM from the corpus independently. The
+    backoff (unseen-bigram) branch is pinned by hand-computed pytest
+    goldens (tests/test_phrase_suggest.py) — every pair here is seen."""
+    from ostrich_spark.phrase_suggest import phrase_suggest
+
+    idx = _plm_index(spark, sf_dir)
+    rows = []
+    for qid, text in (
+        ("q1", "slow jion"),
+        ("q2", "the sorq"),
+        ("q3", "hash join"),
+    ):
+        for p in phrase_suggest(
+            spark, idx, "text", text,
+            size=5, max_edits=2, prefix_length=1, num_candidates=5,
+            confidence=0.0, include_input=True,
+        ):
+            rows.append((qid, p.text, p.score))
+    df = spark.createDataFrame(
+        rows, "input_id string, suggestion string, score double"
+    )
+    return df.select(
+        "input_id", "suggestion", F.round("score", 6).alias("score")
+    )
+
+
 def _q_eng_phrase_tfidf(spark, sf_dir):
     """Phrase extension: consecutive-term match on the positions-enabled
     index; idf(phrase) = sum of constituent idfs (Lucene convention),
@@ -4130,6 +4201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_delete_purged": _q_eng_delete_purged,
         "eng_update_purged": _q_eng_update_purged,
         "eng_update_by_query": _q_eng_update_by_query,
+        "eng_phrase_suggest": _q_eng_phrase_suggest,
         "eng_c3_count": _q_eng_count,
         "dedup_exact": _q_dedup_exact,
         "dedup_lines": _q_dedup_lines,
@@ -5708,6 +5780,49 @@ def oracle_sql() -> dict[str, str]:
             f"{DF_CTE} "
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'"
+        ),
+        # phrase suggester: candidates (lev<=2, shared first char, rank
+        # (d, df desc, term) cap 5, corrections only for tokens >= 4
+        # chars) + noisy channel (0.95 / 0.05*(1-d/maxlen)) + unigram +
+        # stupid_backoff bigram — all re-derived from the corpus
+        "eng_phrase_suggest": (
+            f"WITH {TOKLIST_CTE}, {POS_CTE}, "
+            "uni AS (SELECT term, count(*) AS cnt FROM pos GROUP BY term), "
+            "tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term), "
+            "tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM uni), "
+            "big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS cnt "
+            "FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 "
+            "GROUP BY 1, 2), "
+            "inputs AS (SELECT * FROM (VALUES ('q1', 'slow', 'jion'), "
+            "('q2', 'the', 'sorq'), ('q3', 'hash', 'join')) v(input_id, t1, t2)), "
+            "sin AS (SELECT input_id, 1 AS slot, t1 AS tok FROM inputs "
+            "UNION ALL SELECT input_id, 2, t2 FROM inputs), "
+            "corr AS (SELECT input_id, slot, term, err, lch FROM ("
+            "SELECT s.input_id, s.slot, u.term, 1 AS err, "
+            "ln(0.05 * (1 - CAST(levenshtein(u.term, s.tok) AS DOUBLE) "
+            "/ greatest(length(u.term), length(s.tok)))) AS lch, "
+            "row_number() OVER (PARTITION BY s.input_id, s.slot "
+            "ORDER BY levenshtein(u.term, s.tok), f.df DESC, u.term) AS rn "
+            "FROM sin s JOIN uni u ON substr(u.term, 1, 1) = substr(s.tok, 1, 1) "
+            "AND u.term <> s.tok AND levenshtein(u.term, s.tok) <= 2 "
+            "JOIN tdf f ON f.term = u.term "
+            "WHERE length(s.tok) >= 4 "
+            "AND levenshtein(u.term, s.tok) < greatest(length(u.term), length(s.tok))"
+            ") WHERE rn <= 5), "
+            "slots AS (SELECT input_id, slot, tok AS term, 0 AS err, "
+            "ln(0.95) AS lch FROM sin "
+            "UNION ALL SELECT input_id, slot, term, err, lch FROM corr), "
+            "pairs AS (SELECT c1.input_id, "
+            "c1.term || ' ' || c2.term AS suggestion, "
+            "c1.lch + c2.lch + ln(u1.cnt / (SELECT n FROM tot)) "
+            "+ ln(CASE WHEN b.cnt IS NOT NULL THEN CAST(b.cnt AS DOUBLE) / u1.cnt "
+            "ELSE 0.4 * u2.cnt / (SELECT n FROM tot) END) AS score "
+            "FROM slots c1 JOIN slots c2 ON c1.input_id = c2.input_id "
+            "AND c1.slot = 1 AND c2.slot = 2 "
+            "JOIN uni u1 ON u1.term = c1.term "
+            "JOIN uni u2 ON u2.term = c2.term "
+            "LEFT JOIN big b ON b.w1 = c1.term AND b.w2 = c2.term) "
+            "SELECT input_id, suggestion, round(score, 6) AS score FROM pairs"
         ),
         "eng_delete_tombstone": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "

@@ -522,6 +522,28 @@ def cmd_suggest(args) -> int:
     if fe is None or fe.is_doc_value:
         print(f"error: {args.field!r} is not a text field", file=sys.stderr)
         return 2
+    if args.phrase:
+        from .phrase_suggest import phrase_suggest, train_phrase_lm
+
+        try:
+            if args.train:
+                train_phrase_lm(spark, args.path, args.field, manifest=mf)
+            out = phrase_suggest(
+                spark, args.path, args.field, args.term,
+                size=args.size, max_edits=args.max_dist,
+                prefix_length=args.prefix_length,
+                confidence=args.confidence, max_errors=args.max_errors,
+                smoothing=args.smoothing,
+                transpositions=args.transpositions,
+                collate=args.collate, manifest=mf,
+            )
+        except (ValueError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        for p in out:
+            print(f"{p.text}\t{p.score:.6f}\t{p.n_errors} fixed")
+        print(f"elapsed: {time.time() - t0:.3f}s")
+        return 0
     toks = get_analyzer(fe.query_analyzer).analyze_one(args.term)
     if len(args.term.split()) > 1:
         # multi-WORD input (user typed whitespace): whole-text correction
@@ -2051,6 +2073,21 @@ def main(argv=None) -> int:
     sg.add_argument("--top", type=int, default=5)
     sg.add_argument("--transpositions", action="store_true",
                     help="adjacent swap counts as one edit (Damerau)")
+    sg.add_argument("--phrase", action="store_true",
+                    help="noisy-channel phrase suggester over the bigram "
+                    "LM (ES phrase suggester); needs a trained model "
+                    "(--train) and a store=True field")
+    sg.add_argument("--train", action="store_true",
+                    help="(re)train the phrase LM before suggesting")
+    sg.add_argument("--size", type=int, default=5)
+    sg.add_argument("--confidence", type=float, default=1.0)
+    sg.add_argument("--max-errors", type=float, default=1.0)
+    sg.add_argument("--smoothing", default="stupid_backoff",
+                    choices=["stupid_backoff", "laplace",
+                             "linear_interpolation"])
+    sg.add_argument("--collate", action="store_true",
+                    help="keep only suggestions with at least one "
+                    "matching doc (one batched job for the whole list)")
     sg.set_defaults(fn=cmd_suggest)
 
     kn = sub.add_parser("knn", help="vector search: persisted IVF build/"
