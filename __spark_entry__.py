@@ -2070,6 +2070,23 @@ def _q_eng_sig_jlh(spark, sf_dir):
     )
 
 
+def _q_eng_sig_mi(spark, sf_dir):
+    """mutual_information significance (ES heuristic; textbook 2×2 MI in
+    bits, 0·log0 = 0): same cogrouped counting pass as eng_sig_jlh,
+    different column math — the oracle recomputes all four cells."""
+    from ostrich_spark.query.exec import significant_terms
+
+    idx = _doc_index(spark, sf_dir)
+    out = significant_terms(
+        spark, idx, "text:spark", "text",
+        significance="mutual_information", size=20,
+    )
+    return out.select(
+        "term", F.col("n_docs").cast("long"), F.col("doc_freq").cast("long"),
+        F.round("score", 9).alias("score"),
+    )
+
+
 def _q_eng_auto_date_hist(spark, sf_dir):
     """auto_date_histogram (ES analog): the ~30-day click span at
     buckets=40 auto-picks 'day' from the minute→year ladder (one O(1)
@@ -4123,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_match_bool_prefix": _q_eng_match_bool_prefix,
         "eng_sampler_div": _q_eng_sampler_div,
         "eng_sig_jlh": _q_eng_sig_jlh,
+        "eng_sig_mi": _q_eng_sig_mi,
         "eng_auto_date_hist": _q_eng_auto_date_hist,
         "eng_span_first": _q_eng_span_first,
         "eng_span_not": _q_eng_span_not,
@@ -4820,6 +4838,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM fg JOIN df d USING(term)) "
             "SELECT term, n_docs, doc_freq, round(score, 6) AS score, "
             "round(bg_percent, 6) AS bg_percent FROM "
+            "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
+        ),
+        # mutual_information significance: textbook 2×2 MI in bits over
+        # (term∈/∉ × match∈/∉), 0·log0 = 0 cells, recomputed cell by cell
+        "eng_sig_mi": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "sub AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM m), "
+            "fg AS (SELECT t.term, count(DISTINCT t.doc_id) AS n_docs "
+            "FROM toks t JOIN m USING(doc_id) GROUP BY t.term), "
+            "cells AS (SELECT fg.term, fg.n_docs, d.df AS doc_freq, "
+            "CAST(fg.n_docs AS DOUBLE) AS a, "
+            "CAST(d.df AS DOUBLE) - fg.n_docs AS b, "
+            "(SELECT k FROM sub) - fg.n_docs AS c, "
+            "(SELECT n FROM n) - (SELECT k FROM sub) "
+            "- (CAST(d.df AS DOUBLE) - fg.n_docs) AS dd, "
+            "CAST((SELECT n FROM n) AS DOUBLE) AS nn "
+            "FROM fg JOIN df d USING(term)), "
+            "j AS (SELECT term, n_docs, doc_freq, "
+            "(CASE WHEN a > 0 THEN (a/nn) * log2(nn*a/((a+b)*(a+c))) ELSE 0 END "
+            "+ CASE WHEN b > 0 THEN (b/nn) * log2(nn*b/((a+b)*(b+dd))) ELSE 0 END "
+            "+ CASE WHEN c > 0 THEN (c/nn) * log2(nn*c/((c+dd)*(a+c))) ELSE 0 END "
+            "+ CASE WHEN dd > 0 THEN (dd/nn) * log2(nn*dd/((c+dd)*(b+dd))) ELSE 0 END"
+            ") AS score FROM cells) "
+            "SELECT term, n_docs, doc_freq, round(score, 9) AS score FROM "
             "(SELECT * FROM j ORDER BY score DESC, term LIMIT 20)"
         ),
         # significant_text (no-dedup, unbounded sample): same jlh math as

@@ -2895,6 +2895,13 @@ def significant_terms(
       - ``"percentage"``: subset_freq / superset_freq
       - ``"lift"``: fg% / bg% (plain ratio — not an ES builtin, kept
         because it is the common log-odds ingredient)
+      - ``"mutual_information"``: textbook 2×2 MI in bits (Manning IR
+        §13.5.1, the definition ES cites), 0·log 0 = 0,
+        include_negatives=true semantics
+      - ``"gnd"``: google normalized distance (Cilibrasi & Vitányi),
+        returned as 1/(1+NGD) so larger = more significant (our
+        stated transformation — ES leaves the return shape
+        undocumented)
 
     with two extra columns (``score``, ``bg_percent``) and, when
     ``size`` is given, only the top ``size`` terms (score desc, term asc
@@ -2954,10 +2961,13 @@ def _apply_significance(counts, subset_df, superset_size: int, significance, siz
         if size is not None:
             raise ValueError("size needs a significance heuristic to rank by")
         return counts
-    if significance not in ("jlh", "chi_square", "percentage", "lift"):
+    if significance not in (
+        "jlh", "chi_square", "percentage", "lift",
+        "mutual_information", "gnd",
+    ):
         raise ValueError(
-            f"significance must be jlh/chi_square/percentage/lift, "
-            f"got {significance!r}"
+            "significance must be jlh/chi_square/percentage/lift/"
+            f"mutual_information/gnd, got {significance!r}"
         )
     scored = counts.crossJoin(F.broadcast(subset_df))
     fgp = F.col("n_docs").cast("double") / F.col("__subset")
@@ -2968,6 +2978,46 @@ def _apply_significance(counts, subset_df, superset_size: int, significance, siz
         score = F.col("n_docs").cast("double") / F.col("doc_freq")
     elif significance == "lift":
         score = fgp / bgp
+    elif significance == "mutual_information":
+        # textbook 2×2 mutual information in bits (Manning et al., IR
+        # §13.5.1 — the definition the ES heuristic cites), summing
+        # (N_xy/N)·log2(N·N_xy / (N_x·N_y)) over the four cells with
+        # 0·log 0 = 0; include_negatives=true semantics (a term rarer
+        # in the subset than in the background still scores its MI —
+        # association strength is symmetric)
+        a = F.col("n_docs").cast("double")
+        b = F.col("doc_freq").cast("double") - a
+        c = F.col("__subset").cast("double") - a
+        n = F.lit(float(superset_size))
+        d = n - F.col("__subset") - b
+        t1, t0 = a + b, c + d  # term present / absent marginals
+        s1, s0 = a + c, b + d  # subset / complement marginals
+
+        def cell(nxy, rm, cm):
+            return F.when(
+                nxy > 0, (nxy / n) * F.log2(n * nxy / (rm * cm))
+            ).otherwise(0.0)
+
+        score = (
+            cell(a, t1, s1) + cell(b, t1, s0)
+            + cell(c, t0, s1) + cell(d, t0, s0)
+        )
+    elif significance == "gnd":
+        # google normalized distance (Cilibrasi & Vitányi, "The Google
+        # Similarity Distance"): NGD = (max(ln fx, ln fy) − ln fxy) /
+        # (ln N − min(ln fx, ln fy)) with fx = subset size, fy = term
+        # doc_freq, fxy = their intersection — returned as the
+        # similarity 1/(1+NGD) so larger = more significant (OUR
+        # transformation, stated: ES does not document its return
+        # shape; NGD ≥ 0 since fxy ≤ min(fx, fy), so the score is in
+        # (0, 1]). Degenerate fx = fy = N (no information) scores 0.
+        fxy = F.col("n_docs").cast("double")
+        fx = F.col("__subset").cast("double")
+        fy = F.col("doc_freq").cast("double")
+        n = F.lit(float(superset_size))
+        num = F.greatest(F.log(fx), F.log(fy)) - F.log(fxy)
+        den = F.log(n) - F.least(F.log(fx), F.log(fy))
+        score = F.when(den > 0, 1.0 / (1.0 + num / den)).otherwise(0.0)
     else:  # chi_square: 2x2 contingency over term∈/∉ × match∈/∉
         a = F.col("n_docs").cast("double")
         b = F.col("doc_freq").cast("double") - a

@@ -212,10 +212,69 @@ def test_significance_chi_square_and_ranking(spark, smp_index):
     ]
     with pytest.raises(ValueError, match="significance"):
         significant_terms(
-            spark, smp_index, "text:spark", "text", significance="gnd"
+            spark, smp_index, "text:spark", "text", significance="kl"
         )
     with pytest.raises(ValueError, match="heuristic"):
         significant_terms(spark, smp_index, "text:spark", "text", size=5)
+
+
+def test_significance_mi_and_gnd_hand_math(spark, tmp_path, smp_index):
+    """mutual_information: textbook 2×2 MI in bits — independence -> 0,
+    perfect correlation of balanced binaries -> 1 bit, everywhere-term
+    -> 0. gnd: 1/(1+NGD) with the Cilibrasi–Vitányi formula; the
+    degenerate fx = fy = N table scores 0."""
+    import math
+
+    s = Schema()
+    s.add_text_field("text", "default")
+    docs = [
+        {"doc_id": 0, "text": "spark rare shared"},
+        {"doc_id": 1, "text": "spark shared"},
+        {"doc_id": 2, "text": "other shared"},
+        {"doc_id": 3, "text": "other rare shared"},
+    ]
+    idx = str(tmp_path / "mig")
+    build_index(
+        spark, spark.createDataFrame(pd.DataFrame(docs)), s, idx,
+        num_partitions=1, order_col="doc_id", id_cols=["doc_id"],
+    )
+    mi = {
+        r["term"]: r["score"]
+        for r in significant_terms(
+            spark, idx, "text:spark", "text",
+            significance="mutual_information",
+        ).collect()
+    }
+    # 'rare': all four cells are 1 -> independence -> 0 bits
+    assert mi["rare"] == pytest.approx(0.0, abs=1e-12)
+    # 'spark': perfectly correlated balanced binaries -> exactly 1 bit
+    assert mi["spark"] == pytest.approx(1.0, rel=1e-12)
+    # 'shared' in every doc: no information
+    assert mi["shared"] == pytest.approx(0.0, abs=1e-12)
+    gnd = {
+        r["term"]: r["score"]
+        for r in significant_terms(
+            spark, idx, "text:spark", "text", significance="gnd"
+        ).collect()
+    }
+    # 'spark': fxy == fx == fy -> NGD 0 -> similarity 1
+    assert gnd["spark"] == pytest.approx(1.0, rel=1e-12)
+    # 'rare': NGD = (ln2 - ln1)/(ln4 - ln2) = 1 -> 0.5
+    assert gnd["rare"] == pytest.approx(0.5, rel=1e-12)
+    # 'shared': NGD = (ln4 - ln2)/(ln4 - ln2)... max/min pick fy=4:
+    # (ln4-ln2)/(ln4-ln2) = 1 -> 0.5 (hand-traced through the formula)
+    num = max(math.log(2), math.log(4)) - math.log(2)
+    den = math.log(4) - min(math.log(2), math.log(4))
+    assert gnd["shared"] == pytest.approx(1 / (1 + num / den), rel=1e-12)
+    # degenerate: every doc matches and the term is everywhere ->
+    # fx = fy = N -> zero denominator -> 0 by rule
+    g2 = {
+        r["term"]: r["score"]
+        for r in significant_terms(
+            spark, smp_index, "text:spark", "text", significance="gnd"
+        ).collect()
+    }
+    assert g2["common"] == pytest.approx(0.0, abs=1e-12)
 
 
 def test_significance_percentage_and_lift(spark, tmp_path):
