@@ -2070,6 +2070,31 @@ def _q_eng_sig_jlh(spark, sf_dir):
     )
 
 
+def _q_eng_date_range(spark, sf_dir):
+    """date_range aggregation (ES analog): ISO-8601 string bounds
+    resolved to unit STARTS on both sides (the ES from/to round-down
+    rule), declared-order output, empty declared bucket surfacing with
+    n_docs=0 and a NULL metric, avg metric riding the one tagging pass."""
+    from ostrich_spark.query.exec import range_agg
+
+    idx = _date_index(spark, sf_dir)
+    out = range_agg(
+        spark, idx, "event_type:click", "ts",
+        [
+            ("w1", "2024-01-01", "2024-01-08"),
+            ("w2", "2024-01-08", "2024-01-15"),
+            ("rest", "2024-01-15", None),
+            ("feb", "2024-02", "2024-03"),
+        ],
+        metrics={"avg_value": ("avg", "value")},
+    )
+    return out.select(
+        "range_key", "lo", "hi",
+        F.col("n_docs").cast("long"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 def _q_eng_sig_mi(spark, sf_dir):
     """mutual_information significance (ES heuristic; textbook 2×2 MI in
     bits, 0·log0 = 0): same cogrouped counting pass as eng_sig_jlh,
@@ -4141,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_sampler_div": _q_eng_sampler_div,
         "eng_sig_jlh": _q_eng_sig_jlh,
         "eng_sig_mi": _q_eng_sig_mi,
+        "eng_date_range": _q_eng_date_range,
         "eng_auto_date_hist": _q_eng_auto_date_hist,
         "eng_span_first": _q_eng_span_first,
         "eng_span_not": _q_eng_span_not,
@@ -5510,6 +5536,27 @@ def oracle_sql() -> dict[str, str]:
         # date_histogram offset: day buckets at the +6h boundary —
         # key = floor((us - off)/day)*day_ms + off_ms, floor over double
         # division exactly like the engine (|us| << 2^53)
+        # date_range agg: ISO bounds -> unit-start micros both sides
+        # (from inclusive, to exclusive), declared order, empty 'feb'
+        # bucket with NULL metric
+        "eng_date_range": (
+            "WITH decl AS (SELECT * FROM (VALUES "
+            "(0, 'w1', epoch_us(TIMESTAMP '2024-01-01'), epoch_us(TIMESTAMP '2024-01-08')), "
+            "(1, 'w2', epoch_us(TIMESTAMP '2024-01-08'), epoch_us(TIMESTAMP '2024-01-15')), "
+            "(2, 'rest', epoch_us(TIMESTAMP '2024-01-15'), NULL), "
+            "(3, 'feb', epoch_us(TIMESTAMP '2024-02-01'), epoch_us(TIMESTAMP '2024-03-01'))"
+            ") v(ord, range_key, lo, hi)), "
+            "agg AS (SELECT d.range_key, count(*) AS n_docs, "
+            "round(avg(e.value), 6) AS avg_value "
+            "FROM events e JOIN decl d ON e.event_type = 'click' "
+            "AND e.ts IS NOT NULL AND epoch_us(e.ts) >= d.lo "
+            "AND (d.hi IS NULL OR epoch_us(e.ts) < d.hi) "
+            "GROUP BY d.range_key) "
+            "SELECT d.range_key, CAST(d.lo AS DOUBLE) AS lo, "
+            "CAST(d.hi AS DOUBLE) AS hi, coalesce(a.n_docs, 0) AS n_docs, "
+            "a.avg_value FROM decl d LEFT JOIN agg a USING (range_key) "
+            "ORDER BY d.ord"
+        ),
         "eng_date_hist_offset": (
             "SELECT CAST(floor((epoch_us(ts) - 21600000000) / 86400000000.0) "
             "AS BIGINT) * 86400000 + 21600000 AS bucket_ms, "

@@ -979,11 +979,20 @@ def cmd_agg(args) -> int:
     if args.range:
         try:
             ranges = []
+            def _b(s):
+                # numeric if it parses, else kept as a string for the
+                # date-field resolver (ISO dates: 2024-01, 2024-01-10;
+                # time-bearing bounds carry colons — use epoch millis)
+                if not s:
+                    return None
+                try:
+                    return float(s)
+                except ValueError:
+                    return s
+
             for part in (args.ranges or "").split(","):
                 key, lo, hi = part.split(":")
-                ranges.append(
-                    (key, float(lo) if lo else None, float(hi) if hi else None)
-                )
+                ranges.append((key, _b(lo), _b(hi)))
         except ValueError:
             print("agg: --ranges wants KEY:LO:HI[,KEY:LO:HI...] with "
                   "empty LO/HI = open", file=sys.stderr)

@@ -2483,8 +2483,14 @@ def range_agg(
     falls in) and every DECLARED range appears in the output, empty ones
     with ``n_docs = 0`` and NULL metrics (ES keyed-response behavior).
     ``metrics`` follows the facet_stats grammar. Date fields take their
-    stored epoch-micros bounds. NULL field values fall in no range
-    (ES: missing docs are simply absent).
+    stored epoch-micros bounds — or ISO-8601 / epoch-millis STRINGS
+    (the ES ``date_range`` aggregation analog), resolved through the
+    query grammar's date parser to the unit's START on BOTH sides
+    (``("jan", "2024-01", "2024-02")`` covers exactly January — the ES
+    date_range from/to round-down rule; note the difference from range
+    QUERIES, whose lte/gt round to the unit's END). String bounds on a
+    non-date field are rejected loudly. NULL field values fall in no
+    range (ES: missing docs are simply absent).
 
     Returns (range_key, lo, hi, n_docs, *metrics) in declaration order
     (``range_ord`` ties the output back to the declaration).
@@ -2510,6 +2516,26 @@ def range_agg(
     if len(set(keys)) != len(keys):
         raise ValueError(f"duplicate range keys: {keys}")
     metrics = metrics or {}
+
+    def _bound(v):
+        if v is None or not isinstance(v, str):
+            return v
+        if not fe.is_date:
+            raise ValueError(
+                f"string bound {v!r} needs a date field, {field!r} is "
+                f"{fe.field_type}"
+            )
+        from .parser import _parse_date_span
+
+        span = _parse_date_span(v)
+        if span is None:
+            raise ValueError(
+                f"cannot parse date bound {v!r} — expected an ISO-8601 "
+                "prefix (2024-01, 2024-01-10, …) or epoch millis"
+            )
+        return span[0]  # ES date_range: from AND to round DOWN
+
+    ranges = [(k, _bound(lo), _bound(hi)) for k, lo, hi in ranges]
 
     res, _ = search(
         spark, index_dir, query, limit=None, scorer=scorer,

@@ -473,3 +473,55 @@ def test_histogram_offset_validation(spark, date_index):
         date_histogram(
             spark, idx, "event_type:click", "ts", "day", offset="sideways"
         )
+
+
+def test_date_range_agg_iso_bounds(spark, date_index):
+    """ES date_range analog: ISO-8601 string bounds resolve to the
+    unit's START on both sides (from inclusive, to exclusive), so a
+    month pair covers exactly that calendar month — recomputed from the
+    raw pandas frame. Epoch-millis strings and open sides compose."""
+    from ostrich_spark.query.exec import range_agg
+
+    idx, pdf = date_index
+    out = range_agg(
+        spark, idx, "event_type:click", "ts",
+        [
+            ("jan", "2024-01", "2024-02"),
+            ("feb_on", "2024-02", None),
+            ("first_10d", None, "2024-01-11"),
+        ],
+    ).collect()
+    clicks = pdf[(pdf.event_type == "click") & pdf.ts.notna()]
+    ts = pd.to_datetime(clicks.ts)
+    exp = {
+        "jan": int((ts < dt.datetime(2024, 2, 1)).sum()
+                   - (ts < dt.datetime(2024, 1, 1)).sum()),
+        "feb_on": int((ts >= dt.datetime(2024, 2, 1)).sum()),
+        "first_10d": int((ts < dt.datetime(2024, 1, 11)).sum()),
+    }
+    got = {r["range_key"]: r["n_docs"] for r in out}
+    assert got == exp
+    # declaration order and resolved micros bounds surface in lo/hi
+    assert [r["range_key"] for r in out] == ["jan", "feb_on", "first_10d"]
+    assert out[0]["lo"] == float(_us(2024, 1, 1))
+    assert out[0]["hi"] == float(_us(2024, 2, 1))
+    # epoch-millis string bound == the equivalent ISO bound
+    ms = str(_us(2024, 2, 1) // 1000)
+    out2 = range_agg(
+        spark, idx, "event_type:click", "ts", [("feb_on", ms, None)]
+    ).collect()
+    assert out2[0]["n_docs"] == exp["feb_on"]
+
+
+def test_date_range_agg_validation(spark, date_index):
+    from ostrich_spark.query.exec import range_agg
+
+    idx, _ = date_index
+    with pytest.raises(ValueError, match="date field"):
+        range_agg(
+            spark, idx, "event_type:click", "value", [("x", "2024-01", None)]
+        )
+    with pytest.raises(ValueError, match="cannot parse date bound"):
+        range_agg(
+            spark, idx, "event_type:click", "ts", [("x", "not-a-date", None)]
+        )
