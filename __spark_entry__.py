@@ -1340,6 +1340,36 @@ def _q_synonym_tf(spark, sf_dir):
     return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
 
 
+def _q_length_unique_tf(spark, sf_dir):
+    """A10 extension: LengthFilter(4,6) -> UniqueFilter chain through
+    the REAL Arrow analyzer kernels (mapInPandas) — 4..6-char tokens
+    only, per-doc first-occurrence dedupe so every tf is 1; returns
+    (doc_id, term, tf). Oracle: list_filter on length + list_distinct
+    over the same tokenization."""
+    import numpy as np
+    import pandas as pd
+
+    from ostrich_spark.analysis import Analyzer, LengthFilter, UniqueFilter
+
+    an = Analyzer("gate_lu", (LengthFilter(4, 6), UniqueFilter()))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def fn(it):
+        for pdf in it:
+            flat, lens = an.analyze_flat(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        pdf["doc_id"].to_numpy(dtype=np.int64), lens
+                    ),
+                    "term": flat.to_pylist(),
+                }
+            )
+
+    toks = docs.mapInPandas(fn, "doc_id long, term string")
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
 def _q_postings_stats(spark, sf_dir):
     """I3/I4: per-term posting stats (doc_freq, total_tf, doc range)."""
     tf = _q_tokenize_tf(spark, sf_dir)
@@ -4096,6 +4126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a2_tokenize_tf": _q_tokenize_tf,
         "a3_stopword_tf": _q_stopword_tf,
+        "a10_length_unique_tf": _q_length_unique_tf,
         "a5_synonym_tf": _q_synonym_tf,
         "a8_shingle_tf": _q_shingle_tf,
         "a9_asciifold_tf": _q_asciifold_tf,
@@ -4303,6 +4334,14 @@ def oracle_sql() -> dict[str, str]:
         "a3_stopword_tf": (
             f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks "
             f"WHERE term NOT IN ({STOPWORDS_SQL}) GROUP BY doc_id, term"
+        ),
+        # LengthFilter(4,6) -> UniqueFilter: 4..6-char tokens, per-doc
+        # first-occurrence dedupe (tf always 1)
+        "a10_length_unique_tf": (
+            f"WITH {TOKLIST_CTE}, "
+            "u AS (SELECT doc_id, unnest(list_distinct(list_filter(toks, "
+            "t -> length(t) BETWEEN 4 AND 6))) AS term FROM tl) "
+            "SELECT doc_id, term, CAST(1 AS BIGINT) AS tf FROM u"
         ),
         "a8_shingle_tf": (
             "WITH tl AS (SELECT doc_id, list_filter(regexp_split_to_array("

@@ -302,6 +302,122 @@ class ShingleFilter:
         return combined, new_lens
 
 
+def _mask_filter(flat, lens, mask):
+    """Drop tokens where ``mask`` is False, recomputing per-doc lengths
+    (the stopword-filter math, shared by every dropping filter)."""
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    csum = np.zeros(len(mask_np) + 1, dtype=np.int64)
+    np.cumsum(mask_np, out=csum[1:])
+    new_lens = csum[bounds[1:]] - csum[bounds[:-1]]
+    return flat.filter(mask), new_lens
+
+
+class LengthFilter:
+    """Length token filter (EXTENSION — Lucene LengthFilter / the ES
+    ``length`` filter): keeps tokens whose CHARACTER length is within
+    ``[min_length, max_length]`` (both inclusive, the ES contract —
+    ``utf8_length`` counts codepoints like Python ``len``). The classic
+    uses: drop single-letter noise (min 2) or unbounded garbage runs
+    (max 64) before they bloat the dictionary."""
+
+    def __init__(self, min_length: int = 0, max_length: int = 255):
+        if not (0 <= min_length <= max_length):
+            raise ValueError(
+                f"need 0 <= min_length <= max_length, "
+                f"got {min_length}/{max_length}"
+            )
+        self.min_length = int(min_length)
+        self.max_length = int(max_length)
+
+    def apply_tokens(self, tokens: list[str]) -> list[str]:
+        return [
+            t for t in tokens if self.min_length <= len(t) <= self.max_length
+        ]
+
+    def apply_flat(self, flat, lens):
+        n = pc.utf8_length(flat)
+        mask = pc.and_(
+            pc.greater_equal(n, pa.scalar(self.min_length)),
+            pc.less_equal(n, pa.scalar(self.max_length)),
+        )
+        return _mask_filter(flat, lens, mask)
+
+
+class TruncateFilter:
+    """Truncate token filter (EXTENSION — Lucene TruncateTokenFilter /
+    the ES ``truncate`` filter, default length 10): hard-caps every
+    token at ``length`` characters (codepoints). Token counts and
+    positions are unchanged — only the strings shrink."""
+
+    def __init__(self, length: int = 10):
+        if length < 1:
+            raise ValueError(f"truncate length must be >= 1, got {length}")
+        self.length = int(length)
+
+    def apply_tokens(self, tokens: list[str]) -> list[str]:
+        return [t[: self.length] for t in tokens]
+
+    def apply_flat(self, flat, lens):
+        return pc.utf8_slice_codeunits(flat, 0, self.length), lens
+
+
+class UniqueFilter:
+    """Unique token filter (EXTENSION — the ES ``unique`` filter with
+    ``only_on_same_position=false``, its default): per DOCUMENT, keeps
+    only the FIRST occurrence of each distinct token — the order-
+    preserving dedupe that turns a field into a set (tf collapses to
+    0/1, the classic pairing with keyword-ish relevance)."""
+
+    def apply_tokens(self, tokens: list[str]) -> list[str]:
+        return list(dict.fromkeys(tokens))
+
+    def apply_flat(self, flat, lens):
+        n = len(flat)
+        if n == 0:
+            return flat, lens
+        lens = np.asarray(lens, dtype=np.int64)
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # first occurrence of each (doc, term) pair: np.unique returns
+        # the index of the FIRST hit of every distinct key
+        key = doc * np.int64(len(d.dictionary)) + codes
+        _, first = np.unique(key, return_index=True)
+        mask_np = np.zeros(n, dtype=bool)
+        mask_np[first] = True
+        return _mask_filter(flat, lens, pa.array(mask_np))
+
+
+class StemFilter:
+    """Snowball stemmer with a PROTECTED keyword set — the Lucene/ES
+    ``keyword_marker`` + stemmer pair fused into one stage (EXTENSION;
+    flat pipelines carry plain strings, not flagged token objects, so
+    the marker fuses into its consumer — the observable semantics are
+    identical: a protected token passes the stemmer verbatim, exact
+    match after lowercasing). ``StemFilter(())`` ≡ the plain ``"stem"``
+    filter. The classic use: brand/domain words the stemmer would
+    mangle (``StemFilter(["maps"])`` keeps ``maps`` while ``mapping``
+    still stems to ``map``)."""
+
+    def __init__(self, protected=()):
+        self.protected = frozenset(str(t) for t in protected)
+
+    def apply_tokens(self, tokens: list[str]) -> list[str]:
+        return [t if t in self.protected else stem(t) for t in tokens]
+
+    def apply_flat(self, flat, lens):
+        d = flat.dictionary_encode()
+        stemmed = pa.array(
+            [
+                t if t in self.protected else stem(t)
+                for t in d.dictionary.to_pylist()
+            ],
+            type=pa.large_string(),
+        )
+        return stemmed.take(d.indices), lens
+
+
 class HtmlStripCharFilter:
     """HTML-strip char filter (EXTENSION — Lucene HTMLStripCharFilter /
     ES ``html_strip``): drops tags (replaced by a space so adjacent
@@ -372,7 +488,7 @@ def _apply_char_filters(texts, char_filters):
 
 def _filter_flat(flat, lens, token_filter):
     """Apply one token filter to the flat representation."""
-    if isinstance(token_filter, (SynonymFilter, EdgeNGramFilter, ShingleFilter)):
+    if isinstance(token_filter, (SynonymFilter, EdgeNGramFilter, ShingleFilter, LengthFilter, TruncateFilter, UniqueFilter, StemFilter)):
         return token_filter.apply_flat(flat, lens)
     if token_filter == "ascii_fold":
         d = flat.dictionary_encode()
@@ -439,7 +555,7 @@ class Analyzer:
             text = cf.apply_text(text)
         toks = [t for t in _SPLIT_RE.split(text.lower()) if t]
         for f in self.token_filters:
-            if isinstance(f, (SynonymFilter, EdgeNGramFilter, ShingleFilter)):
+            if isinstance(f, (SynonymFilter, EdgeNGramFilter, ShingleFilter, LengthFilter, TruncateFilter, UniqueFilter, StemFilter)):
                 toks = f.apply_tokens(toks)
             elif f == "stem":
                 toks = stem_tokens(toks)
@@ -492,7 +608,7 @@ class Analyzer:
                 texts = texts.map(cf.apply_text)
         toks = tokenize_series(lowercase_series(texts))
         for f in self.token_filters:
-            if isinstance(f, (SynonymFilter, EdgeNGramFilter, ShingleFilter)):
+            if isinstance(f, (SynonymFilter, EdgeNGramFilter, ShingleFilter, LengthFilter, TruncateFilter, UniqueFilter, StemFilter)):
                 toks = toks.map(f.apply_tokens)
             elif f == "stem":
                 toks = toks.map(stem_tokens)
@@ -555,6 +671,21 @@ def analyzer_spec(a: Analyzer) -> dict:
                 "separator": f.separator,
                 "output_unigrams": f.output_unigrams,
             })
+        elif isinstance(f, LengthFilter):
+            filters.append({
+                "type": "length",
+                "min_length": f.min_length,
+                "max_length": f.max_length,
+            })
+        elif isinstance(f, TruncateFilter):
+            filters.append({"type": "truncate", "length": f.length})
+        elif isinstance(f, UniqueFilter):
+            filters.append({"type": "unique"})
+        elif isinstance(f, StemFilter):
+            filters.append({
+                "type": "stem_protected",
+                "protected": sorted(f.protected),
+            })
         elif f in ("stem", "stopword", "ascii_fold"):
             filters.append(f)
         else:
@@ -597,6 +728,14 @@ def analyzer_from_spec(name: str, spec: dict) -> Analyzer:
                 f["min_size"], f["max_size"], f.get("separator", " "),
                 f.get("output_unigrams", True),
             ))
+        elif f.get("type") == "length":
+            fs.append(LengthFilter(f["min_length"], f["max_length"]))
+        elif f.get("type") == "truncate":
+            fs.append(TruncateFilter(f["length"]))
+        elif f.get("type") == "unique":
+            fs.append(UniqueFilter())
+        elif f.get("type") == "stem_protected":
+            fs.append(StemFilter(f.get("protected", ())))
         else:
             raise KeyError(f"unknown analyzer filter spec {f!r}")
     cfs: list = []

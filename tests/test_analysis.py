@@ -295,3 +295,137 @@ def test_shingle_index_end_to_end_phrase_as_single_term(spark, tmp_path):
     res2, _ = search(spark, d, TermQuery(fe.id, "merge policy"), limit=None,
                      manifest=mf2)
     assert res2.count() == 2
+
+
+# --- round-3 session-6: length / truncate / unique / protected stem -------
+
+
+def test_length_filter_goldens_and_bounds():
+    from ostrich_spark.analysis import Analyzer, LengthFilter
+    import pytest as _pt
+
+    a = Analyzer("len24", (LengthFilter(2, 4),))
+    # both bounds INCLUSIVE (the ES contract)
+    assert a.analyze_one("a bb cccc ddddd ee") == ["bb", "cccc", "ee"]
+    with _pt.raises(ValueError, match="min_length"):
+        LengthFilter(5, 2)
+
+
+def test_truncate_filter_goldens():
+    from ostrich_spark.analysis import Analyzer, TruncateFilter
+    import pytest as _pt
+
+    a = Analyzer("tr3", (TruncateFilter(3),))
+    # counts/positions unchanged, strings capped at 3 codepoints
+    assert a.analyze_one("abcdef gh ijkl") == ["abc", "gh", "ijk"]
+    with _pt.raises(ValueError, match=">= 1"):
+        TruncateFilter(0)
+
+
+def test_unique_filter_per_doc_not_global():
+    import pandas as pd
+
+    from ostrich_spark.analysis import Analyzer, UniqueFilter
+
+    a = Analyzer("uniq", (UniqueFilter(),))
+    # first occurrence kept, order preserved
+    assert a.analyze_one("b a b c a b") == ["b", "a", "c"]
+    # dedupe is PER DOCUMENT: the same term reappears in the next doc
+    out = a.analyze_series(pd.Series(["x y x", "x z", "", "y y"])).tolist()
+    assert out == [["x", "y"], ["x", "z"], [], ["y"]]
+
+
+def test_protected_stem_filter():
+    from ostrich_spark.analysis import Analyzer, StemFilter
+
+    a = Analyzer("pstem", (StemFilter(["maps"]),))
+    # 'maps' protected verbatim; 'mapping' still stems
+    assert a.analyze_one("maps mapping serious") == ["maps", "map", "seriou"]
+    # empty protected set == the plain "stem" filter
+    b = Analyzer("stem0", (StemFilter(()),))
+    c = Analyzer("plain", ("stem",))
+    t = "having confidence in serious viruses"
+    assert b.analyze_one(t) == c.analyze_one(t)
+
+
+def test_session6_filters_arrow_python_parity():
+    import pandas as pd
+
+    from ostrich_spark.analysis import (
+        Analyzer,
+        LengthFilter,
+        StemFilter,
+        TruncateFilter,
+        UniqueFilter,
+    )
+
+    texts = pd.Series([
+        "a bb cccc ddddd maps mapping",
+        "b a b c a b x" * 3,
+        "",
+        "unique unique tokens tokens here",
+    ])
+    for fs in (
+        (LengthFilter(2, 4),),
+        (TruncateFilter(3),),
+        (UniqueFilter(),),
+        (StemFilter(["maps"]),),
+        (LengthFilter(2, 6), UniqueFilter(), TruncateFilter(4)),
+    ):
+        a = Analyzer("combo6", fs)
+        assert a.analyze_series(texts).tolist() == (
+            a._analyze_series_py(texts).tolist()
+        )
+
+
+def test_session6_filters_spec_roundtrip():
+    from ostrich_spark.analysis import (
+        Analyzer,
+        LengthFilter,
+        StemFilter,
+        TruncateFilter,
+        UniqueFilter,
+        analyzer_from_spec,
+        analyzer_spec,
+    )
+
+    a = Analyzer(
+        "combo6rt",
+        (LengthFilter(2, 8), UniqueFilter(), StemFilter(["maps"]),
+         TruncateFilter(5)),
+    )
+    b = analyzer_from_spec("combo6rt", analyzer_spec(a))
+    t = "a maps mapping serious serious confidence xx"
+    assert b.analyze_one(t) == a.analyze_one(t)
+    assert analyzer_spec(b) == analyzer_spec(a)
+
+
+def test_unique_filter_index_collapses_tf(spark, tmp_path):
+    """End-to-end: a unique-filtered field scores tf=1 however often the
+    term repeats — the field-as-set contract."""
+    from ostrich_spark.analysis import (
+        _REGISTRY,
+        Analyzer,
+        UniqueFilter,
+        register_analyzer,
+    )
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.schema import Schema
+
+    register_analyzer(Analyzer("uniq_e2e", (UniqueFilter(),)))
+    docs = [(0, "spark spark spark merge"), (1, "spark merge")]
+    df = spark.createDataFrame(docs, "id long, text string")
+    s = Schema()
+    s.add_text_field("text", "uniq_e2e")
+    d = str(tmp_path / "uidx")
+    build_index(spark, df, s, d, num_partitions=1, order_col="id",
+                id_cols=["id"], build_id="uq")
+    mf = load_manifest(d)
+    res, _ = search(spark, d, "text:spark", limit=None, manifest=mf)
+    rows = attach_docmap(spark, d, res, manifest=mf).select(
+        "id", "score").collect()
+    scores = {r["id"]: r["score"] for r in rows}
+    assert scores[0] == scores[1]  # tf collapsed to 1 in both
+    del _REGISTRY["uniq_e2e"]
