@@ -3642,6 +3642,20 @@ def _q_sample_stratified(spark, sf_dir):
     )
 
 
+def _q_sample_cap_per_source(spark, sf_dir):
+    """Domain cap (the CommonCrawl/RefinedWeb 'max N pages per host'
+    rule): at most 10 docs per source, survivors = the 10 smallest
+    (unit hash, doc_id) per group — map-side Arrow pre-prune + ONE
+    O(n)-per-group partial-aggregated groupBy, never a raw-row window.
+    Oracle: brute row_number over the same portable sha256 hash."""
+    from ostrich_spark.sampling import cap_per_group
+
+    return _longify(
+        cap_per_group(_docs(spark, sf_dir), "source", 10, salt="cap")
+        .select("doc_id", "source")
+    )
+
+
 def _q_token_stats(spark, sf_dir):
     from ostrich_spark.textops import token_stats
 
@@ -4295,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "sample_hash": _q_sample_hash,
         "sample_stratified": _q_sample_stratified,
+        "sample_cap_per_source": _q_sample_cap_per_source,
         "sample_mixture": _q_mix_corpus,
         "text_pack_sequences": _q_pack_sequences,
         "text_token_stats": _q_token_stats,
@@ -6268,6 +6283,14 @@ def oracle_sql() -> dict[str, str]:
             "(('0x' || substr(sha256('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
             " / 4294967296.0) < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5 "
             "WHEN 'fr' THEN 0.25 ELSE 0.1 END"
+        ),
+        # domain cap: at most 10 docs per source, survivors = the 10
+        # smallest (unit hash, doc_id) — brute window recount
+        "sample_cap_per_source": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY "
+            "(('0x' || substr(sha256('cap' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "/ 4294967296.0), doc_id) AS rn FROM documents) WHERE rn <= 10"
         ),
         "text_keyterms": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

@@ -295,6 +295,17 @@ def main():
         ("agg_children", em.queries()["eng_children_agg"]),
         ("docs_ids_filter", em.queries()["eng_ids_filter"]),
         ("docs_copy_to", em.queries()["eng_copy_to"]),
+        # round-3 session-6: query-driven in-place rewrite (first run
+        # pays the side-index build + purge; best-of-3 keeps the warm
+        # search), noisy-channel phrase suggester (pruned candidate
+        # reads + LM point lookups + driver Viterbi), MI significance,
+        # date_range buckets, length->unique analyzer chain
+        ("docs_update_by_query", em.queries()["eng_update_by_query"]),
+        ("suggest_phrase", em.queries()["eng_phrase_suggest"]),
+        ("agg_sig_mi", em.queries()["eng_sig_mi"]),
+        ("agg_date_range", em.queries()["eng_date_range"]),
+        ("analysis_length_unique", em.queries()["a10_length_unique_tf"]),
+        ("sample_cap_per_source", em.queries()["sample_cap_per_source"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -134,3 +134,85 @@ def mix_corpus(
     return out.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
     ).drop("_n")
+
+
+def cap_per_group(
+    df,
+    group_col: str,
+    n: int,
+    order_col: str | None = None,
+    ascending: bool = True,
+    key_col: str = "doc_id",
+    salt: str = "cap",
+):
+    """Keep at most ``n`` rows per distinct ``group_col`` value — the
+    web-pipeline domain-cap rule ("max N pages per host", the
+    CommonCrawl/RefinedWeb shape): hot domains are bounded, the long
+    tail passes through untouched.
+
+    WHICH rows survive is deterministic: the ``n`` smallest
+    ``(order, key)`` per group, where order is ``order_col`` (pass a
+    quality score with ``ascending=False`` to keep the BEST n; the
+    column must then be numeric — descending order negates it) or, by
+    default, the same partition-invariant sha256 unit hash the samplers
+    use — a uniform, reproducible, incremental draw within each group.
+    ``key_col`` must be unique (it totals the order, so reruns and
+    repartitions keep the identical survivor set). NULL group values
+    form one group (SQL GROUP BY convention, like the facets).
+
+    Scale posture: NO window over the raw rows (row_number would drag
+    every row of a hot domain through one shuffle partition — exactly
+    the skewed-host case the cap exists for). A map-side Arrow
+    pre-prune keeps at most ``n`` rows per group per batch (the union
+    of per-batch top-n is a superset of the global top-n under ANY
+    partitioning), then ONE partial-aggregated groupBy carries
+    <= n x batches rows per group and a sort_array slice + explode
+    emits the survivors — per-group state is O(n), never the group's
+    row count.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    for c in [group_col, key_col] + ([order_col] if order_col else []):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame ({df.columns})")
+    if order_col is None:
+        if not ascending:
+            raise ValueError("ascending=False needs an explicit order_col")
+        ocol = _unit_hash(F.col(key_col), salt)
+    elif ascending:
+        ocol = F.col(order_col).cast("double")
+    else:
+        t = dict(df.dtypes).get(order_col, "")
+        if t in ("string", "boolean") or t.startswith(("array", "struct", "map")):
+            raise ValueError(
+                f"ascending=False needs a numeric order_col, {order_col!r} "
+                f"is {t}"
+            )
+        ocol = -F.col(order_col).cast("double")
+    cols = list(df.columns)
+    work = df.withColumn("__ord", ocol)
+
+    gcol, kcol, keep = group_col, key_col, n
+
+    def _prune(batches):
+        for pdf in batches:
+            if len(pdf) <= keep:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                ["__ord", kcol], ascending=[True, True], na_position="first"
+            )
+            yield pdf.groupby(gcol, dropna=False, sort=False).head(keep)
+
+    pruned = work.mapInPandas(_prune, schema=work.schema)
+    row = F.struct(
+        F.col("__ord").alias("o"),
+        F.col(kcol).alias("k"),
+        F.struct(*[F.col(c) for c in cols]).alias("p"),
+    )
+    agg = pruned.groupBy(F.col(gcol).alias("__g")).agg(
+        F.slice(F.sort_array(F.collect_list(row)), 1, keep).alias("rows")
+    )
+    return agg.select(F.explode("rows").alias("r")).select(
+        *[F.col(f"r.p.{c}").alias(c) for c in cols]
+    )

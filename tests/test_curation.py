@@ -216,3 +216,84 @@ def test_pack_validation(spark, pack_docs):
         pack_sequences(pack_docs, 0)
     with pytest.raises(ValueError, match="bucket_size"):
         pack_sequences(pack_docs, 8, bucket_size=0)
+
+
+# --- cap_per_group (domain cap) --------------------------------------------
+
+
+@pytest.fixture()
+def cap_docs(spark):
+    rows = [
+        (i, f"h{i % 3}", float(i % 7), f"t{i}") for i in range(60)
+    ] + [(100, None, 1.0, "nullhost"), (101, None, 2.0, "nullhost2"),
+         (102, None, 3.0, "nullhost3")]
+    return spark.createDataFrame(
+        rows, "doc_id long, host string, quality double, text string"
+    )
+
+
+def test_cap_per_group_hash_order_matches_window(spark, cap_docs):
+    """Default order = the sampler unit hash: survivors equal a brute
+    row_number window over (hash, doc_id); partitioning-invariant."""
+    from ostrich_spark.sampling import _unit_hash, cap_per_group
+
+    for nparts in (1, 7):
+        df = cap_docs.repartition(nparts)
+        got = sorted(
+            r["doc_id"]
+            for r in cap_per_group(df, "host", 4, salt="cap").collect()
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("host").orderBy(
+            _unit_hash(F.col("doc_id"), "cap").asc(), F.col("doc_id").asc()
+        )
+        exp = sorted(
+            r["doc_id"]
+            for r in cap_docs.withColumn(
+                "rn", F.row_number().over(w)
+            ).filter("rn <= 4").collect()
+        )
+        assert got == exp
+        # every group capped at 4, incl the NULL-host group (3 rows pass)
+        sizes = {
+            r["host"]: r["n"]
+            for r in cap_per_group(df, "host", 4, salt="cap")
+            .groupBy("host").agg(F.count("*").alias("n")).collect()
+        }
+        assert sizes == {"h0": 4, "h1": 4, "h2": 4, None: 3}
+
+
+def test_cap_per_group_quality_order(spark, cap_docs):
+    """ascending=False keeps the BEST-quality n; ties broken by key
+    asc, so the survivor set is pinned."""
+    from ostrich_spark.sampling import cap_per_group
+
+    out = cap_per_group(
+        cap_docs.filter("host = 'h0'"), "host", 3,
+        order_col="quality", ascending=False, key_col="doc_id",
+    ).collect()
+    # h0 docs: ids 0,3,6,...57; quality = id % 7. Best quality 6 at ids
+    # 6,27,48 — ties on quality -> smallest ids win
+    assert sorted(r["doc_id"] for r in out) == [6, 27, 48]
+    # all original columns survive the round trip
+    assert set(out[0].asDict()) == {"doc_id", "host", "quality", "text"}
+
+
+def test_cap_per_group_validation(spark, cap_docs):
+    from ostrich_spark.sampling import cap_per_group
+
+    with pytest.raises(ValueError, match="n must be"):
+        cap_per_group(cap_docs, "host", 0)
+    with pytest.raises(ValueError, match="not in frame"):
+        cap_per_group(cap_docs, "nope", 2)
+    with pytest.raises(ValueError, match="explicit order_col"):
+        cap_per_group(cap_docs, "host", 2, ascending=False)
+    with pytest.raises(ValueError, match="numeric order_col"):
+        cap_per_group(
+            cap_docs, "host", 2, order_col="text", ascending=False
+        )
+    # n >= group size: everything passes through
+    from pyspark.sql import functions as _F
+
+    assert cap_per_group(cap_docs, "host", 1000).count() == cap_docs.count()
