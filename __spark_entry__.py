@@ -2791,6 +2791,25 @@ def _q_eng_alias_search(spark, sf_dir):
     )
 
 
+def _q_eng_alias_filtered(spark, sf_dir):
+    """FILTERED alias (the ES alias ``filter`` option): the even-parity
+    index narrowed to n_chars in [250, 10000], the odd half unfiltered —
+    filter context, so every surviving hit scores exactly its
+    UNFILTERED alias-global value (stats never see the filter); the
+    oracle is the full-corpus TF-IDF with the membership predicate."""
+    from ostrich_spark.query.multi import attach_docmap_multi, search_multi
+
+    dirs = list(_doc_indexes_alias(spark, sf_dir))
+    res, _ = search_multi(
+        spark, dirs, "text:merge OR text:batch", limit=None, scorer="tfidf",
+        alias_filters=["n_chars:[250 TO 10000]", None],
+    )
+    return (
+        attach_docmap_multi(spark, dirs, res)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -4170,6 +4189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_snapshot_search": _q_eng_snapshot_search,
         "eng_s5_or": _q_eng_or,
         "eng_alias_search": _q_eng_alias_search,
+        "eng_alias_filtered": _q_eng_alias_filtered,
         "eng_boost_or": _q_eng_boost_or,
         "eng_boosting": _q_eng_boosting,
         "eng_s6_must_should": _q_eng_must_should,
@@ -4456,6 +4476,18 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('merge','batch')) "
             "SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY doc_id"
+        ),
+        # filtered alias: scores = the UNFILTERED alias-global tfidf;
+        # membership = odd docs unconditionally, even docs only within
+        # the n_chars filter range
+        "eng_alias_filtered": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('merge','batch')) "
+            "SELECT s.doc_id, round(sum(sc), 6) AS score FROM s "
+            "JOIN documents d2 ON d2.doc_id = s.doc_id "
+            "WHERE (s.doc_id % 2 = 1) OR (d2.n_chars BETWEEN 250 AND 10000) "
+            "GROUP BY s.doc_id"
         ),
         "eng_dismax": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

@@ -411,10 +411,22 @@ def _search_alias(spark, paths, args, t0) -> int:
             else:
                 boosts[f] = 1.0
         query = parse_multi_field(args.query, mf.schema, boosts, args.tie)
+    alias_filters = None
+    if getattr(args, "alias_filter", None):
+        if len(args.alias_filter) != len(paths):
+            print(
+                f"error: --alias-filter must repeat once per -p "
+                f"({len(args.alias_filter)} vs {len(paths)}; pass '' for "
+                f"an unfiltered index)",
+                file=sys.stderr,
+            )
+            return 2
+        alias_filters = [f or None for f in args.alias_filter]
     res, cnt = search_multi(
         spark, paths, query,
         limit=args.limit, offset=args.offset,
         scorer=args.scorer, with_count=args.count,
+        alias_filters=alias_filters,
     )
     rows = res.collect()
     elapsed = time.time() - t0
@@ -1911,6 +1923,10 @@ def main(argv=None) -> int:
     s.add_argument("-p", "--path", required=True, action="append",
                    help="index path; repeat for a multi-index alias "
                         "(global stats, one merged ranking)")
+    s.add_argument("--alias-filter", action="append", metavar="NQL",
+                   help="filtered alias (ES alias filter): one per -p in "
+                        "order, '' = unfiltered; filter context — "
+                        "membership only, scores and stats untouched")
     s.add_argument("-l", "--limit", type=int, default=10)
     s.add_argument("-o", "--offset", type=int, default=0)
     s.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")

@@ -87,6 +87,7 @@ def search_multi(
     use_wand: bool = True,
     default_fields: list[str] | None = None,
     manifests: list[Manifest] | None = None,
+    alias_filters=None,
 ):
     """Search an alias of indexes; returns (results DataFrame, count).
 
@@ -96,6 +97,17 @@ def search_multi(
     single-index total order extended by the alias position), then
     offset/limit. ``with_count`` sums per-index exhaustive counts.
     Map results to documents with :func:`attach_docmap_multi`.
+
+    ``alias_filters`` makes this a FILTERED alias (the ES alias
+    ``filter`` option): a per-index filter query — NQL string or
+    logical — applied in FILTER context (membership only, scores
+    untouched, the ES filter-context contract), as a dict keyed by
+    index dir or a list parallel to ``index_dirs`` (``None`` entries =
+    unfiltered). Scoring statistics stay the UNFILTERED alias-global
+    numbers (ES likewise: an alias filter narrows results, never idf),
+    while ``with_count`` counts the filtered sets. Multi-term nodes in
+    a filter expand against the alias-union dictionary like the base
+    query's.
 
     Cursor pagination (``after``) is index-relative and therefore not
     offered on the alias — page with offset/limit, or page each index
@@ -127,7 +139,50 @@ def search_multi(
     if has_multiterm(logical):
         logical = rewrite_multiterm_multi(spark, index_dirs, manifests, logical)
 
-    stats = bind_stats_multi(spark, index_dirs, manifests, logical)
+    if alias_filters is None:
+        flogical = [None] * len(index_dirs)
+    else:
+        if isinstance(alias_filters, dict):
+            unknown = set(alias_filters) - set(index_dirs)
+            if unknown:
+                raise ValueError(
+                    f"alias_filters keys not in index_dirs: {sorted(unknown)}"
+                )
+            flist = [alias_filters.get(d) for d in index_dirs]
+        else:
+            flist = list(alias_filters)
+            if len(flist) != len(index_dirs):
+                raise ValueError(
+                    f"alias_filters list must parallel index_dirs "
+                    f"({len(flist)} vs {len(index_dirs)})"
+                )
+        flogical = []
+        for f in flist:
+            if f is None:
+                flogical.append(None)
+                continue
+            fl = (
+                parse_query(f, schema, default_fields)
+                if isinstance(f, str)
+                else f
+            )
+            if has_multiterm(fl):
+                fl = rewrite_multiterm_multi(spark, index_dirs, manifests, fl)
+            flogical.append(fl)
+
+    # stats bind over base + every filter's leaves so per-index compiles
+    # never see an unbound term (a filter term absent from the override
+    # would wrongly compile to the absent-term empty scorer); the VALUES
+    # bound are the unfiltered alias-global ones either way
+    stats_logical = logical
+    extra = [f for f in flogical if f is not None]
+    if extra:
+        from .parser import BooleanQuery
+
+        stats_logical = BooleanQuery(
+            [("should", logical)] + [("should", f) for f in extra]
+        )
+    stats = bind_stats_multi(spark, index_dirs, manifests, stats_logical)
 
     from pyspark.sql import functions as F
 
@@ -138,8 +193,18 @@ def search_multi(
     parts = []
     count = 0 if with_count else None
     for ord_, (d, m) in enumerate(zip(index_dirs, manifests)):
+        if flogical[ord_] is None:
+            q_i = logical
+        else:
+            from .parser import BooleanQuery
+
+            # one MUST + one FILTER: score = the base query's score,
+            # filter contributes membership only (constant 0)
+            q_i = BooleanQuery(
+                [("must", logical), ("filter", flogical[ord_])]
+            )
         res, cnt = search(
-            spark, d, logical, limit=k, offset=0, scorer=scorer,
+            spark, d, q_i, limit=k, offset=0, scorer=scorer,
             with_count=with_count, use_wand=use_wand, manifest=m,
             stats_override=stats,
         )

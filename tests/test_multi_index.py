@@ -216,3 +216,84 @@ def test_cli_alias_rejects_single_index_options(indexes):
     )
     assert out.returncode == 2
     assert "single-index only" in out.stderr
+
+
+# --- filtered aliases (ES alias `filter`) -----------------------------------
+
+
+def test_filtered_alias_scores_unchanged(spark, indexes):
+    """Filter context: the filter narrows MEMBERSHIP per index, scores
+    and stats stay the unfiltered alias-global ones — every surviving
+    hit scores exactly its unfiltered value."""
+    unfiltered, _ = _alias_hits(spark, indexes, "text:spark")
+    got, cnt = _alias_hits(
+        spark, indexes, "text:spark",
+        alias_filters=["text:stream", None], with_count=True, limit=None,
+    )
+    base = dict(unfiltered)
+    # index A narrowed to docs also containing 'stream' (0 survives,
+    # 2 drops); index B unfiltered (4, 5, 7 keep)
+    assert [k for k, _ in got] == sorted(
+        [0, 4, 5, 7], key=lambda k: (-base[k], k)
+    )
+    for k, s in got:
+        assert s == base[k]
+    assert cnt == 4
+
+
+def test_filtered_alias_dict_form_and_range_filter(spark, indexes):
+    """Dict keyed by index dir; a numeric-range filter composes; a
+    filter on BOTH indexes narrows both."""
+    got, cnt = _alias_hits(
+        spark, indexes, "text:spark",
+        alias_filters={
+            indexes["a"]: "nchars:[20 TO 100]",
+            indexes["b"]: "nchars:[1 TO 20]",
+        },
+        with_count=True, limit=None,
+    )
+    # A: spark docs with nchars>=20 -> doc 2 (26); B: <=20 -> 5 (17), 7 (12)
+    assert sorted(k for k, _ in got) == [2, 5, 7]
+    assert cnt == 3
+
+
+def test_filtered_alias_multiterm_filter_and_validation(spark, indexes):
+    """A prefix inside a filter expands against the UNION dictionary;
+    list-length and unknown-dict-key validation is loud."""
+    got, _ = _alias_hits(
+        spark, indexes, "text:stream",
+        alias_filters=["text:spar*", "text:spar*"], limit=None,
+    )
+    # stream docs also containing spark/sparse...: A {0,3}, B {4,7}
+    assert sorted(k for k, _ in got) == [0, 3, 4, 7]
+    with pytest.raises(ValueError, match="parallel"):
+        search_multi(
+            spark, [indexes["a"], indexes["b"]], "text:spark",
+            alias_filters=["text:x"],
+        )
+    with pytest.raises(ValueError, match="keys not in index_dirs"):
+        search_multi(
+            spark, [indexes["a"], indexes["b"]], "text:spark",
+            alias_filters={"/nope": "text:x"},
+        )
+
+
+def test_cli_filtered_alias(indexes):
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "search", "text:spark",
+         "-p", indexes["a"], "-p", indexes["b"],
+         "--alias-filter", "text:stream", "--alias-filter", "",
+         "--count", "-l", "10"],
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "count: 4" in out.stdout
+    # wrong arity: loud exit 2
+    bad = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "search", "text:spark",
+         "-p", indexes["a"], "-p", indexes["b"],
+         "--alias-filter", "text:stream"],
+        capture_output=True, text=True,
+    )
+    assert bad.returncode == 2
+    assert "once per -p" in bad.stderr
