@@ -2810,6 +2810,24 @@ def _q_eng_alias_filtered(spark, sf_dir):
     )
 
 
+def _q_eng_alias_boosted(spark, sf_dir):
+    """indices_boost (ES search option): the even-parity index's scores
+    multiplied by 1.5 after alias-global scoring — monotone per index,
+    so per-index top-k and the global merge stay exact; oracle = the
+    full-corpus tfidf scaled by the doc's parity."""
+    from ostrich_spark.query.multi import attach_docmap_multi, search_multi
+
+    dirs = list(_doc_indexes_alias(spark, sf_dir))
+    res, _ = search_multi(
+        spark, dirs, "text:merge OR text:batch", limit=None, scorer="tfidf",
+        index_boosts=[1.5, None],
+    )
+    return (
+        attach_docmap_multi(spark, dirs, res)
+        .select(F.col("doc_id").cast("long"), F.round("score", 6).alias("score"))
+    )
+
+
 def _q_eng_topk_tfidf(spark, sf_dir):
     """C1/C2: global top-10 (rounded-score desc, doc_id asc)."""
     m = _engine_matches(spark, sf_dir, "text:spark OR text:join OR text:window")
@@ -4190,6 +4208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_s5_or": _q_eng_or,
         "eng_alias_search": _q_eng_alias_search,
         "eng_alias_filtered": _q_eng_alias_filtered,
+        "eng_alias_boosted": _q_eng_alias_boosted,
         "eng_boost_or": _q_eng_boost_or,
         "eng_boosting": _q_eng_boosting,
         "eng_s6_must_should": _q_eng_must_should,
@@ -4488,6 +4507,15 @@ def oracle_sql() -> dict[str, str]:
             "JOIN documents d2 ON d2.doc_id = s.doc_id "
             "WHERE (s.doc_id % 2 = 1) OR (d2.n_chars BETWEEN 250 AND 10000) "
             "GROUP BY s.doc_id"
+        ),
+        # indices_boost: even-parity docs (index 0) scaled 1.5x after
+        # alias-global scoring
+        "eng_alias_boosted": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('merge','batch')) "
+            "SELECT doc_id, round(sum(sc) * (CASE WHEN doc_id % 2 = 0 "
+            "THEN 1.5 ELSE 1.0 END), 6) AS score FROM s GROUP BY doc_id"
         ),
         "eng_dismax": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "

@@ -422,12 +422,24 @@ def _search_alias(spark, paths, args, t0) -> int:
             )
             return 2
         alias_filters = [f or None for f in args.alias_filter]
-    res, cnt = search_multi(
-        spark, paths, query,
-        limit=args.limit, offset=args.offset,
-        scorer=args.scorer, with_count=args.count,
-        alias_filters=alias_filters,
-    )
+    index_boosts = getattr(args, "index_boost", None)
+    if index_boosts and len(index_boosts) != len(paths):
+        print(
+            f"error: --index-boost must repeat once per -p "
+            f"({len(index_boosts)} vs {len(paths)})",
+            file=sys.stderr,
+        )
+        return 2
+    try:
+        res, cnt = search_multi(
+            spark, paths, query,
+            limit=args.limit, offset=args.offset,
+            scorer=args.scorer, with_count=args.count,
+            alias_filters=alias_filters, index_boosts=index_boosts,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     rows = res.collect()
     elapsed = time.time() - t0
     for r in rows:
@@ -1927,6 +1939,9 @@ def main(argv=None) -> int:
                    help="filtered alias (ES alias filter): one per -p in "
                         "order, '' = unfiltered; filter context — "
                         "membership only, scores and stats untouched")
+    s.add_argument("--index-boost", action="append", type=float,
+                   metavar="B", help="per-index score multiplier (ES "
+                   "indices_boost): one per -p in order, must be > 0")
     s.add_argument("-l", "--limit", type=int, default=10)
     s.add_argument("-o", "--offset", type=int, default=0)
     s.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")

@@ -88,6 +88,7 @@ def search_multi(
     default_fields: list[str] | None = None,
     manifests: list[Manifest] | None = None,
     alias_filters=None,
+    index_boosts=None,
 ):
     """Search an alias of indexes; returns (results DataFrame, count).
 
@@ -108,6 +109,14 @@ def search_multi(
     while ``with_count`` counts the filtered sets. Multi-term nodes in
     a filter expand against the alias-union dictionary like the base
     query's.
+
+    ``index_boosts`` is the ES ``indices_boost`` search option: a
+    per-index score multiplier (dict keyed by index dir or a list
+    parallel to ``index_dirs``; missing/None = 1.0, must be > 0) applied
+    AFTER scoring — hits from a preferred index outrank equal-scoring
+    hits from others, stats and membership untouched. Multiplication is
+    monotone within each index, so the per-index top-k survives the
+    boost and the global merge stays exact.
 
     Cursor pagination (``after``) is index-relative and therefore not
     offered on the alias — page with offset/limit, or page each index
@@ -170,6 +179,27 @@ def search_multi(
                 fl = rewrite_multiterm_multi(spark, index_dirs, manifests, fl)
             flogical.append(fl)
 
+    if index_boosts is None:
+        boosts = [1.0] * len(index_dirs)
+    else:
+        if isinstance(index_boosts, dict):
+            unknown = set(index_boosts) - set(index_dirs)
+            if unknown:
+                raise ValueError(
+                    f"index_boosts keys not in index_dirs: {sorted(unknown)}"
+                )
+            boosts = [float(index_boosts.get(d, 1.0) or 1.0) for d in index_dirs]
+        else:
+            boosts = [1.0 if b is None else float(b) for b in index_boosts]
+            if len(boosts) != len(index_dirs):
+                raise ValueError(
+                    f"index_boosts list must parallel index_dirs "
+                    f"({len(boosts)} vs {len(index_dirs)})"
+                )
+        bad = [b for b in boosts if b <= 0]
+        if bad:
+            raise ValueError(f"index_boosts must be > 0, got {bad}")
+
     # stats bind over base + every filter's leaves so per-index compiles
     # never see an unbound term (a filter term absent from the override
     # would wrongly compile to the absent-term empty scorer); the VALUES
@@ -210,6 +240,10 @@ def search_multi(
         )
         if with_count:
             count += cnt
+        if boosts[ord_] != 1.0:
+            res = res.withColumn(
+                "score", F.col("score") * F.lit(boosts[ord_])
+            )
         parts.append(res.withColumn("index_ord", F.lit(ord_)))
     out = parts[0]
     for p in parts[1:]:

@@ -297,3 +297,47 @@ def test_cli_filtered_alias(indexes):
     )
     assert bad.returncode == 2
     assert "once per -p" in bad.stderr
+
+
+# --- indices_boost (ES per-index score multiplier) --------------------------
+
+
+def test_index_boosts_scale_and_rerank(spark, indexes):
+    """Boosted index's hits score exactly boost x their plain value;
+    the merged ranking re-sorts on boosted scores; stats/membership
+    untouched. Dict and list forms agree."""
+    plain, _ = _alias_hits(spark, indexes, "text:spark", limit=None)
+    base = dict(plain)
+    got, _ = _alias_hits(
+        spark, indexes, "text:spark", limit=None,
+        index_boosts=[1.0, 3.0],
+    )
+    a_keys = {0, 1, 2, 3}
+    for k, s in got:
+        exp = base[k] * (3.0 if k not in a_keys else 1.0)
+        assert s == pytest.approx(exp, rel=1e-9)
+    assert sorted(k for k, _ in got) == sorted(base)
+    got_d, _ = _alias_hits(
+        spark, indexes, "text:spark", limit=None,
+        index_boosts={indexes["b"]: 3.0},
+    )
+    assert got_d == got
+    # composes with a filtered alias: filter narrows, boost scales
+    fb, _ = _alias_hits(
+        spark, indexes, "text:spark", limit=None,
+        alias_filters=["text:stream", None], index_boosts=[2.0, 1.0],
+    )
+    assert dict(fb)[0] == pytest.approx(base[0] * 2.0, rel=1e-9)
+    assert set(dict(fb)) == {0, 4, 5, 7}
+
+
+def test_index_boosts_validation(spark, indexes):
+    dirs = [indexes["a"], indexes["b"]]
+    with pytest.raises(ValueError, match="parallel"):
+        search_multi(spark, dirs, "text:spark", index_boosts=[2.0])
+    with pytest.raises(ValueError, match="> 0"):
+        search_multi(spark, dirs, "text:spark", index_boosts=[1.0, 0.0])
+    with pytest.raises(ValueError, match="keys not in"):
+        search_multi(
+            spark, dirs, "text:spark", index_boosts={"/nope": 2.0}
+        )
