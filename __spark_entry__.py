@@ -69,6 +69,16 @@ POS_CTE = (
 )
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine over two list columns (the ann_ivf kernel)."""
+    return (
+        f"(list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -3962,6 +3972,28 @@ def _q_emb_neardup(spark, sf_dir):
     return _longify(neardup_pairs(_emb(spark, sf_dir), threshold=0.35))
 
 
+def _q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): first-8-centroid clusters
+    (train_iters=0, the oracle-reproducible configuration), within-
+    cluster connected components of the cos >= 0.35 pair graph
+    (eps=0.65 — the testdata's real near-dup band, like
+    emb_neardup_pairs), keep='far' (lowest centroid cosine, vec_id
+    tie). Full decision surface returned: survives + kept_id audit."""
+    from ostrich_spark.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        spark, _emb(spark, sf_dir), eps=0.65, n_clusters=8,
+        train_iters=0, keep="far",
+    )
+    return out.select(
+        F.col("vec_id").cast("long"),
+        F.col("cluster_id").cast("long"),
+        F.round("centroid_sim", 6).alias("centroid_sim"),
+        "survives",
+        F.col("kept_id").cast("long"),
+    )
+
+
 def _q_text_unigram_nll(spark, sf_dir):
     """Unigram-LM perplexity-proxy quality scoring (the cheap end of
     the CCNet/KenLM filter recipe): add-0.5-smoothed unigram model
@@ -4361,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ivf_topk,
         "ann_ivf_persisted_topk": _q_ivf_persisted_topk,
         "emb_neardup_pairs": _q_emb_neardup,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "text_bpe_counts": _q_bpe_counts,
         "text_unigram_nll": _q_text_unigram_nll,
@@ -6534,6 +6567,37 @@ def oracle_sql() -> dict[str, str]:
             " FROM cand JOIN embeddings ea ON ea.vec_id = cand.vec_a "
             " JOIN embeddings eb ON eb.vec_id = cand.vec_b) "
             "SELECT vec_a, vec_b, sim FROM s WHERE sim >= 0.35"
+        ),
+        # SemDeDup: first-8 centroids, within-cluster cos>=0.35 pair
+        # graph, recursive min-label components, keep = lowest centroid
+        # cosine (vec_id tie) — full survives/kept_id decision recount
+        "emb_semantic_dedup": (
+            "WITH RECURSIVE "
+            "c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), "
+            "s AS (SELECT e.vec_id, c.cid, "
+            f"round({_cos_sql('e.embedding', 'c.cvec')}, 6) AS sim "
+            "FROM embeddings e, c), "
+            "asg AS (SELECT vec_id, cid AS cluster_id, sim AS centroid_sim FROM "
+            "(SELECT vec_id, cid, sim, row_number() OVER (PARTITION BY vec_id "
+            "ORDER BY sim DESC, cid ASC) AS rn FROM s) WHERE rn = 1), "
+            "ev AS (SELECT a.vec_id, a.cluster_id, a.centroid_sim, e.embedding "
+            "FROM asg a JOIN embeddings e USING (vec_id)), "
+            "prs AS (SELECT x.vec_id AS va, y.vec_id AS vb FROM ev x JOIN ev y "
+            "ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id "
+            f"AND round({_cos_sql('x.embedding', 'y.embedding')}, 6) >= 0.35), "
+            "edges AS (SELECT va AS src, vb AS dst FROM prs "
+            "UNION SELECT vb, va FROM prs), "
+            "walk(node, comp) AS (SELECT vec_id, vec_id FROM asg "
+            "UNION SELECT e2.src, w.comp FROM edges e2 JOIN walk w ON e2.dst = w.node), "
+            "comps AS (SELECT node AS vec_id, min(comp) AS comp FROM walk GROUP BY node), "
+            "ranked AS (SELECT a.vec_id, a.cluster_id, a.centroid_sim, "
+            "first_value(a.vec_id) OVER (PARTITION BY m.comp "
+            "ORDER BY a.centroid_sim ASC, a.vec_id ASC) AS keeper "
+            "FROM asg a JOIN comps m USING (vec_id)) "
+            "SELECT vec_id, cluster_id, centroid_sim, "
+            "(vec_id = keeper) AS survives, "
+            "CASE WHEN vec_id = keeper THEN NULL ELSE keeper END AS kept_id "
+            "FROM ranked"
         ),
         "emb_neardup_pairs": (
             "WITH s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("

@@ -306,6 +306,7 @@ def main():
         ("agg_date_range", em.queries()["eng_date_range"]),
         ("analysis_length_unique", em.queries()["a10_length_unique_tf"]),
         ("sample_cap_per_source", em.queries()["sample_cap_per_source"]),
+        ("emb_semantic_dedup", em.queries()["emb_semantic_dedup"]),
     ]:
         best = float("inf")
         for _ in range(3):

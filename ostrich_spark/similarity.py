@@ -785,3 +785,127 @@ def sq_search(codes_df, emb_df, query_vec, lo: float, hi: float,
                         F.col(vec_col).alias("embedding")),
         list(query_vec), k=k,
     )
+
+
+def semantic_dedup(
+    spark,
+    emb_df,
+    eps: float = 0.05,
+    n_clusters: int = 8,
+    train_iters: int = 5,
+    sample_size: int = 100_000,
+    keep: str = "far",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    near-duplicate pruning for training data: k-means cluster the
+    embedding space, then within each cluster keep ONE member of every
+    group of points with pairwise cosine >= 1 - eps. Cross-cluster
+    near-duplicates are missed BY DESIGN — that is the approximation
+    that makes the op linear (pairwise work is m² per cluster, never
+    n²; size ``n_clusters`` so corpus/n_clusters fits one task, the
+    paper's own recipe — they run 50k clusters over 1e9 points).
+
+    Duplicate groups are the CONNECTED COMPONENTS of the eps-pair graph
+    within a cluster (A~B, B~C -> one group even when cos(A, C) <
+    1 - eps), matching the paper; ``keep`` picks the survivor:
+
+      - ``"far"`` (the paper's choice): the member with the LOWEST
+        cosine to its centroid — pruning keeps the cluster's diverse
+        edge, not its dense core;
+      - ``"min_id"``: smallest vec_id.
+
+    Ties always break vec_id asc, all similarities round to 6 decimals
+    before comparison (the module convention), ``train_iters=0`` pins
+    first-C centroids (the oracle-reproducible configuration) — so the
+    survivor set is deterministic and partition-invariant.
+
+    Returns one row per input vector: (vec_id, cluster_id,
+    centroid_sim, survives, kept_id) — ``kept_id`` is the surviving
+    member's id for dropped rows and NULL for survivors (the audit
+    trail a pipeline logs before discarding data).
+
+    Scale posture: ONE shuffle (the cluster groupBy); everything else —
+    the m x m normalized matmul, union-find over the thresholded
+    adjacency, the keep rule — runs numpy-side inside each cluster's
+    task. No pair list ever crosses the network (a blocked self-JOIN
+    would push m² rows per cluster through the shuffle)."""
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    if keep not in ("far", "min_id"):
+        raise ValueError(f"keep must be 'far' or 'min_id', got {keep!r}")
+    if train_iters == 0:
+        cent = _first_c_centroids(emb_df, n_clusters)
+        centroids = np.asarray(
+            [r["cvec"] for r in cent.orderBy("cid").collect()],
+            dtype=np.float64,
+        )
+    else:
+        centroids = ivf_train(
+            emb_df, n_clusters, n_iter=train_iters, sample_size=sample_size
+        )
+    assigned = _assign_to_fast(emb_df, centroids).withColumnRenamed(
+        "sim", "centroid_sim"
+    )
+    work = emb_df.select("vec_id", "embedding").join(assigned, "vec_id")
+    thr = 1.0 - eps
+    keep_far = keep == "far"
+
+    def dedup_cluster(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = len(pdf)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        E = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        sims = np.round(En @ En.T, 6)
+        adj = sims >= thr
+        # union-find over the thresholded adjacency (components are
+        # set-determined — order cannot change them)
+        parent = np.arange(m)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(m):
+            nbrs = np.nonzero(adj[i, i + 1:])[0]
+            for j in nbrs + i + 1:
+                ri, rj = find(i), find(int(j))
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+        root = np.fromiter((find(i) for i in range(m)), dtype=np.int64,
+                           count=m)
+        csim = pdf["centroid_sim"].to_numpy(dtype=np.float64)
+        kept_id = np.empty(m, dtype=np.int64)
+        survives = np.zeros(m, dtype=bool)
+        for r in np.unique(root):
+            members = np.nonzero(root == r)[0]
+            if keep_far:
+                # lowest centroid cosine; ids ascend within the sorted
+                # frame so argmin's first-hit rule IS the vec_id tiebreak
+                w = members[int(np.argmin(csim[members]))]
+            else:
+                w = members[0]  # smallest vec_id (frame is id-sorted)
+            survives[w] = True
+            kept_id[members] = ids[w]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].to_numpy(dtype=np.int64),
+                "centroid_sim": csim,
+                "survives": survives,
+                "kept_id": pd.array(
+                    [None if s else int(k) for s, k in zip(survives, kept_id)],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return work.groupBy("cluster_id").applyInPandas(
+        dedup_cluster,
+        "vec_id long, cluster_id long, centroid_sim double, "
+        "survives boolean, kept_id long",
+    )
