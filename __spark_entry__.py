@@ -3794,6 +3794,28 @@ def _q_geo_bbox(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long"), "loc__lat", "loc__lon")
 
 
+# concave ring (notch dipping to lat 0.5 between lon -10.5 and 20.5);
+# vertices at .5 offsets vs the .3 data lattice, and the oracle's
+# predicate is emitted from the SAME edge generator — bit-identical
+# arithmetic either way
+_GEO_POLY_RING = [
+    (60.5, -80.5), (60.5, -10.5), (0.5, -40.5), (60.5, 20.5),
+    (60.5, 80.5), (-50.5, 75.5), (-60.5, -75.5),
+]
+
+
+def _q_geo_polygon(spark, sf_dir):
+    """geo_polygon (ES analog / Lucene planar Polygon.contains): even-odd
+    ray cast over a CONCAVE ring as division-free Catalyst columns; the
+    DuckDB predicate comes from the same edge generator
+    (geo.polygon_pred_sql), the geohash shared-generator convention."""
+    from ostrich_spark.geo import geo_polygon_search
+
+    idx = _geo_index(spark, sf_dir)
+    out = geo_polygon_search(spark, idx, "loc", _GEO_POLY_RING)
+    return out.select(F.col("doc_id").cast("long"), "loc__lat", "loc__lon")
+
+
 def _q_geo_distance(spark, sf_dir):
     """geo_distance (ES analog): haversine ≤ 2,000 km of (0.3, 0.3),
     evaluated JVM-side in the docmap scan. Radius sits 114 km clear of
@@ -4343,6 +4365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_nested_agg": _q_eng_nested_agg,
         "eng_nested_score": _q_eng_nested_score,
         "eng_geo_bbox": _q_geo_bbox,
+        "eng_geo_polygon": _q_geo_polygon,
         "eng_geo_distance": _q_geo_distance,
         "eng_geo_sort": _q_geo_sort,
         "eng_geohash_grid": _q_geohash_grid,
@@ -4415,7 +4438,10 @@ def oracle_sql() -> dict[str, str]:
     tfidf_spark = TFIDF_SCORE_SQL.format(tf="t.tf", df="d.df")
     from ostrich_spark.geo import geohash_sql, haversine_sql
 
+    from ostrich_spark.geo import polygon_pred_sql
+
     geo_dist = haversine_sql("lat", "lon", 0.3, 0.3)
+    geo_poly = polygon_pred_sql("lat", "lon", _GEO_POLY_RING)
     return {
         "a2_tokenize_tf": f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term",
         "a3_stopword_tf": (
@@ -5909,6 +5935,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {GEO_CTE} "
             "SELECT doc_id, lat AS loc__lat, lon AS loc__lon FROM geo "
             f"WHERE {geo_dist} <= 2000000.0"
+        ),
+        # geo_polygon: predicate emitted by the SAME edge generator the
+        # engine compiles (geo.polygon_pred_sql) — shared-generator rule
+        "eng_geo_polygon": (
+            f"WITH {GEO_CTE} "
+            "SELECT doc_id, lat AS loc__lat, lon AS loc__lon FROM geo "
+            f"WHERE {geo_poly}"
         ),
         "eng_geo_sort": (
             f"WITH {GEO_CTE} "

@@ -1253,6 +1253,19 @@ def cmd_geo(args) -> int:
             for r in rows:
                 print(f"{r['segment_id']}/{r['doc']}")
             print(f"{len(rows)} docs, elapsed: {time.time() - t0:.3f}s")
+        elif args.mode == "polygon":
+            if not args.points:
+                print("--points LAT,LON LAT,LON ... (>= 3) is required",
+                      file=sys.stderr)
+                return 2
+            pts = [parse_point(s) for s in args.points]
+            df = geomod.geo_polygon_search(
+                spark, args.path, args.field, pts
+            )
+            rows = df.collect()
+            for r in rows:
+                print(f"{r['segment_id']}/{r['doc']}")
+            print(f"{len(rows)} docs, elapsed: {time.time() - t0:.3f}s")
         else:
             if args.mode == "geohash":
                 df = geomod.geohash_grid(
@@ -2319,8 +2332,12 @@ def main(argv=None) -> int:
     ge = sub.add_parser("geo", help="geo_point queries & grid aggregations "
                         "(ES geo_distance / geo_bounding_box / sort "
                         "_geo_distance / geohash_grid / geotile_grid)")
-    ge.add_argument("mode", choices=["distance", "bbox", "nearest",
-                                     "geohash", "geotile", "rings"])
+    ge.add_argument("mode", choices=["distance", "bbox", "polygon",
+                                     "nearest", "geohash", "geotile",
+                                     "rings"])
+    ge.add_argument("--points", nargs="*", metavar="LAT,LON",
+                    help="polygon: ring vertices (>= 3, concave ok, "
+                         "ES geo_polygon; no dateline crossing)")
     ge.add_argument("-p", "--path", required=True)
     ge.add_argument("-f", "--field", required=True, help="geo field name")
     ge.add_argument("--origin", metavar="LAT,LON",

@@ -197,6 +197,103 @@ def bbox_pred(
     return lat_ok & lon_ok
 
 
+def _validate_polygon(points) -> list[tuple[float, float]]:
+    pts = [(float(a), float(b)) for a, b in points]
+    if len(pts) >= 2 and pts[0] == pts[-1]:
+        pts = pts[:-1]  # accept the GeoJSON closed form
+    if len(pts) < 3:
+        raise ValueError(
+            f"geo_polygon needs >= 3 distinct vertices, got {len(pts)}"
+        )
+    for la, lo in pts:
+        if not (-90.0 <= la <= 90.0) or not (-180.0 <= lo <= 180.0):
+            raise ValueError(
+                f"geo_polygon vertex ({la}, {lo}) out of range "
+                "(lat in [-90,90], lon in [-180,180])"
+            )
+    lons = [lo for _, lo in pts]
+    if max(lons) - min(lons) > 180.0:
+        raise ValueError(
+            "geo_polygon spanning more than 180 degrees of longitude is "
+            "ambiguous in planar coordinates (dateline crossing is not "
+            "supported — split the polygon, the classic Lucene guidance)"
+        )
+    return pts
+
+
+def _polygon_edges(points):
+    """(xi, yi, xj, yj) per edge with x = lon, y = lat; horizontal edges
+    (yi == yj) dropped — they can never satisfy the crossing guard."""
+    pts = _validate_polygon(points)
+    out = []
+    for i in range(len(pts)):
+        yi, xi = pts[i]
+        yj, xj = pts[(i + 1) % len(pts)]
+        if yi != yj:
+            out.append((xi, yi, xj, yj))
+    if not out:
+        raise ValueError("geo_polygon is degenerate (all vertices on one "
+                         "latitude)")
+    return out
+
+
+def polygon_pred(lat_col, lon_col, points) -> Column:
+    """Point-in-polygon as pure Catalyst columns — the ES ``geo_polygon``
+    query / Lucene ``Polygon.contains`` PLANAR model: even-odd ray
+    casting in (lon, lat) coordinates, one crossing test per edge,
+    DIVISION-FREE (the slope comparison multiplies through by the
+    edge's constant Δlat, whose sign picks the comparison direction at
+    plan time — ANSI-safe, whole-stage codegen, no libm). ``points``
+    are (lat, lon) vertices in ring order, convex or CONCAVE (the shape
+    a bounding box cannot express); the GeoJSON closed form (last ==
+    first) is accepted. Dateline-crossing polygons are rejected (planar
+    coordinates make them ambiguous — split them, the Lucene guidance).
+    Boundary behavior is the standard strict even-odd rule; NULL points
+    produce NULL -> a filter drops them (no point never matches)."""
+    lat_c = F.col(lat_col) if isinstance(lat_col, str) else lat_col
+    lon_c = F.col(lon_col) if isinstance(lon_col, str) else lon_col
+    crossings = None
+    for xi, yi, xj, yj in _polygon_edges(points):
+        straddles = (F.lit(yi) > lat_c) != (F.lit(yj) > lat_c)
+        c = yj - yi  # constant, nonzero, sign known at plan time
+        lhs = (lon_c - F.lit(xi)) * F.lit(c)
+        rhs = F.lit(xj - xi) * (lat_c - F.lit(yi))
+        cross = straddles & ((lhs < rhs) if c > 0 else (lhs > rhs))
+        term = F.when(cross, F.lit(1)).otherwise(F.lit(0))
+        crossings = term if crossings is None else crossings + term
+    return crossings % 2 == 1
+
+
+def polygon_pred_sql(lat_expr: str, lon_expr: str, points) -> str:
+    """The DuckDB twin of :func:`polygon_pred` — emitted from the SAME
+    edge list and the same division-free arithmetic, so both sides agree
+    bit-for-bit even on boundary-adjacent points (the geohash
+    shared-generator convention)."""
+    terms = []
+    for xi, yi, xj, yj in _polygon_edges(points):
+        c = yj - yi
+        op = "<" if c > 0 else ">"
+        terms.append(
+            f"(CASE WHEN (({yi!r} > {lat_expr}) <> ({yj!r} > {lat_expr})) "
+            f"AND ((({lon_expr} - {xi!r}) * {c!r}) {op} "
+            f"({(xj - xi)!r} * ({lat_expr} - {yi!r}))) THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def geo_polygon_search(
+    spark,
+    index_dir: str,
+    field: str,
+    points,
+    manifest: Manifest | None = None,
+) -> DataFrame:
+    """Live docs whose point lies inside the polygon (ES ``geo_polygon``
+    query analog). One docmap scan; the ray cast is Catalyst columns."""
+    df, _, lat_c, lon_c = _live_points(spark, index_dir, field, manifest)
+    return df.filter(polygon_pred(lat_c, lon_c, points))
+
+
 # --- grid aggregations ------------------------------------------------------
 
 

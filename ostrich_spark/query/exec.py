@@ -1401,6 +1401,18 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
             range_wire["top"], range_wire["left"],
             range_wire["bottom"], range_wire["right"],
         )
+    elif op == "geo_polygon":
+        if not fe.is_geo:
+            raise ValueError(
+                f"geo_polygon query on non-geo field {fe.name!r} "
+                f"(type {fe.field_type!r})"
+            )
+        from ..geo import polygon_pred
+
+        pred = polygon_pred(
+            geo_lat_col(fe.name), geo_lon_col(fe.name),
+            range_wire["points"],
+        )
     elif op == "eq":
         if not fe.is_keyword:
             raise ValueError(

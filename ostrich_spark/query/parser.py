@@ -735,6 +735,32 @@ class GeoBoundingBoxQuery:
 
 
 @dataclass(frozen=True)
+class GeoPolygonQuery:
+    """Docs whose geo_point lies INSIDE a polygon — EXTENSION (the ES
+    ``geo_polygon`` query / Lucene LatLonPoint.newPolygonQuery's planar
+    model): even-odd ray casting in (lon, lat) coordinates, convex or
+    CONCAVE rings (the shape a bounding box cannot express).
+    ``points`` are (lat, lon) vertices in ring order; the GeoJSON
+    closed form is accepted; dateline-crossing polygons are rejected
+    (split them — the Lucene guidance). Strict even-odd boundary rule.
+    No NQL form (DSL-only, like every geo query). Constant score
+    ``boost``; docs without a point never match."""
+
+    field_id: int
+    points: tuple  # ((lat, lon), ...)
+    boost: float = 1.0
+
+    def __post_init__(self):
+        from ..geo import _validate_polygon
+
+        try:
+            pts = _validate_polygon(self.points)
+        except ValueError as e:
+            raise QueryParseError(str(e))
+        object.__setattr__(self, "points", tuple(pts))
+
+
+@dataclass(frozen=True)
 class AllQuery:
     pass
 

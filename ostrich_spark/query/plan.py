@@ -43,6 +43,7 @@ from .parser import (
     IdsQuery,
     GeoBoundingBoxQuery,
     GeoDistanceQuery,
+    GeoPolygonQuery,
     MultiPhraseQuery,
     NearQuery,
     PhraseQuery,
@@ -299,6 +300,17 @@ class CGeoBBox:
     left: float
     bottom: float
     right: float
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CGeoPolygon:
+    """Compiled geo polygon (even-odd ray cast on the docmap float
+    pair, division-free Catalyst arithmetic — see geo.polygon_pred).
+    CRange-style aux delivery; constant score."""
+
+    field_id: int
+    points: tuple
     const_score: float
 
 
@@ -697,6 +709,8 @@ def compile_query(
         return CGeoDistance(q.field_id, q.lat, q.lon, q.radius_m, q.boost)
     if isinstance(q, GeoBoundingBoxQuery):
         return CGeoBBox(q.field_id, q.top, q.left, q.bottom, q.right, q.boost)
+    if isinstance(q, GeoPolygonQuery):
+        return CGeoPolygon(q.field_id, q.points, q.boost)
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
                       PhrasePrefixQuery, SpanMultiQuery)):
         raise ValueError(_MULTITERM_REWRITE_MSG)
@@ -1082,6 +1096,14 @@ def to_wire(node) -> dict:
             "left": node.left,
             "bottom": node.bottom,
             "right": node.right,
+            "score": node.const_score,
+        }
+    if isinstance(node, CGeoPolygon):
+        return {
+            "kind": "range",
+            "op": "geo_polygon",
+            "field": node.field_id,
+            "points": [list(p) for p in node.points],
             "score": node.const_score,
         }
     if isinstance(node, CAll):

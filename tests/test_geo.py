@@ -517,3 +517,117 @@ class TestDistanceRings:
             geo_distance_agg(
                 spark, geo_index, "loc", 0, 0, [("a", -5.0, None)]
             )
+
+
+def _ray_cast_py(lat, lon, points):
+    """Independent planar even-odd reference (the textbook algorithm,
+    written differently from polygon_pred: division form)."""
+    pts = list(points)
+    inside = False
+    n = len(pts)
+    for i in range(n):
+        yi, xi = pts[i]
+        yj, xj = pts[(i + 1) % n]
+        if (yi > lat) != (yj > lat):
+            x_cross = xi + (xj - xi) * (lat - yi) / (yj - yi)
+            if lon < x_cross:
+                inside = not inside
+    return inside
+
+
+class TestPolygon:
+    # a CONCAVE ring over western Europe: the notch (dipping to lat 50
+    # between lon -1 and 1) excludes London while Paris, inside the
+    # lower body, matches — the shape no bounding box can express
+    RING = [(55.0, -5.0), (55.0, -1.0), (50.0, -0.1), (55.0, 1.0),
+            (55.0, 14.0), (45.0, 14.5), (39.0, -5.5)]
+
+    def test_concave_matches_brute_force(self, spark, geo_index):
+        from ostrich_spark.geo import geo_polygon_search
+
+        got = _ids(geo_polygon_search(spark, geo_index, "loc", self.RING))
+        exp = sorted(
+            i for i, _, p in CITIES
+            if p
+            for la, lo in [tuple(float(x) for x in p.split(","))]
+            if _ray_cast_py(la, lo, self.RING)
+        )
+        assert got == exp
+        # the notch does its job: London out, Paris + Berlin in
+        assert 1 not in got and {0, 2} <= set(got)
+        # null/empty points never match
+        assert 8 not in got and 9 not in got
+
+    def test_query_node_filter_composition(self, spark, geo_index):
+        from ostrich_spark.query.parser import GeoPolygonQuery
+
+        mf = load_manifest(geo_index)
+        fe = mf.schema.field_by_name("loc")
+        q = BooleanQuery([
+            (MUST, parse_query("text:tower OR text:bridge OR text:gate",
+                               mf.schema)),
+            (FILTER, GeoPolygonQuery(fe.id, tuple(self.RING))),
+        ])
+        res, _ = search(spark, geo_index, q, limit=None, manifest=mf)
+        from ostrich_spark.query.exec import attach_docmap
+
+        ids = sorted(
+            r["id"] for r in attach_docmap(
+                spark, geo_index, res, manifest=mf).collect()
+        )
+        assert ids == [0, 2]  # tower(paris), gate(berlin); bridge filtered
+
+    def test_geojson_closed_form_and_bbox_equivalence(self, spark, geo_index):
+        from ostrich_spark.geo import geo_polygon_search
+
+        closed = self.RING + [self.RING[0]]
+        assert _ids(
+            geo_polygon_search(spark, geo_index, "loc", closed)
+        ) == _ids(geo_polygon_search(spark, geo_index, "loc", self.RING))
+        # a rectangle polygon == the inclusive bbox minus its boundary
+        # (strict even-odd vs inclusive box): choose bounds OFF the data
+        rect = [(56.0, -6.0), (56.0, 15.0), (39.5, 15.0), (39.5, -6.0)]
+        got = _ids(geo_polygon_search(spark, geo_index, "loc", rect))
+        box = _ids(
+            geo_bounding_box_search(spark, geo_index, "loc",
+                                    56.0, -6.0, 39.5, 15.0)
+        )
+        assert got == box
+
+    def test_validation(self, spark, geo_index):
+        from ostrich_spark.geo import geo_polygon_search
+        from ostrich_spark.query.parser import GeoPolygonQuery
+
+        with pytest.raises(ValueError, match=">= 3"):
+            geo_polygon_search(spark, geo_index, "loc",
+                               [(0.0, 0.0), (1.0, 1.0)])
+        with pytest.raises(ValueError, match="out of range"):
+            geo_polygon_search(spark, geo_index, "loc",
+                               [(91.0, 0.0), (0.0, 1.0), (1.0, 0.0)])
+        with pytest.raises(ValueError, match="dateline"):
+            geo_polygon_search(spark, geo_index, "loc",
+                               [(0.0, -170.0), (10.0, 170.0), (5.0, 0.0)])
+        with pytest.raises(ValueError, match="degenerate"):
+            geo_polygon_search(spark, geo_index, "loc",
+                               [(5.0, 0.0), (5.0, 1.0), (5.0, 2.0)])
+        with pytest.raises(QueryParseError, match=">= 3"):
+            GeoPolygonQuery(0, ((0.0, 0.0), (1.0, 1.0)))
+
+    def test_cli_polygon(self, geo_index):
+        import subprocess
+        import sys
+
+        n_exp = sum(
+            1 for i, _, p in CITIES
+            if p
+            for la, lo in [tuple(float(x) for x in p.split(","))]
+            if _ray_cast_py(la, lo, self.RING)
+        )
+        out = subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "geo", "polygon",
+             "-p", geo_index, "-f", "loc",
+             "--points"] + [f"{la},{lo}" for la, lo in self.RING],
+            capture_output=True, text=True,
+        )
+        assert out.returncode == 0, out.stderr
+        assert f"{n_exp} docs" in out.stdout
