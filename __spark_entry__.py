@@ -3111,6 +3111,51 @@ def _q_perc_match(spark, sf_dir):
     ).select(F.col("doc_id").cast("long"), "query_id")
 
 
+def _q_perc_geo(spark, sf_dir):
+    """Geo percolation (the geofence-alerting shape): three geo
+    subscriptions — a distance fence (both-endpoints-column haversine,
+    114 km clear of every doc like eng_geo_distance), a bbox, and a
+    term + concave-polygon FILTER — matched against the documents table
+    with the GEO_CTE synthetic points, decided in ONE job. Oracle
+    recomputes the predicates (polygon via the shared edge generator)."""
+    from ostrich_spark.percolate import percolate, register_queries
+    from ostrich_spark.query.parser import (
+        FILTER,
+        MUST,
+        BooleanQuery,
+        GeoBoundingBoxQuery,
+        GeoDistanceQuery,
+        GeoPolygonQuery,
+        TermQuery,
+    )
+    from ostrich_spark.schema import Schema
+
+    schema = Schema()
+    schema.add_text_field("text", "default")
+    schema.add_geo_field("loc")
+    fid = schema.field_by_name("loc").id
+    pq = register_queries(
+        {
+            "g_dist": GeoDistanceQuery(fid, 0.3, 0.3, 2_000_000.0),
+            "g_box": GeoBoundingBoxQuery(fid, 40.3, -100.7, -20.7, 60.3),
+            "g_ring": BooleanQuery([
+                (MUST, TermQuery(0, "spark")),
+                (FILTER, GeoPolygonQuery(fid, tuple(_GEO_POLY_RING))),
+            ]),
+        },
+        schema,
+    )
+    lat = (F.col("doc_id") * 37 % 141).cast("double") - F.lit(70.0) + F.lit(0.3)
+    lon = (F.col("doc_id") * 53 % 341).cast("double") - F.lit(170.0) + F.lit(0.3)
+    loc = F.when(F.col("doc_id") % 47 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(lat.cast("string"), F.lit(","), lon.cast("string"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text", loc.alias("loc"))
+    return percolate(spark, docs, pq, schema, id_col="doc_id").select(
+        F.col("doc_id").cast("long"), "query_id"
+    )
+
+
 _DEL_INDEX_CACHE: dict[tuple[str, bool], str] = {}
 
 
@@ -4373,6 +4418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_boosted_topk": _q_eng_boosted,
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
+        "perc_geo": _q_perc_geo,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
         "eng_phrase_prefix": _q_eng_phrase_prefix,
         "eng_near_unordered": _q_eng_near_unordered,
@@ -5988,6 +6034,21 @@ def oracle_sql() -> dict[str, str]:
         # percolator: per-doc term flags -> boolean satisfaction per
         # stored query (must / at-least-2 / must-not / union / phrase —
         # the phrase via an adjacent-position self-join)
+        # geo percolation: the same GEO_CTE points, three subscriptions
+        # recomputed — haversine (2,000 km, 114 km clear of every doc),
+        # inclusive bbox, term + concave-polygon filter (shared edge
+        # generator)
+        "perc_geo": (
+            f"WITH {GEO_CTE}, "
+            "tl2 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+            "'[^\\p{L}\\p{N}]+'), x -> x <> '') AS toks FROM documents), "
+            "sp AS (SELECT doc_id FROM tl2 WHERE list_contains(toks, 'spark')) "
+            f"SELECT doc_id, 'g_dist' AS query_id FROM geo WHERE {geo_dist} <= 2000000.0 "
+            "UNION ALL SELECT doc_id, 'g_box' FROM geo "
+            "WHERE lat >= -20.7 AND lat <= 40.3 AND lon >= -100.7 AND lon <= 60.3 "
+            "UNION ALL SELECT g.doc_id, 'g_ring' FROM geo g JOIN sp USING (doc_id) "
+            f"WHERE {geo_poly}"
+        ),
         "perc_match": (
             f"WITH {TOKS_CTE}, {TOKLIST_CTE}, {POS_CTE}, "
             "flags AS (SELECT doc_id, bool_or(term = 'spark') AS h_spark, "

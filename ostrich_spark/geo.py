@@ -119,6 +119,21 @@ def _live_points(
     return df, manifest, lat_c, lon_c
 
 
+def haversine_m_cols(lat1_c, lon1_c, lat2_c, lon2_c) -> Column:
+    """Haversine where BOTH endpoints are columns — the percolation-join
+    shape (subscription origins ride the broadcast side as columns, so
+    nothing folds driver-side). Same IUGG sphere as :func:`haversine_m`."""
+    p1 = F.radians(lat1_c)
+    p2 = F.radians(lat2_c)
+    dphi = (p2 - p1) / F.lit(2.0)
+    dlam = (F.radians(lon2_c) - F.radians(lon1_c)) / F.lit(2.0)
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlam) * F.sin(dlam)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
 def geo_distance_search(
     spark,
     index_dir: str,

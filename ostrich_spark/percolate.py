@@ -80,6 +80,9 @@ from .query.parser import (
     SpanOrQuery,
     ExistsQuery,
     FuzzyQuery,
+    GeoBoundingBoxQuery,
+    GeoDistanceQuery,
+    GeoPolygonQuery,
     KeywordQuery,
     MultiPhraseQuery,
     PhraseQuery,
@@ -142,6 +145,12 @@ class PercolatorQueries:
     # the same in-order window DP as phrase_rows, slot encs = sorted
     # union of the alternatives' positions.
     mp_rows: tuple[tuple[str, str, int, tuple, int, str | None], ...] = ()
+    # (query_id, occur, field_id, op, payload) — distinct GEO units:
+    # op "dist" (payload (lat, lon, radius_m)), "bbox" (payload (top,
+    # left, bottom, right)) or "poly" (payload ((lat, lon), ...));
+    # incoming docs carry the build's canonical "lat,lon" string, the
+    # geofence-alerting percolation shape
+    geo_rows: tuple[tuple[str, str, int, str, object], ...] = ()
 
 
 def _is_flat(q) -> bool:
@@ -254,11 +263,22 @@ def _leaf_row(query_id: str, occur: str, sub):
              (sub.term, int(sub.max_dist), int(sub.prefix_length),
               bool(sub.transpositions))),
         )
+    if isinstance(sub, GeoDistanceQuery):
+        return ("g", (query_id, occur, sub.field_id, "dist",
+                      (float(sub.lat), float(sub.lon), float(sub.radius_m))))
+    if isinstance(sub, GeoBoundingBoxQuery):
+        return ("g", (query_id, occur, sub.field_id, "bbox",
+                      (float(sub.top), float(sub.left),
+                       float(sub.bottom), float(sub.right))))
+    if isinstance(sub, GeoPolygonQuery):
+        return ("g", (query_id, occur, sub.field_id, "poly",
+                      tuple(tuple(pt) for pt in sub.points)))
     raise ValueError(
         f"percolator query {query_id!r}: unsupported clause "
         f"{type(sub).__name__} — percolation supports boolean trees "
         f"over terms, (sloppy/multi/prefix) phrases, "
-        f"prefix/wildcard/regexp/fuzzy and doc-value filters"
+        f"prefix/wildcard/regexp/fuzzy, doc-value filters and geo "
+        f"(distance/bbox/polygon) clauses"
     )
 
 
@@ -321,20 +341,23 @@ def _flatten_terms(query_id: str, q):
     if isinstance(q, (TermQuery, PhraseQuery, RangeQuery, KeywordQuery,
                       TermsQuery, ExistsQuery, PrefixQuery, WildcardQuery,
                       RegexpQuery, FuzzyQuery, MultiPhraseQuery,
-                      PhrasePrefixQuery)):
+                      PhrasePrefixQuery, GeoDistanceQuery,
+                      GeoBoundingBoxQuery, GeoPolygonQuery)):
         kind, row = leaf(MUST, q)
         return tuple(
             [row] if kind == want else []
-            for want in ("t", "p", "r", "k", "m", "mp")
+            for want in ("t", "p", "r", "k", "m", "mp", "g")
         )
     if isinstance(q, BooleanQuery):
-        t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows = [], [], [], [], [], []
+        t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows, g_rows = (
+            [], [], [], [], [], [], []
+        )
         sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows,
-                "m": m_rows, "mp": mp_rows}
+                "m": m_rows, "mp": mp_rows, "g": g_rows}
         for occur, sub in q.subqueries:
             kind, row = leaf(occur, sub)
             sink[kind].append(row)
-        return t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows
+        return t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows, g_rows
     raise ValueError(
         f"percolator query {query_id!r}: unsupported query type "
         f"{type(q).__name__}"
@@ -348,9 +371,11 @@ def _flatten_tree(query_id: str, q):
     """NESTED boolean tree -> leaf rows (occur tag = "u<idx>") + a
     JSON-able tree spec for _eval_tree. Arbitrary depth; DisMaxQuery is
     OR for matching purposes (max vs sum changes scores, not the set)."""
-    t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows = [], [], [], [], [], []
+    t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows, g_rows = (
+        [], [], [], [], [], [], []
+    )
     sink = {"t": t_rows, "p": p_rows, "r": r_rows, "k": k_rows,
-            "m": m_rows, "mp": mp_rows}
+            "m": m_rows, "mp": mp_rows, "g": g_rows}
     n_units = [0]
 
     def walk(node):
@@ -369,7 +394,7 @@ def _flatten_tree(query_id: str, q):
         return {"k": "u", "u": u}
 
     tree = walk(q)
-    return t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows, tree
+    return t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows, g_rows, tree
 
 
 def register_queries(
@@ -390,6 +415,7 @@ def register_queries(
     tree_rows: list[tuple[str, str]] = []
     mt_rows: list[tuple[str, str, int, str, object]] = []
     mp_rows: list[tuple[str, str, int, tuple, int, str | None]] = []
+    geo_rows: list[tuple[str, str, int, str, object]] = []
     for qid, q in queries.items():
         logical = (
             parse_query(q, schema, default_fields) if isinstance(q, str) else q
@@ -399,13 +425,11 @@ def register_queries(
         logical = _strip_boosting(logical)
         tree = None
         if _is_flat(logical):
-            t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows_q = _flatten_terms(
-                qid, logical
-            )
+            (t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows_q,
+             g_rows_q) = _flatten_terms(qid, logical)
         else:
-            t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows_q, tree = (
-                _flatten_tree(qid, logical)
-            )
+            (t_rows, p_rows, r_rows, k_rows, m_rows, mp_rows_q, g_rows_q,
+             tree) = _flatten_tree(qid, logical)
         for _, _, f, *_ in mp_rows_q:
             if schema.fields[f].is_doc_value:
                 raise ValueError(
@@ -432,6 +456,12 @@ def register_queries(
                 raise ValueError(
                     f"percolator query {qid!r}: numeric range clause on "
                     f"non-numeric field {schema.fields[f].name!r}{hint}"
+                )
+        for _, _, f, *_ in g_rows_q:
+            if not schema.fields[f].is_geo:
+                raise ValueError(
+                    f"percolator query {qid!r}: geo clause on non-geo "
+                    f"field {schema.fields[f].name!r}"
                 )
         for j, (kqid, kocc, f, op, val) in enumerate(k_rows):
             fe = schema.fields[f]
@@ -481,6 +511,7 @@ def register_queries(
             kw_rows.extend(dict.fromkeys(k_rows))
             mt_rows.extend(dict.fromkeys(m_rows))
             mp_rows.extend(dict.fromkeys(mp_rows_q))
+            geo_rows.extend(dict.fromkeys(g_rows_q))
             continue
         musts = {(f, t) for _, o, f, t in t_rows if o in (MUST, FILTER)} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o in (MUST, FILTER)
@@ -488,14 +519,14 @@ def register_queries(
             r[2:] for r in k_rows if r[1] in (MUST, FILTER)
         } | {r[2:] for r in m_rows if r[1] in (MUST, FILTER)} | {
             r[2:] for r in mp_rows_q if r[1] in (MUST, FILTER)
-        }
+        } | {r[2:] for r in g_rows_q if r[1] in (MUST, FILTER)}
         shoulds = {(f, t) for _, o, f, t in t_rows if o == SHOULD} | {
             (f, ts, s) for _, o, f, ts, s in p_rows if o == SHOULD
         } | {r[2:] for r in r_rows if r[1] == SHOULD} | {
             r[2:] for r in k_rows if r[1] == SHOULD
         } | {r[2:] for r in m_rows if r[1] == SHOULD} | {
             r[2:] for r in mp_rows_q if r[1] == SHOULD
-        }
+        } | {r[2:] for r in g_rows_q if r[1] == SHOULD}
         n_positive = len(musts) + len(shoulds)
         if n_positive == 0:
             raise ValueError(
@@ -527,6 +558,7 @@ def register_queries(
         kw_rows.extend(dict.fromkeys(k_rows))
         mt_rows.extend(dict.fromkeys(m_rows))
         mp_rows.extend(dict.fromkeys(mp_rows_q))
+        geo_rows.extend(dict.fromkeys(g_rows_q))
         req_rows.append((qid, len(musts), req_should))
     field_ids = tuple(
         sorted(
@@ -536,12 +568,13 @@ def register_queries(
             | {r[2] for r in kw_rows}
             | {r[2] for r in mt_rows}
             | {r[2] for r in mp_rows}
+            | {r[2] for r in geo_rows}
         )
     )
     return PercolatorQueries(
         tuple(term_rows), tuple(req_rows), field_ids, tuple(phrase_rows),
         tuple(range_rows), tuple(kw_rows), tuple(tree_rows), tuple(mt_rows),
-        tuple(mp_rows),
+        tuple(mp_rows), tuple(geo_rows),
     )
 
 
@@ -979,6 +1012,121 @@ def percolate(
                 F.broadcast(kq), on=(kvals.field_id == kq.field_id) & kcond
             ).select("_pid", "query_id", "occur")
         )
+
+    geo_fids = sorted({r[2] for r in pq.geo_rows})
+    if geo_fids:
+        # incoming docs carry the build's canonical "lat,lon" string;
+        # a missing/unparseable point matches no geo subscription (the
+        # null-range convention). The geofence-alerting shape: every
+        # (vehicle position, zone subscription) decided in one job.
+        gvals = None
+        for fid in geo_fids:
+            parts = F.split(F.col(doc_col(fid)).cast("string"), ",", 2)
+            # try_cast: a garbled point becomes NULL and matches nothing
+            # (ANSI mode would throw on plain cast)
+            v = docs_df.select(
+                F.col(id_col).alias("_pid"),
+                F.lit(fid).alias("field_id"),
+                F.trim(F.get(parts, 0)).try_cast("double").alias("_lat"),
+                F.trim(F.get(parts, 1)).try_cast("double").alias("_lon"),
+            ).filter(F.col("_lat").isNotNull() & F.col("_lon").isNotNull())
+            gvals = v if gvals is None else gvals.unionByName(v)
+        dist_rows = [
+            (q, o, f, *payload)
+            for q, o, f, op, payload in pq.geo_rows
+            if op == "dist"
+        ]
+        if dist_rows:
+            from .geo import haversine_m_cols
+
+            gq = spark.createDataFrame(
+                dist_rows,
+                "query_id string, occur string, field_id int, "
+                "lat0 double, lon0 double, radius_m double",
+            )
+            dcond = (
+                haversine_m_cols(
+                    F.col("_lat"), F.col("_lon"),
+                    F.col("lat0"), F.col("lon0"),
+                )
+                <= F.col("radius_m")
+            )
+            contribs.append(
+                gvals.join(
+                    F.broadcast(gq),
+                    on=(gvals.field_id == gq.field_id) & dcond,
+                ).select("_pid", "query_id", "occur")
+            )
+        bbox_rows = [
+            (q, o, f, *payload)
+            for q, o, f, op, payload in pq.geo_rows
+            if op == "bbox"
+        ]
+        if bbox_rows:
+            bq = spark.createDataFrame(
+                bbox_rows,
+                "query_id string, occur string, field_id int, "
+                "top double, lft double, bottom double, rgt double",
+            )
+            lon_ok = F.when(
+                F.col("lft") <= F.col("rgt"),
+                (F.col("_lon") >= F.col("lft"))
+                & (F.col("_lon") <= F.col("rgt")),
+            ).otherwise(  # antimeridian wrap, the forward bbox rule
+                (F.col("_lon") >= F.col("lft"))
+                | (F.col("_lon") <= F.col("rgt"))
+            )
+            bcond = (
+                (F.col("_lat") >= F.col("bottom"))
+                & (F.col("_lat") <= F.col("top"))
+                & lon_ok
+            )
+            contribs.append(
+                gvals.join(
+                    F.broadcast(bq),
+                    on=(gvals.field_id == bq.field_id) & bcond,
+                ).select("_pid", "query_id", "occur")
+            )
+        poly_edges = []
+        for q, o, f, op, payload in pq.geo_rows:
+            if op != "poly":
+                continue
+            from .geo import _polygon_edges
+
+            for xi, yi, xj, yj in _polygon_edges(payload):
+                poly_edges.append((q, o, f, xi, yi, xj, yj, yj - yi))
+        if poly_edges:
+            # one row per (doc, polygon edge); the division-free
+            # crossing test runs columnar (the edge's Δlat sign is a
+            # column here, so both comparison directions evaluate under
+            # one when()); odd total crossings per (doc, query) = inside
+            pe = spark.createDataFrame(
+                poly_edges,
+                "query_id string, occur string, field_id int, "
+                "xi double, yi double, xj double, yj double, c double",
+            )
+            straddles = (F.col("yi") > F.col("_lat")) != (
+                F.col("yj") > F.col("_lat")
+            )
+            lhs = (F.col("_lon") - F.col("xi")) * F.col("c")
+            rhs = (F.col("xj") - F.col("xi")) * (F.col("_lat") - F.col("yi"))
+            cross = straddles & F.when(
+                F.col("c") > 0, lhs < rhs
+            ).otherwise(lhs > rhs)
+            crossings = (
+                gvals.join(
+                    F.broadcast(pe), gvals.field_id == pe.field_id
+                )
+                .groupBy("_pid", "query_id", "occur")
+                .agg(
+                    F.sum(F.when(cross, 1).otherwise(0)).alias("_n")
+                )
+            )
+            contribs.append(
+                crossings.filter(F.col("_n") % 2 == 1).select(
+                    "_pid", "query_id", "occur"
+                )
+            )
 
     hits = contribs[0]
     for df in contribs[1:]:

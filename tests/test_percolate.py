@@ -502,3 +502,106 @@ def test_percolate_multiterm_leaves(spark, perc_index, perc_schema):
             percolate(spark, docs, pq3, perc_schema, id_col="doc_key").collect()}
     assert got3 == _forward_matches(spark, perc_index, 'text:"spark jo*"',
                                     perc_schema)
+
+
+# --- geo percolation (geofence alerting) ------------------------------------
+
+
+GEO_DOCS = [
+    {"gid": 0, "text": "taxi downtown", "loc": "48.8566,2.3522"},   # paris
+    {"gid": 1, "text": "bus northern", "loc": "51.5074,-0.1278"},   # london
+    {"gid": 2, "text": "taxi eastern", "loc": "52.52,13.405"},      # berlin
+    {"gid": 3, "text": "tram southern", "loc": "40.4168,-3.7038"},  # madrid
+    {"gid": 4, "text": "ferry remote", "loc": "-36.8485,174.7633"},
+    {"gid": 5, "text": "taxi nowhere", "loc": None},                # no point
+    {"gid": 6, "text": "bus garbled", "loc": "not-a-point"},        # bad
+]
+
+_RING = ((55.0, -5.0), (55.0, -1.0), (50.0, -0.1), (55.0, 1.0),
+         (55.0, 14.0), (45.0, 14.5), (39.0, -5.5))
+
+
+def _geo_schema():
+    s = Schema()
+    s.add_text_field("text", "default")
+    s.add_geo_field("loc")
+    return s
+
+
+def test_percolate_geo_identity_with_forward_search(spark, tmp_path):
+    """Geo subscriptions (distance / bbox / concave polygon, bare and
+    composed under text clauses, flat and nested) percolate to EXACTLY
+    the forward-search match sets over an index of the same docs —
+    the geofence-alerting contract."""
+    from ostrich_spark.query.parser import (
+        FILTER,
+        MUST,
+        SHOULD,
+        GeoBoundingBoxQuery,
+        GeoDistanceQuery,
+        GeoPolygonQuery,
+    )
+
+    schema = _geo_schema()
+    fid = schema.field_by_name("loc").id
+    queries = {
+        "near_paris": GeoDistanceQuery(fid, 48.8566, 2.3522, 500_000.0),
+        "europe_box": GeoBoundingBoxQuery(fid, 56.0, -6.0, 39.5, 15.0),
+        "notch_ring": GeoPolygonQuery(fid, _RING),
+        "taxi_in_ring": BooleanQuery([
+            (MUST, TermQuery(0, "taxi")),
+            (FILTER, GeoPolygonQuery(fid, _RING)),
+        ]),
+        # nested: (bus OR inside-ring) AND text exists-ish term
+        "bus_or_ring": BooleanQuery([
+            (MUST, BooleanQuery([
+                (SHOULD, TermQuery(0, "bus")),
+                (SHOULD, GeoPolygonQuery(fid, _RING)),
+            ])),
+            (MUST, BooleanQuery([
+                (SHOULD, TermQuery(0, "taxi")),
+                (SHOULD, TermQuery(0, "bus")),
+                (SHOULD, TermQuery(0, "tram")),
+                (SHOULD, TermQuery(0, "ferry")),
+            ])),
+        ]),
+    }
+    pq = register_queries(queries, schema)
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame(GEO_DOCS))
+    got = {}
+    for r in percolate(spark, docs, pq, schema, id_col="gid").collect():
+        got.setdefault(r["query_id"], set()).add(r["gid"])
+
+    idx = str(tmp_path / "geoperc")
+    # the forward build REJECTS malformed points by design; percolation
+    # tolerates them (a garbled stream doc matches nothing) — index the
+    # well-formed docs only for the identity check
+    build_index(
+        spark, docs.filter("gid <> 6"), schema, idx, num_partitions=2,
+        order_col="gid", id_cols=["gid"],
+    )
+    for qid, q in queries.items():
+        res, _ = search(spark, idx, q, limit=None)
+        exp = {
+            r["gid"] for r in attach_docmap(spark, idx, res).collect()
+        }
+        # identity over the INDEXED doc set (gid 6 is not indexable;
+        # its text clauses may legitimately percolate)
+        assert got.get(qid, set()) - {6} == exp, qid
+    # sanity on the fixtures: the notch excludes london, includes paris;
+    # null and garbled points never match any geo subscription
+    assert 0 in got["notch_ring"] and 1 not in got["notch_ring"]
+    for qid in ("near_paris", "europe_box", "notch_ring"):
+        assert 5 not in got.get(qid, set()) and 6 not in got.get(qid, set())
+
+
+def test_percolate_geo_on_non_geo_field_rejected():
+    from ostrich_spark.query.parser import GeoDistanceQuery
+
+    schema = _geo_schema()
+    with pytest.raises(ValueError, match="geo clause on non-geo"):
+        register_queries(
+            {"bad": GeoDistanceQuery(0, 0.0, 0.0, 1000.0)}, schema
+        )
