@@ -3849,6 +3849,123 @@ _GEO_POLY_RING = [
 ]
 
 
+# --- ip field entries (the ES `ip` type, ostrich_spark/ip.py) ---------------
+# synthetic IPv4 per doc: 10.(doc_id>>16)%256.(doc_id>>8)%256.(doc_id%256);
+# every 47th doc has no address (the geo null convention). The 24-bit key
+# o2*65536+o3*256+o4 equals doc_id at every test scale (doc_id < 2^24), so
+# the oracle can recount CIDR/range membership with pure bit arithmetic —
+# fully independent of the engine's hex encoding, which the shared
+# generator ip.ip_hex_sql checks separately on the output column.
+IP_CTE = (
+    "ips AS (SELECT doc_id, "
+    "'10.' || ((doc_id >> 16) % 256) || '.' || ((doc_id >> 8) % 256) "
+    "|| '.' || (doc_id % 256) AS ipstr, "
+    "((doc_id >> 16) % 256) * 65536 + ((doc_id >> 8) % 256) * 256 "
+    "+ doc_id % 256 AS ipkey "
+    "FROM documents WHERE doc_id % 47 <> 0)"
+)
+
+_IP_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ip_index(spark: SparkSession, sf_dir: str) -> str:
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _IP_INDEX_CACHE:
+        return _IP_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ip1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_ip_field("cip")
+        o2 = (F.shiftright(F.col("doc_id"), 16) % 256).cast("string")
+        o3 = (F.shiftright(F.col("doc_id"), 8) % 256).cast("string")
+        o4 = (F.col("doc_id") % 256).cast("string")
+        ipstr = F.concat_ws(".", F.lit("10"), o2, o3, o4)
+        loc = F.when(
+            F.col("doc_id") % 47 == 0, F.lit(None).cast("string")
+        ).otherwise(ipstr)
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text", loc.alias("cip")),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-ip-{tag}",
+        )
+    _IP_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_ip_cidr(spark, sf_dir):
+    """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
+    score while membership narrows to cip:10.0.0.0/20 in FILTER context
+    (a CIDR mask = one inclusive hex range over the canonical 16-byte
+    encoding). Output carries the stored hex so the oracle checks BOTH
+    the membership (independent bit arithmetic on doc_id) and the
+    encoding (shared generator ip.ip_hex_sql)."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.query.parser import (
+        FILTER, MUST, BooleanQuery, parse_query,
+    )
+
+    idx = _ip_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    q = BooleanQuery([
+        (MUST, parse_query("text:spark", mf.schema)),
+        (FILTER, parse_query("cip:10.0.0.0/20", mf.schema)),
+    ])
+    res, _ = search(spark, idx, q, limit=None, manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        F.col("cip").alias("ip_hex"),
+    )
+
+
+def _q_eng_ip_range_agg(spark, sf_dir):
+    """ES ip_range aggregation: declared buckets from CIDR masks and
+    from/to literals (hi exclusive), overlapping buckets double-count,
+    an impossible /12 surfaces empty with n_docs=0. Oracle recounts
+    each bucket with the doc_id bit arithmetic."""
+    from ostrich_spark.ip import ip_range_spec
+    from ostrich_spark.query.exec import range_agg
+
+    idx = _ip_index(spark, sf_dir)
+    ranges = [
+        ip_range_spec("net20", mask="10.0.0.0/20"),
+        ip_range_spec("low64", from_=None, to="10.0.0.64"),
+        ip_range_spec("mid", from_="10.0.4.0", to="10.0.16.0"),
+        ip_range_spec("none", mask="172.16.0.0/12"),
+    ]
+    out = range_agg(spark, idx, "cip:*", "cip", ranges)
+    return out.select("range_key", F.col("n_docs").cast("long"))
+
+
+def _q_eng_ip_sorted(spark, sf_dir):
+    """Field-sorted top-20 by ip DESC: fixed-width hex sorts in numeric
+    128-bit order (9.0.0.0 < 10.0.0.0 — dotted-string order would say
+    otherwise). Oracle re-derives the same top set by doc_id arithmetic
+    and the hex values through the shared generator."""
+    from ostrich_spark.query.exec import attach_docmap, search_sorted
+
+    idx = _ip_index(spark, sf_dir)
+    rows = search_sorted(
+        spark, idx, "cip:*", "cip", ascending=False, limit=20,
+        tiebreak=["doc_id"],
+    )
+    return attach_docmap(spark, idx, rows.drop("cip")).select(
+        F.col("doc_id").cast("long"), F.col("cip").alias("ip_hex")
+    )
+
+
 def _q_geo_polygon(spark, sf_dir):
     """geo_polygon (ES analog / Lucene planar Polygon.contains): even-odd
     ray cast over a CONCAVE ring as division-free Catalyst columns; the
@@ -4419,6 +4536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
         "perc_geo": _q_perc_geo,
+        "eng_ip_cidr": _q_eng_ip_cidr,
+        "eng_ip_range_agg": _q_eng_ip_range_agg,
+        "eng_ip_sorted": _q_eng_ip_sorted,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
         "eng_phrase_prefix": _q_eng_phrase_prefix,
         "eng_near_unordered": _q_eng_near_unordered,
@@ -4488,6 +4608,9 @@ def oracle_sql() -> dict[str, str]:
 
     geo_dist = haversine_sql("lat", "lon", 0.3, 0.3)
     geo_poly = polygon_pred_sql("lat", "lon", _GEO_POLY_RING)
+    from ostrich_spark.ip import ip_hex_sql
+
+    ip_hex = ip_hex_sql("ipstr")
     return {
         "a2_tokenize_tf": f"WITH {TOKS_CTE} SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term",
         "a3_stopword_tf": (
@@ -6038,6 +6161,30 @@ def oracle_sql() -> dict[str, str]:
         # recomputed — haversine (2,000 km, 114 km clear of every doc),
         # inclusive bbox, term + concave-polygon filter (shared edge
         # generator)
+        # ip field (ES `ip` type): membership recounted with doc_id bit
+        # arithmetic (the 24-bit key == doc_id at test scale), the hex
+        # encoding through the shared generator ip.ip_hex_sql. CIDR
+        # 10.0.0.0/20 <=> key < 4096; [10.0.4.0, 10.0.16.0) <=> key in
+        # [1024, 4096); to=10.0.0.64 exclusive <=> key < 64.
+        "eng_ip_cidr": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {IP_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score, "
+            f"{ip_hex} AS ip_hex "
+            "FROM tf t JOIN df d USING(term) JOIN ips i ON i.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND i.ipkey < 4096"
+        ),
+        "eng_ip_range_agg": (
+            f"WITH {IP_CTE} "
+            "SELECT 'net20' AS range_key, CAST(count(*) AS BIGINT) AS n_docs FROM ips WHERE ipkey < 4096 "
+            "UNION ALL SELECT 'low64', count(*) FROM ips WHERE ipkey < 64 "
+            "UNION ALL SELECT 'mid', count(*) FROM ips WHERE ipkey >= 1024 AND ipkey < 4096 "
+            "UNION ALL SELECT 'none', CAST(0 AS BIGINT)"
+        ),
+        "eng_ip_sorted": (
+            f"WITH {IP_CTE} "
+            f"SELECT doc_id, {ip_hex} AS ip_hex FROM ips "
+            "ORDER BY ipkey DESC LIMIT 20"
+        ),
         "perc_geo": (
             f"WITH {GEO_CTE}, "
             "tl2 AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "

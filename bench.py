@@ -307,6 +307,14 @@ def main():
         ("analysis_length_unique", em.queries()["a10_length_unique_tf"]),
         ("sample_cap_per_source", em.queries()["sample_cap_per_source"]),
         ("emb_semantic_dedup", em.queries()["emb_semantic_dedup"]),
+        # round-3 session-7: geo percolation (three broadcast joins over
+        # the parsed doc points), ip field surface (CIDR filter beside
+        # scored text / declared ip_range buckets / address-order top-k;
+        # first run pays the ip index build, best-of-3 keeps warm reads)
+        ("perc_geo", em.queries()["perc_geo"]),
+        ("docs_ip_cidr", em.queries()["eng_ip_cidr"]),
+        ("agg_ip_range", em.queries()["eng_ip_range_agg"]),
+        ("docs_ip_sorted", em.queries()["eng_ip_sorted"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -353,6 +353,23 @@ def build_segment_tables(
             docmap[fe.name] = vals.to_numpy(dtype=object, na_value=None)
         else:
             docmap[fe.name] = np.full(n_docs, None, dtype=object)
+    # ip doc values: IPv4/IPv6 literals (or already-canonical hex — the
+    # reindex shape) encoded to the canonical 32-hex form (ip.ip_hex);
+    # NULL/empty = no value, malformed raises (a silently dropped
+    # address is a corrupt index). Stored as a plain string column —
+    # fixed-width hex makes parquet string min/max stats prune CIDR and
+    # range scans exactly like keyword ranges.
+    for fe in schema.fields:
+        if not fe.is_ip or fe.name in docmap.columns:
+            continue
+        if fe.input_col in pdf.columns:
+            from .ip import ip_hex_series
+
+            docmap[fe.name] = ip_hex_series(
+                pdf[fe.input_col], errors="raise", field_name=fe.name
+            ).to_numpy(dtype=object, na_value=None)
+        else:
+            docmap[fe.name] = np.full(n_docs, None, dtype=object)
     # geo doc values: "lat,lon" input strings parsed into TWO float64
     # columns ({name}__lat / {name}__lon — schema.geo_lat_col/geo_lon_col).
     # NULL/empty input = no point (NULL in both columns); malformed or

@@ -327,7 +327,7 @@ def cmd_search(args) -> int:
         for spec in args.terms:
             fname, _, vals = spec.partition("=")
             fe = mf.schema.field_by_name(fname)
-            if not vals or fe is None or not fe.is_keyword:
+            if not vals or fe is None or not (fe.is_keyword or fe.is_ip):
                 print(
                     f"error: --terms wants KEYWORDFIELD=v1,v2 "
                     f"(got {spec!r})", file=sys.stderr,
@@ -713,7 +713,8 @@ def cmd_stream(args) -> int:
             # untemplated and only library callers with an explicit
             # Schema can append
             tpl = None
-            if args.field or args.keyword_field or args.date_field:
+            if (args.field or args.keyword_field or args.date_field
+                    or args.ip_field):
                 from .schema import Schema
 
                 tpl = Schema()
@@ -726,6 +727,9 @@ def cmd_stream(args) -> int:
                 for f in args.date_field or []:
                     name, _, src = f.partition("=")
                     tpl.add_date_field(name, source_col=src)
+                for f in args.ip_field or []:
+                    name, _, src = f.partition("=")
+                    tpl.add_ip_field(name, source_col=src)
             st = create_stream(args.path, name=args.name, schema=tpl)
             print(f"created stream {st['name']!r} "
                   f"(write index {st['generations'][-1]}"
@@ -1015,11 +1019,21 @@ def cmd_agg(args) -> int:
                     return s
 
             for part in (args.ranges or "").split(","):
-                key, lo, hi = part.split(":")
+                bits = part.split(":")
+                if len(bits) == 2:
+                    # KEY:CIDR — an ip_range mask bucket (the ES `mask`
+                    # form; ip fields only). IPv6 carries colons — use
+                    # the API (ip.ip_range_spec) for v6 buckets.
+                    from .ip import ip_range_spec
+
+                    ranges.append(ip_range_spec(bits[0], mask=bits[1]))
+                    continue
+                key, lo, hi = bits
                 ranges.append((key, _b(lo), _b(hi)))
         except ValueError:
             print("agg: --ranges wants KEY:LO:HI[,KEY:LO:HI...] with "
-                  "empty LO/HI = open", file=sys.stderr)
+                  "empty LO/HI = open (ip fields also take KEY:CIDR "
+                  "mask buckets)", file=sys.stderr)
             return 2
         rows = range_agg(
             spark, args.path, args.query, args.range, ranges,
@@ -1348,6 +1362,9 @@ def cmd_build(args) -> int:
     for f in args.date_field or []:
         name, _, src = f.partition("=")
         schema.add_date_field(name, source_col=src)
+    for f in args.ip_field or []:
+        name, _, src = f.partition("=")
+        schema.add_ip_field(name, source_col=src)
     from .sources import load_corpus
 
     df = load_corpus(spark, args.corpus, shape=False)
@@ -1680,6 +1697,10 @@ def cmd_reindex(args) -> int:
             # the extract column is already epoch micros — the long
             # pass-through input shape
             schema.add_date_field(fe.name)
+        elif fe.is_ip:
+            # the extract column is already canonical hex — the
+            # passthrough shape (ip_hex_series keeps canonical values)
+            schema.add_ip_field(fe.name)
         elif fe.is_numeric:
             schema.add_numeric_field(fe.name, fe.field_type)
         else:
@@ -1743,6 +1764,7 @@ def cmd_evolve(args) -> int:
             numeric_type=args.numeric,
             keyword=args.keyword,
             date=args.date,
+            ip=args.ip,
         )
     except (ValueError, KeyError, LockHeldError, FileNotFoundError) as e:
         print(f"error: {e}", file=sys.stderr)
@@ -1803,6 +1825,7 @@ def cmd_analyze(args) -> int:
                 "keyword" if fe.is_keyword
                 else "date" if fe.is_date
                 else "geo" if fe.is_geo
+                else "ip" if fe.is_ip
                 else "numeric"
             )
             print(f"field {fe.name!r} is a {kind} doc-value field — "
@@ -2177,6 +2200,7 @@ def main(argv=None) -> int:
                     help="create: template text field (NAME or NAME=SOURCE)")
     dm.add_argument("--keyword-field", action="append", default=None)
     dm.add_argument("--date-field", action="append", default=None)
+    dm.add_argument("--ip-field", action="append", default=None)
     dm.add_argument("--analyzer", default="default")
     dm.add_argument("-p", "--path", required=True)
     dm.add_argument("--name", default=None)
@@ -2392,6 +2416,10 @@ def main(argv=None) -> int:
                    help="date doc-value field (ISO range/sort/"
                         "date-histogram; stored as epoch micros UTC); "
                         "NAME=SOURCE reads another input column")
+    b.add_argument("--ip-field", action="append", metavar="COL",
+                   help="ip doc-value field (equality/CIDR/range/sort; "
+                        "IPv4+IPv6, stored as the canonical 16-byte hex "
+                        "form); NAME=SOURCE reads another input column")
     b.add_argument("--analyzer", default="default")
     b.add_argument("--partitions", type=int, default=8)
     b.add_argument("--order-col")
@@ -2537,6 +2565,9 @@ def main(argv=None) -> int:
     ev.add_argument("--date", action="store_true",
                     help="date doc-value field (ISO ranges, sort, "
                          "date histogram) instead of text")
+    ev.add_argument("--ip", action="store_true",
+                    help="ip doc-value field (equality/CIDR/range, "
+                         "IPv4+IPv6) instead of text")
     ev.set_defaults(fn=cmd_evolve)
 
     ex = sub.add_parser("export")

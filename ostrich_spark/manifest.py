@@ -258,6 +258,7 @@ def add_field(
     numeric_type: str | None = None,
     keyword: bool = False,
     date: bool = False,
+    ip: bool = False,
     source_col: str = "",
 ) -> Manifest:
     """Append-only schema evolution (Lucene has none per index — new
@@ -278,12 +279,16 @@ def add_field(
         m = load_manifest(index_dir)
         if m.schema.field_by_name(name) is not None:
             raise ValueError(f"field {name!r} already exists in the schema")
-        if sum([keyword, date, numeric_type is not None]) > 1:
-            raise ValueError("a field is keyword OR numeric OR date, pick one")
+        if sum([keyword, date, ip, numeric_type is not None]) > 1:
+            raise ValueError(
+                "a field is keyword OR numeric OR date OR ip, pick one"
+            )
         if keyword:
             m.schema.add_keyword_field(name, source_col=source_col)
         elif date:
             m.schema.add_date_field(name, source_col=source_col)
+        elif ip:
+            m.schema.add_ip_field(name, source_col=source_col)
         elif numeric_type is not None:
             m.schema.add_numeric_field(name, numeric_type)
         else:

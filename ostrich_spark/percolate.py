@@ -465,7 +465,8 @@ def register_queries(
                 )
         for j, (kqid, kocc, f, op, val) in enumerate(k_rows):
             fe = schema.fields[f]
-            if op in ("eq", "in", "range") and not fe.is_keyword:
+            if op in ("eq", "in", "range") and not fe.is_keyword \
+                    and not fe.is_ip:
                 raise ValueError(
                     f"percolator query {qid!r}: keyword {op!r} clause on "
                     f"non-keyword field {fe.name!r}"
@@ -475,6 +476,29 @@ def register_queries(
                     f"percolator query {qid!r}: exists clause on "
                     f"non-doc-value field {fe.name!r}"
                 )
+            # ip field: subscription values normalize to the canonical
+            # hex exactly like forward search (parser-lowered queries
+            # already carry it; programmatic raw literals encode here,
+            # and a malformed SUBSCRIPTION is loud — only incoming DOC
+            # values get the tolerant null treatment)
+            if fe.is_ip:
+                from .ip import normalize_ip_value
+
+                if op == "eq":
+                    k_rows[j] = (kqid, kocc, f, op,
+                                 normalize_ip_value(val, fe.name))
+                elif op == "in":
+                    k_rows[j] = (kqid, kocc, f, op, tuple(
+                        normalize_ip_value(v, fe.name) for v in val))
+                elif op == "range":
+                    lo, hi, ilo, ihi = val
+                    k_rows[j] = (
+                        kqid, kocc, f, op,
+                        (None if lo is None
+                         else normalize_ip_value(lo, fe.name),
+                         None if hi is None
+                         else normalize_ip_value(hi, fe.name), ilo, ihi),
+                    )
             # lowercase-normalized keyword field: normalize the stored
             # query values exactly like forward search does
             if fe.analyzer == "lowercase":
@@ -974,6 +998,16 @@ def percolate(
                 # normalized keyword field: incoming docs carry RAW
                 # values — normalize like the index build does
                 vcol = F.lower(vcol)
+            if schema.fields[fid].is_ip:
+                # ip field: incoming docs carry raw ip literals —
+                # encode to the canonical hex the subscriptions compare
+                # against (Arrow-batched, unique-memoized); a garbled
+                # stream value encodes to NULL and matches nothing (the
+                # geo try_cast convention — tolerant on the doc side,
+                # loud on the subscription side)
+                from .ip import ip_hex_udf
+
+                vcol = ip_hex_udf()(vcol)
             v = docs_df.select(
                 F.col(id_col).alias("_pid"),
                 F.lit(fid).alias("field_id"),

@@ -1414,20 +1414,27 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
             range_wire["points"],
         )
     elif op == "eq":
-        if not fe.is_keyword:
+        if not fe.is_keyword and not fe.is_ip:
             raise ValueError(
                 f"keyword query on non-keyword field {fe.name!r} "
                 f"(type {fe.field_type!r}); use a range for numerics"
             )
         # NULL never matches equality (SQL comparison semantics); a
         # lowercase-normalized field lowercases the QUERY value — stored
-        # values are already normalized at build (ES normalizer analog)
+        # values are already normalized at build (ES normalizer analog).
+        # ip fields normalize to the canonical hex the docmap stores
+        # (raw literals accepted for programmatic ergonomics; the parser
+        # already encodes NQL values — canonical passes through)
         v = range_wire["value"]
         if fe.analyzer == "lowercase":
             v = v.lower()
+        if fe.is_ip:
+            from ..ip import normalize_ip_value
+
+            v = normalize_ip_value(v, fe.name)
         pred = col == v
     elif op == "in":
-        if not fe.is_keyword:
+        if not fe.is_keyword and not fe.is_ip:
             raise ValueError(
                 f"terms query on non-keyword field {fe.name!r} "
                 f"(type {fe.field_type!r}); use a range for numerics"
@@ -1437,15 +1444,19 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
         vals = range_wire["values"]
         if fe.analyzer == "lowercase":
             vals = [v.lower() for v in vals]
+        if fe.is_ip:
+            from ..ip import normalize_ip_value
+
+            vals = [normalize_ip_value(v, fe.name) for v in vals]
         pred = col.isin(vals)
     else:
         str_bounds = any(
             isinstance(range_wire[k], str) for k in ("lo", "hi")
         )
-        if str_bounds or fe.is_keyword:
-            # lexicographic range over a keyword field (Lucene
+        if str_bounds or fe.is_keyword or fe.is_ip:
+            # lexicographic range over a keyword/ip field (Lucene
             # TermRangeQuery analog); parquet string min/max stats prune
-            if not fe.is_keyword:
+            if not fe.is_keyword and not fe.is_ip:
                 raise ValueError(
                     f"string range bounds on non-keyword field {fe.name!r} "
                     f"(type {fe.field_type!r})"
@@ -1471,6 +1482,13 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
             # normalized field: bounds lowercase like query values do
             lo = lo.lower() if lo is not None else None
             hi = hi.lower() if hi is not None else None
+        if fe.is_ip:
+            # ip bounds normalize to canonical hex (raw literals
+            # accepted; parser-encoded / canonical bounds pass through)
+            from ..ip import normalize_ip_value
+
+            lo = normalize_ip_value(lo, fe.name) if lo is not None else None
+            hi = normalize_ip_value(hi, fe.name) if hi is not None else None
         pred = None
         if lo is not None:
             p = col >= lo if range_wire["incl_lo"] else col > lo
@@ -2520,7 +2538,8 @@ def range_agg(
     fe = _doc_value_field_entry(manifest, field)
     if fe.is_keyword:
         raise ValueError(
-            f"range_agg needs a numeric or date field, {field!r} is keyword"
+            f"range_agg needs a numeric, date or ip field, {field!r} is "
+            f"keyword"
         )
     if not ranges:
         raise ValueError("ranges must declare >= 1 (key, lo, hi) bucket")
@@ -2530,7 +2549,22 @@ def range_agg(
     metrics = metrics or {}
 
     def _bound(v):
-        if v is None or not isinstance(v, str):
+        if v is None:
+            return v
+        if fe.is_ip:
+            # ES ip_range analog: bounds are ip literals (or canonical
+            # hex — ip.ip_range_spec's mask output); lo inclusive, hi
+            # exclusive like every range bucket. CIDR-mask buckets come
+            # pre-resolved through ip.ip_range_spec.
+            if not isinstance(v, str):
+                raise ValueError(
+                    f"ip_range bound {v!r} must be an ip string, "
+                    f"{field!r} is an ip field"
+                )
+            from ..ip import normalize_ip_value
+
+            return normalize_ip_value(v, fe.name)
+        if not isinstance(v, str):
             return v
         if not fe.is_date:
             raise ValueError(
@@ -2599,12 +2633,20 @@ def bucket_by_declared_ranges(spark, matched, value, ranges, metrics):
         )
     )
     agg = tagged.groupBy("range_key").agg(*aggs)
-    decl = spark.createDataFrame(
-        [(i, k, float(lo) if lo is not None else None,
-          float(hi) if hi is not None else None)
-         for i, (k, lo, hi) in enumerate(ranges)],
-        "range_ord int, range_key string, lo double, hi double",
-    )
+    if any(isinstance(b, str) for _, lo, hi in ranges for b in (lo, hi)):
+        # string bounds (the ip_range shape: canonical hex) surface
+        # verbatim — casting them to double would be meaningless
+        decl = spark.createDataFrame(
+            [(i, k, lo, hi) for i, (k, lo, hi) in enumerate(ranges)],
+            "range_ord int, range_key string, lo string, hi string",
+        )
+    else:
+        decl = spark.createDataFrame(
+            [(i, k, float(lo) if lo is not None else None,
+              float(hi) if hi is not None else None)
+             for i, (k, lo, hi) in enumerate(ranges)],
+            "range_ord int, range_key string, lo double, hi double",
+        )
     out = (
         decl.join(agg, "range_key", "left")
         .withColumn("n_docs", F.coalesce("n_docs", F.lit(0)))

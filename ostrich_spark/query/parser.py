@@ -1474,6 +1474,44 @@ def _parse_date_bound(fe, s: str, side: str, inclusive: bool) -> int | None:
     return end - 1 if inclusive else start
 
 
+def _ip_leaf(fe, raw: str):
+    """NQL on an ip field (the ES `ip` type query surface; ip.py docs
+    the encoding): ``ip:1.2.3.4`` exact, ``ip:10.0.0.0/8`` CIDR mask
+    (an inclusive [net, broadcast] hex range — a v4 mask never matches
+    a v6 value, the ES behavior), ``ip:[a TO b]`` / ``{..}`` explicit
+    ranges with ``*`` open bounds. Values encode to canonical hex HERE
+    so the execution layer runs the plain keyword string machinery."""
+    from ..ip import cidr_bounds, ip_hex
+
+    try:
+        m = _RANGE_SYNTAX.match(raw)
+        if m:
+            lo = _parse_str_bound(m.group(2))
+            hi = _parse_str_bound(m.group(3))
+            return RangeQuery(
+                fe.id,
+                ip_hex(lo) if lo is not None else None,
+                ip_hex(hi) if hi is not None else None,
+                include_lo=m.group(1) == "[",
+                include_hi=m.group(4) == "]",
+            )
+        v = raw[1:-1] if (
+            len(raw) >= 2 and raw.startswith('"') and raw.endswith('"')
+        ) else raw
+        if not v:
+            raise QueryParseError(f"ip field {fe.name!r} needs a value")
+        if "/" in v:
+            lo, hi = cidr_bounds(v)
+            return RangeQuery(fe.id, lo, hi,
+                              include_lo=True, include_hi=True)
+        return KeywordQuery(fe.id, ip_hex(v))
+    except ValueError:
+        raise QueryParseError(
+            f"ip field {fe.name!r}: {raw!r} is not an IPv4/IPv6 "
+            f"address, CIDR block, or [lo TO hi] range"
+        ) from None
+
+
 def _date_leaf(fe, raw: str):
     """Value side of ``datefield:...`` — a range span (bounds in ISO-8601
     with ES unit rounding) or a plain value (equality = the value's whole
@@ -1636,6 +1674,8 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                         f"keyword field {fe.name!r} needs a value"
                     )
                 return KeywordQuery(fe.id, raw)
+            if fe.is_ip:
+                return _ip_leaf(fe, raw)
             if fe.is_date:
                 return _date_leaf(fe, raw)
             if fe.is_numeric:

@@ -53,6 +53,17 @@ FIELD_TYPE_DATE = "date"
 # ES, whose geo queries exist only in the JSON DSL, never in
 # query_string.
 FIELD_TYPE_GEO = "geo_point"
+# ip doc-value field (EXTENSION, the Elasticsearch `ip` type / Lucene
+# InetAddressPoint analog). ES stores every ip as a 16-byte IPv6 value
+# (IPv4 mapped into ::ffff:0:0/96) and compares the bytes; we store the
+# SAME 16 bytes as a 32-char lowercase hex STRING docmap column —
+# lexicographic order over fixed-width hex == numeric order over the
+# 128-bit value, so equality, IN sets, CIDR masks (a [lo,hi] hex range),
+# explicit ranges, exists, sorting and percolation all ride the KEYWORD
+# string machinery verbatim (parquet string min/max stats prune range
+# scans). Encoding happens only at the edges (ostrich_spark/ip.py):
+# build input, query parse (`ip:10.0.0.0/8` in NQL), percolation ingest.
+FIELD_TYPE_IP = "ip"
 
 
 def geo_lat_col(name: str) -> str:
@@ -125,11 +136,16 @@ class FieldEntry:
         return self.field_type == FIELD_TYPE_GEO
 
     @property
+    def is_ip(self) -> bool:
+        return self.field_type == FIELD_TYPE_IP
+
+    @property
     def is_doc_value(self) -> bool:
-        """Doc-value-only field (numeric, keyword, date or geo): no
+        """Doc-value-only field (numeric, keyword, date, geo or ip): no
         analyzer, no postings, no norms — the typed value lives in the
         docmap (geo as the `__lat`/`__lon` column pair)."""
-        return self.is_numeric or self.is_keyword or self.is_date or self.is_geo
+        return (self.is_numeric or self.is_keyword or self.is_date
+                or self.is_geo or self.is_ip)
 
     @property
     def query_analyzer(self) -> str:
@@ -309,6 +325,29 @@ class Schema:
         self._check_name(name)
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_GEO, "", False, False,
+            "", source_col,
+        )
+        self.fields.append(entry)
+        return entry
+
+    def add_ip_field(self, name: str, source_col: str = "") -> FieldEntry:
+        """IP doc-value field (EXTENSION, the ES ``ip`` type; see
+        FIELD_TYPE_IP): no analyzer, no postings; the value is stored in
+        the docmap as the canonical 32-hex encoding of the 16-byte IPv6
+        form (IPv4 mapped — ``1.2.3.4`` ≡ ``::ffff:1.2.3.4``) and
+        queried with ``ip:1.2.3.4`` (equality), ``ip:10.0.0.0/8`` (CIDR
+        mask), ``ip:[10.0.0.1 TO 10.0.0.99]`` (range), ``ip:*``
+        (exists), TermsQuery sets, sorted search (numeric address
+        order), facets and the ``ip_range`` aggregation.
+
+        Build input: IPv4/IPv6 string literals (NULL/empty = no value;
+        malformed values raise — a silently dropped address is a corrupt
+        index) or already-canonical hex (the reindex shape).
+
+        ``source_col`` reads another input column (ES multi-fields)."""
+        self._check_name(name)
+        entry = FieldEntry(
+            len(self.fields), name, FIELD_TYPE_IP, "", False, False,
             "", source_col,
         )
         self.fields.append(entry)
