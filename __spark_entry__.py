@@ -3903,6 +3903,34 @@ def _ip_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def _q_eng_scripted_metric(spark, sf_dir):
+    """ES scripted_metric analog (exec.scripted_metric): a (count,
+    sum, sum-of-squares) state over n_chars of the text:spark match
+    set — map per Arrow batch, associative combine folding one JSON
+    state per partition, driver reduce. Oracle recomputes all three
+    sums with plain SQL aggregates over the same match set."""
+    from ostrich_spark.query.exec import scripted_metric
+
+    idx = _doc_index(spark, sf_dir)
+
+    def m(pdf):
+        v = pdf["n_chars"].dropna()
+        return {"n": int(v.count()), "sum": int(v.sum()),
+                "sumsq": int((v * v).sum())}
+
+    def c(a, b):
+        return {k: a[k] + b[k] for k in ("n", "sum", "sumsq")}
+
+    s = scripted_metric(
+        spark, idx, "text:spark", {"n": 0, "sum": 0, "sumsq": 0}, m, c,
+        columns=["n_chars"],
+    )
+    return spark.createDataFrame(
+        [(s["n"], s["sum"], s["sumsq"])],
+        "n long, sum_nchars long, sum_sq long",
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4536,6 +4564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_rescore_phrase": _q_eng_rescore,
         "perc_match": _q_perc_match,
         "perc_geo": _q_perc_geo,
+        "eng_scripted_metric": _q_eng_scripted_metric,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_ip_range_agg": _q_eng_ip_range_agg,
         "eng_ip_sorted": _q_eng_ip_sorted,
@@ -6166,6 +6195,16 @@ def oracle_sql() -> dict[str, str]:
         # encoding through the shared generator ip.ip_hex_sql. CIDR
         # 10.0.0.0/20 <=> key < 4096; [10.0.4.0, 10.0.16.0) <=> key in
         # [1024, 4096); to=10.0.0.64 exclusive <=> key < 64.
+        # scripted_metric: the custom map/combine state is three plain
+        # sums — SQL recomputes them directly over the match set
+        "eng_scripted_metric": (
+            f"WITH {TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'spark') "
+            "SELECT CAST(count(doc.n_chars) AS BIGINT) AS n, "
+            "CAST(sum(doc.n_chars) AS BIGINT) AS sum_nchars, "
+            "CAST(sum(doc.n_chars * doc.n_chars) AS BIGINT) AS sum_sq "
+            "FROM m JOIN documents doc USING (doc_id)"
+        ),
         "eng_ip_cidr": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {IP_CTE} "
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score, "

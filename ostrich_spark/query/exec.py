@@ -2843,6 +2843,98 @@ def adjacency_matrix(
     return singles.unionByName(pairs).orderBy("key")
 
 
+def scripted_metric(
+    spark,
+    index_dir: str,
+    query,
+    zero,
+    map_fn,
+    combine_fn,
+    reduce_fn=None,
+    columns: list[str] | None = None,
+    include_score: bool = False,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Custom map/combine/reduce aggregation over a query's FULL match
+    set — the Elasticsearch ``scripted_metric`` aggregation analog
+    (EXTENSION; ES scripts are Painless strings, ours are Python
+    callables over Arrow-delivered pandas batches — the Spark-idiomatic
+    "script"). The use case ES documents: a metric the built-in agg
+    grammar cannot express, written once instead of exporting the match
+    set.
+
+    The four ES script slots map directly:
+
+    - ``zero`` — ``init_script``: the identity state (must be
+      JSON-serializable; checked up front so executors never discover
+      it).
+    - ``map_fn(pdf) -> state`` — ``map_script``, but batch-vectorized:
+      called once per Arrow batch of matched rows (the requested
+      ``columns`` plus ``score`` when ``include_score=True``), returns
+      that batch's state.
+    - ``combine_fn(a, b) -> state`` — ``combine_script``: binary and
+      ASSOCIATIVE; folds batch states within each partition
+      executor-side, then partition states driver-side. States cross
+      the wire as JSON, so ``combine_fn`` must accept the decoded form
+      (tuples arrive back as lists).
+    - ``reduce_fn(state) -> value`` — ``reduce_script``: optional final
+      driver-side transform (defaults to the folded state itself).
+
+    Returns the reduced Python value (ES returns arbitrary JSON here,
+    not buckets — same contract).
+
+    Scale posture: the match set itself never moves — each partition
+    folds its batches locally and emits ONE JSON state row, so the
+    driver sees n_partitions states (the per-shard-state coordinator
+    model every ES agg uses). The docmap scan is pruned to exactly
+    ``columns``. Partition boundaries are not deterministic, so a
+    non-associative/non-commutative ``combine_fn`` gives
+    partitioning-dependent answers — same caveat ES documents for
+    shard-order-dependent scripts; tests pin partition invariance for
+    the associative shapes.
+    """
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    json.dumps(zero)  # fail fast: states must round-trip as JSON
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    cols = list(columns or [])
+    for c in cols:
+        if c not in docmap.columns:
+            raise ValueError(
+                f"scripted_metric column {c!r} not in docmap "
+                f"(have: {', '.join(docmap.columns)})"
+            )
+    matched = docmap.select("segment_id", "doc", *cols).join(
+        res.select("segment_id", "doc", "score"), ["segment_id", "doc"],
+        "inner",
+    )
+    if not include_score:
+        matched = matched.drop("score")
+
+    def _partition_state(batches):
+        state, have = None, False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s = map_fn(pdf)
+            state = combine_fn(state, s) if have else s
+            have = True
+        if have:
+            yield pd.DataFrame({"state": [json.dumps(state)]})
+
+    rows = matched.mapInPandas(_partition_state, "state string").collect()
+    state = zero
+    for r in rows:
+        state = combine_fn(state, json.loads(r["state"]))
+    return reduce_fn(state) if reduce_fn is not None else state
+
+
 def cardinality(
     spark,
     index_dir: str,
