@@ -2820,6 +2820,37 @@ def _q_eng_alias_filtered(spark, sf_dir):
     )
 
 
+def _q_eng_alias_registry(spark, sf_dir):
+    """Named alias registry (ES _aliases analog, ostrich_spark/
+    aliases.py): the parity halves registered under ONE alias with the
+    even index carrying BOTH a filter (n_chars range, filter context)
+    and a 1.5x boost; alias_search resolves the registry and delegates
+    to the gated multi-index path. Oracle = full-corpus tfidf with the
+    membership predicate AND the parity-scaled score (the
+    eng_alias_filtered + eng_alias_boosted oracles composed)."""
+    import tempfile
+
+    from ostrich_spark.aliases import alias_search, update_aliases
+    from ostrich_spark.query.multi import attach_docmap_multi
+
+    dirs = list(_doc_indexes_alias(spark, sf_dir))
+    reg_dir = tempfile.mkdtemp(prefix="ostrich_aliasreg_")
+    update_aliases(reg_dir, [
+        {"add": {"alias": "docs", "index": dirs[0],
+                 "filter": "n_chars:[250 TO 10000]", "boost": 1.5}},
+        {"add": {"alias": "docs", "index": dirs[1]}},
+    ])
+    res, _ = alias_search(
+        spark, reg_dir, "docs", "text:merge OR text:batch",
+        limit=None, scorer="tfidf",
+    )
+    return (
+        attach_docmap_multi(spark, dirs, res)
+        .select(F.col("doc_id").cast("long"),
+                F.round("score", 6).alias("score"))
+    )
+
+
 def _q_eng_alias_boosted(spark, sf_dir):
     """indices_boost (ES search option): the even-parity index's scores
     multiplied by 1.5 after alias-global scoring — monotone per index,
@@ -4565,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_match": _q_perc_match,
         "perc_geo": _q_perc_geo,
         "eng_scripted_metric": _q_eng_scripted_metric,
+        "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_ip_range_agg": _q_eng_ip_range_agg,
         "eng_ip_sorted": _q_eng_ip_sorted,
@@ -4761,6 +4793,18 @@ def oracle_sql() -> dict[str, str]:
             f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
             "FROM tf t JOIN df d USING(term) WHERE t.term IN ('merge','batch')) "
             "SELECT s.doc_id, round(sum(sc), 6) AS score FROM s "
+            "JOIN documents d2 ON d2.doc_id = s.doc_id "
+            "WHERE (s.doc_id % 2 = 1) OR (d2.n_chars BETWEEN 250 AND 10000) "
+            "GROUP BY s.doc_id"
+        ),
+        # alias registry: filtered + boosted in one registered alias —
+        # membership from the filter, even-parity scores scaled 1.5x
+        "eng_alias_registry": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            f"s AS (SELECT t.doc_id, t.term, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term IN ('merge','batch')) "
+            "SELECT s.doc_id, round(sum(sc) * (CASE WHEN s.doc_id % 2 = 0 "
+            "THEN 1.5 ELSE 1.0 END), 6) AS score FROM s "
             "JOIN documents d2 ON d2.doc_id = s.doc_id "
             "WHERE (s.doc_id % 2 = 1) OR (d2.n_chars BETWEEN 250 AND 10000) "
             "GROUP BY s.doc_id"

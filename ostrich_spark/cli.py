@@ -1748,6 +1748,73 @@ def cmd_addindexes(args) -> int:
     return 0
 
 
+def cmd_alias(args) -> int:
+    """Named alias registry (ES _aliases analog): ``alias add NAME -p
+    IDX [--filter NQL] [--boost B] [--write]``, ``alias remove NAME -p
+    IDX``, ``alias list [NAME]``, ``alias search NAME QUERY``. add and
+    remove apply atomically; search resolves the alias's dirs, filters
+    and boosts onto the multi-index path. Registry mutations are
+    driver-side JSON only — no Spark session."""
+    from .aliases import alias_search, get_aliases, update_aliases
+    from .lock import LockHeldError
+
+    try:
+        if args.action in ("add", "remove"):
+            if not args.name or not args.path:
+                print(f"alias {args.action}: need NAME and -p INDEX",
+                      file=sys.stderr)
+                return 2
+            if args.action == "add":
+                actions = [{"add": {
+                    "alias": args.name, "index": args.path,
+                    "filter": args.alias_filter, "boost": args.boost,
+                    "is_write_index": args.write,
+                }}]
+            else:
+                actions = [{"remove": {"alias": args.name,
+                                       "index": args.path}}]
+            reg = update_aliases(args.registry, actions)
+            n = len(reg.get(args.name, []))
+            print(f"alias {args.name!r}: {n} index(es)")
+            return 0
+        if args.action == "list":
+            reg = get_aliases(args.registry, args.name or None)
+            for name in sorted(reg):
+                for r in reg[name]:
+                    bits = [r["index"]]
+                    if r["filter"]:
+                        bits.append(f"filter={r['filter']!r}")
+                    if r["boost"] is not None:
+                        bits.append(f"boost={r['boost']}")
+                    if r["is_write_index"]:
+                        bits.append("write")
+                    print(f"{name} -> {'  '.join(bits)}")
+            if not reg:
+                print("(no aliases)")
+            return 0
+        # search
+        if not args.name or not args.query:
+            print("alias search: need NAME and QUERY", file=sys.stderr)
+            return 2
+        spark = _spark()
+        t0 = time.time()
+        res, _ = alias_search(
+            spark, args.registry, args.name, args.query,
+            limit=args.limit, scorer=args.scorer,
+        )
+        rows = res.collect()
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['index_ord']}:{r['segment_id']}/{r['doc']} "
+                  f"{r['score']:.6f}")
+        print(f"{len(rows)} docs")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    except (ValueError, LockHeldError) as e:
+        print(f"alias: {e}", file=sys.stderr)
+        return 2
+
+
 def cmd_evolve(args) -> int:
     """Append-only schema evolution: add a field to a committed index
     (explicit manifest commit; older docs hold no data for it).
@@ -2550,6 +2617,26 @@ def main(argv=None) -> int:
     ai.add_argument("--copy", action="store_true",
                     help="full copy instead of hardlinks")
     ai.set_defaults(fn=cmd_addindexes)
+
+    al = sub.add_parser("alias", help="named alias registry (ES _aliases "
+                        "analog): add/remove entries atomically, list, "
+                        "and search through a registered alias")
+    al.add_argument("action", choices=["add", "remove", "list", "search"])
+    al.add_argument("name", nargs="?", help="alias name (add/remove/"
+                    "search; optional for list)")
+    al.add_argument("query", nargs="?", help="search: the NQL query")
+    al.add_argument("--registry", required=True, metavar="DIR",
+                    help="registry directory (holds aliases.json)")
+    al.add_argument("-p", "--path", help="add/remove: the index dir")
+    al.add_argument("--filter", dest="alias_filter", metavar="NQL",
+                    help="add: per-index alias filter (filter context)")
+    al.add_argument("--boost", type=float, default=None,
+                    help="add: per-index score multiplier (> 0)")
+    al.add_argument("--write", action="store_true",
+                    help="add: flag this index as the alias write index")
+    al.add_argument("-l", "--limit", type=int, default=10)
+    al.add_argument("--scorer", choices=["tfidf", "bm25"], default="tfidf")
+    al.set_defaults(fn=cmd_alias)
 
     ev = sub.add_parser("evolve")
     ev.add_argument("-p", "--path", required=True)
