@@ -3880,6 +3880,112 @@ _GEO_POLY_RING = [
 ]
 
 
+# --- geo_shape entries (polygon docs, schema.FIELD_TYPE_SHAPE) --------------
+# synthetic axis-aligned SQUARE ring per doc, centered on a lattice with
+# a doc-varying half-size h: lat0 = (doc_id*37 % 141) - 70 + .3,
+# lon0 = (doc_id*53 % 281) - 140 + .3, h = (doc_id % 19) + .5 (max ring
+# |lat| 88.8, |lon| 158.8 — inside the validated ranges; every 47th doc
+# has no shape). The ENGINE stores and evaluates the square as a generic
+# 4-vertex ring (ray cast / edge crossings); the ORACLE reduces every
+# relation to closed-form interval arithmetic on (lat0, lon0, h) —
+# fully independent of the geometry kernels. Fractional parts (.3/.7
+# centers, .2/.8 ring edges, .5 halves vs .25 query bounds) keep every
+# comparison strictly off the strict-boundary rule.
+SHAPE_CTE = (
+    "shp AS (SELECT doc_id, "
+    "CAST(doc_id*37 % 141 AS DOUBLE) - 70.0 + 0.3 AS lat0, "
+    "CAST(doc_id*53 % 281 AS DOUBLE) - 140.0 + 0.3 AS lon0, "
+    "CAST(doc_id % 19 AS DOUBLE) + 0.5 AS h "
+    "FROM documents WHERE doc_id % 47 <> 0)"
+)
+
+_SHAPE_INDEX_CACHE: dict[str, str] = {}
+
+
+def _shape_index(spark: SparkSession, sf_dir: str) -> str:
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _SHAPE_INDEX_CACHE:
+        return _SHAPE_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-shape1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_shape_field("area")
+        lat0 = (F.col("doc_id") * 37 % 141).cast("double") - 70.0 + 0.3
+        lon0 = (F.col("doc_id") * 53 % 281).cast("double") - 140.0 + 0.3
+        h = (F.col("doc_id") % 19).cast("double") + 0.5
+        v = lambda la, lo: F.concat(  # noqa: E731
+            la.cast("string"), F.lit(","), lo.cast("string"))
+        ring = F.concat_ws(
+            ";", v(lat0 - h, lon0 - h), v(lat0 - h, lon0 + h),
+            v(lat0 + h, lon0 + h), v(lat0 + h, lon0 - h))
+        area = F.when(
+            F.col("doc_id") % 47 == 0, F.lit(None).cast("string")
+        ).otherwise(ring)
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text",
+                                        area.alias("area")),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-shape-{tag}",
+        )
+    _SHAPE_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_shape_point(spark, sf_dir):
+    """geo_shape point-intersects: rings containing (0, 0) — the engine
+    ray-casts generic 4-vertex rings over bbox-pruned candidates; the
+    oracle reduces to |lat0| < h AND |lon0| < h."""
+    from ostrich_spark.geo import shape_search
+
+    out = shape_search(spark, _shape_index(spark, sf_dir), "area",
+                       "intersects", ("point", 0.0, 0.0))
+    return out.select(F.col("doc_id").cast("long"))
+
+
+def _q_eng_shape_bbox(spark, sf_dir):
+    """geo_shape bbox-intersects (strict interior overlap): squares vs
+    the box [−10.25, 20.25]×[−30.25, 40.25] — oracle = open-interval
+    overlap on each axis."""
+    from ostrich_spark.geo import shape_search
+
+    out = shape_search(spark, _shape_index(spark, sf_dir), "area",
+                       "intersects", ("bbox", 20.25, -30.25, -10.25, 40.25))
+    return out.select(F.col("doc_id").cast("long"))
+
+
+def _q_eng_shape_within(spark, sf_dir):
+    """geo_shape within (ring entirely inside the box — decided exactly
+    by the stored bbox columns, zero ring reads): oracle = closed
+    interval containment."""
+    from ostrich_spark.geo import shape_search
+
+    out = shape_search(spark, _shape_index(spark, sf_dir), "area",
+                       "within", ("bbox", 30.25, -60.25, -30.25, 60.25))
+    return out.select(F.col("doc_id").cast("long"))
+
+
+def _q_eng_shape_disjoint(spark, sf_dir):
+    """geo_shape disjoint: shaped docs NOT intersecting the box — the
+    bbox fast path decides most docs without touching ring arrays;
+    oracle = NOT the open-interval overlap, shaped docs only."""
+    from ostrich_spark.geo import shape_search
+
+    out = shape_search(spark, _shape_index(spark, sf_dir), "area",
+                       "disjoint", ("bbox", 20.25, -30.25, -10.25, 40.25))
+    return out.select(F.col("doc_id").cast("long"))
+
+
 # --- ip field entries (the ES `ip` type, ostrich_spark/ip.py) ---------------
 # synthetic IPv4 per doc: 10.(doc_id>>16)%256.(doc_id>>8)%256.(doc_id%256);
 # every 47th doc has no address (the geo null convention). The 24-bit key
@@ -4598,6 +4704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_scripted_metric": _q_eng_scripted_metric,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
+        "eng_shape_point": _q_eng_shape_point,
+        "eng_shape_bbox": _q_eng_shape_bbox,
+        "eng_shape_within": _q_eng_shape_within,
+        "eng_shape_disjoint": _q_eng_shape_disjoint,
         "eng_ip_range_agg": _q_eng_ip_range_agg,
         "eng_ip_sorted": _q_eng_ip_sorted,
         "eng_phrase_tfidf": _q_eng_phrase_tfidf,
@@ -6234,6 +6344,29 @@ def oracle_sql() -> dict[str, str]:
         # recomputed — haversine (2,000 km, 114 km clear of every doc),
         # inclusive bbox, term + concave-polygon filter (shared edge
         # generator)
+        # geo_shape: the engine evaluates generic rings; the oracle
+        # reduces each relation to interval arithmetic on the square's
+        # (lat0, lon0, h) — strict open intervals for interior overlap,
+        # closed for within (bbox-column containment)
+        "eng_shape_point": (
+            f"WITH {SHAPE_CTE} SELECT doc_id FROM shp "
+            "WHERE abs(lat0) < h AND abs(lon0) < h"
+        ),
+        "eng_shape_bbox": (
+            f"WITH {SHAPE_CTE} SELECT doc_id FROM shp "
+            "WHERE lat0 - h < 20.25 AND lat0 + h > -10.25 "
+            "AND lon0 - h < 40.25 AND lon0 + h > -30.25"
+        ),
+        "eng_shape_within": (
+            f"WITH {SHAPE_CTE} SELECT doc_id FROM shp "
+            "WHERE lat0 - h >= -30.25 AND lat0 + h <= 30.25 "
+            "AND lon0 - h >= -60.25 AND lon0 + h <= 60.25"
+        ),
+        "eng_shape_disjoint": (
+            f"WITH {SHAPE_CTE} SELECT doc_id FROM shp "
+            "WHERE NOT (lat0 - h < 20.25 AND lat0 + h > -10.25 "
+            "AND lon0 - h < 40.25 AND lon0 + h > -30.25)"
+        ),
         # ip field (ES `ip` type): membership recounted with doc_id bit
         # arithmetic (the 24-bit key == doc_id at test scale), the hex
         # encoding through the shared generator ip.ip_hex_sql. CIDR

@@ -370,6 +370,54 @@ def build_segment_tables(
             ).to_numpy(dtype=object, na_value=None)
         else:
             docmap[fe.name] = np.full(n_docs, None, dtype=object)
+    # geo_shape doc values: "lat,lon;lat,lon;..." ring strings parsed
+    # into 4 float64 bbox columns (parquet min/max stats prune every
+    # shape query — the BKD-filter analog) + 2 array<double> ring
+    # columns read only by the exact verify. NULL/empty = no shape;
+    # malformed/degenerate/dateline rings raise (geo.parse_ring).
+    for fe in schema.fields:
+        if not fe.is_shape:
+            continue
+        from .geo import parse_ring
+        from .schema import (
+            shape_lats_col, shape_lons_col, shape_maxlat_col,
+            shape_maxlon_col, shape_minlat_col, shape_minlon_col,
+        )
+
+        cols = [shape_minlat_col(fe.name), shape_maxlat_col(fe.name),
+                shape_minlon_col(fe.name), shape_maxlon_col(fe.name),
+                shape_lats_col(fe.name), shape_lons_col(fe.name)]
+        if cols[0] in docmap.columns:
+            continue
+        mn_la = np.full(n_docs, np.nan)
+        mx_la = np.full(n_docs, np.nan)
+        mn_lo = np.full(n_docs, np.nan)
+        mx_lo = np.full(n_docs, np.nan)
+        r_la = np.full(n_docs, None, dtype=object)
+        r_lo = np.full(n_docs, None, dtype=object)
+        if fe.input_col in pdf.columns:
+            raw = pdf[fe.input_col]
+            for i, v in enumerate(raw):
+                if v is None or pd.isna(v):
+                    continue
+                v = str(v).strip()
+                if not v:
+                    continue
+                try:
+                    pts = parse_ring(v)
+                except ValueError as e:
+                    raise ValueError(f"geo_shape field {fe.name!r}: {e}")
+                la = np.array([p[0] for p in pts])
+                lo = np.array([p[1] for p in pts])
+                mn_la[i], mx_la[i] = la.min(), la.max()
+                mn_lo[i], mx_lo[i] = lo.min(), lo.max()
+                r_la[i], r_lo[i] = la, lo
+        has = ~np.isnan(mn_la)
+        for col, arr in zip(cols[:4], (mn_la, mx_la, mn_lo, mx_lo)):
+            docmap[col] = pd.array(arr, dtype="Float64")
+            docmap[col] = docmap[col].where(pd.Series(has), None)
+        docmap[cols[4]] = r_la
+        docmap[cols[5]] = r_lo
     # geo doc values: "lat,lon" input strings parsed into TWO float64
     # columns ({name}__lat / {name}__lon — schema.geo_lat_col/geo_lon_col).
     # NULL/empty input = no point (NULL in both columns); malformed or
@@ -436,9 +484,14 @@ def build_segment_tables(
                 fields.append(
                     pa.field(c, pa.float64() if fe.field_type == "double" else pa.int64())
                 )
-            elif c.endswith("__lat") or c.endswith("__lon"):
-                # geo doc-value column pair (schema.geo_lat_col/geo_lon_col)
+            elif c.endswith("__lat") or c.endswith("__lon") or c.endswith(
+                ("__smin_lat", "__smax_lat", "__smin_lon", "__smax_lon")
+            ):
+                # geo point pair / shape bbox columns — plain float64
                 fields.append(pa.field(c, pa.float64()))
+            elif c.endswith(("__ring_lats", "__ring_lons")):
+                # geo_shape ring vertex arrays
+                fields.append(pa.field(c, pa.list_(pa.float64())))
             else:  # stored text fields are stringified above
                 fields.append(pa.field(c, pa.string()))
     docmap_tbl = pa.Table.from_pandas(

@@ -1267,6 +1267,22 @@ def cmd_geo(args) -> int:
             for r in rows:
                 print(f"{r['segment_id']}/{r['doc']}")
             print(f"{len(rows)} docs, elapsed: {time.time() - t0:.3f}s")
+        elif args.mode == "shape":
+            if bool(args.point) == bool(args.box):
+                print("geo shape: need exactly one of --point LAT,LON or "
+                      "--box TOP,LEFT,BOTTOM,RIGHT", file=sys.stderr)
+                return 2
+            if args.point:
+                geometry = ("point", *parse_point(args.point))
+            else:
+                geometry = ("bbox", *(float(x) for x in args.box.split(",")))
+            df = geomod.shape_search(
+                spark, args.path, args.field, args.relation, geometry
+            )
+            rows = df.select("segment_id", "doc").collect()
+            for r in rows:
+                print(f"{r['segment_id']}/{r['doc']}")
+            print(f"{len(rows)} docs, elapsed: {time.time() - t0:.3f}s")
         elif args.mode == "polygon":
             if not args.points:
                 print("--points LAT,LON LAT,LON ... (>= 3) is required",
@@ -2425,7 +2441,13 @@ def main(argv=None) -> int:
                         "_geo_distance / geohash_grid / geotile_grid)")
     ge.add_argument("mode", choices=["distance", "bbox", "polygon",
                                      "nearest", "geohash", "geotile",
-                                     "rings"])
+                                     "rings", "shape"])
+    ge.add_argument("--relation", default="intersects",
+                    choices=["intersects", "within", "disjoint"],
+                    help="shape: relation of stored rings to the query "
+                         "geometry (--point supports intersects only)")
+    ge.add_argument("--point", metavar="LAT,LON",
+                    help="shape: point query geometry (ring contains it)")
     ge.add_argument("--points", nargs="*", metavar="LAT,LON",
                     help="polygon: ring vertices (>= 3, concave ok, "
                          "ES geo_polygon; no dateline crossing)")

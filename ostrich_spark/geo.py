@@ -597,3 +597,228 @@ def geohash_grid(
         .groupBy("geohash")
         .agg(F.count(F.lit(1)).alias("doc_count"))
     )
+
+
+# --- geo_shape: polygon documents (filter-then-verify) ----------------------
+# Lucene's LatLonShape tessellates polygons into BKD triangles; the
+# Spark-native equivalent of the same strategy stores each doc's ring
+# bbox in four plain float columns (parquet min/max stats prune the
+# candidate scan — the BKD-filter analog) and runs the EXACT test only
+# over pruned candidates, numpy-vectorized across a whole Arrow batch
+# of ragged rings (flatten + reduceat; zero per-vertex Python). The
+# point-in-ring math is the SAME division-free even-odd crossing test
+# polygon_pred compiles to Catalyst columns — one algorithm, two
+# execution substrates. Boundary behavior is the module's strict
+# even-odd convention throughout: a query geometry merely TOUCHING a
+# ring's boundary does not intersect it (documented; the gated entries
+# and tests keep geometries clear of boundary coincidence).
+
+
+def parse_ring(text: str):
+    """``"lat,lon;lat,lon;..."`` -> validated [(lat, lon), ...] ring
+    (>= 3 distinct vertices after dropping the GeoJSON closing repeat,
+    coordinates range-checked, dateline-spanning rejected)."""
+    pts = []
+    for part in str(text).split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        lat_s, sep, lon_s = part.partition(",")
+        if not sep:
+            raise ValueError(
+                f"geo_shape ring vertex {part!r} is not 'lat,lon'"
+            )
+        pts.append((float(lat_s), float(lon_s)))
+    pts = _validate_polygon(pts)
+    if len({p[0] for p in pts}) == 1:
+        raise ValueError(
+            "geo_shape ring is degenerate (all vertices on one latitude)"
+        )
+    return pts
+
+
+def _flat_rings(lats_rows, lons_rows):
+    """Flatten a batch of ragged rings into edge-index arrays.
+
+    Returns (y, x, idx, nxt, starts, sizes, valid) where y/x are the
+    concatenated vertex lat/lon arrays, (idx, nxt) index each edge's
+    endpoints (nxt wraps to the ring's first vertex), starts/sizes
+    address each VALID row's vertex span, and valid marks rows that
+    carry a ring. Rows without a shape contribute nothing.
+    """
+    import numpy as np
+
+    n = len(lats_rows)
+    valid = np.zeros(n, dtype=bool)
+    chunks_y, chunks_x, sizes = [], [], []
+    for i in range(n):  # per-ROW boxing (Arrow list rows), not per-vertex
+        a = lats_rows[i]
+        if a is None or (hasattr(a, "__len__") and len(a) == 0):
+            continue
+        b = lons_rows[i]
+        valid[i] = True
+        chunks_y.append(np.asarray(a, dtype=np.float64))
+        chunks_x.append(np.asarray(b, dtype=np.float64))
+        sizes.append(len(a))
+    if not sizes:
+        return None
+    y = np.concatenate(chunks_y)
+    x = np.concatenate(chunks_x)
+    sizes = np.asarray(sizes, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    idx = np.arange(len(y), dtype=np.int64)
+    nxt = idx + 1
+    nxt[starts + sizes - 1] = starts  # wrap each ring's last edge
+    return y, x, idx, nxt, starts, sizes, valid
+
+
+def _counts_to_rows(per_ring, valid):
+    import numpy as np
+
+    out = np.zeros(len(valid), dtype=bool)
+    out[valid] = per_ring
+    return out
+
+
+def rings_contain_point(lats_rows, lons_rows, qlat: float, qlon: float):
+    """Per-row strict even-odd point-in-ring over a ragged batch —
+    the numpy mirror of :func:`polygon_pred`'s Catalyst columns."""
+    import numpy as np
+
+    flat = _flat_rings(lats_rows, lons_rows)
+    if flat is None:
+        return np.zeros(len(lats_rows), dtype=bool)
+    y, x, idx, nxt, starts, sizes, valid = flat
+    yi, yj = y[idx], y[nxt]
+    straddles = (yi > qlat) != (yj > qlat)
+    c = yj - yi
+    lhs = (qlon - x[idx]) * c
+    rhs = (x[nxt] - x[idx]) * (qlat - yi)
+    cross = straddles & np.where(c > 0, lhs < rhs, lhs > rhs)
+    n_cross = np.add.reduceat(cross, starts)
+    return _counts_to_rows(n_cross % 2 == 1, valid)
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    """Sign of the cross product (b-a) x (c-a) — vectorized orientation."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def rings_intersect_bbox(lats_rows, lons_rows, top, left, bottom, right):
+    """Per-row strict interior-overlap test of each ring against an
+    axis-aligned box: any ring vertex strictly inside the box, OR any
+    box corner strictly inside the ring, OR any ring edge PROPERLY
+    crossing any box side. All three branches vectorize over the
+    flattened batch (reduceat per ring)."""
+    import numpy as np
+
+    flat = _flat_rings(lats_rows, lons_rows)
+    if flat is None:
+        return np.zeros(len(lats_rows), dtype=bool)
+    y, x, idx, nxt, starts, sizes, valid = flat
+
+    # (a) any vertex strictly inside the box
+    v_in = (y > bottom) & (y < top) & (x > left) & (x < right)
+    any_v = np.add.reduceat(v_in, starts) > 0
+
+    # (b) any box corner strictly inside the ring (4 even-odd casts)
+    corner_in = np.zeros(int(len(starts)), dtype=bool)
+    for clat, clon in ((top, left), (top, right), (bottom, left),
+                       (bottom, right)):
+        yi, yj = y[idx], y[nxt]
+        straddles = (yi > clat) != (yj > clat)
+        c = yj - yi
+        lhs = (clon - x[idx]) * c
+        rhs = (x[nxt] - x[idx]) * (clat - yi)
+        cross = straddles & np.where(c > 0, lhs < rhs, lhs > rhs)
+        corner_in |= np.add.reduceat(cross, starts) % 2 == 1
+
+    # (c) any ring edge properly crossing any of the 4 box sides
+    # (strict: orientations on opposite sides for BOTH segments)
+    e_cross = np.zeros(len(idx), dtype=bool)
+    ax, ay, bx, by = x[idx], y[idx], x[nxt], y[nxt]
+    sides = (
+        (left, top, right, top), (left, bottom, right, bottom),
+        (left, bottom, left, top), (right, bottom, right, top),
+    )
+    for px, py, qx, qy in sides:
+        d1 = _orient(ax, ay, bx, by, px, py)
+        d2 = _orient(ax, ay, bx, by, qx, qy)
+        d3 = _orient(px, py, qx, qy, ax, ay)
+        d4 = _orient(px, py, qx, qy, bx, by)
+        e_cross |= (d1 * d2 < 0) & (d3 * d4 < 0)
+    any_e = np.add.reduceat(e_cross, starts) > 0
+
+    return _counts_to_rows(any_v | corner_in | any_e, valid)
+
+
+def _shape_verify_udf(kind: str, *params):
+    """Arrow-batched boolean predicate over the ring array columns —
+    the exact-verify stage running only on bbox-pruned candidates."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # plain-function form (no type hints): geo.py's future-annotations
+    # import stringifies hints, which the hint-inferring decorator path
+    # cannot evaluate — the explicit returnType form pins SCALAR eval
+    if kind == "point":
+        qlat, qlon = params
+
+        def _verify(lats, lons):
+            return pd.Series(
+                rings_contain_point(lats.tolist(), lons.tolist(),
+                                    qlat, qlon))
+    else:
+        top, left, bottom, right = params
+
+        def _verify(lats, lons):
+            return pd.Series(
+                rings_intersect_bbox(lats.tolist(), lons.tolist(),
+                                     top, left, bottom, right))
+
+    return pandas_udf(_verify, "boolean")
+
+
+def shape_search(
+    spark,
+    index_dir: str,
+    field: str,
+    relation: str,
+    geometry: tuple,
+    manifest: Manifest | None = None,
+):
+    """Standalone geo_shape query (the ES ``geo_shape`` query analog,
+    filter context): docs whose stored ring satisfies ``relation``
+    against ``geometry`` — ``("point", lat, lon)`` with relation
+    ``intersects`` (ring contains the point), or ``("bbox", top, left,
+    bottom, right)`` with ``intersects`` / ``within`` / ``disjoint``.
+    Tombstones excluded. Returns live (segment_id, doc, *id/docmap
+    columns) rows of matching docs.
+
+    Plan shape: the four bbox columns decide ``within`` outright and
+    PRUNE ``intersects``/``disjoint``/point candidates via parquet
+    min/max stats before the Arrow verify reads a single ring array.
+    """
+    from .query.parser import GeoShapeQuery
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or not fe.is_shape:
+        raise ValueError(
+            f"{field!r} is not a geo_shape field of this index"
+        )
+    q = GeoShapeQuery(fe.id, relation, geometry)  # validates
+    from .query.exec import _shape_pred, read_docmap
+
+    docmap = read_docmap(spark, index_dir, manifest)
+    pred = _shape_pred(fe, q.relation, q.geometry)
+    out = docmap.filter(pred)
+    from .deletes import has_tombstones, read_tombstones
+
+    if has_tombstones(index_dir, manifest):
+        out = out.join(
+            read_tombstones(spark, index_dir, manifest),
+            ["segment_id", "doc"], "left_anti",
+        )
+    return out

@@ -1287,6 +1287,57 @@ def assign_range_ids(wire: dict, start: int = 0) -> list[dict]:
     return found
 
 
+def _shape_pred(fe, relation: str, geometry: tuple):
+    """Docmap predicate for one geo_shape relation (see
+    schema.FIELD_TYPE_SHAPE): the four bbox columns decide ``within``
+    exactly and PRUNE everything else via parquet min/max stats (the
+    BKD-filter analog); ``intersects``/point/``disjoint`` then verify
+    exactly with an Arrow-vectorized ring test (geo._shape_verify_udf)
+    that only ever reads pruned candidates' array columns. Docs without
+    a shape never match any relation, disjoint included (NULL bbox
+    columns null out every branch and the filter drops them)."""
+    from pyspark.sql import functions as F
+
+    from ..geo import _shape_verify_udf
+    from ..schema import (
+        shape_lats_col, shape_lons_col, shape_maxlat_col,
+        shape_maxlon_col, shape_minlat_col, shape_minlon_col,
+    )
+
+    mn_lat = F.col(shape_minlat_col(fe.name))
+    mx_lat = F.col(shape_maxlat_col(fe.name))
+    mn_lon = F.col(shape_minlon_col(fe.name))
+    mx_lon = F.col(shape_maxlon_col(fe.name))
+    lats = F.col(shape_lats_col(fe.name))
+    lons = F.col(shape_lons_col(fe.name))
+    if geometry[0] == "point":
+        qlat, qlon = float(geometry[1]), float(geometry[2])
+        prune = (
+            (mn_lat <= qlat) & (mx_lat >= qlat)
+            & (mn_lon <= qlon) & (mx_lon >= qlon)
+        )
+        return prune & _shape_verify_udf("point", qlat, qlon)(lats, lons)
+    top, left, bottom, right = (float(v) for v in geometry[1:])
+    if relation == "within":
+        # ring entirely inside an axis-aligned box <=> its bbox is —
+        # exact from the stored columns alone, zero array reads
+        return (
+            (mn_lat >= bottom) & (mx_lat <= top)
+            & (mn_lon >= left) & (mx_lon <= right)
+        )
+    overlap = (
+        (mn_lat <= top) & (mx_lat >= bottom)
+        & (mn_lon <= right) & (mx_lon >= left)
+    )
+    verify = _shape_verify_udf("bbox", top, left, bottom, right)(lats, lons)
+    if relation == "intersects":
+        return overlap & verify
+    # disjoint: shape present AND NOT intersecting. The bbox-disjoint
+    # fast path (NOT overlap) decides most docs without touching the
+    # ring arrays; only bbox-overlapping candidates run the verify.
+    return mn_lat.isNotNull() & (~overlap | ~verify)
+
+
 def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
     """(segment_id, doc, rid) rows matching one docmap-predicate wire —
     a docmap scan with the predicate pushed to parquet (min/max /
@@ -1350,11 +1401,15 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
             )
         )
     # geo fields live in the docmap as a __lat/__lon float64 pair
-    # (schema.geo_lat_col/geo_lon_col); every other doc-value type is a
-    # single column named after the field
-    from ..schema import geo_lat_col, geo_lon_col
+    # (schema.geo_lat_col/geo_lon_col), shapes as bbox + ring columns;
+    # every other doc-value type is a single column named after the field
+    from ..schema import geo_lat_col, geo_lon_col, shape_minlat_col
 
-    probe_col = geo_lat_col(fe.name) if fe.is_geo else fe.name
+    probe_col = (
+        geo_lat_col(fe.name) if fe.is_geo
+        else shape_minlat_col(fe.name) if fe.is_shape
+        else fe.name
+    )
     col = F.col(probe_col)
     val_col = None  # op "dv" ships a per-doc VALUE down the aux cogroup
     if op == "exists":
@@ -1412,6 +1467,15 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
         pred = polygon_pred(
             geo_lat_col(fe.name), geo_lon_col(fe.name),
             range_wire["points"],
+        )
+    elif op == "geo_shape":
+        if not fe.is_shape:
+            raise ValueError(
+                f"geo_shape query on non-shape field {fe.name!r} "
+                f"(type {fe.field_type!r})"
+            )
+        pred = _shape_pred(
+            fe, range_wire["relation"], tuple(range_wire["geometry"])
         )
     elif op == "eq":
         if not fe.is_keyword and not fe.is_ip:
@@ -3408,6 +3472,11 @@ def _doc_value_field_entry(manifest, by: str):
         raise ValueError(
             f"{by!r} is a geo field — sort by distance with "
             f"ostrich_spark.geo.geo_sort, not a doc-value sort"
+        )
+    if fe.is_shape:
+        raise ValueError(
+            f"{by!r} is a geo_shape field — shapes have no total order "
+            f"or bucket key; query them with GeoShapeQuery"
         )
     return fe
 

@@ -761,6 +761,75 @@ class GeoPolygonQuery:
 
 
 @dataclass(frozen=True)
+class GeoShapeQuery:
+    """Docs whose stored RING satisfies ``relation`` against a query
+    geometry — EXTENSION (the ES ``geo_shape`` query / Lucene
+    LatLonShape analog, polygon-document subset; see
+    schema.FIELD_TYPE_SHAPE). ``geometry`` is ``("point", lat, lon)``
+    (relation must be ``intersects``: the ring contains the point,
+    strict even-odd) or ``("bbox", top, left, bottom, right)`` with
+    relation ``intersects`` (strict interior overlap), ``within``
+    (ring entirely inside the box — decided exactly by the stored bbox
+    columns) or ``disjoint`` (shape present and NOT intersecting).
+    Planar; bbox queries do not wrap the dateline (left <= right
+    required). DSL-only like every geo query; constant score ``boost``;
+    docs without a shape never match any relation, including disjoint
+    (the ES behavior: disjoint still requires the field to exist)."""
+
+    field_id: int
+    relation: str
+    geometry: tuple
+    boost: float = 1.0
+
+    def __post_init__(self):
+        rel = self.relation
+        g = tuple(self.geometry)
+        if not g or g[0] not in ("point", "bbox"):
+            raise QueryParseError(
+                "geo_shape geometry must be ('point', lat, lon) or "
+                "('bbox', top, left, bottom, right)"
+            )
+        if g[0] == "point":
+            if rel != "intersects":
+                raise QueryParseError(
+                    f"geo_shape point geometry supports only "
+                    f"relation='intersects', got {rel!r}"
+                )
+            if len(g) != 3:
+                raise QueryParseError("point geometry is ('point', lat, lon)")
+            lat, lon = float(g[1]), float(g[2])
+            if abs(lat) > 90 or abs(lon) > 180:
+                raise QueryParseError(
+                    "geo_shape point out of range (lat [-90,90], "
+                    "lon [-180,180])"
+                )
+            g = ("point", lat, lon)
+        else:
+            if rel not in ("intersects", "within", "disjoint"):
+                raise QueryParseError(
+                    f"geo_shape bbox relation must be intersects / "
+                    f"within / disjoint, got {rel!r}"
+                )
+            if len(g) != 5:
+                raise QueryParseError(
+                    "bbox geometry is ('bbox', top, left, bottom, right)"
+                )
+            top, left, bottom, right = (float(v) for v in g[1:])
+            if top < bottom:
+                raise QueryParseError("geo_shape bbox needs top >= bottom")
+            if left > right:
+                raise QueryParseError(
+                    "geo_shape bbox does not wrap the dateline "
+                    "(left <= right required) — split the query"
+                )
+            if abs(top) > 90 or abs(bottom) > 90 or abs(left) > 180 \
+                    or abs(right) > 180:
+                raise QueryParseError("geo_shape bbox out of range")
+            g = ("bbox", top, left, bottom, right)
+        object.__setattr__(self, "geometry", g)
+
+
+@dataclass(frozen=True)
 class AllQuery:
     pass
 
@@ -1688,6 +1757,12 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                     f"geo field {fe.name!r} has no query-string syntax "
                     f"besides {fe.name}:* (exists) — use GeoDistanceQuery "
                     f"/ GeoBoundingBoxQuery or the CLI geo subcommand"
+                )
+            if fe.is_shape:
+                raise QueryParseError(
+                    f"geo_shape field {fe.name!r} has no query-string "
+                    f"syntax besides {fe.name}:* (exists) — use "
+                    f"GeoShapeQuery or the CLI geo shape subcommand"
                 )
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                 # field:"quoted phrase" — consecutive-terms extension

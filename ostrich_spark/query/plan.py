@@ -44,6 +44,7 @@ from .parser import (
     GeoBoundingBoxQuery,
     GeoDistanceQuery,
     GeoPolygonQuery,
+    GeoShapeQuery,
     MultiPhraseQuery,
     NearQuery,
     PhraseQuery,
@@ -311,6 +312,20 @@ class CGeoPolygon:
 
     field_id: int
     points: tuple
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CGeoShape:
+    """Compiled geo_shape relation (stored-ring docs): the four bbox
+    docmap columns decide ``within`` exactly and PRUNE the other
+    relations (parquet min/max stats — the BKD-filter analog) before
+    the Arrow-vectorized ring verify. CRange-style aux delivery;
+    constant score."""
+
+    field_id: int
+    relation: str
+    geometry: tuple
     const_score: float
 
 
@@ -711,6 +726,8 @@ def compile_query(
         return CGeoBBox(q.field_id, q.top, q.left, q.bottom, q.right, q.boost)
     if isinstance(q, GeoPolygonQuery):
         return CGeoPolygon(q.field_id, q.points, q.boost)
+    if isinstance(q, GeoShapeQuery):
+        return CGeoShape(q.field_id, q.relation, q.geometry, q.boost)
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
                       PhrasePrefixQuery, SpanMultiQuery)):
         raise ValueError(_MULTITERM_REWRITE_MSG)
@@ -1104,6 +1121,15 @@ def to_wire(node) -> dict:
             "op": "geo_polygon",
             "field": node.field_id,
             "points": [list(p) for p in node.points],
+            "score": node.const_score,
+        }
+    if isinstance(node, CGeoShape):
+        return {
+            "kind": "range",
+            "op": "geo_shape",
+            "field": node.field_id,
+            "relation": node.relation,
+            "geometry": list(node.geometry),
             "score": node.const_score,
         }
     if isinstance(node, CAll):

@@ -64,6 +64,45 @@ FIELD_TYPE_GEO = "geo_point"
 # scans). Encoding happens only at the edges (ostrich_spark/ip.py):
 # build input, query parse (`ip:10.0.0.0/8` in NQL), percolation ingest.
 FIELD_TYPE_IP = "ip"
+# geo-shape doc-value field (EXTENSION, the Elasticsearch `geo_shape` /
+# Lucene LatLonShape analog, POLYGON subset). Where Lucene tessellates
+# shapes into BKD triangles, we store the Spark-native equivalent of
+# the same filter-then-verify strategy: FOUR float64 bounding-box
+# columns `{name}__smin_lat/__smax_lat/__smin_lon/__smax_lon` (plain
+# numeric columns — parquet min/max row-group stats prune every shape
+# query's candidate scan, the BKD-filter analog) plus the ring itself
+# as TWO array<double> columns `{name}__ring_lats/__ring_lons` read
+# only by the exact Arrow-vectorized verify over the pruned candidates.
+# v1 scope: one simple linear ring per doc (no holes/multipolygon),
+# planar, dateline-crossing rejected at build (the Lucene split-them
+# guidance); queried with GeoShapeQuery (point-intersects, and
+# bbox intersects/within/disjoint) in filter context. DSL-only like
+# every geo query; only `field:*` (exists) has NQL form.
+FIELD_TYPE_SHAPE = "geo_shape"
+
+
+def shape_minlat_col(name: str) -> str:
+    return f"{name}__smin_lat"
+
+
+def shape_maxlat_col(name: str) -> str:
+    return f"{name}__smax_lat"
+
+
+def shape_minlon_col(name: str) -> str:
+    return f"{name}__smin_lon"
+
+
+def shape_maxlon_col(name: str) -> str:
+    return f"{name}__smax_lon"
+
+
+def shape_lats_col(name: str) -> str:
+    return f"{name}__ring_lats"
+
+
+def shape_lons_col(name: str) -> str:
+    return f"{name}__ring_lons"
 
 
 def geo_lat_col(name: str) -> str:
@@ -140,12 +179,17 @@ class FieldEntry:
         return self.field_type == FIELD_TYPE_IP
 
     @property
+    def is_shape(self) -> bool:
+        return self.field_type == FIELD_TYPE_SHAPE
+
+    @property
     def is_doc_value(self) -> bool:
-        """Doc-value-only field (numeric, keyword, date, geo or ip): no
-        analyzer, no postings, no norms — the typed value lives in the
-        docmap (geo as the `__lat`/`__lon` column pair)."""
+        """Doc-value-only field (numeric, keyword, date, geo, ip or
+        shape): no analyzer, no postings, no norms — the typed value
+        lives in the docmap (geo as the `__lat`/`__lon` column pair,
+        shapes as 4 bbox columns + 2 ring arrays)."""
         return (self.is_numeric or self.is_keyword or self.is_date
-                or self.is_geo or self.is_ip)
+                or self.is_geo or self.is_ip or self.is_shape)
 
     @property
     def query_analyzer(self) -> str:
@@ -348,6 +392,27 @@ class Schema:
         self._check_name(name)
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_IP, "", False, False,
+            "", source_col,
+        )
+        self.fields.append(entry)
+        return entry
+
+    def add_shape_field(self, name: str, source_col: str = "") -> FieldEntry:
+        """Geo-shape doc-value field (EXTENSION, the ES ``geo_shape``
+        type, POLYGON subset; see FIELD_TYPE_SHAPE): the ring is stored
+        as two array<double> docmap columns plus four bbox float
+        columns that prune every query via parquet min/max stats —
+        the filter-then-verify strategy Lucene's BKD tree implements.
+
+        Build input: ``"lat,lon;lat,lon;..."`` ring strings (>= 3
+        distinct vertices, GeoJSON closed form accepted, NULL/empty =
+        no shape; malformed, out-of-range or dateline-spanning rings
+        raise). Queried with GeoShapeQuery (filter context), ExistsQuery.
+
+        ``source_col`` reads another input column (ES multi-fields)."""
+        self._check_name(name)
+        entry = FieldEntry(
+            len(self.fields), name, FIELD_TYPE_SHAPE, "", False, False,
             "", source_col,
         )
         self.fields.append(entry)
