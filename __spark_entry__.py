@@ -4068,6 +4068,45 @@ def _q_eng_scripted_metric(spark, sf_dir):
     )
 
 
+def _q_eng_top_hits(spark, sf_dir):
+    """ES top_hits analog (exec.top_hits): per-lang top-3 docs of the
+    text:spark match set by (score desc, doc_id asc) — flat rows with a
+    1-based in-bucket rank. Oracle re-ranks with a row_number window
+    over the independently recomputed tfidf."""
+    from ostrich_spark.query.exec import top_hits
+
+    idx = _doc_index(spark, sf_dir)
+    out = top_hits(
+        spark, idx, "text:spark", by="lang", size=3,
+        sort=[("score", "desc"), ("doc_id", "asc")], columns=["doc_id"],
+    )
+    return out.select(
+        "lang",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("score", 6).alias("score"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+def _q_eng_top_metrics(spark, sf_dir):
+    """ES top_metrics analog (exec.top_metrics): per-lang, the n_chars
+    values of the 2 longest text:spark hits (sort n_chars desc). Output
+    carries only (bucket, rank, value) — tie-safe by construction: tied
+    values swap rank positions without changing any (rank, value) row."""
+    from ostrich_spark.query.exec import top_metrics
+
+    idx = _doc_index(spark, sf_dir)
+    out = top_metrics(
+        spark, idx, "text:spark", by="lang",
+        sort=("n_chars", "desc"), metrics=["n_chars"], size=2,
+    )
+    return out.select(
+        "lang",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4702,6 +4741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perc_match": _q_perc_match,
         "perc_geo": _q_perc_geo,
         "eng_scripted_metric": _q_eng_scripted_metric,
+        "eng_top_hits": _q_eng_top_hits,
+        "eng_top_metrics": _q_eng_top_metrics,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6381,6 +6422,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(doc.n_chars) AS BIGINT) AS sum_nchars, "
             "CAST(sum(doc.n_chars * doc.n_chars) AS BIGINT) AS sum_sq "
             "FROM m JOIN documents doc USING (doc_id)"
+        ),
+        # top_hits / top_metrics: per-bucket ranks recomputed with
+        # row_number windows over independently derived sort keys
+        "eng_top_hits": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'), "
+            "r AS (SELECT doc.lang, s.doc_id, s.sc, "
+            "row_number() OVER (PARTITION BY doc.lang ORDER BY s.sc DESC, s.doc_id ASC) AS rank "
+            "FROM s JOIN documents doc USING (doc_id)) "
+            "SELECT lang, rank, round(sc, 6) AS score, doc_id "
+            "FROM r WHERE rank <= 3"
+        ),
+        "eng_top_metrics": (
+            f"WITH {TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'spark'), "
+            "r AS (SELECT doc.lang, doc.n_chars, "
+            "row_number() OVER (PARTITION BY doc.lang ORDER BY doc.n_chars DESC, doc.doc_id ASC) AS rank "
+            "FROM m JOIN documents doc USING (doc_id)) "
+            "SELECT lang, rank, CAST(n_chars AS BIGINT) AS n_chars "
+            "FROM r WHERE rank <= 2"
         ),
         "eng_ip_cidr": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {IP_CTE} "

@@ -315,6 +315,10 @@ def main():
         ("docs_ip_cidr", em.queries()["eng_ip_cidr"]),
         ("agg_ip_range", em.queries()["eng_ip_range_agg"]),
         ("docs_ip_sorted", em.queries()["eng_ip_sorted"]),
+        # round-3 session-8: per-bucket top-k docs/metrics (skew-safe
+        # pre-prune + bounded window)
+        ("agg_top_hits", em.queries()["eng_top_hits"]),
+        ("agg_top_metrics", em.queries()["eng_top_metrics"]),
     ]:
         best = float("inf")
         for _ in range(3):

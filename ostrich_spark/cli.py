@@ -851,17 +851,46 @@ def cmd_agg(args) -> int:
         for x in (args.stats, args.hist, args.cardinality, args.date_hist,
                   args.range, args.boxplot, args.string_stats,
                   args.auto_date_hist, args.multi_terms, args.mad,
-                  args.t_test, args.vw_hist, args.cum_card)
+                  args.t_test, args.vw_hist, args.cum_card, args.top_hits)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --vw-hist, "
               "--date-hist, --auto-date-hist, --range, --boxplot, "
-              "--string-stats, --multi-terms, --mad, --t-test or "
-              "--cardinality",
+              "--string-stats, --multi-terms, --mad, --t-test, "
+              "--top-hits or --cardinality",
               file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.top_hits:
+        from .query.exec import top_hits
+
+        sort = None
+        if args.sort:
+            sort = []
+            for spec in args.sort.split(","):
+                col, _, d = spec.partition(":")
+                sort.append((col.strip(), (d or "desc").strip()))
+        try:
+            rows = top_hits(
+                spark, args.path, args.query, by=args.top_hits,
+                size=args.size or 3, sort=sort,
+                columns=args.columns.split(",") if args.columns else None,
+                scorer=args.scorer,
+            ).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        rows.sort(key=lambda r: (str(r[args.top_hits]), r["rank"]))
+        for r in rows:
+            d = r.asDict()
+            bucket, rank = d.pop(args.top_hits), d.pop("rank")
+            score = d.pop("score")
+            rest = "  ".join(f"{k}={v}" for k, v in d.items())
+            print(f"{bucket} #{rank} score {score:.6f}  {rest}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.t_test:
         try:
             row = t_test(
@@ -2394,6 +2423,16 @@ def main(argv=None) -> int:
                     help="t-test flavor (default Welch/heteroscedastic)")
     ag.add_argument("--exact", action="store_true",
                     help="with --cardinality: exact count_distinct")
+    ag.add_argument("--top-hits", metavar="BYFIELD",
+                    help="per-BYFIELD-bucket top --size docs by --sort "
+                         "(default score:desc), flat ranked rows "
+                         "(ES top_hits agg)")
+    ag.add_argument("--sort", metavar="FIELD:asc|desc",
+                    help="--top-hits sort specs, comma-separated; the "
+                         "pseudo-column `score` is allowed")
+    ag.add_argument("--columns", metavar="C1,C2",
+                    help="--top-hits hit columns (default: all "
+                         "non-internal docmap columns)")
     ag.add_argument("--scorer", choices=["tfidf", "bm25"], default="bm25")
     ag.set_defaults(fn=cmd_agg)
 

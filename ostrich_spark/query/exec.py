@@ -6539,6 +6539,171 @@ def multi_terms(
     return ordered.limit(int(size)) if size is not None else ordered
 
 
+def top_hits(
+    spark,
+    index_dir: str,
+    query,
+    by: list[str] | str,
+    size: int = 3,
+    sort: list[tuple] | None = None,
+    columns: list[str] | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``top_hits`` sub-aggregation analog: the top
+    ``size`` DOCUMENTS of every bucket — "per language, the 3 best
+    hits", the agg that turns a facet report into a browsable one
+    (EXTENSION; the reference's collectors return a single global
+    ranking only).
+
+    ``by`` buckets on doc-value column(s) (the enclosing terms-agg key;
+    NULL keys form their own bucket, SQL GROUP BY convention).
+    ``sort`` is a list of (column, "asc"|"desc") over docmap columns or
+    the pseudo-column ``score``; default ``[("score", "desc")]`` — the
+    ES ``_score`` default. NULL sort values order LAST under either
+    direction (the ES ``missing: _last`` default); the pinned engine
+    tie-break (segment_ord asc, doc asc) is ALWAYS appended so results
+    are deterministic under any partitioning. ``columns`` picks the
+    docmap columns each hit row carries (the ES ``_source`` filter);
+    default = every non-internal docmap column.
+
+    Returns one row per emitted hit: (by..., rank, score, sort cols...,
+    columns...) with ``rank`` 1-based within its bucket — flat rows,
+    not nested arrays, so the result joins/exports like any frame.
+
+    Scale posture: NO raw-row window — a per-bucket row_number would
+    drag every row of a hot bucket through one shuffle task, exactly
+    the skew top_hits invites ("top 3 per domain" on a crawl corpus).
+    Instead the cap_per_group two-phase shape: a map-side Arrow
+    pre-prune keeps at most ``size`` rows per bucket per batch (the
+    union of per-batch top-k under one total order is a superset of the
+    global top-k), then the row_number window ranks ONLY the pruned
+    superset — per-bucket window input is O(size × batches), never the
+    bucket's match count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    by = [by] if isinstance(by, str) else list(by)
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "segment_ord", "doc", "score"),
+        ["segment_id", "doc"],
+        "inner",
+    )
+    internal = {"segment_id", "segment_ord", "doc"}
+    avail = [c for c in matched.columns if c not in internal]
+    specs = [(c, str(d)) for c, d in (sort or [("score", "desc")])]
+    for col, direction in specs:
+        if col not in avail:
+            raise ValueError(f"sort column {col!r} not one of {sorted(avail)}")
+        if direction not in ("asc", "desc"):
+            raise ValueError(
+                f"sort direction must be asc/desc, got {direction!r}"
+            )
+    for col in by:
+        if col not in avail or col == "score":
+            raise ValueError(f"bucket column {col!r} not a doc-value column")
+    if columns is not None:
+        for col in columns:
+            if col not in avail:
+                raise ValueError(
+                    f"column {col!r} not one of {sorted(avail)}"
+                )
+    out_cols = list(
+        dict.fromkeys(
+            by
+            + ["rank", "score"]
+            + [c for c, _ in specs]
+            + (
+                columns
+                if columns is not None
+                else [c for c in avail if c != "score" and not c.startswith("__")]
+            )
+        )
+    )
+
+    sort_cols = [c for c, _ in specs] + ["segment_ord", "doc"]
+    asc_flags = [d == "asc" for _, d in specs] + [True, True]
+    gcols, keep = list(by), int(size)
+
+    def _prune(batches):
+        for pdf in batches:
+            if len(pdf) <= keep:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                sort_cols, ascending=asc_flags, na_position="last"
+            )
+            yield pdf.groupby(gcols, dropna=False, sort=False).head(keep)
+
+    pruned = matched.mapInPandas(_prune, schema=matched.schema)
+    order = [
+        F.col(c).asc_nulls_last() if d == "asc" else F.col(c).desc_nulls_last()
+        for c, d in specs
+    ] + [F.asc("segment_ord"), F.asc("doc")]
+    w = Window.partitionBy(*by).orderBy(*order)
+    ranked = pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= keep
+    )
+    return ranked.select(*out_cols)
+
+
+def top_metrics(
+    spark,
+    index_dir: str,
+    query,
+    by: list[str] | str,
+    sort: tuple,
+    metrics: list[str],
+    size: int = 1,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``top_metrics`` aggregation analog: per
+    bucket, the ``metrics`` column VALUES carried by the top ``size``
+    docs under ONE ``sort`` spec — "per host, the fetch latency of its
+    most recent crawl". The lighter sibling of top_hits: a fixed sort
+    spec and metric columns only, no document payloads.
+
+    ``sort`` is a single (column, "asc"|"desc") pair (the ES contract —
+    exactly one sort); at ``size=1`` this is Spark's ``max_by``/
+    ``min_by`` shape, expressed through the same skew-safe two-phase
+    plan as top_hits. Returns (by..., rank, sort column, metrics...).
+    """
+    metrics = list(metrics)
+    if not metrics:
+        raise ValueError("top_metrics wants >= 1 metric column")
+    sort = (sort[0], sort[1])
+    return top_hits(
+        spark,
+        index_dir,
+        query,
+        by,
+        size=size,
+        sort=[sort],
+        columns=metrics,
+        manifest=manifest,
+        scorer=scorer,
+        default_fields=default_fields,
+    ).select(
+        *dict.fromkeys(
+            ([by] if isinstance(by, str) else list(by))
+            + ["rank", sort[0]]
+            + metrics
+        )
+    )
+
+
 def more_like_this_doc(
     spark,
     index_dir: str,

@@ -162,3 +162,23 @@ def test_cli_agg_t_test(cli_idx):
     # missing --vs refuses loudly
     bad = _run("agg", "text:hot", "-p", cli_idx, "--t-test", "v")
     assert bad.returncode == 2 and "query_b" in bad.stderr
+
+
+def test_cli_agg_top_hits(cli_idx):
+    """CLI agg --top-hits: per-grp top-2 by v desc — ranked flat lines;
+    the top doc per group is the largest v in that group (v == doc_id)."""
+    out = _run(
+        "agg", "text:spark", "-p", cli_idx, "--top-hits", "grp",
+        "--sort", "v:desc,doc_id:asc", "--size", "2", "--columns", "doc_id,v",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("g")]
+    assert len(lines) == 6  # 3 groups x size 2
+    # grp g1 holds doc_ids ≡ 0 mod 3 → top v is 27, then 24
+    g1 = [l for l in lines if l.startswith("g1 ")]
+    assert "#1" in g1[0] and "v=27.0" in g1[0]
+    assert "#2" in g1[1] and "v=24.0" in g1[1]
+    # unknown sort column refuses loudly
+    bad = _run("agg", "text:spark", "-p", cli_idx, "--top-hits", "grp",
+               "--sort", "nope:desc")
+    assert bad.returncode == 2 and "sort column" in bad.stderr
