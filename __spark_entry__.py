@@ -4107,6 +4107,21 @@ def _q_eng_top_metrics(spark, sf_dir):
     )
 
 
+def _q_eng_terms_enum(spark, sf_dir):
+    """ES _terms_enum analog (expand.terms_enum): the first 4
+    dictionary terms of `text` under prefix 's', term order, each with
+    its global doc_freq — an early-stopping pyarrow range read on the
+    sorted term_stats file. Oracle re-derives the dictionary from the
+    raw corpus."""
+    from ostrich_spark.query.expand import terms_enum
+
+    idx = _doc_index(spark, sf_dir)
+    rows = terms_enum(spark, idx, "text", prefix="s", size=4)
+    return spark.createDataFrame(
+        [(t, int(d)) for t, d in rows], "term string, doc_freq long"
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4743,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_scripted_metric": _q_eng_scripted_metric,
         "eng_top_hits": _q_eng_top_hits,
         "eng_top_metrics": _q_eng_top_metrics,
+        "eng_terms_enum": _q_eng_terms_enum,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6443,6 +6459,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM m JOIN documents doc USING (doc_id)) "
             "SELECT lang, rank, CAST(n_chars AS BIGINT) AS n_chars "
             "FROM r WHERE rank <= 2"
+        ),
+        # terms_enum: dictionary page re-derived from the raw corpus
+        "eng_terms_enum": (
+            f"WITH {TOKS_CTE} "
+            "SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks "
+            "WHERE term >= 's' AND term < 't' "
+            "GROUP BY term ORDER BY term ASC LIMIT 4"
         ),
         "eng_ip_cidr": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, {IP_CTE} "

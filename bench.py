@@ -319,6 +319,7 @@ def main():
         # pre-prune + bounded window)
         ("agg_top_hits", em.queries()["eng_top_hits"]),
         ("agg_top_metrics", em.queries()["eng_top_metrics"]),
+        ("dict_terms_enum", em.queries()["eng_terms_enum"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -627,6 +627,29 @@ def cmd_complete(args) -> int:
     return 0
 
 
+def cmd_terms(args) -> int:
+    """Dictionary enumeration (ES _terms_enum analog): ``term doc_freq``
+    lines in term order, prefix-pruned, pageable with --after."""
+    from .query.expand import terms_enum
+
+    spark = _spark()
+    t0 = time.time()
+    try:
+        out = terms_enum(
+            spark, args.path, args.field, prefix=args.prefix,
+            size=args.size, search_after=args.after,
+            case_insensitive=args.case_insensitive,
+        )
+    except ValueError as e:
+        print(f"terms: {e}", file=sys.stderr)
+        return 2
+    elapsed = time.time() - t0
+    for t, df in out:
+        print(f"{t} {df}")
+    print(f"elapsed: {elapsed:.3f}s")
+    return 0
+
+
 def cmd_knn(args) -> int:
     """Vector search surface: build a persisted IVF index (optionally
     int8-quantized) and query it partition-pruned (+ rescored), or
@@ -2296,6 +2319,18 @@ def main(argv=None) -> int:
     kn.add_argument("--quantize", action="store_true",
                     help="store int8 codes beside the floats (build)")
     kn.set_defaults(fn=cmd_knn)
+
+    te = sub.add_parser("terms", help="enumerate a text field's term "
+                        "dictionary in term order (ES _terms_enum)")
+    te.add_argument("field")
+    te.add_argument("-p", "--path", required=True)
+    te.add_argument("--prefix", default="")
+    te.add_argument("--size", type=int, default=10)
+    te.add_argument("--after", default=None,
+                    help="page strictly after this term")
+    te.add_argument("-i", "--case-insensitive", action="store_true",
+                    help="lowercase the prefix before the range read")
+    te.set_defaults(fn=cmd_terms)
 
     dm = sub.add_parser("stream")
     dm.add_argument("action",

@@ -933,3 +933,90 @@ def suggest_text(
         (t, fixes[t][0], fixes[t][1]) for t in dict.fromkeys(tokens) if t in fixes
     ]
     return corrected, corrections
+
+
+def terms_enum(
+    spark,
+    index_dir: str,
+    field_name: str,
+    prefix: str = "",
+    size: int = 10,
+    search_after: str | None = None,
+    case_insensitive: bool = False,
+    manifest=None,
+) -> list[tuple[str, int]]:
+    """Term-dictionary enumeration — the Elasticsearch ``_terms_enum``
+    API analog (EXTENSION; the reference exposes no dictionary API):
+    up to ``size`` indexed terms of a TEXT field starting with
+    ``prefix``, in term order (the ES sort), each with its global
+    doc_freq (richer than ES, which returns bare strings — the count
+    is free on our dictionary). ``search_after`` pages strictly after
+    a term at page-1 cost (the ES param). ``case_insensitive=True``
+    lowercases the prefix before the range read — exact ES semantics
+    for lowercasing analyzers (ours all lowercase; a hypothetical
+    case-preserving analyzer would need a dictionary scan, rejected
+    loudly rather than silently wrong).
+
+    ES caveat shared verbatim: the dictionary is commit-time state, so
+    terms whose only docs are TOMBSTONED still enumerate until a purge
+    rewrites the segments (the documented ES deleted-docs behavior).
+
+    Scale posture: a pyarrow range read on the (field, term)-sorted
+    stats file — row-group pushdown makes this dictionary *metadata*
+    access (same path as prefix-query expansion), never a corpus scan;
+    the postings fallback (stats file absent) is one small distributed
+    aggregation over the pruned term range. Results are
+    ``size``-bounded driver lists, the ES response shape.
+    """
+    from ..manifest import load_manifest
+
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field_name)
+    if fe is None:
+        raise ValueError(
+            f"unknown field {field_name!r} "
+            f"({[f.name for f in manifest.schema.fields]})"
+        )
+    from ..schema import FIELD_TYPE_TEXT
+
+    if fe.field_type != FIELD_TYPE_TEXT:
+        raise ValueError(
+            f"terms_enum wants a text field, {field_name!r} is "
+            f"{fe.field_type} (doc-value fields have no term dictionary)"
+        )
+    if case_insensitive:
+        if prefix != prefix.lower():
+            prefix = prefix.lower()
+    lo, hi = prefix, prefix_upper_bound(prefix) if prefix else None
+    if search_after is not None and search_after >= lo:
+        # strictly after: smallest string > search_after
+        lo = search_after + "\x00"
+    files = _stats_files(index_dir)
+    if files is None:
+        df = _postings_range_df(spark, index_dir, manifest, fe.id, lo, hi)
+        # term-order page: the cut happens before collect
+        rows = df.orderBy("term").limit(size).collect()
+        return [(r["term"], int(r["doc_freq"])) for r in rows]
+    # early-stopping batch scan: files (range-partitioned) and rows
+    # within them arrive (field, term)-sorted, so the first `size`
+    # surviving rows ARE the page — an empty prefix never drags the
+    # whole dictionary through the driver
+    import pyarrow.dataset as ds
+
+    expr = (ds.field("field") == fe.id) & (ds.field("term") >= lo)
+    if hi is not None:
+        expr = expr & (ds.field("term") < hi)
+    out: list[tuple[str, int]] = []
+    scanner = ds.dataset(files, format="parquet").scanner(
+        filter=expr, columns=["term", "doc_freq"], batch_size=8192
+    )
+    for batch in scanner.to_batches():
+        terms = batch.column("term").to_pylist()
+        dfs = batch.column("doc_freq").to_pylist()
+        out.extend(zip(terms, (int(x) for x in dfs)))
+        if len(out) >= size:
+            break
+    return out[:size]
