@@ -4122,6 +4122,29 @@ def _q_eng_terms_enum(spark, sf_dir):
     )
 
 
+def _q_eng_random_sampler(spark, sf_dir):
+    """ES random_sampler analog (exec.random_sampler_facet): per-lang
+    report over a deterministic hash-sampled half of the text:spark
+    match set — raw n_docs + scaled n_docs_est, sum scaled 1/p in place
+    (ES rule), avg an unscaled sample statistic. The oracle recomputes
+    the sample with the shared sha256 unit-hash expression."""
+    from ostrich_spark.query.exec import random_sampler_facet
+
+    idx = _doc_index(spark, sf_dir)
+    out = random_sampler_facet(
+        spark, idx, "text:spark", by="lang",
+        metrics={"sum_nc": ("sum", "n_chars"), "avg_nc": ("avg", "n_chars")},
+        probability=0.5, seed=0, key_col="doc_id",
+    )
+    return out.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("n_docs_est", 6).alias("n_docs_est"),
+        F.round("sum_nc", 6).alias("sum_nc"),
+        F.round("avg_nc", 6).alias("avg_nc"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4759,6 +4782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_top_hits": _q_eng_top_hits,
         "eng_top_metrics": _q_eng_top_metrics,
         "eng_terms_enum": _q_eng_terms_enum,
+        "eng_random_sampler": _q_eng_random_sampler,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6459,6 +6483,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM m JOIN documents doc USING (doc_id)) "
             "SELECT lang, rank, CAST(n_chars AS BIGINT) AS n_chars "
             "FROM r WHERE rank <= 2"
+        ),
+        # random_sampler: deterministic hash sample (shared sha256 unit
+        # hash, salt rsampler-0-) of the match set, ES scaling rules
+        "eng_random_sampler": (
+            f"WITH {TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'spark'), "
+            "s AS (SELECT doc.lang, doc.n_chars FROM m JOIN documents doc USING (doc_id) "
+            "WHERE (('0x' || substr(sha256('rsampler-0-' || CAST(doc.doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            " / 4294967296.0) < 0.5) "
+            "SELECT lang, count(*) AS n_docs, "
+            "round(count(*) / 0.5, 6) AS n_docs_est, "
+            "round(sum(n_chars) / 0.5, 6) AS sum_nc, "
+            "round(avg(n_chars), 6) AS avg_nc "
+            "FROM s GROUP BY lang"
         ),
         # terms_enum: dictionary page re-derived from the raw corpus
         "eng_terms_enum": (

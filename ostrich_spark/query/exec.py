@@ -2556,6 +2556,84 @@ def sampler_facet(
     return sample.groupBy(*by).agg(*aggs)
 
 
+def random_sampler_facet(
+    spark,
+    index_dir: str,
+    query,
+    by: list[str] | str,
+    metrics: dict | None = None,
+    probability: float = 0.1,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``random_sampler`` aggregation analog: run the
+    bucket/metric report over a random ``probability`` fraction of the
+    match set — the "this dashboard doesn't need exact numbers, make it
+    20× cheaper" agg. ES's probability rule is mirrored verbatim:
+    0 < p <= 0.5 or exactly 1 (ES rejects the in-between range because
+    the sampling machinery stops paying for itself).
+
+    Where ES draws per-shard random docs (results change run to run),
+    the draw here is the curation module's DETERMINISTIC unit hash on
+    ``key_col`` (salted with ``seed``): the same docs are sampled under
+    any partitioning, reruns reproduce bit-identically, and the DuckDB
+    oracle recomputes the exact sample. A different ``seed`` gives an
+    independent draw (the ES seed param).
+
+    Output per bucket: ``n_docs`` = RAW sampled count, ``n_docs_est`` =
+    n_docs / p (the scaled estimate ES reports as doc_count — we keep
+    both, the raw count is the honest audit trail). Additive metrics
+    (``sum`` / ``count``) are scaled by 1/p in place, the ES behavior;
+    location metrics (avg/min/max/percentiles/…) stay unscaled sample
+    statistics, also the ES behavior.
+
+    Scale posture: the hash filter is one JVM-side predicate BEFORE the
+    aggregation shuffle — (1−p) of the match set never shuffles, which
+    is the entire point; then one partial-aggregated groupBy, identical
+    to facet_stats."""
+    from pyspark.sql import functions as F
+
+    from ..sampling import _unit_hash
+
+    if not (0.0 < probability <= 0.5 or probability == 1.0):
+        raise ValueError(
+            f"probability must be in (0, 0.5] or exactly 1 (the ES "
+            f"random_sampler rule), got {probability}"
+        )
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    by = [by] if isinstance(by, str) else list(by)
+    metrics = metrics or {}
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+    if key_col not in matched.columns:
+        raise ValueError(
+            f"key_col {key_col!r} not a docmap column ({matched.columns})"
+        )
+    salt = f"rsampler-{int(seed)}-"
+    sampled = matched.filter(
+        _unit_hash(F.col(key_col), salt) < F.lit(float(probability))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + _metric_aggs(F, metrics)
+    out = sampled.groupBy(*by).agg(*aggs)
+    inv = 1.0 / float(probability)
+    out = out.withColumn("n_docs_est", F.col("n_docs") * F.lit(inv))
+    for name, spec in metrics.items():
+        if spec[0] in ("sum", "count"):
+            out = out.withColumn(name, F.col(name) * F.lit(inv))
+    order = by + ["n_docs", "n_docs_est"] + [m for m in metrics]
+    return out.select(*order)
+
+
 def range_agg(
     spark,
     index_dir: str,
