@@ -4145,6 +4145,25 @@ def _q_eng_random_sampler(spark, sf_dir):
     )
 
 
+def _q_eng_freq_itemsets(spark, sf_dir):
+    """ES frequent_item_sets analog (itemsets.frequent_item_sets,
+    EXACT Apriori where ES documents approximate): frequent
+    lang/source value combinations in the text:spark match set at 5%
+    support. Oracle enumerates singles + pairs with plain GROUP BYs
+    and applies the same ceil-support bar and ranking."""
+    from ostrich_spark.itemsets import frequent_item_sets
+
+    idx = _kw_index(spark, sf_dir)
+    out = frequent_item_sets(
+        spark, idx, "text:spark", ["lang", "source"],
+        min_support=0.05, size=15,
+    )
+    return out.select(
+        "items", "set_size", "support_count",
+        F.round("support", 6).alias("support"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4783,6 +4802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_top_metrics": _q_eng_top_metrics,
         "eng_terms_enum": _q_eng_terms_enum,
         "eng_random_sampler": _q_eng_random_sampler,
+        "eng_freq_itemsets": _q_eng_freq_itemsets,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6497,6 +6517,31 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(n_chars) / 0.5, 6) AS sum_nc, "
             "round(avg(n_chars), 6) AS avg_nc "
             "FROM s GROUP BY lang"
+        ),
+        # frequent_item_sets: singles + pairs enumerated with plain
+        # GROUP BYs, same ceil-support bar and (count desc, size desc,
+        # items asc) ranking
+        "eng_freq_itemsets": (
+            f"WITH {TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'spark'), "
+            "d AS (SELECT doc.lang, doc.source FROM m JOIN documents doc USING (doc_id)), "
+            "n AS (SELECT count(*) AS n FROM d), "
+            "mc AS (SELECT CAST(ceil(0.05 * n) AS BIGINT) AS c FROM n), "
+            "s AS ("
+            "SELECT 'lang=' || lang AS items, 1 AS set_size, count(*) AS sc "
+            "FROM d WHERE lang IS NOT NULL GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source=' || source, 1, count(*) "
+            "FROM d WHERE source IS NOT NULL GROUP BY source "
+            "UNION ALL "
+            "SELECT 'lang=' || lang || ',source=' || source, 2, count(*) "
+            "FROM d WHERE lang IS NOT NULL AND source IS NOT NULL "
+            "GROUP BY lang, source) "
+            "SELECT items, CAST(set_size AS BIGINT) AS set_size, "
+            "sc AS support_count, "
+            "round(sc * 1.0 / (SELECT n FROM n), 6) AS support "
+            "FROM s WHERE sc >= (SELECT c FROM mc) "
+            "ORDER BY support_count DESC, set_size DESC, items ASC LIMIT 15"
         ),
         # terms_enum: dictionary page re-derived from the raw corpus
         "eng_terms_enum": (

@@ -321,6 +321,7 @@ def main():
         ("agg_top_metrics", em.queries()["eng_top_metrics"]),
         ("dict_terms_enum", em.queries()["eng_terms_enum"]),
         ("agg_random_sampler", em.queries()["eng_random_sampler"]),
+        ("agg_freq_itemsets", em.queries()["eng_freq_itemsets"]),
     ]:
         best = float("inf")
         for _ in range(3):
