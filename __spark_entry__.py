@@ -4164,6 +4164,23 @@ def _q_eng_freq_itemsets(spark, sf_dir):
     )
 
 
+def _q_eng_categorize(spark, sf_dir):
+    """ES categorize_text analog (exec.categorize_text, deterministic
+    exact-template variant): letter-only analyzer tokens of the stored
+    text, capped at 4, space-joined; top-12 templates of the
+    text:spark match set count-desc. Oracle rebuilds the same key with
+    list_filter + regexp_full_match + list_slice."""
+    from ostrich_spark.query.exec import categorize_text
+
+    idx = _doc_index(spark, sf_dir)
+    out = categorize_text(
+        spark, idx, "text:spark", "text", max_tokens=4, size=12,
+    )
+    return out.select(
+        "category", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4803,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_terms_enum": _q_eng_terms_enum,
         "eng_random_sampler": _q_eng_random_sampler,
         "eng_freq_itemsets": _q_eng_freq_itemsets,
+        "eng_categorize": _q_eng_categorize,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6542,6 +6560,18 @@ def oracle_sql() -> dict[str, str]:
             "round(sc * 1.0 / (SELECT n FROM n), 6) AS support "
             "FROM s WHERE sc >= (SELECT c FROM mc) "
             "ORDER BY support_count DESC, set_size DESC, items ASC LIMIT 15"
+        ),
+        # categorize_text: template key rebuilt with list_filter +
+        # regexp_full_match + list_slice over the same tokenization
+        "eng_categorize": (
+            f"WITH {TOKS_CTE}, {TOKLIST_CTE}, "
+            "m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'), "
+            "c AS (SELECT array_to_string(list_slice(list_filter(tl.toks, "
+            "x -> regexp_full_match(x, '\\p{L}+')), 1, 4), ' ') AS category "
+            "FROM m JOIN tl USING (doc_id)) "
+            "SELECT category, count(*) AS n_docs FROM c "
+            "WHERE category <> '' GROUP BY category "
+            "ORDER BY n_docs DESC, category ASC LIMIT 12"
         ),
         # terms_enum: dictionary page re-derived from the raw corpus
         "eng_terms_enum": (

@@ -322,6 +322,7 @@ def main():
         ("dict_terms_enum", em.queries()["eng_terms_enum"]),
         ("agg_random_sampler", em.queries()["eng_random_sampler"]),
         ("agg_freq_itemsets", em.queries()["eng_freq_itemsets"]),
+        ("agg_categorize", em.queries()["eng_categorize"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -874,17 +874,35 @@ def cmd_agg(args) -> int:
         for x in (args.stats, args.hist, args.cardinality, args.date_hist,
                   args.range, args.boxplot, args.string_stats,
                   args.auto_date_hist, args.multi_terms, args.mad,
-                  args.t_test, args.vw_hist, args.cum_card, args.top_hits)
+                  args.t_test, args.vw_hist, args.cum_card, args.top_hits,
+                  args.categorize)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --vw-hist, "
               "--date-hist, --auto-date-hist, --range, --boxplot, "
               "--string-stats, --multi-terms, --mad, --t-test, "
-              "--top-hits or --cardinality",
+              "--top-hits, --categorize or --cardinality",
               file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.categorize:
+        from .query.exec import categorize_text
+
+        try:
+            rows = categorize_text(
+                spark, args.path, args.query, args.categorize,
+                max_tokens=args.max_tokens, size=args.size,
+                scorer=args.scorer,
+            ).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['n_docs']} {r['category']}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.top_hits:
         from .query.exec import top_hits
 
@@ -2458,6 +2476,13 @@ def main(argv=None) -> int:
                     help="t-test flavor (default Welch/heteroscedastic)")
     ag.add_argument("--exact", action="store_true",
                     help="with --cardinality: exact count_distinct")
+    ag.add_argument("--categorize", metavar="FIELD",
+                    help="log-template clustering of a stored text "
+                         "FIELD: letter-only analyzer tokens joined, "
+                         "optionally capped at --max-tokens "
+                         "(ES categorize_text, deterministic)")
+    ag.add_argument("--max-tokens", type=int, default=None,
+                    help="--categorize template token cap")
     ag.add_argument("--top-hits", metavar="BYFIELD",
                     help="per-BYFIELD-bucket top --size docs by --sort "
                          "(default score:desc), flat ranked rows "

@@ -3528,6 +3528,108 @@ def significant_text(
     return _apply_significance(counts, subset, superset_size, significance, size)
 
 
+def categorize_text(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    max_tokens: int | None = None,
+    metrics: dict | None = None,
+    min_doc_count: int = 1,
+    size: int | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Log-template clustering of a match set's STORED text — the
+    Elasticsearch ``categorize_text`` aggregation analog (EXTENSION).
+    The use case: bucket a million semi-structured log lines into the
+    handful of message TEMPLATES behind them ("Connection refused to
+    host 10.0.0.7 port 443" and "...host 10.9.3.2 port 80" are the same
+    category).
+
+    The category key follows the ES categorization tokenizer's core
+    rule — only tokens consisting entirely of LETTERS survive (numbers,
+    hex ids, timestamps, addresses all drop) — applied to the field's
+    own analyzer output, capped at the first ``max_tokens`` surviving
+    tokens, space-joined. Where ES then merges near-identical
+    categories with a shard-order-dependent similarity pass, this
+    implementation keeps the exact-template key: DETERMINISTIC and
+    partition-invariant (the same documented trade as
+    variable_width_histogram vs ES's streaming clustering). Docs whose
+    text yields no letter tokens form no bucket (nothing to
+    template on).
+
+    ``metrics`` / ``min_doc_count`` / ``size`` follow the facet_stats
+    grammar; ordering is n_docs DESC, category ASC (deterministic),
+    ``size`` cut after ordering.
+
+    Scale posture: one Arrow-batched analysis pass over the match set's
+    stored text (the significant_text read path), then the
+    letter-filter / cap / join as pure Catalyst array expressions and
+    ONE partial-aggregated groupBy on the category string; the ``size``
+    cut is a TakeOrderedAndProject over one-row-per-category
+    aggregates. Nothing collects to the driver.
+
+    Requires ``store=True`` on ``field`` (same reason as
+    significant_text: the text is re-read, not the postings)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ..analysis import get_analyzer
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or fe.is_doc_value:
+        raise ValueError(f"{field!r} is not a text field of this index")
+    if not fe.store:
+        raise ValueError(
+            f"categorize_text re-analyzes stored source text — rebuild "
+            f"with Schema.add_text_field({field!r}, ..., store=True)"
+        )
+    if max_tokens is not None and max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if min_doc_count < 1:
+        raise ValueError(f"min_doc_count must be >= 1, got {min_doc_count}")
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    keep = [field] + [
+        c
+        for spec in (metrics or {}).values()
+        for c in spec[1:]
+        if isinstance(c, str) and c in docmap.columns
+    ]
+    matched = docmap.select("segment_id", "doc", *dict.fromkeys(keep)).join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    )
+
+    analyzer_obj = get_analyzer(fe.analyzer)
+
+    @F.pandas_udf("array<string>")
+    def _an(s: pd.Series) -> pd.Series:
+        return analyzer_obj.analyze_series(s.fillna(""))
+
+    toks = F.filter(_an(F.col(field)), lambda x: x.rlike("^\\p{L}+$"))
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, int(max_tokens))
+    work = matched.withColumn("category", F.array_join(toks, " ")).filter(
+        F.col("category") != ""
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + _metric_aggs(
+        F, metrics or {}
+    )
+    out = work.groupBy("category").agg(*aggs)
+    if min_doc_count > 1:
+        out = out.filter(F.col("n_docs") >= min_doc_count)
+    out = out.orderBy(F.desc("n_docs"), F.asc("category"))
+    return out.limit(int(size)) if size is not None else out
+
+
 def _numeric_field_entry(manifest, by: str):
     fe = manifest.schema.field_by_name(by)
     if fe is None or not fe.is_numeric:

@@ -17,7 +17,7 @@ US_PER_DAY = 86_400_000_000
 @pytest.fixture(scope="module")
 def cli_idx(spark, tmp_path_factory):
     s = Schema()
-    s.add_text_field("text", "default")
+    s.add_text_field("text", "default", store=True)
     s.add_numeric_field("v", "double")
     s.add_keyword_field("tag")
     s.add_keyword_field("grp")
@@ -182,3 +182,18 @@ def test_cli_agg_top_hits(cli_idx):
     bad = _run("agg", "text:spark", "-p", cli_idx, "--top-hits", "grp",
                "--sort", "nope:desc")
     assert bad.returncode == 2 and "sort column" in bad.stderr
+
+
+def test_cli_agg_categorize(cli_idx):
+    """CLI agg --categorize: 'spark data hot' x3 and 'spark data cold'
+    x27 are the only letter-only templates (no numerics in the corpus),
+    count-desc ordered."""
+    out = _run("agg", "text:spark", "-p", cli_idx, "--categorize", "text")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if not l.startswith("elapsed")]
+    assert lines == ["27 spark data cold", "3 spark data hot"]
+    # --max-tokens merges both templates
+    out = _run("agg", "text:spark", "-p", cli_idx, "--categorize", "text",
+               "--max-tokens", "2")
+    lines = [l for l in out.stdout.splitlines() if not l.startswith("elapsed")]
+    assert lines == ["30 spark data"]
