@@ -4181,6 +4181,26 @@ def _q_eng_categorize(spark, sf_dir):
     )
 
 
+def _q_eng_geo_line(spark, sf_dir):
+    """ES geo_line analog (geo.geo_line): the text:spark match set's
+    points as ONE track ordered by doc_id, truncated to the first 20
+    (the ES size rule). Oracle re-derives the lattice points from
+    doc_id arithmetic and re-ranks with a row_number window; the
+    doc_id % 47 pointless docs must drop."""
+    from ostrich_spark.geo import geo_line
+
+    idx = _geo_index(spark, sf_dir)
+    out = geo_line(
+        spark, idx, "loc", "doc_id", query="text:spark", size=20,
+    )
+    return out.select(
+        F.col("seq").cast("long").alias("seq"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4821,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_random_sampler": _q_eng_random_sampler,
         "eng_freq_itemsets": _q_eng_freq_itemsets,
         "eng_categorize": _q_eng_categorize,
+        "eng_geo_line": _q_eng_geo_line,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6572,6 +6593,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT category, count(*) AS n_docs FROM c "
             "WHERE category <> '' GROUP BY category "
             "ORDER BY n_docs DESC, category ASC LIMIT 12"
+        ),
+        # geo_line: lattice points re-derived from doc_id arithmetic,
+        # ordered by doc_id, truncated to the first 20
+        "eng_geo_line": (
+            f"WITH {TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'spark'), "
+            "p AS (SELECT doc_id, "
+            "round((doc_id * 37 % 141) - 70.0 + 0.3, 6) AS lat, "
+            "round((doc_id * 53 % 341) - 170.0 + 0.3, 6) AS lon "
+            "FROM m WHERE doc_id % 47 <> 0), "
+            "r AS (SELECT doc_id, lat, lon, "
+            "row_number() OVER (ORDER BY doc_id ASC) AS seq FROM p) "
+            "SELECT seq, doc_id, lat, lon FROM r WHERE seq <= 20"
         ),
         # terms_enum: dictionary page re-derived from the raw corpus
         "eng_terms_enum": (

@@ -323,6 +323,7 @@ def main():
         ("agg_random_sampler", em.queries()["eng_random_sampler"]),
         ("agg_freq_itemsets", em.queries()["eng_freq_itemsets"]),
         ("agg_categorize", em.queries()["eng_categorize"]),
+        ("agg_geo_line", em.queries()["eng_geo_line"]),
     ]:
         best = float("inf")
         for _ in range(3):

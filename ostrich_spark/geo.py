@@ -538,6 +538,72 @@ def geo_bounds(
     )
 
 
+def geo_line(
+    spark,
+    index_dir: str,
+    field: str,
+    sort_by: str,
+    query=None,
+    by: list[str] | str | None = None,
+    size: int = 10_000,
+    order: str = "asc",
+    manifest: Manifest | None = None,
+    scorer: str = "tfidf",
+) -> DataFrame:
+    """ES ``geo_line`` aggregation analog: the matched docs' points as
+    an ordered TRACK — "each vessel's route, its pings sorted by
+    timestamp". ``sort_by`` is a doc-value column giving the order
+    along the line (the ES sort field, usually a date); ``order``
+    asc/desc; ``by`` buckets one line per key (the terms-agg nesting ES
+    ships for multiple tracks; None = one global line); ``size`` caps
+    points per line (ES default 10000 — when a track exceeds it the
+    FIRST ``size`` points in sort order are kept, the ES truncation).
+
+    Docs missing the point OR the sort value contribute nothing (the ES
+    behavior — both are required per doc).
+
+    Returns flat rows (by..., seq, ``sort_by``, lat, lon) with ``seq``
+    1-based along the line — numeric columns, not a serialized
+    geometry, so the result joins/exports/oracle-checks like any frame
+    (``collect_list`` over seq rebuilds a LineString trivially).
+
+    Scale posture: rides top_hits' skew-safe two-phase plan — map-side
+    Arrow pre-prune bounds each bucket's window input to
+    O(size × batches); a million-ping hot vessel never funnels its raw
+    match set through one task."""
+    from .query.exec import top_hits
+    from .query.parser import AllQuery
+
+    if order not in ("asc", "desc"):
+        raise ValueError(f"order must be asc/desc, got {order!r}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or fe.field_type != "geo_point":
+        raise ValueError(f"{field!r} is not a geo_point field")
+    lat_c, lon_c = geo_lat_col(field), geo_lon_col(field)
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    out = top_hits(
+        spark,
+        index_dir,
+        AllQuery() if query is None else query,
+        by=by,
+        size=size,
+        sort=[(sort_by, order)],
+        columns=[lat_c, lon_c],
+        where=F.col(lat_c).isNotNull() & F.col(sort_by).isNotNull(),
+        manifest=manifest,
+        scorer=scorer,
+    )
+    return out.select(
+        *by,
+        F.col("rank").alias("seq"),
+        sort_by,
+        F.col(lat_c).alias("lat"),
+        F.col(lon_c).alias("lon"),
+    )
+
+
 def geo_distance_agg(
     spark,
     index_dir: str,

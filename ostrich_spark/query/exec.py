@@ -6727,6 +6727,7 @@ def top_hits(
     size: int = 3,
     sort: list[tuple] | None = None,
     columns: list[str] | None = None,
+    where=None,
     manifest: Manifest | None = None,
     scorer: str = SCORER_TFIDF,
     default_fields: list[str] | None = None,
@@ -6735,7 +6736,10 @@ def top_hits(
     ``size`` DOCUMENTS of every bucket — "per language, the 3 best
     hits", the agg that turns a facet report into a browsable one
     (EXTENSION; the reference's collectors return a single global
-    ranking only).
+    ranking only). ``by=[]`` ranks the whole match set as ONE bucket
+    (the un-nested ES shape); ``where`` is an optional extra docmap
+    predicate (a Column) applied before ranking — geo_line uses it to
+    drop docs without a point.
 
     ``by`` buckets on doc-value column(s) (the enclosing terms-agg key;
     NULL keys form their own bucket, SQL GROUP BY convention).
@@ -6811,6 +6815,8 @@ def top_hits(
         )
     )
 
+    if where is not None:
+        matched = matched.filter(where)
     sort_cols = [c for c, _ in specs] + ["segment_ord", "doc"]
     asc_flags = [d == "asc" for _, d in specs] + [True, True]
     gcols, keep = list(by), int(size)
@@ -6823,14 +6829,17 @@ def top_hits(
             pdf = pdf.sort_values(
                 sort_cols, ascending=asc_flags, na_position="last"
             )
-            yield pdf.groupby(gcols, dropna=False, sort=False).head(keep)
+            if gcols:
+                yield pdf.groupby(gcols, dropna=False, sort=False).head(keep)
+            else:
+                yield pdf.head(keep)
 
     pruned = matched.mapInPandas(_prune, schema=matched.schema)
     order = [
         F.col(c).asc_nulls_last() if d == "asc" else F.col(c).desc_nulls_last()
         for c, d in specs
     ] + [F.asc("segment_ord"), F.asc("doc")]
-    w = Window.partitionBy(*by).orderBy(*order)
+    w = Window.partitionBy(*(by or [F.lit(0)])).orderBy(*order)
     ranked = pruned.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= keep
     )
