@@ -4201,6 +4201,158 @@ def _q_eng_geo_line(spark, sf_dir):
     )
 
 
+_RF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _rf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with a long_range doc-value field: valid = [doc_id % 97,
+    doc_id % 97 + doc_id % 13], NULL every 41st doc — doc-varying
+    intervals whose relations the oracle reduces to closed-form
+    modular arithmetic on doc_id."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _RF_INDEX_CACHE:
+        return _RF_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-rf1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_range_field("valid", "long_range")
+        lo = F.col("doc_id") % 97
+        hi = lo + F.col("doc_id") % 13
+        rng = F.when(
+            F.col("doc_id") % 41 == 0, F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(lo.cast("string"), F.lit(","), hi.cast("string"))
+        )
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text", rng.alias("valid")),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-rf-{tag}",
+        )
+    _RF_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_rangef(relation: str, lo, hi):
+    """ES range-query-on-range-fields analogs (RangeFieldQuery): the
+    text:spark tfidf score survives while membership narrows to docs
+    whose stored interval satisfies the relation in FILTER context.
+    Oracle recounts membership by modular arithmetic on doc_id."""
+    def run(spark, sf_dir):
+        from ostrich_spark.manifest import load_manifest
+        from ostrich_spark.query.exec import attach_docmap, search
+        from ostrich_spark.query.parser import (
+            FILTER, MUST, BooleanQuery, RangeFieldQuery, parse_query,
+        )
+
+        idx = _rf_index(spark, sf_dir)
+        mf = load_manifest(idx)
+        q = BooleanQuery([
+            (MUST, parse_query("text:spark", mf.schema)),
+            (FILTER, RangeFieldQuery(1, relation, lo, hi)),
+        ])
+        res, _ = search(spark, idx, q, limit=None, manifest=mf)
+        return attach_docmap(spark, idx, res, manifest=mf).select(
+            F.col("doc_id").cast("long"),
+            F.round("score", 6).alias("score"),
+        )
+
+    return run
+
+
+_q_eng_rangef_intersects = _q_rangef("intersects", 10, 30)
+_q_eng_rangef_within = _q_rangef("within", 20, 80)
+_q_eng_rangef_contains = _q_rangef("contains", 50, 52)
+
+
+_HIST_INDEX_CACHE: dict[str, str] = {}
+
+
+def _hist_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index with a histogram doc-value field: three ascending bins at
+    doc_id%5 / +2.5 / +7 with counts 1+doc_id%3 / (0 every 4th else 2)
+    / 1+doc_id%2, NULL every 29th doc — the oracle re-derives every
+    (value, count) pair by the same arithmetic."""
+    from ostrich_spark.build import build_index
+    from ostrich_spark.manifest import manifest_exists
+    from ostrich_spark.schema import Schema
+
+    key = os.path.realpath(sf_dir)
+    if key in _HIST_INDEX_CACHE:
+        return _HIST_INDEX_CACHE[key]
+    tag = hashlib.sha256(key.encode()).hexdigest()[:10]
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-hf1"
+    if not manifest_exists(index_dir):
+        schema = Schema()
+        schema.add_text_field("text", "default")
+        schema.add_histogram_field("lat_h")
+        v1 = (F.col("doc_id") % 5).cast("double")
+        c1 = (F.col("doc_id") % 3 + 1).cast("long")
+        c2 = F.when(F.col("doc_id") % 4 == 0, F.lit(0)).otherwise(F.lit(2))
+        c3 = (F.col("doc_id") % 2 + 1).cast("long")
+        h = F.concat(
+            v1.cast("string"), F.lit(":"), c1.cast("string"), F.lit(";"),
+            (v1 + 2.5).cast("string"), F.lit(":"), c2.cast("string"), F.lit(";"),
+            (v1 + 7).cast("string"), F.lit(":"), c3.cast("string"),
+        )
+        h = F.when(F.col("doc_id") % 29 == 0, F.lit(None).cast("string")).otherwise(h)
+        build_index(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text", h.alias("lat_h")),
+            schema,
+            index_dir,
+            num_partitions=4,
+            order_col="doc_id",
+            id_cols=["doc_id"],
+            build_id=f"entry-hf-{tag}",
+        )
+    _HIST_INDEX_CACHE[key] = index_dir
+    return index_dir
+
+
+def _q_eng_hist_stats(spark, sf_dir):
+    """ES stats-on-histogram-fields analog (exec.histogram_field_stats):
+    count-weighted stats over the text:spark match set's pre-aggregated
+    bins, zero-count bins holding no observation for min/max."""
+    from ostrich_spark.query.exec import histogram_field_stats
+
+    idx = _hist_index(spark, sf_dir)
+    row = histogram_field_stats(spark, idx, "text:spark", "lat_h")
+    return row.select(
+        F.col("count").cast("long").alias("count"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("sum", 6).alias("sum"),
+        F.round("avg", 6).alias("avg"),
+    )
+
+
+def _q_eng_hist_pctl(spark, sf_dir):
+    """ES percentiles-on-histogram-fields analog, EXACT type-1 weighted
+    quantile where ES feeds a T-Digest: smallest value whose cumulative
+    count reaches max(ceil(p*N), 1). Oracle recomputes the cumulative
+    walk with a window."""
+    from ostrich_spark.query.exec import histogram_field_percentiles
+
+    idx = _hist_index(spark, sf_dir)
+    out = histogram_field_percentiles(
+        spark, idx, "text:spark", "lat_h", percentiles=(0.5, 0.9),
+    )
+    return out.select(
+        F.round("p", 6).alias("p"), F.round("value", 6).alias("value")
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4842,6 +4994,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_freq_itemsets": _q_eng_freq_itemsets,
         "eng_categorize": _q_eng_categorize,
         "eng_geo_line": _q_eng_geo_line,
+        "eng_rangef_intersects": _q_eng_rangef_intersects,
+        "eng_rangef_within": _q_eng_rangef_within,
+        "eng_rangef_contains": _q_eng_rangef_contains,
+        "eng_hist_stats": _q_eng_hist_stats,
+        "eng_hist_pctl": _q_eng_hist_pctl,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6581,6 +6738,66 @@ def oracle_sql() -> dict[str, str]:
             "round(sc * 1.0 / (SELECT n FROM n), 6) AS support "
             "FROM s WHERE sc >= (SELECT c FROM mc) "
             "ORDER BY support_count DESC, set_size DESC, items ASC LIMIT 15"
+        ),
+        # range fields: interval membership recounted by modular
+        # arithmetic on doc_id (lo = doc_id%97, hi = lo + doc_id%13,
+        # NULL every 41st), all relation bounds inclusive
+        "eng_rangef_intersects": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "iv AS (SELECT doc_id, doc_id % 97 AS lo, "
+            "doc_id % 97 + doc_id % 13 AS hi FROM documents "
+            "WHERE doc_id % 41 <> 0) "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) JOIN iv ON iv.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND iv.lo <= 30 AND iv.hi >= 10"
+        ),
+        "eng_rangef_within": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "iv AS (SELECT doc_id, doc_id % 97 AS lo, "
+            "doc_id % 97 + doc_id % 13 AS hi FROM documents "
+            "WHERE doc_id % 41 <> 0) "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) JOIN iv ON iv.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND iv.lo >= 20 AND iv.hi <= 80"
+        ),
+        "eng_rangef_contains": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "iv AS (SELECT doc_id, doc_id % 97 AS lo, "
+            "doc_id % 97 + doc_id % 13 AS hi FROM documents "
+            "WHERE doc_id % 41 <> 0) "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
+            "FROM tf t JOIN df d USING(term) JOIN iv ON iv.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND iv.lo <= 50 AND iv.hi >= 52"
+        ),
+        # histogram fields: every (value, count) pair re-derived from
+        # doc_id arithmetic (bins doc_id%5 / +2.5 / +7, counts
+        # 1+doc_id%3 / 0-every-4th-else-2 / 1+doc_id%2, NULL every
+        # 29th); weighted stats + exact type-1 quantiles
+        "eng_hist_stats": (
+            f"WITH {TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'spark' AND doc_id % 29 <> 0), "
+            "pr AS ("
+            "SELECT CAST(doc_id % 5 AS DOUBLE) AS v, doc_id % 3 + 1 AS c FROM m "
+            "UNION ALL SELECT doc_id % 5 + 2.5, CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 2 END FROM m "
+            "UNION ALL SELECT doc_id % 5 + 7, doc_id % 2 + 1 FROM m) "
+            "SELECT CAST(sum(c) AS BIGINT) AS count, "
+            "round(min(CASE WHEN c > 0 THEN v END), 6) AS min, "
+            "round(max(CASE WHEN c > 0 THEN v END), 6) AS max, "
+            "round(sum(v * c), 6) AS sum, "
+            "round(sum(v * c) / sum(c), 6) AS avg FROM pr"
+        ),
+        "eng_hist_pctl": (
+            f"WITH {TOKS_CTE}, m AS (SELECT DISTINCT doc_id FROM toks "
+            "WHERE term = 'spark' AND doc_id % 29 <> 0), "
+            "pr AS ("
+            "SELECT CAST(doc_id % 5 AS DOUBLE) AS v, doc_id % 3 + 1 AS c FROM m "
+            "UNION ALL SELECT doc_id % 5 + 2.5, CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 2 END FROM m "
+            "UNION ALL SELECT doc_id % 5 + 7, doc_id % 2 + 1 FROM m), "
+            "d AS (SELECT v, sum(c) AS c FROM pr GROUP BY v HAVING sum(c) > 0), "
+            "w AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, "
+            "sum(c) OVER () AS tot FROM d) "
+            "SELECT 0.5 AS p, round(min(CASE WHEN cum >= greatest(ceil(0.5 * tot), 1) THEN v END), 6) AS value FROM w "
+            "UNION ALL SELECT 0.9, round(min(CASE WHEN cum >= greatest(ceil(0.9 * tot), 1) THEN v END), 6) FROM w"
         ),
         # categorize_text: template key rebuilt with list_filter +
         # regexp_full_match + list_slice over the same tokenization

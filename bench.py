@@ -324,6 +324,9 @@ def main():
         ("agg_freq_itemsets", em.queries()["eng_freq_itemsets"]),
         ("agg_categorize", em.queries()["eng_categorize"]),
         ("agg_geo_line", em.queries()["eng_geo_line"]),
+        ("docs_rangef_intersects", em.queries()["eng_rangef_intersects"]),
+        ("agg_hist_stats", em.queries()["eng_hist_stats"]),
+        ("agg_hist_pctl", em.queries()["eng_hist_pctl"]),
     ]:
         best = float("inf")
         for _ in range(3):

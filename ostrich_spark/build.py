@@ -370,6 +370,107 @@ def build_segment_tables(
             ).to_numpy(dtype=object, na_value=None)
         else:
             docmap[fe.name] = np.full(n_docs, None, dtype=object)
+    # range doc values: "lo,hi" interval strings parsed into TWO typed
+    # bound columns ({name}__rlo / {name}__rhi — schema.range_lo_col/
+    # range_hi_col). NULL/empty = no range; a bare "v" is the point
+    # range [v, v] (the ES singleton shape); lo > hi raises.
+    for fe in schema.fields:
+        if not fe.is_range:
+            continue
+        from .schema import range_hi_col, range_lo_col
+
+        lo_c, hi_c = range_lo_col(fe.name), range_hi_col(fe.name)
+        if lo_c in docmap.columns:
+            continue
+        long_t = fe.field_type == "long_range"
+        dt = "Int64" if long_t else "Float64"
+        if fe.input_col in pdf.columns:
+            raw = pdf[fe.input_col]
+            has = raw.notna() & (raw.astype("string").str.strip() != "")
+            lo_full = pd.array([None] * n_docs, dtype=dt)
+            hi_full = pd.array([None] * n_docs, dtype=dt)
+            if has.any():
+                parts = (
+                    raw[has].astype("string").str.split(",", n=1, expand=True)
+                )
+                lo_s = pd.to_numeric(parts[0].str.strip(), errors="raise")
+                hi_src = (
+                    parts[1] if parts.shape[1] > 1 else parts[0]
+                ).fillna(parts[0])
+                hi_s = pd.to_numeric(hi_src.str.strip(), errors="raise")
+                if (lo_s > hi_s).any():
+                    bad = lo_s.index[(lo_s > hi_s)][0]
+                    raise ValueError(
+                        f"range field {fe.name!r}: lo > hi in input "
+                        f"{raw[bad]!r} — a silently swapped interval is "
+                        f"a corrupt index"
+                    )
+                if long_t and not (
+                    (lo_s % 1 == 0).all() and (hi_s % 1 == 0).all()
+                ):
+                    raise ValueError(
+                        f"range field {fe.name!r}: long_range bounds "
+                        f"must be integers (use double_range)"
+                    )
+                idx = np.flatnonzero(has.to_numpy())
+                lo_full[idx] = (
+                    lo_s.astype("int64") if long_t else lo_s.astype("float64")
+                ).to_numpy()
+                hi_full[idx] = (
+                    hi_s.astype("int64") if long_t else hi_s.astype("float64")
+                ).to_numpy()
+            docmap[lo_c] = lo_full
+            docmap[hi_c] = hi_full
+        else:
+            docmap[lo_c] = pd.array([None] * n_docs, dtype=dt)
+            docmap[hi_c] = pd.array([None] * n_docs, dtype=dt)
+    # histogram doc values: "v:c;v:c;..." pair strings parsed into the
+    # paired array columns ({name}__hvals float64 / {name}__hcounts
+    # int64). Values must be strictly ascending (the ES requirement),
+    # counts >= 0 integers; NULL/empty = no histogram; malformed raises.
+    for fe in schema.fields:
+        if not fe.is_histogram:
+            continue
+        from .schema import hist_counts_col, hist_vals_col
+
+        v_c, c_c = hist_vals_col(fe.name), hist_counts_col(fe.name)
+        if v_c in docmap.columns:
+            continue
+        v_full = np.full(n_docs, None, dtype=object)
+        c_full = np.full(n_docs, None, dtype=object)
+        if fe.input_col in pdf.columns:
+            raw = pdf[fe.input_col]
+            for i, v in enumerate(raw):
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    continue
+                s = str(v).strip()
+                if not s:
+                    continue
+                vals, counts = [], []
+                for pair in s.split(";"):
+                    a, sep, b = pair.partition(":")
+                    if not sep:
+                        raise ValueError(
+                            f"histogram field {fe.name!r}: pair {pair!r} "
+                            f"is not 'value:count'"
+                        )
+                    vals.append(float(a.strip()))
+                    c = float(b.strip())
+                    if c < 0 or c % 1 != 0:
+                        raise ValueError(
+                            f"histogram field {fe.name!r}: count {b!r} "
+                            f"must be a non-negative integer"
+                        )
+                    counts.append(int(c))
+                if any(x >= y for x, y in zip(vals, vals[1:])):
+                    raise ValueError(
+                        f"histogram field {fe.name!r}: values must be "
+                        f"strictly ascending (got {vals})"
+                    )
+                v_full[i] = np.asarray(vals, dtype="float64")
+                c_full[i] = np.asarray(counts, dtype="int64")
+        docmap[v_c] = v_full
+        docmap[c_c] = c_full
     # geo_shape doc values: "lat,lon;lat,lon;..." ring strings parsed
     # into 4 float64 bbox columns (parquet min/max stats prune every
     # shape query — the BKD-filter analog) + 2 array<double> ring
@@ -489,9 +590,27 @@ def build_segment_tables(
             ):
                 # geo point pair / shape bbox columns — plain float64
                 fields.append(pa.field(c, pa.float64()))
+            elif c.endswith(("__rlo", "__rhi")):
+                # range field bound pair — typed by the owning field
+                rfe = next(
+                    (f for f in schema.fields if f.name == c[: -len("__rlo")]),
+                    None,
+                )
+                fields.append(
+                    pa.field(
+                        c,
+                        pa.int64()
+                        if rfe is not None and rfe.field_type == "long_range"
+                        else pa.float64(),
+                    )
+                )
             elif c.endswith(("__ring_lats", "__ring_lons")):
                 # geo_shape ring vertex arrays
                 fields.append(pa.field(c, pa.list_(pa.float64())))
+            elif c.endswith("__hvals"):
+                fields.append(pa.field(c, pa.list_(pa.float64())))
+            elif c.endswith("__hcounts"):
+                fields.append(pa.field(c, pa.list_(pa.int64())))
             else:  # stored text fields are stringified above
                 fields.append(pa.field(c, pa.string()))
     docmap_tbl = pa.Table.from_pandas(

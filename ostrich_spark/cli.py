@@ -340,6 +340,44 @@ def cmd_search(args) -> int:
             else query
         )
         query = BooleanQuery.filtering(base, *filters)
+    if getattr(args, "range_rel", None):
+        # --range-rel FIELD=REL:LO,HI → non-scoring FILTER
+        # RangeFieldQuery over a stored-interval field (ES range query
+        # on range fields); empty LO/HI = open end
+        from .manifest import load_manifest
+        from .query.parser import (
+            BooleanQuery, QueryParseError, RangeFieldQuery, parse_query,
+        )
+
+        if mf is None:
+            mf = load_manifest(args.path)
+        filters = []
+        for spec in args.range_rel:
+            fname, _, rest = spec.partition("=")
+            rel, _, bounds = rest.partition(":")
+            lo_s, _, hi_s = bounds.partition(",")
+            fe = mf.schema.field_by_name(fname)
+            if fe is None or not fe.is_range or not rel:
+                print(
+                    f"error: --range-rel wants RANGEFIELD=REL:LO,HI "
+                    f"(got {spec!r})", file=sys.stderr,
+                )
+                return 2
+            try:
+                filters.append(RangeFieldQuery(
+                    fe.id, rel,
+                    float(lo_s) if lo_s.strip() else None,
+                    float(hi_s) if hi_s.strip() else None,
+                ))
+            except (QueryParseError, ValueError) as e:
+                print(f"error: --range-rel {spec!r}: {e}", file=sys.stderr)
+                return 2
+        base = (
+            parse_query(query, mf.schema, default_operator=args.default_operator)
+            if isinstance(query, str)
+            else query
+        )
+        query = BooleanQuery.filtering(base, *filters)
     if getattr(args, "ids", None):
         # --ids col=v1,v2 → non-scoring FILTER IdsQuery over an IDENTITY
         # docmap column (the ES ids-query shape; no mapping needed)
@@ -2186,6 +2224,14 @@ def main(argv=None) -> int:
         action="append",
         help="non-scoring terms filter on a keyword field (ES terms "
         "query): match any of the listed values; repeatable",
+    )
+    s.add_argument(
+        "--range-rel",
+        metavar="FIELD=REL:LO,HI",
+        action="append",
+        help="non-scoring interval filter on a range field (ES range "
+        "query on range fields): REL is intersects/within/contains, "
+        "empty LO/HI = open end; repeatable",
     )
     s.add_argument(
         "--ids",

@@ -1403,11 +1403,16 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
     # geo fields live in the docmap as a __lat/__lon float64 pair
     # (schema.geo_lat_col/geo_lon_col), shapes as bbox + ring columns;
     # every other doc-value type is a single column named after the field
-    from ..schema import geo_lat_col, geo_lon_col, shape_minlat_col
+    from ..schema import (
+        geo_lat_col, geo_lon_col, hist_vals_col, range_hi_col,
+        range_lo_col, shape_minlat_col,
+    )
 
     probe_col = (
         geo_lat_col(fe.name) if fe.is_geo
         else shape_minlat_col(fe.name) if fe.is_shape
+        else range_lo_col(fe.name) if fe.is_range
+        else hist_vals_col(fe.name) if fe.is_histogram
         else fe.name
     )
     col = F.col(probe_col)
@@ -1477,6 +1482,47 @@ def range_match_df(spark, index_dir: str, manifest, range_wire: dict):
         pred = _shape_pred(
             fe, range_wire["relation"], tuple(range_wire["geometry"])
         )
+    elif op == "range_field":
+        if not fe.is_range:
+            raise ValueError(
+                f"range-field query on non-range field {fe.name!r} "
+                f"(type {fe.field_type!r}) — plain numerics take "
+                f"field:[lo TO hi]"
+            )
+        # interval arithmetic over the typed bound pair, all bounds
+        # INCLUSIVE (the ES relation semantics); open query ends (None)
+        # drop their comparison; NULL bounds (no range) never match —
+        # NULL comparisons are SQL-NULL and filter() drops them
+        d_lo, d_hi = F.col(range_lo_col(fe.name)), F.col(range_hi_col(fe.name))
+        q_lo, q_hi = range_wire["lo"], range_wire["hi"]
+        rel = range_wire["relation"]
+        preds = []
+        if rel == "intersects":
+            if q_hi is not None:
+                preds.append(d_lo <= F.lit(q_hi))
+            if q_lo is not None:
+                preds.append(d_hi >= F.lit(q_lo))
+            if not preds:
+                preds.append(d_lo.isNotNull())
+        elif rel == "within":
+            if q_lo is not None:
+                preds.append(d_lo >= F.lit(q_lo))
+            if q_hi is not None:
+                preds.append(d_hi <= F.lit(q_hi))
+            if not preds:
+                preds.append(d_lo.isNotNull())
+        else:  # contains
+            if q_lo is not None:
+                preds.append(d_lo <= F.lit(q_lo))
+            if q_hi is not None:
+                preds.append(d_hi >= F.lit(q_hi))
+            if not preds:
+                preds.append(d_lo.isNotNull())
+        pred = preds[0]
+        for p in preds[1:]:
+            pred = pred & p
+        # a fully-open within/contains still needs the range present
+        pred = pred & d_lo.isNotNull()
     elif op == "eq":
         if not fe.is_keyword and not fe.is_ip:
             raise ValueError(
@@ -3657,6 +3703,16 @@ def _doc_value_field_entry(manifest, by: str):
         raise ValueError(
             f"{by!r} is a geo_shape field — shapes have no total order "
             f"or bucket key; query them with GeoShapeQuery"
+        )
+    if fe.is_range:
+        raise ValueError(
+            f"{by!r} is a range field — an interval has no scalar sort "
+            f"or bucket key; query it with RangeFieldQuery"
+        )
+    if fe.is_histogram:
+        raise ValueError(
+            f"{by!r} is a histogram field — aggregate it with "
+            f"histogram_field_stats / histogram_field_percentiles"
         )
     return fe
 
@@ -6144,6 +6200,155 @@ def numeric_percentiles(
     p_arr = F.array(*[F.lit(p) for p in ps])
     agg = matched.agg(F.percentile(F.col(of), p_arr).alias("vals"))
     return agg.select(F.posexplode("vals").alias("idx", "value")).select(
+        F.element_at(p_arr, F.col("idx") + 1).alias("p"), "value"
+    )
+
+
+def _histogram_field_matched(spark, index_dir, query, field, manifest,
+                             scorer, default_fields):
+    from pyspark.sql import functions as F
+
+    from ..schema import hist_counts_col, hist_vals_col
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or not fe.is_histogram:
+        raise ValueError(
+            f"{field!r} is not a histogram field of this index "
+            f"(add it with Schema.add_histogram_field)"
+        )
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    v_c, c_c = hist_vals_col(field), hist_counts_col(field)
+    return (
+        docmap.select(
+            "segment_id", "doc",
+            F.col(v_c).alias("__hv"), F.col(c_c).alias("__hc"),
+        ).join(res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"),
+        manifest,
+    )
+
+
+def histogram_field_stats(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Stats over a HISTOGRAM field's pre-aggregated distributions —
+    the ES stats-aggs-on-histogram-fields behavior (EXTENSION): every
+    value weighted by its count, summed across the match set's docs.
+    One row (``count``, ``min``, ``max``, ``sum``, ``avg``) where
+    count = Σ counts, sum = Σ value·count, min/max ignore zero-count
+    entries (an empty bin holds no observation), avg = sum/count.
+
+    Scale posture: the per-doc reduction (Σ counts, Σ v·c, masked
+    min/max) happens INSIDE whole-stage codegen via higher-order array
+    functions — no explode, no per-observation rows — then ONE
+    partial-aggregated global agg; a million docs × 100 bins never
+    materialize 10^8 rows."""
+    from pyspark.sql import functions as F
+
+    matched, _ = _histogram_field_matched(
+        spark, index_dir, query, field, manifest, scorer, default_fields
+    )
+    row_n = F.aggregate(
+        "__hc", F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    row_s = F.aggregate(
+        F.zip_with("__hv", "__hc", lambda v, c: v * c),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    masked = F.zip_with(
+        "__hv", "__hc", lambda v, c: F.when(c > 0, v)
+    )
+    per = matched.select(
+        row_n.alias("__n"), row_s.alias("__s"),
+        F.array_min(masked).alias("__mn"), F.array_max(masked).alias("__mx"),
+    )
+    return per.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).alias("count"),
+        F.min("__mn").alias("min"),
+        F.max("__mx").alias("max"),
+        F.sum("__s").alias("sum"),
+        (F.sum("__s") / F.sum("__n")).alias("avg"),
+    )
+
+
+def histogram_field_percentiles(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    percentiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """Weighted percentiles over a HISTOGRAM field's merged
+    distribution — the ES percentiles-on-histogram-fields behavior,
+    but EXACT where ES feeds the bins into a T-Digest (documented
+    difference, deterministic): q(p) = the smallest stored value whose
+    cumulative count reaches ``max(ceil(p·N), 1)`` (the classic
+    inverted-CDF / type-1 quantile; N = total count). Returns one row
+    per percentile -> (``p``, ``value``).
+
+    Scale posture: the match set reduces to ONE row per DISTINCT
+    histogram value (a partial-aggregated groupBy — histogram fields
+    have a bounded bin vocabulary by construction, that is the point
+    of the type); the cumulative window then runs over that bounded
+    distinct-value table, never the per-doc rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ps = [float(p) for p in percentiles]
+    if not ps or any(not (0.0 <= p <= 1.0) for p in ps):
+        raise ValueError("percentiles must be within [0, 1] and non-empty")
+    matched, _ = _histogram_field_matched(
+        spark, index_dir, query, field, manifest, scorer, default_fields
+    )
+    pairs = matched.select(
+        F.explode(F.arrays_zip("__hv", "__hc")).alias("z")
+    ).select(
+        F.col("z.__hv").alias("value"), F.col("z.__hc").alias("c")
+    )
+    dist = pairs.groupBy("value").agg(F.sum("c").alias("c")).filter(
+        F.col("c") > 0
+    )
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dist.select(
+        "value",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("tot"),
+    )
+    p_arr = F.array(*[F.lit(p) for p in ps])
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum")
+                >= F.greatest(F.ceil(F.lit(p) * F.col("tot")), F.lit(1)),
+                F.col("value"),
+            )
+        ).alias(f"__p{i}")
+        for i, p in enumerate(ps)
+    ]
+    one = cum.agg(*aggs).select(
+        F.array(*[F.col(f"__p{i}") for i in range(len(ps))]).alias("vals")
+    )
+    return one.select(F.posexplode("vals").alias("idx", "value")).select(
         F.element_at(p_arr, F.col("idx") + 1).alias("p"), "value"
     )
 

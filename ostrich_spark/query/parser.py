@@ -830,6 +830,46 @@ class GeoShapeQuery:
 
 
 @dataclass(frozen=True)
+class RangeFieldQuery:
+    """Docs whose stored INTERVAL [lo, hi] satisfies ``relation``
+    against the query interval — EXTENSION (the ES range query on
+    range FIELDS / Lucene RangeField analog; see
+    schema.RANGE_FIELD_TYPES). Relations (all bounds INCLUSIVE, the ES
+    semantics): ``intersects`` (the intervals overlap — the ES
+    default), ``within`` (the doc's interval entirely inside the
+    query's), ``contains`` (the doc's interval covers the query's).
+    ``lo``/``hi`` may be None for an open end (±∞); docs without a
+    range never match any relation. Filter context, constant score
+    ``boost``; DSL-only besides ``field:*`` exists (the geo stance)."""
+
+    field_id: int
+    relation: str
+    lo: float | None
+    hi: float | None
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.relation not in ("intersects", "within", "contains"):
+            raise QueryParseError(
+                f"range-field relation must be intersects / within / "
+                f"contains, got {self.relation!r}"
+            )
+        lo = None if self.lo is None else float(self.lo)
+        hi = None if self.hi is None else float(self.hi)
+        if lo is None and hi is None:
+            raise QueryParseError(
+                "range-field query needs at least one bound "
+                "(use field:* for exists)"
+            )
+        if lo is not None and hi is not None and lo > hi:
+            raise QueryParseError(
+                f"range-field query bounds inverted: lo {lo} > hi {hi}"
+            )
+        object.__setattr__(self, "lo", lo)
+        object.__setattr__(self, "hi", hi)
+
+
+@dataclass(frozen=True)
 class AllQuery:
     pass
 
@@ -1763,6 +1803,17 @@ def _leaf_to_query_unboosted(value: str, schema: Schema, default_fields: list[st
                     f"geo_shape field {fe.name!r} has no query-string "
                     f"syntax besides {fe.name}:* (exists) — use "
                     f"GeoShapeQuery or the CLI geo shape subcommand"
+                )
+            if fe.is_range:
+                raise QueryParseError(
+                    f"range field {fe.name!r} has no query-string syntax "
+                    f"besides {fe.name}:* (exists) — use RangeFieldQuery "
+                    f"or the search --range-rel option"
+                )
+            if fe.is_histogram:
+                raise QueryParseError(
+                    f"histogram field {fe.name!r} supports aggregations "
+                    f"only (the ES contract) besides {fe.name}:* (exists)"
                 )
             if len(raw) >= 2 and raw.startswith('"') and raw.endswith('"'):
                 # field:"quoted phrase" — consecutive-terms extension

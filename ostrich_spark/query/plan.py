@@ -45,6 +45,7 @@ from .parser import (
     GeoDistanceQuery,
     GeoPolygonQuery,
     GeoShapeQuery,
+    RangeFieldQuery,
     MultiPhraseQuery,
     NearQuery,
     PhraseQuery,
@@ -312,6 +313,19 @@ class CGeoPolygon:
 
     field_id: int
     points: tuple
+    const_score: float
+
+
+@dataclass(frozen=True)
+class CRangeField:
+    """Compiled range-field relation (stored-interval docs): interval
+    arithmetic over the two typed bound columns, parquet min/max
+    prunable. CRange-style aux delivery; constant score."""
+
+    field_id: int
+    relation: str
+    lo: float | None
+    hi: float | None
     const_score: float
 
 
@@ -728,6 +742,8 @@ def compile_query(
         return CGeoPolygon(q.field_id, q.points, q.boost)
     if isinstance(q, GeoShapeQuery):
         return CGeoShape(q.field_id, q.relation, q.geometry, q.boost)
+    if isinstance(q, RangeFieldQuery):
+        return CRangeField(q.field_id, q.relation, q.lo, q.hi, q.boost)
     if isinstance(q, (PrefixQuery, FuzzyQuery, WildcardQuery, RegexpQuery,
                       PhrasePrefixQuery, SpanMultiQuery)):
         raise ValueError(_MULTITERM_REWRITE_MSG)
@@ -1130,6 +1146,16 @@ def to_wire(node) -> dict:
             "field": node.field_id,
             "relation": node.relation,
             "geometry": list(node.geometry),
+            "score": node.const_score,
+        }
+    if isinstance(node, CRangeField):
+        return {
+            "kind": "range",
+            "op": "range_field",
+            "field": node.field_id,
+            "relation": node.relation,
+            "lo": node.lo,
+            "hi": node.hi,
             "score": node.const_score,
         }
     if isinstance(node, CAll):

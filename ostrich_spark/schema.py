@@ -79,6 +79,52 @@ FIELD_TYPE_IP = "ip"
 # bbox intersects/within/disjoint) in filter context. DSL-only like
 # every geo query; only `field:*` (exists) has NQL form.
 FIELD_TYPE_SHAPE = "geo_shape"
+# range doc-value field (EXTENSION, the Elasticsearch `integer_range` /
+# `long_range` / `double_range` family / Lucene RangeField analog):
+# each DOC carries an INTERVAL [lo, hi] — "valid 2019-2023", "supports
+# ports 1024-2048" — and queries relate an interval against it
+# (intersects / within / contains, all bounds inclusive, the ES
+# relation semantics). Where Lucene encodes ranges into BKD dimensions,
+# we store the Spark-native equivalent: TWO typed docmap columns
+# `{name}__rlo` / `{name}__rhi` (both NULL = no range) — plain numeric
+# columns, so parquet min/max row-group stats prune every relation's
+# scan (an intersects query reads only row groups whose [min(lo),
+# max(hi)] spans touch the query interval). Queried with
+# RangeFieldQuery (filter context, constant score, composable in
+# boolean trees); DSL-only besides `field:*` exists — the geo stance.
+FIELD_TYPE_LONG_RANGE = "long_range"
+FIELD_TYPE_DOUBLE_RANGE = "double_range"
+RANGE_FIELD_TYPES = (FIELD_TYPE_LONG_RANGE, FIELD_TYPE_DOUBLE_RANGE)
+# histogram doc-value field (EXTENSION, the Elasticsearch `histogram`
+# type): each DOC carries a PRE-AGGREGATED value distribution — paired
+# arrays values[] (strictly ascending, the ES requirement) and
+# counts[] (>= 0) — the shape metrics pipelines (HDR/T-Digest rollups,
+# Prometheus-style latency buckets) ship instead of raw samples.
+# Stored as two array docmap columns `{name}__hvals` (array<double>) /
+# `{name}__hcounts` (array<long>); aggregated with
+# histogram_field_stats / histogram_field_percentiles, which weight
+# every value by its count (the ES agg behavior). Not searchable
+# beyond `field:*` exists (the ES contract: histogram fields support
+# aggregations only), never sortable/facetable.
+FIELD_TYPE_HISTOGRAM = "histogram"
+
+
+def hist_vals_col(name: str) -> str:
+    return f"{name}__hvals"
+
+
+def hist_counts_col(name: str) -> str:
+    return f"{name}__hcounts"
+
+
+def range_lo_col(name: str) -> str:
+    """Docmap column holding a range field's inclusive lower bound."""
+    return f"{name}__rlo"
+
+
+def range_hi_col(name: str) -> str:
+    """Docmap column holding a range field's inclusive upper bound."""
+    return f"{name}__rhi"
 
 
 def shape_minlat_col(name: str) -> str:
@@ -183,13 +229,23 @@ class FieldEntry:
         return self.field_type == FIELD_TYPE_SHAPE
 
     @property
+    def is_range(self) -> bool:
+        return self.field_type in RANGE_FIELD_TYPES
+
+    @property
+    def is_histogram(self) -> bool:
+        return self.field_type == FIELD_TYPE_HISTOGRAM
+
+    @property
     def is_doc_value(self) -> bool:
-        """Doc-value-only field (numeric, keyword, date, geo, ip or
-        shape): no analyzer, no postings, no norms — the typed value
-        lives in the docmap (geo as the `__lat`/`__lon` column pair,
-        shapes as 4 bbox columns + 2 ring arrays)."""
+        """Doc-value-only field (numeric, keyword, date, geo, ip,
+        shape or range): no analyzer, no postings, no norms — the typed
+        value lives in the docmap (geo as the `__lat`/`__lon` column
+        pair, shapes as 4 bbox columns + 2 ring arrays, ranges as the
+        `__rlo`/`__rhi` bound pair)."""
         return (self.is_numeric or self.is_keyword or self.is_date
-                or self.is_geo or self.is_ip or self.is_shape)
+                or self.is_geo or self.is_ip or self.is_shape
+                or self.is_range or self.is_histogram)
 
     @property
     def query_analyzer(self) -> str:
@@ -392,6 +448,58 @@ class Schema:
         self._check_name(name)
         entry = FieldEntry(
             len(self.fields), name, FIELD_TYPE_IP, "", False, False,
+            "", source_col,
+        )
+        self.fields.append(entry)
+        return entry
+
+    def add_range_field(
+        self, name: str, range_type: str = FIELD_TYPE_LONG_RANGE,
+        source_col: str = "",
+    ) -> FieldEntry:
+        """Range doc-value field (EXTENSION, the ES ``long_range`` /
+        ``double_range`` family; see RANGE_FIELD_TYPES): each doc
+        carries an inclusive interval [lo, hi] stored as two typed
+        docmap columns (``{name}__rlo`` / ``{name}__rhi`` — parquet
+        min/max stats prune every relation scan, the Lucene RangeField
+        BKD analog).
+
+        Build input: ``"lo,hi"`` strings (whitespace tolerated;
+        NULL/empty = no range; a single value ``"v"`` is the point
+        range [v, v], the ES singleton shape; lo > hi raises — a
+        silently swapped interval is a corrupt index). Queried with
+        RangeFieldQuery (relation intersects/within/contains, filter
+        context) and ExistsQuery.
+
+        ``source_col`` reads another input column (ES multi-fields)."""
+        if range_type not in RANGE_FIELD_TYPES:
+            raise ValueError(
+                f"range_type must be one of {RANGE_FIELD_TYPES}"
+            )
+        self._check_name(name)
+        entry = FieldEntry(
+            len(self.fields), name, range_type, "", False, False,
+            "", source_col,
+        )
+        self.fields.append(entry)
+        return entry
+
+    def add_histogram_field(self, name: str, source_col: str = "") -> FieldEntry:
+        """Histogram doc-value field (EXTENSION, the ES ``histogram``
+        type; see FIELD_TYPE_HISTOGRAM): a pre-aggregated value
+        distribution per doc, stored as paired array docmap columns.
+
+        Build input: ``"v:c;v:c;..."`` strings (value:count pairs,
+        values strictly ascending — the ES requirement — counts >= 0
+        integers; NULL/empty = no histogram; malformed raises).
+        Aggregations only (histogram_field_stats /
+        histogram_field_percentiles) plus ``field:*`` exists — the ES
+        contract; histogram fields never search, sort or facet.
+
+        ``source_col`` reads another input column (ES multi-fields)."""
+        self._check_name(name)
+        entry = FieldEntry(
+            len(self.fields), name, FIELD_TYPE_HISTOGRAM, "", False, False,
             "", source_col,
         )
         self.fields.append(entry)
