@@ -4353,6 +4353,32 @@ def _q_eng_hist_pctl(spark, sf_dir):
     )
 
 
+def _q_eng_scroll(spark, sf_dir):
+    """ES scroll analog (exec.scroll): the first 3 pages of 7 of the
+    text:spark ranking via search_after cursors over one pinned
+    manifest. Output tags each hit with its page number; the oracle
+    re-derives pages from a row_number over the recomputed ranking."""
+    from ostrich_spark.query.exec import attach_docmap, scroll
+
+    idx = _doc_index(spark, sf_dir)
+    rows = []
+    for pg, page in enumerate(scroll(spark, idx, "text:spark", page_size=7), 1):
+        if pg > 3:
+            break
+        rows.extend(
+            (pg, r["segment_id"], int(r["doc"]), float(r["score"]))
+            for r in page
+        )
+    df = spark.createDataFrame(
+        rows, "pg long, segment_id string, doc long, score double"
+    )
+    return attach_docmap(spark, idx, df).select(
+        "pg",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -4999,6 +5025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_rangef_contains": _q_eng_rangef_contains,
         "eng_hist_stats": _q_eng_hist_stats,
         "eng_hist_pctl": _q_eng_hist_pctl,
+        "eng_scroll_pages": _q_eng_scroll,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6768,6 +6795,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) JOIN iv ON iv.doc_id = t.doc_id "
             "WHERE t.term = 'spark' AND iv.lo <= 50 AND iv.hi >= 52"
+        ),
+        # scroll: pages re-derived from a row_number over the ranking
+        "eng_scroll_pages": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "s AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))) AS sc "
+            "FROM tf t JOIN df d USING(term) WHERE t.term = 'spark'), "
+            "r AS (SELECT doc_id, sc, row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rk FROM s) "
+            "SELECT CAST(((rk - 1) // 7) + 1 AS BIGINT) AS pg, doc_id, "
+            "round(sc, 6) AS score FROM r WHERE rk <= 21"
         ),
         # histogram fields: every (value, count) pair re-derived from
         # doc_id arithmetic (bins doc_id%5 / +2.5 / +7, counts

@@ -327,6 +327,7 @@ def main():
         ("docs_rangef_intersects", em.queries()["eng_rangef_intersects"]),
         ("agg_hist_stats", em.queries()["eng_hist_stats"]),
         ("agg_hist_pctl", em.queries()["eng_hist_pctl"]),
+        ("docs_scroll_pages", em.queries()["eng_scroll_pages"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -2214,6 +2214,60 @@ def search_many(
 POSITIONS_RESULT_SCHEMA = "segment_id string, doc long, pos long"
 
 
+def scroll(
+    spark,
+    index_dir: str,
+    query,
+    page_size: int = 100,
+    scorer: str = SCORER_TFIDF,
+    manifest: Manifest | None = None,
+    default_fields: list[str] | None = None,
+):
+    """Iterate a query's ENTIRE match set page by page — the
+    Elasticsearch ``scroll`` API analog (EXTENSION): the export /
+    reindex / bulk-fetch access pattern search's top-k collectors don't
+    serve. Yields lists of result Rows (each ``<= page_size``, pinned
+    total order: score desc, segment_ord asc, doc asc).
+
+    The manifest is loaded ONCE and pinned across pages, so a commit or
+    merge landing mid-scroll never skips or duplicates docs — the exact
+    consistency ES's scroll context provides, except here the "context"
+    is an immutable manifest: nothing server-side to keep alive, time
+    out, or clear (the ES scroll-context lifecycle problem does not
+    exist). Caveat shared honestly: DELETES apply immediately (the
+    tombstone pointer is read live, matching the engine-wide
+    delete-visibility contract) — pass a snapshot-loaded manifest
+    (``load_manifest(dir, opstamp=...)``, the PIT analog) for full
+    segments+deletes isolation.
+
+    Scale posture: each page is a ``search_after`` cursor query — the
+    cursor filters BEFORE every segment's local top-k, so page 10^4
+    costs the same as page 1 (never the offset trap of deep paging);
+    WAND is off on the cursor path by construction. For a
+    whole-match-set export as ONE distributed job (no driver paging at
+    all) use ``export_hits`` instead — scroll is for callers that want
+    the rows driver-side incrementally."""
+    if page_size < 1:
+        raise ValueError(f"page_size must be >= 1, got {page_size}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    after = None
+    while True:
+        res, _ = search(
+            spark, index_dir, query, limit=page_size, after=after,
+            scorer=scorer, manifest=manifest, default_fields=default_fields,
+            use_wand=False,
+        )
+        rows = res.collect()
+        if not rows:
+            return
+        yield rows
+        if len(rows) < page_size:
+            return
+        last = rows[-1]
+        after = (last["score"], last["segment_ord"], last["doc"])
+
+
 def term_positions(spark, index_dir: str, field_id: int, term: str, manifest: Manifest | None = None):
     """Every occurrence position of ``term`` -> (segment_id, doc, pos)
     rows — the highlighting/snippet primitive (requires the field to be
