@@ -4379,6 +4379,33 @@ def _q_eng_scroll(spark, sf_dir):
     )
 
 
+def _q_eng_terms_lookup(spark, sf_dir):
+    """ES terms-lookup analog (exec.terms_lookup): the filter value
+    list is fetched from doc 7's own lang keyword by a tombstone-aware
+    point read, then composes as a FILTER beside the scored text —
+    'docs in the same language as doc 7'. Oracle inlines the lookup as
+    a scalar subquery."""
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec import attach_docmap, search, terms_lookup
+    from ostrich_spark.query.parser import (
+        FILTER, MUST, BooleanQuery, parse_query,
+    )
+
+    idx = _kw_index(spark, sf_dir)
+    mf = load_manifest(idx)
+    lk = terms_lookup(spark, idx, "lang", 7, "doc_id", "lang", manifest=mf)
+    q = BooleanQuery([
+        (MUST, parse_query("text:spark", mf.schema)),
+        (FILTER, lk),
+    ])
+    res, _ = search(spark, idx, q, limit=None, manifest=mf)
+    return attach_docmap(spark, idx, res, manifest=mf).select(
+        F.col("doc_id").cast("long"),
+        F.round("score", 6).alias("score"),
+        "lang",
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5026,6 +5053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_hist_stats": _q_eng_hist_stats,
         "eng_hist_pctl": _q_eng_hist_pctl,
         "eng_scroll_pages": _q_eng_scroll,
+        "eng_terms_lookup": _q_eng_terms_lookup,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6795,6 +6823,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score "
             "FROM tf t JOIN df d USING(term) JOIN iv ON iv.doc_id = t.doc_id "
             "WHERE t.term = 'spark' AND iv.lo <= 50 AND iv.hi >= 52"
+        ),
+        # terms lookup: the value list inlined as a scalar subquery
+        "eng_terms_lookup": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "
+            "SELECT t.doc_id, round(t.tf * (1.0 + ln((SELECT n FROM n) / (1.0 + d.df))), 6) AS score, "
+            "doc.lang "
+            "FROM tf t JOIN df d USING(term) JOIN documents doc ON doc.doc_id = t.doc_id "
+            "WHERE t.term = 'spark' AND doc.lang = "
+            "(SELECT lang FROM documents WHERE doc_id = 7)"
         ),
         # scroll: pages re-derived from a row_number over the ranking
         "eng_scroll_pages": (

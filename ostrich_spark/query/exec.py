@@ -7390,6 +7390,74 @@ def get_docs(spark, index_dir: str, values, key_col: str, manifest: Manifest | N
 TERM_VECTORS_SCHEMA = "segment_id string, doc long, term string, tf long"
 
 
+def terms_lookup(
+    spark,
+    index_dir: str,
+    field: str,
+    lookup_key,
+    key_col: str,
+    lookup_field: str,
+    lookup_index: str | None = None,
+    manifest: Manifest | None = None,
+    max_terms: int = 65_536,
+):
+    """Build a TermsQuery whose VALUES come from another document —
+    the Elasticsearch terms-lookup mechanism (EXTENSION): "match every
+    doc whose ``field`` is one of the values stored on doc X", the
+    follow/blocklist pattern (user X's followed-tags doc drives the
+    feed query) without shipping the list through the client.
+
+    The lookup doc is fetched by identity (``get_docs`` point read —
+    parquet row-group pruned, tombstone-aware: a deleted lookup doc
+    reads as absent) from ``lookup_index`` (default: the same index).
+    ``lookup_field`` is a keyword doc value (one value) or a
+    ``store=True`` field, whose stored value splits on newline — the
+    engine's multi-value stored round-trip (build joins list inputs
+    with ``"\\n"``). Missing doc / NULL value → EmptyQuery (matches
+    nothing, the ES behavior). Values above ``max_terms`` raise (the
+    ES index.max_terms_count guard — a million-term filter wants a
+    JOIN, not a query).
+
+    Returns a query node (TermsQuery or EmptyQuery) ready to compose
+    in FILTER context; the caller runs it like any other query."""
+    from .parser import EmptyQuery, TermsQuery
+
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or not (fe.is_keyword or fe.is_ip):
+        raise ValueError(
+            f"terms_lookup filters a keyword field, {field!r} is "
+            f"{'absent' if fe is None else fe.field_type}"
+        )
+    src_dir = lookup_index or index_dir
+    src_manifest = manifest if lookup_index is None else load_manifest(src_dir)
+    sfe = src_manifest.schema.field_by_name(lookup_field)
+    if sfe is None or not (sfe.is_keyword or (not sfe.is_doc_value and sfe.store)):
+        raise ValueError(
+            f"lookup field {lookup_field!r} must be a keyword doc value "
+            f"or a store=True text field of the lookup index"
+        )
+    rows = get_docs(
+        spark, src_dir, [lookup_key], key_col, manifest=src_manifest
+    ).select(lookup_field).collect()
+    if not rows or rows[0][lookup_field] is None:
+        return EmptyQuery()
+    raw = rows[0][lookup_field]
+    values = (
+        [raw] if sfe.is_keyword
+        else [v for v in str(raw).split("\n") if v != ""]
+    )
+    if not values:
+        return EmptyQuery()
+    if len(values) > max_terms:
+        raise ValueError(
+            f"terms_lookup resolved {len(values)} values > max_terms "
+            f"{max_terms} — use a join for set filters this large"
+        )
+    return TermsQuery(fe.id, tuple(values))
+
+
 def term_vectors(
     spark,
     index_dir: str,
