@@ -4406,6 +4406,41 @@ def _q_eng_terms_lookup(spark, sf_dir):
     )
 
 
+def _clf_weights():
+    """Pinned sparse model for the classifier gate: feature ids from
+    the SAME portable sha256 hashing both engines use."""
+    import hashlib as _h
+
+    def fid(g):
+        return int(_h.sha256(("clf" + g).encode()).hexdigest()[:8], 16) % 4096
+
+    return {
+        fid("spark"): 1.3,
+        fid("data"): 0.7,
+        fid("the"): -0.2,
+        fid("merge"): -0.9,
+        fid("spark is"): 1.6,  # bigram feature
+    }
+
+
+def _q_text_clf(spark, sf_dir):
+    """fastText-style hashed-ngram linear scorer
+    (textops.hashed_ngram_score): every doc scored by a pinned sparse
+    model over sha256-hashed uni+bigrams, sigmoid(mean + bias). The
+    oracle runs the SQL twin emitted by the same generator
+    (hashed_ngram_score_sql) — both engines' arithmetic from one
+    place."""
+    from ostrich_spark.textops import hashed_ngram_score
+
+    out = hashed_ngram_score(
+        _docs(spark, sf_dir), _clf_weights(), n_features=4096, bias=-0.1,
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round("clf_score", 6).alias("clf_score"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5054,6 +5089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_hist_pctl": _q_eng_hist_pctl,
         "eng_scroll_pages": _q_eng_scroll,
         "eng_terms_lookup": _q_eng_terms_lookup,
+        "text_clf_score": _q_text_clf,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6824,6 +6860,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM tf t JOIN df d USING(term) JOIN iv ON iv.doc_id = t.doc_id "
             "WHERE t.term = 'spark' AND iv.lo <= 50 AND iv.hi >= 52"
         ),
+        # hashed-ngram classifier: the SQL twin emitted by the shared
+        # generator (textops.hashed_ngram_score_sql) over the pinned
+        # sparse model
+        "text_clf_score": (
+            lambda: (
+                "SELECT doc_id, round("
+                + __import__("ostrich_spark.textops", fromlist=["x"]).hashed_ngram_score_sql(
+                    "text", _clf_weights(), n_features=4096, bias=-0.1
+                )
+                + ", 6) AS clf_score FROM documents"
+            )
+        )(),
         # terms lookup: the value list inlined as a scalar subquery
         "eng_terms_lookup": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE} "

@@ -329,6 +329,7 @@ def main():
         ("agg_hist_pctl", em.queries()["eng_hist_pctl"]),
         ("docs_scroll_pages", em.queries()["eng_scroll_pages"]),
         ("docs_terms_lookup", em.queries()["eng_terms_lookup"]),
+        ("text_clf_score", em.queries()["text_clf_score"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -441,3 +441,116 @@ def pack_sequences(
         (seg_lo - F.col("seq_id") * seq_len).alias("seq_start"),
         (seg_hi - seg_lo).alias("n"),
     )
+
+
+def hashed_ngram_score(
+    df,
+    weights: dict,
+    text_col="text",
+    n_features: int = 1 << 18,
+    word_ngrams: int = 2,
+    bias: float = 0.0,
+    mode: str = "mean",
+    salt: str = "clf",
+    out: str = "clf_score",
+):
+    """Linear text classifier over HASHED word n-gram features — the
+    fastText-supervised / sklearn-HashingVectorizer inference shape
+    every corpus-quality pipeline runs ("CCNet/LLaMA-style quality
+    scoring: a linear model over hashed n-grams, applied to every doc").
+    Returns ``df`` + ``out`` = sigmoid(bias + agg of feature weights),
+    where each token unigram (and bigram, when ``word_ngrams=2``) maps
+    to ``sha256(salt || gram) mod n_features`` — the dedup module's
+    portable hash family, so the DuckDB oracle (and any other engine)
+    reproduces feature ids bit-exactly. ``weights`` maps feature id ->
+    weight (the SPARSE trained model; absent ids weigh 0, exactly the
+    hashing-trick contract); ``mode`` 'mean' (fastText's default
+    normalization) or 'sum'. Empty docs score sigmoid(bias).
+
+    Scale posture: pure Catalyst end to end — tokenize / n-gram
+    (zip_with over shifted slices) / hash / map-lookup / aggregate all
+    inside whole-stage codegen; the model broadcasts as a literal map
+    (sparse models are small — that is the point of the hashing
+    trick); NO Python, NO shuffle, NO vocabulary build. A 100 TB scan
+    scores at IO speed."""
+    if word_ngrams not in (1, 2):
+        raise ValueError(f"word_ngrams must be 1 or 2, got {word_ngrams}")
+    if mode not in ("mean", "sum"):
+        raise ValueError(f"mode must be mean/sum, got {mode!r}")
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1, got {n_features}")
+    if not weights:
+        raise ValueError("weights must be a non-empty {feature_id: weight} dict")
+    for k in weights:
+        if not (0 <= int(k) < n_features):
+            raise ValueError(
+                f"weight feature id {k} outside [0, {n_features})"
+            )
+    toks = tokens_col(text_col)
+    grams = toks
+    if word_ngrams == 2:
+        n = F.size(toks)
+        bi = F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        grams = F.concat(toks, bi)
+    fid = (
+        F.transform(
+            grams,
+            lambda g: F.conv(
+                F.substring(F.sha2(F.concat(F.lit(salt), g), 256), 1, 8),
+                16, 10,
+            ).cast("long") % F.lit(int(n_features)),
+        )
+    )
+    wmap = F.create_map(
+        *[x for k, v in weights.items()
+          for x in (F.lit(int(k)), F.lit(float(v)))]
+    )
+    ws = F.transform(fid, lambda i: F.coalesce(wmap[i], F.lit(0.0)))
+    z = F.aggregate(ws, F.lit(0.0), lambda a, x: a + x)
+    if mode == "mean":
+        z = z / F.greatest(F.size(ws), F.lit(1))
+    z = z + F.lit(float(bias))
+    return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def hashed_ngram_score_sql(
+    text_expr: str,
+    weights: dict,
+    n_features: int = 1 << 18,
+    word_ngrams: int = 2,
+    bias: float = 0.0,
+    mode: str = "mean",
+    salt: str = "clf",
+) -> str:
+    """DuckDB expression computing the IDENTICAL score as
+    hashed_ngram_score — the shared-generator convention (geohash_sql /
+    ip_hex_sql): both engines' arithmetic comes from one place, so the
+    oracle checks the ENGINE, not a reimplementation drifting on its
+    own. ``weights`` inlines as a CASE over feature ids."""
+    toks = (
+        "list_filter(regexp_split_to_array(lower(" + text_expr + "), "
+        "'[^\\p{L}\\p{N}]+'), x -> x <> '')"
+    )
+    grams = toks
+    if word_ngrams == 2:
+        grams = (
+            f"list_concat({toks}, "
+            f"list_transform(range(1, greatest(len({toks}), 1)), "
+            f"i -> {toks}[i] || ' ' || {toks}[i + 1]))"
+        )
+    case = " ".join(
+        f"WHEN {int(k)} THEN {float(v)!r}" for k, v in weights.items()
+    )
+    ws = (
+        f"list_transform({grams}, g -> CASE "
+        f"(('0x' || substr(sha256('{salt}' || g), 1, 8))::BIGINT "
+        f"% {int(n_features)}) {case} ELSE 0.0 END)"
+    )
+    z = f"list_sum(list_concat({ws}, [0.0]))"
+    if mode == "mean":
+        z = f"({z} / greatest(len({ws}), 1))"
+    return f"(1.0 / (1.0 + exp(-({z} + {float(bias)!r}))))"
