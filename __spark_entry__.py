@@ -4441,6 +4441,40 @@ def _q_text_clf(spark, sf_dir):
     )
 
 
+def _q_text_c4_clean(spark, sf_dir):
+    """C4 cleaning pass (textops.c4_clean): 5-line synthetic pages
+    built from each doc's text by IDENTICAL expressions on both sides
+    (substr slices + doc_id-keyed special lines) — kept-line text,
+    counts and the page-survival flag all gate. Oracle applies the
+    generator-emitted SQL twin (textops.c4_clean_sql)."""
+    from ostrich_spark.textops import c4_clean
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    l1 = F.concat(F.substring("text", 1, 40), F.lit("."))
+    l2 = F.lit("too short.")
+    l3 = F.substring("text", 1, 60)
+    l4 = F.when(
+        did % 7 == 0, F.lit("please enable javascript now friend.")
+    ).otherwise(F.concat(F.substring("text", 41, 60), F.lit("!")))
+    l5 = (
+        F.when(did % 31 == 0, F.lit("this page has { code } inside it."))
+        .when(did % 37 == 0, F.lit("lorem ipsum dolor sit amet today."))
+        .otherwise(F.lit("a final ordinary line sits here."))
+    )
+    pages = d.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l3, l4, l5).alias("text")
+    )
+    out = c4_clean(pages)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("clean_text"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "survives",
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5090,6 +5124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_scroll_pages": _q_eng_scroll,
         "eng_terms_lookup": _q_eng_terms_lookup,
         "text_clf_score": _q_text_clf,
+        "text_c4_clean": _q_text_c4_clean,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -6870,6 +6905,28 @@ def oracle_sql() -> dict[str, str]:
                     "text", _clf_weights(), n_features=4096, bias=-0.1
                 )
                 + ", 6) AS clf_score FROM documents"
+            )
+        )(),
+        # C4 cleaning: synthetic pages built by identical expressions,
+        # rules applied via the generator-emitted SQL twin
+        "text_c4_clean": (
+            lambda ex=None: (
+                (lambda e: (
+                    "WITH b AS (SELECT doc_id, "
+                    "substr(text, 1, 40) || '.' || chr(10) || "
+                    "'too short.' || chr(10) || "
+                    "substr(text, 1, 60) || chr(10) || "
+                    "(CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript now friend.' "
+                    "ELSE substr(text, 41, 60) || '!' END) || chr(10) || "
+                    "(CASE WHEN doc_id % 31 = 0 THEN 'this page has { code } inside it.' "
+                    "WHEN doc_id % 37 = 0 THEN 'lorem ipsum dolor sit amet today.' "
+                    "ELSE 'a final ordinary line sits here.' END) AS text "
+                    "FROM documents) "
+                    f"SELECT doc_id, {e['clean_text']} AS clean_text, "
+                    f"CAST({e['n_kept']} AS BIGINT) AS n_kept, "
+                    f"CAST({e['n_dropped']} AS BIGINT) AS n_dropped, "
+                    f"{e['survives']} AS survives FROM b"
+                ))(__import__("ostrich_spark.textops", fromlist=["x"]).c4_clean_sql("text"))
             )
         )(),
         # terms lookup: the value list inlined as a scalar subquery

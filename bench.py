@@ -330,6 +330,7 @@ def main():
         ("docs_scroll_pages", em.queries()["eng_scroll_pages"]),
         ("docs_terms_lookup", em.queries()["eng_terms_lookup"]),
         ("text_clf_score", em.queries()["text_clf_score"]),
+        ("text_c4_clean", em.queries()["text_c4_clean"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -554,3 +554,120 @@ def hashed_ngram_score_sql(
     if mode == "mean":
         z = f"({z} / greatest(len({ws}), 1))"
     return f"(1.0 / (1.0 + exp(-({z} + {float(bias)!r}))))"
+
+
+# C4 cleaning rule constants (Raffel et al. 2020 §2.2, the public C4
+# heuristics) — the terminal-punctuation regex is the single source for
+# both engines (c4_clean / c4_clean_sql)
+C4_TERMINAL_RE = '[.!?]["”’]?$'
+
+
+def c4_clean(
+    df,
+    text_col="text",
+    id_col="doc_id",
+    min_words: int = 5,
+    min_lines: int = 3,
+    require_terminal: bool = True,
+    drop_tokens: tuple = ("javascript",),
+    page_drop_substrings: tuple = ("lorem ipsum",),
+    drop_brace: bool = True,
+    out: str = "clean_text",
+):
+    """The C4 cleaning pass (Raffel et al. 2020 §2.2 — the public
+    heuristics every web-corpus pipeline starts from), line rules and
+    page rules together:
+
+    A LINE survives iff its trimmed form (1) is non-blank, (2) ends in
+    terminal punctuation — ``.``/``!``/``?`` optionally followed by a
+    closing quote (C4_TERMINAL_RE; disable with
+    ``require_terminal=False``), (3) has at least ``min_words``
+    whitespace words (the paper's "at least 5 words" retention rule;
+    default 5), and (4) contains none of
+    ``drop_tokens`` case-insensitively (C4 drops the word
+    "javascript"). Surviving lines keep their ORIGINAL text and order.
+
+    The PAGE survives (``survives`` column) iff it keeps at least
+    ``min_lines`` lines (the C4 ≥3-sentence rule applied to kept
+    lines), contains none of ``page_drop_substrings``
+    case-insensitively ("lorem ipsum"), and — when ``drop_brace`` —
+    no ``{`` anywhere (the C4 code-page heuristic). The row is KEPT
+    either way so callers can audit; filter on ``survives``.
+
+    Returns df + (``out``, n_kept, n_dropped, survives). Blank lines
+    count as dropped (C4 rebuilds prose; contrast dedup_lines, which
+    preserves blank lines as structure — both stances documented).
+
+    Scale posture: a pure per-row projection — split / filter /
+    array_join inside whole-stage codegen; no explode, no shuffle, no
+    Python. The cheapest possible 100 TB pass."""
+    if min_words < 1:
+        raise ValueError(f"min_words must be >= 1, got {min_words}")
+    if min_lines < 0:
+        raise ValueError(f"min_lines must be >= 0, got {min_lines}")
+    lines = F.split(F.col(text_col), "\n")
+
+    def _kept(ln):
+        t = F.trim(ln)
+        p = t != F.lit("")
+        if require_terminal:
+            p = p & t.rlike(C4_TERMINAL_RE)
+        words = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != F.lit("")))
+        p = p & (words >= F.lit(int(min_words)))
+        for tok in drop_tokens:
+            p = p & ~F.lower(ln).contains(tok.lower())
+        return p
+
+    kept = F.filter(lines, _kept)
+    surv = F.size(kept) >= F.lit(int(min_lines))
+    for s in page_drop_substrings:
+        surv = surv & ~F.lower(F.col(text_col)).contains(s.lower())
+    if drop_brace:
+        surv = surv & ~F.col(text_col).contains("{")
+    return (
+        df.withColumn(out, F.array_join(kept, "\n"))
+        .withColumn("n_kept", F.size(kept))
+        .withColumn("n_dropped", F.size(lines) - F.size(kept))
+        .withColumn("survives", surv)
+    )
+
+
+def c4_clean_sql(
+    text_expr: str,
+    min_words: int = 5,
+    min_lines: int = 3,
+    require_terminal: bool = True,
+    drop_tokens: tuple = ("javascript",),
+    page_drop_substrings: tuple = ("lorem ipsum",),
+    drop_brace: bool = True,
+) -> dict:
+    """DuckDB expressions computing IDENTICAL outputs to c4_clean (the
+    shared-generator convention): returns {clean_text, n_kept,
+    n_dropped, survives} expression strings over ``text_expr``."""
+    t = "trim(ln)"
+    conds = [f"{t} <> ''"]
+    if require_terminal:
+        conds.append(f"regexp_matches({t}, '{C4_TERMINAL_RE}')")
+    conds.append(
+        f"len(list_filter(regexp_split_to_array({t}, '\\s+'), "
+        f"x -> x <> '')) >= {int(min_words)}"
+    )
+    for tok in drop_tokens:
+        conds.append(f"NOT contains(lower(ln), '{tok.lower()}')")
+    kept = (
+        f"list_filter(string_split({text_expr}, chr(10)), "
+        f"ln -> {' AND '.join(conds)})"
+    )
+    surv = [f"len({kept}) >= {int(min_lines)}"]
+    for s in page_drop_substrings:
+        surv.append(f"NOT contains(lower({text_expr}), '{s.lower()}')")
+    if drop_brace:
+        surv.append(f"NOT contains({text_expr}, '{{')")
+    return {
+        # DuckDB's array_to_string returns NULL for an empty list;
+        # Spark's array_join returns '' — coalesce to the Spark value
+        "clean_text": f"coalesce(array_to_string({kept}, chr(10)), '')",
+        "n_kept": f"len({kept})",
+        "n_dropped": f"(len(string_split({text_expr}, chr(10))) - len({kept}))",
+        "survives": f"({' AND '.join(surv)})",
+    }
