@@ -4475,6 +4475,30 @@ def _q_text_c4_clean(spark, sf_dir):
     )
 
 
+def _q_eng_linear_fuse(spark, sf_dir):
+    """ES 8.16 `linear` retriever analog (similarity.linear_fuse):
+    min-max-normalized tfidf + cosine lists summed at weights 1.0/0.5.
+    Oracle recomputes both normalizations with window min/max."""
+    from ostrich_spark.query.exec import attach_docmap, search
+    from ostrich_spark.similarity import brute_force_topk, linear_fuse
+
+    idx = _doc_index(spark, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    res, _ = search(spark, idx, "text:spark", limit=None, scorer="tfidf")
+    text = attach_docmap(spark, idx, res).select(
+        F.col("doc_id"), F.col("score").cast("double").alias("score")
+    )
+    vec = brute_force_topk(_emb(spark, sf_dir), qv, k=None).select(
+        F.col("vec_id").alias("doc_id"), F.col("sim").alias("score")
+    )
+    out = linear_fuse([text, vec], "doc_id", k=10, weights=[1.0, 0.5])
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round("linear_score", 6).alias("linear_score"),
+        F.col("n_lists").cast("long"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5125,6 +5149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_terms_lookup": _q_eng_terms_lookup,
         "text_clf_score": _q_text_clf,
         "text_c4_clean": _q_text_c4_clean,
+        "eng_linear_fuse": _q_eng_linear_fuse,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -7502,6 +7527,29 @@ def oracle_sql() -> dict[str, str]:
         # hybrid RRF: text tfidf ranks + cosine ranks (both lists TOTAL
         # so rank ties resolve by id asc identically), fused 1/(60+r);
         # two-term sums are order-free so doubles match bit-for-bit
+        # linear retriever: both lists min-max normalized by window
+        # min/max, weighted 1.0 / 0.5
+        "eng_linear_fuse": (
+            f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
+            "t AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) "
+            "/ (1.0 + d.df))) AS s FROM tf t JOIN df d USING(term) "
+            "WHERE t.term = 'spark'), "
+            "tn AS (SELECT doc_id, 1.0 * CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0 "
+            "ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END AS c FROM t), "
+            "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "vs AS (SELECT vec_id AS doc_id, round("
+            " list_sum(list_transform(list_zip(embedding, (SELECT qv FROM q)), "
+            "   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            " (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "  sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS s "
+            "FROM embeddings), "
+            "vn AS (SELECT doc_id, 0.5 * CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0 "
+            "ELSE (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) END AS c FROM vs), "
+            "u AS (SELECT doc_id, c FROM tn UNION ALL SELECT doc_id, c FROM vn) "
+            "SELECT doc_id, round(sum(c), 6) AS linear_score, "
+            "count(*) AS n_lists FROM u GROUP BY doc_id "
+            "ORDER BY sum(c) DESC, doc_id ASC LIMIT 10"
+        ),
         "eng_hybrid_rrf": (
             f"WITH {TOKS_CTE}, {TF_CTE}, {N_CTE}, {DF_CTE}, "
             "t AS (SELECT t.doc_id, t.tf * (1.0 + ln((SELECT n FROM n) "

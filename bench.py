@@ -331,6 +331,7 @@ def main():
         ("docs_terms_lookup", em.queries()["eng_terms_lookup"]),
         ("text_clf_score", em.queries()["text_clf_score"]),
         ("text_c4_clean", em.queries()["text_c4_clean"]),
+        ("hybrid_linear", em.queries()["eng_linear_fuse"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -572,6 +572,70 @@ def rrf_fuse(ranked, on, k: int = 10, rank_constant: int = 60):
     ).limit(int(k))
 
 
+def linear_fuse(ranked, on, k: int = 10, weights=None, normalizer: str = "minmax"):
+    """Weighted-sum score fusion — the Elasticsearch 8.16+ ``linear``
+    retriever analog: ``fused(d) = Σ_lists w_i · norm_i(score_d)``,
+    the alternative to RRF when absolute score magnitudes (not just
+    ranks) should matter. ``ranked`` / ``on`` follow the rrf_fuse
+    contract (result DataFrames each with a higher-is-better ``score``,
+    key columns ``on``); ``weights`` defaults to 1.0 per list.
+
+    ``normalizer``: ``"minmax"`` rescales each list to [0, 1] by its
+    own (min, max) — the ES option that makes lexical and vector
+    scores commensurable; a single-valued list (max == min) normalizes
+    to 1.0 everywhere (OUR documented convention — the doc is that
+    list's best); ``"none"`` sums raw scores (the ES default, only
+    sane when the retrievers share a scale). A doc absent from a list
+    contributes nothing for it (the ES window semantics).
+
+    Returns top-``k`` rows (*on, ``linear_score``, ``n_lists``),
+    ordered (linear_score desc, *on asc) — deterministic under ties.
+
+    Scale note: same as rrf_fuse — inputs are top-WINDOW results, so
+    the per-list min/max window, the union groupBy and the final
+    TakeOrderedAndProject all operate on O(window · lists) rows."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("linear_fuse needs >= 1 ranked DataFrame")
+    if normalizer not in ("minmax", "none"):
+        raise ValueError(
+            f"normalizer must be minmax/none, got {normalizer!r}"
+        )
+    ws = [1.0] * len(ranked) if weights is None else [float(w) for w in weights]
+    if len(ws) != len(ranked):
+        raise ValueError(
+            f"{len(ws)} weights for {len(ranked)} ranked lists"
+        )
+    on = [on] if isinstance(on, str) else list(on)
+    parts = []
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    for df, w in zip(ranked, ws):
+        if "score" not in df.columns:
+            raise ValueError(
+                "every ranked DataFrame needs a higher-is-better "
+                "`score` column"
+            )
+        s = F.col("score").cast("double")
+        if normalizer == "minmax":
+            mn = F.min(s).over(w_all)
+            mx = F.max(s).over(w_all)
+            s = F.when(mx == mn, F.lit(1.0)).otherwise((s - mn) / (mx - mn))
+        parts.append(df.select(*on, (F.lit(w) * s).alias("__c")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*on).agg(
+        F.sum("__c").alias("linear_score"),
+        F.count("*").alias("n_lists"),
+    )
+    return fused.orderBy(
+        F.desc("linear_score"), *[F.asc(c) for c in on]
+    ).limit(int(k))
+
+
 def hybrid_search(
     spark,
     index_dir: str,

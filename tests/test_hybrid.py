@@ -137,3 +137,64 @@ def test_filtered_ann_knn_filter(spark, tmp_path):
     assert filtered_ann(
         spark, idx, "text:zzz", emb, qv, "doc_id", k=3
     ).collect() == []
+
+
+class TestLinearFuse:
+    """ES 8.16 `linear` retriever analog: weighted sum of min-max
+    normalized scores; hand-computed fixtures."""
+
+    def _lists(self, spark):
+        a = spark.createDataFrame(
+            [(1, 10.0), (2, 5.0), (3, 0.0)], "id long, score double"
+        )
+        b = spark.createDataFrame(
+            [(2, 2.0), (3, 4.0), (4, 3.0)], "id long, score double"
+        )
+        return a, b
+
+    def test_minmax_weighted_hand_computed(self, spark):
+        from ostrich_spark.similarity import linear_fuse
+
+        a, b = self._lists(spark)
+        got = {
+            r["id"]: (r["linear_score"], r["n_lists"])
+            for r in linear_fuse([a, b], "id", k=10, weights=[2.0, 1.0]).collect()
+        }
+        # a norms: 1 -> 1.0, 2 -> 0.5, 3 -> 0.0 ; b norms: 2 -> 0.0,
+        # 3 -> 1.0, 4 -> 0.5
+        assert got[1] == (2.0, 1)
+        assert got[2] == (2 * 0.5 + 0.0, 2)
+        assert got[3] == (0.0 + 1.0, 2)
+        assert got[4] == (0.5, 1)
+
+    def test_degenerate_none_ordering_validation(self, spark):
+        import pytest
+
+        from ostrich_spark.similarity import linear_fuse
+
+        a, b = self._lists(spark)
+        one = spark.createDataFrame([(7, 3.3), (8, 3.3)], "id long, score double")
+        got = {
+            r["id"]: r["linear_score"]
+            for r in linear_fuse([one], "id", k=10).collect()
+        }
+        # single-valued list: everyone normalizes to 1.0 (documented)
+        assert got == {7: 1.0, 8: 1.0}
+        # none: raw sums
+        got = {
+            r["id"]: r["linear_score"]
+            for r in linear_fuse([a, b], "id", k=10, normalizer="none").collect()
+        }
+        assert got[2] == 7.0 and got[3] == 4.0
+        # ordering + k cut deterministic
+        top = linear_fuse([a, b], "id", k=2).collect()
+        assert [r["id"] for r in top] == sorted(
+            [1, 2, 3, 4],
+            key=lambda i: (-{1: 1.0, 2: 0.5, 3: 1.0, 4: 0.5}[i], i),
+        )[:2]
+        with pytest.raises(ValueError, match="normalizer"):
+            linear_fuse([a], "id", normalizer="zscore")
+        with pytest.raises(ValueError, match="weights"):
+            linear_fuse([a, b], "id", weights=[1.0])
+        with pytest.raises(ValueError, match="ranked"):
+            linear_fuse([], "id")
