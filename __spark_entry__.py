@@ -4922,6 +4922,31 @@ def _q_events_tumbling(spark, sf_dir):
     )
 
 
+def _q_events_downsample(spark, sf_dir):
+    """ES TSDB downsample analog (events.downsample): hourly rollup per
+    (user, event_type) with the aggregate_metric_double quadruple.
+    Values pass through decimal so the sum is order-independent across
+    engines (the events_tumbling convention)."""
+    from ostrich_spark.events import downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    out = downsample(ev, interval="hour")
+    return _longify(
+        out.select(
+            F.col("bucket_ts").cast("string").alias("bucket_ts"),
+            "user_id",
+            "event_type",
+            "n_events",
+            F.round(F.col("value_min").cast("double"), 6).alias("value_min"),
+            F.round(F.col("value_max").cast("double"), 6).alias("value_max"),
+            F.round(F.col("value_sum").cast("double"), 6).alias("value_sum"),
+            "value_count",
+        )
+    )
+
+
 def _q_events_user_lag(spark, sf_dir):
     """Window function: per-user inter-event gap in microseconds (lag)."""
     from pyspark.sql.window import Window
@@ -5212,6 +5237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_real": _q_mm_decode_real,
         "mm_frame_sample": _q_mm_frames,
         "events_tumbling_hour": _q_events_tumbling,
+        "events_downsample": _q_events_downsample,
         "events_user_lag": _q_events_user_lag,
         "events_sessions": _q_events_sessions,
         "tpch_q1": _q_tpch_q1,
@@ -7792,6 +7818,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ceil(octet_length(encode(text)) / 1024.0) AS BIGINT) AS n_chunks, "
             "octet_length(encode(text)) % 640 + 1 AS fake_width, "
             "octet_length(encode(text)) % 480 + 1 AS fake_height FROM documents"
+        ),
+        "events_downsample": (
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket_ts, "
+            "user_id, event_type, count(*) AS n_events, "
+            "round(CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_min, "
+            "round(CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_max, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS value_sum, "
+            "count(value) AS value_count "
+            "FROM events GROUP BY date_trunc('hour', ts), user_id, event_type"
         ),
         "events_tumbling_hour": (
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, "

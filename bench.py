@@ -332,6 +332,7 @@ def main():
         ("text_clf_score", em.queries()["text_clf_score"]),
         ("text_c4_clean", em.queries()["text_c4_clean"]),
         ("hybrid_linear", em.queries()["eng_linear_fuse"]),
+        ("events_downsample", em.queries()["events_downsample"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -78,3 +78,62 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+DOWNSAMPLE_UNITS = ("minute", "hour", "day", "week", "month")
+
+
+def downsample(
+    df,
+    interval: str = "hour",
+    ts_col: str = "ts",
+    dimensions: tuple[str, ...] = ("user_id", "event_type"),
+    metrics: tuple[str, ...] = ("value",),
+):
+    """Time-series downsampling — the Elasticsearch TSDB ``downsample``
+    API analog: roll raw events into ONE row per (dimension tuple,
+    interval bucket), each metric kept as the ES
+    ``aggregate_metric_double`` quadruple (``{m}_min / {m}_max /
+    {m}_sum / {m}_count``) — the lossless-for-min/max/sum/avg summary
+    ES writes so rolled-up indices keep answering the standard metric
+    aggs (avg = sum/count downstream). ``n_events`` counts the
+    bucket's rows; NULL metric values contribute nothing to their
+    quadruple (count counts non-NULLs, the ES value_count contract);
+    NULL dimensions form their own bucket (SQL GROUP BY, stated).
+
+    ``interval`` is a calendar unit (minute/hour/day/week/month —
+    date_trunc semantics, weeks starting Monday); ``bucket_ts`` is the
+    bucket START timestamp (the ES convention).
+
+    Scale posture: ONE partial-aggregated groupBy on (dims, truncated
+    ts) — min/max/sum/count all combine map-side, so the shuffle
+    carries one quadruple per (bucket × dims) per task, never raw
+    events; the classic 100:1-1000:1 rollup reduction happens before
+    the wire. Write the result partitioned by bucket date for a
+    queryable rollup table."""
+    if interval not in DOWNSAMPLE_UNITS:
+        raise ValueError(
+            f"interval must be one of {DOWNSAMPLE_UNITS}, got {interval!r}"
+        )
+    dimensions = list(dimensions)
+    metrics = list(metrics)
+    if not metrics:
+        raise ValueError("downsample wants >= 1 metric column")
+    for c in [ts_col] + dimensions + metrics:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame ({df.columns})")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for m in metrics:
+        aggs += [
+            F.min(m).alias(f"{m}_min"),
+            F.max(m).alias(f"{m}_max"),
+            F.sum(m).alias(f"{m}_sum"),
+            F.count(m).alias(f"{m}_count"),
+        ]
+    return (
+        df.groupBy(
+            F.date_trunc(interval, F.col(ts_col)).alias("bucket_ts"),
+            *dimensions,
+        )
+        .agg(*aggs)
+    )

@@ -89,3 +89,62 @@ def test_streaming_watermark_drops_late_event(spark, tmp_path):
         q.stop()
     # the 10:00-10:10 window emitted once, WITHOUT the late event
     assert rows.get("2024-01-01 10:00:00") == 2
+
+
+class TestDownsample:
+    """ES TSDB downsample analog: aggregate_metric_double quadruples
+    per (dims, bucket) vs a pandas recount."""
+
+    def test_quadruples_vs_brute(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        from ostrich_spark.events import downsample
+
+        rows = []
+        base = dt.datetime(2024, 3, 1, 0, 0, 0)
+        for i in range(200):
+            rows.append({
+                "event_id": i,
+                "ts": base + dt.timedelta(minutes=7 * i),
+                "user_id": i % 3,
+                "event_type": ["view", "click"][i % 2],
+                "value": None if i % 11 == 0 else float(i % 17),
+            })
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        got = {
+            (r["bucket_ts"], r["user_id"], r["event_type"]): r
+            for r in downsample(df, interval="hour").collect()
+        }
+        pdf = pd.DataFrame(rows)
+        pdf["bucket_ts"] = pdf["ts"].dt.floor("h")
+        g = pdf.groupby(["bucket_ts", "user_id", "event_type"], dropna=False)
+        assert len(got) == len(g)
+        for key, grp in g:
+            r = got[key]
+            assert r["n_events"] == len(grp)
+            v = grp["value"].dropna()
+            assert r["value_count"] == len(v)
+            if len(v):
+                assert r["value_min"] == v.min()
+                assert r["value_max"] == v.max()
+                assert abs(r["value_sum"] - v.sum()) < 1e-9
+            else:
+                assert r["value_min"] is None and r["value_sum"] is None
+
+    def test_validation(self, spark):
+        import pytest
+
+        from ostrich_spark.events import downsample
+
+        df = spark.createDataFrame(
+            [(0, "2024-01-01 00:00:00", 1, "a", 1.0)],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        )
+        with pytest.raises(ValueError, match="interval"):
+            downsample(df, interval="fortnight")
+        with pytest.raises(ValueError, match="metric"):
+            downsample(df, metrics=())
+        with pytest.raises(ValueError, match="column"):
+            downsample(df, metrics=("nope",))
