@@ -913,17 +913,56 @@ def cmd_agg(args) -> int:
                   args.range, args.boxplot, args.string_stats,
                   args.auto_date_hist, args.multi_terms, args.mad,
                   args.t_test, args.vw_hist, args.cum_card, args.top_hits,
-                  args.categorize)
+                  args.categorize, args.freq_itemsets, args.sample_by)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --vw-hist, "
               "--date-hist, --auto-date-hist, --range, --boxplot, "
               "--string-stats, --multi-terms, --mad, --t-test, "
-              "--top-hits, --categorize or --cardinality",
+              "--top-hits, --categorize, --freq-itemsets, --sample-by "
+              "or --cardinality",
               file=sys.stderr)
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.freq_itemsets:
+        from .itemsets import frequent_item_sets
+
+        try:
+            rows = frequent_item_sets(
+                spark, args.path, args.query,
+                args.freq_itemsets.split(","),
+                min_support=args.min_support,
+                size=args.size or 10, scorer=args.scorer,
+            ).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['support_count']} {r['support']:.4f} {r['items']}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
+    if args.sample_by:
+        from .query.exec import random_sampler_facet
+
+        if args.sample_p is None:
+            print("agg: --sample-by needs --sample-p", file=sys.stderr)
+            return 2
+        try:
+            rows = random_sampler_facet(
+                spark, args.path, args.query, by=args.sample_by,
+                probability=args.sample_p, scorer=args.scorer,
+            ).orderBy(args.sample_by).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r[args.sample_by]} {r['n_docs']} "
+                  f"~{r['n_docs_est']:.1f}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.categorize:
         from .query.exec import categorize_text
 
@@ -2522,6 +2561,18 @@ def main(argv=None) -> int:
                     help="t-test flavor (default Welch/heteroscedastic)")
     ag.add_argument("--exact", action="store_true",
                     help="with --cardinality: exact count_distinct")
+    ag.add_argument("--freq-itemsets", metavar="F1,F2",
+                    help="frequent field=value combinations of the match "
+                         "set at --min-support (exact Apriori; ES "
+                         "frequent_item_sets)")
+    ag.add_argument("--min-support", type=float, default=0.1,
+                    help="--freq-itemsets support fraction of matched docs")
+    ag.add_argument("--sample-p", type=float, default=None,
+                    help="with --sample-by: random_sampler probability "
+                         "((0, 0.5] or 1; deterministic hash draw)")
+    ag.add_argument("--sample-by", metavar="BYFIELD",
+                    help="per-BYFIELD bucket counts over a --sample-p "
+                         "hash sample (ES random_sampler agg)")
     ag.add_argument("--categorize", metavar="FIELD",
                     help="log-template clustering of a stored text "
                          "FIELD: letter-only analyzer tokens joined, "

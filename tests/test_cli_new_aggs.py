@@ -197,3 +197,26 @@ def test_cli_agg_categorize(cli_idx):
                "--max-tokens", "2")
     lines = [l for l in out.stdout.splitlines() if not l.startswith("elapsed")]
     assert lines == ["30 spark data"]
+
+
+def test_cli_agg_itemsets_and_sampler(cli_idx):
+    """CLI agg --freq-itemsets and --sample-by print deterministic
+    lines; both error paths loud."""
+    out = _run("agg", "text:spark", "-p", cli_idx,
+               "--freq-itemsets", "tag,grp", "--min-support", "0.2")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if not l.startswith("elapsed")]
+    # 30 docs: tags 15/15, grps 10/10/10 -> singles all >= 0.2 support
+    assert any(l.endswith("tag=aa") and l.startswith("15") for l in lines)
+    assert any(l.endswith("grp=g1") and l.startswith("10") for l in lines)
+
+    out = _run("agg", "text:spark", "-p", cli_idx,
+               "--sample-by", "grp", "--sample-p", "0.5")
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith("g")]
+    assert len(lines) >= 1 and all("~" in l for l in lines)
+    bad = _run("agg", "text:spark", "-p", cli_idx, "--sample-by", "grp")
+    assert bad.returncode == 2 and "--sample-p" in bad.stderr
+    bad = _run("agg", "text:spark", "-p", cli_idx,
+               "--sample-by", "grp", "--sample-p", "0.7")
+    assert bad.returncode == 2 and "probability" in bad.stderr
