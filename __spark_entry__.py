@@ -4499,6 +4499,22 @@ def _q_eng_linear_fuse(spark, sf_dir):
     )
 
 
+def _q_dedup_repeated_spans(spark, sf_dir):
+    """Lee et al. 2022 ExactSubstr analog (dedup.repeated_spans):
+    8-token repeated windows excised corpus-wide, keeper = smallest
+    (id, pos) occurrence. Oracle re-derives occurrences, counts,
+    keeper ranks and the span-union mask relationally."""
+    from ostrich_spark.dedup import repeated_spans
+
+    out = repeated_spans(_docs(spark, sf_dir), k=8, min_df=2)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        "clean_text",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5175,6 +5191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_clf_score": _q_text_clf,
         "text_c4_clean": _q_text_c4_clean,
         "eng_linear_fuse": _q_eng_linear_fuse,
+        "dedup_repeated_spans": _q_dedup_repeated_spans,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -7553,6 +7570,31 @@ def oracle_sql() -> dict[str, str]:
         # hybrid RRF: text tfidf ranks + cosine ranks (both lists TOTAL
         # so rank ties resolve by id asc identically), fused 1/(60+r);
         # two-term sums are order-free so doubles match bit-for-bit
+        # ExactSubstr span dedup: occurrences / counts / keeper ranks /
+        # span-union mask all re-derived relationally
+        "dedup_repeated_spans": (
+            f"WITH {TOKLIST_CTE}, "
+            "occ AS (SELECT tl.doc_id, i - 1 AS pos, "
+            "array_to_string(list_slice(tl.toks, i, i + 7), ' ') AS sh "
+            "FROM tl, unnest(range(1, len(tl.toks) - 8 + 2)) AS u(i) "
+            "WHERE len(tl.toks) >= 8), "
+            "cnt AS (SELECT sh, count(*) AS c FROM occ GROUP BY sh), "
+            "rk AS (SELECT doc_id, pos, sh, row_number() OVER "
+            "(PARTITION BY sh ORDER BY doc_id, pos) AS rn FROM occ), "
+            "exc AS (SELECT r.doc_id, r.pos FROM rk r JOIN cnt USING (sh) "
+            "WHERE cnt.c >= 2 AND r.rn > 1), "
+            "ptab AS (SELECT doc_id, unnest(toks) AS term, "
+            "unnest(range(len(toks))) AS p FROM tl), "
+            "keep AS (SELECT pt.doc_id, pt.p, pt.term FROM ptab pt "
+            "WHERE NOT EXISTS (SELECT 1 FROM exc e WHERE e.doc_id = pt.doc_id "
+            "AND e.pos <= pt.p AND pt.p < e.pos + 8)), "
+            "g AS (SELECT doc_id, array_to_string(array_agg(term ORDER BY p), ' ') AS ct, "
+            "count(*) AS nk FROM keep GROUP BY doc_id) "
+            "SELECT tl.doc_id, coalesce(g.ct, '') AS clean_text, "
+            "coalesce(g.nk, 0) AS n_kept, "
+            "len(tl.toks) - coalesce(g.nk, 0) AS n_removed "
+            "FROM tl LEFT JOIN g USING (doc_id)"
+        ),
         # linear retriever: both lists min-max normalized by window
         # min/max, weighted 1.0 / 0.5
         "eng_linear_fuse": (

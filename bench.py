@@ -333,13 +333,15 @@ def main():
         ("text_c4_clean", em.queries()["text_c4_clean"]),
         ("hybrid_linear", em.queries()["eng_linear_fuse"]),
         ("events_downsample", em.queries()["events_downsample"]),
+        ("dedup_repeated_spans", em.queries()["dedup_repeated_spans"]),
     ]:
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             # text-heavy ops (chunks/scrub) would ship the whole corpus text
             # to the driver under collect() — time the compute via count()
-            if name in ("text_chunks", "scrub_pii", "dedup_lines"):
+            if name in ("text_chunks", "scrub_pii", "dedup_lines",
+                        "text_c4_clean", "dedup_repeated_spans"):
                 fn(spark, SF_DIR).count()
             else:
                 fn(spark, SF_DIR).collect()

@@ -513,3 +513,94 @@ def decontaminate(
             (F.coalesce("n_hit", F.lit(0)) >= min_overlap).alias("contaminated"),
         )
     )
+
+
+def repeated_spans(
+    df,
+    text_col="text",
+    id_col="doc_id",
+    k: int = 10,
+    min_df: int = 2,
+    policy: str = "keep_first",
+):
+    """Exact substring-span deduplication — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    ExactSubstr operation at token granularity: any ``k``-token window
+    whose exact content occurs at least ``min_df`` times across the
+    corpus (WITHIN-doc repeats count — occurrence count, not document
+    count, the paper's semantics) is a repeated span, and every token
+    covered by an excised occurrence drops.
+
+    ``policy``: ``"keep_first"`` (the paper's rule — ONE occurrence
+    survives; the keeper is the lexicographically smallest (id, pos)
+    occurrence, deterministic and order-free) or ``"remove_all"``.
+    Overlapping excised spans union naturally (a token drops if ANY
+    covering occurrence is excised). Docs shorter than ``k`` tokens
+    carry no shingles and pass through whole.
+
+    Returns (``id_col``, ``clean_text``, ``n_kept``, ``n_removed``).
+    ``clean_text`` is the SURVIVING TOKEN STREAM space-rejoined (the
+    form LM training consumes — token-level like the paper's suffix
+    array over tokenized text; raw-byte fidelity is not the contract
+    and is stated so).
+
+    Scale posture vs the paper's suffix array: a suffix array needs the
+    whole corpus in one address space; the Spark shape is shingle
+    inventory instead — per-doc window hashes map-side (here the exact
+    window STRING: collision-free, and the groupBy key dictionary-
+    encodes), ONE partial-aggregated groupBy(shingle) for counts +
+    keeper election, one join of occurrences against the hot-shingle
+    set (hot set is boilerplate-sized but delivered by JOIN, not
+    broadcast — at web scale it can be millions of windows), then a
+    per-doc mask built from the sorted excised-start list with
+    index-aware array filters — no per-token explode ever reaches the
+    wire a second time."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    if policy not in ("keep_first", "remove_all"):
+        raise ValueError(
+            f"policy must be 'keep_first' or 'remove_all', got {policy!r}"
+        )
+    t = with_tokens(df, text_col).select(id_col, "toks")
+    n = F.size("toks")
+    sh = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
+    )
+    occ = (
+        t.filter(n >= k)
+        .select(id_col, F.posexplode(sh).alias("pos", "shingle"))
+    )
+    stats = occ.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("keeper"),
+    )
+    hot = stats.filter(F.col("n_occ") >= min_df)
+    exc = occ.join(hot, "shingle")
+    if policy == "keep_first":
+        exc = exc.filter(
+            ~((F.col(id_col) == F.col("keeper.i")) & (F.col("pos") == F.col("keeper.p")))
+        )
+    starts = exc.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__starts")
+    )
+    kw = int(k)
+    out = t.join(starts, id_col, "left").select(
+        id_col,
+        "toks",
+        F.coalesce("__starts", F.array().cast("array<int>")).alias("__st"),
+    )
+    kept = F.filter(
+        "toks",
+        lambda x, i: ~F.exists(
+            "__st", lambda s: (s <= i) & (i < s + kw)
+        ),
+    )
+    return out.select(
+        id_col,
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+    )
