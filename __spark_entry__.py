@@ -4515,6 +4515,37 @@ def _q_dedup_repeated_spans(spark, sf_dir):
     )
 
 
+def _q_eng_change_point(spark, sf_dir):
+    """ES change_point analog (pipeline_aggs.change_point,
+    deterministic AMOC): 20 doc_id buckets of summed n_chars with a
+    +50000 step injected at bucket 10 by identical expressions on both
+    sides; the argmin split, means and gain gate. Oracle reruns the
+    same least-squares split with SQL windows."""
+    from ostrich_spark.pipeline_aggs import change_point
+
+    b = (
+        _docs(spark, sf_dir)
+        .groupBy(F.floor(F.col("doc_id") / 25).cast("long").alias("k"))
+        .agg(F.sum("n_chars").alias("__s"))
+        .select(
+            "k",
+            (
+                F.col("__s")
+                + F.when(F.col("k") >= 10, F.lit(50000)).otherwise(F.lit(0))
+            ).cast("double").alias("v"),
+        )
+    )
+    row = change_point(b, "k", "v")
+    return row.select(
+        "type",
+        F.col("change_key").cast("long").alias("change_key"),
+        F.round("before_mean", 6).alias("before_mean"),
+        F.round("after_mean", 6).alias("after_mean"),
+        "gain",
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5192,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": _q_text_c4_clean,
         "eng_linear_fuse": _q_eng_linear_fuse,
         "dedup_repeated_spans": _q_dedup_repeated_spans,
+        "eng_change_point": _q_eng_change_point,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -7570,6 +7602,30 @@ def oracle_sql() -> dict[str, str]:
         # hybrid RRF: text tfidf ranks + cosine ranks (both lists TOTAL
         # so rank ties resolve by id asc identically), fused 1/(60+r);
         # two-term sums are order-free so doubles match bit-for-bit
+        # change_point: the same AMOC least-squares split rerun with
+        # SQL windows over identically-synthesized step buckets
+        "eng_change_point": (
+            "WITH b AS (SELECT doc_id // 25 AS k, "
+            "CAST(sum(n_chars) + (CASE WHEN doc_id // 25 >= 10 THEN 50000 ELSE 0 END) AS DOUBLE) AS v "
+            "FROM documents GROUP BY doc_id // 25), "
+            "w AS (SELECT k, v, row_number() OVER (ORDER BY k) AS i, "
+            "sum(v) OVER (ORDER BY k) AS cs, sum(v * v) OVER (ORDER BY k) AS cq, "
+            "sum(v) OVER () AS ts, sum(v * v) OVER () AS tq, "
+            "count(*) OVER () AS n, lead(k) OVER (ORDER BY k) AS nk FROM b), "
+            "c AS (SELECT *, (cq - cs * cs / i) + ((tq - cq) - (ts - cs) * (ts - cs) / (n - i)) AS sse, "
+            "tq - ts * ts / n AS stot, cs / i AS bm, (ts - cs) / (n - i) AS am "
+            "FROM w WHERE i >= 2 AND n - i >= 2), "
+            "p AS (SELECT * FROM c ORDER BY sse ASC, k ASC LIMIT 1), "
+            "t AS (SELECT *, CASE WHEN stot > 0 AND 1.0 - sse / stot >= 0.5 "
+            "THEN (CASE WHEN am > bm THEN 'step_up' ELSE 'step_down' END) "
+            "ELSE 'none' END AS typ, "
+            "round(CASE WHEN stot > 0 THEN 1.0 - sse / stot ELSE 0.0 END, 6) AS g FROM p) "
+            "SELECT typ AS type, "
+            "CASE WHEN typ <> 'none' THEN nk END AS change_key, "
+            "CASE WHEN typ <> 'none' THEN round(bm, 6) END AS before_mean, "
+            "CASE WHEN typ <> 'none' THEN round(am, 6) END AS after_mean, "
+            "g AS gain, n FROM t"
+        ),
         # ExactSubstr span dedup: occurrences / counts / keeper ranks /
         # span-union mask all re-derived relationally
         "dedup_repeated_spans": (

@@ -334,6 +334,7 @@ def main():
         ("hybrid_linear", em.queries()["eng_linear_fuse"]),
         ("events_downsample", em.queries()["events_downsample"]),
         ("dedup_repeated_spans", em.queries()["dedup_repeated_spans"]),
+        ("agg_change_point", em.queries()["eng_change_point"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -474,3 +474,95 @@ def rate(
             ) * F.lit(86_400_000)
             denom = span_ms / F.lit(float(_RATE_UNIT_MS[unit]))
     return df.withColumn(out, F.col(value).cast("double") / denom)
+
+
+def change_point(
+    df: DataFrame,
+    key,
+    value: str,
+    min_gain: float = 0.5,
+    min_side: int = 2,
+) -> DataFrame:
+    """Step-change detection over a bucket series — the Elasticsearch
+    ``change_point`` aggregation's ``step_change`` case, made
+    DETERMINISTIC: where ES runs an ML detector (results unspecified
+    beyond "a change point"), this is the classic AMOC (at-most-one-
+    change) least-squares split — the split ``s`` minimizing
+    SSE_left + SSE_right with at least ``min_side`` buckets per side,
+    first-key tie-break. The split qualifies as a step iff
+    ``gain = 1 − SSE(s*)/SSE_total ≥ min_gain`` (variance explained by
+    the two-level model; SSE_total = 0 → a constant series → no step).
+
+    Returns ONE row: (``type`` step_up/step_down/none, ``change_key``
+    = the FIRST key of the after-segment or NULL, ``before_mean``,
+    ``after_mean``, ``gain``, ``n``). A series shorter than
+    ``2·min_side`` has no candidate split and returns an EMPTY frame.
+
+    Scale posture: runs over an already-reduced bucket frame (the
+    pipeline-agg contract — bounded rows); prefix sums via one ordered
+    window, every candidate split evaluated as a column, argmin via
+    TakeOrdered(1). The raw corpus never participates."""
+    if not (0.0 <= min_gain <= 1.0):
+        raise ValueError(f"min_gain must be in [0, 1], got {min_gain}")
+    if min_side < 1:
+        raise ValueError(f"min_side must be >= 1, got {min_side}")
+    keys = [key] if isinstance(key, str) else list(key)
+    w = _ordered_window(keys).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = _ordered_window(keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v = F.col(value).cast("double")
+    work = df.select(
+        *keys,
+        v.alias("__v"),
+        F.row_number().over(_ordered_window(keys)).alias("__i"),
+        # first key of the would-be after-segment: the NEXT bucket in
+        # the FULL series (computed before the min_side filter)
+        F.lead(keys[0], 1).over(_ordered_window(keys)).alias("__next_key"),
+        F.sum(v).over(w).alias("__cs"),
+        F.sum(v * v).over(w).alias("__cq"),
+        F.sum(v).over(w_all).alias("__ts"),
+        F.sum(v * v).over(w_all).alias("__tq"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    n = F.col("__n")
+    nl = F.col("__i")
+    nr = n - nl
+    sse = (
+        (F.col("__cq") - F.col("__cs") * F.col("__cs") / nl)
+        + (
+            (F.col("__tq") - F.col("__cq"))
+            - (F.col("__ts") - F.col("__cs"))
+            * (F.col("__ts") - F.col("__cs"))
+            / nr
+        )
+    )
+    sse_tot = F.col("__tq") - F.col("__ts") * F.col("__ts") / n
+    cand = work.filter(
+        (nl >= min_side) & (nr >= min_side)
+    ).select(
+        *keys,
+        "__next_key",
+        sse.alias("__sse"),
+        sse_tot.alias("__stot"),
+        (F.col("__cs") / nl).alias("before_mean"),
+        ((F.col("__ts") - F.col("__cs")) / nr).alias("after_mean"),
+        n.alias("n"),
+    )
+    best = cand.orderBy(F.asc("__sse"), *[F.asc(k) for k in keys]).limit(1)
+    gain = F.when(
+        F.col("__stot") > 0, 1.0 - F.col("__sse") / F.col("__stot")
+    ).otherwise(F.lit(0.0))
+    typ = F.when(gain < F.lit(float(min_gain)), F.lit("none")).otherwise(
+        F.when(F.col("after_mean") > F.col("before_mean"), F.lit("step_up"))
+        .otherwise(F.lit("step_down"))
+    )
+    out = best.select(
+        typ.alias("type"),
+        F.when(typ != "none", F.col("__next_key")).alias("change_key"),
+        F.when(typ != "none", F.col("before_mean")).alias("before_mean"),
+        F.when(typ != "none", F.col("after_mean")).alias("after_mean"),
+        F.round(gain, 6).alias("gain"),
+        "n",
+    )
+    return out

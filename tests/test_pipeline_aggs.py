@@ -448,3 +448,67 @@ class TestMovingPercentiles:
             moving_percentiles(
                 bdf, "bucket_ms", "n_docs", window=3, percents=(123.0,)
             )
+
+
+class TestChangePoint:
+    """Deterministic AMOC step detection (ES change_point analog):
+    argmin split vs a numpy brute force."""
+
+    def _brute(self, vals, min_side=2):
+        import numpy as np
+
+        x = np.asarray(vals, dtype=float)
+        n = len(x)
+        best = None
+        for s in range(min_side, n - min_side + 1):
+            l, r = x[:s], x[s:]
+            sse = ((l - l.mean()) ** 2).sum() + ((r - r.mean()) ** 2).sum()
+            if best is None or sse < best[0] - 1e-12:
+                best = (sse, s, l.mean(), r.mean())
+        tot = ((x - x.mean()) ** 2).sum()
+        gain = 0.0 if tot == 0 else 1.0 - best[0] / tot
+        return best[1], best[2], best[3], gain
+
+    def test_step_up_detected_at_right_key(self, spark):
+        from ostrich_spark.pipeline_aggs import change_point
+
+        vals = [10.0, 11.0, 9.0, 10.5, 10.0, 30.0, 29.0, 31.0, 30.5, 30.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v double"
+        )
+        row = change_point(df, "k", "v").collect()[0]
+        s, bm, am, gain = self._brute(vals)
+        assert row["type"] == "step_up"
+        assert row["change_key"] == s  # first key of the after-segment
+        assert abs(row["before_mean"] - bm) < 1e-9
+        assert abs(row["after_mean"] - am) < 1e-9
+        assert abs(row["gain"] - gain) < 1e-6
+
+    def test_step_down_none_and_edges(self, spark):
+        from ostrich_spark.pipeline_aggs import change_point
+
+        down = [30.0, 31.0, 29.0, 10.0, 9.0, 11.0]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(down)], "k long, v double"
+        )
+        row = change_point(df, "k", "v").collect()[0]
+        assert row["type"] == "step_down" and row["change_key"] == 3
+        # flat-noise series: no step at min_gain 0.5
+        flat = [10.0, 10.4, 9.8, 10.1, 9.9, 10.2, 10.0, 10.3]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(flat)], "k long, v double"
+        )
+        row = change_point(df, "k", "v").collect()[0]
+        assert row["type"] == "none" and row["change_key"] is None
+        # constant series: SSE_total = 0 -> none
+        df = spark.createDataFrame([(i, 5.0) for i in range(6)], "k long, v double")
+        assert change_point(df, "k", "v").collect()[0]["type"] == "none"
+        # too short: empty frame
+        df = spark.createDataFrame([(0, 1.0), (1, 9.0)], "k long, v double")
+        assert change_point(df, "k", "v").count() == 0
+        import pytest
+
+        with pytest.raises(ValueError, match="min_gain"):
+            change_point(df, "k", "v", min_gain=2.0)
+        with pytest.raises(ValueError, match="min_side"):
+            change_point(df, "k", "v", min_side=0)
