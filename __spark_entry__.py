@@ -4546,6 +4546,20 @@ def _q_eng_change_point(spark, sf_dir):
     )
 
 
+def _q_sample_weighted(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (sampling.weighted_sample): top-50 by log(unit_hash)/n_chars — the
+    deterministic weight-proportional draw. Oracle recomputes the key
+    with the shared sha256 expression."""
+    from ostrich_spark.sampling import weighted_sample
+
+    out = weighted_sample(_docs(spark, sf_dir), "n_chars", 50)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.round("__wkey", 6).alias("wkey"),
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5224,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_linear_fuse": _q_eng_linear_fuse,
         "dedup_repeated_spans": _q_dedup_repeated_spans,
         "eng_change_point": _q_eng_change_point,
+        "sample_weighted": _q_sample_weighted,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -7602,6 +7617,16 @@ def oracle_sql() -> dict[str, str]:
         # hybrid RRF: text tfidf ranks + cosine ranks (both lists TOTAL
         # so rank ties resolve by id asc identically), fused 1/(60+r);
         # two-term sums are order-free so doubles match bit-for-bit
+        # E-S weighted sample: the log(u)/w key recomputed with the
+        # shared sha256 unit-hash expression
+        "sample_weighted": (
+            "SELECT doc_id, round(ln("
+            "(('0x' || substr(sha256('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "/ 4294967296.0)) / n_chars, 6) AS wkey "
+            "FROM documents WHERE n_chars > 0 "
+            "ORDER BY ln((('0x' || substr(sha256('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "/ 4294967296.0)) / n_chars DESC, doc_id ASC LIMIT 50"
+        ),
         # change_point: the same AMOC least-squares split rerun with
         # SQL windows over identically-synthesized step buckets
         "eng_change_point": (

@@ -335,6 +335,7 @@ def main():
         ("events_downsample", em.queries()["events_downsample"]),
         ("dedup_repeated_spans", em.queries()["dedup_repeated_spans"]),
         ("agg_change_point", em.queries()["eng_change_point"]),
+        ("sample_weighted", em.queries()["sample_weighted"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -216,3 +216,47 @@ def cap_per_group(
     return agg.select(F.explode("rows").alias("r")).select(
         *[F.col(f"r.p.{c}").alias(c) for c in cols]
     )
+
+
+def weighted_sample(
+    df,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+):
+    """Weighted sampling WITHOUT replacement — the Efraimidis–Spirakis
+    A-Res scheme, the standard distributed weighted sampler (the shape
+    importance-based data selection à la DSIR resolves to once
+    per-example weights exist): each row draws ``u = unit_hash(key)``
+    and keys on ``log(u) / w`` (the log form of u^(1/w) — same
+    ordering, no pow underflow, and ``log`` agrees across engines
+    better than ``pow``); the ``k`` LARGEST keys are exactly a
+    weight-proportional sample without replacement.
+
+    Deterministic end to end: the "randomness" is the curation
+    module's portable sha256 unit hash, so the same rows are chosen
+    under any partitioning, reruns reproduce bit-identically, a
+    different ``salt`` gives an independent draw, and the DuckDB
+    oracle recomputes the exact sample. Rows with NULL or
+    non-positive weight are EXCLUDED (zero weight means "never
+    sample"; negative is an error rule stated here, not silently
+    clamped).
+
+    Returns the selected rows (all original columns) plus ``__wkey``
+    (the selection key, for auditing; drop it if unwanted), ordered
+    key DESC then ``key_col`` ASC — deterministic under ties.
+
+    Scale posture: one JVM-side projection + TakeOrderedAndProject —
+    per-partition k-heaps, no shuffle of the corpus, no driver
+    involvement beyond the k rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    for c in (weight_col, key_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame ({df.columns})")
+    u = _unit_hash(F.col(key_col), salt)
+    w = F.col(weight_col).cast("double")
+    eligible = df.filter(w.isNotNull() & (w > 0))
+    keyed = eligible.withColumn("__wkey", F.log(u) / w)
+    return keyed.orderBy(F.desc("__wkey"), F.asc(key_col)).limit(int(k))

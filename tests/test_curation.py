@@ -297,3 +297,65 @@ def test_cap_per_group_validation(spark, cap_docs):
     from pyspark.sql import functions as _F
 
     assert cap_per_group(cap_docs, "host", 1000).count() == cap_docs.count()
+
+
+class TestWeightedSample:
+    """Efraimidis–Spirakis weighted sampling without replacement:
+    deterministic portable-hash draw; selection == a hashlib recount;
+    distributional sanity on weight proportionality."""
+
+    def _brute(self, rows, k, salt="wsample"):
+        import hashlib
+        import math
+
+        keyed = []
+        for rid, w in rows:
+            if w is None or w <= 0:
+                continue
+            h = hashlib.sha256(f"{salt}{rid}".encode()).hexdigest()[:8]
+            u = int(h, 16) / 2**32
+            keyed.append((math.log(u) / w, -rid))
+        keyed.sort(reverse=True)
+        return [-r for _, r in keyed[:k]]
+
+    def test_selection_vs_brute_and_partition_invariance(self, spark):
+        from ostrich_spark.sampling import weighted_sample
+
+        rows = [(i, None if i % 17 == 0 else (0.0 if i % 13 == 0 else float(1 + i % 7)))
+                for i in range(200)]
+        for parts in (1, 5):
+            df = spark.createDataFrame(rows, "doc_id long, w double").repartition(parts)
+            got = [r["doc_id"] for r in weighted_sample(df, "w", 25).collect()]
+            assert got == self._brute(rows, 25)
+        # different salt -> different draw; same salt reproduces
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = [r["doc_id"] for r in weighted_sample(df, "w", 25, salt="s1").collect()]
+        b = [r["doc_id"] for r in weighted_sample(df, "w", 25, salt="s2").collect()]
+        assert a != b
+
+    def test_weight_proportionality(self, spark):
+        """A weight-10 item should appear in small samples far more
+        often than weight-1 items: estimate inclusion frequency across
+        salts — deterministic per salt, so this is exact, not flaky."""
+        from ostrich_spark.sampling import weighted_sample
+
+        rows = [(i, 10.0 if i == 0 else 1.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        hits = sum(
+            0 in {r["doc_id"] for r in weighted_sample(df, "w", 5, salt=f"t{s}").collect()}
+            for s in range(30)
+        )
+        # expected inclusion ~= 1 - prod(1 - 10/59-ish) >> uniform 10%;
+        # loose bound: at least a third of the draws
+        assert hits >= 10
+
+    def test_validation(self, spark):
+        import pytest
+
+        from ostrich_spark.sampling import weighted_sample
+
+        df = spark.createDataFrame([(0, 1.0)], "doc_id long, w double")
+        with pytest.raises(ValueError, match="k must"):
+            weighted_sample(df, "w", 0)
+        with pytest.raises(ValueError, match="column"):
+            weighted_sample(df, "nope", 1)
