@@ -4560,6 +4560,69 @@ def _q_sample_weighted(spark, sf_dir):
     )
 
 
+def _q_mm_image_dhash(spark, sf_dir):
+    """Perceptual image hash over REAL PNG decode, VALUE-checked: each
+    doc's first 72 text bytes become a genuine 9×8 grayscale PNG
+    (zero-padded), so the 9×(8+1)→identity resize makes the dHash a
+    CLOSED-FORM function of character codes — bit (i,j) = 1 iff
+    byte[i*9+j] < byte[i*9+j+1]. The oracle recomputes all 64
+    comparisons from the raw text; a hash match proves the zlib
+    inflate + unfilter + luma + resize + compare pipeline end to
+    end."""
+    from ostrich_spark.imagecodec import encode_png
+    from ostrich_spark.multimodal import dhash_images
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("item_id"), "text"
+    )
+
+    def mk(it):
+        import numpy as np
+        import pandas as pd
+
+        from ostrich_spark.imagecodec import encode_png as _enc
+
+        for pdf in it:
+            rows = []
+            for rid, t in zip(pdf["item_id"], pdf["text"]):
+                b = str(t).encode("utf-8")[:72]
+                arr = np.zeros(72, dtype=np.uint8)
+                arr[: len(b)] = np.frombuffer(b, dtype=np.uint8)
+                rows.append((int(rid), bytearray(_enc(arr.reshape(8, 9, 1)))))
+            yield pd.DataFrame(rows, columns=["item_id", "payload"])
+
+    payloads = d.mapInPandas(mk, "item_id long, payload binary")
+    out = dhash_images(payloads)
+    return out.select(
+        F.col("item_id").cast("long").alias("doc_id"), "dhash"
+    )
+
+
+def _dhash_oracle_sql() -> str:
+    """64 closed-form byte comparisons == the dHash of the 9×8 image
+    built from the same text (HUGEINT accumulation, reinterpreted to
+    the signed int64 the engine emits)."""
+    terms = []
+    for i in range(8):
+        for j in range(8):
+            p, q = i * 9 + j, i * 9 + j + 1
+            weight = 1 << (63 - (i * 8 + j))
+            cp = (f"(CASE WHEN length(text) >= {p + 1} "
+                  f"THEN ascii(substr(text, {p + 1}, 1)) ELSE 0 END)")
+            cq = (f"(CASE WHEN length(text) >= {q + 1} "
+                  f"THEN ascii(substr(text, {q + 1}, 1)) ELSE 0 END)")
+            terms.append(
+                f"(CASE WHEN {cp} < {cq} THEN CAST({weight} AS HUGEINT) "
+                f"ELSE CAST(0 AS HUGEINT) END)"
+            )
+    v = " + ".join(terms)
+    return (
+        "SELECT doc_id, CAST(CASE WHEN v >= CAST(9223372036854775808 AS HUGEINT) "
+        "THEN v - CAST(18446744073709551616 AS HUGEINT) ELSE v END AS BIGINT) AS dhash "
+        f"FROM (SELECT doc_id, ({v}) AS v FROM documents) s"
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5239,6 +5302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_spans": _q_dedup_repeated_spans,
         "eng_change_point": _q_eng_change_point,
         "sample_weighted": _q_sample_weighted,
+        "mm_image_dhash": _q_mm_image_dhash,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -7617,6 +7681,9 @@ def oracle_sql() -> dict[str, str]:
         # hybrid RRF: text tfidf ranks + cosine ranks (both lists TOTAL
         # so rank ties resolve by id asc identically), fused 1/(60+r);
         # two-term sums are order-free so doubles match bit-for-bit
+        # image dHash: 64 closed-form byte comparisons over the same
+        # text the 9x8 PNG was built from
+        "mm_image_dhash": _dhash_oracle_sql(),
         # E-S weighted sample: the log(u)/w key recomputed with the
         # shared sha256 unit-hash expression
         "sample_weighted": (

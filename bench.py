@@ -336,6 +336,7 @@ def main():
         ("dedup_repeated_spans", em.queries()["dedup_repeated_spans"]),
         ("agg_change_point", em.queries()["eng_change_point"]),
         ("sample_weighted", em.queries()["sample_weighted"]),
+        ("mm_image_dhash", em.queries()["mm_image_dhash"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -291,3 +291,134 @@ def decode_binary_features(
             yield out
 
     return df.select(id_col, binary_col).mapInPandas(fn, schema)
+
+
+DHASH_SCHEMA = "item_id long, dhash long, width int, height int, err string"
+
+
+def dhash_py(px: "np.ndarray", hash_w: int = 8, hash_h: int = 8) -> int:
+    """64-bit difference hash (dHash) of an (H, W, C) uint8 pixel
+    array: integer luma ((77R + 150G + 29B) >> 8 — exact integer
+    arithmetic, platform-independent), nearest-neighbor resize to
+    (hash_w+1) × hash_h, then bit i*hash_w+j = 1 iff
+    grey[i, j] < grey[i, j+1] (left-darker-than-right, row-major)."""
+    import numpy as np
+
+    from .imagecodec import resize_nearest
+
+    if px.shape[2] >= 3:
+        g = (
+            77 * px[:, :, 0].astype(np.int64)
+            + 150 * px[:, :, 1].astype(np.int64)
+            + 29 * px[:, :, 2].astype(np.int64)
+        ) >> 8
+    else:
+        g = px[:, :, 0].astype(np.int64)
+    small = resize_nearest(
+        g.astype(np.uint8)[:, :, None], hash_w + 1, hash_h
+    )[:, :, 0].astype(np.int64)
+    bits = (small[:, :-1] < small[:, 1:]).astype(np.int64).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # keep inside int64 (64 bits with the top bit possibly set):
+    # reinterpret as signed
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return int(h)
+
+
+def dhash_images(df, payload_col: str = "payload", id_col: str = "item_id",
+                 hash_w: int = 8, hash_h: int = 8):
+    """Perceptual image hashing over REAL decoded pixels — the
+    image-dedup analog of simhash for text: dHash (difference hash),
+    the standard cheap perceptual fingerprint (near-identical images —
+    recompressions, small edits, thumbnails — land within a few bits;
+    unrelated images differ in ~32). Decodes each PNG payload with the
+    stdlib codec (imagecodec.decode_png_pixels), hashes via dhash_py.
+
+    Returns (``id_col``, ``dhash`` int64, width, height, err);
+    undecodable payloads yield NULL dhash with the decode error in
+    ``err`` (a corrupt image is data, not a job failure — the
+    mm-pipeline convention).
+
+    Scale posture: mapInPandas Arrow batches, one numpy-heavy call per
+    item (zlib/numpy do the byte work in C), no shuffle, no driver."""
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .imagecodec import CodecError, decode_png_pixels
+
+        for pdf in it:
+            rows = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    px = decode_png_pixels(b)
+                    rows.append((
+                        int(rid), dhash_py(px, hash_w, hash_h),
+                        px.shape[1], px.shape[0], None,
+                    ))
+                except Exception as e:  # CodecError + malformed bytes
+                    rows.append((int(rid), None, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["item_id", "dhash", "width", "height", "err"]
+            ).rename(columns={"item_id": id_col})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, DHASH_SCHEMA.replace("item_id", id_col)
+    )
+
+
+def image_neardup_pairs(hash_df, id_col: str = "item_id",
+                        max_hamming: int = 6, bands: int = 8):
+    """Near-duplicate image pairs from dHashes: banded LSH exactly like
+    the text simhash path — the 64-bit hash splits into ``bands``
+    equal bit-slices, a pair sharing ANY slice becomes a candidate
+    (guaranteed complete for hamming < bands by pigeonhole), and the
+    exact popcount of XOR verifies ``<= max_hamming``. All JVM-side
+    (shiftright/bitwise ops + bit_count); candidate join bucketed by
+    (band, slice) — bounded by duplicate cluster sizes, never
+    all-pairs.
+
+    Returns (a, b, hamming) with a < b, each pair once."""
+    from pyspark.sql import functions as F
+
+    if not (1 <= bands <= 64) or 64 % bands:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming {max_hamming} >= bands {bands}: the pigeonhole "
+            f"guarantee needs hamming < bands (raise bands)"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hash_df.filter(F.col("dhash").isNotNull()).select(
+        F.col(id_col).alias("id"), "dhash"
+    )
+    slices = h.select(
+        "id", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("dhash", i * width).bitwiseAND(F.lit(mask)).alias("sl"),
+            )
+            for i in range(bands)
+        ])).alias("bs"),
+    ).select("id", "dhash", "bs.band", "bs.sl")
+    a, b = slices.alias("a"), slices.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sl") == F.col("b.sl"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
