@@ -1349,7 +1349,23 @@ def cmd_geo(args) -> int:
     spark = _spark()
     t0 = time.time()
     try:
-        if args.mode == "rings":
+        if args.mode == "line":
+            if not args.sort_by:
+                print("geo line: --sort-by FIELD is required",
+                      file=sys.stderr)
+                return 2
+            rows = geomod.geo_line(
+                spark, args.path, args.field, args.sort_by,
+                by=args.by, size=args.size,
+                order="desc" if args.desc else "asc",
+            ).collect()
+            key = lambda r: ((r[args.by],) if args.by else ()) + (r["seq"],)
+            for r in sorted(rows, key=key):
+                pre = f"{r[args.by]} " if args.by else ""
+                print(f"{pre}#{r['seq']} {r[args.sort_by]} "
+                      f"{r['lat']},{r['lon']}")
+            print(f"{len(rows)} points, elapsed: {time.time() - t0:.3f}s")
+        elif args.mode == "rings":
             if not args.origin:
                 print("--origin LAT,LON is required", file=sys.stderr)
                 return 2
@@ -2637,7 +2653,18 @@ def main(argv=None) -> int:
                         "_geo_distance / geohash_grid / geotile_grid)")
     ge.add_argument("mode", choices=["distance", "bbox", "polygon",
                                      "nearest", "geohash", "geotile",
-                                     "rings", "shape"])
+                                     "rings", "shape", "line"])
+    ge.add_argument("--sort-by", metavar="FIELD",
+                    help="line: doc-value column ordering the track "
+                         "(ES geo_line sort)")
+    ge.add_argument("--by", metavar="FIELD",
+                    help="line: one track per value of this doc-value "
+                         "column (terms-agg nesting)")
+    ge.add_argument("--size", type=int, default=10_000,
+                    help="line: max points per track (ES truncation: "
+                         "first in sort order)")
+    ge.add_argument("--desc", action="store_true",
+                    help="line: sort descending")
     ge.add_argument("--relation", default="intersects",
                     choices=["intersects", "within", "disjoint"],
                     help="shape: relation of stored rings to the query "

@@ -103,3 +103,25 @@ def test_validation(spark, gl_idx):
         geo_line(spark, gl_idx, "loc", "t", order="up")
     with pytest.raises(ValueError, match="sort column"):
         geo_line(spark, gl_idx, "loc", "nope")
+
+
+def test_cli_geo_line(gl_idx):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "geo", "line",
+         "-p", gl_idx, "-f", "loc", "--sort-by", "t", "--by", "vessel",
+         "--size", "3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.startswith(("alpha", "beta"))]
+    assert len(lines) == 6  # 2 vessels x 3 points
+    assert lines[0].startswith("alpha #1 ")
+    bad = subprocess.run(
+        [sys.executable, "-m", "ostrich_spark", "geo", "line",
+         "-p", gl_idx, "-f", "loc"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert bad.returncode == 2 and "--sort-by" in bad.stderr
