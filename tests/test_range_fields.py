@@ -221,3 +221,22 @@ def test_cli_range_rel(spark, rf_idx):
         capture_output=True, text=True, timeout=300, cwd="/root/repo",
     )
     assert bad.returncode == 2
+
+
+def test_batched_identity(spark, rf_idx):
+    """search_many carries the range_field wire identically to the
+    single-query path (the generic CRange aux delivery)."""
+    from ostrich_spark.query.exec import search_many
+    from ostrich_spark.query.parser import TermQuery
+
+    q = BooleanQuery([
+        (MUST, TermQuery(0, "merge")),
+        (FILTER, RangeFieldQuery(1, "intersects", 10, 30)),
+    ])
+    single, _ = search(spark, rf_idx, q, limit=None)
+    batch = search_many(spark, rf_idx, {"a": q}, limit=None)
+    ks = sorted((r["segment_ord"], r["doc"], round(r["score"], 9))
+                for r in single.collect())
+    kb = sorted((r["segment_ord"], r["doc"], round(r["score"], 9))
+                for r in batch.filter("query_id = 'a'").collect())
+    assert ks == kb and ks
