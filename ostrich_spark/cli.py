@@ -913,7 +913,8 @@ def cmd_agg(args) -> int:
                   args.range, args.boxplot, args.string_stats,
                   args.auto_date_hist, args.multi_terms, args.mad,
                   args.t_test, args.vw_hist, args.cum_card, args.top_hits,
-                  args.categorize, args.freq_itemsets, args.sample_by)
+                  args.categorize, args.freq_itemsets, args.sample_by,
+                  args.hist_stats, args.hist_pctl)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --vw-hist, "
@@ -925,6 +926,36 @@ def cmd_agg(args) -> int:
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.hist_stats or args.hist_pctl:
+        from .query.exec import (
+            histogram_field_percentiles, histogram_field_stats,
+        )
+
+        try:
+            if args.hist_stats:
+                r = histogram_field_stats(
+                    spark, args.path, args.query, args.hist_stats,
+                    scorer=args.scorer,
+                ).collect()[0]
+                elapsed = time.time() - t0
+                print(
+                    f"count {r['count']}  min {r['min']}  max {r['max']}  "
+                    f"sum {r['sum']}  avg {r['avg']}"
+                )
+            else:
+                ps = tuple(float(x) for x in args.ps.split(","))
+                rows = histogram_field_percentiles(
+                    spark, args.path, args.query, args.hist_pctl,
+                    percentiles=ps, scorer=args.scorer,
+                ).collect()
+                elapsed = time.time() - t0
+                for r in rows:
+                    print(f"p{r['p']} {r['value']}")
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.freq_itemsets:
         from .itemsets import frequent_item_sets
 
@@ -2577,6 +2608,16 @@ def main(argv=None) -> int:
                     help="t-test flavor (default Welch/heteroscedastic)")
     ag.add_argument("--exact", action="store_true",
                     help="with --cardinality: exact count_distinct")
+    ag.add_argument("--hist-stats", metavar="FIELD",
+                    help="count-weighted stats of a histogram field's "
+                         "pre-aggregated bins (ES stats on histogram "
+                         "fields)")
+    ag.add_argument("--hist-pctl", metavar="FIELD",
+                    help="exact type-1 weighted percentiles of a "
+                         "histogram field (--ps list)")
+    ag.add_argument("--ps", default="0.25,0.5,0.75",
+                    help="--hist-pctl percentiles in [0,1], "
+                         "comma-separated")
     ag.add_argument("--freq-itemsets", metavar="F1,F2",
                     help="frequent field=value combinations of the match "
                          "set at --min-support (exact Apriori; ES "

@@ -187,3 +187,27 @@ def test_merge_carries_histograms(spark, hf_idx, tmp_path):
         spark, idx, "content:merge", "lat_hist"
     ).collect()[0]
     assert after.asDict() == before.asDict()
+
+
+def test_cli_hist_aggs(spark, hf_idx):
+    import subprocess
+    import sys
+
+    def _run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", *argv],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    out = _run("agg", "content:merge", "-p", hf_idx, "--hist-stats", "lat_hist")
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.splitlines()[0]
+    ks = _matched_ks(spark, hf_idx, "content:merge")
+    pairs = _pairs(ks)
+    assert f"count {sum(c for _, c in pairs)}" in line
+    out = _run("agg", "content:merge", "-p", hf_idx,
+               "--hist-pctl", "lat_hist", "--ps", "0.5")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.splitlines()[0].startswith("p0.5 ")
+    bad = _run("agg", "content:merge", "-p", hf_idx, "--hist-stats", "content")
+    assert bad.returncode == 2 and "histogram" in bad.stderr
