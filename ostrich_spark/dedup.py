@@ -522,6 +522,7 @@ def repeated_spans(
     k: int = 10,
     min_df: int = 2,
     policy: str = "keep_first",
+    hash_shingles: bool = False,
 ):
     """Exact substring-span deduplication — the Lee et al. 2022
     ("Deduplicating Training Data Makes Language Models Better")
@@ -546,9 +547,14 @@ def repeated_spans(
 
     Scale posture vs the paper's suffix array: a suffix array needs the
     whole corpus in one address space; the Spark shape is shingle
-    inventory instead — per-doc window hashes map-side (here the exact
-    window STRING: collision-free, and the groupBy key dictionary-
-    encodes), ONE partial-aggregated groupBy(shingle) for counts +
+    inventory instead — per-doc window keys map-side (by default the
+    exact window STRING: collision-free, and the groupBy key
+    dictionary-encodes; ``hash_shingles=True`` keys on xxhash64 of the
+    window instead — an 8-byte key that cuts the shingle shuffle
+    ~10× for long windows, at 64-bit-collision odds: at 10^10 windows
+    the birthday bound is ~0.3%, and a collision can only ever excise
+    a FALSE-POSITIVE span, never corrupt surviving text — the standard
+    web-scale trade, stated), ONE partial-aggregated groupBy for counts +
     keeper election, one join of occurrences against the hot-shingle
     set (hot set is boilerplate-sized but delivered by JOIN, not
     broadcast — at web scale it can be millions of windows), then a
@@ -569,6 +575,8 @@ def repeated_spans(
         F.sequence(F.lit(0), n - k),
         lambda i: F.array_join(F.slice("toks", i + 1, k), " "),
     )
+    if hash_shingles:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     occ = (
         t.filter(n >= k)
         .select(id_col, F.posexplode(sh).alias("pos", "shingle"))

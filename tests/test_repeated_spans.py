@@ -96,3 +96,19 @@ def test_remove_all_and_validation(spark):
         repeated_spans(df, min_df=1)
     with pytest.raises(ValueError, match="policy"):
         repeated_spans(df, policy="drop")
+
+
+def test_hashed_shingles_identical_on_fixture(spark):
+    """hash_shingles=True (the 8-byte-key scale lever) produces the
+    IDENTICAL result on the fixture — 64-bit xxhash collisions are
+    absent at test scale, so any divergence is a logic bug."""
+    df = spark.createDataFrame(_docs(), "doc_id long, text string")
+    exact = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in repeated_spans(df).collect()
+    }
+    hashed = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in repeated_spans(df, hash_shingles=True).collect()
+    }
+    assert hashed == exact
