@@ -4623,6 +4623,21 @@ def _dhash_oracle_sql() -> str:
     )
 
 
+def _q_eng_ip_prefix(spark, sf_dir):
+    """ES ip_prefix aggregation analog (exec.ip_prefix_agg): /28
+    network buckets of every doc's address (10.o2.o3.o4 derived from
+    doc_id). Oracle rebuilds each network by doc_id octet arithmetic —
+    fully independent of the hex substring/mask kernel."""
+    from ostrich_spark.query.exec import ip_prefix_agg
+    from ostrich_spark.query.parser import AllQuery
+
+    idx = _ip_index(spark, sf_dir)
+    out = ip_prefix_agg(spark, idx, AllQuery(), "cip", 28)
+    return out.select(
+        "ip_prefix", F.col("n_docs").cast("long").alias("n_docs")
+    )
+
+
 def _q_eng_ip_cidr(spark, sf_dir):
     """ES ip-CIDR filter beside scored text: text:spark keeps its tfidf
     score while membership narrows to cip:10.0.0.0/20 in FILTER context
@@ -5303,6 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eng_change_point": _q_eng_change_point,
         "sample_weighted": _q_sample_weighted,
         "mm_image_dhash": _q_mm_image_dhash,
+        "eng_ip_prefix": _q_eng_ip_prefix,
         "eng_alias_registry": _q_eng_alias_registry,
         "eng_ip_cidr": _q_eng_ip_cidr,
         "eng_shape_point": _q_eng_shape_point,
@@ -7681,6 +7697,14 @@ def oracle_sql() -> dict[str, str]:
         # hybrid RRF: text tfidf ranks + cosine ranks (both lists TOTAL
         # so rank ties resolve by id asc identically), fused 1/(60+r);
         # two-term sums are order-free so doubles match bit-for-bit
+        # ip_prefix: networks rebuilt by doc_id octet arithmetic
+        "eng_ip_prefix": (
+            "SELECT '10.' || ((doc_id // 65536) % 256) || '.' || "
+            "((doc_id // 256) % 256) || '.' || "
+            "((doc_id % 256) - (doc_id % 16)) || '/28' AS ip_prefix, "
+            "count(*) AS n_docs FROM documents WHERE doc_id % 47 <> 0 "
+            "GROUP BY 1"
+        ),
         # image dHash: 64 closed-form byte comparisons over the same
         # text the 9x8 PNG was built from
         "mm_image_dhash": _dhash_oracle_sql(),

@@ -337,6 +337,7 @@ def main():
         ("agg_change_point", em.queries()["eng_change_point"]),
         ("sample_weighted", em.queries()["sample_weighted"]),
         ("mm_image_dhash", em.queries()["mm_image_dhash"]),
+        ("agg_ip_prefix", em.queries()["eng_ip_prefix"]),
     ]:
         best = float("inf")
         for _ in range(3):

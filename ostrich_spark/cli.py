@@ -914,7 +914,7 @@ def cmd_agg(args) -> int:
                   args.auto_date_hist, args.multi_terms, args.mad,
                   args.t_test, args.vw_hist, args.cum_card, args.top_hits,
                   args.categorize, args.freq_itemsets, args.sample_by,
-                  args.hist_stats, args.hist_pctl)
+                  args.hist_stats, args.hist_pctl, args.ip_prefix)
     )
     if n_modes != 1:
         print("agg: need exactly one of --stats, --hist, --vw-hist, "
@@ -926,6 +926,22 @@ def cmd_agg(args) -> int:
         return 2
     spark = _spark()
     t0 = time.time()
+    if args.ip_prefix:
+        from .query.exec import ip_prefix_agg
+
+        try:
+            rows = ip_prefix_agg(
+                spark, args.path, args.query, args.ip_prefix,
+                args.prefix_len, is_ipv6=args.v6, scorer=args.scorer,
+            ).collect()
+        except ValueError as e:
+            print(f"agg: {e}", file=sys.stderr)
+            return 2
+        elapsed = time.time() - t0
+        for r in rows:
+            print(f"{r['ip_prefix']} {r['n_docs']}")
+        print(f"elapsed: {elapsed:.3f}s")
+        return 0
     if args.hist_stats or args.hist_pctl:
         from .query.exec import (
             histogram_field_percentiles, histogram_field_stats,
@@ -2608,6 +2624,14 @@ def main(argv=None) -> int:
                     help="t-test flavor (default Welch/heteroscedastic)")
     ag.add_argument("--exact", action="store_true",
                     help="with --cardinality: exact count_distinct")
+    ag.add_argument("--ip-prefix", metavar="FIELD",
+                    help="network buckets of an ip field at "
+                         "--prefix-len bits (ES ip_prefix agg; "
+                         "--v6 for the 128-bit view)")
+    ag.add_argument("--prefix-len", type=int, default=24,
+                    help="--ip-prefix network bits")
+    ag.add_argument("--v6", action="store_true",
+                    help="--ip-prefix: bucket the full v6 space")
     ag.add_argument("--hist-stats", metavar="FIELD",
                     help="count-weighted stats of a histogram field's "
                          "pre-aggregated bins (ES stats on histogram "

@@ -2734,6 +2734,99 @@ def random_sampler_facet(
     return out.select(*order)
 
 
+def ip_prefix_agg(
+    spark,
+    index_dir: str,
+    query,
+    field: str,
+    prefix_length: int,
+    is_ipv6: bool = False,
+    min_doc_count: int = 1,
+    metrics: dict | None = None,
+    manifest: Manifest | None = None,
+    scorer: str = SCORER_TFIDF,
+    default_fields: list[str] | None = None,
+):
+    """The Elasticsearch ``ip_prefix`` aggregation analog: bucket a
+    match set's ip field by NETWORK — "which /24s are hitting this
+    endpoint". ``prefix_length`` is the network bits (0–32 for the
+    IPv4 view, 0–128 for ``is_ipv6=True``); with ``is_ipv6=False``
+    only v4-mapped addresses bucket (a v4 prefix never matches a v6
+    address — the module's inherited ES rule), and the key renders as
+    dotted-quad ``a.b.c.0/len``; the v6 view keys on the canonical
+    hex network (rendering stated). ``min_doc_count`` / ``metrics``
+    follow the facet grammar; buckets order by network ascending
+    (numeric == lexicographic on the fixed-width hex).
+
+    Scale posture: the network key is pure string/bit arithmetic over
+    the stored 32-hex docmap column (substring + one masked digit —
+    whole-stage codegen), then ONE partial-aggregated groupBy; no
+    decode, no UDF, nothing collects."""
+    from pyspark.sql import functions as F
+
+    max_len = 128 if is_ipv6 else 32
+    if not (0 <= prefix_length <= max_len):
+        raise ValueError(
+            f"prefix_length must be in [0, {max_len}] for "
+            f"{'v6' if is_ipv6 else 'v4'}, got {prefix_length}"
+        )
+    if min_doc_count < 1:
+        raise ValueError(f"min_doc_count must be >= 1, got {min_doc_count}")
+    if manifest is None:
+        manifest = load_manifest(index_dir)
+    fe = manifest.schema.field_by_name(field)
+    if fe is None or not fe.is_ip:
+        raise ValueError(f"{field!r} is not an ip field of this index")
+    res, _ = search(
+        spark, index_dir, query, limit=None, scorer=scorer,
+        manifest=manifest, default_fields=default_fields,
+    )
+    docmap = read_docmap(spark, index_dir, manifest)
+    matched = docmap.join(
+        res.select("segment_id", "doc"), ["segment_id", "doc"], "inner"
+    ).filter(F.col(field).isNotNull())
+    if not is_ipv6:
+        # v4-mapped space only: ::ffff:0:0/96 == 20 zero hex + 'ffff'
+        matched = matched.filter(
+            F.col(field).startswith("0" * 20 + "ffff")
+        )
+    bits = prefix_length + (0 if is_ipv6 else 96)
+    nhex, rem = divmod(bits, 4)
+    key = F.substring(F.col(field), 1, nhex)
+    if rem:
+        step = 1 << (4 - rem)
+        digit = F.conv(F.substring(F.col(field), nhex + 1, 1), 16, 10).cast("int")
+        masked = (F.floor(digit / step) * step).cast("int")
+        key = F.concat(key, F.lower(F.conv(masked.cast("string"), 10, 16)))
+    net = F.rpad(key, 32, "0")
+    work = matched.withColumn("__net", net)
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + _metric_aggs(
+        F, metrics or {}
+    )
+    out = work.groupBy(F.col("__net").alias("net_hex")).agg(*aggs)
+    if min_doc_count > 1:
+        out = out.filter(F.col("n_docs") >= min_doc_count)
+    if is_ipv6:
+        disp = F.concat(
+            F.col("net_hex"), F.lit(f"/{prefix_length}")
+        )
+    else:
+        octs = [
+            F.conv(F.substring("net_hex", 25 + 2 * i, 2), 16, 10)
+            for i in range(4)
+        ]
+        disp = F.concat(
+            F.concat_ws(".", *octs), F.lit(f"/{prefix_length}")
+        )
+    return out.select(
+        disp.alias("ip_prefix"),
+        "net_hex",
+        F.lit(int(prefix_length)).alias("prefix_length"),
+        "n_docs",
+        *[c for c in (metrics or {})],
+    ).orderBy(F.asc("net_hex"))
+
+
 def range_agg(
     spark,
     index_dir: str,

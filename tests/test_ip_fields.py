@@ -371,3 +371,79 @@ def test_cli_ip_build_search_agg(tmp_path):
     # garbage NQL exits non-zero with a parse error
     out = run("search", "ip:junk", "-p", idx)
     assert out.returncode != 0
+
+
+class TestIpPrefix:
+    """ES ip_prefix aggregation analog (exec.ip_prefix_agg): network
+    buckets vs the stdlib ipaddress reference."""
+
+    def test_v4_buckets_vs_stdlib(self, spark, ip_index):
+        from collections import Counter
+
+        from ostrich_spark.query.exec import ip_prefix_agg
+        from ostrich_spark.query.parser import AllQuery
+
+        for plen in (8, 20, 24, 31, 32):
+            expect = Counter()
+            for doc_id, _, raw in DOCS:
+                if raw is None:
+                    continue
+                a = ipaddress.ip_address(raw)
+                if a.version == 6 and not getattr(a, "ipv4_mapped", None):
+                    continue  # v4 view excludes pure v6
+                v4 = a.ipv4_mapped if a.version == 6 else a
+                net = ipaddress.ip_network(f"{v4}/{plen}", strict=False)
+                expect[f"{net.network_address}/{plen}"] += 1
+            got = {
+                r["ip_prefix"]: r["n_docs"]
+                for r in ip_prefix_agg(
+                    spark, ip_index, AllQuery(), "ip", plen
+                ).collect()
+            }
+            assert got == dict(expect), plen
+
+    def test_v6_view_and_options(self, spark, ip_index):
+        from ostrich_spark.query.exec import ip_prefix_agg
+        from ostrich_spark.query.parser import AllQuery
+
+        rows = ip_prefix_agg(
+            spark, ip_index, AllQuery(), "ip", 16, is_ipv6=True
+        ).collect()
+        # v6 view buckets EVERY address (v4s in ::ffff space share one
+        # /16? no — the top 16 bits of v4-mapped are 0000) plus 2001:*
+        nets = {r["ip_prefix"]: r["n_docs"] for r in rows}
+        assert any(k.startswith("2001") for k in nets)
+        assert sum(nets.values()) == 7  # every non-NULL address
+        # min_doc_count + metrics grammar
+        rows = ip_prefix_agg(
+            spark, ip_index, AllQuery(), "ip", 8, min_doc_count=3,
+            metrics={"n_ids": ("count_distinct", "doc_id")},
+        ).collect()
+        assert len(rows) == 1 and rows[0]["ip_prefix"] == "10.0.0.0/8"
+        assert rows[0]["n_docs"] == 4 and rows[0]["n_ids"] == 4
+        import pytest
+
+        with pytest.raises(ValueError, match="prefix_length"):
+            ip_prefix_agg(spark, ip_index, AllQuery(), "ip", 33)
+        with pytest.raises(ValueError, match="ip field"):
+            ip_prefix_agg(spark, ip_index, AllQuery(), "text", 8)
+
+    def test_cli_ip_prefix(self, ip_index):
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "agg", "text:web",
+             "-p", ip_index, "--ip-prefix", "ip", "--prefix-len", "24"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [l for l in out.stdout.splitlines() if "/" in l]
+        # docs 0,1 (10.0.0.x) match text:web -> one /24 bucket of 2
+        assert lines == ["10.0.0.0/24 2"]
+        bad = subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "agg", "text:web",
+             "-p", ip_index, "--ip-prefix", "text"],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+        assert bad.returncode == 2 and "ip field" in bad.stderr
