@@ -17,18 +17,32 @@ ES ``minimum_support`` contract).
 Scale posture, level by level:
 
 - L1 (frequent single items): one explode + partial-aggregated
-  groupBy. The driver only ever sees items above support: each doc
-  contributes at most one item per field, so ``|L1| <= n_fields /
-  min_support`` — a few hundred rows at realistic settings, NOT the
-  value vocabulary. Candidate generation is driver-side over that
-  bounded set (the classic Apriori shape every distributed FIM paper
-  keeps: candidates are small, counting is the big data side).
-- Level k counting stays fully JVM-side: explode transaction items,
-  broadcast-join the (item -> candidate) map, count distinct items per
+  groupBy. Each doc contributes at most one item per field, so
+  ``|L1| <= n_fields / min_support`` — a few hundred at realistic
+  settings. A LOW min_support on a wide corpus can still blow that
+  bound up, so the mining loop has TWO modes picked by measuring
+  |L1| (a count, not a collect):
+- ``|L1| <= driver_cap`` (default 2048): the classic Apriori shape —
+  candidates generated driver-side over the bounded set, counting
+  distributed (broadcast candidate join). Fastest at sandbox scale.
+- ``|L1| > driver_cap``: EVERYTHING stays in DataFrames. Candidate
+  generation is the F_{k-1} x F_{k-1} shared-prefix self-join, the
+  Apriori subset prune is a posexplode + join against the frequent
+  level (all k of a candidate's (k-1)-subsets must be frequent),
+  and counting joins candidate items to transactions with a plain
+  shuffle join (AQE may broadcast if small). No per-level collect,
+  no O(|L|^2) driver loop — the final ranked ``size`` rows are the
+  only thing that reaches the driver.
+- ``|L1| > max_l1`` (default 1_000_000) raises loudly with guidance
+  to raise ``min_support`` — an unbounded item universe means the
+  support floor is effectively zero and no engine mines that
+  meaningfully.
+- Level-k counting in both modes stays JVM-side: explode transaction
+  items, join the (item -> candidate) map, count distinct items per
   (transaction, candidate) and keep rows reaching k (subset test as
   relational algebra — no per-row Python), then one groupBy per
-  candidate. Two partial-aggregated shuffles per level over data
-  already pruned to frequent items.
+  candidate. Partial-aggregated shuffles over data already pruned to
+  frequent items.
 - The transaction table is built ONCE (items pruned to L1 after level
   1), cached for the level loop, unpersisted at the end.
 """
@@ -41,6 +55,8 @@ from itertools import combinations
 from pyspark.sql import functions as F
 
 from .manifest import Manifest, load_manifest
+
+OUT_SCHEMA = "items string, set_size long, support_count long, support double"
 
 
 def frequent_item_sets(
@@ -55,6 +71,8 @@ def frequent_item_sets(
     manifest: Manifest | None = None,
     scorer: str = "tfidf",
     default_fields: list[str] | None = None,
+    driver_cap: int = 2048,
+    max_l1: int = 1_000_000,
 ):
     """Mine frequent ``field=value`` combinations from the match set.
 
@@ -70,6 +88,10 @@ def frequent_item_sets(
     qualifies at ``count >= ceil(min_support * n_matched)``).
     ``max_set_size`` caps mining depth (default: ``len(fields)``, the
     natural maximum since scalar fields yield one item each).
+
+    ``driver_cap`` picks the mining mode on measured |L1| (see module
+    docstring); ``max_l1`` is the loud upper bound. Both modes return
+    IDENTICAL results (pinned by test).
 
     NULL field values simply contribute no item (the ES behavior for
     missing values); docs with no non-NULL field still count in the
@@ -110,12 +132,9 @@ def frequent_item_sets(
                 f"field {f!r} not a docmap column ({matched.columns})"
             )
 
-    out_schema = (
-        "items string, set_size long, support_count long, support double"
-    )
     n = matched.count()
     if n == 0:
-        return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame([], OUT_SCHEMA)
     min_count = max(1, math.ceil(min_support * n))
 
     item_cols = [
@@ -132,17 +151,67 @@ def frequent_item_sets(
     exploded = tx.select(
         "segment_id", "doc", F.explode("items").alias("item")
     )
+    return mine_itemsets(
+        spark, exploded, n, min_count,
+        min_set_size=min_set_size, max_set_size=max_set_size, size=size,
+        driver_cap=driver_cap, max_l1=max_l1,
+    )
 
-    l1_rows = (
+
+def mine_itemsets(
+    spark,
+    exploded,
+    n: int,
+    min_count: int,
+    min_set_size: int = 1,
+    max_set_size: int = 16,
+    size: int = 10,
+    driver_cap: int = 2048,
+    max_l1: int = 1_000_000,
+):
+    """Mode-picking Apriori core over a generic transactions frame
+    ``exploded`` = (segment_id, doc, item) — one row per (transaction,
+    item). Factored out of :func:`frequent_item_sets` so the
+    DataFrame-mode path is testable on synthetic transactions without
+    building an index. Returns the ranked (items, set_size,
+    support_count, support) frame; both modes produce identical rows.
+    """
+    l1_df = (
         exploded.groupBy("item").count()
         .filter(F.col("count") >= min_count)
-        .collect()
     )
+    l1_size = l1_df.count()
+    if l1_size == 0:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    if l1_size > max_l1:
+        raise ValueError(
+            f"|L1| = {l1_size} frequent items exceeds max_l1={max_l1}; "
+            f"raise min_support (the support floor is "
+            f"{min_count}/{n} matched docs) — an item universe this "
+            "wide cannot be mined meaningfully at any engine"
+        )
+    if l1_size <= driver_cap:
+        return _mine_driver(
+            spark, exploded, l1_df, n, min_count,
+            min_set_size, max_set_size, size,
+        )
+    return _mine_df(
+        spark, exploded, l1_df, n, min_count,
+        min_set_size, max_set_size, size,
+    )
+
+
+def _mine_driver(
+    spark, exploded, l1_df, n, min_count, min_set_size, max_set_size, size
+):
+    """Classic Apriori: candidates generated driver-side over the
+    (measured-small) frequent sets; counting distributed via broadcast
+    candidate join. |L| is <= driver_cap so the O(|L|^2) generation
+    loop is bounded by construction."""
+    l1_rows = l1_df.collect()
     frequent: dict[frozenset, int] = {
         frozenset([r["item"]]): int(r["count"]) for r in l1_rows
     }
-    if not frequent:
-        return spark.createDataFrame([], out_schema)
 
     # prune transactions to frequent items once, cache for the loop
     l1_items = sorted(s for fs in frequent for s in fs)
@@ -203,4 +272,163 @@ def frequent_item_sets(
         if len(s) >= min_set_size
     ]
     rows.sort(key=lambda r: (-r[2], -r[1], r[0]))
-    return spark.createDataFrame(rows[: int(size)], out_schema)
+    return spark.createDataFrame(rows[: int(size)], OUT_SCHEMA)
+
+
+def _mine_df(
+    spark, exploded, l1_df, n, min_count, min_set_size, max_set_size, size
+):
+    """All-DataFrame Apriori for wide L1 (|L1| > driver_cap): no level
+    ever reaches the driver.
+
+    - Generation, k=2: FROM THE DATA — self-join the L1-pruned
+      transactions on the transaction key with item_a < item_b, so
+      candidate pairs are bounded by actual co-occurrence (<=
+      t(t-1)/2 per transaction, t <= n_fields), never the |L1|^2
+      cross of frequent singles — the level where shared-prefix
+      generation degenerates (empty prefix = cross join).
+    - Generation, k>=3: the F_{k-1} x F_{k-1} shared-prefix self-join
+      — two frequent (k-1)-sets agreeing on their first k-2 items,
+      last items ordered, union to a sorted k-candidate. Complete: any
+      frequent k-set's two largest-item-removed subsets are frequent
+      and share the first k-2 items.
+    - Prune: posexplode each candidate into its k (k-1)-subsets
+      (remove-by-position keeps sort order) and inner-join against the
+      frequent level's keys; a candidate survives iff all k subsets
+      match. Relational algebra only.
+    - Count: explode candidate items, shuffle-join to the L1-pruned
+      transactions, per-(transaction, candidate) distinct-item count
+      == k, then one partial-aggregated groupBy per candidate.
+    - Result: the lazy union of level frames, ranked and cut to
+      ``size`` — a TakeOrdered; only those rows reach the driver.
+    """
+    key = F.array_join(F.col("items"), ",")
+    level_df = l1_df.select(
+        F.array("item").alias("items"), F.col("count")
+    ).withColumn("key", key).cache()
+
+    pruned = exploded.join(l1_df.select("item"), "item").cache()
+    results = [level_df.select("items", "count")]
+    cached = [level_df, pruned]
+    try:
+        if max_set_size >= 2:
+            # k=2 from the data: co-occurring L1-item pairs per
+            # transaction, counted directly — no L1 x L1 cross
+            pa, pb = pruned.alias("pa"), pruned.alias("pb")
+            pairs2 = (
+                pa.join(
+                    pb,
+                    (F.col("pa.segment_id") == F.col("pb.segment_id"))
+                    & (F.col("pa.doc") == F.col("pb.doc"))
+                    & (F.col("pa.item") < F.col("pb.item")),
+                )
+                .groupBy(
+                    F.col("pa.item").alias("i1"), F.col("pb.item").alias("i2")
+                )
+                .count()
+                .filter(F.col("count") >= min_count)
+                .select(
+                    F.array("i1", "i2").alias("items"),
+                    "count",
+                    F.concat_ws(",", "i1", "i2").alias("key"),
+                )
+                .cache()
+            )
+            cached.append(pairs2)
+            if pairs2.limit(1).count() > 0:
+                results.append(pairs2.select("items", "count"))
+                level_df = pairs2
+            else:
+                level_df = None
+
+        k = 3
+        while level_df is not None and k <= max_set_size:
+            kk = k - 1  # parent size
+            parents = level_df.select(
+                F.expr(f"slice(items, 1, {kk - 1})").alias("prefix"),
+                F.element_at("items", kk).alias("last"),
+                "items",
+            )
+            a, b = parents.alias("a"), parents.alias("b")
+            cand = (
+                a.join(b, (F.col("a.prefix") == F.col("b.prefix"))
+                       & (F.col("a.last") < F.col("b.last")))
+                .select(
+                    F.concat(
+                        F.col("a.items"), F.array(F.col("b.last"))
+                    ).alias("items")
+                )
+            )
+            cand = cand.withColumn("ckey", F.array_join("items", ","))
+            # Apriori prune: all k (k-1)-subsets frequent. Subset j =
+            # items minus position j (1-based), order-preserving.
+            subsets = cand.select(
+                "ckey", "items",
+                F.posexplode(F.col("items")).alias("pos", "_drop"),
+            ).select(
+                "ckey", "items",
+                F.array_join(
+                    F.concat(
+                        F.expr("slice(items, 1, pos)"),
+                        F.expr("slice(items, pos + 2, size(items))"),
+                    ),
+                    ",",
+                ).alias("skey"),
+            )
+            surv = (
+                subsets.join(
+                    level_df.select(F.col("key").alias("skey")), "skey"
+                )
+                .groupBy("ckey")
+                .agg(F.first("items").alias("items"), F.count("*").alias("hit"))
+                .filter(F.col("hit") == k)
+                .select("ckey", "items")
+            )
+            cand_items = surv.select(
+                "ckey", F.explode("items").alias("item")
+            )
+            counted = (
+                pruned.join(cand_items, "item")
+                .groupBy("segment_id", "doc", "ckey")
+                .count()
+                .filter(F.col("count") == k)
+                .groupBy("ckey")
+                .count()
+                .filter(F.col("count") >= min_count)
+            )
+            nxt = (
+                counted.join(surv, "ckey")
+                .select("items", "count", F.col("ckey").alias("key"))
+                .cache()
+            )
+            cached.append(nxt)
+            if nxt.limit(1).count() == 0:
+                break
+            results.append(nxt.select("items", "count"))
+            level_df = nxt
+            k += 1
+
+        out = results[0]
+        for r in results[1:]:
+            out = out.unionByName(r)
+        ranked = (
+            out.filter(F.size("items") >= min_set_size)
+            .select(
+                F.array_join("items", ",").alias("items"),
+                F.size("items").cast("long").alias("set_size"),
+                F.col("count").alias("support_count"),
+                (F.col("count") / F.lit(float(n))).alias("support"),
+            )
+            .orderBy(
+                F.desc("support_count"), F.desc("set_size"), F.asc("items")
+            )
+            .limit(int(size))
+        )
+        # materialize before unpersisting the level caches it reads
+        rows = ranked.collect()
+    finally:
+        for c in cached:
+            c.unpersist()
+    return spark.createDataFrame(rows, OUT_SCHEMA) if rows else (
+        spark.createDataFrame([], OUT_SCHEMA)
+    )

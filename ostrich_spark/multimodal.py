@@ -350,15 +350,22 @@ def dhash_images(df, payload_col: str = "payload", id_col: str = "item_id",
         for pdf in it:
             rows = []
             for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                # coerce the id ONCE, outside the decode try: a NULL or
+                # non-numeric id must not be able to throw from the
+                # error path (corrupt input is data, not a job failure)
+                try:
+                    rid = int(rid)
+                except (TypeError, ValueError):
+                    rid = None
                 b = bytes(payload) if payload is not None else b""
                 try:
                     px = decode_png_pixels(b)
                     rows.append((
-                        int(rid), dhash_py(px, hash_w, hash_h),
+                        rid, dhash_py(px, hash_w, hash_h),
                         px.shape[1], px.shape[0], None,
                     ))
                 except Exception as e:  # CodecError + malformed bytes
-                    rows.append((int(rid), None, None, None, str(e)[:200]))
+                    rows.append((rid, None, None, None, str(e)[:200]))
             yield pd.DataFrame(
                 rows, columns=["item_id", "dhash", "width", "height", "err"]
             ).rename(columns={"item_id": id_col})

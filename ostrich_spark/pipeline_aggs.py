@@ -507,6 +507,11 @@ def change_point(
     if min_side < 1:
         raise ValueError(f"min_side must be >= 1, got {min_side}")
     keys = [key] if isinstance(key, str) else list(key)
+    # gap_policy=skip, applied up front: NULL metric buckets are excluded
+    # from the series BEFORE any window math, so n / cumulative sums /
+    # means / SSE are all computed over the same row set (a windowed
+    # count(1) would otherwise count rows the windowed sums skip).
+    df = df.filter(F.col(value).isNotNull())
     w = _ordered_window(keys).rowsBetween(Window.unboundedPreceding, 0)
     w_all = _ordered_window(keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -1010,8 +1010,14 @@ def terms_enum(
     if hi is not None:
         expr = expr & (ds.field("term") < hi)
     out: list[tuple[str, int]] = []
+    # use_threads=False pins sequential file-order scanning: the early
+    # exit below is only correct if batches arrive in (field, term) file
+    # order across a MULTI-file stats dir (part files are named in
+    # repartitionByRange key order, so filename sort == term order);
+    # threaded scans may interleave files and break the ordering.
     scanner = ds.dataset(files, format="parquet").scanner(
-        filter=expr, columns=["term", "doc_freq"], batch_size=8192
+        filter=expr, columns=["term", "doc_freq"], batch_size=8192,
+        use_threads=False,
     )
     for batch in scanner.to_batches():
         terms = batch.column("term").to_pylist()

@@ -517,6 +517,14 @@ def hashed_ngram_score(
     return df.withColumn(out, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string for inlining into a single-quoted SQL
+    literal (doubling embedded quotes) — so caller tokens like "don't"
+    produce valid oracle SQL instead of a parse error or silent
+    engine/oracle divergence."""
+    return str(s).replace("'", "''")
+
+
 def hashed_ngram_score_sql(
     text_expr: str,
     weights: dict,
@@ -547,7 +555,7 @@ def hashed_ngram_score_sql(
     )
     ws = (
         f"list_transform({grams}, g -> CASE "
-        f"(('0x' || substr(sha256('{salt}' || g), 1, 8))::BIGINT "
+        f"(('0x' || substr(sha256('{_sql_str(salt)}' || g), 1, 8))::BIGINT "
         f"% {int(n_features)}) {case} ELSE 0.0 END)"
     )
     z = f"list_sum(list_concat({ws}, [0.0]))"
@@ -653,14 +661,14 @@ def c4_clean_sql(
         f"x -> x <> '')) >= {int(min_words)}"
     )
     for tok in drop_tokens:
-        conds.append(f"NOT contains(lower(ln), '{tok.lower()}')")
+        conds.append(f"NOT contains(lower(ln), '{_sql_str(tok.lower())}')")
     kept = (
         f"list_filter(string_split({text_expr}, chr(10)), "
         f"ln -> {' AND '.join(conds)})"
     )
     surv = [f"len({kept}) >= {int(min_lines)}"]
     for s in page_drop_substrings:
-        surv.append(f"NOT contains(lower({text_expr}), '{s.lower()}')")
+        surv.append(f"NOT contains(lower({text_expr}), '{_sql_str(s.lower())}')")
     if drop_brace:
         surv.append(f"NOT contains({text_expr}, '{{')")
     return {

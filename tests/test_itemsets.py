@@ -156,3 +156,94 @@ def test_validation(spark, fis_idx):
     empty = frequent_item_sets(spark, fis_idx, "content:zzzmissing", ["tag"])
     assert empty.count() == 0
     assert empty.columns == ["items", "set_size", "support_count", "support"]
+
+
+def test_df_mode_identical_to_driver(spark, fis_idx):
+    """driver_cap=0 forces the all-DataFrame Apriori; its ranked output
+    must be row-identical to the driver-candidate mode (same data, same
+    contract — the mode is a physical choice, not a semantic one)."""
+    q = "content:merge"
+    kw = dict(min_support=0.1, size=1000)
+    want = [
+        tuple(r) for r in frequent_item_sets(
+            spark, fis_idx, q, ["tag", "grp", "src"], **kw
+        ).collect()
+    ]
+    got = [
+        tuple(r) for r in frequent_item_sets(
+            spark, fis_idx, q, ["tag", "grp", "src"], driver_cap=0, **kw
+        ).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_df_mode_wide_l1_no_driver_loop(spark, monkeypatch):
+    """|L1| >= 10k items: the DF path must engage (driver Apriori
+    monkeypatched to fail loudly — proving no O(|L1|^2) driver pair
+    loop runs) and still mine the planted frequent sets exactly.
+
+    10_000 singleton items (each in its own transaction) would make
+    L1 x L1 candidate generation 10^8 pairs; generation-from-data keeps
+    level 2 at the actual co-occurrences (30 planted transactions)."""
+    from itertools import combinations as _combos
+
+    import ostrich_spark.itemsets as it
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side Apriori must not run for wide L1")
+
+    monkeypatch.setattr(it, "_mine_driver", _boom)
+
+    # 10_000 distinct items, each frequent via 10 single-item
+    # transactions (no co-occurrence) -> |L1| = 10_004 > driver_cap
+    rows = [
+        (0, i * 10 + rep, f"u={i:05d}")
+        for i in range(10_000) for rep in range(10)
+    ]
+    base = 100_000
+    # 30 planted transactions over 4 shared items: {A,B,C} x20, {A,B,D} x10
+    for t in range(30):
+        items = ("f=A", "g=B", "h=C") if t < 20 else ("f=A", "g=B", "i=D")
+        for itname in items:
+            rows.append((1, base + t, itname))
+    exploded = spark.createDataFrame(
+        rows, "segment_id long, doc long, item string"
+    ).repartition(8)
+    n = 100_030
+    got = it.mine_itemsets(
+        spark, exploded, n=n, min_count=10, max_set_size=4, size=20_000,
+        driver_cap=2048,
+    ).collect()
+
+    # brute force: every singleton at count 10, plus the planted combos
+    tx = (
+        [(f"u={i:05d}",) for i in range(10_000) for _ in range(10)]
+        + [("f=A", "g=B", "h=C")] * 20
+        + [("f=A", "g=B", "i=D")] * 10
+    )
+    counts = {}
+    for items in tx:
+        for sz in range(1, 4):
+            for c in _combos(sorted(items), sz):
+                counts[c] = counts.get(c, 0) + 1
+    want = sorted(
+        ((",".join(c), len(c), v, v / n) for c, v in counts.items() if v >= 10),
+        key=lambda r: (-r[2], -r[1], r[0]),
+    )
+    assert [(r["items"], r["set_size"], r["support_count"]) for r in got] == \
+        [(a, b, c) for a, b, c, _ in want]
+    for g, e in zip(got, want):
+        assert abs(g["support"] - e[3]) < 1e-12
+
+
+def test_max_l1_loud_cap(spark):
+    from ostrich_spark.itemsets import mine_itemsets
+
+    exploded = spark.createDataFrame(
+        [(0, i, f"u={i}") for i in range(200)],
+        "segment_id long, doc long, item string",
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_l1"):
+        mine_itemsets(spark, exploded, n=200, min_count=1, max_l1=100)

@@ -122,6 +122,52 @@ def test_enum_tombstone_caveat(spark, te_idx, tmp_path):
     assert got == {"zebra": 1}
 
 
+def test_enum_multifile_stats_ordering(spark, te_idx, tmp_path):
+    """Force a MULTI-file term_stats dir (nparts=3) and re-check
+    enumeration + paging: the early-exit batch scan assumes batches
+    arrive in (field, term) order ACROSS files (filename sort ==
+    repartitionByRange key order, use_threads=False pins sequential
+    scanning) — sandbox-scale indices write one file, so this is the
+    only coverage of the multi-file ordering path."""
+    import glob
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx_mf")
+    shutil.copytree(te_idx, idx)
+    stats = os.path.join(idx, "term_stats.parquet")
+    re_stats = str(tmp_path / "re_stats")
+    (
+        spark.read.parquet(stats)
+        .repartitionByRange(3, "field", "term")
+        .sortWithinPartitions("field", "term")
+        .write.mode("overwrite")
+        .parquet(re_stats)
+    )
+    shutil.copy(os.path.join(stats, "_STATS_META.json"),
+                os.path.join(re_stats, "_STATS_META.json"))
+    shutil.rmtree(stats)
+    os.rename(re_stats, stats)
+    assert len(glob.glob(os.path.join(stats, "*.parquet"))) > 1
+
+    assert terms_enum(spark, idx, "content", size=1000) == _brute_dict()
+    assert terms_enum(spark, idx, "content", prefix="sp", size=100) == \
+        _brute_dict("sp")
+    # size cut spanning a file boundary still yields the global term order
+    full = _brute_dict()
+    for size in (1, 3, 5, 7):
+        assert terms_enum(spark, idx, "content", size=size) == full[:size]
+    # paging across file boundaries concatenates to the full dictionary
+    pages, after = [], None
+    while True:
+        page = terms_enum(spark, idx, "content", size=2, search_after=after)
+        if not page:
+            break
+        pages.extend(page)
+        after = page[-1][0]
+    assert pages == full
+
+
 def test_cli_terms(te_idx):
     out = subprocess.run(
         [sys.executable, "-m", "ostrich_spark", "terms", "content",
