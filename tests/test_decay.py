@@ -198,3 +198,43 @@ def test_errors(spark, decay_index):
     with pytest.raises(ValueError, match="scale must be"):
         search_decayed(spark, idx, "event_type:error", "value",
                        origin=50.0, scale=0.0, manifest=mf)
+
+
+def test_distance_feature_date_string_origin(spark, decay_index):
+    """distance_feature on a DATE field with an ISO-8601 string origin —
+    the path that raised NameError in the pre-split monolith
+    (_parse_date_span was only bound inside search_decayed's local
+    scope); bonus hand-computed from the reciprocal-saturation formula."""
+    from ostrich_spark.query.exec import search_distance_feature
+
+    idx, pdf = decay_index
+    mf = load_manifest(idx)
+    res = search_distance_feature(
+        spark, idx, "event_type:error", "ts",
+        origin=ORIGIN, pivot="10d", boost=2.0, limit=None, manifest=mf,
+    )
+    out = attach_docmap(
+        spark, idx, res.select("segment_id", "doc", "score", "base_score"),
+        manifest=mf,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got, "no matches"
+    ts_by_id = {
+        int(r.doc_id): (None if pd.isna(r.ts) else
+                        int(r.ts.value // 1000))  # ns -> us
+        for r in pdf.itertuples()
+    }
+    for d, r in got.items():
+        ts = ts_by_id[d]
+        bonus = 0.0 if ts is None else (
+            2.0 * SCALE_US / (SCALE_US + abs(ts - ORIGIN_US))
+        )
+        assert r["score"] == pytest.approx(r["base_score"] + bonus, rel=1e-12)
+    # the at-origin anchor doc gets the full boost
+    assert got[0]["score"] - got[0]["base_score"] == pytest.approx(2.0)
+    # unparseable origin string still rejects loudly
+    with pytest.raises(ValueError, match="origin"):
+        search_distance_feature(
+            spark, idx, "event_type:error", "ts",
+            origin="not-a-date", pivot="10d", manifest=mf,
+        )

@@ -1,0 +1,124 @@
+"""Percolator scale evidence (r3 verdict task #7): the gate exercises
+7-45 subscriptions; this registers 10k generated subscriptions of mixed
+kinds (terms, AND/OR/NOT trees, phrases, keyword eq) and measures
+docs/sec percolated at two corpus sizes — the fan-in shape a real
+alerting plane runs (many stored queries, streaming docs).
+
+Subscription mix (deterministic, index-arithmetic over the corpus
+vocabulary — no RNG):
+  6_000 single-term    content:<w>
+  1_500 AND pairs      content:<w1> AND content:<w2>
+  1_000 nested trees   (content:<w1> OR content:<w2>) AND content:<w3>
+    500 phrases        content:"<w1> <w2>"
+    500 keyword eq     lang:<l>
+    500 NOT trees      content:<w1> AND NOT content:<w2>
+
+Usage: python tools/ladder_percolate.py [n_docs_small] [n_docs_big] [cpus]
+  (defaults 60_000 240_000 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ostrich_spark.corpus import _RARE, VOCAB  # noqa: E402
+
+
+def make_subscriptions(n: int = 10_000) -> dict[str, str]:
+    words = list(VOCAB) + list(_RARE)
+    nw = len(words)
+    subs: dict[str, str] = {}
+    i = 0
+
+    def w(j):
+        return words[j % nw]
+
+    for k in range(6_000):
+        subs[f"t{k:05d}"] = f"content:{w(i)}"
+        i += 1
+    for k in range(1_500):
+        subs[f"a{k:05d}"] = f"content:{w(i)} AND content:{w(i + 7)}"
+        i += 2
+    for k in range(1_000):
+        subs[f"n{k:05d}"] = (
+            f"(content:{w(i)} OR content:{w(i + 11)}) AND content:{w(i + 23)}"
+        )
+        i += 3
+    for k in range(500):
+        subs[f"p{k:05d}"] = f'content:"{w(i)} {w(i + 3)}"'
+        i += 2
+    langs = ["go", "py", "rs", "java", "ts"]
+    for k in range(500):
+        subs[f"k{k:05d}"] = f"lang:{langs[k % 5]}"
+    for k in range(500):
+        subs[f"x{k:05d}"] = f"content:{w(i)} AND NOT content:{w(i + 13)}"
+        i += 2
+    assert len(subs) == n
+    return subs
+
+
+def main():
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 240_000
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+
+    from pyspark.sql import SparkSession
+
+    from ladder import CHUNK, gen_corpus  # noqa: E402
+    from ostrich_spark.percolate import percolate, register_queries
+    from ostrich_spark.schema import Schema
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ostrich-perc-ladder")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    schema = Schema()
+    schema.add_text_field("content", "default", positions=True)
+    schema.add_keyword_field("lang")
+
+    t0 = time.time()
+    pq = register_queries(make_subscriptions(), schema)
+    reg_sec = time.time() - t0
+    print(f"register 10k subscriptions: {reg_sec:.1f}s "
+          f"(term rows {len(pq.term_rows)}, tree rows {len(pq.tree_rows)})")
+
+    out = {"n_subs": 10_000, "cpus": cpus, "register_sec": round(reg_sec, 2)}
+    for label, n_docs in (("small", n_small), ("big", n_big)):
+        path = f"/tmp/ladder_corpus_{n_docs}"
+        if not os.path.exists(path):
+            gen_corpus(spark, n_docs, path)
+        docs = spark.read.parquet(path).withColumnRenamed("path", "doc_key")
+        docs = docs.repartition(max(cpus * 2, n_docs // CHUNK))
+        # warmup: one small batch through the full plan
+        percolate(spark, docs.limit(1000), pq, schema,
+                  id_col="doc_key").count()
+        t0 = time.time()
+        pairs = percolate(spark, docs, pq, schema, id_col="doc_key").count()
+        dt = time.time() - t0
+        rate = n_docs / dt
+        out[f"{label}_docs"] = n_docs
+        out[f"{label}_sec"] = round(dt, 2)
+        out[f"{label}_docs_per_sec"] = round(rate, 1)
+        out[f"{label}_pairs"] = pairs
+        print(f"{label}: {n_docs} docs x 10k subs -> {pairs} pairs in "
+              f"{dt:.1f}s = {rate:.0f} docs/s")
+    eff = out["big_docs_per_sec"] / out["small_docs_per_sec"]
+    out["throughput_ratio_big_vs_small"] = round(eff, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
