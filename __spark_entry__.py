@@ -113,7 +113,7 @@ def _doc_index(spark: SparkSession, sf_dir: str) -> str:
     # -p4: positions + stored-field + numeric-doc-value layout + lang
     # identity column (field collapsing); new dir name so a cached
     # older-layout index is never reused
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-p4"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-p4"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default", positions=True, store=True)
@@ -147,7 +147,7 @@ def _kw_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _KW_INDEX_CACHE:
         return _KW_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-kw1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-kw1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -181,7 +181,7 @@ def _copyto_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _COPYTO_INDEX_CACHE:
         return _COPYTO_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ct1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-ct1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("source", "default", copy_to=["all_f"])
@@ -266,7 +266,7 @@ def _mf_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _MF_INDEX_CACHE:
         return _MF_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-mf1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-mf1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -357,7 +357,7 @@ def _date_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _DATE_INDEX_CACHE:
         return _DATE_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-dt3"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-dt3"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("event_type", "default")
@@ -397,7 +397,7 @@ def _cross_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _CROSS_INDEX_CACHE:
         return _CROSS_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-xf1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-xf1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -581,7 +581,7 @@ def _ts_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _TS_INDEX_CACHE:
         return _TS_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ts1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-ts1"
     if not manifest_exists(index_dir):
         d = _docs(spark, sf_dir).select(
             "doc_id", "text", (F.col("doc_id") % 3 + 1).alias("req_m")
@@ -981,7 +981,7 @@ def _rel_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _REL_INDEX_CACHE:
         return _REL_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-rel1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-rel1"
     if not manifest_exists(index_dir):
         docs = _docs(spark, sf_dir).withColumns(
             {
@@ -1103,7 +1103,7 @@ def _nested_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _NESTED_INDEX_CACHE:
         return _NESTED_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-nested1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-nested1"
     if not manifest_exists(index_dir):
         n = (F.col("doc_id") % 4).cast("int")
         elem = lambda i: F.struct(  # noqa: E731
@@ -1855,7 +1855,7 @@ def _mx_index(spark, sf_dir):
     if key in _MX_INDEX_CACHE:
         return _MX_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-mx1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-mx1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -2033,7 +2033,7 @@ def _smp_index(spark, sf_dir):
     if key in _SMP_INDEX_CACHE:
         return _SMP_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-smp1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-smp1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -2299,7 +2299,7 @@ def _doc_stream(spark, sf_dir) -> str:
     if key in _STREAM_CACHE:
         return _STREAM_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    sd = f"/tmp/ostrich_entry_idx/{tag}-stream1"
+    sd = f"/tmp/ostrich_entry_idx/{tag}-r4a-stream1"
     if not manifest_exists(os.path.join(sd, "gen-000002")):
         import shutil
 
@@ -2763,7 +2763,7 @@ def _doc_indexes_alias(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
     dirs = []
     for parity in (0, 1):
-        index_dir = f"/tmp/ostrich_entry_idx/{tag}-alias{parity}"
+        index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-alias{parity}"
         if not manifest_exists(index_dir):
             schema = Schema()
             schema.add_text_field("text", "default", positions=True, store=True)
@@ -2917,7 +2917,7 @@ def _sayt_index(spark: SparkSession, sf_dir: str) -> str:
     if ck in _INDEX_CACHE:
         return _INDEX_CACHE[ck]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-sayt1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-sayt1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "sayt_2_10", search_analyzer="default")
@@ -3204,7 +3204,7 @@ def _doc_index_deleted(spark: SparkSession, sf_dir: str, purged: bool) -> str:
     if key in _DEL_INDEX_CACHE:
         return _DEL_INDEX_CACHE[key]
     tag = hashlib.sha256(key[0].encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-{'d2' if purged else 'd1'}"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-{'d2' if purged else 'd1'}"
     if not manifest_exists(index_dir) or (
         purged and not any(
             s.startswith("purge-") for s in os.listdir(f"{index_dir}/segments")
@@ -3268,7 +3268,7 @@ def _doc_index_snapshot(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     if key in _SNAP_INDEX_CACHE:
         return _SNAP_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-snap"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-snap"
     if not manifest_exists(index_dir):
         set_snapshot_retention(index_dir, 4)
         schema = Schema()
@@ -3328,7 +3328,7 @@ def _upd_index(spark, sf_dir: str) -> str:
     if key in _UPD_INDEX_CACHE:
         return _UPD_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-upd"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-upd"
     if not manifest_exists(index_dir) or not any(
         s.startswith("purge-") for s in os.listdir(f"{index_dir}/segments")
     ):
@@ -3385,7 +3385,7 @@ def _ubq_index(spark, sf_dir: str) -> str:
     if key in _UBQ_INDEX_CACHE:
         return _UBQ_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ubq"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-ubq"
     if not manifest_exists(index_dir) or not any(
         s.startswith("purge-") for s in os.listdir(f"{index_dir}/segments")
     ):
@@ -3448,7 +3448,7 @@ def _plm_index(spark, sf_dir: str) -> str:
     if key in _PLM_INDEX_CACHE:
         return _PLM_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-plm"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-plm"
     if not manifest_exists(index_dir) or not os.path.exists(
         f"{index_dir}/models/phrase_lm_text/meta.json"
     ):
@@ -3832,7 +3832,7 @@ def _geo_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _GEO_INDEX_CACHE:
         return _GEO_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-geo1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-geo1"
     if not manifest_exists(index_dir):
         d = _docs(spark, sf_dir)
         lat = (F.col("doc_id") * 37 % 141).cast("double") - F.lit(70.0) + F.lit(0.3)
@@ -3911,7 +3911,7 @@ def _shape_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _SHAPE_INDEX_CACHE:
         return _SHAPE_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-shape1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-shape1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -4014,7 +4014,7 @@ def _ip_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _IP_INDEX_CACHE:
         return _IP_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-ip1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-ip1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -4217,7 +4217,7 @@ def _rf_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _RF_INDEX_CACHE:
         return _RF_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-rf1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-rf1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")
@@ -4291,7 +4291,7 @@ def _hist_index(spark: SparkSession, sf_dir: str) -> str:
     if key in _HIST_INDEX_CACHE:
         return _HIST_INDEX_CACHE[key]
     tag = hashlib.sha256(key.encode()).hexdigest()[:10]
-    index_dir = f"/tmp/ostrich_entry_idx/{tag}-hf1"
+    index_dir = f"/tmp/ostrich_entry_idx/{tag}-r4a-hf1"
     if not manifest_exists(index_dir):
         schema = Schema()
         schema.add_text_field("text", "default")

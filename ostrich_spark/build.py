@@ -46,7 +46,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .analysis import get_analyzer
-from .codec import BLOCK_SIZE, block_metadata, pack_blocked
+from .codec import (
+    BLOCK_SIZE,
+    block_metadata,
+    pack_blocked,
+    pack_pos_doc_aligned,
+)
 from .lock import locked_writer
 from .manifest import (
     FRAGMENT_NAME,
@@ -266,8 +271,12 @@ def build_segment_tables(
             lens_b, len_offs = pack_blocked(plens, delta=False)
             bmax_doc, bmax_tf, bmin_len = block_metadata(pdocs, ptfs, plens)
             if fe.positions:
-                pos_b, pos_offs = pack_blocked(
-                    sorted_pos[occ_bounds[s] : occ_bounds[e]], delta=False
+                # DOC-ALIGNED position blocks (pos block i == doc block
+                # i) so phrase/near queries can decode a block subset —
+                # see codec.pack_pos_doc_aligned; flagged in
+                # manifest.stats["pos_layout"]
+                pos_b, pos_offs = pack_pos_doc_aligned(
+                    sorted_pos[occ_bounds[s] : occ_bounds[e]], ptfs
                 )
             else:
                 pos_b, pos_offs = b"", []
@@ -955,6 +964,15 @@ def build_index(
 
     prior = load_manifest(index_dir) if manifest_exists(index_dir) else None
     opstamp = (prior.opstamp + 1) if prior else 1
+    # position-block layout: fresh builds write doc-aligned blocks; an
+    # append onto a pre-r4 (occurrence-aligned) index leaves the flag
+    # off so readers keep the always-correct full-decode path for the
+    # mixed segment set
+    pos_aligned = (
+        mode != "append"
+        or prior is None
+        or prior.stats.get("pos_layout") == "doc_aligned"
+    )
     if mode == "append" and prior is not None:
         existing_ids = {s.segment_id for s in prior.segments}
         segments = prior.segments + [s for s in segments if s.segment_id not in existing_ids]
@@ -1002,6 +1020,7 @@ def build_index(
             "field_tokens": field_tokens,
             "build_id": build_id,
             "term_stats_opstamp": opstamp,
+            **({"pos_layout": "doc_aligned"} if pos_aligned else {}),
             # phase split for scaling analysis: map_sec is the per-file
             # work (scales with executors); commit_sec is per-BUILD
             # constant (manifest + term-stats job) that amortizes to

@@ -177,6 +177,54 @@ def unpack_blocked(
     return np.concatenate(vals), np.concatenate(poss)
 
 
+def pack_blocked_at(values: np.ndarray, value_starts) -> tuple[bytes, list[int]]:
+    """Non-delta varint pack with EXPLICIT block boundaries: block i
+    holds values[value_starts[i] : value_starts[i+1]]. One vectorized
+    encode pass; byte offsets fall out of the per-value lengths.
+    Returns (packed bytes, byte offset of each block start)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if len(v) == 0:
+        return b"", []
+    buf, nbytes = _varint_encode_with_lengths(v)
+    byte_starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    starts = np.asarray(value_starts, dtype=np.int64)
+    return buf, byte_starts[starts].tolist()
+
+
+def pack_pos_doc_aligned(pos: np.ndarray, tfs: np.ndarray) -> tuple[bytes, list[int]]:
+    """Pack a doc-major flat positions array into DOC-ALIGNED blocks:
+    position block i holds exactly the occurrences of doc block i
+    (docs [i*BLOCK_SIZE, (i+1)*BLOCK_SIZE)), so selecting doc blocks
+    selects position blocks 1:1 — the enabler for phrase/near
+    block-subset decode (len(pos_offs) == len(doc_offs) by
+    construction). Occurrence-aligned fixed-width blocks (the pre-r4
+    layout) cut mid-doc, which is why whole-list decode was forced."""
+    t = np.asarray(tfs, dtype=np.int64)
+    if len(pos) == 0 or len(t) == 0:
+        return b"", []
+    doc_block_starts = np.arange(0, len(t), BLOCK_SIZE)
+    cum = np.concatenate(([0], np.cumsum(t)))
+    return pack_blocked_at(pos, cum[doc_block_starts])
+
+
+def unpack_ranges(
+    buf: bytes, offsets: list[int], block_indices
+) -> np.ndarray:
+    """Decode selected non-delta blocks by byte range (no fixed-width
+    value-count assumption — the counts come out of the data), in the
+    given block order."""
+    if not offsets:
+        return np.empty(0, dtype=np.int64)
+    bounds = list(offsets) + [len(buf)]
+    parts = [
+        _varint_decode(buf[bounds[int(b)] : bounds[int(b) + 1]])
+        for b in block_indices
+    ]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(parts).astype(np.int64)
+
+
 def block_metadata(
     doc_ids: np.ndarray, tfs: np.ndarray, doc_lens: np.ndarray
 ) -> tuple[list[int], list[int], list[int]]:

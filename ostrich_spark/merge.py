@@ -39,7 +39,13 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 
-from .codec import BLOCK_SIZE, block_metadata, pack_blocked, unpack_blocked
+from .codec import (
+    BLOCK_SIZE,
+    block_metadata,
+    pack_blocked,
+    pack_pos_doc_aligned,
+    unpack_blocked,
+)
 from .lock import locked_writer
 from .manifest import (
     FRAGMENT_NAME,
@@ -221,7 +227,10 @@ def _pack_full_row(sid, field, term, row_ord, d, t, ln, p) -> dict:
     docs_b, doc_offs = pack_blocked(d, delta=True)
     tfs_b, tf_offs = pack_blocked(t, delta=False)
     lens_b, len_offs = pack_blocked(ln, delta=False)
-    pos_b, pos_offs = pack_blocked(p, delta=False)
+    # repacked rows keep the doc-aligned position layout (see
+    # codec.pack_pos_doc_aligned) so a merge never downgrades
+    # phrase/near block-subset decode
+    pos_b, pos_offs = pack_pos_doc_aligned(p, t)
     bmd, bmt, bml = block_metadata(d, t, ln)
     return {
         "segment_id": sid,
@@ -422,7 +431,8 @@ def merge_segments(
         docs_b, doc_offs = pack_blocked(docs, delta=True)
         tfs_b, tf_offs = pack_blocked(tfs, delta=False)
         lens_b, len_offs = pack_blocked(lens, delta=False)
-        pos_b, pos_offs = pack_blocked(pos_all, delta=False)
+        # doc-aligned position layout preserved across merges
+        pos_b, pos_offs = pack_pos_doc_aligned(pos_all, tfs)
         bmd, bmt, bml = block_metadata(docs, tfs, lens)
         return pd.DataFrame(
             [

@@ -121,6 +121,25 @@ class TermPostings:
         self.n_blocks = len(self.block_max_doc)
         # rows -> (row index, local block count)
         self._row_nblocks = [len(r) for r in rows["doc_offs"]]
+        # position-block decode accounting (read-path evidence for the
+        # phrase/near block-subset pruning; tests and ladders read these)
+        self.pos_blocks_total = (
+            sum(len(r) for r in rows["pos_offs"])
+            if "pos_offs" in rows.columns else 0
+        )
+        self.pos_blocks_decoded = 0
+
+    def blocks_for_docs(self, docs: np.ndarray) -> np.ndarray:
+        """Global indices of blocks whose [lo, hi] docID range contains
+        at least one of the SORTED candidate docIDs — the block
+        selector for candidate-driven position decode."""
+        if self.n_blocks == 0 or len(docs) == 0:
+            return np.empty(0, dtype=np.int64)
+        lo = self.block_lower_bounds()
+        hi = self.block_max_doc
+        left = np.searchsorted(docs, lo, side="left")
+        right = np.searchsorted(docs, hi, side="right")
+        return np.flatnonzero(right > left)
 
     def block_lower_bounds(self) -> np.ndarray:
         """First possible docID of each block (previous block's max + 1)."""
@@ -171,13 +190,70 @@ class TermPostings:
             np.concatenate(lens_parts),
         )
 
-    def decode_with_positions(self):
-        """Full decode including per-occurrence positions ->
+    def decode_with_positions(self, block_sel: np.ndarray | None = None):
+        """Decode docs/tfs/lens AND per-occurrence positions ->
         (docs, tfs, lens, pos) with pos doc-major flat (boundaries =
-        cumsum(tfs)). Phrase evaluation decodes whole lists — position
-        blocks are occurrence-aligned, not doc-aligned, so block-subset
-        decoding would misalign them."""
-        from ..codec import unpack_blocked
+        cumsum(tfs)).
+
+        ``block_sel`` (global block indices) decodes only those blocks —
+        valid ONLY on a doc-aligned position layout
+        (manifest.stats["pos_layout"] == "doc_aligned", r4+ builds:
+        position block i holds exactly doc block i's occurrences, see
+        codec.pack_pos_doc_aligned). Callers gate on the manifest flag;
+        a row whose pos_offs count doesn't match its doc block count
+        fails loudly here rather than misaligning. With ``block_sel``
+        None, the whole list decodes — the always-correct path for
+        pre-r4 occurrence-aligned indices."""
+        from ..codec import unpack_blocked, unpack_ranges
+
+        if block_sel is not None:
+            sel_mask = np.zeros(self.n_blocks, dtype=bool)
+            sel_mask[np.asarray(block_sel, dtype=np.int64)] = True
+            docs_parts, tfs_parts, lens_parts, pos_parts = [], [], [], []
+            base = 0
+            for (_, row), nb in zip(self._rows.iterrows(), self._row_nblocks):
+                local = np.flatnonzero(sel_mask[base : base + nb])
+                base += nb
+                if len(local) == 0:
+                    continue
+                poffs = list(row["pos_offs"])
+                if len(poffs) != nb:
+                    raise ValueError(
+                        "block-subset position decode on an occurrence-"
+                        f"aligned row ({len(poffs)} pos blocks vs {nb} "
+                        "doc blocks) — the caller must gate on "
+                        'manifest.stats["pos_layout"]'
+                    )
+                n = int(row["doc_freq"])
+                d, _ = unpack_blocked(
+                    bytes(row["docs"]), list(row["doc_offs"]), n, True, local
+                )
+                t, _ = unpack_blocked(
+                    bytes(row["tfs"]), list(row["tf_offs"]), n, False, local
+                )
+                ln, _ = unpack_blocked(
+                    bytes(row["lens"]), list(row["len_offs"]), n, False, local
+                )
+                p = unpack_ranges(bytes(row["pos"]), poffs, local)
+                if len(p) != int(t.sum()):
+                    raise ValueError(
+                        "decoded position count misaligned with tfs — "
+                        "corrupt doc-aligned layout"
+                    )
+                self.pos_blocks_decoded += len(local)
+                docs_parts.append(d)
+                tfs_parts.append(t)
+                lens_parts.append(ln)
+                pos_parts.append(p)
+            if not docs_parts:
+                z = np.empty(0, dtype=np.int64)
+                return z, z, z, z
+            return (
+                np.concatenate(docs_parts),
+                np.concatenate(tfs_parts),
+                np.concatenate(lens_parts),
+                np.concatenate(pos_parts),
+            )
 
         docs_parts, tfs_parts, lens_parts, pos_parts = [], [], [], []
         for _, row in self._rows.iterrows():
@@ -198,6 +274,7 @@ class TermPostings:
                     "Schema.add_text_field(..., positions=True) to run "
                     "phrase queries"
                 )
+            self.pos_blocks_decoded += len(poffs)
             docs_parts.append(d)
             tfs_parts.append(t)
             lens_parts.append(ln)
@@ -337,15 +414,23 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
     if not slots:
         return empty
 
-    def slot_decode(slot):
+    def slot_decode(slot, cand=None):
         """-> (docs, lens, enc sorted) unioned over the slot's present
-        terms, or None when none has postings in this segment."""
+        terms, or None when none has postings in this segment. With
+        ``cand`` (sorted candidate docIDs; doc-aligned layout only),
+        each term decodes ONLY the position blocks whose doc range
+        touches a candidate — the phrase analog of WAND block skip."""
         ds, ls, es = [], [], []
         for t in slot:
             tp = term_data.get((wire["field"], t))
             if tp is None:
                 continue
-            docs, tfs, lens, pos = tp.decode_with_positions()
+            if cand is not None:
+                docs, tfs, lens, pos = tp.decode_with_positions(
+                    tp.blocks_for_docs(cand)
+                )
+            else:
+                docs, tfs, lens, pos = tp.decode_with_positions()
             ds.append(docs)
             ls.append(lens)
             es.append(np.repeat(docs, tfs) * BIG + pos)
@@ -359,12 +444,44 @@ def eval_phrase(wire: dict, term_data: dict, scorer: str):
         enc.sort()
         return docs, np.concatenate(ls)[idx], enc
 
-    slot_dec = []
+    # Candidate-driven decode (doc-aligned position layout, r4+): the
+    # rarest slot decodes fully and seeds the candidate doc set; every
+    # other slot decodes only candidate-touching blocks. Correct because
+    # a phrase match needs every slot — any final doc is in the seed's
+    # docs, so all its occurrences in every slot live in selected
+    # blocks; extra docs sharing those blocks can't fabricate matches
+    # (the key/DP math is per-doc exact).
+    pos_aligned = bool(wire.get("pos_aligned"))
+    slot_tot = []
     for slot in slots:
-        dec = slot_decode(slot)
+        present = [
+            term_data.get((wire["field"], t))
+            for t in slot
+            if term_data.get((wire["field"], t)) is not None
+        ]
+        if not present:
+            return empty
+        slot_tot.append(sum(tp.doc_freq for tp in present))
+    seed = int(np.argmin(slot_tot)) if pos_aligned else -1
+
+    slot_dec: list = [None] * len(slots)
+    if pos_aligned:
+        dec = slot_decode(slots[seed])
         if dec is None:
             return empty
-        slot_dec.append(dec)
+        slot_dec[seed] = dec
+        cand = dec[0]
+        if len(cand) == 0:
+            return empty
+    else:
+        cand = None
+    for i, slot in enumerate(slots):
+        if i == seed:
+            continue
+        dec = slot_decode(slot, cand)
+        if dec is None:
+            return empty
+        slot_dec[i] = dec
     slop = int(wire.get("slop", 0))
     if slop > 0:
         decoded = []
@@ -437,13 +554,34 @@ def eval_near(wire: dict, term_data: dict, scorer: str):
     per-doc loop. tf = distinct matching end positions."""
     empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
     BIG = np.int64(1) << np.int64(32)
+    terms = list(dict.fromkeys(wire["terms"]))  # dedupe, keep order
+    tps = [term_data.get((wire["field"], t)) for t in terms]
+    if any(tp is None for tp in tps):
+        return empty
+    # candidate-driven decode (doc-aligned layout): the rarest term
+    # decodes fully, the rest only candidate-touching blocks — a near
+    # match needs EVERY term, so hits are confined to the seed's docs
+    # and the same_doc guards keep extra decoded docs inert
+    cand = None
+    seed = -1
+    seed_dec = None
+    if bool(wire.get("pos_aligned")) and tps:
+        seed = int(np.argmin([tp.doc_freq for tp in tps]))
+        seed_dec = tps[seed].decode_with_positions()
+        cand = seed_dec[0]
+        if len(cand) == 0:
+            return empty
     encs = []
     first_docs = first_lens = None
-    for i, t in enumerate(dict.fromkeys(wire["terms"])):  # dedupe, keep order
-        tp = term_data.get((wire["field"], t))
-        if tp is None:
-            return empty
-        docs, tfs, lens, pos = tp.decode_with_positions()
+    for i, tp in enumerate(tps):
+        if i == seed:
+            docs, tfs, lens, pos = seed_dec
+        elif cand is not None:
+            docs, tfs, lens, pos = tp.decode_with_positions(
+                tp.blocks_for_docs(cand)
+            )
+        else:
+            docs, tfs, lens, pos = tp.decode_with_positions()
         if i == 0:
             first_docs, first_lens = docs, lens
         enc = np.repeat(docs, tfs) * BIG + pos
@@ -1733,6 +1871,23 @@ def make_segment_scorer_aux(
     return fn
 
 
+def _mark_pos_aligned(node) -> None:
+    """Stamp phrase/multi_phrase/near wire nodes with pos_aligned=True
+    so segment-side evaluation may decode position-block SUBSETS —
+    only called when manifest.stats["pos_layout"] == "doc_aligned"
+    (r4+ builds; pre-r4 occurrence-aligned indices keep the full-decode
+    path). The walk is generic over the wire tree (children lists,
+    base/positive/negative sub-nodes)."""
+    if isinstance(node, dict):
+        if node.get("kind") in ("phrase", "multi_phrase", "near"):
+            node["pos_aligned"] = True
+        for v in node.values():
+            _mark_pos_aligned(v)
+    elif isinstance(node, list):
+        for v in node:
+            _mark_pos_aligned(v)
+
+
 def is_wire_term_union(wire: dict) -> bool:
     if wire["kind"] == "term":
         return True
@@ -1817,6 +1972,8 @@ def search(
         )
     compiled = compile_query(logical, doc_freqs, total_docs, field_avgdl, scorer)
     wire = to_wire(compiled)
+    if manifest.stats.get("pos_layout") == "doc_aligned":
+        _mark_pos_aligned(wire)
 
     ords = [(s.segment_id, i) for i, s in enumerate(manifest.sorted_segments())]
 
@@ -2089,9 +2246,12 @@ def search_many(
     wires: dict[str, dict] = {}
     all_qids: list[str] = []
     range_wires: list[dict] = []  # one rid namespace across the batch
+    pos_aligned = manifest.stats.get("pos_layout") == "doc_aligned"
     for qid, lg in logicals.items():
         q_scorer = scorers.get(qid, scorer)
         wire = to_wire(compile_query(lg, doc_freqs, total_docs, field_avgdl, q_scorer))
+        if pos_aligned:
+            _mark_pos_aligned(wire)
         if wire["kind"] == "empty":
             continue  # contributes no rows
         if wire["kind"] == "all":
