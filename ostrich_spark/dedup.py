@@ -212,21 +212,30 @@ def minhash_signatures(df, text_col="text", k: int = MINHASH_K):
     )
 
 
-def minhash_lsh_pairs(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
-    """Candidate near-dup pairs sharing >=1 LSH band (rows/band = k/bands).
-
-    band_hash combines the band's minhashes positionally — pure int64.
-    """
-    rows_per_band = k // bands
+def _band_hashes(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
+    """(doc_id, band, band_hash) — the banded LSH bucket keys.
+    band_hash combines the band's minhashes positionally — pure int64."""
     sigs = minhash_signatures(df, text_col, k).withColumn(
         "band", F.col("sig_i") % F.lit(bands)
     )
     # deterministic positional combine within a band
-    band_hashes = sigs.groupBy("doc_id", "band").agg(
+    return sigs.groupBy("doc_id", "band").agg(
         (F.sum(F.col("minhash") * (F.floor(F.col("sig_i") / bands) * F.lit(100_003) + 1)) % F.lit(P)).alias(
             "band_hash"
         )
     )
+
+
+def minhash_lsh_pairs(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
+    """Candidate near-dup pairs sharing >=1 LSH band (rows/band = k/bands).
+
+    CAUTION at scale: a bucket of B docs emits B(B-1)/2 pairs — on
+    template-heavy corpora (the common web-data shape) hot buckets make
+    this quadratic. Use this when you need the explicit PAIR list (e.g.
+    to verify similarity per candidate); for clustering, use
+    :func:`minhash_lsh_edges` — identical connected components at O(B)
+    edges per bucket."""
+    band_hashes = _band_hashes(df, text_col, k, bands)
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     pairs = (
@@ -240,6 +249,34 @@ def minhash_lsh_pairs(df, text_col="text", k: int = MINHASH_K, bands: int = MINH
         .distinct()
     )
     return pairs
+
+
+def minhash_lsh_edges(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
+    """Connectivity-equivalent LSH edge list: per (band, band_hash)
+    bucket, a STAR from the bucket's min doc_id (hub) to every other
+    member — B-1 edges instead of the B(B-1)/2 clique.
+
+    The pair relation is bare band collision (no similarity
+    verification), so a bucket is a CLIQUE in the pair graph; a star
+    over the same vertex set has the same connected components (every
+    member reaches every other through the hub), and components across
+    buckets are unioned identically. Hence
+    ``connected_components(minhash_lsh_edges(df))`` ==
+    ``connected_components(minhash_lsh_pairs(df))`` EXACTLY (pinned by
+    test) while a 10^6-doc template family costs 10^6 edges, not
+    10^12 — the hot-bucket case 100 TB corpora actually contain
+    (self-found: the sf0.1 synthetic docs table put half of all doc
+    pairs into shared buckets, 11.5M pairs from 5k docs)."""
+    band_hashes = _band_hashes(df, text_col, k, bands)
+    hubs = band_hashes.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("hub"), F.count("*").alias("bucket_size")
+    ).filter(F.col("bucket_size") > 1)
+    return (
+        band_hashes.join(hubs, ["band", "band_hash"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def simhash(df, text_col="text", bits: int = 32):
@@ -413,9 +450,11 @@ def connected_components(pairs, id_a="doc_a", id_b="doc_b", max_iter: int = 50):
 def dup_clusters(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
     """MinHash-LSH end-to-end dedup clustering: (doc_id, component,
     cluster_size, is_keeper). Docs with no near-dup pair form singleton
-    clusters (component = own id)."""
-    pairs = minhash_lsh_pairs(df, text_col, k, bands)
-    comp = connected_components(pairs)
+    clusters (component = own id). Connectivity comes from the bucket-
+    star edge list (minhash_lsh_edges) — identical components to the
+    full pair list at O(bucket) instead of O(bucket^2) edges."""
+    edges = minhash_lsh_edges(df, text_col, k, bands)
+    comp = connected_components(edges)
     all_docs = df.select("doc_id").distinct()
     comp_full = (
         all_docs.join(comp, "doc_id", "left")

@@ -151,3 +151,37 @@ def test_chunking_overlap_invariants(spark):
         assert r["tok_sum"] - 32 * (r["n_chunks"] - 1) == n, (n, dict(r.asDict()))
         if r["n_chunks"] > 1:
             assert r["min_sz"] > 32, (n, dict(r.asDict()))
+
+
+def test_star_edges_same_components_no_quadratic(spark):
+    """minhash_lsh_edges (per-bucket star) must give IDENTICAL connected
+    components to the full pair list, with edge count linear in bucket
+    size instead of quadratic — the hot-bucket case template-heavy
+    corpora produce (self-found at sf0.1: 11.5M pairs from 5k docs).
+
+    Fixture: a 40-doc template family (identical text -> one bucket =
+    one clique in the pair graph), a 2-doc near-dup pair, a singleton.
+    """
+    from ostrich_spark.dedup import (
+        connected_components,
+        minhash_lsh_edges,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "the same boilerplate template text repeated verbatim here")
+            for i in range(100, 140)]
+    rows += [(1, NEAR_A), (2, NEAR_B), (3, UNRELATED)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    pairs = minhash_lsh_pairs(df)
+    edges = minhash_lsh_edges(df)
+    n_pairs, n_edges = pairs.count(), edges.count()
+    # clique: 40*39/2 = 780 pairs for the family alone; star: 39 edges
+    assert n_pairs >= 780
+    assert n_edges < 100, f"star edge list should be linear, got {n_edges}"
+
+    cp = {r["doc_id"]: r["comp"]
+          for r in connected_components(pairs).collect()}
+    ce = {r["doc_id"]: r["comp"]
+          for r in connected_components(edges).collect()}
+    assert cp == ce and cp[100] == 100 and cp[139] == 100

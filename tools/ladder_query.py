@@ -107,6 +107,56 @@ def block_probe(spark, index_dir: str, query: str, scorer: str,
     return stats
 
 
+def phrase_probe(spark, index_dir: str, query: str) -> dict:
+    """Per-segment eval_phrase with the wire's pos_aligned stamp, summing
+    TermPostings position-block counters — the same kernel + candidate
+    pruning the distributed tasks run."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from ostrich_spark.manifest import load_manifest
+    from ostrich_spark.query.exec_core import (
+        TermPostings,
+        bind_stats,
+        eval_phrase,
+    )
+    from ostrich_spark.query.parser import parse_query
+    from ostrich_spark.query.plan import collect_terms, compile_query, to_wire
+
+    manifest = load_manifest(index_dir)
+    if manifest.stats.get("pos_layout") != "doc_aligned":
+        return {"total": 0, "decoded": 0}
+    logical = parse_query(query, manifest.schema, None, "or")
+    term_strs = [t.term for t in collect_terms(logical)]
+    doc_freqs, total_docs, field_avgdl = bind_stats(
+        spark, index_dir, manifest, logical
+    )
+    wire = to_wire(
+        compile_query(logical, doc_freqs, total_docs, field_avgdl, "bm25")
+    )
+    assert wire["kind"] in ("phrase", "multi_phrase"), wire["kind"]
+    wire["pos_aligned"] = True
+    total = decoded = 0
+    for seg in manifest.sorted_segments():
+        pth = os.path.join(index_dir, "segments", seg.segment_id,
+                           "postings.parquet")
+        st = ds.dataset(pth, format="parquet").to_table(
+            filter=pc.field("term").isin(term_strs)
+        )
+        pdf = st.to_pandas()
+        if not len(pdf):
+            continue
+        term_data = {
+            (int(f), t): TermPostings(rows)
+            for (f, t), rows in pdf.groupby(["field", "term"])
+        }
+        eval_phrase(wire, term_data, "bm25")
+        for tp in term_data.values():
+            total += tp.pos_blocks_total
+            decoded += tp.pos_blocks_decoded
+    return {"total": total, "decoded": decoded}
+
+
 def main():
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -180,6 +230,22 @@ def main():
         best = dt if best is None else min(best, dt)
     results["many8"] = round(best, 3)
     print(f"many8 (8 queries, one job): {best:.3f}s")
+
+    # phrase position-block probe: rare-seeded candidate pruning on the
+    # doc-aligned layout — how many of the common term's position blocks
+    # the phrase evaluator actually decodes. The corpus plants the
+    # adjacency "rareterm000 merge_policy" in docs with j%1500==0
+    # (corpus.make_corpus extras), so the rare slot seeds candidates
+    # and merge_policy (1/3 of all docs) is the prunable hot side.
+    pst = phrase_probe(spark, idx, 'content:"rareterm000 merge_policy"')
+    pskip = 1.0 - pst["decoded"] / max(pst["total"], 1)
+    results["phrase_pos_blocks_total"] = pst["total"]
+    results["phrase_pos_blocks_decoded"] = pst["decoded"]
+    results["phrase_pos_block_skip"] = round(pskip, 4)
+    print(
+        f"phrase pos-block probe: {pst['decoded']}/{pst['total']} "
+        f"position blocks decoded ({pskip:.1%} skipped)"
+    )
 
     st = block_probe(spark, idx, "content:the OR content:rareterm007", "bm25")
     skip = 1.0 - st["blocks_kept"] / max(st["blocks_total"], 1)
