@@ -826,7 +826,18 @@ def percolate(
 
     contribs = []
 
-    term_fids = sorted({r[2] for r in pq.term_rows})
+    # term clauses on DOC-VALUE fields can never match — keyword/numeric
+    # fields carry no analyzed tokens, exactly like forward search where
+    # a TermQuery on such a field finds no postings and silently matches
+    # nothing (bare NQL terms expand over every field, so subscriptions
+    # like a bare "zzz" legitimately carry such clauses). Skipping the
+    # field here yields no token rows -> the unit stays unsatisfied ->
+    # the same no-match, instead of crashing on the missing analyzer.
+    term_fids = sorted(
+        fid
+        for fid in {r[2] for r in pq.term_rows}
+        if not schema.fields[fid].is_doc_value
+    )
     if term_fids:
         per_field = []
         for fid in term_fids:

@@ -605,3 +605,30 @@ def test_percolate_geo_on_non_geo_field_rejected():
         register_queries(
             {"bad": GeoDistanceQuery(0, 0.0, 0.0, 1000.0)}, schema
         )
+
+
+def test_bare_term_keyword_field_no_crash(spark, perc_schema):
+    """A bare NQL term expands over EVERY field — including doc-value
+    (keyword/numeric) fields, where forward search finds no postings
+    and silently matches nothing. Percolation must mirror that
+    (self-found: the 10k-subscription ladder crashed on
+    'analyzer \'\' is not registered' for the keyword leg).
+
+    'spark' bare -> SHOULD over (text, title, cat[, num]) term clauses;
+    matches = docs whose TEXT fields carry the token, the keyword leg
+    contributing nothing."""
+    subs = register_queries({"bare": "spark"}, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+    got = sorted(
+        r["doc_key"]
+        for r in percolate(spark, docs, subs, perc_schema,
+                           id_col="doc_key").collect()
+    )
+    # docs with 'spark' in text or title
+    assert got == [0, 1, 2, 6]
+    # a bare term matching ONLY via the keyword field's value text never
+    # matches (no analyzed tokens on doc-value fields) — forward parity
+    subs2 = register_queries({"kw_only": "docs"}, perc_schema)
+    got2 = [r["doc_key"] for r in percolate(
+        spark, docs, subs2, perc_schema, id_col="doc_key").collect()]
+    assert got2 == []

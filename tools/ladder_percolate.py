@@ -11,7 +11,8 @@ vocabulary — no RNG):
   1_000 nested trees   (content:<w1> OR content:<w2>) AND content:<w3>
     500 phrases        content:"<w1> <w2>"
     500 keyword eq     lang:<l>
-    500 NOT trees      content:<w1> AND NOT content:<w2>
+    500 MUST_NOT trees programmatic BooleanQuery(MUST w1, MUST_NOT w2)
+                       (NOT is not an NQL operator — reference parity)
 
 Usage: python tools/ladder_percolate.py [n_docs_small] [n_docs_big] [cpus]
   (defaults 60_000 240_000 16)
@@ -29,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ostrich_spark.corpus import _RARE, VOCAB  # noqa: E402
 
 
-def make_subscriptions(n: int = 10_000) -> dict[str, str]:
+def make_subscriptions(n: int = 10_000, schema=None) -> dict:
+    """Mixed subscriptions keyed by id; values are NQL strings except
+    the MUST_NOT batch, which needs the programmatic query shape (pass
+    ``schema`` to enable it; the register API accepts both)."""
     words = list(VOCAB) + list(_RARE)
     nw = len(words)
     subs: dict[str, str] = {}
@@ -55,8 +59,22 @@ def make_subscriptions(n: int = 10_000) -> dict[str, str]:
     langs = ["go", "py", "rs", "java", "ts"]
     for k in range(500):
         subs[f"k{k:05d}"] = f"lang:{langs[k % 5]}"
+    from ostrich_spark.query.parser import (
+        MUST,
+        MUST_NOT,
+        BooleanQuery,
+        parse_query,
+    )
+
     for k in range(500):
-        subs[f"x{k:05d}"] = f"content:{w(i)} AND NOT content:{w(i + 13)}"
+        if schema is None:
+            # string fallback: plain AND pair (keeps count at n)
+            subs[f"x{k:05d}"] = f"content:{w(i)} AND content:{w(i + 13)}"
+        else:
+            subs[f"x{k:05d}"] = BooleanQuery([
+                (MUST, parse_query(f"content:{w(i)}", schema, None)),
+                (MUST_NOT, parse_query(f"content:{w(i + 13)}", schema, None)),
+            ])
         i += 2
     assert len(subs) == n
     return subs
@@ -89,7 +107,7 @@ def main():
     schema.add_keyword_field("lang")
 
     t0 = time.time()
-    pq = register_queries(make_subscriptions(), schema)
+    pq = register_queries(make_subscriptions(schema=schema), schema)
     reg_sec = time.time() - t0
     print(f"register 10k subscriptions: {reg_sec:.1f}s "
           f"(term rows {len(pq.term_rows)}, tree rows {len(pq.tree_rows)})")
