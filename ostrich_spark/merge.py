@@ -381,9 +381,42 @@ def merge_segments(
                 )
             else:
                 has_del = np.zeros(len(pdf), dtype=bool)
+            # refine per ROW (r3 verdict trim): a row of a tombstoned
+            # segment needs the decode->purge->repack rewrite only when
+            # a deleted doc falls INSIDE its docID range. Range test is
+            # decode-free: max = last block_max_doc; min = the FIRST
+            # varint of the docs buffer (block 0's head is absolute).
+            # Clear rows ride the columnar patch with seg_off reduced by
+            # the count of deletions BELOW the row (the densify shift is
+            # constant across the row when no deletion lands inside it).
+            off_adj = np.zeros(len(pdf), dtype=np.int64)
+            if has_del.any():
+                from .codec import _varint_decode as _vd
+
+                for j in np.flatnonzero(has_del):
+                    row = pdf.iloc[j]
+                    dels = dmap.get(row["segment_id"])
+                    bmd = row["block_max_doc"]
+                    if bmd is None or not len(bmd):
+                        continue
+                    mn = int(_vd(bytes(row["docs"])[:10])[0])
+                    below = int(np.searchsorted(dels, mn, side="left"))
+                    inside = (
+                        int(np.searchsorted(dels, int(bmd[-1]), side="right"))
+                        - below
+                    )
+                    if inside == 0:
+                        has_del[j] = False
+                        off_adj[j] = below
             frames = []
             clean = pdf[~has_del]
             if len(clean):
+                adj = off_adj[~has_del]
+                if adj.any():
+                    clean = clean.copy()
+                    clean["seg_off"] = (
+                        clean["seg_off"].to_numpy(dtype=np.int64) - adj
+                    )
                 frames.append(_patch_rows_columnar(clean, new_sid))
             out = []
             for _, row in pdf[has_del].iterrows():

@@ -379,3 +379,46 @@ def test_cli_delete_by_query(spark, tmp_path):
     assert 5 not in ks and len(ks) == 23
     bad = run("--values", "3")
     assert bad.returncode == 2 and "--id-col" in bad.stderr
+
+
+def test_purge_skips_clear_shards_with_offset_adjust(spark, tmp_path):
+    """r4 trim of the purge path: a tombstoned segment whose term is
+    row_ord-SHARDED only rewrites the shards a deleted doc actually
+    falls into — shards clear of deletions ride the columnar patch with
+    seg_off reduced by the deletions BELOW them (the constant densify
+    shift). Deletions confined to a narrow low docID range + a
+    multi-shard merged segment exercise exactly that branch; results
+    must equal a fresh rebuild over the survivors.
+    """
+    idx = str(tmp_path / "idx")
+    docs = _docs(60)
+    _build(spark, idx, docs, parts=4)
+    mf = load_manifest(idx)
+    # step 1: shard every term by source row (shard_threshold=0) into
+    # one merged segment -> each term carries 4 doc-range shards
+    merge_segments(
+        spark, idx, [s.segment_id for s in mf.segments], "m-shard",
+        shard_threshold=0,
+    )
+    # step 2: tombstone docs k in [3, 9) — all in the LOWEST shard's
+    # docID range (order_col=k, 15 docs/source partition)
+    victims = list(range(3, 9))
+    delete_docs(
+        spark, idx,
+        spark.createDataFrame([(k,) for k in victims], "k long"), ["k"],
+    )
+    # step 3: purge through the sharded path again — upper shards are
+    # clear of deletions but need the below-count offset adjustment
+    mf = load_manifest(idx)
+    merge_segments(
+        spark, idx, [s.segment_id for s in mf.segments], "m-purged",
+        shard_threshold=0,
+    )
+    assert not has_tombstones(idx)
+    ref = str(tmp_path / "ref")
+    _build(spark, ref, [d for d in docs if d["k"] not in victims], parts=2)
+    kept = [k for k in range(60) if k not in victims]
+    assert _keys(spark, idx, "content:alpha")[0] == kept
+    for q in ("content:spark", 'content:"spark join"', "content:alpha AND content:spark"):
+        for scorer in ("tfidf", "bm25"):
+            assert _scored(spark, idx, q, scorer) == _scored(spark, ref, q, scorer), (q, scorer)
