@@ -135,6 +135,19 @@ def pack_blocked(values: np.ndarray, delta: bool) -> tuple[bytes, list[int]]:
     return buf, byte_starts[block_starts].tolist()
 
 
+def first_value(buf: bytes) -> int:
+    """First value of a ``pack_blocked``/``pack_doc_ids`` buffer WITHOUT
+    decoding the list: block 0's head is stored absolute (delta coding
+    restarts at every block head), and a uint64 LEB128 varint is at most
+    10 bytes — so the first value is the first varint of the first 10
+    bytes. This is the codec-layout twin of ``block_max_doc[-1]`` for
+    decode-free min/max range tests (e.g. the merge purge fast path);
+    keeping it HERE means a head-encoding change (zigzag, packed heads)
+    breaks exactly one function instead of silently mis-splitting call
+    sites that duplicated the layout assumption."""
+    return int(_varint_decode(bytes(buf)[:10])[0])
+
+
 def unpack_blocked(
     buf: bytes,
     offsets: list[int],

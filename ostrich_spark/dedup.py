@@ -226,16 +226,51 @@ def _band_hashes(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_B
     )
 
 
-def minhash_lsh_pairs(df, text_col="text", k: int = MINHASH_K, bands: int = MINHASH_BANDS):
+def minhash_lsh_pairs(
+    df,
+    text_col="text",
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_bucket: int | None = 1024,
+):
     """Candidate near-dup pairs sharing >=1 LSH band (rows/band = k/bands).
 
-    CAUTION at scale: a bucket of B docs emits B(B-1)/2 pairs — on
-    template-heavy corpora (the common web-data shape) hot buckets make
-    this quadratic. Use this when you need the explicit PAIR list (e.g.
-    to verify similarity per candidate); for clustering, use
-    :func:`minhash_lsh_edges` — identical connected components at O(B)
-    edges per bucket."""
+    ``max_bucket`` is the scale guard: a bucket of B docs emits B(B-1)/2
+    pairs, so on template-heavy corpora (the common web-data shape) ONE
+    hot bucket of 10^6 near-identical docs would alone produce ~10^12
+    join rows (measured here: the sf0.1 synthetic docs table put 11.5M
+    pairs into shared buckets from just 5k template docs). With the cap,
+    buckets larger than ``max_bucket`` are dropped from the pair join
+    BEFORE it runs, with a loud warning — the standard trade for a
+    per-candidate-verification workflow, where an over-cap bucket is
+    better handled by :func:`minhash_lsh_edges` + clustering than by an
+    explicit clique. The default is FINITE (1024 → ≤~524k pairs/bucket)
+    so a naive call can never all-pairs-explode; callers wanting the
+    exact full pair list must opt in with ``max_bucket=None``.
+
+    For clustering, use :func:`minhash_lsh_edges` — identical connected
+    components at O(B) edges per bucket, no cap needed."""
     band_hashes = _band_hashes(df, text_col, k, bands)
+    if max_bucket is not None:
+        bsz = band_hashes.groupBy("band", "band_hash").agg(
+            F.count("*").alias("bucket_size")
+        )
+        n_hot = bsz.filter(F.col("bucket_size") > max_bucket).count()
+        if n_hot:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_lsh_pairs: max_bucket=%d drops %d hot bucket(s) "
+                "from the pair join; their members' candidate pairs are "
+                "NOT emitted (use minhash_lsh_edges + clustering for hot "
+                "buckets, or pass max_bucket=None for the exact clique)",
+                max_bucket,
+                n_hot,
+            )
+        keep = bsz.filter(F.col("bucket_size") <= max_bucket).select(
+            "band", "band_hash"
+        )
+        band_hashes = band_hashes.join(keep, ["band", "band_hash"])
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     pairs = (

@@ -151,10 +151,16 @@ def frequent_item_sets(
     exploded = tx.select(
         "segment_id", "doc", F.explode("items").alias("item")
     )
+    # Analytic |L1| bound: each matched doc contributes at most one item
+    # per field, so total item rows <= n * len(fields) and every frequent
+    # item needs >= min_count of them. When that bound already fits under
+    # driver_cap, the standalone |L1| count job is pure overhead — driver
+    # mode's L1 collect IS the measurement.
     return mine_itemsets(
         spark, exploded, n, min_count,
         min_set_size=min_set_size, max_set_size=max_set_size, size=size,
         driver_cap=driver_cap, max_l1=max_l1,
+        l1_bound=(n * len(fields)) // min_count,
     )
 
 
@@ -168,6 +174,7 @@ def mine_itemsets(
     size: int = 10,
     driver_cap: int = 2048,
     max_l1: int = 1_000_000,
+    l1_bound: int | None = None,
 ):
     """Mode-picking Apriori core over a generic transactions frame
     ``exploded`` = (segment_id, doc, item) — one row per (transaction,
@@ -175,11 +182,34 @@ def mine_itemsets(
     DataFrame-mode path is testable on synthetic transactions without
     building an index. Returns the ranked (items, set_size,
     support_count, support) frame; both modes produce identical rows.
+
+    PRECONDITION: ``exploded`` must have no duplicate (segment_id, doc,
+    item) rows — the level-k subset test counts distinct candidate items
+    per transaction as ``count == k``, so duplicate rows silently
+    over-count support. :func:`frequent_item_sets` satisfies this by
+    construction (one item per scalar field per doc); generic callers
+    with possibly-duplicated rows must apply
+    ``.dropDuplicates(["segment_id", "doc", "item"])`` first (not done
+    here unconditionally — it is a full shuffle the common caller never
+    needs).
+
+    ``l1_bound``: an analytic upper bound on |L1| if the caller knows
+    one (e.g. n_transactions * max_items_per_tx // min_count). When the
+    bound already fits under ``driver_cap``, the standalone |L1| count
+    job is skipped — driver mode's L1 collect is the measurement.
     """
     l1_df = (
         exploded.groupBy("item").count()
         .filter(F.col("count") >= min_count)
     )
+    if l1_bound is not None and l1_bound <= driver_cap:
+        # bound <= driver_cap <= max_l1: mode + both guards decided
+        # analytically, no extra count job. _mine_driver handles the
+        # |L1| == 0 case (empty collect -> empty ranked frame).
+        return _mine_driver(
+            spark, exploded, l1_df, n, min_count,
+            min_set_size, max_set_size, size,
+        )
     l1_size = l1_df.count()
     if l1_size == 0:
         return spark.createDataFrame([], OUT_SCHEMA)

@@ -391,7 +391,7 @@ def merge_segments(
             # constant across the row when no deletion lands inside it).
             off_adj = np.zeros(len(pdf), dtype=np.int64)
             if has_del.any():
-                from .codec import _varint_decode as _vd
+                from .codec import first_value
 
                 for j in np.flatnonzero(has_del):
                     row = pdf.iloc[j]
@@ -399,7 +399,7 @@ def merge_segments(
                     bmd = row["block_max_doc"]
                     if bmd is None or not len(bmd):
                         continue
-                    mn = int(_vd(bytes(row["docs"])[:10])[0])
+                    mn = first_value(row["docs"])
                     below = int(np.searchsorted(dels, mn, side="left"))
                     inside = (
                         int(np.searchsorted(dels, int(bmd[-1]), side="right"))

@@ -355,17 +355,24 @@ def dhash_images(df, payload_col: str = "payload", id_col: str = "item_id",
                 # error path (corrupt input is data, not a job failure)
                 try:
                     rid = int(rid)
+                    id_err = None
                 except (TypeError, ValueError):
-                    rid = None
+                    # keep the row observable: a NULL id with err=None
+                    # would be indistinguishable from a good row and
+                    # silently vanish in downstream id joins
+                    rid, id_err = None, "unparsable id"
                 b = bytes(payload) if payload is not None else b""
                 try:
                     px = decode_png_pixels(b)
                     rows.append((
                         rid, dhash_py(px, hash_w, hash_h),
-                        px.shape[1], px.shape[0], None,
+                        px.shape[1], px.shape[0], id_err,
                     ))
                 except Exception as e:  # CodecError + malformed bytes
-                    rows.append((rid, None, None, None, str(e)[:200]))
+                    rows.append((
+                        rid, None, None, None,
+                        id_err or str(e)[:200],
+                    ))
             yield pd.DataFrame(
                 rows, columns=["item_id", "dhash", "width", "height", "err"]
             ).rename(columns={"item_id": id_col})

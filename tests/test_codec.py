@@ -90,3 +90,30 @@ def test_roundtrip_property(xs):
     if len(d):
         vals, _ = unpack_blocked(buf, offs, len(d), delta=True)
         assert np.array_equal(vals, d)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=1, max_size=400
+    )
+)
+def test_first_value_matches_full_decode(xs):
+    """codec.first_value must equal element 0 of the full decode for any
+    pack_blocked/pack_doc_ids buffer — the merge purge fast path relies
+    on it for its decode-free min-docID range test."""
+    import numpy as np
+
+    from ostrich_spark.codec import (
+        first_value,
+        pack_blocked,
+        pack_doc_ids,
+        unpack_doc_ids,
+    )
+
+    vals = np.array(sorted(set(xs)), dtype=np.int64)
+    buf = pack_doc_ids(vals)
+    assert first_value(buf) == int(unpack_doc_ids(buf)[0]) == int(vals[0])
+    bbuf, _ = pack_blocked(vals, delta=True)
+    assert first_value(bbuf) == int(vals[0])
+    nbuf, _ = pack_blocked(vals, delta=False)
+    assert first_value(nbuf) == int(vals[0])

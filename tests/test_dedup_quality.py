@@ -185,3 +185,35 @@ def test_star_edges_same_components_no_quadratic(spark):
     ce = {r["doc_id"]: r["comp"]
           for r in connected_components(edges).collect()}
     assert cp == ce and cp[100] == 100 and cp[139] == 100
+
+
+def test_lsh_pairs_max_bucket_guard(spark, caplog):
+    """The finite max_bucket default must keep hot buckets from
+    all-pairs-exploding: over-cap buckets are dropped from the pair join
+    with a loud warning, pairs from under-cap buckets are untouched, and
+    max_bucket=None opts back into the exact clique.
+
+    Fixture: a 40-doc template family (one bucket = one 780-pair clique)
+    plus a genuine 2-doc near-dup pair that lives in small buckets.
+    """
+    import logging
+
+    rows = [(i, "the same boilerplate template text repeated verbatim here")
+            for i in range(100, 140)]
+    rows += [(1, NEAR_A), (2, NEAR_B), (3, UNRELATED)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(4)
+
+    with caplog.at_level(logging.WARNING, logger="ostrich_spark.dedup"):
+        capped = {(r["doc_a"], r["doc_b"])
+                  for r in minhash_lsh_pairs(df, max_bucket=16).collect()}
+    assert any("max_bucket=16 drops" in rec.getMessage()
+               for rec in caplog.records), "hot-bucket drop must warn loudly"
+    # the family's clique is gone; the small-bucket near-dup pair survives
+    assert (1, 2) in capped
+    assert not any(100 <= a < 140 and 100 <= b < 140 for a, b in capped)
+    assert len(capped) < 100, f"capped call emitted {len(capped)} pairs"
+
+    exact = minhash_lsh_pairs(df, max_bucket=None)
+    assert exact.count() >= 780  # full clique restored on opt-in
+    # under-cap buckets are byte-identical between the two calls
+    assert capped <= {(r["doc_a"], r["doc_b"]) for r in exact.collect()}

@@ -65,3 +65,25 @@ def test_validation(spark):
         image_neardup_pairs(df, bands=7)
     with pytest.raises(ValueError, match="pigeonhole"):
         image_neardup_pairs(df, max_hamming=8, bands=8)
+
+
+def test_dhash_unparsable_id_stays_observable(spark):
+    """A row whose id fails int() coercion must carry err='unparsable id'
+    even when the payload decodes fine — otherwise it is
+    indistinguishable from a good row and silently vanishes in
+    downstream joins on the id column."""
+    imgs = _imgs()
+    df = spark.createDataFrame(
+        [("not-an-int", bytearray(imgs[0])), ("7", bytearray(imgs[0])),
+         ("bad-id-bad-png", bytearray(b"nope"))],
+        "item_id string, payload binary",
+    )
+    got = sorted(dhash_images(df).collect(),
+                 key=lambda r: (r["item_id"] is None, r["item_id"] or 0))
+    by_err = {(r["item_id"], r["err"] or "") for r in got}
+    assert (7, "") in by_err  # coercible id, good decode: clean row
+    # both bad-id rows keep err set; the decodable one still gets a hash
+    bad = [r for r in got if r["item_id"] is None]
+    assert len(bad) == 2
+    assert all(r["err"] == "unparsable id" for r in bad)
+    assert sorted((r["dhash"] is not None) for r in bad) == [False, True]

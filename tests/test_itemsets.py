@@ -247,3 +247,51 @@ def test_max_l1_loud_cap(spark):
 
     with _pt.raises(ValueError, match="max_l1"):
         mine_itemsets(spark, exploded, n=200, min_count=1, max_l1=100)
+
+
+def test_l1_bound_skips_count_job(spark, monkeypatch):
+    """When the caller's analytic |L1| bound fits under driver_cap, the
+    standalone L1 count job must be skipped (driver mode's collect IS
+    the measurement) and the ranked output must be unchanged."""
+    from ostrich_spark.itemsets import mine_itemsets
+
+    rows = [
+        (0, d, it_)
+        for d in range(40)
+        for it_ in (("a=1", "b=2") if d % 2 else ("a=1", "c=3"))
+    ]
+    exploded = spark.createDataFrame(
+        rows, "segment_id long, doc long, item string"
+    )
+    want = [tuple(r) for r in mine_itemsets(
+        spark, exploded, n=40, min_count=10, size=100,
+    ).collect()]
+
+    calls = []
+    # patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract base in Spark 4; instances don't dispatch through it)
+    cdf = type(exploded)
+    real_count = cdf.count
+    monkeypatch.setattr(
+        cdf, "count",
+        lambda self: (calls.append(1), real_count(self))[1],
+    )
+    got = [tuple(r) for r in mine_itemsets(
+        spark, exploded, n=40, min_count=10, size=100, l1_bound=8,
+    ).collect()]
+    assert got == want and len(got) >= 3
+    assert not calls, f"l1_bound path ran {len(calls)} DataFrame.count job(s)"
+
+    # an over-cap bound falls back to the measured-count mode pick
+    calls.clear()
+    got2 = [tuple(r) for r in mine_itemsets(
+        spark, exploded, n=40, min_count=10, size=100, l1_bound=99_999,
+    ).collect()]
+    assert got2 == want and calls
+
+    # bound path with an empty L1 yields the empty contract frame
+    empty = mine_itemsets(
+        spark, exploded, n=40, min_count=1000, size=10, l1_bound=1,
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["items", "set_size", "support_count", "support"]
