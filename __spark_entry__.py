@@ -7584,8 +7584,18 @@ def oracle_sql() -> dict[str, str]:
             "bands AS (SELECT doc_id, sig_i % 8 AS band, "
             " sum(minhash * ((sig_i // 8) * 100003 + 1)) % 1000000007 AS band_hash "
             " FROM sigs GROUP BY doc_id, sig_i % 8), "
-            "prs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
-            " ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
+            # star edges per bucket (hub = min doc_id) instead of the full
+            # B(B-1)/2 clique: provably component-identical (a bucket is a
+            # clique in the pair relation, and a star over the same vertex
+            # set connects it identically — equivalence pinned by
+            # tests/test_dedup_quality.py::test_star_edges_same_components_
+            # no_quadratic), and it keeps this oracle tractable at sf0.1
+            # where the clique is 11.5M pairs (star: ~20k edges)
+            "hubs AS (SELECT band, band_hash, min(doc_id) AS hub FROM bands "
+            " GROUP BY band, band_hash HAVING count(*) > 1), "
+            "prs AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b FROM bands b "
+            " JOIN hubs h ON b.band = h.band AND b.band_hash = h.band_hash "
+            " WHERE b.doc_id <> h.hub), "
             "edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs "
             " UNION SELECT doc_b, doc_a FROM prs), "
             # transitive min-label walk: enumerate every comp label reachable

@@ -33,6 +33,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 ROWS = int(os.environ.get("BENCH_ROWS", "60000"))
 MODE = os.environ.get("BENCH_MODE", "full")
+# SPARK_GRAFT_MASTER: "" (default) -> local[CPUS]; "submit" -> do NOT set a
+# master, inherit it from spark-submit (the local-cluster / real-cluster
+# deployment shape: `spark-submit --master local-cluster[2,8,8192]
+# --py-files dist/ostrich_spark.zip bench.py`); any other value -> used
+# verbatim as the master URL.
+MASTER = os.environ.get("SPARK_GRAFT_MASTER", "")
 
 BENCH_QUERIES = [
     ("term_common", "content:merge_policy", "tfidf", 10),
@@ -67,8 +73,11 @@ def main():
     from ostrich_spark.query.exec import search
     from ostrich_spark.schema import Schema
 
+    builder = SparkSession.builder
+    if MASTER != "submit":
+        builder = builder.master(MASTER or f"local[{CPUS}]")
     spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
+        builder
         .appName(f"ostrich-bench-{CPUS}")
         .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
         .config("spark.sql.adaptive.enabled", "true")

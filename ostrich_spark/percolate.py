@@ -20,10 +20,15 @@ with ONE map-side partial-aggregated groupBy:
 
 Scale posture: the document side streams through tokenize+explode with
 no shuffle until the single (doc, query) aggregation; the query side is
-driver-compiled and broadcast (a subscription table is small by
-definition — thousands of rows; if it ever isn't, drop the broadcast()
-and the same plan shuffle-joins on (field_id, term)). Works unchanged
-inside ``foreachBatch`` for Structured Streaming percolation.
+driver-compiled and broadcast while it is genuinely small (the common
+alerting shape — thousands of rows). Because every query-side table is
+built from a driver list, its row count is known for free, and
+``percolate(broadcast_cap=...)`` drops the broadcast hint automatically
+once a table crosses the cap (default 250k rows ≈ the 10MB broadcast
+budget at ~40B/row) — the same plan then shuffle-joins on
+(field_id, term) by Spark's own sizing instead of force-broadcasting
+into an executor OOM at 100k+ subscriptions. Works unchanged inside
+``foreachBatch`` for Structured Streaming percolation.
 
 Supported query surface: TermQuery, PhraseQuery (exact and sloppy —
 verified positionally against the doc's own token stream with the SAME
@@ -790,12 +795,27 @@ def percolate(
     schema: Schema,
     id_col: str = "doc_id",
     column_map: dict[str, str] | None = None,
+    broadcast_cap: int | None = 250_000,
 ):
     """Match every incoming document against every registered query.
     Returns a DataFrame of (``id_col``, query_id) pairs — one row per
     satisfied (document, stored query) combination, nothing for
     non-matches. ``column_map`` renames schema field -> docs_df column
     when they differ (default: same name).
+
+    ``broadcast_cap`` is the subscription-scale ceiling: every
+    query-side table here (term/range/keyword/geo rows, requirement
+    counts) is driver-compiled, so its row count is known FOR FREE, and
+    tables at or under the cap join with an explicit broadcast hint
+    (the common alerting shape — thousands of subscriptions). A table
+    OVER the cap drops the hint and joins by Spark's own sizing
+    (shuffle, or AQE's runtime choice) instead of force-broadcasting a
+    table that no longer fits executor memory — at 100k+ subscriptions
+    the requirement/leaf tables cross the default 10MB broadcast
+    budget, and a forced broadcast OOMs where a shuffle join just
+    works. ``broadcast_cap=None`` keeps the hint unconditionally.
+    The match set is identical either way (pinned by test); only the
+    join strategy moves.
 
     Phrase clauses verify positionally against the doc's own analyzed
     token stream inside a mapInPandas pass (no shuffle — each matched
@@ -807,6 +827,12 @@ def percolate(
     from pyspark.sql import functions as F
 
     column_map = column_map or {}
+
+    def _qside(df, n_rows: int):
+        # driver-compiled table: hint only while it's genuinely small
+        if broadcast_cap is None or n_rows <= broadcast_cap:
+            return F.broadcast(df)
+        return df
 
     def doc_col(fid: int) -> str:
         fe = schema.fields[fid]
@@ -859,7 +885,9 @@ def percolate(
             "query_id string, occur string, field_id int, term string",
         )
         contribs.append(
-            doc_terms.join(F.broadcast(qterms), ["field_id", "term"]).select(
+            doc_terms.join(
+                _qside(qterms, len(pq.term_rows)), ["field_id", "term"]
+            ).select(
                 "_pid", "query_id", "occur"
             )
         )
@@ -992,7 +1020,8 @@ def percolate(
         )
         contribs.append(
             vals.join(
-                F.broadcast(rq), on=(vals.field_id == rq.field_id) & cond
+                _qside(rq, len(pq.range_rows)),
+                on=(vals.field_id == rq.field_id) & cond,
             ).select("_pid", "query_id", "occur")
         )
 
@@ -1054,7 +1083,8 @@ def percolate(
         )
         contribs.append(
             kvals.join(
-                F.broadcast(kq), on=(kvals.field_id == kq.field_id) & kcond
+                _qside(kq, len(krows)),
+                on=(kvals.field_id == kq.field_id) & kcond,
             ).select("_pid", "query_id", "occur")
         )
 
@@ -1098,7 +1128,7 @@ def percolate(
             )
             contribs.append(
                 gvals.join(
-                    F.broadcast(gq),
+                    _qside(gq, len(dist_rows)),
                     on=(gvals.field_id == gq.field_id) & dcond,
                 ).select("_pid", "query_id", "occur")
             )
@@ -1128,7 +1158,7 @@ def percolate(
             )
             contribs.append(
                 gvals.join(
-                    F.broadcast(bq),
+                    _qside(bq, len(bbox_rows)),
                     on=(gvals.field_id == bq.field_id) & bcond,
                 ).select("_pid", "query_id", "occur")
             )
@@ -1160,7 +1190,7 @@ def percolate(
             ).otherwise(lhs > rhs)
             crossings = (
                 gvals.join(
-                    F.broadcast(pe), gvals.field_id == pe.field_id
+                    _qside(pe, len(poly_edges)), gvals.field_id == pe.field_id
                 )
                 .groupBy("_pid", "query_id", "occur")
                 .agg(
@@ -1185,9 +1215,11 @@ def percolate(
         tree_ids = spark.createDataFrame(
             [(q,) for q in trees], "query_id string"
         )
-        nhits = hits.join(F.broadcast(tree_ids), "query_id")
+        nhits = hits.join(_qside(tree_ids, len(trees)), "query_id")
         # flat queries keep the pure-counts fast path below
-        hits = hits.join(F.broadcast(tree_ids), "query_id", "left_anti")
+        hits = hits.join(
+            _qside(tree_ids, len(trees)), "query_id", "left_anti"
+        )
         # one partial-aggregated collect_set per (doc, nested query):
         # the set is bounded by the query's unit count (driver-compiled,
         # small), then the tree evaluates vectorized per Arrow batch
@@ -1233,7 +1265,7 @@ def percolate(
         ),
     )
     matched = (
-        agg.join(F.broadcast(reqs), "query_id")
+        agg.join(_qside(reqs, len(pq.req_rows)), "query_id")
         .filter(
             (F.col("must_hits") == F.col("n_must"))
             & (F.col("should_hits") >= F.col("req_should"))

@@ -632,3 +632,26 @@ def test_bare_term_keyword_field_no_crash(spark, perc_schema):
     got2 = [r["doc_key"] for r in percolate(
         spark, docs, subs2, perc_schema, id_col="doc_key").collect()]
     assert got2 == []
+
+
+def test_percolate_broadcast_cap_degrades_to_shuffle(spark, perc_schema):
+    """Subscription-scale ceiling: when the driver-compiled query tables
+    exceed broadcast_cap, the broadcast HINT must disappear from the
+    plan (Spark's own sizing then picks the join — shuffle at real
+    100k+ subscription scale, never a forced-broadcast OOM) and the
+    match set must be IDENTICAL to the hinted plan's."""
+    pq = register_queries(QUERIES, perc_schema)
+    docs = spark.createDataFrame(DOCS)
+
+    hinted = percolate(spark, docs, pq, perc_schema, id_col="doc_key")
+    capped = percolate(
+        spark, docs, pq, perc_schema, id_col="doc_key", broadcast_cap=0
+    )
+    h_plan = hinted._jdf.queryExecution().analyzed().toString()
+    c_plan = capped._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" in h_plan
+    assert "strategy=broadcast" not in c_plan
+
+    want = {(r["doc_key"], r["query_id"]) for r in hinted.collect()}
+    got = {(r["doc_key"], r["query_id"]) for r in capped.collect()}
+    assert got == want and len(got) > 0

@@ -16,6 +16,17 @@ vocabulary — no RNG):
 
 Usage: python tools/ladder_percolate.py [n_docs_small] [n_docs_big] [cpus]
   (defaults 60_000 240_000 16)
+
+Broadcast-ceiling rung (r4 verdict task #7): pass a 4th arg n_subs
+(mix scales by n_subs/10_000). With n_subs != 10_000 the tool runs ONE
+corpus size (n_docs_small) twice — once with the default broadcast
+hint and once with broadcast_cap=0 (every query-side join degrades to
+Spark's own sizing, i.e. shuffle) — timing both. That measures the
+hint-vs-shuffle crossover at 100k+ subscriptions, where the
+requirement/leaf tables approach the 10MB broadcast budget and a
+forced broadcast is the OOM risk the cap exists to remove.
+
+  python tools/ladder_percolate.py 20000 20000 16 100000
 """
 
 from __future__ import annotations
@@ -33,7 +44,10 @@ from ostrich_spark.corpus import _RARE, VOCAB  # noqa: E402
 def make_subscriptions(n: int = 10_000, schema=None) -> dict:
     """Mixed subscriptions keyed by id; values are NQL strings except
     the MUST_NOT batch, which needs the programmatic query shape (pass
-    ``schema`` to enable it; the register API accepts both)."""
+    ``schema`` to enable it; the register API accepts both). The mix
+    scales linearly with n (n must be a multiple of 10_000)."""
+    assert n % 10_000 == 0, n
+    m = n // 10_000
     words = list(VOCAB) + list(_RARE)
     nw = len(words)
     subs: dict[str, str] = {}
@@ -42,23 +56,23 @@ def make_subscriptions(n: int = 10_000, schema=None) -> dict:
     def w(j):
         return words[j % nw]
 
-    for k in range(6_000):
-        subs[f"t{k:05d}"] = f"content:{w(i)}"
+    for k in range(6_000 * m):
+        subs[f"t{k:06d}"] = f"content:{w(i)}"
         i += 1
-    for k in range(1_500):
-        subs[f"a{k:05d}"] = f"content:{w(i)} AND content:{w(i + 7)}"
+    for k in range(1_500 * m):
+        subs[f"a{k:06d}"] = f"content:{w(i)} AND content:{w(i + 7)}"
         i += 2
-    for k in range(1_000):
-        subs[f"n{k:05d}"] = (
+    for k in range(1_000 * m):
+        subs[f"n{k:06d}"] = (
             f"(content:{w(i)} OR content:{w(i + 11)}) AND content:{w(i + 23)}"
         )
         i += 3
-    for k in range(500):
-        subs[f"p{k:05d}"] = f'content:"{w(i)} {w(i + 3)}"'
+    for k in range(500 * m):
+        subs[f"p{k:06d}"] = f'content:"{w(i)} {w(i + 3)}"'
         i += 2
     langs = ["go", "py", "rs", "java", "ts"]
-    for k in range(500):
-        subs[f"k{k:05d}"] = f"lang:{langs[k % 5]}"
+    for k in range(500 * m):
+        subs[f"k{k:06d}"] = f"lang:{langs[k % 5]}"
     from ostrich_spark.query.parser import (
         MUST,
         MUST_NOT,
@@ -66,12 +80,12 @@ def make_subscriptions(n: int = 10_000, schema=None) -> dict:
         parse_query,
     )
 
-    for k in range(500):
+    for k in range(500 * m):
         if schema is None:
             # string fallback: plain AND pair (keeps count at n)
-            subs[f"x{k:05d}"] = f"content:{w(i)} AND content:{w(i + 13)}"
+            subs[f"x{k:06d}"] = f"content:{w(i)} AND content:{w(i + 13)}"
         else:
-            subs[f"x{k:05d}"] = BooleanQuery([
+            subs[f"x{k:06d}"] = BooleanQuery([
                 (MUST, parse_query(f"content:{w(i)}", schema, None)),
                 (MUST_NOT, parse_query(f"content:{w(i + 13)}", schema, None)),
             ])
@@ -84,6 +98,7 @@ def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 240_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    n_subs = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000
 
     from pyspark.sql import SparkSession
 
@@ -107,12 +122,41 @@ def main():
     schema.add_keyword_field("lang")
 
     t0 = time.time()
-    pq = register_queries(make_subscriptions(schema=schema), schema)
+    pq = register_queries(make_subscriptions(n_subs, schema=schema), schema)
     reg_sec = time.time() - t0
-    print(f"register 10k subscriptions: {reg_sec:.1f}s "
-          f"(term rows {len(pq.term_rows)}, tree rows {len(pq.tree_rows)})")
+    print(f"register {n_subs} subscriptions: {reg_sec:.1f}s "
+          f"(term rows {len(pq.term_rows)}, req rows {len(pq.req_rows)}, "
+          f"tree rows {len(pq.tree_rows)})")
 
-    out = {"n_subs": 10_000, "cpus": cpus, "register_sec": round(reg_sec, 2)}
+    out = {"n_subs": n_subs, "cpus": cpus, "register_sec": round(reg_sec, 2),
+           "term_rows": len(pq.term_rows), "req_rows": len(pq.req_rows)}
+
+    if n_subs != 10_000:
+        # broadcast-ceiling rung: ONE corpus size, hinted vs capped-0
+        path = f"/tmp/ladder_corpus_{n_small}"
+        if not os.path.exists(path):
+            gen_corpus(spark, n_small, path)
+        docs = spark.read.parquet(path).withColumnRenamed("path", "doc_key")
+        docs = docs.repartition(max(cpus * 2, n_small // CHUNK))
+        for label, cap in (("hinted", None), ("shuffle", 0)):
+            percolate(spark, docs.limit(500), pq, schema, id_col="doc_key",
+                      broadcast_cap=cap).count()  # warmup
+            t0 = time.time()
+            pairs = percolate(spark, docs, pq, schema, id_col="doc_key",
+                              broadcast_cap=cap).count()
+            dt = time.time() - t0
+            out[f"{label}_sec"] = round(dt, 2)
+            out[f"{label}_pairs"] = pairs
+            print(f"{label}: {n_small} docs x {n_subs} subs -> {pairs} "
+                  f"pairs in {dt:.1f}s")
+        assert out["hinted_pairs"] == out["shuffle_pairs"]
+        out["shuffle_over_hinted"] = round(
+            out["shuffle_sec"] / out["hinted_sec"], 3
+        )
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     for label, n_docs in (("small", n_small), ("big", n_big)):
         path = f"/tmp/ladder_corpus_{n_docs}"
         if not os.path.exists(path):

@@ -23,9 +23,18 @@ stats dict — summed blocks_total/blocks_kept across segments is exactly
 what the distributed tasks decode (same kernel, same per-segment
 threshold semantics).
 
-Usage: python tools/ladder_query.py [n_files] [cpus]
-  (docs/partition pinned at 15000; default cpus 16)
-"""
+Usage: python tools/ladder_query.py [n_files] [cpus] [nparts]
+  (docs/partition pinned at 15000 unless nparts is given; default cpus 16)
+
+The optional ``nparts`` override is the CONSTANT-PARTITION ladder (r4
+verdict task #4): hold the partition count at e.g. 16 (== cpus, so every
+rung runs in exactly ONE task wave) and grow docs/partition instead.
+The weak-scaling rungs (constant docs/partition, growing partitions)
+attribute their residual latency growth to task waves (256 partitions /
+16 cores = 16 waves); this mode isolates per-wave cost — if latency
+tracks docs/partition ~linearly at a fixed single wave, the wave count
+is indeed the residual, and a real cluster holding docs/partition
+constant with enough executors (1 wave) stays flat."""
 
 from __future__ import annotations
 
@@ -160,7 +169,7 @@ def phrase_probe(spark, index_dir: str, query: str) -> dict:
 def main():
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 240_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    nparts = n_files // CHUNK
+    nparts = int(sys.argv[3]) if len(sys.argv) > 3 else n_files // CHUNK
 
     from pyspark.sql import SparkSession
 
@@ -185,7 +194,11 @@ def main():
         print(f"corpus gen: {gen_sec:.1f}s -> {corpus_path}")
     corpus = spark.read.parquet(corpus_path)
 
-    idx = f"/tmp/ladder_qidx_{n_files}"
+    idx = (
+        f"/tmp/ladder_qidx_{n_files}"
+        if len(sys.argv) <= 3
+        else f"/tmp/ladder_qidx_{n_files}_p{nparts}"
+    )
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         schema = Schema()
         schema.add_text_field("content", "default", positions=True)
