@@ -90,8 +90,25 @@ def main():
     timings: dict[str, float] = {}
 
     # --- 1. index build throughput --------------------------------------
-    pdf = make_corpus(ROWS, seed=42)
-    corpus = spark.createDataFrame(pdf).repartition(32).cache()
+    # The corpus lands on disk and Spark READS it — the real ingest shape
+    # (a cluster reads the source table; it never parallelizes driver
+    # memory). createDataFrame(pdf) shipped the whole frame inside task
+    # closures, which local mode hides but a real cluster rejects: at
+    # 240k rows the serialized task is 188MB > spark.rpc.message.maxSize
+    # (found by the local-cluster[1,2,4096] scaling run).
+    corpus_path = f"/tmp/ostrich_bench_corpus_{ROWS}"
+    if not os.path.exists(os.path.join(corpus_path, "_DONE")):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        os.makedirs(corpus_path)
+        pq.write_table(
+            pa.Table.from_pandas(make_corpus(ROWS, seed=42)),
+            os.path.join(corpus_path, "corpus.parquet"),
+        )
+        open(os.path.join(corpus_path, "_DONE"), "w").close()
+    corpus = spark.read.parquet(corpus_path).repartition(32).cache()
     n_files = corpus.count()  # materialize so build timing excludes gen
 
     # warm the Python workers (import numpy/pandas once per executor
