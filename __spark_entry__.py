@@ -4826,6 +4826,24 @@ def _q_eng_sq_topk(spark, sf_dir):
     return _longify(sq_topk(codes, qv, lo, hi, k=10))
 
 
+def _q_pq_adc_topk(spark, sf_dir):
+    """Product quantization + ADC (Jégou et al. 2011; the faiss IVF-PQ
+    code path): seeded codebooks = sub-vectors of the 8 smallest
+    vec_ids (the ivf_assign first-C convention, train_iters=0 so the
+    SQL oracle recomputes the codebooks, the per-subspace argmin-L2
+    encoding with its lowest-cid tie-break, AND the ADC inner-product
+    score = <query, reconstruction> relationally), top-10 by ADC score
+    for the vec_id-0 query. Exercises fit + encode (Arrow UDF) + the
+    pure-Catalyst LUT scan end to end."""
+    from ostrich_spark.similarity import pq_adc_topk, pq_encode, pq_fit
+
+    emb = _emb(spark, sf_dir)
+    books = pq_fit(emb, m=4, ksub=8)
+    codes = pq_encode(emb, books)
+    qv = _query_vec(spark, sf_dir)
+    return _longify(pq_adc_topk(codes, books, qv, k=10))
+
+
 def _q_ann_topk(spark, sf_dir):
     from ostrich_spark.similarity import brute_force_topk
 
@@ -5437,6 +5455,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_token_stats,
         "text_keyterms": _q_keyterms,
         "ann_cosine_topk": _q_ann_topk,
+        "emb_pq_adc_topk": _q_pq_adc_topk,
         "eng_hybrid_rrf": _q_eng_hybrid_rrf,
         "eng_filtered_ann": _q_filtered_ann,
         "eng_sq_topk": _q_eng_sq_topk,
@@ -7936,6 +7955,32 @@ def oracle_sql() -> dict[str, str]:
             "  sqrt(list_sum(list_transform((SELECT qv FROM q), x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS sim "
             "FROM embeddings WHERE vec_id <> 0) "
             "SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10"
+        ),
+        # PQ/ADC: codebooks = sub-vectors (4 slices of 16) of the 8
+        # smallest vec_ids; per-(vector, subspace) code = argmin L2 with
+        # lowest-cid tie-break (row_number); ADC inner-product score =
+        # sum over subspaces of <query slice, chosen centroid slice> —
+        # mathematically <q, reconstruction>, the engine's LUT sum.
+        "emb_pq_adc_topk": (
+            "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+            "c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), "
+            "js AS (SELECT unnest(range(4)) AS j), "
+            "asg AS (SELECT e.vec_id, js.j, c.cid, "
+            " list_sum(list_transform(list_zip("
+            "   e.embedding[js.j*16+1:(js.j+1)*16], c.cvec[js.j*16+1:(js.j+1)*16]), "
+            "   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+            "        (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2 "
+            " FROM embeddings e, js, c), "
+            "pick AS (SELECT vec_id, j, cid, "
+            " row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, cid ASC) AS rn "
+            " FROM asg), "
+            "sc AS (SELECT p.vec_id, sum("
+            " list_sum(list_transform(list_zip("
+            "   (SELECT qv FROM q)[p.j*16+1:(p.j+1)*16], c.cvec[p.j*16+1:(p.j+1)*16]), "
+            "   z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))) AS score "
+            " FROM pick p JOIN c ON c.cid = p.cid WHERE p.rn = 1 GROUP BY p.vec_id) "
+            "SELECT vec_id, round(score, 6) AS score FROM sc "
+            "ORDER BY score DESC, vec_id ASC LIMIT 10"
         ),
         "ann_ivf_assign": (
             "WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), "

@@ -364,6 +364,9 @@ def main():
         ("sample_weighted", em.queries()["sample_weighted"]),
         ("mm_image_dhash", em.queries()["mm_image_dhash"]),
         ("agg_ip_prefix", em.queries()["eng_ip_prefix"]),
+        # round-5: PQ/ADC — fit+encode+LUT scan end to end (the m-byte
+        # code scan is the 100TB path; this times the whole pipeline)
+        ("ann_pq_adc_topk", em.queries()["emb_pq_adc_topk"]),
     ]:
         best = float("inf")
         for _ in range(3):

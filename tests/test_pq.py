@@ -1,0 +1,159 @@
+"""Product quantization + ADC (similarity.pq_fit/pq_encode/
+pq_adc_topk/pq_search) — the Jégou et al. 2011 design.
+
+Design under test:
+- seeded codebooks (train_iters=0) == sub-vectors of the ksub
+  smallest-id rows (the SQL-recomputable gate convention);
+- encode == a numpy brute-force argmin per subspace (lowest-index tie);
+- ADC scores == <query, reconstruction> recomputed in numpy, ranking
+  and tie-break included;
+- trained codebooks (train_iters>0) strictly reduce quantization error
+  vs seeded on a clusterable fixture, and ADC still matches the numpy
+  recompute of the SAME codebooks;
+- pq_search returns EXACT cosine scores for its top-k;
+- validation paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ostrich_spark.similarity import (
+    brute_force_topk,
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
+    pq_search,
+)
+
+DIM, M, KSUB = 16, 4, 4
+
+
+def _vecs(n=40, dim=DIM, seed=7):
+    rng = np.random.default_rng(seed)
+    # clusterable: 4 anchor directions + noise, L2-normalized
+    anchors = rng.normal(size=(4, dim))
+    X = anchors[np.arange(n) % 4] + 0.25 * rng.normal(size=(n, dim))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return X
+
+
+@pytest.fixture(scope="module")
+def pq_df(spark):
+    X = _vecs()
+    return spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    ).repartition(3), X
+
+
+def _np_encode(X, books):
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        sub = X[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _np_adc(X, books, q):
+    codes = _np_encode(X, books)
+    m, ksub, dsub = books.shape
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(m)], axis=1
+    )
+    return recon @ np.asarray(q)
+
+
+def test_seeded_codebooks_are_first_rows(spark, pq_df):
+    df, X = pq_df
+    books = pq_fit(df, m=M, ksub=KSUB)
+    dsub = DIM // M
+    for j in range(M):
+        want = X[:KSUB, j * dsub:(j + 1) * dsub]
+        assert np.allclose(books[j], want), j
+
+
+def test_encode_matches_numpy(spark, pq_df):
+    df, X = pq_df
+    books = pq_fit(df, m=M, ksub=KSUB)
+    got = {r["vec_id"]: list(r["pq_codes"])
+           for r in pq_encode(df, books).collect()}
+    want = _np_encode(X, books)
+    for i in range(len(X)):
+        assert got[i] == want[i].tolist(), i
+
+
+def test_adc_topk_matches_numpy(spark, pq_df):
+    df, X = pq_df
+    books = pq_fit(df, m=M, ksub=KSUB)
+    codes = pq_encode(df, books)
+    q = X[0]
+    got = [(r["vec_id"], r["score"])
+           for r in pq_adc_topk(codes, books, q, k=10).collect()]
+    scores = np.round(_np_adc(X, books, q), 6)
+    order = sorted(range(len(X)), key=lambda i: (-scores[i], i))[:10]
+    assert [i for i, _ in got] == order
+    for (i, s) in got:
+        assert abs(s - scores[i]) < 1e-9, i
+    # k=None returns every score uncut
+    assert pq_adc_topk(codes, books, q, k=None).count() == len(X)
+
+
+def test_trained_codebooks_reduce_error_and_still_match(spark, pq_df):
+    df, X = pq_df
+    seeded = pq_fit(df, m=M, ksub=KSUB)
+    trained = pq_fit(df, m=M, ksub=KSUB, train_iters=8)
+
+    def mse(books):
+        codes = _np_encode(X, books)
+        m, _, dsub = books.shape
+        recon = np.concatenate(
+            [books[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        return float(((X - recon) ** 2).sum())
+
+    assert mse(trained) < mse(seeded)
+    # the distributed ADC over trained books == numpy over trained books
+    codes = pq_encode(df, trained)
+    q = X[1]
+    got = [(r["vec_id"], r["score"])
+           for r in pq_adc_topk(codes, trained, q, k=5).collect()]
+    scores = np.round(_np_adc(X, trained, q), 6)
+    order = sorted(range(len(X)), key=lambda i: (-scores[i], i))[:5]
+    assert [i for i, _ in got] == order
+
+
+def test_pq_search_exact_rescore(spark, pq_df):
+    df, X = pq_df
+    books = pq_fit(df, m=M, ksub=KSUB, train_iters=8)
+    codes = pq_encode(df, books)
+    q = list(X[2])
+    got = pq_search(codes, df, books, q, k=5, rescore_factor=8.0).collect()
+    # scores are EXACT cosine (the rescore contract), not ADC estimates
+    exact = {r["vec_id"]: r["sim"]
+             for r in brute_force_topk(df, q, k=None).collect()}
+    for r in got:
+        assert abs(r["sim"] - exact[r["vec_id"]]) < 1e-12
+    # with a window covering the corpus, top-k == exact top-k
+    want = [r["vec_id"]
+            for r in brute_force_topk(df, q, k=5).collect()]
+    assert [r["vec_id"] for r in got] == want
+
+
+def test_validation(spark, pq_df):
+    df, X = pq_df
+    with pytest.raises(ValueError, match="divisible"):
+        pq_fit(df, m=3, ksub=4)
+    with pytest.raises(ValueError, match="tinyint"):
+        pq_fit(df, m=4, ksub=200)
+    with pytest.raises(ValueError, match="need >="):
+        pq_fit(df.limit(2), m=4, ksub=4)
+    books = pq_fit(df, m=M, ksub=KSUB)
+    with pytest.raises(ValueError, match="query dim"):
+        pq_adc_topk(pq_encode(df, books), books, [0.0] * 7, k=3)
+    with pytest.raises(ValueError, match="rescore_factor"):
+        pq_search(pq_encode(df, books), df, books, list(X[0]),
+                  k=3, rescore_factor=0.5)
