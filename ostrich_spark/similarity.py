@@ -1009,9 +1009,10 @@ def pq_fit(emb_df, m: int = 4, ksub: int = 16, train_iters: int = 0,
     the full corpus."""
     if m < 1 or ksub < 1:
         raise ValueError(f"pq_fit wants m >= 1 and ksub >= 1, got {m}, {ksub}")
-    if ksub > 127:
+    if ksub > 256:
         raise ValueError(
-            f"ksub must be <= 127 (codes store as tinyint), got {ksub}"
+            f"ksub must be <= 256 (codes store as tinyint, biased by "
+            f"-128 like the int8 scalar quantizer), got {ksub}"
         )
     if train_iters == 0:
         rows = (
@@ -1082,7 +1083,9 @@ def pq_encode(emb_df, codebooks: np.ndarray, id_col: str = "vec_id",
             sub = X[:, j * dsub:(j + 1) * dsub]
             # argmin of ||x-c||^2 = argmin of -2xC^T + ||c||^2
             d2 = cnorm2[j][None, :] - 2.0 * (sub @ books[j].T)
-            out[:, j] = np.argmin(d2, axis=1).astype(np.int8)
+            # stored code = centroid index - 128 (the int8 bias the
+            # scalar quantizer also uses) so ksub can reach 256
+            out[:, j] = (np.argmin(d2, axis=1) - 128).astype(np.int8)
         return pd.Series([row.tolist() for row in out])
 
     return emb_df.withColumn("pq_codes", _codes(F.col(vec_col))).drop(vec_col)
@@ -1111,7 +1114,7 @@ def pq_adc_topk(codes_df, codebooks: np.ndarray, query_vec, k: int | None = 10,
     for j in range(m):
         term = F.element_at(
             F.array(*[F.lit(float(x)) for x in lut[j]]),
-            F.col("pq_codes").getItem(j).cast("int") + F.lit(1),
+            F.col("pq_codes").getItem(j).cast("int") + F.lit(129),
         )
         score = term if score is None else score + term
     d = codes_df.withColumn("score", F.round(score, 6)).select(id_col, "score")

@@ -83,7 +83,8 @@ def test_encode_matches_numpy(spark, pq_df):
            for r in pq_encode(df, books).collect()}
     want = _np_encode(X, books)
     for i in range(len(X)):
-        assert got[i] == want[i].tolist(), i
+        # stored code = centroid index - 128 (int8 bias -> ksub <= 256)
+        assert got[i] == (want[i] - 128).tolist(), i
 
 
 def test_adc_topk_matches_numpy(spark, pq_df):
@@ -148,7 +149,7 @@ def test_validation(spark, pq_df):
     with pytest.raises(ValueError, match="divisible"):
         pq_fit(df, m=3, ksub=4)
     with pytest.raises(ValueError, match="tinyint"):
-        pq_fit(df, m=4, ksub=200)
+        pq_fit(df, m=4, ksub=300)
     with pytest.raises(ValueError, match="need >="):
         pq_fit(df.limit(2), m=4, ksub=4)
     books = pq_fit(df, m=M, ksub=KSUB)

@@ -1,0 +1,127 @@
+"""PQ/ADC recall evidence (round-5 operator): recall@k of the
+m-byte-code ADC scan and the rescored pq_search vs exact brute force,
+on the same synthetic clustered corpus as tools/ivf_recall.py —
+large enough that quantization error actually bites.
+
+Writes BENCH/PQ_RECALL.md. Usage: python tools/pq_recall.py [n_vectors]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ivf_recall import synthetic_embeddings, true_topk  # noqa: E402
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dim, k, n_queries = 32, 10, 20
+    from pyspark.sql import SparkSession
+
+    from ostrich_spark.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+        pq_search,
+    )
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .appName("pq-recall")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    X = synthetic_embeddings(n, dim, 50)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype=np.int64), "embedding": X.tolist()}
+    )
+    emb_df = spark.createDataFrame(pdf).repartition(16).cache()
+    emb_df.count()
+
+    qrng = np.random.default_rng(7)
+    qidx = qrng.choice(n, size=n_queries, replace=False)
+    queries = X[qidx] + 0.05 * qrng.normal(size=(n_queries, dim))
+
+    lines = []
+    for m, ksub in ((8, 256), (16, 256)):
+        t0 = time.time()
+        books = pq_fit(emb_df, m=m, ksub=ksub, train_iters=8,
+                       sample_size=20_000)
+        fit_sec = time.time() - t0
+        t0 = time.time()
+        codes = pq_encode(emb_df, books).cache()
+        n_codes = codes.count()
+        enc_sec = time.time() - t0
+        assert n_codes == n
+
+        # raw ADC recall
+        hits, t_sum = 0, 0.0
+        for q in queries:
+            want = set(true_topk(X, q, k))
+            t0 = time.time()
+            got = {r["vec_id"]
+                   for r in pq_adc_topk(codes, books, q.tolist(), k=k)
+                   .collect()}
+            t_sum += time.time() - t0
+            hits += len(want & got)
+        lines.append((m, ksub, "adc", "-", hits / (k * n_queries),
+                      t_sum / n_queries, fit_sec, enc_sec))
+
+        for rf in (2.0, 4.0, 8.0):
+            hits, t_sum = 0, 0.0
+            for q in queries:
+                want = set(true_topk(X, q, k))
+                t0 = time.time()
+                got = {r["vec_id"]
+                       for r in pq_search(codes, emb_df, books, q.tolist(),
+                                          k=k, rescore_factor=rf).collect()}
+                t_sum += time.time() - t0
+                hits += len(want & got)
+            lines.append((m, ksub, "rescore", f"{rf:g}x",
+                          hits / (k * n_queries), t_sum / n_queries,
+                          fit_sec, enc_sec))
+        codes.unpersist()
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH", "PQ_RECALL.md",
+    )
+    with open(out, "w") as f:
+        f.write(
+            f"# PQ/ADC recall@{k} vs exact brute force\n\n"
+            f"Corpus: {n} synthetic unit-norm embeddings, dim {dim}, 50\n"
+            "Zipf-skewed Gaussian clusters (tools/ivf_recall.py corpus);\n"
+            f"{n_queries} perturbed-corpus-point queries; trained codebooks\n"
+            "(per-subspace Lloyd, 8 iters, 20k hash-ordered sample).\n"
+            "Storage: m bytes/vector vs 256 raw (dim 32 float64) —\n"
+            "32x (m=8) / 16x (m=16) scan-size cut; the rescore rows add\n"
+            "one exact pass over ceil(k*factor) candidates.\n\n"
+            "| m | ksub | mode | window | recall@10 | avg query sec |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for m, ksub, mode, w, rec, qs, fit_sec, enc_sec in lines:
+            f.write(f"| {m} | {ksub} | {mode} | {w} | {rec:.3f} | {qs:.3f} |\n")
+        f.write(
+            f"\nfit: m=8 {lines[0][6]:.1f}s / m=16 {lines[4][6]:.1f}s; "
+            f"encode ({n} vecs): m=8 {lines[0][7]:.1f}s / m=16 "
+            f"{lines[4][7]:.1f}s.\n"
+        )
+    print(open(out).read())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
