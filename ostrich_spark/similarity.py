@@ -183,6 +183,8 @@ def ivf_build(
     sample_size: int = 100_000,
     extra_cols: list[str] | None = None,
     quantize: bool = False,
+    pq_m: int | None = None,
+    pq_ksub: int = 256,
 ) -> None:
     """Materialize the IVF index once: ``<index_path>/centroids.parquet``
     + ``<index_path>/vectors/cluster_id=<c>/*.parquet``.
@@ -198,7 +200,15 @@ def ivf_build(
     terms: ivf_search's quantized candidate scan projects ONLY
     (vec_id, codes), so parquet COLUMN PRUNING delivers the 8x byte
     cut inside the same partition-pruned files, and the float column
-    is read only for the small rescore window."""
+    is read only for the small rescore window.
+
+    ``pq_m=<m>`` stores PRODUCT-quantized codes instead/as well —
+    ``pq_codes array<tinyint>`` (m bytes/vector) with the (m, pq_ksub)
+    codebooks persisted in ``pq_books.parquet`` — the faiss IVF-PQ
+    layout: ``ivf_search(..., rescore_factor=..., use_pq=True)`` then
+    composes BOTH prunings, nprobe/C of the partitions x m/(8*dim) of
+    the bytes, before the exact float rescore. Codebooks train with the
+    same ``train_iters``/``sample_size`` as the coarse centroids."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -239,6 +249,26 @@ def ivf_build(
         with open(os.path.join(index_path, "quant.json"), "w") as f:
             json.dump({"lo": lo, "hi": hi}, f)
         out = out.withColumn("codes", sq_code_col(F.col("embedding"), lo, hi))
+    if pq_m is not None:
+        books = pq_fit(
+            emb_df, m=pq_m, ksub=pq_ksub,
+            train_iters=train_iters, sample_size=sample_size,
+        )
+        m, ksub, dsub = books.shape
+        btbl = pa.table({
+            "j": pa.array(
+                [j for j in range(m) for _ in range(ksub)], pa.int32()
+            ),
+            "cid": pa.array(list(range(ksub)) * m, pa.int32()),
+            # float64 so reloaded LUT arithmetic is bit-identical to a
+            # fresh fit's
+            "centroid": pa.array(
+                [books[j][c].tolist() for j in range(m) for c in range(ksub)],
+                pa.list_(pa.float64()),
+            ),
+        })
+        pq.write_table(btbl, os.path.join(index_path, "pq_books.parquet"))
+        out = pq_encode(out, books, keep_vec=True)
     (
         out
         # range-partition on (cluster_id, vec_id): rows for one cluster
@@ -251,6 +281,21 @@ def ivf_build(
         .partitionBy("cluster_id")
         .parquet(os.path.join(index_path, "vectors"))
     )
+
+
+def _ivf_pq_books(index_path: str):
+    """Reload the persisted PQ codebooks -> (m, ksub, dsub) float64
+    array, or None when the index was built without ``pq_m``."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(index_path, "pq_books.parquet")
+    if not os.path.exists(p):
+        return None
+    t = pq.read_table(p).to_pandas().sort_values(["j", "cid"])
+    m = int(t["j"].max()) + 1
+    ksub = int(t["cid"].max()) + 1
+    cents = np.asarray([np.asarray(c) for c in t["centroid"]])
+    return cents.reshape(m, ksub, -1)
 
 
 def _ivf_quant_params(index_path: str):
@@ -279,7 +324,7 @@ def _ivf_sq_candidates(spark, index_path: str, query_vec, targets, window: int,
 
 def ivf_search(
     spark, index_path: str, query_vec: list[float], k: int = 10, nprobe: int = 1,
-    rescore_factor: float | None = None,
+    rescore_factor: float | None = None, use_pq: bool = False,
 ):
     """Partition-pruned ANN: pick the nprobe nearest centroids (tiny
     driver-side read), then scan only those cluster partitions.
@@ -294,7 +339,13 @@ def ivf_search(
     bytes), nominates ceil(k·rescore_factor) by dequantized cosine,
     and the float column is read back for just that window — returned
     scores are EXACT floats. None keeps the float scan (also the only
-    option on an unquantized index — asking for rescore there errors)."""
+    option on an unquantized index — asking for rescore there errors).
+
+    ``use_pq=True`` (with ``rescore_factor``) takes candidates from the
+    ADC scan over the stored PQ codes instead of the int8 SQ codes —
+    the faiss IVF-PQ compose: the candidate pass reads ONLY (vec_id,
+    pq_codes) from the nprobe partitions, i.e. nprobe/C of the corpus
+    at m/(8·dim) of the bytes, before the exact rescore."""
     cent = spark.read.parquet(os.path.join(index_path, "centroids.parquet"))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probed = (
@@ -307,24 +358,42 @@ def ivf_search(
     vecs = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
         F.col("cluster_id").isin(targets)
     )
+    if use_pq and rescore_factor is None:
+        raise ValueError("use_pq=True needs rescore_factor (ADC nominates "
+                         "candidates; the rescore returns exact scores)")
     if rescore_factor is not None:
-        params = _ivf_quant_params(index_path)
-        if params is None:
-            raise ValueError(
-                f"rescore_factor needs a quantized index — rebuild "
-                f"{index_path!r} with ivf_build(..., quantize=True)"
-            )
         if rescore_factor < 1.0:
             raise ValueError(
                 f"rescore_factor must be >= 1.0, got {rescore_factor}"
             )
         import math
 
-        lo, hi = params
         window = int(math.ceil(k * rescore_factor))
-        cand = _ivf_sq_candidates(
-            spark, index_path, query_vec, targets, window, lo, hi
-        ).select("vec_id")
+        if use_pq:
+            books = _ivf_pq_books(index_path)
+            if books is None:
+                raise ValueError(
+                    f"use_pq needs a PQ index — rebuild {index_path!r} "
+                    f"with ivf_build(..., pq_m=<m>)"
+                )
+            codes = (
+                spark.read.parquet(os.path.join(index_path, "vectors"))
+                .filter(F.col("cluster_id").isin(targets))
+                .select("vec_id", "pq_codes")
+            )
+            cand = pq_adc_topk(codes, books, query_vec, k=window) \
+                .select("vec_id")
+        else:
+            params = _ivf_quant_params(index_path)
+            if params is None:
+                raise ValueError(
+                    f"rescore_factor needs a quantized index — rebuild "
+                    f"{index_path!r} with ivf_build(..., quantize=True)"
+                )
+            lo, hi = params
+            cand = _ivf_sq_candidates(
+                spark, index_path, query_vec, targets, window, lo, hi
+            ).select("vec_id")
         vecs = vecs.select("vec_id", "embedding").join(
             F.broadcast(cand), "vec_id", "leftsemi"
         )
@@ -1056,9 +1125,11 @@ def pq_fit(emb_df, m: int = 4, ksub: int = 16, train_iters: int = 0,
 
 
 def pq_encode(emb_df, codebooks: np.ndarray, id_col: str = "vec_id",
-              vec_col: str = "embedding"):
+              vec_col: str = "embedding", keep_vec: bool = False):
     """Encode every vector to its m sub-space codes:
-    -> (every non-vector column, ``pq_codes array<tinyint>``).
+    -> (every non-vector column, ``pq_codes array<tinyint>``);
+    ``keep_vec=True`` retains the float column beside the codes (the
+    IVF-PQ index layout, where the floats serve the rescore pass).
 
     One Arrow-batched pandas UDF pass (the per-batch work is m small
     numpy matmuls — the ||x||^2 - 2xC^T + ||C||^2 expansion — nothing
@@ -1088,7 +1159,8 @@ def pq_encode(emb_df, codebooks: np.ndarray, id_col: str = "vec_id",
             out[:, j] = (np.argmin(d2, axis=1) - 128).astype(np.int8)
         return pd.Series([row.tolist() for row in out])
 
-    return emb_df.withColumn("pq_codes", _codes(F.col(vec_col))).drop(vec_col)
+    out = emb_df.withColumn("pq_codes", _codes(F.col(vec_col)))
+    return out if keep_vec else out.drop(vec_col)
 
 
 def pq_adc_topk(codes_df, codebooks: np.ndarray, query_vec, k: int | None = 10,

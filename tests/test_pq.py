@@ -158,3 +158,57 @@ def test_validation(spark, pq_df):
     with pytest.raises(ValueError, match="rescore_factor"):
         pq_search(pq_encode(df, books), df, books, list(X[0]),
                   k=3, rescore_factor=0.5)
+
+
+def test_ivf_pq_build_and_search(spark, pq_df, tmp_path):
+    """IVF-PQ compose (faiss layout): pq_codes stored beside floats with
+    codebooks persisted; use_pq search rescores to EXACT scores; the
+    ADC candidate scan reads ONLY (vec_id, pq_codes) — column pruning
+    proof via ReadSchema; validation on a PQ-less index."""
+    import os
+
+    from ostrich_spark.similarity import (
+        _ivf_pq_books,
+        ivf_build,
+        ivf_search,
+        pq_adc_topk,
+    )
+
+    df, X = pq_df
+    idx = str(tmp_path / "ivfpq")
+    ivf_build(spark, df, idx, n_centroids=4, train_iters=2,
+              pq_m=M, pq_ksub=8)
+    books = _ivf_pq_books(idx)
+    assert books.shape == (M, 8, DIM // M)
+    stored = spark.read.parquet(os.path.join(idx, "vectors"))
+    assert dict(stored.dtypes)["pq_codes"] == "array<tinyint>"
+
+    q = [float(x) for x in X[5]]
+    exact = {r["vec_id"]: r["sim"]
+             for r in ivf_search(spark, idx, q, k=10, nprobe=4).collect()}
+    got = ivf_search(spark, idx, q, k=10, nprobe=4,
+                     rescore_factor=16.0, use_pq=True).collect()
+    assert len(got) == 10
+    for r in got:  # rescored scores ARE the exact floats
+        assert r["sim"] == exact[r["vec_id"]], r["vec_id"]
+    # window covering the corpus -> identical top-10
+    assert [r["vec_id"] for r in got] == list(exact)[:10]
+
+    # column pruning: the ADC candidate scan never reads the floats
+    codes = (
+        spark.read.parquet(os.path.join(idx, "vectors"))
+        .select("vec_id", "pq_codes")
+    )
+    plan = pq_adc_topk(codes, books, q, k=10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    rs = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "pq_codes" in rs and "embedding" not in rs
+
+    # a PQ-less index refuses use_pq with a pointed error
+    idx2 = str(tmp_path / "ivfplain")
+    ivf_build(spark, df, idx2, n_centroids=4, train_iters=2)
+    with pytest.raises(ValueError, match="pq_m"):
+        ivf_search(spark, idx2, q, k=5, nprobe=2,
+                   rescore_factor=4.0, use_pq=True).collect()
+    with pytest.raises(ValueError, match="needs rescore_factor"):
+        ivf_search(spark, idx, q, k=5, nprobe=2, use_pq=True).collect()

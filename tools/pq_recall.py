@@ -95,6 +95,29 @@ def main():
                           fit_sec, enc_sec))
         codes.unpersist()
 
+    # IVF-PQ compose: partition pruning (nprobe/64 of the corpus) x ADC
+    # byte pruning (m/(8*dim)) before the exact rescore
+    from ostrich_spark.similarity import ivf_build, ivf_search
+
+    idx = f"/tmp/pq_recall_ivfpq_{n}"
+    t0 = time.time()
+    ivf_build(spark, emb_df, idx, n_centroids=64, train_iters=5,
+              sample_size=20_000, pq_m=8, pq_ksub=256)
+    ivfpq_build_sec = time.time() - t0
+    ivf_lines = []
+    for nprobe in (2, 4, 8):
+        hits, t_sum = 0, 0.0
+        for q in queries:
+            want = set(true_topk(X, q, k))
+            t0 = time.time()
+            got = {r["vec_id"]
+                   for r in ivf_search(spark, idx, q.tolist(), k=k,
+                                       nprobe=nprobe, rescore_factor=8.0,
+                                       use_pq=True).collect()}
+            t_sum += time.time() - t0
+            hits += len(want & got)
+        ivf_lines.append((nprobe, hits / (k * n_queries), t_sum / n_queries))
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH", "PQ_RECALL.md",
@@ -119,6 +142,16 @@ def main():
             f"encode ({n} vecs): m=8 {lines[0][7]:.1f}s / m=16 "
             f"{lines[4][7]:.1f}s.\n"
         )
+        f.write(
+            "\n## IVF-PQ compose (64 trained coarse centroids, m=8 /\n"
+            "ksub=256 codebooks, 8x rescore window — the faiss IVF-PQ\n"
+            "layout: nprobe/64 of the partitions x 1/32 of the bytes\n"
+            "before the exact rescore; build "
+            f"{ivfpq_build_sec:.1f}s)\n\n"
+            "| nprobe | recall@10 | avg query sec |\n|---|---|---|\n"
+        )
+        for nprobe, rec, qs in ivf_lines:
+            f.write(f"| {nprobe} | {rec:.3f} | {qs:.3f} |\n")
     print(open(out).read())
     spark.stop()
 
