@@ -723,11 +723,13 @@ def cmd_knn(args) -> int:
         ivf_build(
             spark, spark.read.parquet(args.emb), args.path,
             n_centroids=args.centroids, train_iters=args.train_iters,
-            quantize=args.quantize,
+            quantize=args.quantize, pq_m=args.pq_m, pq_ksub=args.pq_ksub,
         )
         print(f"built IVF index at {args.path} "
               f"({args.centroids} centroids"
               + (", int8-quantized" if args.quantize else "")
+              + (f", PQ m={args.pq_m}/ksub={args.pq_ksub}"
+                 if args.pq_m else "")
               + f"), elapsed: {time.time() - t0:.3f}s")
         return 0
     q = qvec()
@@ -741,10 +743,14 @@ def cmd_knn(args) -> int:
             spark.read.parquet(args.emb), q, k=args.k
         ).collect()
     else:  # search
-        rows = ivf_search(
-            spark, args.path, q, k=args.k, nprobe=args.nprobe,
-            rescore_factor=args.rescore,
-        ).collect()
+        try:
+            rows = ivf_search(
+                spark, args.path, q, k=args.k, nprobe=args.nprobe,
+                rescore_factor=args.rescore, use_pq=args.use_pq,
+            ).collect()
+        except ValueError as e:
+            print(f"knn: {e}", file=sys.stderr)
+            return 2
     for r in rows:
         print(f"{r['vec_id']} {r['sim']:.6f}")
     print(f"{len(rows)} hits, elapsed: {time.time() - t0:.3f}s")
@@ -2484,6 +2490,14 @@ def main(argv=None) -> int:
     kn.add_argument("--train-iters", type=int, default=5)
     kn.add_argument("--quantize", action="store_true",
                     help="store int8 codes beside the floats (build)")
+    kn.add_argument("--pq-m", type=int, default=None,
+                    help="store m-byte PQ codes + codebooks (build; the "
+                         "faiss IVF-PQ layout)")
+    kn.add_argument("--pq-ksub", type=int, default=256,
+                    help="PQ centroids per subspace (<= 256)")
+    kn.add_argument("--use-pq", action="store_true",
+                    help="search: ADC candidates from the PQ codes "
+                         "(needs --rescore)")
     kn.set_defaults(fn=cmd_knn)
 
     te = sub.add_parser("terms", help="enumerate a text field's term "

@@ -212,3 +212,47 @@ def test_ivf_pq_build_and_search(spark, pq_df, tmp_path):
                    rescore_factor=4.0, use_pq=True).collect()
     with pytest.raises(ValueError, match="needs rescore_factor"):
         ivf_search(spark, idx, q, k=5, nprobe=2, use_pq=True).collect()
+
+
+def test_cli_knn_pq(spark, pq_df, tmp_path):
+    """CLI IVF-PQ surface: build --pq-m stores codes+books, search
+    --use-pq --rescore returns exact floats, and --use-pq without PQ
+    (or without --rescore) exits 2 with the pointed error."""
+    import os
+    import subprocess
+    import sys
+
+    df, X = pq_df
+    ep = str(tmp_path / "emb.parquet")
+    df.write.parquet(ep)
+    idx = str(tmp_path / "cli_ivfpq")
+
+    def run(*a):
+        return subprocess.run(
+            [sys.executable, "-m", "ostrich_spark", "knn", *a],
+            capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        )
+
+    out = run("build", "-p", idx, "--emb", ep, "--centroids", "4",
+              "--train-iters", "2", "--pq-m", "4", "--pq-ksub", "8")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PQ m=4/ksub=8" in out.stdout
+    assert os.path.exists(os.path.join(idx, "pq_books.parquet"))
+
+    out = run("search", "-p", idx, "--emb", ep, "--vec-id", "0",
+              "-k", "3", "--nprobe", "4", "--rescore", "16", "--use-pq")
+    assert out.returncode == 0, out.stderr[-2000:]
+    hits = [l for l in out.stdout.splitlines() if not l.endswith("s")]
+    assert hits[0].startswith("0 1.000000")  # exact rescored self-match
+
+    out = run("search", "-p", idx, "--emb", ep, "--vec-id", "0",
+              "-k", "3", "--use-pq")
+    assert out.returncode == 2 and "needs rescore_factor" in out.stderr
+
+    idx2 = str(tmp_path / "cli_plain")
+    out = run("build", "-p", idx2, "--emb", ep, "--centroids", "2",
+              "--train-iters", "0")
+    assert out.returncode == 0, out.stderr[-2000:]
+    out = run("search", "-p", idx2, "--emb", ep, "--vec-id", "0",
+              "-k", "3", "--rescore", "4", "--use-pq")
+    assert out.returncode == 2 and "pq_m" in out.stderr
