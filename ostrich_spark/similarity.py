@@ -322,6 +322,52 @@ def _ivf_sq_candidates(spark, index_path: str, query_vec, targets, window: int,
     return sq_topk(vecs, query_vec, lo, hi, k=window)
 
 
+def ivf_append(spark, emb_df, index_path: str,
+               extra_cols: list[str] | None = None) -> None:
+    """Append new vectors to an EXISTING persisted IVF index — the
+    operational shape of a 100 TB embedding pipeline, where the corpus
+    arrives in batches and retraining+rewriting the whole index per
+    batch is off the table.
+
+    The new batch is assigned under the index's PERSISTED parameters —
+    the stored coarse centroids, the stored (lo, hi) scalar quantizer
+    if present, the stored PQ codebooks if present — so appended rows
+    are bit-compatible with the original build and every ivf_search
+    mode keeps working unchanged. Parquet append into the same
+    ``cluster_id=<c>`` partition dirs: existing files are never
+    rewritten, each append adds files only to the partitions its rows
+    land in (hot clusters still spread over several writer tasks via
+    the same range repartition). Centroids/quantizers deliberately do
+    NOT refit here — a drifted corpus needs an explicit rebuild, the
+    same re-train trade documented on sq_quantize."""
+    import pyarrow.parquet as papq
+
+    cpath = os.path.join(index_path, "centroids.parquet")
+    if not os.path.exists(cpath):
+        raise ValueError(f"no IVF index at {index_path!r} (missing "
+                         "centroids.parquet) — build first")
+    ct = papq.read_table(cpath).to_pandas().sort_values("cid")
+    cvecs = np.asarray([np.asarray(v, dtype=np.float64) for v in ct["cvec"]])
+
+    cols = ["vec_id", "embedding", *(extra_cols or [])]
+    assign = _assign_to_fast(emb_df, cvecs).select("vec_id", "cluster_id")
+    out = emb_df.select(*cols).join(assign, "vec_id")
+    params = _ivf_quant_params(index_path)
+    if params is not None:
+        lo, hi = params
+        out = out.withColumn("codes", sq_code_col(F.col("embedding"), lo, hi))
+    books = _ivf_pq_books(index_path)
+    if books is not None:
+        out = pq_encode(out, books, keep_vec=True)
+    (
+        out
+        .repartitionByRange("cluster_id", "vec_id")
+        .write.mode("append")
+        .partitionBy("cluster_id")
+        .parquet(os.path.join(index_path, "vectors"))
+    )
+
+
 def ivf_search(
     spark, index_path: str, query_vec: list[float], k: int = 10, nprobe: int = 1,
     rescore_factor: float | None = None, use_pq: bool = False,

@@ -256,3 +256,51 @@ def test_cli_knn_pq(spark, pq_df, tmp_path):
     out = run("search", "-p", idx2, "--emb", ep, "--vec-id", "0",
               "-k", "3", "--rescore", "4", "--use-pq")
     assert out.returncode == 2 and "pq_m" in out.stderr
+
+
+def test_ivf_append_batches(spark, pq_df, tmp_path):
+    """ivf_append: a second batch lands in the existing partition dirs
+    under the PERSISTED centroids/quantizer/codebooks — full-probe
+    search over the appended index equals brute force over the union,
+    SQ-rescored and PQ-ADC search modes keep working with exact
+    rescored floats, and appending to a non-index errors."""
+    import os
+
+    from ostrich_spark.similarity import (
+        brute_force_topk,
+        ivf_append,
+        ivf_build,
+        ivf_search,
+    )
+
+    df, X = pq_df
+    first = df.filter("vec_id < 20")
+    second = df.filter("vec_id >= 20")
+    idx = str(tmp_path / "ivf_app")
+    ivf_build(spark, first, idx, n_centroids=4, train_iters=2,
+              quantize=True, pq_m=M, pq_ksub=8)
+    ivf_append(spark, second, idx)
+
+    stored = spark.read.parquet(os.path.join(idx, "vectors"))
+    assert stored.count() == len(X)
+    # appended rows carry BOTH code columns, like the original build's
+    assert dict(stored.dtypes)["codes"] == "array<tinyint>"
+    assert dict(stored.dtypes)["pq_codes"] == "array<tinyint>"
+
+    q = [float(x) for x in X[25]]  # a query from the appended batch
+    want = [(r["vec_id"], r["sim"])
+            for r in brute_force_topk(df, q, k=10).collect()]
+    got = [(r["vec_id"], r["sim"])
+           for r in ivf_search(spark, idx, q, k=10, nprobe=4).collect()]
+    assert got == want
+
+    exact = dict(want)
+    for kw in ({"rescore_factor": 16.0},
+               {"rescore_factor": 16.0, "use_pq": True}):
+        rows = ivf_search(spark, idx, q, k=5, nprobe=4, **kw).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["sim"] == exact[r["vec_id"]], (kw, r["vec_id"])
+
+    with pytest.raises(ValueError, match="centroids.parquet"):
+        ivf_append(spark, second, str(tmp_path / "nope"))
