@@ -3758,6 +3758,27 @@ def _q_sample_hash(spark, sf_dir):
     return _longify(hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "lang"))
 
 
+def _q_sample_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch trainer-feed reshuffle: the portable
+    sha256 epoch key for every doc at epochs 0 and 1 — two independent,
+    reproducible permutations of the same corpus (the oracle recomputes
+    the keys; rank parity follows from key parity since the sort is
+    ORDER BY key, doc_id on both engines)."""
+    from ostrich_spark.sampling import epoch_shuffle
+
+    outs = []
+    for ep in (0, 1):
+        outs.append(
+            epoch_shuffle(_docs(spark, sf_dir), ep)
+            .select(
+                F.lit(ep).cast("long").alias("epoch"),
+                "doc_id",
+                F.round(F.col("__ek"), 6).alias("ek"),
+            )
+        )
+    return _longify(outs[0].unionByName(outs[1]))
+
+
 def _q_sample_stratified(spark, sf_dir):
     from ostrich_spark.sampling import stratified_hash_sample
 
@@ -5448,6 +5469,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": _q_text_chunks,
         "scrub_pii": _q_scrub_pii,
         "sample_hash": _q_sample_hash,
+        "sample_epoch_shuffle": _q_sample_epoch_shuffle,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
         "sample_mixture": _q_mix_corpus,
@@ -7752,6 +7774,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents WHERE "
             "(('0x' || substr(sha256('sample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
             " / 4294967296.0) < 0.25"
+        ),
+        "sample_epoch_shuffle": (
+            "SELECT e.ep AS epoch, d.doc_id, "
+            "round(('0x' || substr(sha256('epoch:' || CAST(e.ep AS VARCHAR) "
+            " || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, 6) AS ek "
+            "FROM documents d, (SELECT unnest([0, 1]) AS ep) e"
         ),
         "sample_stratified": (
             "SELECT doc_id, lang FROM documents WHERE "

@@ -367,6 +367,8 @@ def main():
         # round-5: PQ/ADC — fit+encode+LUT scan end to end (the m-byte
         # code scan is the 100TB path; this times the whole pipeline)
         ("ann_pq_adc_topk", em.queries()["emb_pq_adc_topk"]),
+        # corpus-sized output: count()-timed (the trainer-feed reshuffle)
+        ("sample_epoch_shuffle", em.queries()["sample_epoch_shuffle"]),
     ]:
         best = float("inf")
         for _ in range(3):
@@ -374,7 +376,8 @@ def main():
             # text-heavy ops (chunks/scrub) would ship the whole corpus text
             # to the driver under collect() — time the compute via count()
             if name in ("text_chunks", "scrub_pii", "dedup_lines",
-                        "text_c4_clean", "dedup_repeated_spans"):
+                        "text_c4_clean", "dedup_repeated_spans",
+                        "sample_epoch_shuffle"):
                 fn(spark, SF_DIR).count()
             else:
                 fn(spark, SF_DIR).collect()

@@ -260,3 +260,35 @@ def weighted_sample(
     eligible = df.filter(w.isNotNull() & (w > 0))
     keyed = eligible.withColumn("__wkey", F.log(u) / w)
     return keyed.orderBy(F.desc("__wkey"), F.asc(key_col)).limit(int(k))
+
+
+def epoch_shuffle(df, epoch: int, key_col: str = "doc_id",
+                  salt: str = "epoch"):
+    """Deterministic per-epoch global reshuffle — the trainer-feed
+    ordering op: every epoch the corpus streams in a fresh, uniform,
+    REPRODUCIBLE permutation (same epoch -> bit-identical order on any
+    partitioning or rerun; different epoch -> an independent draw), so
+    data order is never a hidden source of training nondeterminism and
+    any shard range can be re-read exactly for a mid-epoch restart.
+
+    The permutation key is the curation module's portable sha256 unit
+    hash of ``salt:epoch`` || key — no RNG state, no seed plumbing,
+    recomputable by the SQL oracle. Returns the frame ordered by
+    (``__ek`` asc, ``key_col`` asc — total order, deterministic under
+    the hash's measure-zero ties) with the key kept as ``__ek`` for
+    auditing/sharding (drop it if unwanted).
+
+    Scale posture: one JVM-side projection plus ONE distributed range
+    sort (sampled range partitioning, the plan every
+    write-sorted-output job uses) — no global window, no dense rank,
+    nothing on the driver. A trainer that only needs SHARD-local
+    shuffling can sortWithinPartitions on the same key instead and
+    skip the exchange entirely."""
+    if epoch < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    if key_col not in df.columns:
+        raise ValueError(f"column {key_col!r} not in frame ({df.columns})")
+    u = _unit_hash(F.col(key_col), f"{salt}:{epoch}")
+    return df.withColumn("__ek", u).orderBy(
+        F.asc("__ek"), F.asc(key_col)
+    )

@@ -359,3 +359,53 @@ class TestWeightedSample:
             weighted_sample(df, "w", 0)
         with pytest.raises(ValueError, match="column"):
             weighted_sample(df, "nope", 1)
+
+
+class TestEpochShuffle:
+    def _df(self, spark, nparts):
+        return spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+        ).repartition(nparts)
+
+    def test_reproducible_and_partition_invariant(self, spark):
+        from ostrich_spark.sampling import epoch_shuffle
+
+        import hashlib
+
+        def brute(epoch):
+            def u(i):
+                h = hashlib.sha256(f"epoch:{epoch}{i}".encode()).hexdigest()
+                return int(h[:8], 16) / 4294967296.0
+            return [i for i in sorted(range(200), key=lambda i: (u(i), i))]
+
+        for nparts in (1, 7):
+            got0 = [r["doc_id"]
+                    for r in epoch_shuffle(self._df(spark, nparts), 0).collect()]
+            assert got0 == brute(0), nparts
+        # same epoch twice -> identical; different epoch -> a genuinely
+        # different permutation that still matches its own brute force
+        again = [r["doc_id"] for r in epoch_shuffle(self._df(spark, 3), 0).collect()]
+        got1 = [r["doc_id"] for r in epoch_shuffle(self._df(spark, 3), 1).collect()]
+        assert again == brute(0)
+        assert got1 == brute(1) and got1 != again
+
+    def test_total_order_and_distributed_sort(self, spark):
+        from ostrich_spark.sampling import epoch_shuffle
+
+        out = epoch_shuffle(self._df(spark, 5), 2)
+        keys = [r["__ek"] for r in out.collect()]
+        assert keys == sorted(keys)
+        # the plan is a distributed range sort, not a single-partition
+        # global window
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" in plan.lower()
+        assert "Window" not in plan
+
+    def test_validation(self, spark):
+        from ostrich_spark.sampling import epoch_shuffle
+
+        df = self._df(spark, 1)
+        with pytest.raises(ValueError, match="epoch"):
+            epoch_shuffle(df, -1)
+        with pytest.raises(ValueError, match="column"):
+            epoch_shuffle(df, 0, key_col="nope")
