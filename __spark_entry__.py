@@ -3779,6 +3779,19 @@ def _q_sample_epoch_shuffle(spark, sf_dir):
     return _longify(outs[0].unionByName(outs[1]))
 
 
+def _q_sample_token_budget(spark, sf_dir):
+    """Token-budget slice: docs kept in epoch-0 shuffle order until the
+    exclusive running n_chars total reaches 200k — the "exactly ~N
+    tokens of this mix" trainer op; the oracle recomputes the sha256
+    permutation key and the exclusive window sum relationally."""
+    from ostrich_spark.sampling import take_token_budget
+
+    return _longify(
+        take_token_budget(_docs(spark, sf_dir), 200_000, "n_chars")
+        .select("doc_id", F.col("__off").alias("tok_off"))
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     from ostrich_spark.sampling import stratified_hash_sample
 
@@ -5470,6 +5483,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": _q_scrub_pii,
         "sample_hash": _q_sample_hash,
         "sample_epoch_shuffle": _q_sample_epoch_shuffle,
+        "sample_token_budget": _q_sample_token_budget,
         "sample_stratified": _q_sample_stratified,
         "sample_cap_per_source": _q_sample_cap_per_source,
         "sample_mixture": _q_mix_corpus,
@@ -7780,6 +7794,14 @@ def oracle_sql() -> dict[str, str]:
             "round(('0x' || substr(sha256('epoch:' || CAST(e.ep AS VARCHAR) "
             " || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0, 6) AS ek "
             "FROM documents d, (SELECT unnest([0, 1]) AS ep) e"
+        ),
+        "sample_token_budget": (
+            "WITH t AS (SELECT doc_id, "
+            " ('0x' || substr(sha256('epoch:0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "  / 4294967296.0 AS ek, coalesce(n_chars, 0) AS c FROM documents), "
+            "o AS (SELECT doc_id, CAST(coalesce(sum(c) OVER (ORDER BY ek, doc_id "
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_off FROM t) "
+            "SELECT doc_id, tok_off FROM o WHERE tok_off < 200000"
         ),
         "sample_stratified": (
             "SELECT doc_id, lang FROM documents WHERE "

@@ -369,6 +369,7 @@ def main():
         ("ann_pq_adc_topk", em.queries()["emb_pq_adc_topk"]),
         # corpus-sized output: count()-timed (the trainer-feed reshuffle)
         ("sample_epoch_shuffle", em.queries()["sample_epoch_shuffle"]),
+        ("sample_token_budget", em.queries()["sample_token_budget"]),
     ]:
         best = float("inf")
         for _ in range(3):

@@ -292,3 +292,77 @@ def epoch_shuffle(df, epoch: int, key_col: str = "doc_id",
     return df.withColumn("__ek", u).orderBy(
         F.asc("__ek"), F.asc(key_col)
     )
+
+
+def take_token_budget(
+    df,
+    budget: int,
+    count_col: str,
+    epoch: int = 0,
+    key_col: str = "doc_id",
+    salt: str = "epoch",
+    n_buckets: int = 4096,
+):
+    """Deterministic token-budget slice — "give me exactly ~N tokens of
+    this mix": walk the corpus in :func:`epoch_shuffle` order (the
+    uniform per-epoch permutation) and keep every doc whose EXCLUSIVE
+    running-total of ``count_col`` is still under ``budget``. The kept
+    set's total is >= budget when the corpus has that much (overshoot
+    bounded by one doc), the cut point is uniform over the corpus (no
+    domain/ingestion-order bias — the permutation is the shuffle), and
+    the same (epoch, salt, budget) reproduces the slice bit-identically
+    on any partitioning. NULL counts participate as 0 (the doc is kept
+    for free), negative counts raise.
+
+    Returns the kept rows plus ``__ek`` (permutation key) and ``__off``
+    (the doc's exclusive global token offset — the audit trail: a kept
+    doc proves itself with ``__off < budget``).
+
+    Scale posture: the global running total is a TWO-LEVEL prefix sum,
+    never one global window (the pack_sequences design): level 1 windows
+    WITHIN ``floor(__ek * n_buckets)`` key-range buckets (parallel,
+    ~corpus/n_buckets rows each — the permutation key is U[0,1) so
+    buckets are balanced by construction, no skew care needed); level 2
+    cumulative-sums the n_buckets bucket totals (one small task) and
+    broadcasts the bases back. One projection, one bounded window, one
+    broadcast join."""
+    from pyspark.sql.window import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be > 0, got {n_buckets}")
+    for c in (count_col, key_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame ({df.columns})")
+    u = _unit_hash(F.col(key_col), f"{salt}:{epoch}")
+    cnt = F.coalesce(F.col(count_col).cast("long"), F.lit(0))
+    t = (
+        df.withColumn("__ek", u)
+        .withColumn("__cnt", cnt)
+        .withColumn("_bucket", F.floor(F.col("__ek") * n_buckets).cast("long"))
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.asc("__ek"), F.asc(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "_intra", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0))
+    )
+    totals = t.groupBy("_bucket").agg(F.sum("__cnt").alias("_tot"))
+    w_b = Window.orderBy(F.asc("_bucket")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.withColumn(
+        "_base", F.coalesce(F.sum("_tot").over(w_b), F.lit(0))
+    ).select("_bucket", "_base")
+    t = t.join(F.broadcast(offsets), "_bucket").withColumn(
+        "__off", F.col("_base") + F.col("_intra")
+    )
+    neg = t.filter(F.col("__cnt") < 0).limit(1).count()
+    if neg:
+        raise ValueError(f"negative {count_col!r} values — a token count "
+                         "cannot be negative; clean the column first")
+    return t.filter(F.col("__off") < budget).drop("_bucket", "_intra",
+                                                  "_base", "__cnt")

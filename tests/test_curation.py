@@ -409,3 +409,72 @@ class TestEpochShuffle:
             epoch_shuffle(df, -1)
         with pytest.raises(ValueError, match="column"):
             epoch_shuffle(df, 0, key_col="nope")
+
+
+class TestTokenBudget:
+    def _df(self, spark, nparts=4):
+        rows = [(i, f"d{i}", (i * 37) % 250 + 1) for i in range(300)]
+        rows.append((999, "nullcount", None))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, n_tok long"
+        ).repartition(nparts)
+
+    def _brute(self, budget, epoch=0):
+        import hashlib
+
+        def u(i):
+            h = hashlib.sha256(f"epoch:{epoch}{i}".encode()).hexdigest()
+            return int(h[:8], 16) / 4294967296.0
+
+        docs = [(i, (i * 37) % 250 + 1) for i in range(300)] + [(999, 0)]
+        docs.sort(key=lambda d: (u(d[0]), d[0]))
+        kept, off = [], 0
+        for i, n in docs:
+            if off < budget:
+                kept.append((i, off))
+            off += n
+        return kept
+
+    def test_matches_brute_and_partition_invariant(self, spark):
+        from ostrich_spark.sampling import take_token_budget
+
+        for nparts, n_buckets in ((1, 7), (6, 4096)):
+            got = sorted(
+                (r["doc_id"], r["__off"])
+                for r in take_token_budget(
+                    self._df(spark, nparts), 10_000, "n_tok",
+                    n_buckets=n_buckets,
+                ).collect()
+            )
+            assert got == sorted(self._brute(10_000)), (nparts, n_buckets)
+        # overshoot bounded by one doc: kept total >= budget, and
+        # removing the LAST kept doc drops under budget
+        kept = self._brute(10_000)
+        by_id = dict((i, (i * 37) % 250 + 1) for i in range(300))
+        by_id[999] = 0
+        total = sum(by_id[i] for i, _ in kept)
+        last = max(kept, key=lambda d: d[1])
+        assert total >= 10_000 > total - by_id[last[0]]
+
+    def test_epochs_slice_differently(self, spark):
+        from ostrich_spark.sampling import take_token_budget
+
+        a = {r["doc_id"] for r in take_token_budget(
+            self._df(spark), 5_000, "n_tok", epoch=0).collect()}
+        b = {r["doc_id"] for r in take_token_budget(
+            self._df(spark), 5_000, "n_tok", epoch=1).collect()}
+        assert a != b and a and b
+
+    def test_validation(self, spark):
+        from ostrich_spark.sampling import take_token_budget
+
+        df = self._df(spark, 1)
+        with pytest.raises(ValueError, match="budget"):
+            take_token_budget(df, 0, "n_tok")
+        with pytest.raises(ValueError, match="column"):
+            take_token_budget(df, 10, "nope")
+        neg = spark.createDataFrame(
+            [(0, -5)], "doc_id long, n_tok long"
+        )
+        with pytest.raises(ValueError, match="negative"):
+            take_token_budget(neg, 10, "n_tok").collect()
